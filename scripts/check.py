@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local differential check: compare Verify output against the DuckDB oracle.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
+
+Mimics the driver's gate: registers the sf parquet tables as DuckDB views,
+runs each entry of oracle_sql.json, and compares against the Spark-written
+parquet in <verifyOutDir>/<name>/. Columns are sorted by name (as the driver
+does), rows sorted by all columns. Reports EXACT / CLOSE(maxdiff) / MISMATCH
+so float-rounding strategy can be tuned before the driver runs.
+"""
+import sys, os, json, math
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except (TypeError, AttributeError):
+                pass
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    key = [c for c in df.columns]
+    try:
+        df = df.sort_values(by=key, kind="mergesort", ignore_index=True)
+    except Exception:
+        df = df.sort_values(by=key, key=lambda s: s.astype(str),
+                            kind="mergesort", ignore_index=True)
+    return df
+
+def compare(name, sdf, odf):
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"SCHEMA-MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    if len(sdf) != len(odf):
+        return f"ROWCOUNT-MISMATCH spark={len(sdf)} oracle={len(odf)}"
+    sdf, odf = norm(sdf), norm(odf)
+    maxdiff = 0.0
+    for c in sdf.columns:
+        s, o = sdf[c], odf[c]
+        if pd.api.types.is_float_dtype(s) or pd.api.types.is_float_dtype(o):
+            s = s.astype(float); o = o.astype(float)
+            both_nan = s.isna() & o.isna()
+            if not (s.isna() == o.isna()).all():
+                return f"NULL-MISMATCH col={c}"
+            d = (s - o).abs()
+            d[both_nan] = 0.0
+            md = float(d.max()) if len(d) else 0.0
+            maxdiff = max(maxdiff, md)
+            if md > 1e-6:
+                bad = d.idxmax()
+                return (f"VALUE-MISMATCH col={c} maxdiff={md} "
+                        f"spark={sdf[c][bad]} oracle={odf[c][bad]}")
+        else:
+            eq = (s.astype(str).fillna("<null>") == o.astype(str).fillna("<null>"))
+            if not eq.all():
+                i = eq.idxmin()
+                return f"VALUE-MISMATCH col={c} row={i} spark={s[i]!r} oracle={o[i]!r}"
+    return "EXACT" if maxdiff == 0.0 else f"CLOSE maxdiff={maxdiff:.3g}"
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = n_rowsonly = 0
+    declared = [d for d in sorted(os.listdir(outdir))
+                if os.path.isdir(os.path.join(outdir, d))]
+    for name in declared:
+        if only and name not in only:
+            continue
+        try:
+            sdf = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"{name:32s} SPARK-READ-FAIL {e}"); n_fail += 1; continue
+        if name not in oracle:
+            tag = "ROWS-ONLY" if len(sdf) > 0 else "ROWS-ONLY-EMPTY!"
+            print(f"{name:32s} {tag} rows={len(sdf)}")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"{name:32s} ORACLE-SQL-FAIL {e}"); n_fail += 1; continue
+        r = compare(name, sdf, odf)
+        ok = r.startswith("EXACT") or r.startswith("CLOSE")
+        print(f"{name:32s} {r} rows={len(sdf)}")
+        if ok: n_pass += 1
+        else: n_fail += 1
+    missing = [q for q in oracle if q not in declared]
+    for q in missing:
+        print(f"{q:32s} NO-SPARK-OUTPUT"); n_fail += 1
+    print(f"\n== pass={n_pass} rows_only={n_rowsonly} FAIL={n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Run a graft main class without sbt startup overhead.
+# Usage: scripts/run.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
+set -e
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx${GRAFT_MEM:-8g} -cp "$CP" "$@"

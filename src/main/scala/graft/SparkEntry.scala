@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY.md §2), one entry per
+  * implemented operator; `oracleSql` carries the DuckDB-equivalent SQL for
+  * the driver's differential gate. Batches live under [[graft.queries]].
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  import _root_.graft.{queries => qb}
+
+  private def batches = Seq(
+    qb.QTpch.queries)
+
+  private def oracleBatches = Seq(
+    qb.QTpch.oracleSql)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    batches.reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    oracleBatches.reduce(_ ++ _)
 }

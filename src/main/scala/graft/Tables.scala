@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry of the driver-provided parquet tables (see TESTDATA.md).
+  *
+  * Mirrors the reference's table-name -> file-list resolution
+  * (pg_lake_table/src/fdw/pg_lake_table.c foreign-table options) in its
+  * simplest form: a name resolves to one parquet file under the sf dir.
+  * Lake-format tables (snapshots, stats, pruning) live in [[graft.core]].
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so spark.sql sees the same
+    * names the DuckDB oracle does. Cheap (lazy plans, no IO). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,21 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared helpers for the driver-facing query inventory.
+  *
+  * Conventions (driver compare contract):
+  *  - every computed column is aliased identically in the Spark plan and
+  *    the DuckDB oracle SQL;
+  *  - float aggregates are rounded on BOTH sides (the reference tolerates
+  *    float drift the same way — engineering-notes/pgduck_shippability.md:33-41);
+  *  - sums over integer columns are CAST(... AS BIGINT) in the oracle
+  *    because DuckDB widens integer SUM to HUGEINT;
+  *  - every query has a deterministic ORDER BY (ties broken by a key).
+  */
+object Q {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+}

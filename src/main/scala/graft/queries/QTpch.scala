@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** TPC-H-shaped headline queries over the driver fixtures.
+  *
+  * These correspond to the reference's benchmark surface
+  * (pg_lake_benchmark/src/tpch.c:57-96) adapted to the trimmed fixture
+  * schema (TESTDATA.md). Full-query pushdown tier in the reference
+  * (pg_lake_table/src/planner/query_pushdown.c) — here Catalyst plans the
+  * whole query natively.
+  */
+object QTpch {
+
+  val queries: Map[String, QueryFn] = Map(
+    // Q1: scan + filter + wide aggregate. Plans as a single-shuffle
+    // partial/final hash aggregate over the parquet scan.
+    "q1_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Q3: 3-way join; customer is small → broadcast; orders⋈lineitem
+    // shuffles on the join key.
+    "q3_shipping" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Q5: 6-way star join, dims all broadcastable.
+    "q5_local_supplier" -> { (s, dir) =>
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // Q6: pure scan-filter-aggregate; predicate fully pushed to parquet.
+    "q6_forecast_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.03, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))
+    },
+
+    // Q10: returned-item reporting, join + group + top-k.
+    "q10_returned_items" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+}
