@@ -12,4 +12,5 @@ done
 exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
+  -Dspark.sql.legacy.parquet.nanosAsLong=true \
   -Xmx${GRAFT_MEM:-8g} -cp "$CP" "$@"

@@ -18,10 +18,12 @@ object SparkEntry {
   import _root_.graft.{queries => qb}
 
   private def batches = Seq(
-    qb.QTpch.queries)
+    qb.QTpch.queries, qb.QRel.queries, qb.QAgg.queries, qb.QWin.queries,
+    qb.QSub.queries)
 
   private def oracleBatches = Seq(
-    qb.QTpch.oracleSql)
+    qb.QTpch.oracleSql, qb.QRel.oracleSql, qb.QAgg.oracleSql,
+    qb.QWin.oracleSql, qb.QSub.oracleSql)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     batches.reduce(_ ++ _)

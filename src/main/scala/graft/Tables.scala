@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Registry of the driver-provided parquet tables (see TESTDATA.md).
   *
@@ -14,8 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+    // timestamp type; with spark.sql.legacy.parquet.nanosAsLong=true it
+    // arrives as Long nanos, which we floor to microseconds (integer DIV —
+    // double division would lose precision above 2^53).
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 
   /** Register every table as a temp view so spark.sql sees the same
     * names the DuckDB oracle does. Cheap (lazy plans, no IO). */

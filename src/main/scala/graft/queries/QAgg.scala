@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Aggregate surface: the reference's shippable aggregate list
+  * (pg_lake_engine/src/pgduck/shippable_builtin_functions.c:50-168,286-287,
+  * 377-378) — count/avg/sum/min/max/stddev/variance/corr/covar/regr/
+  * percentile/bool_and/bool_or/array_agg/any_value — plus FILTER, DISTINCT
+  * aggregates, HAVING, and GROUPING SETS / ROLLUP / CUBE
+  * (tests/pytests/test_grouping_set_pushdown.py:6-19).
+  *
+  * All are Spark built-ins (partial/final split + map-side combine come
+  * from the HashAggregate physical operator for free).
+  */
+object QAgg {
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_agg_stats" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
+        round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+        round(var_samp(col("l_quantity")), 6).as("v_samp"),
+        round(var_pop(col("l_quantity")), 6).as("v_pop"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cor"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("cov_samp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("cov_pop"),
+        count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_agg_regr" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_linestatus").agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2)
+          .as("icept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("rn"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("ax"),
+        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("ay"))
+        .orderBy("l_linestatus")
+    },
+
+    "q_agg_minmax" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        min("l_linestatus").as("min_status"),
+        max("l_linestatus").as("max_status"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_agg_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("nd_ps"),
+        round(sum_distinct(col("l_quantity")), 2).as("sumd_qty"),
+        count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // aggregate FILTER (WHERE ...) — reference ships it
+    // (test_window_function_pushdown.py:16); Spark: conditional aggregation
+    // over when(), identical null-skipping semantics.
+    "q_agg_filter" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_linestatus").agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_quantity"))), 2)
+          .as("qty_r"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_disc"),
+        round(avg(when(col("l_quantity") > 25, col("l_extendedprice"))), 4)
+          .as("avg_big"))
+        .orderBy("l_linestatus")
+    },
+
+    "q_agg_bool" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_bigdisc"),
+        bool_and(col("l_tax") < 0.05).as("all_lowtax"))
+        .orderBy("l_returnflag")
+    },
+
+    // any_value on a functionally-determined group → deterministic
+    "q_agg_anyval" -> { (s, dir) =>
+      t(s, dir, "customer").groupBy("c_custkey").agg(
+        any_value(col("c_name")).as("name"),
+        count(lit(1)).as("n"))
+        .orderBy("c_custkey")
+    },
+
+    // percentile_cont equivalents (ordered-set aggs,
+    // shippable_builtin_functions.c:165-168)
+    "q_agg_percentile" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_quantity, array(0.25, 0.75))")
+          .getItem(0), 6).as("p25_qty"),
+        round(median(col("l_discount")), 6).as("med_disc"))
+        .orderBy("l_returnflag")
+    },
+
+    // array_agg with deterministic (sorted) element order
+    "q_agg_array" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 97 === 0)
+        .groupBy("l_orderkey").agg(
+          sort_array(collect_list(col("l_quantity"))).as("qtys"),
+          count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    },
+
+    "q_agg_having" -> { (s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    },
+
+    "q_agg_sum_int" -> { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        sum(col("l_linenumber")).as("sum_ln"),
+        avg(col("l_linenumber")).as("avg_ln"),
+        min(col("l_linenumber")).as("min_ln"),
+        max(col("l_linenumber")).as("max_ln"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus").agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus"))
+    },
+
+    "q_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus").agg(
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus"))
+    },
+
+    "q_grouping_sets" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_samp,
+        |  round(stddev_pop(l_quantity), 6) AS sd_pop,
+        |  round(var_samp(l_quantity), 6) AS v_samp,
+        |  round(var_pop(l_quantity), 6) AS v_pop,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS cor,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_samp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_pop,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_regr" ->
+      """SELECT l_linestatus,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS rn,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS ax,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS ay
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT l_returnflag,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        |  min(l_linestatus) AS min_status, max(l_linestatus) AS max_status
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT (l_suppkey, l_partkey)) AS nd_ps,
+        |  round(sum(DISTINCT l_quantity), 2) AS sumd_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT l_linestatus,
+        |  round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'), 2) AS qty_r,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  round(avg(l_extendedprice) FILTER (WHERE l_quantity > 25), 4) AS avg_big
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_bigdisc,
+        |  bool_and(l_tax < 0.05) AS all_lowtax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_anyval" ->
+      """SELECT c_custkey, any_value(c_name) AS name, count(*) AS n
+        |FROM customer GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+        |  round(median(l_discount), 6) AS med_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_agg_array" ->
+      """SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys, count(*) AS n
+        |FROM lineitem WHERE l_orderkey % 97 = 0
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_sum_int" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  avg(l_linenumber) AS avg_ln,
+        |  min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}
