@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types.StructType
+
+/** A lake table: parquet data files + snapshot/manifest metadata.
+  *
+  * Read side of the reference's FDW scan path: resolve live files under
+  * the current snapshot (fdw/snapshot.c:79-354), prune with stats
+  * (data_file_pruning.c:183), hand the surviving file list to the scan —
+  * here `spark.read.schema(...).parquet(files)`, so Catalyst still does
+  * row-group pruning, column pruning and codegen on top.
+  */
+final class LakeTable(val spark: SparkSession, val dir: String) {
+
+  def meta: TableMetadata = MetadataIO.readMetadata(dir)
+  def schema: StructType = StructType.fromDDL(meta.schemaDdl)
+
+  def liveFiles: List[DataFile] =
+    meta.currentSnapshot.map(MetadataIO.liveFiles(dir, _)).getOrElse(Nil)
+
+  def liveFilesAt(snapshotId: Long): List[DataFile] =
+    meta.snapshot(snapshotId).map(MetadataIO.liveFiles(dir, _)).getOrElse(Nil)
+
+  private def readFiles(files: List[DataFile]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema) // typed empty relation
+    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+
+  /** Full scan of the current snapshot. */
+  def toDF: DataFrame = readFiles(liveFiles)
+
+  /** Time travel: scan at a historical snapshot
+    * (snapshot inspection SRFs, iceberg_functions.c:36-38). */
+  def asOf(snapshotId: Long): DataFrame = readFiles(liveFilesAt(snapshotId))
+
+  /** Pruned scan: only files the predicate cannot refute are read; the
+    * predicate is additionally applied as a normal filter (so Catalyst
+    * pushes it into the parquet row groups as well). */
+  def scan(pred: Column): (DataFrame, Pruning.ScanStats) = {
+    val files = liveFiles
+    val (mustRead, skipped, full) = Pruning.partitionFiles(
+      Some(GraftBridge.resolvePredicate(spark, schema, pred)),
+      schema, meta.partitionSpec, files)
+    (readFiles(mustRead).filter(pred),
+      Pruning.ScanStats(mustRead.size, skipped.size, full.size))
+  }
+
+  /** `lake_iceberg.snapshots`-style inspection. */
+  def snapshotsDF: DataFrame = {
+    import spark.implicits._
+    meta.snapshots.map(s => (s.id, new java.sql.Timestamp(s.timestampMs),
+      s.operation, s.manifests.size,
+      s.summary.getOrElse("addedFiles", "0"),
+      s.summary.getOrElse("removedFiles", "0")))
+      .toDF("snapshot_id", "committed_at", "operation", "n_manifests",
+        "added_files", "removed_files")
+  }
+
+  /** `lake_iceberg.files`-style inspection. */
+  def filesDF: DataFrame = {
+    import spark.implicits._
+    liveFiles.map(f => (f.path, f.rowCount, f.sizeBytes,
+      f.partition.map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(",")))
+      .toDF("file_path", "row_count", "size_bytes", "partition")
+  }
+}
+
+object LakeTable {
+  def load(spark: SparkSession, dir: String): LakeTable = new LakeTable(spark, dir)
+  def exists(dir: String): Boolean = MetadataIO.currentVersion(dir).isDefined
+}

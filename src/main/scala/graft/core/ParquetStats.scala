@@ -1,0 +1,78 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.LogicalTypeAnnotation
+
+/** Per-file column min/max/null-count statistics read straight from
+  * parquet footers — the write-side stats collection the reference does in
+  * pg_lake_engine/src/data_file/data_file_stats.c (which likewise asks the
+  * parquet metadata rather than re-scanning data). These feed
+  * `lake_table.data_file_column_stats`-style pruning (Pruning.scala).
+  */
+object ParquetStats {
+
+  final case class FileFooter(rowCount: Long, sizeBytes: Long,
+      stats: Map[String, ColStat])
+
+  /** Stringify a parquet min/max so it round-trips through JSON; typed
+    * interpretation happens at prune time against the table schema.
+    * Timestamps are stored as Long micros. */
+  private def render(tpe: PrimitiveTypeName,
+      logical: LogicalTypeAnnotation, v: Any): String = (tpe, v) match {
+    case (PrimitiveTypeName.BINARY, b: Binary) =>
+      logical match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+          b.toStringUsingUTF8
+        case _ => java.util.Base64.getEncoder.encodeToString(b.getBytes)
+      }
+    case (_, other) => other.toString
+  }
+
+  def read(path: String, conf: Configuration = new Configuration()): FileFooter = {
+    val in = HadoopInputFile.fromPath(new HPath(path), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks.asScala
+      val rowCount = blocks.map(_.getRowCount).sum
+      // accumulate min/max/nulls across row groups per column
+      val acc = scala.collection.mutable.Map[String,
+        (Option[Comparable[Any]], Option[Comparable[Any]], Long,
+         PrimitiveTypeName, LogicalTypeAnnotation)]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        if (st != null) {
+          val tpe = c.getPrimitiveType.getPrimitiveTypeName
+          val logical = c.getPrimitiveType.getLogicalTypeAnnotation
+          val (mn, mx, nulls, _, _) = acc.getOrElse(name,
+            (None, None, 0L, tpe, logical))
+          val (nmn, nmx) =
+            if (st.hasNonNullValue) {
+              val cmn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+              val cmx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+              (Some(mn.fold(cmn)(m => if (cmn.compareTo(m) < 0) cmn else m)),
+               Some(mx.fold(cmx)(m => if (cmx.compareTo(m) > 0) cmx else m)))
+            } else (mn, mx)
+          acc(name) = (nmn, nmx,
+            nulls + (if (st.isNumNullsSet) st.getNumNulls else 0L),
+            tpe, logical)
+        }
+      }
+      val stats = acc.map { case (name, (mn, mx, nulls, tpe, logical)) =>
+        name -> ColStat(mn.map(render(tpe, logical, _)),
+          mx.map(render(tpe, logical, _)), nulls)
+      }.toMap
+      val size = java.nio.file.Files.size(java.nio.file.Paths.get(
+        path.stripPrefix("file:")))
+      FileFooter(rowCount, size, stats)
+    } finally reader.close()
+  }
+}

@@ -1,0 +1,302 @@
+package graft.core
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** File-level pruning: evaluate a query predicate against per-file
+  * column min/max stats and hidden-partition transform values, skipping
+  * files the predicate refutes — the Spark-native port of the reference's
+  * `PruneDataFiles` (pg_lake_table/src/fdw/data_file_pruning.c:183, bound
+  * constraints :105-161) and its transform-aware variant (:131-161).
+  *
+  * Tri-state semantics per file:
+  *  - `No`: provably zero rows match  → skip the file (scan pruning) /
+  *    metadata-only drop (DELETE full-match fast path, cf.
+  *    docs/iceberg-tables.md:288-307)
+  *  - `Yes`: provably all rows match  (requires nullCount == 0)
+  *  - `Maybe`: must read the file.
+  *
+  * Bucket transforms prune only on equality; year/month/day/hour/truncate
+  * are monotonic and prune on ranges too (docs/iceberg-tables.md:243-263).
+  */
+object Pruning {
+
+  sealed trait Tri {
+    def &&(o: Tri): Tri = (this, o) match {
+      case (No, _) | (_, No) => No
+      case (Yes, Yes) => Yes
+      case _ => Maybe
+    }
+    def ||(o: Tri): Tri = (this, o) match {
+      case (Yes, _) | (_, Yes) => Yes
+      case (No, No) => No
+      case _ => Maybe
+    }
+    /** Sound negation without null bookkeeping: ¬No stays Maybe. */
+    def not: Tri = this match {
+      case Yes => No
+      case _ => Maybe
+    }
+    /** Merge two sound verdicts for the SAME predicate. */
+    def merge(o: Tri): Tri = (this, o) match {
+      case (No, _) | (_, No) => No
+      case (Yes, _) | (_, Yes) => Yes
+      case _ => Maybe
+    }
+  }
+  case object Yes extends Tri
+  case object No extends Tri
+  case object Maybe extends Tri
+
+  /** Normalize a runtime/stat value for comparison. */
+  private def norm(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case f: Float => f.toDouble
+    case d: Decimal => d.toBigDecimal
+    case other => other
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: BigDecimal, y) => cmp(x.toDouble, y)
+    case (x, y: BigDecimal) => cmp(x, y.toDouble)
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  private def parseStat(dt: DataType, s: String): Any = dt match {
+    case ShortType | IntegerType | LongType | ByteType => s.toLong
+    case FloatType | DoubleType => s.toDouble
+    case TimestampType | TimestampNTZType => s.toLong
+    case DateType => s.toLong
+    case BooleanType => s.toBoolean
+    case _: DecimalType => BigDecimal(s)
+    case _ => s
+  }
+
+  /** Evaluate `pred` (an unanalyzed Column expression) against one file. */
+  def evalFile(pred: Expression, schema: StructType,
+      spec: List[PartitionField], f: DataFile): Tri = {
+
+    def attrName(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute => Some(u.name)
+      // The analyzer may wrap the attribute itself (e.g. TIMESTAMP_NTZ
+      // column vs TIMESTAMP literal). Order-preserving casts are safe to
+      // see through: both sides still compare in the same value space
+      // (micros / widened numeric). Mirrors the reference's cast-commuting
+      // so predicates reach the zonemaps (rewrite_query.c:1750-1800).
+      case c: Cast if safeAttrCast(c.child.dataType, c.dataType) =>
+        attrName(c.child)
+      case _ => None
+    }
+
+    def safeAttrCast(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (TimestampNTZType, TimestampType) => true
+      case (TimestampType, TimestampNTZType) => true
+      case (f: NumericType, t: NumericType) => true
+      case _ => false
+    }
+
+    def litValue(e: Expression): Option[(Any, DataType)] = {
+      val fixed = e.transform {
+        case c: Cast if c.timeZoneId.isEmpty && Cast.needsTimeZone(
+          c.child.dataType, c.dataType) => c.withTimeZone("UTC")
+      }
+      if (fixed.foldable) {
+        val v = fixed.eval(null)
+        if (v == null) None else Some((v, fixed.dataType))
+      } else None
+    }
+
+    def colType(name: String): Option[DataType] =
+      schema.fields.find(_.name == name).map(_.dataType)
+
+    /** Stats-based verdict for `col OP lit`; op in {<,<=,=,>=,>}. */
+    def statVerdict(name: String, op: String, lit: Any): Tri = {
+      val dtOpt = colType(name)
+      val stOpt = f.stats.get(name)
+      (dtOpt, stOpt) match {
+        case (Some(dt), Some(st)) if st.min.isDefined && st.max.isDefined =>
+          val mn = parseStat(dt, st.min.get)
+          val mx = parseStat(dt, st.max.get)
+          val allRowsNonNull = st.nullCount == 0
+          val allNull = st.nullCount >= f.rowCount && f.rowCount > 0
+          if (allNull) return No
+          (cmp(lit, mn), cmp(lit, mx)) match {
+            case (Some(cLo), Some(cHi)) =>
+              op match {
+                case "=" =>
+                  if (cLo < 0 || cHi > 0) No
+                  else if (cLo == 0 && cHi == 0 && cmp(mn, mx).contains(0) &&
+                    allRowsNonNull) Yes
+                  else Maybe
+                case "<" => // col < lit
+                  if (cLo <= 0) No
+                  else if (cHi > 0 && allRowsNonNull) Yes
+                  else Maybe
+                case "<=" =>
+                  if (cLo < 0) No
+                  else if (cHi >= 0 && allRowsNonNull) Yes
+                  else Maybe
+                case ">" =>
+                  if (cHi >= 0) No
+                  else if (cLo < 0 && allRowsNonNull) Yes
+                  else Maybe
+                case ">=" =>
+                  if (cHi > 0) No
+                  else if (cLo <= 0 && allRowsNonNull) Yes
+                  else Maybe
+                case _ => Maybe
+              }
+            case _ => Maybe
+          }
+        case _ => Maybe
+      }
+    }
+
+    /** Partition-transform verdict for `col OP lit`. */
+    def partVerdict(name: String, op: String, lit: Any, dt: DataType): Tri = {
+      spec.find(_.column == name).flatMap { pf =>
+        f.partition.get(pf.partName).map { pvStr =>
+          val litRaw = norm(lit)
+          pf.fn match {
+            case Transform.Bucket(_) =>
+              // bucket prunes only on equality
+              if (op == "=") {
+                val b = pf.fn(litRaw)
+                if (pvStr != b.toString) No else Maybe
+              } else Maybe
+            case t =>
+              val tl = t(litRaw)
+              val pv: Any = t match {
+                case Transform.Truncate(_) if litRaw.isInstanceOf[String] =>
+                  pvStr
+                case Transform.Identity =>
+                  parseStat(dt, pvStr)
+                case _ => pvStr.toLong
+              }
+              cmp(pv, tl) match {
+                case Some(c) => op match {
+                  case "=" => if (c != 0) No else Maybe
+                  case "<" => if (c > 0) No else if (c < 0) Yes else Maybe
+                  case "<=" => if (c > 0) No else if (c < 0) Yes else Maybe
+                  case ">" => if (c < 0) No else if (c > 0) Yes else Maybe
+                  case ">=" => if (c < 0) No else if (c > 0) Yes else Maybe
+                  case _ => Maybe
+                }
+                case None => Maybe
+              }
+          }
+        }
+      }.getOrElse(Maybe)
+    }
+
+    def leaf(l: Expression, op: String, r: Expression): Tri = {
+      (attrName(l), litValue(r)) match {
+        case (Some(name), Some((v, _))) =>
+          statVerdict(name, op, v).merge(
+            partVerdict(name, op, v, colType(name).getOrElse(NullType)))
+        case _ =>
+          // literal OP col → flip
+          (attrName(r), litValue(l)) match {
+            case (Some(name), Some((v, _))) =>
+              val flipped = op match {
+                case "<" => ">"
+                case "<=" => ">="
+                case ">" => "<"
+                case ">=" => "<="
+                case o => o
+              }
+              statVerdict(name, flipped, v).merge(
+                partVerdict(name, flipped, v, colType(name).getOrElse(NullType)))
+            case _ => Maybe
+          }
+      }
+    }
+
+    def ev(e: Expression): Tri = e match {
+      case And(a, b) => ev(a) && ev(b)
+      case Or(a, b) => ev(a) || ev(b)
+      case Not(c) => ev(c).not
+      case EqualTo(l, r) => leaf(l, "=", r)
+      case LessThan(l, r) => leaf(l, "<", r)
+      case LessThanOrEqual(l, r) => leaf(l, "<=", r)
+      case GreaterThan(l, r) => leaf(l, ">", r)
+      case GreaterThanOrEqual(l, r) => leaf(l, ">=", r)
+      case In(a, list) if list.forall(_.foldable) =>
+        list.map(l => leaf(a, "=", l)).foldLeft(No: Tri)(_ || _)
+      case InSet(a, set) =>
+        set.toSeq.map(v => attrName(a) match {
+          case Some(name) =>
+            statVerdict(name, "=", v)
+          case None => Maybe
+        }).foldLeft(No: Tri)(_ || _)
+      case IsNull(a) => attrName(a).flatMap(n => f.stats.get(n)).map { st =>
+        if (st.nullCount == 0) No
+        else if (st.nullCount >= f.rowCount && f.rowCount > 0) Yes
+        else Maybe
+      }.getOrElse(Maybe)
+      case IsNotNull(a) => attrName(a).flatMap(n => f.stats.get(n)).map { st =>
+        if (st.nullCount == 0) Yes
+        else if (st.nullCount >= f.rowCount && f.rowCount > 0) No
+        else Maybe
+      }.getOrElse(Maybe)
+      case StartsWith(a, p) =>
+        (attrName(a), litValue(p)) match {
+          case (Some(name), Some((v, _))) =>
+            val prefix = norm(v).asInstanceOf[String]
+            // p <= s < nextPrefix(p)
+            val lo = statVerdict(name, ">=", prefix)
+            val hi = nextPrefix(prefix) match {
+              case Some(np) => statVerdict(name, "<", np)
+              case None => Maybe
+            }
+            lo && hi
+          case _ => Maybe
+        }
+      case Literal(true, BooleanType) => Yes
+      case Literal(false, BooleanType) => No
+      case _ => Maybe
+    }
+
+    ev(pred)
+  }
+
+  /** Smallest string greater than every string with this prefix. */
+  private def nextPrefix(p: String): Option[String] = {
+    val chars = p.toCharArray
+    var i = chars.length - 1
+    while (i >= 0) {
+      if (chars(i) < Char.MaxValue) {
+        chars(i) = (chars(i) + 1).toChar
+        return Some(new String(chars, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+
+  final case class ScanStats(scanned: Int, skipped: Int, fullMatch: Int)
+
+  /** Partition files into (mustRead, skippable, provablyAllMatch). */
+  def partitionFiles(pred: Option[Expression], schema: StructType,
+      spec: List[PartitionField], files: List[DataFile])
+      : (List[DataFile], List[DataFile], List[DataFile]) = pred match {
+    case None => (files, Nil, files)
+    case Some(p) =>
+      val verdicts = files.map(f => (f, evalFile(p, schema, spec, f)))
+      (verdicts.collect { case (f, v) if v != No => f },
+       verdicts.collect { case (f, No) => f },
+       verdicts.collect { case (f, Yes) => f })
+  }
+}

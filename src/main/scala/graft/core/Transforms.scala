@@ -1,0 +1,176 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+/** Hidden-partition transforms, mirroring the reference's set
+  * (pg_lake_table/src/fdw/partition_transform.c:512-820): identity, year,
+  * month, day, hour, bucket[N], truncate[W].
+  *
+  * Bucket hashing is Iceberg-spec murmur3_x86_32 (seed 0) over the
+  * value's little-endian 8-byte form for ints/longs/dates/timestamps and
+  * UTF-8 bytes for strings — the reference implements the identical hash
+  * (pg_lake_iceberg/src/utils/murmur.c); exactness matters because a
+  * mismatched bucket silently breaks pruning (SURVEY §7.4).
+  */
+object Murmur3 {
+  // Public murmur3_x86_32 algorithm (Austin Appleby, public domain).
+  def hash(data: Array[Byte], seed: Int = 0): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    val len = data.length
+    var h1 = seed
+    var i = 0
+    while (i + 4 <= len) {
+      var k1 = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+      h1 = Integer.rotateLeft(h1, 13)
+      h1 = h1 * 5 + 0xe6546b64
+      i += 4
+    }
+    var k1 = 0
+    (len & 3) match {
+      case 3 =>
+        k1 ^= (data(i + 2) & 0xff) << 16
+        k1 ^= (data(i + 1) & 0xff) << 8
+        k1 ^= data(i) & 0xff
+      case 2 =>
+        k1 ^= (data(i + 1) & 0xff) << 8
+        k1 ^= data(i) & 0xff
+      case 1 =>
+        k1 ^= data(i) & 0xff
+      case _ =>
+    }
+    if ((len & 3) != 0) {
+      k1 *= c1
+      k1 = Integer.rotateLeft(k1, 15)
+      k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= len
+    h1 ^= (h1 >>> 16)
+    h1 *= 0x85ebca6b
+    h1 ^= (h1 >>> 13)
+    h1 *= 0xc2b2ae35
+    h1 ^= (h1 >>> 16)
+    h1
+  }
+
+  def hashLong(v: Long): Int = {
+    val b = new Array[Byte](8)
+    var x = v
+    var i = 0
+    while (i < 8) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+    hash(b)
+  }
+
+  def hashString(s: String): Int = hash(s.getBytes(StandardCharsets.UTF_8))
+}
+
+/** A partition transform applied to a source column. */
+sealed trait Transform {
+  def name: String
+  /** Apply to a raw value (Long micros for timestamps, String, or numeric). */
+  def apply(v: Any): Any
+}
+
+object Transform {
+  private val MicrosPerDay = 86400000000L
+
+  private def toLong(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case ts: java.sql.Timestamp =>
+      ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+    case other => throw new IllegalArgumentException(
+      s"no long form for $other (${other.getClass})")
+  }
+
+  /** Days since epoch → (year, month) using proleptic Gregorian UTC. */
+  private def epochDay(micros: Long): Long =
+    Math.floorDiv(micros, MicrosPerDay)
+
+  private def localDate(micros: Long): java.time.LocalDate =
+    java.time.LocalDate.ofEpochDay(epochDay(micros))
+
+  case object Identity extends Transform {
+    val name = "identity"
+    def apply(v: Any): Any = v
+  }
+
+  /** Years since epoch (Iceberg semantics: 1970 → 0). Input: micros. */
+  case object Year extends Transform {
+    val name = "year"
+    def apply(v: Any): Any = localDate(toLong(v)).getYear - 1970
+  }
+
+  /** Months since epoch. Input: micros. */
+  case object Month extends Transform {
+    val name = "month"
+    def apply(v: Any): Any = {
+      val d = localDate(toLong(v))
+      (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+    }
+  }
+
+  /** Days since epoch. Input: micros. */
+  case object Day extends Transform {
+    val name = "day"
+    def apply(v: Any): Any = epochDay(toLong(v))
+  }
+
+  /** Hours since epoch. Input: micros. */
+  case object Hour extends Transform {
+    val name = "hour"
+    def apply(v: Any): Any = Math.floorDiv(toLong(v), 3600000000L)
+  }
+
+  final case class Bucket(n: Int) extends Transform {
+    val name = s"bucket[$n]"
+    def apply(v: Any): Any = {
+      val h = v match {
+        case s: String => Murmur3.hashString(s)
+        case other => Murmur3.hashLong(toLong(other))
+      }
+      (h & Integer.MAX_VALUE) % n
+    }
+  }
+
+  final case class Truncate(w: Int) extends Transform {
+    val name = s"truncate[$w]"
+    def apply(v: Any): Any = v match {
+      case s: String => s.substring(0, math.min(w, s.length))
+      case other =>
+        val l = toLong(other)
+        l - Math.floorMod(l, w.toLong)
+    }
+  }
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncRe = """truncate\[(\d+)\]""".r
+
+  def parse(s: String): Transform = s match {
+    case "identity" => Identity
+    case "year" => Year
+    case "month" => Month
+    case "day" => Day
+    case "hour" => Hour
+    case BucketRe(n) => Bucket(n.toInt)
+    case TruncRe(w) => Truncate(w.toInt)
+    case other => throw new IllegalArgumentException(s"unknown transform $other")
+  }
+}
+
+/** One field of a partition spec: `transform(sourceColumn)`. */
+final case class PartitionField(column: String, transform: String) {
+  @transient lazy val fn: Transform = Transform.parse(transform)
+  /** Name of the derived partition column in metadata/paths. */
+  def partName: String = transform match {
+    case "identity" => column
+    case t => s"${column}_${t.replaceAll("""[\[\]]""", "_")}"
+  }
+}

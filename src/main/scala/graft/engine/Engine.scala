@@ -1,0 +1,437 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** Engine facade: DDL + DML + maintenance over lake tables — the
+  * Spark-native replacement for the reference's FDW write path and DDL
+  * hooks (pg_lake_table/src/fdw/writable_table.c and src/ddl/).
+  *
+  * All operations are snapshot-commits: write new immutable parquet files
+  * (executor-parallel), then swap the metadata pointer (driver, atomic
+  * rename). Update/delete are copy-on-write per file, with the
+  * metadata-only full-match DELETE fast path
+  * (engineering-notes/writes.md:39-55; SKIP_FULL_MATCH_FILES,
+  * transform_query_to_duckdb.c:74-82).
+  */
+object Engine {
+
+  private val commitLock = new Object
+
+  // ---------------------------------------------------------------- DDL
+
+  def create(spark: SparkSession, dir: String, schemaDdl: String,
+      spec: List[PartitionField] = Nil,
+      props: Map[String, String] = Map.empty): LakeTable = {
+    require(!LakeTable.exists(dir), s"table already exists at $dir")
+    val schema = StructType.fromDDL(schemaDdl) // validate
+    val fieldIds = schema.fields.zipWithIndex
+      .map { case (f, i) => FieldId(f.name, i + 1) }.toList
+    val snap = Snapshot(1L, System.currentTimeMillis(), "create", Nil,
+      Map("addedFiles" -> "0"))
+    MetadataIO.commitMetadata(dir, TableMetadata(1, schemaDdl, fieldIds,
+      spec, List(snap), 1L, props))
+    LakeTable.load(spark, dir)
+  }
+
+  /** CTAS: schema from the dataframe, then insert. */
+  def ctas(spark: SparkSession, dir: String, df: DataFrame,
+      spec: List[PartitionField] = Nil): LakeTable = {
+    val tbl = create(spark, dir, df.schema.toDDL, spec)
+    insert(tbl, df)
+    tbl
+  }
+
+  /** `definition_from`/`load_from` (describe.c:61-167): infer schema from
+    * an existing parquet file/dir and load it. */
+  def importTable(spark: SparkSession, dir: String, sourcePath: String,
+      spec: List[PartitionField] = Nil): LakeTable =
+    ctas(spark, dir, spark.read.parquet(sourcePath), spec)
+
+  // ---------------------------------------------------------------- write
+
+  /** Spark-side expression computing a transform, kept exactly in sync
+    * with Transform.apply (UTC session). */
+  private def transformExpr(pf: PartitionField, dt: DataType): Column = {
+    val c = col(pf.column)
+    pf.fn match {
+      case Transform.Identity => c
+      case Transform.Year => year(c) - 1970
+      case Transform.Month => (year(c) - 1970) * 12 + month(c) - 1
+      case Transform.Day =>
+        expr(s"(unix_micros(${pf.column}) - pmod(unix_micros(${pf.column}), " +
+          s"86400000000)) div 86400000000")
+      case Transform.Hour =>
+        expr(s"(unix_micros(${pf.column}) - pmod(unix_micros(${pf.column}), " +
+          s"3600000000)) div 3600000000")
+      case Transform.Bucket(n) => dt match {
+        case StringType =>
+          val u = udf((s: String) =>
+            if (s == null) null
+            else Int.box((Murmur3.hashString(s) & Int.MaxValue) % n))
+          u(c)
+        case TimestampType | TimestampNTZType =>
+          val u = udf((l: java.lang.Long) =>
+            if (l == null) null
+            else Int.box((Murmur3.hashLong(l) & Int.MaxValue) % n))
+          u(expr(s"unix_micros(${pf.column})"))
+        case _ =>
+          val u = udf((l: java.lang.Long) =>
+            if (l == null) null
+            else Int.box((Murmur3.hashLong(l) & Int.MaxValue) % n))
+          u(c.cast("long"))
+      }
+      case Transform.Truncate(w) => dt match {
+        case StringType => substring(c, 1, w)
+        case _ => (c.cast("long") - pmod(c.cast("long"), lit(w.toLong)))
+      }
+    }
+  }
+
+  /** Write df as new data files honoring the partition spec; returns the
+    * DataFile entries (stats read from parquet footers, as
+    * data_file_stats.c does). Does not commit. */
+  private def writeFiles(tbl: LakeTable, df: DataFrame): List[DataFile] = {
+    val spark = tbl.spark
+    val meta = tbl.meta
+    val schema = tbl.schema
+    val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
+    val dataDir = MetadataIO.dataDir(tbl.dir)
+    Files.createDirectories(dataDir)
+    // keep commit-time stats exact: micros timestamps (not INT96)
+    val writer0 = df.selectExpr(schema.fieldNames.map(n => s"`$n`"): _*)
+    val spec = meta.partitionSpec
+    if (spec.isEmpty) {
+      writer0.write
+        .option("compression", "snappy")
+        .parquet(staging.toString)
+    } else {
+      val partCols = spec.map(pf => s"_p_${pf.partName}")
+      val withParts = spec.zip(partCols).foldLeft(writer0) {
+        case (d, (pf, pc)) =>
+          d.withColumn(pc, transformExpr(pf,
+            schema(pf.column).dataType).cast("string"))
+      }
+      withParts
+        .repartition(partCols.map(col): _*)
+        .write
+        .option("compression", "snappy")
+        .partitionBy(partCols: _*)
+        .parquet(staging.toString)
+    }
+    // move part files into data/, harvesting partition values from paths
+    val moved = scala.collection.mutable.ListBuffer[DataFile]()
+    val stream = Files.walk(staging)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val rel = staging.relativize(p)
+          val partition = rel.iterator().asScala.map(_.toString)
+            .filter(_.contains("=")).map { seg =>
+              val Array(k, v) = seg.split("=", 2)
+              k.stripPrefix("_p_") ->
+                java.net.URLDecoder.decode(v, "UTF-8")
+            }.toMap
+          val dest = dataDir.resolve(s"${UUID.randomUUID()}.parquet")
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          val footer = ParquetStats.read(dest.toString)
+          moved += DataFile(dest.toString, footer.rowCount, footer.sizeBytes,
+            partition, footer.stats)
+        }
+    } finally stream.close()
+    deleteRecursively(staging)
+    moved.toList
+  }
+
+  /** Optimistic snapshot commit: new manifests + metadata pointer swap. */
+  private def commitSnapshot(tbl: LakeTable, operation: String,
+      keep: List[DataFile], add: List[DataFile], removedCount: Int): Unit =
+    commitLock.synchronized {
+      val meta = tbl.meta
+      val manifests = scala.collection.mutable.ListBuffer[String]()
+      // manifest reuse: if nothing was removed, keep prior manifests as-is
+      val prior = meta.currentSnapshot.map(_.manifests).getOrElse(Nil)
+      val priorFiles = meta.currentSnapshot
+        .map(MetadataIO.liveFiles(tbl.dir, _)).getOrElse(Nil)
+      if (removedCount == 0 && keep.map(_.path).toSet ==
+          priorFiles.map(_.path).toSet) {
+        manifests ++= prior
+      } else if (keep.nonEmpty) {
+        manifests += MetadataIO.writeManifest(tbl.dir, keep)
+      }
+      if (add.nonEmpty)
+        manifests += MetadataIO.writeManifest(tbl.dir, add)
+      val snapId = meta.snapshots.map(_.id).max + 1
+      val snap = Snapshot(snapId, System.currentTimeMillis(), operation,
+        manifests.toList, Map(
+          "addedFiles" -> add.size.toString,
+          "removedFiles" -> removedCount.toString,
+          "addedRows" -> add.map(_.rowCount).sum.toString))
+      MetadataIO.commitMetadata(tbl.dir,
+        meta.copy(snapshots = meta.snapshots :+ snap, currentSnapshotId = snapId))
+    }
+
+  def insert(tbl: LakeTable, df: DataFrame): Unit = {
+    val added = writeFiles(tbl, df)
+    commitSnapshot(tbl, "append", tbl.liveFiles, added, 0)
+  }
+
+  /** INSERT ... SELECT pushdown analogue (planner/insert_select.c:48-244):
+    * the select runs fully in Spark and lands as new files. */
+  def insertSelect(tbl: LakeTable, sql: String): Unit =
+    insert(tbl, tbl.spark.sql(sql))
+
+  def truncate(tbl: LakeTable): Unit =
+    commitSnapshot(tbl, "truncate", Nil, Nil, tbl.liveFiles.size)
+
+  // ---------------------------------------------------------------- DML
+
+  private def normPath(p: String): String =
+    p.stripPrefix("file://").stripPrefix("file:")
+
+  final case class DmlResult(rewrittenFiles: Int, droppedFiles: Int,
+      untouchedFiles: Int, matchedRows: Long)
+
+  /** Which candidate files actually contain matching rows (distributed
+    * count, one pass). */
+  private def filesWithMatches(tbl: LakeTable, candidates: List[DataFile],
+      pred: Column): Map[String, Long] = {
+    if (candidates.isEmpty) return Map.empty
+    val df = tbl.spark.read.schema(tbl.schema)
+      .parquet(candidates.map(_.path): _*)
+      .withColumn("_file", input_file_name())
+      .filter(pred)
+      .groupBy("_file").agg(count(lit(1)).as("n"))
+    df.collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+  }
+
+  /** COW DELETE: metadata-only drop for provably-full-match files, file
+    * rewrite (anti-filter) for partially matching ones. */
+  def delete(tbl: LakeTable, pred: Column): DmlResult = {
+    val files = tbl.liveFiles
+    val (mustRead, _, fullMatch) = Pruning.partitionFiles(
+      Some(GraftBridge.resolvePredicate(tbl.spark, tbl.schema, pred)),
+      tbl.schema, tbl.meta.partitionSpec, files)
+    val fullPaths = fullMatch.map(_.path).toSet
+    val candidates = mustRead.filterNot(f => fullPaths.contains(f.path))
+    val matches = filesWithMatches(tbl, candidates, pred)
+    val rewrite = candidates.filter(f => matches.contains(normPath(f.path)))
+    val untouched = files.filterNot(f =>
+      fullPaths.contains(f.path) ||
+      matches.contains(normPath(f.path)))
+    val newFiles =
+      if (rewrite.isEmpty) Nil
+      else rewriteGroups(tbl, rewrite, df => df.filter(!pred))
+    commitSnapshot(tbl, "delete", untouched, newFiles,
+      fullMatch.size + rewrite.size)
+    DmlResult(rewrite.size, fullMatch.size, untouched.size,
+      fullMatch.map(_.rowCount).sum + matches.values.sum)
+  }
+
+  /** COW UPDATE: rewrite matched files as (unmatched rows) ∪ (matched rows
+    * with assignments applied) — writes.md:15-37 without the reinsert
+    * round-trip. */
+  def update(tbl: LakeTable, pred: Column,
+      assignments: Map[String, Column]): DmlResult = {
+    val files = tbl.liveFiles
+    val (mustRead, _, _) = Pruning.partitionFiles(
+      Some(GraftBridge.resolvePredicate(tbl.spark, tbl.schema, pred)),
+      tbl.schema, tbl.meta.partitionSpec, files)
+    val matches = filesWithMatches(tbl, mustRead, pred)
+    val rewrite = mustRead.filter(f => matches.contains(normPath(f.path)))
+    val untouched = files.filterNot(f => matches.contains(normPath(f.path)))
+    val cols = tbl.schema.fieldNames
+    def applyUpd(df: DataFrame): DataFrame = {
+      val updated = cols.map { c =>
+        assignments.get(c) match {
+          case Some(v) => when(pred, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }
+      df.select(updated: _*)
+    }
+    val newFiles =
+      if (rewrite.isEmpty) Nil else rewriteGroups(tbl, rewrite, applyUpd)
+    commitSnapshot(tbl, "update", untouched, newFiles, rewrite.size)
+    DmlResult(rewrite.size, 0, untouched.size, matches.values.sum)
+  }
+
+  /** Rewrite a set of files partition-group by partition-group so the new
+    * files carry the right partition values. */
+  private def rewriteGroups(tbl: LakeTable, files: List[DataFile],
+      f: DataFrame => DataFrame): List[DataFile] = {
+    files.groupBy(_.partition).toList.flatMap { case (partition, group) =>
+      val df = tbl.spark.read.schema(tbl.schema)
+        .parquet(group.map(_.path): _*)
+      writeRaw(tbl, f(df), partition)
+    }
+  }
+
+  /** Write a dataframe as plain files tagged with fixed partition values
+    * (used by rewrites, where partition membership is already decided). */
+  private def writeRaw(tbl: LakeTable, df: DataFrame,
+      partition: Map[String, String]): List[DataFile] = {
+    val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
+    val dataDir = MetadataIO.dataDir(tbl.dir)
+    Files.createDirectories(dataDir)
+    df.write.option("compression", "snappy").parquet(staging.toString)
+    val moved = scala.collection.mutable.ListBuffer[DataFile]()
+    val stream = Files.walk(staging)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val dest = dataDir.resolve(s"${UUID.randomUUID()}.parquet")
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          val footer = ParquetStats.read(dest.toString)
+          if (footer.rowCount > 0)
+            moved += DataFile(dest.toString, footer.rowCount,
+              footer.sizeBytes, partition, footer.stats)
+          else Files.delete(dest)
+        }
+    } finally stream.close()
+    deleteRecursively(staging)
+    moved.toList
+  }
+
+  // ---------------------------------------------------------- maintenance
+
+  /** Small-file compaction per partition, bounded rounds per call like the
+    * reference's MaxCompactionsPerVacuum (ddl/vacuum.c:70-71). */
+  def compact(tbl: LakeTable, targetBytes: Long = 128L * 1024 * 1024,
+      maxRounds: Int = 100): Int = {
+    var rounds = 0
+    val files = tbl.liveFiles
+    val groups = files.groupBy(_.partition).toList
+    var keep = scala.collection.mutable.ListBuffer[DataFile]()
+    var added = scala.collection.mutable.ListBuffer[DataFile]()
+    var removed = 0
+    for ((partition, group) <- groups) {
+      val small = group.filter(_.sizeBytes < targetBytes / 2)
+      if (small.size >= 2 && rounds < maxRounds) {
+        rounds += 1
+        val nOut = math.max(1,
+          math.ceil(small.map(_.sizeBytes).sum.toDouble / targetBytes).toInt)
+        val df = tbl.spark.read.schema(tbl.schema)
+          .parquet(small.map(_.path): _*)
+          .coalesce(nOut)
+        added ++= writeRaw(tbl, df, partition)
+        removed += small.size
+        keep ++= group.filterNot(f => small.exists(_.path == f.path))
+      } else keep ++= group
+    }
+    if (rounds > 0)
+      commitSnapshot(tbl, "compact", keep.toList, added.toList, removed)
+    rounds
+  }
+
+  /** Snapshot expiry + orphan-file GC (api/table_metadata.c:270-275;
+    * cleanup/deletion_queue.c). */
+  def expireSnapshots(tbl: LakeTable, keepLast: Int = 1): Int = {
+    val meta = tbl.meta
+    val keep = meta.snapshots.sortBy(_.id).takeRight(math.max(1, keepLast))
+    val dropped = meta.snapshots.size - keep.size
+    if (dropped > 0) {
+      MetadataIO.commitMetadata(tbl.dir, meta.copy(snapshots = keep))
+      // GC: data files + manifests no longer referenced by any kept snapshot
+      val referenced = keep.flatMap(s =>
+        MetadataIO.liveFiles(tbl.dir, s)).map(f => normPath(f.path)).toSet
+      val dataDir = MetadataIO.dataDir(tbl.dir)
+      if (Files.exists(dataDir)) {
+        val stream = Files.list(dataDir)
+        try stream.iterator().asScala.foreach { p =>
+          if (!referenced.contains(normPath(p.toString))) Files.delete(p)
+        } finally stream.close()
+      }
+      val refManifests = keep.flatMap(_.manifests).toSet
+      val mdir = MetadataIO.metaDir(tbl.dir)
+      val ms = Files.list(mdir)
+      try ms.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("manifest-") && !refManifests.contains(n))
+          Files.delete(p)
+      } finally ms.close()
+    }
+    dropped
+  }
+
+  // ---------------------------------------------------------------- COPY
+
+  /** COPY (query) TO 'path' WITH (format, compression) —
+    * pg_lake_copy/src/copy/copy.c:274-382. `singleFile` mirrors the
+    * reference's one-object output. */
+  def copyTo(df: DataFrame, path: String, format: String = "parquet",
+      compression: String = "snappy", singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    val w = out.write.mode("overwrite").option("compression", compression)
+    format.toLowerCase match {
+      case "parquet" => w.parquet(path)
+      case "csv" => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case other => throw new IllegalArgumentException(s"format $other")
+    }
+  }
+
+  /** COPY FROM with schema inference (read_data.c:222-453). */
+  def copyFrom(spark: SparkSession, path: String, format: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    format.toLowerCase match {
+      case "parquet" => spark.read.options(options).parquet(path)
+      case "csv" =>
+        val opts = if (options.contains("sep")) options
+          else options ++ CsvSniffer.sniff(spark, path)
+        spark.read.options(opts)
+          .option("inferSchema", "true").csv(path)
+      case "json" => spark.read.options(options).json(path)
+      case "text" => spark.read.options(options).text(path)
+      case other => throw new IllegalArgumentException(s"format $other")
+    }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally stream.close()
+    }
+  }
+}
+
+/** CSV dialect sniffing — the reference's `sniff_csv()`
+  * (pg_lake_engine/src/pgduck/sniff_csv.c:35): sample the head of the
+  * file, score candidate delimiters by column-count consistency, detect a
+  * header row by type mismatch between row 1 and row 2. */
+object CsvSniffer {
+  val candidates = Seq(',', ';', '\t', '|')
+
+  def sniff(spark: SparkSession, path: String): Map[String, String] = {
+    val lines = spark.read.text(path).limit(50).collect()
+      .map(_.getString(0)).filter(_.nonEmpty)
+    if (lines.isEmpty) return Map("header" -> "false", "sep" -> ",")
+    val best = candidates.maxBy { d =>
+      val counts = lines.map(_.count(_ == d))
+      if (counts.head == 0) -1
+      else if (counts.distinct.length == 1) 1000 + counts.head
+      else counts.min
+    }
+    val header = lines.headOption.exists { h =>
+      val fields = h.split(java.util.regex.Pattern.quote(best.toString), -1)
+      fields.nonEmpty && fields.forall(f =>
+        f.nonEmpty && scala.util.Try(f.toDouble).isFailure)
+    } && lines.drop(1).headOption.exists { r =>
+      r.split(java.util.regex.Pattern.quote(best.toString), -1)
+        .exists(f => scala.util.Try(f.toDouble).isSuccess)
+    }
+    Map("sep" -> best.toString, "header" -> header.toString)
+  }
+}

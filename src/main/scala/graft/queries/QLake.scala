@@ -1,0 +1,141 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.PartitionField
+import graft.engine.Engine
+import Q._
+
+/** Lakehouse DML surface exercised through the differential gate: each
+  * query builds a lake table from the fixture, applies transactional
+  * operations (INSERT / COW DELETE / COW UPDATE / compaction / snapshot
+  * time travel / hidden-partition pruned scan), then returns an aggregate
+  * whose oracle is plain SQL over the fixture — so the oracle checks that
+  * the table format's write/rewrite/commit machinery preserves exactly the
+  * right rows (the reference tests the same way:
+  * test_writable_table_{insert,update,delete,vacuum}.py).
+  */
+object QLake {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"qlake_$name").toString + "/t"
+
+  val queries: Map[String, QueryFn] = Map(
+    // INSERT append: two commits, second a filtered re-insert
+    "q_lake_insert" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("ins"), li)
+      Engine.insert(tbl, li.filter(col("l_returnflag") === "R"))
+      tbl.toDF.groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // COW DELETE over a month-partitioned table (metadata-only drops for
+    // whole partitions + rewrite for the boundary files)
+    "q_lake_delete" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("del"), li,
+        spec = List(PartitionField("l_shipdate", "month")))
+      Engine.delete(tbl, col("l_shipdate") < lit("1997-02-15").cast("timestamp"))
+      tbl.toDF.groupBy(year(col("l_shipdate")).as("y"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("y")
+    },
+
+    // COW UPDATE: assignment applied only to matching rows
+    "q_lake_update" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("upd"), li)
+      Engine.update(tbl, col("l_returnflag") === "R",
+        Map("l_tax" -> (col("l_tax") + 0.01),
+            "l_linestatus" -> lit("U")))
+      tbl.toDF.groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_tax"), 4).as("sum_tax"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // compaction: many small commits merged; data must be unchanged
+    "q_lake_compact" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.create(s, tmp("cmp"), li.schema.toDDL)
+      for (i <- 0 until 4)
+        Engine.insert(tbl, li.filter(col("l_orderkey") % 4 === i))
+      Engine.compact(tbl)
+      Engine.expireSnapshots(tbl, keepLast = 1)
+      tbl.toDF.groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_linestatus")
+    },
+
+    // snapshot isolation: read the pre-delete snapshot after a delete
+    "q_lake_timetravel" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("tt"), li)
+      val preDelete = tbl.meta.currentSnapshotId
+      Engine.delete(tbl, col("l_quantity") > 10)
+      tbl.asOf(preDelete).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // pruned scan: result must equal a plain filtered aggregate even
+    // though most files were never opened
+    "q_lake_prune_scan" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val tbl = Engine.ctas(s, tmp("prn"), o,
+        spec = List(PartitionField("o_orderdate", "year")))
+      val (df, stats) = tbl.scan(
+        col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      require(stats.skipped > 0, s"expected pruning, got $stats")
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q_lake_insert" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM (SELECT * FROM lineitem
+        |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_lake_delete" ->
+      """SELECT CAST(extract(year FROM l_shipdate) AS INT) AS y,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |WHERE NOT (l_shipdate < TIMESTAMP '1997-02-15')
+        |GROUP BY 1 ORDER BY y""".stripMargin,
+
+    "q_lake_update" ->
+      """SELECT l_returnflag,
+        |  CASE WHEN l_returnflag = 'R' THEN 'U' ELSE l_linestatus END
+        |    AS l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_tax + 0.01
+        |                 ELSE l_tax END), 4) AS sum_tax,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_lake_compact" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_lake_timetravel" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_lake_prune_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

@@ -1,0 +1,28 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
+
+/** Bridge into the package-private Column <-> Catalyst Expression
+  * converters (Spark 4 moved Column to a connect-agnostic ColumnNode
+  * representation; the classic converters are private[sql]). */
+object GraftBridge {
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Resolve a predicate Column against a schema via the analyzer,
+    * yielding a typed, coercion-applied Catalyst tree (e.g.
+    * `LessThan(AttributeReference, Cast(Literal))`) that file-pruning can
+    * pattern-match — the same shape the reference's planner hands to
+    * PruneDataFiles. */
+  def resolvePredicate(spark: SparkSession, schema: StructType,
+      pred: Column): Expression = {
+    val df = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema)
+    df.filter(pred).queryExecution.analyzed.collectFirst {
+      case f: logical.Filter => f.condition
+    }.getOrElse(expression(pred))
+  }
+}

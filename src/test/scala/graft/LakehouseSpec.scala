@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core._
+import graft.engine.{CsvSniffer, Engine}
+
+class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(): String =
+    Files.createTempDirectory("laketest").toString + "/t"
+
+  override def afterAll(): Unit = spark.stop()
+
+  // --- murmur3 / transforms: Iceberg-spec test vectors --------------------
+
+  test("murmur3 bucket hash matches Iceberg spec vectors") {
+    assert(Murmur3.hashLong(34L) == 2017239379)
+    assert(Murmur3.hashString("iceberg") == 1210000089)
+    // timestamp 2017-11-16T22:31:08 = 1510871468000000 micros
+    assert(Murmur3.hashLong(1510871468000000L) == -2047944441)
+    // date 2017-11-16 = 17486 days
+    assert(Murmur3.hashLong(17486L) == -653330422)
+  }
+
+  test("time transforms") {
+    val micros = 1510871468000000L // 2017-11-16T22:31:08
+    assert(Transform.Year(micros) == 47)
+    assert(Transform.Month(micros) == 574)
+    assert(Transform.Day(micros) == 17486L)
+    assert(Transform.Hour(micros) == 419686L)
+    assert(Transform.Truncate(10)(97L) == 90L)
+    assert(Transform.Truncate(3)("iceberg") == "ice")
+    assert(Transform.Bucket(16)(34L) == 2017239379 % 16)
+  }
+
+  // --- table lifecycle ----------------------------------------------------
+
+  test("create/insert/read round-trip with stats") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.ctas(spark, dir, li)
+    assert(tbl.toDF.count() == li.count())
+    val files = tbl.liveFiles
+    assert(files.nonEmpty)
+    assert(files.map(_.rowCount).sum == li.count())
+    // footer stats present for a numeric column
+    val st = files.head.stats("l_quantity")
+    assert(st.min.isDefined && st.max.isDefined)
+  }
+
+  test("file pruning skips files by min/max stats") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.create(spark, dir, li.schema.toDDL)
+    // 4 inserts with disjoint l_orderkey ranges -> 4 files with tight stats
+    val keys = li.select(max("l_orderkey")).head().getLong(0)
+    val q = keys / 4
+    for (i <- 0 until 4)
+      Engine.insert(tbl, li.filter(col("l_orderkey") >= i * q &&
+        (col("l_orderkey") < (i + 1) * q || lit(i == 3))))
+    assert(tbl.liveFiles.size >= 4)
+    val (df, stats) = tbl.scan(col("l_orderkey") < q / 2)
+    assert(stats.skipped >= 2, s"expected >=2 skipped, got $stats")
+    val expected = li.filter(col("l_orderkey") < q / 2).count()
+    assert(df.count() == expected)
+  }
+
+  test("hidden partitioning: month transform write + prune") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.ctas(spark, dir, li,
+      spec = List(PartitionField("l_shipdate", "month")))
+    val files = tbl.liveFiles
+    assert(files.forall(_.partition.contains("l_shipdate_month")))
+    // query one month: everything outside is pruned without reading data
+    val (df, stats) = tbl.scan(
+      col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    assert(stats.skipped > 0)
+    assert(stats.scanned <= 2)
+    val expected = li.filter(
+      col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1996-04-01").cast("timestamp")).count()
+    assert(df.count() == expected)
+  }
+
+  test("bucket partitioning prunes on equality only") {
+    val dir = tmp()
+    val c = Tables.load(spark, sf, "customer")
+    val tbl = Engine.ctas(spark, dir, c,
+      spec = List(PartitionField("c_custkey", "bucket[8]")))
+    val total = tbl.liveFiles.size
+    val (df, stats) = tbl.scan(col("c_custkey") === 42L)
+    assert(stats.scanned < total, s"bucket pruning failed: $stats")
+    assert(df.count() == c.filter(col("c_custkey") === 42L).count())
+    // range predicate: bucket cannot prune
+    val (_, stats2) = tbl.scan(col("c_custkey") < 100L)
+    assert(stats2.skipped == 0)
+  }
+
+  test("COW delete with metadata-only full-match fast path") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.ctas(spark, dir, li,
+      spec = List(PartitionField("l_shipdate", "year")))
+    val before = li.count()
+    val cut = lit("1997-01-01").cast("timestamp")
+    val nDel = li.filter(col("l_shipdate") < cut).count()
+    val res = Engine.delete(tbl, col("l_shipdate") < cut)
+    // whole-year partitions before 1997 should drop without a rewrite
+    assert(res.droppedFiles > 0, s"no metadata-only drops: $res")
+    assert(res.matchedRows == nDel)
+    assert(tbl.toDF.count() == before - nDel)
+    // snapshot history intact: time travel sees the old rows
+    val firstSnap = tbl.meta.snapshots.sortBy(_.id).apply(1) // after insert
+    assert(tbl.asOf(firstSnap.id).count() == before)
+  }
+
+  test("COW update rewrites only matching files") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.create(spark, dir, li.schema.toDDL)
+    val mx = li.select(max("l_orderkey")).head().getLong(0)
+    Engine.insert(tbl, li.filter(col("l_orderkey") <= mx / 2))
+    Engine.insert(tbl, li.filter(col("l_orderkey") > mx / 2))
+    val res = Engine.update(tbl, col("l_orderkey") <= 100L,
+      Map("l_discount" -> lit(0.5), "l_returnflag" -> lit("X")))
+    assert(res.untouchedFiles >= 1, s"update touched everything: $res")
+    val updated = tbl.toDF.filter(col("l_returnflag") === "X")
+    assert(updated.count() ==
+      li.filter(col("l_orderkey") <= 100L).count())
+    assert(updated.select(min("l_discount"), max("l_discount")).head()
+      .toSeq == Seq(0.5, 0.5))
+    assert(tbl.toDF.count() == li.count())
+  }
+
+  test("compaction merges small files and preserves data") {
+    val dir = tmp()
+    val n = Tables.load(spark, sf, "nation")
+    val tbl = Engine.create(spark, dir, n.schema.toDDL)
+    for (i <- 0 until 5)
+      Engine.insert(tbl, n.filter(col("n_nationkey") % 5 === i))
+    val before = tbl.liveFiles.size
+    val rounds = Engine.compact(tbl, targetBytes = 10L * 1024 * 1024)
+    assert(rounds > 0)
+    assert(tbl.liveFiles.size < before)
+    assert(tbl.toDF.count() == n.count())
+    // expiry drops history + GCs orphans
+    val dropped = Engine.expireSnapshots(tbl, keepLast = 1)
+    assert(dropped > 0)
+    assert(tbl.toDF.count() == n.count())
+    val dataFiles = Files.list(MetadataIO.dataDir(tbl.dir)).count()
+    assert(dataFiles == tbl.liveFiles.size)
+  }
+
+  test("truncate is metadata-only and time-travelable") {
+    val dir = tmp()
+    val r = Tables.load(spark, sf, "region")
+    val tbl = Engine.ctas(spark, dir, r)
+    val preTruncate = tbl.meta.currentSnapshotId
+    Engine.truncate(tbl)
+    assert(tbl.toDF.count() == 0)
+    assert(tbl.asOf(preTruncate).count() == r.count())
+  }
+
+  test("csv sniffer detects delimiter and header") {
+    val d = Files.createTempDirectory("csv")
+    val f = d.resolve("x.csv")
+    Files.write(f, "name;qty;price\na;1;2.5\nb;2;3.5\n".getBytes)
+    val opts = CsvSniffer.sniff(spark, f.toString)
+    assert(opts("sep") == ";")
+    assert(opts("header") == "true")
+    val df = Engine.copyFrom(spark, f.toString, "csv")
+    assert(df.columns.toSeq == Seq("name", "qty", "price"))
+    assert(df.count() == 2)
+  }
+
+  test("copy to/from round-trips csv and json") {
+    val d = Files.createTempDirectory("copy")
+    val nation = Tables.load(spark, sf, "nation")
+    Engine.copyTo(nation, s"$d/n_csv", "csv", "gzip", singleFile = true)
+    val back = Engine.copyFrom(spark, s"$d/n_csv", "csv",
+      Map("header" -> "true"))
+    assert(back.count() == nation.count())
+    Engine.copyTo(nation, s"$d/n_json", "json", "gzip")
+    val backJ = Engine.copyFrom(spark, s"$d/n_json", "json")
+    assert(backJ.count() == nation.count())
+  }
+}
