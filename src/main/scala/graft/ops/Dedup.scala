@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale posture (100 TB): every stage is a column-expression map, an
+  * explode, or a key-partitioned shuffle — candidate generation is
+  * banded-LSH (shuffle on band hash, never an all-pairs product), and
+  * verification joins only the candidate pairs. Signature width/band
+  * counts are the standard recall/precision knobs.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact duplicate clusters keyed by content hash: one row per distinct
+    * content with the canonical (min) id and the duplicate count. */
+  def exactClusters(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Keep one row per distinct content (first by id). */
+  def dropExactDuplicates(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** Character-shingle set as distinct xxhash64 values (cheap shingle
+    * identity; collision probability negligible at 64 bits). */
+  def shingles(text: Column, k: Int = 5): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - k, lit(0))),
+      i => xxhash64(norm.substr(i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over the shingle set. Uses the (a*x+b mod p) family with the
+    * shingle hash folded to 32 bits and 20-bit coefficients so a*x+b stays
+    * under 2^53 — no 64-bit overflow under ANSI mode. All inside one
+    * `transform`/`aggregate` expression pair, fully codegen'd, no UDF. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+    val p = 4294967311L // smallest prime > 2^32
+    val seeds = deterministicSeeds(numHashes)
+    array(seeds.map { case (a, b) =>
+      aggregate(shingleCol, lit(Long.MaxValue), (acc, x) =>
+        least(acc, pmod(pmod(x, lit(1L << 32)) * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  private def deterministicSeeds(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)(((rnd.nextInt(1 << 20) | 1).toLong,
+      rnd.nextInt(1 << 20).toLong))
+  }
+
+  /** Near-duplicate pairs via banded MinHash-LSH:
+    * shingle → signature → band hashes → shuffle on (band, hash) →
+    * within-bucket pairs → exact-Jaccard verify (on the shingle sets) →
+    * keep pairs ≥ threshold. Returns (id_a, id_b, jaccard) with a < b. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
+        .as(Seq("band", "bhash")))
+    // candidate pairs: same (band, bucket); a < b de-dups within band,
+    // distinct de-dups across bands
+    val a = banded.select(col("band"), col("bhash"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bhash"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact pairwise Jaccard (for verification / small candidate sets). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5): DataFrame = {
+    val s = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"))
+    val a = s.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = s.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word tokens: per-bit weighted vote of token
+    * hashes. Expressed as 64 conditional sums over the exploded token
+    * relation — one shuffle on the document id. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[\\s\\p{Punct}]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val votes = toks.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("id"), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs among simhashes within `maxDist` bits, using 4-chunk
+    * banding (pigeonhole: ≤3 differing bits → some 16-bit chunk equal). */
+  def simhashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val chunked = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video ride as opaque BINARY
+  * columns with a typed metadata struct; per-batch decode/feature
+  * extraction runs as `mapPartitions` over the binary payloads (the Scala
+  * analogue of a vectorized pandas-UDF stage: one JVM-side batch loop,
+  * no per-row driver work, arbitrary native libs callable inside).
+  *
+  * The actual media decode is STUBBED (this container ships no image/
+  * audio codecs): `fakeDecode` derives deterministic pseudo-metadata from
+  * the bytes. Everything around it — schema, batching, partitioning,
+  * output shape — is the real plumbing a decode stage needs.
+  */
+object Multimodal {
+
+  /** Schema of the media metadata struct extracted per blob. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** STUB decode: deterministic pseudo-decode of a media blob.
+    * Replace with a real codec call (e.g. javax.imageio / ffmpeg JNI) —
+    * the surrounding plumbing is unchanged. */
+  def fakeDecode(bytes: Array[Byte]): Row = {
+    if (bytes == null) Row(0L, null, null, null, 0L)
+    else {
+      val checksum = bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+      val fmt = if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
+        bytes(1) == 0xD8.toByte) "jpeg"
+      else if (bytes.length >= 4 && bytes(0) == 0x89.toByte &&
+        bytes(1) == 'P'.toByte) "png"
+      else "bin"
+      // deterministic fake dimensions derived from content
+      val w = 64 + (math.abs(checksum) % 1024).toInt
+      val h = 64 + (math.abs(checksum >> 10) % 1024).toInt
+      Row(bytes.length.toLong, fmt, w, h, checksum)
+    }
+  }
+
+  /** Attach decoded metadata to a dataframe with a binary column.
+    * Partition-parallel batch loop; output schema = input + meta struct. */
+  def withMediaMeta(df: DataFrame, binCol: String,
+      metaCol: String = "media_meta"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(metaCol, mediaMetaSchema, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
+        Row.fromSeq(row.toSeq :+ fakeDecode(bytes))
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Fixed-size frame sampling out of a (stub-decoded) video blob:
+    * emits (frame_idx, frame_checksum) rows per input — the explode shape
+    * a real frame sampler produces. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String,
+      everyNth: Int = 10, maxFrames: Int = 8): DataFrame = {
+    val n = greatest(least(
+      (length(col(binCol)) / everyNth).cast("int"), lit(maxFrames)), lit(0))
+    df.select(col(idCol),
+        posexplode(sequence(lit(0), n, lit(1))).as(Seq("frame_idx", "off")))
+      .withColumn("frame_off", col("off") * everyNth)
+      .drop("off")
+  }
+
+  /** Feature extraction stub: fixed-width float vector per blob (here a
+    * content-derived pseudo-embedding; swap for a model call). */
+  def fakeEmbed(df: DataFrame, binCol: String, dim: Int = 8): DataFrame = {
+    val cols = (0 until dim).map(i =>
+      (pmod(xxhash64(col(binCol), lit(i)), lit(1000L)).cast("double") / 500.0
+        - 1.0).as(s"_e$i"))
+    df.withColumn("embedding", array(cols: _*))
+  }
+}

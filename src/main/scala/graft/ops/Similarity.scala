@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a single map + TakeOrdered, no
+  * shuffle of the corpus. Scale path: random-hyperplane LSH buckets the
+  * corpus once (shuffle on bucket key); queries probe only their bucket
+  * (plus multiprobe neighbors), turning 100 TB scans into per-bucket
+  * work. Recall versus brute force is measured in SimilaritySpec.
+  */
+object Similarity {
+
+  /** dot(a, b) as a codegen'd fold (no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) =>
+      acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Cosine of every row against one query vector (brute force). */
+  def cosineAll(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float]): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+  }
+
+  /** Brute-force top-k: Catalyst plans orderBy+limit as TakeOrdered
+    * (per-partition heap + driver merge — no full sort, no shuffle). */
+  def topK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    cosineAll(df, idCol, vecCol, query)
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+
+  /** Deterministic random hyperplanes (seeded), dim x nPlanes. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign(dot(v, plane_i)). */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    (0 until planes.length).map { i =>
+      val p = array(planes(i).map(lit): _*)
+      when(dot(vec, p) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Pre-bucket a corpus: adds a `bucket` column; persist/bucket-write by
+    * this key so queries touch one partition. */
+  def indexed(df: DataFrame, vecCol: String,
+      planes: Array[Array[Double]]): DataFrame =
+    df.withColumn("bucket", signBucket(col(vecCol), planes))
+
+  /** ANN top-k through the LSH index: probe the query's bucket and all
+    * buckets within `probeBits` Hamming distance (multiprobe), then exact
+    * cosine on the survivors only. */
+  def annTopK(indexedDf: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, planes: Array[Array[Double]],
+      probeBits: Int = 1): DataFrame = {
+    val qBucket = {
+      var b = 0L
+      for (i <- planes.indices) {
+        val d = planes(i).zip(query).map { case (p, v) => p * v }.sum
+        if (d >= 0) b |= (1L << i)
+      }
+      b
+    }
+    val probes: Seq[Long] =
+      if (probeBits <= 0) Seq(qBucket)
+      else qBucket +: planes.indices.map(i => qBucket ^ (1L << i))
+    val cand = indexedDf.filter(col("bucket").isin(probes: _*))
+    topK(cand, idCol, vecCol, query, k)
+  }
+
+  /** Bucket id of a literal query vector under one plane set. */
+  def bucketOf(query: Array[Float], planes: Array[Array[Double]]): Long = {
+    var b = 0L
+    for (i <- planes.indices) {
+      val d = planes(i).zip(query).map { case (p, v) => p * v }.sum
+      if (d >= 0) b |= (1L << i)
+    }
+    b
+  }
+
+  /** Independent plane sets for multi-table (OR-amplified) LSH. */
+  def hyperplaneTables(dim: Int, nPlanes: Int, nTables: Int,
+      seed: Long = 42L): Seq[Array[Array[Double]]] =
+    (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed + t * 7919))
+
+  /** ANN top-k with L independent tables + 1-bit multiprobe: a candidate
+    * survives if it matches the query bucket (or a 1-bit neighbor) in ANY
+    * table — the standard recall amplification; each table keeps its
+    * bucket count high so per-bucket work stays small at scale. */
+  def annTopKTables(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, tables: Seq[Array[Array[Double]]],
+      probeBits: Int = 1): DataFrame = {
+    val cond = tables.map { planes =>
+      val qb = bucketOf(query, planes)
+      val probes: Seq[Long] =
+        if (probeBits <= 0) Seq(qb)
+        else qb +: planes.indices.map(i => qb ^ (1L << i))
+      signBucket(col(vecCol), planes).isin(probes: _*)
+    }.reduce(_ || _)
+    topK(df.filter(cond), idCol, vecCol, query, k)
+  }
+
+  /** All near pairs above a cosine threshold via bucket-join (corpus
+    * self-join restricted to equal buckets — the scalable near-dup path
+    * for embedding-cosine dedup). */
+  def nearPairs(indexedDf: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = indexedDf.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val b = indexedDf.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All are pure
+  * column expressions or explode+broadcast-join plans — no driver-side
+  * loops, no UDF in the common path — so they scale to arbitrary document
+  * counts as embarrassingly parallel per-partition work.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword count: word pieces + punctuation as single tokens
+    * (regex analogue of byte-pair pre-tokenization). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+
+  /** Ratio helpers used by quality scoring. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double") /
+        length(text))
+
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(regexp_count(text, lit("[0-9]")).cast("double") / length(text))
+
+  def meanWordLen(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") /
+        tokenCount(text))
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation/digit
+    * noise, plausible word lengths — the usual pre-training heuristics. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 4)
+    val wl = meanWordLen(text)
+    val wordLenScore = when(wl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(lenScore * 0.4 + punctPenalty * 0.25 + digitPenalty * 0.15 +
+      wordLenScore * 0.2, 6)
+  }
+
+  /** Tiny per-language marker vocabularies for the n-gram/stopword
+    * language-ID heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "est", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  /** Language ID over a corpus: tokenize once, explode, broadcast-join the
+    * marker vocabulary, pivot-count hits, argmax. One shuffle (the
+    * groupBy on the document id); marker dim is broadcast. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markers = langMarkers.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (w, l)) }
+      .toDF("word", "marker_lang")
+    val toks = df.select(col(idCol),
+        explode(split(lower(col(textCol)), "[\\s\\p{Punct}]+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val hits = toks.join(broadcast(markers), Seq("word"))
+      .groupBy(idCol).pivot("marker_lang", langMarkers.keys.toSeq.sorted)
+      .count().na.fill(0L)
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.foldLeft((lit(-1L), lit("und"))) {
+      case ((bestCnt, bestLang), l) =>
+        (when(col(l) > bestCnt, col(l)).otherwise(bestCnt),
+         when(col(l) > bestCnt, lit(l)).otherwise(bestLang))
+    }
+    df.join(hits, Seq(idCol), "left")
+      .na.fill(0L, langs)
+      .withColumn("lang_pred", best._2)
+      .select(col(idCol), col("lang_pred"))
+  }
+
+  /** 64-bit FNV-1a rolling fingerprint of the normalized text — document
+    * identity robust to whitespace/case noise. Pure column expression
+    * stack (xxhash64 over the normalized form); for content-defined
+    * chunking use `shingleFingerprints`. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Per-document set of k-gram rolling fingerprints (winnowing-style):
+    * shingle the normalized text, hash each shingle. */
+  def shingleFingerprints(text: Column, k: Int = 8): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - k, lit(0))),
+      i => xxhash64(norm.substr(i + 1, lit(k)))))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import Q._
+
+/** Training-data-pipeline operators through the gate: exact/near dedup,
+  * text analysis, similarity search, multimodal plumbing. Oracle SQL is
+  * provided wherever DuckDB can express the identical computation;
+  * LSH/simhash/ANN are rows-only here and verified against exact
+  * baselines in PipelineSpec.
+  */
+object QPipe {
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactClusters(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+
+    "q_text_stats" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.digitRatio(col("text")), 6).as("digit_ratio"),
+          round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"))
+        .orderBy("doc_id")
+    },
+
+    "q_text_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")
+            .cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // language-ID heuristic: tokenize → broadcast-join marker vocab →
+    // argmax. Heuristic output (no SQL oracle); rows-only check.
+    "q_text_langid" -> { (s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // banded MinHash-LSH near-dup pairs; exactness vs jaccardPairs is
+    // covered in PipelineSpec — here the driver checks shape/stability.
+    "q_dedup_minhash" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    },
+
+    "q_dedup_simhash" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Dedup.simhash(d, "doc_id", "text").orderBy("id")
+    },
+
+    // brute-force cosine against one query vector — oracle recomputes via
+    // a positional unnest join (embeddings are row-wise comparable).
+    "q_sim_cosine" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val query = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.cosineAll(e, "vec_id", "embedding", query)
+        .orderBy("vec_id")
+    },
+
+    // ANN via sign-LSH buckets; recall vs brute force in PipelineSpec
+    "q_sim_ann_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val query = e.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val tables = Similarity.hyperplaneTables(query.length, 4, 4)
+      Similarity.annTopKTables(e, "vec_id", "embedding", query, 20, tables)
+    },
+
+    // multimodal plumbing: text bytes as a stand-in blob → mapPartitions
+    // decode stage → frame sampling; oracle checks the SQL-expressible
+    // outputs (byte length, stub format, frame count).
+    "q_multimodal_meta" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("blob", col("text").cast("binary"))
+      val withMeta = Multimodal.withMediaMeta(d, "blob")
+      val frames = Multimodal.sampleFrames(d, "doc_id", "blob")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      withMeta.select(col("doc_id"),
+          col("media_meta.byte_len").as("byte_len"),
+          col("media_meta.format").as("format"))
+        .join(frames, Seq("doc_id"))
+        .orderBy("doc_id")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  round(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+        |         / length(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0
+        |         / length(text) END, 6) AS digit_ratio,
+        |  round(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        |         / len(string_split_regex(trim(text), '\s+')) END, 6)
+        |    AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sim_cosine" ->
+      """WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings),
+        |     q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |             generate_subscripts(embedding, 1) AS pos
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT v.vec_id,
+        |  round(sum(v.x * q.x) /
+        |    (sqrt(sum(v.x * v.x)) * sqrt(sum(q.x * q.x))), 6) AS cosine
+        |FROM v JOIN q USING (pos)
+        |GROUP BY v.vec_id ORDER BY v.vec_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS byte_len,
+        |  'bin' AS format,
+        |  CAST(least(octet_length(text::BLOB) // 10, 8) + 1 AS BIGINT)
+        |    AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

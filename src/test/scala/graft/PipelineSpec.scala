@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  import scala.jdk.CollectionConverters._
+
+  /** Fixture corpus with planted near-duplicates: for each source doc,
+    * a mutated copy (a few words changed) with id+10000. */
+  lazy val planted = {
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+      .select("doc_id", "text")
+    val mutated = docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text",
+        concat(regexp_replace(col("text"), "data", "info"), lit(" extra")))
+    docs.unionAll(mutated)
+  }
+
+  test("exact dedup clusters duplicates, keeps one per content") {
+    val dup = Tables.load(spark, sf, "documents").limit(50)
+    val both = dup.unionAll(dup.withColumn("doc_id", col("doc_id") + 5000))
+    val clusters = Dedup.exactClusters(both, "doc_id", "text")
+    assert(clusters.count() == 50)
+    assert(clusters.agg(sum("n_copies")).head().getLong(0) == 100)
+    val kept = Dedup.dropExactDuplicates(both, "doc_id", "text")
+    assert(kept.count() == 50)
+    // canonical = min id (the originals)
+    assert(kept.filter(col("doc_id") >= 5000).count() == 0)
+  }
+
+  test("minhash-LSH finds planted near-dups with high recall vs exact jaccard") {
+    val truth = Dedup.jaccardPairs(planted, "doc_id", "text")
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.size >= 80, s"expected >=80 true near-dup pairs, got ${truth.size}")
+    val found = Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9")
+    // precision is 1.0 by construction (pairs are jaccard-verified)
+    assert(found.subsetOf(
+      Dedup.jaccardPairs(planted, "doc_id", "text")
+        .filter(col("jaccard") >= 0.6)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("simhash places mutated copies within small hamming distance") {
+    val sigs = Dedup.simhash(planted, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sigs, maxDist = 12)
+      .filter(col("id_b") === col("id_a") + 10000)
+    // most planted pairs should collide in some 16-bit band and sit close
+    assert(pairs.count() >= 60, s"only ${pairs.count()} planted pairs found")
+    val joined = sigs.as("a").join(sigs.as("b"),
+        col("b.id") === col("a.id") + 10000)
+      .select(Dedup.hamming(col("a.simhash"), col("b.simhash")).as("d"))
+    assert(joined.agg(avg("d")).head().getDouble(0) < 8.0)
+  }
+
+  test("ANN top-k recall vs brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val query = e.filter(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = Similarity.topK(e, "vec_id", "embedding", query, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val tables = Similarity.hyperplaneTables(query.length, 4, 4)
+    val ann = Similarity.annTopKTables(e, "vec_id", "embedding", query, 10,
+        tables)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall $recall < 0.5")
+    // and the candidate set must be a strict subset of the corpus
+    val cond = tables.map { planes =>
+      val qb = Similarity.bucketOf(query, planes)
+      Similarity.signBucket(col("embedding"), planes)
+        .isin((qb +: planes.indices.map(i => qb ^ (1L << i))): _*)
+    }.reduce(_ || _)
+    val scanned = e.filter(cond).count()
+    assert(scanned < e.count(), "ANN probed the whole corpus")
+  }
+
+  test("near-pair embedding dedup via bucket join") {
+    val e = Tables.load(spark, sf, "embeddings").limit(200)
+    // plant exact duplicates
+    val dup = e.withColumn("vec_id", col("vec_id") + 1000)
+    val planes = Similarity.hyperplanes(64, 8)
+    val idx = Similarity.indexed(e.unionAll(dup), "embedding", planes)
+    val pairs = Similarity.nearPairs(idx, "vec_id", "embedding", 0.999)
+    // every planted duplicate pair lands in the same bucket → found
+    assert(pairs.filter(col("id_b") === col("id_a") + 1000).count() == 200)
+  }
+
+  test("language id on a constructed multilingual corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat and the dog sat in a house that is red"),
+      (2L, "el perro y el gato en la casa que es un animal"),
+      (3L, "der Hund und die Katze ist von dem Haus mit ein Garten"),
+      (4L, "le chat et le chien est dans la maison les animaux"),
+      (5L, "我 的 猫 是 在 家 里 的 和 狗 不 一样")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("en", "es", "de", "fr", "zh"), s"got $got")
+  }
+
+  test("text metrics: deterministic and sane") {
+    val d = Tables.load(spark, sf, "documents")
+    val m = d.select(
+      TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.subwordCount(col("text")).as("sw"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val r = m.agg(min("q"), max("q"), countDistinct("fp"), sum("t"),
+      sum("sw")).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0)
+    assert(r.getLong(2) == d.count()) // all distinct texts → distinct fps
+    assert(r.getLong(4) >= r.getLong(3)) // subwords ≥ whitespace tokens
+  }
+
+  test("multimodal: stub decode plumbing and frame sampling") {
+    val d = Tables.load(spark, sf, "documents").limit(50)
+      .withColumn("blob", col("text").cast("binary"))
+    val meta = Multimodal.withMediaMeta(d, "blob")
+    assert(meta.schema.fieldNames.contains("media_meta"))
+    val r = meta.select("media_meta.byte_len", "media_meta.format").collect()
+    assert(r.forall(_.getLong(0) > 0))
+    assert(r.forall(_.getString(1) == "bin"))
+    // decode is deterministic
+    val c1 = meta.select("media_meta.checksum").collect().map(_.getLong(0))
+    val c2 = Multimodal.withMediaMeta(d, "blob")
+      .select("media_meta.checksum").collect().map(_.getLong(0))
+    assert(c1.sameElements(c2))
+    val frames = Multimodal.sampleFrames(d, "doc_id", "blob")
+    assert(frames.groupBy("doc_id").count()
+      .agg(max("count")).head().getLong(0) <= 9)
+    val emb = Multimodal.fakeEmbed(d, "blob")
+    assert(emb.select(size(col("embedding"))).head().getInt(0) == 8)
+  }
+}
