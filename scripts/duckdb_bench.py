@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""DuckDB baseline timings for the headline oracle queries.
+
+Usage: python3 scripts/duckdb_bench.py <sfDir> [reps]
+Runs each headline query's oracle SQL in DuckDB (threads=32) and prints
+a JSON line of per-query best-of-N seconds.
+"""
+import sys, json, time
+import duckdb
+
+HEADLINE = ["q1_agg", "q3_shipping", "q5_local_supplier",
+            "q6_forecast_revenue", "q10_returned_items", "q_join_inner",
+            "q_agg_stats", "q_rollup", "q_win_rank", "q_win_frame_rows",
+            "q_cte", "q_dedup_exact", "q_sim_cosine", "q_text_stats"]
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sfdir = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    oracle = json.load(open(sys.argv[3] if len(sys.argv) > 3
+                            else "/tmp/v9/oracle_sql.json"))
+    con = duckdb.connect()
+    con.sql("SET threads TO 32")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    out = {}
+    for q in HEADLINE:
+        if q not in oracle:
+            continue
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            con.sql(oracle[q]).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[q] = round(best, 3)
+    print(json.dumps({"engine": "duckdb", "sf": sfdir,
+                      "total": round(sum(out.values()), 3), "queries": out}))
+
+if __name__ == "__main__":
+    main()

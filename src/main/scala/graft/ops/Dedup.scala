@@ -34,12 +34,19 @@ object Dedup {
   // ----------------------------------------------------------- minhash
 
   /** Character-shingle set as distinct xxhash64 values (cheap shingle
-    * identity; collision probability negligible at 64 bits). */
+    * identity; collision probability negligible at 64 bits).
+    *
+    * The normalized text is bound ONCE per row as a lambda variable (outer
+    * single-element transform): expressions captured inside a
+    * higher-order-function lambda are re-evaluated per element, so
+    * referencing the regexp_replace directly would run it per shingle
+    * position (~100x slowdown measured). */
   def shingles(text: Column, k: Int = 5): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(norm) - k, lit(0))),
-      i => xxhash64(norm.substr(i + 1, lit(k)))))
+    element_at(transform(array(norm), n =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(length(n) - k, lit(0))),
+        i => xxhash64(n.substr(i + 1, lit(k)))))), 1)
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
@@ -50,10 +57,14 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
     val p = 4294967311L // smallest prime > 2^32
     val seeds = deterministicSeeds(numHashes)
-    array(seeds.map { case (a, b) =>
-      aggregate(shingleCol, lit(Long.MaxValue), (acc, x) =>
-        least(acc, pmod(pmod(x, lit(1L << 32)) * lit(a) + lit(b), lit(p))))
-    }: _*)
+    // fold the shingles to 32 bits ONCE (bound as a lambda variable), then
+    // run the 64 seeded min-folds over that bound array
+    element_at(transform(
+      array(transform(shingleCol, x => pmod(x, lit(1L << 32)))),
+      xs => array(seeds.map { case (a, b) =>
+        aggregate(xs, lit(Long.MaxValue), (acc, x) =>
+          least(acc, pmod(x * lit(a) + lit(b), lit(p))))
+      }: _*)), 1)
   }
 
   private def deterministicSeeds(n: Int): Seq[(Long, Long)] = {
@@ -71,25 +82,48 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sig.select(col("id"), col("sh"),
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh")).cache()
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .cache()
+    // materialize eagerly: the banding self-join and both verification
+    // joins branch off these relations, and racing branches would compute
+    // the signatures twice before the cache fills (measured 2x). At
+    // warehouse scale this is "checkpoint the signature table".
+    sig.count()
+    // band rows carry ONLY (band, bhash, id): the candidate-generation
+    // shuffle must never move the shingle payloads — at 100 TB the
+    // signatures are ~1000x smaller than the documents.
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
           slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
         .as(Seq("band", "bhash")))
-    // candidate pairs: same (band, bucket); a < b de-dups within band,
-    // distinct de-dups across bands
-    val a = banded.select(col("band"), col("bhash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bhash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard", round(
+    // two-stage verification: (1) cheap signature-agreement estimate of
+    // jaccard (64 longs per side) discards most false candidates, (2)
+    // exact jaccard on the full shingle sets only for survivors.
+    val sigOnly = sig.select(col("id"), col("sig"))
+    val est = cand
+      .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
+      .withColumn("est_j",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_j") >= threshold - 0.2)
+      .select("id_a", "id_b")
+    est
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jaccard") >= threshold)

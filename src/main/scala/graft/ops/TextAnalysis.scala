@@ -96,8 +96,10 @@ object TextAnalysis {
     * shingle the normalized text, hash each shingle. */
   def shingleFingerprints(text: Column, k: Int = 8): Column = {
     val norm = regexp_replace(lower(text), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(norm) - k, lit(0))),
-      i => xxhash64(norm.substr(i + 1, lit(k)))))
+    // bind norm once per row (see Dedup.shingles for why)
+    element_at(transform(array(norm), n =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(length(n) - k, lit(0))),
+        i => xxhash64(n.substr(i + 1, lit(k)))))), 1)
   }
 }

@@ -47,7 +47,7 @@ object QPipe {
     // covered in PipelineSpec — here the driver checks shape/stability.
     "q_dedup_minhash" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.2)
+      Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-hygiene assertions: the properties that keep these operators
+  * viable at 1000-executor / 100 TB scale, checked on the actual physical
+  * plans. A correct-but-unscalable plan (unpushed filter, shuffled dim
+  * join, quadratic candidate product) fails here even though results
+  * match the oracle.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  /** Count physical nodes by their "(N) Name" detail headers (the tree
+    * section repeats each node name, so plain substring counts double). */
+  private def nodeCount(p: String, name: String): Int =
+    ("""\(\d+\) """ + name).r.findAllIn(p).size
+
+  test("q6: filters pushed into the parquet scan, no join/extra shuffle") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // scan-agg query: exactly one exchange (partial -> final agg)
+    assert(nodeCount(p, "Exchange") <= 1, p)
+  }
+
+  test("q6: column pruning reaches the scan") {
+    val p = plan("q6_forecast_revenue")
+    // ReadSchema must not include unused columns like l_orderkey/comment
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_orderkey"), read)
+    assert(read.contains("l_extendedprice") && read.contains("l_discount"),
+      read)
+  }
+
+  test("q3/q5: dimension sides broadcast, fact side not shuffled for them") {
+    val p3 = plan("q3_shipping")
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    val p5 = plan("q5_local_supplier")
+    assert(p5.contains("BroadcastHashJoin"), p5)
+    // all five dim joins broadcast => no SortMergeJoin at all
+    assert(!p5.contains("SortMergeJoin"), p5)
+  }
+
+  test("q3: top-k plans as TakeOrdered, not a global sort") {
+    val p = plan("q3_shipping")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: single shuffle hash aggregation with partial aggregation") {
+    val p = plan("q1_agg")
+    assert(nodeCount(p, "HashAggregate") >= 2, p) // partial + final
+    // one exchange for the aggregation, one for the presentation sort
+    assert(nodeCount(p, "Exchange") <= 2, p)
+  }
+
+  test("whole-stage codegen covers the hot path") {
+    val p = SparkEntry.queries("q1_agg")(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("WholeStageCodegen"), p)
+  }
+
+  test("lake scan: pruned file list feeds a plain parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = graft.engine.Engine.ctas(spark, dir, li,
+      spec = List(graft.core.PartitionField("l_shipdate", "year")))
+    val (df, stats) = tbl.scan(
+      org.apache.spark.sql.functions.col("l_shipdate") >=
+        org.apache.spark.sql.functions.lit("2000-01-01").cast("timestamp"))
+    assert(stats.skipped > 0)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the scan relation lists only surviving files and still pushes the
+    // predicate down for row-group pruning inside them
+    assert(p.contains("PushedFilters: ["), p)
+  }
+}
