@@ -73,8 +73,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("whole-stage codegen covers the hot path") {
-    val p = SparkEntry.queries("q1_agg")(spark, sf).queryExecution
-      .explainString(ExplainMode.fromString("simple"))
+    // AQE finalizes the plan only on execution — act on THIS df (a write
+    // would spawn its own QueryExecution)
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("WholeStageCodegen"), p)
   }
 
