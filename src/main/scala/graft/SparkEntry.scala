@@ -19,12 +19,12 @@ object SparkEntry {
 
   private def batches = Seq(
     qb.QTpch.queries, qb.QRel.queries, qb.QAgg.queries, qb.QWin.queries,
-    qb.QSub.queries, qb.QFunc.queries, qb.QLake.queries, qb.QPipe.queries)
+    qb.QSub.queries, qb.QFunc.queries, qb.QLake.queries, qb.QPipe.queries, qb.QPgShim.queries)
 
   private def oracleBatches = Seq(
     qb.QTpch.oracleSql, qb.QRel.oracleSql, qb.QAgg.oracleSql,
     qb.QWin.oracleSql, qb.QSub.oracleSql, qb.QFunc.oracleSql,
-    qb.QLake.oracleSql, qb.QPipe.oracleSql)
+    qb.QLake.oracleSql, qb.QPipe.oracleSql, qb.QPgShim.oracleSql)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     batches.reduce(_ ++ _)

@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PG-semantics scalar functions — the Spark analogue of the reference's
+  * shim layer: SQL trampolines in `__lake__internal__nsp__`
+  * (engineering-notes/pgduck_shippability.md:52-76) and the C++
+  * PG-compatibility functions in
+  * duckdb_pglake/src/duckdb_pglake_extension.cpp:328-354
+  * (`SubstringPG`, `initcap`, `to_date`, ...), plus the rewrite rules in
+  * rewrite_query.c (date_trunc century correction :153, date_bin →
+  * time_bucket :1187-1206, degree trig :165-167).
+  *
+  * `registerAll(spark)` exposes them to SQL under `pg_*`/`to_char`/
+  * `date_bin`/`sind`... names; the Column API is usable directly.
+  */
+object PgFunctions {
+
+  // ---------------------------------------------------------- substring
+
+  /** PG `substring(str FROM start FOR len)`: the window is
+    * [start, start+len) on 1-based positions, intersected with the
+    * string — so negative/zero starts shrink the window instead of
+    * indexing from the end (duckdb_pglake_extension.cpp `SubstringPG`;
+    * DuckDB/Spark native substring would index from the end). */
+  def substringPg(str: Column, start: Column, len: Column): Column = {
+    val begin = greatest(start, lit(1))
+    val end = start + len // exclusive
+    val n = greatest(end - begin, lit(0))
+    when(len < 0, lit(null).cast("string"))
+      .otherwise(str.substr(begin, n))
+  }
+
+  def substringPg(str: Column, start: Column): Column =
+    str.substr(greatest(start, lit(1)), length(str) + lit(1))
+
+  // ------------------------------------------------------------ initcap
+
+  /** PG initcap: a word starts after ANY non-alphanumeric (Spark/Java
+    * initcap only splits on whitespace: 'hello-world' → 'Hello-world',
+    * PG gives 'Hello-World'). */
+  case class InitCapPg(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val sb = new java.lang.StringBuilder(s.length)
+      var wordStart = true
+      for (c <- s) {
+        if (Character.isLetterOrDigit(c)) {
+          sb.append(if (wordStart) Character.toUpperCase(c)
+            else Character.toLowerCase(c))
+          wordStart = false
+        } else { sb.append(c); wordStart = true }
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    override protected def withNewChildInternal(c: Expression): InitCapPg =
+      copy(child = c)
+  }
+
+  def initcapPg(c: Column): Column =
+    GraftBridge.column(InitCapPg(GraftBridge.expression(c)))
+
+  // ------------------------------------------------------------ to_char
+
+  /** PG → Spark datetime-pattern token table, longest-first. Lowercase
+    * name tokens emit a lower() around the piece (PG 'month' → 'february')
+    * — the same piecewise-chain construction as the reference's
+    * BuildStrftimeChain (pg_lake_engine/src/pgduck/to_char.c:621). */
+  private val tokens: Seq[(String, String, Boolean)] = Seq(
+    // (pgToken, sparkPattern, lowercase)
+    ("HH24", "HH", false), ("HH12", "hh", false),
+    ("YYYY", "yyyy", false), ("YYY", "yyy", false), ("YY", "yy", false),
+    ("MONTH", "MMMM", false), ("Month", "MMMM", false),
+    ("month", "MMMM", true),
+    ("MON", "MMM", false), ("Mon", "MMM", false), ("mon", "MMM", true),
+    ("MM", "MM", false),
+    ("DAY", "EEEE", false), ("Day", "EEEE", false), ("day", "EEEE", true),
+    ("DDD", "DDD", false), ("DD", "dd", false),
+    ("Dy", "EEE", false), ("DY", "EEE", false), ("dy", "EEE", true),
+    ("HH", "hh", false), ("MI", "mm", false), ("SS", "ss", false),
+    ("MS", "SSS", false),
+    ("AM", "a", false), ("PM", "a", false),
+    ("am", "a", true), ("pm", "a", true),
+    ("Q", "Q", false))
+
+  /** Build the to_char column for a constant PG pattern. */
+  def toChar(ts: Column, pattern: String): Column = {
+    val pieces = scala.collection.mutable.ListBuffer[Column]()
+    var i = 0
+    while (i < pattern.length) {
+      if (pattern.charAt(i) == '"') { // quoted literal
+        val close = pattern.indexOf('"', i + 1)
+        val endIdx = if (close < 0) pattern.length else close
+        pieces += lit(pattern.substring(i + 1, endIdx))
+        i = if (close < 0) pattern.length else close + 1
+      } else {
+        tokens.find { case (t, _, _) => pattern.startsWith(t, i) } match {
+          case Some((t, sp, lower_)) =>
+            val piece = date_format(ts, sp)
+            pieces += (if (lower_) lower(piece) else piece)
+            i += t.length
+          case None =>
+            pieces += lit(pattern.charAt(i).toString)
+            i += 1
+        }
+      }
+    }
+    if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+  }
+
+  // ----------------------------------------------------------- date_bin
+
+  /** PG `date_bin(stride, source, origin)`: floor `source` to a grid of
+    * `stride` anchored at `origin` (pure micros arithmetic — works for
+    * any second/minute/hour/day stride; month strides are rejected, as
+    * PG does). */
+  def dateBin(strideMicros: Long, source: Column, origin: Column): Column = {
+    require(strideMicros > 0, "stride must be positive")
+    // cast through TIMESTAMP so TIMESTAMP_NTZ inputs work (identity in a
+    // UTC session; unix_micros rejects NTZ directly)
+    val src = source.cast("timestamp")
+    val org = origin.cast("timestamp")
+    val diff = unix_micros(src) - unix_micros(org)
+    timestamp_micros(unix_micros(org) + (diff - pmod(diff,
+      lit(strideMicros))))
+  }
+
+  // ----------------------------------------------- date_trunc extensions
+
+  /** PG-exact date_trunc for the fields Spark/DuckDB get wrong or lack:
+    * century and millennium start at year xx01 (21st century = 2001-01-01
+    * — the reference re-implements exactly this, rewrite_query.c:153);
+    * decade floors to multiples of 10. Other fields delegate. */
+  def dateTruncPg(field: String, ts: Column): Column =
+    field.toLowerCase match {
+      case "century" => // Column `/` is double division — floor explicitly
+        make_timestamp(floor((year(ts) - 1) / 100).cast("int") * 100 + 1,
+          lit(1), lit(1), lit(0), lit(0), lit(0))
+      case "millennium" =>
+        make_timestamp(floor((year(ts) - 1) / 1000).cast("int") * 1000 + 1,
+          lit(1), lit(1), lit(0), lit(0), lit(0))
+      case "decade" =>
+        make_timestamp(floor(year(ts) / 10).cast("int") * 10,
+          lit(1), lit(1), lit(0), lit(0), lit(0))
+      case f => date_trunc(f, ts)
+    }
+
+  // -------------------------------------------------------- degree trig
+
+  def sind(x: Column): Column = sin(radians(x))
+  def cosd(x: Column): Column = cos(radians(x))
+  def tand(x: Column): Column = tan(radians(x))
+  def asind(x: Column): Column = degrees(asin(x))
+  def acosd(x: Column): Column = degrees(acos(x))
+  def atand(x: Column): Column = degrees(atan(x))
+
+  // ----------------------------------------------------- encode/decode
+
+  /** PG encode(bytea, fmt) for base64/hex. */
+  def encode(bin: Column, fmt: String): Column = fmt match {
+    case "base64" => base64(bin)
+    case "hex" => lower(hex(bin))
+    case other => throw new IllegalArgumentException(s"encode: $other")
+  }
+
+  def decode(s: Column, fmt: String): Column = fmt match {
+    case "base64" => unbase64(s)
+    case "hex" => unhex(s)
+    case other => throw new IllegalArgumentException(s"decode: $other")
+  }
+
+  // ------------------------------------------------------- registration
+
+  /** Register the surface for spark.sql use (FunctionRegistry — the
+    * analogue of the reference's OID-rewrite shim resolution). */
+  def registerAll(spark: SparkSession): Unit = {
+    def reg(name: String)(builder: Seq[Column] => Column): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+        exprs => GraftBridge.eagerExpression(
+          builder(exprs.map(GraftBridge.column))), "built-in")
+
+    reg("pg_substring") {
+      case Seq(s, f) => substringPg(s, f)
+      case Seq(s, f, l) => substringPg(s, f, l)
+      case other => throw new IllegalArgumentException(
+        s"pg_substring: ${other.size} args")
+    }
+    reg("pg_initcap") { case Seq(s) => initcapPg(s) }
+    reg("to_char") { case Seq(ts, p) =>
+      val pat = GraftBridge.expression(p)
+      require(pat.foldable, "to_char pattern must be a constant")
+      toChar(ts, pat.eval(null).toString)
+    }
+    reg("date_bin") { case Seq(stride, src, origin) =>
+      val e = GraftBridge.expression(stride)
+      require(e.foldable, "date_bin stride must be a constant interval")
+      val micros = e.eval(null) match {
+        // ANSI day-time interval (INTERVAL 15 MINUTE) evals to Long micros
+        case l: java.lang.Long => l.longValue()
+        case iv: org.apache.spark.unsafe.types.CalendarInterval =>
+          require(iv.months == 0, "date_bin: month strides not supported")
+          iv.days * 86400000000L + iv.microseconds
+        case other => throw new IllegalArgumentException(
+          s"date_bin: unsupported stride $other")
+      }
+      dateBin(micros, src, origin)
+    }
+    reg("pg_date_trunc") { case Seq(f, ts) =>
+      val e = GraftBridge.expression(f)
+      require(e.foldable, "pg_date_trunc field must be a constant")
+      dateTruncPg(e.eval(null).toString, ts)
+    }
+    Seq("sind" -> (sind _), "cosd" -> (cosd _), "tand" -> (tand _),
+      "asind" -> (asind _), "acosd" -> (acosd _), "atand" -> (atand _))
+      .foreach { case (n, f) => reg(n) { case Seq(x) => f(x) } }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.functions.PgFunctions
+import Q._
+
+/** PG-semantics shim functions through the gate, called via their SQL
+  * registration (pg_substring / pg_initcap / to_char / date_bin /
+  * pg_date_trunc / sind) — the oracle side emulates the PG behavior with
+  * portable DuckDB SQL, mirroring how the reference pins its shims with
+  * differential tests (test_expression_pushdown.py).
+  */
+object QPgShim {
+
+  private def sql(q: String): QueryFn = { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    PgFunctions.registerAll(s)
+    s.sql(q)
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_pg_text" -> sql(
+      """SELECT doc_id,
+        |  pg_substring(text, -3, 10) AS sub_neg,
+        |  pg_substring(text, 5, 8) AS sub_pos,
+        |  pg_initcap(source) AS cap
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin),
+
+    "q_pg_datetime" -> sql(
+      """SELECT o_orderkey,
+        |  to_char(o_orderdate, 'YYYY-MM-DD') AS iso,
+        |  to_char(o_orderdate, 'Day') AS dayname,
+        |  to_char(o_orderdate, 'Mon YYYY') AS mon_year,
+        |  date_bin(INTERVAL 6 HOUR, o_orderdate, TIMESTAMP '1995-01-01')
+        |    AS bin6h,
+        |  pg_date_trunc('century', o_orderdate) AS century,
+        |  pg_date_trunc('decade', o_orderdate) AS decade,
+        |  round(sind(CAST(o_orderkey % 360 AS DOUBLE)), 10) AS sd
+        |FROM orders WHERE o_orderkey % 23 = 0 ORDER BY o_orderkey""".stripMargin))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pg_text" ->
+      """SELECT doc_id,
+        |  substring(text, greatest(-3, 1),
+        |    greatest((-3 + 10) - greatest(-3, 1), 0)) AS sub_neg,
+        |  substring(text, greatest(5, 1),
+        |    greatest((5 + 8) - greatest(5, 1), 0)) AS sub_pos,
+        |  upper(left(source, 1)) || lower(substring(source, 2)) AS cap
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    "q_pg_datetime" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso,
+        |  strftime(o_orderdate, '%A') AS dayname,
+        |  strftime(o_orderdate, '%b %Y') AS mon_year,
+        |  to_timestamp((CAST(epoch(o_orderdate) AS BIGINT)
+        |      - CAST(epoch(TIMESTAMP '1995-01-01') AS BIGINT)) // 21600
+        |      * 21600 + CAST(epoch(TIMESTAMP '1995-01-01') AS BIGINT))
+        |    AS bin6h,
+        |  CAST(CAST((CAST(extract(year FROM o_orderdate) AS BIGINT) - 1)
+        |      // 100 * 100 + 1 AS VARCHAR) || '-01-01' AS TIMESTAMP)
+        |    AS century,
+        |  CAST(CAST(CAST(extract(year FROM o_orderdate) AS BIGINT)
+        |      // 10 * 10 AS VARCHAR) || '-01-01' AS TIMESTAMP) AS decade,
+        |  round(sin(radians(CAST(o_orderkey % 360 AS DOUBLE))), 10) AS sd
+        |FROM orders WHERE o_orderkey % 23 = 0 ORDER BY o_orderkey""".stripMargin)
+}

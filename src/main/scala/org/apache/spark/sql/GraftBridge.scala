@@ -12,6 +12,12 @@ object GraftBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Eagerly convert the ColumnNode tree to a Catalyst expression tree
+    * (the default conversion is a lazy wrapper the analyzer only expands
+    * in plan position — FunctionRegistry builders need the real tree). */
+  def eagerExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Resolve a predicate Column against a schema via the analyzer,
     * yielding a typed, coercion-applied Catalyst tree (e.g.
     * `LessThan(AttributeReference, Cast(Literal))`) that file-pruning can

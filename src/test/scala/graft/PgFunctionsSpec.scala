@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.PgFunctions
+import graft.functions.PgFunctions._
+
+/** PG-documented expectations for the shim functions (the references for
+  * each behavior are PostgreSQL's own docs/behavior, which the reference
+  * engine reproduces in duckdb_pglake_extension.cpp / rewrite_query.c). */
+class PgFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).head().get(0)
+  }
+
+  test("substring_pg window semantics (not from-the-end indexing)") {
+    assert(one(substringPg(lit("abcdef"), lit(-1), lit(3))) == "a")
+    assert(one(substringPg(lit("abcdef"), lit(0), lit(3))) == "ab")
+    assert(one(substringPg(lit("abcdef"), lit(2), lit(3))) == "bcd")
+    assert(one(substringPg(lit("abcdef"), lit(2), lit(0))) == "")
+    assert(one(substringPg(lit("abcdef"), lit(5), lit(99))) == "ef")
+    assert(one(substringPg(lit("abcdef"), lit(-10))) == "abcdef")
+    assert(one(substringPg(lit("abcdef"), lit(4))) == "def")
+    assert(one(substringPg(lit("abcdef"), lit(2), lit(-1))) == null)
+  }
+
+  test("initcap_pg: words start after any non-alphanumeric") {
+    assert(one(initcapPg(lit("hello-world foo_bar x"))) ==
+      "Hello-World Foo_Bar X")
+    assert(one(initcapPg(lit("THE QUICK brown-FOX"))) ==
+      "The Quick Brown-Fox")
+    assert(one(initcapPg(lit("3abc d4e"))) == "3abc D4e")
+  }
+
+  test("to_char PG pattern translation") {
+    val ts = lit("2001-02-16 20:38:40").cast("timestamp")
+    assert(one(toChar(ts, "YYYY-MM-DD HH24:MI:SS")) == "2001-02-16 20:38:40")
+    assert(one(toChar(ts, "Day, DD Month YYYY")) ==
+      "Friday, 16 February 2001")
+    assert(one(toChar(ts, "HH12 AM")) == "08 PM")
+    assert(one(toChar(ts, "month")) == "february")
+    assert(one(toChar(ts, "Mon DY")) == "Feb Fri")
+    assert(one(toChar(ts, "Q")) == "1")
+    assert(one(toChar(ts, """"at" HH24"h"""")) == "at 20h")
+  }
+
+  test("date_bin floors onto a stride grid anchored at origin") {
+    val ts = lit("2001-02-16 20:38:40").cast("timestamp")
+    val origin = lit("2001-01-01 00:00:00").cast("timestamp")
+    assert(one(dateBin(15L * 60 * 1000000, ts, origin)).toString ==
+      "2001-02-16 20:30:00.0")
+    // origin offset shifts the grid
+    val origin2 = lit("2001-01-01 00:07:00").cast("timestamp")
+    assert(one(dateBin(15L * 60 * 1000000, ts, origin2)).toString ==
+      "2001-02-16 20:37:00.0")
+  }
+
+  test("date_trunc century/millennium/decade are PG-exact") {
+    val ts = lit("2001-02-16 20:38:40").cast("timestamp")
+    assert(one(dateTruncPg("century", ts)).toString == "2001-01-01 00:00:00.0")
+    val t99 = lit("1999-06-01 00:00:00").cast("timestamp")
+    assert(one(dateTruncPg("century", t99)).toString == "1901-01-01 00:00:00.0")
+    assert(one(dateTruncPg("millennium", ts)).toString == "2001-01-01 00:00:00.0")
+    assert(one(dateTruncPg("millennium", t99)).toString == "1001-01-01 00:00:00.0")
+    assert(one(dateTruncPg("decade", ts)).toString == "2000-01-01 00:00:00.0")
+    assert(one(dateTruncPg("month", ts)).toString == "2001-02-01 00:00:00.0")
+  }
+
+  test("degree trigonometry") {
+    assert(math.abs(one(sind(lit(30.0))).asInstanceOf[Double] - 0.5) < 1e-12)
+    assert(math.abs(one(cosd(lit(60.0))).asInstanceOf[Double] - 0.5) < 1e-12)
+    assert(math.abs(one(asind(lit(0.5))).asInstanceOf[Double] - 30.0) < 1e-12)
+  }
+
+  test("encode/decode base64 + hex round trips") {
+    assert(one(PgFunctions.encode(lit("abc").cast("binary"), "base64")) == "YWJj")
+    assert(one(PgFunctions.decode(PgFunctions.encode(
+      lit("abc").cast("binary"), "base64"), "base64")
+      .cast("string")) == "abc")
+    assert(one(PgFunctions.encode(lit("abc").cast("binary"), "hex")) == "616263")
+  }
+
+  test("SQL registration surface") {
+    PgFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT pg_substring('abcdef', -1, 3) AS a,
+        |  pg_initcap('foo-bar') AS b,
+        |  to_char(TIMESTAMP '2001-02-16 20:38:40', 'YYYY "y" Mon') AS c,
+        |  date_bin(INTERVAL 15 MINUTE, TIMESTAMP '2001-02-16 20:38:40',
+        |           TIMESTAMP '2001-01-01') AS d,
+        |  pg_date_trunc('century', TIMESTAMP '2001-02-16') AS e,
+        |  sind(30.0) AS f""".stripMargin).head()
+    assert(r.getString(0) == "a")
+    assert(r.getString(1) == "Foo-Bar")
+    assert(r.getString(2) == "2001 y Feb")
+    assert(r.getTimestamp(3).toString == "2001-02-16 20:30:00.0")
+    assert(r.getTimestamp(4).toString == "2001-01-01 00:00:00.0")
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-12)
+  }
+}
