@@ -16,7 +16,24 @@ import org.apache.spark.sql.types.StructType
 final class LakeTable(val spark: SparkSession, val dir: String) {
 
   def meta: TableMetadata = MetadataIO.readMetadata(dir)
-  def schema: StructType = StructType.fromDDL(meta.schemaDdl)
+
+  /** Table schema with `parquet.field.id` metadata attached per column:
+    * data files are written carrying the ids, and reads match columns by
+    * id, so renamed columns keep reading files written under the old
+    * name — Iceberg field-id semantics
+    * (pg_lake_table/src/fdw/schema_operations/register_field_ids.c:389)
+    * on top of Spark's native parquet field-id support. */
+  def schema: StructType = {
+    val ids = meta.fieldIds.map(f => f.name -> f.id).toMap
+    StructType(StructType.fromDDL(meta.schemaDdl).fields.map { f =>
+      ids.get(f.name) match {
+        case Some(id) => f.copy(metadata = new org.apache.spark.sql.types
+          .MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", id).build())
+        case None => f
+      }
+    })
+  }
 
   def liveFiles: List[DataFile] =
     meta.currentSnapshot.map(MetadataIO.liveFiles(dir, _)).getOrElse(Nil)
@@ -24,11 +41,14 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
   def liveFilesAt(snapshotId: Long): List[DataFile] =
     meta.snapshot(snapshotId).map(MetadataIO.liveFiles(dir, _)).getOrElse(Nil)
 
-  private def readFiles(files: List[DataFile]): DataFrame =
+  private def readFiles(files: List[DataFile]): DataFrame = {
+    // match parquet columns by field id (rename-safe), not by name
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema) // typed empty relation
     else spark.read.schema(schema).parquet(files.map(_.path): _*)
+  }
 
   /** Full scan of the current snapshot. */
   def toDF: DataFrame = readFiles(liveFiles)

@@ -108,7 +108,10 @@ object Engine {
     val dataDir = MetadataIO.dataDir(tbl.dir)
     Files.createDirectories(dataDir)
     // keep commit-time stats exact: micros timestamps (not INT96)
-    val writer0 = df.selectExpr(schema.fieldNames.map(n => s"`$n`"): _*)
+    // alias with the field-id metadata so parquet files carry the ids
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val writer0 = df.select(schema.fields.map(f =>
+      col(s"`${f.name}`").as(f.name, f.metadata)): _*)
     val spec = meta.partitionSpec
     if (spec.isEmpty) {
       writer0.write
@@ -284,7 +287,11 @@ object Engine {
     val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
     val dataDir = MetadataIO.dataDir(tbl.dir)
     Files.createDirectories(dataDir)
-    df.write.option("compression", "snappy").parquet(staging.toString)
+    // rewrites must carry field ids too, or id-matched reads null them out
+    tbl.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val withIds = df.select(tbl.schema.fields.map(f =>
+      col(s"`${f.name}`").as(f.name, f.metadata)): _*)
+    withIds.write.option("compression", "snappy").parquet(staging.toString)
     val moved = scala.collection.mutable.ListBuffer[DataFile]()
     val stream = Files.walk(staging)
     try {
@@ -364,6 +371,69 @@ object Engine {
     }
     dropped
   }
+
+  // ------------------------------------------------------ SQL surface
+
+  /** Register a lake table as a temp view so `spark.sql` sees it by name
+    * (the reference's `read_table('<rel>')` placeholder resolution,
+    * deparse_ruleutils.c:72-100, collapses to view registration — the
+    * file list is resolved from the current snapshot at registration). */
+  def registerTable(tbl: LakeTable, name: String): Unit =
+    tbl.toDF.createOrReplaceTempView(name)
+
+  /** SQL entry point with PG shims + the named lake tables in scope. */
+  def sql(spark: SparkSession, tables: Map[String, LakeTable],
+      query: String): DataFrame = {
+    graft.functions.PgFunctions.registerAll(spark)
+    tables.foreach { case (n, t) => registerTable(t, n) }
+    spark.sql(query)
+  }
+
+  // ------------------------------------------------- schema evolution
+
+  /** ALTER TABLE ADD COLUMN (nullable, with optional default applied on
+    * read of old files is NOT needed: Spark's parquet reader yields null
+    * for absent columns, matching Iceberg add-column semantics;
+    * field-ids track identity across renames —
+    * pg_lake_table/src/ddl/alter_table.c, register_field_ids.c:389). */
+  def addColumn(tbl: LakeTable, name: String, sparkType: String): Unit =
+    commitLock.synchronized {
+      val meta = tbl.meta
+      require(!tbl.schema.fieldNames.contains(name), s"column $name exists")
+      val nextId = (meta.fieldIds.map(_.id) :+ 0).max + 1
+      MetadataIO.commitMetadata(tbl.dir, meta.copy(
+        schemaDdl = meta.schemaDdl + s", $name $sparkType",
+        fieldIds = meta.fieldIds :+ FieldId(name, nextId)))
+    }
+
+  /** ALTER TABLE RENAME COLUMN: metadata-only; the field id keeps linking
+    * the new name to existing file data, so old files keep reading. */
+  def renameColumn(tbl: LakeTable, from: String, to: String): Unit =
+    commitLock.synchronized {
+      val meta = tbl.meta
+      val schema = tbl.schema
+      require(schema.fieldNames.contains(from), s"no column $from")
+      val newDdl = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)).toDDL
+      MetadataIO.commitMetadata(tbl.dir, meta.copy(
+        schemaDdl = newDdl,
+        fieldIds = meta.fieldIds.map(fi =>
+          if (fi.name == from) fi.copy(name = to) else fi)))
+    }
+
+  /** ALTER TABLE DROP COLUMN: metadata-only. */
+  def dropColumn(tbl: LakeTable, name: String): Unit =
+    commitLock.synchronized {
+      val meta = tbl.meta
+      val schema = tbl.schema
+      require(schema.fieldNames.contains(name), s"no column $name")
+      require(!meta.partitionSpec.exists(_.column == name),
+        s"cannot drop partition column $name")
+      val newDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL
+      MetadataIO.commitMetadata(tbl.dir, meta.copy(
+        schemaDdl = newDdl,
+        fieldIds = meta.fieldIds.filterNot(_.name == name)))
+    }
 
   // ---------------------------------------------------------------- COPY
 

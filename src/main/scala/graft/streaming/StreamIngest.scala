@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.core.LakeTable
+import graft.engine.Engine
+
+/** Streaming ingestion into lake tables.
+  *
+  * The reference has no streaming operator surface (SURVEY §2.10); its
+  * only incremental path is logical replication heap→iceberg
+  * (pg_lake_engine/src/extensions/pg_lake_replication.c). The faithful
+  * Spark-native analogue is micro-batch append: each micro-batch lands as
+  * parquet files plus ONE snapshot commit — so readers see batch-atomic
+  * table versions and time travel walks the ingestion history.
+  */
+object StreamIngest {
+
+  /** Start appending a streaming DataFrame into a lake table. Exactly-once
+    * at the file level comes from the checkpoint (batch replays rewrite
+    * the same batch id; commits are idempotent per epoch because a replay
+    * re-runs foreachBatch before new data is read). */
+  def appendStream(tbl: LakeTable, source: DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) Engine.insert(tbl, batch)
+      }
+      .start()
+
+  /** Event-time windowed aggregation with watermarking — the standard
+    * late-data-tolerant rollup (extension beyond the reference). */
+  def windowedCounts(events: DataFrame, tsCol: String, valueCol: String,
+      windowDur: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), round(col("total"), 2).as("total"))
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core._
+import graft.engine.Engine
+import graft.streaming.StreamIngest
+
+class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(): String =
+    Files.createTempDirectory("evo").toString + "/t"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("rename column: old files keep reading via field ids") {
+    val dir = tmp()
+    val n = Tables.load(spark, sf, "nation")
+    val tbl = Engine.ctas(spark, dir, n)
+    Engine.renameColumn(tbl, "n_name", "nation_name")
+    assert(tbl.schema.fieldNames.contains("nation_name"))
+    // rows written under the OLD name still resolve (field-id match)
+    val vals = tbl.toDF.select("nation_name").collect().map(_.getString(0))
+    assert(vals.toSet == n.select("n_name").collect().map(_.getString(0)).toSet)
+    // and new writes under the new name coexist with old files
+    Engine.insert(tbl, tbl.toDF.limit(2))
+    assert(tbl.toDF.filter(col("nation_name").isNull).count() == 0)
+    assert(tbl.toDF.count() == n.count() + 2)
+  }
+
+  test("add column: old files read as null; drop column hides data") {
+    val dir = tmp()
+    val r = Tables.load(spark, sf, "region")
+    val tbl = Engine.ctas(spark, dir, r)
+    Engine.addColumn(tbl, "score", "DOUBLE")
+    assert(tbl.toDF.filter(col("score").isNull).count() == r.count())
+    Engine.insert(tbl, tbl.toDF.limit(1)
+      .withColumn("score", lit(9.5)))
+    assert(tbl.toDF.filter(col("score") === 9.5).count() == 1)
+    Engine.dropColumn(tbl, "score")
+    assert(!tbl.schema.fieldNames.contains("score"))
+    assert(tbl.toDF.count() == r.count() + 1)
+  }
+
+  test("streaming micro-batch append: one snapshot per batch") {
+    val srcDir = Files.createTempDirectory("stream_src").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val dir = tmp()
+    val n = Tables.load(spark, sf, "nation")
+    val tbl = Engine.create(spark, dir, n.schema.toDDL)
+
+    // batch 1
+    n.filter(col("n_nationkey") < 10).write.parquet(s"$srcDir/b1")
+    val stream1 = spark.readStream.schema(n.schema).parquet(s"$srcDir/b1")
+    val q1 = StreamIngest.appendStream(tbl, stream1, s"$ckpt/c1")
+    q1.awaitTermination(60000)
+    assert(tbl.toDF.count() == 10)
+    val snapsAfterB1 = tbl.meta.snapshots.size
+
+    // batch 2 into a second stream dir
+    n.filter(col("n_nationkey") >= 10).write.parquet(s"$srcDir/b2")
+    val stream2 = spark.readStream.schema(n.schema).parquet(s"$srcDir/b2")
+    val q2 = StreamIngest.appendStream(tbl, stream2, s"$ckpt/c2")
+    q2.awaitTermination(60000)
+    assert(tbl.toDF.count() == n.count())
+    assert(tbl.meta.snapshots.size > snapsAfterB1)
+    // operations recorded as appends
+    assert(tbl.meta.snapshots.count(_.operation == "append") >= 2)
+  }
+
+  test("windowed aggregation with watermark over the events fixture") {
+    val ev = Tables.load(spark, sf, "events")
+    val agg = StreamIngest.windowedCounts(ev, "ts", "value", "1 hour",
+      "10 minutes")
+    // batch execution of the same plan (streaming semantics superset)
+    val total = agg.agg(sum("n")).head().getLong(0)
+    assert(total == ev.count())
+    assert(agg.count() > 10)
+  }
+
+  test("engine.sql over registered lake tables with PG shims") {
+    val dir = tmp()
+    val tbl = Engine.ctas(spark, dir, Tables.load(spark, sf, "nation"))
+    val out = Engine.sql(spark, Map("lake_nation" -> tbl),
+      "SELECT pg_initcap(n_name) AS n, n_nationkey FROM lake_nation " +
+        "WHERE n_nationkey < 5 ORDER BY n_nationkey")
+    assert(out.count() == 5)
+  }
+
+  test("file utility surface: list/size/exists") {
+    val dir = tmp()
+    val tbl = Engine.ctas(spark, dir, Tables.load(spark, sf, "region"))
+    val files = tbl.filesDF
+    assert(files.count() == tbl.liveFiles.size)
+    val sizes = files.select("size_bytes").collect().map(_.getLong(0))
+    assert(sizes.forall(_ > 0))
+    assert(tbl.snapshotsDF.count() == tbl.meta.snapshots.size)
+  }
+}
