@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Per-type operator matrices — the reference tests every shippable
+  * operator × type pair (tests/pytests/operator_pushdown/test_{int2,int4,
+  * int8,float4,float8,bool,date,...}.py; operator inventory
+  * shippable_builtin_operators.c:38-515). One gate query per type family,
+  * each exercising comparisons, arithmetic, and the family's special
+  * operators, oracle-checked against DuckDB.
+  */
+object QTypes {
+
+  val queries: Map[String, QueryFn] = Map(
+    // integer family incl. cross-width (INT32 vs INT64) comparisons and
+    // arithmetic (shippable_builtin_operators.c:167-310)
+    "q_ops_int" -> { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 53 === 0).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        (col("l_linenumber") + col("l_orderkey")).as("xw_add"),
+        (col("l_orderkey") - col("l_linenumber")).as("xw_sub"),
+        (col("l_linenumber") * 1000000L).as("xw_mul"),
+        (col("l_orderkey") % col("l_linenumber")).as("xw_mod"),
+        (col("l_linenumber") < col("l_orderkey")).as("xw_lt"),
+        (col("l_linenumber") === 1).as("eq1"),
+        (col("l_linenumber") =!= 1).as("ne1"),
+        (-col("l_linenumber")).as("neg"),
+        abs(col("l_linenumber") - 4).as("iabs"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
+    // float family: FLOAT32 elements vs DOUBLE ops (operators.c:106-166)
+    "q_ops_float" -> { (s, dir) =>
+      t(s, dir, "embeddings").filter(col("vec_id") % 9 === 0).select(
+        col("vec_id"),
+        round(element_at(col("embedding"), 2).cast("double") * 2, 6).as("f_mul"),
+        round(element_at(col("embedding"), 2).cast("double")
+          + element_at(col("embedding"), 3).cast("double"), 6).as("f_add"),
+        (element_at(col("embedding"), 2) > element_at(col("embedding"), 3))
+          .as("f_gt"),
+        (element_at(col("embedding"), 2).cast("double") > 0.0).as("f_pos"),
+        round(-element_at(col("embedding"), 2).cast("double"), 6).as("f_neg"))
+        .orderBy("vec_id")
+    },
+
+    // bool family (operators.c:96-104): and/or/not, comparisons, ordering
+    "q_ops_bool" -> { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") % 13 === 0).select(
+        col("c_custkey"),
+        (col("c_acctbal") > 0).as("pos"),
+        ((col("c_acctbal") > 0) && (col("c_mktsegment") === "BUILDING"))
+          .as("b_and"),
+        ((col("c_acctbal") > 9000) || (col("c_acctbal") < 0)).as("b_or"),
+        (!(col("c_acctbal") > 0)).as("b_not"),
+        ((col("c_acctbal") > 0) === (col("c_acctbal") > 100)).as("b_eq"),
+        (col("c_acctbal") > 0).cast("int").as("b_int"))
+        .orderBy("c_custkey")
+    },
+
+    // text family (operators.c:50-70): lexicographic compare, || concat
+    "q_ops_string" -> { (s, dir) =>
+      t(s, dir, "nation").select(
+        col("n_nationkey"), col("n_name"),
+        (col("n_name") < lit("M")).as("lt_m"),
+        (col("n_name") >= lit("E") && col("n_name") <= lit("T")).as("between_et"),
+        concat(col("n_name"), lit("_"), col("n_regionkey").cast("string"))
+          .as("concatted"),
+        (col("n_name") === reverse(reverse(col("n_name")))).as("self_eq"),
+        greatest(col("n_name"), lit("FRANCE")).as("g_str"),
+        least(col("n_name"), lit("FRANCE")).as("l_str"))
+        .orderBy("n_nationkey")
+    },
+
+    // temporal family (operators.c:332-440): ts/date compare, date±int,
+    // ts-ts as interval (surfaced as epoch seconds), ts±interval
+    "q_ops_temporal" -> { (s, dir) =>
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 41 === 0)
+      o.select(
+        col("o_orderkey"),
+        (col("o_orderdate") > lit("1998-01-01").cast("timestamp")).as("after98"),
+        col("o_orderdate").cast("date").as("d"),
+        date_add(col("o_orderdate").cast("date"), 30).as("d_plus30"),
+        (col("o_orderdate").cast("date") - lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        ((col("o_orderdate").cast("timestamp").cast("long")
+          - lit("1995-01-01").cast("timestamp").cast("long")))
+          .as("secs_since"),
+        (col("o_orderdate") + expr("INTERVAL '1-2' YEAR TO MONTH"))
+          .as("plus_ym"),
+        greatest(col("o_orderdate").cast("date"),
+          lit("1997-06-01").cast("date")).as("g_date"))
+        .orderBy("o_orderkey")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q_ops_int" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_linenumber + l_orderkey AS xw_add,
+        |  l_orderkey - l_linenumber AS xw_sub,
+        |  CAST(l_linenumber * 1000000 AS BIGINT) AS xw_mul,
+        |  l_orderkey % l_linenumber AS xw_mod,
+        |  l_linenumber < l_orderkey AS xw_lt,
+        |  l_linenumber = 1 AS eq1,
+        |  l_linenumber <> 1 AS ne1,
+        |  -l_linenumber AS neg,
+        |  abs(l_linenumber - 4) AS iabs
+        |FROM lineitem WHERE l_orderkey % 53 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_ops_float" ->
+      """SELECT vec_id,
+        |  round(CAST(embedding[2] AS DOUBLE) * 2, 6) AS f_mul,
+        |  round(CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE), 6)
+        |    AS f_add,
+        |  embedding[2] > embedding[3] AS f_gt,
+        |  CAST(embedding[2] AS DOUBLE) > 0.0 AS f_pos,
+        |  round(-CAST(embedding[2] AS DOUBLE), 6) AS f_neg
+        |FROM embeddings WHERE vec_id % 9 = 0 ORDER BY vec_id""".stripMargin,
+
+    "q_ops_bool" ->
+      """SELECT c_custkey,
+        |  c_acctbal > 0 AS pos,
+        |  (c_acctbal > 0) AND (c_mktsegment = 'BUILDING') AS b_and,
+        |  (c_acctbal > 9000) OR (c_acctbal < 0) AS b_or,
+        |  NOT (c_acctbal > 0) AS b_not,
+        |  (c_acctbal > 0) = (c_acctbal > 100) AS b_eq,
+        |  CAST(c_acctbal > 0 AS INT) AS b_int
+        |FROM customer WHERE c_custkey % 13 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "q_ops_string" ->
+      """SELECT n_nationkey, n_name,
+        |  n_name < 'M' AS lt_m,
+        |  n_name >= 'E' AND n_name <= 'T' AS between_et,
+        |  n_name || '_' || CAST(n_regionkey AS VARCHAR) AS concatted,
+        |  n_name = reverse(reverse(n_name)) AS self_eq,
+        |  greatest(n_name, 'FRANCE') AS g_str,
+        |  least(n_name, 'FRANCE') AS l_str
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_ops_temporal" ->
+      """SELECT o_orderkey,
+        |  o_orderdate > TIMESTAMP '1998-01-01' AS after98,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+        |    AS days_since,
+        |  CAST(epoch(o_orderdate) AS BIGINT)
+        |    - CAST(epoch(TIMESTAMP '1995-01-01') AS BIGINT) AS secs_since,
+        |  o_orderdate + INTERVAL '1 year 2 months' AS plus_ym,
+        |  greatest(CAST(o_orderdate AS DATE), DATE '1997-06-01') AS g_date
+        |FROM orders WHERE o_orderkey % 41 = 0 ORDER BY o_orderkey""".stripMargin)
+}
