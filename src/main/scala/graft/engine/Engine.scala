@@ -156,29 +156,35 @@ object Engine {
     moved.toList
   }
 
-  /** Optimistic snapshot commit: new manifests + metadata pointer swap. */
+  /** Snapshot commit expressed as (removed paths, added files) and
+    * resolved against the CURRENT live set under the commit lock — so a
+    * concurrent append between an operation's read snapshot and its
+    * commit is retained, not silently dropped (the reference gets the
+    * same property from PG row locks + PRE_COMMIT apply,
+    * transaction_hooks.c:27-70). */
   private def commitSnapshot(tbl: LakeTable, operation: String,
-      keep: List[DataFile], add: List[DataFile], removedCount: Int): Unit =
+      removedPaths: Set[String], add: List[DataFile],
+      removeAll: Boolean = false): Unit =
     commitLock.synchronized {
       val meta = tbl.meta
-      val manifests = scala.collection.mutable.ListBuffer[String]()
-      // manifest reuse: if nothing was removed, keep prior manifests as-is
       val prior = meta.currentSnapshot.map(_.manifests).getOrElse(Nil)
       val priorFiles = meta.currentSnapshot
         .map(MetadataIO.liveFiles(tbl.dir, _)).getOrElse(Nil)
-      if (removedCount == 0 && keep.map(_.path).toSet ==
-          priorFiles.map(_.path).toSet) {
-        manifests ++= prior
-      } else if (keep.nonEmpty) {
+      val keep =
+        if (removeAll) Nil
+        else priorFiles.filterNot(f => removedPaths.contains(f.path))
+      val manifests = scala.collection.mutable.ListBuffer[String]()
+      if (removedPaths.isEmpty && !removeAll && keep.size == priorFiles.size)
+        manifests ++= prior // append-only: manifest reuse, O(added) commit
+      else if (keep.nonEmpty)
         manifests += MetadataIO.writeManifest(tbl.dir, keep)
-      }
       if (add.nonEmpty)
         manifests += MetadataIO.writeManifest(tbl.dir, add)
       val snapId = meta.snapshots.map(_.id).max + 1
       val snap = Snapshot(snapId, System.currentTimeMillis(), operation,
         manifests.toList, Map(
           "addedFiles" -> add.size.toString,
-          "removedFiles" -> removedCount.toString,
+          "removedFiles" -> (priorFiles.size - keep.size).toString,
           "addedRows" -> add.map(_.rowCount).sum.toString))
       MetadataIO.commitMetadata(tbl.dir,
         meta.copy(snapshots = meta.snapshots :+ snap, currentSnapshotId = snapId))
@@ -186,7 +192,7 @@ object Engine {
 
   def insert(tbl: LakeTable, df: DataFrame): Unit = {
     val added = writeFiles(tbl, df)
-    commitSnapshot(tbl, "append", tbl.liveFiles, added, 0)
+    commitSnapshot(tbl, "append", Set.empty, added)
   }
 
   /** INSERT ... SELECT pushdown analogue (planner/insert_select.c:48-244):
@@ -195,7 +201,7 @@ object Engine {
     insert(tbl, tbl.spark.sql(sql))
 
   def truncate(tbl: LakeTable): Unit =
-    commitSnapshot(tbl, "truncate", Nil, Nil, tbl.liveFiles.size)
+    commitSnapshot(tbl, "truncate", Set.empty, Nil, removeAll = true)
 
   // ---------------------------------------------------------------- DML
 
@@ -235,8 +241,8 @@ object Engine {
     val newFiles =
       if (rewrite.isEmpty) Nil
       else rewriteGroups(tbl, rewrite, df => df.filter(!pred))
-    commitSnapshot(tbl, "delete", untouched, newFiles,
-      fullMatch.size + rewrite.size)
+    commitSnapshot(tbl, "delete",
+      fullPaths ++ rewrite.map(_.path), newFiles)
     DmlResult(rewrite.size, fullMatch.size, untouched.size,
       fullMatch.map(_.rowCount).sum + matches.values.sum)
   }
@@ -265,7 +271,7 @@ object Engine {
     }
     val newFiles =
       if (rewrite.isEmpty) Nil else rewriteGroups(tbl, rewrite, applyUpd)
-    commitSnapshot(tbl, "update", untouched, newFiles, rewrite.size)
+    commitSnapshot(tbl, "update", rewrite.map(_.path).toSet, newFiles)
     DmlResult(rewrite.size, 0, untouched.size, matches.values.sum)
   }
 
@@ -322,7 +328,7 @@ object Engine {
     val groups = files.groupBy(_.partition).toList
     var keep = scala.collection.mutable.ListBuffer[DataFile]()
     var added = scala.collection.mutable.ListBuffer[DataFile]()
-    var removed = 0
+    val removedPaths = scala.collection.mutable.Set[String]()
     for ((partition, group) <- groups) {
       val small = group.filter(_.sizeBytes < targetBytes / 2)
       if (small.size >= 2 && rounds < maxRounds) {
@@ -333,12 +339,11 @@ object Engine {
           .parquet(small.map(_.path): _*)
           .coalesce(nOut)
         added ++= writeRaw(tbl, df, partition)
-        removed += small.size
-        keep ++= group.filterNot(f => small.exists(_.path == f.path))
+        removedPaths ++= small.map(_.path)
       } else keep ++= group
     }
     if (rounds > 0)
-      commitSnapshot(tbl, "compact", keep.toList, added.toList, removed)
+      commitSnapshot(tbl, "compact", removedPaths.toSet, added.toList)
     rounds
   }
 

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamIngest
+import Q._
+
+/** Map-type surface (native MapType vs the reference's pg_map emulation,
+  * SURVEY §2.8) and the event-time windowed rollup (batch execution of
+  * the streaming plan — same Catalyst operators).
+  */
+object QMisc {
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_fn_map" -> { (s, dir) =>
+      val d = t(s, dir, "nation")
+      d.select(col("n_nationkey"),
+          map(lit("name"), col("n_name"),
+              lit("region"), col("n_regionkey").cast("string")).as("m"))
+        .select(
+          col("n_nationkey"),
+          element_at(col("m"), "name").as("m_name"),
+          element_at(col("m"), "region").as("m_region"),
+          element_at(col("m"), "missing").as("m_missing"),
+          sort_array(map_keys(col("m"))).as("ks"),
+          size(col("m")).cast("long").as("n_entries"))
+        .orderBy("n_nationkey")
+    },
+
+    // hourly event rollup — identical plan to the streaming query
+    // (StreamIngest.windowedCounts), executed in batch mode
+    "q_event_window" -> { (s, dir) =>
+      StreamIngest.windowedCounts(
+        t(s, dir, "events"), "ts", "value", "1 hour", "10 minutes")
+        .orderBy("w_start", "event_type")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fn_map" ->
+      """SELECT n_nationkey,
+        |  map(['name','region'],[n_name, CAST(n_regionkey AS VARCHAR)])['name'][1]
+        |    AS m_name,
+        |  map(['name','region'],[n_name, CAST(n_regionkey AS VARCHAR)])['region'][1]
+        |    AS m_region,
+        |  map(['name','region'],[n_name, CAST(n_regionkey AS VARCHAR)])['missing'][1]
+        |    AS m_missing,
+        |  ['name','region'] AS ks,
+        |  CAST(2 AS BIGINT) AS n_entries
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_event_window" ->
+      """SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+        |    AS BIGINT) * 3600) AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)
+}
