@@ -1,0 +1,58 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  FileStatusWithMetadata, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+/** A Spark `FileIndex` over a lake table snapshot that applies the
+  * stats/partition-transform pruner inside Spark's own scan planning:
+  * `FileSourceStrategy` hands `listFiles` the pushed-down data filters,
+  * and only surviving files reach the parquet reader. This is the
+  * transparent path — `spark.sql("... FROM laketable WHERE ...")` prunes
+  * without the caller ever seeing the metadata layer, the Spark-native
+  * equivalent of the reference's planner-integrated `PruneDataFiles`
+  * (pg_lake_table/src/fdw/data_file_pruning.c:183; SURVEY §4 "single
+  * highest-value custom piece").
+  *
+  * Pinned to the snapshot current at construction (MVCC-style read
+  * isolation, like CreatePgLakeScanSnapshot, fdw/snapshot.c:79-354).
+  */
+class LakeFileIndex(tbl: LakeTable) extends FileIndex {
+
+  private val files: List[DataFile] = tbl.liveFiles
+  private val schema: StructType = tbl.schema
+  private val spec: List[PartitionField] = tbl.meta.partitionSpec
+
+  /** Last prune outcome, for EXPLAIN-style inspection and tests
+    * ("Data Files Scanned/Skipped", query_pushdown.c:1688-1691). */
+  val lastScan = new AtomicReference[Pruning.ScanStats](
+    Pruning.ScanStats(files.size, 0, 0))
+
+  override def rootPaths: Seq[HPath] =
+    Seq(new HPath(MetadataIO.dataDir(tbl.dir).toUri))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pred = dataFilters.reduceOption(And)
+    val (mustRead, skipped, full) =
+      Pruning.partitionFiles(pred, schema, spec, files)
+    lastScan.set(Pruning.ScanStats(mustRead.size, skipped.size, full.size))
+    val statuses = mustRead.map { f =>
+      val p = new HPath("file:" + f.path.stripPrefix("file:"))
+      FileStatusWithMetadata(
+        new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L, p),
+        Map.empty)
+    }
+    Seq(PartitionDirectory(InternalRow.empty, statuses))
+  }
+
+  override def inputFiles: Array[String] = files.map(_.path).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = files.map(_.sizeBytes).sum
+  override def partitionSchema: StructType = new StructType()
+}

@@ -69,6 +69,22 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
       Pruning.ScanStats(mustRead.size, skipped.size, full.size))
   }
 
+  /** Transparent pruned scan: a DataFrame whose file listing runs the
+    * pruner against whatever filters Catalyst pushes down — the right
+    * form to register as a view for `spark.sql`. Returns the index too so
+    * callers can read the files-scanned/skipped counters afterwards. */
+  def toPrunedDF: (DataFrame, LakeFileIndex) = {
+    // match parquet columns by field id (rename-safe), not by name
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val index = new LakeFileIndex(this)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new StructType(), schema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(classic)
+    (classic.baseRelationToDataFrame(relation), index)
+  }
+
   /** `lake_iceberg.snapshots`-style inspection. */
   def snapshotsDF: DataFrame = {
     import spark.implicits._

@@ -383,8 +383,11 @@ object Engine {
     * (the reference's `read_table('<rel>')` placeholder resolution,
     * deparse_ruleutils.c:72-100, collapses to view registration — the
     * file list is resolved from the current snapshot at registration). */
-  def registerTable(tbl: LakeTable, name: String): Unit =
-    tbl.toDF.createOrReplaceTempView(name)
+  def registerTable(tbl: LakeTable, name: String): LakeFileIndex = {
+    val (df, index) = tbl.toPrunedDF
+    df.createOrReplaceTempView(name)
+    index
+  }
 
   /** SQL entry point with PG shims + the named lake tables in scope. */
   def sql(spark: SparkSession, tables: Map[String, LakeTable],

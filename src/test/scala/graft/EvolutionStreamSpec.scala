@@ -102,6 +102,28 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 5)
   }
 
+  test("transparent pruning: spark.sql over a registered lake table skips files") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.ctas(spark, dir, li,
+      spec = List(PartitionField("l_shipdate", "year")))
+    val index = Engine.registerTable(tbl, "lake_lineitem")
+    val total = tbl.liveFiles.size
+    val out = spark.sql(
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS q
+        |FROM lake_lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01'""".stripMargin).head()
+    val stats = index.lastScan.get()
+    assert(stats.skipped > 0, s"no files skipped: $stats")
+    assert(stats.scanned < total)
+    val expected = li.filter(
+      col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+    assert(out.getLong(0) == expected.count())
+    // unfiltered query sees everything
+    assert(spark.sql("SELECT count(*) FROM lake_lineitem").head().getLong(0)
+      == li.count())
+  }
+
   test("file utility surface: list/size/exists") {
     val dir = tmp()
     val tbl = Engine.ctas(spark, dir, Tables.load(spark, sf, "region"))
