@@ -115,6 +115,34 @@ object PgFunctions {
     if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
   }
 
+  /** PG to_timestamp(text, fmt) / to_date(text, fmt): reuse the same
+    * token table in the parse direction (duckdb_pglake_extension.cpp
+    * `to_date` shim). Lowercase display tokens parse case-insensitively
+    * via upper-casing the input piece-wise — Java patterns parse month
+    * names case-sensitively only for the first letter, so we normalize
+    * with initcap on the input. */
+  def toTimestampPg(s: Column, pattern: String): Column = {
+    val javaPattern = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < pattern.length) {
+        tokens.find { case (t, _, _) => pattern.startsWith(t, i) } match {
+          case Some((t, sp, _)) => sb.append(sp); i += t.length
+          case None =>
+            val c = pattern.charAt(i)
+            if (c.isLetter) sb.append('\'').append(c).append('\'')
+            else sb.append(c)
+            i += 1
+        }
+      }
+      sb.toString
+    }
+    to_timestamp(initcapPg(s), javaPattern)
+  }
+
+  def toDatePg(s: Column, pattern: String): Column =
+    toTimestampPg(s, pattern).cast("date")
+
   // ----------------------------------------------------------- date_bin
 
   /** PG `date_bin(stride, source, origin)`: floor `source` to a grid of
@@ -211,6 +239,16 @@ object PgFunctions {
           s"date_bin: unsupported stride $other")
       }
       dateBin(micros, src, origin)
+    }
+    reg("pg_to_timestamp") { case Seq(s, p) =>
+      val pat = GraftBridge.expression(p)
+      require(pat.foldable, "pg_to_timestamp pattern must be a constant")
+      toTimestampPg(s, pat.eval(null).toString)
+    }
+    reg("pg_to_date") { case Seq(s, p) =>
+      val pat = GraftBridge.expression(p)
+      require(pat.foldable, "pg_to_date pattern must be a constant")
+      toDatePg(s, pat.eval(null).toString)
     }
     reg("pg_date_trunc") { case Seq(f, ts) =>
       val e = GraftBridge.expression(f)

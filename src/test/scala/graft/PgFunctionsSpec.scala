@@ -57,6 +57,15 @@ class PgFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(toChar(ts, """"at" HH24"h"""")) == "at 20h")
   }
 
+  test("to_timestamp/to_date parse PG patterns") {
+    assert(one(toTimestampPg(lit("2001-02-16 20:38:40"),
+      "YYYY-MM-DD HH24:MI:SS")).toString == "2001-02-16 20:38:40.0")
+    assert(one(toDatePg(lit("16 Feb 2001"), "DD Mon YYYY")).toString ==
+      "2001-02-16")
+    assert(one(toDatePg(lit("16 FEB 2001"), "DD Mon YYYY")).toString ==
+      "2001-02-16") // case-normalized input
+  }
+
   test("date_bin floors onto a stride grid anchored at origin") {
     val ts = lit("2001-02-16 20:38:40").cast("timestamp")
     val origin = lit("2001-01-01 00:00:00").cast("timestamp")
