@@ -1,0 +1,132 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.types._
+
+/** Export a lake table's metadata in Apache Iceberg v2 table-metadata
+  * JSON structure (field names/layout per the public Iceberg spec) — the
+  * interop direction the reference serves via its object-store catalog
+  * export (pg_lake_iceberg/src/object_store_catalog/…; external engines
+  * read pg_lake tables by metadata.json, docs/iceberg-tables.md:653-698).
+  *
+  * Scope: `vN.metadata.json` + JSON manifest listings. Manifests are
+  * exported as JSON (not Avro) — readable by anything that can follow
+  * the spec's field names, and structured so an Avro writer can be
+  * slotted in (avro-1.12 is on the classpath); flagged in properties as
+  * `graft.manifest-format=json`.
+  */
+object IcebergExport {
+
+  private def icebergType(dt: DataType): Any = dt match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case a: ArrayType => Map(
+      "type" -> "list", "element-id" -> -1,
+      "element" -> icebergType(a.elementType),
+      "element-required" -> !a.containsNull)
+    case m: MapType => Map(
+      "type" -> "map", "key-id" -> -1, "value-id" -> -1,
+      "key" -> icebergType(m.keyType), "value" -> icebergType(m.valueType),
+      "value-required" -> !m.valueContainsNull)
+    case s: StructType => Map(
+      "type" -> "struct",
+      "fields" -> s.fields.map(f => Map(
+        "id" -> -1, "name" -> f.name, "required" -> !f.nullable,
+        "type" -> icebergType(f.dataType))).toList)
+    case other => other.simpleString
+  }
+
+  private def transformName(t: String): String = t match {
+    case "identity" => "identity"
+    case "year" => "year"
+    case "month" => "month"
+    case "day" => "day"
+    case "hour" => "hour"
+    case b if b.startsWith("bucket[") =>
+      "bucket[" + b.stripPrefix("bucket[").stripSuffix("]") + "]"
+    case tr if tr.startsWith("truncate[") =>
+      "truncate[" + tr.stripPrefix("truncate[").stripSuffix("]") + "]"
+    case other => other
+  }
+
+  /** Write metadata.json (+ per-snapshot manifest listings) under
+    * `outDir`; returns the metadata file path. */
+  def export(tbl: LakeTable, outDir: String): String = {
+    val meta = tbl.meta
+    val schema = StructType.fromDDL(meta.schemaDdl)
+    val ids = meta.fieldIds.map(f => f.name -> f.id).toMap
+    Files.createDirectories(Paths.get(outDir, "metadata"))
+
+    val fields = schema.fields.map { f =>
+      Map("id" -> ids.getOrElse(f.name, -1), "name" -> f.name,
+        "required" -> !f.nullable, "type" -> icebergType(f.dataType))
+    }.toList
+    val specFields = meta.partitionSpec.zipWithIndex.map { case (pf, i) =>
+      Map("name" -> pf.partName, "transform" -> transformName(pf.transform),
+        "source-id" -> ids.getOrElse(pf.column, -1), "field-id" -> (1000 + i))
+    }
+    val snapshots = meta.snapshots.map { s =>
+      val manifestList = s"manifest-list-${s.id}.json"
+      val entries = MetadataIO.liveFiles(tbl.dir, s).map { f =>
+        Map(
+          "status" -> 1, "content" -> 0,
+          "file_path" -> f.path, "file_format" -> "PARQUET",
+          "record_count" -> f.rowCount, "file_size_in_bytes" -> f.sizeBytes,
+          "partition" -> f.partition)
+      }
+      writeJson(Paths.get(outDir, "metadata", manifestList).toString, entries)
+      Map(
+        "snapshot-id" -> s.id,
+        "timestamp-ms" -> s.timestampMs,
+        "summary" -> (s.summary + ("operation" -> s.operation)),
+        "manifest-list" -> s"metadata/$manifestList",
+        "schema-id" -> 0)
+    }
+    val doc = Map(
+      "format-version" -> 2,
+      "table-uuid" -> java.util.UUID.nameUUIDFromBytes(
+        tbl.dir.getBytes(StandardCharsets.UTF_8)).toString,
+      "location" -> tbl.dir,
+      "last-sequence-number" -> meta.snapshots.size,
+      "last-updated-ms" -> meta.snapshots.map(_.timestampMs).max,
+      "last-column-id" -> (meta.fieldIds.map(_.id) :+ 0).max,
+      "current-schema-id" -> 0,
+      "schemas" -> List(Map("type" -> "struct", "schema-id" -> 0,
+        "fields" -> fields)),
+      "default-spec-id" -> 0,
+      "partition-specs" -> List(Map("spec-id" -> 0, "fields" -> specFields)),
+      "last-partition-id" -> (999 + meta.partitionSpec.size),
+      "default-sort-order-id" -> 0,
+      "sort-orders" -> List(Map("order-id" -> 0, "fields" -> Nil)),
+      "properties" -> (meta.properties + ("graft.manifest-format" -> "json")),
+      "current-snapshot-id" -> meta.currentSnapshotId,
+      "snapshots" -> snapshots,
+      "snapshot-log" -> meta.snapshots.map(s =>
+        Map("snapshot-id" -> s.id, "timestamp-ms" -> s.timestampMs)),
+      "metadata-log" -> Nil)
+    val out = Paths.get(outDir, "metadata",
+      s"v${MetadataIO.currentVersion(tbl.dir).getOrElse(1)}.metadata.json")
+      .toString
+    writeJson(out, doc)
+    out
+  }
+
+  private def writeJson(path: String, v: Any): Unit = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    Files.write(Paths.get(path),
+      org.json4s.jackson.Serialization.writePretty(
+        org.json4s.Extraction.decompose(v))
+        .getBytes(StandardCharsets.UTF_8))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter keys — the manual complement to AQE's
+  * skew-join splitting for the cases AQE can't rewrite (aggregations, or
+  * joins where one key dominates a partition at 100 TB).
+  */
+object Skew {
+
+  /** Salted two-phase aggregation: partial-aggregate on (key, salt),
+    * then final-aggregate on key. `numSalts` fan-out bounds any single
+    * reducer's share of a hot key to 1/numSalts. The salt is derived
+    * (hash of all columns), not random — deterministic retries. */
+  def saltedCount(df: DataFrame, keyCol: String,
+      numSalts: Int = 16): DataFrame = {
+    df.withColumn("_salt", pmod(xxhash64(struct(df.columns.map(col): _*)),
+        lit(numSalts)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keyCol)
+      .agg(sum("_partial").as("n"))
+  }
+
+  /** Salted join of a skewed fact against a dimension: the fact side gets
+    * a derived salt in [0, numSalts); the dim side is exploded numSalts
+    * ways so every (key, salt) bucket finds its dim row. Correct for any
+    * join where dim keys are unique; fact hot keys spread across
+    * numSalts tasks. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, numSalts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(numSalts)))
+    val saltedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(numSalts - 1L))))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+        saltedFact("_salt") === saltedDim("_salt"))
+      .drop("_salt")
+  }
+}

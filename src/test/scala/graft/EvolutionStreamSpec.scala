@@ -124,6 +124,50 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       == li.count())
   }
 
+  test("iceberg metadata export is spec-shaped") {
+    val dir = tmp()
+    val tbl = Engine.ctas(spark, dir, Tables.load(spark, sf, "orders"),
+      spec = List(PartitionField("o_orderdate", "month")))
+    Engine.delete(tbl, col("o_totalprice") < 1000)
+    val out = Files.createTempDirectory("iceberg_export").toString
+    val metaPath = graft.core.IcebergExport.export(tbl, out)
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(metaPath)))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val doc = org.json4s.jackson.JsonMethods.parse(json)
+    assert((doc \ "format-version").extract[Int] == 2)
+    assert((doc \ "current-snapshot-id").extract[Long] ==
+      tbl.meta.currentSnapshotId)
+    val fields = (doc \ "schemas")(0) \ "fields"
+    assert(fields.children.size == tbl.schema.fields.length)
+    val specs = ((doc \ "partition-specs")(0) \ "fields")(0)
+    assert((specs \ "transform").extract[String] == "month")
+    // manifest listing for the current snapshot exists and counts match
+    val mf = (doc \ "snapshots").children
+      .find(s => (s \ "snapshot-id").extract[Long] ==
+        tbl.meta.currentSnapshotId).get
+    val listing = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      out, (mf \ "manifest-list").extract[String])))
+    val entries = org.json4s.jackson.JsonMethods.parse(listing).children
+    assert(entries.size == tbl.liveFiles.size)
+  }
+
+  test("salted aggregation and join match their unsalted plans") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val plain = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.ops.Skew.saltedCount(li, "l_returnflag")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    val dim = Tables.load(spark, sf, "nation")
+    val plainJoin = li.join(dim, col("l_suppkey") % 25 === col("n_nationkey"))
+      .count()
+    val saltedJoin = graft.ops.Skew.saltedJoin(
+      li.withColumn("nk", col("l_suppkey") % 25), dim, "nk", "n_nationkey")
+      .count()
+    assert(saltedJoin == plainJoin)
+  }
+
   test("file utility surface: list/size/exists") {
     val dir = tmp()
     val tbl = Engine.ctas(spark, dir, Tables.load(spark, sf, "region"))
