@@ -20,14 +20,14 @@ object SparkEntry {
   private def batches = Seq(
     qb.QTpch.queries, qb.QTpch2.queries, qb.QTypes.queries, qb.QRel.queries, qb.QAgg.queries, qb.QWin.queries,
     qb.QSub.queries, qb.QFunc.queries, qb.QLake.queries, qb.QPipe.queries, qb.QPgShim.queries,
-    qb.QMisc.queries)
+    qb.QMisc.queries, qb.QClick.queries)
 
   private def oracleBatches = Seq(
     qb.QTpch.oracleSql, qb.QTpch2.oracleSql, qb.QTypes.oracleSql,
     qb.QRel.oracleSql, qb.QAgg.oracleSql,
     qb.QWin.oracleSql, qb.QSub.oracleSql, qb.QFunc.oracleSql,
     qb.QLake.oracleSql, qb.QPipe.oracleSql, qb.QPgShim.oracleSql,
-    qb.QMisc.oracleSql)
+    qb.QMisc.oracleSql, qb.QClick.oracleSql)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     batches.reduce(_ ++ _)
