@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.StructType
   */
 class LakeFileIndex(tbl: LakeTable) extends FileIndex {
 
-  private val files: List[DataFile] = tbl.liveFiles
+  // delete files have their own schema and are applied as an anti-join
+  // on top (LakeTable.applyPositionDeletes), never listed to the scan
+  private val files: List[DataFile] = tbl.liveFiles.filterNot(_.isDelete)
   private val schema: StructType = tbl.schema
   private val spec: List[PartitionField] = tbl.meta.partitionSpec
 

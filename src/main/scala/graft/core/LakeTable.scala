@@ -41,13 +41,39 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
   def liveFilesAt(snapshotId: Long): List[DataFile] =
     meta.snapshot(snapshotId).map(MetadataIO.liveFiles(dir, _)).getOrElse(Nil)
 
+  /** Schema of position-delete files (Iceberg v2 layout: file_path,
+    * pos — position_delete_dest.c:40-120). */
+  val deleteSchema: StructType = StructType.fromDDL(
+    "file_path STRING, pos BIGINT")
+
   private def readFiles(files: List[DataFile]): DataFrame = {
     // match parquet columns by field id (rename-safe), not by name
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], schema) // typed empty relation
-    else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    val (deletes, data) = files.partition(_.isDelete)
+    val base =
+      if (data.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema) // typed empty relation
+      else spark.read.schema(schema).parquet(data.map(_.path): _*)
+    if (deletes.isEmpty || data.isEmpty) base
+    else applyPositionDeletes(base, deletes)
+  }
+
+  /** Merge-on-read: anti-join the data rows against the position-delete
+    * files on (file, row position). Filters on data columns still push
+    * through the anti-join into the scan. */
+  private[graft] def applyPositionDeletes(base: DataFrame,
+      deletes: List[DataFile]): DataFrame = {
+    val del = spark.read.schema(deleteSchema)
+      .parquet(deletes.map(_.path): _*)
+    val tagged = base
+      .withColumn("_file",
+        regexp_replace(input_file_name(), "^file:/*", "/"))
+      .withColumn("_pos", col("_metadata.row_index"))
+    tagged.join(del,
+        tagged("_file") === del("file_path") && tagged("_pos") === del("pos"),
+        "left_anti")
+      .drop("_file", "_pos")
   }
 
   /** Full scan of the current snapshot. */
@@ -61,11 +87,12 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
     * predicate is additionally applied as a normal filter (so Catalyst
     * pushes it into the parquet row groups as well). */
   def scan(pred: Column): (DataFrame, Pruning.ScanStats) = {
-    val files = liveFiles
+    val (deletes, data) = liveFiles.partition(_.isDelete)
     val (mustRead, skipped, full) = Pruning.partitionFiles(
       Some(GraftBridge.resolvePredicate(spark, schema, pred)),
-      schema, meta.partitionSpec, files)
-    (readFiles(mustRead).filter(pred),
+      schema, meta.partitionSpec, data)
+    // delete files are never pruned by data predicates
+    (readFiles(mustRead ++ deletes).filter(pred),
       Pruning.ScanStats(mustRead.size, skipped.size, full.size))
   }
 
@@ -82,7 +109,11 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
       index, new StructType(), schema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty)(classic)
-    (classic.baseRelationToDataFrame(relation), index)
+    val base = classic.baseRelationToDataFrame(relation)
+    val deletes = liveFiles.filter(_.isDelete)
+    val df = if (deletes.isEmpty) base
+      else applyPositionDeletes(base, deletes)
+    (df, index)
   }
 
   /** `lake_iceberg.snapshots`-style inspection. */

@@ -34,7 +34,13 @@ final case class DataFile(
     /** partName -> stringified transform value */
     partition: Map[String, String],
     /** column name -> stats (stringified; typed by the table schema) */
-    stats: Map[String, ColStat])
+    stats: Map[String, ColStat],
+    /** Iceberg-v2 content kind: None/Some(0)=data, Some(1)=position
+      * deletes (lake_table.files content column,
+      * pg_lake_table--3.0.sql:92-128). */
+    content: Option[Int] = None) {
+  def isDelete: Boolean = content.contains(1)
+}
 
 final case class Snapshot(
     id: Long,

@@ -227,6 +227,7 @@ object Engine {
   /** COW DELETE: metadata-only drop for provably-full-match files, file
     * rewrite (anti-filter) for partially matching ones. */
   def delete(tbl: LakeTable, pred: Column): DmlResult = {
+    flushDeletes(tbl) // COW rewrites read raw files; clear pending MOR deletes
     val files = tbl.liveFiles
     val (mustRead, _, fullMatch) = Pruning.partitionFiles(
       Some(GraftBridge.resolvePredicate(tbl.spark, tbl.schema, pred)),
@@ -247,11 +248,84 @@ object Engine {
       fullMatch.map(_.rowCount).sum + matches.values.sum)
   }
 
+  /** Merge-on-read DELETE: write an Iceberg-v2-style position-delete file
+    * (file_path, pos) instead of rewriting data files — the reference's
+    * alternative delete path (position_delete_dest.c:40-120;
+    * ShouldRewriteAfterDeletions decides between the two,
+    * writable_table.c:648). Full-match files still drop metadata-only.
+    * Reads anti-join the delete files until `flushDeletes` compacts them
+    * away. */
+  def deleteMor(tbl: LakeTable, pred: Column): DmlResult = {
+    val (dels, data) = tbl.liveFiles.partition(_.isDelete)
+    val (mustRead, _, fullMatch) = Pruning.partitionFiles(
+      Some(GraftBridge.resolvePredicate(tbl.spark, tbl.schema, pred)),
+      tbl.schema, tbl.meta.partitionSpec, data)
+    val fullPaths = fullMatch.map(_.path).toSet
+    val candidates = mustRead.filterNot(f => fullPaths.contains(f.path))
+    var added: List[DataFile] = Nil
+    var posCount = 0L
+    if (candidates.nonEmpty) {
+      val raw = tbl.spark.read.schema(tbl.schema)
+        .parquet(candidates.map(_.path): _*)
+        .withColumn("_file",
+          regexp_replace(input_file_name(), "^file:/*", "/"))
+        .withColumn("_pos", col("_metadata.row_index"))
+      // rows already deleted by existing delete files must not be
+      // re-deleted (harmless) — but rows they cover stay covered anyway
+      val pos = raw.filter(pred)
+        .select(col("_file").as("file_path"), col("_pos").as("pos"))
+      val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
+      pos.coalesce(1).write.parquet(staging.toString)
+      val dataDir = MetadataIO.dataDir(tbl.dir)
+      val stream = Files.walk(staging)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { p =>
+          val dest = dataDir.resolve(s"delete-${UUID.randomUUID()}.parquet")
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          val footer = ParquetStats.read(dest.toString)
+          if (footer.rowCount > 0) {
+            added = DataFile(dest.toString, footer.rowCount,
+              footer.sizeBytes, Map.empty, footer.stats,
+              content = Some(1)) :: added
+            posCount += footer.rowCount
+          } else Files.delete(dest)
+        }
+      finally stream.close()
+      deleteRecursively(staging)
+    }
+    commitSnapshot(tbl, "delete-mor", fullPaths, added)
+    DmlResult(0, fullMatch.size, data.size - fullMatch.size,
+      fullMatch.map(_.rowCount).sum + posCount)
+  }
+
+  /** Flush pending position deletes: rewrite only the data files they
+    * touch, then drop the delete files (the VACUUM "flush deletion
+    * queue" step, ddl/vacuum.c). Returns rewritten file count. */
+  def flushDeletes(tbl: LakeTable): Int = {
+    val (dels, data) = tbl.liveFiles.partition(_.isDelete)
+    if (dels.isEmpty) return 0
+    val affected = tbl.spark.read.schema(tbl.deleteSchema)
+      .parquet(dels.map(_.path): _*)
+      .select("file_path").distinct().collect()
+      .map(r => normPath(r.getString(0))).toSet
+    val rewrite = data.filter(f => affected.contains(normPath(f.path)))
+    val newFiles = rewrite.groupBy(_.partition).toList.flatMap {
+      case (partition, group) =>
+        val raw = tbl.spark.read.schema(tbl.schema)
+          .parquet(group.map(_.path): _*)
+        writeRaw(tbl, tbl.applyPositionDeletes(raw, dels), partition)
+    }
+    commitSnapshot(tbl, "flush-deletes",
+      rewrite.map(_.path).toSet ++ dels.map(_.path), newFiles)
+    rewrite.size
+  }
+
   /** COW UPDATE: rewrite matched files as (unmatched rows) ∪ (matched rows
     * with assignments applied) — writes.md:15-37 without the reinsert
     * round-trip. */
   def update(tbl: LakeTable, pred: Column,
       assignments: Map[String, Column]): DmlResult = {
+    flushDeletes(tbl) // COW rewrites read raw files; clear pending MOR deletes
     val files = tbl.liveFiles
     val (mustRead, _, _) = Pruning.partitionFiles(
       Some(GraftBridge.resolvePredicate(tbl.spark, tbl.schema, pred)),
@@ -323,8 +397,9 @@ object Engine {
     * reference's MaxCompactionsPerVacuum (ddl/vacuum.c:70-71). */
   def compact(tbl: LakeTable, targetBytes: Long = 128L * 1024 * 1024,
       maxRounds: Int = 100): Int = {
+    flushDeletes(tbl) // compaction rewrites raw files
     var rounds = 0
-    val files = tbl.liveFiles
+    val files = tbl.liveFiles.filterNot(_.isDelete)
     val groups = files.groupBy(_.partition).toList
     var keep = scala.collection.mutable.ListBuffer[DataFile]()
     var added = scala.collection.mutable.ListBuffer[DataFile]()

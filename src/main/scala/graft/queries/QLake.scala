@@ -71,6 +71,24 @@ object QLake {
         .orderBy("l_linestatus")
     },
 
+    // merge-on-read DELETE: position-delete files + anti-join reads
+    // (position_delete_dest.c path), flushed before the final aggregate
+    "q_lake_delete_mor" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("mor"), li)
+      Engine.deleteMor(tbl, col("l_discount") > 0.08)
+      val viaMor = tbl.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      // flush must not change results
+      Engine.flushDeletes(tbl)
+      val viaFlushed = tbl.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      require(viaMor.orderBy("l_returnflag").collect()
+        .sameElements(viaFlushed.orderBy("l_returnflag").collect()),
+        "MOR read and flushed read disagree")
+      viaFlushed.orderBy("l_returnflag")
+    },
+
     // snapshot isolation: read the pre-delete snapshot after a delete
     "q_lake_timetravel" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -125,6 +143,13 @@ object QLake {
       """SELECT l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_lake_delete_mor" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_discount > 0.08)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lake_timetravel" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -149,6 +149,36 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.toDF.count() == li.count())
   }
 
+  test("merge-on-read delete: position-delete files, then flush") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.ctas(spark, dir, li)
+    val before = li.count()
+    val nDel = li.filter(col("l_quantity") < 5).count()
+    val res = Engine.deleteMor(tbl, col("l_quantity") < 5)
+    assert(res.matchedRows == nDel, s"$res")
+    // no data file was rewritten — a position-delete file appeared
+    assert(tbl.liveFiles.exists(_.isDelete))
+    assert(res.rewrittenFiles == 0)
+    assert(tbl.toDF.count() == before - nDel)
+    assert(tbl.toDF.filter(col("l_quantity") < 5).count() == 0)
+    // a second MOR delete stacks
+    val nDel2 = tbl.toDF.filter(col("l_quantity") > 45).count()
+    Engine.deleteMor(tbl, col("l_quantity") > 45)
+    assert(tbl.toDF.count() == before - nDel - nDel2)
+    // transparent SQL path also applies deletes
+    Engine.registerTable(tbl, "mor_t")
+    assert(spark.sql("SELECT count(*) FROM mor_t").head().getLong(0) ==
+      before - nDel - nDel2)
+    // flush rewrites affected files and drops the delete files
+    val rewritten = Engine.flushDeletes(tbl)
+    assert(rewritten > 0)
+    assert(!tbl.liveFiles.exists(_.isDelete))
+    assert(tbl.toDF.count() == before - nDel - nDel2)
+    assert(tbl.toDF.filter(col("l_quantity") < 5 ||
+      col("l_quantity") > 45).count() == 0)
+  }
+
   test("compaction merges small files and preserves data") {
     val dir = tmp()
     val n = Tables.load(spark, sf, "nation")
