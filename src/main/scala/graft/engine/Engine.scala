@@ -298,6 +298,22 @@ object Engine {
       fullMatch.map(_.rowCount).sum + posCount)
   }
 
+  /** Merge-on-read UPDATE: position-delete the matched rows and append
+    * the updated versions as new files — the reference's delete+reinsert
+    * formulation (writes.md:15-37) without touching unmatched rows. */
+  def updateMor(tbl: LakeTable, pred: Column,
+      assignments: Map[String, Column]): DmlResult = {
+    val cols = tbl.schema.fieldNames
+    val updatedRows = tbl.toDF.filter(pred).select(cols.map { c =>
+      assignments.get(c).map(_.as(c)).getOrElse(col(c))
+    }: _*).cache()
+    val nUpdated = updatedRows.count()
+    val res = deleteMor(tbl, pred)
+    if (nUpdated > 0) insert(tbl, updatedRows)
+    updatedRows.unpersist()
+    res.copy(matchedRows = nUpdated)
+  }
+
   /** Flush pending position deletes: rewrite only the data files they
     * touch, then drop the delete files (the VACUUM "flush deletion
     * queue" step, ddl/vacuum.c). Returns rewritten file count. */

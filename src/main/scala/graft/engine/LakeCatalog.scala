@@ -1,0 +1,69 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{LakeTable, PartitionField}
+
+/** Name → table-directory catalog rooted at a warehouse path — the
+  * local-FS analogue of the reference's catalog surface (tables are
+  * addressed by name, resolution happens at query time;
+  * pg_lake_iceberg/src/object_store_catalog/object_store_catalog.c keeps
+  * the same "directory layout IS the catalog" shape). REST/Polaris
+  * integrations (network) stay out of scope; this trait seam is where
+  * they would plug in.
+  */
+final class LakeCatalog(val spark: SparkSession, val root: String) {
+
+  private def dirFor(name: String): String = {
+    require(name.matches("[A-Za-z0-9_.]+"), s"invalid table name $name")
+    Paths.get(root, name).toString
+  }
+
+  def createTable(name: String, schemaDdl: String,
+      spec: List[PartitionField] = Nil): LakeTable =
+    Engine.create(spark, dirFor(name), schemaDdl, spec)
+
+  def ctas(name: String, df: DataFrame,
+      spec: List[PartitionField] = Nil): LakeTable =
+    Engine.ctas(spark, dirFor(name), df, spec)
+
+  def table(name: String): LakeTable = {
+    require(tableExists(name), s"no such table $name")
+    LakeTable.load(spark, dirFor(name))
+  }
+
+  def tableExists(name: String): Boolean = LakeTable.exists(dirFor(name))
+
+  def listTables(): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(d => LakeTable.exists(d.toString))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  def dropTable(name: String): Unit = {
+    val p = Paths.get(dirFor(name))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+  }
+
+  /** Register every catalog table as a (pruning) view and run SQL. */
+  def sql(query: String): DataFrame = {
+    graft.functions.PgFunctions.registerAll(spark)
+    listTables().foreach(n => Engine.registerTable(table(n), n))
+    spark.sql(query)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Minimal WKB geometry subset — POINT only, clearly scoped.
+  *
+  * The reference ships 106 ST_* functions by delegating to DuckDB
+  * spatial (pg_lake_engine/src/pgduck/shippable_spatial_functions.c) and
+  * stores geometry as WKB blobs in parquet (geoparquet.c). No JTS jar is
+  * available here (SURVEY §7.3 scopes this to a minimal subset), so this
+  * implements the point algebra that covers the common predicates:
+  * st_point, st_x, st_y, st_astext, st_distance, st_dwithin — enough for
+  * point-in-radius joins and distance filters over WKB columns, and the
+  * seam where a full geometry lib would plug in.
+  */
+object Geo {
+
+  /** 21-byte little-endian WKB POINT. */
+  def encodePoint(x: Double, y: Double): Array[Byte] = {
+    val b = ByteBuffer.allocate(21).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte) // little-endian marker
+    b.putInt(1) // POINT
+    b.putDouble(x)
+    b.putDouble(y)
+    b.array()
+  }
+
+  def decodePoint(wkb: Array[Byte]): Option[(Double, Double)] = {
+    if (wkb == null || wkb.length < 21) return None
+    val order = if (wkb(0) == 1) ByteOrder.LITTLE_ENDIAN
+      else ByteOrder.BIG_ENDIAN
+    val b = ByteBuffer.wrap(wkb, 1, wkb.length - 1).order(order)
+    val geomType = b.getInt
+    if ((geomType & 0xff) != 1) None // POINT only
+    else Some((b.getDouble, b.getDouble))
+  }
+
+  case class StPoint(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(x: Any, y: Any): Any =
+      encodePoint(x.asInstanceOf[Double], y.asInstanceOf[Double])
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StPoint = copy(left = l, right = r)
+  }
+
+  abstract class PointCoord extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    protected def pick(xy: (Double, Double)): Double
+    override def nullSafeEval(v: Any): Any =
+      decodePoint(v.asInstanceOf[Array[Byte]]).map(pick).orNull
+  }
+
+  case class StX(child: Expression) extends PointCoord {
+    protected def pick(xy: (Double, Double)): Double = xy._1
+    override protected def withNewChildInternal(c: Expression): StX = copy(c)
+  }
+
+  case class StY(child: Expression) extends PointCoord {
+    protected def pick(xy: (Double, Double)): Double = xy._2
+    override protected def withNewChildInternal(c: Expression): StY = copy(c)
+  }
+
+  case class StAsText(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      decodePoint(v.asInstanceOf[Array[Byte]]).map { case (x, y) =>
+        UTF8String.fromString(s"POINT($x $y)")
+      }.orNull
+    override protected def withNewChildInternal(c: Expression): StAsText =
+      copy(c)
+  }
+
+  case class StDistance(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      (decodePoint(a.asInstanceOf[Array[Byte]]),
+        decodePoint(b.asInstanceOf[Array[Byte]])) match {
+        case (Some((x1, y1)), Some((x2, y2))) =>
+          math.hypot(x1 - x2, y1 - y2)
+        case _ => null
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StDistance = copy(left = l, right = r)
+  }
+
+  // Column API
+  def st_point(x: Column, y: Column): Column =
+    GraftBridge.column(StPoint(GraftBridge.eagerExpression(x.cast("double")),
+      GraftBridge.eagerExpression(y.cast("double"))))
+  def st_x(g: Column): Column =
+    GraftBridge.column(StX(GraftBridge.eagerExpression(g)))
+  def st_y(g: Column): Column =
+    GraftBridge.column(StY(GraftBridge.eagerExpression(g)))
+  def st_astext(g: Column): Column =
+    GraftBridge.column(StAsText(GraftBridge.eagerExpression(g)))
+  def st_distance(a: Column, b: Column): Column =
+    GraftBridge.column(StDistance(GraftBridge.eagerExpression(a),
+      GraftBridge.eagerExpression(b)))
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    st_distance(a, b) <= d
+
+  def registerAll(spark: SparkSession): Unit = {
+    def reg(name: String)(builder: Seq[Column] => Column): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+        exprs => GraftBridge.eagerExpression(
+          builder(exprs.map(GraftBridge.column))), "built-in")
+    reg("st_point") { case Seq(x, y) => st_point(x, y) }
+    reg("st_x") { case Seq(g) => st_x(g) }
+    reg("st_y") { case Seq(g) => st_y(g) }
+    reg("st_astext") { case Seq(g) => st_astext(g) }
+    reg("st_distance") { case Seq(a, b) => st_distance(a, b) }
+    reg("st_dwithin") { case Seq(a, b, d) => st_dwithin(a, b, d) }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{Engine, LakeCatalog}
+import graft.functions.Geo
+
+class CatalogGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("catalog: create/list/resolve/sql/drop by name") {
+    val root = Files.createTempDirectory("warehouse").toString
+    val cat = new LakeCatalog(spark, root)
+    cat.ctas("nation", Tables.load(spark, sf, "nation"))
+    cat.ctas("region", Tables.load(spark, sf, "region"))
+    assert(cat.listTables() == Seq("nation", "region"))
+    assert(cat.table("nation").toDF.count() == 25)
+    val out = cat.sql(
+      """SELECT r_name, count(*) AS n
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    assert(out.count() == 5)
+    cat.dropTable("region")
+    assert(cat.listTables() == Seq("nation"))
+    assert(!cat.tableExists("region"))
+  }
+
+  test("updateMor: delete+reinsert semantics without rewriting unmatched files") {
+    val root = Files.createTempDirectory("mor_upd").toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.ctas(spark, root, li)
+    val nMatch = li.filter(col("l_returnflag") === "R").count()
+    val res = Engine.updateMor(tbl, col("l_returnflag") === "R",
+      Map("l_linestatus" -> lit("Z")))
+    assert(res.matchedRows == nMatch)
+    assert(tbl.toDF.count() == li.count())
+    assert(tbl.toDF.filter(col("l_linestatus") === "Z").count() == nMatch)
+    assert(tbl.toDF.filter(col("l_returnflag") === "R" &&
+      col("l_linestatus") =!= "Z").count() == 0)
+    // flush then recheck
+    Engine.flushDeletes(tbl)
+    assert(tbl.toDF.count() == li.count())
+    assert(tbl.toDF.filter(col("l_linestatus") === "Z").count() == nMatch)
+  }
+
+  test("WKB point geometry: encode/decode/distance/dwithin") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.0, 0.0), (2L, 3.0, 4.0), (3L, 10.0, 0.0))
+      .toDF("id", "x", "y")
+      .withColumn("g", Geo.st_point(col("x"), col("y")))
+    // coordinates round-trip through WKB
+    val back = pts.select(col("id"), Geo.st_x(col("g")).as("bx"),
+      Geo.st_y(col("g")).as("by"), Geo.st_astext(col("g")).as("txt"))
+      .orderBy("id").collect()
+    assert(back(1).getDouble(1) == 3.0 && back(1).getDouble(2) == 4.0)
+    assert(back(0).getString(3) == "POINT(0.0 0.0)")
+    // distance + dwithin radius join
+    val origin = Geo.st_point(lit(0.0), lit(0.0))
+    val d = pts.select(col("id"), Geo.st_distance(col("g"), origin).as("d"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(d.toSeq == Seq(0.0, 5.0, 10.0))
+    assert(pts.filter(Geo.st_dwithin(col("g"), origin, lit(6.0))).count() == 2)
+    // SQL registration
+    Geo.registerAll(spark)
+    val r = spark.sql(
+      "SELECT st_astext(st_point(1.5, -2.5)) AS t, " +
+        "st_distance(st_point(0,0), st_point(3,4)) AS d").head()
+    assert(r.getString(0) == "POINT(1.5 -2.5)")
+    assert(r.getDouble(1) == 5.0)
+    // WKB blobs survive a parquet round-trip (GeoParquet storage shape)
+    val dir = Files.createTempDirectory("geo").toString
+    pts.select("id", "g").write.parquet(s"$dir/pts")
+    val rt = spark.read.parquet(s"$dir/pts")
+      .select(Geo.st_x(col("g"))).collect().map(_.getDouble(0)).sorted
+    assert(rt.toSeq == Seq(0.0, 3.0, 10.0))
+  }
+}
