@@ -112,6 +112,38 @@ object Similarity {
     topK(df.filter(cond), idCol, vecCol, query, k)
   }
 
+  /** IVF (inverted-file) index: KMeans centroids as the coarse
+    * quantizer; every vector lands in its nearest-centroid cell. Queries
+    * probe the `nProbe` nearest cells only — the classic ANN layout for
+    * clustered embedding spaces (complements sign-LSH, which needs no
+    * training). Returns the cell-assigned corpus and the centroids. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, k: Int = 16,
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("_features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("_features").fit(feat)
+    val assigned = model.transform(feat)
+      .withColumnRenamed("prediction", "ivf_cell")
+      .drop("_features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** ANN top-k through an IVF index: probe the nProbe nearest cells. */
+  def ivfTopK(indexed: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], kNN: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }
+    val probes = dists.sortBy(_._2).take(nProbe).map(_._1)
+    topK(indexed.filter(col("ivf_cell").isin(probes.map(Int.box): _*)),
+      idCol, vecCol, query, kNN)
+  }
+
   /** All near pairs above a cosine threshold via bucket-join (corpus
     * self-join restricted to equal buckets — the scalable near-dup path
     * for embedding-cosine dedup). */

@@ -99,6 +99,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanned < e.count(), "ANN probed the whole corpus")
   }
 
+  test("IVF ANN: kmeans cells, probe-limited search, sane recall") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val query = e.filter(col("vec_id") === 11)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val exact = Similarity.topK(e, "vec_id", "embedding", query, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (indexed, centroids) = Similarity.ivfIndex(e, "vec_id", "embedding",
+      k = 8)
+    val cached = indexed.cache()
+    assert(cached.select("ivf_cell").distinct().count() <= 8)
+    val ann = Similarity.ivfTopK(cached, "vec_id", "embedding", query, 10,
+        centroids, nProbe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall < 0.4")
+    // probe set is a strict subset of the corpus
+    val probed = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        (i, c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      val cells = dists.sortBy(_._2).take(3).map(_._1)
+      cached.filter(col("ivf_cell").isin(cells.map(Int.box): _*)).count()
+    }
+    assert(probed < e.count(), "IVF probed the whole corpus")
+    cached.unpersist()
+  }
+
   test("near-pair embedding dedup via bucket join") {
     val e = Tables.load(spark, sf, "embeddings").limit(200)
     // plant exact duplicates
