@@ -566,6 +566,27 @@ object Engine {
       case other => throw new IllegalArgumentException(s"format $other")
     }
 
+  /** Log-format scan: regex-template projection over raw text — the
+    * reference's S3-access-log reader (GetLogFormatRegex,
+    * read_data.c:70; docs/file-formats-reference.md:137-156). Each
+    * capture group becomes a column. */
+  val s3AccessLogRegex: String =
+    """(\S+) (\S+) \[([^\]]+)\] (\S+) (\S+) "([^"]*)" (\d{3}) (\d+|-)"""
+
+  val s3AccessLogColumns: Seq[String] = Seq(
+    "bucket", "remote_ip", "request_time", "requester", "operation",
+    "request_uri", "http_status", "bytes_sent")
+
+  def readLogFormat(spark: SparkSession, path: String,
+      regex: String = s3AccessLogRegex,
+      columns: Seq[String] = s3AccessLogColumns): DataFrame = {
+    val raw = spark.read.text(path)
+    raw.select(columns.zipWithIndex.map { case (name, i) =>
+      regexp_extract(col("value"), regex, i + 1).as(name)
+    }: _*)
+      .filter(col(columns.head) =!= "") // drop non-matching lines
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       val stream = Files.walk(p)

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.Engine
+
+/** Format-handling depth: log-format regex scans, nested-JSON schema
+  * inference, CSV dialect options — the reference's format surface
+  * (read_data.c, csv_options.c, json_reader.c, test_column_inference.py,
+  * test_complex_types.py).
+  */
+class FormatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("log-format scan: s3-access-log regex template projection") {
+    val d = Files.createTempDirectory("logs")
+    Files.write(d.resolve("access.log"),
+      ("""mybucket 192.168.1.10 [06/Feb/2019:00:00:38 +0000] arn:aws:iam us-east-1 "GET /key1 HTTP/1.1" 200 1024
+         |mybucket 10.0.0.7 [06/Feb/2019:00:01:00 +0000] arn:aws:iam us-east-1 "PUT /key2 HTTP/1.1" 403 -
+         |this line does not match the format
+         |""".stripMargin).getBytes)
+    val df = Engine.readLogFormat(spark, d.toString)
+    assert(df.count() == 2) // non-matching line dropped
+    val r = df.orderBy("remote_ip").collect()
+    assert(r(0).getAs[String]("remote_ip") == "10.0.0.7")
+    assert(r(0).getAs[String]("http_status") == "403")
+    assert(r(1).getAs[String]("request_uri") == "GET /key1 HTTP/1.1")
+    assert(r(1).getAs[String]("bytes_sent") == "1024")
+  }
+
+  test("nested JSON schema inference: structs, arrays, mixed nulls") {
+    val d = Files.createTempDirectory("json")
+    Files.write(d.resolve("x.json"),
+      ("""{"id":1,"user":{"name":"ann","tags":["a","b"]},"score":1.5}
+         |{"id":2,"user":{"name":"bo","tags":[]},"score":null}
+         |{"id":3,"user":{"name":"cy","tags":["z"]},"score":2.25,"extra":true}
+         |""".stripMargin).getBytes)
+    val df = Engine.copyFrom(spark, d.toString, "json")
+    val sch = df.schema
+    assert(sch("user").dataType.isInstanceOf[StructType])
+    assert(sch("user").dataType.asInstanceOf[StructType]("tags")
+      .dataType == ArrayType(StringType))
+    // nested field access + explode
+    assert(df.select("user.name").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("ann", "bo", "cy"))
+    assert(df.select(explode(col("user.tags"))).count() == 3)
+    // column present in only one record is nullable-inferred
+    assert(sch.fieldNames.contains("extra"))
+    assert(df.filter(col("extra").isNull).count() == 2)
+  }
+
+  test("csv options: quotes, custom null marker, type inference") {
+    val d = Files.createTempDirectory("csvopt")
+    val csv = Seq(
+      "name,qty,note",
+      "\"smith, john\",3,\"said \"\"hi\"\"\"",
+      "jane,NULLVAL,plain",
+      "").mkString("\n")
+    Files.write(d.resolve("x.csv"), csv.getBytes)
+    val df = Engine.copyFrom(spark, d.toString, "csv",
+      Map("header" -> "true", "nullValue" -> "NULLVAL",
+        "escape" -> "\""))  // RFC-4180 doubled-quote escaping
+    val rows = df.orderBy("name").collect()
+    assert(rows(0).getString(0) == "jane")
+    assert(rows(0).isNullAt(1)) // custom null marker respected
+    assert(rows(1).getString(0) == "smith, john") // quoted delimiter
+    assert(rows(1).getString(2) == "said \"hi\"") // escaped quote
+    assert(df.schema("qty").dataType == IntegerType) // inferred type
+  }
+
+  test("gzip/zstd compression round-trips") {
+    val d = Files.createTempDirectory("compress")
+    val n = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    for (codec <- Seq("gzip", "bzip2")) {
+      Engine.copyTo(n, s"$d/j_$codec", "json", codec)
+      assert(Engine.copyFrom(spark, s"$d/j_$codec", "json").count()
+        == n.count())
+    }
+    // parquet zstd
+    n.write.option("compression", "zstd").parquet(s"$d/p_zstd")
+    assert(spark.read.parquet(s"$d/p_zstd").count() == n.count())
+  }
+}
