@@ -195,6 +195,20 @@ object Engine {
     commitSnapshot(tbl, "append", Set.empty, added)
   }
 
+  /** Insert with a write-time sort: rows sorted within each output task
+    * tighten per-file and per-row-group min/max bounds on the sort
+    * columns, which directly improves file pruning and parquet row-group
+    * skipping for range predicates (the lakehouse analogue of clustering
+    * the table; repartitionByRange makes the per-FILE ranges disjoint). */
+  def insertSorted(tbl: LakeTable, df: DataFrame,
+      sortCols: Seq[String], numFiles: Int = 0): Unit = {
+    val parted =
+      if (numFiles > 0)
+        df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      else df.repartitionByRange(sortCols.map(col): _*)
+    insert(tbl, parted.sortWithinPartitions(sortCols.map(col): _*))
+  }
+
   /** INSERT ... SELECT pushdown analogue (planner/insert_select.c:48-244):
     * the select runs fully in Spark and lands as new files. */
   def insertSelect(tbl: LakeTable, sql: String): Unit =

@@ -83,6 +83,44 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("*(")) >= 3, p)
   }
 
+  test("lake dim table gets broadcast from FileIndex sizeInBytes stats") {
+    val dir = java.nio.file.Files.createTempDirectory("cbo").toString
+    val nation = Tables.load(spark, sf, "nation")
+    val dim = graft.engine.Engine.ctas(spark, s"$dir/dim", nation)
+    graft.engine.Engine.registerTable(dim, "dim_nation")
+    Tables.load(spark, sf, "customer").createOrReplaceTempView("cust")
+    val joined = spark.sql(
+      """SELECT n_name, count(*) AS n FROM cust
+        |JOIN dim_nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sorted insert produces disjoint per-file ranges -> more pruning") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("sorted").toString
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = graft.engine.Engine.create(spark, s"$dir/t", li.schema.toDDL)
+    graft.engine.Engine.insertSorted(tbl, li, Seq("l_orderkey"),
+      numFiles = 8)
+    assert(tbl.liveFiles.size >= 4)
+    // point lookup must prune all but one file
+    val (df, stats) = tbl.scan(col("l_orderkey") === 750L)
+    assert(stats.scanned <= 2, s"sorted layout did not prune: $stats")
+    assert(df.count() == li.filter(col("l_orderkey") === 750L).count())
+    // per-file ranges are (nearly) disjoint
+    val ranges = tbl.liveFiles.map { f =>
+      val st = f.stats("l_orderkey")
+      (st.min.get.toLong, st.max.get.toLong)
+    }.sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
   test("lake scan: pruned file list feeds a plain parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("plan").toString + "/t"
     val li = Tables.load(spark, sf, "lineitem")
