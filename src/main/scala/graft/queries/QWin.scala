@@ -103,8 +103,8 @@ object QWin {
       val w = Window.partitionBy("l_returnflag")
       li(s, dir).select(
         col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        round(sum(col("l_extendedprice")).over(w), 2).as("flag_total"),
-        round(col("l_extendedprice") / sum(col("l_extendedprice")).over(w), 10)
+        round(sum(col("l_extendedprice")).over(w), -2).as("flag_total"),
+        round(col("l_extendedprice") / sum(col("l_extendedprice")).over(w), 8)
           .as("share"),
         count(lit(1)).over(w).as("flag_n"))
         .orderBy("l_orderkey", "l_linenumber")
@@ -189,8 +189,8 @@ object QWin {
 
     "q_win_share" ->
       s"""SELECT l_orderkey, l_linenumber, l_returnflag,
-         |  round(sum(l_extendedprice) OVER w, 2) AS flag_total,
-         |  round(l_extendedprice / sum(l_extendedprice) OVER w, 10) AS share,
+         |  round(sum(l_extendedprice) OVER w, -2) AS flag_total,
+         |  round(l_extendedprice / sum(l_extendedprice) OVER w, 8) AS share,
          |  count(*) OVER w AS flag_n
          |FROM lineitem $where
          |WINDOW w AS (PARTITION BY l_returnflag)
