@@ -1,0 +1,254 @@
+package graft.core
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Read an external Apache Iceberg v1/v2 table from its metadata alone —
+  * the reference's external-Iceberg scan path
+  * (pg_lake_iceberg/src/iceberg/read_table_metadata.c;
+  * read_manifest.c:84-130 `ReadIcebergManifests`/`ReadManifestEntries`;
+  * FDW wiring pg_lake_table/src/fdw/snapshot.c:79-354), rebuilt on public
+  * spec knowledge: `*.metadata.json` → manifest list (Avro) → manifest
+  * files (Avro) → live data + position-delete files → DataFrame.
+  *
+  * Tables are typically written at a different location than where they
+  * are read (the reference's fixtures carry their original `s3://` paths),
+  * so every path from metadata/manifests/delete-files is relocated by
+  * swapping the recorded table `location` prefix for the local directory.
+  *
+  * Also reads back [[IcebergExport]] output, whose manifest list is a JSON
+  * file of flat entries (`graft.manifest-format=json` property).
+  */
+object IcebergImport {
+
+  final case class ExtSnapshot(id: Long, timestampMs: Long,
+    operation: String, manifestList: String)
+
+  final case class ExtFile(path: String, content: Int, recordCount: Long,
+    sizeBytes: Long) {
+    def isDelete: Boolean = content == 1
+  }
+
+  final case class ExtTable(location: String, schema: StructType,
+    currentSnapshotId: Option[Long], snapshots: List[ExtSnapshot],
+    metadataPath: String) {
+    def snapshot(id: Long): Option[ExtSnapshot] = snapshots.find(_.id == id)
+    def currentSnapshot: Option[ExtSnapshot] =
+      currentSnapshotId.flatMap(snapshot)
+  }
+
+  // ---- table metadata (JSON) -------------------------------------------
+
+  /** Newest metadata file under `<tableDir>/metadata` — Iceberg file names
+    * carry a monotonically increasing version prefix (`vN.` or `NNNNN-uuid`),
+    * so lexicographic max is the current one. */
+  def latestMetadataPath(tableDir: String): Option[String] = {
+    val dir = Paths.get(tableDir, "metadata")
+    if (!Files.isDirectory(dir)) None
+    else Files.list(dir).iterator.asScala.map(_.toString)
+      .filter(_.endsWith(".metadata.json")).toList.sorted.lastOption
+  }
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Iceberg schema JSON → Spark type, per the public spec's type names
+    * (same map as SURVEY §1.2: uuid → string, time → long micros). */
+  private[core] def sparkType(t: JValue): DataType = t match {
+    case JString(s) => s match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "time" => LongType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "timestamp_ns" => TimestampNTZType
+      case "string" => StringType
+      case "uuid" => StringType
+      case "binary" => BinaryType
+      case f if f.startsWith("fixed") => BinaryType
+      case d if d.startsWith("decimal") =>
+        val Array(p, sc) = d.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case other => throw new IllegalArgumentException(
+        s"unsupported iceberg type: $other")
+    }
+    case obj: JObject => (obj \ "type") match {
+      case JString("struct") => structType(obj)
+      case JString("list") => ArrayType(sparkType(obj \ "element"),
+        containsNull = (obj \ "element-required") != JBool(true))
+      case JString("map") => MapType(sparkType(obj \ "key"),
+        sparkType(obj \ "value"),
+        valueContainsNull = (obj \ "value-required") != JBool(true))
+      case other => throw new IllegalArgumentException(
+        s"unsupported iceberg complex type: $other")
+    }
+    case other => throw new IllegalArgumentException(s"bad type node: $other")
+  }
+
+  private def structType(obj: JValue): StructType = StructType(
+    (obj \ "fields").children.map { f =>
+      val name = (f \ "name").extract[String]
+      val id = (f \ "id").extract[Long]
+      StructField(name, sparkType(f \ "type"),
+        nullable = (f \ "required") != JBool(true),
+        metadata = new MetadataBuilder().putLong("parquet.field.id", id)
+          .build())
+    })
+
+  def readMetadata(metadataPath: String): ExtTable = {
+    val doc = JsonMethods.parse(new String(
+      Files.readAllBytes(Paths.get(metadataPath)), "UTF-8"))
+    val schemaId = (doc \ "current-schema-id").extractOpt[Int].getOrElse(0)
+    val schema = (doc \ "schemas").children
+      .find(s => (s \ "schema-id").extractOpt[Int].contains(schemaId))
+      .map(structType)
+      .getOrElse(structType(doc \ "schema")) // v1 fallback: inline schema
+    val snaps = (doc \ "snapshots").children.map { s =>
+      ExtSnapshot(
+        (s \ "snapshot-id").extract[Long],
+        (s \ "timestamp-ms").extract[Long],
+        (s \ "summary" \ "operation").extractOpt[String].getOrElse("append"),
+        (s \ "manifest-list").extract[String])
+    }
+    ExtTable(
+      (doc \ "location").extract[String],
+      schema,
+      (doc \ "current-snapshot-id").extractOpt[Long].filter(_ != -1),
+      snaps, metadataPath)
+  }
+
+  /** Relocate a recorded path into the local table directory (the
+    * reference relocates fixture tables the same way — manifests carry the
+    * writer's absolute location). */
+  private[core] def relocate(recorded: String, location: String,
+      tableDir: String): String =
+    if (recorded.startsWith(location))
+      tableDir + recorded.stripPrefix(location)
+    else if (!recorded.startsWith("/") && !recorded.contains("://"))
+      s"$tableDir/$recorded" // relative to the table root (IcebergExport)
+    else recorded
+
+  // ---- manifests (Avro per spec; JSON for IcebergExport output) --------
+
+  private def readAvro(path: String): List[GenericRecord] = {
+    val reader = DataFileReader.openReader(new File(path),
+      new GenericDatumReader[GenericRecord]())
+    try reader.iterator.asScala.toList finally reader.close()
+  }
+
+  private def intField(r: GenericRecord, name: String, dflt: Int): Int =
+    if (r.getSchema.getField(name) == null) dflt
+    else Option(r.get(name)).map(_.asInstanceOf[Number].intValue).getOrElse(dflt)
+
+  private def longField(r: GenericRecord, name: String, dflt: Long): Long =
+    if (r.getSchema.getField(name) == null) dflt
+    else Option(r.get(name)).map(_.asInstanceOf[Number].longValue).getOrElse(dflt)
+
+  /** Live files of one snapshot: every manifest in the manifest list, every
+    * entry whose status is not DELETED(2) — data manifests yield content=0
+    * files, delete manifests yield content=1 position-delete files
+    * (read_manifest.c:84-130 walks the same two levels). */
+  def liveFiles(table: ExtTable, snap: ExtSnapshot,
+      tableDir: String): List[ExtFile] = {
+    val listPath = relocate(snap.manifestList, table.location, tableDir)
+    if (listPath.endsWith(".json")) { // IcebergExport flat JSON listing
+      val doc = JsonMethods.parse(new String(
+        Files.readAllBytes(Paths.get(listPath)), "UTF-8"))
+      doc.children.map { e =>
+        ExtFile(relocate((e \ "file_path").extract[String], table.location,
+            tableDir),
+          (e \ "content").extractOpt[Int].getOrElse(0),
+          (e \ "record_count").extract[Long],
+          (e \ "file_size_in_bytes").extract[Long])
+      }
+    } else {
+      readAvro(listPath).flatMap { m =>
+        val mPath = relocate(m.get("manifest_path").toString, table.location,
+          tableDir)
+        val manifestContent = intField(m, "content", 0)
+        readAvro(mPath).flatMap { entry =>
+          val status = intField(entry, "status", 0)
+          if (status == 2) None // DELETED entry
+          else {
+            val df = entry.get("data_file").asInstanceOf[GenericRecord]
+            val content = intField(df, "content", manifestContent)
+            if (content == 2) throw new UnsupportedOperationException(
+              "equality deletes not supported")
+            Some(ExtFile(
+              relocate(df.get("file_path").toString, table.location, tableDir),
+              content,
+              longField(df, "record_count", 0L),
+              longField(df, "file_size_in_bytes", 0L)))
+          }
+        }
+      }
+    }
+  }
+
+  // ---- scan ------------------------------------------------------------
+
+  /** Scan an external Iceberg table directory (current snapshot, or a
+    * historic one for time travel). Position deletes are applied as an
+    * anti-join on (relocated file path, row position), mirroring
+    * [[LakeTable.applyPositionDeletes]]. */
+  def scan(spark: SparkSession, tableDir: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val metaPath = latestMetadataPath(tableDir).getOrElse(
+      throw new IllegalArgumentException(s"no metadata.json under $tableDir"))
+    val table = readMetadata(metaPath)
+    val snap = snapshotId.map(id => table.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id")))
+      .orElse(table.currentSnapshot)
+    val files = snap.map(liveFiles(table, _, tableDir)).getOrElse(Nil)
+    val (deletes, data) = files.partition(_.isDelete)
+
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val base =
+      if (data.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
+      else spark.read.schema(table.schema).parquet(data.map(_.path): _*)
+    if (deletes.isEmpty || data.isEmpty) base
+    else {
+      // delete files record the writer's absolute data-file paths: relocate
+      // them the same way the data-file list was relocated.
+      val del = spark.read
+        .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
+        .parquet(deletes.map(_.path): _*)
+        .withColumn("file_path",
+          regexp_replace(col("file_path"),
+            "^" + java.util.regex.Pattern.quote(table.location),
+            java.util.regex.Matcher.quoteReplacement(tableDir)))
+      val tagged = base
+        .withColumn("_file", regexp_replace(input_file_name(), "^file:/*", "/"))
+        .withColumn("_pos", col("_metadata.row_index"))
+      tagged.join(del,
+          tagged("_file") === del("file_path") && tagged("_pos") === del("pos"),
+          "left_anti")
+        .drop("_file", "_pos")
+    }
+  }
+
+  /** Snapshot history of an external table (inspection surface, like
+    * lake_iceberg.snapshots — iceberg_functions.c:36-38). */
+  def snapshotsDF(spark: SparkSession, tableDir: String): DataFrame = {
+    import spark.implicits._
+    val table = readMetadata(latestMetadataPath(tableDir).get)
+    table.snapshots
+      .map(s => (s.id, new java.sql.Timestamp(s.timestampMs), s.operation))
+      .toDF("snapshot_id", "committed_at", "operation")
+  }
+}
