@@ -8,18 +8,23 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Minimal WKB geometry subset — POINT only, clearly scoped.
+/** WKB geometry functions over [[GeoKernel]] — POINT, LINESTRING,
+  * POLYGON and MULTI* forms.
   *
   * The reference ships 106 ST_* functions by delegating to DuckDB
   * spatial (pg_lake_engine/src/pgduck/shippable_spatial_functions.c) and
-  * stores geometry as WKB blobs in parquet (geoparquet.c). No JTS jar is
-  * available here (SURVEY §7.3 scopes this to a minimal subset), so this
-  * implements the point algebra that covers the common predicates:
-  * st_point, st_x, st_y, st_astext, st_distance, st_dwithin — enough for
-  * point-in-radius joins and distance filters over WKB columns, and the
-  * seam where a full geometry lib would plug in.
+  * stores geometry as WKB blobs in parquet (geoparquet.c). No geometry
+  * jar is available here (SURVEY §7.3), so the subset the reference's
+  * tests exercise is implemented on the in-repo kernel: constructors
+  * (st_point, st_geomfromtext), accessors (st_x/y, st_astext,
+  * st_geometrytype, st_npoints, st_envelope, st_centroid,
+  * st_xmin/ymin/xmax/ymax), measures (st_area, st_length, st_perimeter,
+  * st_distance), predicates (st_contains, st_intersects, st_dwithin)
+  * and the st_extent bounding-box aggregate. Planar semantics;
+  * st_transform/spheroid math stays out of scope (documented).
   */
 object Geo {
+  import GeoKernel._
 
   /** 21-byte little-endian WKB POINT. */
   def encodePoint(x: Double, y: Double): Array[Byte] = {
@@ -71,21 +76,135 @@ object Geo {
       with CodegenFallback {
     override def dataType: DataType = StringType
     override def nullSafeEval(v: Any): Any =
-      decodePoint(v.asInstanceOf[Array[Byte]]).map { case (x, y) =>
-        UTF8String.fromString(s"POINT($x $y)")
-      }.orNull
+      fromWkb(v.asInstanceOf[Array[Byte]])
+        .map(g => UTF8String.fromString(toWkt(g))).orNull
     override protected def withNewChildInternal(c: Expression): StAsText =
       copy(c)
+  }
+
+  case class StGeomFromText(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      fromWkt(v.toString).map(toWkb).orNull
+    override protected def withNewChildInternal(c: Expression)
+        : StGeomFromText = copy(c)
+  }
+
+  /** Unary double measure over a decoded geometry. */
+  abstract class GeomMeasure extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    protected def measure(g: Geom): Double
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]]).map(measure)
+        .map(Double.box).orNull
+  }
+
+  case class StArea(child: Expression) extends GeomMeasure {
+    protected def measure(g: Geom): Double = area(g)
+    override protected def withNewChildInternal(c: Expression): StArea = copy(c)
+  }
+  case class StLength(child: Expression) extends GeomMeasure {
+    protected def measure(g: Geom): Double = GeoKernel.length(g)
+    override protected def withNewChildInternal(c: Expression): StLength =
+      copy(c)
+  }
+  case class StPerimeter(child: Expression) extends GeomMeasure {
+    protected def measure(g: Geom): Double = perimeter(g)
+    override protected def withNewChildInternal(c: Expression): StPerimeter =
+      copy(c)
+  }
+  case class StXMin(child: Expression) extends GeomMeasure {
+    protected def measure(g: Geom): Double = envelope(g)._1
+    override protected def withNewChildInternal(c: Expression): StXMin = copy(c)
+  }
+  case class StYMin(child: Expression) extends GeomMeasure {
+    protected def measure(g: Geom): Double = envelope(g)._2
+    override protected def withNewChildInternal(c: Expression): StYMin = copy(c)
+  }
+  case class StXMax(child: Expression) extends GeomMeasure {
+    protected def measure(g: Geom): Double = envelope(g)._3
+    override protected def withNewChildInternal(c: Expression): StXMax = copy(c)
+  }
+  case class StYMax(child: Expression) extends GeomMeasure {
+    protected def measure(g: Geom): Double = envelope(g)._4
+    override protected def withNewChildInternal(c: Expression): StYMax = copy(c)
+  }
+
+  case class StNPoints(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]]).map(npoints)
+        .map(Int.box).orNull
+    override protected def withNewChildInternal(c: Expression): StNPoints =
+      copy(c)
+  }
+
+  case class StGeometryType(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]])
+        .map(g => UTF8String.fromString("ST_" + g.typeName.toLowerCase
+          .capitalize)).orNull
+    override protected def withNewChildInternal(c: Expression)
+        : StGeometryType = copy(c)
+  }
+
+  /** Unary geometry→geometry transform. */
+  abstract class GeomTransform extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    protected def apply(g: Geom): Geom
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]]).map(g => toWkb(apply(g))).orNull
+  }
+
+  case class StEnvelope(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = envelopePolygon(g)
+    override protected def withNewChildInternal(c: Expression): StEnvelope =
+      copy(c)
+  }
+  case class StCentroid(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = {
+      val (x, y) = centroid(g); GPoint(x, y)
+    }
+    override protected def withNewChildInternal(c: Expression): StCentroid =
+      copy(c)
+  }
+
+  /** Binary geometry predicate. */
+  abstract class GeomPredicate extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    protected def test(a: Geom, b: Geom): Boolean
+    override def nullSafeEval(l: Any, r: Any): Any =
+      (fromWkb(l.asInstanceOf[Array[Byte]]),
+        fromWkb(r.asInstanceOf[Array[Byte]])) match {
+        case (Some(a), Some(b)) => test(a, b)
+        case _ => null
+      }
+  }
+
+  case class StContains(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = contains(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StContains = copy(left = l, right = r)
+  }
+  case class StIntersects(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = intersects(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StIntersects = copy(left = l, right = r)
   }
 
   case class StDistance(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any = {
-      (decodePoint(a.asInstanceOf[Array[Byte]]),
-        decodePoint(b.asInstanceOf[Array[Byte]])) match {
-        case (Some((x1, y1)), Some((x2, y2))) =>
-          math.hypot(x1 - x2, y1 - y2)
+      (fromWkb(a.asInstanceOf[Array[Byte]]),
+        fromWkb(b.asInstanceOf[Array[Byte]])) match {
+        case (Some(ga), Some(gb)) => distance(ga, gb)
         case _ => null
       }
     }
@@ -108,6 +227,48 @@ object Geo {
       GraftBridge.eagerExpression(b)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     st_distance(a, b) <= d
+  def st_geomfromtext(s: Column): Column =
+    GraftBridge.column(StGeomFromText(GraftBridge.eagerExpression(s)))
+  private def unary(mk: Expression => Expression)(g: Column): Column =
+    GraftBridge.column(mk(GraftBridge.eagerExpression(g)))
+  def st_area(g: Column): Column = unary(StArea)(g)
+  def st_length(g: Column): Column = unary(StLength)(g)
+  def st_perimeter(g: Column): Column = unary(StPerimeter)(g)
+  def st_npoints(g: Column): Column = unary(StNPoints)(g)
+  def st_geometrytype(g: Column): Column = unary(StGeometryType)(g)
+  def st_envelope(g: Column): Column = unary(StEnvelope)(g)
+  def st_centroid(g: Column): Column = unary(StCentroid)(g)
+  def st_xmin(g: Column): Column = unary(StXMin)(g)
+  def st_ymin(g: Column): Column = unary(StYMin)(g)
+  def st_xmax(g: Column): Column = unary(StXMax)(g)
+  def st_ymax(g: Column): Column = unary(StYMax)(g)
+  def st_contains(a: Column, b: Column): Column =
+    GraftBridge.column(StContains(GraftBridge.eagerExpression(a),
+      GraftBridge.eagerExpression(b)))
+  def st_intersects(a: Column, b: Column): Column =
+    GraftBridge.column(StIntersects(GraftBridge.eagerExpression(a),
+      GraftBridge.eagerExpression(b)))
+
+  /** Bounding-box aggregate (PostGIS st_extent) — composes built-in
+    * min/max aggregates over the per-row envelope, so it distributes with
+    * map-side partial aggregation like any min/max. Use inside
+    * `df.agg(...)`; yields the envelope as a WKB polygon. */
+  def st_extent(g: Column): Column = {
+    import org.apache.spark.sql.functions.{max, min}
+    val env = st_envelope(g)
+    st_geomfromtext(org.apache.spark.sql.functions.concat_ws("",
+      org.apache.spark.sql.functions.lit("POLYGON(("),
+      min(st_xmin(env)), org.apache.spark.sql.functions.lit(" "),
+      min(st_ymin(env)), org.apache.spark.sql.functions.lit(","),
+      max(st_xmax(env)), org.apache.spark.sql.functions.lit(" "),
+      min(st_ymin(env)), org.apache.spark.sql.functions.lit(","),
+      max(st_xmax(env)), org.apache.spark.sql.functions.lit(" "),
+      max(st_ymax(env)), org.apache.spark.sql.functions.lit(","),
+      min(st_xmin(env)), org.apache.spark.sql.functions.lit(" "),
+      max(st_ymax(env)), org.apache.spark.sql.functions.lit(","),
+      min(st_xmin(env)), org.apache.spark.sql.functions.lit(" "),
+      min(st_ymin(env)), org.apache.spark.sql.functions.lit("))")))
+  }
 
   def registerAll(spark: SparkSession): Unit = {
     def reg(name: String)(builder: Seq[Column] => Column): Unit =
@@ -120,5 +281,19 @@ object Geo {
     reg("st_astext") { case Seq(g) => st_astext(g) }
     reg("st_distance") { case Seq(a, b) => st_distance(a, b) }
     reg("st_dwithin") { case Seq(a, b, d) => st_dwithin(a, b, d) }
+    reg("st_geomfromtext") { case Seq(s) => st_geomfromtext(s) }
+    reg("st_area") { case Seq(g) => st_area(g) }
+    reg("st_length") { case Seq(g) => st_length(g) }
+    reg("st_perimeter") { case Seq(g) => st_perimeter(g) }
+    reg("st_npoints") { case Seq(g) => st_npoints(g) }
+    reg("st_geometrytype") { case Seq(g) => st_geometrytype(g) }
+    reg("st_envelope") { case Seq(g) => st_envelope(g) }
+    reg("st_centroid") { case Seq(g) => st_centroid(g) }
+    reg("st_xmin") { case Seq(g) => st_xmin(g) }
+    reg("st_ymin") { case Seq(g) => st_ymin(g) }
+    reg("st_xmax") { case Seq(g) => st_xmax(g) }
+    reg("st_ymax") { case Seq(g) => st_ymax(g) }
+    reg("st_contains") { case Seq(a, b) => st_contains(a, b) }
+    reg("st_intersects") { case Seq(a, b) => st_intersects(a, b) }
   }
 }

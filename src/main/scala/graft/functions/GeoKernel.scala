@@ -1,0 +1,422 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-Scala planar geometry kernel over WKB/WKT — POINT, LINESTRING,
+  * POLYGON and their MULTI forms.
+  *
+  * The reference gets its 106 ST_* functions from DuckDB spatial/GEOS
+  * (pg_lake_engine/src/pgduck/shippable_spatial_functions.c) and stores
+  * geometry as WKB in parquet (pg_lake_engine/src/parquet/geoparquet.c).
+  * No geometry jar exists in this environment, so the predicates and
+  * measures the reference's tests actually exercise (st_area, st_length,
+  * st_contains, st_intersects, st_distance, st_dwithin, st_extent) are
+  * implemented here from first principles: shoelace areas, ray-casting
+  * containment, orientation-test segment intersection, point/segment
+  * distance minimization. Planar (non-spheroid) semantics — the
+  * cartesian variants of the PostGIS functions.
+  */
+object GeoKernel {
+
+  type Pt = (Double, Double)
+
+  sealed trait Geom {
+    def typeName: String
+    /** All coordinates, for envelopes / npoints. */
+    def points: Seq[Pt]
+  }
+  final case class GPoint(x: Double, y: Double) extends Geom {
+    def typeName = "POINT"; def points = Seq((x, y))
+  }
+  final case class GLine(pts: IndexedSeq[Pt]) extends Geom {
+    def typeName = "LINESTRING"; def points = pts
+  }
+  /** First ring = shell, rest = holes; rings are closed (first==last). */
+  final case class GPolygon(rings: IndexedSeq[IndexedSeq[Pt]]) extends Geom {
+    def typeName = "POLYGON"; def points = rings.flatten
+  }
+  final case class GMulti(typeName: String, geoms: IndexedSeq[Geom])
+      extends Geom {
+    def points = geoms.flatMap(_.points)
+  }
+
+  // ---- WKB codec (byte-order marker per geometry, per the spec) --------
+
+  def toWkb(g: Geom): Array[Byte] = {
+    val buf = ByteBuffer.allocate(wkbSize(g)).order(ByteOrder.LITTLE_ENDIAN)
+    putGeom(buf, g)
+    buf.array()
+  }
+
+  private def wkbSize(g: Geom): Int = g match {
+    case _: GPoint => 21
+    case GLine(p) => 9 + 16 * p.size
+    case GPolygon(r) => 9 + 4 * r.size + 16 * r.map(_.size).sum
+    case GMulti(_, gs) => 9 + gs.map(wkbSize).sum
+  }
+
+  private def typeCode(g: Geom): Int = g match {
+    case _: GPoint => 1
+    case _: GLine => 2
+    case _: GPolygon => 3
+    case GMulti("MULTIPOINT", _) => 4
+    case GMulti("MULTILINESTRING", _) => 5
+    case GMulti("MULTIPOLYGON", _) => 6
+    case _ => 7
+  }
+
+  private def putGeom(b: ByteBuffer, g: Geom): Unit = {
+    b.put(1.toByte) // little-endian
+    b.putInt(typeCode(g))
+    g match {
+      case GPoint(x, y) => b.putDouble(x); b.putDouble(y)
+      case GLine(pts) =>
+        b.putInt(pts.size)
+        pts.foreach { case (x, y) => b.putDouble(x); b.putDouble(y) }
+      case GPolygon(rings) =>
+        b.putInt(rings.size)
+        rings.foreach { ring =>
+          b.putInt(ring.size)
+          ring.foreach { case (x, y) => b.putDouble(x); b.putDouble(y) }
+        }
+      case GMulti(_, gs) =>
+        b.putInt(gs.size)
+        gs.foreach(putGeom(b, _))
+    }
+  }
+
+  def fromWkb(bytes: Array[Byte]): Option[Geom] =
+    if (bytes == null || bytes.length < 5) None
+    else try Some(getGeom(ByteBuffer.wrap(bytes))) catch {
+      case _: RuntimeException => None
+    }
+
+  private def getGeom(b: ByteBuffer): Geom = {
+    val order = if (b.get() == 1) ByteOrder.LITTLE_ENDIAN
+      else ByteOrder.BIG_ENDIAN
+    b.order(order)
+    // mask off EWKB SRID/Z flags; skip SRID when present (0x20000000)
+    val raw = b.getInt
+    if ((raw & 0x20000000) != 0) b.getInt // consume SRID
+    raw & 0xffff match {
+      case 1 => GPoint(b.getDouble, b.getDouble)
+      case 2 => GLine(readPts(b))
+      case 3 =>
+        GPolygon(IndexedSeq.fill(b.getInt)(readPts(b)))
+      case n if n >= 4 && n <= 6 =>
+        val names = Map(4 -> "MULTIPOINT", 5 -> "MULTILINESTRING",
+          6 -> "MULTIPOLYGON")
+        GMulti(names(n), IndexedSeq.fill(b.getInt)(getGeom(b)))
+      case other => throw new RuntimeException(s"wkb type $other")
+    }
+  }
+
+  private def readPts(b: ByteBuffer): IndexedSeq[Pt] =
+    IndexedSeq.fill(b.getInt)((b.getDouble, b.getDouble))
+
+  // ---- WKT -------------------------------------------------------------
+
+  def toWkt(g: Geom): String = g match {
+    case GPoint(x, y) => s"POINT(${fmt(x)} ${fmt(y)})"
+    case GLine(pts) => s"LINESTRING${ptsWkt(pts)}"
+    case GPolygon(rings) =>
+      s"POLYGON(${rings.map(ptsWkt).mkString(",")})"
+    case GMulti(name, gs) =>
+      val bodies = gs.map {
+        case GPoint(x, y) => s"(${fmt(x)} ${fmt(y)})"
+        case GLine(pts) => ptsWkt(pts)
+        case GPolygon(rings) => s"(${rings.map(ptsWkt).mkString(",")})"
+        case other => toWkt(other)
+      }
+      s"$name(${bodies.mkString(",")})"
+  }
+
+  private def fmt(d: Double): String =
+    if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  private def ptsWkt(pts: Seq[Pt]): String =
+    "(" + pts.map { case (x, y) => s"${fmt(x)} ${fmt(y)}" }.mkString(",") + ")"
+
+  def fromWkt(s: String): Option[Geom] = {
+    val t = s.trim.toUpperCase
+    def nums(body: String): IndexedSeq[Pt] =
+      body.split(",").toIndexedSeq.map { p =>
+        val xs = p.trim.split("\\s+")
+        (xs(0).toDouble, xs(1).toDouble)
+      }
+    def rings(body: String): IndexedSeq[IndexedSeq[Pt]] =
+      splitTop(body).map(r => nums(strip(r)))
+    try {
+      val open = t.indexOf('(')
+      if (open < 0) return None
+      val name = t.take(open).trim
+      val body = t.substring(open + 1, t.lastIndexOf(')'))
+      name match {
+        case "POINT" => val p = nums(body).head; Some(GPoint(p._1, p._2))
+        case "LINESTRING" => Some(GLine(nums(body)))
+        case "POLYGON" => Some(GPolygon(rings(body)))
+        case "MULTIPOINT" =>
+          val pts = splitTop(body).map(p => nums(strip(p)).head)
+          Some(GMulti("MULTIPOINT", pts.map(p => GPoint(p._1, p._2))))
+        case "MULTILINESTRING" =>
+          Some(GMulti("MULTILINESTRING",
+            splitTop(body).map(l => GLine(nums(strip(l))))))
+        case "MULTIPOLYGON" =>
+          Some(GMulti("MULTIPOLYGON",
+            splitTop(body).map(p => GPolygon(rings(strip(p))))))
+        case _ => None
+      }
+    } catch { case _: RuntimeException => None }
+  }
+
+  private def strip(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Split on commas at parenthesis depth 0. */
+  private def splitTop(s: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var depth = 0; var start = 0
+    for (i <- s.indices) s.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  // ---- measures --------------------------------------------------------
+
+  /** Shoelace signed area of a closed ring. */
+  private def signedArea(ring: Seq[Pt]): Double = {
+    var a = 0.0
+    var i = 0
+    while (i < ring.size - 1) {
+      a += ring(i)._1 * ring(i + 1)._2 - ring(i + 1)._1 * ring(i)._2
+      i += 1
+    }
+    a / 2.0
+  }
+
+  def area(g: Geom): Double = g match {
+    case GPolygon(rings) =>
+      math.abs(signedArea(rings.head)) -
+        rings.tail.map(r => math.abs(signedArea(r))).sum
+    case GMulti(_, gs) => gs.map(area).sum
+    case _ => 0.0
+  }
+
+  private def pathLength(pts: Seq[Pt]): Double =
+    pts.sliding(2).collect { case Seq((x1, y1), (x2, y2)) =>
+      math.hypot(x2 - x1, y2 - y1)
+    }.sum
+
+  /** Length of linear components (PostGIS st_length: 0 for polygons). */
+  def length(g: Geom): Double = g match {
+    case GLine(pts) => pathLength(pts)
+    case GMulti("MULTILINESTRING", gs) => gs.map(length).sum
+    case _ => 0.0
+  }
+
+  /** Boundary length of areal components (PostGIS st_perimeter). */
+  def perimeter(g: Geom): Double = g match {
+    case GPolygon(rings) => rings.map(pathLength).sum
+    case GMulti("MULTIPOLYGON", gs) => gs.map(perimeter).sum
+    case _ => 0.0
+  }
+
+  def envelope(g: Geom): (Double, Double, Double, Double) = {
+    val pts = g.points
+    (pts.map(_._1).min, pts.map(_._2).min,
+      pts.map(_._1).max, pts.map(_._2).max)
+  }
+
+  def envelopePolygon(g: Geom): Geom = {
+    val (xmin, ymin, xmax, ymax) = envelope(g)
+    if (xmin == xmax && ymin == ymax) GPoint(xmin, ymin)
+    else GPolygon(IndexedSeq(IndexedSeq(
+      (xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin))))
+  }
+
+  def centroid(g: Geom): Pt = g match {
+    case GPoint(x, y) => (x, y)
+    case GLine(pts) =>
+      // length-weighted midpoint of segments
+      val segs = pts.sliding(2).collect {
+        case Seq((x1, y1), (x2, y2)) =>
+          (math.hypot(x2 - x1, y2 - y1), (x1 + x2) / 2, (y1 + y2) / 2)
+      }.toSeq
+      val total = segs.map(_._1).sum
+      if (total == 0) pts.head
+      else (segs.map(s => s._1 * s._2).sum / total,
+        segs.map(s => s._1 * s._3).sum / total)
+    case GPolygon(rings) =>
+      // area-weighted: shell positive, holes negative
+      var ax = 0.0; var ay = 0.0; var aa = 0.0
+      for (ring <- rings) {
+        val sa = signedArea(ring)
+        val w = if (ring eq rings.head) math.abs(sa) else -math.abs(sa)
+        val (cx, cy) = ringCentroid(ring)
+        ax += w * cx; ay += w * cy; aa += w
+      }
+      if (aa == 0) rings.head.head else (ax / aa, ay / aa)
+    case GMulti(_, gs) =>
+      // weight by the dominant measure of the member type
+      val ws = gs.map {
+        case p: GPolygon => (area(p), centroid(p))
+        case l: GLine => (length(l), centroid(l))
+        case p: GPoint => (1.0, centroid(p))
+        case m => (1.0, centroid(m))
+      }
+      val total = ws.map(_._1).sum
+      if (total == 0) centroid(gs.head)
+      else (ws.map(w => w._1 * w._2._1).sum / total,
+        ws.map(w => w._1 * w._2._2).sum / total)
+  }
+
+  private def ringCentroid(ring: Seq[Pt]): Pt = {
+    var cx = 0.0; var cy = 0.0
+    val a = signedArea(ring)
+    if (a == 0) return ring.head
+    var i = 0
+    while (i < ring.size - 1) {
+      val (x1, y1) = ring(i); val (x2, y2) = ring(i + 1)
+      val cross = x1 * y2 - x2 * y1
+      cx += (x1 + x2) * cross; cy += (y1 + y2) * cross
+      i += 1
+    }
+    (cx / (6 * a), cy / (6 * a))
+  }
+
+  def npoints(g: Geom): Int = g.points.size
+
+  // ---- predicates ------------------------------------------------------
+
+  private def orient(a: Pt, b: Pt, c: Pt): Int = {
+    val v = (b._1 - a._1) * (c._2 - a._2) - (b._2 - a._2) * (c._1 - a._1)
+    if (v > 0) 1 else if (v < 0) -1 else 0
+  }
+
+  private def onSegment(p: Pt, a: Pt, b: Pt): Boolean =
+    orient(a, b, p) == 0 &&
+      p._1 >= math.min(a._1, b._1) && p._1 <= math.max(a._1, b._1) &&
+      p._2 >= math.min(a._2, b._2) && p._2 <= math.max(a._2, b._2)
+
+  private def segmentsIntersect(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    if (o1 != o2 && o3 != o4) true
+    else onSegment(c, a, b) || onSegment(d, a, b) ||
+      onSegment(a, c, d) || onSegment(b, c, d)
+  }
+
+  /** 0 = outside, 1 = on boundary, 2 = interior (ray casting). */
+  private def locateInRing(p: Pt, ring: Seq[Pt]): Int = {
+    var inside = false
+    var i = 0
+    while (i < ring.size - 1) {
+      val a = ring(i); val b = ring(i + 1)
+      if (onSegment(p, a, b)) return 1
+      if ((a._2 > p._2) != (b._2 > p._2)) {
+        val xCross = a._1 + (p._2 - a._2) * (b._1 - a._1) / (b._2 - a._2)
+        if (xCross > p._1) inside = !inside
+      }
+      i += 1
+    }
+    if (inside) 2 else 0
+  }
+
+  /** 0/1/2 location of a point in a polygon with holes. */
+  private def locateInPolygon(p: Pt, poly: GPolygon): Int = {
+    val shell = locateInRing(p, poly.rings.head)
+    if (shell != 2) return shell
+    for (hole <- poly.rings.tail) locateInRing(p, hole) match {
+      case 1 => return 1 // on a hole boundary = on the polygon boundary
+      case 2 => return 0 // inside a hole
+      case _ =>
+    }
+    2
+  }
+
+  private def segments(g: Geom): Seq[(Pt, Pt)] = g match {
+    case GLine(pts) => pts.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    case GPolygon(rings) =>
+      rings.flatMap(_.sliding(2).collect { case Seq(a, b) => (a, b) })
+    case GMulti(_, gs) => gs.flatMap(segments)
+    case _ => Nil
+  }
+
+  private def bboxOverlap(a: Geom, b: Geom): Boolean = {
+    val (ax1, ay1, ax2, ay2) = envelope(a)
+    val (bx1, by1, bx2, by2) = envelope(b)
+    ax1 <= bx2 && bx1 <= ax2 && ay1 <= by2 && by1 <= ay2
+  }
+
+  private def polygons(g: Geom): Seq[GPolygon] = g match {
+    case p: GPolygon => Seq(p)
+    case GMulti(_, gs) => gs.flatMap(polygons)
+    case _ => Nil
+  }
+
+  /** Shared-point test (PostGIS st_intersects: boundary counts). */
+  def intersects(a: Geom, b: Geom): Boolean = {
+    if (!bboxOverlap(a, b)) return false
+    // any vertex of one inside/on the other's areal part
+    def anyPointIn(pts: Seq[Pt], g: Geom): Boolean =
+      polygons(g).exists(p => pts.exists(locateInPolygon(_, p) > 0))
+    if (anyPointIn(a.points, b) || anyPointIn(b.points, a)) return true
+    // point-on-segment for linear parts
+    def pointsOnSegs(pts: Seq[Pt], segs: Seq[(Pt, Pt)]): Boolean =
+      pts.exists(p => segs.exists { case (s, e) => onSegment(p, s, e) })
+    val segA = segments(a); val segB = segments(b)
+    if (pointsOnSegs(a.points, segB) || pointsOnSegs(b.points, segA))
+      return true
+    segA.exists { case (s1, e1) =>
+      segB.exists { case (s2, e2) => segmentsIntersect(s1, e1, s2, e2) }
+    }
+  }
+
+  /** PostGIS st_contains: every point of b in a, at least one interior
+    * point — so a boundary-only touch does not count. Supported
+    * containers: polygons/multipolygons (the shapes zone logic uses). */
+  def contains(a: Geom, b: Geom): Boolean = {
+    val polys = polygons(a)
+    if (polys.isEmpty || !bboxOverlap(a, b)) return false
+    def loc(p: Pt): Int = polys.map(locateInPolygon(p, _)).max
+    val locs = b.points.map(loc)
+    if (locs.exists(_ == 0)) return false
+    if (!locs.exists(_ == 2)) return false // boundary-only touch
+    // no edge of b may cross outside a: a crossing implies b's edge
+    // intersects a's boundary at a non-vertex; approximate by checking
+    // midpoints of b's segments as well (sufficient for convex zones and
+    // typical grid/zone polygons)
+    segments(b).forall { case (s, e) =>
+      loc(((s._1 + e._1) / 2, (s._2 + e._2) / 2)) > 0
+    }
+  }
+
+  private def pointSegDistance(p: Pt, a: Pt, b: Pt): Double = {
+    val dx = b._1 - a._1; val dy = b._2 - a._2
+    val len2 = dx * dx + dy * dy
+    val t = if (len2 == 0) 0.0
+      else math.max(0.0, math.min(1.0,
+        ((p._1 - a._1) * dx + (p._2 - a._2) * dy) / len2))
+    math.hypot(p._1 - (a._1 + t * dx), p._2 - (a._2 + t * dy))
+  }
+
+  /** Minimum cartesian distance; 0 when the geometries intersect. */
+  def distance(a: Geom, b: Geom): Double = {
+    if (intersects(a, b)) return 0.0
+    val segA = segments(a); val segB = segments(b)
+    val candidates =
+      (for (p <- a.points; (s, e) <- segB) yield pointSegDistance(p, s, e)) ++
+      (for (p <- b.points; (s, e) <- segA) yield pointSegDistance(p, s, e)) ++
+      (for (p <- a.points; q <- b.points)
+        yield math.hypot(p._1 - q._1, p._2 - q._2))
+    candidates.min
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+import Q._
+
+/** Spatial gate query. Our side runs real WKB geometry (st_point,
+  * st_geomfromtext, st_contains broadcast join, st_centroid,
+  * st_distance); the DuckDB oracle reproduces the same semantics with
+  * plain arithmetic (rectangles: interior containment = strict bound
+  * comparisons; distance to centroid = hypot) — so the geometry kernel
+  * is checked value-exactly against a non-geometric engine, the same
+  * trick the reference's tests use when DuckDB spatial is absent.
+  * Points are derived from supplier keys with +0.5 offsets so nothing
+  * lands on a zone boundary (st_contains excludes boundaries).
+  */
+object QGeo {
+
+  private val zoneDefs = Seq(
+    // name, x1, y1, x2, y2 (integer-cornered rectangles)
+    ("sw", 0, 0, 50, 50), ("se", 50, 0, 100, 50),
+    ("nw", 0, 50, 50, 100), ("ne", 50, 50, 100, 100))
+
+  val queries: Map[String, QueryFn] = Map(
+    "q_geo_zones" -> { (s, dir) =>
+      import s.implicits._
+      val zones = zoneDefs
+        .map { case (z, x1, y1, x2, y2) =>
+          (z, s"POLYGON(($x1 $y1,$x2 $y1,$x2 $y2,$x1 $y2,$x1 $y1))")
+        }
+        .toDF("zone", "wkt")
+        .select($"zone", Geo.st_geomfromtext($"wkt").as("gz"))
+      val pts = t(s, dir, "supplier")
+        .select($"s_suppkey",
+          Geo.st_point($"s_suppkey" * 7 % 100 + lit(0.5),
+            $"s_suppkey" * 13 % 100 + lit(0.5)).as("gp"))
+      pts.join(broadcast(zones), Geo.st_contains($"gz", $"gp"))
+        .groupBy($"zone")
+        .agg(count(lit(1)).as("n"),
+          sum($"s_suppkey").as("key_sum"),
+          round(avg(Geo.st_distance($"gp",
+            Geo.st_centroid($"gz"))), 4).as("avg_dist"))
+        .orderBy($"zone")
+    })
+
+  val oracleSql: Map[String, String] = Map(
+    "q_geo_zones" -> {
+      val zoneCase = zoneDefs.map { case (z, x1, y1, x2, y2) =>
+        s"WHEN x > $x1 AND x < $x2 AND y > $y1 AND y < $y2 THEN '$z'"
+      }.mkString(" ")
+      val centX = zoneDefs.map { case (z, x1, _, x2, _) =>
+        s"WHEN '$z' THEN ${(x1 + x2) / 2.0}"
+      }.mkString(" ")
+      val centY = zoneDefs.map { case (z, _, y1, _, y2) =>
+        s"WHEN '$z' THEN ${(y1 + y2) / 2.0}"
+      }.mkString(" ")
+      s"""SELECT zone, count(*) AS n,
+         |  CAST(sum(s_suppkey) AS BIGINT) AS key_sum,
+         |  round(avg(sqrt((x - cx)*(x - cx) + (y - cy)*(y - cy))), 4)
+         |    AS avg_dist
+         |FROM (
+         |  SELECT s_suppkey, x, y, zone,
+         |    CASE zone $centX END AS cx,
+         |    CASE zone $centY END AS cy
+         |  FROM (
+         |    SELECT s_suppkey,
+         |      s_suppkey * 7 % 100 + 0.5 AS x,
+         |      s_suppkey * 13 % 100 + 0.5 AS y,
+         |      CASE $zoneCase END AS zone
+         |    FROM supplier))
+         |WHERE zone IS NOT NULL
+         |GROUP BY zone ORDER BY zone""".stripMargin
+    })
+}

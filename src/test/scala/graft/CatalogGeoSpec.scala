@@ -68,7 +68,7 @@ class CatalogGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
       Geo.st_y(col("g")).as("by"), Geo.st_astext(col("g")).as("txt"))
       .orderBy("id").collect()
     assert(back(1).getDouble(1) == 3.0 && back(1).getDouble(2) == 4.0)
-    assert(back(0).getString(3) == "POINT(0.0 0.0)")
+    assert(back(0).getString(3) == "POINT(0 0)") // canonical WKT form
     // distance + dwithin radius join
     val origin = Geo.st_point(lit(0.0), lit(0.0))
     val d = pts.select(col("id"), Geo.st_distance(col("g"), origin).as("d"))

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.{Geo, GeoKernel}
+import graft.functions.GeoKernel._
+
+/** Geometry kernel + ST_* expression surface. Expected values are
+  * hand-derivable (shoelace areas, Pythagorean distances) and match the
+  * documented PostGIS planar results for the same inputs — the semantics
+  * the reference exposes through DuckDB spatial
+  * (shippable_spatial_functions.c). */
+class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  def wkt(s: String): Geom = fromWkt(s).get
+
+  test("wkt/wkb round-trips for every geometry type") {
+    val samples = Seq(
+      "POINT(1.5 -2.5)",
+      "LINESTRING(0 0,3 4,3 8)",
+      "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))",
+      "MULTIPOINT((0 0),(1 1))",
+      "MULTILINESTRING((0 0,1 0),(0 1,1 1))",
+      "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))")
+    for (s <- samples) {
+      val g = wkt(s)
+      assert(fromWkb(toWkb(g)).get == g, s)
+      assert(toWkt(g) == s, s)
+    }
+  }
+
+  test("area: shoelace with holes; multipolygon sums") {
+    assert(area(wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")) == 100.0)
+    assert(area(wkt(
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))")) == 96.0)
+    assert(area(wkt(
+      "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,7 5,7 7,5 7,5 5)))")) == 5.0)
+    assert(area(wkt("LINESTRING(0 0,5 5)")) == 0.0)
+  }
+
+  test("length and perimeter") {
+    assert(GeoKernel.length(wkt("LINESTRING(0 0,3 4,3 8)")) == 9.0)
+    assert(perimeter(wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")) == 40.0)
+    assert(perimeter(wkt(
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))")) == 48.0)
+    assert(GeoKernel.length(wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))")) == 0.0)
+  }
+
+  test("centroid") {
+    assert(centroid(wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")) == ((5.0, 5.0)))
+    assert(centroid(wkt("LINESTRING(0 0,0 10)")) == ((0.0, 5.0)))
+    // hole pushes the centroid away from it: square with hole in the
+    // lower-left quadrant → centroid moves up-right of (5,5)
+    val (cx, cy) = centroid(wkt(
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(1 1,4 1,4 4,1 4,1 1))"))
+    assert(cx > 5.0 && cy > 5.0)
+  }
+
+  test("contains: interior yes, boundary no, hole no") {
+    val poly = wkt("POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))")
+    assert(GeoKernel.contains(poly, GPoint(5, 5)))
+    assert(!GeoKernel.contains(poly, GPoint(0, 5))) // on shell boundary
+    assert(!GeoKernel.contains(poly, GPoint(3, 3))) // inside the hole
+    assert(!GeoKernel.contains(poly, GPoint(11, 5))) // outside
+    assert(GeoKernel.contains(poly, wkt("LINESTRING(5 5,6 6)")))
+    assert(!GeoKernel.contains(poly, wkt("LINESTRING(5 5,15 5)"))) // exits the shell
+    assert(GeoKernel.contains(poly, wkt("POLYGON((5 5,7 5,7 7,5 7,5 5))")))
+  }
+
+  test("intersects: crossings, touches, containment, disjoint") {
+    assert(GeoKernel.intersects(wkt("LINESTRING(0 0,10 10)"),
+      wkt("LINESTRING(0 10,10 0)"))) // X crossing
+    assert(GeoKernel.intersects(wkt("LINESTRING(0 0,5 5)"),
+      wkt("LINESTRING(5 5,10 0)"))) // endpoint touch
+    assert(!GeoKernel.intersects(wkt("LINESTRING(0 0,1 1)"),
+      wkt("LINESTRING(2 2,3 3)")))
+    val poly = wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    assert(GeoKernel.intersects(poly, GPoint(5, 5))) // inside
+    assert(GeoKernel.intersects(poly, GPoint(0, 5))) // boundary counts
+    assert(GeoKernel.intersects(poly, wkt("LINESTRING(-5 5,15 5)"))) // passes through
+    assert(GeoKernel.intersects(poly, wkt("POLYGON((5 5,15 5,15 15,5 15,5 5))")))
+    assert(!GeoKernel.intersects(poly, wkt("POLYGON((20 20,21 20,21 21,20 21,20 20))")))
+  }
+
+  test("distance: 0 when intersecting, else min over components") {
+    assert(GeoKernel.distance(GPoint(0, 0), GPoint(3, 4)) == 5.0)
+    assert(GeoKernel.distance(GPoint(0, 0), wkt("LINESTRING(1 1,1 -1)")) == 1.0)
+    val poly = wkt("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    assert(GeoKernel.distance(poly, GPoint(5, 5)) == 0.0) // inside
+    assert(GeoKernel.distance(poly, GPoint(13, 14)) == 5.0) // corner 3-4-5
+    assert(GeoKernel.distance(wkt("LINESTRING(0 0,10 10)"),
+      wkt("LINESTRING(0 10,10 0)")) == 0.0)
+  }
+
+  test("SQL surface: measures, predicates, envelope, type") {
+    Geo.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  st_area(st_geomfromtext('POLYGON((0 0,10 0,10 10,0 10,0 0))')) a,
+        |  st_length(st_geomfromtext('LINESTRING(0 0,3 4)')) l,
+        |  st_npoints(st_geomfromtext('LINESTRING(0 0,3 4,6 8)')) n,
+        |  st_geometrytype(st_geomfromtext('POINT(1 2)')) t,
+        |  st_contains(st_geomfromtext('POLYGON((0 0,4 0,4 4,0 4,0 0))'),
+        |              st_point(2, 2)) c,
+        |  st_intersects(st_geomfromtext('LINESTRING(0 0,4 4)'),
+        |                st_geomfromtext('LINESTRING(0 4,4 0)')) i,
+        |  st_astext(st_envelope(
+        |    st_geomfromtext('LINESTRING(1 2,5 9)'))) env,
+        |  st_astext(st_centroid(
+        |    st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))'))) ctr
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 100.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getInt(2) == 3)
+    assert(r.getString(3) == "ST_Point")
+    assert(r.getBoolean(4))
+    assert(r.getBoolean(5))
+    assert(r.getString(6) == "POLYGON((1 2,5 2,5 9,1 9,1 2))")
+    assert(r.getString(7) == "POINT(1 1)")
+  }
+
+  test("st_extent aggregate distributes over partitions") {
+    import spark.implicits._
+    val pts = (0 to 100).map(i => (i % 7 - 3.0, i % 11 - 5.0)).toDF("x", "y")
+      .repartition(4)
+      .withColumn("g", Geo.st_point(col("x"), col("y")))
+    val ext = pts.agg(Geo.st_extent(col("g")).as("e"))
+      .select(Geo.st_astext(col("e"))).head().getString(0)
+    assert(ext == "POLYGON((-3 -5,3 -5,3 5,-3 5,-3 -5))")
+  }
+
+  test("zone assignment join over WKB columns") {
+    import spark.implicits._
+    val zones = Seq(
+      ("west", "POLYGON((0 0,5 0,5 10,0 10,0 0))"),
+      ("east", "POLYGON((5 0,10 0,10 10,5 10,5 0))"))
+      .toDF("zone", "wkt")
+      .withColumn("gz", Geo.st_geomfromtext(col("wkt")))
+    val pts = Seq((1, 2.0, 3.0), (2, 7.0, 8.0), (3, 2.5, 9.0), (4, 20.0, 1.0))
+      .toDF("id", "x", "y")
+      .withColumn("gp", Geo.st_point(col("x"), col("y")))
+    val assigned = pts.join(broadcast(zones),
+        Geo.st_contains(col("gz"), col("gp")), "left")
+      .select($"id", $"zone").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(assigned == Map(1 -> Some("west"), 2 -> Some("east"),
+      3 -> Some("west"), 4 -> None))
+  }
+}
