@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Gap-based sessionization — the canonical event-pipeline operator, in
+  * two equivalent forms:
+  *
+  *  - [[sessions]]: batch, the lag/flag/cumulative-sum pattern (two
+  *    window passes over one `user_id` shuffle, then a partial-aggregable
+  *    groupBy) — expressible in ANSI SQL, so it is DuckDB-oracle-checked.
+  *  - [[sessionizeStream]]: streaming, `flatMapGroupsWithState` with
+  *    event-time timeout — the custom-state slot of SURVEY §2.10's
+  *    Structured Streaming extension surface. State per user is one open
+  *    session; closed sessions are emitted when a new event exceeds the
+  *    gap or the watermark passes last+gap.
+  *
+  * Scale posture: both forms shuffle once on the user key; state size is
+  * O(open sessions), not O(events).
+  */
+object Sessionize {
+
+  /** Batch sessionization. Returns one row per (user, session):
+    * session_start/end, n_events, total_value, duration microseconds. */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, idCol: String = "event_id",
+      gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("_prev")) > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("_sess", sum(col("_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("_sess"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("total_value"))
+      .withColumn("duration_us",
+        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+      .drop("_sess")
+  }
+
+  // ---- streaming form --------------------------------------------------
+
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp,
+    value: Double)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long,
+    total: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  private def us(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+  private def ts(u: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(u / 1000)
+    t.setNanos(((u % 1000000L) * 1000).toInt)
+    t
+  }
+
+  private def close(userId: Long, s: OpenSession): Session =
+    Session(userId, ts(s.startUs), ts(s.lastUs), s.n,
+      math.rint(s.total * 100) / 100)
+
+  /** Per-group state transition: merge the batch's events (sorted) into
+    * the open session, emitting every session closed by a gap; on
+    * watermark timeout, emit the final open session. */
+  private[graft] def step(gapUs: Long)(userId: Long,
+      events: Iterator[SessEvent],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (events.isEmpty && state.hasTimedOut) {
+      // watermark passed last+gap: the open session can never extend
+      val out = state.getOption.map(close(userId, _)).iterator
+      state.remove()
+      return out
+    }
+    val sorted = events.toIndexedSeq.sortBy(e => (us(e.ts), e.value))
+    var open = state.getOption
+    val closed = IndexedSeq.newBuilder[Session]
+    for (e <- sorted) {
+      val t = us(e.ts)
+      open match {
+        case Some(s) if t - s.lastUs <= gapUs =>
+          open = Some(OpenSession(s.startUs, math.max(s.lastUs, t),
+            s.n + 1, s.total + e.value))
+        case Some(s) =>
+          closed += close(userId, s)
+          open = Some(OpenSession(t, t, 1, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      // fires once the event-time watermark passes session end + gap
+      state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000 + 1)
+    }
+    closed.result().iterator
+  }
+
+  /** Streaming sessionization over a watermarked event stream. Append
+    * mode: sessions are emitted only when provably closed (gap exceeded
+    * within the stream, or event-time timeout past the watermark). */
+  def sessionizeStream(events: Dataset[SessEvent], gapMinutes: Int = 30)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(step(gapUs))
+  }
+}

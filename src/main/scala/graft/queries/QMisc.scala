@@ -33,6 +33,15 @@ object QMisc {
       StreamIngest.windowedCounts(
         t(s, dir, "events"), "ts", "value", "1 hour", "10 minutes")
         .orderBy("w_start", "event_type")
+    },
+
+    // gap-based sessionization (batch form of ops.Sessionize; the
+    // streaming flatMapGroupsWithState form is equivalence-tested in
+    // SessionizeSpec)
+    "q_sessionize" -> { (s, dir) =>
+      graft.ops.Sessionize.sessions(
+        t(s, dir, "events"), "user_id", "ts", "value")
+        .orderBy("user_id", "session_start")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -52,5 +61,26 @@ object QMisc {
       """SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
         |    AS BIGINT) * 3600) AS w_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |    THEN 1 ELSE 0 END AS newf
+        |  FROM (SELECT *, lag(ts) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM e)
+        |), sess AS (
+        |  SELECT *, sum(newf) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, s
+        |ORDER BY user_id, session_start""".stripMargin)
 }

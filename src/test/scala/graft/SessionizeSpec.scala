@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.TestGroupState
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.Sessionize
+import graft.ops.Sessionize.{OpenSession, SessEvent}
+
+/** Sessionization: the batch (lag/cumsum) and streaming
+  * (flatMapGroupsWithState + event-time timeout) forms must agree. The
+  * batch form is additionally DuckDB-oracle-checked as q_sessionize. */
+class SessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("state transition: gap closes, merge extends, timeout flushes") {
+    val gapUs = 30L * 60 * 1000000
+    // two events 10 min apart extend one session
+    val s1 = TestGroupState.create[OpenSession](org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val out1 = Sessionize.step(gapUs)(7L,
+      Iterator(SessEvent(7, ts(0), 1.0), SessEvent(7, ts(10), 2.0)), s1)
+    assert(out1.isEmpty) // still open
+    assert(s1.get.n == 2 && s1.get.total == 3.0)
+
+    // a third event past the gap closes the first session
+    val s2 = TestGroupState.create[OpenSession](
+      org.apache.spark.api.java.Optional.of(s1.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val out2 = Sessionize.step(gapUs)(7L,
+      Iterator(SessEvent(7, ts(100), 5.0)), s2).toSeq
+    assert(out2.size == 1)
+    assert(out2.head.n_events == 2 && out2.head.total_value == 3.0)
+    assert(s2.get.n == 1 && s2.get.total == 5.0)
+
+    // watermark timeout flushes the open session and clears state
+    val s3 = TestGroupState.create[OpenSession](
+      org.apache.spark.api.java.Optional.of(s2.get),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(Long.MaxValue / 2), hasTimedOut = true)
+    val out3 = Sessionize.step(gapUs)(7L, Iterator.empty, s3).toSeq
+    assert(out3.size == 1 && out3.head.n_events == 1)
+    assert(!s3.exists)
+  }
+
+  test("streaming sessions equal batch sessions on the events fixture") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("user_id") < 10) // keep the state space small
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .cache()
+
+    val srcDir = Files.createTempDirectory("sess_src").toString
+    val ckpt = Files.createTempDirectory("sess_ckpt").toString
+    val sessSchema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    // batch 1: the real events; batches 2-3: far-future sentinel events
+    // for user 999 — each batch advances the watermark computed from the
+    // previous one, so by batch 3 every real session has timed out.
+    ev.select($"user_id", $"ts", $"value").write.parquet(s"$srcDir/in")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    Seq((999L, new Timestamp(maxTs.getTime + 10L * 86400000), 0.0))
+      .toDF("user_id", "ts", "value").write.mode("append")
+      .parquet(s"$srcDir/in")
+    Seq((999L, new Timestamp(maxTs.getTime + 20L * 86400000), 0.0))
+      .toDF("user_id", "ts", "value").write.mode("append")
+      .parquet(s"$srcDir/in")
+
+    val src = spark.readStream.schema(sessSchema)
+      .option("maxFilesPerTrigger", 1) // one parquet file per micro-batch
+      .parquet(s"$srcDir/in").as[SessEvent]
+    val q = Sessionize.sessionizeStream(src)
+      .writeStream.format("memory").queryName("sessions_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sessions_out")
+      .filter($"user_id" < 10)
+      .select($"user_id", $"session_start", $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+      .collect().toSeq
+    val batch = Sessionize.sessions(ev, "user_id", "ts", "value")
+      .select($"user_id", $"session_start", $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}
