@@ -577,6 +577,27 @@ object Engine {
           .option("inferSchema", "true").csv(path)
       case "json" => spark.read.options(options).json(path)
       case "text" => spark.read.options(options).text(path)
+      // GeoJSON FeatureCollection → one row per feature with the geometry
+      // as a WKB column (the reference reads these via DuckDB spatial's
+      // st_read/GDAL, gdal.c; docs/file-formats-reference.md:100-135).
+      // The geometry member is read as a raw JSON string (StringType in
+      // the schema keeps the unparsed object text) and decoded by the
+      // in-repo kernel; properties arrive as a string map.
+      case "geojson" =>
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("type", StringType),
+          StructField("features", ArrayType(StructType(Seq(
+            StructField("type", StringType),
+            StructField("geometry", StringType),
+            StructField("properties", MapType(StringType, StringType))))))))
+        spark.read.schema(schema).option("multiLine", "true")
+          .options(options).json(path)
+          .select(explode(col("features")).as("f"))
+          .select(
+            graft.functions.Geo.st_geomfromgeojson(col("f.geometry"))
+              .as("geom"),
+            col("f.properties").as("properties"))
       case other => throw new IllegalArgumentException(s"format $other")
     }
 

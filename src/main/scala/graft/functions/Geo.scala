@@ -173,6 +173,25 @@ object Geo {
       copy(c)
   }
 
+  case class StGeomFromGeoJSON(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      fromGeoJson(v.toString).map(toWkb).orNull
+    override protected def withNewChildInternal(c: Expression)
+        : StGeomFromGeoJSON = copy(c)
+  }
+
+  case class StAsGeoJSON(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]])
+        .map(g => UTF8String.fromString(toGeoJson(g))).orNull
+    override protected def withNewChildInternal(c: Expression): StAsGeoJSON =
+      copy(c)
+  }
+
   /** Binary geometry predicate. */
   abstract class GeomPredicate extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
@@ -229,6 +248,10 @@ object Geo {
     st_distance(a, b) <= d
   def st_geomfromtext(s: Column): Column =
     GraftBridge.column(StGeomFromText(GraftBridge.eagerExpression(s)))
+  def st_geomfromgeojson(s: Column): Column =
+    GraftBridge.column(StGeomFromGeoJSON(GraftBridge.eagerExpression(s)))
+  def st_asgeojson(g: Column): Column =
+    GraftBridge.column(StAsGeoJSON(GraftBridge.eagerExpression(g)))
   private def unary(mk: Expression => Expression)(g: Column): Column =
     GraftBridge.column(mk(GraftBridge.eagerExpression(g)))
   def st_area(g: Column): Column = unary(StArea)(g)
@@ -282,6 +305,8 @@ object Geo {
     reg("st_distance") { case Seq(a, b) => st_distance(a, b) }
     reg("st_dwithin") { case Seq(a, b, d) => st_dwithin(a, b, d) }
     reg("st_geomfromtext") { case Seq(s) => st_geomfromtext(s) }
+    reg("st_geomfromgeojson") { case Seq(s) => st_geomfromgeojson(s) }
+    reg("st_asgeojson") { case Seq(g) => st_asgeojson(g) }
     reg("st_area") { case Seq(g) => st_area(g) }
     reg("st_length") { case Seq(g) => st_length(g) }
     reg("st_perimeter") { case Seq(g) => st_perimeter(g) }

@@ -189,6 +189,78 @@ object GeoKernel {
     out.result()
   }
 
+  // ---- GeoJSON ---------------------------------------------------------
+  // The reference ingests GeoJSON through DuckDB spatial's st_read/GDAL
+  // (pg_lake_engine/src/pgduck/gdal.c; docs/file-formats-reference.md:
+  // 100-135); here the geometry member maps directly onto the kernel.
+
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def num(j: JValue): Double = j match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JDecimal(d) => d.toDouble
+    case JLong(l) => l.toDouble
+    case other => throw new RuntimeException(s"not a number: $other")
+  }
+
+  private def pt(j: JValue): Pt = {
+    val a = j.asInstanceOf[JArray].arr
+    (num(a(0)), num(a(1)))
+  }
+  private def pts(j: JValue): IndexedSeq[Pt] =
+    j.asInstanceOf[JArray].arr.toIndexedSeq.map(pt)
+  private def ringsOf(j: JValue): IndexedSeq[IndexedSeq[Pt]] =
+    j.asInstanceOf[JArray].arr.toIndexedSeq.map(pts)
+
+  def fromGeoJson(json: String): Option[Geom] =
+    try {
+      val doc = JsonMethods.parse(json)
+      fromGeoJsonValue(doc)
+    } catch { case _: RuntimeException | _: java.io.IOException => None }
+
+  private def fromGeoJsonValue(doc: JValue): Option[Geom] = {
+    val coords = doc \ "coordinates"
+    (doc \ "type") match {
+      case JString("Point") => Some(GPoint(pt(coords)._1, pt(coords)._2))
+      case JString("LineString") => Some(GLine(pts(coords)))
+      case JString("Polygon") => Some(GPolygon(ringsOf(coords)))
+      case JString("MultiPoint") => Some(GMulti("MULTIPOINT",
+        pts(coords).map(p => GPoint(p._1, p._2))))
+      case JString("MultiLineString") => Some(GMulti("MULTILINESTRING",
+        ringsOf(coords).map(GLine)))
+      case JString("MultiPolygon") => Some(GMulti("MULTIPOLYGON",
+        coords.asInstanceOf[JArray].arr.toIndexedSeq
+          .map(p => GPolygon(ringsOf(p)))))
+      case _ => None
+    }
+  }
+
+  def toGeoJson(g: Geom): String = {
+    def arr(p: Pt) = s"[${fmt(p._1)},${fmt(p._2)}]"
+    def line(ps: Seq[Pt]) = ps.map(arr).mkString("[", ",", "]")
+    def poly(rs: Seq[Seq[Pt]]) = rs.map(line).mkString("[", ",", "]")
+    g match {
+      case GPoint(x, y) =>
+        s"""{"type":"Point","coordinates":${arr((x, y))}}"""
+      case GLine(ps) =>
+        s"""{"type":"LineString","coordinates":${line(ps)}}"""
+      case GPolygon(rs) =>
+        s"""{"type":"Polygon","coordinates":${poly(rs)}}"""
+      case GMulti("MULTIPOINT", gs) =>
+        s"""{"type":"MultiPoint","coordinates":${
+          line(gs.map { case GPoint(x, y) => (x, y); case _ => (0.0, 0.0) })}}"""
+      case GMulti("MULTILINESTRING", gs) =>
+        s"""{"type":"MultiLineString","coordinates":${
+          poly(gs.collect { case GLine(ps) => ps })}}"""
+      case GMulti(_, gs) =>
+        s"""{"type":"MultiPolygon","coordinates":${
+          gs.collect { case GPolygon(rs) => poly(rs) }
+            .mkString("[", ",", "]")}}"""
+    }
+  }
+
   // ---- measures --------------------------------------------------------
 
   /** Shoelace signed area of a closed ring. */

@@ -141,6 +141,50 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ext == "POLYGON((-3 -5,3 -5,3 5,-3 5,-3 -5))")
   }
 
+  test("geojson codec round-trips and matches wkt semantics") {
+    val samples = Seq(
+      "POINT(1.5 -2.5)",
+      "LINESTRING(0 0,3 4,3 8)",
+      "POLYGON((0 0,10 0,10 10,0 10,0 0),(2 2,4 2,4 4,2 4,2 2))",
+      "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))")
+    for (s <- samples) {
+      val g = wkt(s)
+      assert(fromGeoJson(toGeoJson(g)).contains(g), s)
+    }
+    assert(toGeoJson(wkt("POINT(1 2)")) ==
+      """{"type":"Point","coordinates":[1,2]}""")
+    assert(fromGeoJson("""{"type":"Nope","coordinates":[]}""").isEmpty)
+  }
+
+  test("copyFrom geojson: FeatureCollection to WKB rows") {
+    val dir = java.nio.file.Files.createTempDirectory("geojson").toString
+    val fc =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"name":"hq","floors":"3"},
+        | "geometry":{"type":"Point","coordinates":[2.5,9.0]}},
+        |{"type":"Feature","properties":{"name":"park"},
+        | "geometry":{"type":"Polygon",
+        |   "coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}}
+        |]}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "places.geojson"),
+      fc.getBytes("UTF-8"))
+    val df = graft.engine.Engine.copyFrom(spark, s"$dir/places.geojson",
+      "geojson")
+    val rows = df.select(
+        Geo.st_geometrytype(col("geom")).as("t"),
+        Geo.st_astext(col("geom")).as("w"),
+        element_at(col("properties"), "name").as("name"))
+      .orderBy("name").collect()
+    assert(rows.map(_.getString(2)).toSeq == Seq("hq", "park"))
+    assert(rows(0).getString(0) == "ST_Point")
+    assert(rows(0).getString(1) == "POINT(2.5 9)")
+    assert(rows(1).getString(1) == "POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    // and the measures work on the ingested geometry
+    val parkArea = df.filter(element_at(col("properties"), "name") === "park")
+      .select(Geo.st_area(col("geom"))).head().getDouble(0)
+    assert(parkArea == 16.0)
+  }
+
   test("zone assignment join over WKB columns") {
     import spark.implicits._
     val zones = Seq(
