@@ -1,0 +1,164 @@
+package graft.queries
+
+import Q._
+
+/** TPC-DS-shaped wave. The reference ships the full TPC-DS harness
+  * (pg_lake_benchmark/README.md:25-30; src/tpcds.c); the fixture schema
+  * has no store/web/catalog split, so the distinctive TPC-DS query
+  * *shapes* are adapted: channel-union rollups (Q5/Q77), same-store
+  * year-over-year deltas (Q75), INTERSECT repeat-customer analysis
+  * (Q38), CASE-bucketed scans (Q9), rank-within-category top-N,
+  * moving-window averages, and ntile deciles. Same SQL to both engines.
+  */
+object QTpcds {
+
+  private def sql(q: String): QueryFn = { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    s.sql(q)
+  }
+
+  // Q5/Q77 shape: per-channel revenue union → rollup with grand total.
+  // Channels are proxied by order priority classes.
+  private val qChannelRollup =
+    """SELECT channel, nation, round(sum(revenue), 2) AS revenue,
+      |  count(*) AS n_sales
+      |FROM (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 'express' ELSE 'standard' END AS channel,
+      |    n_name AS nation,
+      |    l_extendedprice * (1 - l_discount) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
+      |GROUP BY ROLLUP(channel, nation)
+      |ORDER BY channel NULLS FIRST, nation NULLS FIRST""".stripMargin
+
+  // Q75 shape: year-over-year delta per group via self-joined yearly aggs.
+  private val qYoy =
+    """WITH yearly AS (
+      |  SELECT n_name AS nation,
+      |    CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+      |    sum(l_extendedprice * (1 - l_discount)) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, CAST(extract(year FROM o_orderdate) AS INT))
+      |SELECT cur.nation, cur.yr,
+      |  round(cur.rev, 2) AS cur_rev,
+      |  round(prev.rev, 2) AS prev_rev,
+      |  round(cur.rev / prev.rev, 4) AS ratio
+      |FROM yearly cur JOIN yearly prev
+      |  ON cur.nation = prev.nation AND cur.yr = prev.yr + 1
+      |WHERE cur.yr BETWEEN 1996 AND 1999
+      |ORDER BY cur.nation, cur.yr""".stripMargin
+
+  // Q38 shape: customers active in three consecutive years (INTERSECT).
+  private val qRepeatCustomers =
+    """SELECT count(*) AS n_loyal FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1996
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1997
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1998)""".stripMargin
+
+  // Q9 shape: CASE-bucketed single-scan statistics.
+  private val qBucketStats =
+    """SELECT
+      |  count(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 END) AS n_small,
+      |  round(avg(CASE WHEN l_quantity BETWEEN 1 AND 10
+      |    THEN l_extendedprice END), 2) AS avg_small,
+      |  count(CASE WHEN l_quantity BETWEEN 11 AND 30 THEN 1 END) AS n_mid,
+      |  round(avg(CASE WHEN l_quantity BETWEEN 11 AND 30
+      |    THEN l_extendedprice END), 2) AS avg_mid,
+      |  count(CASE WHEN l_quantity > 30 THEN 1 END) AS n_large,
+      |  round(avg(CASE WHEN l_quantity > 30
+      |    THEN l_extendedprice END), 2) AS avg_large
+      |FROM lineitem WHERE l_returnflag <> 'R'""".stripMargin
+
+  // top-N within category via rank() (the Q67-style shape).
+  private val qTopPerGroup =
+    """SELECT p_brand, p_type, rev_rank, revenue FROM (
+      |  SELECT p_brand, p_type,
+      |    rank() OVER (PARTITION BY p_brand
+      |      ORDER BY sum(l_extendedprice) DESC, p_type) AS rev_rank,
+      |    round(sum(l_extendedprice), 2) AS revenue
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY p_brand, p_type)
+      |WHERE rev_rank <= 3
+      |ORDER BY p_brand, rev_rank""".stripMargin
+
+  // rolling 3-month moving average per nation (Q? windowed trend shape).
+  // Monthly revenue is snapped to integer cents BEFORE the window average,
+  // and the average itself is rounded to integer cents before the final
+  // /100: a two-row window puts avg on an exact half-cent, where Spark
+  // (shortest-decimal BigDecimal rounding) and DuckDB (binary std::round)
+  // disagree at 2 decimals — but both round integer halves away from
+  // zero, so rounding in cent space is engine-identical.
+  private val qMovingAvg =
+    """SELECT nation, mon,
+      |  round(rev_cents / 100.0, 2) AS revenue,
+      |  CAST(round(avg(rev_cents) OVER (PARTITION BY nation ORDER BY mon
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT) / 100.0
+      |    AS ma3
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(extract(year FROM o_orderdate) * 100
+      |      + extract(month FROM o_orderdate) AS INT) AS mon,
+      |    CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev_cents
+      |  FROM orders
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_4','NATION_9')
+      |  GROUP BY n_name, CAST(extract(year FROM o_orderdate) * 100
+      |    + extract(month FROM o_orderdate) AS INT))
+      |ORDER BY nation, mon""".stripMargin
+
+  // customer-value deciles via ntile (Q? segmentation shape).
+  private val qValueDeciles =
+    """SELECT decile, count(*) AS n_customers,
+      |  round(min(spend), 2) AS min_spend, round(max(spend), 2) AS max_spend
+      |FROM (
+      |  SELECT o_custkey, sum(o_totalprice) AS spend,
+      |    ntile(10) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey)
+      |      AS decile
+      |  FROM orders GROUP BY o_custkey)
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
+  // cross-class ratio per month (Q? share-of-total shape), computed with
+  // conditional aggregation rather than a self-join.
+  private val qUrgentShare =
+    """SELECT mon,
+      |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN o_totalprice ELSE 0 END), 2) AS urgent_rev,
+      |  round(sum(o_totalprice), 2) AS total_rev,
+      |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN o_totalprice ELSE 0 END) / sum(o_totalprice), 5)
+      |    AS urgent_share
+      |FROM (
+      |  SELECT CAST(extract(year FROM o_orderdate) * 100
+      |      + extract(month FROM o_orderdate) AS INT) AS mon,
+      |    o_orderpriority, o_totalprice
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01')
+      |GROUP BY mon ORDER BY mon""".stripMargin
+
+  private val all = Map(
+    "qds_channel_rollup" -> qChannelRollup,
+    "qds_yoy" -> qYoy,
+    "qds_repeat_customers" -> qRepeatCustomers,
+    "qds_bucket_stats" -> qBucketStats,
+    "qds_top_per_group" -> qTopPerGroup,
+    "qds_moving_avg" -> qMovingAvg,
+    "qds_value_deciles" -> qValueDeciles,
+    "qds_urgent_share" -> qUrgentShare)
+
+  val queries: Map[String, QueryFn] = all.map { case (n, q) => n -> sql(q) }
+  val oracleSql: Map[String, String] = all
+}
