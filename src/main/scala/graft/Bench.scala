@@ -9,11 +9,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline set: TPC-H-shaped core + window/agg + pipeline operators. */
+  /** Headline set: TPC-H-shaped core + TPC-DS shapes + window/agg +
+    * pipeline/session/geo operators. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_local_supplier", "q6_forecast_revenue",
     "q10_returned_items", "q_join_inner", "q_agg_stats", "q_rollup",
     "q_win_rank", "q_win_frame_rows", "q_cte",
+    "qds_channel_rollup", "qds_yoy", "qds_top_per_group",
+    "q_sessionize", "q_geo_zones",
     "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine", "q_text_stats")
 
   def main(args: Array[String]): Unit = {
