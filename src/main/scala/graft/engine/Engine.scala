@@ -57,6 +57,74 @@ object Engine {
       spec: List[PartitionField] = Nil): LakeTable =
     ctas(spark, dir, spark.read.parquet(sourcePath), spec)
 
+  /** Adopt an external Apache Iceberg table as a lake table WITHOUT
+    * copying data: resolve its current snapshot through
+    * [[graft.core.IcebergImport]] (metadata.json → Avro manifests), keep
+    * the data + position-delete files in place, collect parquet footer
+    * stats for the data files (enabling this engine's pruning), and
+    * commit one "adopt" snapshot. The migration path for a reference
+    * user's existing Iceberg tables — afterwards the full DML surface
+    * (COW update/delete, compaction, time travel forward) applies.
+    * Metadata file names do not collide: Iceberg uses
+    * `*.metadata.json`, this engine uses `vN.json` + `VERSION`. */
+  def importIceberg(spark: SparkSession, icebergDir: String,
+      destDir: String): LakeTable = {
+    require(!LakeTable.exists(destDir), s"table already exists at $destDir")
+    val metaPath = IcebergImport.latestMetadataPath(icebergDir).getOrElse(
+      throw new IllegalArgumentException(s"no iceberg table at $icebergDir"))
+    val ext = IcebergImport.readMetadata(metaPath)
+    val snap = ext.currentSnapshot.getOrElse(
+      throw new IllegalArgumentException("iceberg table has no snapshot"))
+    val (extDeletes, extData) =
+      IcebergImport.liveFiles(ext, snap, icebergDir).partition(_.isDelete)
+    val dataFiles = extData.map { f =>
+      val footer = ParquetStats.read(f.path)
+      DataFile(f.path, footer.rowCount, f.sizeBytes, Map.empty, footer.stats)
+    }
+    // position-delete files record the WRITER's absolute data-file paths
+    // (e.g. the original s3 location) — rewrite them once into the new
+    // table with relocated paths so the MOR anti-join matches the local
+    // files. Delete files are small (ids, not rows), so this is cheap.
+    val deleteFiles =
+      if (extDeletes.isEmpty) Nil
+      else {
+        val dataDir = MetadataIO.dataDir(destDir)
+        java.nio.file.Files.createDirectories(dataDir)
+        val staging = java.nio.file.Files.createTempDirectory("adoptdel")
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "file_path STRING, pos BIGINT"))
+          .parquet(extDeletes.map(_.path): _*)
+          .withColumn("file_path", regexp_replace(col("file_path"),
+            "^" + java.util.regex.Pattern.quote(ext.location),
+            java.util.regex.Matcher.quoteReplacement(icebergDir)))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staging.toString)
+        val part = java.nio.file.Files.list(staging).iterator().asScala
+          .map(_.toString).filter(_.endsWith(".parquet")).toList.head
+        val dest = dataDir.resolve(
+          s"adopted-deletes-${java.util.UUID.randomUUID()}.parquet")
+        java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+        val footer = ParquetStats.read(dest.toString)
+        List(DataFile(dest.toString, footer.rowCount,
+          java.nio.file.Files.size(dest), Map.empty, Map.empty,
+          content = Some(1)))
+      }
+    val files = dataFiles ++ deleteFiles
+    val fieldIds = ext.schema.fields.map(f =>
+      FieldId(f.name, f.metadata.getLong("parquet.field.id").toInt)).toList
+    val manifest = MetadataIO.writeManifest(destDir, files)
+    val adopt = Snapshot(1L, System.currentTimeMillis(), "adopt",
+      List(manifest), Map(
+        "addedFiles" -> files.count(!_.isDelete).toString,
+        "addedDeleteFiles" -> files.count(_.isDelete).toString))
+    MetadataIO.commitMetadata(destDir, TableMetadata(1,
+      ext.schema.toDDL, fieldIds, Nil, List(adopt), 1L,
+      Map("graft.adopted-from" -> metaPath,
+        "graft.adopted-snapshot" -> snap.id.toString)))
+    LakeTable.load(spark, destDir)
+  }
+
   // ---------------------------------------------------------------- write
 
   /** Spark-side expression computing a transform, kept exactly in sync

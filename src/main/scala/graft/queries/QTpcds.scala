@@ -17,6 +17,35 @@ object QTpcds {
     s.sql(q)
   }
 
+  // Spark-side plan for qds_yoy: Spark inlines (does not materialize)
+  // WITH-CTEs, so the oracle's self-join form would execute the 4-table
+  // join + aggregation twice. One pass + lag() over the year sequence is
+  // semantically identical — lag pairs adjacent EXISTING years, so it
+  // must be guarded to consecutive years exactly like the yr = yr+1 join
+  // — and halves the heavy subtree (measured 1.76 s → ~1.0 s at sf0.1).
+  private val qYoySpark: QueryFn = { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT nation, yr, round(rev, 2) AS cur_rev,
+        |  round(prev_raw, 2) AS prev_rev,
+        |  round(rev / prev_raw, 4) AS ratio
+        |FROM (
+        |  SELECT nation, yr, rev,
+        |    lag(rev) OVER (PARTITION BY nation ORDER BY yr) AS prev_raw,
+        |    lag(yr) OVER (PARTITION BY nation ORDER BY yr) AS prev_yr
+        |  FROM (
+        |    SELECT n_name AS nation,
+        |      CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        |      sum(l_extendedprice * (1 - l_discount)) AS rev
+        |    FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    GROUP BY n_name, CAST(extract(year FROM o_orderdate) AS INT)))
+        |WHERE prev_yr = yr - 1 AND yr BETWEEN 1996 AND 1999
+        |ORDER BY nation, yr""".stripMargin)
+  }
+
   // Q5/Q77 shape: per-channel revenue union → rollup with grand total.
   // Channels are proxied by order priority classes.
   private val qChannelRollup =
@@ -159,6 +188,7 @@ object QTpcds {
     "qds_value_deciles" -> qValueDeciles,
     "qds_urgent_share" -> qUrgentShare)
 
-  val queries: Map[String, QueryFn] = all.map { case (n, q) => n -> sql(q) }
+  val queries: Map[String, QueryFn] =
+    all.map { case (n, q) => n -> sql(q) } + ("qds_yoy" -> qYoySpark)
   val oracleSql: Map[String, String] = all
 }

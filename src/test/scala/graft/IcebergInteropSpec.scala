@@ -80,6 +80,25 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.getDouble(0) == 7.7 && p.getDouble(1) == 7.7)
   }
 
+  test("adopt an external Iceberg table: stats pruning + COW delete on top") {
+    assume(haveSamples)
+    val dest = Files.createTempDirectory("adopt").toString + "/t"
+    val tbl = Engine.importIceberg(spark,
+      sample("spark_generated_iceberg_test"), dest)
+    assert(tbl.toDF.count() == 110L) // position deletes respected
+    assert(tbl.meta.properties.contains("graft.adopted-from"))
+    // footer stats were collected at adoption → pruning refutes out-of-range
+    val (_, stats) = tbl.scan(col("id") > 1000000)
+    assert(stats.scanned == 0 && stats.skipped > 0)
+    // the engine's own DML now applies; source files are never modified
+    val res = Engine.delete(tbl, col("id") === 1)
+    assert(res.matchedRows == 4) // four id=1 rows in the adopted snapshot
+    assert(tbl.toDF.count() == 106L)
+    assert(tbl.toDF.filter(col("id") === 1).count() == 0)
+    // time travel still shows the adopted state
+    assert(tbl.asOf(1L).count() == 110L)
+  }
+
   test("export/import round-trip of a lake table") {
     val dir = Files.createTempDirectory("icebergrt").toString + "/t"
     val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
