@@ -17,6 +17,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -70,6 +71,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodeCount(p, "HashAggregate") >= 2, p) // partial + final
     // one exchange for the aggregation, one for the presentation sort
     assert(nodeCount(p, "Exchange") <= 2, p)
+  }
+
+  test("qds_channel_rollup: all dims broadcast, expand feeds one agg shuffle") {
+    val p = plan("qds_channel_rollup")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 3, p) // orders/customer/nation
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Expand"), p) // rollup = Expand, not a union of scans
+    // nation IN-list pushed down to the nation scan
+    assert(p.contains("In(n_name"), p)
+  }
+
+  test("qds_yoy: single pass — the join+agg subtree appears once") {
+    val p = plan("qds_yoy")
+    // the lag() form reads lineitem once; the naive CTE self-join would
+    // show two lineitem scans
+    assert(nodeCount(p, "Scan parquet") <= 4, p) // lineitem+orders+customer+nation
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 2, p)
+  }
+
+  test("q_sessionize: one user-key exchange shared by both window passes") {
+    val p = plan("q_sessionize")
+    // lag + running sum + final agg are all keyed on user_id: Catalyst
+    // must reuse one hash partitioning, not shuffle three times
+    assert(nodeCount(p, "Exchange") <= 2, p) // user_id + presentation sort
+    assert(nodeCount(p, "Window") == 2, p)
+  }
+
+  test("q_geo_zones: zone side broadcast (never shuffle the points)") {
+    val p = plan("q_geo_zones")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("whole-stage codegen covers the hot path") {
