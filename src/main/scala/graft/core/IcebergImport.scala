@@ -35,8 +35,14 @@ object IcebergImport {
     operation: String, manifestList: String)
 
   final case class ExtFile(path: String, content: Int, recordCount: Long,
-    sizeBytes: Long) {
+    sizeBytes: Long,
+    /** data sequence number (v2): equality deletes apply only to data
+      * files with a strictly smaller sequence number. */
+    seq: Long = 0L,
+    /** field ids of the equality columns (content=2 files only). */
+    equalityIds: List[Int] = Nil) {
     def isDelete: Boolean = content == 1
+    def isEqualityDelete: Boolean = content == 2
   }
 
   final case class ExtTable(location: String, schema: StructType,
@@ -173,26 +179,37 @@ object IcebergImport {
             tableDir),
           (e \ "content").extractOpt[Int].getOrElse(0),
           (e \ "record_count").extract[Long],
-          (e \ "file_size_in_bytes").extract[Long])
+          (e \ "file_size_in_bytes").extract[Long],
+          (e \ "sequence_number").extractOpt[Long].getOrElse(0L),
+          (e \ "equality_ids").extractOpt[List[Int]].getOrElse(Nil))
       }
     } else {
       readAvro(listPath).flatMap { m =>
         val mPath = relocate(m.get("manifest_path").toString, table.location,
           tableDir)
         val manifestContent = intField(m, "content", 0)
+        val manifestSeq = longField(m, "sequence_number", 0L)
         readAvro(mPath).flatMap { entry =>
           val status = intField(entry, "status", 0)
           if (status == 2) None // DELETED entry
           else {
             val df = entry.get("data_file").asInstanceOf[GenericRecord]
             val content = intField(df, "content", manifestContent)
-            if (content == 2) throw new UnsupportedOperationException(
-              "equality deletes not supported")
+            // ADDED entries with null sequence number inherit the
+            // manifest's (the v2 sequence-number inheritance rule)
+            val seq = longField(entry, "sequence_number", manifestSeq)
+            val eqIds =
+              if (df.getSchema.getField("equality_ids") == null) Nil
+              else Option(df.get("equality_ids"))
+                .map(_.asInstanceOf[java.util.List[_]].asScala
+                  .map(_.asInstanceOf[Number].intValue).toList)
+                .getOrElse(Nil)
             Some(ExtFile(
               relocate(df.get("file_path").toString, table.location, tableDir),
               content,
               longField(df, "record_count", 0L),
-              longField(df, "file_size_in_bytes", 0L)))
+              longField(df, "file_size_in_bytes", 0L),
+              seq, eqIds))
           }
         }
       }
@@ -214,32 +231,74 @@ object IcebergImport {
         throw new IllegalArgumentException(s"no snapshot $id")))
       .orElse(table.currentSnapshot)
     val files = snap.map(liveFiles(table, _, tableDir)).getOrElse(Nil)
-    val (deletes, data) = files.partition(_.isDelete)
+    val posDeletes = files.filter(_.isDelete)
+    val eqDeletes = files.filter(_.isEqualityDelete)
+    val data = files.filterNot(f => f.isDelete || f.isEqualityDelete)
 
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val base =
       if (data.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
       else spark.read.schema(table.schema).parquet(data.map(_.path): _*)
-    if (deletes.isEmpty || data.isEmpty) base
-    else {
+    if (data.isEmpty) return base
+
+    var out = base
+    if (posDeletes.nonEmpty) {
       // delete files record the writer's absolute data-file paths: relocate
       // them the same way the data-file list was relocated.
       val del = spark.read
         .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
-        .parquet(deletes.map(_.path): _*)
+        .parquet(posDeletes.map(_.path): _*)
         .withColumn("file_path",
           regexp_replace(col("file_path"),
             "^" + java.util.regex.Pattern.quote(table.location),
             java.util.regex.Matcher.quoteReplacement(tableDir)))
-      val tagged = base
+      val tagged = out
         .withColumn("_file", regexp_replace(input_file_name(), "^file:/*", "/"))
         .withColumn("_pos", col("_metadata.row_index"))
-      tagged.join(del,
+      out = tagged.join(del,
           tagged("_file") === del("file_path") && tagged("_pos") === del("pos"),
           "left_anti")
         .drop("_file", "_pos")
     }
+    if (eqDeletes.nonEmpty)
+      out = applyEqualityDeletes(spark, out, table, data, eqDeletes)
+    out
+  }
+
+  /** Equality deletes (content=2): each delete row removes every data row
+    * whose equality columns match, but only in data files with a STRICTLY
+    * SMALLER data sequence number than the delete file's. Rows are tagged
+    * with their file's sequence number (broadcast map join on the file
+    * name), delete rows carry theirs, and one null-safe anti-join per
+    * equality-column set applies the rule. */
+  private def applyEqualityDeletes(spark: SparkSession, base: DataFrame,
+      table: ExtTable, data: List[ExtFile],
+      eqDeletes: List[ExtFile]): DataFrame = {
+    import spark.implicits._
+    val idToName = table.schema.fields.map(f =>
+      f.metadata.getLong("parquet.field.id").toInt -> f.name).toMap
+    val fileSeq = data.map(f => (f.path, f.seq)).toDF("_fs_file", "_fs_seq")
+    var out = base
+      .withColumn("_file", regexp_replace(input_file_name(), "^file:/*", "/"))
+      .join(broadcast(fileSeq), col("_file") === col("_fs_file"), "left")
+    for ((ids, group) <- eqDeletes.groupBy(_.equalityIds)) {
+      val cols = ids.map(id => idToName.getOrElse(id,
+        throw new IllegalArgumentException(s"unknown equality field id $id")))
+      // match delete-file columns by NAME: stripping the field-id
+      // metadata keeps files without embedded ids readable
+      val delSchema = StructType(cols.map(c => table.schema(c)
+        .copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      val del = group.map { f =>
+          spark.read.schema(delSchema).parquet(f.path)
+            .withColumn("_del_seq", lit(f.seq))
+        }.reduce(_ unionByName _)
+        .select(cols.map(c => col(c).as(s"_del_$c")) :+ col("_del_seq"): _*)
+      val cond = cols.map(c => col(c) <=> col(s"_del_$c"))
+        .reduce(_ && _) && col("_fs_seq") < col("_del_seq")
+      out = out.join(del, cond, "left_anti")
+    }
+    out.drop("_file", "_fs_file", "_fs_seq")
   }
 
   /** Snapshot history of an external table (inspection surface, like

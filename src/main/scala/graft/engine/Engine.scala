@@ -75,8 +75,11 @@ object Engine {
     val ext = IcebergImport.readMetadata(metaPath)
     val snap = ext.currentSnapshot.getOrElse(
       throw new IllegalArgumentException("iceberg table has no snapshot"))
-    val (extDeletes, extData) =
-      IcebergImport.liveFiles(ext, snap, icebergDir).partition(_.isDelete)
+    val extAll = IcebergImport.liveFiles(ext, snap, icebergDir)
+    require(!extAll.exists(_.isEqualityDelete),
+      "adopt: table has equality-delete files; scan it via " +
+        "IcebergImport.scan (which applies them) and CTAS instead")
+    val (extDeletes, extData) = extAll.partition(_.isDelete)
     val dataFiles = extData.map { f =>
       val footer = ParquetStats.read(f.path)
       DataFile(f.path, footer.rowCount, f.sizeBytes, Map.empty, footer.stats)

@@ -99,6 +99,76 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.asOf(1L).count() == 110L)
   }
 
+  test("equality deletes apply only to older sequence numbers") {
+    import spark.implicits._
+    // synthesized v2 table (no reference fixture carries equality
+    // deletes): f1 (ids 1-5, seq 1), f2 (ids 6-10, seq 3), and an
+    // equality-delete file on {id} with ids {2, 7} at seq 2 — so id=2
+    // (in the seq-1 file) is deleted but id=7 (seq 3 > 2) survives.
+    val dir = Files.createTempDirectory("eqdel").toString
+    Files.createDirectories(Paths.get(dir, "data"))
+    Files.createDirectories(Paths.get(dir, "metadata"))
+    // real Iceberg data files embed parquet field ids — write them too
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    def withIds(df: org.apache.spark.sql.DataFrame,
+        ids: Map[String, Long]): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(df.rdd, StructType(df.schema.fields.map(f =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", ids(f.name)).build()))))
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("eqtmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator()
+      var found: String = null
+      while (part.hasNext) {
+        val p = part.next().toString
+        if (p.endsWith(".parquet")) found = p
+      }
+      Files.move(Paths.get(found), Paths.get(dir, "data", name))
+    }
+    val fids = Map("id" -> 1L, "val" -> 2L)
+    writeOne(withIds((1L to 5L).map(i => (i, s"v$i")).toDF("id", "val"), fids),
+      "f1.parquet")
+    writeOne(withIds((6L to 10L).map(i => (i, s"v$i")).toDF("id", "val"), fids),
+      "f2.parquet")
+    writeOne(withIds(Seq(2L, 7L).toDF("id"), fids), "eqdel.parquet")
+    def size(n: String): Long = Files.size(Paths.get(dir, "data", n))
+    val manifest =
+      s"""[
+         |{"file_path":"data/f1.parquet","content":0,"record_count":5,
+         | "file_size_in_bytes":${size("f1.parquet")},"sequence_number":1},
+         |{"file_path":"data/f2.parquet","content":0,"record_count":5,
+         | "file_size_in_bytes":${size("f2.parquet")},"sequence_number":3},
+         |{"file_path":"data/eqdel.parquet","content":2,"record_count":2,
+         | "file_size_in_bytes":${size("eqdel.parquet")},
+         | "sequence_number":2,"equality_ids":[1]}
+         |]""".stripMargin
+    Files.write(Paths.get(dir, "metadata", "list.json"),
+      manifest.getBytes("UTF-8"))
+    val meta =
+      """{"format-version":2,"location":"/relocated/elsewhere",
+        |"current-schema-id":0,
+        |"schemas":[{"type":"struct","schema-id":0,"fields":[
+        |  {"id":1,"name":"id","required":false,"type":"long"},
+        |  {"id":2,"name":"val","required":false,"type":"string"}]}],
+        |"current-snapshot-id":77,
+        |"snapshots":[{"snapshot-id":77,"timestamp-ms":1700000000000,
+        |  "summary":{"operation":"overwrite"},
+        |  "manifest-list":"metadata/list.json"}]}""".stripMargin
+    Files.write(Paths.get(dir, "metadata", "00001-t.metadata.json"),
+      meta.getBytes("UTF-8"))
+
+    val ids = IcebergImport.scan(spark, dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)) // only 2 gone
+    // adoption refuses equality-delete tables with a clear error
+    val err = intercept[IllegalArgumentException] {
+      Engine.importIceberg(spark, dir,
+        Files.createTempDirectory("eqadopt").toString + "/t")
+    }
+    assert(err.getMessage.contains("equality-delete"))
+  }
+
   test("export/import round-trip of a lake table") {
     val dir = Files.createTempDirectory("icebergrt").toString + "/t"
     val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
