@@ -11,13 +11,42 @@ import org.apache.spark.sql.types._
   * export (pg_lake_iceberg/src/object_store_catalog/…; external engines
   * read pg_lake tables by metadata.json, docs/iceberg-tables.md:653-698).
   *
-  * Scope: `vN.metadata.json` + JSON manifest listings. Manifests are
-  * exported as JSON (not Avro) — readable by anything that can follow
-  * the spec's field names, and structured so an Avro writer can be
-  * slotted in (avro-1.12 is on the classpath); flagged in properties as
-  * `graft.manifest-format=json`.
+  * Writes `vN.metadata.json` plus, per snapshot, either a spec-shaped
+  * Avro manifest chain (default: manifest list → manifest file, the
+  * format external Iceberg readers and our own [[IcebergImport]] Avro
+  * branch consume) or a flat JSON listing
+  * (`avroManifests = false`, flagged as `graft.manifest-format=json`).
   */
 object IcebergExport {
+
+  private val entrySchemaJson =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+
+  private val listSchemaJson =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"added_files_count","type":"int"},
+      |{"name":"existing_files_count","type":"int"},
+      |{"name":"deleted_files_count","type":"int"},
+      |{"name":"added_rows_count","type":"long"},
+      |{"name":"existing_rows_count","type":"long"},
+      |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
 
   private def icebergType(dt: DataType): Any = dt match {
     case BooleanType => "boolean"
@@ -60,9 +89,66 @@ object IcebergExport {
     case other => other
   }
 
-  /** Write metadata.json (+ per-snapshot manifest listings) under
-    * `outDir`; returns the metadata file path. */
-  def export(tbl: LakeTable, outDir: String): String = {
+  /** Write one spec-shaped Avro manifest + manifest list for a snapshot;
+    * returns the manifest-list file name. */
+  private def writeAvroManifests(tbl: LakeTable, outDir: String,
+      s: Snapshot, seq: Long): String = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val entrySchema = new Schema.Parser().parse(entrySchemaJson)
+    val dfSchema = entrySchema.getField("data_file").schema()
+    val files = MetadataIO.liveFiles(tbl.dir, s)
+    val manifestName = s"manifest-${s.id}.avro"
+    val manifestPath = Paths.get(outDir, "metadata", manifestName)
+    val w1 = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w1.create(entrySchema, manifestPath.toFile)
+    for (f <- files) {
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", if (f.isDelete) 1 else 0)
+      df.put("file_path", f.path)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", f.rowCount)
+      df.put("file_size_in_bytes", f.sizeBytes)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", s.id)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      e.put("data_file", df)
+      w1.append(e)
+    }
+    w1.close()
+
+    val listSchema = new Schema.Parser().parse(listSchemaJson)
+    val listName = s"snap-${s.id}.avro"
+    val w2 = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    w2.create(listSchema, Paths.get(outDir, "metadata", listName).toFile)
+    val m = new GenericData.Record(listSchema)
+    m.put("manifest_path", s"metadata/$manifestName")
+    m.put("manifest_length", Files.size(manifestPath))
+    m.put("partition_spec_id", 0)
+    m.put("content", 0)
+    m.put("sequence_number", seq)
+    m.put("min_sequence_number", seq)
+    m.put("added_snapshot_id", s.id)
+    m.put("added_files_count", files.count(!_.isDelete))
+    m.put("existing_files_count", 0)
+    m.put("deleted_files_count", files.count(_.isDelete))
+    m.put("added_rows_count", files.filter(!_.isDelete).map(_.rowCount).sum)
+    m.put("existing_rows_count", 0L)
+    m.put("deleted_rows_count", files.filter(_.isDelete).map(_.rowCount).sum)
+    w2.append(m)
+    w2.close()
+    listName
+  }
+
+  /** Write metadata.json (+ per-snapshot manifests) under `outDir`;
+    * returns the metadata file path. */
+  def export(tbl: LakeTable, outDir: String,
+      avroManifests: Boolean = true): String = {
     val meta = tbl.meta
     val schema = StructType.fromDDL(meta.schemaDdl)
     val ids = meta.fieldIds.map(f => f.name -> f.id).toMap
@@ -76,16 +162,22 @@ object IcebergExport {
       Map("name" -> pf.partName, "transform" -> transformName(pf.transform),
         "source-id" -> ids.getOrElse(pf.column, -1), "field-id" -> (1000 + i))
     }
-    val snapshots = meta.snapshots.map { s =>
-      val manifestList = s"manifest-list-${s.id}.json"
-      val entries = MetadataIO.liveFiles(tbl.dir, s).map { f =>
-        Map(
-          "status" -> 1, "content" -> 0,
-          "file_path" -> f.path, "file_format" -> "PARQUET",
-          "record_count" -> f.rowCount, "file_size_in_bytes" -> f.sizeBytes,
-          "partition" -> f.partition)
-      }
-      writeJson(Paths.get(outDir, "metadata", manifestList).toString, entries)
+    val snapshots = meta.snapshots.zipWithIndex.map { case (s, i) =>
+      val manifestList =
+        if (avroManifests) writeAvroManifests(tbl, outDir, s, i + 1L)
+        else {
+          val name = s"manifest-list-${s.id}.json"
+          val entries = MetadataIO.liveFiles(tbl.dir, s).map { f =>
+            Map(
+              "status" -> 1, "content" -> (if (f.isDelete) 1 else 0),
+              "file_path" -> f.path, "file_format" -> "PARQUET",
+              "record_count" -> f.rowCount,
+              "file_size_in_bytes" -> f.sizeBytes,
+              "partition" -> f.partition)
+          }
+          writeJson(Paths.get(outDir, "metadata", name).toString, entries)
+          name
+        }
       Map(
         "snapshot-id" -> s.id,
         "timestamp-ms" -> s.timestampMs,
@@ -109,7 +201,8 @@ object IcebergExport {
       "last-partition-id" -> (999 + meta.partitionSpec.size),
       "default-sort-order-id" -> 0,
       "sort-orders" -> List(Map("order-id" -> 0, "fields" -> Nil)),
-      "properties" -> (meta.properties + ("graft.manifest-format" -> "json")),
+      "properties" -> (meta.properties + ("graft.manifest-format" ->
+        (if (avroManifests) "avro" else "json"))),
       "current-snapshot-id" -> meta.currentSnapshotId,
       "snapshots" -> snapshots,
       "snapshot-log" -> meta.snapshots.map(s =>

@@ -130,7 +130,10 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       spec = List(PartitionField("o_orderdate", "month")))
     Engine.delete(tbl, col("o_totalprice") < 1000)
     val out = Files.createTempDirectory("iceberg_export").toString
-    val metaPath = graft.core.IcebergExport.export(tbl, out)
+    // JSON manifest variant here (the default Avro chain is round-trip
+    // tested through IcebergImport in IcebergInteropSpec)
+    val metaPath = graft.core.IcebergExport.export(tbl, out,
+      avroManifests = false)
     val json = new String(Files.readAllBytes(
       java.nio.file.Paths.get(metaPath)))
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats

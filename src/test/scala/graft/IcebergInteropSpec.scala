@@ -169,14 +169,24 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("equality-delete"))
   }
 
-  test("export/import round-trip of a lake table") {
-    val dir = Files.createTempDirectory("icebergrt").toString + "/t"
-    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
-    val tbl = Engine.ctas(spark, dir, nation)
-    IcebergExport.export(tbl, dir) // metadata next to the data files
-    val back = IcebergImport.scan(spark, dir)
-    assert(back.schema.fieldNames.toSeq == tbl.toDF.schema.fieldNames.toSeq)
-    assert(back.orderBy("n_nationkey").collect().toSeq ==
-      tbl.toDF.orderBy("n_nationkey").collect().toSeq)
+  test("export/import round-trip of a lake table (avro + json manifests)") {
+    for (avro <- Seq(true, false)) {
+      val dir = Files.createTempDirectory("icebergrt").toString + "/t"
+      val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      val tbl = Engine.ctas(spark, dir, nation)
+      IcebergExport.export(tbl, dir, avroManifests = avro)
+      val back = IcebergImport.scan(spark, dir)
+      assert(back.schema.fieldNames.toSeq ==
+        tbl.toDF.schema.fieldNames.toSeq)
+      assert(back.orderBy("n_nationkey").collect().toSeq ==
+        tbl.toDF.orderBy("n_nationkey").collect().toSeq, s"avro=$avro")
+      // the avro chain must go through the same reader branch as genuine
+      // Iceberg tables (manifest list -> manifest -> files)
+      if (avro) {
+        val table = IcebergImport.readMetadata(
+          IcebergImport.latestMetadataPath(dir).get)
+        assert(table.currentSnapshot.get.manifestList.endsWith(".avro"))
+      }
+    }
   }
 }
