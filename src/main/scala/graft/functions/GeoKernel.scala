@@ -95,8 +95,11 @@ object GeoKernel {
     val order = if (b.get() == 1) ByteOrder.LITTLE_ENDIAN
       else ByteOrder.BIG_ENDIAN
     b.order(order)
-    // mask off EWKB SRID/Z flags; skip SRID when present (0x20000000)
+    // EWKB: skip SRID when present (0x20000000); reject Z/M geometries
+    // (3 doubles per point) rather than silently misparsing them
     val raw = b.getInt
+    if ((raw & 0x80000000) != 0 || (raw & 0x40000000) != 0)
+      throw new RuntimeException("Z/M geometries not supported")
     if ((raw & 0x20000000) != 0) b.getInt // consume SRID
     raw & 0xffff match {
       case 1 => GPoint(b.getDouble, b.getDouble)

@@ -156,6 +156,23 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromGeoJson("""{"type":"Nope","coordinates":[]}""").isEmpty)
   }
 
+  test("malformed and unsupported WKB decodes to null, not garbage") {
+    assert(fromWkb(null).isEmpty)
+    assert(fromWkb(Array[Byte](1, 2, 3)).isEmpty)
+    // EWKB Z-flagged point (3 doubles/pt) must be rejected, not misparsed
+    val z = java.nio.ByteBuffer.allocate(29)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    z.put(1.toByte); z.putInt(0x80000001)
+    z.putDouble(1); z.putDouble(2); z.putDouble(3)
+    assert(fromWkb(z.array()).isEmpty)
+    // EWKB with SRID still parses (SRID consumed, then coordinates)
+    val s = java.nio.ByteBuffer.allocate(25)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    s.put(1.toByte); s.putInt(0x20000001); s.putInt(4326)
+    s.putDouble(7); s.putDouble(8)
+    assert(fromWkb(s.array()).contains(GPoint(7, 8)))
+  }
+
   test("copyFrom geojson: FeatureCollection to WKB rows") {
     val dir = java.nio.file.Files.createTempDirectory("geojson").toString
     val fc =
