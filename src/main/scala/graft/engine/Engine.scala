@@ -525,6 +525,49 @@ object Engine {
 
   /** Snapshot expiry + orphan-file GC (api/table_metadata.c:270-275;
     * cleanup/deletion_queue.c). */
+  /** ANALYZE: compute table-level statistics (row count, bytes) and
+    * per-column NDV + null counts in ONE distributed aggregation pass,
+    * persisting them as table properties — the reference samples through
+    * `deparseAnalyzeSql` (deparse.c:2128-2260) to feed the PG planner;
+    * here the stats feed inspection and external cost models (Catalyst
+    * costing already gets sizeInBytes from [[graft.core.LakeFileIndex]]
+    * and min/max from the per-file footer stats). */
+  def analyze(tbl: LakeTable): DataFrame = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, count, lit, sum}
+    val df = tbl.toDF
+    val cols = df.schema.fieldNames
+    val aggs = cols.flatMap(c => Seq(
+      approx_count_distinct(col(c)).as(s"ndv_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) :+
+      count(lit(1)).as("row_count")
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rowCount = r.getAs[Long]("row_count")
+    val bytes = tbl.liveFiles.filterNot(_.isDelete).map(_.sizeBytes).sum
+    val props = cols.flatMap(c => Seq(
+      s"stats.ndv.$c" -> r.getAs[Long](s"ndv_$c").toString,
+      s"stats.nulls.$c" -> r.getAs[Long](s"nulls_$c").toString)).toMap ++
+      Map("stats.row_count" -> rowCount.toString,
+        "stats.total_bytes" -> bytes.toString,
+        "stats.analyzed_at" -> System.currentTimeMillis().toString)
+    val meta = tbl.meta
+    MetadataIO.commitMetadata(tbl.dir,
+      meta.copy(properties = meta.properties ++ props))
+    statsDF(tbl)
+  }
+
+  /** Inspection: the persisted ANALYZE statistics as a DataFrame. */
+  def statsDF(tbl: LakeTable): DataFrame = {
+    import tbl.spark.implicits._
+    val props = tbl.meta.properties
+    val rows = tbl.schema.fieldNames.toSeq.map { c =>
+      (c, props.get(s"stats.ndv.$c").map(_.toLong),
+        props.get(s"stats.nulls.$c").map(_.toLong))
+    }
+    rows.toDF("column", "ndv", "null_count")
+      .withColumn("row_count",
+        lit(props.get("stats.row_count").map(_.toLong).orNull))
+  }
+
   def expireSnapshots(tbl: LakeTable, keepLast: Int = 1): Int = {
     val meta = tbl.meta
     val keep = meta.snapshots.sortBy(_.id).takeRight(math.max(1, keepLast))

@@ -48,6 +48,24 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Transform.Bucket(16)(34L) == 2017239379 % 16)
   }
 
+  test("analyze persists table and column statistics") {
+    val dir = tmp()
+    val tbl = Engine.ctas(spark, dir, Tables.load(spark, sf, "nation"))
+    val stats = Engine.analyze(tbl).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("n_nationkey").getLong(3) == 25L) // row_count (exact)
+    // NDV is an HLL estimate (like the reference's sampled ANALYZE):
+    // allow the default ~5% relative error
+    assert(math.abs(stats("n_nationkey").getLong(1) - 25L) <= 2)
+    assert(math.abs(stats("n_regionkey").getLong(1) - 5L) <= 1)
+    assert(stats("n_name").getLong(2) == 0L) // no nulls
+    // persisted: a fresh table handle sees them without re-analyzing
+    val again = Engine.statsDF(LakeTable.load(spark, dir)).collect()
+    assert(again.map(_.getString(0)).toSet ==
+      Set("n_nationkey", "n_name", "n_regionkey"))
+    assert(tbl.meta.properties("stats.row_count") == "25")
+  }
+
   // --- table lifecycle ----------------------------------------------------
 
   test("create/insert/read round-trip with stats") {
