@@ -124,6 +124,29 @@ object QTpch2 {
           round(sum(col("l_quantity")).over(w) - col("l_quantity"), 2)
             .as("neighbor_sum"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
+    // window EXCLUDE GROUP / EXCLUDE TIES — Spark rewrites over a RANGE
+    // frame: peers (equal ORDER BY values) always lie inside a RANGE
+    // frame whose bounds include offset 0, so EXCLUDE GROUP = frame sum
+    // minus the peer-group sum (a second window keyed by the order
+    // value), and EXCLUDE TIES adds the current row back. Sums run in
+    // integer cents so both engines' arithmetic is exact. Oracle uses
+    // DuckDB's native EXCLUDE GROUP/TIES clauses.
+    "q_win_exclude_group" -> { (s, dir) =>
+      val cents = expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+      val wFrame = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity")).rangeBetween(-5, 5)
+      val wPeers = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") % 37 === 0)
+        .withColumn("_cents", cents)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          (sum(col("_cents")).over(wFrame) - sum(col("_cents")).over(wPeers))
+            .as("excl_group_cents"),
+          (sum(col("_cents")).over(wFrame) - sum(col("_cents")).over(wPeers)
+            + col("_cents")).as("excl_ties_cents"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -199,5 +222,20 @@ object QTpch2 {
         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
         |    EXCLUDE CURRENT ROW), 2) AS neighbor_sum
         |FROM lineitem WHERE l_orderkey % 31 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "q_win_exclude_group" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(sum(cents) OVER (
+        |    PARTITION BY l_returnflag ORDER BY l_quantity
+        |    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+        |    EXCLUDE GROUP) AS BIGINT) AS excl_group_cents,
+        |  CAST(sum(cents) OVER (
+        |    PARTITION BY l_returnflag ORDER BY l_quantity
+        |    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+        |    EXCLUDE TIES) AS BIGINT) AS excl_ties_cents
+        |FROM (
+        |  SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_orderkey % 37 = 0)
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin)
 }
