@@ -178,6 +178,52 @@ object QTpcds {
       |    AND o_orderdate < TIMESTAMP '1998-01-01')
       |GROUP BY mon ORDER BY mon""".stripMargin
 
+  // Q34 shape: cohort by per-period activity count with a HAVING range.
+  private val qHavingRange =
+    """SELECT n_orders, count(*) AS n_customers
+      |FROM (
+      |  SELECT o_custkey, count(*) AS n_orders
+      |  FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1997
+      |  GROUP BY o_custkey
+      |  HAVING count(*) BETWEEN 3 AND 7)
+      |GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  // Q51 shape: cumulative revenue per channel compared via FULL OUTER
+  // JOIN on the period (cents-snapped so the running sums are exact).
+  private val qCumulative =
+    """SELECT COALESCE(a.mon, b.mon) AS mon,
+      |  a.cum_cents AS express_cum, b.cum_cents AS standard_cum
+      |FROM (
+      |  SELECT mon, sum(cents) OVER (ORDER BY mon
+      |    ROWS UNBOUNDED PRECEDING) AS cum_cents
+      |  FROM (SELECT CAST(extract(year FROM o_orderdate) * 100
+      |        + extract(month FROM o_orderdate) AS INT) AS mon,
+      |      CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+      |    FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+      |    GROUP BY 1)) a
+      |FULL OUTER JOIN (
+      |  SELECT mon, sum(cents) OVER (ORDER BY mon
+      |    ROWS UNBOUNDED PRECEDING) AS cum_cents
+      |  FROM (SELECT CAST(extract(year FROM o_orderdate) * 100
+      |        + extract(month FROM o_orderdate) AS INT) AS mon,
+      |      CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+      |    FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |    GROUP BY 1)) b
+      |ON a.mon = b.mon
+      |ORDER BY mon""".stripMargin
+
+  // Q90 shape: ratio of two scalar subqueries over disjoint time slots.
+  private val qAmPmRatio =
+    """SELECT round(CAST(am.cnt AS DOUBLE) / pm.cnt, 6) AS am_pm_ratio
+      |FROM
+      |  (SELECT count(*) AS cnt FROM events
+      |   WHERE extract(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 11)
+      |    am,
+      |  (SELECT count(*) AS cnt FROM events
+      |   WHERE extract(hour FROM CAST(ts AS TIMESTAMP)) BETWEEN 18 AND 23)
+      |    pm""".stripMargin
+
   private val all = Map(
     "qds_channel_rollup" -> qChannelRollup,
     "qds_yoy" -> qYoy,
@@ -186,7 +232,10 @@ object QTpcds {
     "qds_top_per_group" -> qTopPerGroup,
     "qds_moving_avg" -> qMovingAvg,
     "qds_value_deciles" -> qValueDeciles,
-    "qds_urgent_share" -> qUrgentShare)
+    "qds_urgent_share" -> qUrgentShare,
+    "qds_having_range" -> qHavingRange,
+    "qds_cumulative" -> qCumulative,
+    "qds_am_pm_ratio" -> qAmPmRatio)
 
   val queries: Map[String, QueryFn] =
     all.map { case (n, q) => n -> sql(q) } + ("qds_yoy" -> qYoySpark)
