@@ -608,10 +608,12 @@ object Engine {
     index
   }
 
-  /** SQL entry point with PG shims + the named lake tables in scope. */
+  /** SQL entry point with PG shims + ST_* geometry functions + the
+    * named lake tables in scope. */
   def sql(spark: SparkSession, tables: Map[String, LakeTable],
       query: String): DataFrame = {
     graft.functions.PgFunctions.registerAll(spark)
+    graft.functions.Geo.registerAll(spark)
     tables.foreach { case (n, t) => registerTable(t, n) }
     spark.sql(query)
   }

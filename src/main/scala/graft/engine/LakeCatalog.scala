@@ -63,6 +63,7 @@ final class LakeCatalog(val spark: SparkSession, val root: String) {
   /** Register every catalog table as a (pruning) view and run SQL. */
   def sql(query: String): DataFrame = {
     graft.functions.PgFunctions.registerAll(spark)
+    graft.functions.Geo.registerAll(spark)
     listTables().foreach(n => Engine.registerTable(table(n), n))
     spark.sql(query)
   }

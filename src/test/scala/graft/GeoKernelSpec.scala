@@ -202,6 +202,17 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parkArea == 16.0)
   }
 
+  test("st_ functions are in scope through the engine SQL entry points") {
+    val dir = java.nio.file.Files.createTempDirectory("geosql").toString + "/t"
+    import spark.implicits._
+    val tbl = graft.engine.Engine.ctas(spark, dir,
+      Seq((1L, 0.0, 0.0), (2L, 30.0, 40.0)).toDF("id", "x", "y"))
+    val r = graft.engine.Engine.sql(spark, Map("pts" -> tbl),
+      """SELECT id, st_distance(st_point(x, y), st_point(0, 0)) AS d
+        |FROM pts ORDER BY id""".stripMargin).collect()
+    assert(r.map(_.getDouble(1)).toSeq == Seq(0.0, 50.0))
+  }
+
   test("zone assignment join over WKB columns") {
     import spark.implicits._
     val zones = Seq(
