@@ -525,6 +525,23 @@ object Engine {
 
   /** Snapshot expiry + orphan-file GC (api/table_metadata.c:270-275;
     * cleanup/deletion_queue.c). */
+  /** Partition spec evolution (ALTER TABLE … SET partition_by, the
+    * reference's alter_table.c path; docs/iceberg-tables.md:159-226):
+    * metadata-only — existing files keep the partition values they were
+    * written with, new writes fan out under the new spec. Pruning stays
+    * correct for both generations because a file without a value for a
+    * spec field yields Maybe (must-read) and footer min/max stats apply
+    * regardless of layout. */
+  def setPartitionSpec(tbl: LakeTable,
+      spec: List[PartitionField]): LakeTable = {
+    val meta = tbl.meta
+    val cols = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
+    spec.foreach(pf => require(cols.contains(pf.column),
+      s"unknown partition column ${pf.column}"))
+    MetadataIO.commitMetadata(tbl.dir, meta.copy(partitionSpec = spec))
+    LakeTable.load(tbl.spark, tbl.dir)
+  }
+
   /** ANALYZE: compute table-level statistics (row count, bytes) and
     * per-column NDV + null counts in ONE distributed aggregation pass,
     * persisting them as table properties — the reference samples through

@@ -48,6 +48,46 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Transform.Bucket(16)(34L) == 2017239379 % 16)
   }
 
+  test("partition spec evolution: old files keep their layout, both prune") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val (oldHalf, newHalf) = (li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1))
+    // generation 1: partitioned by month(l_shipdate)
+    var tbl = Engine.ctas(spark, dir, oldHalf,
+      spec = List(PartitionField("l_shipdate", "month")))
+    val gen1 = tbl.liveFiles.map(_.path).toSet
+    // evolve: bucket(4) on l_partkey — metadata-only commit
+    tbl = Engine.setPartitionSpec(tbl,
+      List(PartitionField("l_partkey", "bucket[4]")))
+    Engine.insert(tbl, newHalf)
+    val files = tbl.liveFiles
+    // old files still carry month values; new files carry bucket values
+    val monthName = PartitionField("l_shipdate", "month").partName
+    val bucketName = PartitionField("l_partkey", "bucket[4]").partName
+    assert(files.filter(f => gen1.contains(f.path))
+      .forall(_.partition.contains(monthName)))
+    assert(files.filterNot(f => gen1.contains(f.path))
+      .forall(_.partition.contains(bucketName)))
+    // correctness across both generations
+    assert(tbl.toDF.count() == li.count())
+    val pred = col("l_partkey") === 1234L
+    val (df, stats) = tbl.scan(pred)
+    assert(df.count() == li.filter(pred).count())
+    // bucket pruning skips ~3/4 of the NEW files; old files must-read
+    // (their layout has no l_partkey value) unless stats refute them
+    val newFiles = files.count(f => !gen1.contains(f.path))
+    assert(stats.skipped > 0 && newFiles > 2)
+    // and a shipdate predicate still prunes the OLD generation
+    val (df2, stats2) = tbl.scan(
+      col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    assert(stats2.skipped > 0)
+    assert(df2.count() == li.filter(
+      col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1996-04-01").cast("timestamp")).count())
+  }
+
   test("analyze persists table and column statistics") {
     val dir = tmp()
     val tbl = Engine.ctas(spark, dir, Tables.load(spark, sf, "nation"))
