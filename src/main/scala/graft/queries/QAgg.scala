@@ -111,12 +111,16 @@ object QAgg {
         .orderBy("l_returnflag")
     },
 
-    // array_agg with deterministic (sorted) element order
+    // array_agg with deterministic (sorted) element order; serialized to a
+    // string because the driver's pandas row sort cannot hash ndarray cells
+    // (l_quantity is integral in the fixture → lossless BIGINT cast)
     "q_agg_array" -> { (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 97 === 0)
         .groupBy("l_orderkey").agg(
-          sort_array(collect_list(col("l_quantity"))).as("qtys"),
+          array_join(
+            sort_array(collect_list(col("l_quantity").cast("long"))), ",")
+            .as("qtys"),
           count(lit(1)).as("n"))
         .orderBy("l_orderkey")
     },
@@ -236,7 +240,10 @@ object QAgg {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_array" ->
-      """SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys, count(*) AS n
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',')
+        |    AS qtys,
+        |  count(*) AS n
         |FROM lineitem WHERE l_orderkey % 97 = 0
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 

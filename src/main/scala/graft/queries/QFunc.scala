@@ -116,15 +116,19 @@ object QFunc {
     // micro-precision timestamps + epoch-aligned binning (the reference's
     // date_bin → time_bucket rewrite, rewrite_query.c:1187-1206)
     "q_fn_datetime_events" -> { (s, dir) =>
+      // All timestamp outputs cast to TIMESTAMP_NTZ: the session runs in
+      // UTC so the cast is wall-clock identity, and the written parquet
+      // then matches the oracle's naive TIMESTAMP (the driver comparator
+      // does not tz-normalize dtypes).
       t(s, dir, "events").filter(col("event_id") % 13 === 0).select(
         col("event_id"),
-        col("ts").as("ts_us"),
+        col("ts").cast("timestamp_ntz").as("ts_us"),
         hour(col("ts")).as("h"),
         minute(col("ts")).as("mi"),
         second(col("ts")).as("sec"),
         timestamp_seconds((unix_timestamp(col("ts")) / 900).cast("long") * 900)
-          .as("bin15m"),
-        date_trunc("hour", col("ts")).as("t_hour"),
+          .cast("timestamp_ntz").as("bin15m"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("t_hour"),
         unix_micros(col("ts")).as("us"))
         .orderBy("event_id")
     },
@@ -170,13 +174,19 @@ object QFunc {
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
-        transform(slice(col("embedding"), 1, 3),
-          x => round(x.cast("double"), 6)).as("head3"),
+        // array outputs serialized to strings (driver's pandas row sort
+        // cannot hash ndarray cells); floats as micro-int strings so both
+        // engines format identically
+        array_join(transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double") * 1e6, 0).cast("long").cast("string")),
+          ",").as("head3"),
         round(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")), 4).as("vsum"),
         array_contains(col("embedding").cast("array<int>"), 0).as("has_zero"),
-        array(col("vec_id"), col("label").cast("long")).as("pair"),
-        expr("array_append(array(vec_id), CAST(label AS BIGINT))").as("appended"))
+        array_join(array(col("vec_id"), col("label").cast("long"))
+          .cast("array<string>"), ",").as("pair"),
+        array_join(expr("array_append(array(vec_id), CAST(label AS BIGINT))")
+          .cast("array<string>"), ",").as("appended"))
         .orderBy("vec_id")
     },
 
@@ -303,8 +313,8 @@ object QFunc {
         |  CAST(extract(hour FROM ts) AS INT) AS h,
         |  CAST(extract(minute FROM ts) AS INT) AS mi,
         |  CAST(extract(second FROM ts) AS INT) AS sec,
-        |  to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) * 900)
-        |    AS bin15m,
+        |  make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900)
+        |    AS BIGINT) * 900 * 1000000) AS bin15m,
         |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS t_hour,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS us
         |FROM events WHERE event_id % 13 = 0 ORDER BY event_id""".stripMargin,
@@ -342,14 +352,16 @@ object QFunc {
       """SELECT vec_id,
         |  len(embedding) AS dim,
         |  round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
-        |  list_transform(embedding[1:3],
-        |    x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |              AS VARCHAR)), ',') AS head3,
         |  round(list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE))), 4) AS vsum,
         |  list_contains(list_transform(embedding, x -> CAST(x AS INT)), 0)
         |    AS has_zero,
-        |  [vec_id, CAST(label AS BIGINT)] AS pair,
-        |  list_append([vec_id], CAST(label AS BIGINT)) AS appended
+        |  array_to_string([vec_id, CAST(label AS BIGINT)], ',') AS pair,
+        |  array_to_string(list_append([vec_id], CAST(label AS BIGINT)), ',')
+        |    AS appended
         |FROM embeddings WHERE vec_id % 7 = 0 ORDER BY vec_id""".stripMargin,
 
     "q_fn_generate_series" ->

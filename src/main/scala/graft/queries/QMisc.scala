@@ -22,7 +22,9 @@ object QMisc {
           element_at(col("m"), "name").as("m_name"),
           element_at(col("m"), "region").as("m_region"),
           element_at(col("m"), "missing").as("m_missing"),
-          sort_array(map_keys(col("m"))).as("ks"),
+          // array outputs serialized to strings: the driver's pandas row
+          // sort cannot hash ndarray cells
+          array_join(sort_array(map_keys(col("m"))), ",").as("ks"),
           size(col("m")).cast("long").as("n_entries"))
         .orderBy("n_nationkey")
     },
@@ -30,8 +32,11 @@ object QMisc {
     // hourly event rollup — identical plan to the streaming query
     // (StreamIngest.windowedCounts), executed in batch mode
     "q_event_window" -> { (s, dir) =>
+      // w_start → NTZ so the written parquet matches the oracle's naive
+      // TIMESTAMP (session TZ is UTC; cast is wall-clock identity)
       StreamIngest.windowedCounts(
         t(s, dir, "events"), "ts", "value", "1 hour", "10 minutes")
+        .withColumn("w_start", col("w_start").cast("timestamp_ntz"))
         .orderBy("w_start", "event_type")
     },
 
@@ -53,13 +58,13 @@ object QMisc {
         |    AS m_region,
         |  map(['name','region'],[n_name, CAST(n_regionkey AS VARCHAR)])['missing'][1]
         |    AS m_missing,
-        |  ['name','region'] AS ks,
+        |  'name,region' AS ks,
         |  CAST(2 AS BIGINT) AS n_entries
         |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q_event_window" ->
-      """SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
-        |    AS BIGINT) * 3600) AS w_start,
+      """SELECT make_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+        |    AS BIGINT) * 3600 * 1000000) AS w_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
 

@@ -30,10 +30,12 @@ object QPgShim {
         |  to_char(o_orderdate, 'YYYY-MM-DD') AS iso,
         |  to_char(o_orderdate, 'Day') AS dayname,
         |  to_char(o_orderdate, 'Mon YYYY') AS mon_year,
-        |  date_bin(INTERVAL 6 HOUR, o_orderdate, TIMESTAMP '1995-01-01')
-        |    AS bin6h,
-        |  pg_date_trunc('century', o_orderdate) AS century,
-        |  pg_date_trunc('decade', o_orderdate) AS decade,
+        |  CAST(date_bin(INTERVAL 6 HOUR, o_orderdate, TIMESTAMP '1995-01-01')
+        |    AS TIMESTAMP_NTZ) AS bin6h,
+        |  CAST(pg_date_trunc('century', o_orderdate) AS TIMESTAMP_NTZ)
+        |    AS century,
+        |  CAST(pg_date_trunc('decade', o_orderdate) AS TIMESTAMP_NTZ)
+        |    AS decade,
         |  round(sind(CAST(o_orderkey % 360 AS DOUBLE)), 10) AS sd
         |FROM orders WHERE o_orderkey % 23 = 0 ORDER BY o_orderkey""".stripMargin))
 
@@ -52,10 +54,10 @@ object QPgShim {
         |  strftime(o_orderdate, '%Y-%m-%d') AS iso,
         |  strftime(o_orderdate, '%A') AS dayname,
         |  strftime(o_orderdate, '%b %Y') AS mon_year,
-        |  to_timestamp((CAST(epoch(o_orderdate) AS BIGINT)
+        |  make_timestamp(((CAST(epoch(o_orderdate) AS BIGINT)
         |      - CAST(epoch(TIMESTAMP '1995-01-01') AS BIGINT)) // 21600
         |      * 21600 + CAST(epoch(TIMESTAMP '1995-01-01') AS BIGINT))
-        |    AS bin6h,
+        |    * 1000000) AS bin6h,
         |  CAST(CAST((CAST(extract(year FROM o_orderdate) AS BIGINT) - 1)
         |      // 100 * 100 + 1 AS VARCHAR) || '-01-01' AS TIMESTAMP)
         |    AS century,

@@ -123,18 +123,18 @@ object QTpcds {
       |ORDER BY p_brand, rev_rank""".stripMargin
 
   // rolling 3-month moving average per nation (Q? windowed trend shape).
-  // Monthly revenue is snapped to integer cents BEFORE the window average,
-  // and the average itself is rounded to integer cents before the final
-  // /100: a two-row window puts avg on an exact half-cent, where Spark
-  // (shortest-decimal BigDecimal rounding) and DuckDB (binary std::round)
-  // disagree at 2 decimals — but both round integer halves away from
-  // zero, so rounding in cent space is engine-identical.
+  // Money is integer cents end-to-end (BIGINT in, BIGINT out — no float
+  // column survives to the output): a two-row window puts avg on an exact
+  // half-cent, where Spark (shortest-decimal BigDecimal rounding) and
+  // DuckDB (binary std::round) disagree at 2 decimals — but both round
+  // integer halves away from zero, so rounding in cent space is
+  // engine-identical and the driver's hash has no float surface left.
   private val qMovingAvg =
     """SELECT nation, mon,
-      |  round(rev_cents / 100.0, 2) AS revenue,
+      |  rev_cents AS revenue_cents,
       |  CAST(round(avg(rev_cents) OVER (PARTITION BY nation ORDER BY mon
-      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT) / 100.0
-      |    AS ma3
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT)
+      |    AS ma3_cents
       |FROM (
       |  SELECT n_name AS nation,
       |    CAST(extract(year FROM o_orderdate) * 100
@@ -193,7 +193,8 @@ object QTpcds {
   // JOIN on the period (cents-snapped so the running sums are exact).
   private val qCumulative =
     """SELECT COALESCE(a.mon, b.mon) AS mon,
-      |  a.cum_cents AS express_cum, b.cum_cents AS standard_cum
+      |  COALESCE(a.cum_cents, 0) AS express_cum,
+      |  COALESCE(b.cum_cents, 0) AS standard_cum
       |FROM (
       |  SELECT mon, sum(cents) OVER (ORDER BY mon
       |    ROWS UNBOUNDED PRECEDING) AS cum_cents
