@@ -33,17 +33,16 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
-  /** Character-shingle set as distinct hashes of base-256 codepoint
-    * polynomials: shingle (c1..ck) → xxhash64(Σ cj·256^(k-j)). The
-    * polynomial is injective for ASCII text at k ≤ 6 (256^6 < 2^53,
-    * ANSI-overflow-safe) and costs O(k) per position via O(1) array
-    * lookups; the previous per-position substring form was O(position)
-    * per shingle (UTF8String seeks bytes from the start), i.e. O(L²) per
-    * document. The final xxhash64 (one per shingle, O(L) total) matters:
-    * minhash's (a·x+b mod p) family needs uniformly distributed x —
-    * feeding it raw text polynomials leaves lattice structure that makes
-    * unrelated documents share min values, degenerating LSH banding
-    * (measured: 2.2M candidate pairs instead of ~60k at sf0.1).
+  /** Character-shingle set as distinct tuple hashes: shingle (c1..ck) →
+    * xxhash64(c1, …, ck) over the codepoint array. The multi-argument
+    * hash is injective on codepoint tuples (any script, not just ASCII —
+    * a base-256 polynomial breaks above codepoint 255), uniformly
+    * distributed (minhash's (a·x+b mod p) family degenerates on
+    * structured inputs — measured 2.2M LSH candidates instead of ~60k at
+    * sf0.1 when fed raw polynomials), and costs O(k) per position via
+    * O(1) array lookups; a per-position substring form would be
+    * O(position) per shingle (UTF8String seeks bytes from the start),
+    * i.e. O(L²) per document.
     *
     * The codepoint array is computed once per row and bound as a lambda
     * variable (outer single-element transform): expressions captured
@@ -51,16 +50,13 @@ object Dedup {
     * so referencing them directly would re-split the text per shingle
     * position (~100x slowdown measured on the same trap earlier). */
   def shingles(text: Column, k: Int = 5): Column = {
-    require(k <= 6, "k>6 overflows the 2^53 ANSI-safe polynomial")
     val norm = regexp_replace(lower(text), "\\s+", " ")
     val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
     element_at(transform(array(codes), cs =>
       array_distinct(transform(
         sequence(lit(0), greatest(size(cs) - k, lit(0))),
         i => xxhash64((1 to k).map(j =>
-            coalesce(element_at(cs, i + j), lit(0L)) *
-              lit(math.pow(256, k - j).toLong))
-          .reduce(_ + _))))), 1)
+          coalesce(element_at(cs, i + j), lit(0L))): _*)))), 1)
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
@@ -90,7 +86,11 @@ object Dedup {
   /** Near-duplicate pairs via banded MinHash-LSH:
     * shingle → signature → band hashes → shuffle on (band, hash) →
     * within-bucket pairs → exact-Jaccard verify (on the shingle sets) →
-    * keep pairs ≥ threshold. Returns (id_a, id_b, jaccard) with a < b. */
+    * keep pairs ≥ threshold. Returns (id_a, id_b, n_common, n_union,
+    * jaccard) with a < b; the integer set sizes make the result
+    * verifiable without any float comparison (threshold as a rational:
+    * n_common ≥ threshold·n_union, exact for thresholds representable at
+    * the fixture's set sizes). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
       threshold: Double = 0.6): DataFrame = {
@@ -137,11 +137,17 @@ object Dedup {
     est
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / col("n_union"), 6))
+      // integer-exact threshold: n_common ≥ t·n_union (t·n_union is an
+      // exact double for the set sizes in play, so this is the rational
+      // comparison, not a rounded-float one)
+      .filter(col("n_common").cast("double") >= col("n_union") * threshold)
+      .select("id_a", "id_b", "n_common", "n_union", "jaccard")
   }
 
   /** Exact pairwise Jaccard (for verification / small candidate sets). */
@@ -159,34 +165,46 @@ object Dedup {
 
   // ----------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over word tokens: per-bit weighted vote of token
-    * hashes. Expressed as 64 conditional sums over the exploded token
+  /** SimHash signature width. 60 bits (not 64) so the token hash — the
+    * first 15 hex chars of md5 — stays under 2^63 and the whole pipeline
+    * is reproducible in any engine with md5 (the differential oracle
+    * recomputes it in SQL; xxhash64 exists only in Spark). */
+  val simhashBits = 60
+
+  /** Engine-portable 64→60-bit token hash: md5 hex prefix as an integer.
+    * conv() parses the 15 hex chars; identical to DuckDB's
+    * CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT). */
+  def md5Hash60(tok: Column): Column =
+    conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over word tokens: per-bit weighted vote of token hashes.
+    * Expressed as `simhashBits` conditional sums over the exploded token
     * relation — one shuffle on the document id. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), "[\\s\\p{Punct}]+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { i =>
+      .withColumn("h", md5Hash60(col("tok")))
+    val bitVotes = (0 until simhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$i")
     }
     val votes = toks.groupBy("id").agg(bitVotes.head, bitVotes.tail: _*)
-    val packed = (0 until 64).map { i =>
+    val packed = (0 until simhashBits).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     votes.select(col("id"), packed.as("simhash"))
   }
 
-  /** Hamming distance between two 64-bit signatures. */
+  /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Near-dup pairs among simhashes within `maxDist` bits, using 4-chunk
-    * banding (pigeonhole: ≤3 differing bits → some 16-bit chunk equal). */
+    * banding (pigeonhole: ≤3 differing bits → some 15-bit chunk equal). */
   def simhashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     val chunked = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*))
+        shiftright(col("simhash"), i * 15).bitwiseAND(0x7fffL)): _*))
         .as(Seq("chunk", "ckey")))
     val a = chunked.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("simhash").as("sig_a"))

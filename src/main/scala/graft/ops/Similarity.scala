@@ -112,6 +112,74 @@ object Similarity {
     topK(df.filter(cond), idCol, vecCol, query, k)
   }
 
+  // ---- gate-exact integer-quantized LSH (reproducible in any engine) ----
+
+  /** Quantize a float vector column to integers: round(x·1024), ties away
+    * from zero. ×2^10 is exact for floats, so every engine (Spark,
+    * DuckDB, the Scala driver) rounds the same dyadic value and agrees
+    * bit-for-bit; all downstream dot products are then exact integers,
+    * independent of summation order — the property that makes the ANN
+    * result differentially verifiable. */
+  def quantizeCol(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1024, 0).cast("long"))
+
+  /** Driver-side quantization, matching [[quantizeCol]]'s HALF_UP. */
+  def quantize(vec: Array[Float]): Array[Long] =
+    vec.map(v => BigDecimal(v.toDouble * 1024)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
+  /** Integer dot product (exact — order-independent). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic small-integer hyperplane tables (components in
+    * [-7, 7]) — integer analogue of [[hyperplaneTables]]. */
+  def intHyperplaneTables(dim: Int, nPlanes: Int, nTables: Int,
+      seed: Long = 42L): Seq[Array[Array[Long]]] =
+    (0 until nTables).map { t =>
+      val rnd = new scala.util.Random(seed + t * 7919)
+      Array.fill(nPlanes)(Array.fill(dim)((rnd.nextInt(15) - 7).toLong))
+    }
+
+  /** Sign-LSH bucket over quantized vectors (bit i = dot(v, plane_i) ≥ 0). */
+  def intBucket(vq: Column, planes: Array[Array[Long]]): Column =
+    planes.indices.map { i =>
+      val p = array(planes(i).map(lit): _*)
+      when(intDot(vq, p) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Driver-side bucket of a quantized query. */
+  def intBucketOf(vq: Array[Long], planes: Array[Array[Long]]): Long = {
+    var b = 0L
+    for (i <- planes.indices)
+      if (planes(i).zip(vq).map { case (p, v) => p * v }.sum >= 0)
+        b |= (1L << i)
+    b
+  }
+
+  /** ANN top-k, gate-exact: multi-table sign LSH over quantized vectors
+    * with 1-bit multiprobe (hamming(bucket, query bucket) ≤ 1 in any
+    * table), ranked by dot/√‖v‖² — a double computed from exact integers,
+    * hence identical in every IEEE engine. Output (id, qdot, nrm2) is
+    * integer-only, so the differential gate compares exactly. */
+  def annTopKExact(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int,
+      tables: Seq[Array[Array[Long]]]): DataFrame = {
+    val qq = quantize(query)
+    val qLit = array(qq.map(lit): _*)
+    val vq = quantizeCol(col(vecCol))
+    val cond = tables.map { planes =>
+      bit_count(intBucket(vq, planes)
+        .bitwiseXOR(lit(intBucketOf(qq, planes)))) <= 1
+    }.reduce(_ || _)
+    df.filter(cond)
+      .select(col(idCol), intDot(vq, qLit).as("qdot"),
+        intDot(vq, vq).as("nrm2"))
+      .orderBy((col("qdot").cast("double") / sqrt(col("nrm2").cast("double")))
+        .desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: KMeans centroids as the coarse
     * quantizer; every vector lands in its nearest-centroid cell. Queries
     * probe the `nProbe` nearest cells only — the classic ANN layout for

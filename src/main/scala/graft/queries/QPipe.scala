@@ -13,6 +13,10 @@ import Q._
   */
 object QPipe {
 
+  /** Shared hyperplane tables for the gate ANN query (dim 64, 4 planes,
+    * 4 tables) — the oracle SQL embeds the same integers as literals. */
+  private val annTables = Similarity.intHyperplaneTables(64, 4, 4)
+
   val queries: Map[String, QueryFn] = Map(
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactClusters(t(s, dir, "documents"), "doc_id", "text")
@@ -37,20 +41,29 @@ object QPipe {
     },
 
     // language-ID heuristic: tokenize → broadcast-join marker vocab →
-    // argmax. Heuristic output (no SQL oracle); rows-only check.
+    // argmax; the oracle replays the same vocabulary and the fold's
+    // first-wins tie-break as a CASE chain.
     "q_text_langid" -> { (s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
 
-    // banded MinHash-LSH near-dup pairs; exactness vs jaccardPairs is
-    // covered in PipelineSpec — here the driver checks shape/stability.
+    // banded MinHash-LSH near-dup pairs. Gate config uses r=2 rows/band
+    // (32 bands over 64 hashes): P(miss a true jaccard-0.5 pair) =
+    // (1-0.5²)³² ≈ 1e-4, so the LSH output equals the all-pairs oracle
+    // on the fixture (verified empirically; the run is deterministic).
+    // Output is the integer set sizes — no float column for the driver
+    // hash to trip on; jaccard = n_common/n_union is derived.
     "q_dedup_minhash" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+      Dedup.minhashPairs(d, "doc_id", "text", bands = 32, threshold = 0.5)
+        .select("id_a", "id_b", "n_common", "n_union")
         .orderBy("id_a", "id_b")
     },
 
+    // simhash signatures, differentially verifiable: the token hash is an
+    // md5 prefix (engine-portable), so the oracle recomputes the exact
+    // 60-bit signature in SQL.
     "q_dedup_simhash" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       Dedup.simhash(d, "doc_id", "text").orderBy("id")
@@ -66,13 +79,15 @@ object QPipe {
         .orderBy("vec_id")
     },
 
-    // ANN via sign-LSH buckets; recall vs brute force in PipelineSpec
+    // ANN via multi-table sign-LSH over integer-quantized vectors: every
+    // dot product is an exact integer, so bucket membership and the
+    // ranking key are bit-reproducible in DuckDB and the oracle replays
+    // the identical index (recall vs brute force stays in PipelineSpec).
     "q_sim_ann_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val query = e.filter(col("vec_id") === 7)
         .select("embedding").head().getSeq[Float](0).toArray
-      val tables = Similarity.hyperplaneTables(query.length, 4, 4)
-      Similarity.annTopKTables(e, "vec_id", "embedding", query, 20, tables)
+      Similarity.annTopKExact(e, "vec_id", "embedding", query, 20, annTables)
     },
 
     // multimodal plumbing: text bytes as a stand-in blob → mapPartitions
@@ -136,5 +151,133 @@ object QPipe {
         |  'bin' AS format,
         |  CAST(least(octet_length(text::BLOB) // 10, 8) + 1 AS BIGINT)
         |    AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact all-pairs Jaccard over distinct 5-char shingles of the
+    // normalized text — integer set sizes, integer threshold test
+    // (2·|∩| ≥ |∪| ⟺ jaccard ≥ 0.5); matches the LSH output because the
+    // gate banding misses a true pair with probability ≈ 1e-4.
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct([substring(n, CAST(i AS INT), 5)
+        |      FOR i IN range(1, greatest(length(n) - 3, 2))]) AS s
+        |  FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g')
+        |          AS n
+        |        FROM documents))
+        |SELECT id_a, id_b, n_common, n_union FROM (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common,
+        |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT)
+        |      AS n_union
+        |  FROM sh a JOIN sh b ON a.id < b.id)
+        |WHERE n_common * 2 >= n_union
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash" -> simhashOracle,
+
+    "q_sim_ann_topk" -> annOracle,
+
+    "q_text_langid" -> langidOracle)
+
+  /** DuckDB replay of Dedup.simhash: same tokenizer, same md5-prefix
+    * token hash, same per-bit votes, same packing — generated so the bit
+    * count stays in lockstep with [[Dedup.simhashBits]]. */
+  private lazy val simhashOracle: String = {
+    val bits = Dedup.simhashBits
+    val votes = (0 until bits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n    ")
+    val packed = (0 until bits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) " +
+        "ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    s"""WITH toks AS (
+       |  SELECT id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+       |    AS h
+       |  FROM (SELECT doc_id AS id,
+       |          unnest(string_split_regex(lower(text), '[\\s[:punct:]]+'))
+       |            AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0),
+       |votes AS (
+       |  SELECT id,
+       |    $votes
+       |  FROM toks GROUP BY id)
+       |SELECT id, $packed AS simhash
+       |FROM votes ORDER BY id""".stripMargin
+  }
+
+  /** DuckDB replay of Similarity.annTopKExact: quantized vectors, the
+    * same integer hyperplanes as literals, 1-bit multiprobe, integer
+    * dot-product ranking. list_dot_product returns a double, but all
+    * values are integer-valued (< 2^53) so the arithmetic is exact. */
+  private lazy val annOracle: String = {
+    def bucketExpr(planes: Array[Array[Long]], name: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(e.v, ${p.mkString("[", ",", "]")})" +
+          s" >= 0 THEN (CAST(${1L << i} AS BIGINT)) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("(", " | ", s") AS $name")
+    val bucketCols = annTables.zipWithIndex
+      .map { case (t, i) => bucketExpr(t, s"b$i") }.mkString(",\n    ")
+    val probe = annTables.indices
+      .map(i => s"bit_count(xor(d.b$i, qb.q$i)) <= 1").mkString(" OR ")
+    val qbCols = annTables.indices.map(i => s"b$i AS q$i").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+       |d AS (
+       |  SELECT e.vec_id,
+       |    CAST(list_dot_product(e.v, q.qv) AS BIGINT) AS qdot,
+       |    CAST(list_dot_product(e.v, e.v) AS BIGINT) AS nrm2,
+       |    $bucketCols
+       |  FROM e, q),
+       |qb AS (SELECT $qbCols FROM d WHERE vec_id = 7)
+       |SELECT vec_id, qdot, nrm2
+       |FROM d, qb
+       |WHERE $probe
+       |ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(nrm2 AS DOUBLE)) DESC,
+       |  vec_id
+       |LIMIT 20""".stripMargin
+  }
+
+  /** DuckDB replay of TextAnalysis.langId: same tokenizer, same marker
+    * vocabulary (generated from langMarkers), argmax with the fold's
+    * first-lang-wins tie-break as a CASE chain over sorted languages. */
+  private lazy val langidOracle: String = {
+    val langs = TextAnalysis.langMarkers.keys.toSeq.sorted
+    val vocab = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) => ws.map(w => s"('$w','$l')") }
+      .mkString(", ")
+    val pivots = langs
+      .map(l => s"coalesce(max(CASE WHEN h.lang = '$l' THEN c END), 0) AS $l")
+      .mkString(",\n    ")
+    // first lang (sorted) reaching the max wins, like the Scala fold
+    val caseChain = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"$l >= $r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n    ") + s"\n    ELSE '${langs.last}'"
+    s"""WITH toks AS (
+       |  SELECT doc_id, tok
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(text), '[\\s[:punct:]]+'))
+       |            AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0),
+       |m(word, lang) AS (VALUES $vocab),
+       |hits AS (
+       |  SELECT doc_id, lang, count(*) AS c
+       |  FROM toks JOIN m ON tok = word GROUP BY 1, 2),
+       |piv AS (
+       |  SELECT d.doc_id,
+       |    $pivots
+       |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id,
+       |  CASE $caseChain END AS lang_pred
+       |FROM piv ORDER BY doc_id""".stripMargin
+  }
 }
