@@ -33,55 +33,31 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
-  /** Character-shingle set as distinct tuple hashes: shingle (c1..ck) →
-    * xxhash64(c1, …, ck) over the codepoint array. The multi-argument
-    * hash is injective on codepoint tuples (any script, not just ASCII —
-    * a base-256 polynomial breaks above codepoint 255), uniformly
-    * distributed (minhash's (a·x+b mod p) family degenerates on
-    * structured inputs — measured 2.2M LSH candidates instead of ~60k at
-    * sf0.1 when fed raw polynomials), and costs O(k) per position via
-    * O(1) array lookups; a per-position substring form would be
-    * O(position) per shingle (UTF8String seeks bytes from the start),
-    * i.e. O(L²) per document.
-    *
-    * The codepoint array is computed once per row and bound as a lambda
-    * variable (outer single-element transform): expressions captured
-    * inside a higher-order-function lambda are re-evaluated per element,
-    * so referencing them directly would re-split the text per shingle
-    * position (~100x slowdown measured on the same trap earlier). */
-  def shingles(text: Column, k: Int = 5): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
-    val codes = transform(split(norm, ""), c => ascii(c).cast("long"))
-    element_at(transform(array(codes), cs =>
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(cs) - k, lit(0))),
-        i => xxhash64((1 to k).map(j =>
-          coalesce(element_at(cs, i + j), lit(0L))): _*)))), 1)
-  }
+  /** Shingle set + MinHash signature in one pass — see [[ShingleMinhash]]
+    * for the kernel. Returns struct(sh: array<long>, sig: array<long>).
+    * Normalization (lowercase, whitespace collapse) stays in the plan so
+    * Catalyst sees it. */
+  def shingleSig(text: Column, k: Int = 5, numHashes: Int = 64): Column =
+    org.apache.spark.sql.GraftBridge.column(ShingleMinhash(
+      org.apache.spark.sql.GraftBridge.eagerExpression(
+        regexp_replace(lower(text), "\\s+", " ")), k, numHashes))
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the shingle set. Uses the (a*x+b mod p) family with the
-    * shingle hash folded to 32 bits and 20-bit coefficients so a*x+b stays
-    * under 2^53 — no 64-bit overflow under ANSI mode. All inside one
-    * `transform`/`aggregate` expression pair, fully codegen'd, no UDF. */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
-    val p = 4294967311L // smallest prime > 2^32
-    val seeds = deterministicSeeds(numHashes)
-    // fold the shingles to 32 bits ONCE (bound as a lambda variable), then
-    // run the 64 seeded min-folds over that bound array
-    element_at(transform(
-      array(transform(shingleCol, x => pmod(x, lit(1L << 32)))),
-      xs => array(seeds.map { case (a, b) =>
-        aggregate(xs, lit(Long.MaxValue), (acc, x) =>
-          least(acc, pmod(x * lit(a) + lit(b), lit(p))))
-      }: _*)), 1)
-  }
+  /** Shingle set alone (distinct hashes; sorted). */
+  def shingles(text: Column, k: Int = 5): Column =
+    shingleSig(text, k, numHashes = 1).getField("sh")
 
-  private def deterministicSeeds(n: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(n)(((rnd.nextInt(1 << 20) | 1).toLong,
-      rnd.nextInt(1 << 20).toLong))
-  }
+  /** |∩| of two sorted shingle sets — see [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(SortedIntersectCount(
+      org.apache.spark.sql.GraftBridge.eagerExpression(a),
+      org.apache.spark.sql.GraftBridge.eagerExpression(b)))
+
+  /** Band count tuned to corpus size: small corpora take the
+    * high-recall narrow bands (r = 2 rows/band → P(miss a jaccard-0.5
+    * pair) ≈ 1e-4, and the candidate blow-up narrow bands cause is
+    * harmless when all-pairs is small anyway); at scale, r = 4 keeps the
+    * candidate set ~100× smaller — the standard LSH recall/cost dial. */
+  def adaptiveBands(nDocs: Long): Int = if (nDocs <= 2048) 32 else 16
 
   /** Near-duplicate pairs via banded MinHash-LSH:
     * shingle → signature → band hashes → shuffle on (band, hash) →
@@ -96,12 +72,13 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh")).cache()
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sig = df.select(col(idCol).as("id"),
+        shingleSig(col(textCol), shingleK, numHashes).as("ss"))
+      .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig"))
       .cache()
+    val sh = sig.select(col("id"), col("sh"))
     // materialize eagerly: the banding self-join and both verification
-    // joins branch off these relations, and racing branches would compute
+    // joins branch off this relation, and racing branches would compute
     // the signatures twice before the cache fills (measured 2x). At
     // warehouse scale this is "checkpoint the signature table".
     sig.count()
@@ -122,7 +99,12 @@ object Dedup {
     // two-stage verification: (1) cheap signature-agreement estimate of
     // jaccard (64 longs per side) discards most false candidates, (2)
     // exact jaccard on the full shingle sets only for survivors.
-    val sigOnly = sig.select(col("id"), col("sig"))
+    // The signature projection gets its own cache so the optimizer sees
+    // the narrow (~0.5 KB/row) relation's stats, not the fat shingle
+    // payload's: below the broadcast threshold both estimate joins become
+    // broadcast-hash (no shuffle); at warehouse scale the stats exceed it
+    // and the same plan degrades gracefully to shuffle joins.
+    val sigOnly = sig.select(col("id"), col("sig")).cache()
     val est = cand
       .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")),
         Seq("id_a"))
@@ -137,10 +119,12 @@ object Dedup {
     est
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("n_common",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_common", sortedIntersectCount(col("sh_a"), col("sh_b")))
+      // |A ∪ B| = |A| + |B| − |A ∩ B| — the sets are already distinct, so
+      // skip materializing the union array (it is the largest intermediate
+      // in the verify stage)
       .withColumn("n_union",
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("n_common"))
       .withColumn("jaccard",
         round(col("n_common").cast("double") / col("n_union"), 6))
       // integer-exact threshold: n_common ≥ t·n_union (t·n_union is an
@@ -158,9 +142,11 @@ object Dedup {
     val a = s.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = s.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("n_common", sortedIntersectCount(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"), round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        col("n_common").cast("double") /
+          ((size(col("sh_a")) + size(col("sh_b"))).cast("long") -
+            col("n_common")), 6).as("jaccard"))
   }
 
   // ----------------------------------------------------------- simhash

@@ -48,15 +48,17 @@ object QPipe {
         .orderBy("doc_id")
     },
 
-    // banded MinHash-LSH near-dup pairs. Gate config uses r=2 rows/band
-    // (32 bands over 64 hashes): P(miss a true jaccard-0.5 pair) =
-    // (1-0.5²)³² ≈ 1e-4, so the LSH output equals the all-pairs oracle
-    // on the fixture (verified empirically; the run is deterministic).
-    // Output is the integer set sizes — no float column for the driver
-    // hash to trip on; jaccard = n_common/n_union is derived.
+    // banded MinHash-LSH near-dup pairs. Band width adapts to corpus
+    // size (Dedup.adaptiveBands): at gate scale it runs r=2 rows/band —
+    // P(miss a true jaccard-0.5 pair) = (1-0.5²)³² ≈ 1e-4 — so the LSH
+    // output equals the all-pairs oracle on the fixture (verified
+    // empirically; the run is deterministic). Output is the integer set
+    // sizes — no float column for the driver hash to trip on; jaccard =
+    // n_common/n_union is derived.
     "q_dedup_minhash" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      Dedup.minhashPairs(d, "doc_id", "text", bands = 32, threshold = 0.5)
+      Dedup.minhashPairs(d, "doc_id", "text",
+          bands = Dedup.adaptiveBands(d.count()), threshold = 0.5)
         .select("id_a", "id_b", "n_common", "n_union")
         .orderBy("id_a", "id_b")
     },

@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Stage-by-stage timing for the minhash pipeline (local tuning aid). */
+object MinhashProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      val c = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); f
+      val w = (System.nanoTime() - t1) / 1e9
+      println(f"[stage] $name%-28s cold $c%.2f s  warm $w%.2f s")
+      r
+    }
+
+    d.count() // warm IO
+    val sig = d.select(col("doc_id").as("id"),
+        Dedup.shingleSig(col("text"), 5, 64).as("ss"))
+      .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig"))
+      .cache()
+    time("shingles+signatures")(sig.count())
+    val bands = Dedup.adaptiveBands(d.count()); val r = 64 / bands
+    println(s"[info] bands = $bands (r = $r)")
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
+        .as(Seq("band", "bhash")))
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b").cache()
+    val nCand = time("banding+candidates")(cand.count())
+    println(s"[info] candidates = $nCand")
+    val sigOnly = sig.select(col("id"), col("sig"))
+    val est = cand
+      .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_j",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / 64)
+      .filter(col("est_j") >= 0.5 - 0.2)
+      .select("id_a", "id_b").cache()
+    val nEst = time("estimate-verify")(est.count())
+    println(s"[info] est survivors = $nEst")
+    val sh = sig.select(col("id"), col("sh"))
+    val fin = est
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("n_common"))
+      .filter(col("n_common").cast("double") >= col("n_union") * 0.5)
+    time("exact-verify")(fin.count())
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[stage] end-to-end(cold-ish)      ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
