@@ -144,23 +144,17 @@ object Engine {
       case Transform.Hour =>
         expr(s"(unix_micros(${pf.column}) - pmod(unix_micros(${pf.column}), " +
           s"3600000000)) div 3600000000")
-      case Transform.Bucket(n) => dt match {
-        case StringType =>
-          val u = udf((s: String) =>
-            if (s == null) null
-            else Int.box((Murmur3.hashString(s) & Int.MaxValue) % n))
-          u(c)
-        case TimestampType | TimestampNTZType =>
-          val u = udf((l: java.lang.Long) =>
-            if (l == null) null
-            else Int.box((Murmur3.hashLong(l) & Int.MaxValue) % n))
-          u(expr(s"unix_micros(${pf.column})"))
-        case _ =>
-          val u = udf((l: java.lang.Long) =>
-            if (l == null) null
-            else Int.box((Murmur3.hashLong(l) & Int.MaxValue) % n))
-          u(c.cast("long"))
-      }
+      case Transform.Bucket(n) =>
+        // codegen'd expression, not a UDF — this sits on the write hot
+        // path of every bucket-partitioned insert
+        def bucket(e: Column): Column = GraftBridge.column(
+          graft.functions.IcebergBucket(GraftBridge.eagerExpression(e), n))
+        dt match {
+          case StringType => bucket(c)
+          case TimestampType | TimestampNTZType =>
+            bucket(expr(s"unix_micros(${pf.column})"))
+          case _ => bucket(c.cast("long"))
+        }
       case Transform.Truncate(w) => dt match {
         case StringType => substring(c, 1, w)
         case _ => (c.cast("long") - pmod(c.cast("long"), lit(w.toLong)))
@@ -679,6 +673,48 @@ object Engine {
       MetadataIO.commitMetadata(tbl.dir, meta.copy(
         schemaDdl = newDdl,
         fieldIds = meta.fieldIds.filterNot(_.name == name)))
+    }
+
+  /** ALTER TABLE ALTER COLUMN TYPE — widening only, metadata-only
+    * (pg_lake_table/src/ddl/alter_table.c; Iceberg type-promotion rules
+    * plus scale growth, which PG numeric permits). Old data files keep
+    * their original physical type and are read through the parquet
+    * reader's native type promotion (verified: int32→int64/double,
+    * float→double, decimal precision AND scale growth); files written
+    * after the change carry the new type under the same field id. File
+    * min/max stats are stored as strings and re-parsed under the current
+    * schema, so pruning keeps working across the change. */
+  def alterColumnType(tbl: LakeTable, name: String, newType: String): Unit =
+    commitLock.synchronized {
+      val meta = tbl.meta
+      val schema = tbl.schema
+      val field = schema.fields.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+      require(!meta.partitionSpec.exists(_.column == name),
+        s"cannot change type of partition column $name")
+      val to = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(newType)
+      require(isWidening(field.dataType, to),
+        s"cannot change ${field.dataType.sql} to ${to.sql}: widening only")
+      val newDdl = StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f)).toDDL
+      MetadataIO.commitMetadata(tbl.dir, meta.copy(schemaDdl = newDdl))
+    }
+
+  /** Sanctioned promotions: integer chain, float→double, int→double,
+    * decimal growth that never loses integer digits or scale. */
+  private def isWidening(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale
+      case _ => false
     }
 
   // ---------------------------------------------------------------- COPY

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Murmur3
+
+/** Iceberg-spec bucket transform as a codegen'd Catalyst expression:
+  * murmur3_x86_32(value) & Int.MaxValue mod n, over the little-endian
+  * 8-byte form for longs (ints/dates/timestamps are widened or converted
+  * to micros by the caller) and UTF-8 bytes for strings — semantics
+  * identical to Transform.Bucket (pg_lake_iceberg/src/utils/murmur.c;
+  * Iceberg spec test vectors in LakehouseSpec).
+  *
+  * Replaces the Scala UDF previously on the write hot path of every
+  * bucket-partitioned insert: the generated code calls the static hash
+  * kernel directly inside whole-stage codegen — no boxing, no
+  * serialization, no codegen fence. */
+case class IcebergBucket(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "bucket count must be positive")
+
+  // caller feeds LongType (numerics/micros) or StringType only
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"iceberg_bucket takes BIGINT or STRING, got ${other.sql}")
+    }
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType =>
+      (Murmur3.hash(v.asInstanceOf[UTF8String].getBytes, 0) &
+        Integer.MAX_VALUE) % n
+    case _ =>
+      (Murmur3.hashLong(v.asInstanceOf[Long]) & Integer.MAX_VALUE) % n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case StringType =>
+        s"${ev.value} = (graft.core.Murmur3.hash($c.getBytes(), 0) " +
+          s"& Integer.MAX_VALUE) % $n;"
+      case _ =>
+        s"${ev.value} = (graft.core.Murmur3.hashLong($c) " +
+          s"& Integer.MAX_VALUE) % $n;"
+    })
+
+  override def prettyName: String = s"iceberg_bucket"
+  override protected def withNewChildInternal(newChild: Expression): IcebergBucket =
+    copy(child = newChild)
+}

@@ -100,6 +100,18 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // ALTER COLUMN TYPE widening: old int32 files + post-widening int64
+    // files must aggregate identically to the plain fixture union
+    "q_lake_alter_type" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("alt"), li)
+      Engine.alterColumnType(tbl, "l_linenumber", "BIGINT")
+      Engine.insert(tbl, tbl.toDF.filter(col("l_returnflag") === "A"))
+      tbl.toDF.groupBy("l_returnflag")
+        .agg(sum("l_linenumber").as("sum_ln"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // pruned scan: result must equal a plain filtered aggregate even
     // though most files were never opened
     "q_lake_prune_scan" -> { (s, dir) =>
@@ -155,6 +167,13 @@ object QLake {
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_lake_alter_type" ->
+      """SELECT l_returnflag, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  count(*) AS n
+        |FROM (SELECT * FROM lineitem
+        |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lake_prune_scan" ->
       """SELECT o_orderpriority, count(*) AS n,

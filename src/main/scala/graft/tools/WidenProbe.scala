@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+object WidenProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    Seq((1, 1.5f, BigDecimal("12.34")), (2, 2.5f, BigDecimal("56.78")))
+      .toDF("i", "f", "d")
+      .withColumn("d", $"d".cast("decimal(5,2)"))
+      .write.mode("overwrite").parquet("/tmp/widen_in")
+    def tryRead(name: String, s: StructType): Unit =
+      try {
+        val df = spark.read.schema(s).parquet("/tmp/widen_in")
+        println(s"$name-OK " + df.collect().mkString(";") + " | " + df.schema.simpleString)
+      } catch { case e: Throwable => println(s"$name-FAIL " + e.toString.take(300)) }
+    tryRead("WIDEN", StructType(Seq(StructField("i", LongType),
+      StructField("f", DoubleType), StructField("d", DecimalType(10, 2)))))
+    tryRead("WIDEN2", StructType(Seq(StructField("i", DoubleType),
+      StructField("f", DoubleType), StructField("d", DecimalType(12, 4)))))
+    spark.stop()
+  }
+}

@@ -57,6 +57,43 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.toDF.count() == r.count() + 1)
   }
 
+  test("alter column type: widening reads old files, writes new type") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("float").as("qty"),
+        col("l_extendedprice").cast("decimal(10,2)").as("price"))
+    val tbl = Engine.ctas(spark, dir, li)
+    val before = tbl.toDF.agg(
+      sum(col("l_linenumber").cast("long")), sum(col("qty").cast("double")),
+      sum(col("price"))).head()
+    // widen: int -> bigint, float -> double, decimal(10,2) -> (16,4)
+    Engine.alterColumnType(tbl, "l_linenumber", "BIGINT")
+    Engine.alterColumnType(tbl, "qty", "DOUBLE")
+    Engine.alterColumnType(tbl, "price", "DECIMAL(16,4)")
+    assert(tbl.schema("l_linenumber").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // old int32/float/decimal(10,2) files read through native promotion
+    val after = tbl.toDF.agg(sum("l_linenumber"), sum("qty"), sum("price"))
+      .head()
+    assert(after.getLong(0) == before.getLong(0))
+    assert(after.getDouble(1) == before.getDouble(1))
+    assert(after.getDecimal(2).compareTo(before.getDecimal(2)) == 0)
+    // new writes carry the widened type; generations mix in one scan
+    Engine.insert(tbl, tbl.toDF.limit(10))
+    assert(tbl.toDF.count() == li.count() + 10)
+    // pruning still works across generations (stats re-typed on parse)
+    val (_, stats) = tbl.scan(col("l_orderkey") < 10)
+    assert(stats.scanned + stats.skipped > 0)
+    // narrowing and incompatible changes are rejected
+    intercept[IllegalArgumentException](
+      Engine.alterColumnType(tbl, "l_linenumber", "INT"))
+    intercept[IllegalArgumentException](
+      Engine.alterColumnType(tbl, "price", "DECIMAL(8,2)"))
+    intercept[IllegalArgumentException](
+      Engine.alterColumnType(tbl, "qty", "STRING"))
+  }
+
   test("streaming micro-batch append: one snapshot per batch") {
     val srcDir = Files.createTempDirectory("stream_src").toString
     val ckpt = Files.createTempDirectory("stream_ckpt").toString
