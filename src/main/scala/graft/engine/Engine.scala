@@ -740,9 +740,10 @@ object Engine {
     format.toLowerCase match {
       case "parquet" => spark.read.options(options).parquet(path)
       case "csv" =>
-        val opts = if (options.contains("sep")) options
-          else options ++ CsvSniffer.sniff(spark, path)
-        spark.read.options(opts)
+        // sniffed dialect fills the gaps; explicit user options always win
+        val sniffed = if (options.contains("sep")) Map.empty[String, String]
+          else CsvSniffer.sniff(spark, path)
+        spark.read.options(sniffed ++ options)
           .option("inferSchema", "true").csv(path)
       case "json" => spark.read.options(options).json(path)
       case "text" => spark.read.options(options).text(path)
@@ -802,30 +803,145 @@ object Engine {
 }
 
 /** CSV dialect sniffing — the reference's `sniff_csv()`
-  * (pg_lake_engine/src/pgduck/sniff_csv.c:35): sample the head of the
-  * file, score candidate delimiters by column-count consistency, detect a
-  * header row by type mismatch between row 1 and row 2. */
+  * (pg_lake_engine/src/pgduck/sniff_csv.c:35; csv/csv_options.c): sample
+  * the head of the file and detect the full dialect, not just the
+  * delimiter — quote character, escape style (RFC doubled-quote vs
+  * backslash), null marker, embedded newlines (→ multiLine), and a header
+  * row. A mis-sniffed quote silently corrupts imports, so candidate
+  * (delimiter, quote) pairs are scored by parsing the sample with a real
+  * quote-aware state machine and rewarding consistent field counts. */
 object CsvSniffer {
-  val candidates = Seq(',', ';', '\t', '|')
+  val delimiters = Seq(',', ';', '\t', '|')
+  val quotes = Seq('"', '\'')
+
+  /** One parsed record: fields + whether each was quoted. */
+  private final case class Rec(fields: Vector[String], quoted: Vector[Boolean])
+
+  /** Parse `sample` under a candidate dialect. Returns records, whether a
+    * doubled-quote escape was seen, whether a backslash escape was seen,
+    * and whether any quoted field spans a newline. */
+  private def parse(sample: String, d: Char, q: Char)
+      : (Vector[Rec], Boolean, Boolean, Boolean) = {
+    val recs = Vector.newBuilder[Rec]
+    var fields = Vector.newBuilder[String]
+    var quotedFlags = Vector.newBuilder[Boolean]
+    val cur = new StringBuilder
+    var inQuote = false
+    var sawDoubled = false
+    var sawBackslash = false
+    var multiline = false
+    var curQuoted = false
+    var nf = 0
+    var i = 0
+    def endField(): Unit = {
+      fields += cur.toString; quotedFlags += curQuoted; nf += 1
+      cur.clear(); curQuoted = false
+    }
+    def endRecord(): Unit = {
+      endField()
+      val r = Rec(fields.result(), quotedFlags.result())
+      if (r.fields.exists(_.nonEmpty)) recs += r
+      fields = Vector.newBuilder[String]
+      quotedFlags = Vector.newBuilder[Boolean]
+      nf = 0
+    }
+    while (i < sample.length) {
+      val c = sample.charAt(i)
+      if (inQuote) {
+        if (c == '\\' && i + 1 < sample.length &&
+            (sample.charAt(i + 1) == q || sample.charAt(i + 1) == '\\')) {
+          sawBackslash = true; cur.append(sample.charAt(i + 1)); i += 1
+        } else if (c == q) {
+          if (i + 1 < sample.length && sample.charAt(i + 1) == q) {
+            sawDoubled = true; cur.append(q); i += 1
+          } else inQuote = false
+        } else {
+          if (c == '\n') multiline = true
+          cur.append(c)
+        }
+      } else c match {
+        case `q` if cur.isEmpty => inQuote = true; curQuoted = true
+        case `d` => endField()
+        case '\n' => endRecord()
+        case '\r' => // swallow (CRLF)
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    if (inQuote) multiline = false // unterminated quote → dialect is wrong
+    if (!inQuote && (cur.nonEmpty || curQuoted || nf > 0)) endRecord()
+    (recs.result(), sawDoubled, sawBackslash, multiline)
+  }
+
+  /** Consistency score: records must agree on field count under this
+    * dialect; more fields (finer split) wins among consistent parses. */
+  private def score(recs: Vector[Rec]): Int =
+    if (recs.isEmpty || recs.head.fields.length < 2) -1
+    else {
+      val counts = recs.map(_.fields.length)
+      if (counts.distinct.length == 1) 1000 + counts.head
+      else counts.min - counts.distinct.length
+    }
+
+  private def looksNumeric(s: String): Boolean =
+    scala.util.Try(s.toDouble).isSuccess
 
   def sniff(spark: SparkSession, path: String): Map[String, String] = {
-    val lines = spark.read.text(path).limit(50).collect()
-      .map(_.getString(0)).filter(_.nonEmpty)
-    if (lines.isEmpty) return Map("header" -> "false", "sep" -> ",")
-    val best = candidates.maxBy { d =>
-      val counts = lines.map(_.count(_ == d))
-      if (counts.head == 0) -1
-      else if (counts.distinct.length == 1) 1000 + counts.head
-      else counts.min
-    }
-    val header = lines.headOption.exists { h =>
-      val fields = h.split(java.util.regex.Pattern.quote(best.toString), -1)
-      fields.nonEmpty && fields.forall(f =>
-        f.nonEmpty && scala.util.Try(f.toDouble).isFailure)
-    } && lines.drop(1).headOption.exists { r =>
-      r.split(java.util.regex.Pattern.quote(best.toString), -1)
-        .exists(f => scala.util.Try(f.toDouble).isSuccess)
-    }
-    Map("sep" -> best.toString, "header" -> header.toString)
+    val raw = readSample(path)
+    // a full buffer was probably cut mid-record — trim to the last newline
+    val sample =
+      if (raw.length >= 65536 && raw.lastIndexOf('\n') > 0)
+        raw.substring(0, raw.lastIndexOf('\n'))
+      else raw
+    if (sample.trim.isEmpty) return Map("header" -> "false", "sep" -> ",")
+    val parsed = (for { d <- delimiters; q <- quotes }
+      yield (d, q, parse(sample, d, q)))
+    val (d, q, (recs, doubled, backslash, multiline)) =
+      parsed.maxBy { case (_, _, (r, _, _, _)) => score(r) }
+    if (recs.isEmpty) return Map("header" -> "false", "sep" -> ",")
+    // escape style: doubled quote (RFC / PG CSV) unless only backslash seen
+    val escape = if (backslash && !doubled) "\\" else q.toString
+    // null marker: an UNQUOTED sentinel that repeats across records
+    // (quoted empties/markers are data, not nulls — csv_options.c)
+    val unquoted = recs.flatMap(r =>
+      r.fields.zip(r.quoted).collect { case (f, false) => f })
+    val nullValue = Seq("\\N", "NULL", "null")
+      .find(m => unquoted.count(_ == m) >= 2)
+    val header = recs.headOption.exists(h =>
+      h.fields.forall(f => f.nonEmpty && !looksNumeric(f))) &&
+      recs.drop(1).headOption.exists(_.fields.exists(looksNumeric))
+    Map("sep" -> d.toString, "quote" -> q.toString, "escape" -> escape,
+      "header" -> header.toString, "multiLine" -> multiline.toString) ++
+      nullValue.map("nullValue" -> _)
+  }
+
+  /** Head bytes of the first CSV object under `path` (file or directory)
+    * — raw, so quoted embedded newlines survive sampling (a line-based
+    * sample would split them). */
+  private def readSample(path: String, maxBytes: Int = 65536): String = {
+    def isCsvLike(n: String): Boolean =
+      n.endsWith(".csv") || n.endsWith(".txt") || n.endsWith(".tsv") ||
+        n.endsWith(".csv.gz") || n.endsWith(".txt.gz") || n.endsWith(".tsv.gz")
+    val p = Paths.get(path)
+    val target =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toList.sortBy(_.toString)
+          .find(f => isCsvLike(f.getFileName.toString))
+          .getOrElse(return "")
+        finally s.close()
+      } else p
+    if (!Files.exists(target)) return ""
+    val raw: java.io.InputStream = Files.newInputStream(target)
+    val in = if (target.toString.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(raw) else raw
+    try {
+      val buf = new Array[Byte](maxBytes)
+      var off = 0
+      var n = in.read(buf, off, maxBytes - off)
+      while (n > 0 && off + n < maxBytes) { off += n; n = in.read(buf, off, maxBytes - off) }
+      if (n > 0) off += n
+      new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 }

@@ -69,12 +69,130 @@ object PgFunctions {
 
   // ------------------------------------------------------------ to_char
 
-  /** PG → Spark datetime-pattern token table, longest-first. Lowercase
-    * name tokens emit a lower() around the piece (PG 'month' → 'february')
-    * — the same piecewise-chain construction as the reference's
+  /** PG to_char pattern table — each token is a Column builder taking
+    * (source, fillMode). PG semantics are kept exactly: name tokens pad to
+    * 9 chars (FM strips the padding), numeric tokens zero-pad (FM strips),
+    * DY/DAY uppercase AFTER padding, YYY/YY/Y are the LAST digits of the
+    * year (Java 'yyy' would print the full year), IYYY/IW are
+    * ISO-week-based, J is the Julian day number, RM is the Roman-numeral
+    * month. Piecewise chain construction like the reference's
     * BuildStrftimeChain (pg_lake_engine/src/pgduck/to_char.c:621). */
+  private type PieceFn = (Column, Boolean) => Column
+
+  // w <= 1 means "natural width" — never lpad (Spark's lpad TRUNCATES
+  // values longer than the pad width, which would chop J/SSSS outputs)
+  private def numOf(f: Column => Column, w: Int): PieceFn = (ts, fm) => {
+    val s = f(ts).cast("long").cast("string")
+    if (fm || w <= 1) s else lpad(s, w, "0")
+  }
+  private def name9(f: Column => Column): PieceFn = (ts, fm) =>
+    if (fm) f(ts) else rpad(f(ts), 9, " ")
+
+  private def hour12(ts: Column): Column = pmod(hour(ts) + 11, lit(12)) + 1
+  private def isoDow(ts: Column): Column = pmod(dayofweek(ts) + 5, lit(7)) + 1
+  private def isoYear(ts: Column): Column =
+    year(date_add(ts.cast("date"), (lit(4) - isoDow(ts)).cast("int")))
+  private def julianDay(ts: Column): Column =
+    datediff(ts.cast("date"), lit("1970-01-01").cast("date")) + 2440588
+  private val romanMonths = array(Seq("I", "II", "III", "IV", "V", "VI",
+    "VII", "VIII", "IX", "X", "XI", "XII").map(lit): _*)
+
+  /** Longest-first token table (order matters: Y,YYY before YYYY etc.). */
+  private val formatTokens: Seq[(String, PieceFn)] = Seq(
+    "SSSSS" -> numOf(ts => hour(ts) * 3600 + minute(ts) * 60 + second(ts), 1),
+    "SSSS" -> numOf(ts => hour(ts) * 3600 + minute(ts) * 60 + second(ts), 1),
+    "Y,YYY" -> ((ts, _) => format_number(year(ts), 0)),
+    "IYYY" -> numOf(isoYear, 4),
+    "YYYY" -> numOf(year, 4),
+    "HH24" -> numOf(hour, 2),
+    "HH12" -> numOf(hour12, 2),
+    "MONTH" -> name9(ts => upper(date_format(ts, "MMMM"))),
+    "Month" -> name9(ts => date_format(ts, "MMMM")),
+    "month" -> name9(ts => lower(date_format(ts, "MMMM"))),
+    "YYY" -> numOf(ts => pmod(year(ts), lit(1000)), 3),
+    "MON" -> ((ts, _) => upper(date_format(ts, "MMM"))),
+    "Mon" -> ((ts, _) => date_format(ts, "MMM")),
+    "mon" -> ((ts, _) => lower(date_format(ts, "MMM"))),
+    "DAY" -> name9(ts => upper(date_format(ts, "EEEE"))),
+    "Day" -> name9(ts => date_format(ts, "EEEE")),
+    "day" -> name9(ts => lower(date_format(ts, "EEEE"))),
+    "DDD" -> numOf(dayofyear, 3),
+    "DY" -> ((ts, _) => upper(date_format(ts, "EEE"))),
+    "Dy" -> ((ts, _) => date_format(ts, "EEE")),
+    "dy" -> ((ts, _) => lower(date_format(ts, "EEE"))),
+    "DD" -> numOf(dayofmonth, 2),
+    "D" -> numOf(dayofweek, 1), // PG: Sunday = 1
+    "ID" -> numOf(isoDow, 1),
+    "IW" -> numOf(weekofyear, 2),
+    "WW" -> numOf(ts => (dayofyear(ts) - 1) / 7 + 1, 2),
+    "W" -> numOf(ts => (dayofmonth(ts) - 1) / 7 + 1, 1),
+    "CC" -> numOf(ts => (year(ts) - 1) / 100 + 1, 2),
+    "YY" -> numOf(ts => pmod(year(ts), lit(100)), 2),
+    "Y" -> numOf(ts => pmod(year(ts), lit(10)), 1),
+    "MM" -> numOf(month, 2),
+    "MS" -> ((ts, _) => date_format(ts, "SSS")),
+    "US" -> ((ts, _) => date_format(ts, "SSSSSS")),
+    "FF6" -> ((ts, _) => date_format(ts, "SSSSSS")),
+    "FF3" -> ((ts, _) => date_format(ts, "SSS")),
+    "MI" -> numOf(minute, 2),
+    "SS" -> numOf(second, 2),
+    "A.M." -> ((ts, _) => when(hour(ts) < 12, "A.M.").otherwise("P.M.")),
+    "P.M." -> ((ts, _) => when(hour(ts) < 12, "A.M.").otherwise("P.M.")),
+    "a.m." -> ((ts, _) => when(hour(ts) < 12, "a.m.").otherwise("p.m.")),
+    "p.m." -> ((ts, _) => when(hour(ts) < 12, "a.m.").otherwise("p.m.")),
+    "AM" -> ((ts, _) => date_format(ts, "a")),
+    "PM" -> ((ts, _) => date_format(ts, "a")),
+    "am" -> ((ts, _) => lower(date_format(ts, "a"))),
+    "pm" -> ((ts, _) => lower(date_format(ts, "a"))),
+    "RM" -> ((ts, fm) => {
+      val r = element_at(romanMonths, month(ts))
+      if (fm) r else rpad(r, 4, " ")
+    }),
+    "rm" -> ((ts, fm) => {
+      val r = lower(element_at(romanMonths, month(ts)))
+      if (fm) r else rpad(r, 4, " ")
+    }),
+    // naive timestamps carry no zone: PG renders TZ empty, OF as +00
+    "TZ" -> ((_, _) => lit("")),
+    "tz" -> ((_, _) => lit("")),
+    "OF" -> ((_, _) => lit("+00")),
+    "J" -> numOf(julianDay, 1),
+    "Q" -> numOf(quarter, 1))
+
+  /** Build the to_char column for a constant PG pattern. FM suppresses
+    * padding for the NEXT specification only (PG semantics — Oracle's FM
+    * toggles, PG's does not; formatting.c applies it per-node). */
+  def toChar(ts: Column, pattern: String): Column = {
+    val pieces = scala.collection.mutable.ListBuffer[Column]()
+    var fm = false
+    var i = 0
+    while (i < pattern.length) {
+      if (pattern.charAt(i) == '"') { // quoted literal
+        val close = pattern.indexOf('"', i + 1)
+        val endIdx = if (close < 0) pattern.length else close
+        pieces += lit(pattern.substring(i + 1, endIdx))
+        i = if (close < 0) pattern.length else close + 1
+      } else if (pattern.startsWith("FM", i) || pattern.startsWith("fm", i)) {
+        fm = true
+        i += 2
+      } else {
+        formatTokens.find { case (t, _) => pattern.startsWith(t, i) } match {
+          case Some((t, f)) =>
+            pieces += f(ts, fm)
+            fm = false // FM modifies only the next specification
+            i += t.length
+          case None =>
+            pieces += lit(pattern.charAt(i).toString)
+            i += 1
+        }
+      }
+    }
+    if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
+  }
+
+  /** Parse-direction token table (to_timestamp/to_date): PG token → Java
+    * pattern, for the tokens that are positionally parseable. */
   private val tokens: Seq[(String, String, Boolean)] = Seq(
-    // (pgToken, sparkPattern, lowercase)
     ("HH24", "HH", false), ("HH12", "hh", false),
     ("YYYY", "yyyy", false), ("YYY", "yyy", false), ("YY", "yy", false),
     ("MONTH", "MMMM", false), ("Month", "MMMM", false),
@@ -89,31 +207,6 @@ object PgFunctions {
     ("AM", "a", false), ("PM", "a", false),
     ("am", "a", true), ("pm", "a", true),
     ("Q", "Q", false))
-
-  /** Build the to_char column for a constant PG pattern. */
-  def toChar(ts: Column, pattern: String): Column = {
-    val pieces = scala.collection.mutable.ListBuffer[Column]()
-    var i = 0
-    while (i < pattern.length) {
-      if (pattern.charAt(i) == '"') { // quoted literal
-        val close = pattern.indexOf('"', i + 1)
-        val endIdx = if (close < 0) pattern.length else close
-        pieces += lit(pattern.substring(i + 1, endIdx))
-        i = if (close < 0) pattern.length else close + 1
-      } else {
-        tokens.find { case (t, _, _) => pattern.startsWith(t, i) } match {
-          case Some((t, sp, lower_)) =>
-            val piece = date_format(ts, sp)
-            pieces += (if (lower_) lower(piece) else piece)
-            i += t.length
-          case None =>
-            pieces += lit(pattern.charAt(i).toString)
-            i += 1
-        }
-      }
-    }
-    if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
-  }
 
   /** PG to_timestamp(text, fmt) / to_date(text, fmt): reuse the same
     * token table in the parse direction (duckdb_pglake_extension.cpp

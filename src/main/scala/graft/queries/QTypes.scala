@@ -74,6 +74,61 @@ object QTypes {
         .orderBy("n_nationkey")
     },
 
+    // bytea family (operators.c:442-470): equality/ordering on raw bytes,
+    // || concat, octet_length, byte substring — all surfaced as hex/bool
+    // so the driver comparator never sees a raw binary cell
+    "q_ops_bytea" -> { (s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 200).select(
+        col("doc_id"),
+        (col("source").cast("binary") === lit("src1").cast("binary"))
+          .as("beq"),
+        (col("source").cast("binary") =!= col("lang").cast("binary"))
+          .as("bne"),
+        (col("lang").cast("binary") < col("source").cast("binary"))
+          .as("blt"),
+        (col("lang").cast("binary") >= lit("en").cast("binary")).as("bge"),
+        lower(hex(concat(col("lang").cast("binary"),
+          col("source").cast("binary")))).as("bcat"),
+        octet_length(col("source")).cast("long").as("blen"),
+        lower(hex(expr("substring(CAST(source AS BINARY), 2, 3)")))
+          .as("bsub"))
+        .orderBy("doc_id")
+    },
+
+    // char/bpchar family (operators.c:72-94): blank-padded storage with
+    // pad-insensitive comparison and pad-stripped length, PG-style
+    "q_ops_char" -> { (s, dir) =>
+      val ch = rpad(col("c_mktsegment"), 12, " ")
+      t(s, dir, "customer").filter(col("c_custkey") % 17 === 0).select(
+        col("c_custkey"),
+        ch.as("ch"),
+        (rtrim(ch) === "BUILDING").as("ch_eq"),
+        (rtrim(ch) < "FURNITURE").as("ch_lt"),
+        length(rtrim(ch)).cast("long").as("ch_len"),
+        concat(rtrim(ch), lit("|")).as("ch_cat"))
+        .orderBy("c_custkey")
+    },
+
+    // uuid family (operators.c:472-490): canonical 8-4-4-4-12 form built
+    // deterministically from md5, compared as uuids (lexicographic on the
+    // canonical lowercase form = PG uuid ordering)
+    "q_ops_uuid" -> { (s, dir) =>
+      def toUuid(c: org.apache.spark.sql.Column) = concat_ws("-",
+        substring(c, 1, 8), substring(c, 9, 4), substring(c, 13, 4),
+        substring(c, 17, 4), substring(c, 21, 12))
+      val u1 = toUuid(md5(col("doc_id").cast("string").cast("binary")))
+      val u2 = toUuid(md5(col("source").cast("binary")))
+      t(s, dir, "documents").filter(col("doc_id") < 200).select(
+        col("doc_id"),
+        u1.as("uid"),
+        (u1 === u2).as("u_eq"),
+        (u1 < u2).as("u_lt"),
+        (u1 > u2).as("u_gt"),
+        u1.between("40000000-0000-0000-0000-000000000000",
+          "80000000-0000-0000-0000-000000000000").as("u_range"))
+        .orderBy("doc_id")
+    },
+
     // temporal family (operators.c:332-440): ts/date compare, date±int,
     // ts-ts as interval (surfaced as epoch seconds), ts±interval
     "q_ops_temporal" -> { (s, dir) =>
@@ -139,6 +194,45 @@ object QTypes {
         |  greatest(n_name, 'FRANCE') AS g_str,
         |  least(n_name, 'FRANCE') AS l_str
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_ops_bytea" ->
+      """SELECT doc_id,
+        |  source::BLOB = 'src1'::BLOB AS beq,
+        |  source::BLOB <> lang::BLOB AS bne,
+        |  lang::BLOB < source::BLOB AS blt,
+        |  lang::BLOB >= 'en'::BLOB AS bge,
+        |  lower(hex(lang::BLOB || source::BLOB)) AS bcat,
+        |  CAST(octet_length(source::BLOB) AS BIGINT) AS blen,
+        |  lower(substr(hex(source::BLOB), 3, 6)) AS bsub
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    "q_ops_char" ->
+      """SELECT c_custkey,
+        |  rpad(c_mktsegment, 12, ' ') AS ch,
+        |  rtrim(rpad(c_mktsegment, 12, ' ')) = 'BUILDING' AS ch_eq,
+        |  rtrim(rpad(c_mktsegment, 12, ' ')) < 'FURNITURE' AS ch_lt,
+        |  CAST(length(rtrim(rpad(c_mktsegment, 12, ' '))) AS BIGINT)
+        |    AS ch_len,
+        |  rtrim(rpad(c_mktsegment, 12, ' ')) || '|' AS ch_cat
+        |FROM customer WHERE c_custkey % 17 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "q_ops_uuid" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat_ws('-', substr(m1, 1, 8), substr(m1, 9, 4),
+        |      substr(m1, 13, 4), substr(m1, 17, 4), substr(m1, 21, 12))
+        |      AS u1,
+        |    concat_ws('-', substr(m2, 1, 8), substr(m2, 9, 4),
+        |      substr(m2, 13, 4), substr(m2, 17, 4), substr(m2, 21, 12))
+        |      AS u2
+        |  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m1,
+        |          md5(source) AS m2
+        |        FROM documents WHERE doc_id < 200))
+        |SELECT doc_id, u1 AS uid,
+        |  u1 = u2 AS u_eq, u1 < u2 AS u_lt, u1 > u2 AS u_gt,
+        |  u1 BETWEEN '40000000-0000-0000-0000-000000000000'
+        |    AND '80000000-0000-0000-0000-000000000000' AS u_range
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q_ops_temporal" ->
       """SELECT o_orderkey,

@@ -25,6 +25,52 @@ class FormatSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("csv sniffing matrix: delimiter x quote x escape x nulls x newlines") {
+    import graft.engine.CsvSniffer
+    def write(content: String): String = {
+      val d = Files.createTempDirectory("sniff")
+      Files.write(d.resolve("data.csv"), content.getBytes("UTF-8"))
+      d.toString
+    }
+    // 1. semicolon + single quotes, delimiter embedded in a quoted field
+    val p1 = write("id;name;note\n1;'a;b';plain\n2;'x';other\n")
+    val s1 = CsvSniffer.sniff(spark, p1)
+    assert(s1("sep") == ";" && s1("quote") == "'" && s1("header") == "true")
+    val df1 = Engine.copyFrom(spark, p1, "csv")
+    assert(df1.count() == 2)
+    assert(df1.filter(col("name") === "a;b").count() == 1)
+    // 2. RFC doubled-quote escape inside double quotes
+    val p2 = write("a,b\n1,\"say \"\"hi\"\"\"\n2,\"plain\"\n")
+    val s2 = CsvSniffer.sniff(spark, p2)
+    assert(s2("sep") == "," && s2("quote") == "\"" && s2("escape") == "\"")
+    val df2 = Engine.copyFrom(spark, p2, "csv")
+    assert(df2.filter(col("b") === "say \"hi\"").count() == 1)
+    // 3. backslash escape style
+    val p3 = write("a,b\n1,\"say \\\"hi\\\"\"\n2,\"plain\"\n")
+    val s3 = CsvSniffer.sniff(spark, p3)
+    assert(s3("escape") == "\\")
+    assert(Engine.copyFrom(spark, p3, "csv")
+      .filter(col("b") === "say \"hi\"").count() == 1)
+    // 4. embedded newline inside a quoted field → multiLine
+    val p4 = write("a,b\n1,\"line1\nline2\"\n2,one\n")
+    val s4 = CsvSniffer.sniff(spark, p4)
+    assert(s4("multiLine") == "true")
+    val df4 = Engine.copyFrom(spark, p4, "csv")
+    assert(df4.count() == 2)
+    assert(df4.filter(col("b").contains("line2")).count() == 1)
+    // 5. \N null marker detected only when unquoted (quoted "\N" is data)
+    val p5 = write("a,b\n1,\\N\n2,\\N\n3,x\n")
+    val s5 = CsvSniffer.sniff(spark, p5)
+    assert(s5.get("nullValue").contains("\\N"))
+    assert(Engine.copyFrom(spark, p5, "csv")
+      .filter(col("b").isNull).count() == 2)
+    // 6. tab-separated, no quotes at all, no header (numeric row 1)
+    val p6 = write("1\t2.5\tx\n2\t3.5\ty\n")
+    val s6 = CsvSniffer.sniff(spark, p6)
+    assert(s6("sep") == "\t" && s6("header") == "false")
+    assert(Engine.copyFrom(spark, p6, "csv").count() == 2)
+  }
+
   test("log-format scan: s3-access-log regex template projection") {
     val d = Files.createTempDirectory("logs")
     Files.write(d.resolve("access.log"),

@@ -48,13 +48,28 @@ class PgFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("to_char PG pattern translation") {
     val ts = lit("2001-02-16 20:38:40").cast("timestamp")
     assert(one(toChar(ts, "YYYY-MM-DD HH24:MI:SS")) == "2001-02-16 20:38:40")
+    // PG pads name tokens to 9 and uppercases DY — these are the exact
+    // strings PG 16 returns for this timestamp
     assert(one(toChar(ts, "Day, DD Month YYYY")) ==
+      "Friday   , 16 February  2001")
+    assert(one(toChar(ts, "FMDay, DD FMMonth YYYY")) ==
       "Friday, 16 February 2001")
     assert(one(toChar(ts, "HH12 AM")) == "08 PM")
-    assert(one(toChar(ts, "month")) == "february")
-    assert(one(toChar(ts, "Mon DY")) == "Feb Fri")
+    assert(one(toChar(ts, "month")) == "february ")
+    assert(one(toChar(ts, "Mon DY")) == "Feb FRI")
     assert(one(toChar(ts, "Q")) == "1")
     assert(one(toChar(ts, """"at" HH24"h"""")) == "at 20h")
+    // the wider table: ISO week date, week numbers, century, Julian day,
+    // Roman month, year tails, comma year, seconds-past-midnight
+    assert(one(toChar(ts, "IYYY-IW-ID")) == "2001-07-5")
+    assert(one(toChar(ts, "WW/W/D")) == "07/3/6")
+    assert(one(toChar(ts, "CC")) == "21")
+    assert(one(toChar(ts, "J")) == "2451957")
+    assert(one(toChar(ts, "FMRM rm")) == "II ii  ")
+    assert(one(toChar(ts, "YYY.YY.Y")) == "001.01.1")
+    assert(one(toChar(ts, "Y,YYY")) == "2,001")
+    assert(one(toChar(ts, "SSSS")) == "74320")
+    assert(one(toChar(ts, "HH12 a.m.")) == "08 p.m.")
   }
 
   test("to_timestamp/to_date parse PG patterns") {
