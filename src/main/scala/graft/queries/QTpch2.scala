@@ -121,8 +121,11 @@ object QTpch2 {
       t(s, dir, "lineitem").filter(col("l_orderkey") % 31 === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"),
-          round(sum(col("l_quantity")).over(w) - col("l_quantity"), 2)
-            .as("neighbor_sum"))
+          // sum over an empty set is NULL: when the frame holds only the
+          // current row, the excluded sum must be NULL, not 0
+          when(count(lit(1)).over(w) === 1, lit(null))
+            .otherwise(round(sum(col("l_quantity")).over(w)
+              - col("l_quantity"), 2)).as("neighbor_sum"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
 
@@ -142,8 +145,14 @@ object QTpch2 {
         .withColumn("_cents", cents)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"),
-          (sum(col("_cents")).over(wFrame) - sum(col("_cents")).over(wPeers))
-            .as("excl_group_cents"),
+          // EXCLUDE GROUP over an all-peer frame is a sum over the empty
+          // set → NULL, not 0 (the peer group is always inside a RANGE
+          // frame spanning offset 0, so empty ⇔ counts are equal).
+          // EXCLUDE TIES always retains the current row, so never NULL.
+          when(count(lit(1)).over(wFrame) === count(lit(1)).over(wPeers),
+            lit(null))
+            .otherwise(sum(col("_cents")).over(wFrame)
+              - sum(col("_cents")).over(wPeers)).as("excl_group_cents"),
           (sum(col("_cents")).over(wFrame) - sum(col("_cents")).over(wPeers)
             + col("_cents")).as("excl_ties_cents"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")

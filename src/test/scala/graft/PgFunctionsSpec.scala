@@ -45,6 +45,33 @@ class PgFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(initcapPg(lit("3abc d4e"))) == "3abc D4e")
   }
 
+  test("window EXCLUDE rewrites: empty effective frame is NULL, not 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // grp a: one row → EXCLUDE CURRENT ROW frame is empty → NULL
+    // grp b: all rows are peers (same order value) → EXCLUDE GROUP empty
+    val df = Seq(("a", 1, 10L), ("b", 2, 20L), ("b", 2, 30L), ("c", 3, 5L),
+      ("c", 4, 7L)).toDF("grp", "ord", "v")
+    val wRows = Window.partitionBy("grp").orderBy("ord").rowsBetween(-3, 3)
+    val wFrame = Window.partitionBy("grp").orderBy("ord").rangeBetween(-5, 5)
+    val wPeers = Window.partitionBy("grp", "ord")
+    val out = df.select(col("grp"), col("v"),
+      when(count(lit(1)).over(wRows) === 1, lit(null))
+        .otherwise(sum(col("v")).over(wRows) - col("v")).as("excl_cur"),
+      when(count(lit(1)).over(wFrame) === count(lit(1)).over(wPeers),
+        lit(null))
+        .otherwise(sum(col("v")).over(wFrame) - sum(col("v")).over(wPeers))
+        .as("excl_group"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(out == Set(
+      ("a", 10L, None, None),            // lone row: both frames empty
+      ("b", 20L, Some(30L), None),       // peers only → GROUP empty
+      ("b", 30L, Some(20L), None),
+      ("c", 5L, Some(7L), Some(7L)),     // non-peer neighbor present
+      ("c", 7L, Some(5L), Some(5L))))
+  }
+
   test("to_char PG pattern translation") {
     val ts = lit("2001-02-16 20:38:40").cast("timestamp")
     assert(one(toChar(ts, "YYYY-MM-DD HH24:MI:SS")) == "2001-02-16 20:38:40")
