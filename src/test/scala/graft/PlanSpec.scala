@@ -105,6 +105,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qds_returns_cohort: correlated subquery becomes one agg reused, no cartesian") {
+    val p = plan("qds_returns_cohort")
+    // Catalyst must rewrite the correlated scalar subquery into an
+    // aggregate joined on the correlation key — never a per-row re-scan
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // fact table read at most twice (once per CTE consumer), never per-row
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 4, p)
+  }
+
+  test("qds_channel_band: single fact scan, conditional agg, no self-join") {
+    val p = plan("qds_channel_band")
+    // both channels come from CASE conditional aggregation in ONE pass —
+    // a naive Q58 form would scan lineitem twice and join
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_click_top_tokens: explode feeds partial agg, top-k is TakeOrdered") {
+    val p = plan("q_click_top_tokens")
+    assert(p.contains("Generate"), p) // explode as a streaming SRF
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    assert(nodeCount(p, "HashAggregate") >= 2, p) // map-side partial count
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE wraps everything in AdaptiveSparkPlan whose toString hides the
     // codegen stages; check the codegen layout with AQE off
