@@ -354,7 +354,15 @@ object Engine {
       val pos = raw.filter(pred)
         .select(col("_file").as("file_path"), col("_pos").as("pos"))
       val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
-      pos.coalesce(1).write.parquet(staging.toString)
+      // scale the delete-file write with the table: hash-partition on the
+      // data-file path so a mass delete fans out across the cluster (one
+      // task would serialize a 100 TB-table delete), and keep each delete
+      // file sorted by (file_path, pos) as the Iceberg v2 spec requires
+      val nParts = math.max(1, math.min(candidates.size / 4 + 1,
+        tbl.spark.sparkContext.defaultParallelism))
+      pos.repartition(nParts, col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(staging.toString)
       val dataDir = MetadataIO.dataDir(tbl.dir)
       val stream = Files.walk(staging)
       try stream.iterator().asScala

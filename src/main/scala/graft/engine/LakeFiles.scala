@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-utility surface mirroring the reference's `lake_file` schema
+  * (pg_lake_table--3.0.sql `lake_file.{list,size,exists,preview,delete}`;
+  * pg_lake_table/src/util/s3_file_utils.c).
+  *
+  * Spark-first: every path goes through the Hadoop `FileSystem` API, so
+  * the same code serves local paths in tests and s3a/gs/abfs URLs on a
+  * cluster — scheme support is a classpath concern, not a code change.
+  * Driver-side by design: these are metadata/utility calls (one RPC per
+  * file), not data movement; nothing here scans row data except
+  * `preview`, which reads only enough of the file to infer a schema.
+  */
+object LakeFiles {
+
+  /** `lake_file.enable_delete_function` — deletion is opt-in, default
+    * off, exactly like the reference (s3_file_utils.c:49). */
+  @volatile var enableDelete: Boolean = false
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** `lake_file.list(url_wildcard)` — glob expansion with per-file size
+    * and mtime. Directories are listed one level (the reference delegates
+    * globbing to the object store's list API the same way). */
+  def list(spark: SparkSession, urlWildcard: String): DataFrame = {
+    import spark.implicits._
+    val (filesystem, p) = fs(spark, urlWildcard)
+    val statuses = Option(filesystem.globStatus(p)).getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory) filesystem.listStatus(st.getPath).toSeq else Seq(st)
+      }
+      .filter(_.isFile)
+    statuses.map(st => (st.getPath.toUri.getPath, st.getLen,
+      new java.sql.Timestamp(st.getModificationTime)))
+      .toSeq.sortBy(_._1)
+      .toDF("path", "file_size", "last_modified")
+  }
+
+  /** `lake_file.size(path)` — errors if absent (reference parity). */
+  def size(spark: SparkSession, path: String): Long = {
+    val (filesystem, p) = fs(spark, path)
+    filesystem.getFileStatus(p).getLen
+  }
+
+  /** `lake_file.exists(path)`. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (filesystem, p) = fs(spark, path)
+    filesystem.exists(p)
+  }
+
+  /** `lake_file.preview(url, format)` — the schema the file would get if
+    * created as a table: one row per column, (column_name, column_type).
+    * Format defaults from the extension; CSV goes through the dialect
+    * sniffer so the preview matches what `copyFrom` would load. */
+  def preview(spark: SparkSession, url: String,
+      format: Option[String] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val fmt = format.getOrElse(inferFormat(url))
+    val schema = Engine.copyFrom(spark, url, fmt, options).schema
+    schema.fields.map(f => (f.name, f.dataType.sql.toLowerCase)).toSeq
+      .toDF("column_name", "column_type")
+  }
+
+  private def inferFormat(url: String): String = {
+    val base = url.stripSuffix(".gz").stripSuffix(".zst").stripSuffix(".bz2")
+    base.substring(base.lastIndexOf('.') + 1).toLowerCase match {
+      case "parquet" => "parquet"
+      case "json" | "ndjson" | "jsonl" => "json"
+      case "csv" | "tsv" | "txt" => "csv"
+      case other =>
+        throw new IllegalArgumentException(
+          s"preview: cannot infer format from '$other' — pass format=")
+    }
+  }
+
+  /** `lake_file.delete(url)` — refuses unless [[enableDelete]] is set
+    * (the reference's `lake_file.enable_delete_function` GUC). */
+  def delete(spark: SparkSession, url: String): Boolean = {
+    if (!enableDelete)
+      throw new IllegalStateException(
+        "lake_file.delete is disabled; set LakeFiles.enableDelete = true " +
+          "(reference: lake_file.enable_delete_function)")
+    val (filesystem, p) = fs(spark, url)
+    if (!filesystem.getFileStatus(p).isFile)
+      throw new IllegalArgumentException(s"delete: not a file: $url")
+    filesystem.delete(p, false)
+  }
+}

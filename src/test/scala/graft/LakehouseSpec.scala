@@ -237,6 +237,64 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("l_quantity") > 45).count() == 0)
   }
 
+  test("mass MOR delete fans out into multiple sorted delete files") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    // many small data files so the delete-write picks nParts > 1
+    val tbl = Engine.create(spark, dir, li.schema.toDDL)
+    for (i <- 0 until 10)
+      Engine.insert(tbl, li.filter(col("l_orderkey") % 10 === i))
+    val before = li.count()
+    val nDel = li.filter(col("l_quantity") < 25).count()
+    Engine.deleteMor(tbl, col("l_quantity") < 25)
+    val delFiles = tbl.liveFiles.filter(_.isDelete)
+    assert(delFiles.size > 1, s"expected fan-out, got ${delFiles.size}")
+    assert(tbl.toDF.count() == before - nDel)
+    // each delete file is sorted by (file_path, pos) — Iceberg v2 order
+    delFiles.foreach { f =>
+      val rows = spark.read.parquet(f.path)
+        .select("file_path", "pos").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)), f.path)
+    }
+  }
+
+  test("lake_file utilities: list/size/exists/preview/delete") {
+    import graft.engine.LakeFiles
+    val d = Files.createTempDirectory("lakefile")
+    Files.write(d.resolve("a.csv"), "x;y\n1;hello\n2;world\n".getBytes)
+    Files.write(d.resolve("b.json"),
+      """{"id": 1, "s": "a"}
+        |{"id": 2, "s": "b"}""".stripMargin.getBytes)
+    // list: glob expansion with sizes
+    val listed = LakeFiles.list(spark, d.toString + "/*").collect()
+    assert(listed.length == 2)
+    assert(listed.map(_.getString(0)).exists(_.endsWith("a.csv")))
+    assert(listed.forall(_.getLong(1) > 0))
+    // size / exists
+    assert(LakeFiles.size(spark, d.resolve("a.csv").toString) ==
+      Files.size(d.resolve("a.csv")))
+    assert(LakeFiles.exists(spark, d.resolve("b.json").toString))
+    assert(!LakeFiles.exists(spark, d.resolve("nope.csv").toString))
+    // preview: inferred table schema, format from extension (CSV sniffed)
+    val prev = LakeFiles.preview(spark, d.resolve("a.csv").toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(prev.keySet == Set("x", "y"))
+    assert(prev("y") == "string")
+    val prevJ = LakeFiles.preview(spark, d.resolve("b.json").toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(prevJ("id") == "bigint")
+    // delete: gated off by default, works when enabled
+    intercept[IllegalStateException] {
+      LakeFiles.delete(spark, d.resolve("a.csv").toString)
+    }
+    LakeFiles.enableDelete = true
+    try {
+      assert(LakeFiles.delete(spark, d.resolve("a.csv").toString))
+      assert(!LakeFiles.exists(spark, d.resolve("a.csv").toString))
+    } finally LakeFiles.enableDelete = false
+  }
+
   test("compaction merges small files and preserves data") {
     val dir = tmp()
     val n = Tables.load(spark, sf, "nation")
