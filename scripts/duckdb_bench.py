@@ -5,7 +5,7 @@ Usage: python3 scripts/duckdb_bench.py <sfDir> [reps]
 Runs each headline query's oracle SQL in DuckDB (threads=32) and prints
 a JSON line of per-query best-of-N seconds.
 """
-import sys, json, time
+import os, sys, json, time
 import duckdb
 
 HEADLINE = ["q1_agg", "q3_shipping", "q5_local_supplier",
@@ -25,7 +25,11 @@ def main():
     con = duckdb.connect()
     con.sql("SET threads TO 32")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        path = f"{sfdir}/{t}.parquet"
+        # GenScale writes Spark-style directories; the driver fixture is flat files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     out = {}
     for q in HEADLINE:
         if q not in oracle:

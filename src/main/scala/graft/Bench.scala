@@ -21,6 +21,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // marginal-cost protocol: a sub-second local[32] run mostly measures
+    // fixed job/stage overhead, which a cluster amortizes away. With a
+    // base dir set, each query also runs on the (tiny) base fixture and
+    // we report marginal = t(sf) - t(base): the data-dependent cost that
+    // actually scales. Opt out with SPARK_GRAFT_SF_BASE_DIR=none.
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_BASE_DIR",
+      "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,9 +38,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -46,13 +53,27 @@ object Bench {
     // analysis/codegen/JIT that has nothing to do with data volume;
     // steady-state is what scales, so that is what we report — best of
     // two timed passes to damp GC/scheduling jitter.
-    headline.foreach(run)
+    headline.foreach(run(_, sfDir))
 
-    val results = headline.map(n => n -> math.min(run(n), run(n)))
+    val results = headline.map(n => n -> math.min(run(n, sfDir), run(n, sfDir)))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val marginalJson =
+      if (baseDir == "none" || baseDir == sfDir) ""
+      else {
+        headline.foreach(run(_, baseDir)) // warm the base-dir plans too
+        val base = headline
+          .map(n => n -> math.min(run(n, baseDir), run(n, baseDir))).toMap
+        val marg = results.map { case (k, v) =>
+          val m = if (v < 0 || base(k) < 0) -1.0 else math.max(0.0, v - base(k))
+          "\"" + k + f"\":$m%.3f"
+        }.mkString("{", ",", "}")
+        f""","base_sf":"$baseDir","marginal":$marg"""
+      }
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$marginalJson}""")
     spark.stop()
   }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture scale-up generator: replicates the driver's sf0.1 tables K×
+  * with key-shifting so join fan-out and selectivities are preserved,
+  * producing an sf1-class fixture for MARGINAL-cost benchmarking (the
+  * per-row cost that survives a cluster scale-up, as opposed to the
+  * fixed job overhead that dominates sub-second toy runs).
+  *
+  * Design: facts (lineitem/orders/customer/events/documents/embeddings)
+  * replicate with disjoint key ranges per replica; dims
+  * (region/nation/part/supplier) stay fixed — growing facts against
+  * stable dims is how real warehouses scale, and it keeps per-key join
+  * fan-out identical to the source fixture. Document text is word-salted
+  * per replica so replicas are NOT near-duplicates of each other (a
+  * naive copy would plant 10-way duplicate clusters and quadratically
+  * inflate the LSH verify stage — a different workload, not a bigger
+  * one).
+  *
+  * Usage: GenScale <srcSfDir> <outDir> [reps=10]
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "benchdata/sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(n: String): DataFrame = Tables.load(spark, src, n)
+    // replica index 0..reps-1 as a column: one cheap row-explode, no
+    // driver-side loop over unions
+    val ks = array((0 until reps).map(lit): _*)
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("_k", explode(ks))
+    def shift(c: String, max: Long) =
+      (col(c) + col("_k") * (max + 1)).as(c)
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0)
+
+    val maxOrder = maxOf(t("orders"), "o_orderkey")
+    val maxCust = maxOf(t("customer"), "c_custkey")
+    val maxEvent = maxOf(t("events"), "event_id")
+    val maxUser = maxOf(t("events"), "user_id")
+    val maxDoc = maxOf(t("documents"), "doc_id")
+    val maxVec = maxOf(t("embeddings"), "vec_id")
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.drop("_k").write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[genscale] $name done")
+    }
+
+    // dims: copy as-is
+    Seq("region", "nation", "part", "supplier").foreach(n => write(n, t(n)))
+
+    write("customer", replicate(t("customer")).select(
+      shift("c_custkey", maxCust), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment"), col("_k")))
+
+    write("orders", replicate(t("orders")).select(
+      shift("o_orderkey", maxOrder), shift("o_custkey", maxCust),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"), col("_k")))
+
+    write("lineitem", replicate(t("lineitem")).select(
+      shift("l_orderkey", maxOrder), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate"), col("_k")))
+
+    write("events", replicate(t("events")).select(
+      shift("event_id", maxEvent), col("ts").cast("timestamp_ntz").as("ts"),
+      shift("user_id", maxUser), col("event_type"), col("value"),
+      col("props"), col("_k")))
+
+    // word-salt the text per replica: every token gets a replica suffix,
+    // so shingle sets across replicas are disjoint (no planted dupes)
+    write("documents", replicate(t("documents")).select(
+      shift("doc_id", maxDoc),
+      when(col("_k") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("q"), col("_k"))), " ")).as("text"),
+      col("lang"), col("source"), col("n_chars"), col("_k")))
+
+    write("embeddings", replicate(t("embeddings")).select(
+      shift("vec_id", maxVec), col("embedding"), col("label"), col("_k")))
+
+    println(s"[genscale] wrote ${reps}x $src -> $out")
+    spark.stop()
+  }
+}

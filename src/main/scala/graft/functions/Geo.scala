@@ -173,6 +173,251 @@ object Geo {
       copy(c)
   }
 
+  // ---- wave-2 transforms ----
+  case class StReverse(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = GeoKernel.reverse(g)
+    override protected def withNewChildInternal(c: Expression): StReverse =
+      copy(c)
+  }
+  case class StFlipCoordinates(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = flipCoordinates(g)
+    override protected def withNewChildInternal(c: Expression)
+        : StFlipCoordinates = copy(c)
+  }
+  case class StRemoveRepeatedPoints(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = removeRepeatedPoints(g)
+    override protected def withNewChildInternal(c: Expression)
+        : StRemoveRepeatedPoints = copy(c)
+  }
+  case class StConvexHull(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = convexHull(g)
+    override protected def withNewChildInternal(c: Expression): StConvexHull =
+      copy(c)
+  }
+  case class StBoundary(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = boundary(g)
+    override protected def withNewChildInternal(c: Expression): StBoundary =
+      copy(c)
+  }
+  case class StNormalize(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = normalize(g)
+    override protected def withNewChildInternal(c: Expression): StNormalize =
+      copy(c)
+  }
+  case class StPointOnSurface(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = {
+      val (x, y) = pointOnSurface(g); GPoint(x, y)
+    }
+    override protected def withNewChildInternal(c: Expression)
+        : StPointOnSurface = copy(c)
+  }
+
+  case class StSimplify(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(g: Any, tol: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]])
+        .map(x => toWkb(simplify(x, tol.asInstanceOf[Double]))).orNull
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StSimplify = copy(left = l, right = r)
+  }
+  case class StReducePrecision(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(g: Any, grid: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]])
+        .map(x => toWkb(reducePrecision(x, grid.asInstanceOf[Double]))).orNull
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StReducePrecision = copy(left = l, right = r)
+  }
+
+  // ---- wave-2 accessors ----
+  /** Unary geometry accessor returning an optional geometry. */
+  abstract class GeomPartial extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    protected def part(g: Geom): Option[Geom]
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]]).flatMap(part).map(toWkb).orNull
+  }
+  case class StStartPoint(child: Expression) extends GeomPartial {
+    protected def part(g: Geom): Option[Geom] = startPoint(g)
+    override protected def withNewChildInternal(c: Expression): StStartPoint =
+      copy(c)
+  }
+  case class StEndPoint(child: Expression) extends GeomPartial {
+    protected def part(g: Geom): Option[Geom] = endPoint(g)
+    override protected def withNewChildInternal(c: Expression): StEndPoint =
+      copy(c)
+  }
+  case class StExteriorRing(child: Expression) extends GeomPartial {
+    protected def part(g: Geom): Option[Geom] = exteriorRing(g)
+    override protected def withNewChildInternal(c: Expression)
+        : StExteriorRing = copy(c)
+  }
+  case class StPointN(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(g: Any, n: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]])
+        .flatMap(pointN(_, n.asInstanceOf[Int])).map(toWkb).orNull
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StPointN = copy(left = l, right = r)
+  }
+  case class StGeometryN(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(g: Any, n: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]])
+        .flatMap(geometryN(_, n.asInstanceOf[Int])).map(toWkb).orNull
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StGeometryN = copy(left = l, right = r)
+  }
+
+  /** Unary int accessor. */
+  abstract class GeomInt extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    protected def value(g: Geom): Option[Int]
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]]).flatMap(value).map(Int.box).orNull
+  }
+  case class StDimension(child: Expression) extends GeomInt {
+    protected def value(g: Geom): Option[Int] = Some(dimension(g))
+    override protected def withNewChildInternal(c: Expression): StDimension =
+      copy(c)
+  }
+  case class StNumGeometries(child: Expression) extends GeomInt {
+    protected def value(g: Geom): Option[Int] = Some(numGeometries(g))
+    override protected def withNewChildInternal(c: Expression)
+        : StNumGeometries = copy(c)
+  }
+  case class StNumPoints(child: Expression) extends GeomInt {
+    protected def value(g: Geom): Option[Int] = g match {
+      case GLine(pts) => Some(pts.size)
+      case _ => None // PostGIS st_numpoints is LINESTRING-only
+    }
+    override protected def withNewChildInternal(c: Expression): StNumPoints =
+      copy(c)
+  }
+  case class StNumInteriorRings(child: Expression) extends GeomInt {
+    protected def value(g: Geom): Option[Int] = numInteriorRings(g)
+    override protected def withNewChildInternal(c: Expression)
+        : StNumInteriorRings = copy(c)
+  }
+  case class StZmFlag(child: Expression) extends GeomInt {
+    protected def value(g: Geom): Option[Int] = Some(0) // always 2D here
+    override protected def withNewChildInternal(c: Expression): StZmFlag =
+      copy(c)
+  }
+  case class StSrid(child: Expression) extends GeomInt {
+    protected def value(g: Geom): Option[Int] = Some(0) // planar, no CRS
+    override protected def withNewChildInternal(c: Expression): StSrid =
+      copy(c)
+  }
+
+  /** Unary boolean accessor. */
+  abstract class GeomBool extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    protected def value(g: Geom): Boolean
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]]).map(value).map(Boolean.box).orNull
+  }
+  case class StIsEmpty(child: Expression) extends GeomBool {
+    protected def value(g: Geom): Boolean = GeoKernel.isEmpty(g)
+    override protected def withNewChildInternal(c: Expression): StIsEmpty =
+      copy(c)
+  }
+  case class StIsClosed(child: Expression) extends GeomBool {
+    protected def value(g: Geom): Boolean = isClosed(g)
+    override protected def withNewChildInternal(c: Expression): StIsClosed =
+      copy(c)
+  }
+  case class StIsSimple(child: Expression) extends GeomBool {
+    protected def value(g: Geom): Boolean = isSimple(g)
+    override protected def withNewChildInternal(c: Expression): StIsSimple =
+      copy(c)
+  }
+  case class StIsValid(child: Expression) extends GeomBool {
+    protected def value(g: Geom): Boolean = isValid(g)
+    override protected def withNewChildInternal(c: Expression): StIsValid =
+      copy(c)
+  }
+  case class StIsRing(child: Expression) extends GeomBool {
+    protected def value(g: Geom): Boolean = isClosed(g) && isSimple(g)
+    override protected def withNewChildInternal(c: Expression): StIsRing =
+      copy(c)
+  }
+
+  // ---- wave-2 constructors / combiners ----
+  case class StGeomFromWKB(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]]).map(toWkb).orNull // validate
+    override protected def withNewChildInternal(c: Expression): StGeomFromWKB =
+      copy(c)
+  }
+  case class StMakeLine(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      (fromWkb(l.asInstanceOf[Array[Byte]]),
+        fromWkb(r.asInstanceOf[Array[Byte]])) match {
+        case (Some(a), Some(b)) => makeLine(a, b).map(toWkb).orNull
+        case _ => null
+      }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StMakeLine = copy(left = l, right = r)
+  }
+  case class StMakePolygon(child: Expression) extends GeomPartial {
+    protected def part(g: Geom): Option[Geom] = makePolygon(g)
+    override protected def withNewChildInternal(c: Expression): StMakePolygon =
+      copy(c)
+  }
+  case class StCollect(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      (fromWkb(l.asInstanceOf[Array[Byte]]),
+        fromWkb(r.asInstanceOf[Array[Byte]])) match {
+        case (Some(a), Some(b)) => toWkb(GeoKernel.collect(a, b))
+        case _ => null
+      }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StCollect = copy(left = l, right = r)
+  }
+  case class StShortestLine(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      (fromWkb(l.asInstanceOf[Array[Byte]]),
+        fromWkb(r.asInstanceOf[Array[Byte]])) match {
+        case (Some(a), Some(b)) => toWkb(shortestLine(a, b))
+        case _ => null
+      }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StShortestLine = copy(left = l, right = r)
+  }
+
+  // ---- wave-2 predicates ----
+  case class StWithin(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = contains(b, a)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StWithin = copy(left = l, right = r)
+  }
+  case class StDisjoint(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = !intersects(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StDisjoint = copy(left = l, right = r)
+  }
+  case class StEquals(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = equalsGeom(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StEquals = copy(left = l, right = r)
+  }
+
   case class StGeomFromGeoJSON(child: Expression) extends UnaryExpression
       with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -272,6 +517,68 @@ object Geo {
     GraftBridge.column(StIntersects(GraftBridge.eagerExpression(a),
       GraftBridge.eagerExpression(b)))
 
+  private def binary(mk: (Expression, Expression) => Expression)
+      (a: Column, b: Column): Column =
+    GraftBridge.column(mk(GraftBridge.eagerExpression(a),
+      GraftBridge.eagerExpression(b)))
+
+  // wave-2 surface
+  def st_reverse(g: Column): Column = unary(StReverse)(g)
+  def st_flipcoordinates(g: Column): Column = unary(StFlipCoordinates)(g)
+  def st_removerepeatedpoints(g: Column): Column =
+    unary(StRemoveRepeatedPoints)(g)
+  def st_convexhull(g: Column): Column = unary(StConvexHull)(g)
+  def st_boundary(g: Column): Column = unary(StBoundary)(g)
+  def st_normalize(g: Column): Column = unary(StNormalize)(g)
+  def st_pointonsurface(g: Column): Column = unary(StPointOnSurface)(g)
+  def st_force2d(g: Column): Column = g // storage is 2D already
+  def st_simplify(g: Column, tol: Column): Column =
+    binary(StSimplify)(g, tol.cast("double"))
+  def st_reduceprecision(g: Column, grid: Column): Column =
+    binary(StReducePrecision)(g, grid.cast("double"))
+  def st_startpoint(g: Column): Column = unary(StStartPoint)(g)
+  def st_endpoint(g: Column): Column = unary(StEndPoint)(g)
+  def st_exteriorring(g: Column): Column = unary(StExteriorRing)(g)
+  def st_pointn(g: Column, n: Column): Column =
+    binary(StPointN)(g, n.cast("int"))
+  def st_geometryn(g: Column, n: Column): Column =
+    binary(StGeometryN)(g, n.cast("int"))
+  def st_dimension(g: Column): Column = unary(StDimension)(g)
+  def st_numgeometries(g: Column): Column = unary(StNumGeometries)(g)
+  def st_numpoints(g: Column): Column = unary(StNumPoints)(g)
+  def st_numinteriorrings(g: Column): Column = unary(StNumInteriorRings)(g)
+  def st_zmflag(g: Column): Column = unary(StZmFlag)(g)
+  def st_srid(g: Column): Column = unary(StSrid)(g)
+  def st_isempty(g: Column): Column = unary(StIsEmpty)(g)
+  def st_isclosed(g: Column): Column = unary(StIsClosed)(g)
+  def st_issimple(g: Column): Column = unary(StIsSimple)(g)
+  def st_isvalid(g: Column): Column = unary(StIsValid)(g)
+  def st_isring(g: Column): Column = unary(StIsRing)(g)
+  def st_geomfromwkb(b: Column): Column = unary(StGeomFromWKB)(b)
+  def st_asbinary(g: Column): Column = unary(StGeomFromWKB)(g) // WKB in, WKB out
+  def st_makeline(a: Column, b: Column): Column = binary(StMakeLine)(a, b)
+  def st_makepolygon(shell: Column): Column = unary(StMakePolygon)(shell)
+  def st_collect(a: Column, b: Column): Column = binary(StCollect)(a, b)
+  def st_shortestline(a: Column, b: Column): Column =
+    binary(StShortestLine)(a, b)
+  def st_within(a: Column, b: Column): Column = binary(StWithin)(a, b)
+  def st_disjoint(a: Column, b: Column): Column = binary(StDisjoint)(a, b)
+  def st_equals(a: Column, b: Column): Column = binary(StEquals)(a, b)
+
+  /** st_makeenvelope(xmin, ymin, xmax, ymax) — builds the WKT with
+    * codegen'd string ops, then parses once. */
+  def st_makeenvelope(xmin: Column, ymin: Column,
+      xmax: Column, ymax: Column): Column = {
+    import org.apache.spark.sql.functions.{concat_ws, lit}
+    def d(c: Column) = c.cast("double").cast("string")
+    st_geomfromtext(concat_ws("", lit("POLYGON(("),
+      d(xmin), lit(" "), d(ymin), lit(","),
+      d(xmax), lit(" "), d(ymin), lit(","),
+      d(xmax), lit(" "), d(ymax), lit(","),
+      d(xmin), lit(" "), d(ymax), lit(","),
+      d(xmin), lit(" "), d(ymin), lit("))")))
+  }
+
   /** Bounding-box aggregate (PostGIS st_extent) — composes built-in
     * min/max aggregates over the per-row envelope, so it distributes with
     * map-side partial aggregation like any min/max. Use inside
@@ -320,5 +627,45 @@ object Geo {
     reg("st_ymax") { case Seq(g) => st_ymax(g) }
     reg("st_contains") { case Seq(a, b) => st_contains(a, b) }
     reg("st_intersects") { case Seq(a, b) => st_intersects(a, b) }
+    // wave 2
+    reg("st_reverse") { case Seq(g) => st_reverse(g) }
+    reg("st_flipcoordinates") { case Seq(g) => st_flipcoordinates(g) }
+    reg("st_removerepeatedpoints") { case Seq(g) =>
+      st_removerepeatedpoints(g) }
+    reg("st_convexhull") { case Seq(g) => st_convexhull(g) }
+    reg("st_boundary") { case Seq(g) => st_boundary(g) }
+    reg("st_normalize") { case Seq(g) => st_normalize(g) }
+    reg("st_pointonsurface") { case Seq(g) => st_pointonsurface(g) }
+    reg("st_force2d") { case Seq(g) => st_force2d(g) }
+    reg("st_simplify") { case Seq(g, t) => st_simplify(g, t) }
+    reg("st_reduceprecision") { case Seq(g, p) => st_reduceprecision(g, p) }
+    reg("st_startpoint") { case Seq(g) => st_startpoint(g) }
+    reg("st_endpoint") { case Seq(g) => st_endpoint(g) }
+    reg("st_exteriorring") { case Seq(g) => st_exteriorring(g) }
+    reg("st_pointn") { case Seq(g, n) => st_pointn(g, n) }
+    reg("st_geometryn") { case Seq(g, n) => st_geometryn(g, n) }
+    reg("st_dimension") { case Seq(g) => st_dimension(g) }
+    reg("st_numgeometries") { case Seq(g) => st_numgeometries(g) }
+    reg("st_numpoints") { case Seq(g) => st_numpoints(g) }
+    reg("st_numinteriorrings") { case Seq(g) => st_numinteriorrings(g) }
+    reg("st_zmflag") { case Seq(g) => st_zmflag(g) }
+    reg("st_srid") { case Seq(g) => st_srid(g) }
+    reg("st_isempty") { case Seq(g) => st_isempty(g) }
+    reg("st_isclosed") { case Seq(g) => st_isclosed(g) }
+    reg("st_issimple") { case Seq(g) => st_issimple(g) }
+    reg("st_isvalid") { case Seq(g) => st_isvalid(g) }
+    reg("st_isring") { case Seq(g) => st_isring(g) }
+    reg("st_geomfromwkb") { case Seq(b) => st_geomfromwkb(b) }
+    reg("st_asbinary") { case Seq(g) => st_asbinary(g) }
+    reg("st_geometryfromtext") { case Seq(s) => st_geomfromtext(s) }
+    reg("st_makeline") { case Seq(a, b) => st_makeline(a, b) }
+    reg("st_makepolygon") { case Seq(s) => st_makepolygon(s) }
+    reg("st_makeenvelope") { case Seq(a, b, c, d) =>
+      st_makeenvelope(a, b, c, d) }
+    reg("st_collect") { case Seq(a, b) => st_collect(a, b) }
+    reg("st_shortestline") { case Seq(a, b) => st_shortestline(a, b) }
+    reg("st_within") { case Seq(a, b) => st_within(a, b) }
+    reg("st_disjoint") { case Seq(a, b) => st_disjoint(a, b) }
+    reg("st_equals") { case Seq(a, b) => st_equals(a, b) }
   }
 }

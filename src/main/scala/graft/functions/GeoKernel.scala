@@ -124,14 +124,20 @@ object GeoKernel {
     case GLine(pts) => s"LINESTRING${ptsWkt(pts)}"
     case GPolygon(rings) =>
       s"POLYGON(${rings.map(ptsWkt).mkString(",")})"
+    case GMulti("GEOMETRYCOLLECTION", gs) =>
+      if (gs.isEmpty) "GEOMETRYCOLLECTION EMPTY"
+      else s"GEOMETRYCOLLECTION(${gs.map(toWkt).mkString(",")})"
     case GMulti(name, gs) =>
-      val bodies = gs.map {
-        case GPoint(x, y) => s"(${fmt(x)} ${fmt(y)})"
-        case GLine(pts) => ptsWkt(pts)
-        case GPolygon(rings) => s"(${rings.map(ptsWkt).mkString(",")})"
-        case other => toWkt(other)
+      if (gs.isEmpty) s"$name EMPTY"
+      else {
+        val bodies = gs.map {
+          case GPoint(x, y) => s"(${fmt(x)} ${fmt(y)})"
+          case GLine(pts) => ptsWkt(pts)
+          case GPolygon(rings) => s"(${rings.map(ptsWkt).mkString(",")})"
+          case other => toWkt(other)
+        }
+        s"$name(${bodies.mkString(",")})"
       }
-      s"$name(${bodies.mkString(",")})"
   }
 
   private def fmt(d: Double): String =
@@ -482,6 +488,305 @@ object GeoKernel {
         ((p._1 - a._1) * dx + (p._2 - a._2) * dy) / len2))
     math.hypot(p._1 - (a._1 + t * dx), p._2 - (a._2 + t * dy))
   }
+
+  // ---- wave-2 kernel ops (accessors / transforms / predicates) --------
+
+  /** Paths (rings or lines) of a geometry, for path-wise transforms. */
+  private def mapPaths(g: Geom)(f: IndexedSeq[Pt] => IndexedSeq[Pt]): Geom =
+    g match {
+      case p: GPoint => p
+      case GLine(pts) => GLine(f(pts))
+      case GPolygon(rs) => GPolygon(rs.map(f))
+      case GMulti(t, gs) => GMulti(t, gs.map(mapPaths(_)(f)))
+    }
+
+  private def mapPts(g: Geom)(f: Pt => Pt): Geom = g match {
+    case GPoint(x, y) => val (nx, ny) = f((x, y)); GPoint(nx, ny)
+    case other => mapPaths(other)(_.map(f))
+  }
+
+  def reverse(g: Geom): Geom = mapPaths(g)(_.reverse)
+
+  def flipCoordinates(g: Geom): Geom = mapPts(g) { case (x, y) => (y, x) }
+
+  def removeRepeatedPoints(g: Geom): Geom = mapPaths(g) { pts =>
+    if (pts.isEmpty) pts
+    else pts.head +: pts.sliding(2).collect {
+      case IndexedSeq(a, b) if a != b => b
+    }.toIndexedSeq
+  }
+
+  /** Snap coordinates to a grid (PostGIS st_reduceprecision). */
+  def reducePrecision(g: Geom, grid: Double): Geom =
+    removeRepeatedPoints(mapPts(g) { case (x, y) =>
+      (math.rint(x / grid) * grid, math.rint(y / grid) * grid)
+    })
+
+  def dimension(g: Geom): Int = g match {
+    case _: GPoint => 0
+    case _: GLine => 1
+    case _: GPolygon => 2
+    case GMulti(_, gs) => if (gs.isEmpty) 0 else gs.map(dimension).max
+  }
+
+  def numGeometries(g: Geom): Int = g match {
+    case GMulti(_, gs) => gs.size
+    case _ => 1
+  }
+
+  def geometryN(g: Geom, n: Int): Option[Geom] = g match {
+    case GMulti(_, gs) => gs.lift(n - 1) // 1-based, PostGIS
+    case single => if (n == 1) Some(single) else None
+  }
+
+  def startPoint(g: Geom): Option[Geom] = g match {
+    case GLine(pts) => pts.headOption.map(p => GPoint(p._1, p._2))
+    case _ => None
+  }
+
+  def endPoint(g: Geom): Option[Geom] = g match {
+    case GLine(pts) => pts.lastOption.map(p => GPoint(p._1, p._2))
+    case _ => None
+  }
+
+  def pointN(g: Geom, n: Int): Option[Geom] = g match {
+    case GLine(pts) => pts.lift(n - 1).map(p => GPoint(p._1, p._2))
+    case _ => None
+  }
+
+  def exteriorRing(g: Geom): Option[Geom] = g match {
+    case GPolygon(rs) => rs.headOption.map(GLine)
+    case _ => None
+  }
+
+  def numInteriorRings(g: Geom): Option[Int] = g match {
+    case GPolygon(rs) => Some(math.max(0, rs.size - 1))
+    case _ => None
+  }
+
+  def isEmpty(g: Geom): Boolean = g match {
+    case _: GPoint => false
+    case GLine(p) => p.isEmpty
+    case GPolygon(r) => r.isEmpty
+    case GMulti(_, gs) => gs.forall(isEmpty)
+  }
+
+  def isClosed(g: Geom): Boolean = g match {
+    case GLine(pts) => pts.size >= 2 && pts.head == pts.last
+    case _: GPoint => true
+    case GPolygon(_) => true
+    case GMulti(_, gs) => gs.forall(isClosed)
+  }
+
+  /** Simple = no self-intersection (non-adjacent segments never meet). */
+  def isSimple(g: Geom): Boolean = g match {
+    case _: GPoint => true
+    case GLine(pts) =>
+      val segs = pts.sliding(2).collect {
+        case IndexedSeq(a, b) if a != b => (a, b) }.toIndexedSeq
+      val closed = pts.size >= 2 && pts.head == pts.last
+      segs.indices.forall { i =>
+        (i + 2 until segs.size).forall { j =>
+          // adjacent segments share a vertex by construction; the first
+          // and last segment of a closed line share one too
+          (closed && i == 0 && j == segs.size - 1) ||
+            !segmentsIntersect(segs(i)._1, segs(i)._2, segs(j)._1, segs(j)._2)
+        }
+      }
+    case GPolygon(rs) => rs.forall(r => isSimple(GLine(r)))
+    case GMulti(_, gs) => gs.forall(isSimple)
+  }
+
+  /** Basic validity: rings closed, >= 4 points, non-zero area, simple. */
+  def isValid(g: Geom): Boolean = g match {
+    case _: GPoint => true
+    case GLine(pts) => pts.size >= 2
+    case GPolygon(rs) =>
+      rs.nonEmpty && rs.forall(r => r.size >= 4 && r.head == r.last &&
+        math.abs(signedArea(r)) > 0) && isSimple(g)
+    case GMulti(_, gs) => gs.nonEmpty && gs.forall(isValid)
+  }
+
+  def makeEnvelope(xmin: Double, ymin: Double,
+      xmax: Double, ymax: Double): Geom =
+    GPolygon(IndexedSeq(IndexedSeq((xmin, ymin), (xmax, ymin), (xmax, ymax),
+      (xmin, ymax), (xmin, ymin))))
+
+  def makeLine(a: Geom, b: Geom): Option[Geom] = (a, b) match {
+    case (GPoint(x1, y1), GPoint(x2, y2)) =>
+      Some(GLine(IndexedSeq((x1, y1), (x2, y2))))
+    case (GLine(p1), GPoint(x2, y2)) => Some(GLine(p1 :+ ((x2, y2))))
+    case (GLine(p1), GLine(p2)) => Some(GLine(p1 ++ p2))
+    case _ => None
+  }
+
+  def makePolygon(shell: Geom): Option[Geom] = shell match {
+    case GLine(pts) if pts.size >= 4 && pts.head == pts.last =>
+      Some(GPolygon(IndexedSeq(pts)))
+    case _ => None
+  }
+
+  /** Two-geometry collect (PostGIS two-arg st_collect). */
+  def collect(a: Geom, b: Geom): Geom = {
+    val parts = IndexedSeq(a, b).flatMap {
+      case GMulti(_, gs) => gs
+      case g => IndexedSeq(g)
+    }
+    val types = parts.map(_.typeName).distinct
+    val name = types match {
+      case Seq("POINT") => "MULTIPOINT"
+      case Seq("LINESTRING") => "MULTILINESTRING"
+      case Seq("POLYGON") => "MULTIPOLYGON"
+      case _ => "GEOMETRYCOLLECTION"
+    }
+    GMulti(name, parts)
+  }
+
+  /** Boundary: polygon -> rings as (multi)linestring; line -> endpoints;
+    * point -> empty collection (PostGIS returns GEOMETRYCOLLECTION EMPTY). */
+  def boundary(g: Geom): Geom = g match {
+    case _: GPoint => GMulti("GEOMETRYCOLLECTION", IndexedSeq.empty)
+    case GLine(pts) =>
+      if (pts.size >= 2 && pts.head != pts.last)
+        GMulti("MULTIPOINT", IndexedSeq(
+          GPoint(pts.head._1, pts.head._2), GPoint(pts.last._1, pts.last._2)))
+      else GMulti("MULTIPOINT", IndexedSeq.empty)
+    case GPolygon(rs) =>
+      if (rs.size == 1) GLine(rs.head)
+      else GMulti("MULTILINESTRING", rs.map(GLine))
+    case GMulti(_, gs) =>
+      GMulti("GEOMETRYCOLLECTION", gs.map(boundary))
+  }
+
+  /** Convex hull via Andrew's monotone chain; degenerate inputs collapse
+    * to the point/segment they span. */
+  def convexHull(g: Geom): Geom = {
+    val pts = g.points.distinct.sorted
+    if (pts.isEmpty) return GMulti("GEOMETRYCOLLECTION", IndexedSeq.empty)
+    if (pts.size == 1) return GPoint(pts.head._1, pts.head._2)
+    if (pts.size == 2) return GLine(pts.toIndexedSeq)
+    def half(ps: Seq[Pt]): IndexedSeq[Pt] = {
+      val h = scala.collection.mutable.ArrayBuffer[Pt]()
+      for (p <- ps) {
+        while (h.size >= 2 && cross(h(h.size - 2), h(h.size - 1), p) <= 0)
+          h.remove(h.size - 1)
+        h += p
+      }
+      h.toIndexedSeq
+    }
+    val lower = half(pts)
+    val upper = half(pts.reverse)
+    val ring = (lower.dropRight(1) ++ upper.dropRight(1)) :+ lower.head
+    if (ring.size < 4) GLine(pts.toIndexedSeq)
+    else GPolygon(IndexedSeq(ring))
+  }
+
+  private def cross(o: Pt, a: Pt, b: Pt): Double =
+    (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+
+  /** Douglas-Peucker per path (PostGIS st_simplify). Ring endpoints are
+    * kept; rings that collapse below 4 points vanish. */
+  def simplify(g: Geom, tol: Double): Geom = {
+    def dp(pts: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+      if (pts.size <= 2) return pts
+      var maxD = -1.0; var maxI = 0
+      for (i <- 1 until pts.size - 1) {
+        val d = pointSegDistance(pts(i), pts.head, pts.last)
+        if (d > maxD) { maxD = d; maxI = i }
+      }
+      if (maxD <= tol) IndexedSeq(pts.head, pts.last)
+      else dp(pts.take(maxI + 1)) ++ dp(pts.drop(maxI)).tail
+    }
+    g match {
+      case p: GPoint => p
+      case GLine(pts) => GLine(dp(pts))
+      case GPolygon(rs) =>
+        GPolygon(rs.map(dp).filter(_.size >= 4))
+      case GMulti(t, gs) => GMulti(t, gs.map(simplify(_, tol)))
+    }
+  }
+
+  /** A point guaranteed on the geometry: the centroid when it lies
+    * inside, else the closest vertex (planar fallback). */
+  def pointOnSurface(g: Geom): Pt = {
+    val c = centroid(g)
+    val inside = g match {
+      case _: GPolygon | GMulti(_, _) =>
+        polygons(g).exists(locateInPolygon(c, _) > 0)
+      case _ => false
+    }
+    if (inside) c
+    else g.points.minBy(p => math.hypot(p._1 - c._1, p._2 - c._2))
+  }
+
+  /** Shortest connecting segment between two geometries (st_shortestline). */
+  def shortestLine(a: Geom, b: Geom): Geom = {
+    val (p, q) = closestPair(a, b)
+    GLine(IndexedSeq(p, q))
+  }
+
+  private def closestPair(a: Geom, b: Geom): (Pt, Pt) = {
+    def proj(p: Pt, s: Pt, e: Pt): Pt = {
+      val dx = e._1 - s._1; val dy = e._2 - s._2
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 == 0) 0.0
+        else math.max(0.0, math.min(1.0,
+          ((p._1 - s._1) * dx + (p._2 - s._2) * dy) / len2))
+      (s._1 + t * dx, s._2 + t * dy)
+    }
+    val cands =
+      (for (p <- a.points; (s, e) <- segments(b)) yield (p, proj(p, s, e))) ++
+      (for (q <- b.points; (s, e) <- segments(a)) yield (proj(q, s, e), q)) ++
+      (for (p <- a.points; q <- b.points) yield (p, q))
+    cands.minBy { case (p, q) => math.hypot(p._1 - q._1, p._2 - q._2) }
+  }
+
+  /** Lexicographic path comparison (for canonical ordering). */
+  private def pathCompare(a: Seq[Pt], b: Seq[Pt]): Int = {
+    val it1 = a.iterator; val it2 = b.iterator
+    while (it1.hasNext && it2.hasNext) {
+      val p = it1.next(); val q = it2.next()
+      val cx = java.lang.Double.compare(p._1, q._1)
+      if (cx != 0) return cx
+      val cy = java.lang.Double.compare(p._2, q._2)
+      if (cy != 0) return cy
+    }
+    java.lang.Integer.compare(a.size, b.size)
+  }
+
+  private implicit val pathOrdering: Ordering[IndexedSeq[Pt]] =
+    (a: IndexedSeq[Pt], b: IndexedSeq[Pt]) => pathCompare(a, b)
+
+  /** Canonical form for topological equality: paths rotated to their
+    * smallest vertex and oriented by the smaller direction; multis
+    * sorted. */
+  def normalize(g: Geom): Geom = {
+    def canonPath(pts: IndexedSeq[Pt], ring: Boolean): IndexedSeq[Pt] = {
+      if (pts.isEmpty) return pts
+      if (ring) {
+        val open = pts.dropRight(1)
+        val rotations = open.indices.map(i => open.drop(i) ++ open.take(i))
+        val best = (rotations ++ rotations.map(r =>
+          (r.head +: r.tail.reverse))).min(pathOrdering)
+        best :+ best.head
+      } else {
+        val rev = pts.reverse
+        if (pathCompare(pts, rev) <= 0) pts else rev
+      }
+    }
+    g match {
+      case p: GPoint => p
+      case GLine(pts) => GLine(canonPath(pts, ring = false))
+      case GPolygon(rs) =>
+        val canon = rs.map(r => canonPath(r, ring = true))
+        GPolygon(canon.head +: canon.tail.sorted(pathOrdering))
+      case GMulti(t, gs) =>
+        GMulti(t, gs.map(normalize).sortBy(x => toWkt(x)))
+    }
+  }
+
+  def equalsGeom(a: Geom, b: Geom): Boolean =
+    toWkt(normalize(a)) == toWkt(normalize(b))
 
   /** Minimum cartesian distance; 0 when the geometries intersect. */
   def distance(a: Geom, b: Geom): Double = {

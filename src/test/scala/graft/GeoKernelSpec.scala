@@ -131,6 +131,105 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(7) == "POINT(1 1)")
   }
 
+  test("wave-2 kernel: hull, simplify, boundary, normalize, accessors") {
+    // convex hull of a concave L-shape = its bounding triangle-ish hull
+    assert(toWkt(convexHull(wkt("POLYGON((0 0,4 0,4 1,1 1,1 4,0 4,0 0))")))
+      == "POLYGON((0 0,4 0,4 1,1 4,0 4,0 0))")
+    // Douglas-Peucker drops the near-collinear middle vertex
+    assert(toWkt(simplify(wkt("LINESTRING(0 0,1 0.01,2 0)"), 0.1))
+      == "LINESTRING(0 0,2 0)")
+    // under-tolerance vertex survives
+    assert(toWkt(simplify(wkt("LINESTRING(0 0,1 1,2 0)"), 0.5))
+      == "LINESTRING(0 0,1 1,2 0)")
+    assert(toWkt(boundary(wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))")))
+      == "LINESTRING(0 0,1 0,1 1,0 1,0 0)")
+    assert(toWkt(boundary(wkt("LINESTRING(0 0,5 5)")))
+      == "MULTIPOINT((0 0),(5 5))")
+    // equality is rotation- and direction-insensitive
+    assert(equalsGeom(
+      wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))"),
+      wkt("POLYGON((1 1,1 0,0 0,0 1,1 1))")))
+    assert(!equalsGeom(
+      wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))"),
+      wkt("POLYGON((0 0,2 0,2 2,0 2,0 0))")))
+    assert(equalsGeom(wkt("LINESTRING(0 0,1 1)"), wkt("LINESTRING(1 1,0 0)")))
+    // accessors
+    assert(dimension(wkt("MULTIPOINT((0 0),(1 1))")) == 0)
+    assert(dimension(wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))")) == 2)
+    assert(numGeometries(wkt("MULTIPOINT((0 0),(1 1))")) == 2)
+    assert(isClosed(wkt("LINESTRING(0 0,1 0,1 1,0 0)")))
+    assert(!isClosed(wkt("LINESTRING(0 0,1 0)")))
+    assert(isSimple(wkt("LINESTRING(0 0,1 0,1 1)")))
+    assert(!isSimple(wkt("LINESTRING(0 0,2 2,2 0,0 2)"))) // self-cross
+    assert(isValid(wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))")))
+    assert(!isValid(wkt("POLYGON((0 0,1 0))"))) // open, degenerate
+    assert(toWkt(GeoKernel.reverse(wkt("LINESTRING(0 0,1 0,2 0)")))
+      == "LINESTRING(2 0,1 0,0 0)")
+    assert(toWkt(flipCoordinates(wkt("POINT(1 2)"))) == "POINT(2 1)")
+    assert(toWkt(removeRepeatedPoints(wkt("LINESTRING(0 0,0 0,1 1,1 1,2 2)")))
+      == "LINESTRING(0 0,1 1,2 2)")
+    assert(toWkt(reducePrecision(wkt("POINT(1.04 1.96)"), 0.1))
+      == "POINT(1 2)")
+    // shortest line between two squares: horizontal connector
+    assert(toWkt(shortestLine(
+      wkt("POLYGON((0 0,1 0,1 1,0 1,0 0))"),
+      wkt("POLYGON((3 0,4 0,4 1,3 1,3 0))"))) == "LINESTRING(1 0,3 0)")
+  }
+
+  test("wave-2 SQL surface: constructors, accessors, predicates") {
+    Geo.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  st_astext(st_convexhull(st_geomfromtext(
+        |    'MULTIPOINT((0 0),(4 0),(2 1),(4 4),(0 4))'))) hull,
+        |  st_astext(st_startpoint(st_geomfromtext(
+        |    'LINESTRING(1 2,3 4,5 6)'))) sp,
+        |  st_astext(st_endpoint(st_geomfromtext(
+        |    'LINESTRING(1 2,3 4,5 6)'))) ep,
+        |  st_astext(st_pointn(st_geomfromtext(
+        |    'LINESTRING(1 2,3 4,5 6)'), 2)) p2,
+        |  st_numpoints(st_geomfromtext('LINESTRING(1 2,3 4,5 6)')) np,
+        |  st_astext(st_exteriorring(st_geomfromtext(
+        |    'POLYGON((0 0,1 0,1 1,0 1,0 0),(0.2 0.2,0.4 0.2,0.4 0.4,0.2 0.2))'))) ring,
+        |  st_numinteriorrings(st_geomfromtext(
+        |    'POLYGON((0 0,1 0,1 1,0 1,0 0),(0.2 0.2,0.4 0.2,0.4 0.4,0.2 0.2))')) nir,
+        |  st_within(st_point(2, 2), st_geomfromtext(
+        |    'POLYGON((0 0,4 0,4 4,0 4,0 0))')) w,
+        |  st_disjoint(st_point(9, 9), st_geomfromtext(
+        |    'POLYGON((0 0,4 0,4 4,0 4,0 0))')) dj,
+        |  st_equals(st_geomfromtext('LINESTRING(0 0,1 1)'),
+        |            st_geomfromtext('LINESTRING(1 1,0 0)')) eq,
+        |  st_astext(st_makeenvelope(1, 2, 3, 4)) env,
+        |  st_astext(st_makeline(st_point(0, 0), st_point(2, 3))) ml,
+        |  st_astext(st_makepolygon(st_geomfromtext(
+        |    'LINESTRING(0 0,2 0,2 2,0 0)'))) mp,
+        |  st_astext(st_collect(st_point(1, 1), st_point(2, 2))) coll,
+        |  st_dimension(st_geomfromtext('LINESTRING(0 0,1 1)')) dim,
+        |  st_srid(st_point(1, 1)) srid,
+        |  st_isring(st_geomfromtext('LINESTRING(0 0,1 0,1 1,0 0)')) ring2,
+        |  st_astext(st_boundary(st_geomfromtext(
+        |    'POLYGON((0 0,5 0,5 5,0 5,0 0))'))) bnd
+        |""".stripMargin).head()
+    assert(r.getString(0) == "POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    assert(r.getString(1) == "POINT(1 2)")
+    assert(r.getString(2) == "POINT(5 6)")
+    assert(r.getString(3) == "POINT(3 4)")
+    assert(r.getInt(4) == 3)
+    assert(r.getString(5) == "LINESTRING(0 0,1 0,1 1,0 1,0 0)")
+    assert(r.getInt(6) == 1)
+    assert(r.getBoolean(7))
+    assert(r.getBoolean(8))
+    assert(r.getBoolean(9))
+    assert(r.getString(10) == "POLYGON((1 2,3 2,3 4,1 4,1 2))")
+    assert(r.getString(11) == "LINESTRING(0 0,2 3)")
+    assert(r.getString(12) == "POLYGON((0 0,2 0,2 2,0 0))")
+    assert(r.getString(13) == "MULTIPOINT((1 1),(2 2))")
+    assert(r.getInt(14) == 1)
+    assert(r.getInt(15) == 0)
+    assert(r.getBoolean(16))
+    assert(r.getString(17) == "LINESTRING(0 0,5 0,5 5,0 5,0 0)")
+  }
+
   test("st_extent aggregate distributes over partitions") {
     import spark.implicits._
     val pts = (0 to 100).map(i => (i % 7 - 3.0, i % 11 - 5.0)).toDF("x", "y")
