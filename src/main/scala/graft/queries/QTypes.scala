@@ -129,6 +129,48 @@ object QTypes {
         .orderBy("doc_id")
     },
 
+    // numeric/decimal family (operators.c:312-330): exact DECIMAL(18,4)
+    // arithmetic — add/sub/mul/div/mod, compare, round/trunc/abs/sign.
+    // Division result scale differs between engines, so div is snapped
+    // to 6 decimals on both sides; everything else is exact decimal.
+    "q_ops_decimal" -> { (s, dir) =>
+      val price = col("o_totalprice").cast("decimal(18,4)")
+      val key = col("o_orderkey").cast("decimal(18,4)")
+      t(s, dir, "orders").filter(col("o_orderkey") % 41 === 0).select(
+        col("o_orderkey"),
+        price.as("d_val"),
+        (price + key).as("d_add"),
+        (price - key).as("d_sub"),
+        (price * lit(3).cast("decimal(4,2)")).cast("decimal(24,6)")
+          .as("d_mul"),
+        (price / lit(7).cast("decimal(4,2)")).cast("decimal(24,6)")
+          .as("d_div"),
+        pmod(price, lit(100).cast("decimal(5,1)")).cast("decimal(18,4)")
+          .as("d_mod"),
+        (price > lit(100000)).as("d_gt"),
+        round(price, 1).cast("decimal(18,1)").as("d_round"),
+        abs(-price).cast("decimal(18,4)").as("d_abs"),
+        signum(price).cast("int").as("d_sign"))
+        .orderBy("o_orderkey")
+    },
+
+    // time family (operators.c:366-384): PG TIME has no Spark type —
+    // micros-of-day as BIGINT (DEVIATIONS.md), with compare, time±interval
+    // (wrapping at midnight via pmod), and extract-like accessors
+    "q_ops_time" -> { (s, dir) =>
+      val dayUs = 86400000000L
+      val tod = pmod(unix_micros(col("ts").cast("timestamp")), lit(dayUs))
+      t(s, dir, "events").filter(col("event_id") % 43 === 0).select(
+        col("event_id"),
+        tod.as("t_us"),
+        (tod / 3600000000L).cast("long").as("t_hour"),
+        pmod(tod + 90L * 60000000L, lit(dayUs)).as("t_plus90m"),
+        pmod(tod - 2L * 3600000000L + dayUs, lit(dayUs)).as("t_minus2h"),
+        (tod < 43200000000L).as("t_am"),
+        (tod >= 64800000000L).as("t_evening"))
+        .orderBy("event_id")
+    },
+
     // temporal family (operators.c:332-440): ts/date compare, date±int,
     // ts-ts as interval (surfaced as epoch seconds), ts±interval
     "q_ops_temporal" -> { (s, dir) =>
@@ -233,6 +275,44 @@ object QTypes {
         |  u1 BETWEEN '40000000-0000-0000-0000-000000000000'
         |    AND '80000000-0000-0000-0000-000000000000' AS u_range
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_ops_decimal" ->
+      """SELECT o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,4)) AS d_val,
+        |  CAST(o_totalprice AS DECIMAL(18,4))
+        |    + CAST(o_orderkey AS DECIMAL(18,4)) AS d_add,
+        |  CAST(o_totalprice AS DECIMAL(18,4))
+        |    - CAST(o_orderkey AS DECIMAL(18,4)) AS d_sub,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4))
+        |    * CAST(3 AS DECIMAL(4,2)) AS DECIMAL(24,6)) AS d_mul,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4))
+        |    / CAST(7 AS DECIMAL(4,2)) AS DECIMAL(24,6)) AS d_div,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4))
+        |    % CAST(100 AS DECIMAL(5,1)) AS DECIMAL(18,4)) AS d_mod,
+        |  CAST(o_totalprice AS DECIMAL(18,4)) > 100000 AS d_gt,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 1)
+        |    AS DECIMAL(18,1)) AS d_round,
+        |  CAST(abs(-CAST(o_totalprice AS DECIMAL(18,4)))
+        |    AS DECIMAL(18,4)) AS d_abs,
+        |  CAST(sign(CAST(o_totalprice AS DECIMAL(18,4))) AS INT) AS d_sign
+        |FROM orders WHERE o_orderkey % 41 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_ops_time" ->
+      """SELECT event_id,
+        |  t_us,
+        |  t_us // 3600000000 AS t_hour,
+        |  (t_us + CAST(90 AS BIGINT) * 60000000) % 86400000000
+        |    AS t_plus90m,
+        |  (t_us - CAST(2 AS BIGINT) * 3600000000 + 86400000000)
+        |    % 86400000000 AS t_minus2h,
+        |  t_us < 43200000000 AS t_am,
+        |  t_us >= 64800000000 AS t_evening
+        |FROM (
+        |  SELECT event_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 AS BIGINT)
+        |      AS t_us
+        |  FROM events WHERE event_id % 43 = 0)
+        |ORDER BY event_id""".stripMargin,
 
     "q_ops_temporal" ->
       """SELECT o_orderkey,
