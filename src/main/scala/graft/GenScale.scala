@@ -78,18 +78,26 @@ object GenScale {
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate"), col("_k")))
 
+    // ts stays TimestampType (LTZ micros) — the exact type Tables.load
+    // yields for the driver fixture, so every query sees the same schema
     write("events", replicate(t("events")).select(
-      shift("event_id", maxEvent), col("ts").cast("timestamp_ntz").as("ts"),
+      shift("event_id", maxEvent), col("ts"),
       shift("user_id", maxUser), col("event_type"), col("value"),
       col("props"), col("_k")))
 
-    // word-salt the text per replica: every token gets a replica suffix,
-    // so shingle sets across replicas are disjoint (no planted dupes)
+    // per-replica VOCABULARY SUBSTITUTION: each word maps to a 6-hex-char
+    // token keyed by (word, replica). A per-replica bijection on the
+    // vocabulary preserves word-overlap structure inside a replica while
+    // making char-shingle sets across replicas disjoint. (A shared
+    // suffix salt would be wrong twice over: replicas would still be
+    // near-dups of each other, and the common salt n-grams would inflate
+    // within-replica similarity quadratically.)
     write("documents", replicate(t("documents")).select(
       shift("doc_id", maxDoc),
       when(col("_k") === 0, col("text")).otherwise(
         array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("q"), col("_k"))), " ")).as("text"),
+          w => lower(substring(hex(xxhash64(w, col("_k"))), 1, 6))), " "))
+        .as("text"),
       col("lang"), col("source"), col("n_chars"), col("_k")))
 
     write("embeddings", replicate(t("embeddings")).select(
