@@ -200,7 +200,7 @@ object QTpcds {
       |    ROWS UNBOUNDED PRECEDING) AS cum_cents
       |  FROM (SELECT CAST(extract(year FROM o_orderdate) * 100
       |        + extract(month FROM o_orderdate) AS INT) AS mon,
-      |      CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+      |      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
       |    FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
       |    GROUP BY 1)) a
       |FULL OUTER JOIN (
@@ -208,7 +208,7 @@ object QTpcds {
       |    ROWS UNBOUNDED PRECEDING) AS cum_cents
       |  FROM (SELECT CAST(extract(year FROM o_orderdate) * 100
       |        + extract(month FROM o_orderdate) AS INT) AS mon,
-      |      CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+      |      sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
       |    FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')
       |    GROUP BY 1)) b
       |ON a.mon = b.mon

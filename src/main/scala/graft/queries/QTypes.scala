@@ -131,8 +131,9 @@ object QTypes {
 
     // numeric/decimal family (operators.c:312-330): exact DECIMAL(18,4)
     // arithmetic — add/sub/mul/div/mod, compare, round/trunc/abs/sign.
-    // Division result scale differs between engines, so div is snapped
-    // to 6 decimals on both sides; everything else is exact decimal.
+    // Decimal-division result-scale rules differ between engines, so div
+    // is compared integer-exactly (micro-units, truncating DIV — both
+    // engines agree on positive integer division); the rest is exact.
     "q_ops_decimal" -> { (s, dir) =>
       val price = col("o_totalprice").cast("decimal(18,4)")
       val key = col("o_orderkey").cast("decimal(18,4)")
@@ -143,8 +144,8 @@ object QTypes {
         (price - key).as("d_sub"),
         (price * lit(3).cast("decimal(4,2)")).cast("decimal(24,6)")
           .as("d_mul"),
-        (price / lit(7).cast("decimal(4,2)")).cast("decimal(24,6)")
-          .as("d_div"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 1000000" +
+          " AS BIGINT) DIV 7").as("d_div"),
         pmod(price, lit(100).cast("decimal(5,1)")).cast("decimal(18,4)")
           .as("d_mod"),
         (price > lit(100000)).as("d_gt"),
@@ -285,8 +286,8 @@ object QTypes {
         |    - CAST(o_orderkey AS DECIMAL(18,4)) AS d_sub,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4))
         |    * CAST(3 AS DECIMAL(4,2)) AS DECIMAL(24,6)) AS d_mul,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,4))
-        |    / CAST(7 AS DECIMAL(4,2)) AS DECIMAL(24,6)) AS d_div,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 1000000
+        |    AS BIGINT) // 7 AS d_div,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4))
         |    % CAST(100 AS DECIMAL(5,1)) AS DECIMAL(18,4)) AS d_mod,
         |  CAST(o_totalprice AS DECIMAL(18,4)) > 100000 AS d_gt,
