@@ -349,10 +349,17 @@ object Engine {
         .withColumn("_file",
           regexp_replace(input_file_name(), "^file:/*", "/"))
         .withColumn("_pos", col("_metadata.row_index"))
-      // rows already deleted by existing delete files must not be
-      // re-deleted (harmless) — but rows they cover stay covered anyway
-      val pos = raw.filter(pred)
+      // anti-join away positions already covered by earlier delete files:
+      // re-emitting them is read-harmless (reads dedupe by position) but
+      // would double-count deletedRows on overlapping MOR deletes
+      val matched = raw.filter(pred)
         .select(col("_file").as("file_path"), col("_pos").as("pos"))
+      val pos =
+        if (dels.isEmpty) matched
+        else matched.join(
+          tbl.spark.read.schema(tbl.deleteSchema)
+            .parquet(dels.map(_.path): _*),
+          Seq("file_path", "pos"), "left_anti")
       val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
       // scale the delete-file write with the table: hash-partition on the
       // data-file path so a mass delete fans out across the cluster (one
@@ -895,7 +902,7 @@ object CsvSniffer {
     scala.util.Try(s.toDouble).isSuccess
 
   def sniff(spark: SparkSession, path: String): Map[String, String] = {
-    val raw = readSample(path)
+    val raw = readSample(spark, path)
     // a full buffer was probably cut mid-record — trim to the last newline
     val sample =
       if (raw.length >= 65536 && raw.lastIndexOf('\n') > 0)
@@ -925,23 +932,32 @@ object CsvSniffer {
 
   /** Head bytes of the first CSV object under `path` (file or directory)
     * — raw, so quoted embedded newlines survive sampling (a line-based
-    * sample would split them). */
-  private def readSample(path: String, maxBytes: Int = 65536): String = {
+    * sample would split them). Reads through the Hadoop FileSystem API so
+    * every Spark-readable scheme (file/s3a/gs/abfs) and extensionless
+    * part-files work; csv-like names are preferred when both exist. */
+  private def readSample(spark: SparkSession, path: String,
+      maxBytes: Int = 65536): String = {
+    import org.apache.hadoop.fs.{Path => HPath}
     def isCsvLike(n: String): Boolean =
       n.endsWith(".csv") || n.endsWith(".txt") || n.endsWith(".tsv") ||
         n.endsWith(".csv.gz") || n.endsWith(".txt.gz") || n.endsWith(".tsv.gz")
-    val p = Paths.get(path)
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return ""
     val target =
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.iterator().asScala.toList.sortBy(_.toString)
-          .find(f => isCsvLike(f.getFileName.toString))
+      if (fs.getFileStatus(p).isDirectory) {
+        val kids = fs.listStatus(p).toList.filter(_.isFile)
+          .map(_.getPath)
+          .filterNot { f =>
+            val n = f.getName; n.startsWith("_") || n.startsWith(".")
+          }
+          .sortBy(_.toString)
+        kids.find(f => isCsvLike(f.getName))
+          .orElse(kids.headOption)
           .getOrElse(return "")
-        finally s.close()
       } else p
-    if (!Files.exists(target)) return ""
-    val raw: java.io.InputStream = Files.newInputStream(target)
-    val in = if (target.toString.endsWith(".gz"))
+    val raw: java.io.InputStream = fs.open(target)
+    val in = if (target.getName.endsWith(".gz"))
       new java.util.zip.GZIPInputStream(raw) else raw
     try {
       val buf = new Array[Byte](maxBytes)

@@ -36,7 +36,14 @@ object LakeFiles {
         if (st.isDirectory) filesystem.listStatus(st.getPath).toSeq else Seq(st)
       }
       .filter(_.isFile)
-    statuses.map(st => (st.getPath.toUri.getPath, st.getLen,
+    // full URI, minus a redundant file: scheme — object-store paths keep
+    // their scheme+bucket (s3a://bucket/key), else listings are ambiguous
+    // across buckets; local paths keep their plain form
+    def display(p: org.apache.hadoop.fs.Path): String = {
+      val s = p.toString
+      if (s.startsWith("file:")) p.toUri.getPath else s
+    }
+    statuses.map(st => (display(st.getPath), st.getLen,
       new java.sql.Timestamp(st.getModificationTime)))
       .toSeq.sortBy(_._1)
       .toDF("path", "file_size", "last_modified")

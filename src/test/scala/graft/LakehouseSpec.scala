@@ -237,6 +237,20 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("l_quantity") > 45).count() == 0)
   }
 
+  test("overlapping MOR deletes do not double-count deleted rows") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.ctas(spark, dir, li)
+    val n10 = li.filter(col("l_quantity") < 10).count()
+    val n20 = li.filter(col("l_quantity") < 20).count()
+    val r1 = Engine.deleteMor(tbl, col("l_quantity") < 10)
+    assert(r1.matchedRows == n10, s"$r1")
+    // second delete overlaps the first — only the NEW rows count
+    val r2 = Engine.deleteMor(tbl, col("l_quantity") < 20)
+    assert(r2.matchedRows == n20 - n10, s"$r2")
+    assert(tbl.toDF.count() == li.count() - n20)
+  }
+
   test("mass MOR delete fans out into multiple sorted delete files") {
     val dir = tmp()
     val li = Tables.load(spark, sf, "lineitem")
