@@ -130,6 +130,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodeCount(p, "HashAggregate") >= 2, p) // map-side partial count
   }
 
+  test("qds_wide_multiyear: lag form reads the fact join once, part broadcast") {
+    val p = plan("qds_wide_multiyear")
+    // the oracle's CTE self-join would inline py twice -> 2 lineitem scans
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qds_cov: lag form aggregates the fact join once") {
+    val p = plan("qds_cov")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("qds_multi_hop_exists: nested EXISTS become hash joins, no per-row re-scan") {
+    val p = plan("qds_multi_hop_exists")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // orders + the three lineitem consumers, each read at most once
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 6, p)
+  }
+
+  test("qds_cross_channel: INTERSECT lowered to aggregated joins, dims broadcast") {
+    val p = plan("qds_cross_channel")
+    assert(!p.contains("CartesianProduct"), p)
+    // part dim joins broadcast; the channel branches may merge-join on ids
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("qds_rollup_rank: one Expand feeds the rollup, then a single window") {
+    val p = plan("qds_rollup_rank")
+    assert(p.contains("Expand"), p)
+    assert(nodeCount(p, "Window") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("qds_window_dev and qds_monthly_dev: windows share one partition exchange") {
+    for (q <- Seq("qds_window_dev", "qds_monthly_dev")) {
+      val p = plan(q)
+      // group agg -> window(s) -> filter: lag/lead + sum/count over
+      // compatible partition keys must not multiply exchanges
+      assert(nodeCount(p, "Exchange") <= 4, s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE wraps everything in AdaptiveSparkPlan whose toString hides the
     // codegen stages; check the codegen layout with AQE off
