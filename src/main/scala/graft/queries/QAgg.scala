@@ -111,6 +111,40 @@ object QAgg {
         .orderBy("l_returnflag")
     },
 
+    // PG percentile_disc: the first value whose cume_dist >= f, i.e. the
+    // element at 1-based position ceil(f·n) of the sorted group — Spark's
+    // native percentile_disc implements exactly this; the oracle emulates
+    // it with sorted-array indexing because DuckDB's quantile_disc rounds
+    // the position differently (shippable_builtin_functions.c:164-168).
+    "q_agg_percentile_disc" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+          |    AS p25,
+          |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)
+          |    AS p50,
+          |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+          |    AS p90,
+          |  percentile_disc(1.0) WITHIN GROUP (ORDER BY l_quantity)
+          |    AS p100
+          |FROM lineitem
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // PG bare mode() with the engine-defined tie broken deterministically
+    // to the LOWEST value (Spark's mode(col, true)); the oracle emulates
+    // the same tie-break with a max-count window + min.
+    "q_agg_mode" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT l_returnflag,
+          |  mode(CAST(l_quantity AS INT) % 10, true) AS mode_bucket,
+          |  mode(l_linenumber, true) AS mode_line
+          |FROM lineitem
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // array_agg with deterministic (sorted) element order; serialized to a
     // string because the driver's pandas row sort cannot hash ndarray cells
     // (l_quantity is integral in the fixture → lossless BIGINT cast)
@@ -238,6 +272,40 @@ object QAgg {
         |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
         |  round(median(l_discount), 6) AS med_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // PG-exact percentile_disc emulation: sorted-array element at the
+    // 1-based position ceil(f·n) (PG's percentile_disc_final rownum).
+    "q_agg_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  (array_agg(l_quantity ORDER BY l_quantity))
+        |    [CAST(ceil(0.25 * count(*)) AS BIGINT)] AS p25,
+        |  (array_agg(l_quantity ORDER BY l_quantity))
+        |    [CAST(ceil(0.5 * count(*)) AS BIGINT)] AS p50,
+        |  (array_agg(l_quantity ORDER BY l_quantity))
+        |    [CAST(ceil(0.9 * count(*)) AS BIGINT)] AS p90,
+        |  (array_agg(l_quantity ORDER BY l_quantity))
+        |    [CAST(ceil(1.0 * count(*)) AS BIGINT)] AS p100
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // deterministic mode: min value among the most frequent per group.
+    "q_agg_mode" ->
+      """SELECT l_returnflag, min(CASE WHEN cb = mcb THEN b END)
+        |    AS mode_bucket,
+        |  min(CASE WHEN cl = mcl THEN l END) AS mode_line
+        |FROM (
+        |  SELECT l_returnflag, b, l, cb, cl,
+        |    max(cb) OVER (PARTITION BY l_returnflag) AS mcb,
+        |    max(cl) OVER (PARTITION BY l_returnflag) AS mcl
+        |  FROM (
+        |    SELECT l_returnflag, b, l,
+        |      count(*) OVER (PARTITION BY l_returnflag, b) AS cb,
+        |      count(*) OVER (PARTITION BY l_returnflag, l) AS cl
+        |    FROM (SELECT l_returnflag,
+        |        CAST(l_quantity AS INT) % 10 AS b,
+        |        l_linenumber AS l
+        |      FROM lineitem) x) y) z
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_agg_array" ->
       """SELECT l_orderkey,

@@ -72,6 +72,28 @@ class PgFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c", 7L, Some(5L), Some(5L))))
   }
 
+  test("percentile_disc and deterministic mode are PG-exact") {
+    // PG percentile_disc(f) = element at 1-based ceil(f·n) of the sorted
+    // group (ORDER BY x ASC): for [10,20,30,40] f=0.5 -> row 2 -> 20
+    // (percentile_cont would interpolate 25), f=0.51 -> row 3 -> 30.
+    spark.sql("SELECT * FROM VALUES (10),(20),(30),(40) AS t(v)")
+      .createOrReplaceTempView("pd")
+    val r = spark.sql(
+      """SELECT
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY v) AS p50,
+        |  percentile_disc(0.51) WITHIN GROUP (ORDER BY v) AS p51,
+        |  percentile_disc(0.0)  WITHIN GROUP (ORDER BY v) AS p0,
+        |  percentile_disc(1.0)  WITHIN GROUP (ORDER BY v) AS p100
+        |FROM pd""".stripMargin).head()
+    assert(r.toSeq == Seq(20, 30, 10, 40), r)
+    // mode(col, true): lowest value among the equally-most-frequent —
+    // [1,1,2,2,3] has {1,2} tied at 2 occurrences -> 1
+    spark.sql("SELECT * FROM VALUES (1),(1),(2),(2),(3) AS t(v)")
+      .createOrReplaceTempView("md")
+    assert(spark.sql("SELECT mode(v, true) AS m FROM md").head().getInt(0)
+      == 1)
+  }
+
   test("to_char PG pattern translation") {
     val ts = lit("2001-02-16 20:38:40").cast("timestamp")
     assert(one(toChar(ts, "YYYY-MM-DD HH24:MI:SS")) == "2001-02-16 20:38:40")
