@@ -84,6 +84,7 @@ object Geo {
 
   case class StGeomFromText(child: Expression) extends UnaryExpression
       with CodegenFallback {
+    override def nullable: Boolean = true
     override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any =
       fromWkt(v.toString).map(toWkb).orNull
@@ -155,6 +156,7 @@ object Geo {
   /** Unary geometry→geometry transform. */
   abstract class GeomTransform extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
     protected def apply(g: Geom): Geom
     override def nullSafeEval(v: Any): Any =
       fromWkb(v.asInstanceOf[Array[Byte]]).map(g => toWkb(apply(g))).orNull
@@ -215,6 +217,7 @@ object Geo {
   case class StSimplify(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
     override def nullSafeEval(g: Any, tol: Any): Any =
       fromWkb(g.asInstanceOf[Array[Byte]])
         .map(x => toWkb(simplify(x, tol.asInstanceOf[Double]))).orNull
@@ -224,6 +227,7 @@ object Geo {
   case class StReducePrecision(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
     override def nullSafeEval(g: Any, grid: Any): Any =
       fromWkb(g.asInstanceOf[Array[Byte]])
         .map(x => toWkb(reducePrecision(x, grid.asInstanceOf[Double]))).orNull
@@ -235,6 +239,7 @@ object Geo {
   /** Unary geometry accessor returning an optional geometry. */
   abstract class GeomPartial extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
     protected def part(g: Geom): Option[Geom]
     override def nullSafeEval(v: Any): Any =
       fromWkb(v.asInstanceOf[Array[Byte]]).flatMap(part).map(toWkb).orNull
@@ -420,6 +425,7 @@ object Geo {
 
   case class StGeomFromGeoJSON(child: Expression) extends UnaryExpression
       with CodegenFallback {
+    override def nullable: Boolean = true
     override def dataType: DataType = BinaryType
     override def nullSafeEval(v: Any): Any =
       fromGeoJson(v.toString).map(toWkb).orNull
@@ -440,6 +446,7 @@ object Geo {
   /** Binary geometry predicate. */
   abstract class GeomPredicate extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
     protected def test(a: Geom, b: Geom): Boolean
     override def nullSafeEval(l: Any, r: Any): Any =
       (fromWkb(l.asInstanceOf[Array[Byte]]),
@@ -462,9 +469,130 @@ object Geo {
         r: Expression): StIntersects = copy(left = l, right = r)
   }
 
+  // ---- wave-3 set operations (GeoKernel boolean-op family) ----
+
+  /** Binary geometry→geometry set operation; kernel None → SQL NULL. */
+  abstract class GeomSetOp extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    protected def compute(a: Geom, b: Geom): Option[Geom]
+    override def nullSafeEval(l: Any, r: Any): Any =
+      (fromWkb(l.asInstanceOf[Array[Byte]]),
+        fromWkb(r.asInstanceOf[Array[Byte]])) match {
+        case (Some(a), Some(b)) => compute(a, b).map(toWkb).orNull
+        case _ => null
+      }
+  }
+
+  case class StIntersection(left: Expression, right: Expression)
+      extends GeomSetOp {
+    protected def compute(a: Geom, b: Geom): Option[Geom] =
+      GeoKernel.intersection(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StIntersection = copy(left = l, right = r)
+  }
+  case class StUnion(left: Expression, right: Expression)
+      extends GeomSetOp {
+    protected def compute(a: Geom, b: Geom): Option[Geom] =
+      GeoKernel.union(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StUnion = copy(left = l, right = r)
+  }
+  case class StDifference(left: Expression, right: Expression)
+      extends GeomSetOp {
+    protected def compute(a: Geom, b: Geom): Option[Geom] =
+      GeoKernel.difference(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StDifference = copy(left = l, right = r)
+  }
+
+  case class StBuffer(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(g: Any, r: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]])
+        .flatMap(x => buffer(x, r.asInstanceOf[Double])).map(toWkb).orNull
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StBuffer = copy(left = l, right = r)
+  }
+
+  case class StCollectionExtract(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(g: Any, t: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]])
+        .map(x => toWkb(collectionExtract(x, t.asInstanceOf[Int]))).orNull
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StCollectionExtract = copy(left = l, right = r)
+  }
+
+  case class StSimplifyPreserveTopology(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(g: Any, tol: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]])
+        .map(x => toWkb(simplifyPreserveTopology(x, tol.asInstanceOf[Double])))
+        .orNull
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StSimplifyPreserveTopology = copy(left = l, right = r)
+  }
+
+  case class StLineMerge(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = lineMerge(g)
+    override protected def withNewChildInternal(c: Expression): StLineMerge =
+      copy(c)
+  }
+  case class StMakeValid(child: Expression) extends GeomTransform {
+    protected def apply(g: Geom): Geom = makeValid(g)
+    override protected def withNewChildInternal(c: Expression): StMakeValid =
+      copy(c)
+  }
+
+  // ---- wave-3 DE-9IM predicates ----
+  case class StTouches(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = touches(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StTouches = copy(left = l, right = r)
+  }
+  case class StCrosses(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = crosses(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StCrosses = copy(left = l, right = r)
+  }
+  case class StOverlaps(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = overlaps(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StOverlaps = copy(left = l, right = r)
+  }
+  case class StCovers(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = covers(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StCovers = copy(left = l, right = r)
+  }
+  case class StCoveredBy(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = coveredBy(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StCoveredBy = copy(left = l, right = r)
+  }
+  case class StContainsProperly(left: Expression, right: Expression)
+      extends GeomPredicate {
+    protected def test(a: Geom, b: Geom): Boolean = containsProperly(a, b)
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): StContainsProperly = copy(left = l, right = r)
+  }
+
   case class StDistance(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
       (fromWkb(a.asInstanceOf[Array[Byte]]),
         fromWkb(b.asInstanceOf[Array[Byte]])) match {
@@ -564,6 +692,35 @@ object Geo {
   def st_within(a: Column, b: Column): Column = binary(StWithin)(a, b)
   def st_disjoint(a: Column, b: Column): Column = binary(StDisjoint)(a, b)
   def st_equals(a: Column, b: Column): Column = binary(StEquals)(a, b)
+
+  // wave-3 surface
+  def st_intersection(a: Column, b: Column): Column =
+    binary(StIntersection)(a, b)
+  def st_union(a: Column, b: Column): Column = binary(StUnion)(a, b)
+  def st_difference(a: Column, b: Column): Column =
+    binary(StDifference)(a, b)
+  def st_buffer(g: Column, r: Column): Column =
+    binary(StBuffer)(g, r.cast("double"))
+  def st_collectionextract(g: Column, t: Column): Column =
+    binary(StCollectionExtract)(g, t.cast("int"))
+  def st_simplifypreservetopology(g: Column, tol: Column): Column =
+    binary(StSimplifyPreserveTopology)(g, tol.cast("double"))
+  def st_linemerge(g: Column): Column = unary(StLineMerge)(g)
+  def st_makevalid(g: Column): Column = unary(StMakeValid)(g)
+  def st_touches(a: Column, b: Column): Column = binary(StTouches)(a, b)
+  def st_crosses(a: Column, b: Column): Column = binary(StCrosses)(a, b)
+  def st_overlaps(a: Column, b: Column): Column = binary(StOverlaps)(a, b)
+  def st_covers(a: Column, b: Column): Column = binary(StCovers)(a, b)
+  def st_coveredby(a: Column, b: Column): Column = binary(StCoveredBy)(a, b)
+  def st_containsproperly(a: Column, b: Column): Column =
+    binary(StContainsProperly)(a, b)
+  /** Storage is strictly 2D (Z/M-flagged EWKB is rejected at decode), so
+    * PG's st_z / st_m are NULL for every representable geometry. */
+  def st_z(g: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(g.isNull, lit(null).cast("double")).otherwise(lit(null).cast("double"))
+  }
+  def st_m(g: Column): Column = st_z(g)
 
   /** st_makeenvelope(xmin, ymin, xmax, ymax) — builds the WKT with
     * codegen'd string ops, then parses once. */
@@ -667,5 +824,25 @@ object Geo {
     reg("st_within") { case Seq(a, b) => st_within(a, b) }
     reg("st_disjoint") { case Seq(a, b) => st_disjoint(a, b) }
     reg("st_equals") { case Seq(a, b) => st_equals(a, b) }
+    // wave 3: set ops, DE-9IM predicates, buffer and repair
+    reg("st_intersection") { case Seq(a, b) => st_intersection(a, b) }
+    reg("st_union") { case Seq(a, b) => st_union(a, b) }
+    reg("st_difference") { case Seq(a, b) => st_difference(a, b) }
+    reg("st_buffer") { case Seq(g, r) => st_buffer(g, r) }
+    reg("st_collectionextract") { case Seq(g, t) =>
+      st_collectionextract(g, t) }
+    reg("st_simplifypreservetopology") { case Seq(g, t) =>
+      st_simplifypreservetopology(g, t) }
+    reg("st_linemerge") { case Seq(g) => st_linemerge(g) }
+    reg("st_makevalid") { case Seq(g) => st_makevalid(g) }
+    reg("st_touches") { case Seq(a, b) => st_touches(a, b) }
+    reg("st_crosses") { case Seq(a, b) => st_crosses(a, b) }
+    reg("st_overlaps") { case Seq(a, b) => st_overlaps(a, b) }
+    reg("st_covers") { case Seq(a, b) => st_covers(a, b) }
+    reg("st_coveredby") { case Seq(a, b) => st_coveredby(a, b) }
+    reg("st_containsproperly") { case Seq(a, b) =>
+      st_containsproperly(a, b) }
+    reg("st_z") { case Seq(g) => st_z(g) }
+    reg("st_m") { case Seq(g) => st_m(g) }
   }
 }

@@ -106,9 +106,9 @@ object GeoKernel {
       case 2 => GLine(readPts(b))
       case 3 =>
         GPolygon(IndexedSeq.fill(b.getInt)(readPts(b)))
-      case n if n >= 4 && n <= 6 =>
+      case n if n >= 4 && n <= 7 =>
         val names = Map(4 -> "MULTIPOINT", 5 -> "MULTILINESTRING",
-          6 -> "MULTIPOLYGON")
+          6 -> "MULTIPOLYGON", 7 -> "GEOMETRYCOLLECTION")
         GMulti(names(n), IndexedSeq.fill(b.getInt)(getGeom(b)))
       case other => throw new RuntimeException(s"wkb type $other")
     }
@@ -173,6 +173,10 @@ object GeoKernel {
         case "MULTIPOLYGON" =>
           Some(GMulti("MULTIPOLYGON",
             splitTop(body).map(p => GPolygon(rings(strip(p))))))
+        case "GEOMETRYCOLLECTION" =>
+          val members = splitTop(body).map(m => fromWkt(m.trim))
+          if (members.exists(_.isEmpty)) None
+          else Some(GMulti("GEOMETRYCOLLECTION", members.map(_.get)))
         case _ => None
       }
     } catch { case _: RuntimeException => None }
@@ -787,6 +791,578 @@ object GeoKernel {
 
   def equalsGeom(a: Geom, b: Geom): Boolean =
     toWkt(normalize(a)) == toWkt(normalize(b))
+
+  // ------------------------------------------------- boolean set ops
+  //
+  // Polygon ∩/∪/− via boundary-arc classification and stitching (the
+  // clipping family PostGIS gets from GEOS; reference ships it through
+  // DuckDB spatial, shippable_spatial_functions.c). Supported inputs:
+  // simple single-ring polygons whose boundaries meet only in PROPER
+  // edge crossings (no vertex-on-edge contact, no collinear overlap) —
+  // degenerate contact returns None → SQL NULL (documented in
+  // DEVIATIONS.md). Containment/disjoint cases need no crossings and
+  // are handled exactly.
+
+  private def properCross(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    o1 != 0 && o2 != 0 && o3 != 0 && o4 != 0 && o1 != o2 && o3 != o4
+  }
+
+  /** Intersection point of properly-crossing segments (call only when
+    * properCross holds — denominator is then nonzero). */
+  private def crossPoint(a: Pt, b: Pt, c: Pt, d: Pt): (Double, Pt) = {
+    val (rx, ry) = (b._1 - a._1, b._2 - a._2)
+    val (sx, sy) = (d._1 - c._1, d._2 - c._2)
+    val den = rx * sy - ry * sx
+    val t = ((c._1 - a._1) * sy - (c._2 - a._2) * sx) / den
+    (t, (a._1 + t * rx, a._2 + t * ry))
+  }
+
+  /** Close and orient a ring counter-clockwise. */
+  private def ccwRing(ring: IndexedSeq[Pt]): IndexedSeq[Pt] = {
+    val closed = if (ring.nonEmpty && ring.head != ring.last)
+      ring :+ ring.head else ring
+    if (signedArea(closed) < 0) closed.reverse else closed
+  }
+
+  /** Split a ring at the given per-edge crossing points into arcs whose
+    * endpoints are crossing points (ring vertices ride along inside). */
+  private def ringArcs(ring: IndexedSeq[Pt],
+      splits: Map[Int, Seq[(Double, Pt)]]): IndexedSeq[IndexedSeq[Pt]] = {
+    // flatten to node list: vertex, crossings (by t), vertex, ...
+    val nodes = collection.mutable.ArrayBuffer.empty[(Pt, Boolean)]
+    for (i <- 0 until ring.size - 1) {
+      nodes += ((ring(i), false))
+      for ((_, p) <- splits.getOrElse(i, Nil).sortBy(_._1))
+        nodes += ((p, true))
+    }
+    val firstX = nodes.indexWhere(_._2)
+    if (firstX < 0) return IndexedSeq(ring) // no crossings: one closed arc
+    val rotated = (nodes.drop(firstX) ++ nodes.take(firstX)).toIndexedSeq
+    val arcs = collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
+    var cur = collection.mutable.ArrayBuffer[Pt](rotated.head._1)
+    for ((p, isX) <- rotated.tail) {
+      cur += p
+      if (isX) { arcs += cur.toIndexedSeq; cur = collection.mutable.ArrayBuffer(p) }
+    }
+    cur += rotated.head._1 // close back to the first crossing
+    arcs += cur.toIndexedSeq
+    arcs.toIndexedSeq.filter(_.size >= 2)
+  }
+
+  /** 0/1/2 midpoint classification of an arc against a polygon; picks
+    * the midpoint of the arc's longest segment (never an endpoint). */
+  private def arcSide(arc: IndexedSeq[Pt], poly: GPolygon): Int = {
+    val (s, e) = arc.sliding(2).collect { case IndexedSeq(p, q) => (p, q) }
+      .maxBy { case (p, q) => math.hypot(q._1 - p._1, q._2 - p._2) }
+    locateInPolygon(((s._1 + e._1) / 2, (s._2 + e._2) / 2), poly)
+  }
+
+  /** Stitch arcs (endpoints are shared crossing points) into closed
+    * rings. None when stitching is ambiguous (degenerate tangency). */
+  private def stitch(arcs: Seq[IndexedSeq[Pt]])
+      : Option[IndexedSeq[IndexedSeq[Pt]]] = {
+    val byStart = arcs.groupBy(_.head)
+    if (byStart.values.exists(_.size > 1)) return None
+    val used = collection.mutable.Set.empty[Pt]
+    val rings = collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
+    for (arc <- arcs if !used(arc.head)) {
+      val ring = collection.mutable.ArrayBuffer.empty[Pt]
+      var cur = arc
+      var guard = 0
+      while (!used(cur.head) && guard <= arcs.size) {
+        used += cur.head
+        ring ++= cur.init
+        byStart.get(cur.last) match {
+          case Some(Seq(next)) => cur = next
+          case _ => return None
+        }
+        guard += 1
+      }
+      if (cur.head != arc.head) return None // open chain
+      ring += arc.head
+      if (ring.size >= 4) rings += ring.toIndexedSeq
+    }
+    Some(rings.toIndexedSeq)
+  }
+
+  private def singleRing(g: Geom): Option[IndexedSeq[Pt]] = g match {
+    case GPolygon(rs) if rs.size == 1 => Some(ccwRing(rs.head))
+    case GMulti(_, Seq(p: GPolygon)) if p.rings.size == 1 =>
+      Some(ccwRing(p.rings.head))
+    case _ => None
+  }
+
+  /** Assemble stitched rings into POLYGON / MULTIPOLYGON: CCW rings are
+    * shells, CW rings become holes of the shell containing them. */
+  private def assemble(rings: IndexedSeq[IndexedSeq[Pt]]): Geom = {
+    if (rings.isEmpty) return GMulti("POLYGON", Vector())
+    val (shells, holes) = rings.partition(signedArea(_) >= 0)
+    if (shells.isEmpty) return GMulti("POLYGON", Vector())
+    val polys = shells.map(s => collection.mutable.ArrayBuffer[IndexedSeq[Pt]](s))
+    for (h <- holes) {
+      val owner = polys.find(p =>
+        locateInRing(h.head, p.head) == 2 ||
+          h.exists(locateInRing(_, p.head) == 2))
+      owner.foreach(_ += h)
+    }
+    val gs = polys.map(rs => GPolygon(rs.toIndexedSeq))
+    if (gs.size == 1) gs.head else GMulti("MULTIPOLYGON", gs.toIndexedSeq)
+  }
+
+  /** Polygon boolean core. op: 0 = intersection, 1 = union, 2 = a−b. */
+  private def polyClip(a: Geom, b: Geom, op: Int): Option[Geom] = for {
+    ringA <- singleRing(a)
+    ringB <- singleRing(b)
+    res <- {
+      val pa = GPolygon(IndexedSeq(ringA)); val pb = GPolygon(IndexedSeq(ringB))
+      // degenerate contact: any vertex of one on the other's boundary
+      def vertexOnBoundary(r: IndexedSeq[Pt], other: IndexedSeq[Pt]) =
+        r.init.exists(p => locateInRing(p, other) == 1)
+      if (vertexOnBoundary(ringA, ringB) || vertexOnBoundary(ringB, ringA))
+        None
+      else {
+        val splitA = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
+        val splitB = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
+        var improper = false
+        for (i <- 0 until ringA.size - 1; j <- 0 until ringB.size - 1) {
+          val (a1, a2) = (ringA(i), ringA(i + 1))
+          val (b1, b2) = (ringB(j), ringB(j + 1))
+          if (properCross(a1, a2, b1, b2)) {
+            val (t, p) = crossPoint(a1, a2, b1, b2)
+            val u = if (math.abs(b2._1 - b1._1) >= math.abs(b2._2 - b1._2))
+              (p._1 - b1._1) / (b2._1 - b1._1)
+            else (p._2 - b1._2) / (b2._2 - b1._2)
+            splitA(i) = (t, p) :: splitA.getOrElse(i, Nil)
+            splitB(j) = (u, p) :: splitB.getOrElse(j, Nil)
+          } else if (segmentsIntersect(a1, a2, b1, b2)) improper = true
+        }
+        if (improper) None
+        else if (splitA.isEmpty) {
+          // no boundary crossings: containment or disjoint, decided by
+          // one strictly-located vertex
+          val aLoc = locateInPolygon(ringA.head, pb)
+          val bLoc = locateInPolygon(ringB.head, pa)
+          (op, aLoc == 2, bLoc == 2) match {
+            case (0, true, _) => Some(pa)
+            case (0, _, true) => Some(pb)
+            case (0, _, _)    => Some(GMulti("POLYGON", Vector()))
+            case (1, true, _) => Some(pb)
+            case (1, _, true) => Some(pa)
+            case (1, _, _)    => Some(GMulti("MULTIPOLYGON", IndexedSeq(pa, pb)))
+            case (2, true, _) => Some(GMulti("POLYGON", Vector()))
+            case (2, _, true) => Some(GPolygon(IndexedSeq(ringA, ringB.reverse)))
+            case _            => Some(pa)
+          }
+        } else {
+          val arcsA = ringArcs(ringA, splitA.toMap.view.mapValues(_.toSeq).toMap)
+          val arcsB = ringArcs(ringB, splitB.toMap.view.mapValues(_.toSeq).toMap)
+          val sidesA = arcsA.map(arcSide(_, pb))
+          val sidesB = arcsB.map(arcSide(_, pa))
+          if (sidesA.contains(1) || sidesB.contains(1)) None
+          else {
+            val picked = op match {
+              case 0 => arcsA.zip(sidesA).collect { case (x, 2) => x } ++
+                arcsB.zip(sidesB).collect { case (x, 2) => x }
+              case 1 => arcsA.zip(sidesA).collect { case (x, 0) => x } ++
+                arcsB.zip(sidesB).collect { case (x, 0) => x }
+              case _ => arcsA.zip(sidesA).collect { case (x, 0) => x } ++
+                arcsB.zip(sidesB).collect { case (x, 2) => x.reverse }
+            }
+            stitch(picked).map(assemble)
+          }
+        }
+      }
+    }
+  } yield res
+
+  /** Split a line's segments at polygon-boundary crossings and keep the
+    * pieces on the requested side (boundary-riding pieces count as
+    * inside, like GEOS). */
+  private def clipLine(line: GLine, poly: GPolygon,
+      keepInside: Boolean): Geom = {
+    val ringSegs = poly.rings.flatMap(r =>
+      r.sliding(2).collect { case IndexedSeq(p, q) => (p, q) })
+    val kept = collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
+    var cur = collection.mutable.ArrayBuffer.empty[Pt]
+    def flush(): Unit =
+      if (cur.size >= 2) { kept += cur.toIndexedSeq; cur.clear() }
+      else cur.clear()
+    for (IndexedSeq(p, q) <- line.pts.sliding(2)) {
+      val ts = (0.0 +: ringSegs.collect {
+        case (c, d) if properCross(p, q, c, d) => crossPoint(p, q, c, d)._1
+      } :+ 1.0).distinct.sorted
+      for (Seq(t0, t1) <- ts.sliding(2) if t1 > t0) {
+        val sub = IndexedSeq(
+          (p._1 + t0 * (q._1 - p._1), p._2 + t0 * (q._2 - p._2)),
+          (p._1 + t1 * (q._1 - p._1), p._2 + t1 * (q._2 - p._2)))
+        val mid = ((sub(0)._1 + sub(1)._1) / 2, (sub(0)._2 + sub(1)._2) / 2)
+        val in = locateInPolygon(mid, poly) > 0
+        if (in == keepInside) {
+          if (cur.isEmpty) cur ++= sub
+          else if (cur.last == sub.head) cur += sub(1)
+          else { flush(); cur ++= sub }
+        } else flush()
+      }
+    }
+    flush()
+    if (kept.isEmpty) GMulti("LINESTRING", Vector())
+    else if (kept.size == 1) GLine(kept.head)
+    else GMulti("MULTILINESTRING", kept.toIndexedSeq.map(GLine))
+  }
+
+  private def firstPolygon(g: Geom): Option[GPolygon] = polygons(g) match {
+    case Seq(p) => Some(p)
+    case _ => None
+  }
+
+  /** PostGIS st_intersection (planar, see class docs for the supported
+    * input families). */
+  def intersection(a: Geom, b: Geom): Option[Geom] = (a, b) match {
+    case (p: GPoint, g) =>
+      Some(if (intersects(p, g)) p else GMulti("POINT", Vector()))
+    case (g, p: GPoint) => intersection(p, g)
+    case (l: GLine, g) if firstPolygon(g).isDefined =>
+      Some(clipLine(l, firstPolygon(g).get, keepInside = true))
+    case (g, l: GLine) if firstPolygon(g).isDefined =>
+      Some(clipLine(l, firstPolygon(g).get, keepInside = true))
+    case (l1: GLine, l2: GLine) =>
+      val pts = for {
+        (p, q) <- segments(l1); (c, d) <- segments(l2)
+        if properCross(p, q, c, d)
+      } yield crossPoint(p, q, c, d)._2
+      val uniq = pts.distinct
+      Some(
+        if (uniq.isEmpty) GMulti("POINT", Vector())
+        else if (uniq.size == 1) GPoint(uniq.head._1, uniq.head._2)
+        else GMulti("MULTIPOINT", uniq.toIndexedSeq.map(p => GPoint(p._1, p._2))))
+    case _ => polyClip(a, b, 0)
+  }
+
+  /** PostGIS st_union (two-argument form). Non-areal mixes collect. */
+  def union(a: Geom, b: Geom): Option[Geom] = (a, b) match {
+    case _ if polygons(a).nonEmpty && polygons(b).nonEmpty =>
+      polyClip(a, b, 1)
+    case _ => Some(collect(a, b))
+  }
+
+  /** PostGIS st_difference a − b. */
+  def difference(a: Geom, b: Geom): Option[Geom] = (a, b) match {
+    case (p: GPoint, g) =>
+      Some(if (intersects(p, g)) GMulti("POINT", Vector()) else p)
+    case (l: GLine, g) if firstPolygon(g).isDefined =>
+      Some(clipLine(l, firstPolygon(g).get, keepInside = false))
+    case (g, _) if polygons(g).nonEmpty && polygons(b).isEmpty =>
+      Some(g) // subtracting lower-dimensional geometry leaves a unchanged
+    case _ => polyClip(a, b, 2)
+  }
+
+  // ------------------------------------------------- DE-9IM predicates
+
+  private def collinearOverlapLen(a: Geom, b: Geom): Double = {
+    var acc = 0.0
+    for ((p, q) <- segments(a); (c, d) <- segments(b)
+         if orient(p, q, c) == 0 && orient(p, q, d) == 0) {
+      // project onto the dominant axis of (p,q)
+      val horiz = math.abs(q._1 - p._1) >= math.abs(q._2 - p._2)
+      def key(x: Pt) = if (horiz) x._1 else x._2
+      val (lo1, hi1) = (math.min(key(p), key(q)), math.max(key(p), key(q)))
+      val (lo2, hi2) = (math.min(key(c), key(d)), math.max(key(c), key(d)))
+      val ov = math.min(hi1, hi2) - math.max(lo1, lo2)
+      if (ov > 0) acc += ov
+    }
+    acc
+  }
+
+  private def lineEndpoints(g: Geom): Seq[Pt] = g match {
+    case GLine(pts) if pts.nonEmpty && pts.head != pts.last =>
+      Seq(pts.head, pts.last)
+    case GMulti(_, gs) => gs.flatMap(lineEndpoints)
+    case _ => Nil
+  }
+
+  /** Do the interiors share at least one point? (The heart of touches/
+    * crosses/overlaps; sampled like contains — exact for the vertex-wise
+    * polygon families the zone logic uses.) */
+  def interiorsIntersect(a: Geom, b: Geom): Boolean = {
+    if (!bboxOverlap(a, b)) return false
+    val (da, db) = (dimension(a), dimension(b))
+    (da, db) match {
+      case (0, 0) => a.points.exists(b.points.contains)
+      case (0, _) => a.points.exists(p => pointInInterior(p, b))
+      case (_, 0) => b.points.exists(p => pointInInterior(p, a))
+      case (1, 1) =>
+        segments(a).exists { case (p, q) =>
+          segments(b).exists { case (c, d) => properCross(p, q, c, d) }
+        } || collinearOverlapLen(a, b) > 0 || {
+          val endsA = lineEndpoints(a).toSet
+          val endsB = lineEndpoints(b).toSet
+          a.points.exists(p => !endsA(p) && !endsB(p) &&
+            b.points.contains(p))
+        }
+      case (1, 2) => lineAreaInteriors(a, b)
+      case (2, 1) => lineAreaInteriors(b, a)
+      case _ =>
+        val polysB = polygons(b); val polysA = polygons(a)
+        def strictIn(pts: Seq[Pt], ps: Seq[GPolygon]) =
+          pts.exists(p => ps.exists(locateInPolygon(p, _) == 2))
+        strictIn(a.points, polysB) || strictIn(b.points, polysA) ||
+          segments(a).exists { case (p, q) =>
+            segments(b).exists { case (c, d) => properCross(p, q, c, d) }
+          } ||
+          polysA.exists(p => polysB.exists(q =>
+            locateInPolygon(pointOnSurface(p), q) == 2)) ||
+          polysB.exists(p => polysA.exists(q =>
+            locateInPolygon(pointOnSurface(p), q) == 2))
+    }
+  }
+
+  private def pointInInterior(p: Pt, g: Geom): Boolean = g match {
+    case gp: GPolygon => locateInPolygon(p, gp) == 2
+    case GPoint(x, y) => p == ((x, y))
+    case l: GLine =>
+      val ends = lineEndpoints(l).toSet
+      !ends(p) && segments(l).exists { case (s, e) => onSegment(p, s, e) }
+    case GMulti(_, gs) => gs.exists(pointInInterior(p, _))
+  }
+
+  private def lineAreaInteriors(line: Geom, area: Geom): Boolean = {
+    val polys = polygons(area)
+    line.points.exists(p => polys.exists(locateInPolygon(p, _) == 2)) ||
+      segments(line).exists { case (p, q) =>
+        polys.exists(poly =>
+          segments(poly).exists { case (c, d) => properCross(p, q, c, d) }) ||
+        polys.exists(poly =>
+          locateInPolygon(((p._1 + q._1) / 2, (p._2 + q._2) / 2), poly) == 2)
+      }
+  }
+
+  /** PostGIS st_touches: they meet, but only on boundaries. */
+  def touches(a: Geom, b: Geom): Boolean =
+    intersects(a, b) && !interiorsIntersect(a, b)
+
+  /** PostGIS st_crosses (point/line, line/line, line/area families). */
+  def crosses(a: Geom, b: Geom): Boolean = {
+    val (da, db) = (dimension(a), dimension(b))
+    (da, db) match {
+      case (1, 1) =>
+        interiorsIntersect(a, b) && collinearOverlapLen(a, b) == 0
+      case (1, 2) => interiorsIntersect(a, b) && hasExteriorPoint(a, b)
+      case (2, 1) => interiorsIntersect(b, a) && hasExteriorPoint(b, a)
+      case (0, 1) | (0, 2) | (1, 0) | (2, 0) =>
+        interiorsIntersect(a, b) // multipoint-ish degenerate, best effort
+      case _ => false
+    }
+  }
+
+  private def hasExteriorPoint(line: Geom, area: Geom): Boolean = {
+    val polys = polygons(area)
+    def outside(p: Pt) = polys.forall(locateInPolygon(p, _) == 0)
+    line.points.exists(outside) ||
+      segments(line).exists { case (p, q) =>
+        outside(((p._1 + q._1) / 2, (p._2 + q._2) / 2))
+      }
+  }
+
+  /** PostGIS st_overlaps: same dimension, interiors intersect, neither
+    * covers the other. */
+  def overlaps(a: Geom, b: Geom): Boolean = {
+    val (da, db) = (dimension(a), dimension(b))
+    if (da != db) false
+    else if (da == 1)
+      collinearOverlapLen(a, b) > 0 && !covers(a, b) && !covers(b, a)
+    else if (da == 2)
+      interiorsIntersect(a, b) && !covers(a, b) && !covers(b, a)
+    else // point sets
+      a.points.toSet != b.points.toSet &&
+        a.points.exists(b.points.contains) &&
+        a.points.exists(p => !b.points.contains(p)) &&
+        b.points.exists(p => !a.points.contains(p))
+  }
+
+  /** PostGIS st_covers: every point of b in the CLOSURE of a (unlike
+    * contains, boundary-only is enough). Sampled vertex+midpoint test,
+    * same tolerance as contains. */
+  def covers(a: Geom, b: Geom): Boolean = {
+    if (!bboxOverlap(a, b)) return false
+    val polysA = polygons(a)
+    if (polysA.nonEmpty) {
+      def inClosure(p: Pt) = polysA.exists(locateInPolygon(p, _) > 0)
+      b.points.forall(inClosure) &&
+        segments(b).forall { case (s, e) =>
+          inClosure(((s._1 + e._1) / 2, (s._2 + e._2) / 2))
+        }
+    } else if (dimension(a) == 1) {
+      if (dimension(b) > 1) false
+      else {
+        val segsA = segments(a)
+        def onA(p: Pt) = segsA.exists { case (s, e) => onSegment(p, s, e) }
+        b.points.forall(onA) &&
+          segments(b).forall { case (s, e) =>
+            onA(((s._1 + e._1) / 2, (s._2 + e._2) / 2))
+          }
+      }
+    } else b.points.forall(a.points.contains)
+  }
+
+  def coveredBy(a: Geom, b: Geom): Boolean = covers(b, a)
+
+  /** PostGIS st_containsproperly: b entirely in a's interior. */
+  def containsProperly(a: Geom, b: Geom): Boolean = {
+    val polysA = polygons(a)
+    if (polysA.isEmpty || !bboxOverlap(a, b)) return false
+    def strict(p: Pt) = polysA.exists(locateInPolygon(p, _) == 2)
+    b.points.forall(strict) &&
+      segments(b).forall { case (s, e) =>
+        strict(((s._1 + e._1) / 2, (s._2 + e._2) / 2))
+      }
+  }
+
+  // ------------------------------------------------- buffer & misc
+
+  /** PostGIS st_buffer with the default quad_segs=8 (32 segments per
+    * full circle). Supported: points (exact n-gon circle) and CONVEX
+    * polygons (edge offset + arc joins); other inputs → None
+    * (DEVIATIONS.md). */
+  def buffer(g: Geom, r: Double): Option[Geom] = g match {
+    case _ if r <= 0 => None
+    case GPoint(x, y) =>
+      val pts = (0 until 32).map { k =>
+        val t = 2 * math.Pi * k / 32
+        (x + r * math.cos(t), y + r * math.sin(t))
+      }
+      Some(GPolygon(IndexedSeq(pts :+ pts.head)))
+    case GPolygon(rs) if rs.size == 1 =>
+      val ring = ccwRing(rs.head)
+      val n = ring.size - 1
+      val convex = (0 until n).forall { i =>
+        orient(ring((i + n - 1) % n), ring(i), ring((i + 1) % n)) >= 0
+      }
+      if (!convex) None
+      else {
+        val out = collection.mutable.ArrayBuffer.empty[Pt]
+        for (i <- 0 until n) {
+          val prev = ring((i + n - 1) % n); val v = ring(i)
+          val next = ring((i + 1) % n)
+          def normal(s: Pt, e: Pt): (Double, Double) = {
+            val len = math.hypot(e._1 - s._1, e._2 - s._2)
+            ((e._2 - s._2) / len, -(e._1 - s._1) / len) // outward for CCW
+          }
+          val (nx1, ny1) = normal(prev, v)
+          val (nx2, ny2) = normal(v, next)
+          val a1 = math.atan2(ny1, nx1); var a2 = math.atan2(ny2, nx2)
+          // walking a CCW ring, outward normals rotate CCW at each
+          // convex corner — sweep the arc counter-clockwise
+          if (a2 < a1) a2 += 2 * math.Pi
+          val steps = math.max(1, math.ceil((a2 - a1) / (math.Pi / 16)).toInt)
+          for (k <- 0 to steps) {
+            val t = a1 + (a2 - a1) * k / steps
+            out += ((v._1 + r * math.cos(t), v._2 + r * math.sin(t)))
+          }
+        }
+        Some(GPolygon(IndexedSeq((out :+ out.head).toIndexedSeq)))
+      }
+    case _ => None
+  }
+
+  /** PostGIS st_linemerge: stitch a MULTILINESTRING's paths at shared
+    * endpoints. */
+  def lineMerge(g: Geom): Geom = {
+    val paths = collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
+    def gather(x: Geom): Unit = x match {
+      case GLine(pts) if pts.size >= 2 => paths += pts
+      case GMulti(_, gs) => gs.foreach(gather)
+      case _ =>
+    }
+    gather(g)
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (i < paths.size && !changed) {
+        var j = i + 1
+        while (j < paths.size && !changed) {
+          val (p, q) = (paths(i), paths(j))
+          val joined =
+            if (p.last == q.head) Some(p ++ q.tail)
+            else if (q.last == p.head) Some(q ++ p.tail)
+            else if (p.last == q.last) Some(p ++ q.reverse.tail)
+            else if (p.head == q.head) Some(p.reverse ++ q.tail)
+            else None
+          joined.foreach { merged =>
+            paths(i) = merged; paths.remove(j); changed = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    if (paths.isEmpty) GMulti("LINESTRING", Vector())
+    else if (paths.size == 1) GLine(paths.head)
+    else GMulti("MULTILINESTRING", paths.toIndexedSeq.map(GLine))
+  }
+
+  /** PostGIS st_collectionextract(geom, type): 1=points 2=lines 3=polys. */
+  def collectionExtract(g: Geom, typ: Int): Geom = {
+    val members = collection.mutable.ArrayBuffer.empty[Geom]
+    def gather(x: Geom): Unit = x match {
+      case GMulti(_, gs) => gs.foreach(gather)
+      case p: GPoint if typ == 1 => members += p
+      case l: GLine if typ == 2 => members += l
+      case p: GPolygon if typ == 3 => members += p
+      case _ =>
+    }
+    gather(g)
+    val name = typ match {
+      case 1 => "MULTIPOINT"; case 2 => "MULTILINESTRING"
+      case _ => "MULTIPOLYGON"
+    }
+    GMulti(name, members.toIndexedSeq)
+  }
+
+  /** Best-effort st_makevalid: close rings, drop repeats and degenerate
+    * rings, fix orientation. Already-valid input passes through; inputs
+    * this cannot repair return unchanged (documented best effort). */
+  def makeValid(g: Geom): Geom = {
+    if (isValid(g)) return g
+    def fixPoly(p: GPolygon): Option[GPolygon] = {
+      val rings = p.rings.map { r0 =>
+        val dedup = r0.foldLeft(IndexedSeq.empty[Pt]) {
+          (acc, p) => if (acc.nonEmpty && acc.last == p) acc else acc :+ p
+        }
+        if (dedup.nonEmpty && dedup.head != dedup.last) dedup :+ dedup.head
+        else dedup
+      }.filter(r => r.size >= 4 && math.abs(signedArea(r)) > 0)
+      if (rings.isEmpty) None else Some(GPolygon(rings))
+    }
+    val fixed = g match {
+      case p: GPolygon => fixPoly(p).getOrElse(g)
+      case GMulti(t, gs) => GMulti(t, gs.map(makeValid))
+      case GLine(pts) if pts.size < 2 => g
+      case other => other
+    }
+    if (isValid(fixed)) fixed else g
+  }
+
+  /** Douglas–Peucker that never collapses a ring below 4 points or a
+    * line below its endpoints (PostGIS st_simplifypreservetopology's
+    * no-collapse guarantee; full topology checks out of scope). */
+  def simplifyPreserveTopology(g: Geom, tol: Double): Geom = {
+    val simple = simplify(g, tol)
+    def guard(orig: Geom, s: Geom): Geom = (orig, s) match {
+      case (o: GPolygon, sp: GPolygon)
+        if sp.rings.isEmpty ||
+          sp.rings.exists(r => r.size < 4 || math.abs(signedArea(r)) == 0)
+        => o
+      case (o: GPolygon, _: GPolygon) => s
+      case (_: GLine, GLine(pts)) if pts.size < 2 => orig
+      case (GMulti(t, os), GMulti(_, ss)) if os.size == ss.size =>
+        GMulti(t, os.zip(ss).map { case (o2, s2) => guard(o2, s2) })
+      case _ => s
+    }
+    guard(g, simple)
+  }
 
   /** Minimum cartesian distance; 0 when the geometries intersect. */
   def distance(a: Geom, b: Geom): Double = {

@@ -22,7 +22,7 @@ object QGeo {
     ("sw", 0, 0, 50, 50), ("se", 50, 0, 100, 50),
     ("nw", 0, 50, 50, 100), ("ne", 50, 50, 100, 100))
 
-  val queries: Map[String, QueryFn] = Map(
+  val queries: Map[String, QueryFn] = setopQueries ++ Map(
     "q_geo_zones" -> { (s, dir) =>
       import s.implicits._
       val zones = zoneDefs
@@ -44,7 +44,54 @@ object QGeo {
         .orderBy($"zone")
     })
 
-  val oracleSql: Map[String, String] = Map(
+  /** Wave-3 set-op gate: per-row rectangle pairs run through the real
+    * clipping kernel (st_intersection/st_union/st_difference areas +
+    * st_overlaps/st_touches), while the oracle reproduces the same
+    * values with interval arithmetic. The second rectangle sits on a
+    * +0.25 sub-grid so boundaries never meet degenerately (the clipping
+    * kernel's documented proper-crossings-only domain). */
+  lazy val setopQueries: Map[String, QueryFn] = Map(
+    "q_geo_setops" -> { (s, dir) =>
+      import s.implicits._
+      val base = t(s, dir, "supplier").filter($"s_suppkey" < 150)
+        .select($"s_suppkey",
+          ($"s_suppkey" * 7 % 50).cast("double").as("x1"),
+          ($"s_suppkey" * 13 % 50).cast("double").as("y1"),
+          (($"s_suppkey" * 11 % 50).cast("double") + 0.25).as("x2"),
+          (($"s_suppkey" * 17 % 50).cast("double") + 0.25).as("y2"))
+      val e1 = Geo.st_makeenvelope($"x1", $"y1", $"x1" + 10, $"y1" + 8)
+      val e2 = Geo.st_makeenvelope($"x2", $"y2", $"x2" + 12, $"y2" + 6)
+      base.select($"s_suppkey",
+        round(Geo.st_area(Geo.st_intersection(e1, e2)), 6).as("inter_area"),
+        round(Geo.st_area(Geo.st_union(e1, e2)), 6).as("union_area"),
+        round(Geo.st_area(Geo.st_difference(e1, e2)), 6).as("diff_area"),
+        Geo.st_overlaps(e1, e2).as("ov"),
+        Geo.st_touches(e1, e2).as("tc"))
+        .orderBy("s_suppkey")
+    })
+
+  lazy val setopOracle: Map[String, String] = Map(
+    "q_geo_setops" ->
+      """SELECT s_suppkey,
+        |  round(iw * ih, 6) AS inter_area,
+        |  round(80 + 72 - iw * ih, 6) AS union_area,
+        |  round(80 - iw * ih, 6) AS diff_area,
+        |  iw * ih > 0 AS ov,
+        |  FALSE AS tc
+        |FROM (
+        |  SELECT s_suppkey,
+        |    greatest(0, least(x1 + 10, x2 + 12) - greatest(x1, x2)) AS iw,
+        |    greatest(0, least(y1 + 8, y2 + 6) - greatest(y1, y2)) AS ih
+        |  FROM (
+        |    SELECT s_suppkey,
+        |      CAST(s_suppkey * 7 % 50 AS DOUBLE) AS x1,
+        |      CAST(s_suppkey * 13 % 50 AS DOUBLE) AS y1,
+        |      CAST(s_suppkey * 11 % 50 AS DOUBLE) + 0.25 AS x2,
+        |      CAST(s_suppkey * 17 % 50 AS DOUBLE) + 0.25 AS y2
+        |    FROM supplier WHERE s_suppkey < 150) a) b
+        |ORDER BY s_suppkey""".stripMargin)
+
+  val oracleSql: Map[String, String] = setopOracle ++ Map(
     "q_geo_zones" -> {
       val zoneCase = zoneDefs.map { case (z, x1, y1, x2, y2) =>
         s"WHEN x > $x1 AND x < $x2 AND y > $y1 AND y < $y2 THEN '$z'"

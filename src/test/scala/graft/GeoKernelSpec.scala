@@ -312,6 +312,136 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.map(_.getDouble(1)).toSeq == Seq(0.0, 50.0))
   }
 
+  test("wave-3 kernel: boolean set ops on polygons (PostGIS-pinned)") {
+    def poly(wkt: String) = fromWkt(wkt).get
+    val a = poly("POLYGON((0 0,2 0,2 2,0 2,0 0))")
+    val b = poly("POLYGON((1 1,3 1,3 3,1 3,1 1))")
+    // PostGIS: ST_Area(ST_Intersection(a,b)) = 1, union = 7, diff = 3
+    assert(math.abs(area(intersection(a, b).get) - 1.0) < 1e-9)
+    assert(math.abs(area(union(a, b).get) - 7.0) < 1e-9)
+    assert(math.abs(area(difference(a, b).get) - 3.0) < 1e-9)
+    assert(math.abs(area(difference(b, a).get) - 3.0) < 1e-9)
+    // intersection of the two squares is the unit square (1,1)-(2,2)
+    val inter = intersection(a, b).get
+    assert(envelope(inter) == ((1.0, 1.0, 2.0, 2.0)), toWkt(inter))
+    // diamond ∩ square: rotated-edge proper crossings (8 of them).
+    // diamond |x-1|+|y-1| <= 1.5, area 2·1.5² = 4.5; each of its four
+    // tips sticks out of the square by a 1×0.5 triangle (area 0.25) ->
+    // intersection 4.5 - 1 = 3.5, union 4 + 4.5 - 3.5 = 5
+    val d = poly("POLYGON((1 -0.5,2.5 1,1 2.5,-0.5 1,1 -0.5))")
+    val s = poly("POLYGON((0 0,2 0,2 2,0 2,0 0))")
+    assert(math.abs(area(intersection(d, s).get) - 3.5) < 1e-9)
+    assert(math.abs(area(union(d, s).get) - 5.0) < 1e-9)
+    // containment: nested squares
+    val inner = poly("POLYGON((0.5 0.5,1.5 0.5,1.5 1.5,0.5 1.5,0.5 0.5))")
+    assert(math.abs(area(intersection(a, inner).get) - 1.0) < 1e-9)
+    assert(math.abs(area(union(a, inner).get) - 4.0) < 1e-9)
+    // a − inner = square with a hole, area 3
+    assert(math.abs(area(difference(a, inner).get) - 3.0) < 1e-9)
+    // disjoint
+    val far = poly("POLYGON((10 10,11 10,11 11,10 11,10 10))")
+    assert(isEmpty(intersection(a, far).get))
+    assert(math.abs(area(union(a, far).get) - 5.0) < 1e-9)
+    assert(toWkt(intersection(a, far).get) == "POLYGON EMPTY")
+    // degenerate contact (shared edge) is documented None
+    val adj = poly("POLYGON((2 0,4 0,4 2,2 2,2 0))")
+    assert(union(a, adj).isEmpty)
+  }
+
+  test("wave-3 kernel: line/polygon and line/line intersection") {
+    def g(wkt: String) = fromWkt(wkt).get
+    val sq = g("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    // line crossing straight through: kept piece is the inside span
+    val l = g("LINESTRING(-1 2,5 2)")
+    val in = intersection(l, sq).get
+    assert(math.abs(GeoKernel.length(in) - 4.0) < 1e-9, toWkt(in))
+    val out = difference(l, sq).get
+    assert(math.abs(GeoKernel.length(out) - 2.0) < 1e-9, toWkt(out))
+    // line/line proper crossing -> the crossing point
+    val x = intersection(g("LINESTRING(0 0,2 2)"), g("LINESTRING(0 2,2 0)"))
+    assert(toWkt(x.get) == "POINT(1 1)")
+  }
+
+  test("wave-3 kernel: DE-9IM predicates (PostGIS-pinned)") {
+    def g(wkt: String) = fromWkt(wkt).get
+    val a = g("POLYGON((0 0,2 0,2 2,0 2,0 0))")
+    val edgeNeighbor = g("POLYGON((2 0,4 0,4 2,2 2,2 0))")
+    val overlapping = g("POLYGON((1 1,3 1,3 3,1 3,1 1))")
+    val nested = g("POLYGON((0.5 0.5,1.5 0.5,1.5 1.5,0.5 1.5,0.5 0.5))")
+    // touches: edge contact yes, overlap no, containment no
+    assert(touches(a, edgeNeighbor))
+    assert(!touches(a, overlapping))
+    assert(!touches(a, nested))
+    // corner-point contact also touches
+    assert(touches(a, g("POLYGON((2 2,3 2,3 3,2 3,2 2))")))
+    // overlaps: partial overlap yes; nested / edge-contact no
+    assert(overlaps(a, overlapping))
+    assert(!overlaps(a, nested))
+    assert(!overlaps(a, edgeNeighbor))
+    assert(!overlaps(a, a)) // equal -> covers -> not overlaps
+    // crosses: line through the square yes; line outside no
+    assert(crosses(g("LINESTRING(-1 1,3 1)"), a))
+    assert(crosses(a, g("LINESTRING(-1 1,3 1)")))
+    assert(!crosses(g("LINESTRING(-1 -1,-1 3)"), a))
+    // a chord with endpoints on the boundary still crosses (interior +
+    // exterior points exist)
+    assert(!crosses(g("LINESTRING(0 0,2 2)"), a)) // fully inside closure
+    // line/line: X-crossing yes, collinear overlap no (that's overlaps)
+    assert(crosses(g("LINESTRING(0 0,2 2)"), g("LINESTRING(0 2,2 0)")))
+    assert(!crosses(g("LINESTRING(0 0,2 0)"), g("LINESTRING(1 0,3 0)")))
+    assert(overlaps(g("LINESTRING(0 0,2 0)"), g("LINESTRING(1 0,3 0)")))
+    // covers vs contains: boundary line is covered but not contained
+    val edgeLine = g("LINESTRING(0 0,2 0)")
+    assert(covers(a, edgeLine))
+    assert(!GeoKernel.contains(a, edgeLine))
+    assert(coveredBy(edgeLine, a))
+    // containsproperly: strict interior only
+    assert(containsProperly(a, nested))
+    assert(!containsProperly(a, edgeLine))
+    assert(!containsProperly(a, a))
+  }
+
+  test("wave-3 kernel: buffer, linemerge, collectionextract, makevalid") {
+    def g(wkt: String) = fromWkt(wkt).get
+    // point buffer: 32-gon, area = 1/2·n·r²·sin(2π/n)
+    val circle = buffer(GPoint(1, 1), 2).get
+    val expected = 0.5 * 32 * 4 * math.sin(2 * math.Pi / 32)
+    assert(math.abs(area(circle) - expected) < 1e-9)
+    assert(npoints(circle) == 33)
+    // convex polygon buffer: square side 2, r=1 ->
+    // area = 4 + perimeter·r + π·r² (offset + corner arcs)
+    val sq = g("POLYGON((0 0,2 0,2 2,0 2,0 0))")
+    val buffered = buffer(sq, 1).get
+    val target = 4 + 8 * 1 + math.Pi * 1
+    assert(math.abs(area(buffered) - target) / target < 0.01,
+      s"${area(buffered)} vs $target")
+    // concave input is documented None
+    assert(buffer(g("POLYGON((0 0,4 0,4 4,2 1,0 4,0 0))"), 1).isEmpty)
+    // linemerge stitches shared endpoints (PostGIS example)
+    val merged = lineMerge(
+      g("MULTILINESTRING((0 0,1 1),(1 1,2 2),(5 5,6 6))"))
+    assert(toWkt(merged) ==
+      "MULTILINESTRING((0 0,1 1,2 2),(5 5,6 6))", toWkt(merged))
+    assert(toWkt(lineMerge(g("MULTILINESTRING((0 0,1 1),(1 1,2 2))"))) ==
+      "LINESTRING(0 0,1 1,2 2)")
+    // collectionextract filters by dimension
+    val coll = g("GEOMETRYCOLLECTION(POINT(1 2),LINESTRING(0 0,1 1)," +
+      "POLYGON((0 0,1 0,1 1,0 1,0 0)))")
+    assert(toWkt(collectionExtract(coll, 1)) == "MULTIPOINT((1 2))")
+    assert(toWkt(collectionExtract(coll, 2)) ==
+      "MULTILINESTRING((0 0,1 1))")
+    assert(numGeometries(collectionExtract(coll, 3)) == 1)
+    // makevalid closes an open ring; valid input passes through
+    val open = GPolygon(IndexedSeq(IndexedSeq((0.0, 0.0), (1.0, 0.0),
+      (1.0, 1.0), (0.0, 1.0))))
+    assert(isValid(makeValid(open)))
+    assert(makeValid(sq) eq sq)
+    // simplifypreservetopology never collapses a ring
+    val tri = g("POLYGON((0 0,4 0,2 1,0 0))")
+    val kept = simplifyPreserveTopology(tri, 10.0)
+    assert(area(kept) > 0)
+  }
+
   test("zone assignment join over WKB columns") {
     import spark.implicits._
     val zones = Seq(
