@@ -1,19 +1,28 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Multimodal column plumbing: images/audio/video ride as opaque BINARY
-  * columns with a typed metadata struct; per-batch decode/feature
-  * extraction runs as `mapPartitions` over the binary payloads (the Scala
-  * analogue of a vectorized pandas-UDF stage: one JVM-side batch loop,
-  * no per-row driver work, arbitrary native libs callable inside).
+  * columns with a typed metadata struct. Image decode is REAL — a
+  * `javax.imageio` header probe (PNG/JPEG/GIF/BMP/TIFF readers ship in
+  * the JDK) reads format + dimensions without materializing pixels.
+  * Audio/video probing stays stubbed (no codecs in this container): such
+  * blobs classify as `bin` with NULL dimensions, and the deterministic
+  * checksum/frame-sampling plumbing around them is real.
   *
-  * The actual media decode is STUBBED (this container ships no image/
-  * audio codecs): `fakeDecode` derives deterministic pseudo-metadata from
-  * the bytes. Everything around it — schema, batching, partitioning,
-  * output shape — is the real plumbing a decode stage needs.
+  * The decode runs as a Catalyst expression, not an RDD detour — column
+  * pruning and whole-stage codegen above the decode survive, and the
+  * expression slots into any select/filter like a built-in.
   */
 object Multimodal {
 
@@ -25,40 +34,64 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("checksum", LongType, nullable = false)))
 
-  /** STUB decode: deterministic pseudo-decode of a media blob.
-    * Replace with a real codec call (e.g. javax.imageio / ffmpeg JNI) —
-    * the surrounding plumbing is unchanged. */
-  def fakeDecode(bytes: Array[Byte]): Row = {
-    if (bytes == null) Row(0L, null, null, null, 0L)
-    else {
-      val checksum = bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
-      val fmt = if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
-        bytes(1) == 0xD8.toByte) "jpeg"
-      else if (bytes.length >= 4 && bytes(0) == 0x89.toByte &&
-        bytes(1) == 'P'.toByte) "png"
-      else "bin"
-      // deterministic fake dimensions derived from content
-      val w = 64 + (math.abs(checksum) % 1024).toInt
-      val h = 64 + (math.abs(checksum >> 10) % 1024).toInt
-      Row(bytes.length.toLong, fmt, w, h, checksum)
-    }
+  /** Header-probe an image: format name + dimensions, no pixel decode.
+    * None for anything the JDK readers do not recognize. */
+  def probeImage(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    if (bytes == null || bytes.length < 8) return None
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
   }
 
-  /** Attach decoded metadata to a dataframe with a binary column.
-    * Partition-parallel batch loop; output schema = input + meta struct. */
-  def withMediaMeta(df: DataFrame, binCol: String,
-      metaCol: String = "media_meta"): DataFrame = {
-    val outSchema = StructType(df.schema.fields :+
-      StructField(metaCol, mediaMetaSchema, nullable = true))
-    val binIdx = df.schema.fieldIndex(binCol)
-    val rdd = df.rdd.mapPartitions { it =>
-      it.map { row =>
-        val bytes = row.get(binIdx).asInstanceOf[Array[Byte]]
-        Row.fromSeq(row.toSeq :+ fakeDecode(bytes))
-      }
+  /** Content checksum (same polynomial for any payload — the stable id a
+    * dedup/caching layer keys on). */
+  def checksum(bytes: Array[Byte]): Long =
+    bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+
+  /** Decode one blob to (byte_len, format, width, height, checksum).
+    * Real probe for images; `bin` + NULL dims for everything else. */
+  def decodeMeta(bytes: Array[Byte]): (Long, String, Integer, Integer, Long) =
+    probeImage(bytes) match {
+      case Some((fmt, w, h)) =>
+        (bytes.length.toLong, fmt, Int.box(w), Int.box(h), checksum(bytes))
+      case None =>
+        (bytes.length.toLong, "bin", null, null, checksum(bytes))
     }
-    df.sparkSession.createDataFrame(rdd, outSchema)
+
+  /** Catalyst expression wrapping [[decodeMeta]]: BINARY → meta struct.
+    * CodegenFallback is fine — the probe itself dominates, and the
+    * expression keeps pruning/codegen alive for the rest of the plan. */
+  case class MediaMeta(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = mediaMetaSchema
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val (len, fmt, w, h, sum) = decodeMeta(v.asInstanceOf[Array[Byte]])
+      InternalRow(len, UTF8String.fromString(fmt),
+        if (w == null) null else w.intValue(),
+        if (h == null) null else h.intValue(), sum)
+    }
+    override protected def withNewChildInternal(c: Expression): MediaMeta =
+      copy(c)
   }
+
+  def mediaMeta(bin: Column): Column =
+    GraftBridge.column(MediaMeta(GraftBridge.eagerExpression(bin)))
+
+  /** Attach decoded metadata to a dataframe with a binary column. */
+  def withMediaMeta(df: DataFrame, binCol: String,
+      metaCol: String = "media_meta"): DataFrame =
+    df.withColumn(metaCol, mediaMeta(col(binCol)))
 
   /** Fixed-size frame sampling out of a (stub-decoded) video blob:
     * emits (frame_idx, frame_checksum) rows per input — the explode shape

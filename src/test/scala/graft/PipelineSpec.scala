@@ -164,6 +164,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(4) >= r.getLong(3)) // subwords ≥ whitespace tokens
   }
 
+  test("multimodal: real image header probe decodes true dimensions") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    def img(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(b, fmt, out)
+      out.toByteArray
+    }
+    import spark.implicits._
+    val rows = Seq(
+      (1L, img("png", 123, 45)),
+      (2L, img("jpeg", 64, 32)),
+      (3L, img("gif", 7, 9)),
+      (4L, img("bmp", 20, 10)),
+      (5L, "not an image at all".getBytes("UTF-8")))
+    val df = rows.toDF("id", "blob")
+    val meta = Multimodal.withMediaMeta(df, "blob")
+      .select($"id", $"media_meta.format", $"media_meta.width",
+        $"media_meta.height")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(meta(1L) == (("png", Some(123), Some(45))))
+    assert(meta(2L) == (("jpeg", Some(64), Some(32))))
+    assert(meta(3L) == (("gif", Some(7), Some(9))))
+    assert(meta(4L) == (("bmp", Some(20), Some(10))))
+    assert(meta(5L) == (("bin", None, None)))
+  }
+
+  test("multimodal: decode is an expression, not an RDD detour") {
+    val d = Tables.load(spark, sf, "documents").limit(10)
+      .withColumn("blob", col("text").cast("binary"))
+    val plan = Multimodal.withMediaMeta(d, "blob")
+      .select("doc_id", "media_meta.byte_len")
+      .queryExecution.optimizedPlan.toString
+    // column pruning must reach through the expression: no full-row
+    // RDD scan barrier (the old mapPartitions shape)
+    assert(!plan.contains("ExistingRDD"), plan)
+  }
+
   test("multimodal: stub decode plumbing and frame sampling") {
     val d = Tables.load(spark, sf, "documents").limit(50)
       .withColumn("blob", col("text").cast("binary"))
