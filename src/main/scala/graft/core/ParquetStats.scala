@@ -35,6 +35,23 @@ object ParquetStats {
     case (_, other) => other.toString
   }
 
+  /** Footer stats for many files. Short lists read on the driver; longer
+    * ones fan out executor-side — a large import (10⁵–10⁶ files at
+    * 100 TB) would spend hours in a serial driver loop, and footer reads
+    * parallelize perfectly (the reference collects stats inside its
+    * distributed write path for the same reason, data_file_stats.c). */
+  def readMany(spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String]): Map[String, FileFooter] = {
+    if (paths.isEmpty) Map.empty
+    else if (paths.size <= 16) paths.iterator.map(p => p -> read(p)).toMap
+    else {
+      val sc = spark.sparkContext
+      val slices = math.max(1,
+        math.min(paths.size / 8 + 1, sc.defaultParallelism * 2))
+      sc.parallelize(paths, slices).map(p => p -> read(p)).collect().toMap
+    }
+  }
+
   def read(path: String, conf: Configuration = new Configuration()): FileFooter = {
     val in = HadoopInputFile.fromPath(new HPath(path), conf)
     val reader = ParquetFileReader.open(in)

@@ -80,8 +80,9 @@ object Engine {
       "adopt: table has equality-delete files; scan it via " +
         "IcebergImport.scan (which applies them) and CTAS instead")
     val (extDeletes, extData) = extAll.partition(_.isDelete)
+    val importFooters = ParquetStats.readMany(spark, extData.map(_.path))
     val dataFiles = extData.map { f =>
-      val footer = ParquetStats.read(f.path)
+      val footer = importFooters(f.path)
       DataFile(f.path, footer.rowCount, f.sizeBytes, Map.empty, footer.stats)
     }
     // position-delete files record the WRITER's absolute data-file paths
@@ -196,8 +197,9 @@ object Engine {
         .partitionBy(partCols: _*)
         .parquet(staging.toString)
     }
-    // move part files into data/, harvesting partition values from paths
-    val moved = scala.collection.mutable.ListBuffer[DataFile]()
+    // move part files into data/, harvesting partition values from paths;
+    // footer stats for the whole batch are read executor-side
+    val moved = scala.collection.mutable.ListBuffer[(String, Map[String, String])]()
     val stream = Files.walk(staging)
     try {
       stream.iterator().asScala
@@ -212,13 +214,16 @@ object Engine {
             }.toMap
           val dest = dataDir.resolve(s"${UUID.randomUUID()}.parquet")
           Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-          val footer = ParquetStats.read(dest.toString)
-          moved += DataFile(dest.toString, footer.rowCount, footer.sizeBytes,
-            partition, footer.stats)
+          moved += (dest.toString -> partition)
         }
     } finally stream.close()
     deleteRecursively(staging)
-    moved.toList
+    val footers = ParquetStats.readMany(spark, moved.map(_._1).toSeq)
+    moved.toList.map { case (path, partition) =>
+      val footer = footers(path)
+      DataFile(path, footer.rowCount, footer.sizeBytes, partition,
+        footer.stats)
+    }
   }
 
   /** Snapshot commit expressed as (removed paths, added files) and
@@ -371,21 +376,26 @@ object Engine {
         .sortWithinPartitions("file_path", "pos")
         .write.parquet(staging.toString)
       val dataDir = MetadataIO.dataDir(tbl.dir)
+      val movedDel = scala.collection.mutable.ListBuffer[String]()
       val stream = Files.walk(staging)
       try stream.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).foreach { p =>
           val dest = dataDir.resolve(s"delete-${UUID.randomUUID()}.parquet")
           Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-          val footer = ParquetStats.read(dest.toString)
-          if (footer.rowCount > 0) {
-            added = DataFile(dest.toString, footer.rowCount,
-              footer.sizeBytes, Map.empty, footer.stats,
-              content = Some(1)) :: added
-            posCount += footer.rowCount
-          } else Files.delete(dest)
+          movedDel += dest.toString
         }
       finally stream.close()
       deleteRecursively(staging)
+      val footers = ParquetStats.readMany(tbl.spark, movedDel.toSeq)
+      for (path <- movedDel) {
+        val footer = footers(path)
+        if (footer.rowCount > 0) {
+          added = DataFile(path, footer.rowCount,
+            footer.sizeBytes, Map.empty, footer.stats,
+            content = Some(1)) :: added
+          posCount += footer.rowCount
+        } else Files.delete(Paths.get(path))
+      }
     }
     commitSnapshot(tbl, "delete-mor", fullPaths, added)
     DmlResult(0, fullMatch.size, data.size - fullMatch.size,
@@ -482,7 +492,7 @@ object Engine {
     val withIds = df.select(tbl.schema.fields.map(f =>
       col(s"`${f.name}`").as(f.name, f.metadata)): _*)
     withIds.write.option("compression", "snappy").parquet(staging.toString)
-    val moved = scala.collection.mutable.ListBuffer[DataFile]()
+    val movedRaw = scala.collection.mutable.ListBuffer[String]()
     val stream = Files.walk(staging)
     try {
       stream.iterator().asScala
@@ -490,15 +500,18 @@ object Engine {
         .foreach { p =>
           val dest = dataDir.resolve(s"${UUID.randomUUID()}.parquet")
           Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-          val footer = ParquetStats.read(dest.toString)
-          if (footer.rowCount > 0)
-            moved += DataFile(dest.toString, footer.rowCount,
-              footer.sizeBytes, partition, footer.stats)
-          else Files.delete(dest)
+          movedRaw += dest.toString
         }
     } finally stream.close()
     deleteRecursively(staging)
-    moved.toList
+    val footers = ParquetStats.readMany(tbl.spark, movedRaw.toSeq)
+    movedRaw.toList.flatMap { path =>
+      val footer = footers(path)
+      if (footer.rowCount > 0)
+        Some(DataFile(path, footer.rowCount, footer.sizeBytes, partition,
+          footer.stats))
+      else { Files.delete(Paths.get(path)); None }
+    }
   }
 
   // ---------------------------------------------------------- maintenance

@@ -237,6 +237,23 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("l_quantity") > 45).count() == 0)
   }
 
+  test("many-file write collects footer stats executor-side, exactly") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    // month partitioning yields dozens of files -> the distributed
+    // readMany branch (driver loop only below 16 files)
+    val tbl = Engine.ctas(spark, dir, li,
+      spec = List(PartitionField("l_shipdate", "month")))
+    val files = tbl.liveFiles
+    assert(files.size > 16, s"expected the distributed branch: ${files.size}")
+    assert(files.map(_.rowCount).sum == li.count())
+    assert(files.forall(_.stats.nonEmpty))
+    // stats are real footer values: global min/max reassemble exactly
+    val mins = files.flatMap(_.stats.get("l_orderkey")).flatMap(_.min)
+    assert(mins.nonEmpty &&
+      mins.map(_.toLong).min == li.agg(min("l_orderkey")).head().getLong(0))
+  }
+
   test("overlapping MOR deletes do not double-count deleted rows") {
     val dir = tmp()
     val li = Tables.load(spark, sf, "lineitem")
