@@ -182,6 +182,63 @@ object Dedup {
     votes.select(col("id"), packed.as("simhash"))
   }
 
+  /** Connected components over near-duplicate pairs: collapse every
+    * transitively-linked group to its minimum id — the cluster closure a
+    * real corpus dedup needs on top of pairwise candidates (a chain
+    * a–b–c is ONE duplicate group even though (a,c) was never emitted).
+    *
+    * Scale-safe union-find: iterative min-label propagation, each round
+    * one key-partitioned join + partial-aggregated min — no driver-side
+    * graph, no all-pairs. Rounds = component diameter (near-dup clusters
+    * are shallow; `maxIter` caps pathological chains). Driver sees only
+    * a per-round change count.
+    *
+    * Input: pairs with `id_a`/`id_b`. Output: (id, canonical_id) for
+    * every id that appears in some pair; absent ids are their own
+    * canonical. */
+  def clusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val sym = e.union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    labels.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(org.apache.spark.sql.functions.min(col("nlabel")).as("nmin"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = updated
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
+  /** Keep one representative per near-duplicate cluster: the canonical
+    * (minimum) id survives, other members drop. */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val doomed = clusters(pairs)
+      .filter(col("id") =!= col("canonical_id"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

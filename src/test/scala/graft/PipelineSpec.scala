@@ -65,6 +65,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("cluster closure: chained pairs collapse to one canonical id") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20,21,22}
+    // via star 20-21, 20-22 — no pair list ever contains (1,4)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), c)
+    // end-to-end: planted exact chain through minhash pairs drops to one
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "the quick brown fox jumps over the lazy dog again and once"),
+      (50L, "completely different content that shares nothing at all here"))
+      .toDF("doc_id", "text")
+    val mp = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", mp)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.head == 1L && kept.contains(50L), kept.toSeq)
+    assert(kept.length < 4, kept.toSeq)
+  }
+
   test("simhash places mutated copies within small hamming distance") {
     val sigs = Dedup.simhash(planted, "doc_id", "text")
     val pairs = Dedup.simhashPairs(sigs, maxDist = 12)
