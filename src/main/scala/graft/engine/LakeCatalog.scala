@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
@@ -8,18 +8,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.{LakeTable, PartitionField}
 
-/** Name → table-directory catalog rooted at a warehouse path — the
-  * local-FS analogue of the reference's catalog surface (tables are
-  * addressed by name, resolution happens at query time;
-  * pg_lake_iceberg/src/object_store_catalog/object_store_catalog.c keeps
-  * the same "directory layout IS the catalog" shape). REST/Polaris
-  * integrations (network) stay out of scope; this trait seam is where
-  * they would plug in.
+/** Catalog seam: tables addressed by name, resolution at query time.
+  * The reference exposes the same surface over two backends — a
+  * directory-layout catalog
+  * (pg_lake_iceberg/src/object_store_catalog/object_store_catalog.c:
+  * "the layout IS the catalog") and a REST catalog that maps names to
+  * metadata pointers through a service
+  * (pg_lake_iceberg/src/rest_catalog/rest_catalog.c:62-828). Both
+  * shapes are implemented here: [[DirectoryCatalog]] derives the table
+  * location from the name; [[RestStyleCatalog]] keeps a name→location
+  * mapping in an explicit catalog store (a JSON state file standing in
+  * for the REST service — network is out of scope in this environment),
+  * so table locations are arbitrary, exactly the property a REST
+  * catalog adds.
   */
-final class LakeCatalog(val spark: SparkSession, val root: String) {
+trait CatalogApi {
+  def spark: SparkSession
+
+  def createTable(name: String, schemaDdl: String,
+      spec: List[PartitionField] = Nil): LakeTable
+  def ctas(name: String, df: DataFrame,
+      spec: List[PartitionField] = Nil): LakeTable
+  def table(name: String): LakeTable
+  def tableExists(name: String): Boolean
+  def listTables(): Seq[String]
+  def dropTable(name: String): Unit
+
+  protected def requireValidName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_.]+"), s"invalid table name $name")
+
+  protected def deleteDir(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      finally s.close()
+    }
+  }
+
+  /** Register every catalog table as a (pruning) view and run SQL. */
+  def sql(query: String): DataFrame = {
+    graft.functions.PgFunctions.registerAll(spark)
+    graft.functions.Geo.registerAll(spark)
+    listTables().foreach(n => Engine.registerTable(table(n), n))
+    spark.sql(query)
+  }
+}
+
+/** Directory-layout catalog: the warehouse directory IS the catalog;
+  * a table's location is `root/name`. */
+final class LakeCatalog(val spark: SparkSession, val root: String)
+    extends CatalogApi {
 
   private def dirFor(name: String): String = {
-    require(name.matches("[A-Za-z0-9_.]+"), s"invalid table name $name")
+    requireValidName(name)
     Paths.get(root, name).toString
   }
 
@@ -50,21 +93,86 @@ final class LakeCatalog(val spark: SparkSession, val root: String) {
     }
   }
 
-  def dropTable(name: String): Unit = {
-    val p = Paths.get(dirFor(name))
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally s.close()
+  def dropTable(name: String): Unit = deleteDir(dirFor(name))
+}
+
+/** REST-shaped catalog: an explicit name→location mapping held in a
+  * catalog store, so table data can live ANYWHERE — the defining
+  * property rest_catalog.c adds over the directory layout. The store
+  * here is a JSON state file updated with atomic rename (standing in
+  * for the catalog service's commit endpoint); every operation round-
+  * trips through it, never through directory listing. */
+final class RestStyleCatalog(val spark: SparkSession, val stateFile: String)
+    extends CatalogApi {
+
+  // --- the "service": load / commit the name→location table ----------
+  private def loadState(): Map[String, String] = {
+    val p = Paths.get(stateFile)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      // flat {"name":"location",...} document
+      "\"([A-Za-z0-9_.]+)\"\\s*:\\s*\"([^\"]*)\"".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
     }
   }
 
-  /** Register every catalog table as a (pruning) view and run SQL. */
-  def sql(query: String): DataFrame = {
-    graft.functions.PgFunctions.registerAll(spark)
-    graft.functions.Geo.registerAll(spark)
-    listTables().foreach(n => Engine.registerTable(table(n), n))
-    spark.sql(query)
+  private def commitState(m: Map[String, String]): Unit = {
+    val body = m.toSeq.sorted
+      .map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{\n  ", ",\n  ", "\n}\n")
+    val p = Paths.get(stateFile)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val tmp: Path = Paths.get(stateFile + s".tmp-${System.nanoTime()}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def register(name: String, location: String): Unit =
+    commitState(loadState() + (name -> location))
+
+  /** Locations are decoupled from names: fresh directory per create,
+    * beside the state file. */
+  private def newLocation(name: String): String =
+    Paths.get(Paths.get(stateFile).getParent.toString,
+      s"tbl-${java.util.UUID.randomUUID()}").toString
+
+  def createTable(name: String, schemaDdl: String,
+      spec: List[PartitionField] = Nil): LakeTable = {
+    requireValidName(name)
+    require(!tableExists(name), s"table $name already exists")
+    val loc = newLocation(name)
+    val t = Engine.create(spark, loc, schemaDdl, spec)
+    register(name, loc)
+    t
+  }
+
+  def ctas(name: String, df: DataFrame,
+      spec: List[PartitionField] = Nil): LakeTable = {
+    requireValidName(name)
+    require(!tableExists(name), s"table $name already exists")
+    val loc = newLocation(name)
+    val t = Engine.ctas(spark, loc, df, spec)
+    register(name, loc)
+    t
+  }
+
+  def table(name: String): LakeTable = {
+    val loc = loadState().getOrElse(name,
+      throw new IllegalArgumentException(s"no such table $name"))
+    LakeTable.load(spark, loc)
+  }
+
+  def tableExists(name: String): Boolean = loadState().contains(name)
+
+  def listTables(): Seq[String] = loadState().keys.toSeq.sorted
+
+  def dropTable(name: String): Unit = {
+    val st = loadState()
+    st.get(name).foreach { loc =>
+      commitState(st - name)
+      deleteDir(loc)
+    }
   }
 }
