@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine similarity of a vector column against one fixed query vector,
+  * in a single primitive loop (dot product and both norms together).
+  *
+  * The expression-tree form — `aggregate(zip_with(...))` plus two more
+  * `aggregate` folds for the norms — walks the array three times and
+  * dispatches an interpreted lambda per element; this kernel is the
+  * "custom Expression beats repeated HOFs" preference from the design
+  * notes applied to the similarity path. Double accumulation in the
+  * same element order keeps results bit-identical to the HOF form.
+  */
+case class CosineSim(child: Expression, query: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val qNorm: Double =
+    math.sqrt(query.map(v => v * v).sum)
+
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), query.length)
+    var dot = 0.0
+    var norm = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      dot += v * query(i)
+      norm += v * v
+      i += 1
+    }
+    val den = math.sqrt(norm) * qNorm
+    if (den == 0.0) null else dot / den
+  }
+
+  override protected def withNewChildInternal(c: Expression): CosineSim =
+    copy(c)
+}

@@ -72,7 +72,10 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
+    // the O(L·k) signature kernel is the expensive per-row stage: fan it
+    // out when the source is under-partitioned (single-row-group files)
+    val src = Par.fanOut(df)
+    val sig = src.select(col(idCol).as("id"),
         shingleSig(col(textCol), shingleK, numHashes).as("ss"))
       .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig"))
       .cache()

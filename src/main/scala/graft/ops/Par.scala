@@ -1,0 +1,26 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism guard for per-row-expensive stages (regex/metric kernels,
+  * signature computation, distance evaluation).
+  *
+  * Spark parallelizes a parquet scan at row-group granularity; a
+  * single-row-group file therefore runs its whole scan stage — and every
+  * expensive projection fused into it — on ONE core, while the other 31
+  * idle. One narrow exchange before the heavy stage buys full-core
+  * fan-out. The guard makes this a no-op at warehouse scale: inputs that
+  * already carry at least half the cluster's parallelism (real tables —
+  * many files, many row groups) pass through untouched, so the extra
+  * shuffle exists only where it wins.
+  */
+private[graft] object Par {
+
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (target <= 1) df
+    else if (df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
+}

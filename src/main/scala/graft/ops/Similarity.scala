@@ -25,11 +25,16 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
-  /** Cosine of every row against one query vector (brute force). */
+  /** Cosine of every row against one query vector (brute force): the
+    * one-pass [[CosineSim]] kernel — the HOF fold walks the array three
+    * times and dispatches an interpreted lambda per element. */
   def cosineAll(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float]): DataFrame = {
-    val q = array(query.map(v => lit(v)): _*)
-    df.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cosine"))
+    val q = query.map(_.toDouble)
+    df.select(col(idCol),
+      round(org.apache.spark.sql.GraftBridge.column(
+        CosineSim(org.apache.spark.sql.GraftBridge.eagerExpression(
+          col(vecCol)), q)), 6).as("cosine"))
   }
 
   /** Brute-force top-k: Catalyst plans orderBy+limit as TakeOrdered

@@ -37,6 +37,16 @@ object TextAnalysis {
       .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") /
         tokenCount(text))
 
+  /** All quality metrics in ONE pass ([[TextMetrics]] kernel) with the
+    * per-row stage fanned out across cores — the regex-stack form walks
+    * every document four times. Adds a `metrics` struct column
+    * (n_chars, n_tokens, n_punct, n_digit, n_nonspace). */
+  def withMetrics(df: DataFrame, textCol: String,
+      metaCol: String = "metrics"): DataFrame =
+    Par.fanOut(df).withColumn(metaCol,
+      org.apache.spark.sql.GraftBridge.column(TextMetrics(
+        org.apache.spark.sql.GraftBridge.eagerExpression(col(textCol)))))
+
   /** Composite quality score in [0,1]: long-enough, low punctuation/digit
     * noise, plausible word lengths — the usual pre-training heuristics. */
   def qualityScore(text: Column): Column = {

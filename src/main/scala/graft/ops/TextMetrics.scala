@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text quality metrics.
+  *
+  * The expression-tree form of token/punct/digit/word-length metrics
+  * runs FOUR regex passes over every document (split, two
+  * regexp_counts, a regexp_replace) — measured as the most expensive
+  * per-row stage in the benchmark after minhash. This kernel computes
+  * all of them in a single codepoint loop with zero allocation:
+  *
+  *  - n_chars    total codepoints (Spark/DuckDB `length` semantics)
+  *  - n_tokens   `size(split(trim(text), "\\s+"))` semantics, including
+  *               the leading-empty artifact Java split produces when the
+  *               space-trimmed text still starts with other whitespace
+  *  - n_punct    codepoints outside [A-Za-z0-9] and whitespace
+  *  - n_digit    ASCII digits
+  *  - n_nonspace non-whitespace codepoints (`regexp_replace(text,
+  *               "\\s+", "")` length)
+  *
+  * Whitespace is the Java regex `\s` class ([ \t\n\x0B\f\r]) — the
+  * exact class the previous expressions used, so results are
+  * bit-identical to the regex pipeline (and to the DuckDB oracle).
+  */
+case class TextMetrics(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_nonspace", LongType, nullable = false)))
+
+  @inline private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' ||
+      cp == '\r'
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var chars = 0L; var punct = 0L; var digit = 0L; var nonspace = 0L
+    var runs = 0L
+    var inRun = false
+    // space-trim bounds (Spark trim() strips ' ' only)
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    val leadingWs = lo < hi && isWs(s.codePointAt(lo))
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      chars += 1
+      if (isWs(cp)) inRun = false
+      else {
+        nonspace += 1
+        if (cp >= '0' && cp <= '9') digit += 1
+        else if (!((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')))
+          punct += 1
+        if (!inRun) { runs = runs + 1; inRun = true }
+      }
+      i += Character.charCount(cp)
+    }
+    val tokens =
+      if (lo >= hi) 0L // blank after trim
+      else runs + (if (leadingWs) 1L else 0L)
+    InternalRow(chars, tokens, punct, digit, nonspace)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextMetrics =
+    copy(c)
+}

@@ -24,12 +24,22 @@ object QPipe {
     },
 
     "q_text_stats" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-      d.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextAnalysis.digitRatio(col("text")), 6).as("digit_ratio"),
-          round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"))
+      // one-pass TextMetrics kernel (same values as the regex stack,
+      // computed in a single codepoint loop, fanned out across cores)
+      val m = TextAnalysis.withMetrics(t(s, dir, "documents"), "text")
+      val chars = col("metrics.n_chars")
+      val toks = col("metrics.n_tokens")
+      m.select(col("doc_id"),
+          toks.as("n_tokens"),
+          round(when(chars === 0, 0.0).otherwise(
+            col("metrics.n_punct").cast("double") / chars), 6)
+            .as("punct_ratio"),
+          round(when(chars === 0, 0.0).otherwise(
+            col("metrics.n_digit").cast("double") / chars), 6)
+            .as("digit_ratio"),
+          round(when(toks === 0, 0.0).otherwise(
+            col("metrics.n_nonspace").cast("double") / toks), 6)
+            .as("mean_word_len"))
         .orderBy("doc_id")
     },
 
