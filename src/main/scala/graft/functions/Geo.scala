@@ -736,6 +736,79 @@ object Geo {
       d(xmin), lit(" "), d(ymin), lit("))")))
   }
 
+  /** Fold a collected array of WKB geometries through a kernel binary
+    * op — the aggregate forms of st_collect / st_union. The heavy
+    * lifting (collect_list) distributes with partial aggregation like
+    * any built-in; the fold runs once per GROUP, not per row. */
+  case class GeomFold(child: Expression, op: (Geom, Geom) => Option[Geom])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var acc: Option[Geom] = None
+      var i = 0
+      var bail = false
+      while (i < arr.numElements() && !bail) {
+        if (!arr.isNullAt(i)) fromWkb(arr.getBinary(i)) match {
+          case Some(g) =>
+            acc = acc match {
+              case None => Some(g)
+              case Some(a) => op(a, g) match {
+                case s @ Some(_) => s
+                case None => bail = true; None
+              }
+            }
+          case None =>
+        }
+        i += 1
+      }
+      if (bail) null else acc.map(toWkb).orNull
+    }
+    override protected def withNewChildInternal(c: Expression): GeomFold =
+      copy(child = c)
+  }
+
+  /** PostGIS aggregate `st_collect(geometry set)`: every input geometry
+    * gathered into one (multi-)geometry. Use inside `df.agg(...)`.
+    * Inputs are sorted (WKB byte order) so the result is deterministic
+    * regardless of partitioning. */
+  def st_collect_agg(g: Column): Column = {
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    GraftBridge.column(GeomFold(
+      GraftBridge.eagerExpression(sort_array(collect_list(g))),
+      (a, b) => Some(GeoKernel.collect(a, b))))
+  }
+
+  /** PostGIS aggregate `st_union(geometry set)`: the group's geometries
+    * dissolved into one. Areal inputs only; the kernel clipping domain
+    * applies (degenerate contact yields NULL, documented). Result is
+    * order-independent: disjoint components merge set-wise and the
+    * final members sort by envelope. */
+  def st_union_agg(g: Column): Column = {
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    GraftBridge.column(GeomFoldAll(
+      GraftBridge.eagerExpression(sort_array(collect_list(g))),
+      GeoKernel.unionAll))
+  }
+
+  /** Like [[GeomFold]] but hands the kernel the whole decoded list. */
+  case class GeomFoldAll(child: Expression,
+      op: Seq[Geom] => Option[Geom])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val gs = (0 until arr.numElements()).iterator
+        .filterNot(arr.isNullAt)
+        .flatMap(i => fromWkb(arr.getBinary(i))).toSeq
+      op(gs).map(toWkb).orNull
+    }
+    override protected def withNewChildInternal(c: Expression): GeomFoldAll =
+      copy(child = c)
+  }
+
   /** Bounding-box aggregate (PostGIS st_extent) — composes built-in
     * min/max aggregates over the per-row envelope, so it distributes with
     * map-side partial aggregation like any min/max. Use inside
@@ -844,5 +917,7 @@ object Geo {
       st_containsproperly(a, b) }
     reg("st_z") { case Seq(g) => st_z(g) }
     reg("st_m") { case Seq(g) => st_m(g) }
+    reg("st_collect_agg") { case Seq(g) => st_collect_agg(g) }
+    reg("st_union_agg") { case Seq(g) => st_union_agg(g) }
   }
 }

@@ -1047,6 +1047,37 @@ object GeoKernel {
     case _ => Some(collect(a, b))
   }
 
+  /** N-way union (the aggregate st_union): maintain a list of pairwise-
+    * disjoint components, merging each incoming polygon into whichever
+    * components it overlaps (repeatedly, since one merge can bridge
+    * two). Result is order-independent up to the final member sort.
+    * Non-areal members or clipper-domain failures → None. */
+  def unionAll(gs: Seq[Geom]): Option[Geom] = {
+    var comps = List.empty[Geom]
+    for (g <- gs) {
+      if (polygons(g).isEmpty && !isEmpty(g)) return None
+      var cur = g
+      var rest = List.empty[Geom]
+      var pending = comps
+      while (pending.nonEmpty) {
+        val h = pending.head
+        pending = pending.tail
+        if (intersects(cur, h)) union(cur, h) match {
+          case Some(u) if polygons(u).size == 1 => cur = polygons(u).head
+          case _ => return None // degenerate contact or multi result
+        }
+        else rest ::= h
+      }
+      comps = cur :: rest
+    }
+    comps.filterNot(isEmpty) match {
+      case Nil => Some(GMulti("MULTIPOLYGON", Vector()))
+      case one :: Nil => Some(one)
+      case many => Some(GMulti("MULTIPOLYGON",
+        many.toIndexedSeq.sortBy(g => envelope(g))))
+    }
+  }
+
   /** PostGIS st_difference a − b. */
   def difference(a: Geom, b: Geom): Option[Geom] = (a, b) match {
     case (p: GPoint, g) =>

@@ -442,6 +442,39 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(area(kept) > 0)
   }
 
+  test("wave-3: st_collect_agg / st_union_agg aggregate forms") {
+    import spark.implicits._
+    Geo.registerAll(spark)
+    // four unit squares in a row, pairwise-disjoint except 2&3 overlap
+    // by half: union area = 1 + 1.5 + 1 (squares at x=0, 2, 2.5, 5)
+    val rows = Seq(
+      (1, "POLYGON((0 0,1 0,1 1,0 1,0 0))"),
+      (1, "POLYGON((2 0,3 0,3 1,2 1,2 0))"),
+      (1, "POLYGON((2.5 0.25,3.5 0.25,3.5 0.75,2.5 0.75,2.5 0.25))"),
+      (2, "POLYGON((5 0,6 0,6 1,5 1,5 0))"))
+    val df = rows.toDF("grp", "wkt")
+      .select($"grp", Geo.st_geomfromtext($"wkt").as("g"))
+    val agg = df.groupBy("grp")
+      .agg(Geo.st_collect_agg($"g").as("coll"),
+        Geo.st_union_agg($"g").as("uni"))
+      .select($"grp", Geo.st_npoints($"coll").as("np"),
+        Geo.st_area($"uni").as("ua"))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(agg(1)._1 == 15) // 3 rings x 5 points collected
+    // union: square1 (1.0) + square2 ∪ overlap (1.0 + 0.5·1 - overlap
+    // 0.25 -> 1.25... computed: 1x1 + 1x0.5 strip minus shared 0.5x0.5)
+    assert(math.abs(agg(1)._2 - (1.0 + 1.0 + 0.5 - 0.25)) < 1e-9, agg(1))
+    assert(agg(2) == ((5, 1.0)))
+    // SQL surface
+    val viaSql = spark.sql(
+      """SELECT st_area(st_union_agg(st_geomfromtext(w))) AS a FROM VALUES
+        |('POLYGON((0 0,2 0,2 2,0 2,0 0))'),
+        |('POLYGON((1 1,3 1,3 3,1 3,1 1))') AS t(w)""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(viaSql - 7.0) < 1e-9)
+  }
+
   test("zone assignment join over WKB columns") {
     import spark.implicits._
     val zones = Seq(
