@@ -176,6 +176,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qds_or_exists: disjunctive EXISTS decorrelates, no per-row re-scan") {
+    val p = plan("qds_or_exists")
+    assert(!p.contains("CartesianProduct"), p)
+    // each EXISTS becomes a semi-join-shaped plan over one orders scan
+    assert(p.linesIterator.count(_.contains("orders.parquet")) <= 4, p)
+  }
+
+  test("qds_ship_window: wide 4-join keeps dims broadcast, fact scanned once") {
+    val p = plan("qds_ship_window")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 2, p)
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE wraps everything in AdaptiveSparkPlan whose toString hides the
     // codegen stages; check the codegen layout with AQE off
