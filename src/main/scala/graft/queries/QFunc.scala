@@ -19,6 +19,21 @@ object QFunc {
     t(s, dir, "documents").filter(col("doc_id") < 200)
 
   val queries: Map[String, QueryFn] = Map(
+    // second string wave: character translation, SQL-standard set
+    // trims, bit/octet lengths, hex — same SQL to both engines
+    "q_fn_string2" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT doc_id,
+          |  translate(source, 'srcx', 'xyzq') AS tr,
+          |  TRIM(LEADING 's' FROM source) AS ltr,
+          |  TRIM(TRAILING '0123456789' FROM source) AS rtr,
+          |  CAST(bit_length(lang) AS BIGINT) AS bl,
+          |  CAST(octet_length(text) AS BIGINT) AS ol,
+          |  upper(hex(CAST(n_chars AS BIGINT))) AS hx,
+          |  substr(text, greatest(length(text) - 9, 1)) AS tail10
+          |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)
+    },
     "q_fn_string" -> { (s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -225,6 +240,17 @@ object QFunc {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_string2" ->
+      """SELECT doc_id,
+        |  translate(source, 'srcx', 'xyzq') AS tr,
+        |  TRIM(LEADING 's' FROM source) AS ltr,
+        |  TRIM(TRAILING '0123456789' FROM source) AS rtr,
+        |  CAST(bit_length(lang) AS BIGINT) AS bl,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS ol,
+        |  upper(hex(CAST(n_chars AS BIGINT))) AS hx,
+        |  substr(text, greatest(length(text) - 9, 1)) AS tail10
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
     "q_fn_string" ->
       """SELECT doc_id,
         |  lower(lang) AS lo, upper(source) AS up,

@@ -122,7 +122,52 @@ object QTpcds4 {
       |HAVING count(*) >= 3
       |ORDER BY p_brand, s_name""".stripMargin
 
+  // Q38 shape: customers active in ALL THREE years (INTERSECT chain of
+  // per-year DISTINCT customer sets), counted.
+  private val qIntersectYears =
+    """SELECT count(*) AS n_loyal FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1995
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1996
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1997) t""".stripMargin
+
+  // Q87 shape: Q38's EXCEPT counterpart — active in 1995 but in
+  // NEITHER of the two following years.
+  private val qExceptYears =
+    """SELECT count(*) AS n_lapsed FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1995
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1996
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders
+      |  WHERE extract(year FROM o_orderdate) = 1997) t""".stripMargin
+
+  // Q66 shape: wide 12-month conditional-sum pivot per group, one scan.
+  private val qMonthPivot = {
+    val cols = (1 to 12).map(m =>
+      s"""  CAST(sum(CASE WHEN extract(month FROM o_orderdate) = $m
+         |    THEN CAST(round(o_totalprice * 100) AS BIGINT)
+         |    ELSE 0 END) AS BIGINT) AS m${"%02d".format(m)}""".stripMargin)
+    s"""SELECT n_name AS nation,
+       |${cols.mkString(",\n")}
+       |FROM orders
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation ON n_nationkey = c_nationkey
+       |WHERE extract(year FROM o_orderdate) = 1997
+       |GROUP BY n_name
+       |ORDER BY nation""".stripMargin
+  }
+
   private val shared = Map(
+    "qds_intersect_years" -> qIntersectYears,
+    "qds_except_years" -> qExceptYears,
+    "qds_month_pivot" -> qMonthPivot,
     "qds_or_exists" -> qOrExists,
     "qds_ranked_union" -> qRankedUnion,
     "qds_share_growth" -> qShareGrowth,

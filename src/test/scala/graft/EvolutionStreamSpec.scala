@@ -120,6 +120,35 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.meta.snapshots.count(_.operation == "append") >= 2)
   }
 
+  test("streaming dedup drops watermark-window duplicates, keeps the rest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val deduped = StreamIngest.dedupStream(
+      input.toDF.toDF("ts", "text"), "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a and b, plus a retry-duplicate of a at a later minute
+      input.addData((ts(0), "doc a"), (ts(1), "doc b"), (ts(3), "doc a"))
+      q.processAllAvailable()
+      // batch 2: late duplicate of b inside the window -> dropped; c new
+      input.addData((ts(5), "doc b"), (ts(6), "doc c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("text")
+        .collect().map(_.getString(0)).sorted
+      assert(out.sameElements(Array("doc a", "doc b", "doc c")), out.toSeq)
+      // ≡ batch semantics on the same content key
+      val batch = Seq((ts(0), "doc a"), (ts(1), "doc b"), (ts(3), "doc a"),
+        (ts(5), "doc b"), (ts(6), "doc c")).toDF("ts", "text")
+        .dropDuplicates("text")
+      assert(batch.count() == out.length)
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over the events fixture") {
     val ev = Tables.load(spark, sf, "events")
     val agg = StreamIngest.windowedCounts(ev, "ts", "value", "1 hour",
