@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{Geo, PgFunctions}
+
+/** The canonical Spark extension entry point: configure
+  * `spark.sql.extensions=graft.GraftExtensions` and every PG-shim and
+  * ST_* function is available in ANY session of that SparkContext — no
+  * per-session `registerAll` call. This is the Spark analogue of the
+  * reference installing its extension surface at CREATE EXTENSION time
+  * (pg_lake_engine's function/OID shims) rather than per connection.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String,
+        b: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), b))
+    PgFunctions.registerInto(inject)
+    Geo.registerInto(inject)
+  }
+}

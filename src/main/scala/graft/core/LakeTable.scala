@@ -117,6 +117,30 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
   }
 
   /** `lake_iceberg.snapshots`-style inspection. */
+  /** Incremental (CDC-style) read: the rows APPENDED between two
+    * snapshots — the files present at `toSnapshot` but not at
+    * `fromSnapshot`, restricted to data files (an Iceberg
+    * incremental-append scan). Rows removed by rewrites in the range are
+    * not emitted; position-deletes committed at or before `toSnapshot`
+    * that target the NEW files are applied, so a row appended and then
+    * MOR-deleted inside the range never surfaces. The streaming-backfill
+    * primitive: consumers checkpoint a snapshot id and read forward. */
+  def appendsBetween(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    require(fromSnapshot <= toSnapshot,
+      s"appendsBetween: $fromSnapshot > $toSnapshot")
+    val before = liveFilesAt(fromSnapshot).map(_.path).toSet
+    val after = liveFilesAt(toSnapshot)
+    val (dels, data) = after.partition(_.isDelete)
+    val fresh = data.filterNot(f => before.contains(f.path))
+    if (fresh.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val base = spark.read.schema(schema).parquet(fresh.map(_.path): _*)
+      if (dels.isEmpty) base else applyPositionDeletes(base, dels)
+    }
+  }
+
   def snapshotsDF: DataFrame = {
     import spark.implicits._
     meta.snapshots.map(s => (s.id, new java.sql.Timestamp(s.timestampMs),

@@ -830,11 +830,16 @@ object Geo {
       min(st_ymin(env)), org.apache.spark.sql.functions.lit("))")))
   }
 
-  def registerAll(spark: SparkSession): Unit = {
+  def registerAll(spark: SparkSession): Unit =
+    registerInto((name, b) => spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, b, "built-in"))
+
+  /** Session-independent registration (see PgFunctions.registerInto). */
+  def registerInto(sink: (String, Seq[Expression] => Expression) => Unit)
+      : Unit = {
     def reg(name: String)(builder: Seq[Column] => Column): Unit =
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-        exprs => GraftBridge.eagerExpression(
-          builder(exprs.map(GraftBridge.column))), "built-in")
+      sink(name, exprs => GraftBridge.eagerExpression(
+        builder(exprs.map(GraftBridge.column))))
     reg("st_point") { case Seq(x, y) => st_point(x, y) }
     reg("st_x") { case Seq(g) => st_x(g) }
     reg("st_y") { case Seq(g) => st_y(g) }

@@ -301,11 +301,20 @@ object PgFunctions {
 
   /** Register the surface for spark.sql use (FunctionRegistry — the
     * analogue of the reference's OID-rewrite shim resolution). */
-  def registerAll(spark: SparkSession): Unit = {
+  def registerAll(spark: SparkSession): Unit =
+    registerInto((name, b) => spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, b, "built-in"))
+
+  /** Session-independent registration: feed every (name, builder) pair
+    * into `sink` — the shape both the per-session FunctionRegistry path
+    * and the SparkSessionExtensions.injectFunction path consume. */
+  def registerInto(sink: (String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression) => Unit)
+      : Unit = {
     def reg(name: String)(builder: Seq[Column] => Column): Unit =
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-        exprs => GraftBridge.eagerExpression(
-          builder(exprs.map(GraftBridge.column))), "built-in")
+      sink(name, exprs => GraftBridge.eagerExpression(
+        builder(exprs.map(GraftBridge.column))))
 
     reg("pg_substring") {
       case Seq(s, f) => substringPg(s, f)

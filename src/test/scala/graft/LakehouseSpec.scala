@@ -237,6 +237,31 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("l_quantity") > 45).count() == 0)
   }
 
+  test("incremental read: appendsBetween returns exactly the new rows") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val part1 = li.filter(col("l_orderkey") % 3 === 0)
+    val part2 = li.filter(col("l_orderkey") % 3 === 1)
+    val part3 = li.filter(col("l_orderkey") % 3 === 2)
+    val tbl = Engine.ctas(spark, dir, part1)
+    val s1 = tbl.meta.currentSnapshotId
+    Engine.insert(tbl, part2)
+    val s2 = tbl.meta.currentSnapshotId
+    Engine.insert(tbl, part3)
+    val s3 = tbl.meta.currentSnapshotId
+    assert(tbl.appendsBetween(s1, s2).count() == part2.count())
+    assert(tbl.appendsBetween(s2, s3).count() == part3.count())
+    assert(tbl.appendsBetween(s1, s3).count() ==
+      part2.count() + part3.count())
+    assert(tbl.appendsBetween(s3, s3).count() == 0)
+    // a MOR delete inside the range suppresses the deleted rows
+    Engine.deleteMor(tbl, col("l_orderkey") % 3 === 2 &&
+      col("l_quantity") < 10)
+    val s4 = tbl.meta.currentSnapshotId
+    val expected = part3.filter(!(col("l_quantity") < 10)).count()
+    assert(tbl.appendsBetween(s2, s4).count() == expected)
+  }
+
   test("many-file write collects footer stats executor-side, exactly") {
     val dir = tmp()
     val li = Tables.load(spark, sf, "lineitem")

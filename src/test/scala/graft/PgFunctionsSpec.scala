@@ -166,6 +166,39 @@ class PgFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(PgFunctions.encode(lit("abc").cast("binary"), "hex")) == "616263")
   }
 
+  test("spark.sql.extensions injects the whole function surface") {
+    // a session wired through graft.GraftExtensions sees PG shims and
+    // ST_* names with NO registerAll call — the CREATE EXTENSION
+    // analogue. (`spark.sql.extensions=graft.GraftExtensions` is the
+    // production spelling; it is a static conf read at CONTEXT creation,
+    // so under a shared test context the same class goes through the
+    // builder's withExtensions hook instead — identical injection path.)
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(ext => new graft.GraftExtensions()(ext))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT pg_initcap('hello world') AS ic,
+          |  st_area(st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))')) AS a,
+          |  st_astext(st_intersection(
+          |    st_geomfromtext('POLYGON((0 0,2 0,2 2,0 2,0 0))'),
+          |    st_geomfromtext('POLYGON((1 1,3 1,3 3,1 3,1 1))'))) AS x
+          |""".stripMargin).head()
+      assert(r.getString(0) == "Hello World")
+      assert(r.getDouble(1) == 4.0)
+      assert(r.getString(2).startsWith("POLYGON"), r.getString(2))
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("SQL registration surface") {
     PgFunctions.registerAll(spark)
     val r = spark.sql(
