@@ -758,6 +758,8 @@ object Engine {
       case "parquet" => w.parquet(path)
       case "csv" => w.option("header", "true").csv(path)
       case "json" => w.json(path)
+      // ORC rides Spark's built-in writer (zlib/snappy/zstd compression)
+      case "orc" => w.orc(path)
       case other => throw new IllegalArgumentException(s"format $other")
     }
   }
@@ -774,6 +776,7 @@ object Engine {
         spark.read.options(sniffed ++ options)
           .option("inferSchema", "true").csv(path)
       case "json" => spark.read.options(options).json(path)
+      case "orc" => spark.read.options(options).orc(path)
       case "text" => spark.read.options(options).text(path)
       // GeoJSON FeatureCollection → one row per feature with the geometry
       // as a WKB column (the reference reads these via DuckDB spatial's

@@ -127,6 +127,25 @@ class FormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.schema("qty").dataType == IntegerType) // inferred type
   }
 
+  test("orc round-trips through copyTo/copyFrom with schema intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orc").toString + "/t"
+    val df = Seq((1L, "a", 1.5, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "b", 2.5, java.sql.Timestamp.valueOf("2024-06-15 12:30:00")))
+      .toDF("id", "name", "v", "ts")
+    Engine.copyTo(df, dir, "orc")
+    val back = Engine.copyFrom(spark, dir, "orc")
+    // ORC reads back nullable (like parquet); names and types survive
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // compression option honored (zlib is ORC's interoperable default)
+    val dir2 = Files.createTempDirectory("orc2").toString + "/t"
+    Engine.copyTo(df, dir2, "orc", compression = "zlib", singleFile = true)
+    assert(Engine.copyFrom(spark, dir2, "orc").count() == 2)
+  }
+
   test("gzip/zstd compression round-trips") {
     val d = Files.createTempDirectory("compress")
     val n = Tables.load(spark, "/root/testdata/sf0.001", "nation")
