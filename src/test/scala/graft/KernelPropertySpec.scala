@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoKernel
+import graft.functions.GeoKernel._
+import graft.ops.TextMetrics
+
+/** Property tests for the hand-written kernels — the parts where a
+  * subtle bug would silently skew results rather than crash. Seeded
+  * exhaustive-ish sampling (deterministic across runs).
+  *
+  *  - clipping: for random rectangle pairs on offset sub-grids (the
+  *    proper-crossings domain), the boolean ops must satisfy
+  *    inclusion–exclusion exactly: area(A∩B) + area(A−B) = area(A),
+  *    area(A∪B) = area(A) + area(B) − area(A∩B), and the results must
+  *    agree with closed-form interval arithmetic.
+  *  - TextMetrics: the one-pass loop must equal the regex definitions
+  *    it replaced, character class by character class.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  test("clipping satisfies inclusion-exclusion on 500 random rectangle pairs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 500) {
+      // A on the integer grid, B on the +0.25 sub-grid: boundaries can
+      // only meet in proper crossings (the clipper's domain)
+      val (ax, ay) = (rnd.nextInt(41).toDouble, rnd.nextInt(41).toDouble)
+      val (aw, ah) = (1.0 + rnd.nextInt(15), 1.0 + rnd.nextInt(15))
+      val (bx, by) = (rnd.nextInt(41) + 0.25, rnd.nextInt(41) + 0.25)
+      val (bw, bh) = (1.0 + rnd.nextInt(15), 1.0 + rnd.nextInt(15))
+      val a = makeEnvelope(ax, ay, ax + aw, ay + ah)
+      val b = makeEnvelope(bx, by, bx + bw, by + bh)
+      val ia = area(intersection(a, b).get)
+      val ua = area(union(a, b).get)
+      val da = area(difference(a, b).get)
+      val db = area(difference(b, a).get)
+      // closed-form truth
+      val iw = math.max(0, math.min(ax + aw, bx + bw) - math.max(ax, bx))
+      val ih = math.max(0, math.min(ay + ah, by + bh) - math.max(ay, by))
+      val expected = iw * ih
+      val ctx = s"A=($ax,$ay,$aw,$ah) B=($bx,$by,$bw,$bh)"
+      assert(math.abs(ia - expected) < 1e-9, s"inter $ia vs $expected $ctx")
+      assert(math.abs(ua - (aw * ah + bw * bh - expected)) < 1e-9, ctx)
+      assert(math.abs(da - (aw * ah - expected)) < 1e-9, ctx)
+      assert(math.abs(db - (bw * bh - expected)) < 1e-9, ctx)
+      // predicates stay consistent with the areas
+      assert(GeoKernel.overlaps(a, b) == (expected > 0 &&
+        expected < aw * ah && expected < bw * bh), ctx)
+      assert(GeoKernel.intersects(a, b) == (iw > 0 && ih > 0), ctx)
+    }
+  }
+
+  test("TextMetrics equals the regex definitions on 1000 random strings") {
+    val rnd = new scala.util.Random(7)
+    val alphabet =
+      ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+        Seq(' ', ' ', ' ', '\t', '\n', '.', ',', '!', '-', '_', '\'')
+    for (_ <- 0 until 1000) {
+      val s = Seq.fill(rnd.nextInt(60))(
+        alphabet(rnd.nextInt(alphabet.size))).mkString
+      val row = TextMetrics(org.apache.spark.sql.catalyst.expressions
+        .Literal.create(s, org.apache.spark.sql.types.StringType))
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val ctx = s.replace("\n", "\\n").replace("\t", "\\t")
+      assert(row.getLong(0) == s.length.toLong, s"chars [$ctx]")
+      // size(split(trim(text), "\\s+")) semantics, blank-after-trim -> 0
+      val trimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val expectedTokens =
+        if (trimmed.trim.isEmpty) 0L
+        else trimmed.split("\\s+").length.toLong
+      assert(row.getLong(1) == expectedTokens, s"tokens [$ctx]")
+      assert(row.getLong(2) ==
+        "[^a-zA-Z0-9\\s]".r.findAllIn(s).length.toLong, s"punct [$ctx]")
+      assert(row.getLong(3) ==
+        s.count(c => c >= '0' && c <= '9').toLong, s"digit [$ctx]")
+      assert(row.getLong(4) ==
+        s.replaceAll("\\s+", "").length.toLong, s"nonspace [$ctx]")
+    }
+  }
+}
