@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, the LATEST right row with the same
+  * key and right.time <= left.time — the event-time alignment join
+  * feature stores and training-data pipelines live on (join each
+  * sample to the most recent label/metric/state).
+  *
+  * Spark has no native ASOF JOIN (DuckDB does; the oracle uses it).
+  * The naive formulations both fail at scale: an inequality theta-join
+  * explodes into a range product, and a per-left-row subquery re-scans
+  * the right side. This implementation is the scale-safe union trick:
+  *
+  *   1. tag both inputs and UNION them (right rows carry their payload
+  *      as a struct, left rows carry NULL),
+  *   2. one hash partition on the key, one sort by (time, side) —
+  *      right rows sort BEFORE left rows at equal timestamps, making
+  *      the match inclusive,
+  *   3. running `last(payload, ignoreNulls)` over rows-unbounded-
+  *      preceding fills each left row with the latest right payload,
+  *   4. keep the left rows.
+  *
+  * ONE shuffle of |L|+|R| rows, no range explosion, no re-scan —
+  * the same shape a 1000-executor cluster wants. Right rows must be
+  * unique per (key, time); pre-aggregate otherwise.
+  */
+object AsofJoin {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, payloadPrefix: String = "asof_"): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != keyCol && c != timeCol)
+    require(payloadCols.nonEmpty, "right side needs payload columns")
+    val payload = struct(payloadCols.map(col): _*)
+    val leftCols = left.columns
+    val taggedRight = right.select(
+      Seq(col(keyCol), col(timeCol).as("_t"), lit(0).as("_side"),
+        payload.as("_p")) ++ leftCols.filterNot(c => c == keyCol)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      Seq(col(keyCol), col(timeCol).as("_t"), lit(1).as("_side"),
+        lit(null).cast(taggedRight.schema("_p").dataType).as("_p")) ++
+        leftCols.filterNot(c => c == keyCol).map(col): _*)
+    val w = Window.partitionBy(keyCol).orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = taggedRight.unionByName(taggedLeft)
+      .withColumn("_match", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val out = leftCols.map(col) ++ payloadCols.map(c =>
+      col(s"_match.$c").as(s"$payloadPrefix$c"))
+    matched.select(out: _*)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import Q._
 
 /** Training-data-pipeline operators through the gate: exact/near dedup,
@@ -41,6 +41,23 @@ object QPipe {
             col("metrics.n_nonspace").cast("double") / toks), 6)
             .as("mean_word_len"))
         .orderBy("doc_id")
+    },
+
+    // as-of join: every click aligned to the user's latest view at or
+    // before it — DuckDB's native ASOF JOIN is the oracle, our side is
+    // the one-shuffle union+window plan (AsofJoin docs).
+    "q_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(round(max(col("value")), 2).as("view_value"))
+      AsofJoin.asofJoin(clicks, views, "user_id", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("asof_view_value").as("view_value"))
+        .orderBy("event_id")
     },
 
     "q_text_fingerprint" -> { (s, dir) =>
@@ -119,6 +136,21 @@ object QPipe {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    round(max(value), 2) AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+        |SELECT c.event_id, c.user_id, v.view_value
+        |FROM clicks c
+        |ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies

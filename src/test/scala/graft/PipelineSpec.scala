@@ -65,6 +65,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("as-of join: latest right row at or before each left time") {
+    import spark.implicits._
+    import graft.ops.AsofJoin
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val clicks = Seq((1L, 100L, ts(0)), (1L, 101L, ts(1)), (1L, 102L, ts(3)),
+      (1L, 103L, ts(7)), (2L, 200L, ts(5)))
+      .toDF("user_id", "event_id", "ts")
+    val views = Seq((1L, ts(1), 10.0), (1L, ts(5), 20.0))
+      .toDF("user_id", "ts", "v")
+    val r = AsofJoin.asofJoin(clicks, views, "user_id", "ts")
+      .select($"event_id", $"asof_v")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(100L).isEmpty)          // before any view
+    assert(r(101L) == Some(10.0))    // equal timestamps match (inclusive)
+    assert(r(102L) == Some(10.0))    // latest at-or-before
+    assert(r(103L) == Some(20.0))
+    assert(r(200L).isEmpty)          // user with no views
+  }
+
   test("cluster closure: chained pairs collapse to one canonical id") {
     import spark.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20,21,22}

@@ -190,6 +190,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.count(_.contains("lineitem.parquet")) <= 2, p)
   }
 
+  test("q_asof_join: union+window plan — no join operator, no range product") {
+    val p = plan("q_asof_join")
+    // the whole point of the formulation: event-time alignment WITHOUT
+    // an inequality join (which would plan as a range-exploding
+    // BroadcastNestedLoop/Cartesian at scale)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(nodeCount(p, "Window") == 1, p)
+    assert(p.contains("Union"), p)
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE wraps everything in AdaptiveSparkPlan whose toString hides the
     // codegen stages; check the codegen layout with AQE off
