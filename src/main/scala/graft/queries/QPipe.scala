@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import Q._
 
 /** Training-data-pipeline operators through the gate: exact/near dedup,
@@ -58,6 +58,27 @@ object QPipe {
         .select(col("event_id"), col("user_id"),
           col("asof_view_value").as("view_value"))
         .orderBy("event_id")
+    },
+
+    // range join: parts priced inside synthesized supplier intervals —
+    // bucketed equi-join + exact filter vs DuckDB's native range join.
+    "q_range_join" -> { (s, dir) =>
+      val points = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice").as("v"))
+      val intervals = t(s, dir, "supplier").select(col("s_suppkey"),
+        (col("s_suppkey") * 13 % 900).cast("double").as("lo"),
+        (col("s_suppkey") * 13 % 900 + 1 + col("s_suppkey") * 7 % 50)
+          .cast("double").as("hi"))
+      val joined = RangeJoin
+        .rangeJoin(points, "v", intervals, "lo", "hi", bucketWidth = 32)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("p_partkey")).as("key_sum"))
+      intervals.select("s_suppkey").join(joined, Seq("s_suppkey"), "left")
+        .select(col("s_suppkey"),
+          coalesce(col("n_points"), lit(0L)).as("n_points"),
+          coalesce(col("key_sum"), lit(0L)).as("key_sum"))
+        .orderBy("s_suppkey")
     },
 
     "q_text_fingerprint" -> { (s, dir) =>
@@ -136,6 +157,19 @@ object QPipe {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT s.s_suppkey,
+        |  count(p.p_partkey) AS n_points,
+        |  CAST(COALESCE(sum(p.p_partkey), 0) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT s_suppkey,
+        |    CAST(s_suppkey * 13 % 900 AS DOUBLE) AS lo,
+        |    CAST(s_suppkey * 13 % 900 + 1 + s_suppkey * 7 % 50 AS DOUBLE)
+        |      AS hi
+        |  FROM supplier) s
+        |LEFT JOIN part p ON p.p_retailprice BETWEEN s.lo AND s.hi
+        |GROUP BY s.s_suppkey ORDER BY s.s_suppkey""".stripMargin,
+
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts

@@ -84,6 +84,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(200L).isEmpty)          // user with no views
   }
 
+  test("range join equals the brute-force filter on random intervals") {
+    import spark.implicits._
+    import graft.ops.RangeJoin
+    val rnd = new scala.util.Random(11)
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 100))
+      .toDF("pid", "v")
+    val intervals = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 95
+      (i.toLong, lo, lo + rnd.nextDouble() * 20)
+    }.toDF("iid", "lo", "hi")
+    val fast = RangeJoin.rangeJoin(points, "v", intervals, "lo", "hi", 8.0)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val slow = points.crossJoin(intervals)
+      .filter($"v" >= $"lo" && $"v" <= $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(fast == slow, s"${fast.size} vs ${slow.size}")
+  }
+
   test("cluster closure: chained pairs collapse to one canonical id") {
     import spark.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20,21,22}

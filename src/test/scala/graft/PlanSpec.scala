@@ -202,6 +202,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Union"), p)
   }
 
+  test("q_range_join: bucketed hash join — no nested-loop range product") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the interval join itself is an equi-join on the bucket id
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE wraps everything in AdaptiveSparkPlan whose toString hides the
     // codegen stages; check the codegen layout with AQE off
