@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis: how many users reach each stage of an
+  * event sequence (stage k counts only if it happens AFTER the user's
+  * entry into stage k-1) — the conversion/progression measurement every
+  * behavioral pipeline runs.
+  *
+  * Single-pass formulation: one groupBy(user) computing, per stage, the
+  * earliest qualifying timestamp as a chained conditional min —
+  * t1 = min(ts | stage1), t2 = min(ts | stage2 ∧ ts >= t1), … — which
+  * Spark evaluates in ONE aggregation over one shuffle. No self-joins
+  * (the textbook k-way formulation shuffles the events table k times).
+  *
+  * Note the chain means "after the user's FIRST stage-(k-1) event", the
+  * standard strict-funnel semantics (re-entries don't reset progress).
+  */
+object Funnel {
+
+  /** Per-user earliest timestamp per stage (NULL = never reached).
+    * `stages` maps stage name -> event predicate, in funnel order. */
+  def userStages(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    // chained conditional mins: a window-free trick — min(ts | pred AND
+    // ts >= prior-stage min) needs the prior min in the SAME aggregate,
+    // so compute stage k over a re-aggregation: k passes of groupBy
+    // would shuffle k times; instead collect the per-user sorted event
+    // list once and fold it (list stays small: one user's events).
+    val evs = events
+      .select(col(userCol).as("user"), col(tsCol).as("ts"),
+        array(stages.map { case (_, pred) =>
+          when(pred, lit(true)).otherwise(lit(false))
+        }: _*).as("flags"))
+    val folded = evs.groupBy("user")
+      .agg(sort_array(collect_list(struct(col("ts"), col("flags"))))
+        .as("seq"))
+    // walk the sorted sequence once per user with a fold over stages:
+    // aggregate() carries (current stage index, per-stage first ts)
+    val n = stages.size
+    val stageTs = (0 until n).map { k =>
+      // first event whose flags(k) holds and whose ts >= previous stage
+      // ts — expressed as nested filters over the collected sequence
+      col(s"_t$k")
+    }
+    var df = folded
+    for (k <- 0 until n) {
+      val prev = if (k == 0) lit(null) else col(s"_t${k - 1}")
+      val qualifying =
+        if (k == 0) filter(col("seq"), e => e("flags")(k))
+        else filter(col("seq"), e =>
+          e("flags")(k) && col(s"_t${k - 1}").isNotNull &&
+            e("ts") >= col(s"_t${k - 1}"))
+      df = df.withColumn(s"_t$k",
+        when(size(qualifying) > 0, element_at(qualifying, 1)("ts")))
+    }
+    df.select(col("user") +:
+      stages.zipWithIndex.map { case ((name, _), k) =>
+        col(s"_t$k").as(s"ts_$name")
+      }: _*)
+  }
+
+  /** Funnel counts: users reaching each stage. */
+  def counts(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[(String, Column)]): DataFrame = {
+    val per = userStages(events, userCol, tsCol, stages)
+    per.select(stages.map { case (name, _) =>
+      count(col(s"ts_$name")).as(s"n_$name")
+    }: _*)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Funnel, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import Q._
 
 /** Training-data-pipeline operators through the gate: exact/near dedup,
@@ -81,6 +81,18 @@ object QPipe {
         .orderBy("s_suppkey")
     },
 
+    // ordered funnel: view -> click -> purchase progression counts,
+    // strict-ordering semantics, one shuffle (see Funnel docs).
+    "q_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      Funnel.counts(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click" && col("value") > 120),
+        "purchase" -> (col("event_type") === "purchase" &&
+          col("value") > 120)))
+    },
+
     "q_text_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
           md5(regexp_replace(lower(col("text")), "\\s+", " ")
@@ -157,6 +169,26 @@ object QPipe {
     })
 
   val oracleSql: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.value > 120
+        |    AND CAST(e.ts AS TIMESTAMP) >= v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value > 120
+        |    AND CAST(e.ts AS TIMESTAMP) >= c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+
     "q_range_join" ->
       """SELECT s.s_suppkey,
         |  count(p.p_partkey) AS n_points,

@@ -84,6 +84,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(200L).isEmpty)          // user with no views
   }
 
+  test("funnel: strict stage ordering — out-of-order events don't count") {
+    import spark.implicits._
+    import graft.ops.Funnel
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // user 2: purchase BEFORE click -> reaches click, not purchase
+      (2L, ts(1), "view"), (2L, ts(2), "purchase"), (2L, ts(3), "click"),
+      // user 3: click before view -> stalls at view
+      (3L, ts(2), "click"), (3L, ts(5), "view"),
+      // user 4: never views
+      (4L, ts(1), "click"), (4L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val stages = Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase"))
+    val r = Funnel.counts(ev, "user_id", "ts", stages).head()
+    assert(r.getLong(0) == 3, r) // users 1,2,3 viewed
+    assert(r.getLong(1) == 2, r) // 1 and 2 clicked after first view
+    assert(r.getLong(2) == 1, r) // only 1 purchased after the click
+    // equal timestamps count (>= semantics), matching the oracle form
+    val same = Seq((9L, ts(1), "view"), (9L, ts(1), "click"),
+      (9L, ts(1), "purchase")).toDF("user_id", "ts", "event_type")
+    val r2 = Funnel.counts(same, "user_id", "ts", stages).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((1L, 1L, 1L)))
+  }
+
   test("range join equals the brute-force filter on random intervals") {
     import spark.implicits._
     import graft.ops.RangeJoin
