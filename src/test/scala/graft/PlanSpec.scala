@@ -210,6 +210,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_funnel: one user-keyed aggregation, no per-stage self-joins") {
+    val p = plan("q_funnel")
+    // the textbook k-stage funnel self-joins the events table k times;
+    // this plan must aggregate once per user and once for the counts
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("events.parquet")) <= 2, p)
+    assert(nodeCount(p, "Exchange") <= 3, p)
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE wraps everything in AdaptiveSparkPlan whose toString hides the
     // codegen stages; check the codegen layout with AQE off
