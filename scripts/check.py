@@ -35,6 +35,42 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                             kind="mergesort", ignore_index=True)
     return df
 
+def strict(name, con, outdir, osql):
+    """Arrow-level gate: physical types and exact value reprs must match.
+
+    The driver's hash is sensitive to the physical representation (e.g.
+    DuckDB HUGEINT sums → float64 in pandas vs Spark int64; Spark
+    DECIMAL(19,4) vs DuckDB DECIMAL(18,4)), so a tolerant value compare
+    is not enough. Sorts rows by repr of all (name-sorted) columns.
+    """
+    s = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").arrow()
+    o = con.sql(osql).arrow()
+    scols = sorted(s.schema.names)
+    if scols != sorted(o.schema.names):
+        return f"STRICT-SCHEMA cols spark={scols} oracle={sorted(o.schema.names)}"
+    INTS = {"int8", "int16", "int32", "int64"}
+    for c in scols:
+        st = str(s.schema.field(c).type); ot = str(o.schema.field(c).type)
+        # DECIMAL outputs are a gate hazard even when both sides agree:
+        # the driver reads the two sides via different paths (DuckDB df()
+        # renders decimals as float64, parquet readers as Decimal objects).
+        if st.startswith("decimal") or ot.startswith("decimal"):
+            return f"STRICT-DECIMAL-OUTPUT col={c} spark={st} oracle={ot}"
+        if st != ot and not (st in INTS and ot in INTS):
+            return f"STRICT-TYPE col={c} spark={st} oracle={ot}"
+    if s.num_rows != o.num_rows:
+        return f"STRICT-ROWS spark={s.num_rows} oracle={o.num_rows}"
+    def rows(t):
+        lst = t.select(scols).to_pylist()
+        return sorted((tuple(repr(r[c]) for c in scols) for r in lst))
+    sr, orr = rows(s), rows(o)
+    for i, (a, b) in enumerate(zip(sr, orr)):
+        if a != b:
+            for c, (x, y) in zip(scols, zip(a, b)):
+                if x != y:
+                    return f"STRICT-VALUE row={i} col={c} spark={x} oracle={y}"
+    return "EXACT"
+
 def compare(name, sdf, odf):
     if sorted(sdf.columns) != sorted(odf.columns):
         return f"SCHEMA-MISMATCH spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
@@ -93,7 +129,12 @@ def main():
         except Exception as e:
             print(f"{name:32s} ORACLE-SQL-FAIL {e}"); n_fail += 1; continue
         r = compare(name, sdf, odf)
-        ok = r.startswith("EXACT") or r.startswith("CLOSE")
+        if r.startswith("EXACT") or r.startswith("CLOSE"):
+            try:
+                r = strict(name, con, outdir, oracle[name])
+            except Exception as e:
+                r = f"STRICT-ERR {e}"
+        ok = r.startswith("EXACT")
         print(f"{name:32s} {r} rows={len(sdf)}")
         if ok: n_pass += 1
         else: n_fail += 1

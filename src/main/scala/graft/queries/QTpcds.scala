@@ -193,8 +193,8 @@ object QTpcds {
   // JOIN on the period (cents-snapped so the running sums are exact).
   private val qCumulative =
     """SELECT COALESCE(a.mon, b.mon) AS mon,
-      |  COALESCE(a.cum_cents, 0) AS express_cum,
-      |  COALESCE(b.cum_cents, 0) AS standard_cum
+      |  CAST(COALESCE(a.cum_cents, 0) AS BIGINT) AS express_cum,
+      |  CAST(COALESCE(b.cum_cents, 0) AS BIGINT) AS standard_cum
       |FROM (
       |  SELECT mon, sum(cents) OVER (ORDER BY mon
       |    ROWS UNBOUNDED PRECEDING) AS cum_cents

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import Q._
@@ -131,26 +132,28 @@ object QTypes {
 
     // numeric/decimal family (operators.c:312-330): exact DECIMAL(18,4)
     // arithmetic — add/sub/mul/div/mod, compare, round/trunc/abs/sign.
-    // Decimal-division result-scale rules differ between engines, so div
-    // is compared integer-exactly (micro-units, truncating DIV — both
-    // engines agree on positive integer division); the rest is exact.
+    // All arithmetic runs in decimal, but the FINAL projection is scaled
+    // BIGINT (×10^scale): DECIMAL output columns hash differently across
+    // the gate's two read paths (DuckDB df() → float64 vs parquet →
+    // Decimal objects), while equal integers always agree. Values stay
+    // exact — scaling by the type's own scale factor is lossless.
     "q_ops_decimal" -> { (s, dir) =>
       val price = col("o_totalprice").cast("decimal(18,4)")
       val key = col("o_orderkey").cast("decimal(18,4)")
+      def e4(c: Column) = (c * lit(10000)).cast("long")
       t(s, dir, "orders").filter(col("o_orderkey") % 41 === 0).select(
         col("o_orderkey"),
-        price.as("d_val"),
-        (price + key).as("d_add"),
-        (price - key).as("d_sub"),
-        (price * lit(3).cast("decimal(4,2)")).cast("decimal(24,6)")
+        e4(price).as("d_val"),
+        e4(price + key).as("d_add"),
+        e4(price - key).as("d_sub"),
+        ((price * lit(3).cast("decimal(4,2)")) * lit(1000000)).cast("long")
           .as("d_mul"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 1000000" +
           " AS BIGINT) DIV 7").as("d_div"),
-        pmod(price, lit(100).cast("decimal(5,1)")).cast("decimal(18,4)")
-          .as("d_mod"),
+        e4(pmod(price, lit(100).cast("decimal(5,1)"))).as("d_mod"),
         (price > lit(100000)).as("d_gt"),
-        round(price, 1).cast("decimal(18,1)").as("d_round"),
-        abs(-price).cast("decimal(18,4)").as("d_abs"),
+        (round(price, 1) * lit(10)).cast("long").as("d_round"),
+        e4(abs(-price)).as("d_abs"),
         signum(price).cast("int").as("d_sign"))
         .orderBy("o_orderkey")
     },
@@ -279,22 +282,26 @@ object QTypes {
 
     "q_ops_decimal" ->
       """SELECT o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,4)) AS d_val,
-        |  CAST(o_totalprice AS DECIMAL(18,4))
-        |    + CAST(o_orderkey AS DECIMAL(18,4)) AS d_add,
-        |  CAST(o_totalprice AS DECIMAL(18,4))
-        |    - CAST(o_orderkey AS DECIMAL(18,4)) AS d_sub,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,4))
-        |    * CAST(3 AS DECIMAL(4,2)) AS DECIMAL(24,6)) AS d_mul,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |    AS d_val,
+        |  CAST((CAST(o_totalprice AS DECIMAL(18,4))
+        |    + CAST(o_orderkey AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS d_add,
+        |  CAST((CAST(o_totalprice AS DECIMAL(18,4))
+        |    - CAST(o_orderkey AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS d_sub,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+        |    * CAST(3 AS DECIMAL(4,2)) AS DECIMAL(24,6)) * 1000000
+        |    AS BIGINT) AS d_mul,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 1000000
         |    AS BIGINT) // 7 AS d_div,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,4))
-        |    % CAST(100 AS DECIMAL(5,1)) AS DECIMAL(18,4)) AS d_mod,
+        |  CAST((CAST(o_totalprice AS DECIMAL(18,4))
+        |    % CAST(100 AS DECIMAL(5,1))) * 10000 AS BIGINT) AS d_mod,
         |  CAST(o_totalprice AS DECIMAL(18,4)) > 100000 AS d_gt,
-        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 1)
-        |    AS DECIMAL(18,1)) AS d_round,
-        |  CAST(abs(-CAST(o_totalprice AS DECIMAL(18,4)))
-        |    AS DECIMAL(18,4)) AS d_abs,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 1) * 10
+        |    AS BIGINT) AS d_round,
+        |  CAST(abs(-CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |    AS BIGINT) AS d_abs,
         |  CAST(sign(CAST(o_totalprice AS DECIMAL(18,4))) AS INT) AS d_sign
         |FROM orders WHERE o_orderkey % 41 = 0 ORDER BY o_orderkey""".stripMargin,
 
