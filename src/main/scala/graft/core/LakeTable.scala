@@ -116,30 +116,43 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
     (df, index)
   }
 
-  /** `lake_iceberg.snapshots`-style inspection. */
   /** Incremental (CDC-style) read: the rows APPENDED between two
-    * snapshots — the files present at `toSnapshot` but not at
-    * `fromSnapshot`, restricted to data files (an Iceberg
-    * incremental-append scan). Rows removed by rewrites in the range are
-    * not emitted; position-deletes committed at or before `toSnapshot`
-    * that target the NEW files are applied, so a row appended and then
-    * MOR-deleted inside the range never surfaces. The streaming-backfill
-    * primitive: consumers checkpoint a snapshot id and read forward. */
+    * snapshots — an Iceberg incremental-append scan. Walks the snapshot
+    * lineage from `fromSnapshot` (exclusive) to `toSnapshot` (inclusive)
+    * and collects only data files introduced by snapshots whose operation
+    * is an `append`: outputs of rewrite snapshots (compact / COW update /
+    * delete / flush-deletes) carry pre-existing rows, so a naive
+    * live-file-set diff would re-emit them as duplicates after any
+    * compaction between consumer checkpoints. Position-deletes live at
+    * `toSnapshot` that target the new files are applied, so a row
+    * appended and then MOR-deleted inside the range never surfaces. The
+    * streaming-backfill primitive: consumers checkpoint a snapshot id and
+    * read forward. */
   def appendsBetween(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
     require(fromSnapshot <= toSnapshot,
       s"appendsBetween: $fromSnapshot > $toSnapshot")
-    val before = liveFilesAt(fromSnapshot).map(_.path).toSet
-    val after = liveFilesAt(toSnapshot)
-    val (dels, data) = after.partition(_.isDelete)
-    val fresh = data.filterNot(f => before.contains(f.path))
-    if (fresh.isEmpty)
+    val lineage = meta.snapshots // committed in id order (commitSnapshot)
+      .filter(s => s.id > fromSnapshot && s.id <= toSnapshot)
+    var prevPaths = liveFilesAt(fromSnapshot).map(_.path).toSet
+    val fresh = List.newBuilder[DataFile]
+    for (s <- lineage) {
+      val live = MetadataIO.liveFiles(dir, s)
+      if (s.operation == "append")
+        fresh ++= live.filter(f => !f.isDelete && !prevPaths.contains(f.path))
+      prevPaths = live.map(_.path).toSet
+    }
+    val freshFiles = fresh.result()
+    val dels = liveFilesAt(toSnapshot).filter(_.isDelete)
+    if (freshFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      val base = spark.read.schema(schema).parquet(fresh.map(_.path): _*)
+      val base = spark.read.schema(schema).parquet(freshFiles.map(_.path): _*)
       if (dels.isEmpty) base else applyPositionDeletes(base, dels)
     }
   }
+
+  /** `lake_iceberg.snapshots`-style inspection. */
 
   def snapshotsDF: DataFrame = {
     import spark.implicits._

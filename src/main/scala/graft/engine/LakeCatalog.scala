@@ -106,21 +106,22 @@ final class RestStyleCatalog(val spark: SparkSession, val stateFile: String)
     extends CatalogApi {
 
   // --- the "service": load / commit the name→location table ----------
+  // Mutations are load-modify-commit; like Engine.commitSnapshot they are
+  // serialized under a JVM lock so two concurrent creates can't lose a
+  // registration (last-commit-wins). The document is real JSON (json4s),
+  // so locations containing quotes/escapes round-trip.
+  private val mutationLock = new Object
+  private implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+
   private def loadState(): Map[String, String] = {
     val p = Paths.get(stateFile)
     if (!Files.exists(p)) Map.empty
-    else {
-      val txt = new String(Files.readAllBytes(p), "UTF-8")
-      // flat {"name":"location",...} document
-      "\"([A-Za-z0-9_.]+)\"\\s*:\\s*\"([^\"]*)\"".r
-        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
-    }
+    else org.json4s.jackson.Serialization.read[Map[String, String]](
+      new String(Files.readAllBytes(p), "UTF-8"))
   }
 
   private def commitState(m: Map[String, String]): Unit = {
-    val body = m.toSeq.sorted
-      .map { case (k, v) => s""""$k": "$v"""" }
-      .mkString("{\n  ", ",\n  ", "\n}\n")
+    val body = org.json4s.jackson.Serialization.writePretty(m)
     val p = Paths.get(stateFile)
     Option(p.getParent).foreach(Files.createDirectories(_))
     val tmp: Path = Paths.get(stateFile + s".tmp-${System.nanoTime()}")
@@ -129,8 +130,14 @@ final class RestStyleCatalog(val spark: SparkSession, val stateFile: String)
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def register(name: String, location: String): Unit =
-    commitState(loadState() + (name -> location))
+  /** Register a NEW name; re-checks existence under the lock so two
+    * concurrent creates of the same name cannot both succeed. */
+  private def registerNew(name: String, location: String): Unit =
+    mutationLock.synchronized {
+      val st = loadState()
+      require(!st.contains(name), s"table $name already exists")
+      commitState(st + (name -> location))
+    }
 
   /** Locations are decoupled from names: fresh directory per create,
     * beside the state file. */
@@ -144,7 +151,8 @@ final class RestStyleCatalog(val spark: SparkSession, val stateFile: String)
     require(!tableExists(name), s"table $name already exists")
     val loc = newLocation(name)
     val t = Engine.create(spark, loc, schemaDdl, spec)
-    register(name, loc)
+    try registerNew(name, loc)
+    catch { case e: Throwable => deleteDir(loc); throw e }
     t
   }
 
@@ -154,7 +162,8 @@ final class RestStyleCatalog(val spark: SparkSession, val stateFile: String)
     require(!tableExists(name), s"table $name already exists")
     val loc = newLocation(name)
     val t = Engine.ctas(spark, loc, df, spec)
-    register(name, loc)
+    try registerNew(name, loc)
+    catch { case e: Throwable => deleteDir(loc); throw e }
     t
   }
 
@@ -169,10 +178,10 @@ final class RestStyleCatalog(val spark: SparkSession, val stateFile: String)
   def listTables(): Seq[String] = loadState().keys.toSeq.sorted
 
   def dropTable(name: String): Unit = {
-    val st = loadState()
-    st.get(name).foreach { loc =>
-      commitState(st - name)
-      deleteDir(loc)
+    val loc = mutationLock.synchronized {
+      val st = loadState()
+      st.get(name).map { l => commitState(st - name); l }
     }
+    loc.foreach(deleteDir)
   }
 }

@@ -35,6 +35,9 @@ case class CosineSim(child: Expression, query: Array[Double])
     var norm = 0.0
     var i = 0
     while (i < n) {
+      // NULL element → NULL row, matching the HOF form this kernel
+      // replaced (aggregate/zip_with propagate NULL through the fold)
+      if (arr.isNullAt(i)) return null
       val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       dot += v * query(i)
       norm += v * v

@@ -15,9 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * all of them in a single codepoint loop with zero allocation:
   *
   *  - n_chars    total codepoints (Spark/DuckDB `length` semantics)
-  *  - n_tokens   `size(split(trim(text), "\\s+"))` semantics, including
-  *               the leading-empty artifact Java split produces when the
-  *               space-trimmed text still starts with other whitespace
+  *  - n_tokens   `size(split(trim(text), "\\s+"))` semantics (split with
+  *               limit -1): includes the leading- AND trailing-empty
+  *               artifacts split produces when the space-trimmed text
+  *               still starts/ends with other whitespace
   *  - n_punct    codepoints outside [A-Za-z0-9] and whitespace
   *  - n_digit    ASCII digits
   *  - n_nonspace non-whitespace codepoints (`regexp_replace(text,
@@ -51,6 +52,10 @@ case class TextMetrics(child: Expression) extends UnaryExpression
     while (lo < hi && s.charAt(lo) == ' ') lo += 1
     while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
     val leadingWs = lo < hi && isWs(s.codePointAt(lo))
+    // split(_, -1) keeps a trailing empty token too: if the space-trimmed
+    // text ends with non-space whitespace, both Spark's split() and
+    // DuckDB's string_split_regex emit one more (empty) token.
+    val trailingWs = lo < hi && isWs(s.codePointBefore(hi))
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
@@ -67,7 +72,7 @@ case class TextMetrics(child: Expression) extends UnaryExpression
     }
     val tokens =
       if (lo >= hi) 0L // blank after trim
-      else runs + (if (leadingWs) 1L else 0L)
+      else runs + (if (leadingWs) 1L else 0L) + (if (trailingWs) 1L else 0L)
     InternalRow(chars, tokens, punct, digit, nonspace)
   }
 

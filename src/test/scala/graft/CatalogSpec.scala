@@ -71,4 +71,30 @@ class CatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.listTables() == Seq("orders_t"))
     assert(cat2.table("orders_t").dir == loc)
   }
+
+  test("REST-shaped catalog: concurrent creates never lose a table") {
+    val root = Files.createTempDirectory("restcat3").toString
+    val cat = new RestStyleCatalog(spark, s"$root/catalog.json")
+    val names = (1 to 12).map(i => s"t_$i")
+    // load-modify-commit races would drop registrations without the lock
+    val threads = names.map(n =>
+      new Thread(() => cat.createTable(n, "id BIGINT")))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(cat.listTables().sorted == names.sorted)
+    // duplicate create is rejected, not silently overwritten
+    intercept[Exception] { cat.createTable("t_1", "id BIGINT") }
+    assert(cat.listTables().size == names.size)
+  }
+
+  test("REST-shaped catalog state survives exotic locations (real JSON)") {
+    val root = Files.createTempDirectory("restcat4").toString
+    val cat = new RestStyleCatalog(spark, s"$root/catalog.json")
+    cat.createTable("plain_t", "id BIGINT")
+    // the state document must be real JSON, not regex-shaped text
+    val txt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/catalog.json")), "UTF-8")
+    val parsed = org.json4s.jackson.JsonMethods.parse(txt)
+    assert(parsed.children.nonEmpty)
+  }
 }

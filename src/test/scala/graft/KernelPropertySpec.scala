@@ -66,9 +66,11 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(row.getLong(0) == s.length.toLong, s"chars [$ctx]")
       // size(split(trim(text), "\\s+")) semantics, blank-after-trim -> 0
       val trimmed = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      // split with limit -1, as Spark's split() and DuckDB's
+      // string_split_regex do: trailing empty tokens are KEPT
       val expectedTokens =
-        if (trimmed.trim.isEmpty) 0L
-        else trimmed.split("\\s+").length.toLong
+        if (trimmed.isEmpty) 0L
+        else trimmed.split("\\s+", -1).length.toLong
       assert(row.getLong(1) == expectedTokens, s"tokens [$ctx]")
       assert(row.getLong(2) ==
         "[^a-zA-Z0-9\\s]".r.findAllIn(s).length.toLong, s"punct [$ctx]")

@@ -262,6 +262,27 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.appendsBetween(s2, s4).count() == expected)
   }
 
+  test("appendsBetween is rewrite-safe: compaction does not re-emit rows") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val part1 = li.filter(col("l_orderkey") % 3 === 0)
+    val part2 = li.filter(col("l_orderkey") % 3 === 1)
+    val part3 = li.filter(col("l_orderkey") % 3 === 2)
+    val tbl = Engine.ctas(spark, dir, part1)
+    val s1 = tbl.meta.currentSnapshotId
+    Engine.insert(tbl, part2)
+    // a rewrite inside the consumer's checkpoint range: its output files
+    // carry part1+part2 rows and must NOT surface as fresh appends
+    assert(Engine.compact(tbl) > 0, "expected a compaction round")
+    Engine.insert(tbl, part3)
+    val s4 = tbl.meta.currentSnapshotId
+    val inc = tbl.appendsBetween(s1, s4)
+    assert(inc.count() == part2.count() + part3.count(),
+      "compaction output leaked into the incremental read")
+    // and the fresh rows are exactly parts 2+3 (no part1 duplicates)
+    assert(inc.filter(col("l_orderkey") % 3 === 0).count() == 0)
+  }
+
   test("many-file write collects footer stats executor-side, exactly") {
     val dir = tmp()
     val li = Tables.load(spark, sf, "lineitem")
