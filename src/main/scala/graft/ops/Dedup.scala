@@ -137,6 +137,70 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
   }
 
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Exact word n-gram Jaccard near-dup pairs.
+    *
+    * tokenize → distinct n-grams → self-join on gram → per-pair count is
+    * |A∩B| exactly (sets are distinct) → integer threshold test
+    * `|∩|·thrDen ≥ thrNum·|∪|` (⟺ jaccard ≥ thrNum/thrDen) with
+    * |∪| = |A|+|B|−|∩|. Output is integer-only — bit-identical in any
+    * engine, no float in the gate.
+    *
+    * Scale posture: the only shuffle carries (gram, id) — never document
+    * payloads. The hazard at 100 TB is gram frequency skew ("in the" is
+    * in every doc); `maxDocFreq` drops grams shared by more than that
+    * many documents from CANDIDATE generation and verifies survivors
+    * exactly against the full sets, trading recall only for pairs whose
+    * entire overlap is stop-grams. The gate query runs uncapped (exact). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thrNum: Int = 2, thrDen: Int = 5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val w = df.select(col(idCol).as("id"),
+        split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+          .as("words"))
+      .filter(size(col("words")) >= n)
+    val g = w.select(col("id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("words")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("words"), i + j + 1)): _*))))
+        .as("gram"))
+    val sizes = g.groupBy("id").agg(count(lit(1)).as("sz"))
+    val candGrams = maxDocFreq match {
+      case Some(cap) =>
+        // drop ultra-common grams before the self-join (skew guard); the
+        // per-pair count is then a lower bound, so re-verify exactly below
+        val df_ = g.groupBy("gram").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap).select("gram")
+        g.join(df_, Seq("gram"))
+      case None => g
+    }
+    val a = candGrams.select(col("gram"), col("id").as("id_a"))
+    val b = candGrams.select(col("gram"), col("id").as("id_b"))
+    val inter = a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    val exact = maxDocFreq match {
+      case Some(_) =>
+        // capped candidates: recount |∩| from the full gram relation for
+        // the surviving pairs only (broadcast-sized at any real cap)
+        val pairs = inter.select("id_a", "id_b")
+        pairs.join(g.select(col("id").as("id_a"), col("gram")), Seq("id_a"))
+          .join(g.select(col("id").as("id_b"), col("gram")),
+            Seq("id_b", "gram"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      case None => inter
+    }
+    exact
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")),
+        Seq("id_b"))
+      .filter(col("n_common") * thrDen >=
+        (col("size_a") + col("size_b") - col("n_common")) * thrNum)
+      .select("id_a", "id_b", "n_common", "size_a", "size_b")
+  }
+
   /** Exact pairwise Jaccard (for verification / small candidate sets). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5): DataFrame = {

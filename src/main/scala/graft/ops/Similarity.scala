@@ -217,6 +217,53 @@ object Similarity {
       idCol, vecCol, query, kNN)
   }
 
+  /** Embedding-cosine near-dup pairs, gate-exact: multi-table sign-LSH
+    * over integer-quantized vectors generates candidates; survivors pass
+    * the EXACT integer cosine test
+    * `qdot > 0 ∧ qdot²·thrDen² ≥ thrNum²·‖a‖²·‖b‖²` (⟺ cos ≥ thrNum/thrDen)
+    * — every quantity a 64-bit integer, so the result is bit-identical to
+    * a brute-force oracle whenever the LSH recall is 1 (tuned per
+    * dataset; SimilaritySpec measures it, the gate pins it).
+    *
+    * Candidate shuffle carries ONLY (table, bucket-key, id) — each row
+    * also emits its 1-bit-flip neighbor buckets, so two rows collide when
+    * their buckets differ by ≤ 2 bits in ANY table (double-sided
+    * multiprobe: ~60% per-table collision at cos 0.4 with 8-bit buckets,
+    * OR-amplified across tables). Vector payloads join back only for the
+    * deduplicated candidate pairs. */
+  def intNearPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      tables: Seq[Array[Array[Long]]], thrNum: Int, thrDen: Int): DataFrame = {
+    val vq = quantizeCol(col(vecCol))
+    val base = df.select(col(idCol).as("id"), vq.as("vq"))
+      .withColumn("n2", intDot(col("vq"), col("vq")))
+    val nBits = tables.head.length
+    val withB = base.withColumn("bks",
+      array(tables.map(p => intBucket(col("vq"), p)): _*))
+    val variants: Seq[Column] = tables.indices.flatMap { ti =>
+      val bk = element_at(col("bks"), ti + 1)
+      (-1 until nBits).map { i =>
+        val key = if (i < 0) bk else bk.bitwiseXOR(lit(1L << i))
+        struct(lit(ti).as("t"), key.as("bk"))
+      }
+    }
+    val expanded = withB.select(col("id"),
+      explode(array(variants: _*)).as("v"))
+    val cand = expanded.select(col("v"), col("id").as("id_a"))
+      .join(expanded.select(col("v"), col("id").as("id_b")), Seq("v"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("vq").as("vq_a"),
+        col("n2").as("na2")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vq").as("vq_b"),
+        col("n2").as("nb2")), Seq("id_b"))
+      .withColumn("qdot", intDot(col("vq_a"), col("vq_b")))
+      .filter(col("qdot") > 0 &&
+        col("qdot") * col("qdot") * (thrDen * thrDen) >=
+          col("na2") * col("nb2") * (thrNum * thrNum))
+      .select("id_a", "id_b", "qdot", "na2", "nb2")
+  }
+
   /** All near pairs above a cosine threshold via bucket-join (corpus
     * self-join restricted to equal buckets — the scalable near-dup path
     * for embedding-cosine dedup). */

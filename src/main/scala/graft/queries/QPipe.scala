@@ -17,6 +17,14 @@ object QPipe {
     * 4 tables) — the oracle SQL embeds the same integers as literals. */
   private val annTables = Similarity.intHyperplaneTables(64, 4, 4)
 
+  /** Plane sets for the embed near-dup gate query (dim 64, 6 bits, 8
+    * tables, double-sided 1-bit multiprobe): recall on the fixture's 60
+    * qualifying pairs is 1.0 with margin (tools/EmbedProfile sweep:
+    * 6-bit/8-table misses 0, 8-bit/8-table misses 4 — the run is
+    * deterministic), so the LSH path's output EQUALS the brute-force
+    * all-pairs oracle while shuffling only (table, bucket, id). */
+  private val embedTables = Similarity.intHyperplaneTables(64, 6, 8)
+
   val queries: Map[String, QueryFn] = Map(
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactClusters(t(s, dir, "documents"), "doc_id", "text")
@@ -129,6 +137,26 @@ object QPipe {
     "q_dedup_simhash" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       Dedup.simhash(d, "doc_id", "text").orderBy("id")
+    },
+
+    // exact word-3-gram Jaccard near-dup pairs: the (gram, id) self-join
+    // computes |A∩B| exactly; the threshold test is the integer
+    // cross-multiplication, so the output is integer-only and the oracle
+    // replays the identical computation in SQL.
+    "q_dedup_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, thrNum = 2, thrDen = 5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // embedding-cosine near-dup: sign-LSH candidates over integer-
+    // quantized vectors, exact integer cosine filter (cos ≥ 2/5) — the
+    // oracle is BRUTE FORCE all-pairs, so this gate also pins the LSH
+    // recall at 1.0 on the fixture.
+    "q_dedup_embed" -> { (s, dir) =>
+      Similarity.intNearPairsExact(t(s, dir, "embeddings"), "vec_id",
+          "embedding", embedTables, thrNum = 2, thrDen = 5)
+        .orderBy("id_a", "id_b")
     },
 
     // brute-force cosine against one query vector — oracle recomputes via
@@ -282,6 +310,57 @@ object QPipe {
         |      AS n_union
         |  FROM sh a JOIN sh b ON a.id < b.id)
         |WHERE n_common * 2 >= n_union
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact all-pairs word-3-gram Jaccard, integer threshold — mirrors
+    // Dedup.ngramJaccardPairs's tokenizer (trim, collapse whitespace,
+    // split on single space) and 1-based gram windows.
+    "q_dedup_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |      AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram
+        |  FROM w, unnest(list_transform(range(1, len(words) - 1),
+        |       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |       AS t(gram)
+        |  WHERE len(words) >= 3),
+        |s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.n_common,
+        |  sa.sz AS size_a, sb.sz AS size_b
+        |FROM i
+        |JOIN s sa ON sa.doc_id = i.id_a
+        |JOIN s sb ON sb.doc_id = i.id_b
+        |WHERE i.n_common * 5 >= (sa.sz + sb.sz - i.n_common) * 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // brute-force all-pairs integer cosine (quantize ×1024 → exact
+    // integer dot products; cos ≥ 2/5 as the integer cross-multiply) —
+    // deliberately NOT an LSH replay: equality proves recall 1.0.
+    "q_dedup_embed" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> v[i] * v[i])) AS BIGINT) AS n2
+        |  FROM q),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+        |      i -> a.v[i] * b.v[i])) AS BIGINT) AS qdot,
+        |    a.n2 AS na2, b.n2 AS nb2
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, qdot, na2, nb2 FROM p
+        |WHERE qdot > 0 AND qdot * qdot * 25 >= na2 * nb2 * 4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_simhash" -> simhashOracle,

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Recall sweep for the embed near-dup gate query: brute-force integer
+  * cosine pairs vs the LSH candidate set across (bits, tables) configs.
+  * Usage: scripts/run.sh graft.tools.EmbedProfile /root/testdata/sf0.01
+  */
+object EmbedProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false).getOrCreate()
+    val e = spark.read.parquet(args(0) + "/embeddings.parquet")
+
+    // brute force ground truth (exact integers)
+    val vq = Similarity.quantizeCol(col("embedding"))
+    val base = e.select(col("vec_id").as("id"), vq.as("vq"))
+      .withColumn("n2", Similarity.intDot(col("vq"), col("vq"))).cache()
+    val a = base.select(col("id").as("id_a"), col("vq").as("va"), col("n2").as("na2"))
+    val b = base.select(col("id").as("id_b"), col("vq").as("vb"), col("n2").as("nb2"))
+    val truth = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("qdot", Similarity.intDot(col("va"), col("vb")))
+      .filter(col("qdot") > 0 &&
+        col("qdot") * col("qdot") * 25 >= col("na2") * col("nb2") * 4)
+      .select("id_a", "id_b").cache()
+    println(s"TRUTH pairs: ${truth.count()}")
+
+    for (bits <- Seq(6, 8); tabs <- Seq(8, 12, 16)) {
+      val tables = Similarity.intHyperplaneTables(64, bits, tabs)
+      val got = Similarity.intNearPairsExact(e, "vec_id", "embedding",
+        tables, 2, 5).select("id_a", "id_b")
+      val missed = truth.except(got).count()
+      println(s"bits=$bits tables=$tabs missed=$missed")
+    }
+    spark.stop()
+  }
+}

@@ -133,6 +133,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast == slow, s"${fast.size} vs ${slow.size}")
   }
 
+  test("n-gram jaccard: planted dups found, capped variant stays exact") {
+    val pairs = Dedup.ngramJaccardPairs(planted, "doc_id", "text",
+      n = 3, thrNum = 2, thrDen = 5)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (id, id+10000) mutation shares most of its 3-grams —
+    // except very short docs, where swapping a few words legitimately
+    // drops gram-Jaccard below the threshold (doc 74 has 10 words)
+    val expected = planted.filter(col("doc_id") < 10000)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 40)
+      .select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000)).toSet
+    assert((expected -- got).isEmpty,
+      s"missed planted near-dups: ${(expected -- got).take(5)}")
+    // |∩| ≤ min(|A|,|B|) invariant
+    assert(pairs.filter(col("n_common") >
+      least(col("size_a"), col("size_b"))).count() == 0)
+    // the doc-frequency-capped variant re-verifies exactly: counts match
+    // the uncapped run for every surviving pair
+    val capped = Dedup.ngramJaccardPairs(planted, "doc_id", "text",
+      n = 3, thrNum = 2, thrDen = 5, maxDocFreq = Some(50))
+    val full = pairs.select("id_a", "id_b", "n_common")
+    val joined = capped.select("id_a", "id_b", "n_common")
+      .join(full.withColumnRenamed("n_common", "full_common"),
+        Seq("id_a", "id_b"))
+    assert(joined.filter(col("n_common") =!= col("full_common")).count() == 0)
+  }
+
+  test("embed near-dup: LSH pairs equal brute force at the gate config") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val tables = Similarity.intHyperplaneTables(64, 6, 8)
+    val got = Similarity.intNearPairsExact(e, "vec_id", "embedding",
+      tables, 2, 5)
+    // brute-force integer ground truth (same quantization + filter)
+    val vq = Similarity.quantizeCol(col("embedding"))
+    val base = e.select(col("vec_id").as("id"), vq.as("vq"))
+      .withColumn("n2", Similarity.intDot(col("vq"), col("vq")))
+    val truth = base.select(col("id").as("id_a"), col("vq").as("va"),
+        col("n2").as("na2"))
+      .crossJoin(base.select(col("id").as("id_b"), col("vq").as("vb"),
+        col("n2").as("nb2")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("qdot", Similarity.intDot(col("va"), col("vb")))
+      .filter(col("qdot") > 0 &&
+        col("qdot") * col("qdot") * 25 >= col("na2") * col("nb2") * 4)
+      .select("id_a", "id_b")
+    assert(truth.except(got.select("id_a", "id_b")).count() == 0)
+    assert(got.select("id_a", "id_b").except(truth).count() == 0)
+  }
+
   test("cluster closure: chained pairs collapse to one canonical id") {
     import spark.implicits._
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20,21,22}
