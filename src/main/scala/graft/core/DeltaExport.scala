@@ -1,0 +1,153 @@
+package graft.core
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Minimal Delta Lake WRITER: emits parquet data files plus a conformant
+  * `_delta_log` (protocol v1 JSON commits + optional parquet checkpoint)
+  * that delta-spark, DuckDB's delta extension, or [[DeltaImport]] can
+  * read. The reference reads Delta but never writes it
+  * (docs/file-formats-reference.md:36-38) — this is the export analogue
+  * of our Iceberg interop (core/IcebergExport.scala).
+  *
+  * Data files are written by Spark's own partitioned writer (hive-style
+  * directories, partition columns omitted from the files — the layout
+  * every Delta writer produces); the commit walks the written files and
+  * records them as `add` actions with protocol-encoded partitionValues. */
+object DeltaExport {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  private def logDir(dir: String) = Paths.get(dir, "_delta_log")
+
+  private def writeCommit(dir: String, version: Long,
+      actions: Seq[String]): Unit = {
+    Files.createDirectories(logDir(dir))
+    val tmp = logDir(dir).resolve(f".$version%020d.json.tmp")
+    Files.write(tmp,
+      actions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, logDir(dir).resolve(f"$version%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def jstr(s: String): String =
+    JsonMethods.compact(JsonMethods.render(JString(s)))
+
+  private def metaAction(df: DataFrame, partitionBy: Seq[String]): String = {
+    val pc = partitionBy.map(jstr).mkString("[", ",", "]")
+    s"""{"metaData":{"id":"${UUID.randomUUID()}","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(df.schema.json)},"partitionColumns":$pc,""" +
+      s""""configuration":{},"createdTime":0}}"""
+  }
+
+  private def addActions(dir: String, partitionBy: Seq[String]): Seq[String] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new File(dir)).filterNot(_.getPath.contains("_delta_log"))
+      .sortBy(_.getPath).map { f =>
+        val rel = Paths.get(dir).relativize(f.toPath).toString
+        val pv = rel.split("/").dropRight(1).flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(k, v) if partitionBy.contains(k) =>
+              val dec = java.net.URLDecoder.decode(v, "UTF-8")
+              Some(if (dec == "__HIVE_DEFAULT_PARTITION__")
+                s"${jstr(k)}:null" else s"${jstr(k)}:${jstr(dec)}")
+            case _ => None
+          }
+        }.mkString("{", ",", "}")
+        val enc = rel.split("/").map(seg =>
+          java.net.URLEncoder.encode(seg, "UTF-8")
+            .replace("+", "%20")).mkString("/")
+        s"""{"add":{"path":"$enc","partitionValues":$pv,"size":${f.length},""" +
+          s""""modificationTime":${f.lastModified},"dataChange":true}}"""
+      }
+  }
+
+  /** Create a Delta table at `dir` from `df` (commit version 0). */
+  def create(df: DataFrame, dir: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(!logDir(dir).toFile.exists(), s"Delta table already at $dir")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir)
+    // drop Spark's writer bookkeeping; the log is the source of truth
+    new File(dir, "_SUCCESS").delete()
+    val actions =
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        metaAction(df, partitionBy)) ++ addActions(dir, partitionBy)
+    writeCommit(dir, 0L, actions)
+  }
+
+  /** Commit a metadata-only delete of every live file whose partition
+    * values satisfy `pred` (full-partition deletes — the same
+    * metadata-only fast path our lake DELETE takes). Returns the number
+    * of files removed. */
+  def removeWhere(spark: SparkSession, dir: String,
+      pred: Map[String, Option[String]] => Boolean): Int = {
+    val st = DeltaImport.readLog(spark, dir)
+    val doomed = st.files.filter(f => pred(f.partitionValues))
+    val base = Paths.get(dir)
+    val actions = doomed.map { f =>
+      val rel = base.relativize(Paths.get(f.path)).toString
+      val enc = rel.split("/").map(seg =>
+        java.net.URLEncoder.encode(seg, "UTF-8")
+          .replace("+", "%20")).mkString("/")
+      s"""{"remove":{"path":"$enc","deletionTimestamp":0,"dataChange":true}}"""
+    }
+    if (actions.nonEmpty) writeCommit(dir, st.version + 1, actions)
+    doomed.size
+  }
+
+  /** Write a parquet checkpoint of the current state at its version and
+    * point `_last_checkpoint` at it. */
+  def checkpoint(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
+    val st = DeltaImport.readLog(spark, dir)
+    val base = Paths.get(dir)
+    val rows: Seq[CkRow] =
+      CkRow(protocol = Some(CkProtocol(1, 2))) +:
+      CkRow(metaData = Some(CkMeta(UUID.randomUUID().toString,
+        CkFormat("parquet", Map.empty), st.schema.json,
+        st.partitionColumns, Map.empty, 0L))) +:
+      st.files.map { f =>
+        val rel = base.relativize(Paths.get(f.path)).toString
+        val enc = rel.split("/").map(seg =>
+          java.net.URLEncoder.encode(seg, "UTF-8")
+            .replace("+", "%20")).mkString("/")
+        CkRow(add = Some(CkAdd(enc,
+          f.partitionValues.map { case (k, v) => k -> v.orNull },
+          f.size, 0L, dataChange = true)))
+      }
+    val tmp = Files.createTempDirectory("delta_ckpt").toString
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = logDir(dir).resolve(f"${st.version}%020d.checkpoint.parquet")
+    Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.write(logDir(dir).resolve("_last_checkpoint"),
+      Serialization.write(Map("version" -> st.version, "size" -> rows.size))
+        .getBytes(StandardCharsets.UTF_8))
+    st.version
+  }
+
+  case class CkFormat(provider: String, options: Map[String, String])
+  case class CkMeta(id: String, format: CkFormat, schemaString: String,
+      partitionColumns: Seq[String], configuration: Map[String, String],
+      createdTime: Long)
+  case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  case class CkAdd(path: String, partitionValues: Map[String, String],
+      size: Long, modificationTime: Long, dataChange: Boolean)
+  case class CkRow(add: Option[CkAdd] = None,
+      metaData: Option[CkMeta] = None,
+      protocol: Option[CkProtocol] = None)
+}

@@ -112,6 +112,25 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // Delta interop: export lineitem as a partitioned Delta table (our
+    // writer emits the public _delta_log protocol), commit a metadata-
+    // only partition remove, then scan through the log-replaying reader
+    // — partition values come from partitionValues actions, not files.
+    "q_delta_scan" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      val dloc = tmp("delta")
+      graft.core.DeltaExport.create(li, dloc, partitionBy = Seq("l_returnflag"))
+      graft.core.DeltaExport.removeWhere(s, dloc,
+        pv => pv.get("l_returnflag").flatten.contains("N"))
+      graft.core.DeltaImport.scan(s, dloc)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("l_returnflag")
+    },
+
     // pruned scan: result must equal a plain filtered aggregate even
     // though most files were never opened
     "q_lake_prune_scan" -> { (s, dir) =>
@@ -173,6 +192,13 @@ object QLake {
         |  count(*) AS n
         |FROM (SELECT * FROM lineitem
         |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_delta_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lake_prune_scan" ->

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.core.{DeltaExport, DeltaImport}
+
+/** Delta Lake interop: the reader against a GENUINE delta-spark-written
+  * table (the reference's read-only sample fixture,
+  * test_common/sample/data/delta), and reader+writer round trips with
+  * checkpoints, removes, time travel and partition pruning. */
+class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val genuine = "/root/reference/test_common/sample/data/delta/" +
+    "people_countries_delta_dask"
+
+  test("reads a genuine delta-spark-written table (schema, rows, partitions)") {
+    val df = DeltaImport.scan(spark, genuine)
+    assert(df.columns.toSeq ==
+      Seq("first_name", "last_name", "country", "continent"))
+    assert(df.count() == 5)
+    // partition column values come from partitionValues, not the files
+    val byCountry = df.groupBy("country").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCountry == Map("Argentina" -> 1L, "China" -> 2L, "Germany" -> 2L))
+    assert(df.filter(col("continent") === "Pangea").count() == 0)
+    val bruce = df.filter(col("first_name") === "Bruce").head()
+    assert(bruce.getAs[String]("country") == "China")
+  }
+
+  test("partition filters prune files in the delta scan") {
+    val st = DeltaImport.readLog(spark, genuine)
+    val idx = new graft.core.DeltaFileIndex(st)
+    val df = DeltaImport.scan(spark, genuine)
+      .filter(col("country") === "China")
+    assert(df.count() == 2)
+    // the physical plan must scan one file, not three
+    val scanned: Long = df.queryExecution.executedPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+      case _ => 0L
+    }.sum
+    assert(scanned == 1, s"expected 1 file scanned, got $scanned")
+    assert(idx.inputFiles.length == 3)
+  }
+
+  test("round trip: create, remove a partition, time travel, checkpoint") {
+    val dir = Files.createTempDirectory("delta_rt").toString + "/t"
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    DeltaExport.create(li, dir, partitionBy = Seq("l_returnflag"))
+
+    val v0 = DeltaImport.scan(spark, dir)
+    assert(v0.count() == li.count())
+    assert(v0.columns.sorted.toSeq ==
+      Seq("l_orderkey", "l_quantity", "l_returnflag"))
+
+    val removed = DeltaExport.removeWhere(spark, dir,
+      pv => pv.get("l_returnflag").flatten.contains("R"))
+    assert(removed > 0)
+    val v1 = DeltaImport.scan(spark, dir)
+    assert(v1.filter(col("l_returnflag") === "R").count() == 0)
+    assert(v1.count() == li.filter(col("l_returnflag") =!= "R").count())
+
+    // time travel back to version 0 sees the removed partition
+    val tt = DeltaImport.scan(spark, dir, versionAsOf = Some(0L))
+    assert(tt.count() == li.count())
+
+    // checkpoint; delete the JSON commits it covers; reader must survive
+    val cv = DeltaExport.checkpoint(spark, dir)
+    assert(cv == 1L)
+    for (v <- 0L to cv)
+      Files.delete(java.nio.file.Paths.get(dir, "_delta_log",
+        f"$v%020d.json"))
+    val fromCkpt = DeltaImport.scan(spark, dir)
+    assert(fromCkpt.count() == v1.count())
+    assert(fromCkpt.filter(col("l_returnflag") === "R").count() == 0)
+  }
+
+  test("rejects unsupported reader features") {
+    val dir = Files.createTempDirectory("delta_bad").toString + "/t"
+    val df = spark.range(3).toDF("id")
+    DeltaExport.create(df, dir)
+    // doctor the log to demand protocol v3
+    val log = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    val body = new String(Files.readAllBytes(log))
+      .replace("\"minReaderVersion\":1", "\"minReaderVersion\":3")
+    Files.write(log, body.getBytes)
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.readLog(spark, dir)
+    }
+    assert(e.getMessage.contains("protocol v3"))
+  }
+}
