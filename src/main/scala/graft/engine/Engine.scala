@@ -784,6 +784,10 @@ object Engine {
       // The geometry member is read as a raw JSON string (StringType in
       // the schema keeps the unparsed object text) and decoded by the
       // in-repo kernel; properties arrive as a string map.
+      // ESRI Shapefile (.shp/.dbf pair) — the reference reads these via
+      // GDAL (gdal.c, ".shp | Shapefile"); here a direct spec parser
+      case "shp" | "shapefile" =>
+        graft.sources.Shapefile.read(spark, path)
       case "geojson" =>
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(

@@ -162,6 +162,20 @@ object Geo {
       fromWkb(v.asInstanceOf[Array[Byte]]).map(g => toWkb(apply(g))).orNull
   }
 
+  /** st_force3dz/3dm/4d: re-emit with constant-filled Z/M coordinates
+    * (ISO WKB type offsets). The planar kernel reads these back by
+    * projecting to XY — see GeoKernel.getGeom. */
+  case class StForceDims(child: Expression, withZ: Boolean, withM: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      fromWkb(v.asInstanceOf[Array[Byte]])
+        .map(g => GeoKernel.toWkbForced(g, withZ, withM)).orNull
+    override protected def withNewChildInternal(c: Expression): StForceDims =
+      copy(child = c)
+  }
+
   case class StEnvelope(child: Expression) extends GeomTransform {
     protected def apply(g: Geom): Geom = envelopePolygon(g)
     override protected def withNewChildInternal(c: Expression): StEnvelope =
@@ -660,6 +674,15 @@ object Geo {
   def st_normalize(g: Column): Column = unary(StNormalize)(g)
   def st_pointonsurface(g: Column): Column = unary(StPointOnSurface)(g)
   def st_force2d(g: Column): Column = g // storage is 2D already
+  def st_force3dz(g: Column): Column =
+    GraftBridge.column(StForceDims(GraftBridge.eagerExpression(g),
+      withZ = true, withM = false))
+  def st_force3dm(g: Column): Column =
+    GraftBridge.column(StForceDims(GraftBridge.eagerExpression(g),
+      withZ = false, withM = true))
+  def st_force4d(g: Column): Column =
+    GraftBridge.column(StForceDims(GraftBridge.eagerExpression(g),
+      withZ = true, withM = true))
   def st_simplify(g: Column, tol: Column): Column =
     binary(StSimplify)(g, tol.cast("double"))
   def st_reduceprecision(g: Column, grid: Column): Column =
@@ -872,6 +895,9 @@ object Geo {
     reg("st_normalize") { case Seq(g) => st_normalize(g) }
     reg("st_pointonsurface") { case Seq(g) => st_pointonsurface(g) }
     reg("st_force2d") { case Seq(g) => st_force2d(g) }
+    reg("st_force3dz") { case Seq(g) => st_force3dz(g) }
+    reg("st_force3dm") { case Seq(g) => st_force3dm(g) }
+    reg("st_force4d") { case Seq(g) => st_force4d(g) }
     reg("st_simplify") { case Seq(g, t) => st_simplify(g, t) }
     reg("st_reduceprecision") { case Seq(g, p) => st_reduceprecision(g, p) }
     reg("st_startpoint") { case Seq(g) => st_startpoint(g) }

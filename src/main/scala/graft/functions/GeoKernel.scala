@@ -95,17 +95,31 @@ object GeoKernel {
     val order = if (b.get() == 1) ByteOrder.LITTLE_ENDIAN
       else ByteOrder.BIG_ENDIAN
     b.order(order)
-    // EWKB: skip SRID when present (0x20000000); reject Z/M geometries
-    // (3 doubles per point) rather than silently misparsing them
+    // EWKB: skip SRID when present (0x20000000). Z/M coordinates —
+    // EWKB flag bits (0x80000000 Z, 0x40000000 M) or ISO type offsets
+    // (+1000 Z, +2000 M, +3000 ZM) — parse correctly and project to XY:
+    // the kernel is planar (the reference computes planar measures the
+    // same way unless the spheroid path is asked for, rewrite_query.c:
+    // 173-186), so higher dims carry no information for any operation
+    // here. st_force3dz/3dm/4d re-emit constant-filled extra dims.
     val raw = b.getInt
-    if ((raw & 0x80000000) != 0 || (raw & 0x40000000) != 0)
-      throw new RuntimeException("Z/M geometries not supported")
     if ((raw & 0x20000000) != 0) b.getInt // consume SRID
-    raw & 0xffff match {
-      case 1 => GPoint(b.getDouble, b.getDouble)
-      case 2 => GLine(readPts(b))
+    val isoDims = (raw & 0xffff) / 1000 // 0=2D 1=Z 2=M 3=ZM
+    val extraDims = (if ((raw & 0x80000000) != 0 || isoDims == 1 ||
+        isoDims == 3) 1 else 0) +
+      (if ((raw & 0x40000000) != 0 || isoDims == 2 || isoDims == 3) 1 else 0)
+    def pt(): Pt = {
+      val p = (b.getDouble, b.getDouble)
+      var i = 0
+      while (i < extraDims) { b.getDouble; i += 1 }
+      p
+    }
+    def pts(): IndexedSeq[Pt] = IndexedSeq.fill(b.getInt)(pt())
+    (raw & 0xffff) % 1000 match {
+      case 1 => { val p = pt(); GPoint(p._1, p._2) }
+      case 2 => GLine(pts())
       case 3 =>
-        GPolygon(IndexedSeq.fill(b.getInt)(readPts(b)))
+        GPolygon(IndexedSeq.fill(b.getInt)(pts()))
       case n if n >= 4 && n <= 7 =>
         val names = Map(4 -> "MULTIPOINT", 5 -> "MULTILINESTRING",
           6 -> "MULTIPOLYGON", 7 -> "GEOMETRYCOLLECTION")
@@ -114,8 +128,48 @@ object GeoKernel {
     }
   }
 
-  private def readPts(b: ByteBuffer): IndexedSeq[Pt] =
-    IndexedSeq.fill(b.getInt)((b.getDouble, b.getDouble))
+  /** Serialize with constant-filled Z and/or M coordinates (ISO WKB
+    * type offsets) — st_force3dz/3dm/4d. The planar kernel reads these
+    * back by projecting to XY. */
+  def toWkbForced(g: Geom, withZ: Boolean, withM: Boolean,
+      zVal: Double = 0.0, mVal: Double = 0.0): Array[Byte] = {
+    val extra = (if (withZ) Seq(zVal) else Nil) ++ (if (withM) Seq(mVal) else Nil)
+    val offset = (if (withZ) 1000 else 0) + (if (withM) 2000 else 0)
+    val buf = ByteBuffer.allocate(wkbSize(g) + nPoints(g) * 8 * extra.size)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def put(geom: Geom): Unit = {
+      buf.put(1.toByte)
+      def putPts(pts: Seq[Pt]): Unit = {
+        buf.putInt(pts.size)
+        pts.foreach { case (x, y) =>
+          buf.putDouble(x); buf.putDouble(y); extra.foreach(buf.putDouble)
+        }
+      }
+      geom match {
+        case GPoint(x, y) =>
+          buf.putInt(1 + offset)
+          buf.putDouble(x); buf.putDouble(y); extra.foreach(buf.putDouble)
+        case GLine(pts) => buf.putInt(2 + offset); putPts(pts)
+        case GPolygon(rings) =>
+          buf.putInt(3 + offset)
+          buf.putInt(rings.size); rings.foreach(putPts)
+        case GMulti(name, gs) =>
+          val code = Map("MULTIPOINT" -> 4, "MULTILINESTRING" -> 5,
+            "MULTIPOLYGON" -> 6, "GEOMETRYCOLLECTION" -> 7)(name)
+          buf.putInt(code + offset)
+          buf.putInt(gs.size); gs.foreach(put)
+      }
+    }
+    put(g)
+    java.util.Arrays.copyOf(buf.array(), buf.position())
+  }
+
+  private def nPoints(g: Geom): Int = g match {
+    case _: GPoint => 1
+    case GLine(pts) => pts.size
+    case GPolygon(rings) => rings.map(_.size).sum
+    case GMulti(_, gs) => gs.map(nPoints).sum
+  }
 
   // ---- WKT -------------------------------------------------------------
 

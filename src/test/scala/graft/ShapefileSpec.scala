@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.Engine
+import graft.functions.GeoKernel
+import graft.sources.Shapefile
+
+/** Shapefile reader against a fixture built byte-by-byte from the
+  * public ESRI spec (the format is fixed-layout binary, so a
+  * spec-conformant fixture exercises exactly what a GDAL-written file
+  * contains): header, point + polygon-with-hole + null records, and a
+  * dBase III attribute table with C/N/F/L/D fields. */
+class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- fixture builders (per the ESRI shapefile + dBase III specs) ----
+
+  private def shpRecord(shapeType: Int, body: ByteBuffer => Unit): Array[Byte] = {
+    val content = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+    content.putInt(shapeType); body(content)
+    java.util.Arrays.copyOf(content.array(), content.position())
+  }
+
+  private def buildShp(records: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 100 + records.map(8 + _.length).sum
+    val b = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(9994); b.position(24); b.putInt(total / 2)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000) // version
+    b.putInt(32, 5)    // nominal shape type
+    b.position(100)
+    records.zipWithIndex.foreach { case (r, i) =>
+      b.order(ByteOrder.BIG_ENDIAN)
+      b.putInt(i + 1); b.putInt(r.length / 2)
+      b.put(r)
+    }
+    b.array()
+  }
+
+  private def buildDbf(fields: Seq[(String, Char, Int, Int)],
+      rows: Seq[Seq[String]]): Array[Byte] = {
+    val headerSize = 32 + fields.size * 32 + 1
+    val recSize = 1 + fields.map(_._3).sum
+    val b = ByteBuffer.allocate(headerSize + rows.size * recSize + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x03.toByte); b.position(4); b.putInt(rows.size)
+    b.putShort(8, headerSize.toShort); b.putShort(10, recSize.toShort)
+    fields.zipWithIndex.foreach { case ((name, t, len, dec), i) =>
+      val off = 32 + i * 32
+      val nb = name.getBytes(StandardCharsets.US_ASCII)
+      b.position(off); b.put(java.util.Arrays.copyOf(nb, 11))
+      b.put(off + 11, t.toByte)
+      b.put(off + 16, len.toByte); b.put(off + 17, dec.toByte)
+    }
+    b.position(32 + fields.size * 32); b.put(0x0d.toByte)
+    rows.foreach { r =>
+      b.put(' '.toByte) // not deleted
+      r.zip(fields).foreach { case (v, (_, _, len, _)) =>
+        b.put(java.util.Arrays.copyOf(
+          v.getBytes(StandardCharsets.ISO_8859_1), len))
+      }
+    }
+    java.util.Arrays.copyOf(b.array(), b.position())
+  }
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("shp").toString
+    val recs = Seq(
+      shpRecord(1, b => { b.putDouble(3.5); b.putDouble(-1.25) }),
+      // polygon: outer CW square (0,0)-(10,10) + CCW hole (2,2)-(4,4)
+      shpRecord(5, b => {
+        b.putDouble(0); b.putDouble(0); b.putDouble(10); b.putDouble(10)
+        b.putInt(2); b.putInt(10); b.putInt(0); b.putInt(5)
+        // outer, clockwise in shapefile convention
+        for (p <- Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0),
+            (0.0, 0.0))) { b.putDouble(p._1); b.putDouble(p._2) }
+        // hole, counter-clockwise
+        for (p <- Seq((2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0),
+            (2.0, 2.0))) { b.putDouble(p._1); b.putDouble(p._2) }
+      }),
+      shpRecord(0, _ => ()))
+    Files.write(Paths.get(d, "zones.shp"), buildShp(recs))
+    Files.write(Paths.get(d, "zones.dbf"), buildDbf(
+      Seq(("NAME", 'C', 8, 0), ("POP", 'N', 6, 0), ("RATE", 'F', 8, 3),
+        ("OK", 'L', 1, 0), ("DAY", 'D', 8, 0)),
+      Seq(Seq("alpha   ", "  1200", "   1.500", "T", "20240131"),
+        Seq("beta    ", "    42", "   0.250", "F", "20231215"),
+        Seq("gamma   ", "      ", "        ", " ", "        "))))
+    d
+  }
+
+  test("reads geometry records: point, polygon with hole, null shape") {
+    val df = Shapefile.read(spark, dir + "/zones.shp")
+    assert(df.count() == 3)
+    val rows = df.orderBy("NAME").collect()
+    val pt = GeoKernel.fromWkb(rows(0).getAs[Array[Byte]]("geometry")).get
+    assert(pt == GeoKernel.GPoint(3.5, -1.25))
+    val poly = GeoKernel.fromWkb(rows(1).getAs[Array[Byte]]("geometry")).get
+    assert(GeoKernel.area(poly) == 100.0 - 4.0) // hole subtracted
+    assert(rows(2).getAs[Array[Byte]]("geometry") == null)
+  }
+
+  test("dbf attribute types: C/N/F/L/D with empty-as-null") {
+    val df = Shapefile.read(spark, dir + "/zones.shp")
+    val s = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(s("NAME") == org.apache.spark.sql.types.StringType)
+    assert(s("POP") == org.apache.spark.sql.types.LongType)
+    assert(s("RATE") == org.apache.spark.sql.types.DoubleType)
+    assert(s("OK") == org.apache.spark.sql.types.BooleanType)
+    assert(s("DAY") == org.apache.spark.sql.types.DateType)
+    val a = df.filter(col("NAME") === "alpha").head()
+    assert(a.getAs[Long]("POP") == 1200L)
+    assert(a.getAs[Double]("RATE") == 1.5)
+    assert(a.getAs[Boolean]("OK"))
+    assert(a.getAs[java.sql.Date]("DAY").toString == "2024-01-31")
+    val g = df.filter(col("NAME") === "gamma").head()
+    assert(g.isNullAt(g.fieldIndex("POP")) && g.isNullAt(g.fieldIndex("DAY")))
+  }
+
+  test("flows through Engine.copyFrom and the ST_ SQL surface") {
+    val df = Engine.copyFrom(spark, dir + "/zones.shp", "shp")
+    graft.functions.Geo.registerAll(spark)
+    df.createOrReplaceTempView("zones_shp")
+    val area = spark.sql(
+      """SELECT NAME, round(st_area(geometry), 1) AS a
+        |FROM zones_shp WHERE geometry IS NOT NULL
+        |ORDER BY NAME""".stripMargin).collect()
+    assert(area.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("alpha", 0.0), ("beta", 96.0)))
+  }
+}
