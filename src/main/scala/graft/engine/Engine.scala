@@ -657,6 +657,24 @@ object Engine {
     spark.sql(query)
   }
 
+  /** `CREATE FOREIGN TABLE <name> () SERVER pg_lake OPTIONS (path,
+    * format)` analogue: register an EXTERNAL path under a SQL name —
+    * raw files (parquet/csv/json/orc/text/geojson/shp/log) through the
+    * COPY readers, `iceberg` through the metadata.json reader,
+    * `delta` through the _delta_log reader. Reads resolve the external
+    * table's CURRENT state at registration (same snapshot pinning the
+    * reference applies per scan). */
+  def registerExternal(spark: SparkSession, name: String, path: String,
+      format: String, options: Map[String, String] = Map.empty): DataFrame = {
+    val df = format.toLowerCase match {
+      case "iceberg" => graft.core.IcebergImport.scan(spark, path)
+      case "delta" => graft.core.DeltaImport.scan(spark, path)
+      case other => copyFrom(spark, path, other, options)
+    }
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   // ------------------------------------------------- schema evolution
 
   /** ALTER TABLE ADD COLUMN (nullable, with optional default applied on

@@ -90,6 +90,24 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromCkpt.filter(col("l_returnflag") === "R").count() == 0)
   }
 
+  test("registerExternal: spark.sql over delta/iceberg/parquet names") {
+    graft.engine.Engine.registerExternal(spark, "people", genuine, "delta")
+    assert(spark.sql(
+      "SELECT count(*) FROM people WHERE country = 'China'")
+      .head().getLong(0) == 2L)
+    graft.engine.Engine.registerExternal(spark, "li_ext",
+      "/root/testdata/sf0.001/lineitem.parquet", "parquet")
+    assert(spark.sql("SELECT count(*) FROM li_ext").head().getLong(0) > 0)
+    val iceberg = "/root/reference/test_common/sample/iceberg/" +
+      "sample_tables/public/spark_generated_iceberg_test"
+    if (Files.isDirectory(java.nio.file.Paths.get(iceberg))) {
+      graft.engine.Engine.registerExternal(spark, "ice_ext", iceberg,
+        "iceberg")
+      assert(spark.sql("SELECT count(*) FROM ice_ext").head().getLong(0)
+        == 110L)
+    }
+  }
+
   test("rejects unsupported reader features") {
     val dir = Files.createTempDirectory("delta_bad").toString + "/t"
     val df = spark.range(3).toDF("id")
