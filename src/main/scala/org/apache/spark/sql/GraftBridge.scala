@@ -18,6 +18,14 @@ object GraftBridge {
   def eagerExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** Tag a batch plan's rows as a streaming micro-batch (the engine
+    * asserts isStreaming=true on DSv1 Source.getBatch results; the
+    * classic creator is private[sql]). */
+  def streamingDataFrame(spark: SparkSession, batch: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(
+        batch.queryExecution.toRdd, batch.schema, isStreaming = true)
+
   /** Resolve a predicate Column against a schema via the analyzer,
     * yielding a typed, coercion-applied Catalyst tree (e.g.
     * `LessThan(AttributeReference, Cast(Literal))`) that file-pruning can

@@ -149,6 +149,55 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("lake-cdc stream: tails commits, skips compaction rewrites, exactly-once") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val tbl = Engine.ctas(spark, dir, li.filter(col("l_returnflag") === "A"))
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.format("lake-cdc")
+      .option("path", dir).load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.add((id, batch.count())); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val first = seen.iterator().next()._2
+      assert(first == li.filter(col("l_returnflag") === "A").count())
+
+      // an appended commit arrives as its own batch
+      Engine.insert(tbl, li.filter(col("l_returnflag") === "R"))
+      q.processAllAvailable()
+      val counts = seen.iterator()
+      counts.next()
+      assert(counts.next()._2 ==
+        li.filter(col("l_returnflag") === "R").count())
+
+      // compaction rewrites every file but appends no rows: the CDC
+      // stream must emit NOTHING for it (the duplicate-replay bug the
+      // advisor flagged in appendsBetween)
+      Engine.compact(tbl)
+      q.processAllAvailable()
+      // one more real append still flows after the compaction
+      Engine.insert(tbl, li.filter(col("l_returnflag") === "N").limit(10))
+      q.processAllAvailable()
+      val all = {
+        val it = seen.iterator()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten.toSeq
+      }
+      assert(all.map(_._2).sum ==
+        li.filter(col("l_returnflag") === "A").count() +
+        li.filter(col("l_returnflag") === "R").count() + 10,
+        s"batches: $all")
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over the events fixture") {
     val ev = Tables.load(spark, sf, "events")
     val agg = StreamIngest.windowedCounts(ev, "ts", "value", "1 hour",
