@@ -778,6 +778,9 @@ object Engine {
       case "json" => w.json(path)
       // ORC rides Spark's built-in writer (zlib/snappy/zstd compression)
       case "orc" => w.orc(path)
+      // COPY TO a Delta table: parquet files + a conformant _delta_log
+      // (readable by delta-spark and DeltaImport; single commit)
+      case "delta" => graft.core.DeltaExport.create(out, path)
       case other => throw new IllegalArgumentException(s"format $other")
     }
   }

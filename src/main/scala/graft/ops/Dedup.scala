@@ -83,8 +83,9 @@ object Dedup {
     // materialize eagerly: the banding self-join and both verification
     // joins branch off this relation, and racing branches would compute
     // the signatures twice before the cache fills (measured 2x). At
-    // warehouse scale this is "checkpoint the signature table".
-    sig.count()
+    // warehouse scale this is "checkpoint the signature table". The
+    // count doubles as the corpus-size dial below.
+    val nDocs = sig.count()
     // band rows carry ONLY (band, bhash, id): the candidate-generation
     // shuffle must never move the shingle payloads — at 100 TB the
     // signatures are ~1000x smaller than the documents.
@@ -102,23 +103,33 @@ object Dedup {
     // two-stage verification: (1) cheap signature-agreement estimate of
     // jaccard (64 longs per side) discards most false candidates, (2)
     // exact jaccard on the full shingle sets only for survivors.
-    // The signature projection gets its own cache so the optimizer sees
-    // the narrow (~0.5 KB/row) relation's stats, not the fat shingle
-    // payload's: below the broadcast threshold both estimate joins become
-    // broadcast-hash (no shuffle); at warehouse scale the stats exceed it
-    // and the same plan degrades gracefully to shuffle joins.
-    val sigOnly = sig.select(col("id"), col("sig")).cache()
-    val est = cand
-      .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")),
-        Seq("id_a"))
-      .join(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b")),
-        Seq("id_b"))
-      .withColumn("est_j",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
-      .filter(col("est_j") >= threshold - 0.2)
-      .select("id_a", "id_b")
+    // The estimate stage exists to shrink the candidate set BEFORE the
+    // fat shingle payloads join — worth two extra joins only when the
+    // candidate set is large. Small corpora (everything broadcasts
+    // anyway, candidates are thousands not billions) go straight to the
+    // exact verify: same output (the exact filter is the final word
+    // either way), two fewer stages. The corpus size is already
+    // materialized by the cache-fill count above.
+    val est = if (nDocs <= 100000) cand else {
+      // The signature projection gets its own cache so the optimizer
+      // sees the narrow (~0.5 KB/row) relation's stats, not the fat
+      // shingle payload's: below the broadcast threshold both estimate
+      // joins become broadcast-hash (no shuffle); at warehouse scale
+      // the stats exceed it and the same plan degrades gracefully to
+      // shuffle joins.
+      val sigOnly = sig.select(col("id"), col("sig")).cache()
+      cand
+        .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")),
+          Seq("id_a"))
+        .join(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b")),
+          Seq("id_b"))
+        .withColumn("est_j",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+        .filter(col("est_j") >= threshold - 0.2)
+        .select("id_a", "id_b")
+    }
     est
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

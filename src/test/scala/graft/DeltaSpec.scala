@@ -108,6 +108,15 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("COPY TO delta: query result lands as a readable Delta table") {
+    val dir = Files.createTempDirectory("delta_copy").toString + "/t"
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    graft.engine.Engine.copyTo(src, dir, format = "delta")
+    val back = DeltaImport.scan(spark, dir)
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+  }
+
   test("rejects unsupported reader features") {
     val dir = Files.createTempDirectory("delta_bad").toString + "/t"
     val df = spark.range(3).toDF("id")

@@ -51,6 +51,82 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Z/M-forced WKB round-trips the XY projection on random geometries") {
+    val rnd = new scala.util.Random(11)
+    def rndPts(n: Int) = IndexedSeq.fill(n)(
+      (rnd.nextInt(1000) / 4.0, rnd.nextInt(1000) / 4.0))
+    def rndGeom(): Geom = rnd.nextInt(4) match {
+      case 0 => val p = rndPts(1).head; GPoint(p._1, p._2)
+      case 1 => GLine(rndPts(2 + rnd.nextInt(6)))
+      case 2 =>
+        val p = rndPts(1).head
+        val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(20)
+        makeEnvelope(p._1, p._2, p._1 + w, p._2 + h)
+      case _ => GMulti("MULTIPOINT",
+        rndPts(1 + rnd.nextInt(4)).map(p => GPoint(p._1, p._2)))
+    }
+    for (_ <- 0 until 300) {
+      val g = rndGeom()
+      for ((wz, wm) <- Seq((true, false), (false, true), (true, true))) {
+        val forced = GeoKernel.toWkbForced(g, wz, wm,
+          zVal = rnd.nextDouble(), mVal = rnd.nextDouble())
+        assert(fromWkb(forced).contains(g), s"$g z=$wz m=$wm")
+      }
+      // plain round trip stays the identity
+      assert(fromWkb(toWkb(g)).contains(g))
+    }
+  }
+
+  test("shapefile record parsing inverts a spec-conformant serializer") {
+    // serialize random polygons/lines per the ESRI spec layout and
+    // require the reader to reproduce them exactly
+    val rnd = new scala.util.Random(23)
+    import java.nio.{ByteBuffer, ByteOrder}
+    def shpFile(records: Seq[Array[Byte]]): Array[Byte] = {
+      val total = 100 + records.map(8 + _.length).sum
+      val b = ByteBuffer.allocate(total).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(9994); b.position(24); b.putInt(total / 2)
+      b.position(100)
+      records.zipWithIndex.foreach { case (r, i) =>
+        b.putInt(i + 1); b.putInt(r.length / 2); b.put(r)
+      }
+      b.array()
+    }
+    def pointRec(x: Double, y: Double): Array[Byte] = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1); b.putDouble(x); b.putDouble(y); b.array()
+    }
+    def lineRec(parts: Seq[IndexedSeq[(Double, Double)]]): Array[Byte] = {
+      val n = parts.map(_.size).sum
+      val b = ByteBuffer.allocate(4 + 32 + 8 + parts.size * 4 + n * 16)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(3); b.position(b.position() + 32)
+      b.putInt(parts.size); b.putInt(n)
+      var off = 0
+      parts.foreach { p => b.putInt(off); off += p.size }
+      parts.foreach(_.foreach { case (x, y) =>
+        b.putDouble(x); b.putDouble(y) })
+      b.array()
+    }
+    for (_ <- 0 until 100) {
+      val pts = IndexedSeq.fill(2 + rnd.nextInt(5))(
+        (rnd.nextInt(100) / 2.0, rnd.nextInt(100) / 2.0))
+      val pts2 = IndexedSeq.fill(2 + rnd.nextInt(5))(
+        (rnd.nextInt(100) / 2.0, rnd.nextInt(100) / 2.0))
+      val (px, py) = (rnd.nextDouble() * 50, rnd.nextDouble() * 50)
+      val multi = rnd.nextBoolean()
+      val recs = Seq(pointRec(px, py),
+        if (multi) lineRec(Seq(pts, pts2)) else lineRec(Seq(pts)))
+      val parsed = graft.sources.Shapefile.readShp(shpFile(recs))
+      assert(parsed.size == 2)
+      assert(parsed(0).contains(GPoint(px, py)))
+      val expected: Geom = if (multi)
+        GMulti("MULTILINESTRING", IndexedSeq(GLine(pts), GLine(pts2)))
+      else GLine(pts)
+      assert(parsed(1).contains(expected))
+    }
+  }
+
   test("TextMetrics equals the regex definitions on 1000 random strings") {
     val rnd = new scala.util.Random(7)
     val alphabet =
