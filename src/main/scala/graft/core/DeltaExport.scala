@@ -49,7 +49,45 @@ object DeltaExport {
       s""""configuration":{},"createdTime":0}}"""
   }
 
-  private def addActions(dir: String, partitionBy: Seq[String]): Seq[String] = {
+  /** Delta-protocol per-file stats JSON from a parquet footer: our
+    * canonical stat strings converted back to Delta's encoding (dates →
+    * ISO local date, timestamps → ISO instant) so external Delta
+    * readers prune on them too. */
+  private def deltaStats(footer: ParquetStats.FileFooter,
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types._
+    def jval(dt: DataType, s: String): Option[JValue] = try {
+      dt match {
+        case DateType => Some(JString(
+          java.time.LocalDate.ofEpochDay(s.toLong).toString))
+        case _: TimestampType | TimestampNTZType => Some(JString(
+          java.time.Instant.EPOCH.plusNanos(s.toLong * 1000L).toString))
+        case ShortType | IntegerType | LongType | ByteType =>
+          Some(JInt(BigInt(s)))
+        case FloatType | DoubleType => Some(JDouble(s.toDouble))
+        case BooleanType => Some(JBool(s.toBoolean))
+        case _: DecimalType => Some(JDecimal(BigDecimal(s)))
+        case StringType => Some(JString(s))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+    def side(pick: ColStat => Option[String]): JObject = JObject(
+      schema.fields.toList.flatMap { f =>
+        footer.stats.get(f.name).flatMap(pick)
+          .flatMap(jval(f.dataType, _)).map(f.name -> _)
+      })
+    val nulls = JObject(schema.fields.toList.flatMap { f =>
+      footer.stats.get(f.name).map(st => f.name -> JInt(st.nullCount))
+    })
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "numRecords" -> JInt(footer.rowCount),
+      "minValues" -> side(_.min), "maxValues" -> side(_.max),
+      "nullCount" -> nulls)))
+  }
+
+  private def addActions(dir: String, partitionBy: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      footers: Map[String, ParquetStats.FileFooter]): Seq[String] = {
     def walk(f: File): Seq[File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
       else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
@@ -68,12 +106,18 @@ object DeltaExport {
         val enc = rel.split("/").map(seg =>
           java.net.URLEncoder.encode(seg, "UTF-8")
             .replace("+", "%20")).mkString("/")
+        val stats = footers.get(f.getAbsolutePath)
+          .map(ft => s""","stats":${jstr(deltaStats(ft, dataSchema))}""")
+          .getOrElse("")
         s"""{"add":{"path":"$enc","partitionValues":$pv,"size":${f.length},""" +
-          s""""modificationTime":${f.lastModified},"dataChange":true}}"""
+          s""""modificationTime":${f.lastModified},"dataChange":true$stats}}"""
       }
   }
 
-  /** Create a Delta table at `dir` from `df` (commit version 0). */
+  /** Create a Delta table at `dir` from `df` (commit version 0). Add
+    * actions carry per-file min/max/nullCount stats (footers read
+    * executor-side via readMany), so scans prune — ours and external
+    * Delta readers alike. */
   def create(df: DataFrame, dir: String,
       partitionBy: Seq[String] = Nil): Unit = {
     require(!logDir(dir).toFile.exists(), s"Delta table already at $dir")
@@ -82,9 +126,18 @@ object DeltaExport {
       .parquet(dir)
     // drop Spark's writer bookkeeping; the log is the source of truth
     new File(dir, "_SUCCESS").delete()
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val files = walk(new File(dir))
+      .filterNot(_.getPath.contains("_delta_log")).map(_.getAbsolutePath)
+    val footers = ParquetStats.readMany(df.sparkSession, files)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      df.schema.filterNot(f => partitionBy.contains(f.name)))
     val actions =
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        metaAction(df, partitionBy)) ++ addActions(dir, partitionBy)
+        metaAction(df, partitionBy)) ++
+        addActions(dir, partitionBy, dataSchema, footers)
     writeCommit(dir, 0L, actions)
   }
 
@@ -126,7 +179,7 @@ object DeltaExport {
             .replace("+", "%20")).mkString("/")
         CkRow(add = Some(CkAdd(enc,
           f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, 0L, dataChange = true)))
+          f.size, 0L, dataChange = true, stats = f.statsJson)))
       }
     val tmp = Files.createTempDirectory("delta_ckpt").toString
     rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -146,7 +199,8 @@ object DeltaExport {
       createdTime: Long)
   case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int)
   case class CkAdd(path: String, partitionValues: Map[String, String],
-      size: Long, modificationTime: Long, dataChange: Boolean)
+      size: Long, modificationTime: Long, dataChange: Boolean,
+      stats: Option[String])
   case class CkRow(add: Option[CkAdd] = None,
       metaData: Option[CkMeta] = None,
       protocol: Option[CkProtocol] = None)

@@ -46,9 +46,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object DeltaImport {
 
   /** One live data file: path absolute, partition values still in their
-    * protocol string encoding (None = protocol null). */
+    * protocol string encoding (None = protocol null); per-column
+    * min/max/nullCount converted from the add action's `stats` JSON to
+    * the pruner's canonical encoding (dates/timestamps as epoch
+    * days/micros — see [[statsFromJson]]). */
   case class DeltaFile(path: String, size: Long,
-      partitionValues: Map[String, Option[String]])
+      partitionValues: Map[String, Option[String]],
+      stats: Map[String, ColStat] = Map.empty,
+      /** original protocol stats JSON, re-emitted verbatim by
+        * checkpoint writers */
+      statsJson: Option[String] = None)
 
   case class DeltaState(schema: StructType, partitionColumns: Seq[String],
       files: Seq[DeltaFile], version: Long) {
@@ -120,12 +127,14 @@ object DeltaImport {
       partCols = pc
     }
 
-    def addFile(path: String, size: Long,
-        pv: Map[String, Option[String]]): Unit = {
+    def addFile(path: String, size: Long, pv: Map[String, Option[String]],
+        statsJson: Option[String]): Unit = {
       val abs = if (path.startsWith("/") || path.contains("://")) path
         else Paths.get(dir, java.net.URLDecoder.decode(path, "UTF-8"))
           .toString
-      live(path) = DeltaFile(abs, size, pv)
+      val st = statsJson.flatMap(s => schema.map(sc => statsFromJson(s, sc)))
+        .getOrElse(Map.empty)
+      live(path) = DeltaFile(abs, size, pv, st, statsJson)
     }
 
     // 1) checkpoint actions (parsed executor-side; file list to driver)
@@ -145,13 +154,18 @@ object DeltaImport {
               Option(r.getMap[String, String](2)).map(_.toMap)
                 .getOrElse(Map.empty))
           }
+      val hasStats = ck.select("add.*").columns.contains("stats")
+      val addCols = Seq("add.path", "add.size", "add.partitionValues") ++
+        (if (hasStats) Seq("add.stats") else Nil)
       ck.filter(ck("add").isNotNull)
-        .select("add.path", "add.size", "add.partitionValues")
+        .select(addCols.head, addCols.tail: _*)
         .collect().foreach { r =>
           val pv = Option(r.getMap[String, String](2))
             .map(_.toMap.map { case (k, v) => k -> Option(v) })
             .getOrElse(Map.empty[String, Option[String]])
-          addFile(r.getString(0), r.getLong(1), pv)
+          val st = if (hasStats && !r.isNullAt(3)) Some(r.getString(3))
+            else None
+          addFile(r.getString(0), r.getLong(1), pv, st)
         }
       // removes in a checkpoint are expired tombstones — nothing to undo
     }
@@ -183,7 +197,8 @@ object DeltaImport {
             }.toMap
             case _ => Map.empty[String, Option[String]]
           }
-          addFile((a \ "path").extract[String], (a \ "size").extract[Long], pv)
+          addFile((a \ "path").extract[String], (a \ "size").extract[Long],
+            pv, (a \ "stats").extractOpt[String])
         case _ =>
       }
       (j \ "remove") match {
@@ -196,6 +211,56 @@ object DeltaImport {
       schema.getOrElse(sys.error("Delta log has no metaData action")),
       partCols, live.values.toSeq, target)
   }
+
+  /** Convert an add action's `stats` JSON (numRecords / minValues /
+    * maxValues / nullCount, PROTOCOL.md "Per-file Statistics") to the
+    * pruner's canonical string encoding: dates → epoch days, timestamps
+    * → epoch micros, everything else decimal/raw. A value that fails to
+    * convert is dropped (tri-state pruner treats missing stats as
+    * Unknown → the file is read, never wrongly skipped). String maxima
+    * may be writer-truncated-and-rounded-up — still a valid bound. */
+  private[core] def statsFromJson(json: String,
+      schema: StructType): Map[String, ColStat] = try {
+    val j = JsonMethods.parse(json)
+    def side(name: String): Map[String, JValue] = (j \ name) match {
+      case JObject(fs) => fs.toMap
+      case _ => Map.empty
+    }
+    val mins = side("minValues"); val maxs = side("maxValues")
+    val nulls = side("nullCount")
+    def render(v: JValue, dt: DataType): Option[String] = try {
+      v match {
+        case JNothing | JNull => None
+        case JString(s) => dt match {
+          case DateType =>
+            Some(DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(s))
+              .toString)
+          case _: TimestampType | TimestampNTZType =>
+            val inst = java.time.OffsetDateTime
+              .parse(if (s.endsWith("Z") || s.contains("+")) s else s + "Z")
+              .toInstant
+            Some(DateTimeUtils.instantToMicros(inst).toString)
+          case _ => Some(s)
+        }
+        case JInt(n) => Some(n.toString)
+        case JLong(n) => Some(n.toString)
+        case JDouble(n) => Some(n.toString)
+        case JDecimal(n) => Some(n.toString)
+        case JBool(b) => Some(b.toString)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+    schema.fields.flatMap { f =>
+      val mn = render(mins.getOrElse(f.name, JNothing), f.dataType)
+      val mx = render(maxs.getOrElse(f.name, JNothing), f.dataType)
+      val nc = nulls.get(f.name).collect {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+      }
+      if (mn.isEmpty && mx.isEmpty && nc.isEmpty) None
+      else Some(f.name -> ColStat(mn, mx, nc.getOrElse(0L)))
+    }.toMap
+  } catch { case _: Exception => Map.empty }
 
   /** Parse a protocol-encoded partition value to its Catalyst value
     * (PROTOCOL.md "Partition Value Serialization"). */
@@ -239,24 +304,25 @@ object DeltaImport {
 /** FileIndex over a Delta snapshot: one PartitionDirectory per distinct
   * partition tuple, partition values decoded from the protocol strings —
   * Spark's scan attaches them per split (no per-partition union, no
-  * filename-join). Partition filters prune directories here, mirroring
-  * PartitioningAwareFileIndex.prunePartitions. */
+  * filename-join). Partition filters prune directories here (mirroring
+  * PartitioningAwareFileIndex.prunePartitions), and the pushed DATA
+  * filters run the same tri-state min/max pruner lake tables use
+  * against the add-action stats — Delta scans skip files exactly like
+  * native tables do. */
 class DeltaFileIndex(st: DeltaImport.DeltaState) extends FileIndex {
 
   private val partSchema = st.partitionSchema
 
-  private val dirs: Seq[(InternalRow, Seq[FileStatusWithMetadata])] =
+  private val dirs: Seq[(InternalRow, Seq[DeltaImport.DeltaFile])] =
     st.files.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
       val row = InternalRow.fromSeq(partSchema.map(f =>
         DeltaImport.partitionValue(pv.getOrElse(f.name, None), f.dataType)))
-      val statuses = fs.map { f =>
-        val p = new HPath("file:" + f.path.stripPrefix("file:"))
-        FileStatusWithMetadata(
-          new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L, p),
-          Map.empty)
-      }
-      (row, statuses)
+      (row, fs)
     }
+
+  /** files-skipped-by-stats counter from the last listing (tests /
+    * EXPLAIN-style inspection, like LakeFileIndex.lastScan). */
+  val lastSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def rootPaths: Seq[HPath] = Seq.empty
 
@@ -272,9 +338,32 @@ class DeltaFileIndex(st: DeltaImport.DeltaState) extends FileIndex {
         dirs.filter { case (row, _) => bound.eval(row) }
       case None => dirs
     }
-    selected.map { case (row, statuses) =>
+    // stats pruning on the pushed data filters (tri-state: a file with
+    // missing/unparseable stats is always read)
+    val pred = dataFilters.reduceOption(And)
+    var skipped = 0
+    val out = selected.map { case (row, fs) =>
+      val keep = pred match {
+        case None => fs
+        case Some(p) =>
+          val (mustRead, sk, _) = Pruning.partitionFiles(Some(p),
+            st.dataSchema, Nil,
+            fs.toList.map(f => DataFile(f.path, 0L, f.size, Map.empty,
+              f.stats)))
+          skipped += sk.size
+          val keepPaths = mustRead.map(_.path).toSet
+          fs.filter(f => keepPaths.contains(f.path))
+      }
+      val statuses = keep.map { f =>
+        val p = new HPath("file:" + f.path.stripPrefix("file:"))
+        FileStatusWithMetadata(
+          new FileStatus(f.size, false, 1, 128L * 1024 * 1024, 0L, p),
+          Map.empty)
+      }
       PartitionDirectory(row, statuses)
     }
+    lastSkipped.set(skipped)
+    out
   }
 
   override def inputFiles: Array[String] = st.files.map(_.path).toArray

@@ -57,6 +57,25 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(idx.inputFiles.length == 3)
   }
 
+  test("add-action stats prune data files (not just partition values)") {
+    // the genuine fixture's adds carry minValues/maxValues for
+    // first_name: Argentina [Ernesto,Ernesto], China [Bruce,Jack],
+    // Germany [Soraya,Wolfgang] — a first_name='Bruce' filter must
+    // scan ONE file even though no partition column is filtered
+    val df = DeltaImport.scan(spark, genuine)
+      .filter(col("first_name") === "Bruce")
+    assert(df.count() == 1)
+    val scanned: Long = df.queryExecution.executedPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+      case _ => 0L
+    }.sum
+    assert(scanned == 1, s"expected stats-pruned single-file scan, got $scanned")
+    // stats parse survives the checkpoint path too (string column)
+    val st = DeltaImport.readLog(spark, genuine)
+    assert(st.files.forall(_.stats.contains("first_name")))
+  }
+
   test("round trip: create, remove a partition, time travel, checkpoint") {
     val dir = Files.createTempDirectory("delta_rt").toString + "/t"
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
@@ -115,6 +134,30 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = DeltaImport.scan(spark, dir)
     assert(back.count() == src.count())
     assert(back.columns.toSeq == src.columns.toSeq)
+  }
+
+  test("exported delta tables carry stats that our reader prunes on") {
+    val dir = Files.createTempDirectory("delta_stats").toString + "/t"
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+      // 4 files with disjoint l_orderkey ranges → range filters prune
+      .withColumn("bucket", (col("l_orderkey") / 1500).cast("int"))
+    DeltaExport.create(li, dir, partitionBy = Seq("bucket"))
+    val st = DeltaImport.readLog(spark, dir)
+    assert(st.files.forall(_.stats.contains("l_orderkey")))
+    // timestamps and numerics both round-trip the Delta stat encoding
+    assert(st.files.forall(_.stats.contains("l_shipdate")))
+    val lo = li.agg(org.apache.spark.sql.functions.min("l_orderkey"))
+      .head().getLong(0)
+    val df = DeltaImport.scan(spark, dir)
+      .filter(col("l_orderkey") === lo)
+    assert(df.count() > 0)
+    val scanned: Long = df.queryExecution.executedPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.totalNumberOfFiles
+      case _ => 0L
+    }.sum
+    assert(scanned == 1, s"expected 1 stats-pruned file, got $scanned")
   }
 
   test("rejects unsupported reader features") {
