@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -160,6 +160,22 @@ object Geo {
     protected def apply(g: Geom): Geom
     override def nullSafeEval(v: Any): Any =
       fromWkb(v.asInstanceOf[Array[Byte]]).map(g => toWkb(apply(g))).orNull
+  }
+
+  /** st_transform limited to the projection-database-free pair
+    * EPSG:4326 ⇄ EPSG:3857 (+ identity); other CRS pairs yield NULL
+    * (documented subset — DEVIATIONS.md). */
+  case class StTransform(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def nullSafeEval(g: Any, from: Any, to: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]])
+        .flatMap(geom => GeoKernel.transformCrs(geom,
+          from.asInstanceOf[Int], to.asInstanceOf[Int]))
+        .map(toWkb).orNull
+    override protected def withNewChildrenInternal(f: Expression,
+        s: Expression, t: Expression): StTransform = copy(f, s, t)
   }
 
   /** st_force3dz/3dm/4d: re-emit with constant-filled Z/M coordinates
@@ -674,6 +690,10 @@ object Geo {
   def st_normalize(g: Column): Column = unary(StNormalize)(g)
   def st_pointonsurface(g: Column): Column = unary(StPointOnSurface)(g)
   def st_force2d(g: Column): Column = g // storage is 2D already
+  def st_transform(g: Column, fromSrid: Column, toSrid: Column): Column =
+    GraftBridge.column(StTransform(GraftBridge.eagerExpression(g),
+      GraftBridge.eagerExpression(fromSrid.cast("int")),
+      GraftBridge.eagerExpression(toSrid.cast("int"))))
   def st_force3dz(g: Column): Column =
     GraftBridge.column(StForceDims(GraftBridge.eagerExpression(g),
       withZ = true, withM = false))
@@ -896,6 +916,7 @@ object Geo {
     reg("st_pointonsurface") { case Seq(g) => st_pointonsurface(g) }
     reg("st_force2d") { case Seq(g) => st_force2d(g) }
     reg("st_force3dz") { case Seq(g) => st_force3dz(g) }
+    reg("st_transform") { case Seq(g, f, t) => st_transform(g, f, t) }
     reg("st_force3dm") { case Seq(g) => st_force3dm(g) }
     reg("st_force4d") { case Seq(g) => st_force4d(g) }
     reg("st_simplify") { case Seq(g, t) => st_simplify(g, t) }

@@ -567,6 +567,28 @@ object GeoKernel {
 
   def flipCoordinates(g: Geom): Geom = mapPts(g) { case (x, y) => (y, x) }
 
+  /** CRS transform for the one pair that needs no projection database:
+    * EPSG:4326 (lon/lat) ⇄ EPSG:3857 (spherical Web Mercator) — the
+    * spherical-earth closed forms, R = 6378137 m (the reference ships
+    * the full GEOS/proj st_transform via DuckDB spatial,
+    * rewrite_query.c:173-186; arbitrary CRS stays out of scope).
+    * Identity when from == to; any other pair → None. */
+  def transformCrs(g: Geom, fromSrid: Int, toSrid: Int): Option[Geom] = {
+    val R = 6378137.0
+    (fromSrid, toSrid) match {
+      case (a, b) if a == b => Some(g)
+      case (4326, 3857) => Some(mapPts(g) { case (lon, lat) =>
+        (R * math.toRadians(lon),
+         R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+      })
+      case (3857, 4326) => Some(mapPts(g) { case (x, y) =>
+        (math.toDegrees(x / R),
+         math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
+      })
+      case _ => None
+    }
+  }
+
   def removeRepeatedPoints(g: Geom): Geom = mapPaths(g) { pts =>
     if (pts.isEmpty) pts
     else pts.head +: pts.sliding(2).collect {

@@ -58,14 +58,47 @@ object Multimodal {
   def checksum(bytes: Array[Byte]): Long =
     bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
 
+  /** Header-probe a RIFF/WAVE audio blob (the format spec is pure
+    * fixed-layout bytes — no codec needed): returns (sampleRate,
+    * channels, durationMillis) from the fmt chunk + data chunk size. */
+  def probeWav(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes == null || bytes.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var rate = 0; var channels = 0; var byteRate = 0; var dataLen = -1L
+    while (off + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+      val id = tag(off); val sz = b.getInt(off + 4)
+      if (id == "fmt " && off + 16 <= bytes.length) {
+        channels = b.getShort(off + 10).toInt
+        rate = b.getInt(off + 12)
+        byteRate = b.getInt(off + 16)
+      } else if (id == "data") dataLen = sz.toLong
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || dataLen < 0 || byteRate <= 0) None
+    else Some((rate, channels, dataLen * 1000L / byteRate))
+  }
+
   /** Decode one blob to (byte_len, format, width, height, checksum).
-    * Real probe for images; `bin` + NULL dims for everything else. */
+    * Real probes: images via javax.imageio (format + dimensions), WAV
+    * audio via the RIFF header (sample rate → width slot, channels →
+    * height slot — the two integer dims the meta struct carries).
+    * Compressed audio/video (mp3/mp4…) stays `bin` + NULL dims (no
+    * codecs in this container). */
   def decodeMeta(bytes: Array[Byte]): (Long, String, Integer, Integer, Long) =
     probeImage(bytes) match {
       case Some((fmt, w, h)) =>
         (bytes.length.toLong, fmt, Int.box(w), Int.box(h), checksum(bytes))
-      case None =>
-        (bytes.length.toLong, "bin", null, null, checksum(bytes))
+      case None => probeWav(bytes) match {
+        case Some((rate, ch, _)) =>
+          (bytes.length.toLong, "wav", Int.box(rate), Int.box(ch),
+            checksum(bytes))
+        case None =>
+          (bytes.length.toLong, "bin", null, null, checksum(bytes))
+      }
     }
 
   /** Catalyst expression wrapping [[decodeMeta]]: BINARY → meta struct.

@@ -266,6 +266,28 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromWkb(s.array()).contains(GPoint(7, 8)))
   }
 
+  test("st_transform: 4326 <-> 3857 closed forms, round trip, null off-domain") {
+    // Paris: lon 2.3522, lat 48.8566 — pinned against the closed-form spherical values
+    val paris = GPoint(2.3522, 48.8566)
+    val Some(GPoint(mx, my)) = GeoKernel.transformCrs(paris, 4326, 3857)
+    assert(math.abs(mx - 261845.706) < 0.1, s"x=$mx")
+    assert(math.abs(my - 6250564.35) < 0.1, s"y=$my")
+    // inverse recovers the input
+    val Some(GPoint(lon, lat)) = GeoKernel.transformCrs(GPoint(mx, my), 3857, 4326)
+    assert(math.abs(lon - 2.3522) < 1e-9 && math.abs(lat - 48.8566) < 1e-9)
+    // identity + unsupported pair
+    assert(GeoKernel.transformCrs(paris, 4326, 4326).contains(paris))
+    assert(GeoKernel.transformCrs(paris, 4326, 2154).isEmpty)
+    // SQL surface
+    graft.functions.Geo.registerAll(spark)
+    val r = spark.sql(
+      """SELECT st_y(st_transform(st_point(2.3522, 48.8566), 4326, 3857))
+        |  AS y, st_transform(st_point(0, 0), 4326, 2154) AS off""".stripMargin)
+      .head()
+    assert(math.abs(r.getDouble(0) - 6250564.35) < 0.1)
+    assert(r.isNullAt(1))
+  }
+
   test("Z/M WKB parses to the XY projection; force3d* re-emits dims") {
     // EWKB Z-flagged point (3 doubles/pt): planar kernel projects to XY
     val z = java.nio.ByteBuffer.allocate(29)

@@ -348,6 +348,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ExistingRDD"), plan)
   }
 
+  test("multimodal: WAV header probe reads rate/channels without a codec") {
+    // build a minimal valid RIFF/WAVE: PCM 16-bit, 8kHz mono, 0.5s
+    val rate = 8000; val channels = 1; val bps = 2
+    val dataLen = rate * bps / 2 // half a second
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(36 + dataLen); b.put("WAVE".getBytes)
+    b.put("fmt ".getBytes); b.putInt(16); b.putShort(1)
+    b.putShort(channels.toShort); b.putInt(rate)
+    b.putInt(rate * channels * bps) // byte rate
+    b.putShort((channels * bps).toShort); b.putShort((bps * 8).toShort)
+    b.put("data".getBytes); b.putInt(dataLen)
+    val wav = b.array()
+    assert(Multimodal.probeWav(wav).contains((8000, 1, 500L)))
+    val (_, fmt, w, h, _) = Multimodal.decodeMeta(wav)
+    assert(fmt == "wav" && w == 8000 && h == 1)
+    // non-RIFF bytes stay 'bin'
+    assert(Multimodal.decodeMeta("plain text".getBytes)._2 == "bin")
+    // and the expression path agrees
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(wav)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("blob",
+          org.apache.spark.sql.types.BinaryType))))
+    val m = Multimodal.withMediaMeta(df, "blob")
+      .select("media_meta.format", "media_meta.width").head()
+    assert(m.getString(0) == "wav" && m.getInt(1) == 8000)
+  }
+
   test("multimodal: stub decode plumbing and frame sampling") {
     val d = Tables.load(spark, sf, "documents").limit(50)
       .withColumn("blob", col("text").cast("binary"))
