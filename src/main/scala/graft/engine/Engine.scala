@@ -308,6 +308,122 @@ object Engine {
     df.collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
   }
 
+  /** MERGE INTO (equi-key upsert): for each target row whose `keys`
+    * equal a source row's — update the listed columns from the source
+    * (default: every common non-key column) or delete it; source rows
+    * matching no target row insert as new rows. SQL MERGE semantics:
+    * the source must have at most one row per key (checked), NULL keys
+    * never match, and the whole operation is ONE snapshot.
+    *
+    * The reference supports MERGE only on heap tables through Postgres
+    * itself — its dbt guide spells out "Merge is not currently
+    * supported on Iceberg tables" (docs/dbt.md:67) and prescribes
+    * delete+insert; this is the lake-native version of what those
+    * pipelines want.
+    *
+    * Scale posture: candidate files prune on the SOURCE's key range
+    * (min/max per key → interval refutation against file stats — an
+    * upsert batch touching recent keys rewrites only recent files);
+    * match detection and the not-matched anti-join read only surviving
+    * candidates; rewrites are per-file COW like UPDATE/DELETE. */
+  def merge(tbl: LakeTable, source: DataFrame, keys: Seq[String],
+      whenMatchedUpdate: Option[Seq[String]] = None,
+      whenMatchedDelete: Boolean = false,
+      whenNotMatchedInsert: Boolean = true): DmlResult = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(!(whenMatchedDelete && whenMatchedUpdate.isDefined),
+      "whenMatchedDelete and whenMatchedUpdate are mutually exclusive")
+    flushDeletes(tbl)
+    val spark = tbl.spark
+    val srcCols = source.columns.toSet
+    require(keys.forall(srcCols.contains), s"source lacks key columns")
+    // SQL MERGE cardinality rule: one source row per key, or the result
+    // would depend on join order
+    require(source.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).isEmpty,
+      "MERGE source has more than one row for some key")
+
+    val updCols = whenMatchedUpdate.getOrElse(
+      tbl.schema.fieldNames.filter(c =>
+        srcCols.contains(c) && !keys.contains(c)).toSeq)
+
+    // prune candidate files on the source's key range: a file whose
+    // key stats don't intersect [min, max] of the source keys cannot
+    // contain a match
+    val files = tbl.liveFiles
+    val bounds = source.agg(
+      keys.flatMap(k => Seq(min(col(k)).as(s"_lo_$k"),
+        max(col(k)).as(s"_hi_$k"))).head,
+      keys.flatMap(k => Seq(min(col(k)).as(s"_lo_$k"),
+        max(col(k)).as(s"_hi_$k"))).tail: _*).head()
+    val rangePred = keys.zipWithIndex.map { case (k, i) =>
+      val (lo, hi) = (bounds.get(2 * i), bounds.get(2 * i + 1))
+      if (lo == null) lit(false)
+      else col(k) >= lit(lo) && col(k) <= lit(hi)
+    }.reduce(_ && _)
+    val (mustRead, _, _) = Pruning.partitionFiles(
+      Some(GraftBridge.resolvePredicate(spark, tbl.schema, rangePred)),
+      tbl.schema, tbl.meta.partitionSpec, files)
+
+    // which candidates actually contain a key match (per-file counts)
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val matches: Map[String, Long] =
+      if (mustRead.isEmpty) Map.empty
+      else spark.read.schema(tbl.schema).parquet(mustRead.map(_.path): _*)
+        .withColumn("_file", input_file_name())
+        .join(srcKeys, keys, "left_semi")
+        .groupBy("_file").agg(count(lit(1)).as("n"))
+        .collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
+    val rewrite = mustRead.filter(f => matches.contains(normPath(f.path)))
+    val untouched = files.filterNot(f => matches.contains(normPath(f.path)))
+
+    // COW rewrite: left-join the source, apply update/delete to matches
+    val srcRenamed = source.select(
+      (keys ++ updCols).distinct.map(c => col(c).as(s"_src_$c")) :+
+        lit(true).as("_src_matched"): _*)
+    def applyMerge(df: DataFrame): DataFrame = {
+      val cond = keys.map(k => df(k) <=> col(s"_src_$k") &&
+        df(k).isNotNull).reduce(_ && _)
+      val joined = df.join(srcRenamed, cond, "left")
+      val result =
+        if (whenMatchedDelete) joined.filter(col("_src_matched").isNull)
+        else joined
+      val outCols = tbl.schema.fieldNames.map { c =>
+        if (!whenMatchedDelete && updCols.contains(c))
+          when(col("_src_matched").isNotNull, col(s"_src_$c"))
+            .otherwise(df(c)).as(c)
+        else df(c).as(c)
+      }
+      result.select(outCols: _*)
+    }
+    val rewritten =
+      if (rewrite.isEmpty) Nil else rewriteGroups(tbl, rewrite, applyMerge)
+
+    // not-matched inserts: source rows whose key appears in no candidate
+    // file (files outside the range prune cannot match, so candidate
+    // keys are the complete match set)
+    val inserted =
+      if (!whenNotMatchedInsert) Nil
+      else {
+        val targetKeys =
+          if (mustRead.isEmpty) {
+            import scala.jdk.CollectionConverters._
+            spark.createDataFrame(List.empty[org.apache.spark.sql.Row].asJava,
+              org.apache.spark.sql.types.StructType(
+                keys.map(k => tbl.schema(tbl.schema.fieldIndex(k)))))
+          } else spark.read.schema(tbl.schema)
+            .parquet(mustRead.map(_.path): _*)
+            .select(keys.map(col): _*).distinct()
+        val newRows = source.join(targetKeys, keys, "left_anti")
+          .select(tbl.schema.fieldNames.map(col): _*)
+        if (newRows.isEmpty) Nil else writeFiles(tbl, newRows)
+      }
+
+    commitSnapshot(tbl, "merge", rewrite.map(_.path).toSet,
+      rewritten ++ inserted)
+    DmlResult(rewrite.size, 0, untouched.size, matches.values.sum)
+  }
+
   /** COW DELETE: metadata-only drop for provably-full-match files, file
     * rewrite (anti-filter) for partially matching ones. */
   def delete(tbl: LakeTable, pred: Column): DmlResult = {

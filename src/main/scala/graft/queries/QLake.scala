@@ -112,6 +112,39 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // MERGE INTO (upsert): every target row keyed like an R row takes
+    // the source's constant quantity; per-N-order aggregate rows insert
+    // under fresh keys — one snapshot; the oracle replays it as
+    // EXISTS-CASE + UNION ALL over the fixture. Source rows are
+    // aggregate-constructed so their keys are provably unique (the
+    // fixture's (orderkey, linenumber) pairs repeat — MERGE's
+    // cardinality rule would reject raw rows).
+    "q_lake_merge" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("mrg"), li)
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val others = li.columns.filterNot(keys.contains).toSeq
+      val updates = li.filter(col("l_returnflag") === "R")
+        .groupBy(keys.map(col): _*)
+        .agg(max(others.head).as(others.head),
+          others.tail.map(c => max(c).as(c)): _*)
+        .withColumn("l_quantity", lit(999.0))
+      val inserts = li.filter(col("l_returnflag") === "N")
+        .groupBy(col("l_orderkey"))
+        .agg(max("l_linenumber").as("l_linenumber"),
+          others.map(c => max(c).as(c)): _*)
+        .withColumn("l_orderkey", col("l_orderkey") + 100000000L)
+        .withColumn("l_linenumber", lit(1).cast("int"))
+      Engine.merge(tbl,
+        updates.select(li.columns.map(col): _*)
+          .unionByName(inserts.select(li.columns.map(col): _*)), keys,
+        whenMatchedUpdate = Some(Seq("l_quantity")))
+      tbl.toDF.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // Delta interop: export lineitem as a partitioned Delta table (our
     // writer emits the public _delta_log protocol), commit a metadata-
     // only partition remove, then scan through the log-replaying reader
@@ -192,6 +225,25 @@ object QLake {
         |  count(*) AS n
         |FROM (SELECT * FROM lineitem
         |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_lake_merge" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(qty), 2) AS sum_qty
+        |FROM (
+        |  SELECT l.l_returnflag,
+        |    CASE WHEN EXISTS (
+        |        SELECT 1 FROM lineitem r
+        |        WHERE r.l_returnflag = 'R'
+        |          AND r.l_orderkey = l.l_orderkey
+        |          AND r.l_linenumber = l.l_linenumber)
+        |      THEN 999.0 ELSE l.l_quantity END AS qty
+        |  FROM lineitem l
+        |  UNION ALL
+        |  SELECT max(l_returnflag) AS l_returnflag,
+        |    max(l_quantity) AS qty
+        |  FROM lineitem WHERE l_returnflag = 'N'
+        |  GROUP BY l_orderkey)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_delta_scan" ->

@@ -372,6 +372,55 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally LakeFiles.enableDelete = false
   }
 
+  test("merge: update + insert + delete arms, range pruning, cardinality") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("amt", DoubleType)))
+    def df(rows: (Long, String, Double)*) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2, r._3)): _*),
+      schema)
+    val tbl = Engine.ctas(spark, dir, df(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    // second file with a DISJOINT id range — the source below must not
+    // rewrite it (range pruning on the source's key min/max)
+    Engine.insert(tbl, df((100L, "x", 1.0), (101L, "y", 2.0)))
+    val filesBefore = tbl.liveFiles.map(_.path).toSet
+
+    // upsert: id 2 updated, id 5 inserted; ids 100/101 untouched
+    val r = Engine.merge(tbl,
+      df((2L, "B", 99.0), (5L, "e", 50.0)), Seq("id"))
+    assert(r.rewrittenFiles == 1, r)
+    val after = tbl.toDF.orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSeq
+    assert(after == Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0),
+      (5L, "e", 50.0), (100L, "x", 1.0), (101L, "y", 2.0)))
+    // the disjoint-range file survived untouched (same path)
+    assert(tbl.liveFiles.map(_.path).toSet
+      .intersect(filesBefore).nonEmpty)
+
+    // delete arm: matched keys vanish, unmatched source doesn't insert
+    Engine.merge(tbl, df((3L, "-", 0.0), (999L, "-", 0.0)), Seq("id"),
+      whenMatchedDelete = true, whenNotMatchedInsert = false)
+    assert(tbl.toDF.filter(col("id") === 3).count() == 0)
+    assert(tbl.toDF.filter(col("id") === 999).count() == 0)
+    assert(tbl.toDF.count() == 5)
+
+    // cardinality rule: duplicate source keys are rejected
+    val dup = intercept[IllegalArgumentException] {
+      Engine.merge(tbl, df((1L, "p", 1.0), (1L, "q", 2.0)), Seq("id"))
+    }
+    assert(dup.getMessage.contains("more than one row"))
+
+    // NULL keys never match and never insert a phantom: a null-keyed
+    // source row inserts (not-matched) but matches nothing
+    Engine.merge(tbl, spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, "n", 0.0)), schema), Seq("id"))
+    assert(tbl.toDF.filter(col("v") === "n").count() == 1)
+    assert(tbl.toDF.count() == 6)
+  }
+
   test("compaction merges small files and preserves data") {
     val dir = tmp()
     val n = Tables.load(spark, sf, "nation")
