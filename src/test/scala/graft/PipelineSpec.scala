@@ -348,6 +348,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("ExistingRDD"), plan)
   }
 
+  test("end-to-end training-data pipeline: ingest, dedup, filter, export") {
+    import graft.engine.Engine
+    // corpus: 100 originals + 100 exact copies + 100 mutated near-dups
+    val base = Tables.load(spark, sf, "documents").limit(100)
+      .select("doc_id", "text")
+    val corpus = base
+      .unionAll(base.withColumn("doc_id", col("doc_id") + 20000))
+      .unionAll(base.withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text",
+          concat(regexp_replace(col("text"), "data", "info"), lit(" extra"))))
+
+    // ingest into a transactional lake table (one snapshot)
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString + "/t"
+    val tbl = Engine.ctas(spark, dir, corpus)
+    assert(tbl.toDF.count() == 300)
+
+    // stage 1: exact dedup (hash clusters, keep min id)
+    val exactDeduped = Dedup.dropExactDuplicates(tbl.toDF, "doc_id", "text")
+    assert(exactDeduped.count() == 200) // the 100 exact copies collapse
+
+    // stage 2: quality + token filters (column expressions, one pass)
+    val scored = TextAnalysis.withMetrics(exactDeduped, "text")
+      .filter(col("metrics.n_tokens") >= 3)
+    assert(scored.count() > 0 && scored.count() <= 200)
+
+    // stage 3: near-dup pairs -> connected components -> keep canonical
+    val pairs = Dedup.minhashPairs(scored.select("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5)
+    val survivors = Dedup.dropNearDuplicates(
+      scored.select("doc_id", "text"), "doc_id", pairs)
+    // the semantic guarantee: no near-dup pair survives intact
+    val sIds = survivors.select(col("doc_id").as("id_a"))
+    val intact = pairs.join(sIds, Seq("id_a"))
+      .join(survivors.select(col("doc_id").as("id_b")), Seq("id_b"))
+    assert(intact.count() == 0, "a near-duplicate pair survived dedup")
+    // canonical keeps are minimum ids: originals beat their mutations
+    val mutatedSurvivorsWithBase = survivors
+      .filter(col("doc_id") >= 10000 && col("doc_id") < 20000)
+      .withColumn("base_id", col("doc_id") - 10000)
+      .join(pairs.filter(col("id_b") >= 10000)
+        .select(col("id_a").as("base_id"), col("id_b").as("doc_id")),
+        Seq("base_id", "doc_id"), "left_semi")
+    assert(mutatedSurvivorsWithBase.count() == 0)
+
+    // stage 4: export the clean corpus as a Delta table; round-trip it
+    val out = java.nio.file.Files.createTempDirectory("pipe_out")
+      .toString + "/clean"
+    Engine.copyTo(survivors, out, format = "delta")
+    val back = graft.core.DeltaImport.scan(spark, out)
+    assert(back.count() == survivors.count())
+  }
+
   test("multimodal: WAV header probe reads rate/channels without a codec") {
     // build a minimal valid RIFF/WAVE: PCM 16-bit, 8kHz mono, 0.5s
     val rate = 8000; val channels = 1; val bps = 2
