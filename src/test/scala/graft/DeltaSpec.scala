@@ -160,6 +160,32 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanned == 1, s"expected 1 stats-pruned file, got $scanned")
   }
 
+  test("multi-part checkpoints read like single-part ones") {
+    val dir = Files.createTempDirectory("delta_mp").toString + "/t"
+    val src = Tables.load(spark, "/root/testdata/sf0.001", "region")
+    DeltaExport.create(src, dir)
+    val cv = DeltaExport.checkpoint(spark, dir)
+    val log = java.nio.file.Paths.get(dir, "_delta_log")
+    val single = log.resolve(f"$cv%020d.checkpoint.parquet")
+    // split the checkpoint into two part files per the protocol naming
+    val rows = spark.read.parquet(single.toString)
+    val tmp1 = Files.createTempDirectory("p1").toString
+    val tmp2 = Files.createTempDirectory("p2").toString
+    rows.limit(2).coalesce(1).write.mode("overwrite").parquet(tmp1)
+    rows.offset(2).coalesce(1).write.mode("overwrite").parquet(tmp2)
+    def onePart(d: String) = new java.io.File(d).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    def partName(i: Int) =
+      "%020d.checkpoint.%010d.%010d.parquet".format(cv, i, 2)
+    Files.move(onePart(tmp1), log.resolve(partName(1)))
+    Files.move(onePart(tmp2), log.resolve(partName(2)))
+    Files.delete(single)
+    for (v <- 0L to cv)
+      Files.deleteIfExists(log.resolve(f"$v%020d.json"))
+    val back = DeltaImport.scan(spark, dir)
+    assert(back.count() == src.count())
+  }
+
   test("rejects unsupported reader features") {
     val dir = Files.createTempDirectory("delta_bad").toString + "/t"
     val df = spark.range(3).toDF("id")
