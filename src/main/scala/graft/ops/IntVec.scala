@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Primitive-loop kernels for the integer-quantized similarity path —
+  * the "custom Expression beats repeated HOFs" preference applied to
+  * the LSH machinery. Integer arithmetic is order-independent, so these
+  * are bit-identical to the aggregate/zip_with folds they replace; they
+  * just stop dispatching an interpreted lambda per element.
+  */
+
+/** All sign-LSH bucket ids of a quantized vector in ONE array pass:
+  * bucket t bit i = dot(v, tables(t)(i)) >= 0. The HOF form walks the
+  * array once per (table, plane) — L×b passes; this accumulates every
+  * partial dot in a flat array while streaming the vector once. */
+case class IntSignBuckets(child: Expression,
+    tables: Seq[Array[Array[Long]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val flat: Array[Array[Long]] = tables.flatten.toArray
+  @transient private lazy val bitsPerTable: Int = tables.head.length
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nPlanes = flat.length
+    val acc = new Array[Long](nPlanes)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null // match HOF null propagation
+      val v = arr.getLong(i)
+      var p = 0
+      while (p < nPlanes) {
+        val plane = flat(p)
+        if (i < plane.length) acc(p) += v * plane(i)
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](tables.size)
+    var t = 0
+    while (t < tables.size) {
+      var b = 0L
+      var i2 = 0
+      while (i2 < bitsPerTable) {
+        if (acc(t * bitsPerTable + i2) >= 0) b |= (1L << i2)
+        i2 += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): IntSignBuckets =
+    copy(child = c)
+}
+
+/** Integer dot product of two long-array columns in one loop. */
+case class IntDotLong(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): IntDotLong = copy(l, r)
+}

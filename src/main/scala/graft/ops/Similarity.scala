@@ -172,14 +172,16 @@ object Similarity {
       tables: Seq[Array[Array[Long]]]): DataFrame = {
     val qq = quantize(query)
     val qLit = array(qq.map(lit): _*)
-    val vq = quantizeCol(col(vecCol))
-    val cond = tables.map { planes =>
-      bit_count(intBucket(vq, planes)
-        .bitwiseXOR(lit(intBucketOf(qq, planes)))) <= 1
+    // one quantization + one bucket pass per row (IntSignBuckets kernel)
+    val withB = df.withColumn("_vq", quantizeCol(col(vecCol)))
+      .withColumn("_bks", signBucketsK(col("_vq"), tables))
+    val cond = tables.indices.map { ti =>
+      bit_count(element_at(col("_bks"), ti + 1)
+        .bitwiseXOR(lit(intBucketOf(qq, tables(ti))))) <= 1
     }.reduce(_ || _)
-    df.filter(cond)
-      .select(col(idCol), intDot(vq, qLit).as("qdot"),
-        intDot(vq, vq).as("nrm2"))
+    withB.filter(cond)
+      .select(col(idCol), intDotK(col("_vq"), qLit).as("qdot"),
+        intDotK(col("_vq"), col("_vq")).as("nrm2"))
       .orderBy((col("qdot").cast("double") / sqrt(col("nrm2").cast("double")))
         .desc, col(idCol))
       .limit(k)
@@ -231,14 +233,26 @@ object Similarity {
     * multiprobe: ~60% per-table collision at cos 0.4 with 8-bit buckets,
     * OR-amplified across tables). Vector payloads join back only for the
     * deduplicated candidate pairs. */
+  /** Codegen-friendly kernels for the hot integer ops (one array pass,
+    * no per-element lambda dispatch; bit-identical — integer math). */
+  private def intDotK(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.ops.IntDotLong(
+      org.apache.spark.sql.GraftBridge.eagerExpression(a),
+      org.apache.spark.sql.GraftBridge.eagerExpression(b)))
+
+  private def signBucketsK(vq: Column,
+      tables: Seq[Array[Array[Long]]]): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.ops.IntSignBuckets(
+      org.apache.spark.sql.GraftBridge.eagerExpression(vq), tables))
+
   def intNearPairsExact(df: DataFrame, idCol: String, vecCol: String,
       tables: Seq[Array[Array[Long]]], thrNum: Int, thrDen: Int): DataFrame = {
     val vq = quantizeCol(col(vecCol))
     val base = df.select(col(idCol).as("id"), vq.as("vq"))
-      .withColumn("n2", intDot(col("vq"), col("vq")))
+      .withColumn("n2", intDotK(col("vq"), col("vq")))
     val nBits = tables.head.length
-    val withB = base.withColumn("bks",
-      array(tables.map(p => intBucket(col("vq"), p)): _*))
+    // all L bucket ids in ONE pass over the vector (IntSignBuckets)
+    val withB = base.withColumn("bks", signBucketsK(col("vq"), tables))
     val variants: Seq[Column] = tables.indices.flatMap { ti =>
       val bk = element_at(col("bks"), ti + 1)
       (-1 until nBits).map { i =>
@@ -257,7 +271,7 @@ object Similarity {
         col("n2").as("na2")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vq").as("vq_b"),
         col("n2").as("nb2")), Seq("id_b"))
-      .withColumn("qdot", intDot(col("vq_a"), col("vq_b")))
+      .withColumn("qdot", intDotK(col("vq_a"), col("vq_b")))
       .filter(col("qdot") > 0 &&
         col("qdot") * col("qdot") * (thrDen * thrDen) >=
           col("na2") * col("nb2") * (thrNum * thrNum))
