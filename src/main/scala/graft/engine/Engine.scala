@@ -925,6 +925,10 @@ object Engine {
       // GDAL (gdal.c, ".shp | Shapefile"); here a direct spec parser
       case "shp" | "shapefile" =>
         graft.sources.Shapefile.read(spark, path)
+      // Excel workbook (.xlsx = ZIP of OOXML parts) — GDAL in the
+      // reference; direct JDK zip+XML parse here. options: sheet
+      case "xlsx" =>
+        graft.sources.Xlsx.read(spark, path, options.get("sheet"))
       case "geojson" =>
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(

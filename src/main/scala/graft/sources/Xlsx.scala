@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.ZipInputStream
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** XLSX reader from the public OOXML layout — the reference reads Excel
+  * through GDAL (docs/file-formats-reference.md: ".xls .xlsx | Excel
+  * files"); no GDAL/POI here, but an .xlsx is a ZIP of XML parts, all
+  * parseable with the JDK:
+  *
+  *  - `xl/workbook.xml`       sheet name → sheetId order
+  *  - `xl/sharedStrings.xml`  the shared-string table (`<si><t>`)
+  *  - `xl/worksheets/sheetN.xml` rows of cells `<c r="B3" t="...">`
+  *    with `t` ∈ {s shared-string, str formula-string, inlineStr, b
+  *    bool, (absent) number}
+  *
+  * First row = header (column names); missing cells inside a row stay
+  * NULL (cell refs are sparse). Column types are inferred CSV-style:
+  * LongType/DoubleType/BooleanType when every non-empty cell parses,
+  * else StringType.
+  *
+  * Scale posture: one task per file (the GDAL unit); a workbook is a
+  * single ZIP so per-file parallelism is the only kind there is. */
+object Xlsx {
+
+  /** Read `path` (one .xlsx file) into a DataFrame. `sheet` = sheet
+    * name; default the first sheet. */
+  def read(spark: SparkSession, path: String,
+      sheet: Option[String] = None): DataFrame = {
+    val rows = readRows(Files.readAllBytes(Paths.get(path)), sheet)
+    require(rows.nonEmpty, s"empty sheet in $path")
+    val header = rows.head.map(_.getOrElse(""))
+    val width = header.length
+    val body = rows.tail.map(r => r.padTo(width, None).take(width))
+
+    def allParse(p: String => Boolean, i: Int): Boolean = {
+      val vs = body.flatMap(_(i))
+      vs.nonEmpty && vs.forall(p)
+    }
+    val types: Seq[DataType] = (0 until width).map { i =>
+      if (allParse(s => s.toLongOption.isDefined, i)) LongType
+      else if (allParse(s => s.toDoubleOption.isDefined, i)) DoubleType
+      else if (allParse(s => s == "true" || s == "false", i)) BooleanType
+      else StringType
+    }
+    val schema = StructType(header.zip(types).map { case (n, t) =>
+      StructField(n, t)
+    })
+    val data = body.map { r =>
+      Row.fromSeq(r.zip(types).map {
+        case (None, _) => null
+        case (Some(s), LongType) => s.toLong
+        case (Some(s), DoubleType) => s.toDouble
+        case (Some(s), BooleanType) => s == "true"
+        case (Some(s), _) => s
+      })
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(data.asJava, schema)
+  }
+
+  /** All rows of the chosen sheet as sparse string cells. */
+  private[sources] def readRows(bytes: Array[Byte],
+      sheet: Option[String]): Seq[IndexedSeq[Option[String]]] = {
+    val parts = unzip(bytes)
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+    val sheetPart = sheet match {
+      case Some(name) =>
+        val wb = scala.xml.XML.load(new ByteArrayInputStream(
+          parts("xl/workbook.xml")))
+        val idx = (wb \\ "sheet").indexWhere(s =>
+          (s \@ "name") == name)
+        require(idx >= 0, s"no sheet named $name")
+        s"xl/worksheets/sheet${idx + 1}.xml"
+      case None => "xl/worksheets/sheet1.xml"
+    }
+    val ws = scala.xml.XML.load(new ByteArrayInputStream(parts(sheetPart)))
+    (ws \\ "row").map { row =>
+      val cells = (row \ "c").flatMap { c =>
+        val ref = c \@ "r"
+        val colIdx = ref.takeWhile(_.isLetter)
+          .foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+        val t = c \@ "t"
+        val value: Option[String] = t match {
+          case "s" => (c \ "v").headOption
+            .map(v => shared(v.text.trim.toInt))
+          case "inlineStr" => Some((c \\ "t").map(_.text).mkString)
+          case "b" => (c \ "v").headOption
+            .map(v => if (v.text.trim == "1") "true" else "false")
+          case _ => (c \ "v").headOption.map(_.text)
+        }
+        value.map(colIdx -> _)
+      }
+      if (cells.isEmpty) IndexedSeq.empty[Option[String]]
+      else {
+        val width = cells.map(_._1).max + 1
+        val arr = Array.fill[Option[String]](width)(None)
+        cells.foreach { case (i, v) => arr(i) = Some(v) }
+        arr.toIndexedSeq
+      }
+    }.filter(_.nonEmpty).toSeq
+  }
+
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val xml = scala.xml.XML.load(new ByteArrayInputStream(bytes))
+    (xml \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+  }
+
+  private def unzip(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.Map[String, Array[Byte]]()
+    var e = zis.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out(e.getName) = zis.readAllBytes()
+      e = zis.getNextEntry
+    }
+    out.toMap
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.Engine
+import graft.sources.Xlsx
+
+/** XLSX reader against a fixture assembled from the OOXML spec parts:
+  * shared strings, inline strings, numbers, booleans, sparse cells,
+  * and a second sheet. */
+class XlsxSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def zip(parts: (String, String)*): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    parts.foreach { case (name, body) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  private lazy val path = {
+    val workbook =
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheets>
+        |  <sheet name="people" sheetId="1" r:id="rId1"
+        |    xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>
+        |  <sheet name="stats" sheetId="2" r:id="rId2"
+        |    xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"/>
+        |</sheets></workbook>""".stripMargin
+    val sharedStrings =
+      """<?xml version="1.0"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="5" uniqueCount="5">
+        |<si><t>name</t></si><si><t>age</t></si><si><t>score</t></si>
+        |<si><t>active</t></si><si><t>ada</t></si>
+        |</sst>""".stripMargin
+    // row 2: all cells; row 3: sparse (age missing), inline string name
+    val sheet1 =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1">
+        |  <c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>
+        |  <c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c>
+        |</row>
+        |<row r="2">
+        |  <c r="A2" t="s"><v>4</v></c><c r="B2"><v>36</v></c>
+        |  <c r="C2"><v>91.5</v></c><c r="D2" t="b"><v>1</v></c>
+        |</row>
+        |<row r="3">
+        |  <c r="A3" t="inlineStr"><is><t>grace</t></is></c>
+        |  <c r="C3"><v>88</v></c><c r="D3" t="b"><v>0</v></c>
+        |</row>
+        |</sheetData></worksheet>""".stripMargin
+    val sheet2 =
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>
+        |<row r="2"><c r="A2"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bytes = zip(
+      "xl/workbook.xml" -> workbook,
+      "xl/sharedStrings.xml" -> sharedStrings,
+      "xl/worksheets/sheet1.xml" -> sheet1,
+      "xl/worksheets/sheet2.xml" -> sheet2)
+    val f = Files.createTempDirectory("xlsx").resolve("people.xlsx")
+    val out = new FileOutputStream(f.toFile)
+    out.write(bytes); out.close()
+    f.toString
+  }
+
+  test("reads shared/inline strings, numbers, bools, sparse cells") {
+    val df = Xlsx.read(spark, path)
+    assert(df.columns.toSeq == Seq("name", "age", "score", "active"))
+    val s = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(s("age") == org.apache.spark.sql.types.LongType)
+    assert(s("score") == org.apache.spark.sql.types.DoubleType)
+    assert(s("active") == org.apache.spark.sql.types.BooleanType)
+    val rows = df.orderBy("name").collect()
+    assert(rows(0).getString(0) == "ada" && rows(0).getLong(1) == 36 &&
+      rows(0).getDouble(2) == 91.5 && rows(0).getBoolean(3))
+    assert(rows(1).getString(0) == "grace" &&
+      rows(1).isNullAt(1) && rows(1).getDouble(2) == 88.0 &&
+      !rows(1).getBoolean(3))
+  }
+
+  test("sheet selection by name; Engine.copyFrom surface") {
+    val df = Engine.copyFrom(spark, path, "xlsx",
+      Map("sheet" -> "stats"))
+    assert(df.columns.toSeq == Seq("k"))
+    assert(df.head().getLong(0) == 7L)
+  }
+}
