@@ -944,6 +944,20 @@ object Engine {
             graft.functions.Geo.st_geomfromgeojson(col("f.geometry"))
               .as("geom"),
             col("f.properties").as("properties"))
+      // GeoJSONSeq (.geojsonl/.geojsons): one Feature per line — same
+      // row shape as the FeatureCollection reader above
+      // (docs/file-formats-reference.md: ".geojsons .geojsonl")
+      case "geojsonl" | "geojsonseq" =>
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("type", StringType),
+          StructField("geometry", StringType),
+          StructField("properties", MapType(StringType, StringType))))
+        spark.read.schema(schema).options(options).json(path)
+          .select(
+            graft.functions.Geo.st_geomfromgeojson(col("geometry"))
+              .as("geom"),
+            col("properties").as("properties"))
       case other => throw new IllegalArgumentException(s"format $other")
     }
 

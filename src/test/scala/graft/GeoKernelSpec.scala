@@ -350,6 +350,24 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parkArea == 16.0)
   }
 
+  test("copyFrom geojsonl: newline-delimited Features to WKB rows") {
+    val dir = java.nio.file.Files.createTempDirectory("geojsonl").toString
+    val lines = Seq(
+      """{"type":"Feature","properties":{"name":"a"},"geometry":{"type":"Point","coordinates":[1,2]}}""",
+      """{"type":"Feature","properties":{"name":"b"},"geometry":{"type":"LineString","coordinates":[[0,0],[3,4]]}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.geojsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = graft.engine.Engine.copyFrom(spark, s"$dir/f.geojsonl",
+      "geojsonl")
+    val rows = df.select(Geo.st_astext(col("geom")).as("w"),
+        element_at(col("properties"), "name").as("name"))
+      .orderBy("name").collect()
+    assert(rows.map(r => (r.getString(1), r.getString(0))).toSeq ==
+      Seq(("a", "POINT(1 2)"), ("b", "LINESTRING(0 0,3 4)")))
+    assert(df.select(Geo.st_length(col("geom"))).collect()
+      .map(_.getDouble(0)).sum == 5.0)
+  }
+
   test("st_ functions are in scope through the engine SQL entry points") {
     val dir = java.nio.file.Files.createTempDirectory("geosql").toString + "/t"
     import spark.implicits._
