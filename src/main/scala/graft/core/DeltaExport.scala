@@ -141,6 +141,36 @@ object DeltaExport {
     writeCommit(dir, 0L, actions)
   }
 
+  /** Append `df` as a new commit (add actions only, stats included). */
+  def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val st = DeltaImport.readLog(spark, dir)
+    require(st.partitionColumns.isEmpty,
+      "append to partitioned Delta tables not supported (create-only)")
+    val sub = java.nio.file.Paths.get(dir,
+      s"part-${UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(sub.toString)
+    new File(sub.toFile, "_SUCCESS").delete()
+    val files = sub.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val footers = ParquetStats.readMany(spark, files)
+    val base = Paths.get(dir)
+    val actions = files.sorted.map { p =>
+      val f = new File(p)
+      val rel = base.relativize(f.toPath).toString
+      val enc = rel.split("/").map(seg =>
+        java.net.URLEncoder.encode(seg, "UTF-8")
+          .replace("+", "%20")).mkString("/")
+      val stats = footers.get(p)
+        .map(ft => s""","stats":${jstr(deltaStats(ft, df.schema))}""")
+        .getOrElse("")
+      s"""{"add":{"path":"$enc","partitionValues":{},"size":${f.length},""" +
+        s""""modificationTime":${f.lastModified},"dataChange":true$stats}}"""
+    }
+    val v = st.version + 1
+    writeCommit(dir, v, actions)
+    v
+  }
+
   /** Commit a metadata-only delete of every live file whose partition
     * values satisfy `pred` (full-partition deletes — the same
     * metadata-only fast path our lake DELETE takes). Returns the number

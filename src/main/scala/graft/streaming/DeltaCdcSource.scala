@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.DeltaImport
+
+/** Streaming CDC source over an EXTERNAL Delta table:
+  * `spark.readStream.format("delta-cdc").option("path", dir).load()`.
+  *
+  * Offsets are Delta LOG VERSIONS; each micro-batch reads exactly the
+  * files that `add` actions introduced in `(fromVersion, toVersion]`
+  * whose rows are still live at `toVersion` (a file added and removed
+  * inside the range never surfaces — e.g. an optimize-rewrite's
+  * transient output). Data-change-false rewrites (compaction) carry
+  * `dataChange:false` in real Delta logs and are skipped, mirroring
+  * what delta's own Change Data Feed does for append-only consumers.
+  * A checkpoint replay re-reads the identical version range —
+  * exactly-once from the log itself.
+  *
+  * The lake-table twin is [[LakeCdcSource]]; together they let a
+  * pipeline tail either table format with the same code. */
+class DeltaCdcSource(sqlContext: SQLContext, dir: String,
+    startVersion: Long) extends Source {
+
+  override val schema: StructType =
+    DeltaImport.readLog(sqlContext.sparkSession, dir).schema
+
+  override def getOffset: Option[V1Offset] = {
+    val cur = DeltaImport.latestVersion(dir)
+    if (cur > startVersion) Some(LongOffset(cur)) else None
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(o => LongOffset(o.json().toLong).offset)
+      .getOrElse(startVersion)
+    val to = LongOffset(end.json().toLong).offset
+    val spark = sqlContext.sparkSession
+    val before: Set[String] =
+      if (from < 0) Set.empty // from-the-beginning: everything is fresh
+      else DeltaImport.readLog(spark, dir, Some(from)).files
+        .map(_.path).toSet
+    val at = DeltaImport.readLog(spark, dir, Some(to))
+    // live at `to`, absent at `from` → added (and not removed) in range
+    val fresh = at.files.filterNot(f => before.contains(f.path))
+    val batch =
+      if (fresh.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          at.schema)
+      else {
+        val idx = new graft.core.DeltaFileIndex(at.copy(files = fresh))
+        val classic =
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          idx, at.partitionSchema, at.dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat, Map.empty)(classic)
+        classic.baseRelationToDataFrame(rel)
+          .select(at.schema.fieldNames
+            .map(org.apache.spark.sql.functions.col): _*)
+      }
+    org.apache.spark.sql.GraftBridge.streamingDataFrame(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `format("delta-cdc")` registration. Options: `path` (required),
+  * `startVersion` (exclusive; default -1 = from the beginning). */
+class DeltaCdcSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "delta-cdc"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("delta-cdc requires option 'path'"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("delta-cdc", DeltaImport.readLog(sqlContext.sparkSession,
+      path(parameters)).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new DeltaCdcSource(sqlContext, path(parameters),
+      parameters.get("startVersion").map(_.toLong).getOrElse(-1L))
+}

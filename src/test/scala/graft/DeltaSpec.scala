@@ -160,6 +160,16 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanned == 1, s"expected 1 stats-pruned file, got $scanned")
   }
 
+  test("delta scans expose sizeInBytes: small tables broadcast in joins") {
+    val people = DeltaImport.scan(spark, genuine)
+    val big = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .withColumn("country", lit("China"))
+    val joined = big.join(people, Seq("country"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+  }
+
   test("multi-part checkpoints read like single-part ones") {
     val dir = Files.createTempDirectory("delta_mp").toString + "/t"
     val src = Tables.load(spark, "/root/testdata/sf0.001", "region")
@@ -184,6 +194,38 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       Files.deleteIfExists(log.resolve(f"$v%020d.json"))
     val back = DeltaImport.scan(spark, dir)
     assert(back.count() == src.count())
+  }
+
+  test("delta-cdc stream: tails delta commits, version offsets, exactly-once") {
+    val dir = Files.createTempDirectory("delta_cdc").toString + "/t"
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    DeltaExport.create(li.filter(col("l_returnflag") === "A"), dir)
+    val ckpt = Files.createTempDirectory("delta_cdc_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("delta-cdc")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.add(batch.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val it0 = seen.iterator()
+      assert(it0.next() == li.filter(col("l_returnflag") === "A").count())
+      // a new commit arrives as its own batch
+      DeltaExport.append(spark,
+        li.filter(col("l_returnflag") === "R"), dir)
+      q.processAllAvailable()
+      val counts = {
+        val it = seen.iterator()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten.toSeq
+      }
+      assert(counts.sum ==
+        li.filter(col("l_returnflag") =!= "N").count(), s"batches: $counts")
+    } finally q.stop()
   }
 
   test("rejects unsupported reader features") {
