@@ -1,0 +1,291 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.util.zip.CRC32
+
+/** Delta Lake deletion vectors (reader protocol v3), decoded from first
+  * principles per the public spec (delta.io PROTOCOL.md "Deletion
+  * Vectors" + the RoaringFormatSpec the payload references):
+  *
+  *  - an `add` action may carry `deletionVector: {storageType,
+  *    pathOrInlineDv, offset?, sizeInBytes, cardinality}` marking rows
+  *    of THAT file as deleted by row index
+  *  - storageType `u`: pathOrInlineDv = [randomPrefix]<z85 uuid(20)>,
+  *    bytes live in `<table>/[prefix/]deletion_vector_<uuid>.bin`;
+  *    `i`: pathOrInlineDv = z85 of the bitmap itself; `p`: absolute path
+  *  - a DV FILE starts with a 1-byte format version (1); each vector
+  *    sits at its `offset`: [dataSize: 4B big-endian][data: dataSize]
+  *    [CRC32(data): 4B big-endian]
+  *  - `data` is a 64-bit RoaringBitmapArray, "portable" layout: magic
+  *    1681511377 (4B LE), bitmap count (8B LE), then each 32-bit
+  *    RoaringBitmap in the standard portable serialization, bitmap i
+  *    covering positions [i·2³², (i+1)·2³²)
+  *
+  * The reference's Delta reader predates DVs entirely (read_data.c:290
+  * compile-gates the older protocol), so this is parity-plus; DVs are
+  * default-on in current Delta writers, making them the likeliest
+  * real-world read failure a Delta-reading engine hits today.
+  *
+  * Scale posture: decoding happens per data file and yields at most
+  * that file's row count of positions — callers materialize positions
+  * EXECUTOR-side (one task per DV'd file), never a corpus-wide list on
+  * the driver.
+  */
+object DeltaDv {
+
+  /** The `deletionVector` struct of an add action. */
+  case class Descriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+
+  // ------------------------------------------------------------- Z85
+
+  private val z85Alphabet =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+  private val z85Decode: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    z85Alphabet.zipWithIndex.foreach { case (c, i) => t(c.toInt) = i }
+    t
+  }
+
+  /** ZeroMQ Z85: 5 chars → 4 bytes (the encoding PROTOCOL.md names). */
+  def z85ToBytes(s: String): Array[Byte] = {
+    require(s.length % 5 == 0, s"z85 length ${s.length} not a multiple of 5")
+    val out = new Array[Byte](s.length / 5 * 4)
+    var i = 0
+    while (i < s.length) {
+      var acc = 0L
+      var j = 0
+      while (j < 5) {
+        val d = z85Decode(s.charAt(i + j).toInt)
+        require(d >= 0, s"invalid z85 char '${s.charAt(i + j)}'")
+        acc = acc * 85 + d
+        j += 1
+      }
+      val o = i / 5 * 4
+      out(o) = (acc >>> 24).toByte; out(o + 1) = (acc >>> 16).toByte
+      out(o + 2) = (acc >>> 8).toByte; out(o + 3) = acc.toByte
+      i += 5
+    }
+    out
+  }
+
+  def bytesToZ85(b: Array[Byte]): String = {
+    require(b.length % 4 == 0, "z85 input must be a multiple of 4 bytes")
+    val sb = new StringBuilder(b.length / 4 * 5)
+    var i = 0
+    while (i < b.length) {
+      var acc = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      val chunk = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { chunk(j) = z85Alphabet((acc % 85).toInt); acc /= 85; j -= 1 }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** `u`-storage UUID (last 20 z85 chars) → canonical UUID string. */
+  private def uuidOf(pathOrInlineDv: String): (String, java.util.UUID) = {
+    val prefix = pathOrInlineDv.dropRight(20)
+    val raw = z85ToBytes(pathOrInlineDv.takeRight(20))
+    val bb = ByteBuffer.wrap(raw)
+    (prefix, new java.util.UUID(bb.getLong, bb.getLong))
+  }
+
+  /** Absolute path of a `u`-storage DV file. */
+  def dvFilePath(tableDir: String, d: Descriptor): String = {
+    val (prefix, uuid) = uuidOf(d.pathOrInlineDv)
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) Paths.get(tableDir, name).toString
+    else Paths.get(tableDir, prefix, name).toString
+  }
+
+  /** Raw serialized RoaringBitmapArray for one descriptor (inline
+    * decoded, file storage sliced at offset with CRC verified). */
+  def bitmapBytes(tableDir: String, d: Descriptor): Array[Byte] =
+    d.storageType match {
+      case "i" => z85ToBytes(d.pathOrInlineDv).take(d.sizeInBytes)
+      case "u" | "p" =>
+        val path = if (d.storageType == "p") d.pathOrInlineDv
+          else dvFilePath(tableDir, d)
+        val all = Files.readAllBytes(Paths.get(path))
+        require(all.nonEmpty && all(0) == 1,
+          s"unsupported DV file format version ${if (all.isEmpty) "?" else all(0)} at $path")
+        val off = d.offset.getOrElse(1)
+        val bb = ByteBuffer.wrap(all).order(ByteOrder.BIG_ENDIAN)
+        val dataSize = bb.getInt(off)
+        require(dataSize == d.sizeInBytes,
+          s"DV size mismatch at $path+$off: file says $dataSize, " +
+            s"log says ${d.sizeInBytes}")
+        val data = java.util.Arrays.copyOfRange(all, off + 4,
+          off + 4 + dataSize)
+        val crc = new CRC32(); crc.update(data)
+        val stored = bb.getInt(off + 4 + dataSize).toLong & 0xffffffffL
+        require(crc.getValue == stored,
+          s"DV checksum mismatch at $path+$off")
+        data
+      case other => sys.error(s"unknown DV storageType '$other'")
+    }
+
+  /** Deleted row indexes for one descriptor, sorted ascending. */
+  def positions(tableDir: String, d: Descriptor): Array[Long] = {
+    val got = deserialize(bitmapBytes(tableDir, d))
+    require(got.length == d.cardinality,
+      s"DV cardinality mismatch: log says ${d.cardinality}, " +
+        s"bitmap holds ${got.length}")
+    got
+  }
+
+  // ------------------------- RoaringBitmapArray (portable, 64-bit) ----
+
+  private val PortableMagic = 1681511377
+
+  /** Deserialize a portable RoaringBitmapArray into sorted positions. */
+  def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = bb.getInt
+    require(magic == PortableMagic,
+      s"not a portable RoaringBitmapArray (magic $magic)")
+    val n = bb.getLong
+    require(n >= 0 && n <= Int.MaxValue, s"absurd bitmap count $n")
+    val out = Array.newBuilder[Long]
+    var i = 0L
+    while (i < n) {
+      val high = i << 32
+      readRoaring32(bb, v => out += (high | (v & 0xffffffffL)))
+      i += 1
+    }
+    out.result()
+  }
+
+  /** One standard 32-bit RoaringBitmap (RoaringFormatSpec portable
+    * serialization), values emitted ascending through `emit`. */
+  private def readRoaring32(bb: ByteBuffer, emit: Int => Unit): Unit = {
+    val SerialCookieNoRun = 12346
+    val SerialCookie = 12347
+    val cookie = bb.getInt
+    val hasRun = (cookie & 0xffff) == SerialCookie
+    val nContainers =
+      if (hasRun) (cookie >>> 16) + 1
+      else {
+        require(cookie == SerialCookieNoRun, s"bad roaring cookie $cookie")
+        bb.getInt
+      }
+    val runFlags: Array[Byte] =
+      if (hasRun) { val a = new Array[Byte]((nContainers + 7) / 8); bb.get(a); a }
+      else Array.emptyByteArray
+    def isRun(c: Int) = hasRun && ((runFlags(c / 8) >> (c % 8)) & 1) == 1
+    val keys = new Array[Int](nContainers)
+    val cards = new Array[Int](nContainers)
+    var c = 0
+    while (c < nContainers) {
+      keys(c) = bb.getShort & 0xffff
+      cards(c) = (bb.getShort & 0xffff) + 1
+      c += 1
+    }
+    // offset header present unless run-format with <4 containers
+    if (!hasRun || nContainers >= 4) bb.position(bb.position() + 4 * nContainers)
+    c = 0
+    while (c < nContainers) {
+      val base = keys(c) << 16
+      if (isRun(c)) {
+        val nRuns = bb.getShort & 0xffff
+        var r = 0
+        while (r < nRuns) {
+          val start = bb.getShort & 0xffff
+          val len = bb.getShort & 0xffff
+          var v = start
+          while (v <= start + len) { emit(base | v); v += 1 }
+          r += 1
+        }
+      } else if (cards(c) <= 4096) {
+        var v = 0
+        while (v < cards(c)) { emit(base | (bb.getShort & 0xffff)); v += 1 }
+      } else { // bitset container: 1024 64-bit words
+        var w = 0
+        while (w < 1024) {
+          var word = bb.getLong
+          while (word != 0) {
+            val bit = java.lang.Long.numberOfTrailingZeros(word)
+            emit(base | (w * 64 + bit))
+            word &= word - 1
+          }
+          w += 1
+        }
+      }
+      c += 1
+    }
+  }
+
+  /** Serialize positions (sorted, distinct, ≥0) to the portable
+    * RoaringBitmapArray layout — the writer half (array containers when
+    * sparse, bitsets when dense; no run encoding), used by our DV
+    * emitters and the round-trip specs. */
+  def serialize(positions: Array[Long]): Array[Byte] = {
+    require(positions.forall(_ >= 0), "negative row index")
+    val sorted = positions.distinct.sorted
+    val byHigh = sorted.groupBy(_ >>> 32)
+    val nBitmaps = if (sorted.isEmpty) 0L else (sorted.last >>> 32) + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def putLE(n: Int, width: Int): Unit = {
+      var i = 0
+      while (i < width) { out.write((n >>> (8 * i)) & 0xff); i += 1 }
+    }
+    putLE(PortableMagic, 4)
+    putLE(nBitmaps.toInt, 4); putLE((nBitmaps >>> 32).toInt, 4)
+    var hi = 0L
+    while (hi < nBitmaps) {
+      val vals = byHigh.getOrElse(hi, Array.empty[Long])
+        .map(v => (v & 0xffffffffL).toInt)
+      val byKey = vals.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+      putLE(12346, 4)           // no-run cookie
+      putLE(byKey.size, 4)      // container count
+      byKey.foreach { case (k, vs) =>
+        putLE(k, 2); putLE(vs.length - 1, 2)
+      }
+      // offset header (required by the no-run cookie)
+      var off = 4 + 4 + 4 * byKey.size + 4 * byKey.size
+      byKey.foreach { case (_, vs) =>
+        putLE(off, 4)
+        off += (if (vs.length <= 4096) 2 * vs.length else 8192)
+      }
+      byKey.foreach { case (_, vs) =>
+        if (vs.length <= 4096) vs.foreach(v => putLE(v & 0xffff, 2))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low = v & 0xffff
+            words(low / 64) |= (1L << (low % 64))
+          }
+          words.foreach { w =>
+            var i = 0
+            while (i < 8) { out.write(((w >>> (8 * i)) & 0xff).toInt); i += 1 }
+          }
+        }
+      }
+      hi += 1
+    }
+    out.toByteArray
+  }
+
+  /** Write one DV into a fresh `u`-storage file next to the table;
+    * returns the descriptor to embed in the add action. */
+  def writeDvFile(tableDir: String, positions: Array[Long]): Descriptor = {
+    val data = serialize(positions)
+    val uuid = java.util.UUID.randomUUID()
+    val raw = ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    val body = ByteBuffer.allocate(1 + 4 + data.length + 4)
+      .order(ByteOrder.BIG_ENDIAN)
+    body.put(1.toByte).putInt(data.length).put(data)
+    val crc = new CRC32(); crc.update(data)
+    body.putInt(crc.getValue.toInt)
+    Files.write(Paths.get(tableDir, s"deletion_vector_$uuid.bin"),
+      body.array())
+    Descriptor("u", bytesToZ85(raw), Some(1), data.length, positions.length)
+  }
+}

@@ -171,6 +171,49 @@ object DeltaExport {
     v
   }
 
+  /** OPTIMIZE-style compaction: rewrite all live files into one and
+    * commit the swap with `dataChange:false` on every action — no
+    * logical row changes, so CDC/CDF readers skip the commit entirely
+    * (delta.io PROTOCOL.md: "dataChange ... false when the records ...
+    * are contained in one or more remove actions in the same version").
+    * Returns the committed version. */
+  def compact(spark: SparkSession, dir: String): Long = {
+    val st = DeltaImport.readLog(spark, dir)
+    require(st.partitionColumns.isEmpty,
+      "compact on partitioned Delta tables not supported")
+    val old = st.files
+    if (old.size <= 1) return st.version // nothing to compact
+    val sub = java.nio.file.Paths.get(dir,
+      s"compact-${UUID.randomUUID().toString.take(8)}")
+    DeltaImport.scan(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(sub.toString)
+    new File(sub.toFile, "_SUCCESS").delete()
+    val files = sub.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val footers = ParquetStats.readMany(spark, files)
+    val base = Paths.get(dir)
+    def relEnc(p: String): String =
+      base.relativize(Paths.get(p)).toString.split("/").map(seg =>
+        java.net.URLEncoder.encode(seg, "UTF-8")
+          .replace("+", "%20")).mkString("/")
+    val adds = files.sorted.map { p =>
+      val f = new File(p)
+      val stats = footers.get(p)
+        .map(ft => s""","stats":${jstr(deltaStats(ft, st.schema))}""")
+        .getOrElse("")
+      s"""{"add":{"path":"${relEnc(p)}","partitionValues":{},""" +
+        s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+        s""""dataChange":false$stats}}"""
+    }
+    val removes = old.map { f =>
+      s"""{"remove":{"path":"${relEnc(f.path)}","deletionTimestamp":0,""" +
+        """"dataChange":false}}"""
+    }
+    val v = st.version + 1
+    writeCommit(dir, v, removes ++ adds)
+    v
+  }
+
   /** Commit a metadata-only delete of every live file whose partition
     * values satisfy `pred` (full-partition deletes — the same
     * metadata-only fast path our lake DELETE takes). Returns the number

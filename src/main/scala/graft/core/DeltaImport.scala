@@ -55,7 +55,14 @@ object DeltaImport {
       stats: Map[String, ColStat] = Map.empty,
       /** original protocol stats JSON, re-emitted verbatim by
         * checkpoint writers */
-      statsJson: Option[String] = None)
+      statsJson: Option[String] = None,
+      /** the add action's dataChange flag: false marks pure rewrites
+        * (OPTIMIZE/compaction) whose rows existed before — CDC readers
+        * must skip them or re-emit the whole compacted table */
+      dataChange: Boolean = true,
+      /** deletion vector marking this file's deleted row indexes
+        * (reader protocol v3) — applied as a position anti-join */
+      dv: Option[DeltaDv.Descriptor] = None)
 
   case class DeltaState(schema: StructType, partitionColumns: Seq[String],
       files: Seq[DeltaFile], version: Long) {
@@ -111,9 +118,15 @@ object DeltaImport {
     var partCols: Seq[String] = Nil
     val live = scala.collection.mutable.LinkedHashMap[String, DeltaFile]()
 
-    def checkProtocol(minReader: Int): Unit =
-      require(minReader <= 2, s"Delta reader protocol v$minReader not " +
-        "supported (v3+ reader features: deletion vectors, column mapping)")
+    // v1/v2 always readable; v3 enumerates its reader features — we
+    // read any table whose features are all in the supported set
+    val supportedFeatures = Set("deletionVectors")
+    def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit =
+      if (minReader >= 3) {
+        val unsupported = readerFeatures.filterNot(supportedFeatures)
+        require(unsupported.isEmpty, s"Delta reader protocol v$minReader " +
+          s"features not supported: ${unsupported.mkString(", ")}")
+      }
 
     def checkConfig(conf: Map[String, String]): Unit = {
       val cm = conf.getOrElse("delta.columnMapping.mode", "none")
@@ -128,13 +141,14 @@ object DeltaImport {
     }
 
     def addFile(path: String, size: Long, pv: Map[String, Option[String]],
-        statsJson: Option[String]): Unit = {
+        statsJson: Option[String], dataChange: Boolean,
+        dv: Option[DeltaDv.Descriptor]): Unit = {
       val abs = if (path.startsWith("/") || path.contains("://")) path
         else Paths.get(dir, java.net.URLDecoder.decode(path, "UTF-8"))
           .toString
       val st = statsJson.flatMap(s => schema.map(sc => statsFromJson(s, sc)))
         .getOrElse(Map.empty)
-      live(path) = DeltaFile(abs, size, pv, st, statsJson)
+      live(path) = DeltaFile(abs, size, pv, st, statsJson, dataChange, dv)
     }
 
     // 1) checkpoint actions (parsed executor-side; file list to driver)
@@ -142,9 +156,18 @@ object DeltaImport {
       val ck = spark.read.parquet(
         checkpointFiles(dir, cv).map(_.getAbsolutePath): _*)
       val cols = ck.columns.toSet
-      if (cols.contains("protocol"))
-        ck.select("protocol.minReaderVersion").na.drop().collect()
-          .foreach(r => checkProtocol(r.getInt(0)))
+      if (cols.contains("protocol")) {
+        val hasRf = ck.select("protocol.*").columns.contains("readerFeatures")
+        val pCols = Seq("protocol.minReaderVersion") ++
+          (if (hasRf) Seq("protocol.readerFeatures") else Nil)
+        ck.filter(ck("protocol").isNotNull)
+          .select(pCols.head, pCols.tail: _*).collect()
+          .foreach { r =>
+            val rf = if (hasRf && !r.isNullAt(1)) r.getSeq[String](1)
+              else Nil
+            checkProtocol(r.getInt(0), rf)
+          }
+      }
       if (cols.contains("metaData"))
         ck.filter(ck("metaData").isNotNull)
           .select("metaData.schemaString", "metaData.partitionColumns",
@@ -154,9 +177,14 @@ object DeltaImport {
               Option(r.getMap[String, String](2)).map(_.toMap)
                 .getOrElse(Map.empty))
           }
-      val hasStats = ck.select("add.*").columns.contains("stats")
+      val addFields = ck.select("add.*").columns.toSet
+      val hasStats = addFields.contains("stats")
+      val hasDc = addFields.contains("dataChange")
+      val hasDv = addFields.contains("deletionVector")
       val addCols = Seq("add.path", "add.size", "add.partitionValues") ++
-        (if (hasStats) Seq("add.stats") else Nil)
+        (if (hasStats) Seq("add.stats") else Nil) ++
+        (if (hasDc) Seq("add.dataChange") else Nil) ++
+        (if (hasDv) Seq("add.deletionVector") else Nil)
       ck.filter(ck("add").isNotNull)
         .select(addCols.head, addCols.tail: _*)
         .collect().foreach { r =>
@@ -165,7 +193,23 @@ object DeltaImport {
             .getOrElse(Map.empty[String, Option[String]])
           val st = if (hasStats && !r.isNullAt(3)) Some(r.getString(3))
             else None
-          addFile(r.getString(0), r.getLong(1), pv, st)
+          val dcIdx = 3 + (if (hasStats) 1 else 0)
+          val dc = !hasDc || r.isNullAt(dcIdx) || r.getBoolean(dcIdx)
+          val dvIdx = dcIdx + (if (hasDc) 1 else 0)
+          val dv = if (hasDv && !r.isNullAt(dvIdx)) {
+            val d = r.getStruct(dvIdx)
+            def fld[T](n: String): Option[T] = {
+              val i = d.fieldIndex(n)
+              if (d.isNullAt(i)) None else Some(d.get(i).asInstanceOf[T])
+            }
+            Some(DeltaDv.Descriptor(
+              fld[String]("storageType").get,
+              fld[String]("pathOrInlineDv").get,
+              fld[Int]("offset"),
+              fld[Int]("sizeInBytes").get,
+              fld[Long]("cardinality").get))
+          } else None
+          addFile(r.getString(0), r.getLong(1), pv, st, dc, dv)
         }
       // removes in a checkpoint are expired tombstones — nothing to undo
     }
@@ -177,7 +221,9 @@ object DeltaImport {
       val j = JsonMethods.parse(line)
       (j \ "protocol") match {
         case JObject(_) =>
-          checkProtocol((j \ "protocol" \ "minReaderVersion").extract[Int])
+          checkProtocol((j \ "protocol" \ "minReaderVersion").extract[Int],
+            (j \ "protocol" \ "readerFeatures").extractOpt[Seq[String]]
+              .getOrElse(Nil))
         case _ =>
       }
       (j \ "metaData") match {
@@ -197,8 +243,18 @@ object DeltaImport {
             }.toMap
             case _ => Map.empty[String, Option[String]]
           }
+          val dv = (a \ "deletionVector") match {
+            case d: JObject => Some(DeltaDv.Descriptor(
+              (d \ "storageType").extract[String],
+              (d \ "pathOrInlineDv").extract[String],
+              (d \ "offset").extractOpt[Int],
+              (d \ "sizeInBytes").extract[Int],
+              (d \ "cardinality").extract[Long]))
+            case _ => None
+          }
           addFile((a \ "path").extract[String], (a \ "size").extract[Long],
-            pv, (a \ "stats").extractOpt[String])
+            pv, (a \ "stats").extractOpt[String],
+            (a \ "dataChange").extractOpt[Boolean].getOrElse(true), dv)
         case _ =>
       }
       (j \ "remove") match {
@@ -296,8 +352,42 @@ object DeltaImport {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty)(classic)
     // relation output order is data ++ partition cols; restore declared order
-    classic.baseRelationToDataFrame(relation)
+    val base = classic.baseRelationToDataFrame(relation)
       .select(st.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    applyDeletionVectors(spark, dir, st, base)
+  }
+
+  /** Anti-join away rows a deletion vector marks deleted — same MOR
+    * shape as lake-table position deletes (LakeTable
+    * .applyPositionDeletes). Bitmaps decode EXECUTOR-side, one task per
+    * DV'd file (positions bounded by that file's row count); data-column
+    * filters still push through the anti-join into the scan. */
+  private def applyDeletionVectors(spark: SparkSession, dir: String,
+      st: DeltaState, base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dvFiles = st.files.collect { case f if f.dv.isDefined =>
+      (f.path, f.dv.get) }
+    if (dvFiles.isEmpty) return base
+    import spark.implicits._
+    val deleted = spark
+      .createDataset(dvFiles.map { case (p, d) =>
+        (p, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1),
+          d.sizeInBytes, d.cardinality)
+      })
+      .repartition(math.min(dvFiles.size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap { case (p, tpe, pod, off, size, card) =>
+        DeltaDv.positions(dir, DeltaDv.Descriptor(tpe, pod,
+          if (off < 0) None else Some(off), size, card)).map((p, _))
+      }
+      .toDF("_del_file", "_del_pos")
+    val tagged = base
+      .withColumn("_file", regexp_replace(input_file_name(), "^file:/*", "/"))
+      .withColumn("_pos", col("_metadata.row_index"))
+    tagged.join(deleted,
+        tagged("_file") === deleted("_del_file") &&
+          tagged("_pos") === deleted("_del_pos"), "left_anti")
+      .drop("_file", "_pos")
   }
 }
 

@@ -68,10 +68,8 @@ object Dedup {
     * n_common ≥ threshold·n_union, exact for thresholds representable at
     * the fixture's set sizes). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 5,
+      numHashes: Int = 64, bands: Int = 0, shingleK: Int = 5,
       threshold: Double = 0.6): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // the O(L·k) signature kernel is the expensive per-row stage: fan it
     // out when the source is under-partitioned (single-row-group files)
     val src = Par.fanOut(df)
@@ -84,13 +82,18 @@ object Dedup {
     // joins branch off this relation, and racing branches would compute
     // the signatures twice before the cache fills (measured 2x). At
     // warehouse scale this is "checkpoint the signature table". The
-    // count doubles as the corpus-size dial below.
+    // count doubles as the corpus-size dial below — callers pass
+    // bands = 0 (auto) so the recall/cost dial reuses this one job
+    // instead of scanning the input again.
     val nDocs = sig.count()
+    val nBands = if (bands > 0) bands else adaptiveBands(nDocs)
+    require(numHashes % nBands == 0, "bands must divide numHashes")
+    val r = numHashes / nBands
     // band rows carry ONLY (band, bhash, id): the candidate-generation
     // shuffle must never move the shingle payloads — at 100 TB the
     // signatures are ~1000x smaller than the documents.
     val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => xxhash64(concat_ws("_",
           slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
         .as(Seq("band", "bhash")))
@@ -108,9 +111,12 @@ object Dedup {
     // candidate set is large. Small corpora (everything broadcasts
     // anyway, candidates are thousands not billions) go straight to the
     // exact verify: same output (the exact filter is the final word
-    // either way), two fewer stages. The corpus size is already
-    // materialized by the cache-fill count above.
-    val est = if (nDocs <= 100000) cand else {
+    // either way), two fewer stages. The cutoff matches the narrow-band
+    // regime of adaptiveBands: candidate count grows ~quadratically in
+    // corpus size (measured: 5k docs → 169k candidates, of which the
+    // estimate kills 92% before the shingle payloads join — skipping it
+    // there cost 67% end-to-end), so only genuinely tiny corpora skip.
+    val est = if (nDocs <= 2048) cand else {
       // The signature projection gets its own cache so the optimizer
       // sees the narrow (~0.5 KB/row) relation's stats, not the fat
       // shingle payload's: below the broadcast threshold both estimate
@@ -118,16 +124,18 @@ object Dedup {
       // the stats exceed it and the same plan degrades gracefully to
       // shuffle joins.
       val sigOnly = sig.select(col("id"), col("sig")).cache()
+      // positional-agreement kernel (one primitive pass per pair) and an
+      // integer cut: agree/numHashes ≥ thr−0.2 ⟺ agree ≥ ⌈(thr−0.2)·n⌉
+      val minAgree = math.ceil((threshold - 0.2) * numHashes).toLong
       cand
         .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")),
           Seq("id_a"))
         .join(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b")),
           Seq("id_b"))
-        .withColumn("est_j",
-          aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v).cast("double") / numHashes)
-        .filter(col("est_j") >= threshold - 0.2)
+        .filter(org.apache.spark.sql.GraftBridge.column(ArrayAgreeCount(
+          org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_a")),
+          org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_b"))))
+          >= minAgree)
         .select("id_a", "id_b")
     }
     est
@@ -212,9 +220,20 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "size_a", "size_b")
   }
 
-  /** Exact pairwise Jaccard (for verification / small candidate sets). */
+  /** Rows above which [[jaccardPairs]] refuses to run: the all-pairs
+    * product is a ground-truth oracle for SPECS, never a production
+    * path — at 100k rows it is already 5·10⁹ pairs. */
+  val jaccardPairsMaxRows = 10000L
+
+  /** Exact pairwise Jaccard (for verification / small candidate sets).
+    * Deliberately guarded: O(n²) all-pairs, spec-oracle only. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5): DataFrame = {
+    val n = df.count()
+    require(n <= jaccardPairsMaxRows,
+      s"jaccardPairs is an all-pairs O(n^2) oracle for verification; " +
+        s"got $n rows (cap $jaccardPairsMaxRows). Use minhashPairs/" +
+        "ngramJaccardPairs/simhashPairs for production-scale dedup.")
     val s = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh"))
     val a = s.select(col("id").as("id_a"), col("sh").as("sh_a"))

@@ -61,7 +61,7 @@ object Multimodal {
   /** Header-probe a RIFF/WAVE audio blob (the format spec is pure
     * fixed-layout bytes — no codec needed): returns (sampleRate,
     * channels, durationMillis) from the fmt chunk + data chunk size. */
-  def probeWav(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+  def probeWav(bytes: Array[Byte]): Option[(Int, Int, Long)] = try {
     if (bytes == null || bytes.length < 44) return None
     val b = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -69,18 +69,26 @@ object Multimodal {
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var off = 12
     var rate = 0; var channels = 0; var byteRate = 0; var dataLen = -1L
-    while (off + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+    var ok = true
+    while (ok && off + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
       val id = tag(off); val sz = b.getInt(off + 4)
-      if (id == "fmt " && off + 16 <= bytes.length) {
-        channels = b.getShort(off + 10).toInt
-        rate = b.getInt(off + 12)
-        byteRate = b.getInt(off + 16)
-      } else if (id == "data") dataLen = sz.toLong
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      // a declared size that is negative or runs past the buffer means a
+      // corrupt/truncated header: stop scanning rather than loop or read
+      // out of bounds (sz == 0 is legal padding, but the word-aligned
+      // advance below still makes progress on it)
+      if (sz < 0 || sz > bytes.length - off - 8) ok = false
+      else {
+        if (id == "fmt " && off + 20 <= bytes.length) {
+          channels = b.getShort(off + 10).toInt
+          rate = b.getInt(off + 12)
+          byteRate = b.getInt(off + 16)
+        } else if (id == "data") dataLen = sz.toLong
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
     }
     if (rate <= 0 || channels <= 0 || dataLen < 0 || byteRate <= 0) None
     else Some((rate, channels, dataLen * 1000L / byteRate))
-  }
+  } catch { case _: Exception => None }
 
   /** Decode one blob to (byte_len, format, width, height, checksum).
     * Real probes: images via javax.imageio (format + dimensions), WAV

@@ -1,6 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
 
 /** Parallelism guard for per-row-expensive stages (regex/metric kernels,
   * signature computation, distance evaluation).
@@ -13,14 +15,50 @@ import org.apache.spark.sql.DataFrame
   * already carry at least half the cluster's parallelism (real tables —
   * many files, many row groups) pass through untouched, so the extra
   * shuffle exists only where it wins.
+  *
+  * The scan-partition estimate comes from FILE METADATA (the FileIndex
+  * listing the planner consults anyway), replaying Spark's own split
+  * packing formula (FilePartition.maxSplitBytes) — not from `df.rdd`,
+  * which would force physical planning of a plan that never runs and
+  * hide the input from AQE.
   */
 private[graft] object Par {
 
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (target <= 1) df
-    else if (df.rdd.getNumPartitions < math.max(2, target / 2))
-      df.repartition(target)
-    else df
+    else estimateScanPartitions(df) match {
+      case Some(n) if n < math.max(2, target / 2) => df.repartition(target)
+      case _ => df // enough parallelism already, or not file-backed
+    }
+  }
+
+  /** Estimated scan-task count for a file-backed plan: Spark packs file
+    * splits into partitions of `maxSplitBytes = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / defaultParallelism))` with an
+    * `openCostInBytes` surcharge per file (FilePartition.scala). None
+    * when no file-sourced leaf exists (local/in-memory inputs). */
+  private def estimateScanPartitions(df: DataFrame): Option[Int] = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val fileSizes: Seq[Long] = df.queryExecution.analyzed.collectLeaves()
+      .flatMap {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen))
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+    if (fileSizes.isEmpty) None
+    else {
+      val openCost = conf.filesOpenCostInBytes
+      val padded = fileSizes.map(_ + openCost)
+      val total = padded.sum
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost,
+          total / spark.sparkContext.defaultParallelism))
+      Some(math.max(1, math.ceil(total.toDouble / maxSplit).toInt))
+    }
   }
 }

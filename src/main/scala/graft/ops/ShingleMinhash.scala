@@ -135,3 +135,32 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
 }
+
+/** Positional agreement count of two equal-length long arrays — the
+  * MinHash signature-similarity estimator (est_j = agree / numHashes).
+  * The HOF form (`aggregate(zip_with(...))`) dispatches two interpreted
+  * lambdas per element per pair; on the candidate-verify stage (10⁵–10⁶
+  * pairs × 64 slots) this one-pass primitive loop is the difference
+  * between the estimate stage paying for itself and not. */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def prettyName: String = "array_agree_count"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAgreeCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -248,8 +248,21 @@ object Similarity {
   def intNearPairsExact(df: DataFrame, idCol: String, vecCol: String,
       tables: Seq[Array[Array[Long]]], thrNum: Int, thrDen: Int): DataFrame = {
     val vq = quantizeCol(col(vecCol))
+    // Exactness precondition: the verify filter computes qdot²·thrDen² and
+    // na2·nb2·thrNum² in 64-bit integers. Cauchy–Schwarz gives
+    // qdot² ≤ na2·nb2, so both products stay inside Long iff each side's
+    // ‖v‖² ≤ √Long.MAX / max(thr) — ~6·10⁸ at thr 5, i.e. quantized norm
+    // ≈24, far above any unit-ish embedding (‖v‖²≈2²⁰). Enforce per row
+    // and fail loudly: silent wraparound would corrupt the "exact" result.
+    val n2Cap = (math.sqrt(Long.MaxValue.toDouble).toLong - 1) /
+      math.max(thrNum, thrDen)
+    def bounded(c: Column): Column =
+      when(c > n2Cap, raise_error(concat(
+        lit(s"intNearPairsExact: quantized |v|^2 exceeds exact-arithmetic " +
+          s"bound $n2Cap (normalize the embeddings): "), c.cast("string"))))
+        .otherwise(c)
     val base = df.select(col(idCol).as("id"), vq.as("vq"))
-      .withColumn("n2", intDotK(col("vq"), col("vq")))
+      .withColumn("n2", bounded(intDotK(col("vq"), col("vq"))))
     val nBits = tables.head.length
     // all L bucket ids in ONE pass over the vector (IntSignBuckets)
     val withB = base.withColumn("bks", signBucketsK(col("vq"), tables))

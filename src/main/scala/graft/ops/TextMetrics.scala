@@ -38,37 +38,56 @@ case class TextMetrics(child: Expression) extends UnaryExpression
     StructField("n_digit", LongType, nullable = false),
     StructField("n_nonspace", LongType, nullable = false)))
 
-  @inline private def isWs(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' ||
-      cp == '\r'
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' ||
+      b == '\r'
 
+  /** Walks the raw UTF-8 BYTES — no String materialization, no UTF-16
+    * transcode. Every class tested (`\s`, digits, A-Za-z) is pure ASCII,
+    * so a byte either IS the codepoint (high bit 0), starts a multi-byte
+    * codepoint (0b11xxxxxx → chars+1, and it can only be non-space
+    * punct), or continues one (0b10xxxxxx → skip). Counts are identical
+    * to the previous UTF-16 codepoint loop, including astral chars. */
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val u = input.asInstanceOf[UTF8String]
+    val b = u.getBytes
+    val len = b.length
     var chars = 0L; var punct = 0L; var digit = 0L; var nonspace = 0L
     var runs = 0L
     var inRun = false
-    // space-trim bounds (Spark trim() strips ' ' only)
-    var lo = 0; var hi = s.length
-    while (lo < hi && s.charAt(lo) == ' ') lo += 1
-    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
-    val leadingWs = lo < hi && isWs(s.codePointAt(lo))
+    // space-trim bounds (Spark trim() strips ' ' only — one byte)
+    var lo = 0; var hi = len
+    while (lo < hi && b(lo) == ' ') lo += 1
+    while (hi > lo && b(hi - 1) == ' ') hi -= 1
+    // non-ASCII lead/continuation bytes are negative → never whitespace
+    val leadingWs = lo < hi && isWs(b(lo))
     // split(_, -1) keeps a trailing empty token too: if the space-trimmed
     // text ends with non-space whitespace, both Spark's split() and
-    // DuckDB's string_split_regex emit one more (empty) token.
-    val trailingWs = lo < hi && isWs(s.codePointBefore(hi))
+    // DuckDB's string_split_regex emit one more (empty) token. The byte
+    // before `hi` is either an ASCII codepoint or the tail of a
+    // multi-byte one — multi-byte is never whitespace, so testing the
+    // byte is testing the codepoint.
+    val trailingWs = lo < hi && isWs(b(hi - 1))
     var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      chars += 1
-      if (isWs(cp)) inRun = false
-      else {
+    while (i < len) {
+      val x = b(i)
+      if (x >= 0) { // ASCII codepoint
+        chars += 1
+        if (isWs(x)) inRun = false
+        else {
+          nonspace += 1
+          if (x >= '0' && x <= '9') digit += 1
+          else if (!((x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z')))
+            punct += 1
+          if (!inRun) { runs += 1; inRun = true }
+        }
+      } else if ((x & 0xc0) == 0xc0) { // lead byte: one non-ASCII codepoint
+        chars += 1
         nonspace += 1
-        if (cp >= '0' && cp <= '9') digit += 1
-        else if (!((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')))
-          punct += 1
-        if (!inRun) { runs = runs + 1; inRun = true }
-      }
-      i += Character.charCount(cp)
+        punct += 1 // outside [A-Za-z0-9] and \s by construction
+        if (!inRun) { runs += 1; inRun = true }
+      } // else continuation byte: same codepoint, nothing to count
+      i += 1
     }
     val tokens =
       if (lo >= hi) 0L // blank after trim

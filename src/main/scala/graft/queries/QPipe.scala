@@ -125,8 +125,7 @@ object QPipe {
     // n_common/n_union is derived.
     "q_dedup_minhash" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      Dedup.minhashPairs(d, "doc_id", "text",
-          bands = Dedup.adaptiveBands(d.count()), threshold = 0.5)
+      Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b", "n_common", "n_union")
         .orderBy("id_a", "id_b")
     },

@@ -71,16 +71,38 @@ object Xlsx {
     val parts = unzip(bytes)
     val shared = parts.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
-    val sheetPart = sheet match {
+    // OOXML binds a <sheet> to its worksheet part via r:id through
+    // xl/_rels/workbook.xml.rels — part numbering need NOT match the
+    // declaration order (sheets deleted/reordered in Excel keep their
+    // original part names), so resolve the relationship instead of
+    // guessing sheetN.xml from the position.
+    val wb = scala.xml.XML.load(new ByteArrayInputStream(
+      parts("xl/workbook.xml")))
+    val sheets = wb \\ "sheet"
+    val chosen = sheet match {
       case Some(name) =>
-        val wb = scala.xml.XML.load(new ByteArrayInputStream(
-          parts("xl/workbook.xml")))
-        val idx = (wb \\ "sheet").indexWhere(s =>
-          (s \@ "name") == name)
-        require(idx >= 0, s"no sheet named $name")
-        s"xl/worksheets/sheet${idx + 1}.xml"
-      case None => "xl/worksheets/sheet1.xml"
+        val s = sheets.find(s => (s \@ "name") == name)
+        require(s.isDefined, s"no sheet named $name")
+        s.get
+      case None =>
+        require(sheets.nonEmpty, "workbook declares no sheets")
+        sheets.head
     }
+    val rid = chosen.attributes.collectFirst {
+      case a: scala.xml.Attribute
+          if a.key == "id" && Option(a.pre).contains("r") => a.value.text
+    }
+    val sheetPart = rid.flatMap { id =>
+      parts.get("xl/_rels/workbook.xml.rels").flatMap { relBytes =>
+        val rels = scala.xml.XML.load(new ByteArrayInputStream(relBytes))
+        (rels \\ "Relationship").find(r => (r \@ "Id") == id).map { r =>
+          val target = r \@ "Target"
+          if (target.startsWith("/")) target.drop(1) // package-absolute
+          else "xl/" + target.stripPrefix("./")
+        }
+      }
+    }.getOrElse( // no rels part (minimal writers): fall back to position
+      s"xl/worksheets/sheet${sheets.indexOf(chosen) + 1}.xml")
     val ws = scala.xml.XML.load(new ByteArrayInputStream(parts(sheetPart)))
     (ws \\ "row").map { row =>
       val cells = (row \ "c").flatMap { c =>

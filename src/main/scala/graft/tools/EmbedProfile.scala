@@ -15,6 +15,11 @@ object EmbedProfile {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false).getOrCreate()
     val e = spark.read.parquet(args(0) + "/embeddings.parquet")
+    // the crossJoin below is the all-pairs GROUND TRUTH for this sweep —
+    // refuse corpora where that stops being a diagnostic-sized job
+    require(e.count() <= graft.ops.Dedup.jaccardPairsMaxRows,
+      "EmbedProfile computes brute-force all-pairs truth; run it on a " +
+        "small fixture (sf0.01), not a production corpus")
 
     // brute force ground truth (exact integers)
     val vq = Similarity.quantizeCol(col("embedding"))

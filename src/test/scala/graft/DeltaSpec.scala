@@ -218,13 +218,27 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       DeltaExport.append(spark,
         li.filter(col("l_returnflag") === "R"), dir)
       q.processAllAvailable()
-      val counts = {
+      def counts = {
         val it = seen.iterator()
         Iterator.continually(if (it.hasNext) Some(it.next()) else None)
           .takeWhile(_.isDefined).flatten.toSeq
       }
-      assert(counts.sum ==
-        li.filter(col("l_returnflag") =!= "N").count(), s"batches: $counts")
+      val expected = li.filter(col("l_returnflag") =!= "N").count()
+      assert(counts.sum == expected, s"batches: $counts")
+      // OPTIMIZE-style compaction rewrites every live file with
+      // dataChange:false — the stream must NOT re-emit the table
+      val preCompact = counts.sum
+      DeltaExport.compact(spark, dir)
+      q.processAllAvailable()
+      assert(counts.sum == preCompact,
+        s"compaction leaked duplicate rows into CDC: $counts")
+      // and the table itself still reads complete after the rewrite
+      assert(DeltaImport.scan(spark, dir).count() == expected)
+      // a real append AFTER the compaction still streams
+      DeltaExport.append(spark,
+        li.filter(col("l_returnflag") === "N").limit(7), dir)
+      q.processAllAvailable()
+      assert(counts.sum == preCompact + 7, s"batches: $counts")
     } finally q.stop()
   }
 
@@ -232,15 +246,93 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("delta_bad").toString + "/t"
     val df = spark.range(3).toDF("id")
     DeltaExport.create(df, dir)
-    // doctor the log to demand protocol v3
+    // doctor the log to demand a v3 reader feature we don't implement
     val log = java.nio.file.Paths.get(dir, "_delta_log",
       "00000000000000000000.json")
     val body = new String(Files.readAllBytes(log))
-      .replace("\"minReaderVersion\":1", "\"minReaderVersion\":3")
+      .replace("\"minReaderVersion\":1", "\"minReaderVersion\":3," +
+        "\"readerFeatures\":[\"deletionVectors\",\"columnMapping\"]")
     Files.write(log, body.getBytes)
     val e = intercept[IllegalArgumentException] {
       DeltaImport.readLog(spark, dir)
     }
-    assert(e.getMessage.contains("protocol v3"))
+    assert(e.getMessage.contains("columnMapping"))
+    assert(!e.getMessage.contains("deletionVectors,"))
+  }
+
+  test("deletion vector codec: z85 + portable RoaringBitmapArray round-trip") {
+    import graft.core.DeltaDv
+    // z85 against the ZeroMQ reference vector
+    assert(DeltaDv.bytesToZ85(
+      Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+        .map(_.toByte)) == "HelloWorld")
+    assert(DeltaDv.z85ToBytes("HelloWorld").toSeq ==
+      Seq(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b).map(_.toByte))
+    // array containers, several 16-bit blocks
+    val sparse = Array(0L, 1L, 7L, 65535L, 65536L, 131072L, 999999L)
+    assert(DeltaDv.deserialize(DeltaDv.serialize(sparse)).toSeq ==
+      sparse.toSeq)
+    // dense block → bitset container (cardinality > 4096 in one block)
+    val dense = (0L until 5000L).map(_ * 2).toArray
+    assert(DeltaDv.deserialize(DeltaDv.serialize(dense)).toSeq ==
+      dense.toSeq)
+    // positions beyond 2^32 → second bitmap in the array
+    val wide = Array(3L, (1L << 32) + 5, (1L << 32) + 6)
+    assert(DeltaDv.deserialize(DeltaDv.serialize(wide)).toSeq == wide.toSeq)
+    // empty
+    assert(DeltaDv.deserialize(DeltaDv.serialize(Array.empty[Long])).isEmpty)
+  }
+
+  test("reads a table with deletion vectors (protocol v3, u + i storage)") {
+    import graft.core.DeltaDv
+    val dir = Files.createTempDirectory("delta_dv").toString + "/t"
+    val df = spark.range(100).toDF("id")
+      .withColumn("val", col("id") * 10)
+    DeltaExport.create(df.coalesce(1), dir)
+    val st0 = DeltaImport.readLog(spark, dir)
+    assert(st0.files.size == 1)
+    val dataFile = st0.files.head
+    // rows written by range(100).coalesce(1) are in id order: row index
+    // i holds id i — delete ids {3, 42, 97} via a u-storage DV file
+    val dv = DeltaDv.writeDvFile(dir, Array(3L, 42L, 97L))
+    val rel = java.nio.file.Paths.get(dir)
+      .relativize(java.nio.file.Paths.get(dataFile.path)).toString
+    def dvJson(d: DeltaDv.Descriptor): String =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        (if (d.offset.isDefined) s""""offset":${d.offset.get},""" else "") +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    val commit1 =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}
+         |{"remove":{"path":"$rel","deletionTimestamp":0,"dataChange":true}}
+         |{"add":{"path":"$rel","partitionValues":{},"size":${dataFile.size},"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(dv)}}}
+         |""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000001.json"), commit1.getBytes)
+    val got = DeltaImport.scan(spark, dir)
+    assert(got.count() == 97)
+    val ids = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L) && !ids.contains(42L) && !ids.contains(97L))
+    assert(ids.contains(4L) && ids.contains(96L))
+    // data-column filters still work through the anti-join
+    assert(DeltaImport.scan(spark, dir)
+      .filter(col("val") >= 960).count() == 3) // 96, 98, 99 (97 deleted)
+    // time travel to v0 sees all rows
+    assert(DeltaImport.scan(spark, dir, Some(0L)).count() == 100)
+    // inline ("i") storage: replace the DV with an inline one at v2
+    val inlineBits = DeltaDv.serialize(Array(0L, 1L))
+    val padded = java.util.Arrays.copyOf(inlineBits,
+      (inlineBits.length + 3) / 4 * 4) // z85 needs 4-byte groups
+    val inline = DeltaDv.Descriptor("i", DeltaDv.bytesToZ85(padded),
+      None, inlineBits.length, 2)
+    val commit2 =
+      s"""{"remove":{"path":"$rel","deletionTimestamp":0,"dataChange":true}}
+         |{"add":{"path":"$rel","partitionValues":{},"size":${dataFile.size},"modificationTime":0,"dataChange":true,"deletionVector":${dvJson(inline)}}}
+         |""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000002.json"), commit2.getBytes)
+    val got2 = DeltaImport.scan(spark, dir)
+    assert(got2.count() == 98)
+    assert(!got2.select("id").collect().map(_.getLong(0)).toSet
+      .exists(i => i == 0L || i == 1L))
   }
 }

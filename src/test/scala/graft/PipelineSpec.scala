@@ -429,6 +429,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getString(0) == "wav" && m.getInt(1) == 8000)
   }
 
+  test("multimodal: malformed WAV headers terminate and classify as bin") {
+    // negative chunk size used to advance the scan by 0 (infinite loop)
+    val neg = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    neg.put("RIFF".getBytes); neg.putInt(56); neg.put("WAVE".getBytes)
+    neg.put("JUNK".getBytes); neg.putInt(-8) // adversarial size
+    assert(Multimodal.probeWav(neg.array()).isEmpty)
+    // declared chunk size running past the buffer must not OOB-read
+    val trunc = java.nio.ByteBuffer.allocate(48)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    trunc.put("RIFF".getBytes); trunc.putInt(40); trunc.put("WAVE".getBytes)
+    trunc.put("fmt ".getBytes); trunc.putInt(1 << 30)
+    assert(Multimodal.probeWav(trunc.array()).isEmpty)
+    // zero-size padding chunks still make progress
+    val pad = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pad.put("RIFF".getBytes); pad.putInt(56); pad.put("WAVE".getBytes)
+    pad.put("PAD ".getBytes); pad.putInt(0)
+    pad.put("PAD ".getBytes); pad.putInt(0)
+    assert(Multimodal.probeWav(pad.array()).isEmpty)
+    // all three flow through decodeMeta as plain binary, no exception
+    assert(Multimodal.decodeMeta(neg.array())._2 == "bin")
+    assert(Multimodal.decodeMeta(trunc.array())._2 == "bin")
+  }
+
+  test("jaccardPairs refuses production-sized inputs (all-pairs guard)") {
+    import spark.implicits._
+    val big = spark.range(Dedup.jaccardPairsMaxRows + 1)
+      .select(col("id").as("doc_id"), lit("some text").as("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairs(big, "doc_id", "text").count()
+    }
+    assert(e.getMessage.contains("all-pairs"))
+  }
+
   test("multimodal: stub decode plumbing and frame sampling") {
     val d = Tables.load(spark, sf, "documents").limit(50)
       .withColumn("blob", col("text").cast("binary"))

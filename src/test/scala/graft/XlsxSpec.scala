@@ -110,4 +110,46 @@ class XlsxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.columns.toSeq == Seq("k"))
     assert(df.head().getLong(0) == 7L)
   }
+
+  test("sheets resolve via workbook.xml.rels r:id, not declaration order") {
+    // Excel keeps part names stable across delete/reorder: here the FIRST
+    // declared sheet lives in sheet9.xml and the second in sheet1.xml —
+    // positional sheetN.xml guessing would return the wrong data.
+    val workbook =
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets>
+        |  <sheet name="alpha" sheetId="5" r:id="rId7"/>
+        |  <sheet name="beta" sheetId="2" r:id="rId3"/>
+        |</sheets></workbook>""".stripMargin
+    val rels =
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |  <Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet9.xml"/>
+        |</Relationships>""".stripMargin
+    def sheetXml(tag: String, v: Int) =
+      s"""<?xml version="1.0"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+         |<sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>$tag</t></is></c></row>
+         |<row r="2"><c r="A2"><v>$v</v></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    val bytes = zip(
+      "xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> sheetXml("from_beta", 22),
+      "xl/worksheets/sheet9.xml" -> sheetXml("from_alpha", 11))
+    val f = Files.createTempDirectory("xlsx_rid").resolve("reordered.xlsx")
+    val out = new FileOutputStream(f.toFile)
+    out.write(bytes); out.close()
+    // default (first declared) sheet = alpha → sheet9.xml
+    val dfAlpha = Xlsx.read(spark, f.toString)
+    assert(dfAlpha.columns.toSeq == Seq("from_alpha"))
+    assert(dfAlpha.head().getLong(0) == 11L)
+    val dfBeta = Xlsx.read(spark, f.toString, Some("beta"))
+    assert(dfBeta.columns.toSeq == Seq("from_beta"))
+    assert(dfBeta.head().getLong(0) == 22L)
+  }
 }
