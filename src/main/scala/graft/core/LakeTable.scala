@@ -83,6 +83,18 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
     * (snapshot inspection SRFs, iceberg_functions.c:36-38). */
   def asOf(snapshotId: Long): DataFrame = readFiles(liveFilesAt(snapshotId))
 
+  /** Time travel by wall clock (`TIMESTAMP AS OF` semantics): the latest
+    * snapshot committed at or before `tsMillis`. The snapshot log pairs
+    * each id with its commit timestamp in commit order — the same
+    * time-ordered log the reference keeps
+    * (pg_lake_iceberg table_metadata.c:152-180). */
+  def asOfTimestamp(tsMillis: Long): DataFrame = {
+    val at = meta.snapshots.filter(_.timestampMs <= tsMillis)
+    require(at.nonEmpty, s"no snapshot at or before epoch-ms $tsMillis " +
+      s"(earliest commit: ${meta.snapshots.map(_.timestampMs).min})")
+    asOf(at.maxBy(s => (s.timestampMs, s.id)).id)
+  }
+
   /** Pruned scan: only files the predicate cannot refute are read; the
     * predicate is additionally applied as a normal filter (so Catalyst
     * pushes it into the parquet row groups as well). */

@@ -100,6 +100,22 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // TIMESTAMP AS OF time travel: resolve a wall-clock instant through
+    // the snapshot log's commit timestamps (latest-at-or-before), read
+    // the pre-delete state after a later delete rewrote the table
+    "q_lake_timetravel_ts" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("tts"), li)
+      val t0 = tbl.meta.currentSnapshot.get.timestampMs
+      Thread.sleep(5) // the delete must commit strictly after t0
+      Engine.delete(tbl, col("l_quantity") <= 25)
+      require(tbl.meta.currentSnapshot.get.timestampMs > t0,
+        "delete committed in the same millisecond as the create")
+      tbl.asOfTimestamp(t0).groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("l_linestatus")
+    },
+
     // ALTER COLUMN TYPE widening: old int32 files + post-widening int64
     // files must aggregate identically to the plain fixture union
     "q_lake_alter_type" -> { (s, dir) =>
@@ -219,6 +235,11 @@ object QLake {
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_lake_timetravel_ts" ->
+      """SELECT l_linestatus, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_lake_alter_type" ->
       """SELECT l_returnflag, CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,

@@ -1,0 +1,20 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+object Q5Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries("q5_local_supplier")(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    println(p.linesIterator.filter(l => l.matches("""\(\d+\) .*""")).mkString("\n"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape sweep for TPC-H Q5 (the one marginal still >2× DuckDB):
+  * shuffle-join vs broadcast-filtered-orders vs hint-free AQE. */
+object Q5Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+
+    def q5(bcOrders: Boolean, hints: Boolean): DataFrame = {
+      val r = t("region").filter(col("r_name") === "ASIA")
+      val n = t("nation")
+      val c = t("customer")
+      val sup = t("supplier")
+      val o0 = t("orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      val o = if (bcOrders) broadcast(o0) else o0
+      val l = t("lineitem")
+      if (!hints) {
+        val base = l.join(o0, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+        base.groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      } else {
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      }
+    }
+
+    def time(name: String, df: => DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[q5] $name%-28s best ${ts.min}%.3f s  (${ts.map(x => f"$x%.3f").mkString(",")})")
+    }
+
+    time("current (bc c/s/n/r)", q5(bcOrders = false, hints = true))
+    time("broadcast filtered orders", q5(bcOrders = true, hints = true))
+    time("no hints (AQE decides)", q5(bcOrders = false, hints = false))
+    spark.stop()
+  }
+}
