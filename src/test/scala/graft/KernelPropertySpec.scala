@@ -129,9 +129,12 @@ class KernelPropertySpec extends AnyFunSuite {
 
   test("TextMetrics equals the regex definitions on 1000 random strings") {
     val rnd = new scala.util.Random(7)
+    // 2- and 3-byte UTF-8 codepoints exercise the byte-walk's lead/
+    // continuation branches (all count as single non-space punct chars)
     val alphabet =
       ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
-        Seq(' ', ' ', ' ', '\t', '\n', '.', ',', '!', '-', '_', '\'')
+        Seq(' ', ' ', ' ', '\t', '\n', '.', ',', '!', '-', '_', '\'',
+          'é', 'ß', '中', '→')
     for (_ <- 0 until 1000) {
       val s = Seq.fill(rnd.nextInt(60))(
         alphabet(rnd.nextInt(alphabet.size))).mkString
@@ -154,6 +157,37 @@ class KernelPropertySpec extends AnyFunSuite {
         s.count(c => c >= '0' && c <= '9').toLong, s"digit [$ctx]")
       assert(row.getLong(4) ==
         s.replaceAll("\\s+", "").length.toLong, s"nonspace [$ctx]")
+    }
+  }
+
+  test("TextMetrics counts astral codepoints (4-byte UTF-8) once") {
+    val s = "a 🎉b 🎉🎉" // 7 codepoints; each emoji is a surrogate pair
+    assert(s.length == 10)
+    val row = TextMetrics(org.apache.spark.sql.catalyst.expressions
+      .Literal.create(s, org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getLong(0) == 7L)  // codepoints, not UTF-16 units (10)
+    assert(row.getLong(1) == 3L)  // tokens: a | 🎉b | 🎉🎉
+    assert(row.getLong(2) == 3L)  // the three emoji are punct
+    assert(row.getLong(3) == 0L)
+    assert(row.getLong(4) == 5L)  // non-space codepoints
+  }
+
+  test("ArrayAgreeCount equals the zip_with/aggregate fold it replaced") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 300) {
+      val n = rnd.nextInt(80)
+      val a = Array.fill(n)(rnd.nextInt(4).toLong)
+      val b = Array.fill(n)(rnd.nextInt(4).toLong)
+      val got = graft.ops.ArrayAgreeCount(
+        Literal.create(a, ArrayType(LongType, containsNull = false)),
+        Literal.create(b, ArrayType(LongType, containsNull = false)))
+        .eval(null).asInstanceOf[Long]
+      val want = a.zip(b).count { case (x, y) => x == y }.toLong
+      assert(got == want, s"n=$n")
     }
   }
 }
