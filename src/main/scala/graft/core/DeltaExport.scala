@@ -214,6 +214,66 @@ object DeltaExport {
     v
   }
 
+  /** Row-level DELETE via deletion vectors (reader protocol v3): rows
+    * matching `pred` are marked deleted in per-file roaring bitmaps —
+    * no data file is rewritten (the Delta equivalent of our lake MOR
+    * position-delete path). Existing DVs merge in (a file's new vector
+    * supersedes its old one, so positions union). The commit upgrades
+    * the protocol to v3/deletionVectors. Returns rows deleted.
+    *
+    * Positions are computed distributed (`_metadata.row_index` under
+    * the predicate); only the per-file position lists come back to the
+    * driver, which writes the .bin vectors next to the table — the
+    * same driver-side commit work every Delta writer does. */
+  def deleteWhereDv(spark: SparkSession,
+      dir: String, pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val st = DeltaImport.readLog(spark, dir)
+    require(st.partitionColumns.isEmpty,
+      "DV delete on partitioned Delta tables not supported")
+    val byPath = st.files.map(f => f.path -> f).toMap
+    // scan() applies existing DVs, so already-deleted rows never
+    // re-match; row_index is the PHYSICAL position either way
+    val hits = DeltaImport.scan(spark, dir)
+      .withColumn("_f", regexp_replace(input_file_name(), "^file:/*", "/"))
+      .withColumn("_p", col("_metadata.row_index"))
+      .filter(pred)
+      .groupBy("_f").agg(collect_list(col("_p")).as("ps"))
+      .collect()
+    if (hits.isEmpty) return 0L
+    val base = Paths.get(dir)
+    def relEnc(p: String): String =
+      base.relativize(Paths.get(p)).toString.split("/").map(seg =>
+        java.net.URLEncoder.encode(seg, "UTF-8")
+          .replace("+", "%20")).mkString("/")
+    var deleted = 0L
+    val actions = hits.toSeq.flatMap { r =>
+      val path = r.getString(0)
+      val fresh = r.getSeq[Long](1).toArray
+      deleted += fresh.length
+      val f = byPath(path)
+      val old = f.dv.map(d => DeltaDv.positions(dir, d))
+        .getOrElse(Array.empty[Long])
+      val dv = DeltaDv.writeDvFile(dir, old ++ fresh)
+      val statsJson = f.statsJson
+        .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      Seq(
+        s"""{"remove":{"path":"${relEnc(f.path)}","deletionTimestamp":0,"dataChange":true}}""",
+        s"""{"add":{"path":"${relEnc(f.path)}","partitionValues":{},""" +
+          s""""size":${f.size},"modificationTime":0,"dataChange":true,""" +
+          s""""deletionVector":{"storageType":"${dv.storageType}",""" +
+          s""""pathOrInlineDv":"${dv.pathOrInlineDv}","offset":${dv.offset.get},""" +
+          s""""sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}""" +
+          s"""$statsJson}}""")
+    }
+    val protocol =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}"""
+    writeCommit(dir, st.version + 1, protocol +: actions)
+    deleted
+  }
+
   /** Commit a metadata-only delete of every live file whose partition
     * values satisfy `pred` (full-partition deletes — the same
     * metadata-only fast path our lake DELETE takes). Returns the number

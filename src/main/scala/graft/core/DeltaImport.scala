@@ -65,11 +65,22 @@ object DeltaImport {
       dv: Option[DeltaDv.Descriptor] = None)
 
   case class DeltaState(schema: StructType, partitionColumns: Seq[String],
-      files: Seq[DeltaFile], version: Long) {
+      files: Seq[DeltaFile], version: Long,
+      /** delta.columnMapping.mode: none | name | id. Under name/id the
+        * parquet files carry PHYSICAL column names (stable across
+        * renames) recorded per field in the schema metadata; add-action
+        * partitionValues and stats are keyed by physical name too. */
+      columnMapping: String = "none") {
     def dataSchema: StructType =
       StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
       StructType(partitionColumns.map(c => schema(schema.fieldIndex(c))))
+    /** Physical (on-disk) column name of a schema field. */
+    def physicalOf(f: StructField): String =
+      if (columnMapping != "none" &&
+        f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
   }
 
   private implicit val formats: Formats = DefaultFormats
@@ -120,7 +131,7 @@ object DeltaImport {
 
     // v1/v2 always readable; v3 enumerates its reader features — we
     // read any table whose features are all in the supported set
-    val supportedFeatures = Set("deletionVectors")
+    val supportedFeatures = Set("deletionVectors", "columnMapping")
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit =
       if (minReader >= 3) {
         val unsupported = readerFeatures.filterNot(supportedFeatures)
@@ -128,14 +139,12 @@ object DeltaImport {
           s"features not supported: ${unsupported.mkString(", ")}")
       }
 
-    def checkConfig(conf: Map[String, String]): Unit = {
-      val cm = conf.getOrElse("delta.columnMapping.mode", "none")
-      require(cm == "none", s"Delta column mapping '$cm' not supported")
-    }
-
+    var cmMode = "none"
     def applyMeta(schemaString: String, pc: Seq[String],
         conf: Map[String, String]): Unit = {
-      checkConfig(conf)
+      cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
+      require(Set("none", "name", "id")(cmMode),
+        s"unknown Delta column mapping mode '$cmMode'")
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pc
     }
@@ -146,8 +155,18 @@ object DeltaImport {
       val abs = if (path.startsWith("/") || path.contains("://")) path
         else Paths.get(dir, java.net.URLDecoder.decode(path, "UTF-8"))
           .toString
-      val st = statsJson.flatMap(s => schema.map(sc => statsFromJson(s, sc)))
-        .getOrElse(Map.empty)
+      // stats JSON is keyed by PHYSICAL name under column mapping —
+      // which is also what the scan relation (and therefore the pushed
+      // data filters the pruner sees) uses, so parse against a
+      // physically-named schema and keep the physical keys
+      val st = statsJson.flatMap(s => schema.map { sc =>
+        if (cmMode == "none") statsFromJson(s, sc)
+        else {
+          val probe = DeltaState(sc, Nil, Nil, 0L, cmMode)
+          statsFromJson(s, StructType(sc.map(f =>
+            f.copy(name = probe.physicalOf(f)))))
+        }
+      }).getOrElse(Map.empty)
       live(path) = DeltaFile(abs, size, pv, st, statsJson, dataChange, dv)
     }
 
@@ -265,7 +284,7 @@ object DeltaImport {
 
     DeltaState(
       schema.getOrElse(sys.error("Delta log has no metaData action")),
-      partCols, live.values.toSeq, target)
+      partCols, live.values.toSeq, target, cmMode)
   }
 
   /** Convert an add action's `stats` JSON (numRecords / minValues /
@@ -343,17 +362,47 @@ object DeltaImport {
 
   /** Scan a Delta table as a single partition-aware relation. */
   def scan(spark: SparkSession, dir: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val st = readLog(spark, dir, versionAsOf)
-    val index = new DeltaFileIndex(st)
+      versionAsOf: Option[Long] = None): DataFrame =
+    scanState(spark, dir, readLog(spark, dir, versionAsOf))
+
+  /** Scan an explicit snapshot state (shared by [[scan]] and the CDC
+    * source). Handles column mapping: under name/id modes the parquet
+    * files carry physical column names, so the relation reads the
+    * physically-named schema (id mode additionally matches by
+    * parquet.field.id, surviving even physical renames) and the result
+    * re-aliases to the logical names in declared order. */
+  private[graft] def scanState(spark: SparkSession, dir: String,
+      st: DeltaState): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val mapped = st.columnMapping != "none"
+    def phys(f: StructField): StructField = {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      if (st.columnMapping == "id" &&
+        f.metadata.contains("delta.columnMapping.id"))
+        mb.putLong("parquet.field.id",
+          f.metadata.getLong("delta.columnMapping.id"))
+      f.copy(name = st.physicalOf(f), metadata = mb.build())
+    }
+    val dataSchema =
+      if (mapped) StructType(st.dataSchema.map(phys)) else st.dataSchema
+    val partSchema =
+      if (mapped) StructType(st.partitionSchema.map(phys))
+      else st.partitionSchema
+    if (st.columnMapping == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val index = new DeltaFileIndex(st.copy(
+      schema = StructType(dataSchema ++ partSchema),
+      partitionColumns = partSchema.fieldNames.toSeq))
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, st.partitionSchema, st.dataSchema, None,
+      index, partSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty)(classic)
-    // relation output order is data ++ partition cols; restore declared order
+    // relation output order is data ++ partition cols (physical names
+    // under mapping); restore logical names in declared order
     val base = classic.baseRelationToDataFrame(relation)
-      .select(st.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .select(st.schema.map(f => col(st.physicalOf(f)).as(f.name)): _*)
     applyDeletionVectors(spark, dir, st, base)
   }
 

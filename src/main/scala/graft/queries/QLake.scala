@@ -180,6 +180,26 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // deletion-vector DELETE (protocol v3): two row-level DV deletes
+    // stack on the same files (vectors merge), no data file rewritten;
+    // the read applies the bitmaps as a position anti-join — oracle is
+    // the equivalent double NOT filter over the fixture
+    "q_delta_dv" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_discount")
+      val dloc = tmp("deltadv")
+      graft.core.DeltaExport.create(li, dloc)
+      graft.core.DeltaExport.deleteWhereDv(s, dloc, col("l_quantity") > 35)
+      graft.core.DeltaExport.deleteWhereDv(s, dloc, col("l_discount") > 0.08)
+      graft.core.DeltaImport.scan(s, dloc)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("l_returnflag")
+    },
+
     // pruned scan: result must equal a plain filtered aggregate even
     // though most files were never opened
     "q_lake_prune_scan" -> { (s, dir) =>
@@ -272,6 +292,14 @@ object QLake {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS rev
         |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_delta_dv" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |WHERE NOT (l_quantity > 35) AND NOT (l_discount > 0.08)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lake_prune_scan" ->

@@ -55,18 +55,10 @@ class DeltaCdcSource(sqlContext: SQLContext, dir: String,
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           at.schema)
-      else {
-        val idx = new graft.core.DeltaFileIndex(at.copy(files = fresh))
-        val classic =
-          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-          idx, at.partitionSchema, at.dataSchema, None,
-          new org.apache.spark.sql.execution.datasources.parquet
-            .ParquetFileFormat, Map.empty)(classic)
-        classic.baseRelationToDataFrame(rel)
-          .select(at.schema.fieldNames
-            .map(org.apache.spark.sql.functions.col): _*)
-      }
+      else
+        // shared snapshot-scan path: column mapping resolved and any
+        // deletion vectors on the fresh files applied, same as scan()
+        DeltaImport.scanState(spark, dir, at.copy(files = fresh))
     org.apache.spark.sql.GraftBridge.streamingDataFrame(spark, batch)
   }
 

@@ -251,13 +251,17 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       "00000000000000000000.json")
     val body = new String(Files.readAllBytes(log))
       .replace("\"minReaderVersion\":1", "\"minReaderVersion\":3," +
-        "\"readerFeatures\":[\"deletionVectors\",\"columnMapping\"]")
+        "\"readerFeatures\":[\"deletionVectors\",\"columnMapping\"," +
+        "\"v2Checkpoint\"]")
     Files.write(log, body.getBytes)
     val e = intercept[IllegalArgumentException] {
       DeltaImport.readLog(spark, dir)
     }
-    assert(e.getMessage.contains("columnMapping"))
-    assert(!e.getMessage.contains("deletionVectors,"))
+    // only the genuinely unsupported feature is named; the two we read
+    // (deletionVectors, columnMapping) must not trigger the rejection
+    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(!e.getMessage.contains("deletionVectors"))
+    assert(!e.getMessage.contains("columnMapping"))
   }
 
   test("deletion vector codec: z85 + portable RoaringBitmapArray round-trip") {
@@ -281,6 +285,57 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DeltaDv.deserialize(DeltaDv.serialize(wide)).toSeq == wide.toSeq)
     // empty
     assert(DeltaDv.deserialize(DeltaDv.serialize(Array.empty[Long])).isEmpty)
+  }
+
+  test("reads column-mapped tables (name and id modes, renamed logicals)") {
+    import org.apache.spark.sql.types._
+    for (mode <- Seq("name", "id")) {
+      val dir = Files.createTempDirectory(s"delta_cm_$mode").toString + "/t"
+      // physical layout: parquet written with physical column names
+      // (and field ids for id mode), as a post-rename Delta writer does
+      val phys = spark.range(50).toDF("col-aaaa")
+        .withColumn("col-bbbb", col("col-aaaa") * 2)
+      val physWithIds =
+        if (mode == "id") {
+          val s = StructType(phys.schema.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new MetadataBuilder()
+              .putLong("parquet.field.id", i + 1).build())
+          })
+          spark.createDataFrame(phys.rdd, s)
+        } else phys
+      physWithIds.coalesce(1).write.parquet(dir)
+      new java.io.File(dir, "_SUCCESS").delete()
+      val file = new java.io.File(dir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      // logical schema: columns were RENAMED after creation — logical
+      // names differ from the stable physical ones
+      def fld(logical: String, physical: String, id: Int) =
+        s"""{"name":"$logical","type":"long","nullable":true,"metadata":
+           |{"delta.columnMapping.id":$id,
+           |"delta.columnMapping.physicalName":"$physical"}}"""
+          .stripMargin.replace("\n", "")
+      val schemaJson =
+        s"""{"type":"struct","fields":[${fld("id_renamed", "col-aaaa", 1)},
+           |${fld("doubled", "col-bbbb", 2)}]}""".stripMargin
+          .replace("\n", "")
+      val commit =
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}
+           |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(
+            org.json4s.JString(schemaJson)))},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"2"},"createdTime":0}}
+           |{"add":{"path":"${file.getName}","partitionValues":{},"size":${file.length},"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":50,\\"minValues\\":{\\"col-aaaa\\":0},\\"maxValues\\":{\\"col-aaaa\\":49},\\"nullCount\\":{\\"col-aaaa\\":0}}"}}
+           |""".stripMargin
+      Files.createDirectories(java.nio.file.Paths.get(dir, "_delta_log"))
+      Files.write(java.nio.file.Paths.get(dir, "_delta_log",
+        "00000000000000000000.json"), commit.getBytes)
+      val got = DeltaImport.scan(spark, dir)
+      assert(got.columns.toSeq == Seq("id_renamed", "doubled"), mode)
+      assert(got.count() == 50, mode)
+      val r = got.filter(col("id_renamed") === 7).head()
+      assert(r.getLong(1) == 14, mode)
+      assert(got.agg(org.apache.spark.sql.functions.sum("doubled"))
+        .head().getLong(0) == 50L * 49L, mode)
+    }
   }
 
   test("reads a table with deletion vectors (protocol v3, u + i storage)") {
