@@ -235,7 +235,7 @@ object DeltaExport {
     // scan() applies existing DVs, so already-deleted rows never
     // re-match; row_index is the PHYSICAL position either way
     val hits = DeltaImport.scan(spark, dir)
-      .withColumn("_f", regexp_replace(input_file_name(), "^file:/*", "/"))
+      .withColumn("_f", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
       .withColumn("_p", col("_metadata.row_index"))
       .filter(pred)
       .groupBy("_f").agg(collect_list(col("_p")).as("ps"))

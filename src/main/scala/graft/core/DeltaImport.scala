@@ -430,8 +430,13 @@ object DeltaImport {
           if (off < 0) None else Some(off), size, card)).map((p, _))
       }
       .toDF("_del_file", "_del_pos")
+    // _metadata.file_path, NOT input_file_name(): the latter is marked
+    // nondeterministic, and Catalyst refuses to push data filters
+    // through a nondeterministic projection — which would un-push every
+    // scan filter on a DV'd table
     val tagged = base
-      .withColumn("_file", regexp_replace(input_file_name(), "^file:/*", "/"))
+      .withColumn("_file",
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
       .withColumn("_pos", col("_metadata.row_index"))
     tagged.join(deleted,
         tagged("_file") === deleted("_del_file") &&

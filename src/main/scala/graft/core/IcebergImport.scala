@@ -254,7 +254,7 @@ object IcebergImport {
             "^" + java.util.regex.Pattern.quote(table.location),
             java.util.regex.Matcher.quoteReplacement(tableDir)))
       val tagged = out
-        .withColumn("_file", regexp_replace(input_file_name(), "^file:/*", "/"))
+        .withColumn("_file", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
         .withColumn("_pos", col("_metadata.row_index"))
       out = tagged.join(del,
           tagged("_file") === del("file_path") && tagged("_pos") === del("pos"),
@@ -280,7 +280,7 @@ object IcebergImport {
       f.metadata.getLong("parquet.field.id").toInt -> f.name).toMap
     val fileSeq = data.map(f => (f.path, f.seq)).toDF("_fs_file", "_fs_seq")
     var out = base
-      .withColumn("_file", regexp_replace(input_file_name(), "^file:/*", "/"))
+      .withColumn("_file", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
       .join(broadcast(fileSeq), col("_file") === col("_fs_file"), "left")
     for ((ids, group) <- eqDeletes.groupBy(_.equalityIds)) {
       val cols = ids.map(id => idToName.getOrElse(id,

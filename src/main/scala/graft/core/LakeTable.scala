@@ -66,9 +66,12 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
       deletes: List[DataFile]): DataFrame = {
     val del = spark.read.schema(deleteSchema)
       .parquet(deletes.map(_.path): _*)
+    // _metadata.file_path, NOT input_file_name(): input_file_name is
+    // nondeterministic and blocks predicate pushdown through the
+    // tagging projection (filters would stop reaching the parquet scan)
     val tagged = base
       .withColumn("_file",
-        regexp_replace(input_file_name(), "^file:/*", "/"))
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
       .withColumn("_pos", col("_metadata.row_index"))
     tagged.join(del,
         tagged("_file") === del("file_path") && tagged("_pos") === del("pos"),

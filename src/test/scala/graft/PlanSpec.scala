@@ -247,6 +247,37 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodeCount(p, "Scan parquet") == 1, p)
   }
 
+  test("delta DV scan: anti-join on positions, data filters still pushed") {
+    // a DV'd table read with a data filter: the deletion anti-join must
+    // not block pushdown into the parquet scan, and the DV positions
+    // side must stay a flatMap over descriptors (no collect of rows)
+    val dir = java.nio.file.Files.createTempDirectory("plan_dv")
+      .toString + "/t"
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    graft.core.DeltaExport.create(li, dir)
+    graft.core.DeltaExport.deleteWhereDv(spark,
+      dir, org.apache.spark.sql.functions.col("l_quantity") > 45)
+    val df = graft.core.DeltaImport.scan(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), " +
+      "EqualTo(l_returnflag,R)]"), p)
+    // and the result is the MOR semantics
+    assert(df.count() ==
+      li.filter("l_returnflag = 'R' AND NOT l_quantity > 45").count())
+  }
+
+  test("qds_yoy: derived year-range predicate reaches the orders scan") {
+    val p = plan("qds_yoy")
+    // the outer yr guard admits only 1995-1999; the derived o_orderdate
+    // range must appear as a pushed scan filter, not a post-join one
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+  }
+
   test("whole-stage codegen covers the hot path") {
     // AQE wraps everything in AdaptiveSparkPlan whose toString hides the
     // codegen stages; check the codegen layout with AQE off
