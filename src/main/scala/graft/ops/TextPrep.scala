@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators: PII scrubbing, repetition
+  * quality signals, and token-window chunking. Everything is built from
+  * codegen'd column expressions (regexp_replace / split / slice /
+  * posexplode), so each operator is embarrassingly parallel
+  * per-partition work with no UDF, no driver loop, and — for chunking —
+  * one explode whose fan-out is rows×chunks, the same shape a 100 TB
+  * tokenization pass wants.
+  *
+  * All regexes are RE2-safe (no backreferences, no lookaround) so the
+  * DuckDB differential oracle replays them verbatim.
+  */
+object TextPrep {
+
+  // ------------------------------------------------------------ PII ----
+
+  /** RE2-safe patterns, ordered: longest/most-specific first so a match
+    * is not partially consumed by a weaker pattern (an email must not
+    * first lose its digits to the phone rule). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    // local@domain.tld
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    // 13-19 digit card-ish runs with optional space/dash groups
+    "[0-9]{4}([ -]?[0-9]{4}){3}" -> "<CARD>",
+    // SSN-shaped 3-2-4
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    // international-ish phone: +, digits, separators (7+ digits total)
+    "\\+?[0-9][0-9()\\- ]{6,}[0-9]" -> "<PHONE>",
+    // IPv4
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** Scrub PII spans from a text column (email/card/SSN/phone/IPv4 →
+    * typed placeholders). A chain of codegen'd regexp_replace — one
+    * fused projection, no shuffle. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** Count of PII spans found per class, as a struct (audit/reporting
+    * side of the scrub — what a pipeline logs before dropping spans). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(piiPatterns(0)._1)).cast("long").as("emails"),
+    regexp_count(text, lit(piiPatterns(1)._1)).cast("long").as("cards"),
+    regexp_count(text, lit(piiPatterns(2)._1)).cast("long").as("ssns"),
+    regexp_count(text, lit(piiPatterns(3)._1)).cast("long").as("phones"),
+    regexp_count(text, lit(piiPatterns(4)._1)).cast("long").as("ips"))
+
+  // ---------------------------------------------- repetition signals ----
+
+  /** Gopher-style repetition signals over a text column, as a struct:
+    *  - n_lines        newline-split segment count (blank lines dropped)
+    *  - dup_line_frac  fraction of lines that are duplicates of an
+    *                   earlier/later line (1 − distinct/total)
+    *  - dup_line_char_frac  fraction of line characters inside duplicated
+    *                   lines — the "fraction of characters in duplicate
+    *                   lines" filter from the Gopher/MassiveText rules
+    * Documents dominated by repeated boilerplate lines score high and
+    * get dropped by the usual thresholds (e.g. dup_line_char_frac > 0.2). */
+  def repetitionSignals(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val n = size(lines)
+    val nd = size(array_distinct(lines))
+    val totalChars = aggregate(lines, lit(0L), (acc, l) => acc + length(l))
+    // chars in lines whose value occurs more than once: per distinct
+    // line value v with k occurrences, k·len(v) chars count when k > 1
+    val dupChars = aggregate(
+      transform(array_distinct(lines), v =>
+        when(size(filter(lines, l => l === v)) > 1,
+          size(filter(lines, l => l === v)).cast("long") * length(v))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    struct(
+      n.cast("long").as("n_lines"),
+      when(n === 0, 0.0)
+        .otherwise(round((n - nd).cast("double") / n, 6))
+        .as("dup_line_frac"),
+      when(totalChars === 0, 0.0)
+        .otherwise(round(dupChars.cast("double") / totalChars, 6))
+        .as("dup_line_char_frac"))
+  }
+
+  // -------------------------------------------------------- chunking ----
+
+  /** Split documents into overlapping windows of `chunkTokens`
+    * whitespace tokens (`overlap` tokens shared between neighbours) —
+    * the pre-tokenization pass of a training pipeline. Output: one row
+    * per (doc, chunk) with `chunk_idx`, `chunk_text`, `n_tokens`.
+    *
+    * Plan shape: split → sequence → posexplode → slice/array_join; the
+    * only data growth is the intended rows×chunks fan-out, computed
+    * inside one whole-stage-codegen projection per partition. The last
+    * window is kept whenever it contains new tokens (start < n_tokens),
+    * so every token lands in ≥1 chunk. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val step = chunkTokens - overlap
+    val words = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
+    val n = size(words)
+    // starts: 0, step, 2·step, …, < n (empty text → no chunks)
+    val starts = when(length(trim(col(textCol))) === 0,
+        array().cast("array<int>"))
+      .otherwise(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)))
+    df.select(col(idCol), words.as("_w"),
+        posexplode(starts).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_w"), col("_start") + 1, lit(chunkTokens)),
+          " ").as("chunk_text"),
+        least(size(col("_w")) - col("_start"), lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Dedup, Funnel, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Funnel, Multimodal, RangeJoin, Similarity, TextAnalysis, TextPrep}
 import Q._
 
 /** Training-data-pipeline operators through the gate: exact/near dedup,
@@ -193,6 +193,48 @@ object QPipe {
           col("media_meta.format").as("format"))
         .join(frames, Seq("doc_id"))
         .orderBy("doc_id")
+    },
+
+    // PII scrubbing: deterministic PII spans (email/card/SSN/phone/IP
+    // derived from doc_id) appended to the fixture text, then the
+    // ordered regexp_replace chain removes them — the oracle builds the
+    // same string and replays the same RE2-safe chain.
+    "q_pii_scrub" -> { (s, dir) =>
+      val key4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      val synth = concat(col("text"),
+        lit(" reach me: user"), col("doc_id").cast("string"),
+        lit("@mail.example.org, +1 (555) 010-"), key4,
+        lit(", ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7, card 4012 8888 8888 "), key4,
+        lit(", ssn 078-05-"), key4)
+      t(s, dir, "documents").select(col("doc_id"),
+          md5(TextPrep.scrubPii(synth).cast("binary")).as("scrubbed_md5"),
+          regexp_count(synth, lit(TextPrep.piiPatterns.head._1))
+            .cast("long").as("n_emails"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition signals: the fixture text is one line, so
+    // line structure is synthesized by breaking on stop-words (same
+    // rewrite in the oracle); duplicated vocabulary yields genuine
+    // duplicate lines to measure.
+    "q_text_repetition" -> { (s, dir) =>
+      val lined = regexp_replace(col("text"), " (the|a) ", "\n")
+      val m = TextPrep.repetitionSignals(lined)
+      t(s, dir, "documents").select(col("doc_id"),
+          m.getField("n_lines").as("n_lines"),
+          m.getField("dup_line_frac").as("dup_line_frac"),
+          m.getField("dup_line_char_frac").as("dup_line_char_frac"))
+        .orderBy("doc_id")
+    },
+
+    // token-window chunking (32-token windows, 8 shared): the
+    // pre-tokenization fan-out of a training pipeline — one row per
+    // chunk, every token in at least one chunk.
+    "q_text_chunks" -> { (s, dir) =>
+      TextPrep.chunk(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -269,6 +311,69 @@ object QPipe {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.org, +1 (555) 010-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ', ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7, card 4012 8888 8888 '
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ', ssn 078-05-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '[0-9]{4}([ -]?[0-9]{4}){3}', '<CARD>', 'g'),
+        |      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |      '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails
+        |FROM synth ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH lined AS (
+        |  SELECT doc_id, regexp_replace(text, ' (the|a) ', chr(10), 'g') AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, u.x AS line
+        |  FROM lined, unnest(list_filter(string_split(t, chr(10)),
+        |    x -> length(x) > 0)) AS u(x)),
+        |per AS (
+        |  SELECT doc_id, line, count(*) AS k, length(line) AS len
+        |  FROM lines GROUP BY doc_id, line)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sum(k), 0) AS BIGINT) AS n_lines,
+        |  CASE WHEN coalesce(sum(k), 0) = 0 THEN 0.0
+        |    ELSE round((sum(k) - count(per.line)) * 1.0 / sum(k), 6) END
+        |    AS dup_line_frac,
+        |  CASE WHEN coalesce(sum(k * len), 0) = 0 THEN 0.0
+        |    ELSE round(sum(CASE WHEN k > 1 THEN k * len ELSE 0 END) * 1.0
+        |               / sum(k * len), 6) END AS dup_line_char_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |      AS words
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |st AS (
+        |  SELECT doc_id, words, CAST(u.s AS INT) AS start
+        |  FROM w, unnest(generate_series(0, len(words) - 1, 24)) AS u(s))
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+        |  array_to_string(words[start + 1 : start + 32], ' ') AS chunk_text,
+        |  CAST(least(len(words) - start, 32) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_sim_cosine" ->
       """WITH v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

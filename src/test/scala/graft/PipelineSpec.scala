@@ -454,6 +454,77 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeMeta(trunc.array())._2 == "bin")
   }
 
+  test("PII scrub: spans replaced by typed tags, counts audit the classes") {
+    import spark.implicits._
+    import graft.ops.TextPrep
+    val df = Seq(
+      ("mail bob.smith+x@corp.example.co soon", 1),
+      ("card 4111 1111 1111 1111 expires", 2),
+      ("ssn 078-05-1120 leaked", 3),
+      ("call +1 (415) 555-0199 now", 4),
+      ("host 192.168.101.7 down", 5),
+      ("clean text, nothing here", 6)).toDF("text", "id")
+    val out = df.select($"id",
+        TextPrep.scrubPii($"text").as("s"),
+        TextPrep.piiCounts($"text").as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mail <EMAIL> soon")
+    assert(out(1).getString(1) == "card <CARD> expires")
+    assert(out(2).getString(1) == "ssn <SSN> leaked")
+    assert(out(3).getString(1) == "call <PHONE> now")
+    assert(out(4).getString(1) == "host <IP> down")
+    assert(out(5).getString(1) == "clean text, nothing here")
+    val c0 = out(0).getStruct(2)
+    assert(c0.getLong(0) == 1L) // one email
+    assert(out(5).getStruct(2).toSeq.forall(_ == 0L))
+  }
+
+  test("repetition signals: duplicate lines measured by count and chars") {
+    import spark.implicits._
+    import graft.ops.TextPrep
+    // 4 lines, "dup" twice: dup_line_frac = (4-3)/4; chars: dup(3)*2=6
+    // of 3+6+3+4=16 total (blank line dropped)
+    val df = Seq("dup\nlonger\n\ndup\nlast").toDF("text")
+    val r = df.select(TextPrep.repetitionSignals(col("text")).as("m"))
+      .select("m.n_lines", "m.dup_line_frac", "m.dup_line_char_frac")
+      .head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 0.25)
+    assert(r.getDouble(2) == 0.375)
+    // degenerate: empty text
+    val e = Seq("").toDF("text")
+      .select(TextPrep.repetitionSignals(col("text")).as("m"))
+      .select("m.n_lines", "m.dup_line_frac").head()
+    assert(e.getLong(0) == 0L && e.getDouble(1) == 0.0)
+  }
+
+  test("chunking: full coverage, overlap, ragged tail") {
+    import spark.implicits._
+    import graft.ops.TextPrep
+    val words = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, words), (2L, "only three words"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val chunks = TextPrep.chunk(df, "doc_id", "text",
+        chunkTokens = 10, overlap = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: starts 0,6,12,18,24 → 5 chunks; doc 2: 1 chunk; doc 3: none
+    assert(chunks.count(_.getLong(0) == 1L) == 5)
+    assert(chunks.count(_.getLong(0) == 2L) == 1)
+    assert(!chunks.exists(_.getLong(0) == 3L))
+    val first = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 0).get
+    assert(first.getString(2) == (1 to 10).map(i => s"w$i").mkString(" "))
+    assert(first.getLong(3) == 10L)
+    val second = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 1).get
+    // overlap: chunk 1 starts at token 7 (4 shared with chunk 0)
+    assert(second.getString(2).startsWith("w7 w8 w9 w10 w11"))
+    val tail = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 4).get
+    assert(tail.getString(2) == "w25" && tail.getLong(3) == 1L)
+    // every token of doc 1 appears in at least one chunk
+    val covered = chunks.filter(_.getLong(0) == 1L)
+      .flatMap(_.getString(2).split(" ")).toSet
+    assert(covered == (1 to 25).map(i => s"w$i").toSet)
+  }
+
   test("jaccardPairs refuses production-sized inputs (all-pairs guard)") {
     import spark.implicits._
     val big = spark.range(Dedup.jaccardPairsMaxRows + 1)
