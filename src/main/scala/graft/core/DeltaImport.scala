@@ -105,8 +105,19 @@ object DeltaImport {
     val ld = logDir(dir).toFile
     val single = new File(ld, f"$version%020d.checkpoint.parquet")
     if (single.exists()) Seq(single)
-    else ld.listFiles().toSeq.filter(_.getName.matches(
-      f"$version%020d\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")).sorted
+    else {
+      val multi = ld.listFiles().toSeq.filter(_.getName.matches(
+        f"$version%020d\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")).sorted
+      if (multi.nonEmpty) multi
+      else {
+        // v2 checkpoints are UUID-named manifests (parquet or json) whose
+        // file actions may live in sidecar parquets; several equivalent
+        // manifests may coexist (concurrent writers) — any one is valid
+        ld.listFiles().toSeq.filter(_.getName.matches(
+          f"$version%020d\\.checkpoint\\.[0-9a-fA-F-]{36}\\.(parquet|json)"))
+          .sorted.takeRight(1)
+      }
+    }
   }
 
   /** Replay the log up to `versionAsOf` (inclusive; None = latest). */
@@ -131,7 +142,8 @@ object DeltaImport {
 
     // v1/v2 always readable; v3 enumerates its reader features — we
     // read any table whose features are all in the supported set
-    val supportedFeatures = Set("deletionVectors", "columnMapping")
+    val supportedFeatures =
+      Set("deletionVectors", "columnMapping", "v2Checkpoint")
     def checkProtocol(minReader: Int, readerFeatures: Seq[String]): Unit =
       if (minReader >= 3) {
         val unsupported = readerFeatures.filterNot(supportedFeatures)
@@ -170,74 +182,11 @@ object DeltaImport {
       live(path) = DeltaFile(abs, size, pv, st, statsJson, dataChange, dv)
     }
 
-    // 1) checkpoint actions (parsed executor-side; file list to driver)
-    ckptVersion.foreach { cv =>
-      val ck = spark.read.parquet(
-        checkpointFiles(dir, cv).map(_.getAbsolutePath): _*)
-      val cols = ck.columns.toSet
-      if (cols.contains("protocol")) {
-        val hasRf = ck.select("protocol.*").columns.contains("readerFeatures")
-        val pCols = Seq("protocol.minReaderVersion") ++
-          (if (hasRf) Seq("protocol.readerFeatures") else Nil)
-        ck.filter(ck("protocol").isNotNull)
-          .select(pCols.head, pCols.tail: _*).collect()
-          .foreach { r =>
-            val rf = if (hasRf && !r.isNullAt(1)) r.getSeq[String](1)
-              else Nil
-            checkProtocol(r.getInt(0), rf)
-          }
-      }
-      if (cols.contains("metaData"))
-        ck.filter(ck("metaData").isNotNull)
-          .select("metaData.schemaString", "metaData.partitionColumns",
-            "metaData.configuration")
-          .collect().foreach { r =>
-            applyMeta(r.getString(0), r.getSeq[String](1),
-              Option(r.getMap[String, String](2)).map(_.toMap)
-                .getOrElse(Map.empty))
-          }
-      val addFields = ck.select("add.*").columns.toSet
-      val hasStats = addFields.contains("stats")
-      val hasDc = addFields.contains("dataChange")
-      val hasDv = addFields.contains("deletionVector")
-      val addCols = Seq("add.path", "add.size", "add.partitionValues") ++
-        (if (hasStats) Seq("add.stats") else Nil) ++
-        (if (hasDc) Seq("add.dataChange") else Nil) ++
-        (if (hasDv) Seq("add.deletionVector") else Nil)
-      ck.filter(ck("add").isNotNull)
-        .select(addCols.head, addCols.tail: _*)
-        .collect().foreach { r =>
-          val pv = Option(r.getMap[String, String](2))
-            .map(_.toMap.map { case (k, v) => k -> Option(v) })
-            .getOrElse(Map.empty[String, Option[String]])
-          val st = if (hasStats && !r.isNullAt(3)) Some(r.getString(3))
-            else None
-          val dcIdx = 3 + (if (hasStats) 1 else 0)
-          val dc = !hasDc || r.isNullAt(dcIdx) || r.getBoolean(dcIdx)
-          val dvIdx = dcIdx + (if (hasDc) 1 else 0)
-          val dv = if (hasDv && !r.isNullAt(dvIdx)) {
-            val d = r.getStruct(dvIdx)
-            def fld[T](n: String): Option[T] = {
-              val i = d.fieldIndex(n)
-              if (d.isNullAt(i)) None else Some(d.get(i).asInstanceOf[T])
-            }
-            Some(DeltaDv.Descriptor(
-              fld[String]("storageType").get,
-              fld[String]("pathOrInlineDv").get,
-              fld[Int]("offset"),
-              fld[Int]("sizeInBytes").get,
-              fld[Long]("cardinality").get))
-          } else None
-          addFile(r.getString(0), r.getLong(1), pv, st, dc, dv)
-        }
-      // removes in a checkpoint are expired tombstones — nothing to undo
-    }
-
-    // 2) JSON commits after the checkpoint, up to the target version
-    for ((v, f) <- commits if v > ckptVersion.getOrElse(-1L) && v <= target;
-         line <- Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
-           .asScala if line.trim.nonEmpty) {
-      val j = JsonMethods.parse(line)
+    /** One JSON action line (commit or v2 JSON manifest): protocol /
+      * metaData / add / remove. Other action kinds (commitInfo, txn,
+      * checkpointMetadata, sidecar) are handled by their callers or
+      * ignored per the protocol. */
+    def processJsonAction(j: JValue): Unit = {
       (j \ "protocol") match {
         case JObject(_) =>
           checkProtocol((j \ "protocol" \ "minReaderVersion").extract[Int],
@@ -281,6 +230,109 @@ object DeltaImport {
         case _ =>
       }
     }
+
+    // Parquet-shaped action ingestion (classic checkpoints, v2 manifest
+    // parquets, and v2 sidecar files all share it). Parsed executor-side;
+    // only the surviving file list reaches the driver. Returns any v2
+    // sidecar references found. Removes inside a checkpoint are expired
+    // tombstones — nothing to undo.
+    def ingestParquetActions(paths: Seq[String]): Seq[String] = {
+      val ck = spark.read.parquet(paths: _*)
+      val cols = ck.columns.toSet
+      if (cols.contains("protocol")) {
+        val hasRf = ck.select("protocol.*").columns.contains("readerFeatures")
+        val pCols = Seq("protocol.minReaderVersion") ++
+          (if (hasRf) Seq("protocol.readerFeatures") else Nil)
+        ck.filter(ck("protocol").isNotNull)
+          .select(pCols.head, pCols.tail: _*).collect()
+          .foreach { r =>
+            val rf = if (hasRf && !r.isNullAt(1)) r.getSeq[String](1)
+              else Nil
+            checkProtocol(r.getInt(0), rf)
+          }
+      }
+      if (cols.contains("metaData"))
+        ck.filter(ck("metaData").isNotNull)
+          .select("metaData.schemaString", "metaData.partitionColumns",
+            "metaData.configuration")
+          .collect().foreach { r =>
+            applyMeta(r.getString(0), r.getSeq[String](1),
+              Option(r.getMap[String, String](2)).map(_.toMap)
+                .getOrElse(Map.empty))
+          }
+      if (cols.contains("add")) {
+        val addFields = ck.select("add.*").columns.toSet
+        val hasStats = addFields.contains("stats")
+        val hasDc = addFields.contains("dataChange")
+        val hasDv = addFields.contains("deletionVector")
+        val addCols = Seq("add.path", "add.size", "add.partitionValues") ++
+          (if (hasStats) Seq("add.stats") else Nil) ++
+          (if (hasDc) Seq("add.dataChange") else Nil) ++
+          (if (hasDv) Seq("add.deletionVector") else Nil)
+        ck.filter(ck("add").isNotNull)
+          .select(addCols.head, addCols.tail: _*)
+          .collect().foreach { r =>
+            val pv = Option(r.getMap[String, String](2))
+              .map(_.toMap.map { case (k, v) => k -> Option(v) })
+              .getOrElse(Map.empty[String, Option[String]])
+            val st = if (hasStats && !r.isNullAt(3)) Some(r.getString(3))
+              else None
+            val dcIdx = 3 + (if (hasStats) 1 else 0)
+            val dc = !hasDc || r.isNullAt(dcIdx) || r.getBoolean(dcIdx)
+            val dvIdx = dcIdx + (if (hasDc) 1 else 0)
+            val dv = if (hasDv && !r.isNullAt(dvIdx)) {
+              val d = r.getStruct(dvIdx)
+              def fld[T](n: String): Option[T] = {
+                val i = d.fieldIndex(n)
+                if (d.isNullAt(i)) None else Some(d.get(i).asInstanceOf[T])
+              }
+              Some(DeltaDv.Descriptor(
+                fld[String]("storageType").get,
+                fld[String]("pathOrInlineDv").get,
+                fld[Int]("offset"),
+                fld[Int]("sizeInBytes").get,
+                fld[Long]("cardinality").get))
+            } else None
+            addFile(r.getString(0), r.getLong(1), pv, st, dc, dv)
+          }
+      }
+      if (!cols.contains("sidecar")) Nil
+      else ck.filter(ck("sidecar").isNotNull).select("sidecar.path")
+        .collect().map(_.getString(0)).toSeq
+    }
+
+    /** Resolve a v2 sidecar reference: file name under
+      * `_delta_log/_sidecars/`, or already absolute. */
+    def sidecarPath(p: String): String =
+      if (p.startsWith("/") || p.contains("://")) p
+      else logDir(dir).resolve("_sidecars").resolve(p).toString
+
+    // 1) checkpoint actions: classic parquet, v2 parquet manifest, or
+    //    v2 JSON manifest — file actions possibly via sidecar parquets
+    ckptVersion.foreach { cv =>
+      val ckFiles = checkpointFiles(dir, cv)
+      val (jsonManifests, parquetParts) =
+        ckFiles.partition(_.getName.endsWith(".json"))
+      val sidecars = scala.collection.mutable.Buffer[String]()
+      for (mf <- jsonManifests;
+           line <- Files.readAllLines(mf.toPath, StandardCharsets.UTF_8)
+             .asScala if line.trim.nonEmpty) {
+        val j = JsonMethods.parse(line)
+        (j \ "sidecar" \ "path").extractOpt[String].foreach(sidecars += _)
+        processJsonAction(j)
+      }
+      if (parquetParts.nonEmpty)
+        sidecars ++= ingestParquetActions(
+          parquetParts.map(_.getAbsolutePath))
+      if (sidecars.nonEmpty)
+        ingestParquetActions(sidecars.toSeq.map(sidecarPath))
+    }
+
+    // 2) JSON commits after the checkpoint, up to the target version
+    for ((v, f) <- commits if v > ckptVersion.getOrElse(-1L) && v <= target;
+         line <- Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
+           .asScala if line.trim.nonEmpty)
+      processJsonAction(JsonMethods.parse(line))
 
     DeltaState(
       schema.getOrElse(sys.error("Delta log has no metaData action")),

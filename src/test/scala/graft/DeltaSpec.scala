@@ -252,14 +252,14 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val body = new String(Files.readAllBytes(log))
       .replace("\"minReaderVersion\":1", "\"minReaderVersion\":3," +
         "\"readerFeatures\":[\"deletionVectors\",\"columnMapping\"," +
-        "\"v2Checkpoint\"]")
+        "\"typeWidening\"]")
     Files.write(log, body.getBytes)
     val e = intercept[IllegalArgumentException] {
       DeltaImport.readLog(spark, dir)
     }
     // only the genuinely unsupported feature is named; the two we read
     // (deletionVectors, columnMapping) must not trigger the rejection
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
     assert(!e.getMessage.contains("deletionVectors"))
     assert(!e.getMessage.contains("columnMapping"))
   }
@@ -285,6 +285,77 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DeltaDv.deserialize(DeltaDv.serialize(wide)).toSeq == wide.toSeq)
     // empty
     assert(DeltaDv.deserialize(DeltaDv.serialize(Array.empty[Long])).isEmpty)
+  }
+
+  test("v2 checkpoint: JSON manifest + parquet sidecar, checkpoint-only log") {
+    import graft.core.DeltaExport.{CkAdd, CkRow}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("delta_v2ck").toString + "/t"
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    DeltaExport.create(li.filter(col("l_returnflag") === "A"), dir)
+    DeltaExport.append(spark, li.filter(col("l_returnflag") === "R"), dir)
+    val st = DeltaImport.readLog(spark, dir)
+    val expected = li.filter(col("l_returnflag") =!= "N").count()
+    val base = java.nio.file.Paths.get(dir)
+    // sidecar parquet: the file actions, classic checkpoint row shape
+    val rows: Seq[CkRow] = st.files.map { f =>
+      CkRow(add = Some(CkAdd(
+        base.relativize(java.nio.file.Paths.get(f.path)).toString,
+        Map.empty, f.size, 0L, dataChange = true, stats = f.statsJson)))
+    }
+    val scDir = java.nio.file.Paths.get(dir, "_delta_log", "_sidecars")
+    Files.createDirectories(scDir)
+    val tmpP = Files.createTempDirectory("sc").toString
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmpP)
+    val part = new java.io.File(tmpP).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val scName = s"${java.util.UUID.randomUUID()}.parquet"
+    Files.move(part.toPath, scDir.resolve(scName))
+    // v2 JSON manifest: checkpointMetadata + protocol + metaData + sidecar
+    val uuid = java.util.UUID.randomUUID()
+    val manifest =
+      s"""{"checkpointMetadata":{"version":${st.version}}}
+         |{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}
+         |{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JString(st.schema.json)))},"partitionColumns":[],"configuration":{},"createdTime":0}}
+         |{"sidecar":{"path":"$scName","sizeInBytes":${scDir.resolve(scName).toFile.length},"modificationTime":0}}
+         |""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "_delta_log",
+      f"${st.version}%020d.checkpoint.$uuid.json"), manifest.getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "_delta_log",
+      "_last_checkpoint"),
+      s"""{"version":${st.version}}""".getBytes)
+    // expire the JSON commits: the v2 checkpoint must stand alone
+    (0L to st.version).foreach { v =>
+      Files.deleteIfExists(java.nio.file.Paths.get(dir, "_delta_log",
+        f"$v%020d.json"))
+    }
+    assert(DeltaImport.scan(spark, dir).count() == expected)
+    // a post-checkpoint commit still replays on top
+    DeltaExport.append(spark,
+      li.filter(col("l_returnflag") === "N").limit(9), dir)
+    assert(DeltaImport.scan(spark, dir).count() == expected + 9)
+    // stats survived the sidecar round-trip → pruning still works
+    val idx = new graft.core.DeltaFileIndex(DeltaImport.readLog(spark, dir))
+    assert(DeltaImport.scan(spark, dir)
+      .filter(col("l_quantity") < -1).count() == 0)
+  }
+
+  test("v2 checkpoint: UUID-named parquet manifest with inline actions") {
+    val dir = Files.createTempDirectory("delta_v2pq").toString + "/t"
+    val df = spark.range(40).toDF("id")
+    DeltaExport.create(df, dir)
+    // classic checkpoint content, v2 file naming
+    DeltaExport.checkpoint(spark, dir)
+    val ld = java.nio.file.Paths.get(dir, "_delta_log")
+    val classic = ld.resolve(f"${0L}%020d.checkpoint.parquet")
+    val uuid = java.util.UUID.randomUUID()
+    Files.move(classic,
+      ld.resolve(f"${0L}%020d.checkpoint.$uuid.parquet"))
+    Files.deleteIfExists(ld.resolve(f"${0L}%020d.json"))
+    assert(DeltaImport.scan(spark, dir).count() == 40)
   }
 
   test("reads column-mapped tables (name and id modes, renamed logicals)") {
