@@ -302,7 +302,9 @@ object Engine {
     if (candidates.isEmpty) return Map.empty
     val df = tbl.spark.read.schema(tbl.schema)
       .parquet(candidates.map(_.path): _*)
-      .withColumn("_file", input_file_name())
+      // _metadata.file_path, not input_file_name(): the latter is
+      // nondeterministic and would stop pred from pushing into the scan
+      .withColumn("_file", col("_metadata.file_path"))
       .filter(pred)
       .groupBy("_file").agg(count(lit(1)).as("n"))
     df.collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
@@ -370,7 +372,7 @@ object Engine {
     val matches: Map[String, Long] =
       if (mustRead.isEmpty) Map.empty
       else spark.read.schema(tbl.schema).parquet(mustRead.map(_.path): _*)
-        .withColumn("_file", input_file_name())
+        .withColumn("_file", col("_metadata.file_path"))
         .join(srcKeys, keys, "left_semi")
         .groupBy("_file").agg(count(lit(1)).as("n"))
         .collect().map(r => normPath(r.getString(0)) -> r.getLong(1)).toMap
@@ -468,7 +470,7 @@ object Engine {
       val raw = tbl.spark.read.schema(tbl.schema)
         .parquet(candidates.map(_.path): _*)
         .withColumn("_file",
-          regexp_replace(input_file_name(), "^file:/*", "/"))
+          regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
         .withColumn("_pos", col("_metadata.row_index"))
       // anti-join away positions already covered by earlier delete files:
       // re-emitting them is read-harmless (reads dedupe by position) but

@@ -295,4 +295,20 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sizes.forall(_ > 0))
     assert(tbl.snapshotsDF.count() == tbl.meta.snapshots.size)
   }
+
+  test("filename column rides along and filters still push to the scan") {
+    import org.apache.spark.sql.functions.col
+    val named = graft.engine.LakeFiles.withFilename(
+      Tables.load(spark, sf, "nation"))
+    val rows = named.filter(col("n_regionkey") === 2)
+      .select("n_name", "filename").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(1).contains("nation.parquet")))
+    // deterministic tag → the filter reaches the parquet scan
+    val p = named.filter(col("n_regionkey") === 2).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(n_regionkey), " +
+      "EqualTo(n_regionkey,2)]"), p)
+  }
 }
