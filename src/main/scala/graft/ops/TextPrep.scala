@@ -84,6 +84,37 @@ object TextPrep {
         .as("dup_line_char_frac"))
   }
 
+  // ------------------------------------------------- dataset splitting ----
+
+  /** Deterministic train/val/test assignment by content-independent key
+    * hash: bucket = md5-prefix(key) mod `buckets`, split by cumulative
+    * fraction thresholds. Properties a training pipeline needs and
+    * random() cannot give: stable across runs/engines/partitionings,
+    * every row assigned exactly once, and joining two tables on the same
+    * key lands them in the same split. The hash is the engine-portable
+    * md5 prefix (same construction as [[Dedup.md5Hash60]]), so the
+    * assignment is reproducible in any engine with md5 — including the
+    * differential oracle. */
+  def splitColumn(key: Column, fractions: Seq[(String, Double)],
+      buckets: Int = 10000): Column = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0)
+      < 1e-9, s"fractions must sum to 1, got $fractions")
+    val h = pmod(
+      conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(buckets))
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => math.round(c * buckets))
+    fractions.map(_._1).zip(cuts).foldRight(lit(null).cast("string")) {
+      case ((name, cut), other) => when(h < cut, name).otherwise(other)
+    }
+  }
+
+  /** Attach a `split` column (default 80/10/10 train/val/test). */
+  def withSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)] = Seq(
+        "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    df.withColumn("split", splitColumn(col(keyCol), fractions))
+
   // -------------------------------------------------------- chunking ----
 
   /** Split documents into overlapping windows of `chunkTokens`

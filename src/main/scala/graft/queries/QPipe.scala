@@ -235,6 +235,17 @@ object QPipe {
       TextPrep.chunk(t(s, dir, "documents"), "doc_id", "text",
           chunkTokens = 32, overlap = 8)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // deterministic 80/10/10 train/val/test split by engine-portable key
+    // hash — stable across runs/engines/partitionings; the oracle
+    // replays the identical md5-prefix bucketing in SQL.
+    "q_dataset_split" -> { (s, dir) =>
+      TextPrep.withSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .orderBy("split")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -360,6 +371,20 @@ object QPipe {
         |               / sum(k * len), 6) END AS dup_line_char_frac
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q_dataset_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 10000 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 8000 THEN 'train'
+        |            WHEN b < 9000 THEN 'val'
+        |            WHEN b < 10000 THEN 'test' END AS split,
+        |  count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q_text_chunks" ->
       """WITH w AS (

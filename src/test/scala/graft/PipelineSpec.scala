@@ -525,6 +525,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(covered == (1 to 25).map(i => s"w$i").toSet)
   }
 
+  test("dataset split: deterministic, complete, partitioning-independent") {
+    import graft.ops.TextPrep
+    val d = Tables.load(spark, sf, "documents").limit(300)
+      .select("doc_id")
+    val a = TextPrep.withSplit(d, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // complete: every row lands in exactly one named split
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size == 300)
+    // fractions in the statistically plausible band for n=300
+    val nTrain = a.values.count(_ == "train")
+    assert(nTrain > 200 && nTrain < 280, s"train=$nTrain")
+    // partitioning/run independence: same assignment after a reshuffle
+    val b = TextPrep.withSplit(d.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // key coherence: a different table with the same keys agrees
+    val other = d.withColumn("noise", lit("x"))
+    val c = TextPrep.withSplit(other, "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == c)
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      TextPrep.splitColumn(col("doc_id"), Seq("train" -> 0.5))
+    }
+  }
+
   test("jaccardPairs refuses production-sized inputs (all-pairs guard)") {
     import spark.implicits._
     val big = spark.range(Dedup.jaccardPairsMaxRows + 1)
