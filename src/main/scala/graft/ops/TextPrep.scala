@@ -115,6 +115,114 @@ object TextPrep {
         "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
     df.withColumn("split", splitColumn(col(keyCol), fractions))
 
+  // --------------------------------------------- decontamination ----
+
+  /** Distinct lowercase word n-grams of a text column (normalized:
+    * trim, whitespace-collapse, lowercase; grams joined by one space).
+    * Empty array when the text has fewer than `n` words. */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val ws = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    when(size(ws) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " "))))
+  }
+
+  /** Benchmark decontamination report: mark corpus rows sharing at least
+    * `minHits` distinct word n-grams with ANY row of `evalSet` — the
+    * standard eval-leakage guard before training (n=8..13 word grams in
+    * published recipes). Adds `eval_gram_hits` (distinct shared grams)
+    * and `contaminated` to the corpus.
+    *
+    * Scale shape: the eval side is a benchmark suite — orders of
+    * magnitude smaller than the corpus — so its distinct gram set is
+    * BROADCAST and the 100 TB corpus never shuffles: one explode + one
+    * broadcast-hash semi-ish join + one partial-aggregated groupBy on
+    * the corpus id. Set `broadcastEval = false` only if the eval set is
+    * itself huge (falls back to a gram equi-join, still never
+    * all-pairs). */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minHits: Int = 1,
+      evalTextCol: String = "text",
+      broadcastEval: Boolean = true): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val evalGrams0 = evalSet
+      .select(explode(wordGrams(col(evalTextCol), n)).as("gram")).distinct()
+    val evalGrams =
+      if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    // corpus grams are distinct per doc (wordGrams), so count(*) after
+    // the join is the distinct-shared-gram count
+    val hits = corpus
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("gram"))
+      .join(evalGrams, Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("eval_gram_hits"))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("eval_gram_hits",
+        coalesce(col("eval_gram_hits"), lit(0L)))
+      .withColumn("contaminated", col("eval_gram_hits") >= minHits)
+  }
+
+  /** Drop contaminated rows; the keep-side of [[contamination]]. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, minHits: Int = 1,
+      evalTextCol: String = "text"): DataFrame =
+    contamination(corpus, evalSet, idCol, textCol, n, minHits, evalTextCol)
+      .filter(!col("contaminated"))
+      .drop("eval_gram_hits", "contaminated")
+
+  // ------------------------------------------------ sequence packing ----
+
+  /** Pack rows into fixed token-budget training sequences
+    * (concat-and-chop): rows are laid out in a deterministic global
+    * order (engine-portable md5 hash of the key, so the layout is
+    * reproducible across runs/engines/partitionings), token counts are
+    * prefix-summed, and each row is assigned the sequence its first
+    * token lands in: `pack_id = cum_before / budget`,
+    * `pack_offset = cum_before % budget`. A row may straddle a
+    * boundary (pack_offset + n_tokens > budget) — the chop happens at
+    * the consumer, as in standard concat-and-chop training input
+    * pipelines.
+    *
+    * Scale shape: a naive `sum over (order by …)` window is a
+    * SINGLE-partition sort — a 100 TB scale-killer. This is the
+    * two-phase distributed prefix sum instead: per-block token totals
+    * (`blocks` rows, default 4096) are windowed once on one tiny
+    * partition and broadcast back; the per-row cumsum is a window
+    * PARTITIONED by block, so the big sort runs parallel across blocks.
+    * Block = hash mod `blocks`; global order is (block, hash, key),
+    * deterministic and engine-replayable.
+    *
+    * Output: input columns + `pack_id`, `pack_offset` (both long). */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, blocks: Int = 4096): DataFrame = {
+    require(budget > 0 && blocks > 0,
+      s"need budget > 0 and blocks > 0, got $budget/$blocks")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(
+      md5(col(idCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val withB = df.withColumn("_h", h)
+      .withColumn("_blk", pmod(col("_h"), lit(blocks)))
+    // phase 1: per-block totals → running offset of each block's first
+    // token. `blocks` rows total: the unpartitioned window is driver-tiny.
+    val blockOff = withB.groupBy("_blk")
+      .agg(sum(col(tokensCol)).as("_bt"))
+      .withColumn("_boff", coalesce(sum("_bt").over(
+        Window.orderBy("_blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_bt")
+    // phase 2: within-block running sum, parallel across blocks
+    val win = Window.partitionBy("_blk").orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(blockOff), Seq("_blk"))
+      .withColumn("_cum",
+        col("_boff") + coalesce(sum(col(tokensCol)).over(win), lit(0L)))
+      .withColumn("pack_id", floor(col("_cum") / budget))
+      .withColumn("pack_offset", col("_cum") % budget)
+      .drop("_h", "_blk", "_boff", "_cum")
+  }
+
   // -------------------------------------------------------- chunking ----
 
   /** Split documents into overlapping windows of `chunkTokens`

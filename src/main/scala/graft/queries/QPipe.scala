@@ -246,6 +246,29 @@ object QPipe {
         .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
           min("doc_id").as("id_min"), max("doc_id").as("id_max"))
         .orderBy("split")
+    },
+
+    // benchmark decontamination: every 50th doc plays the eval set;
+    // corpus docs sharing any 4-word gram with it are flagged. The eval
+    // gram set is broadcast — the corpus side never shuffles.
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      TextPrep.contamination(docs,
+          docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", n = 4)
+        .select("doc_id", "eval_gram_hits", "contaminated")
+        .orderBy("doc_id")
+    },
+
+    // concat-and-chop sequence packing: deterministic hash-order layout,
+    // two-phase distributed prefix sum (no single-partition sort), rows
+    // assigned to the 512-token sequence their first token lands in.
+    "q_pack_sequences" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(regexp_replace(trim(col("text")), "\\s+", " "), " "))
+          .cast("long").as("n_tokens"))
+      TextPrep.packSequences(docs, "doc_id", "n_tokens",
+          budget = 512, blocks = 64)
+        .orderBy("doc_id")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -385,6 +408,46 @@ object QPipe {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  min(doc_id) AS id_min, max(doc_id) AS id_max
         |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(ws[CAST(u.s AS INT) + 1 : CAST(u.s AS INT) + 4],
+        |      ' ') AS gram
+        |  FROM w, unnest(generate_series(0, len(ws) - 4)) AS u(s)),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+        |h AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS eval_gram_hits
+        |  FROM g JOIN e USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(h.eval_gram_hits, 0) AS eval_gram_hits,
+        |  coalesce(h.eval_gram_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(regexp_replace(trim(text), '\s+', ' ',
+        |      'g'), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY h % 64, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum // 512 AS BIGINT) AS pack_id,
+        |  CAST(cum % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_text_chunks" ->
       """WITH w AS (

@@ -553,6 +553,82 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontamination: flags eval overlap, broadcast plan, keep-side") {
+    import graft.ops.TextPrep
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence with no overlap here at all"),
+      (3L, "something quick brown fox jumps right past us"),
+      (4L, "short text")).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "QUICK Brown fox JUMPS high")).toDF("doc_id", "text")
+    val rep = TextPrep.contamination(corpus, evalSet, "doc_id", "text",
+      n = 4)
+    val byId = rep.select("doc_id", "eval_gram_hits", "contaminated")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // docs 1 and 3 share the 4-gram "quick brown fox jumps" (case/space
+    // normalized); 2 and 4 share nothing
+    assert(byId(1L) == (1L, true) && byId(3L) == (1L, true))
+    assert(byId(2L) == (0L, false) && byId(4L) == (0L, false))
+    // keep-side drops exactly the flagged rows, schema unchanged
+    val kept = TextPrep.decontaminate(corpus, evalSet, "doc_id", "text",
+      n = 4)
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(2L, 4L))
+    // scale shape: eval grams broadcast, no cartesian anywhere
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
+  test("sequence packing: conserving, deterministic, two-phase cumsum") {
+    import graft.ops.TextPrep
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, 1L + (i * 7) % 50))
+    val df = rows.toDF("id", "tok")
+    val budget = 128L
+    val packed = TextPrep.packSequences(df, "id", "tok", budget,
+      blocks = 16)
+    val got = packed.select("id", "tok", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.length == 400)
+    // offsets always inside the budget; pack ids contiguous from 0
+    assert(got.forall(_._4 >= 0) && got.forall(_._4 < budget))
+    val total = rows.map(_._2).sum
+    assert(got.map(_._3).max == (total - 1) / budget)
+    // equivalence to the naive single-order prefix sum over
+    // (hash % blocks, hash, id) — the semantics the oracle replays
+    def h(id: Long): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        id.toString.getBytes("UTF-8")).substring(0, 15), 16)
+    var cum = 0L
+    val expect = rows.sortBy { case (id, _) =>
+      (h(id) % 16, h(id), id) }.map { case (id, t) =>
+      val r = (id, t, cum / budget, cum % budget); cum += t; r
+    }
+    assert(got.sortBy(_._1).toSeq == expect.sortBy(_._1))
+    // deterministic under physical re-partitioning
+    val again = TextPrep.packSequences(df.repartition(13), "id", "tok",
+        budget, blocks = 16)
+      .select("id", "pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq ==
+      got.map(t => (t._1, t._3, t._4)).sortBy(_._1).toSeq)
+    // scale shape: the per-row window is PARTITIONED by block (two-phase
+    // prefix sum) — the only unpartitioned window runs over the tiny
+    // per-block aggregate, never the full input. In the spec string a
+    // partitioned window lists _blk as a partition column followed by
+    // the _h ASC ordering.
+    val plan = packed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("windowspecdefinition\\(_blk#\\d+L?, _h#".r
+      .findFirstIn(plan).nonEmpty, plan)
+  }
+
   test("jaccardPairs refuses production-sized inputs (all-pairs guard)") {
     import spark.implicits._
     val big = spark.range(Dedup.jaccardPairsMaxRows + 1)
