@@ -146,6 +146,11 @@ object DeltaExport {
     val st = DeltaImport.readLog(spark, dir)
     require(st.partitionColumns.isEmpty,
       "append to partitioned Delta tables not supported (create-only)")
+    // a column-mapped table stores PHYSICAL column names in its files;
+    // this writer emits logical names — committing such a file would
+    // read back as all-nulls. Refuse loudly rather than corrupt.
+    require(st.columnMapping == "none",
+      "append to column-mapped Delta tables not supported")
     val sub = java.nio.file.Paths.get(dir,
       s"part-${UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(sub.toString)
@@ -181,6 +186,10 @@ object DeltaExport {
     val st = DeltaImport.readLog(spark, dir)
     require(st.partitionColumns.isEmpty,
       "compact on partitioned Delta tables not supported")
+    // same physical-vs-logical name hazard as append(): the rewrite
+    // would carry logical names into a physically-named table
+    require(st.columnMapping == "none",
+      "compact on column-mapped Delta tables not supported")
     val old = st.files
     if (old.size <= 1) return st.version // nothing to compact
     val sub = java.nio.file.Paths.get(dir,
@@ -300,11 +309,28 @@ object DeltaExport {
     import spark.implicits._
     val st = DeltaImport.readLog(spark, dir)
     val base = Paths.get(dir)
+    // the checkpoint must preserve everything replay would otherwise
+    // lose once the JSON commits expire: the real protocol level (a DV
+    // table downgraded to v1 would resurrect its deleted rows), the
+    // column-mapping configuration, and each add's dataChange flag and
+    // deletion vector.
+    val hasDv = st.files.exists(_.dv.nonEmpty)
+    val mapped = st.columnMapping != "none"
+    val features =
+      (if (hasDv) Seq("deletionVectors") else Nil) ++
+        (if (mapped) Seq("columnMapping") else Nil)
+    val proto =
+      if (hasDv) CkProtocol(3, 7, Some(features), Some(features))
+      else if (mapped) CkProtocol(2, 5, None, None)
+      else CkProtocol(1, 2, None, None)
+    val conf =
+      if (mapped) Map("delta.columnMapping.mode" -> st.columnMapping)
+      else Map.empty[String, String]
     val rows: Seq[CkRow] =
-      CkRow(protocol = Some(CkProtocol(1, 2))) +:
+      CkRow(protocol = Some(proto)) +:
       CkRow(metaData = Some(CkMeta(UUID.randomUUID().toString,
         CkFormat("parquet", Map.empty), st.schema.json,
-        st.partitionColumns, Map.empty, 0L))) +:
+        st.partitionColumns, conf, 0L))) +:
       st.files.map { f =>
         val rel = base.relativize(Paths.get(f.path)).toString
         val enc = rel.split("/").map(seg =>
@@ -312,7 +338,9 @@ object DeltaExport {
             .replace("+", "%20")).mkString("/")
         CkRow(add = Some(CkAdd(enc,
           f.partitionValues.map { case (k, v) => k -> v.orNull },
-          f.size, 0L, dataChange = true, stats = f.statsJson)))
+          f.size, 0L, dataChange = f.dataChange, stats = f.statsJson,
+          deletionVector = f.dv.map(d => CkDv(d.storageType,
+            d.pathOrInlineDv, d.offset, d.sizeInBytes, d.cardinality)))))
       }
     val tmp = Files.createTempDirectory("delta_ckpt").toString
     rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -330,10 +358,14 @@ object DeltaExport {
   case class CkMeta(id: String, format: CkFormat, schemaString: String,
       partitionColumns: Seq[String], configuration: Map[String, String],
       createdTime: Long)
-  case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  case class CkProtocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]] = None,
+      writerFeatures: Option[Seq[String]] = None)
+  case class CkDv(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long)
   case class CkAdd(path: String, partitionValues: Map[String, String],
       size: Long, modificationTime: Long, dataChange: Boolean,
-      stats: Option[String])
+      stats: Option[String], deletionVector: Option[CkDv] = None)
   case class CkRow(add: Option[CkAdd] = None,
       metaData: Option[CkMeta] = None,
       protocol: Option[CkProtocol] = None)

@@ -87,8 +87,6 @@ object LakeFiles {
     }
   }
 
-  /** `lake_file.delete(url)` — refuses unless [[enableDelete]] is set
-    * (the reference's `lake_file.enable_delete_function` GUC). */
   /** Attach the source file path as a column (`filename 'true'` table
     * option analogue, read_data.c:233-271). Uses the deterministic
     * `_metadata.file_path` — NOT input_file_name(), which would block
@@ -98,6 +96,8 @@ object LakeFiles {
     df.withColumn(colName,
       org.apache.spark.sql.functions.col("_metadata.file_path"))
 
+  /** `lake_file.delete(url)` — refuses unless [[enableDelete]] is set
+    * (the reference's `lake_file.enable_delete_function` GUC). */
   def delete(spark: SparkSession, url: String): Boolean = {
     if (!enableDelete)
       throw new IllegalStateException(

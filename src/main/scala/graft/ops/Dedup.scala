@@ -57,7 +57,13 @@ object Dedup {
     * pair) ≈ 1e-4, and the candidate blow-up narrow bands cause is
     * harmless when all-pairs is small anyway); at scale, r = 4 keeps the
     * candidate set ~100× smaller — the standard LSH recall/cost dial. */
-  def adaptiveBands(nDocs: Long): Int = if (nDocs <= 2048) 32 else 16
+  def adaptiveBands(nDocs: Long, numHashes: Int = 64): Int = {
+    val target = if (nDocs <= 2048) 32 else 16
+    // largest divisor of numHashes not exceeding the target (the
+    // target itself for the default 64), so the auto path never trips
+    // the bands-divide-numHashes requirement on custom signature sizes
+    (target to 1 by -1).find(numHashes % _ == 0).get
+  }
 
   /** Near-duplicate pairs via banded MinHash-LSH:
     * shingle → signature → band hashes → shuffle on (band, hash) →
@@ -86,7 +92,7 @@ object Dedup {
     // bands = 0 (auto) so the recall/cost dial reuses this one job
     // instead of scanning the input again.
     val nDocs = sig.count()
-    val nBands = if (bands > 0) bands else adaptiveBands(nDocs)
+    val nBands = if (bands > 0) bands else adaptiveBands(nDocs, numHashes)
     require(numHashes % nBands == 0, "bands must divide numHashes")
     val r = numHashes / nBands
     // band rows carry ONLY (band, bhash, id): the candidate-generation

@@ -27,9 +27,26 @@ private[graft] object Par {
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (target <= 1) df
-    else estimateScanPartitions(df) match {
-      case Some(n) if n < math.max(2, target / 2) => df.repartition(target)
-      case _ => df // enough parallelism already, or not file-backed
+    else {
+      // an explicit repartition/coalesce in the plan caps parallelism
+      // below whatever the file listing suggests — honor it as a
+      // ceiling so fanOut(df.coalesce(1)) still fans out
+      val cap = df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+          r.numPartitions
+        case r: org.apache.spark.sql.catalyst.plans.logical
+            .RepartitionByExpression if r.optNumPartitions.isDefined =>
+          r.optNumPartitions.get
+      }.reduceOption(_ min _)
+      val est = (estimateScanPartitions(df), cap) match {
+        case (Some(n), Some(c)) => Some(n min c)
+        case (n, c) => n.orElse(c)
+      }
+      est match {
+        case Some(n) if n < math.max(2, target / 2) =>
+          df.repartition(target)
+        case _ => df // enough parallelism already, or not file-backed
+      }
     }
   }
 

@@ -42,13 +42,22 @@ object TextPrep {
     }
 
   /** Count of PII spans found per class, as a struct (audit/reporting
-    * side of the scrub — what a pipeline logs before dropping spans). */
-  def piiCounts(text: Column): Column = struct(
-    regexp_count(text, lit(piiPatterns(0)._1)).cast("long").as("emails"),
-    regexp_count(text, lit(piiPatterns(1)._1)).cast("long").as("cards"),
-    regexp_count(text, lit(piiPatterns(2)._1)).cast("long").as("ssns"),
-    regexp_count(text, lit(piiPatterns(3)._1)).cast("long").as("phones"),
-    regexp_count(text, lit(piiPatterns(4)._1)).cast("long").as("ips"))
+    * side of the scrub — what a pipeline logs before dropping spans).
+    * Each class is counted on the text with EARLIER classes already
+    * replaced, exactly as [[scrubPii]] consumes spans — so a card
+    * number or digit-bearing email is not double-counted as a phone,
+    * and the counts sum to the number of replacements the scrub made. */
+  def piiCounts(text: Column): Column = {
+    val afterEarlier = piiPatterns.indices.map { i =>
+      piiPatterns.take(i).foldLeft(text) { case (c, (re, tag)) =>
+        regexp_replace(c, re, tag)
+      }
+    }
+    def cnt(i: Int) =
+      regexp_count(afterEarlier(i), lit(piiPatterns(i)._1)).cast("long")
+    struct(cnt(0).as("emails"), cnt(1).as("cards"), cnt(2).as("ssns"),
+      cnt(3).as("phones"), cnt(4).as("ips"))
+  }
 
   // ---------------------------------------------- repetition signals ----
 
@@ -218,7 +227,9 @@ object TextPrep {
     withB.join(broadcast(blockOff), Seq("_blk"))
       .withColumn("_cum",
         col("_boff") + coalesce(sum(col(tokensCol)).over(win), lit(0L)))
-      .withColumn("pack_id", floor(col("_cum") / budget))
+      // integral `div`, not floor(double /): double division loses
+      // exactness once the corpus token total nears 2^53
+      .withColumn("pack_id", expr(s"_cum div ${budget}L"))
       .withColumn("pack_offset", col("_cum") % budget)
       .drop("_h", "_blk", "_boff", "_cum")
   }
@@ -232,9 +243,11 @@ object TextPrep {
     *
     * Plan shape: split → sequence → posexplode → slice/array_join; the
     * only data growth is the intended rows×chunks fan-out, computed
-    * inside one whole-stage-codegen projection per partition. The last
-    * window is kept whenever it contains new tokens (start < n_tokens),
-    * so every token lands in ≥1 chunk. */
+    * inside one whole-stage-codegen projection per partition. A window
+    * starting at s contains new tokens iff s < n_tokens − overlap
+    * (otherwise it is a pure subset of its predecessor), so starts run
+    * up to that bound — every token lands in ≥1 chunk and no chunk
+    * duplicates an earlier one. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,
@@ -242,10 +255,12 @@ object TextPrep {
     val step = chunkTokens - overlap
     val words = split(regexp_replace(trim(col(textCol)), "\\s+", " "), " ")
     val n = size(words)
-    // starts: 0, step, 2·step, …, < n (empty text → no chunks)
+    // starts: 0, step, 2·step, …, < n − overlap (empty text → no
+    // chunks; short text → the single start 0)
     val starts = when(length(trim(col(textCol))) === 0,
         array().cast("array<int>"))
-      .otherwise(sequence(lit(0), greatest(n - 1, lit(0)), lit(step)))
+      .otherwise(sequence(lit(0), greatest(n - overlap - 1, lit(0)),
+        lit(step)))
     df.select(col(idCol), words.as("_w"),
         posexplode(starts).as(Seq("chunk_idx", "_start")))
       .select(col(idCol), col("chunk_idx"),

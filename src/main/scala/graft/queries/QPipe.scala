@@ -457,7 +457,8 @@ object QPipe {
         |  FROM documents WHERE length(trim(text)) > 0),
         |st AS (
         |  SELECT doc_id, words, CAST(u.s AS INT) AS start
-        |  FROM w, unnest(generate_series(0, len(words) - 1, 24)) AS u(s))
+        |  FROM w, unnest(generate_series(0, greatest(len(words) - 9, 0), 24))
+    AS u(s))
         |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
         |  array_to_string(words[start + 1 : start + 32], ' ') AS chunk_text,
         |  CAST(least(len(words) - start, 32) AS BIGINT) AS n_tokens

@@ -88,9 +88,14 @@ object Xlsx {
         require(sheets.nonEmpty, "workbook declares no sheets")
         sheets.head
     }
+    // match the r:id attribute by its NAMESPACE, not the "r" prefix —
+    // prefix choice is arbitrary in XML and some writers rebind it
+    val relNs =
+      "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
     val rid = chosen.attributes.collectFirst {
       case a: scala.xml.Attribute
-          if a.key == "id" && Option(a.pre).contains("r") => a.value.text
+          if a.key == "id" && a.isPrefixed &&
+            a.getNamespace(chosen) == relNs => a.value.text
     }
     val sheetPart = rid.flatMap { id =>
       parts.get("xl/_rels/workbook.xml.rels").flatMap { relBytes =>

@@ -44,12 +44,15 @@ class DeltaCdcSource(sqlContext: SQLContext, dir: String,
       else DeltaImport.readLog(spark, dir, Some(from)).files
         .map(_.path).toSet
     val at = DeltaImport.readLog(spark, dir, Some(to))
-    // live at `to`, absent at `from` → added (and not removed) in range;
-    // dataChange:false adds are OPTIMIZE/compaction rewrites of rows
-    // that already streamed — emitting them would duplicate the whole
-    // compacted table, so they are excluded (what Delta CDF does too)
-    val fresh = at.files.filterNot(f => before.contains(f.path))
-      .filter(_.dataChange)
+    // live at `to`, absent at `from` → added (and not removed) in range.
+    // Incrementally, dataChange:false adds are OPTIMIZE/compaction
+    // rewrites of rows that already streamed — emitting them would
+    // duplicate the whole compacted table, so they are excluded (what
+    // Delta CDF does too). The initial from-the-beginning snapshot has
+    // no "already streamed": every live file is new to this stream,
+    // compacted or not, so nothing is filtered there.
+    val fresh0 = at.files.filterNot(f => before.contains(f.path))
+    val fresh = if (from < 0) fresh0 else fresh0.filter(_.dataChange)
     val batch =
       if (fresh.isEmpty)
         spark.createDataFrame(

@@ -242,6 +242,101 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("delta-cdc: fresh stream over a compacted table emits full snapshot") {
+    // every live file of a compacted table carries dataChange:false;
+    // the INITIAL snapshot batch must still emit all of them (only
+    // incremental batches skip rewrites)
+    val dir = Files.createTempDirectory("delta_cdc_snap").toString + "/t"
+    val df = spark.range(0, 200).selectExpr("id", "id % 7 AS k")
+    DeltaExport.create(df.repartition(4).toDF(), dir)
+    DeltaExport.compact(spark, dir)
+    val ckpt = Files.createTempDirectory("delta_cdc_snap_ck").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("delta-cdc")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.add(batch.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val counts = {
+        val it = seen.iterator()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten.toSeq
+      }
+      assert(counts.sum == 200,
+        s"initial snapshot dropped compacted files: $counts")
+    } finally q.stop()
+  }
+
+  test("checkpoint preserves DVs, dataChange, and protocol across replay") {
+    // DV table: delete via deletion vectors, checkpoint, then expire
+    // the JSON commits — replay from the checkpoint alone must keep
+    // the rows deleted (and the v3 protocol + vectors with them)
+    val dir = Files.createTempDirectory("delta_ckpt_dv").toString + "/t"
+    val df = spark.range(0, 100).selectExpr("id", "id % 10 AS k")
+    DeltaExport.create(df.repartition(2).toDF(), dir)
+    assert(DeltaExport.deleteWhereDv(spark, dir, col("id") < 10) == 10L)
+    DeltaExport.checkpoint(spark, dir)
+    val log = new java.io.File(dir, "_delta_log")
+    log.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
+    val st = DeltaImport.readLog(spark, dir)
+    assert(st.files.exists(_.dv.nonEmpty),
+      "checkpoint dropped the deletion vectors")
+    assert(DeltaImport.scan(spark, dir).count() == 90,
+      "DV-deleted rows resurrected after checkpoint-only replay")
+
+    // compacted table: the dataChange:false flag must survive the
+    // checkpoint, or a fresh CDC reader would re-emit the rewrite
+    val dir2 = Files.createTempDirectory("delta_ckpt_dc").toString + "/t"
+    DeltaExport.create(df.repartition(3).toDF(), dir2)
+    DeltaExport.compact(spark, dir2)
+    DeltaExport.checkpoint(spark, dir2)
+    val log2 = new java.io.File(dir2, "_delta_log")
+    log2.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
+    val st2 = DeltaImport.readLog(spark, dir2)
+    assert(st2.files.nonEmpty && st2.files.forall(!_.dataChange),
+      "checkpoint lost the dataChange:false flag")
+    assert(DeltaImport.scan(spark, dir2).count() == 100)
+  }
+
+  test("writer refuses column-mapped tables (physical-name corruption)") {
+    // the fixture writers emit LOGICAL column names; committing such a
+    // file into a physically-named (column-mapped) table would read
+    // back as nulls — append/compact must refuse instead
+    val mapped = Files.createTempDirectory("delta_cm_guard").toString + "/t"
+    val phys = spark.range(50).toDF("col-aaaa")
+    phys.coalesce(1).write.parquet(mapped)
+    new java.io.File(mapped, "_SUCCESS").delete()
+    val file = new java.io.File(mapped).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val schemaJson =
+      """{"type":"struct","fields":[{"name":"id_renamed","type":"long",""" +
+        """"nullable":true,"metadata":{"delta.columnMapping.id":1,""" +
+        """"delta.columnMapping.physicalName":"col-aaaa"}}]}"""
+    val commit =
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}
+         |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JString(schemaJson)))},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"1"},"createdTime":0}}
+         |{"add":{"path":"${file.getName}","partitionValues":{},"size":${file.length},"modificationTime":0,"dataChange":true}}
+         |""".stripMargin
+    Files.createDirectories(java.nio.file.Paths.get(mapped, "_delta_log"))
+    Files.write(java.nio.file.Paths.get(mapped, "_delta_log",
+      "00000000000000000000.json"), commit.getBytes)
+    val extra = spark.range(5).selectExpr("id AS id_renamed")
+    intercept[IllegalArgumentException] {
+      DeltaExport.append(spark, extra.toDF(), mapped)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaExport.compact(spark, mapped)
+    }
+  }
+
   test("rejects unsupported reader features") {
     val dir = Files.createTempDirectory("delta_bad").toString + "/t"
     val df = spark.range(3).toDF("id")

@@ -507,8 +507,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val chunks = TextPrep.chunk(df, "doc_id", "text",
         chunkTokens = 10, overlap = 4)
       .orderBy("doc_id", "chunk_idx").collect()
-    // doc 1: starts 0,6,12,18,24 → 5 chunks; doc 2: 1 chunk; doc 3: none
-    assert(chunks.count(_.getLong(0) == 1L) == 5)
+    // doc 1: starts 0,6,12,18 → 4 chunks (a start at 24 would be a pure
+    // subset of the 18-chunk: no new tokens past n − overlap = 21);
+    // doc 2: 1 chunk; doc 3: none
+    assert(chunks.count(_.getLong(0) == 1L) == 4)
     assert(chunks.count(_.getLong(0) == 2L) == 1)
     assert(!chunks.exists(_.getLong(0) == 3L))
     val first = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 0).get
@@ -517,8 +519,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val second = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 1).get
     // overlap: chunk 1 starts at token 7 (4 shared with chunk 0)
     assert(second.getString(2).startsWith("w7 w8 w9 w10 w11"))
-    val tail = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 4).get
-    assert(tail.getString(2) == "w25" && tail.getLong(3) == 1L)
+    // ragged tail: the last kept chunk absorbs the remainder
+    val tail = chunks.find(r => r.getLong(0) == 1L && r.getInt(1) == 3).get
+    assert(tail.getString(2) == (19 to 25).map(i => s"w$i").mkString(" ")
+      && tail.getLong(3) == 7L)
+    // no chunk is a subset of another (the duplicate-text guard)
+    val texts = chunks.filter(_.getLong(0) == 1L).map(_.getString(2))
+    for (a <- texts; b <- texts if a != b)
+      assert(!b.contains(a), s"chunk '$a' duplicated inside '$b'")
     // every token of doc 1 appears in at least one chunk
     val covered = chunks.filter(_.getLong(0) == 1L)
       .flatMap(_.getString(2).split(" ")).toSet
