@@ -104,13 +104,19 @@ object TextPrep {
     * md5 prefix (same construction as [[Dedup.md5Hash60]]), so the
     * assignment is reproducible in any engine with md5 — including the
     * differential oracle. */
+  /** The engine-portable key bucket every dataset-assignment op shares:
+    * md5-prefix of the key's string form, mod `buckets` — replayable in
+    * any engine with md5, so assignments gate exactly. */
+  def keyBucket(key: Column, buckets: Int): Column =
+    pmod(
+      conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(buckets))
+
   def splitColumn(key: Column, fractions: Seq[(String, Double)],
       buckets: Int = 10000): Column = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0)
       < 1e-9, s"fractions must sum to 1, got $fractions")
-    val h = pmod(
-      conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long"), lit(buckets))
+    val h = keyBucket(key, buckets)
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
       .tail.map(c => math.round(c * buckets))
     fractions.map(_._1).zip(cuts).foldRight(lit(null).cast("string")) {
@@ -123,6 +129,39 @@ object TextPrep {
       fractions: Seq[(String, Double)] = Seq(
         "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
     df.withColumn("split", splitColumn(col(keyCol), fractions))
+
+  // --------------------------------------------------------- sampling ----
+
+  /** Deterministic sample: keep a row iff its key bucket falls under
+    * fraction·buckets. Unlike `df.sample()` (seeded per-partition RNG),
+    * the kept set is a pure function of the key — stable across runs,
+    * engines, and physical layout, and CONSISTENT with [[withSplit]]
+    * and across tables sharing the key (sample two tables at the same
+    * fraction and their kept keys agree). A plain codegen'd filter: at
+    * 100 TB it pushes down and costs one comparison per row. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,
+      buckets: Int = 10000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    df.filter(keyBucket(col(keyCol), buckets)
+      < math.round(fraction * buckets))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fractions (the
+    * corpus-mixing knob — e.g. downsample boilerplate-heavy sources,
+    * keep all of scarce languages), `default` for unlisted strata. */
+  def sampleStratified(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      buckets: Int = 10000): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f =>
+      f >= 0.0 && f <= 1.0), s"fractions must be in [0,1]: $fractions")
+    val cut = fractions.foldLeft(lit(math.round(default * buckets))) {
+      case (other, (s, f)) =>
+        when(col(stratumCol) === s, lit(math.round(f * buckets)))
+          .otherwise(other)
+    }
+    df.filter(keyBucket(col(keyCol), buckets) < cut)
+  }
 
   // --------------------------------------------- decontamination ----
 

@@ -269,6 +269,17 @@ object QPipe {
       TextPrep.packSequences(docs, "doc_id", "n_tokens",
           budget = 512, blocks = 64)
         .orderBy("doc_id")
+    },
+
+    // stratified deterministic sampling (corpus mixing): keep half of
+    // en, all of zh, a fifth of everything else — pure key-hash filter,
+    // no RNG, replayed bucket-for-bucket by the oracle.
+    "q_sample_stratified" -> { (s, dir) =>
+      TextPrep.sampleStratified(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 1.0), default = 0.2)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -429,6 +440,19 @@ object QPipe {
         |  coalesce(h.eval_gram_hits, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN h USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 10000 AS b
+        |  FROM documents)
+        |SELECT lang, count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM h
+        |WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
+        |               ELSE 2000 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH d AS (

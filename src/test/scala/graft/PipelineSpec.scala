@@ -637,6 +637,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .findFirstIn(plan).nonEmpty, plan)
   }
 
+  test("hash sampling: deterministic, split-consistent, stratified") {
+    import graft.ops.TextPrep
+    import spark.implicits._
+    val d = Tables.load(spark, sf, "documents")
+      .select("doc_id", "lang").limit(400)
+    val kept = TextPrep.sampleByHash(d, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // plausible size band for 400 rows at 30%
+    assert(kept.size > 70 && kept.size < 170, s"kept=${kept.size}")
+    // determinism + cross-table key agreement: same keys kept from a
+    // differently-shaped table with the same key column
+    val other = d.withColumn("extra", lit(1)).repartition(5)
+    val kept2 = TextPrep.sampleByHash(other, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == kept2)
+    // nested: a 10% sample is a subset of a 30% sample (same hash axis)
+    val kept10 = TextPrep.sampleByHash(d, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept10.subsetOf(kept))
+    // stratified: fraction-1 stratum keeps everything, fraction-0
+    // default drops unlisted strata entirely
+    val strat = TextPrep.sampleStratified(d, "doc_id", "lang",
+        Map("en" -> 1.0), default = 0.0)
+      .select("lang").collect().map(_.getString(0))
+    assert(strat.nonEmpty && strat.forall(_ == "en"))
+    assert(strat.length ==
+      d.filter(col("lang") === "en").count())
+    intercept[IllegalArgumentException] {
+      TextPrep.sampleByHash(d, "doc_id", 1.5)
+    }
+  }
+
   test("jaccardPairs refuses production-sized inputs (all-pairs guard)") {
     import spark.implicits._
     val big = spark.range(Dedup.jaccardPairsMaxRows + 1)
