@@ -323,12 +323,18 @@ object DeltaExport {
       if (hasDv) CkProtocol(3, 7, Some(features), Some(features))
       else if (mapped) CkProtocol(2, 5, None, None)
       else CkProtocol(1, 2, None, None)
+    // the table's configuration and id travel VERBATIM — regenerating
+    // the id would break streaming readers that pin it, and dropping
+    // properties (columnMapping.maxColumnId, user table properties)
+    // loses them forever once the JSON commits expire
     val conf =
-      if (mapped) Map("delta.columnMapping.mode" -> st.columnMapping)
-      else Map.empty[String, String]
+      if (mapped && !st.configuration.contains("delta.columnMapping.mode"))
+        st.configuration + ("delta.columnMapping.mode" -> st.columnMapping)
+      else st.configuration
     val rows: Seq[CkRow] =
       CkRow(protocol = Some(proto)) +:
-      CkRow(metaData = Some(CkMeta(UUID.randomUUID().toString,
+      CkRow(metaData = Some(CkMeta(
+        st.tableId.getOrElse(UUID.randomUUID().toString),
         CkFormat("parquet", Map.empty), st.schema.json,
         st.partitionColumns, conf, 0L))) +:
       st.files.map { f =>

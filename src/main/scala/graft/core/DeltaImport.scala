@@ -70,7 +70,13 @@ object DeltaImport {
         * parquet files carry PHYSICAL column names (stable across
         * renames) recorded per field in the schema metadata; add-action
         * partitionValues and stats are keyed by physical name too. */
-      columnMapping: String = "none") {
+      columnMapping: String = "none",
+      /** full metaData configuration + table id, carried verbatim so a
+        * checkpoint written from this state loses nothing (table
+        * properties, columnMapping.maxColumnId, the id streaming
+        * readers pin) */
+      configuration: Map[String, String] = Map.empty,
+      tableId: Option[String] = None) {
     def dataSchema: StructType =
       StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
@@ -152,13 +158,17 @@ object DeltaImport {
       }
 
     var cmMode = "none"
+    var metaConf = Map.empty[String, String]
+    var metaId: Option[String] = None
     def applyMeta(schemaString: String, pc: Seq[String],
-        conf: Map[String, String]): Unit = {
+        conf: Map[String, String], id: Option[String]): Unit = {
       cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
       require(Set("none", "name", "id")(cmMode),
         s"unknown Delta column mapping mode '$cmMode'")
       schema = Some(DataType.fromJson(schemaString).asInstanceOf[StructType])
       partCols = pc
+      metaConf = conf
+      metaId = id
     }
 
     def addFile(path: String, size: Long, pv: Map[String, Option[String]],
@@ -199,7 +209,8 @@ object DeltaImport {
           applyMeta((m \ "schemaString").extract[String],
             (m \ "partitionColumns").extract[Seq[String]],
             (m \ "configuration").extractOpt[Map[String, String]]
-              .getOrElse(Map.empty))
+              .getOrElse(Map.empty),
+            (m \ "id").extractOpt[String])
         case _ =>
       }
       (j \ "add") match {
@@ -254,11 +265,12 @@ object DeltaImport {
       if (cols.contains("metaData"))
         ck.filter(ck("metaData").isNotNull)
           .select("metaData.schemaString", "metaData.partitionColumns",
-            "metaData.configuration")
+            "metaData.configuration", "metaData.id")
           .collect().foreach { r =>
             applyMeta(r.getString(0), r.getSeq[String](1),
               Option(r.getMap[String, String](2)).map(_.toMap)
-                .getOrElse(Map.empty))
+                .getOrElse(Map.empty),
+              Option(r.getString(3)))
           }
       if (cols.contains("add")) {
         val addFields = ck.select("add.*").columns.toSet
@@ -336,7 +348,7 @@ object DeltaImport {
 
     DeltaState(
       schema.getOrElse(sys.error("Delta log has no metaData action")),
-      partCols, live.values.toSeq, target, cmMode)
+      partCols, live.values.toSeq, target, cmMode, metaConf, metaId)
   }
 
   /** Convert an add action's `stats` JSON (numRecords / minValues /

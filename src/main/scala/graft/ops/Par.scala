@@ -28,16 +28,23 @@ private[graft] object Par {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (target <= 1) df
     else {
-      // an explicit repartition/coalesce in the plan caps parallelism
-      // below whatever the file listing suggests — honor it as a
-      // ceiling so fanOut(df.coalesce(1)) still fans out
-      val cap = df.queryExecution.analyzed.collect {
-        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
-          r.numPartitions
-        case r: org.apache.spark.sql.catalyst.plans.logical
-            .RepartitionByExpression if r.optNumPartitions.isDefined =>
-          r.optNumPartitions.get
-      }.reduceOption(_ min _)
+      // an explicit repartition/coalesce in the NARROW chain above the
+      // source caps parallelism below whatever the file listing
+      // suggests — honor it as a ceiling so fanOut(df.coalesce(1))
+      // still fans out. Stop descending at the first shuffle-introducing
+      // operator (join/aggregate/window): a repartition below one does
+      // not cap the final stage, its shuffle restores parallelism.
+      import org.apache.spark.sql.catalyst.plans.logical._
+      @annotation.tailrec
+      def chainCap(p: LogicalPlan): Option[Int] = p match {
+        case r: Repartition => Some(r.numPartitions)
+        case r: RepartitionByExpression if r.optNumPartitions.isDefined =>
+          r.optNumPartitions
+        case _: Project | _: Filter | _: SubqueryAlias =>
+          chainCap(p.children.head)
+        case _ => None
+      }
+      val cap = chainCap(df.queryExecution.analyzed)
       val est = (estimateScanPartitions(df), cap) match {
         case (Some(n), Some(c)) => Some(n min c)
         case (n, c) => n.orElse(c)

@@ -95,23 +95,21 @@ object TextPrep {
 
   // ------------------------------------------------- dataset splitting ----
 
-  /** Deterministic train/val/test assignment by content-independent key
-    * hash: bucket = md5-prefix(key) mod `buckets`, split by cumulative
-    * fraction thresholds. Properties a training pipeline needs and
-    * random() cannot give: stable across runs/engines/partitionings,
-    * every row assigned exactly once, and joining two tables on the same
-    * key lands them in the same split. The hash is the engine-portable
-    * md5 prefix (same construction as [[Dedup.md5Hash60]]), so the
-    * assignment is reproducible in any engine with md5 — including the
-    * differential oracle. */
   /** The engine-portable key bucket every dataset-assignment op shares:
-    * md5-prefix of the key's string form, mod `buckets` — replayable in
-    * any engine with md5, so assignments gate exactly. */
+    * md5-prefix of the key's string form (same construction as
+    * [[Dedup.md5Hash60]]), mod `buckets` — replayable in any engine
+    * with md5, so assignments gate exactly. */
   def keyBucket(key: Column, buckets: Int): Column =
     pmod(
       conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
         .cast("long"), lit(buckets))
 
+  /** Deterministic train/val/test assignment by content-independent key
+    * hash: [[keyBucket]] split by cumulative fraction thresholds.
+    * Properties a training pipeline needs and random() cannot give:
+    * stable across runs/engines/partitionings, every row assigned
+    * exactly once, and joining two tables on the same key lands them
+    * in the same split. */
   def splitColumn(key: Column, fractions: Seq[(String, Double)],
       buckets: Int = 10000): Column = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0)

@@ -89,13 +89,15 @@ object Xlsx {
         sheets.head
     }
     // match the r:id attribute by its NAMESPACE, not the "r" prefix —
-    // prefix choice is arbitrary in XML and some writers rebind it
-    val relNs =
-      "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    // prefix choice is arbitrary in XML and some writers rebind it;
+    // accept both the transitional and Strict Open XML namespaces
+    val relNs = Set(
+      "http://schemas.openxmlformats.org/officeDocument/2006/relationships",
+      "http://purl.oclc.org/ooxml/officeDocument/relationships")
     val rid = chosen.attributes.collectFirst {
       case a: scala.xml.Attribute
           if a.key == "id" && a.isPrefixed &&
-            a.getNamespace(chosen) == relNs => a.value.text
+            relNs.contains(a.getNamespace(chosen)) => a.value.text
     }
     val sheetPart = rid.flatMap { id =>
       parts.get("xl/_rels/workbook.xml.rels").flatMap { relBytes =>

@@ -11,15 +11,15 @@ import graft.core.DeltaImport
 /** Streaming CDC source over an EXTERNAL Delta table:
   * `spark.readStream.format("delta-cdc").option("path", dir).load()`.
   *
-  * Offsets are Delta LOG VERSIONS; each micro-batch reads exactly the
-  * files that `add` actions introduced in `(fromVersion, toVersion]`
-  * whose rows are still live at `toVersion` (a file added and removed
-  * inside the range never surfaces — e.g. an optimize-rewrite's
-  * transient output). Data-change-false rewrites (compaction) carry
-  * `dataChange:false` in real Delta logs and are skipped, mirroring
-  * what delta's own Change Data Feed does for append-only consumers.
-  * A checkpoint replay re-reads the identical version range —
-  * exactly-once from the log itself.
+  * Offsets are Delta LOG VERSIONS; each micro-batch emits exactly the
+  * files that `dataChange:true` add actions introduced, version by
+  * version, in `(fromVersion, toVersion]`. Data-change-false rewrites
+  * (compaction) are skipped, mirroring what delta's own Change Data
+  * Feed does for append-only consumers — and because the diff is
+  * per-version, an append at v and a compaction at v+1 inside the SAME
+  * batch range still emits the appended rows (the pre-compaction file
+  * remains readable until vacuum). A checkpoint replay re-reads the
+  * identical version range — exactly-once from the log itself.
   *
   * The lake-table twin is [[LakeCdcSource]]; together they let a
   * pipeline tail either table format with the same code. */
@@ -39,20 +39,32 @@ class DeltaCdcSource(sqlContext: SQLContext, dir: String,
       .getOrElse(startVersion)
     val to = LongOffset(end.json().toLong).offset
     val spark = sqlContext.sparkSession
-    val before: Set[String] =
-      if (from < 0) Set.empty // from-the-beginning: everything is fresh
-      else DeltaImport.readLog(spark, dir, Some(from)).files
-        .map(_.path).toSet
     val at = DeltaImport.readLog(spark, dir, Some(to))
-    // live at `to`, absent at `from` → added (and not removed) in range.
-    // Incrementally, dataChange:false adds are OPTIMIZE/compaction
-    // rewrites of rows that already streamed — emitting them would
-    // duplicate the whole compacted table, so they are excluded (what
-    // Delta CDF does too). The initial from-the-beginning snapshot has
-    // no "already streamed": every live file is new to this stream,
-    // compacted or not, so nothing is filtered there.
-    val fresh0 = at.files.filterNot(f => before.contains(f.path))
-    val fresh = if (from < 0) fresh0 else fresh0.filter(_.dataChange)
+    // Initial from-the-beginning snapshot: every live file is new to
+    // this stream, compacted or not — no dataChange filtering.
+    // Incremental: diff PER VERSION, not endpoints-only. An endpoint
+    // diff would lose rows appended at v and compacted away at v+1
+    // within one range (only the dataChange:false rewrite survives at
+    // `to`); stepping versions keeps the original dataChange:true add,
+    // whose file stays readable until vacuum. dataChange:false adds
+    // (rewrites of rows that already streamed) are excluded, as Delta
+    // CDF does for append-only consumers.
+    val fresh =
+      if (from < 0) at.files
+      else {
+        var prev = DeltaImport.readLog(spark, dir, Some(from)).files
+          .map(_.path).toSet
+        val out = Seq.newBuilder[graft.core.DeltaImport.DeltaFile]
+        val seen = scala.collection.mutable.Set[String]()
+        for (v <- from + 1 to to) {
+          val st = DeltaImport.readLog(spark, dir, Some(v))
+          for (f <- st.files
+               if !prev.contains(f.path) && f.dataChange && seen.add(f.path))
+            out += f
+          prev = st.files.map(_.path).toSet
+        }
+        out.result()
+      }
     val batch =
       if (fresh.isEmpty)
         spark.createDataFrame(

@@ -261,13 +261,22 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       .start()
     try {
       q.processAllAvailable()
-      val counts = {
+      def counts = {
         val it = seen.iterator()
         Iterator.continually(if (it.hasNext) Some(it.next()) else None)
           .takeWhile(_.isDefined).flatten.toSeq
       }
       assert(counts.sum == 200,
         s"initial snapshot dropped compacted files: $counts")
+      // append + compaction land in ONE batch range: the per-version
+      // diff must still emit the appended rows (an endpoints-only diff
+      // would see only the dataChange:false rewrite and drop them)
+      DeltaExport.append(spark,
+        spark.range(200, 230).selectExpr("id", "id % 7 AS k").toDF(), dir)
+      DeltaExport.compact(spark, dir)
+      q.processAllAvailable()
+      assert(counts.sum == 230,
+        s"append swallowed by same-batch compaction: $counts")
     } finally q.stop()
   }
 
@@ -298,10 +307,18 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val log2 = new java.io.File(dir2, "_delta_log")
     log2.listFiles().filter(_.getName.endsWith(".json"))
       .foreach(f => assert(f.delete()))
+    val idBefore = DeltaImport.readLog(spark, dir2).tableId
+    DeltaExport.checkpoint(spark, dir2)
+    val log2b = new java.io.File(dir2, "_delta_log")
+    log2b.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => assert(f.delete()))
     val st2 = DeltaImport.readLog(spark, dir2)
     assert(st2.files.nonEmpty && st2.files.forall(!_.dataChange),
       "checkpoint lost the dataChange:false flag")
     assert(DeltaImport.scan(spark, dir2).count() == 100)
+    // the table id travels verbatim — streaming readers pin it
+    assert(idBefore.isDefined && st2.tableId == idBefore,
+      s"checkpoint regenerated the table id: $idBefore -> ${st2.tableId}")
   }
 
   test("writer refuses column-mapped tables (physical-name corruption)") {
@@ -335,6 +352,16 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       DeltaExport.compact(spark, mapped)
     }
+    // checkpoint (metadata-only) IS allowed on mapped tables — and must
+    // carry the full configuration, not just the mode
+    DeltaExport.checkpoint(spark, mapped)
+    new java.io.File(mapped, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    val st = DeltaImport.readLog(spark, mapped)
+    assert(st.columnMapping == "name")
+    assert(st.configuration.get("delta.columnMapping.maxColumnId")
+      .contains("1"), st.configuration.toString)
+    assert(DeltaImport.scan(spark, mapped).count() == 50)
   }
 
   test("rejects unsupported reader features") {
