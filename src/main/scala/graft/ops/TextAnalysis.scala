@@ -77,9 +77,7 @@ object TextAnalysis {
     val markers = langMarkers.toSeq
       .flatMap { case (l, ws) => ws.map(w => (w, l)) }
       .toDF("word", "marker_lang")
-    val toks = df.select(col(idCol),
-        explode(split(lower(col(textCol)), "[\\s\\p{Punct}]+")).as("word"))
-      .filter(length(col("word")) > 0)
+    val toks = terms(df, idCol, textCol).withColumnRenamed("term", "word")
     val hits = toks.join(broadcast(markers), Seq("word"))
       .groupBy(idCol).pivot("marker_lang", langMarkers.keys.toSeq.sorted)
       .count().na.fill(0L)
@@ -94,6 +92,60 @@ object TextAnalysis {
       .withColumn("lang_pred", best._2)
       .select(col(idCol), col("lang_pred"))
   }
+
+  /** The tokenizer every corpus-statistics operator shares (same pair as
+    * [[langId]]: Spark `[\s\p{Punct}]+` ≡ DuckDB `[\s[:punct:]]+`, so
+    * the differential oracle replays it verbatim). */
+  private def terms(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        explode(split(lower(col(textCol)), "[\\s\\p{Punct}]+")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Per-document keyword extraction, TF-IDF-style but integer-exact:
+    * rank each document's terms by (term frequency DESC, corpus document
+    * frequency ASC, term ASC) — frequent-in-this-doc and rare-in-corpus
+    * first — and keep the top `k`. The deliberate difference from
+    * textbook tf·ln(N/df): the ranking key is integers only, so the
+    * result is bit-reproducible across engines (no libm `ln` in the
+    * comparator) and gates exactly against the DuckDB oracle.
+    *
+    * Scale shape: two partial-aggregated shuffles (doc-term, then term)
+    * — stopword skew collapses map-side before either — a vocab-sized
+    * join (AQE broadcasts it against the big side), and a top-k window
+    * partitioned by document. No global sort, no all-pairs.
+    *
+    * Output: idCol, rank (1..k), term, tf, df. */
+  def keywords(df: DataFrame, idCol: String, textCol: String, k: Int = 5)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = terms(df, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf rows are distinct per (doc, term), so count(*) = document freq
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy(idCol)
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  /** Corpus vocabulary builder (the counting pass a BPE/unigram
+    * tokenizer trainer starts from): every term with collection
+    * frequency ≥ `minCount`, top `topN` by (cf DESC, term ASC), with
+    * document frequency alongside. One term-keyed aggregation (partial
+    * map-side, so the corpus never ships raw tokens) + TakeOrdered —
+    * the classic heavy-hitter shape. */
+  def vocab(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L, topN: Int = 1000): DataFrame =
+    terms(df, idCol, textCol)
+      .groupBy("term")
+      .agg(count(lit(1)).as("cf"), countDistinct(col(idCol)).as("df"))
+      .filter(col("cf") >= minCount)
+      .orderBy(col("cf").desc, col("term").asc)
+      .limit(topN)
 
   /** 64-bit FNV-1a rolling fingerprint of the normalized text — document
     * identity robust to whitespace/case noise. Pure column expression

@@ -271,6 +271,49 @@ object TextPrep {
       .drop("_h", "_blk", "_boff", "_cum")
   }
 
+  // ----------------------------------------- boilerplate line removal ----
+
+  /** Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
+    * filter): a line occurring in `minDocs` or more DISTINCT documents
+    * is boilerplate (nav bars, cookie banners, license headers) and is
+    * dropped from every document; the text is reassembled in original
+    * line order. Blank lines are dropped like [[repetitionSignals]].
+    *
+    * Scale shape: the corpus-wide frequency pass shuffles
+    * (md5(line), doc) pairs — a 16-byte hash, never the line text — and
+    * the frequent set (only lines CROSSING the threshold) is tiny
+    * relative to the corpus, so the anti-join broadcasts under AQE.
+    * Reassembly is one groupBy on the document id with an in-memory
+    * per-doc sort — lines of one document, not a global sort.
+    *
+    * Output: idCol, n_lines (non-blank input lines), n_kept,
+    * clean_text. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 5): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.select(col(idCol),
+        posexplode(filter(split(col(textCol), "\n"), l => length(l) > 0))
+          .as(Seq("_pos", "_line")))
+      .withColumn("_lh", md5(col("_line").cast("binary")))
+    val frequent = lines.select(col("_lh"), col(idCol)).distinct()
+      .groupBy("_lh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select("_lh")
+    val kept = lines.join(frequent, Seq("_lh"), "left_anti")
+    val keptAgg = kept.groupBy(idCol).agg(
+      count(lit(1)).as("_nk"),
+      concat_ws("\n", transform(
+        array_sort(collect_list(struct(col("_pos"), col("_line")))),
+        s => s.getField("_line"))).as("_ct"))
+    val totals = lines.groupBy(idCol).agg(count(lit(1)).as("_nl"))
+    df.select(col(idCol)).join(totals, Seq(idCol), "left")
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nl"), lit(0L)).as("n_lines"),
+        coalesce(col("_nk"), lit(0L)).as("n_kept"),
+        coalesce(col("_ct"), lit("")).as("clean_text"))
+  }
+
   // -------------------------------------------------------- chunking ----
 
   /** Split documents into overlapping windows of `chunkTokens`

@@ -271,6 +271,37 @@ object QPipe {
         .orderBy("doc_id")
     },
 
+    // corpus-frequency boilerplate removal (CCNet-style): line structure
+    // synthesized by breaking on stop-words (same rewrite as
+    // q_text_repetition); lines shared by >= 3 distinct docs are dropped
+    // everywhere and each text reassembled in order. At sf0.01 this
+    // removes 166 of 2038 lines via 34 frequent lines — the anti-join's
+    // build side stays tiny, as at scale.
+    "q_text_boilerplate" -> { (s, dir) =>
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " (the|a) ", "\n").as("text"))
+      TextPrep.removeBoilerplate(lined, "doc_id", "text", minDocs = 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
+    // per-document keyword extraction: top-3 terms by (tf DESC, corpus
+    // df ASC, term ASC) — integer-only ranking key, so the oracle
+    // replays the identical window (no libm ln in the comparator).
+    "q_text_keywords" -> { (s, dir) =>
+      TextAnalysis.keywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+
+    // corpus vocabulary builder: top-50 terms with cf >= 5, collection
+    // and document frequency — the heavy-hitter counting pass a
+    // tokenizer trainer starts from.
+    "q_text_vocab" -> { (s, dir) =>
+      TextAnalysis.vocab(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, topN = 50)
+    },
+
     // stratified deterministic sampling (corpus mixing): keep half of
     // en, all of zh, a fifth of everything else — pure key-hash filter,
     // no RNG, replayed bucket-for-bucket by the oracle.
@@ -440,6 +471,78 @@ object QPipe {
         |  coalesce(h.eval_gram_hits, 0) >= 1 AS contaminated
         |FROM documents d LEFT JOIN h USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_boilerplate" ->
+      """WITH lined AS (
+        |  SELECT doc_id, regexp_replace(text, ' (the|a) ', chr(10), 'g')
+        |    AS t
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(t, chr(10)), x -> length(x) > 0) AS l
+        |  FROM lined),
+        |lines AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos,
+        |    unnest(l) AS line
+        |  FROM ls),
+        |freq AS (
+        |  SELECT lh FROM (SELECT DISTINCT doc_id, md5(line) AS lh
+        |                  FROM lines)
+        |  GROUP BY lh HAVING count(*) >= 3),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE md5(line) NOT IN (SELECT lh FROM freq)),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lines GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(tot.n_lines, 0) AS n_lines,
+        |  coalesce(ka.n_kept, 0) AS n_kept,
+        |  coalesce(ka.clean_md5, md5('')) AS clean_md5
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN ka ON d.doc_id = ka.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok AS term
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(text), '[\s[:punct:]]+'))
+        |            AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY term),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS INT)
+        |      AS rank
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, rank, term, tf, df FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_text_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok AS term
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(text), '[\s[:punct:]]+'))
+        |            AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0)
+        |SELECT term, CAST(count(*) AS BIGINT) AS cf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM toks GROUP BY term HAVING count(*) >= 5
+        |ORDER BY cf DESC, term ASC LIMIT 50""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH h AS (

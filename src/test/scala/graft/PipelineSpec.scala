@@ -498,6 +498,69 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getLong(0) == 0L && e.getDouble(1) == 0.0)
   }
 
+  test("boilerplate removal: corpus-frequent lines dropped, order kept") {
+    import spark.implicits._
+    import graft.ops.TextPrep
+    val docs = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nbody a"),
+      (2L, "COOKIE BANNER\nbody b"),
+      (3L, "body c\nCOOKIE BANNER\n\nbody c\nend"),
+      (4L, "twice shared\nno banner here"),
+      (5L, "twice shared"),
+      (6L, "")).toDF("id", "text")
+    val out = TextPrep.removeBoilerplate(docs, "id", "text", minDocs = 3)
+    val m = out.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "COOKIE BANNER" in 3 distinct docs -> dropped everywhere,
+    // remaining lines keep their original order
+    assert(m(1L) == ((3L, 2L, "unique one\nbody a")))
+    assert(m(2L) == ((2L, 1L, "body b")))
+    // within-doc repeats ("body c" twice in doc 3) are NOT corpus
+    // boilerplate (df counts distinct docs), blank lines dropped
+    assert(m(3L) == ((4L, 3L, "body c\nbody c\nend")))
+    // a line in only 2 docs survives the minDocs = 3 threshold
+    assert(m(4L) == ((2L, 2L, "twice shared\nno banner here")))
+    assert(m(5L) == ((1L, 1L, "twice shared")))
+    // empty doc stays present with empty output
+    assert(m(6L) == ((0L, 0L, "")))
+  }
+
+  test("keywords: tf-desc with rare-first tiebreak, top-k per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana cherry"),
+      (3L, "cherry date")).toDF("id", "text")
+    val out = TextAnalysis.keywords(docs, "id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 1: apple tf=2 first; banana (df=2) beats cherry (df=3) on the
+    // rare-first tiebreak at tf=1
+    assert(out((1L, 1)) == (("apple", 2L, 1L)))
+    assert(out((1L, 2)) == (("banana", 1L, 2L)))
+    assert(out((2L, 1)) == (("banana", 2L, 2L)))
+    // doc 3: both tf=1 — date (df=1) ranks above cherry (df=3)
+    assert(out((3L, 1)) == (("date", 1L, 1L)))
+    assert(out((3L, 2)) == (("cherry", 1L, 3L)))
+    assert(out.size == 6)
+  }
+
+  test("vocab: collection-frequency ranking with min-count floor") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "b b d")).toDF("id", "text")
+    val out = TextAnalysis.vocab(docs, "id", "text", minCount = 2L,
+      topN = 10).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)))
+    // c and d fall under the floor; b (cf 4) outranks a (cf 3)
+    assert(out.toSeq == Seq(("b", 4L, 2L), ("a", 3L, 1L)))
+    // topN truncates after the ordering
+    assert(TextAnalysis.vocab(docs, "id", "text", 2L, 1)
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
   test("chunking: full coverage, overlap, ragged tail") {
     import spark.implicits._
     import graft.ops.TextPrep

@@ -240,6 +240,38 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val _ = dedupAgg
   }
 
+  test("q_text_boilerplate: anti-join on line hashes — no product, " +
+      "no global line sort") {
+    val p = plan("q_text_boilerplate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the frequent-line filter is an anti EQUI-join (on the md5 line
+    // hash) — the broadcastable shape that survives a 100 TB corpus
+    assert(p.contains("LeftAnti"), p)
+    // reassembly sorts lines inside each doc's array, never globally:
+    // the only global Sort is the gate query's final output orderBy
+    assert(nodeCount(p, "Sort") <= 2, p)
+  }
+
+  test("q_text_keywords: one per-doc top-k window, equi-joins only") {
+    val p = plan("q_text_keywords")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // rank-limit pushdown: a partial WindowGroupLimit prunes each
+    // partition to its top-k BEFORE the doc-key exchange (plus the
+    // final one after), so the window shuffle carries ≤k rows per
+    // (partition, doc) — the property that matters at corpus scale
+    assert(nodeCount(p, "WindowGroupLimit") == 2, p)
+    // ...and exactly one real Window evaluates row_number afterwards
+    assert(nodeCount(p, "Window") - nodeCount(p, "WindowGroupLimit") == 1, p)
+  }
+
+  test("q_text_vocab: ordered limit plans as TakeOrdered, not global sort") {
+    val p = plan("q_text_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_delta_scan: partition-pruned single parquet scan") {
     val p = plan("q_delta_scan")
     // one scan of the delta file set; never a union of per-partition reads
