@@ -103,9 +103,24 @@ object Dedup {
         b => xxhash64(concat_ws("_",
           slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
         .as(Seq("band", "bhash")))
+    // Join-strategy dial, sized from the one count we already ran:
+    // small relations broadcast (the planner's choice, keep it); past
+    // the broadcast threshold prefer SHUFFLE_HASH over the default
+    // sort-merge for the joins whose BUILD side is provably narrow —
+    // band keys + ids (24 B/row), bare pair lists (16 B/row), bare
+    // signatures (8 + 8·numHashes B/row) — while sort-merge would sort
+    // nDocs·bands rows on both sides (measured 41% of end-to-end at
+    // 500k docs). An explicit hint bypasses Spark's own build-side size
+    // guard, so it is applied ONLY to those fixed-width relations and
+    // never to a join output carrying signature/shingle payloads
+    // (hinting one of those OOM'd the 500k-doc run: the first verify
+    // join's output is pairs × a 0.5 KB array, and a hash build of that
+    // is GBs). Small corpora keep their automatic broadcast plans.
+    val big = nDocs > 20000
+    def shj(d: DataFrame): DataFrame = if (big) d.hint("shuffle_hash") else d
     val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "bhash"))
+    val cand = a.join(shj(b), Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
@@ -133,10 +148,10 @@ object Dedup {
       // positional-agreement kernel (one primitive pass per pair) and an
       // integer cut: agree/numHashes ≥ thr−0.2 ⟺ agree ≥ ⌈(thr−0.2)·n⌉
       val minAgree = math.ceil((threshold - 0.2) * numHashes).toLong
-      cand
+      shj(cand)
         .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")),
           Seq("id_a"))
-        .join(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        .join(shj(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b"))),
           Seq("id_b"))
         .filter(org.apache.spark.sql.GraftBridge.column(ArrayAgreeCount(
           org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_a")),
@@ -144,7 +159,11 @@ object Dedup {
           >= minAgree)
         .select("id_a", "id_b")
     }
-    est
+    // exact verify: build the (narrow) surviving-pair list, stream the
+    // fat shingle relation; the second join is left to the planner —
+    // neither side is fixed-width there (both carry shingle arrays), so
+    // a forced hash build has no safe side.
+    shj(est)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("n_common", sortedIntersectCount(col("sh_a"), col("sh_b")))

@@ -1,0 +1,26 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object MinhashOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w = once()
+    val runs = Seq.fill(2)(once())
+    println(f"[minhash] $sfDir warm=$w%.2f best=${runs.min}%.2f")
+    spark.stop()
+  }
+}
