@@ -35,14 +35,29 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // single-JVM local mode: shuffle bytes never cross a network, so
-      // lz4 on the shuffle path is pure CPU overhead here (a cluster
-      // deployment would keep compression on)
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
-    // shuffle files in RAM when a tmpfs is available
-    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-      builder.config("spark.local.dir", "/dev/shm/graft-bench")
+    // single-JVM local mode: shuffle bytes never cross a network, so lz4
+    // on the shuffle path is pure CPU overhead and a tmpfs shuffle dir
+    // skips the disk — but tmpfs pages ARE RAM, and shuffle files live
+    // until their stage's lineage is GC'd, so a long bench session
+    // accumulates them: at sf10 (0.7 GB parquet) the uncompressed
+    // session total hit 112 GB and the kernel OOM-killed the JVM. Both
+    // tricks therefore engage only below a parquet-size cutoff; bigger
+    // fixtures keep compression and spill to real disk, exactly as a
+    // cluster deployment would. Override: SPARK_GRAFT_TMPFS=0.
+    val sfBytes = {
+      def du(p: java.io.File): Long =
+        if (p.isFile) p.length
+        else Option(p.listFiles).map(_.map(du).sum).getOrElse(0L)
+      du(new java.io.File(sfDir))
+    }
+    val small = sfBytes < (200L << 20) // sf1 ≈ 75 MB in, sf10 ≈ 0.7 GB
+    if (small) {
+      builder.config("spark.shuffle.compress", "false")
+      builder.config("spark.shuffle.spill.compress", "false")
+      if (sys.env.getOrElse("SPARK_GRAFT_TMPFS", "1") == "1" &&
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        builder.config("spark.local.dir", "/dev/shm/graft-bench")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -147,6 +147,135 @@ object TextAnalysis {
       .orderBy(col("cf").desc, col("term").asc)
       .limit(topN)
 
+  /** Ordered token array (the [[terms]] tokenizer, kept in-row so bigram
+    * pairs can be formed positionally without a window shuffle). */
+  private def lmWords(text: Column): Column =
+    filter(split(lower(text), "[\\s\\p{Punct}]+"), w => length(w) > 0)
+
+  /** Positional bigram pairs per document: zip the token array against
+    * itself shifted by one — a pure column expression, no per-document
+    * window, no ordering shuffle. */
+  private def docBigrams(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val nb = greatest(size(col("ws")) - 1, lit(0))
+    df.select(col(idCol), lmWords(col(textCol)).as("ws"))
+      .select(col(idCol),
+        slice(col("ws"), lit(1), nb).as("wa"), slice(col("ws"), lit(2), nb).as("wb"))
+      .select(col(idCol), explode(arrays_zip(col("wa"), col("wb"))).as("p"))
+      .select(col(idCol), col("p.wa").as("w1"), col("p.wb").as("w2"))
+  }
+
+  /** Train a Laplace-smoothed token-bigram language model: the
+    * CCNet-style statistical quality filter's first half (train an LM on
+    * a trusted reference corpus, then drop documents whose perplexity
+    * under it is an outlier). One model table comes back: bigram rows
+    * (w1, w2, cnt) plus unigram rows (w1, NULL, cnt) — a lake-friendly
+    * single relation instead of a model object.
+    *
+    * Scale shape: two partial-aggregated gram-keyed shuffles (stopword
+    * skew collapses map-side); the result is vocabulary-bounded — tiny
+    * next to any real corpus — so downstream joins broadcast it. */
+  def lmTrain(df: DataFrame, textCol: String): DataFrame = {
+    val ws = df.select(lmWords(col(textCol)).as("ws"))
+    val nb = greatest(size(col("ws")) - 1, lit(0))
+    val bi = ws
+      .select(slice(col("ws"), lit(1), nb).as("wa"), slice(col("ws"), lit(2), nb).as("wb"))
+      .select(explode(arrays_zip(col("wa"), col("wb"))).as("p"))
+      .select(col("p.wa").as("w1"), col("p.wb").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val uni = ws.select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cnt"))
+      .select(col("w1"), lit(null).cast("string").as("w2"), col("cnt"))
+    bi.select("w1", "w2", "cnt").unionByName(uni)
+  }
+
+  /** Score documents under a [[lmTrain]] model: per-document mean
+    * negative log-likelihood and perplexity of its token bigrams with
+    * add-one (Laplace) smoothing — P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V),
+    * V = model vocabulary size. Unseen grams fall back to the smoothing
+    * floor, so out-of-domain text scores high perplexity rather than
+    * erroring — exactly the filtering signal.
+    *
+    * Output (docs with ≥ 1 bigram): idCol, n_bigrams, n_hits (bigrams
+    * the model has seen), avg_nll, ppl = exp(avg_nll).
+    *
+    * Scale shape: the document side explodes to one row per bigram and
+    * joins the model on its gram key — the model is vocabulary-bounded,
+    * so Catalyst broadcasts both lookups and the only real shuffle is
+    * the final per-document aggregation. V rides along as a broadcast
+    * one-row relation, not a driver-side collected constant. */
+  def lmPerplexity(docs: DataFrame, model: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val uni = model.filter(col("w2").isNull)
+      .select(col("w1"), col("cnt").as("c1"))
+    val bi = model.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("cnt").as("c12"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val nll = -log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+    docBigrams(docs, idCol, textCol)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("nll", nll)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        round(avg(col("nll")), 6).as("avg_nll"),
+        round(exp(avg(col("nll"))), 6).as("ppl"))
+  }
+
+  /** Hashed n-gram feature rows (idCol, bucket): every unigram and
+    * bigram occurrence, md5-bucketed ([[TextPrep.keyBucket]] — the
+    * engine-portable hash the sampling/splitting ops share) into
+    * `nBuckets` — a bag of hashed features, occurrences kept. */
+  private def hashedFeats(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val uni = df.select(col(idCol), explode(lmWords(col(textCol))).as("g"))
+    val bi = docBigrams(df, idCol, textCol)
+      .select(col(idCol), concat_ws(" ", col("w1"), col("w2")).as("g"))
+    uni.unionByName(bi)
+      .select(col(idCol), TextPrep.keyBucket(col("g"), nBuckets).as("bucket"))
+  }
+
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * model the target (trusted) and raw corpora as bags of hashed
+    * unigram+bigram features with add-one smoothing, and weight each raw
+    * document by its log importance ratio
+    * `Σ_features ln p_target(b) − ln p_raw(b)` — documents whose feature
+    * profile looks like the target score high and survive resampling
+    * (pair with [[TextPrep.sampleByHash]] / a weight threshold).
+    *
+    * Output (docs with ≥ 1 token): idCol, n_feats, weight (rounded 6).
+    *
+    * Scale shape: both models are `nBuckets`-bounded count tables —
+    * broadcast no matter how big the corpora — and the totals ride as a
+    * broadcast one-row relation, so the raw corpus explodes to feature
+    * rows and aggregates straight back on the document key: no
+    * corpus-sized shuffle of anything but its own feature stream. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val tc = hashedFeats(target, idCol, textCol, nBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("tc"))
+    val qc = hashedFeats(raw, idCol, textCol, nBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("qc"))
+    val totals = tc.agg(sum(col("tc")).as("t_tot"))
+      .crossJoin(qc.agg(sum(col("qc")).as("q_tot")))
+    val wf =
+      log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+        (col("t_tot") + nBuckets).cast("double")) -
+      log((coalesce(col("qc"), lit(0L)) + 1).cast("double") /
+        (col("q_tot") + nBuckets).cast("double"))
+    hashedFeats(raw, idCol, textCol, nBuckets)
+      .join(tc, Seq("bucket"), "left")
+      .join(qc, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"), round(sum(wf), 6).as("weight"))
+  }
+
   /** 64-bit FNV-1a rolling fingerprint of the normalized text — document
     * identity robust to whitespace/case noise. Pure column expression
     * stack (xxhash64 over the normalized form); for content-defined

@@ -302,6 +302,32 @@ object QPipe {
         minCount = 5, topN = 50)
     },
 
+    // CCNet-style statistical quality filter: train a Laplace-smoothed
+    // token-bigram LM on the English documents (the trusted reference
+    // corpus), score EVERY document's perplexity under it. The model
+    // table is vocabulary-bounded → broadcast; the only real shuffle is
+    // the per-document aggregation.
+    "q_text_lm_ppl" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.lmTrain(
+        docs.filter(col("lang") === "en"), "text")
+      TextAnalysis.lmPerplexity(docs, model, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // DSIR-style importance weighting (data selection): hashed
+    // unigram+bigram bag models of the en target vs the whole raw
+    // corpus; per-doc log importance ratio. Both models are
+    // bucket-bounded count tables → broadcast; the corpus shuffles only
+    // its own feature stream back onto the doc key.
+    "q_dsir_weights" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      TextAnalysis.importanceWeights(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text",
+          nBuckets = 1024)
+        .orderBy("doc_id")
+    },
+
     // stratified deterministic sampling (corpus mixing): keep half of
     // en, all of zh, a fifth of everything else — pure key-hash filter,
     // no RNG, replayed bucket-for-bucket by the oracle.
@@ -543,6 +569,75 @@ object QPipe {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM toks GROUP BY term HAVING count(*) >= 5
         |ORDER BY cf DESC, term ASC LIMIT 50""".stripMargin,
+
+    "q_text_lm_ppl" ->
+      """WITH ws AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[\s[:punct:]]+'),
+        |                w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(ws) AS w1 FROM ws WHERE lang = 'en')
+        |  GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |refbi AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+        |    SELECT ws[i] AS w1, ws[i+1] AS w2
+        |    FROM (SELECT ws FROM ws WHERE lang = 'en' AND len(ws) >= 2),
+        |      LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i))
+        |  GROUP BY w1, w2),
+        |docbi AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, ws FROM ws WHERE len(ws) >= 2),
+        |    LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i))
+        |SELECT d.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN b.c12 IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  round(avg(-ln((coalesce(b.c12,0)+1.0)/(coalesce(u.c1,0)+v.v))),6)
+        |    AS avg_nll,
+        |  round(exp(avg(-ln((coalesce(b.c12,0)+1.0)
+        |    /(coalesce(u.c1,0)+v.v)))),6) AS ppl
+        |FROM docbi d
+        |LEFT JOIN refbi b ON d.w1 = b.w1 AND d.w2 = b.w2
+        |LEFT JOIN uni u ON d.w1 = u.w1
+        |CROSS JOIN v
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH ws AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[\s[:punct:]]+'),
+        |                w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(ws) AS g FROM ws
+        |  UNION ALL
+        |  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS g
+        |  FROM (SELECT doc_id, lang, ws FROM ws WHERE len(ws) >= 2),
+        |    LATERAL unnest(generate_series(1, len(ws)-1)) AS t(i)),
+        |fb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM feats),
+        |tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tc
+        |       FROM fb WHERE lang = 'en' GROUP BY bucket),
+        |qc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS qc
+        |       FROM fb GROUP BY bucket),
+        |tot AS (SELECT
+        |  (SELECT CAST(sum(tc) AS BIGINT) FROM tc) AS t_tot,
+        |  (SELECT CAST(sum(qc) AS BIGINT) FROM qc) AS q_tot)
+        |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  round(sum(ln((coalesce(tc.tc, 0) + 1.0) / (tot.t_tot + 1024))
+        |          - ln((coalesce(qc.qc, 0) + 1.0) / (tot.q_tot + 1024))), 6)
+        |    AS weight
+        |FROM fb f
+        |LEFT JOIN tc ON f.bucket = tc.bucket
+        |LEFT JOIN qc ON f.bucket = qc.bucket
+        |CROSS JOIN tot
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH h AS (

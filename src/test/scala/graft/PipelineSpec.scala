@@ -561,6 +561,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("lm perplexity: laplace bigram scoring with OOV floor") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b")).toDF("id", "text")
+    val model = TextAnalysis.lmTrain(ref, "text")
+    // bigrams (a,b)->2, (b,a)->1; unigram rows a->2, b->2 (w2 NULL)
+    val m = model.collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(m == Set(("a", Some("b"), 2L), ("b", Some("a"), 1L),
+      ("a", None, 2L), ("b", None, 2L)))
+    val docs = Seq((10L, "a b c"), (11L, "z z"), (12L, "solo"))
+      .toDF("id", "text")
+    val out = TextAnalysis.lmPerplexity(docs, model, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // (a,b) seen: P=(2+1)/(2+2); (b,c) unseen: P=(0+1)/(2+2);
+    // avg_nll = (ln(4/3)+ln 4)/2, ppl = sqrt(16/3)
+    assert(out(10L) == ((2L, 1L, 0.836988, 2.309401)))
+    // fully OOV gram: smoothing floor P = 1/(0+V) with V=2
+    assert(out(11L) == ((1L, 0L, 0.693147, 2.0)))
+    // single-token doc has no bigrams → absent from the score relation
+    assert(!out.contains(12L))
+    assert(out.size == 2)
+  }
+
+  test("importance weights: hand formula, target-like docs score higher") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b", "en"), (2L, "c c", "xx"))
+      .toDF("id", "text", "lang")
+    val out = TextAnalysis.importanceWeights(docs,
+        docs.filter($"lang" === "en"), "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // features (uni+bi): d1 {a, b, "a b"}, d2 {c, c, "c c"};
+    // t_tot=3, q_tot=6, B=1024, all buckets distinct for these strings
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = 3 * (math.log(2.0 / 1027) - math.log(2.0 / 1030))
+    val d2 = 2 * (math.log(1.0 / 1027) - math.log(3.0 / 1030)) +
+      (math.log(1.0 / 1027) - math.log(2.0 / 1030))
+    assert(out(1L) == ((3L, r6(d1))))
+    assert(out(2L) == ((3L, r6(d2))))
+    // the selection signal: the target-member document outranks
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("chunking: full coverage, overlap, ragged tail") {
     import spark.implicits._
     import graft.ops.TextPrep

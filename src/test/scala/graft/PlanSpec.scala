@@ -266,6 +266,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodeCount(p, "Window") - nodeCount(p, "WindowGroupLimit") == 1, p)
   }
 
+  test("q_text_lm_ppl: model lookups are broadcast equi-joins; the only " +
+      "nested-loop is the deliberate one-row V attach") {
+    val p = plan("q_text_lm_ppl")
+    assert(!p.contains("CartesianProduct"), p)
+    // crossJoin(broadcast(v)) — a ONE-ROW relation — is the single
+    // nested-loop node; the gram lookups themselves must be equi-joins
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_dsir_weights: bucket-bounded model joins broadcast; single " +
+      "one-row totals attach") {
+    val p = plan("q_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly two nested-loop nodes, both ONE-ROW: t_tot × q_tot
+    // composing the totals row, then attaching it to the feature stream
+    assert(nodeCount(p, "BroadcastNestedLoopJoin") == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_text_vocab: ordered limit plans as TakeOrdered, not global sort") {
     val p = plan("q_text_vocab")
     assert(p.contains("TakeOrderedAndProject"), p)
