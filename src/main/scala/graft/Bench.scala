@@ -79,11 +79,19 @@ object Bench {
     // GC/scheduling jitter, which otherwise swamps sub-second marginals.
     headline.foreach(run(_, sfDir))
 
-    def best(name: String, dir: String): Double =
+    def best(name: String, dir: String): Double = {
+      // drop whatever a previous query pinned: operators that cache
+      // intermediate relations (minhash signatures) would otherwise tax
+      // every LATER query's heap — at sf10 the pinned shingle sets are
+      // GBs and inflated unrelated scans 3-4× (GC pressure), at sf0.1
+      // the effect is noise. Within one query's reps the cache behaves
+      // naturally (first rep fills, best-of-3 reports steady state).
+      spark.catalog.clearCache()
       Seq.fill(3)(run(name, dir)).filter(_ >= 0) match {
         case Nil => -1.0
         case xs => xs.min
       }
+    }
     System.gc() // settle the heap before the timed section
     val results = headline.map(n => n -> best(n, sfDir))
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

@@ -90,7 +90,10 @@ object Dedup {
     // warehouse scale this is "checkpoint the signature table". The
     // count doubles as the corpus-size dial below — callers pass
     // bands = 0 (auto) so the recall/cost dial reuses this one job
-    // instead of scanning the input again.
+    // instead of scanning the input again. NOTE the cache outlives the
+    // call (the returned plan still references it lazily): a long-lived
+    // session running unrelated work afterwards should
+    // spark.catalog.clearCache() once the pairs are consumed.
     val nDocs = sig.count()
     val nBands = if (bands > 0) bands else adaptiveBands(nDocs, numHashes)
     require(numHashes % nBands == 0, "bands must divide numHashes")

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time one gate query under ad-hoc session confs — the A/B harness
+  * behind the bench tuning notes in BASELINE.md.
+  *
+  * Usage: QueryOne <sfDir> <query>[,<query>...] [k=v ...]
+  * Extra args become session confs (e.g.
+  * spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=256m).
+  * Prints warm + best-of-2 per query.
+  */
+object QueryOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val queries = args(1).split(",").toSeq
+    val confs = args.drop(2).map { kv =>
+      val Array(k, v) = kv.split("=", 2); (k, v)
+    }
+    val builder = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    confs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    queries.foreach { q =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val w = once()
+      val best = Seq.fill(2)(once()).min
+      println(f"[one] $q warm=$w%.2f best=$best%.2f")
+    }
+    spark.stop()
+  }
+}

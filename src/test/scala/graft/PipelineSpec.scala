@@ -392,10 +392,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("base_id", "doc_id"), "left_semi")
     assert(mutatedSurvivorsWithBase.count() == 0)
 
-    // stage 4: export the clean corpus as a Delta table; round-trip it
+    // stage 4: statistical selection signals on the survivors — LM
+    // perplexity under a survivor-trained model, DSIR weights against
+    // the original documents as target
+    val model = TextAnalysis.lmTrain(survivors, "text")
+    val ppl = TextAnalysis.lmPerplexity(survivors, model, "doc_id", "text")
+    assert(ppl.filter(col("ppl") <= 0).count() == 0)
+    assert(ppl.count() == survivors.count()) // every doc has >= 2 tokens
+    val target = survivors.filter(col("doc_id") < 100)
+    val dsir = TextAnalysis.importanceWeights(
+      survivors, target, "doc_id", "text")
+    val avgW = dsir.withColumn("in_target", col("doc_id") < 100)
+      .groupBy("in_target").agg(avg(col("weight")).as("w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the selection signal points at the target distribution
+    assert(avgW(true) > avgW(false))
+
+    // stage 5: deterministic split, then export the clean corpus as a
+    // Delta table; round-trip it
+    val withSplits = graft.ops.TextPrep.withSplit(survivors, "doc_id")
+    assert(withSplits.filter(col("split").isNull).count() == 0)
     val out = java.nio.file.Files.createTempDirectory("pipe_out")
       .toString + "/clean"
-    Engine.copyTo(survivors, out, format = "delta")
+    Engine.copyTo(withSplits.drop("split"), out, format = "delta")
     val back = graft.core.DeltaImport.scan(spark, out)
     assert(back.count() == survivors.count())
   }
