@@ -931,6 +931,15 @@ object Engine {
       // reference; direct JDK zip+XML parse here. options: sheet
       case "xlsx" =>
         graft.sources.Xlsx.read(spark, path, options.get("sheet"))
+      // OGC GeoPackage (.gpkg = SQLite + conventions) — GDAL in the
+      // reference (gdal.c ".gpkg | GPKG"); direct b-tree parse here.
+      // options: layer
+      case "gpkg" | "geopackage" =>
+        graft.sources.Gpkg.read(spark, path, options.get("layer"))
+      // OGC KML/KMZ — GDAL in the reference (".kml | KML"); JDK StAX
+      // parse here, one row per Placemark
+      case "kml" | "kmz" =>
+        graft.sources.Kml.read(spark, path)
       case "geojson" =>
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(

@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** GeoPackage reader from the public specifications — OGC GeoPackage is
+  * a SQLite 3 database with conventioned tables, so two formats are
+  * parsed directly (the reference reads .gpkg via DuckDB spatial/GDAL:
+  * pg_lake_engine/src/pgduck/gdal.c, docs/file-formats-reference.md —
+  * ".gpkg | GPKG"; no GDAL in this environment):
+  *
+  *  - SQLite 3 file format (sqlite.org/fileformat2): 100-byte header
+  *    (page size @16, per-page reserved bytes @20), b-tree pages (table
+  *    interior 0x05 / leaf 0x0d), cell pointer arrays, varint-prefixed
+  *    records with serial-type headers, payload overflow chains, and
+  *    the `sqlite_master` catalog rooted on page 1. Read-only, and only
+  *    table b-trees — indexes are irrelevant to a full scan.
+  *  - GPKG conventions (opengeospatial.org/standards/geopackage):
+  *    `gpkg_contents` lists layers (data_type = 'features'),
+  *    `gpkg_geometry_columns` names each layer's geometry column, and
+  *    geometry values are a "GP" binary header (version, flags,
+  *    srs_id, optional envelope) wrapping standard WKB — which lands
+  *    here as the same WKB BinaryType every ST_* kernel consumes.
+  *
+  * The INTEGER PRIMARY KEY column (GPKG's `fid`) is a rowid alias —
+  * SQLite stores NULL in the record and the b-tree key carries the
+  * value — so it is materialized from the rowid.
+  *
+  * Scale posture: like the Shapefile reader, one task per .gpkg file
+  * (the same unit GDAL readers process); the driver touches only the
+  * first file for the schema. GPKG is a small-vector-file interchange
+  * format — bulk analytics land in parquet/lake tables.
+  */
+object Gpkg {
+
+  /** Read `path` (a .gpkg file or a directory of them) into a DataFrame:
+    * fid ++ attribute columns ++ the geometry column as WKB. `layer`
+    * selects among multiple feature tables (required iff several). */
+  def read(spark: SparkSession, path: String,
+      layer: Option[String] = None): DataFrame = {
+    val files = resolve(path)
+    require(files.nonEmpty, s"no .gpkg files at $path")
+    val head = new SqliteDb(Files.readAllBytes(Paths.get(files.head)))
+    val (table, geomCol) = pickLayer(head, layer)
+    val cols = tableColumns(head, table)
+    val schema = StructType(cols.map { c =>
+      StructField(c.name, if (c.name == geomCol) BinaryType else c.dataType)
+    })
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
+      val db = new SqliteDb(Files.readAllBytes(Paths.get(f)))
+      val tcols = tableColumns(db, table)
+      val root = db.tableRoot(table).getOrElse(
+        throw new IllegalArgumentException(s"no table $table in $f"))
+      db.scan(root).map { case (rowid, rec) =>
+        Row.fromSeq(tcols.zipWithIndex.map { case (c, i) =>
+          val v = if (i < rec.size) rec(i) else null
+          if (c.rowidAlias) rowid
+          else if (c.name == geomCol) unwrapGp(v)
+          else coerce(v, c.dataType)
+        })
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Feature layers (gpkg_contents rows with data_type = 'features'). */
+  def layers(path: String): Seq[String] = {
+    val db = new SqliteDb(Files.readAllBytes(Paths.get(resolve(path).head)))
+    featureTables(db)
+  }
+
+  private def resolve(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala
+        .filter(_.toString.toLowerCase.endsWith(".gpkg"))
+        .map(_.toString).toSeq.sorted
+    else Seq(path)
+  }
+  private implicit class It[A](val it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(it).asScala
+  }
+
+  // ------------------------------------------------------- GPKG layer
+
+  private def featureTables(db: SqliteDb): Seq[String] =
+    db.tableRoot("gpkg_contents").toSeq.flatMap { root =>
+      val cols = tableColumns(db, "gpkg_contents").map(_.name)
+      val ti = cols.indexOf("table_name"); val di = cols.indexOf("data_type")
+      db.scan(root).toSeq.collect {
+        case (_, rec) if di >= 0 && ti >= 0 && rec.lift(di).flatMap(
+            Option(_)).contains("features") =>
+          rec(ti).asInstanceOf[String]
+      }.sorted
+    }
+
+  private def pickLayer(db: SqliteDb, layer: Option[String])
+      : (String, String) = {
+    val feats = featureTables(db)
+    val table = layer.getOrElse {
+      require(feats.size == 1,
+        s"multiple feature layers ${feats.mkString(",")}: pass layer=")
+      feats.head
+    }
+    require(feats.contains(table), s"no feature layer $table (have $feats)")
+    val geomCol = db.tableRoot("gpkg_geometry_columns").flatMap { root =>
+      val cols = tableColumns(db, "gpkg_geometry_columns").map(_.name)
+      val ti = cols.indexOf("table_name"); val ci = cols.indexOf("column_name")
+      db.scan(root).collectFirst {
+        case (_, rec) if rec.lift(ti).flatMap(Option(_)).contains(table) =>
+          rec(ci).asInstanceOf[String]
+      }
+    }.getOrElse("geom")
+    (table, geomCol)
+  }
+
+  /** Strip the GPKG "GP" binary header, returning the inner WKB. */
+  private[sources] def unwrapGp(v: Any): Array[Byte] = v match {
+    case null => null
+    case b: Array[Byte] =>
+      require(b.length >= 8 && b(0) == 'G' && b(1) == 'P',
+        "not a GPKG geometry blob")
+      val flags = b(3)
+      require((flags & 0x20) == 0, "extended GPKG geometry not supported")
+      val envSizes = Array(0, 32, 48, 48, 64) // indicator → envelope bytes
+      val ind = (flags >> 1) & 0x07
+      require(ind <= 4, s"invalid GPKG envelope indicator $ind")
+      val off = 8 + envSizes(ind)
+      if ((flags & 0x10) != 0) null // empty-geometry flag
+      else java.util.Arrays.copyOfRange(b, off, b.length)
+    case other =>
+      throw new IllegalArgumentException(s"geometry column held $other")
+  }
+
+  // --------------------------------------------- declared-type mapping
+
+  private[sources] case class Col(name: String, declared: String,
+      rowidAlias: Boolean) {
+    def dataType: DataType = {
+      val t = declared.toUpperCase
+      if (rowidAlias || t.contains("INT") || t == "BOOLEAN") LongType
+      else if (t.contains("REAL") || t.contains("DOUB") ||
+        t.contains("FLOA")) DoubleType
+      else if (t.contains("BLOB") || t.isEmpty) BinaryType
+      else StringType // TEXT/VARCHAR/DATE/DATETIME ride as strings
+    }
+  }
+
+  /** Column list from the CREATE TABLE statement in sqlite_master —
+    * names, declared types, and the INTEGER PRIMARY KEY rowid alias. */
+  private[sources] def tableColumns(db: SqliteDb, table: String): Seq[Col] = {
+    val sql = db.tableSql(table).getOrElse(
+      throw new IllegalArgumentException(s"no table $table"))
+    val body = sql.substring(sql.indexOf('(') + 1, sql.lastIndexOf(')'))
+    // split on top-level commas (types like DECIMAL(10,2) nest parens)
+    val defs = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; val cur = new StringBuilder
+    body.foreach {
+      case ',' if depth == 0 => defs += cur.result(); cur.clear()
+      case c =>
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+    }
+    defs += cur.result()
+    val constraint =
+      "(?i)^\\s*(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\\b".r
+    defs.toSeq.map(_.trim).filter(_.nonEmpty)
+      .filterNot(d => constraint.findFirstIn(d).isDefined)
+      .map { d =>
+        val (name, rest) =
+          if (d.startsWith("\"")) {
+            val e = d.indexOf('"', 1); (d.substring(1, e), d.substring(e + 1))
+          } else if (d.startsWith("`")) {
+            val e = d.indexOf('`', 1); (d.substring(1, e), d.substring(e + 1))
+          } else if (d.startsWith("[")) {
+            val e = d.indexOf(']'); (d.substring(1, e), d.substring(e + 1))
+          } else {
+            val e = d.indexWhere(_.isWhitespace)
+            if (e < 0) (d, "") else (d.substring(0, e), d.substring(e))
+          }
+        val declared = rest.trim.takeWhile(c => !",".contains(c)).trim
+          .split("\\s+").takeWhile(w => !Set("PRIMARY", "NOT", "UNIQUE",
+            "DEFAULT", "CHECK", "REFERENCES", "AUTOINCREMENT")
+            .contains(w.toUpperCase)).mkString(" ")
+        val rowid = "(?i)INTEGER\\s+PRIMARY\\s+KEY".r
+          .findFirstIn(d).isDefined
+        Col(name, declared, rowid)
+      }
+  }
+
+  /** Serial-type value coerced to the declared column type (SQLite
+    * columns are dynamically typed; GPKG writers may store an int in a
+    * REAL column etc.). */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (l: java.lang.Long, DoubleType) => l.toDouble
+    case (l: java.lang.Long, LongType) => l
+    case (d: java.lang.Double, DoubleType) => d
+    case (d: java.lang.Double, LongType) => d.toLong
+    case (s: String, StringType) => s
+    case (b: Array[Byte], BinaryType) => b
+    case (other, StringType) => other.toString
+    case (other, _) => other
+  }
+}
+
+/** Minimal read-only SQLite 3 parser: enough of the file format to walk
+  * table b-trees — header, page map, cells, records, overflow chains.
+  * The whole file rides in memory (GPKG files are interchange-sized;
+  * the distributed unit is the file, as with Shapefile). */
+private[sources] final class SqliteDb(bytes: Array[Byte]) {
+  require(bytes.length > 100 &&
+    new String(bytes, 0, 15, StandardCharsets.US_ASCII) == "SQLite format 3",
+    "not a SQLite database")
+  private val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+  val pageSize: Int = {
+    val raw = buf.getShort(16) & 0xffff
+    if (raw == 1) 65536 else raw
+  }
+  private val reserved = bytes(20) & 0xff
+  private val usable = pageSize - reserved
+
+  // ------------------------------------------------------ b-tree scan
+
+  /** (rootpage, sql) of a table in sqlite_master. */
+  private lazy val master: Map[String, (Int, String)] =
+    scan(1).flatMap { case (_, rec) =>
+      // sqlite_master: type, name, tbl_name, rootpage, sql
+      (rec.lift(0), rec.lift(1), rec.lift(3), rec.lift(4)) match {
+        case (Some("table"), Some(name: String), Some(root: java.lang.Long),
+            sqlOpt) =>
+          Some(name -> (root.toInt,
+            sqlOpt.map(String.valueOf(_)).getOrElse("")))
+        case _ => None
+      }
+    }.toMap
+
+  def tableRoot(name: String): Option[Int] = master.get(name).map(_._1)
+  def tableSql(name: String): Option[String] = master.get(name).map(_._2)
+
+  /** All (rowid, record) of a table b-tree, in key order. */
+  def scan(rootPage: Int): Iterator[(Long, IndexedSeq[Any])] = {
+    val pageOff = (rootPage - 1).toLong * pageSize
+    val hdrOff = (if (rootPage == 1) 100 else 0) + pageOff.toInt
+    val pType = bytes(hdrOff) & 0xff
+    val nCells = buf.getShort(hdrOff + 3) & 0xffff
+    pType match {
+      case 0x05 => // table interior: left children + right-most pointer
+        val cellPtrs = (0 until nCells).map(i =>
+          buf.getShort(hdrOff + 12 + 2 * i) & 0xffff)
+        val kids = cellPtrs.map(p => buf.getInt(pageOff.toInt + p)) :+
+          buf.getInt(hdrOff + 8)
+        kids.iterator.flatMap(scan)
+      case 0x0d => // table leaf
+        val cellPtrs = (0 until nCells).map(i =>
+          buf.getShort(hdrOff + 8 + 2 * i) & 0xffff)
+        cellPtrs.iterator.map(p => readLeafCell(pageOff.toInt + p))
+      case other =>
+        throw new IllegalArgumentException(s"unexpected page type $other")
+    }
+  }
+
+  private def readLeafCell(off0: Int): (Long, IndexedSeq[Any]) = {
+    var off = off0
+    val (payloadLen, o1) = varint(off); off = o1
+    val (rowid, o2) = varint(off); off = o2
+    val payload = readPayload(off, payloadLen.toInt)
+    (rowid, decodeRecord(payload))
+  }
+
+  /** Local bytes + overflow chain, per the spill formula
+    * (sqlite.org/fileformat2 §B-tree Pages). */
+  private def readPayload(off: Int, len: Int): Array[Byte] = {
+    val maxLocal = usable - 35
+    if (len <= maxLocal)
+      java.util.Arrays.copyOfRange(bytes, off, off + len)
+    else {
+      val minLocal = (usable - 12) * 32 / 255 - 23
+      val k = minLocal + (len - minLocal) % (usable - 4)
+      val local = if (k > maxLocal) minLocal else k
+      val out = new Array[Byte](len)
+      System.arraycopy(bytes, off, out, 0, local)
+      var written = local
+      var page = buf.getInt(off + local)
+      while (page != 0 && written < len) {
+        val pOff = (page - 1).toLong * pageSize
+        page = buf.getInt(pOff.toInt)
+        val n = math.min(usable - 4, len - written)
+        System.arraycopy(bytes, pOff.toInt + 4, out, written, n)
+        written += n
+      }
+      require(written == len, s"truncated overflow chain: $written/$len")
+      out
+    }
+  }
+
+  // ------------------------------------------------------- records
+
+  /** SQLite record: varint header size, serial types, values. */
+  private def decodeRecord(p: Array[Byte]): IndexedSeq[Any] = {
+    val b = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
+    val (hdrLen, h0) = varintIn(p, 0)
+    var ho = h0
+    val types = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (ho < hdrLen) {
+      val (t, n) = varintIn(p, ho); types += t; ho = n
+    }
+    var off = hdrLen.toInt
+    types.map { t =>
+      val (v, sz): (Any, Int) = t match {
+        case 0 => (null, 0)
+        case 1 => (b.get(off).toLong, 1)
+        case 2 => (b.getShort(off).toLong, 2)
+        case 3 => (((b.get(off).toLong << 16) |
+          ((b.getShort(off + 1) & 0xffffL))), 3)
+        case 4 => (b.getInt(off).toLong, 4)
+        case 5 => (((b.getShort(off).toLong << 32) |
+          (b.getInt(off + 2) & 0xffffffffL)), 6)
+        case 6 => (b.getLong(off), 8)
+        case 7 => (b.getDouble(off), 8)
+        case 8 => (0L, 0)
+        case 9 => (1L, 0)
+        case n if n >= 12 && n % 2 == 0 =>
+          val len = ((n - 12) / 2).toInt
+          (java.util.Arrays.copyOfRange(p, off, off + len), len)
+        case n if n >= 13 =>
+          val len = ((n - 13) / 2).toInt
+          (new String(p, off, len, StandardCharsets.UTF_8), len)
+        case n =>
+          throw new IllegalArgumentException(s"serial type $n")
+      }
+      off += sz
+      v match {
+        case l: Long => Long.box(l)
+        case d: Double => Double.box(d)
+        case o => o
+      }
+    }.toIndexedSeq
+  }
+
+  private def varint(off: Int): (Long, Int) = varintIn(bytes, off)
+
+  private def varintIn(a: Array[Byte], off0: Int): (Long, Int) = {
+    var v = 0L; var off = off0; var i = 0
+    while (i < 8 && (a(off) & 0x80) != 0) {
+      v = (v << 7) | (a(off) & 0x7f); off += 1; i += 1
+    }
+    if (i == 8) { v = (v << 8) | (a(off) & 0xff); off += 1 }
+    else { v = (v << 7) | (a(off) & 0x7f); off += 1 }
+    (v, off)
+  }
+}

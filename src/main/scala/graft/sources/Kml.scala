@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.nio.file.{Files, Paths}
+import java.util.zip.ZipInputStream
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.functions.GeoKernel
+import graft.functions.GeoKernel.{GLine, GMulti, GPoint, GPolygon, Geom, Pt}
+
+/** KML / KMZ reader from the OGC KML specification — another GDAL
+  * format the reference reads via DuckDB spatial/st_read
+  * (pg_lake_engine/src/pgduck/gdal.c, docs/file-formats-reference.md:
+  * ".kml | KML", ".kmz"); parsed here with the JDK's streaming XML
+  * reader (external entities and DTDs disabled).
+  *
+  * One row per Placemark: name, description, a string map of
+  * ExtendedData (both `Data/value` and Schema `SimpleData` forms), and
+  * the geometry as WKB. Geometries: Point, LineString, Polygon
+  * (outer/innerBoundaryIs LinearRings), and MultiGeometry — collapsed
+  * to MULTIPOINT/MULTILINESTRING/MULTIPOLYGON when homogeneous, else
+  * GEOMETRYCOLLECTION. KML coordinates are `lon,lat[,alt]` tuples;
+  * altitude is projected away, the same planar-XY policy as the WKB/
+  * Shapefile readers.
+  *
+  * Scale posture: one task per file, schema is fixed — the driver
+  * never opens the data. KMZ (a ZIP with a doc.kml) is unpacked
+  * in-task.
+  */
+object Kml {
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("description", StringType),
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("geometry", BinaryType)))
+
+  /** Read `path` (a .kml/.kmz file or a directory of them). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = resolve(path)
+    require(files.nonEmpty, s"no .kml/.kmz files at $path")
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
+      placemarks(kmlBytes(f)).map { p =>
+        Row(p.name.orNull, p.description.orNull, p.properties,
+          p.geom.map(GeoKernel.toWkb).orNull)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def resolve(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.map(_.toString)
+        .filter(s => s.toLowerCase.endsWith(".kml") ||
+          s.toLowerCase.endsWith(".kmz")).toSeq.sorted
+    else Seq(path)
+  }
+  private implicit class It[A](val it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(it).asScala
+  }
+
+  /** Raw KML text bytes — for .kmz, the first .kml entry of the ZIP
+    * (conventionally doc.kml). */
+  private[sources] def kmlBytes(path: String): Array[Byte] = {
+    val raw = Files.readAllBytes(Paths.get(path))
+    if (!path.toLowerCase.endsWith(".kmz")) raw
+    else {
+      val z = new ZipInputStream(new ByteArrayInputStream(raw))
+      Iterator.continually(z.getNextEntry).takeWhile(_ != null)
+        .find(_.getName.toLowerCase.endsWith(".kml"))
+        .map(_ => z.readAllBytes())
+        .getOrElse(throw new IllegalArgumentException(
+          s"no .kml entry inside $path"))
+    }
+  }
+
+  private[sources] case class Placemark(name: Option[String],
+      description: Option[String], properties: Map[String, String],
+      geom: Option[Geom])
+
+  /** StAX walk: collect Placemark fields and geometry trees. */
+  private[sources] def placemarks(bytes: Array[Byte]): Seq[Placemark] = {
+    val fac = XMLInputFactory.newInstance()
+    fac.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    fac.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = fac.createXMLStreamReader(
+      new ByteArrayInputStream(bytes): InputStream)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Placemark]
+
+    def local: String = r.getLocalName
+
+    /** Text content of the current element (consumes through its end). */
+    def text(): String = {
+      val sb = new StringBuilder
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case XMLStreamConstants.CHARACTERS |
+               XMLStreamConstants.CDATA => sb.append(r.getText)
+          case _ =>
+        }
+      }
+      sb.result().trim
+    }
+
+    def coords(s: String): IndexedSeq[Pt] =
+      s.split("\\s+").iterator.filter(_.nonEmpty).map { tup =>
+        val parts = tup.split(",")
+        (parts(0).toDouble, parts(1).toDouble) // alt projected away
+      }.toIndexedSeq
+
+    /** Parse the geometry element currently open. */
+    def geometry(kind: String): Option[Geom] = kind match {
+      case "Point" =>
+        val pts = coords(elementText("coordinates"))
+        pts.headOption.map { case (x, y) => GPoint(x, y) }
+      case "LineString" =>
+        val pts = coords(elementText("coordinates"))
+        if (pts.isEmpty) None else Some(GLine(pts))
+      case "Polygon" =>
+        // outerBoundaryIs first, then innerBoundaryIs holes, each a
+        // LinearRing/coordinates
+        val rings = scala.collection.mutable.ArrayBuffer
+          .empty[(Boolean, IndexedSeq[Pt])]
+        var depth = 1
+        while (depth > 0 && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              local match {
+                case "outerBoundaryIs" | "innerBoundaryIs" =>
+                  val outer = local == "outerBoundaryIs"
+                  val ring = coords(elementText("coordinates"))
+                  if (ring.nonEmpty) rings += ((outer, ring))
+                  // elementText consumed through the boundary's end tag
+                case _ => depth += 1
+              }
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ =>
+          }
+        }
+        val (outers, holes) = rings.partition(_._1)
+        if (outers.isEmpty) None
+        else Some(GPolygon((outers.map(_._2) ++ holes.map(_._2)).toIndexedSeq))
+      case "MultiGeometry" =>
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Geom]
+        var depth = 1
+        while (depth > 0 && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              local match {
+                case k @ ("Point" | "LineString" | "Polygon" |
+                    "MultiGeometry") =>
+                  geometry(k).foreach(parts += _)
+                case _ => depth += 1
+              }
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ =>
+          }
+        }
+        if (parts.isEmpty) None
+        else {
+          val kinds = parts.map(_.typeName).distinct
+          val tn = kinds.toList match {
+            case "POINT" :: Nil => "MULTIPOINT"
+            case "LINESTRING" :: Nil => "MULTILINESTRING"
+            case "POLYGON" :: Nil => "MULTIPOLYGON"
+            case _ => "GEOMETRYCOLLECTION"
+          }
+          Some(GMulti(tn, parts.toIndexedSeq))
+        }
+      case _ => None
+    }
+
+    /** Skip to a named child element and return its text; consumes
+      * through the PARENT's end tag. */
+    def elementText(name: String): String = {
+      var result = ""
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (local == name) result = text() // consumes its end tag
+            else depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+      }
+      result
+    }
+
+    def placemark(): Placemark = {
+      var name: Option[String] = None
+      var desc: Option[String] = None
+      val props = scala.collection.mutable.LinkedHashMap
+        .empty[String, String]
+      var geom: Option[Geom] = None
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            local match {
+              case "name" => name = Some(text())
+              case "description" => desc = Some(text())
+              case "Data" =>
+                val key = Option(r.getAttributeValue(null, "name"))
+                val v = elementText("value")
+                key.foreach(props(_) = v)
+              case "SimpleData" =>
+                val key = Option(r.getAttributeValue(null, "name"))
+                val v = text()
+                key.foreach(props(_) = v)
+              case k @ ("Point" | "LineString" | "Polygon" |
+                  "MultiGeometry") =>
+                geom = geometry(k)
+              case _ => depth += 1
+            }
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+      }
+      Placemark(name, desc, props.toMap, geom)
+    }
+
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+        local == "Placemark") out += placemark()
+    }
+    r.close()
+    out.toSeq
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.GeoKernel
+import graft.sources.Gpkg
+
+/** GeoPackage reader against a GENUINE SQLite-written fixture (stdlib
+  * sqlite3 generated `sample.gpkg`, committed at test resources) — not
+  * bytes assembled by the code under test, so the SQLite b-tree walk,
+  * varint/serial-type record decoding, overflow chains, rowid-alias
+  * materialization, and GPKG "GP" header unwrap are all validated
+  * against another implementation's output. Fixture contents: layer
+  * `zones` (2004 rows: a polygon with an envelope-bearing header, a
+  * NULL geometry, an 8 KB name that forces a payload overflow chain,
+  * 2000 points spanning interior b-tree pages, and an integer stored
+  * in the DOUBLE column), layer `notes` (explicit fid 42). */
+class GpkgSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val gpkgPath: String = {
+    val in = getClass.getResourceAsStream("/gpkg/sample.gpkg")
+    assert(in != null, "fixture /gpkg/sample.gpkg missing")
+    val tmp = Files.createTempFile("sample", ".gpkg")
+    Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+    tmp.toString
+  }
+
+  test("layer discovery via gpkg_contents") {
+    assert(Gpkg.layers(gpkgPath) == Seq("notes", "zones"))
+    // several feature layers -> layer= required
+    intercept[IllegalArgumentException] {
+      Gpkg.read(spark, gpkgPath)
+    }
+  }
+
+  test("zones: schema, rowid-alias fid, typed attributes") {
+    val df = Gpkg.read(spark, gpkgPath, Some("zones")).cache()
+    assert(df.columns.toSeq == Seq("fid", "name", "score", "tag", "geom"))
+    assert(df.count() == 2004)
+    val bySquare = df.filter(org.apache.spark.sql.functions
+      .col("name") === "square").collect().head
+    assert(bySquare.getLong(0) == 1L) // INTEGER PRIMARY KEY = rowid
+    assert(bySquare.getDouble(2) == 16.0)
+    assert(bySquare.getAs[Array[Byte]]("tag").toSeq == Seq[Byte](1, 2))
+    // envelope-bearing GP header unwraps to the same WKB polygon
+    val g = GeoKernel.fromWkb(bySquare.getAs[Array[Byte]]("geom")).get
+    assert(g.typeName == "POLYGON")
+    assert(g.points.size == 5 && g.points.contains((4.0, 4.0)))
+  }
+
+  test("null geometry, overflow-length text, dynamic-type coercion") {
+    import org.apache.spark.sql.functions._
+    val df = Gpkg.read(spark, gpkgPath, Some("zones")).cache()
+    val nogeom = df.filter(col("name") === "nogeom").collect().head
+    assert(nogeom.isNullAt(4) && nogeom.getDouble(2) == -1.5)
+    // 8 KB name spilled to an overflow chain; its point survives intact
+    val long = df.filter(length(col("name")) > 8000).collect().head
+    assert(long.getString(1).startsWith("longtext-"))
+    assert(GeoKernel.fromWkb(long.getAs[Array[Byte]]("geom"))
+      .contains(GeoKernel.GPoint(7.5, -3.25)))
+    // SQLite stored an INTEGER in the DOUBLE column -> coerced
+    assert(df.filter(col("name") === "intscore").collect()
+      .head.getDouble(2) == 7.0)
+    // the 2000 bulk points walked interior pages in rowid order
+    assert(df.filter(col("name").startsWith("p")).count() == 2000)
+    assert(df.agg(max("fid")).collect().head.getLong(0) == 2004L)
+  }
+
+  test("notes: explicit rowid, geometry column named by metadata") {
+    val df = Gpkg.read(spark, gpkgPath, Some("notes"))
+    assert(df.columns.toSeq == Seq("fid", "body", "pt"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 42L && r.getString(1) == "hello")
+    assert(GeoKernel.fromWkb(r.getAs[Array[Byte]]("pt"))
+      .contains(GeoKernel.GPoint(9, 9)))
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.GeoKernel
+import graft.sources.Kml
+
+/** KML/KMZ reader against a document with the noise a real export
+  * carries: Document/Folder nesting, Style blocks, CDATA descriptions,
+  * altitude-bearing coordinates, a Polygon with a hole, MultiGeometry,
+  * both ExtendedData forms, and a geometry-less Placemark. */
+class KmlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val kml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<kml xmlns="http://www.opengis.net/kml/2.2">
+      |<Document>
+      |  <name>doc name, not a placemark</name>
+      |  <Style id="s"><LineStyle><width>2</width></LineStyle></Style>
+      |  <Folder>
+      |    <name>folder name</name>
+      |    <Placemark>
+      |      <name>station</name>
+      |      <description><![CDATA[<b>bold</b> text]]></description>
+      |      <ExtendedData>
+      |        <Data name="code"><value>A7</value></Data>
+      |        <SchemaData schemaUrl="#t"><SimpleData name="kind">rail
+      |</SimpleData></SchemaData>
+      |      </ExtendedData>
+      |      <Point><coordinates>13.4,52.52,34.0</coordinates></Point>
+      |    </Placemark>
+      |    <Placemark>
+      |      <name>route</name>
+      |      <LineString><tessellate>1</tessellate>
+      |        <coordinates>0,0 1,1,5
+      |          2,0</coordinates></LineString>
+      |    </Placemark>
+      |  </Folder>
+      |  <Placemark>
+      |    <name>zone</name>
+      |    <Polygon>
+      |      <outerBoundaryIs><LinearRing>
+      |        <coordinates>0,0 4,0 4,4 0,4 0,0</coordinates>
+      |      </LinearRing></outerBoundaryIs>
+      |      <innerBoundaryIs><LinearRing>
+      |        <coordinates>1,1 2,1 2,2 1,2 1,1</coordinates>
+      |      </LinearRing></innerBoundaryIs>
+      |    </Polygon>
+      |  </Placemark>
+      |  <Placemark>
+      |    <name>pair</name>
+      |    <MultiGeometry>
+      |      <Point><coordinates>5,5</coordinates></Point>
+      |      <Point><coordinates>6,6</coordinates></Point>
+      |    </MultiGeometry>
+      |  </Placemark>
+      |  <Placemark><name>nowhere</name></Placemark>
+      |</Document>
+      |</kml>""".stripMargin
+
+  test("placemarks: geometry kinds, properties, noise skipped") {
+    val dir = Files.createTempDirectory("kml")
+    Files.write(dir.resolve("a.kml"), kml.getBytes("UTF-8"))
+    val df = Kml.read(spark, dir.toString).cache()
+    assert(df.count() == 5) // Document/Folder names are NOT placemarks
+    val byName = df.collect().map(r => r.getString(0) -> r).toMap
+
+    val station = byName("station")
+    assert(station.getString(1) == "<b>bold</b> text")
+    assert(station.getAs[Map[String, String]]("properties") ==
+      Map("code" -> "A7", "kind" -> "rail"))
+    assert(GeoKernel.fromWkb(station.getAs[Array[Byte]]("geometry"))
+      .contains(GeoKernel.GPoint(13.4, 52.52))) // altitude dropped
+
+    val route = GeoKernel.fromWkb(
+      byName("route").getAs[Array[Byte]]("geometry")).get
+    assert(route == GeoKernel.GLine(
+      IndexedSeq((0.0, 0.0), (1.0, 1.0), (2.0, 0.0))))
+
+    val zone = GeoKernel.fromWkb(
+      byName("zone").getAs[Array[Byte]]("geometry")).get
+    assert(zone.typeName == "POLYGON")
+    assert(zone.asInstanceOf[GeoKernel.GPolygon].rings.size == 2)
+
+    val pair = GeoKernel.fromWkb(
+      byName("pair").getAs[Array[Byte]]("geometry")).get
+    assert(pair.typeName == "MULTIPOINT" && pair.points.size == 2)
+
+    assert(byName("nowhere").isNullAt(3))
+  }
+
+  test("kmz: zipped doc.kml unpacks in-task") {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("doc.kml"))
+    z.write(kml.getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    val f = Files.createTempFile("x", ".kmz")
+    val fos = new FileOutputStream(f.toFile)
+    fos.write(bos.toByteArray); fos.close()
+    val df = graft.engine.Engine.copyFrom(spark, f.toString, "kmz")
+    assert(df.count() == 5)
+    assert(df.filter(col("name") === "zone").count() == 1)
+  }
+}
