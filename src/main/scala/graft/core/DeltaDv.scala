@@ -273,8 +273,14 @@ object DeltaDv {
 
   /** Write one DV into a fresh `u`-storage file next to the table;
     * returns the descriptor to embed in the add action. */
-  def writeDvFile(tableDir: String, positions: Array[Long]): Descriptor = {
-    val data = serialize(positions)
+  def writeDvFile(tableDir: String, positions: Array[Long]): Descriptor =
+    writeDvData(tableDir, serialize(positions), positions.length)
+
+  /** Same, from ALREADY-SERIALIZED bitmap bytes — the shape the
+    * distributed DELETE path ships back from executors (bitmaps, not
+    * boxed row indexes). */
+  def writeDvData(tableDir: String, data: Array[Byte],
+      cardinality: Long): Descriptor = {
     val uuid = java.util.UUID.randomUUID()
     val raw = ByteBuffer.allocate(16)
       .putLong(uuid.getMostSignificantBits)
@@ -286,6 +292,6 @@ object DeltaDv {
     body.putInt(crc.getValue.toInt)
     Files.write(Paths.get(tableDir, s"deletion_vector_$uuid.bin"),
       body.array())
-    Descriptor("u", bytesToZ85(raw), Some(1), data.length, positions.length)
+    Descriptor("u", bytesToZ85(raw), Some(1), data.length, cardinality)
   }
 }

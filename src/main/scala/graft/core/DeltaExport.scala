@@ -231,9 +231,12 @@ object DeltaExport {
     * the protocol to v3/deletionVectors. Returns rows deleted.
     *
     * Positions are computed distributed (`_metadata.row_index` under
-    * the predicate); only the per-file position lists come back to the
-    * driver, which writes the .bin vectors next to the table — the
-    * same driver-side commit work every Delta writer does. */
+    * the predicate), and each file's roaring bitmap is SERIALIZED on
+    * the executors too — merging any existing vector in-task — so what
+    * reaches the driver is one compressed bitmap per touched file
+    * (bounded by bitmap bytes, never by deleted-row count). The driver
+    * only writes the .bin files and the commit — the same driver-side
+    * work every Delta writer does. */
   def deleteWhereDv(spark: SparkSession,
       dir: String, pred: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
@@ -241,13 +244,27 @@ object DeltaExport {
     require(st.partitionColumns.isEmpty,
       "DV delete on partitioned Delta tables not supported")
     val byPath = st.files.map(f => f.path -> f).toMap
+    // existing descriptors only (small) ride to the executors; the old
+    // vector's positions are read and merged in-task
+    val dvByPath = st.files.flatMap(f => f.dv.map(f.path -> _)).toMap
     // scan() applies existing DVs, so already-deleted rows never
     // re-match; row_index is the PHYSICAL position either way
+    import spark.implicits._
     val hits = DeltaImport.scan(spark, dir)
       .withColumn("_f", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
       .withColumn("_p", col("_metadata.row_index"))
       .filter(pred)
-      .groupBy("_f").agg(collect_list(col("_p")).as("ps"))
+      .select(col("_f"), col("_p")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (path, it) =>
+        val fresh = it.map(_._2).toArray
+        val old = dvByPath.get(path)
+          .map(d => DeltaDv.positions(dir, d))
+          .getOrElse(Array.empty[Long])
+        val all = old ++ fresh
+        (path, DeltaDv.serialize(all), all.length.toLong,
+          fresh.length.toLong)
+      }
       .collect()
     if (hits.isEmpty) return 0L
     val base = Paths.get(dir)
@@ -256,14 +273,10 @@ object DeltaExport {
         java.net.URLEncoder.encode(seg, "UTF-8")
           .replace("+", "%20")).mkString("/")
     var deleted = 0L
-    val actions = hits.toSeq.flatMap { r =>
-      val path = r.getString(0)
-      val fresh = r.getSeq[Long](1).toArray
-      deleted += fresh.length
+    val actions = hits.toSeq.flatMap { case (path, dvBytes, card, nFresh) =>
+      deleted += nFresh
       val f = byPath(path)
-      val old = f.dv.map(d => DeltaDv.positions(dir, d))
-        .getOrElse(Array.empty[Long])
-      val dv = DeltaDv.writeDvFile(dir, old ++ fresh)
+      val dv = DeltaDv.writeDvData(dir, dvBytes, card)
       val statsJson = f.statsJson
         .map(s => s""","stats":${jstr(s)}""").getOrElse("")
       Seq(
@@ -314,15 +327,24 @@ object DeltaExport {
     // table downgraded to v1 would resurrect its deleted rows), the
     // column-mapping configuration, and each add's dataChange flag and
     // deletion vector.
-    val hasDv = st.files.exists(_.dv.nonEmpty)
     val mapped = st.columnMapping != "none"
-    val features =
-      (if (hasDv) Seq("deletionVectors") else Nil) ++
-        (if (mapped) Seq("columnMapping") else Nil)
-    val proto =
-      if (hasDv) CkProtocol(3, 7, Some(features), Some(features))
-      else if (mapped) CkProtocol(2, 5, None, None)
-      else CkProtocol(1, 2, None, None)
+    val proto = st.protocol match {
+      // the log's own protocol action, verbatim — features the reader
+      // tolerates but never acts on (v2Checkpoint) and writer-only
+      // features it never parses (appendOnly, invariants…) must
+      // survive into the checkpoint, or they stop binding other
+      // writers once the JSON commits expire
+      case Some(p) => CkProtocol(p.minReaderVersion, p.minWriterVersion,
+        p.readerFeatures, p.writerFeatures)
+      case None => // no protocol action anywhere: reconstruct minimally
+        val hasDv = st.files.exists(_.dv.nonEmpty)
+        val features =
+          (if (hasDv) Seq("deletionVectors") else Nil) ++
+            (if (mapped) Seq("columnMapping") else Nil)
+        if (hasDv) CkProtocol(3, 7, Some(features), Some(features))
+        else if (mapped) CkProtocol(2, 5, None, None)
+        else CkProtocol(1, 2, None, None)
+    }
     // the table's configuration and id travel VERBATIM — regenerating
     // the id would break streaming readers that pin it, and dropping
     // properties (columnMapping.maxColumnId, user table properties)

@@ -64,6 +64,14 @@ object DeltaImport {
         * (reader protocol v3) — applied as a position anti-join */
       dv: Option[DeltaDv.Descriptor] = None)
 
+  /** The table's protocol action, carried verbatim so a checkpoint
+    * written from this state re-emits it rather than reconstructing a
+    * (lossy) one from heuristics — writer features the reader never
+    * acts on (appendOnly, invariants…) still bind OTHER writers once
+    * the JSON commits expire. */
+  case class DeltaProtocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]], writerFeatures: Option[Seq[String]])
+
   case class DeltaState(schema: StructType, partitionColumns: Seq[String],
       files: Seq[DeltaFile], version: Long,
       /** delta.columnMapping.mode: none | name | id. Under name/id the
@@ -76,7 +84,8 @@ object DeltaImport {
         * properties, columnMapping.maxColumnId, the id streaming
         * readers pin) */
       configuration: Map[String, String] = Map.empty,
-      tableId: Option[String] = None) {
+      tableId: Option[String] = None,
+      protocol: Option[DeltaProtocol] = None) {
     def dataSchema: StructType =
       StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
     def partitionSchema: StructType =
@@ -126,6 +135,52 @@ object DeltaImport {
     }
   }
 
+  /** Add actions of ONE commit JSON, with no log replay — the
+    * incremental unit a CDC consumer steps through (replaying the whole
+    * log per version would make catch-up O(versions²)). None when that
+    * version's JSON has expired into a checkpoint. Stats are not parsed
+    * (pruning is a snapshot-scan concern, not a CDC one); paths resolve
+    * exactly as [[readLog]] does. */
+  def commitAdds(dir: String, version: Long): Option[Seq[DeltaFile]] = {
+    val f = logDir(dir).resolve(f"$version%020d.json").toFile
+    if (!f.exists()) None
+    else Some {
+      for {
+        line <- Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
+          .asScala.toSeq
+        if line.trim.nonEmpty
+        j = JsonMethods.parse(line)
+        a <- (j \ "add") match {
+          case o: JObject => Seq(o)
+          case _ => Nil
+        }
+      } yield {
+        val path = (a \ "path").extract[String]
+        val abs = if (path.startsWith("/") || path.contains("://")) path
+          else Paths.get(dir, java.net.URLDecoder.decode(path, "UTF-8"))
+            .toString
+        val pv = (a \ "partitionValues") match {
+          case JObject(fields) => fields.map {
+            case (k, JString(s)) => k -> Some(s)
+            case (k, _) => k -> None
+          }.toMap
+          case _ => Map.empty[String, Option[String]]
+        }
+        val dv = (a \ "deletionVector") match {
+          case d: JObject => Some(DeltaDv.Descriptor(
+            (d \ "storageType").extract[String],
+            (d \ "pathOrInlineDv").extract[String],
+            (d \ "offset").extractOpt[Int],
+            (d \ "sizeInBytes").extract[Int],
+            (d \ "cardinality").extract[Long]))
+          case _ => None
+        }
+        DeltaFile(abs, (a \ "size").extract[Long], pv, Map.empty, None,
+          (a \ "dataChange").extractOpt[Boolean].getOrElse(true), dv)
+      }
+    }
+  }
+
   /** Replay the log up to `versionAsOf` (inclusive; None = latest). */
   def readLog(spark: SparkSession, dir: String,
       versionAsOf: Option[Long] = None): DeltaState = {
@@ -160,6 +215,7 @@ object DeltaImport {
     var cmMode = "none"
     var metaConf = Map.empty[String, String]
     var metaId: Option[String] = None
+    var protocol: Option[DeltaProtocol] = None
     def applyMeta(schemaString: String, pc: Seq[String],
         conf: Map[String, String], id: Option[String]): Unit = {
       cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
@@ -202,6 +258,12 @@ object DeltaImport {
           checkProtocol((j \ "protocol" \ "minReaderVersion").extract[Int],
             (j \ "protocol" \ "readerFeatures").extractOpt[Seq[String]]
               .getOrElse(Nil))
+          protocol = Some(DeltaProtocol(
+            (j \ "protocol" \ "minReaderVersion").extract[Int],
+            (j \ "protocol" \ "minWriterVersion").extractOpt[Int]
+              .getOrElse(2),
+            (j \ "protocol" \ "readerFeatures").extractOpt[Seq[String]],
+            (j \ "protocol" \ "writerFeatures").extractOpt[Seq[String]]))
         case _ =>
       }
       (j \ "metaData") match {
@@ -251,15 +313,29 @@ object DeltaImport {
       val ck = spark.read.parquet(paths: _*)
       val cols = ck.columns.toSet
       if (cols.contains("protocol")) {
-        val hasRf = ck.select("protocol.*").columns.contains("readerFeatures")
+        val pFields = ck.select("protocol.*").columns.toSet
+        val hasRf = pFields.contains("readerFeatures")
+        val hasWf = pFields.contains("writerFeatures")
+        val hasWv = pFields.contains("minWriterVersion")
         val pCols = Seq("protocol.minReaderVersion") ++
-          (if (hasRf) Seq("protocol.readerFeatures") else Nil)
+          (if (hasRf) Seq("protocol.readerFeatures") else Nil) ++
+          (if (hasWf) Seq("protocol.writerFeatures") else Nil) ++
+          (if (hasWv) Seq("protocol.minWriterVersion") else Nil)
         ck.filter(ck("protocol").isNotNull)
           .select(pCols.head, pCols.tail: _*).collect()
           .foreach { r =>
-            val rf = if (hasRf && !r.isNullAt(1)) r.getSeq[String](1)
-              else Nil
-            checkProtocol(r.getInt(0), rf)
+            var i = 1
+            val rf = if (hasRf) {
+              val v = if (r.isNullAt(i)) None else Some(r.getSeq[String](i))
+              i += 1; v
+            } else None
+            val wf = if (hasWf) {
+              val v = if (r.isNullAt(i)) None else Some(r.getSeq[String](i))
+              i += 1; v
+            } else None
+            val wv = if (hasWv && !r.isNullAt(i)) r.getInt(i) else 2
+            checkProtocol(r.getInt(0), rf.getOrElse(Nil))
+            protocol = Some(DeltaProtocol(r.getInt(0), wv, rf, wf))
           }
       }
       if (cols.contains("metaData"))
@@ -348,7 +424,8 @@ object DeltaImport {
 
     DeltaState(
       schema.getOrElse(sys.error("Delta log has no metaData action")),
-      partCols, live.values.toSeq, target, cmMode, metaConf, metaId)
+      partCols, live.values.toSeq, target, cmMode, metaConf, metaId,
+      protocol)
   }
 
   /** Convert an add action's `stats` JSON (numRecords / minValues /

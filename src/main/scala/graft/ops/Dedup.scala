@@ -257,11 +257,14 @@ object Dedup {
     * Deliberately guarded: O(n²) all-pairs, spec-oracle only. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5): DataFrame = {
-    val n = df.count()
+    // limit-probe, not count(): the guard must not itself materialize
+    // an unbounded upstream plan just to reject it
+    val n = df.limit((jaccardPairsMaxRows + 1).toInt).count()
     require(n <= jaccardPairsMaxRows,
       s"jaccardPairs is an all-pairs O(n^2) oracle for verification; " +
-        s"got $n rows (cap $jaccardPairsMaxRows). Use minhashPairs/" +
-        "ngramJaccardPairs/simhashPairs for production-scale dedup.")
+        s"got >$jaccardPairsMaxRows rows (cap $jaccardPairsMaxRows). Use " +
+        "minhashPairs/ngramJaccardPairs/simhashPairs for production-scale " +
+        "dedup.")
     val s = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh"))
     val a = s.select(col("id").as("id_a"), col("sh").as("sh_a"))

@@ -60,12 +60,21 @@ private[graft] object Par {
   /** Estimated scan-task count for a file-backed plan: Spark packs file
     * splits into partitions of `maxSplitBytes = min(maxPartitionBytes,
     * max(openCostInBytes, totalBytes / defaultParallelism))` with an
-    * `openCostInBytes` surcharge per file (FilePartition.scala). None
-    * when no file-sourced leaf exists (local/in-memory inputs). */
+    * `openCostInBytes` surcharge per file (FilePartition.scala). An
+    * RDD-backed leaf (the Shapefile/GPKG/KML readers build those via
+    * sc.parallelize) reports its EXISTING partition count — the RDD is
+    * already materialized, so no planning is forced. None when no
+    * sized leaf exists (local/in-memory inputs). */
   private def estimateScanPartitions(df: DataFrame): Option[Int] = {
     val spark = df.sparkSession
     val conf = spark.sessionState.conf
-    val fileSizes: Seq[Long] = df.queryExecution.analyzed.collectLeaves()
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val rddParts = leaves.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getNumPartitions
+    }
+    if (rddParts.nonEmpty) return Some(rddParts.max)
+    val fileSizes: Seq[Long] = leaves
       .flatMap {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>

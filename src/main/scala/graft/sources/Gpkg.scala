@@ -113,7 +113,11 @@ object Gpkg {
       val cols = tableColumns(db, "gpkg_geometry_columns").map(_.name)
       val ti = cols.indexOf("table_name"); val ci = cols.indexOf("column_name")
       db.scan(root).collectFirst {
-        case (_, rec) if rec.lift(ti).flatMap(Option(_)).contains(table) =>
+        // both lookups index-guarded: a nonconforming metadata table
+        // (or short record) falls through to the "geom" default
+        case (_, rec) if ti >= 0 &&
+            rec.lift(ti).flatMap(Option(_)).contains(table) &&
+            rec.lift(ci).exists(_.isInstanceOf[String]) =>
           rec(ci).asInstanceOf[String]
       }
     }.getOrElse("geom")

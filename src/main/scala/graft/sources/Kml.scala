@@ -113,9 +113,13 @@ object Kml {
     }
 
     def coords(s: String): IndexedSeq[Pt] =
-      s.split("\\s+").iterator.filter(_.nonEmpty).map { tup =>
+      s.split("\\s+").iterator.filter(_.nonEmpty).flatMap { tup =>
+        // a degenerate tuple (no comma, unparsable number) drops that
+        // point rather than failing the whole file's task
         val parts = tup.split(",")
-        (parts(0).toDouble, parts(1).toDouble) // alt projected away
+        if (parts.length < 2) None
+        else try Some((parts(0).toDouble, parts(1).toDouble)) // alt dropped
+        catch { case _: NumberFormatException => None }
       }.toIndexedSeq
 
     /** Parse the geometry element currently open. */

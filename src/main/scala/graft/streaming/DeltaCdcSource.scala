@@ -52,18 +52,29 @@ class DeltaCdcSource(sqlContext: SQLContext, dir: String,
     val fresh =
       if (from < 0) at.files
       else {
-        var prev = DeltaImport.readLog(spark, dir, Some(from)).files
-          .map(_.path).toSet
-        val out = Seq.newBuilder[graft.core.DeltaImport.DeltaFile]
+        // Per-version diff from the raw commit JSONs: one parse per
+        // commit, no replay — a stream catching up V versions costs
+        // O(V) commit parses, not O(V²) log replays. An add action in
+        // commit v IS the set of files new at v, so no prev-state set
+        // is needed.
+        val perVersion = (from + 1 to to)
+          .map(v => DeltaImport.commitAdds(dir, v))
         val seen = scala.collection.mutable.Set[String]()
-        for (v <- from + 1 to to) {
-          val st = DeltaImport.readLog(spark, dir, Some(v))
-          for (f <- st.files
-               if !prev.contains(f.path) && f.dataChange && seen.add(f.path))
-            out += f
-          prev = st.files.map(_.path).toSet
+        if (perVersion.forall(_.isDefined))
+          for {
+            adds <- perVersion.flatten.toSeq
+            f <- adds
+            if f.dataChange && seen.add(f.path)
+          } yield f
+        else {
+          // some commit JSONs expired into a checkpoint: degrade to an
+          // endpoint diff (two replays). This can miss rows appended at
+          // v and compacted away before `to` — the same information the
+          // expired log no longer holds for anyone.
+          val prev = DeltaImport.readLog(spark, dir, Some(from)).files
+            .map(_.path).toSet
+          at.files.filter(f => !prev.contains(f.path) && f.dataChange)
         }
-        out.result()
       }
     val batch =
       if (fresh.isEmpty)

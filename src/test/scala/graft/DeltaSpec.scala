@@ -109,6 +109,35 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fromCkpt.filter(col("l_returnflag") === "R").count() == 0)
   }
 
+  test("checkpoint preserves the protocol action verbatim, incl. " +
+      "writer-only features") {
+    val dir = Files.createTempDirectory("delta_proto").toString + "/t"
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity").limit(10)
+    DeltaExport.create(li, dir)
+    // an external writer upgrades the protocol: reader features this
+    // code tolerates, plus writer-only features it never acts on
+    val proto = """{"protocol":{"minReaderVersion":3,""" +
+      """"minWriterVersion":7,"readerFeatures":["deletionVectors"],""" +
+      """"writerFeatures":["deletionVectors","appendOnly"]}}"""
+    Files.write(java.nio.file.Paths.get(dir, "_delta_log",
+      f"${1L}%020d.json"), java.util.List.of(proto))
+    val cv = DeltaExport.checkpoint(spark, dir)
+    for (v <- 0L to cv)
+      Files.delete(java.nio.file.Paths.get(dir, "_delta_log",
+        f"$v%020d.json"))
+    // replay from the checkpoint alone: the protocol must round-trip —
+    // dropping appendOnly would stop binding OTHER writers forever
+    val st = DeltaImport.readLog(spark, dir)
+    assert(st.protocol.isDefined)
+    val p = st.protocol.get
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.readerFeatures.contains(Seq("deletionVectors")))
+    assert(p.writerFeatures.exists(_.toSet ==
+      Set("deletionVectors", "appendOnly")))
+    assert(DeltaImport.scan(spark, dir).count() == 10)
+  }
+
   test("registerExternal: spark.sql over delta/iceberg/parquet names") {
     graft.engine.Engine.registerExternal(spark, "people", genuine, "delta")
     assert(spark.sql(
