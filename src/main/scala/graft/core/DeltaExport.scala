@@ -288,10 +288,23 @@ object DeltaExport {
           s""""sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}""" +
           s"""$statsJson}}""")
     }
+    // protocol upgrade MERGES with the table's existing protocol —
+    // clobbering it would drop features other writers depend on
+    // (columnMapping is mandatory in the v3 feature lists once listed;
+    // writer-only features like appendOnly must keep binding writers)
+    val p = st.protocol
+    val implied = if (st.columnMapping != "none") Seq("columnMapping")
+      else Nil
+    def feats(existing: Option[Seq[String]]): String =
+      (existing.getOrElse(Nil) ++ implied ++ Seq("deletionVectors"))
+        .distinct.map(f => s""""$f"""").mkString("[", ",", "]")
+    val minR = math.max(3, p.map(_.minReaderVersion).getOrElse(1))
+    val minW = math.max(7, p.map(_.minWriterVersion).getOrElse(2))
     val protocol =
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}"""
+      s"""{"protocol":{"minReaderVersion":$minR,""" +
+        s""""minWriterVersion":$minW,""" +
+        s""""readerFeatures":${feats(p.flatMap(_.readerFeatures))},""" +
+        s""""writerFeatures":${feats(p.flatMap(_.writerFeatures))}}}"""
     writeCommit(dir, st.version + 1, protocol +: actions)
     deleted
   }

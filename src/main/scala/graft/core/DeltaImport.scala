@@ -135,30 +135,33 @@ object DeltaImport {
     }
   }
 
-  /** Add actions of ONE commit JSON, with no log replay — the
-    * incremental unit a CDC consumer steps through (replaying the whole
-    * log per version would make catch-up O(versions²)). None when that
-    * version's JSON has expired into a checkpoint. Stats are not parsed
-    * (pruning is a snapshot-scan concern, not a CDC one); paths resolve
-    * exactly as [[readLog]] does. */
-  def commitAdds(dir: String, version: Long): Option[Seq[DeltaFile]] = {
+  /** Add and remove actions of ONE commit JSON, with no log replay —
+    * the incremental unit a CDC consumer steps through (replaying the
+    * whole log per version would make catch-up O(versions²)). Removes
+    * come back too so the consumer can maintain the live-path set: a
+    * remove+add of the SAME path (a DV delete, a metadata rewrite) is
+    * not a new file. None when that version's JSON has expired into a
+    * checkpoint. Stats are not parsed (pruning is a snapshot-scan
+    * concern, not a CDC one); paths resolve exactly as [[readLog]]
+    * does — the remove paths resolve the same way so they compare. */
+  def commitActions(dir: String, version: Long)
+      : Option[(Seq[DeltaFile], Seq[String])] = {
     val f = logDir(dir).resolve(f"$version%020d.json").toFile
     if (!f.exists()) None
-    else Some {
-      for {
-        line <- Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
-          .asScala.toSeq
-        if line.trim.nonEmpty
-        j = JsonMethods.parse(line)
+    else {
+      def abs(path: String): String =
+        if (path.startsWith("/") || path.contains("://")) path
+        else Paths.get(dir, java.net.URLDecoder.decode(path, "UTF-8"))
+          .toString
+      val lines = Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
+        .asScala.toSeq.filter(_.trim.nonEmpty).map(JsonMethods.parse(_))
+      val adds = for {
+        j <- lines
         a <- (j \ "add") match {
           case o: JObject => Seq(o)
           case _ => Nil
         }
       } yield {
-        val path = (a \ "path").extract[String]
-        val abs = if (path.startsWith("/") || path.contains("://")) path
-          else Paths.get(dir, java.net.URLDecoder.decode(path, "UTF-8"))
-            .toString
         val pv = (a \ "partitionValues") match {
           case JObject(fields) => fields.map {
             case (k, JString(s)) => k -> Some(s)
@@ -175,9 +178,18 @@ object DeltaImport {
             (d \ "cardinality").extract[Long]))
           case _ => None
         }
-        DeltaFile(abs, (a \ "size").extract[Long], pv, Map.empty, None,
+        DeltaFile(abs((a \ "path").extract[String]),
+          (a \ "size").extract[Long], pv, Map.empty, None,
           (a \ "dataChange").extractOpt[Boolean].getOrElse(true), dv)
       }
+      val removes = for {
+        j <- lines
+        r <- (j \ "remove") match {
+          case o: JObject => Seq(o)
+          case _ => Nil
+        }
+      } yield abs((r \ "path").extract[String])
+      Some((adds, removes))
     }
   }
 

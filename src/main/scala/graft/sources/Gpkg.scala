@@ -47,8 +47,11 @@ object Gpkg {
     val head = new SqliteDb(Files.readAllBytes(Paths.get(files.head)))
     val (table, geomCol) = pickLayer(head, layer)
     val cols = tableColumns(head, table)
+    // SQLite identifiers are case-insensitive: the CREATE TABLE and the
+    // gpkg_geometry_columns row may legitimately disagree on case
     val schema = StructType(cols.map { c =>
-      StructField(c.name, if (c.name == geomCol) BinaryType else c.dataType)
+      StructField(c.name,
+        if (c.name.equalsIgnoreCase(geomCol)) BinaryType else c.dataType)
     })
     val sc = spark.sparkContext
     val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
@@ -60,7 +63,7 @@ object Gpkg {
         Row.fromSeq(tcols.zipWithIndex.map { case (c, i) =>
           val v = if (i < rec.size) rec(i) else null
           if (c.rowidAlias) rowid
-          else if (c.name == geomCol) unwrapGp(v)
+          else if (c.name.equalsIgnoreCase(geomCol)) unwrapGp(v)
           else coerce(v, c.dataType)
         })
       }
@@ -74,18 +77,8 @@ object Gpkg {
     featureTables(db)
   }
 
-  private def resolve(path: String): Seq[String] = {
-    val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala
-        .filter(_.toString.toLowerCase.endsWith(".gpkg"))
-        .map(_.toString).toSeq.sorted
-    else Seq(path)
-  }
-  private implicit class It[A](val it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(it).asScala
-  }
+  private def resolve(path: String): Seq[String] =
+    SourceFiles.resolve(path, ".gpkg")
 
   // ------------------------------------------------------- GPKG layer
 
@@ -144,11 +137,21 @@ object Gpkg {
 
   // --------------------------------------------- declared-type mapping
 
+  /** GPKG geometry type names (the declared type of a geometry
+    * column) — recognized BEFORE the integer heuristic, which would
+    * otherwise map "POINT".contains("INT") to LongType. */
+  private val geomTypeNames = Set("GEOMETRY", "POINT", "LINESTRING",
+    "POLYGON", "MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON",
+    "GEOMETRYCOLLECTION", "CURVE", "SURFACE", "CIRCULARSTRING",
+    "COMPOUNDCURVE", "CURVEPOLYGON", "MULTICURVE", "MULTISURFACE")
+
   private[sources] case class Col(name: String, declared: String,
       rowidAlias: Boolean) {
     def dataType: DataType = {
       val t = declared.toUpperCase
-      if (rowidAlias || t.contains("INT") || t == "BOOLEAN") LongType
+      if (rowidAlias) LongType
+      else if (geomTypeNames(t)) BinaryType
+      else if (t.contains("INT") || t == "BOOLEAN") LongType
       else if (t.contains("REAL") || t.contains("DOUB") ||
         t.contains("FLOA")) DoubleType
       else if (t.contains("BLOB") || t.isEmpty) BinaryType

@@ -53,18 +53,8 @@ object Kml {
     spark.createDataFrame(rows, schema)
   }
 
-  private def resolve(path: String): Seq[String] = {
-    val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.map(_.toString)
-        .filter(s => s.toLowerCase.endsWith(".kml") ||
-          s.toLowerCase.endsWith(".kmz")).toSeq.sorted
-    else Seq(path)
-  }
-  private implicit class It[A](val it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(it).asScala
-  }
+  private def resolve(path: String): Seq[String] =
+    SourceFiles.resolve(path, ".kml", ".kmz")
 
   /** Raw KML text bytes — for .kmz, the first .kml entry of the ZIP
     * (conventionally doc.kml). */

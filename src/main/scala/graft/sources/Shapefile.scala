@@ -57,18 +57,8 @@ object Shapefile {
     spark.createDataFrame(rows, schema)
   }
 
-  private def resolve(path: String): Seq[String] = {
-    val p = Paths.get(path)
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala
-        .filter(_.toString.toLowerCase.endsWith(".shp"))
-        .map(_.toString).toSeq.sorted
-    else Seq(path)
-  }
-  private implicit class It[A](val it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = scala.jdk.CollectionConverters
-      .IteratorHasAsScala(it).asScala
-  }
+  private def resolve(path: String): Seq[String] =
+    SourceFiles.resolve(path, ".shp")
 
   private def dbfFor(shp: String): String =
     shp.replaceAll("(?i)\\.shp$", ".dbf")

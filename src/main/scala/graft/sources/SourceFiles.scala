@@ -1,0 +1,23 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** Shared path resolution for the single-file-per-task readers
+  * (Shapefile/GPKG/KML): a file passes through; a directory lists its
+  * entries matching `exts`, sorted for determinism. The listing stream
+  * is closed (Files.list holds a directory descriptor open until then).
+  */
+private[sources] object SourceFiles {
+  def resolve(path: String, exts: String*): Seq[String] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.toString)
+        .filter(f => exts.exists(e => f.toLowerCase.endsWith(e)))
+        .toSeq.sorted
+      finally s.close()
+    } else Seq(path)
+  }
+}

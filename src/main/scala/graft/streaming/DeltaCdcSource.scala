@@ -49,30 +49,53 @@ class DeltaCdcSource(sqlContext: SQLContext, dir: String,
     // whose file stays readable until vacuum. dataChange:false adds
     // (rewrites of rows that already streamed) are excluded, as Delta
     // CDF does for append-only consumers.
+    // State at `from` (the consumer's last-seen live-path set). A
+    // `from` older than what the log can still reconstruct is a
+    // retention violation — fail with a message an operator can act
+    // on, not readLog's generic missing-metaData error.
+    def liveAt(v: Long): Set[String] =
+      try DeltaImport.readLog(spark, dir, Some(v)).files.map(_.path).toSet
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"delta-cdc offset version $v is no longer reconstructable " +
+            s"from the log at $dir (commits expired past the stream's " +
+            "checkpoint — increase log retention or restart the stream)",
+          e)
+      }
     val fresh =
       if (from < 0) at.files
       else {
-        // Per-version diff from the raw commit JSONs: one parse per
-        // commit, no replay — a stream catching up V versions costs
-        // O(V) commit parses, not O(V²) log replays. An add action in
-        // commit v IS the set of files new at v, so no prev-state set
-        // is needed.
-        val perVersion = (from + 1 to to)
-          .map(v => DeltaImport.commitAdds(dir, v))
-        val seen = scala.collection.mutable.Set[String]()
-        if (perVersion.forall(_.isDefined))
-          for {
-            adds <- perVersion.flatten.toSeq
-            f <- adds
-            if f.dataChange && seen.add(f.path)
-          } yield f
-        else {
-          // some commit JSONs expired into a checkpoint: degrade to an
-          // endpoint diff (two replays). This can miss rows appended at
-          // v and compacted away before `to` — the same information the
-          // expired log no longer holds for anyone.
-          val prev = DeltaImport.readLog(spark, dir, Some(from)).files
-            .map(_.path).toSet
+        // One replay at `from` for the starting live-path set, then a
+        // per-version walk over the raw commit JSONs maintaining it —
+        // a stream catching up V versions costs O(V) commit parses,
+        // not O(V²) log replays. The live set matters: a remove+add
+        // of the SAME path with dataChange:true (a DV delete, an
+        // update rewriting stats) is NOT new data — its surviving
+        // rows already streamed — so only adds of paths not live at
+        // the previous commit emit.
+        val actions = (from + 1 to to)
+          .map(v => DeltaImport.commitActions(dir, v))
+        if (actions.forall(_.isDefined)) {
+          val live = scala.collection.mutable.Set[String]()
+          live ++= liveAt(from)
+          val seen = scala.collection.mutable.Set[String]()
+          val out = Seq.newBuilder[graft.core.DeltaImport.DeltaFile]
+          for (Some((adds, removes)) <- actions) {
+            for (f <- adds
+                 if f.dataChange && !live.contains(f.path) &&
+                   seen.add(f.path))
+              out += f
+            live --= removes
+            live ++= adds.map(_.path) // same-commit remove+add stays live
+          }
+          out.result()
+        } else {
+          // some commit JSONs in the range expired into a checkpoint
+          // (but `from` itself is still reconstructable): degrade to
+          // an endpoint diff — the per-version information is gone
+          // for everyone. May miss rows appended then compacted away
+          // inside the range.
+          val prev = liveAt(from)
           at.files.filter(f => !prev.contains(f.path) && f.dataChange)
         }
       }

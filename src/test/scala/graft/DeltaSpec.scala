@@ -268,6 +268,21 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
         li.filter(col("l_returnflag") === "N").limit(7), dir)
       q.processAllAvailable()
       assert(counts.sum == preCompact + 7, s"batches: $counts")
+      // a DV DELETE re-adds the same file path with dataChange:true —
+      // its SURVIVING rows already streamed and must not re-emit
+      // (append-only CDC sees deletions as nothing, not as re-inserts)
+      val preDelete = counts.sum
+      val nDeleted = DeltaExport.deleteWhereDv(spark, dir,
+        col("l_quantity") > 45)
+      assert(nDeleted > 0)
+      q.processAllAvailable()
+      assert(counts.sum == preDelete,
+        s"DV delete re-emitted surviving rows into CDC: $counts")
+      // and a fresh append after the DV delete still streams
+      DeltaExport.append(spark,
+        li.filter(col("l_returnflag") === "N").limit(3), dir)
+      q.processAllAvailable()
+      assert(counts.sum == preDelete + 3, s"batches: $counts")
     } finally q.stop()
   }
 
