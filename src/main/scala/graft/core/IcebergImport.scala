@@ -40,8 +40,16 @@ object IcebergImport {
       * files with a strictly smaller sequence number. */
     seq: Long = 0L,
     /** field ids of the equality columns (content=2 files only). */
-    equalityIds: List[Int] = Nil) {
-    def isDelete: Boolean = content == 1
+    equalityIds: List[Int] = Nil,
+    /** v3 deletion vectors: a content=1 entry whose blob lives in a
+      * Puffin file at `contentOffset` and marks deleted positions of
+      * exactly `referencedDataFile` (at most one DV per data file). */
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSize: Option[Long] = None) {
+    def isDv: Boolean =
+      content == 1 && contentOffset.isDefined && referencedDataFile.isDefined
+    def isDelete: Boolean = content == 1 && !isDv
     def isEqualityDelete: Boolean = content == 2
   }
 
@@ -164,6 +172,9 @@ object IcebergImport {
     if (r.getSchema.getField(name) == null) dflt
     else Option(r.get(name)).map(_.asInstanceOf[Number].longValue).getOrElse(dflt)
 
+  private def optField(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+
   /** Live files of one snapshot: every manifest in the manifest list, every
     * entry whose status is not DELETED(2) — data manifests yield content=0
     * files, delete manifests yield content=1 position-delete files
@@ -181,7 +192,10 @@ object IcebergImport {
           (e \ "record_count").extract[Long],
           (e \ "file_size_in_bytes").extract[Long],
           (e \ "sequence_number").extractOpt[Long].getOrElse(0L),
-          (e \ "equality_ids").extractOpt[List[Int]].getOrElse(Nil))
+          (e \ "equality_ids").extractOpt[List[Int]].getOrElse(Nil),
+          (e \ "referenced_data_file").extractOpt[String],
+          (e \ "content_offset").extractOpt[Long],
+          (e \ "content_size_in_bytes").extractOpt[Long])
       }
     } else {
       readAvro(listPath).flatMap { m =>
@@ -209,7 +223,12 @@ object IcebergImport {
               content,
               longField(df, "record_count", 0L),
               longField(df, "file_size_in_bytes", 0L),
-              seq, eqIds))
+              seq, eqIds,
+              optField(df, "referenced_data_file").map(_.toString),
+              optField(df, "content_offset")
+                .map(_.asInstanceOf[Number].longValue),
+              optField(df, "content_size_in_bytes")
+                .map(_.asInstanceOf[Number].longValue)))
           }
         }
       }
@@ -233,7 +252,8 @@ object IcebergImport {
     val files = snap.map(liveFiles(table, _, tableDir)).getOrElse(Nil)
     val posDeletes = files.filter(_.isDelete)
     val eqDeletes = files.filter(_.isEqualityDelete)
-    val data = files.filterNot(f => f.isDelete || f.isEqualityDelete)
+    val data = files.filterNot(f =>
+      f.isDelete || f.isEqualityDelete || f.isDv)
 
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val base =
@@ -242,17 +262,36 @@ object IcebergImport {
       else spark.read.schema(table.schema).parquet(data.map(_.path): _*)
     if (data.isEmpty) return base
 
+    val dvFiles = files.filter(_.isDv)
     var out = base
-    if (posDeletes.nonEmpty) {
+    if (posDeletes.nonEmpty || dvFiles.nonEmpty) {
       // delete files record the writer's absolute data-file paths: relocate
       // them the same way the data-file list was relocated.
-      val del = spark.read
-        .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
-        .parquet(posDeletes.map(_.path): _*)
-        .withColumn("file_path",
-          regexp_replace(col("file_path"),
-            "^" + java.util.regex.Pattern.quote(table.location),
-            java.util.regex.Matcher.quoteReplacement(tableDir)))
+      val delParquet =
+        if (posDeletes.isEmpty) None
+        else Some(spark.read
+          .schema(StructType.fromDDL("file_path STRING, pos BIGINT"))
+          .parquet(posDeletes.map(_.path): _*)
+          .withColumn("file_path",
+            regexp_replace(col("file_path"),
+              "^" + java.util.regex.Pattern.quote(table.location),
+              java.util.regex.Matcher.quoteReplacement(tableDir))))
+      // v3 deletion vectors: Puffin blobs decode EXECUTOR-side, one
+      // task per DV'd file — the same MOR shape as the Delta DV path
+      val delDv =
+        if (dvFiles.isEmpty) None
+        else {
+          import spark.implicits._
+          Some(spark.createDataset(dvFiles.map(f => (
+              relocate(f.referencedDataFile.get, table.location, tableDir),
+              f.path, f.contentOffset.get, f.contentSize.get)))
+            .repartition(math.min(dvFiles.size,
+              spark.sparkContext.defaultParallelism))
+            .flatMap { case (dataPath, puffin, off, size) =>
+              dvPositions(puffin, off, size).map((dataPath, _)) }
+            .toDF("file_path", "pos"))
+        }
+      val del = (delParquet.toSeq ++ delDv).reduce(_ unionByName _)
       val tagged = out
         .withColumn("_file", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
         .withColumn("_pos", col("_metadata.row_index"))
@@ -264,6 +303,38 @@ object IcebergImport {
     if (eqDeletes.nonEmpty)
       out = applyEqualityDeletes(spark, out, table, data, eqDeletes)
     out
+  }
+
+  /** Deleted positions from one Iceberg v3 deletion-vector blob
+    * (spec "Deletion vectors", format-version 3): at `offset` inside
+    * the Puffin file sits a 4-byte big-endian length, the magic
+    * sequence D1 D3 39 64, the 64-bit portable RoaringBitmapArray, and
+    * a big-endian CRC-32 of magic+bitmap. That is byte-identical to a
+    * Delta DV blob (the formats were deliberately aligned, the magic
+    * IS the portable serialization's little-endian prefix), so the
+    * validated [[DeltaDv]] codec does the decoding. The Puffin footer
+    * is not consulted — the manifest's offset/size point straight at
+    * the blob. */
+  private[core] def dvPositions(puffinPath: String, offset: Long,
+      size: Long): Array[Long] = {
+    val raf = new java.io.RandomAccessFile(puffinPath, "r")
+    try {
+      require(size >= 12 && size <= Int.MaxValue,
+        s"absurd DV blob size $size at $puffinPath+$offset")
+      val buf = new Array[Byte](size.toInt)
+      raf.seek(offset)
+      raf.readFully(buf)
+      val bb = java.nio.ByteBuffer.wrap(buf) // big-endian default
+      val len = bb.getInt(0)
+      require(len >= 4 && 4 + len + 4 <= buf.length,
+        s"bad DV blob framing at $puffinPath+$offset (len $len)")
+      val data = java.util.Arrays.copyOfRange(buf, 4, 4 + len)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val stored = bb.getInt(4 + len).toLong & 0xffffffffL
+      require(crc.getValue == stored,
+        s"DV blob checksum mismatch at $puffinPath+$offset")
+      DeltaDv.deserialize(data)
+    } finally raf.close()
   }
 
   /** Equality deletes (content=2): each delete row removes every data row

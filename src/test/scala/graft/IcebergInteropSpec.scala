@@ -169,6 +169,72 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("equality-delete"))
   }
 
+  test("v3 deletion vectors: Puffin blob applies as position deletes") {
+    val dir = Files.createTempDirectory("icebergdv").toString + "/t"
+    val df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    val tbl = Engine.ctas(spark, dir, df.coalesce(1).toDF())
+    IcebergExport.export(tbl, dir, avroManifests = false)
+
+    // locate the single data file from the JSON manifest listing
+    val metaDir = Paths.get(dir, "metadata")
+    val listing = Files.list(metaDir).iterator()
+    val listPath = Iterator.continually(
+        if (listing.hasNext) Some(listing.next()) else None)
+      .takeWhile(_.isDefined).flatten
+      .find(_.getFileName.toString.startsWith("manifest-list-")).get
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val entries = JsonMethods.parse(new String(
+      Files.readAllBytes(listPath), "UTF-8")).children
+    val dataPath = (entries.head \ "file_path").extract[String]
+
+    // Puffin file: magic, the DV blob per the v3 spec ([4B BE length]
+    // [magic D1 D3 39 64 + portable roaring bitmap][4B BE CRC-32 of
+    // the data]), then a minimal spec-shaped footer
+    val deletedPositions = Array(2L, 5L, 7L)
+    val data = graft.core.DeltaDv.serialize(deletedPositions)
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    val blob = java.nio.ByteBuffer.allocate(4 + data.length + 4)
+      .putInt(data.length).put(data).putInt(crc.getValue.toInt).array()
+    val payload = ("""{"blobs":[{"type":"deletion-vector-v1","fields":[],""" +
+      s""""snapshot-id":1,"sequence-number":1,"offset":4,""" +
+      s""""length":${blob.length}}]}""").getBytes("UTF-8")
+    val magic = "PFA1".getBytes("UTF-8")
+    val footerSize = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(payload.length).array()
+    val puffin = magic ++ blob ++ magic ++ payload ++ footerSize ++
+      Array[Byte](0, 0, 0, 0) ++ magic
+    val puffinPath = metaDir.resolve("dv.puffin")
+    Files.write(puffinPath, puffin)
+
+    // append the DV manifest entry (content=1 + referenced_data_file +
+    // content_offset/size — the v3 shape) to the listing
+    val dvEntry = JsonMethods.parse(
+      s"""{"status":1,"content":1,"file_path":"$puffinPath",""" +
+        s""""file_format":"PUFFIN","record_count":3,""" +
+        s""""file_size_in_bytes":${puffin.length},""" +
+        s""""referenced_data_file":"$dataPath",""" +
+        s""""content_offset":4,"content_size_in_bytes":${blob.length}}""")
+    Files.write(listPath, JsonMethods.compact(JsonMethods.render(
+      JArray(entries :+ dvEntry))).getBytes("UTF-8"))
+
+    val back = IcebergImport.scan(spark, dir)
+    assert(back.count() == 7)
+    val ids = back.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+    // corrupted CRC is rejected, not silently misread
+    val bad = puffin.clone()
+    bad(4 + 4 + 2) = (bad(4 + 4 + 2) ^ 0x5a).toByte // flip a bitmap byte
+    Files.write(puffinPath, bad)
+    val err = intercept[org.apache.spark.SparkException] {
+      IcebergImport.scan(spark, dir).count()
+    }
+    assert(err.getCause != null || err.getMessage.contains("checksum") ||
+      err.toString.contains("checksum"))
+    Files.write(puffinPath, puffin) // restore
+  }
+
   test("export/import round-trip of a lake table (avro + json manifests)") {
     for (avro <- Seq(true, false)) {
       val dir = Files.createTempDirectory("icebergrt").toString + "/t"
