@@ -293,18 +293,43 @@ object DeltaExport {
     // (columnMapping is mandatory in the v3 feature lists once listed;
     // writer-only features like appendOnly must keep binding writers)
     val p = st.protocol
-    val implied = if (st.columnMapping != "none") Seq("columnMapping")
+    val oldR = p.map(_.minReaderVersion).getOrElse(1)
+    val oldW = p.map(_.minWriterVersion).getOrElse(2)
+    // A legacy protocol (no feature lists) IMPLIES features by version
+    // number (Delta PROTOCOL.md, "Table Features"). Once the rewritten
+    // (3,7) protocol advertises explicit lists, other writers enforce
+    // ONLY what is listed — so the upgrade must enumerate everything
+    // the old writer version implied, or e.g. an appendOnly table
+    // stops binding external writers.
+    val impliedW: Seq[String] =
+      if (p.exists(_.writerFeatures.isDefined)) Nil
+      else Seq(2 -> "appendOnly", 2 -> "invariants",
+        3 -> "checkConstraints", 4 -> "changeDataFeed",
+        4 -> "generatedColumns", 5 -> "columnMapping",
+        6 -> "identityColumns")
+        .collect { case (v, f) if oldW >= v => f }
+    val impliedR: Seq[String] =
+      if (p.exists(_.readerFeatures.isDefined)) Nil
+      else if (oldR >= 2) Seq("columnMapping") else Nil
+    val cmap = if (st.columnMapping != "none") Seq("columnMapping")
       else Nil
-    def feats(existing: Option[Seq[String]]): String =
-      (existing.getOrElse(Nil) ++ implied ++ Seq("deletionVectors"))
-        .distinct.map(f => s""""$f"""").mkString("[", ",", "]")
-    val minR = math.max(3, p.map(_.minReaderVersion).getOrElse(1))
-    val minW = math.max(7, p.map(_.minWriterVersion).getOrElse(2))
+    // reader-writer features must appear in BOTH lists at reader v3
+    val readerWriter = Set("columnMapping", "deletionVectors",
+      "timestampNtz", "v2Checkpoint", "typeWidening", "variantType",
+      "vacuumProtocolCheck")
+    val wf = (p.flatMap(_.writerFeatures).getOrElse(Nil) ++ impliedW ++
+      cmap :+ "deletionVectors").distinct
+    val rf = (p.flatMap(_.readerFeatures).getOrElse(Nil) ++ impliedR ++
+      wf.filter(readerWriter)).distinct
+    def jarr(fs: Seq[String]): String =
+      fs.map(f => s""""$f"""").mkString("[", ",", "]")
+    val minR = math.max(3, oldR)
+    val minW = math.max(7, oldW)
     val protocol =
       s"""{"protocol":{"minReaderVersion":$minR,""" +
         s""""minWriterVersion":$minW,""" +
-        s""""readerFeatures":${feats(p.flatMap(_.readerFeatures))},""" +
-        s""""writerFeatures":${feats(p.flatMap(_.writerFeatures))}}}"""
+        s""""readerFeatures":${jarr(rf)},""" +
+        s""""writerFeatures":${jarr(wf)}}}"""
     writeCommit(dir, st.version + 1, protocol +: actions)
     deleted
   }

@@ -270,12 +270,21 @@ object DeltaImport {
           checkProtocol((j \ "protocol" \ "minReaderVersion").extract[Int],
             (j \ "protocol" \ "readerFeatures").extractOpt[Seq[String]]
               .getOrElse(Nil))
+          // extractOpt[Seq[_]] turns a MISSING field into Some(Nil)
+          // (json4s reads JNothing as an empty collection) — but a
+          // legacy protocol with NO feature lists implies features by
+          // version number, while an explicit [] means none, so the
+          // distinction must survive the parse
+          def optSeq(v: JValue): Option[Seq[String]] = v match {
+            case JNothing | JNull => None
+            case x => Some(x.extract[Seq[String]])
+          }
           protocol = Some(DeltaProtocol(
             (j \ "protocol" \ "minReaderVersion").extract[Int],
             (j \ "protocol" \ "minWriterVersion").extractOpt[Int]
               .getOrElse(2),
-            (j \ "protocol" \ "readerFeatures").extractOpt[Seq[String]],
-            (j \ "protocol" \ "writerFeatures").extractOpt[Seq[String]]))
+            optSeq(j \ "protocol" \ "readerFeatures"),
+            optSeq(j \ "protocol" \ "writerFeatures")))
         case _ =>
       }
       (j \ "metaData") match {

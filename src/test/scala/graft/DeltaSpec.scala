@@ -627,4 +627,72 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got2.select("id").collect().map(_.getLong(0)).toSet
       .exists(i => i == 0L || i == 1L))
   }
+
+  test("DV delete's protocol upgrade enumerates features implied by a " +
+      "legacy protocol version") {
+    // A pre-feature-list protocol IMPLIES features by version number
+    // (Delta PROTOCOL.md, "Table Features"): writer >=2 appendOnly +
+    // invariants, >=3 checkConstraints, >=4 changeDataFeed +
+    // generatedColumns, >=5 columnMapping, >=6 identityColumns; reader
+    // >=2 columnMapping. Once the upgrade to (3,7) writes explicit
+    // lists, external writers enforce ONLY what is listed — dropping an
+    // implied feature silently stops binding them.
+
+    // case 1: our own created table, legacy (1,2)
+    val dir = Files.createTempDirectory("delta_proto_12").toString + "/t"
+    DeltaExport.create(
+      spark.range(0, 50).selectExpr("id", "id % 5 AS k").toDF(), dir)
+    assert(DeltaExport.deleteWhereDv(spark, dir, col("id") < 5) == 5L)
+    val p1 = DeltaImport.readLog(spark, dir).protocol.get
+    assert(p1.minReaderVersion == 3 && p1.minWriterVersion == 7)
+    val wf1 = p1.writerFeatures.get.toSet
+    assert(Set("appendOnly", "invariants", "deletionVectors")
+      .subsetOf(wf1), s"writer v2 implied features missing: $wf1")
+    assert(!wf1.contains("checkConstraints"),
+      "writer v2 must not imply v3+ features")
+    assert(p1.readerFeatures.get.toSet == Set("deletionVectors"))
+
+    // case 2: an external writer bumped the table to legacy (2,5)
+    // (no feature lists) before our delete
+    val dir2 = Files.createTempDirectory("delta_proto_25").toString + "/t"
+    DeltaExport.create(
+      spark.range(0, 50).selectExpr("id", "id % 5 AS k").toDF(), dir2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, "_delta_log",
+        f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" +
+        "\n").getBytes("UTF-8"))
+    assert(DeltaExport.deleteWhereDv(spark, dir2, col("id") < 5) == 5L)
+    val p2 = DeltaImport.readLog(spark, dir2).protocol.get
+    assert(p2.minReaderVersion == 3 && p2.minWriterVersion == 7)
+    val wf2 = p2.writerFeatures.get.toSet
+    assert(Set("appendOnly", "invariants", "checkConstraints",
+      "changeDataFeed", "generatedColumns", "columnMapping",
+      "deletionVectors").subsetOf(wf2),
+      s"writer v5 implied features missing: $wf2")
+    assert(!wf2.contains("identityColumns"),
+      "writer v5 must not imply v6 features")
+    assert(Set("columnMapping", "deletionVectors")
+      .subsetOf(p2.readerFeatures.get.toSet),
+      s"reader v2 implied columnMapping missing: ${p2.readerFeatures}")
+
+    // case 3: existing EXPLICIT lists pass through unchanged (no
+    // version-implied additions) and deletionVectors lands in both
+    val dir3 = Files.createTempDirectory("delta_proto_37").toString + "/t"
+    DeltaExport.create(
+      spark.range(0, 50).selectExpr("id", "id % 5 AS k").toDF(), dir3)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir3, "_delta_log",
+        f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":[],"writerFeatures":["appendOnly"]}}""" +
+        "\n").getBytes("UTF-8"))
+    assert(DeltaExport.deleteWhereDv(spark, dir3, col("id") < 5) == 5L)
+    val p3 = DeltaImport.readLog(spark, dir3).protocol.get
+    assert(p3.writerFeatures.get.toSet ==
+      Set("appendOnly", "deletionVectors"),
+      s"explicit lists must not gain implied features: " +
+        s"${p3.writerFeatures}")
+    assert(p3.readerFeatures.get.toSet == Set("deletionVectors"))
+  }
 }
