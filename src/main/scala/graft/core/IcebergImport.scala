@@ -282,6 +282,15 @@ object IcebergImport {
         if (dvFiles.isEmpty) None
         else {
           import spark.implicits._
+          // content_size_in_bytes is required for DV entries (Iceberg v3
+          // spec, "Deletion vectors"); surface a malformed manifest as an
+          // actionable error, not a bare NoSuchElementException.
+          dvFiles.find(_.contentSize.isEmpty).foreach { f =>
+            throw new IllegalStateException(
+              s"Iceberg DV manifest entry for ${f.path} is missing " +
+                "content_size_in_bytes (required by the v3 spec); the " +
+                "manifest is malformed or written by a broken writer")
+          }
           Some(spark.createDataset(dvFiles.map(f => (
               relocate(f.referencedDataFile.get, table.location, tableDir),
               f.path, f.contentOffset.get, f.contentSize.get)))

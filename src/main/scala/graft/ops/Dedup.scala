@@ -13,6 +13,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Signature relations cached by [[minhashPairs]]. They must outlive
+    * the call (the returned plan references them lazily), so they are
+    * tracked here and released by [[releaseCaches]] once the pairs have
+    * been materialized — a long-lived session would otherwise pin a
+    * growing set of signature tables in executor memory. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def trackedCache(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    liveCaches.add(c)
+    c
+  }
+
+  /** Unpersist every signature cache created by [[minhashPairs]] in this
+    * session. Call after the returned pairs DataFrame has been consumed
+    * (written, collected, or counted); plans derived from it recompute
+    * from source afterwards instead of reading the cache. */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = liveCaches.poll()
+    }
+  }
+
   // ------------------------------------------------------------- exact
 
   /** Exact duplicate clusters keyed by content hash: one row per distinct
@@ -79,10 +105,9 @@ object Dedup {
     // the O(L·k) signature kernel is the expensive per-row stage: fan it
     // out when the source is under-partitioned (single-row-group files)
     val src = Par.fanOut(df)
-    val sig = src.select(col(idCol).as("id"),
+    val sig = trackedCache(src.select(col(idCol).as("id"),
         shingleSig(col(textCol), shingleK, numHashes).as("ss"))
-      .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig"))
-      .cache()
+      .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig")))
     val sh = sig.select(col("id"), col("sh"))
     // materialize eagerly: the banding self-join and both verification
     // joins branch off this relation, and racing branches would compute
@@ -91,9 +116,9 @@ object Dedup {
     // count doubles as the corpus-size dial below — callers pass
     // bands = 0 (auto) so the recall/cost dial reuses this one job
     // instead of scanning the input again. NOTE the cache outlives the
-    // call (the returned plan still references it lazily): a long-lived
-    // session running unrelated work afterwards should
-    // spark.catalog.clearCache() once the pairs are consumed.
+    // call (the returned plan still references it lazily): call
+    // Dedup.releaseCaches() once the pairs are consumed — the caches are
+    // tracked, and a long-lived session would otherwise pin them.
     val nDocs = sig.count()
     val nBands = if (bands > 0) bands else adaptiveBands(nDocs, numHashes)
     require(numHashes % nBands == 0, "bands must divide numHashes")
@@ -147,7 +172,7 @@ object Dedup {
       // joins become broadcast-hash (no shuffle); at warehouse scale
       // the stats exceed it and the same plan degrades gracefully to
       // shuffle joins.
-      val sigOnly = sig.select(col("id"), col("sig")).cache()
+      val sigOnly = trackedCache(sig.select(col("id"), col("sig")))
       // positional-agreement kernel (one primitive pass per pair) and an
       // integer cut: agree/numHashes ≥ thr−0.2 ⟺ agree ≥ ⌈(thr−0.2)·n⌉
       val minAgree = math.ceil((threshold - 0.2) * numHashes).toLong

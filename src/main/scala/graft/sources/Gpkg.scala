@@ -53,14 +53,34 @@ object Gpkg {
       StructField(c.name,
         if (c.name.equalsIgnoreCase(geomCol)) BinaryType else c.dataType)
     })
+    // Row layout follows the HEAD file's column list (= the DataFrame
+    // schema). Other files may declare the same columns in a different
+    // order (rows are remapped by name); a file missing a column or
+    // declaring a different affinity is a schema conflict — fail with
+    // the file named rather than emit misaligned values.
+    val headCols = cols.map(c => (c.name.toLowerCase, c.dataType))
     val sc = spark.sparkContext
     val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
       val db = new SqliteDb(Files.readAllBytes(Paths.get(f)))
       val tcols = tableColumns(db, table)
+      val byName = tcols.zipWithIndex
+        .map { case (c, i) => c.name.toLowerCase -> ((c, i)) }.toMap
+      val mapped = headCols.map { case (name, dt) =>
+        val (c, i) = byName.getOrElse(name,
+          throw new IllegalArgumentException(
+            s"gpkg schema conflict: $f table $table has no column " +
+              s"'$name' declared by ${files.head}"))
+        if (c.dataType != dt)
+          throw new IllegalArgumentException(
+            s"gpkg schema conflict: $f table $table column '$name' has " +
+              s"type ${c.dataType.simpleString}, but ${files.head} " +
+              s"declares ${dt.simpleString}")
+        (c, i)
+      }
       val root = db.tableRoot(table).getOrElse(
         throw new IllegalArgumentException(s"no table $table in $f"))
       db.scan(root).map { case (rowid, rec) =>
-        Row.fromSeq(tcols.zipWithIndex.map { case (c, i) =>
+        Row.fromSeq(mapped.map { case (c, i) =>
           val v = if (i < rec.size) rec(i) else null
           if (c.rowidAlias) rowid
           else if (c.name.equalsIgnoreCase(geomCol)) unwrapGp(v)

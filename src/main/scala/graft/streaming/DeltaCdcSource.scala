@@ -24,7 +24,8 @@ import graft.core.DeltaImport
   * The lake-table twin is [[LakeCdcSource]]; together they let a
   * pipeline tail either table format with the same code. */
 class DeltaCdcSource(sqlContext: SQLContext, dir: String,
-    startVersion: Long) extends Source {
+    startVersion: Long, strict: Boolean = false)
+    extends Source with org.apache.spark.internal.Logging {
 
   override val schema: StructType =
     DeltaImport.readLog(sqlContext.sparkSession, dir).schema
@@ -38,6 +39,26 @@ class DeltaCdcSource(sqlContext: SQLContext, dir: String,
     val from = start.map(o => LongOffset(o.json().toLong).offset)
       .getOrElse(startVersion)
     val to = LongOffset(end.json().toLong).offset
+    val spark = sqlContext.sparkSession
+    val (at, fresh) = freshFiles(from, to)
+    val batch =
+      if (fresh.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          at.schema)
+      else
+        // shared snapshot-scan path: column mapping resolved and any
+        // deletion vectors on the fresh files applied, same as scan()
+        DeltaImport.scanState(spark, dir, at.copy(files = fresh))
+    org.apache.spark.sql.GraftBridge.streamingDataFrame(spark, batch)
+  }
+
+  /** The state at `to` plus exactly the files whose rows are NEW in
+    * `(from, to]` — the per-version diff described on the class. Split
+    * out from [[getBatch]] so the diff semantics (and the expired-commit
+    * degrade policy) are unit-testable without a running stream. */
+  private[graft] def freshFiles(from: Long, to: Long)
+      : (DeltaImport.DeltaState, Seq[DeltaImport.DeltaFile]) = {
     val spark = sqlContext.sparkSession
     val at = DeltaImport.readLog(spark, dir, Some(to))
     // Initial from-the-beginning snapshot: every live file is new to
@@ -94,28 +115,30 @@ class DeltaCdcSource(sqlContext: SQLContext, dir: String,
           // (but `from` itself is still reconstructable): degrade to
           // an endpoint diff — the per-version information is gone
           // for everyone. May miss rows appended then compacted away
-          // inside the range.
+          // inside the range, so the consumer gets a signal: a WARN by
+          // default, a hard failure with option strict=true.
+          val msg =
+            s"delta-cdc at $dir: commit JSONs in ($from, $to] have " +
+              "expired into a checkpoint; falling back to an endpoint " +
+              "diff, which can MISS rows appended then compacted away " +
+              "inside the range. Increase delta.logRetentionDuration " +
+              "or restart the stream from a fresh checkpoint."
+          if (strict) throw new IllegalStateException(msg)
+          logWarning(msg)
           val prev = liveAt(from)
           at.files.filter(f => !prev.contains(f.path) && f.dataChange)
         }
       }
-    val batch =
-      if (fresh.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          at.schema)
-      else
-        // shared snapshot-scan path: column mapping resolved and any
-        // deletion vectors on the fresh files applied, same as scan()
-        DeltaImport.scanState(spark, dir, at.copy(files = fresh))
-    org.apache.spark.sql.GraftBridge.streamingDataFrame(spark, batch)
+    (at, fresh)
   }
 
   override def stop(): Unit = ()
 }
 
 /** `format("delta-cdc")` registration. Options: `path` (required),
-  * `startVersion` (exclusive; default -1 = from the beginning). */
+  * `startVersion` (exclusive; default -1 = from the beginning),
+  * `strict` (default false: fail instead of WARN-and-degrade when
+  * expired commits force a lossy endpoint diff). */
 class DeltaCdcSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -135,5 +158,6 @@ class DeltaCdcSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new DeltaCdcSource(sqlContext, path(parameters),
-      parameters.get("startVersion").map(_.toLong).getOrElse(-1L))
+      parameters.get("startVersion").map(_.toLong).getOrElse(-1L),
+      parameters.get("strict").exists(_.toBoolean))
 }

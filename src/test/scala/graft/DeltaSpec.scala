@@ -324,6 +324,33 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("delta-cdc: expired-commit degrade warns by default, fails strict") {
+    val dir = Files.createTempDirectory("delta_cdc_exp").toString + "/t"
+    DeltaExport.create(spark.range(0, 10).coalesce(1).toDF(), dir)      // v0
+    DeltaExport.append(spark,
+      spark.range(10, 20).coalesce(1).toDF(), dir)                      // v1
+    DeltaExport.append(spark,
+      spark.range(20, 30).coalesce(1).toDF(), dir)                      // v2
+    DeltaExport.checkpoint(spark, dir)
+    // expire the incremental commits into the checkpoint; v0 stays so
+    // the consumer's last offset is still reconstructable
+    for (v <- 1L to 2L)
+      Files.delete(java.nio.file.Paths.get(dir, "_delta_log",
+        f"$v%020d.json"))
+    // lax (default): endpoint-diff fallback still emits the two appends
+    val lax = new graft.streaming.DeltaCdcSource(spark.sqlContext, dir, -1L)
+    val (at, fresh) = lax.freshFiles(0L, 2L)
+    assert(at.files.size == 3 && fresh.size == 2,
+      s"endpoint diff should yield the two appended files, got $fresh")
+    // strict: the lossy fallback is a hard error naming the cause
+    val strict = new graft.streaming.DeltaCdcSource(
+      spark.sqlContext, dir, -1L, strict = true)
+    val e = intercept[IllegalStateException] {
+      strict.freshFiles(0L, 2L)
+    }
+    assert(e.getMessage.contains("expired into a checkpoint"))
+  }
+
   test("checkpoint preserves DVs, dataChange, and protocol across replay") {
     // DV table: delete via deletion vectors, checkpoint, then expire
     // the JSON commits — replay from the checkpoint alone must keep

@@ -86,4 +86,33 @@ class GpkgSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(GeoKernel.fromWkb(r.getAs[Array[Byte]]("pt"))
       .contains(GeoKernel.GPoint(9, 9)))
   }
+
+  test("multi-file directory: rows union across files") {
+    val dir = Files.createTempDirectory("gpkg_multi")
+    Files.copy(Paths.get(gpkgPath), dir.resolve("a.gpkg"))
+    Files.copy(Paths.get(gpkgPath), dir.resolve("b.gpkg"))
+    val df = Gpkg.read(spark, dir.toString, Some("zones"))
+    assert(df.count() == 2 * 2004)
+  }
+
+  test("multi-file schema conflict fails with the file named") {
+    // same-length binary patch of the second copy's CREATE TABLE
+    // (body TEXT -> body REAL): a genuine affinity disagreement between
+    // files, which must fail loudly instead of emitting coerced garbage
+    val dir = Files.createTempDirectory("gpkg_conflict")
+    Files.copy(Paths.get(gpkgPath), dir.resolve("a.gpkg"))
+    val bytes = Files.readAllBytes(Paths.get(gpkgPath))
+    val ddl = "body TEXT".getBytes("UTF-8")
+    val idx = bytes.indexOfSlice(ddl)
+    assert(idx > 0, "fixture DDL changed; update the patch")
+    System.arraycopy("body REAL".getBytes("UTF-8"), 0, bytes, idx, ddl.length)
+    Files.write(dir.resolve("b.gpkg"), bytes)
+    val e = intercept[Throwable] {
+      Gpkg.read(spark, dir.toString, Some("notes")).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("schema conflict")),
+      s"wanted schema-conflict error, got: ${chain(e).mkString(" | ")}")
+  }
 }

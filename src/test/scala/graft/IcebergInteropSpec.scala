@@ -233,6 +233,21 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getCause != null || err.getMessage.contains("checksum") ||
       err.toString.contains("checksum"))
     Files.write(puffinPath, puffin) // restore
+    // a DV entry missing content_size_in_bytes (required by the v3
+    // spec) fails with an actionable error naming the field, not a
+    // bare NoSuchElementException
+    val noSize = JsonMethods.parse(
+      s"""{"status":1,"content":1,"file_path":"$puffinPath",""" +
+        s""""file_format":"PUFFIN","record_count":3,""" +
+        s""""file_size_in_bytes":${puffin.length},""" +
+        s""""referenced_data_file":"$dataPath",""" +
+        s""""content_offset":4}""")
+    Files.write(listPath, JsonMethods.compact(JsonMethods.render(
+      JArray(entries :+ noSize))).getBytes("UTF-8"))
+    val err2 = intercept[IllegalStateException] {
+      IcebergImport.scan(spark, dir).count()
+    }
+    assert(err2.getMessage.contains("content_size_in_bytes"))
   }
 
   test("export/import round-trip of a lake table (avro + json manifests)") {

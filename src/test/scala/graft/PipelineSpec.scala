@@ -65,6 +65,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("minhashPairs caches are tracked and released by releaseCaches") {
+    // start from a clean slate: earlier tests' identical minhash plans
+    // would otherwise be deduped onto their still-cached relations
+    Dedup.releaseCaches()
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "expected the signature cache to be registered during the run")
+    Dedup.releaseCaches()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "releaseCaches left signature relations pinned")
+  }
+
   test("as-of join: latest right row at or before each left time") {
     import spark.implicits._
     import graft.ops.AsofJoin
