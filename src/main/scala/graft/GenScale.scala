@@ -55,13 +55,24 @@ object GenScale {
     val maxDoc = maxOf(t("documents"), "doc_id")
     val maxVec = maxOf(t("embeddings"), "vec_id")
 
+    // Facts land as MULTI-FILE tables (32 files ≈ one per core): the
+    // source fixture is a single-row-group file, and the explode
+    // preserves its one partition — written back as-is, a 60M-row
+    // replica becomes one file with ~3 huge row groups, capping scan
+    // parallelism at 3 tasks however many cores exist. Real warehouse
+    // tables arrive as many files; the fixture should too.
     def write(name: String, df: DataFrame): Unit = {
-      df.drop("_k").write.mode("overwrite").parquet(s"$out/$name.parquet")
+      df.drop("_k").repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[genscale] $name done")
     }
 
-    // dims: copy as-is
-    Seq("region", "nation", "part", "supplier").foreach(n => write(n, t(n)))
+    // dims: copy as-is (small, single file is the realistic shape)
+    def writeDim(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[genscale] $name done")
+    }
+    Seq("region", "nation", "part", "supplier").foreach(n => writeDim(n, t(n)))
 
     write("customer", replicate(t("customer")).select(
       shift("c_custkey", maxCust), col("c_name"), col("c_nationkey"),

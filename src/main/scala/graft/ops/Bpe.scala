@@ -1,0 +1,254 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer: deterministic trained merges applied as
+  * a native Catalyst expression, so chunking / sequence packing /
+  * vocabulary budgets can count SUBWORD tokens instead of whitespace
+  * words (real pipelines budget in BPE tokens — a 512-token packing
+  * budget in words overfills sequences ~1.3× on English text).
+  *
+  * Training (Sennrich-style, on a word-frequency table): repeatedly
+  * merge the most frequent adjacent symbol pair; ties break on the
+  * lexicographically smallest pair, so the merge list is a pure
+  * function of the corpus. The distributed part is the word count —
+  * the merge loop runs driver-side on the bounded word-frequency dict
+  * (standard practice: industrial BPE trainers operate on word→freq
+  * tables, not raw corpora; `maxWords` bounds driver memory and is a
+  * top-K by (freq desc, word asc), deterministic at any scale).
+  *
+  * Encoding semantics are EXACTLY "split the word into codepoints,
+  * space-join, then for each merge (a,b) in training order run one
+  * left-to-right non-overlapping replace of "a b" with "ab"" — the
+  * classic didactic formulation. Applying merges once in training
+  * order equals the apply-highest-priority-until-fixpoint loop: a
+  * later merge can never create an adjacency an earlier merge wants,
+  * because the earlier merge's operands both exist before the later
+  * merge's output symbol does. This literal-replace equivalence is
+  * what makes the oracle SQL (a chain of replace() calls in DuckDB)
+  * bit-identical to the kernel.
+  */
+object Bpe {
+
+  // --------------------------------------------------------- training
+
+  /** Learn `numMerges` merges from a word-frequency table.
+    * Deterministic: ties on pair frequency break on the smaller
+    * (left, right) pair lexicographically. */
+  def trainFromCounts(wordFreq: Seq[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    // each distinct word as its symbol sequence
+    var words: Array[(Array[String], Long)] = wordFreq.map { case (w, n) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), n)
+    }.toArray
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    while (m < numMerges) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, n) <- words; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts(p) = counts.getOrElse(p, 0L) + n
+      }
+      if (counts.isEmpty) return merges.result()
+      val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+      merges += best
+      words = words.map { case (syms, n) => (mergePair(syms, best), n) }
+      m += 1
+    }
+    merges.result()
+  }
+
+  /** Word-count `df.textCol` (normalized: lowercase, whitespace
+    * collapsed), keep the `maxWords` most frequent words (freq desc,
+    * word asc — deterministic), train driver-side. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      maxWords: Int = 10000): Seq[(String, String)] = {
+    val wf = df.select(explode(filter(
+        split(regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " "),
+        w => w =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainFromCounts(wf, numMerges)
+  }
+
+  /** One left-to-right non-overlapping merge pass (the symbol-array
+    * form of `"… a b …".replace("a b", "ab")`). */
+  private def mergePair(syms: Array[String],
+      pair: (String, String)): Array[String] = {
+    if (syms.length < 2) return syms
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1)
+        i += 2 // the merged symbol never re-pairs within the same pass
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  // ------------------------------------------------------ column API
+
+  /** BPE tokens of (already normalized) `text`: per whitespace word,
+    * codepoint symbols merged by `merges`; tokens of all words
+    * concatenated in order. */
+  def tokens(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftBridge.column(BpeEncode(
+      org.apache.spark.sql.GraftBridge.eagerExpression(normalize(text)),
+      merges, emitTokens = true))
+
+  /** Total BPE token count of `text` — the drop-in replacement for the
+    * whitespace-word `size(split(…))` in packing/chunking budgets. */
+  def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftBridge.column(BpeEncode(
+      org.apache.spark.sql.GraftBridge.eagerExpression(normalize(text)),
+      merges, emitTokens = false))
+
+  /** The shared normalization (lowercase, collapse whitespace) — kept in
+    * the plan so Catalyst sees it; the kernel receives clean input. */
+  private def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  // ------------------------------------------------------- chunking
+
+  /** [[TextPrep.chunk]] with the budget counted in BPE tokens instead
+    * of words: windows still cut at word boundaries (a chunk never
+    * splits a word), each window holds the longest word run whose BPE
+    * token total fits `chunkTokens`, and consecutive windows share the
+    * suffix words covering >= `overlap` tokens. An over-budget single
+    * word still forms its own chunk (progress is guaranteed).
+    *
+    * Plan shape matches TextPrep.chunk: one projection computes
+    * per-word token counts and window bounds (a single interpreted
+    * kernel call per doc), one posexplode fans out the windows. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val words = split(normalize(col(textCol)), " ")
+    val counts = transform(words,
+      w => org.apache.spark.sql.GraftBridge.column(BpeEncode(
+        org.apache.spark.sql.GraftBridge.eagerExpression(w),
+        merges, emitTokens = false)))
+    val wins = org.apache.spark.sql.GraftBridge.column(BpeChunkWindows(
+      org.apache.spark.sql.GraftBridge.eagerExpression(counts),
+      chunkTokens, overlap))
+    df.select(col(idCol), words.as("_w"),
+        posexplode(wins).as(Seq("chunk_idx", "_win")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_w"), col("_win.start") + 1,
+          col("_win.end") - col("_win.start")), " ").as("chunk_text"),
+        col("_win.n_tokens").cast("long").as("n_tokens"))
+  }
+}
+
+/** BPE encode kernel. Input: normalized text (lowercase, single-space
+  * separated). Output: array<string> tokens (emitTokens) or the total
+  * token count as long. O(len · merges) per row with primitive array
+  * passes; interpreted eval (CodegenFallback) for the same reason as
+  * [[ShingleMinhash]] — the per-row work dwarfs dispatch overhead. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+    emitTokens: Boolean) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    if (emitTokens) ArrayType(StringType, containsNull = false) else LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // normalized input: single spaces, no leading/trailing whitespace
+    val words = if (s.isEmpty) Array.empty[String] else s.split(' ')
+    if (emitTokens) {
+      val out = Array.newBuilder[Any]
+      for (w <- words; t <- encodeWord(w)) out += UTF8String.fromString(t)
+      new GenericArrayData(out.result())
+    } else {
+      var n = 0L
+      for (w <- words) n += encodeWord(w).length
+      n
+    }
+  }
+
+  private def encodeWord(w: String): Array[String] = {
+    if (w.isEmpty) return Array.empty
+    var syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    for ((a, b) <- merges if syms.length > 1) {
+      var i = 0
+      var j = 0
+      var changed = false
+      // in-place left-to-right non-overlapping merge pass
+      val out = new Array[String](syms.length)
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out(j) = syms(i) + syms(i + 1); i += 2; changed = true
+        } else {
+          out(j) = syms(i); i += 1
+        }
+        j += 1
+      }
+      if (changed) syms = java.util.Arrays.copyOf(out, j)
+    }
+    syms
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}
+
+/** Greedy BPE-budget window bounds over a per-word token-count array.
+  * Returns array<struct<start:int, end:int, n_tokens:int>> — word
+  * index ranges [start, end) whose token totals fit the budget, with
+  * >= `overlap` trailing tokens shared between consecutive windows
+  * (clamped so every window advances by at least one word). */
+case class BpeChunkWindows(child: Expression, budget: Int, overlap: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Long](n)
+    var i = 0
+    while (i < n) { counts(i) = arr.getLong(i); i += 1 }
+    val wins = Array.newBuilder[Any]
+    var start = 0
+    while (start < n) {
+      // widest window from `start` fitting the budget (always >= 1 word)
+      var end = start
+      var tok = 0L
+      while (end < n && (end == start || tok + counts(end) <= budget)) {
+        tok += counts(end); end += 1
+      }
+      wins += org.apache.spark.sql.catalyst.InternalRow(start, end, tok.toInt)
+      if (end >= n) return new GenericArrayData(wins.result())
+      // next start: back off to cover >= overlap trailing tokens, but
+      // always advance past `start` (an over-budget word can't stall)
+      var back = end
+      var otok = 0L
+      while (back > start + 1 && otok + counts(back - 1) <= overlap) {
+        otok += counts(back - 1); back -= 1
+      }
+      start = math.max(back, start + 1)
+    }
+    new GenericArrayData(wins.result())
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeChunkWindows =
+    copy(child = c)
+}

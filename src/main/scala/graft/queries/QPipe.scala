@@ -25,6 +25,38 @@ object QPipe {
     * all-pairs oracle while shuffling only (table, bucket, id). */
   private val embedTables = Similarity.intHyperplaneTables(64, 6, 8)
 
+  /** BPE merge list for the q_text_bpe gate — trained once on the
+    * sf0.01 documents table (tools/BpeTrain, 32 merges, deterministic)
+    * and hardcoded like any shipped tokenizer artifact: the gate applies
+    * the same fixed tokenizer at every scale. The oracle SQL replays the
+    * IDENTICAL algorithm as a chain of replace() calls (see
+    * [[graft.ops.Bpe]] for the literal-replace equivalence proof). */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"))
+
+  /** The per-word BPE encode as DuckDB SQL. Representation: every
+    * symbol wrapped in single spaces (`␣sym␣`, so adjacent symbols show
+    * a DOUBLE space between them); each merge is one replace of
+    * `␣a␣␣b␣` with `␣ab␣`. The wrapping makes the textual replace
+    * EXACTLY symbol-level left-to-right non-overlapping merging — a
+    * bare `replace('a b','ab')` would also match `a` against the
+    * prefix of a longer symbol (`e row` → `erow`), which is not BPE.
+    * The final trim + double-space collapse yields the token stream. */
+  private def bpeChainSql(word: String): String = {
+    val wrapped =
+      s"' ' || array_to_string(regexp_split_to_array($word, ''), '  ') || ' '"
+    val merged = bpeMerges.foldLeft(wrapped) {
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+    s"replace(trim($merged), '  ', ' ')"
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactClusters(t(s, dir, "documents"), "doc_id", "text")
@@ -235,6 +267,19 @@ object QPipe {
       TextPrep.chunk(t(s, dir, "documents"), "doc_id", "text",
           chunkTokens = 32, overlap = 8)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // subword/BPE tokenization: the fixed trained-merges tokenizer
+    // applied as one interpreted kernel pass per doc; the gate pins both
+    // the token COUNT and the full token STREAM (md5 of the joined
+    // tokens) against DuckDB replaying the identical merge algorithm.
+    "q_text_bpe" -> { (s, dir) =>
+      import graft.ops.Bpe
+      t(s, dir, "documents").select(col("doc_id"),
+          Bpe.tokenCount(col("text"), bpeMerges).as("n_bpe_tokens"),
+          md5(array_join(Bpe.tokens(col("text"), bpeMerges), " ")
+            .cast("binary")).as("tokens_md5"))
+        .orderBy("doc_id")
     },
 
     // deterministic 80/10/10 train/val/test split by engine-portable key
@@ -651,6 +696,23 @@ object QPipe {
         |WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
         |               ELSE 2000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_text_bpe" -> {
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(
+         |      list_filter(
+         |        str_split(lower(trim(regexp_replace(text, '\\s+', ' ',
+         |          'g'))), ' '),
+         |        w -> w <> ''),
+         |      w -> ${bpeChainSql("w")}), ' ') AS stream
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN stream = '' THEN 0
+         |    ELSE len(str_split(stream, ' ')) END AS BIGINT) AS n_bpe_tokens,
+         |  md5(stream) AS tokens_md5
+         |FROM toks ORDER BY doc_id""".stripMargin
+    },
 
     "q_pack_sequences" ->
       """WITH d AS (
