@@ -11,13 +11,26 @@ object Bench {
 
   /** Headline set: TPC-H-shaped core + TPC-DS shapes + window/agg +
     * pipeline/session/geo operators. */
-  val headline: Seq[String] = Seq(
+  val fullHeadline: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_local_supplier", "q6_forecast_revenue",
     "q10_returned_items", "q_join_inner", "q_agg_stats", "q_rollup",
     "q_win_rank", "q_win_frame_rows", "q_cte",
     "qds_channel_rollup", "qds_yoy", "qds_top_per_group",
     "q_sessionize", "q_geo_zones",
     "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine", "q_text_stats")
+
+  /** Protocol knobs for ad-hoc scale sweeps: SPARK_GRAFT_SKIP drops
+    * comma-separated queries (e.g. the 5-min/rep sf10 minhash when
+    * A/B-ing scan-bound queries), SPARK_GRAFT_ONLY keeps only the
+    * listed ones. The driver sets neither → full set. */
+  val headline: Seq[String] = {
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
+    fullHeadline.filter(q =>
+      !skip.contains(q) && only.forall(_.contains(q)))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

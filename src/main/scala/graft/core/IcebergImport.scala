@@ -250,6 +250,14 @@ object IcebergImport {
         throw new IllegalArgumentException(s"no snapshot $id")))
       .orElse(table.currentSnapshot)
     val files = snap.map(liveFiles(table, _, tableDir)).getOrElse(Nil)
+    scanFiles(spark, tableDir, table, files)
+  }
+
+  /** Scan a specific file-entry subset (data files plus whatever delete
+    * entries should apply to them) under `table`'s schema — the shared
+    * tail of [[scan]] and the iceberg-cdc micro-batch path. */
+  def scanFiles(spark: SparkSession, tableDir: String, table: ExtTable,
+      files: List[ExtFile]): DataFrame = {
     val posDeletes = files.filter(_.isDelete)
     val eqDeletes = files.filter(_.isEqualityDelete)
     val data = files.filterNot(f =>

@@ -269,6 +269,33 @@ object QPipe {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // salted two-phase aggregation: the manual skew complement to AQE —
+    // the gate proves the (key, salt) partial + key final pipeline is
+    // bit-identical to a plain GROUP BY (the salt must only re-route
+    // rows, never change the aggregate)
+    "q_skew_salted" -> { (s, dir) =>
+      // event_id in the projection gives the derived salt something to
+      // hash: rows of one hot event_type really spread over 16 buckets
+      graft.ops.Skew.saltedCount(
+          t(s, dir, "events").select("event_id", "event_type"),
+          "event_type", numSalts = 16)
+        .orderBy("event_type")
+    },
+
+    // salted fact⋈dim join: hot fact keys spread across 16 salt buckets,
+    // dim exploded to meet them — aggregate equality vs the plain join
+    // proves no row is lost or duplicated by the salting
+    "q_skew_join" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select("o_custkey", "o_totalprice")
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.ops.Skew.saltedJoin(o, c, "o_custkey", "c_custkey",
+          numSalts = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
     // subword/BPE tokenization: the fixed trained-merges tokenizer
     // applied as one interpreted kernel pass per doc; the gate pins both
     // the token COUNT and the full token STREAM (md5 of the joined
@@ -696,6 +723,16 @@ object QPipe {
         |WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
         |               ELSE 2000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_skew_salted" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_text_bpe" -> {
       s"""WITH toks AS (

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.IcebergImport
+import graft.core.IcebergImport.{ExtFile, ExtSnapshot, ExtTable}
+
+/** Streaming CDC source over an EXTERNAL Iceberg table:
+  * `spark.readStream.format("iceberg-cdc").option("path", dir).load()`.
+  *
+  * The third leg of the CDC triad (lake-cdc over our own snapshots,
+  * delta-cdc over Delta logs, and this over the Iceberg snapshot log —
+  * the log the reference walks in its snapshot API,
+  * pg_lake_iceberg/src/iceberg/api/snapshot.c:125-162). Offsets are
+  * SNAPSHOT IDS (opaque longs, per the spec — ORDER comes from the
+  * metadata's append-ordered snapshot list, not from id arithmetic);
+  * each micro-batch walks the in-range snapshots one step at a time
+  * and emits exactly the data files that first became live in a
+  * non-`replace` snapshot — `replace` (compaction) rewrites carry rows
+  * that already streamed, the same rule delta-cdc applies to
+  * dataChange:false adds. Files appended then compacted away INSIDE
+  * one batch range still emit: the per-step diff sees them at their
+  * append step, and the physical file outlives the range (until
+  * snapshot expiry removes it). A checkpoint replay re-reads the same
+  * id range from the same log — exactly-once from the table format.
+  *
+  * Position deletes / DVs / equality deletes present at the range end
+  * apply to the emitted files through the shared
+  * [[IcebergImport.scanFiles]] MOR path.
+  *
+  * Scale posture: getOffset reads one metadata file; a batch covering
+  * V snapshots costs O(V) manifest-list walks (each one pruned to its
+  * own manifests) — no O(V²) replays, no state beyond the checkpoint
+  * offset. */
+class IcebergCdcSource(sqlContext: SQLContext, dir: String,
+    startAfter: Long) extends Source {
+
+  private def load(): ExtTable =
+    IcebergImport.readMetadata(IcebergImport.latestMetadataPath(dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no metadata.json under $dir")))
+
+  override val schema: StructType = load().schema
+
+  override def getOffset: Option[V1Offset] = {
+    val t = load()
+    t.currentSnapshotId match {
+      case Some(id) if id != startAfter => Some(LongOffset(id))
+      case _ => None
+    }
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val fromId = start.map(o => LongOffset(o.json().toLong).offset)
+      .getOrElse(startAfter)
+    val toId = LongOffset(end.json().toLong).offset
+    val spark = sqlContext.sparkSession
+    val table = load()
+    val snaps = table.snapshots
+    val toIdx = snaps.indexWhere(_.id == toId)
+    if (toIdx < 0) throw new IllegalStateException(
+      s"iceberg-cdc: snapshot $toId is not in the log at $dir " +
+        "(expired past the stream's checkpoint — increase snapshot " +
+        "retention or restart the stream)")
+    val fromIdx =
+      if (fromId < 0) -1
+      else {
+        val i = snaps.indexWhere(_.id == fromId)
+        if (i < 0) throw new IllegalStateException(
+          s"iceberg-cdc: last-committed snapshot $fromId has expired " +
+            s"from the log at $dir — the stream can no longer prove " +
+            "which rows already emitted; restart from a fresh checkpoint")
+        i
+      }
+    // per-step diff over the append-ordered log: data files first live
+    // at step i (and not in step i-1) are new, unless the step is a
+    // compaction — `replace` in spec terms, `compact` in a lake-table
+    // export's pass-through summary
+    val compactionOps = Set("replace", "compact")
+    def dataPaths(s: ExtSnapshot): Map[String, ExtFile] =
+      IcebergImport.liveFiles(table, s, dir)
+        .filterNot(f => f.isDelete || f.isEqualityDelete || f.isDv)
+        .map(f => f.path -> f).toMap
+    var prev: Set[String] =
+      if (fromIdx < 0) Set.empty else dataPaths(snaps(fromIdx)).keySet
+    val seen = scala.collection.mutable.Set[String]()
+    val fresh = List.newBuilder[ExtFile]
+    for (i <- fromIdx + 1 to toIdx) {
+      val cur = dataPaths(snaps(i))
+      if (!compactionOps.contains(snaps(i).operation))
+        for ((p, f) <- cur if !prev.contains(p) && seen.add(p)) fresh += f
+      prev = cur.keySet
+    }
+    val freshFiles = fresh.result()
+    val batch =
+      if (freshFiles.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          table.schema)
+      else {
+        // apply the range-end snapshot's delete entries to the fresh
+        // files (shared MOR path: pos deletes, DVs, equality deletes)
+        val deletes = IcebergImport.liveFiles(table, snaps(toIdx), dir)
+          .filter(f => f.isDelete || f.isEqualityDelete || f.isDv)
+        IcebergImport.scanFiles(spark, dir, table, freshFiles ++ deletes)
+      }
+    org.apache.spark.sql.GraftBridge.streamingDataFrame(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `format("iceberg-cdc")` registration. Options: `path` (required),
+  * `startAfter` (snapshot id already consumed; default -1 = stream the
+  * table from the beginning). */
+class IcebergCdcSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "iceberg-cdc"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("iceberg-cdc requires option 'path'"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("iceberg-cdc", IcebergImport.readMetadata(
+      IcebergImport.latestMetadataPath(path(parameters)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no metadata.json under ${path(parameters)}"))).schema)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new IcebergCdcSource(sqlContext, path(parameters),
+      parameters.get("startAfter").map(_.toLong).getOrElse(-1L))
+}

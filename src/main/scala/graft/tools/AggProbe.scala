@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decompose q1_agg's cost at a given fixture: scan-only, expression
+  * eval, global aggregate, grouped aggregate — the A/B ladder behind
+  * the sf10 aggregation-constant notes in BASELINE.md.
+  *
+  * Usage: AggProbe <sfDir>
+  */
+object AggProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def li: DataFrame = graft.Tables.load(spark, sfDir, "lineitem")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val best = Seq.fill(3)(once()).min
+      println(f"[probe] $name%-28s best=$best%.3f")
+    }
+
+    time("count_star")(li.groupBy().count())
+    time("scan_1col_sum")(li.agg(sum("l_quantity")))
+    time("scan_5col_sum")(li.agg(sum("l_quantity"), sum("l_extendedprice"),
+      sum("l_discount"), sum("l_tax"), count(lit(1))))
+    time("exprs_global_agg")(li
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .agg(sum("l_quantity"), sum("l_extendedprice"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))),
+        avg("l_quantity"), avg("l_extendedprice"), avg("l_discount"),
+        count(lit(1))))
+    time("grouped_no_filter")(li
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), sum("l_extendedprice"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))),
+        avg("l_quantity"), avg("l_extendedprice"), avg("l_discount"),
+        count(lit(1))))
+    time("grouped_int_key")(li
+      .groupBy(((ascii(col("l_returnflag")) * 256) +
+        ascii(col("l_linestatus"))).as("k"))
+      .agg(sum("l_quantity"), sum("l_extendedprice"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))),
+        avg("l_quantity"), avg("l_extendedprice"), avg("l_discount"),
+        count(lit(1))))
+    time("grouped_first_strings")(li
+      .groupBy(((ascii(col("l_returnflag")) * 256) +
+        ascii(col("l_linestatus"))).as("k"))
+      .agg(first("l_returnflag").as("l_returnflag"),
+        first("l_linestatus").as("l_linestatus"),
+        sum("l_quantity"), sum("l_extendedprice"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))),
+        avg("l_quantity"), avg("l_extendedprice"), avg("l_discount"),
+        count(lit(1))))
+    time("q1_full")(graft.SparkEntry.queries("q1_agg")(spark, sfDir))
+    spark.stop()
+  }
+}

@@ -250,6 +250,59 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err2.getMessage.contains("content_size_in_bytes"))
   }
 
+  test("iceberg-cdc stream: snapshot-log offsets, appends only, compaction silent") {
+    val dir = Files.createTempDirectory("iceberg_cdc").toString + "/t"
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val tbl = Engine.ctas(spark, dir,
+      li.filter(col("l_returnflag") === "A").coalesce(2).toDF())
+    IcebergExport.export(tbl, dir, avroManifests = false)
+    val nA = li.filter(col("l_returnflag") === "A").count()
+    val ckpt = Files.createTempDirectory("iceberg_cdc_ck").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("iceberg-cdc")
+      .option("path", dir).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.add(batch.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      def counts = {
+        val it = seen.iterator()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten.toSeq
+      }
+      assert(counts.sum == nA, s"initial snapshot wrong: $counts vs $nA")
+      // append commits a new snapshot; re-export advances the metadata —
+      // only the appended rows stream
+      Engine.insert(LakeTable.load(spark, dir),
+        li.filter(col("l_returnflag") === "R").coalesce(1).toDF())
+      IcebergExport.export(LakeTable.load(spark, dir), dir,
+        avroManifests = false)
+      q.processAllAvailable()
+      val expected = li.filter(col("l_returnflag") =!= "N").count()
+      assert(counts.sum == expected, s"append batch wrong: $counts")
+      // compaction rewrites every live file under operation `compact` —
+      // the stream must not re-emit the table
+      val preCompact = counts.sum
+      Engine.compact(LakeTable.load(spark, dir), targetBytes = 1L << 30)
+      IcebergExport.export(LakeTable.load(spark, dir), dir,
+        avroManifests = false)
+      q.processAllAvailable()
+      assert(counts.sum == preCompact,
+        s"compaction leaked rows into iceberg-cdc: $counts")
+      // and a genuine append after the compaction still streams
+      Engine.insert(LakeTable.load(spark, dir),
+        li.filter(col("l_returnflag") === "N").limit(5).coalesce(1).toDF())
+      IcebergExport.export(LakeTable.load(spark, dir), dir,
+        avroManifests = false)
+      q.processAllAvailable()
+      assert(counts.sum == preCompact + 5, s"post-compact append: $counts")
+    } finally q.stop()
+  }
+
   test("export/import round-trip of a lake table (avro + json manifests)") {
     for (avro <- Seq(true, false)) {
       val dir = Files.createTempDirectory("icebergrt").toString + "/t"

@@ -79,6 +79,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "releaseCaches left signature relations pinned")
   }
 
+  test("saltedCount really spreads a hot key and still counts exactly") {
+    import graft.ops.Skew
+    val hot = spark.range(0, 1000)
+      .select(col("id").as("event_id"), lit("hot").as("k"))
+    // the derived salt must fan one hot key over many buckets — that is
+    // the entire point of the operator (a constant salt would silently
+    // degrade to a plain group-by and the gate would still pass)
+    val spread = hot.withColumn("_salt",
+        pmod(xxhash64(struct(col("event_id"), col("k"))), lit(16)))
+      .select("_salt").distinct().count()
+    assert(spread >= 12, s"hot key landed in only $spread of 16 buckets")
+    val out = Skew.saltedCount(hot, "k", 16).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 1000L)
+  }
+
   test("as-of join: latest right row at or before each left time") {
     import spark.implicits._
     import graft.ops.AsofJoin
