@@ -55,11 +55,15 @@ object QTpcds {
 
   // Q5/Q77 shape: per-channel revenue union → rollup with grand total.
   // Channels are proxied by order priority classes. The FROM clause
-  // leads with the SELECTIVE side (nation filter → 12% of customers →
-  // 12% of orders) so Spark's left-deep join order — it does not
-  // cost-reorder joins without CBO stats — shrinks the fact join
-  // before lineitem enters; DuckDB reorders by cost either way, so the
-  // shared text is engine-neutral.
+  // leads with the FACT (lineitem ⋈ orders first, dims after):
+  // tools/ChannelRollupAB measured both left-deep orders at
+  // sf0.1/sf1/sf10 and fact-first won every scale (0.67 vs 0.93 /
+  // 1.27 vs 1.71 / 4.25 vs 5.50 s median) — the dims-first build-up
+  // shuffles orders on custkey AND its join output on orderkey, while
+  // fact-first pays one orderkey co-shuffle and then broadcasts the
+  // nation-filtered customer side (AQE keeps choosing that even with a
+  // 128 MB broadcast threshold offered; see BASELINE.md). DuckDB
+  // cost-reorders either text identically, so the gate stays neutral.
   private val qChannelRollup =
     """SELECT channel, nation, round(sum(revenue), 2) AS revenue,
       |  count(*) AS n_sales
@@ -68,10 +72,10 @@ object QTpcds {
       |           THEN 'express' ELSE 'standard' END AS channel,
       |    n_name AS nation,
       |    l_extendedprice * (1 - l_discount) AS revenue
-      |  FROM nation
-      |  JOIN customer ON c_nationkey = n_nationkey
-      |  JOIN orders ON o_custkey = c_custkey
-      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
       |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
       |GROUP BY ROLLUP(channel, nation)
       |ORDER BY channel NULLS FIRST, nation NULLS FIRST""".stripMargin

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** A/B the two FROM orders of qds_channel_rollup (dims-first as shipped
+  * vs fact-first) at a given fixture — the data behind the join-order
+  * note in BASELINE.md. Spark without CBO join-reorder keeps the
+  * syntactic order for the first build-up, so the declaration order IS
+  * the plan; AQE only re-plans strategies/sizes within it.
+  *
+  * Usage: ChannelRollupAB <sfDir> [reps=3]
+  */
+object ChannelRollupAB {
+
+  val dimsFirst: String =
+    """SELECT channel, nation, round(sum(revenue), 2) AS revenue,
+      |  count(*) AS n_sales
+      |FROM (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 'express' ELSE 'standard' END AS channel,
+      |    n_name AS nation,
+      |    l_extendedprice * (1 - l_discount) AS revenue
+      |  FROM nation
+      |  JOIN customer ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
+      |GROUP BY ROLLUP(channel, nation)
+      |ORDER BY channel NULLS FIRST, nation NULLS FIRST""".stripMargin
+
+  val factFirst: String =
+    """SELECT channel, nation, round(sum(revenue), 2) AS revenue,
+      |  count(*) AS n_sales
+      |FROM (
+      |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 'express' ELSE 'standard' END AS channel,
+      |    n_name AS nation,
+      |    l_extendedprice * (1 - l_discount) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
+      |GROUP BY ROLLUP(channel, nation)
+      |ORDER BY channel NULLS FIRST, nation NULLS FIRST""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val builder = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    // extra args: k=v session confs (e.g. a raised broadcast threshold)
+    args.drop(2).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.registerAll(spark, sfDir)
+    for ((name, sql) <- Seq("dims_first" -> dimsFirst,
+        "fact_first" -> factFirst)) {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.sql(sql).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      val times = Seq.fill(reps)(once()).sorted
+      println(f"[ab] $sfDir $name%-11s median=${times(times.size / 2)}%.3f " +
+        f"best=${times.head}%.3f")
+    }
+    spark.stop()
+  }
+}
