@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** LSH bucket-skew diagnostic: the (band, bhash) shuffle is minhash's
+  * only data-dependent exchange, so a hot bucket is the one place the
+  * pipeline could stall at scale. Reports the largest buckets, the top
+  * bucket's share of all banded rows, and the share of CANDIDATE PAIRS
+  * (k·(k−1)/2 per bucket — the quadratic quantity that actually costs)
+  * owned by the top 10 buckets.
+  *
+  * Usage: MinhashSkew [sfDir]
+  */
+object MinhashSkew {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = d.count()
+    val bands = Dedup.adaptiveBands(n)
+    val r = 64 / bands
+    val sig = graft.ops.Par.fanOut(d).select(col("doc_id").as("id"),
+        Dedup.shingleSig(col("text"), 5, 64).as("ss"))
+      .select(col("id"), col("ss.sig").as("sig"))
+    val buckets = sig.select(
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
+          .as(Seq("band", "bhash")))
+      .groupBy("band", "bhash").agg(count(lit(1)).as("k"))
+      .cache()
+    val total = buckets.agg(sum("k")).head().getLong(0)
+    val pairsTotal = buckets
+      .agg(sum(col("k") * (col("k") - 1) / 2)).head().getDouble(0)
+    val top = buckets.orderBy(desc("k")).limit(10).collect()
+    val topPairs = top.map(x => {
+      val k = x.getLong(2).toDouble; k * (k - 1) / 2
+    }).sum
+    println(f"[skew] docs=$n bands=$bands banded_rows=$total " +
+      f"candidate_pairs=${pairsTotal}%.0f")
+    top.foreach(x => println(
+      f"[skew]   band=${x.getInt(0)}%2d k=${x.getLong(2)}%7d " +
+        f"row_share=${x.getLong(2).toDouble / total}%.5f"))
+    println(f"[skew] top1_row_share=${top.head.getLong(2).toDouble / total}%.5f " +
+      f"top10_pair_share=${topPairs / pairsTotal}%.4f")
+    spark.stop()
+  }
+}
