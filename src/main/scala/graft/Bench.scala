@@ -47,6 +47,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // size-guarded AQE SMJ→SHJ conversion: skips sorting both sides
+      // of large-large joins (q5's lineitem⋈orders sorts 60M rows
+      // otherwise — measured ~10% off the sf10 join queries); the
+      // per-partition build-size guard keeps it safe at any scale
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
       .config("spark.ui.enabled", "false")
     // single-JVM local mode: shuffle bytes never cross a network, so lz4
     // on the shuffle path is pure CPU overhead and a tmpfs shuffle dir

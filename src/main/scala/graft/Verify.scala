@@ -16,6 +16,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // let AQE convert sort-merge joins to shuffled-hash when the
+      // runtime build side fits per-partition (size-guarded, so it
+      // stays safe at any scale); same setting as Bench so the gates
+      // exercise the physical strategies the benchmark measures
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
