@@ -59,6 +59,30 @@ class IcebergCdcSource(sqlContext: SQLContext, dir: String,
       .getOrElse(startAfter)
     val toId = LongOffset(end.json().toLong).offset
     val spark = sqlContext.sparkSession
+    val (table, freshFiles) = this.freshFiles(fromId, toId)
+    val batch =
+      if (freshFiles.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          table.schema)
+      else {
+        // apply the range-end snapshot's delete entries to the fresh
+        // files (shared MOR path: pos deletes, DVs, equality deletes)
+        val toSnap = table.snapshots.find(_.id == toId).get
+        val deletes = IcebergImport.liveFiles(table, toSnap, dir)
+          .filter(f => f.isDelete || f.isEqualityDelete || f.isDv)
+        IcebergImport.scanFiles(spark, dir, table, freshFiles ++ deletes)
+      }
+    org.apache.spark.sql.GraftBridge.streamingDataFrame(spark, batch)
+  }
+
+  /** The table state plus exactly the data files whose rows are NEW in
+    * the snapshot range `(fromId, toId]` (fromId < 0 = from the
+    * beginning) — split out from [[getBatch]] so the per-step diff and
+    * its exactly-once properties are unit-testable without a running
+    * stream. */
+  private[graft] def freshFiles(fromId: Long, toId: Long)
+      : (ExtTable, List[ExtFile]) = {
     val table = load()
     val snaps = table.snapshots
     val toIdx = snaps.indexWhere(_.id == toId)
@@ -95,20 +119,7 @@ class IcebergCdcSource(sqlContext: SQLContext, dir: String,
         for ((p, f) <- cur if !prev.contains(p) && seen.add(p)) fresh += f
       prev = cur.keySet
     }
-    val freshFiles = fresh.result()
-    val batch =
-      if (freshFiles.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          table.schema)
-      else {
-        // apply the range-end snapshot's delete entries to the fresh
-        // files (shared MOR path: pos deletes, DVs, equality deletes)
-        val deletes = IcebergImport.liveFiles(table, snaps(toIdx), dir)
-          .filter(f => f.isDelete || f.isEqualityDelete || f.isDv)
-        IcebergImport.scanFiles(spark, dir, table, freshFiles ++ deletes)
-      }
-    org.apache.spark.sql.GraftBridge.streamingDataFrame(spark, batch)
+    (table, fresh.result())
   }
 
   override def stop(): Unit = ()

@@ -303,6 +303,39 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("iceberg-cdc over a genuine spark-written log: range-split invariance") {
+    assume(haveSamples)
+    // 9 snapshots (6 appends, 3 overwrites) written by real Spark: the
+    // per-step diff must be range-split invariant — walking the log one
+    // snapshot at a time emits exactly the same file set as one batch
+    // spanning the whole history (the exactly-once property a restore
+    // from any intermediate checkpoint relies on)
+    val dir = sample("spark_generated_iceberg_test")
+    val src = new graft.streaming.IcebergCdcSource(spark.sqlContext, dir, -1L)
+    val table = IcebergImport.readMetadata(
+      IcebergImport.latestMetadataPath(dir).get)
+    val ids = table.snapshots.map(_.id)
+    val cur = table.currentSnapshotId.get
+    assert(ids.last == cur, "fixture: snapshot list ends at current")
+    val (_, oneShot) = src.freshFiles(-1L, cur)
+    val stepped = (-1L +: ids).zip(ids).flatMap { case (a, b) =>
+      src.freshFiles(a, b)._2
+    }
+    assert(stepped.map(_.path) == oneShot.map(_.path),
+      s"stepped walk diverged: ${stepped.size} vs ${oneShot.size} files")
+    // appends+overwrites only ever ADD data files here, so the emitted
+    // union must cover every data file live at the end (plus any
+    // overwritten-away mid-history)
+    val finalLive = IcebergImport
+      .liveFiles(table, table.currentSnapshot.get, dir)
+      .filterNot(f => f.isDelete || f.isEqualityDelete || f.isDv)
+      .map(_.path).toSet
+    assert(finalLive.subsetOf(oneShot.map(_.path).toSet))
+    // expired-offset detection: an id absent from the log is an error
+    val e = intercept[IllegalStateException](src.freshFiles(424242L, cur))
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("export/import round-trip of a lake table (avro + json manifests)") {
     for (avro <- Seq(true, false)) {
       val dir = Files.createTempDirectory("icebergrt").toString + "/t"
