@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Running aggregates over window partitions too large for one task.
+  *
+  * `sum(x) OVER (PARTITION BY p ORDER BY o ROWS UNBOUNDED PRECEDING)`
+  * plans as ONE sort task per distinct `p` — with a low-cardinality
+  * partition key (3 return flags, one tenant, one global sequence) a
+  * 100 TB table funnels into a handful of tasks while the cluster
+  * idles. This is the distributed two-phase prefix sum instead, the
+  * whole-column generalization of [[TextPrep.packSequences]]'s layout
+  * pass:
+  *
+  *  1. range-shuffle rows by (p, o) — order-respecting blocks, sized
+  *     by Spark's range sampler, `numRanges` wide;
+  *  2. per (p, block) local running sum — thousands of small sorted
+  *     groups, every core busy;
+  *  3. per-(p, block) totals (a metadata-sized relation: one row per
+  *     block per partition key it touches) windowed into block start
+  *     offsets — the only serial step, over block COUNTS not rows;
+  *  4. output = local running + block offset, one keyed join.
+  *
+  * Exactness: identical to the single-task window whenever `orderCols`
+  * is a total order within `p` (ties that straddle a block boundary
+  * get an arbitrary tie order, exactly as a ROWS frame does anyway)
+  * and the aggregate is associative with deterministic addition —
+  * integer/decimal sums and counts are bit-exact; float sums differ by
+  * reassociation like any parallel float aggregate.
+  */
+object BigWindow {
+
+  /** Blocked-layout relations pinned by [[runningSum]] — released by
+    * [[releaseCaches]] after the result is consumed (same contract as
+    * [[Dedup.releaseCaches]]). */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def trackedCache(df: DataFrame): DataFrame = {
+    val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    liveCaches.add(c)
+    c
+  }
+
+  /** Unpersist every layout relation pinned by [[runningSum]]. */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = liveCaches.poll()
+    }
+  }
+
+  /** `df` + column `out` = running sum of `valueCol` over
+    * (PARTITION BY partCol ORDER BY orderCols ROWS UNBOUNDED
+    * PRECEDING), computed `numRanges` wide. */
+  def runningSum(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, out: String, numRanges: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val n = if (numRanges > 0) numRanges
+      else spark.sessionState.conf.numShufflePartitions
+    val rangeCols = (partCol +: orderCols).map(col)
+    // The block id is the range-shuffle partition id, read AFTER the
+    // exchange — and the local and offsets branches below are two
+    // consumers of it. Left lazy, AQE may coalesce each consumer's
+    // reads differently (a window vs a tiny aggregate) and the ids
+    // diverge between branches (measured: one-row drift). Persisting
+    // pins ONE physical layout both branches read — the "checkpoint
+    // the layout" step every distributed sort-based pass pays; callers
+    // release it via releaseCaches() once the result is materialized.
+    val blocked = trackedCache(df
+      .repartitionByRange(n, rangeCols: _*)
+      .withColumn("_blk", spark_partition_id()))
+    // phase 2: local running sum inside each (partition key, block)
+    // group — the groups re-shuffle by hash, but there are ~n of them
+    // per partition key, so the sort work is spread across the cluster
+    val wLocal = Window.partitionBy(col(partCol), col("_blk"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = blocked.withColumn("_run_local",
+      sum(col(valueCol)).over(wLocal))
+    // phase 3: block totals → start offset of each block within its
+    // partition key. One row per (p, block) pair that exists — the
+    // windowed sort here runs over block counts, not row counts.
+    val wOff = Window.partitionBy(col(partCol)).orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy(col(partCol), col("_blk"))
+      .agg(sum(col(valueCol)).as("_bt"))
+      .withColumn("_boff", sum(col("_bt")).over(wOff))
+      .drop("_bt")
+    // phase 4: add the offset back. A null offset means no preceding
+    // block carried a non-null value → the local prefix IS the answer
+    // (possibly null, matching the classic window's all-null prefix);
+    // a non-null offset with a null local prefix means this row's
+    // block hasn't seen a non-null yet → the offset alone.
+    local.join(offsets, Seq(partCol, "_blk"))
+      .withColumn(out,
+        when(col("_boff").isNull, col("_run_local"))
+          .otherwise(col("_boff") + coalesce(col("_run_local"), lit(0))))
+      .drop("_blk", "_run_local", "_boff")
+  }
+
+  /** Running count (1-based row index) over the same distributed
+    * shape — `row_number()` for partitions one task cannot sort. */
+  def runningCount(df: DataFrame, partCol: String, orderCols: Seq[String],
+      out: String, numRanges: Int = 0): DataFrame =
+    runningSum(df.withColumn("_one", lit(1L)), partCol, orderCols,
+      "_one", out, numRanges).drop("_one")
+}

@@ -269,6 +269,28 @@ object QPipe {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // distributed running sum: the two-phase prefix pipeline for window
+    // partitions one task cannot sort (here: 5 order priorities over all
+    // of orders — the classic scale-killer shape). The ordering key is
+    // o_orderkey (globally unique — a running frame over a NON-unique
+    // order is tie-ambiguous in every engine, so only a total order can
+    // gate exactly); decimal value so the block-wise reassociation is
+    // bit-exact against the serial oracle.
+    "q_win_running_dist" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(14,2)").as("price"))
+      graft.ops.BigWindow.runningSum(o, "o_orderpriority",
+          Seq("o_orderkey"), "price", "running_price")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          // accumulation is decimal (bit-exact under reassociation);
+          // the OUTPUT is double — decimal output columns trip the
+          // driver's two read paths (see check.py STRICT-DECIMAL), and
+          // every value here is exact in a double (cents < 2^53)
+          col("running_price").cast("double").as("running_price"))
+        .orderBy("o_orderkey")
+    },
+
     // salted two-phase aggregation: the manual skew complement to AQE —
     // the gate proves the (key, salt) partial + key final pipeline is
     // bit-identical to a plain GROUP BY (the salt must only re-route
@@ -723,6 +745,15 @@ object QPipe {
         |WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 10000
         |               ELSE 2000 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_win_running_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_skew_salted" ->
       """SELECT event_type, count(*) AS n

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+object BigWindowDebug {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = graft.Tables.load(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast("decimal(14,2)").as("qty"))
+    val dist = graft.ops.BigWindow.runningSum(li, "o_orderpriority",
+      Seq("o_orderkey"), "qty", "run")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val classic = li.withColumn("run_c", sum(col("qty")).over(w))
+    val j = dist.join(classic,
+      Seq("o_orderkey", "o_orderpriority"))
+    val bad = j.filter(col("run") =!= col("run_c"))
+    println("[dbg] total=" + j.count() + " mismatched=" + bad.count())
+    bad.orderBy("o_orderpriority", "o_orderkey").show(10, false)
+    // timing: classic one-task-per-key window vs the distributed pass
+    def time(name: String)(f: => Unit): Unit = {
+      f // warm
+      val ts = Seq.fill(3) {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[dbg] $name%-10s median=${ts(1)}%.3f best=${ts.head}%.3f")
+    }
+    time("classic") {
+      classic.write.format("noop").mode("overwrite").save()
+    }
+    time("dist") {
+      graft.ops.BigWindow.releaseCaches()
+      graft.ops.BigWindow.runningSum(li, "o_orderpriority",
+          Seq("o_orderkey"), "qty", "run")
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

@@ -79,6 +79,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "releaseCaches left signature relations pinned")
   }
 
+  test("BigWindow.runningSum equals the classic window on a unique order") {
+    import graft.ops.BigWindow
+    import org.apache.spark.sql.expressions.Window
+    // 3 partition keys × 10k rows with nulls sprinkled in — a unique
+    // ordering key so the comparison is tie-free
+    val df = spark.range(0, 30000).select(
+      col("id"),
+      (col("id") % 3).cast("string").as("p"),
+      when(col("id") % 97 === 0, lit(null).cast("decimal(10,2)"))
+        .otherwise((col("id") % 1000).cast("decimal(10,2)")).as("v"))
+    val dist = BigWindow.runningSum(df, "p", Seq("id"), "v", "run",
+      numRanges = 8)
+    val w = Window.partitionBy("p").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val classic = df.withColumn("run_c", sum(col("v")).over(w))
+    val bad = dist.join(classic, Seq("id", "p"))
+      .filter(not(col("run") <=> col("run_c")))
+    assert(bad.count() == 0, s"divergence: ${bad.take(3).toSeq}")
+    // runningCount = row_number over the same distributed shape
+    val rc = BigWindow.runningCount(df, "p", Seq("id"), "rn", numRanges = 8)
+    val rn = df.withColumn("rn_c",
+      row_number().over(Window.partitionBy("p").orderBy("id")))
+    assert(rc.join(rn, Seq("id", "p"))
+      .filter(col("rn") =!= col("rn_c")).count() == 0)
+    BigWindow.releaseCaches()
+  }
+
   test("saltedCount really spreads a hot key and still counts exactly") {
     import graft.ops.Skew
     val hot = spark.range(0, 1000)
