@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Recall of IVF top-k vs exact brute force across nProbe values — the
+  * tuning sweep behind the q_sim_ivf_topk gate's nProbe choice. */
+object IvfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    for (qid <- Seq(0L, 7L, 42L)) {
+      val query = e.filter(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val exact = Similarity.topK(e, "vec_id", "embedding", query, 20)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val (indexed, centroids) =
+        Similarity.ivfIndex(e, "vec_id", "embedding", k = 16)
+      val cached = indexed.cache()
+      for (np <- Seq(1, 2, 4, 8)) {
+        val got = Similarity.ivfTopK(cached, "vec_id", "embedding", query,
+            20, centroids, nProbe = np)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        println(s"[ivf] q=$qid nprobe=$np recall=" +
+          (got & exact).size.toDouble / exact.size)
+      }
+      cached.unpersist()
+    }
+    spark.stop()
+  }
+}
