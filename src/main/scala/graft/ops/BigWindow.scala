@@ -109,4 +109,74 @@ object BigWindow {
       out: String, numRanges: Int = 0): DataFrame =
     runningSum(df.withColumn("_one", lit(1L)), partCol, orderCols,
       "_one", out, numRanges).drop("_one")
+
+  /** `df` + column `out` = sum of `valueCol` over (PARTITION BY partCol
+    * ORDER BY orderCols ROWS BETWEEN `frame`−1 PRECEDING AND CURRENT
+    * ROW), distributed by the carry-rows trick: each block re-sends its
+    * LAST `frame`−1 rows to the next block as phantom carry rows, the
+    * bounded frame runs per (key, block) group in parallel, and carry
+    * rows are dropped from the output. A row's frame can only reach
+    * into the immediately previous block when every block holds at
+    * least `frame`−1 rows of its keys — if the layout comes up shorter
+    * (tiny inputs, extreme skew), fall back to the classic window
+    * rather than emit silently wrong sums. */
+  def trailingSum(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, out: String, frame: Int,
+      numRanges: Int = 0): DataFrame = {
+    require(frame >= 1, s"frame must be >= 1, got $frame")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val n = if (numRanges > 0) numRanges
+      else spark.sessionState.conf.numShufflePartitions
+    if (frame == 1)
+      return df.withColumn(out, col(valueCol))
+    val rangeCols = (partCol +: orderCols).map(col)
+    val blocked = trackedCache(df
+      .repartitionByRange(n, rangeCols: _*)
+      .withColumn("_blk", spark_partition_id()))
+    // Per-key block chain (metadata-sized: one row per occupied
+    // (key, block) pair): carries target the key's NEXT OCCUPIED block
+    // — a range boundary can leave a block without rows of a key, and
+    // a blind `_blk + 1` would strand the carry in an empty group.
+    val wChain = Window.partitionBy(col(partCol)).orderBy(col("_blk"))
+    val chain = blocked.groupBy(col(partCol), col("_blk"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_next", lead(col("_blk"), 1).over(wChain))
+      .withColumn("_prev", lag(col("_blk"), 1).over(wChain))
+    // carry-sufficiency check: a MIDDLE slice of a key (one with both
+    // a predecessor and a successor) smaller than frame−1 rows would
+    // force the next block to reach TWO blocks back — fall back to
+    // the classic window (correct, serial) instead of guessing. First
+    // slices are fine (they carry the key's ENTIRE history so far);
+    // last slices feed nobody.
+    val shortMiddles = chain
+      .filter(col("_prev").isNotNull && col("_next").isNotNull &&
+        col("_c") < frame - 1)
+      .count()
+    if (shortMiddles > 0) {
+      val w = Window.partitionBy(col(partCol))
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(-(frame - 1), 0)
+      return df.withColumn(out, sum(col(valueCol)).over(w))
+    }
+    val wFromEnd = Window.partitionBy(col(partCol), col("_blk"))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val carry = blocked
+      .withColumn("_rne", row_number().over(wFromEnd))
+      .filter(col("_rne") <= frame - 1)
+      .drop("_rne")
+      .join(chain.filter(col("_next").isNotNull)
+        .select(col(partCol), col("_blk"), col("_next")),
+        Seq(partCol, "_blk"))
+      .withColumn("_blk", col("_next")).drop("_next")
+      .withColumn("_carry", lit(true))
+    val aug = blocked.withColumn("_carry", lit(false))
+      .unionByName(carry)
+    val wTrail = Window.partitionBy(col(partCol), col("_blk"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(frame - 1), 0)
+    aug.withColumn(out, sum(col(valueCol)).over(wTrail))
+      .filter(!col("_carry"))
+      .drop("_blk", "_carry")
+  }
 }

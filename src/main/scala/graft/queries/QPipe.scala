@@ -291,6 +291,19 @@ object QPipe {
         .orderBy("o_orderkey")
     },
 
+    // bounded trailing frame over the same distributed layout: blocks
+    // re-send their last frame−1 rows as carries, the frame runs wide
+    "q_win_trailing_dist" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(14,2)").as("price"))
+      graft.ops.BigWindow.trailingSum(o, "o_orderpriority",
+          Seq("o_orderkey"), "price", "trail_price", frame = 20)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("trail_price").cast("double").as("trail_price"))
+        .orderBy("o_orderkey")
+    },
+
     // salted two-phase aggregation: the manual skew complement to AQE —
     // the gate proves the (key, salt) partial + key final pipeline is
     // bit-identical to a plain GROUP BY (the salt must only re-route
@@ -752,6 +765,16 @@ object QPipe {
         |    PARTITION BY o_orderpriority
         |    ORDER BY o_orderkey
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_trailing_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trail_price
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 

@@ -103,6 +103,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       row_number().over(Window.partitionBy("p").orderBy("id")))
     assert(rc.join(rn, Seq("id", "p"))
       .filter(col("rn") =!= col("rn_c")).count() == 0)
+    // bounded trailing frame via carry rows
+    val trail = BigWindow.trailingSum(df, "p", Seq("id"), "v", "t",
+      frame = 7, numRanges = 8)
+    val wt = Window.partitionBy("p").orderBy("id").rowsBetween(-6, 0)
+    val trailC = df.withColumn("t_c", sum(col("v")).over(wt))
+    assert(trail.join(trailC, Seq("id", "p"))
+      .filter(not(col("t") <=> col("t_c"))).count() == 0)
+    // a frame larger than the block slices triggers the classic
+    // fallback — still exact
+    val tiny = spark.range(0, 40).select(col("id"),
+      lit("k").as("p"), col("id").cast("decimal(10,2)").as("v"))
+    val bigFrame = BigWindow.trailingSum(tiny, "p", Seq("id"), "v", "t",
+      frame = 25, numRanges = 8)
+    val wbf = Window.partitionBy("p").orderBy("id").rowsBetween(-24, 0)
+    assert(bigFrame.join(tiny.withColumn("t_c", sum(col("v")).over(wbf)),
+        Seq("id", "p"))
+      .filter(not(col("t") <=> col("t_c"))).count() == 0)
     BigWindow.releaseCaches()
   }
 
