@@ -110,6 +110,25 @@ object BigWindow {
     runningSum(df.withColumn("_one", lit(1L)), partCol, orderCols,
       "_one", out, numRanges).drop("_one")
 
+  /** `df` + column `out` = `lag(valueCol, offset)` over (PARTITION BY
+    * partCol ORDER BY orderCols) — the offset-function analogue of
+    * [[trailingSum]], same carry-rows layout: each block re-sends its
+    * last `offset` rows to the key's next occupied block, lag runs per
+    * (key, block) group in parallel, carries drop from the output.
+    * Falls back to the classic serial window when a middle slice is
+    * shorter than `offset` (same sufficiency rule). */
+  def lagValue(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, out: String, offset: Int = 1,
+      numRanges: Int = 0): DataFrame =
+    carried(df, partCol, orderCols, offset + 1, numRanges) {
+      (aug, wOrdered) =>
+        aug.withColumn(out, lag(col(valueCol), offset).over(wOrdered))
+    }.getOrElse {
+      val w = Window.partitionBy(col(partCol))
+        .orderBy(orderCols.map(col): _*)
+      df.withColumn(out, lag(col(valueCol), offset).over(w))
+    }
+
   /** `df` + column `out` = sum of `valueCol` over (PARTITION BY partCol
     * ORDER BY orderCols ROWS BETWEEN `frame`−1 PRECEDING AND CURRENT
     * ROW), distributed by the carry-rows trick: each block re-sends its
@@ -124,41 +143,55 @@ object BigWindow {
       valueCol: String, out: String, frame: Int,
       numRanges: Int = 0): DataFrame = {
     require(frame >= 1, s"frame must be >= 1, got $frame")
+    if (frame == 1)
+      return df.withColumn(out, col(valueCol))
+    carried(df, partCol, orderCols, frame, numRanges) { (aug, wOrdered) =>
+      aug.withColumn(out,
+        sum(col(valueCol)).over(wOrdered.rowsBetween(-(frame - 1), 0)))
+    }.getOrElse {
+      val w = Window.partitionBy(col(partCol))
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(-(frame - 1), 0)
+      df.withColumn(out, sum(col(valueCol)).over(w))
+    }
+  }
+
+  /** Shared carry-rows layout for bounded-lookback window shapes: range-
+    * block the rows, re-send each (key, block) group's last `frame`−1
+    * rows to the key's NEXT OCCUPIED block (a range boundary can leave
+    * a block without rows of a key — a blind `_blk + 1` would strand
+    * the carry in an empty group), run `body` with the augmented frame
+    * and the per-(key, block) ordered window spec, drop the carries.
+    *
+    * Returns None — caller falls back to the classic serial window —
+    * when a MIDDLE slice of a key (one with both a predecessor and a
+    * successor) is shorter than `frame`−1 rows: its successor would
+    * need carries from TWO blocks back. First slices are fine (they
+    * carry the key's ENTIRE history so far); last slices feed nobody.
+    * The sufficiency test is metadata-sized (per-key block chain). */
+  private def carried(df: DataFrame, partCol: String,
+      orderCols: Seq[String], frame: Int, numRanges: Int)(
+      body: (DataFrame,
+        org.apache.spark.sql.expressions.WindowSpec) => DataFrame)
+      : Option[DataFrame] = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
     val spark = df.sparkSession
     val n = if (numRanges > 0) numRanges
       else spark.sessionState.conf.numShufflePartitions
-    if (frame == 1)
-      return df.withColumn(out, col(valueCol))
     val rangeCols = (partCol +: orderCols).map(col)
     val blocked = trackedCache(df
       .repartitionByRange(n, rangeCols: _*)
       .withColumn("_blk", spark_partition_id()))
-    // Per-key block chain (metadata-sized: one row per occupied
-    // (key, block) pair): carries target the key's NEXT OCCUPIED block
-    // — a range boundary can leave a block without rows of a key, and
-    // a blind `_blk + 1` would strand the carry in an empty group.
     val wChain = Window.partitionBy(col(partCol)).orderBy(col("_blk"))
     val chain = blocked.groupBy(col(partCol), col("_blk"))
       .agg(count(lit(1)).as("_c"))
       .withColumn("_next", lead(col("_blk"), 1).over(wChain))
       .withColumn("_prev", lag(col("_blk"), 1).over(wChain))
-    // carry-sufficiency check: a MIDDLE slice of a key (one with both
-    // a predecessor and a successor) smaller than frame−1 rows would
-    // force the next block to reach TWO blocks back — fall back to
-    // the classic window (correct, serial) instead of guessing. First
-    // slices are fine (they carry the key's ENTIRE history so far);
-    // last slices feed nobody.
     val shortMiddles = chain
       .filter(col("_prev").isNotNull && col("_next").isNotNull &&
         col("_c") < frame - 1)
       .count()
-    if (shortMiddles > 0) {
-      val w = Window.partitionBy(col(partCol))
-        .orderBy(orderCols.map(col): _*)
-        .rowsBetween(-(frame - 1), 0)
-      return df.withColumn(out, sum(col(valueCol)).over(w))
-    }
+    if (shortMiddles > 0) return None
     val wFromEnd = Window.partitionBy(col(partCol), col("_blk"))
       .orderBy(orderCols.map(c => col(c).desc): _*)
     val carry = blocked
@@ -172,11 +205,10 @@ object BigWindow {
       .withColumn("_carry", lit(true))
     val aug = blocked.withColumn("_carry", lit(false))
       .unionByName(carry)
-    val wTrail = Window.partitionBy(col(partCol), col("_blk"))
+    val wOrdered = Window.partitionBy(col(partCol), col("_blk"))
       .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-(frame - 1), 0)
-    aug.withColumn(out, sum(col(valueCol)).over(wTrail))
+    Some(body(aug, wOrdered)
       .filter(!col("_carry"))
-      .drop("_blk", "_carry")
+      .drop("_blk", "_carry"))
   }
 }

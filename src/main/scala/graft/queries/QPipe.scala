@@ -304,6 +304,19 @@ object QPipe {
         .orderBy("o_orderkey")
     },
 
+    // lag across distributed blocks — the offset-function leg of the
+    // same carry layout
+    "q_win_lag_dist" -> { (s, dir) =>
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(14,2)").as("price"))
+      graft.ops.BigWindow.lagValue(o, "o_orderpriority",
+          Seq("o_orderkey"), "price", "prev_price", offset = 3)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("prev_price").cast("double").as("prev_price"))
+        .orderBy("o_orderkey")
+    },
+
     // salted two-phase aggregation: the manual skew complement to AQE —
     // the gate proves the (key, salt) partial + key final pipeline is
     // bit-identical to a plain GROUP BY (the salt must only re-route
@@ -775,6 +788,14 @@ object QPipe {
         |    ORDER BY o_orderkey
         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS trail_price
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_win_lag_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(14,2)), 3) OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_orderkey) AS DOUBLE) AS prev_price
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 

@@ -110,6 +110,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val trailC = df.withColumn("t_c", sum(col("v")).over(wt))
     assert(trail.join(trailC, Seq("id", "p"))
       .filter(not(col("t") <=> col("t_c"))).count() == 0)
+    // lag across block boundaries via the same carry layout
+    val lg = BigWindow.lagValue(df, "p", Seq("id"), "v", "l",
+      offset = 3, numRanges = 8)
+    val wl = Window.partitionBy("p").orderBy("id")
+    val lgC = df.withColumn("l_c", lag(col("v"), 3).over(wl))
+    assert(lg.join(lgC, Seq("id", "p"))
+      .filter(not(col("l") <=> col("l_c"))).count() == 0)
     // a frame larger than the block slices triggers the classic
     // fallback — still exact
     val tiny = spark.range(0, 40).select(col("id"),
