@@ -129,6 +129,22 @@ object BigWindow {
       df.withColumn(out, lag(col(valueCol), offset).over(w))
     }
 
+  /** `lead(valueCol, offset)` distributed: `lead` over an ascending
+    * order IS `lag` over the descending one, so this is [[lagValue]]
+    * with the carry direction reversed (each group re-sends its FIRST
+    * `offset` rows to the key's PREVIOUS occupied block). */
+  def leadValue(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, out: String, offset: Int = 1,
+      numRanges: Int = 0): DataFrame =
+    carried(df, partCol, orderCols, offset + 1, numRanges,
+        reverse = true) { (aug, wOrderedDesc) =>
+      aug.withColumn(out, lag(col(valueCol), offset).over(wOrderedDesc))
+    }.getOrElse {
+      val w = Window.partitionBy(col(partCol))
+        .orderBy(orderCols.map(col): _*)
+      df.withColumn(out, lead(col(valueCol), offset).over(w))
+    }
+
   /** `df` + column `out` = sum of `valueCol` over (PARTITION BY partCol
     * ORDER BY orderCols ROWS BETWEEN `frame`−1 PRECEDING AND CURRENT
     * ROW), distributed by the carry-rows trick: each block re-sends its
@@ -170,7 +186,8 @@ object BigWindow {
     * carry the key's ENTIRE history so far); last slices feed nobody.
     * The sufficiency test is metadata-sized (per-key block chain). */
   private def carried(df: DataFrame, partCol: String,
-      orderCols: Seq[String], frame: Int, numRanges: Int)(
+      orderCols: Seq[String], frame: Int, numRanges: Int,
+      reverse: Boolean = false)(
       body: (DataFrame,
         org.apache.spark.sql.expressions.WindowSpec) => DataFrame)
       : Option[DataFrame] = {
@@ -192,21 +209,27 @@ object BigWindow {
         col("_c") < frame - 1)
       .count()
     if (shortMiddles > 0) return None
+    // carry rows = each group's tail in the EFFECTIVE order (desc when
+    // reverse), sent to the key's effective-next block (= previous
+    // occupied block when reverse)
     val wFromEnd = Window.partitionBy(col(partCol), col("_blk"))
-      .orderBy(orderCols.map(c => col(c).desc): _*)
+      .orderBy(orderCols.map(c =>
+        if (reverse) col(c).asc else col(c).desc): _*)
+    val target = if (reverse) "_prev" else "_next"
     val carry = blocked
       .withColumn("_rne", row_number().over(wFromEnd))
       .filter(col("_rne") <= frame - 1)
       .drop("_rne")
-      .join(chain.filter(col("_next").isNotNull)
-        .select(col(partCol), col("_blk"), col("_next")),
+      .join(chain.filter(col(target).isNotNull)
+        .select(col(partCol), col("_blk"), col(target)),
         Seq(partCol, "_blk"))
-      .withColumn("_blk", col("_next")).drop("_next")
+      .withColumn("_blk", col(target)).drop(target)
       .withColumn("_carry", lit(true))
     val aug = blocked.withColumn("_carry", lit(false))
       .unionByName(carry)
     val wOrdered = Window.partitionBy(col(partCol), col("_blk"))
-      .orderBy(orderCols.map(col): _*)
+      .orderBy(orderCols.map(c =>
+        if (reverse) col(c).desc else col(c).asc): _*)
     Some(body(aug, wOrdered)
       .filter(!col("_carry"))
       .drop("_blk", "_carry"))

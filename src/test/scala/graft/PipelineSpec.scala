@@ -117,6 +117,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lgC = df.withColumn("l_c", lag(col("v"), 3).over(wl))
     assert(lg.join(lgC, Seq("id", "p"))
       .filter(not(col("l") <=> col("l_c"))).count() == 0)
+    // lead = lag over the reversed order; carries flow backwards
+    val ld = BigWindow.leadValue(df, "p", Seq("id"), "v", "nx",
+      offset = 2, numRanges = 8)
+    val ldC = df.withColumn("nx_c", lead(col("v"), 2).over(wl))
+    assert(ld.join(ldC, Seq("id", "p"))
+      .filter(not(col("nx") <=> col("nx_c"))).count() == 0)
     // a frame larger than the block slices triggers the classic
     // fallback — still exact
     val tiny = spark.range(0, 40).select(col("id"),
