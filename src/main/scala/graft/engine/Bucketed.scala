@@ -1,0 +1,77 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Bucketed (hash-clustered) table layout for co-located joins.
+  *
+  * The one shuffle the TPC-H-shaped join family cannot avoid on a plain
+  * file layout is the fact⋈fact co-shuffle (lineitem⋈orders on orderkey:
+  * both sides repartition on the join key every single query). The
+  * lakehouse answer is to bake the partitioning into the STORAGE: write
+  * both tables hash-clustered by the join key into the same number of
+  * buckets, and every subsequent join on that key reads bucket i of each
+  * side into the same task — no exchange, no sort (files are written
+  * key-sorted), at any scale. 100 TB posture: the layout is the
+  * declaration; a 1000-executor cluster schedules one task per bucket and
+  * never moves a row between nodes for this join, which is exactly how
+  * warehouse fact tables are deployed in production Spark.
+  *
+  * This rides Spark's native bucketed-table machinery (`bucketBy` +
+  * session-catalog tables — Catalyst's `FileSourceScanExec` reports the
+  * `HashPartitioning` to the planner, which drops both exchanges): no
+  * custom execution code, so whole-stage codegen and the vectorized
+  * parquet reader apply unchanged. The hash is Spark's murmur3 — the
+  * same family the reference's hidden bucket transform uses for pruning
+  * (pg_lake_iceberg/src/utils/murmur.c; our spec-exact transform lives in
+  * core/Transforms.scala) — here driving task co-location instead.
+  *
+  * Relation to the lake-table stack: a lake table's `bucket[N]` hidden
+  * partitioning prunes file lists on key equality
+  * (core/Pruning.scala); `Bucketed.write` is the complementary layout
+  * for repeated large-large equi-joins. `fromLake` bridges one into the
+  * other.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed, bucket-sorted catalog table at `path`.
+    *
+    * The pre-`repartition` on the bucket columns uses the identical
+    * murmur3-pmod placement as `bucketBy`, so every writer task holds
+    * exactly one bucket and each bucket lands in ONE file — the layout
+    * Spark requires to also elide the sort-merge sort (a multi-file
+    * bucket would read unsorted and re-sort per task).
+    */
+  def write(df: DataFrame, name: String, path: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): DataFrame = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val spark = df.sparkSession
+    val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.repartition(nBuckets, bucketCols.map(col): _*)
+      .write.format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(s"`$name`")
+    spark.table(s"`$name`")
+  }
+
+  /** Bucketize a lake table's current snapshot (bridge from the
+    * transactional table format into the co-located join layout). */
+  def fromLake(table: graft.core.LakeTable, name: String, path: String,
+      bucketCols: Seq[String], nBuckets: Int): DataFrame =
+    write(table.toDF, name, path, bucketCols, nBuckets)
+
+  /** The bucketed table as a DataFrame (scan reports its bucket
+    * partitioning to the planner). */
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"`$name`")
+
+  /** Drop the catalog entry (files at `path` are left in place — the
+    * catalog table is external). */
+  def drop(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+}

@@ -219,6 +219,57 @@ object Similarity {
       idCol, vecCol, query, kNN)
   }
 
+  /** IVF ANN, gate-exact (the differentially-verifiable counterpart of
+    * [[ivfIndex]]/[[ivfTopK]]): no k-means training — the coarse
+    * quantizer is the `nLists` corpus vectors with the smallest ids
+    * (deterministic in any engine), and all geometry is integer-exact
+    * over the quantized space. cell(v) = argmin over centroids c of
+    * ‖v−c‖², computed as ‖c‖² − 2·v·c (the ‖v‖² term is constant per
+    * row), ties to the lowest centroid id. The query probes its `nProbe`
+    * nearest cells by the same metric and ranks the survivors by
+    * qdot/√‖v‖² exactly like [[annTopKExact]].
+    *
+    * 100 TB posture: centroids ship as plan literals (no join), the
+    * corpus takes ONE scan pass computing cell + qdot + ‖v‖², and the
+    * cell filter prunes before the top-k heap — with the corpus
+    * bucket-written by `ivf_cell` (engine/Bucketed.write or a lake
+    * bucket[N] partition spec on a materialized cell column) the probe
+    * reads nProbe/nLists of the files and the scan never touches the
+    * rest. Output carries `ivf_cell` so the oracle verifies the
+    * partitioning itself, not just the final ranking. */
+  def ivfTopKExact(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    val cents: Array[(Long, Array[Long])] =
+      df.orderBy(col(idCol)).limit(nLists)
+        .select(col(idCol).cast("long"), quantizeCol(col(vecCol)))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val qq = quantize(query)
+    val qLit = array(qq.map(lit): _*)
+    def centDist(vq: Column, cv: Array[Long]): Column = {
+      val c2 = cv.map(x => x * x).sum
+      lit(c2) - lit(2L) * intDotK(vq, array(cv.map(lit): _*))
+    }
+    // argmin over (dist, centroid-id) structs: struct ordering is
+    // field-lexicographic, so least() IS the tie-to-lowest-id argmin
+    val cellOf = least(cents.map { case (cid, cv) =>
+      struct(centDist(col("_vq"), cv).as("d"), lit(cid).as("c"))
+    }: _*).getField("c")
+    val qProbes: Seq[Long] = cents.map { case (cid, cv) =>
+      val c2 = cv.map(x => x * x).sum
+      val d = c2 - 2L * cv.zip(qq).map { case (a, b) => a * b }.sum
+      (d, cid)
+    }.sorted.take(nProbe).map(_._2).toSeq
+    df.withColumn("_vq", quantizeCol(col(vecCol)))
+      .withColumn("ivf_cell", cellOf)
+      .filter(col("ivf_cell").isin(qProbes: _*))
+      .select(col(idCol), col("ivf_cell"),
+        intDotK(col("_vq"), qLit).as("qdot"),
+        intDotK(col("_vq"), col("_vq")).as("nrm2"))
+      .orderBy((col("qdot").cast("double") / sqrt(col("nrm2").cast("double")))
+        .desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup pairs, gate-exact: multi-table sign-LSH
     * over integer-quantized vectors generates candidates; survivors pass
     * the EXACT integer cosine test

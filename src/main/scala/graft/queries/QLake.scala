@@ -200,6 +200,24 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // bucketed co-located join: both facts rewritten hash-clustered by
+    // the join key (engine/Bucketed.scala) so the join runs with NO
+    // exchange and NO sort — the storage-side answer to the fact⋈fact
+    // co-shuffle; the oracle proves the layout changes nothing about
+    // the result (BucketedSpec pins the exchange-free plan itself)
+    "q_lake_bucketed_join" -> { (s, dir) =>
+      val base = tmp("bkt")
+      val bl = graft.engine.Bucketed.write(t(s, dir, "lineitem"),
+        "qlake_bkt_li", s"$base/li", Seq("l_orderkey"), 8)
+      val bo = graft.engine.Bucketed.write(t(s, dir, "orders"),
+        "qlake_bkt_ord", s"$base/ord", Seq("o_orderkey"), 8)
+      bl.join(bo, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // pruned scan: result must equal a plain filtered aggregate even
     // though most files were never opened
     "q_lake_prune_scan" -> { (s, dir) =>
@@ -308,5 +326,12 @@ object QLake {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_lake_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -211,6 +211,17 @@ object QPipe {
       Similarity.annTopKExact(e, "vec_id", "embedding", query, 20, annTables)
     },
 
+    // IVF ANN (the trained-quantizer-free scale path): deterministic
+    // seed centroids, integer-exact cell assignment and ranking — the
+    // oracle replays the whole inverted file, cells included.
+    "q_sim_ivf_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val query = e.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.ivfTopKExact(e, "vec_id", "embedding", query,
+        k = 20, nLists = 16, nProbe = 4)
+    },
+
     // multimodal plumbing: text bytes as a stand-in blob → mapPartitions
     // decode stage → frame sampling; oracle checks the SQL-expressible
     // outputs (byte length, stub format, frame count).
@@ -956,6 +967,8 @@ object QPipe {
 
     "q_sim_ann_topk" -> annOracle,
 
+    "q_sim_ivf_topk" -> ivfOracle,
+
     "q_text_langid" -> langidOracle)
 
   /** DuckDB replay of Dedup.simhash: same tokenizer, same md5-prefix
@@ -1021,6 +1034,42 @@ object QPipe {
        |  vec_id
        |LIMIT 20""".stripMargin
   }
+
+  /** DuckDB replay of Similarity.ivfTopKExact (nLists=16, nProbe=4,
+    * k=20, query vec_id 7): centroids = the 16 lowest-id quantized
+    * vectors, cell = argmin(‖c‖² − 2·v·c) ties-to-lowest-id, probes =
+    * the query's 4 nearest cells, ranking = qdot/√‖v‖². Every quantity
+    * is an exact integer (< 2^53, so list_dot_product's double is
+    * exact), making cells, probes, and the final ranking bit-identical
+    * across engines. */
+  private lazy val ivfOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      |a AS (
+      |  SELECT e.vec_id, c.cid,
+      |    CAST(list_dot_product(c.cv, c.cv) AS BIGINT)
+      |      - 2 * CAST(list_dot_product(e.v, c.cv) AS BIGINT) AS d
+      |  FROM e CROSS JOIN c),
+      |cell AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a)
+      |  WHERE rn = 1),
+      |qp AS (SELECT cid FROM a WHERE vec_id = 7 ORDER BY d, cid LIMIT 4),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+      |SELECT e.vec_id, cell.cid AS ivf_cell,
+      |  CAST(list_dot_product(e.v, q.qv) AS BIGINT) AS qdot,
+      |  CAST(list_dot_product(e.v, e.v) AS BIGINT) AS nrm2
+      |FROM e JOIN cell USING (vec_id), q
+      |WHERE cell.cid IN (SELECT cid FROM qp)
+      |ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(nrm2 AS DOUBLE)) DESC,
+      |  e.vec_id
+      |LIMIT 20""".stripMargin
 
   /** DuckDB replay of TextAnalysis.langId: same tokenizer, same marker
     * vocabulary (generated from langMarkers), argmax with the fold's

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Bucketed
+
+/** A/B: the fact⋈fact join (lineitem⋈orders on orderkey, q3/q5/q10/yoy's
+  * shared core) on the plain file layout versus the bucketed co-located
+  * layout (engine/Bucketed.scala). The plain plan pays the co-shuffle of
+  * both sides on every query; the bucketed plan reads bucket i of each
+  * side into the same task — no exchange, at any scale. Reports the
+  * one-time bucketize cost too, since the layout only pays off across
+  * repeated joins (the warehouse steady state).
+  *
+  * Usage: BucketedJoinAB <sfDir> [nBuckets=32]
+  */
+object BucketedJoinAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val n = if (args.length > 1) args(1).toInt else 32
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def agg(l: DataFrame, o: DataFrame): DataFrame =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+
+    def timeMedian(name: String)(df: => DataFrame): Double = {
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm
+      val xs = Seq.fill(3)(once()).sorted
+      val med = xs(1)
+      println(f"[ab] $name%-22s median=$med%.3f (${xs.map(x => f"$x%.2f").mkString(" ")})")
+      med
+    }
+
+    def li = graft.Tables.load(spark, sfDir, "lineitem")
+    def ord = graft.Tables.load(spark, sfDir, "orders")
+
+    val plain = timeMedian("plain_join_agg")(agg(li, ord))
+
+    val base = java.nio.file.Files.createTempDirectory("bktab").toString
+    val t0 = System.nanoTime()
+    val bli = Bucketed.write(li, "ab_bkt_li", s"$base/li",
+      Seq("l_orderkey"), n)
+    val bord = Bucketed.write(ord, "ab_bkt_ord", s"$base/ord",
+      Seq("o_orderkey"), n)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    println(f"[ab] bucketize_build        once =$buildS%.3f (n=$n)")
+
+    val bkt = timeMedian("bucketed_join_agg")(agg(bli, bord))
+
+    // the join alone (no agg), where the exchange elimination is the
+    // whole plan: noop-sink the join output
+    val plainJ = timeMedian("plain_join_only")(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderpriority", "l_extendedprice"))
+    val bktJ = timeMedian("bucketed_join_only")(
+      bli.join(bord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderpriority", "l_extendedprice"))
+
+    println(f"[ab] summary sf=$sfDir n=$n plain_agg=$plain%.3f bkt_agg=$bkt%.3f " +
+      f"plain_join=$plainJ%.3f bkt_join=$bktJ%.3f build=$buildS%.3f")
+    Bucketed.drop(spark, "ab_bkt_li")
+    Bucketed.drop(spark, "ab_bkt_ord")
+    spark.stop()
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.Bucketed
+
+/** Bucketed co-located joins: identical results to the plain layout, with
+  * the co-shuffle (and the sort-merge sorts) gone from the physical plan.
+  * This is the storage-side declaration that keeps large-large equi-joins
+  * exchange-free at any scale — one task per bucket, no row movement.
+  */
+class BucketedSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  private lazy val base = Files.createTempDirectory("bucketed_spec").toString
+
+  private lazy val bli = Bucketed.write(
+    Tables.load(spark, sf, "lineitem"), "bspec_li", s"$base/li",
+    Seq("l_orderkey"), 4)
+  private lazy val bord = Bucketed.write(
+    Tables.load(spark, sf, "orders"), "bspec_ord", s"$base/ord",
+    Seq("o_orderkey"), 4)
+
+  override def afterAll(): Unit = {
+    Bucketed.drop(spark, "bspec_li")
+    Bucketed.drop(spark, "bspec_ord")
+    spark.stop()
+  }
+
+  private def nodeCount(p: String, name: String): Int =
+    ("""\(\d+\) """ + name + """(?![A-Za-z])""").r.findAllIn(p).size
+
+  private def joined(l: DataFrame, o: DataFrame): DataFrame =
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  test("bucketed join matches the plain-layout join exactly") {
+    val plain = joined(
+      Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "orders"))
+      .collect().toSeq
+    val bucketed = joined(bli, bord).collect().toSeq
+    assert(bucketed == plain)
+  }
+
+  test("co-located join plans with no exchange and no sort on either side") {
+    // the join alone (no agg on top, which would legitimately shuffle its
+    // 5 groups): both scans report HashPartitioning(orderkey, 4), so the
+    // planner needs neither an Exchange nor — single sorted file per
+    // bucket — a Sort under the SortMergeJoin. At this fixture size the
+    // planner would (rightly) broadcast the small side and skip the
+    // bucketed scan entirely, so broadcast is disabled here to surface
+    // the large-large shape the layout exists for.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def j = bli.join(bord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderpriority", "l_extendedprice")
+      val p = j.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(nodeCount(p, "Exchange") == 0, p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(j.count() > 0)
+      // sort elision on top of exchange elision: the scan reports the
+      // per-bucket sort order only under the post-3.0 opt-in (one sorted
+      // file per bucket — which `write` guarantees — is a precondition,
+      // not sufficient on its own)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+        "true")
+      try {
+        val ps = j.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        assert(nodeCount(ps, "Exchange") == 0, ps)
+        assert(nodeCount(ps, "Sort") == 0, ps)
+      } finally spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("aggregation on the bucket key needs no exchange either") {
+    val a = bli.groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+    val p = a.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(nodeCount(p, "Exchange") == 0, p)
+    // and the same aggregate on the plain layout must shuffle — the
+    // contrast proves the bucketing (not some rewrite) removed it
+    val plainA = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+    val pp = plainA.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(nodeCount(pp, "Exchange") == 1, pp)
+  }
+
+  test("one file per bucket (the layout that elides the SMJ sort)") {
+    val files = new java.io.File(s"$base/li").listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.length == 4, files.map(_.getName).mkString(","))
+  }
+
+  test("mismatched bucket counts still join correctly (one side reshuffles)") {
+    val bord8 = Bucketed.write(
+      Tables.load(spark, sf, "orders"), "bspec_ord8", s"$base/ord8",
+      Seq("o_orderkey"), 8)
+    try {
+      val plain = joined(
+        Tables.load(spark, sf, "lineitem"), Tables.load(spark, sf, "orders"))
+        .collect().toSeq
+      assert(joined(bli, bord8).collect().toSeq == plain)
+    } finally Bucketed.drop(spark, "bspec_ord8")
+  }
+
+  test("fromLake bridges a lake table into the bucketed layout") {
+    val dir = Files.createTempDirectory("bucketed_lake").toString + "/t"
+    val tbl = graft.engine.Engine.ctas(spark, dir,
+      Tables.load(spark, sf, "orders"))
+    val b = Bucketed.fromLake(tbl, "bspec_lake", s"$base/lake",
+      Seq("o_orderkey"), 4)
+    try {
+      assert(b.count() == tbl.toDF.count())
+      val p = b.groupBy("o_orderkey").agg(count(lit(1)))
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(nodeCount(p, "Exchange") == 0, p)
+    } finally Bucketed.drop(spark, "bspec_lake")
+  }
+}
