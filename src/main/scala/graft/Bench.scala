@@ -228,8 +228,55 @@ object Bench {
         f""","scan_parallel":{"total":$sTotal%.3f,"queries":$sq,"spread":$ss$sMarg}"""
       }
 
+    // bucketed-layout protocol: warehouse fact tables are deployed
+    // hash-clustered by their dominant join key precisely so the
+    // fact⋈fact co-shuffle never happens (engine/Bucketed.scala). Like
+    // scan_parallel, this section measures the cost that describes the
+    // production layout: rewrite lineitem/orders bucketed by orderkey
+    // and events by user_id ONCE (build time reported — it amortizes
+    // across every subsequent join), then re-time the join/window family
+    // through the SAME query declarations via the Tables overlay. The
+    // one-time build replaces a per-query exchange of both join sides
+    // with zero exchanges. Opt out: SPARK_GRAFT_BUCKETED=0.
+    val bucketedJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "1") != "1") ""
+      else {
+        val bq = Seq("q1_agg", "q3_shipping", "q5_local_supplier",
+          "q10_returned_items", "qds_channel_rollup", "qds_yoy",
+          "q_sessionize").filter(headline.contains)
+        if (bq.isEmpty) ""
+        else {
+          val n = cpus.toInt
+          val hex = java.lang.Integer.toHexString(sfDir.hashCode)
+          val to = s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$hex"
+          def bname(t: String) = s"graft_bkt_${hex}_$t"
+          val t0 = System.nanoTime()
+          graft.engine.Bucketed.write(Tables.load(spark, sfDir, "lineitem"),
+            bname("lineitem"), s"$to/lineitem", Seq("l_orderkey"), n)
+          graft.engine.Bucketed.write(Tables.load(spark, sfDir, "orders"),
+            bname("orders"), s"$to/orders", Seq("o_orderkey"), n)
+          graft.engine.Bucketed.write(Tables.load(spark, sfDir, "events"),
+            bname("events"), s"$to/events", Seq("user_id"), n,
+            Seq("user_id", "ts"))
+          val buildS = (System.nanoTime() - t0) / 1e9
+          Seq("lineitem", "orders", "events")
+            .foreach(t => Tables.setOverlay(sfDir, t, bname(t)))
+          try {
+            bq.foreach(run(_, sfDir)) // warm: the bucketed plans are new
+            System.gc()
+            val tb = timed(bq.map(nm => (nm, nm, sfDir)))
+            val qj = bq.map(k => "\"" + k + f"\":${tb(k)._1}%.3f")
+              .mkString("{", ",", "}")
+            val sj = bq.map(k => "\"" + k + f"\":${tb(k)._2}%.3f")
+              .mkString("{", ",", "}")
+            val tot = bq.map(tb(_)._1).filter(_ >= 0).sum
+            f""","bucketed":{"total":$tot%.3f,"build":$buildS%.3f,"queries":$qj,"spread":$sj}"""
+          } finally Tables.clearOverlays()
+        }
+      }
+
     val spreads = spreadJson(timedMain)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"$calJson$marginalJson$splitJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"$calJson$marginalJson$splitJson$bucketedJson}""")
     spark.stop()
   }
 }

@@ -16,8 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Layout overlay: (sfDir/name) → session-catalog table. Bench's
+    * bucketed section points the fact tables at their hash-clustered
+    * rewrite (engine/Bucketed.scala) so the SAME query declarations run
+    * against the co-located layout — the query never changes, only the
+    * storage does, which is the whole point of bucketing. Empty outside
+    * that section. */
+  private val overlay =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def setOverlay(sfDir: String, name: String, table: String): Unit =
+    overlay.put(s"$sfDir/$name", table)
+
+  def clearOverlays(): Unit = overlay.clear()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = Option(overlay.get(s"$sfDir/$name"))
+      .map(t => spark.table(s"`$t`"))
+      .getOrElse(spark.read.parquet(s"$sfDir/$name.parquet"))
     // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
     // timestamp type; with spark.sql.legacy.parquet.nanosAsLong=true it
     // arrives as Long nanos, which we floor to microseconds (integer DIV —
