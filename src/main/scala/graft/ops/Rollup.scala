@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.{functions => F}
+
+/** Finest-level-first ROLLUP / CUBE for decomposable aggregates.
+  *
+  * Spark plans `rollup(d1..dn)` as Expand(n+1 copies of every input row)
+  * → hash aggregate: a 60M-row fact pays 3× the aggregation work for a
+  * two-dim rollup before the partial agg collapses anything. When every
+  * aggregate is algebraically decomposable (sum/count/min/max — sum of
+  * sums, sum of counts, min of mins, max of maxes), the super-aggregate
+  * levels are derivable from the FINEST grouping alone: aggregate once
+  * at (d1..dn) — the only pass that touches the fact — then re-aggregate
+  * that result (cardinality = the group count, thousands at most) once
+  * per level and union. The fact is scanned once, Expand never runs, and
+  * the upper levels cost microseconds. DuckDB's grouping-sets executor
+  * does the moral equivalent internally; Catalyst keeps Expand for full
+  * generality (avg/stddev/distinct don't decompose), so this ships as an
+  * explicit operator with the decomposability precondition in its API.
+  *
+  * 100 TB posture: the one fact-sized aggregation partial-aggregates
+  * map-side exactly like any groupBy; everything after operates on the
+  * finest RESULT, which must be cluster-small (true whenever a rollup
+  * report is meaningful). AVG decomposes as sum+count — callers emit
+  * both and divide after.
+  *
+  * Output matches `df.rollup/cube(dims).agg(...)` as a multiset, with
+  * `grouping_<dim>` flag columns (1 = dim rolled away, matching
+  * Spark/PG `GROUPING()`) so rows with genuine NULL dim values stay
+  * distinguishable from super-aggregate rows — same contract as the
+  * native operator.
+  */
+object Rollup {
+
+  /** A decomposable aggregate: `kind` ∈ sum | count | min | max.
+    * `count` counts non-nulls of `input` (use lit(1) for count(*)). */
+  final case class AggSpec(kind: String, input: Column, name: String) {
+    require(Set("sum", "count", "min", "max")(kind),
+      s"non-decomposable aggregate kind: $kind (avg = sum+count, divide after)")
+  }
+
+  def sum(c: Column, name: String): AggSpec = AggSpec("sum", c, name)
+  def count(c: Column, name: String): AggSpec = AggSpec("count", c, name)
+  def min(c: Column, name: String): AggSpec = AggSpec("min", c, name)
+  def max(c: Column, name: String): AggSpec = AggSpec("max", c, name)
+
+  /** ROLLUP(dims): levels keep prefixes dims[0..i). */
+  def rollup(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec]): DataFrame =
+    fromFinest(df, dims, aggs,
+      (0 to dims.length).reverse.map(i => dims.indices.map(_ < i)))
+
+  /** CUBE(dims): levels keep every subset. */
+  def cube(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec]): DataFrame =
+    fromFinest(df, dims, aggs,
+      (0 until (1 << dims.length)).reverse
+        .map(mask => dims.indices.map(i => (mask & (1 << i)) != 0)))
+
+  /** GROUPING SETS over explicit kept-dim sets. */
+  def groupingSets(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec],
+      sets: Seq[Seq[String]]): DataFrame = {
+    sets.foreach(s => require(s.forall(dims.contains),
+      s"grouping set ${s.mkString(",")} not a subset of dims"))
+    fromFinest(df, dims, aggs, sets.map(s => dims.map(s.contains)))
+  }
+
+  private def fromFinest(df: DataFrame, dims: Seq[String],
+      aggs: Seq[AggSpec], keeps: Seq[Seq[Boolean]]): DataFrame = {
+    require(dims.nonEmpty && aggs.nonEmpty)
+    val dimTypes = dims.map(d => d -> df.schema(d).dataType).toMap
+    // the single fact-sized pass
+    val finest = df.groupBy(dims.map(col): _*)
+      .agg(aggExpr(aggs.head, first = true),
+        aggs.tail.map(a => aggExpr(a, first = true)): _*)
+    val levels = keeps.map { keep =>
+      val kept = dims.zip(keep).collect { case (d, true) => d }
+      val re =
+        if (kept.length == dims.length) finest
+        else if (kept.isEmpty)
+          finest.groupBy().agg(aggExpr(aggs.head, first = false),
+            aggs.tail.map(a => aggExpr(a, first = false)): _*)
+        else finest.groupBy(kept.map(col): _*)
+          .agg(aggExpr(aggs.head, first = false),
+            aggs.tail.map(a => aggExpr(a, first = false)): _*)
+      re.select(
+        dims.zip(keep).map { case (d, k) =>
+          if (k) col(d) else lit(null).cast(dimTypes(d)).as(d)
+        } ++
+        aggs.map(a => col(a.name)) ++
+        dims.zip(keep).map { case (d, k) =>
+          lit(if (k) 0 else 1).as(s"grouping_$d")
+        }: _*)
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /** First pass aggregates the raw input; upper passes re-aggregate the
+    * finest result (count re-aggregates as SUM of the finest counts). */
+  private def aggExpr(a: AggSpec, first: Boolean): Column = (a.kind, first) match {
+    case ("sum", true)    => F.sum(a.input).as(a.name)
+    case ("count", true)  => F.count(a.input).as(a.name)
+    case ("min", true)    => F.min(a.input).as(a.name)
+    case ("max", true)    => F.max(a.input).as(a.name)
+    case ("sum", false)   => F.sum(col(a.name)).as(a.name)
+    case ("count", false) => F.sum(col(a.name)).as(a.name)
+    case ("min", false)   => F.min(col(a.name)).as(a.name)
+    case ("max", false)   => F.max(col(a.name)).as(a.name)
+    case _ => throw new IllegalArgumentException(a.kind)
+  }
+}

@@ -206,6 +206,35 @@ object QAgg {
           |FROM lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    },
+
+    // finest-level-first ROLLUP/CUBE (ops/Rollup.scala): the fact is
+    // aggregated ONCE at the finest grouping (no Expand row
+    // multiplication — sf10: cube 1.37 → 0.59 s), upper levels derive
+    // from that result via ReuseExchange. Oracle = plain SQL ROLLUP/CUBE:
+    // the decomposition must be invisible in the output.
+    "q_rollup_finest" -> { (s, dir) =>
+      graft.ops.Rollup.rollup(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(graft.ops.Rollup.sum(col("l_quantity"), "sum_qty"),
+            graft.ops.Rollup.count(lit(1), "n")))
+        .withColumn("sum_qty", round(col("sum_qty"), 2))
+        .withColumnRenamed("grouping_l_returnflag", "g_rf")
+        .withColumnRenamed("grouping_l_linestatus", "g_ls")
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus"))
+    },
+
+    "q_cube_finest" -> { (s, dir) =>
+      graft.ops.Rollup.cube(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(graft.ops.Rollup.sum(col("l_extendedprice"), "sum_price"),
+            graft.ops.Rollup.count(lit(1), "n")))
+        .withColumn("sum_price", round(col("sum_price"), 2))
+        .withColumnRenamed("grouping_l_returnflag", "g_rf")
+        .withColumnRenamed("grouping_l_linestatus", "g_ls")
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
+          col("l_linestatus"))
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -349,5 +378,21 @@ object QAgg {
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_rollup_finest" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_cube_finest" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
 }

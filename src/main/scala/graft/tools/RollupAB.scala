@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Rollup
+
+/** A/B: native Expand-based ROLLUP vs the finest-first decomposition
+  * (ops/Rollup.scala) on the q_rollup shape, plus a plan audit that the
+  * finest-first union computes the fact aggregation ONCE (ReuseExchange).
+  *
+  * Usage: RollupAB <sfDir>
+  */
+object RollupAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def li: DataFrame = graft.Tables.load(spark, sfDir, "lineitem")
+
+    def timeMedian(name: String)(df: => DataFrame): Double = {
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val xs = Seq.fill(3)(once()).sorted
+      println(f"[ab] $name%-18s median=${xs(1)}%.3f (${xs.map(x => f"$x%.2f").mkString(" ")})")
+      xs(1)
+    }
+
+    def native = li.rollup("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+    def finest = Rollup.rollup(li, Seq("l_returnflag", "l_linestatus"),
+      Seq(Rollup.sum(col("l_quantity"), "sum_qty"),
+        Rollup.count(lit(1), "n")))
+
+    timeMedian("native_rollup")(native)
+    timeMedian("finest_rollup")(finest)
+
+    def nativeCube = li.cube("l_returnflag", "l_linestatus")
+      .agg(sum("l_extendedprice").as("sum_price"), count(lit(1)).as("n"))
+    def finestCube = Rollup.cube(li, Seq("l_returnflag", "l_linestatus"),
+      Seq(Rollup.sum(col("l_extendedprice"), "sum_price"),
+        Rollup.count(lit(1), "n")))
+    timeMedian("native_cube")(nativeCube)
+    timeMedian("finest_cube")(finestCube)
+
+    val q = finest
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString // AQE final plan
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    val reused = "ReusedExchange|ReusedShuffle".r.findAllIn(plan).size
+    val stages = "ShuffleQueryStage".r.findAllIn(plan).size
+    println(s"[ab] finest FINAL plan: $scans parquet scans, " +
+      s"$reused reused-exchange nodes, $stages shuffle stages")
+    spark.stop()
+  }
+}
