@@ -53,6 +53,30 @@ object RollupAB {
     timeMedian("native_cube")(nativeCube)
     timeMedian("finest_cube")(finestCube)
 
+    // the channel-rollup shape: fact join + CASE channel + ROLLUP —
+    // base built via SQL exactly like the gate declares it
+    graft.Tables.registerAll(spark, sfDir)
+    def channelBase = spark.sql(
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |         THEN 'express' ELSE 'standard' END AS channel,
+        |  n_name AS nation,
+        |  l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_1','NATION_2','NATION_3')""".stripMargin)
+    // NB: the rollup(String*) overload false-positives Spark's ambiguous-
+    // self-join check after joins (4.1); the Column overload resolves fine
+    timeMedian("channel_native")(
+      channelBase.rollup(col("channel"), col("nation"))
+        .agg(round(sum("revenue"), 2).as("rev_out"), count(lit(1)).as("n_sales")))
+    timeMedian("channel_finest")(
+      Rollup.rollup(channelBase, Seq("channel", "nation"),
+        Seq(Rollup.sum(col("revenue"), "revenue"),
+          Rollup.count(lit(1), "n_sales")))
+        .withColumn("revenue", round(col("revenue"), 2)))
+
     val q = finest
     q.collect()
     val plan = q.queryExecution.executedPlan.toString // AQE final plan
