@@ -245,7 +245,7 @@ object Bench {
           "q10_returned_items", "qds_channel_rollup", "qds_yoy",
           "q_sessionize").filter(headline.contains)
         if (bq.isEmpty) ""
-        else {
+        else try {
           val n = cpus.toInt
           val hex = java.lang.Integer.toHexString(sfDir.hashCode)
           val to = s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$hex"
@@ -272,6 +272,11 @@ object Bench {
             val tot = bq.map(tb(_)._1).filter(_ >= 0).sum
             f""","bucketed":{"total":$tot%.3f,"build":$buildS%.3f,"queries":$qj,"spread":$sj}"""
           } finally Tables.clearOverlays()
+        } catch { case e: Throwable =>
+          // a failed layout rewrite must not take down the whole artifact
+          Tables.clearOverlays()
+          System.err.println(s"[bench] bucketed section failed: ${e.getMessage}")
+          ""
         }
       }
 
