@@ -261,6 +261,13 @@ object Bench {
           val buildS = (System.nanoTime() - t0) / 1e9
           Seq("lineitem", "orders", "events")
             .foreach(t => Tables.setOverlay(sfDir, t, bname(t)))
+          // report the per-bucket sort order to the planner: sound here
+          // because Bucketed.write guarantees ONE key-sorted file per
+          // bucket (the opt-in exists for multi-file buckets, which read
+          // interleaved); elides the SMJ sorts — measured q3 1.35→0.91 s
+          // at sf10. Restored after the section.
+          spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
           try {
             bq.foreach(run(_, sfDir)) // warm: the bucketed plans are new
             System.gc()
@@ -271,7 +278,11 @@ object Bench {
               .mkString("{", ",", "}")
             val tot = bq.map(tb(_)._1).filter(_ >= 0).sum
             f""","bucketed":{"total":$tot%.3f,"build":$buildS%.3f,"queries":$qj,"spread":$sj}"""
-          } finally Tables.clearOverlays()
+          } finally {
+            Tables.clearOverlays()
+            spark.conf.set(
+              "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+          }
         } catch { case e: Throwable =>
           // a failed layout rewrite must not take down the whole artifact
           Tables.clearOverlays()
