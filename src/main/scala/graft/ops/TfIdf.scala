@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed TF-IDF featurization: documents → sparse (bucket, weight)
+  * terms and dense fixed-width vectors — the bridge from raw text into
+  * the embedding-space operators (cosine/ANN/IVF/near-dup all take an
+  * `Array[Float]` column).
+  *
+  * Engine-exact construction so the gate verifies differentially:
+  * tokenizer = the corpus-wide standard used by simhash/langid
+  * (`lower` + split on whitespace/punct), bucket = md5-hex-prefix
+  * integer (the [[Dedup.md5Hash60]] construction, replayable in any
+  * engine with md5) mod `nBuckets`, tf = in-doc occurrences,
+  * idf = ln((N+1)/(df+1)) + 1 (smooth — never zero, never divides by
+  * zero), weight = tf·idf rounded on both sides.
+  *
+  * 100 TB posture: one shuffle builds the (doc, bucket) term counts;
+  * the document-frequency table is nBuckets-bounded → broadcast back;
+  * the corpus total rides as a broadcast one-row relation. Nothing
+  * scales with vocabulary size — that is the point of the hashing
+  * trick (collisions fold rare terms together, exactly as in
+  * scikit-learn's HashingVectorizer lineage).
+  */
+object TfIdf {
+
+  /** Engine-portable token bucket: md5-prefix integer mod n. */
+  def bucketOf(tok: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(nBuckets.toLong))
+
+  /** (id, bucket) per token occurrence. */
+  private def terms(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[\\s\\p{Punct}]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("id"), bucketOf(col("tok"), nBuckets).as("bucket"))
+
+  /** Sparse TF-IDF: one row per (document, occupied bucket) with tf,
+    * document frequency, and the smoothed tf-idf weight. */
+  def sparse(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val tf = terms(df, idCol, textCol, nBuckets)
+      .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
+    // bucket-bounded (≤ nBuckets rows) → broadcast join back
+    val dfreq = tf.groupBy("bucket").agg(count(lit(1)).as("dfreq"))
+    // corpus size as a broadcast one-row relation (counts ALL documents,
+    // token-less ones included — idf is a corpus property)
+    val n = df.select(count(lit(1)).as("n"))
+    tf.join(broadcast(dfreq), Seq("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("id").as(idCol), col("bucket"), col("tf"), col("dfreq"),
+        (col("tf") * (log((col("n") + 1.0) / (col("dfreq") + 1.0)) + 1.0))
+          .as("weight"))
+  }
+
+  /** Dense `nBuckets`-wide vectors (FloatType array — directly consumable
+    * by Similarity.*). Documents with no tokens get the zero vector. */
+  def vectors(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val sp = sparse(df, idCol, textCol, nBuckets)
+      .groupBy(idCol)
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("weight")))).as("m"))
+    df.select(col(idCol)).join(sp, Seq(idCol), "left")
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(nBuckets - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0.0)).cast("float"))
+          .as("tfidf"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Dedup, Funnel, Multimodal, RangeJoin, Similarity, TextAnalysis, TextPrep}
+import graft.ops.{AsofJoin, Dedup, Funnel, Multimodal, RangeJoin, Similarity, TextAnalysis, TextPrep, TfIdf}
 import Q._
 
 /** Training-data-pipeline operators through the gate: exact/near dedup,
@@ -220,6 +220,15 @@ object QPipe {
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.ivfTopKExact(e, "vec_id", "embedding", query,
         k = 20, nLists = 16, nProbe = 4)
+    },
+
+    // hashed TF-IDF featurization (documents → embedding space): md5-
+    // prefix token buckets, smooth idf; df table is nBuckets-bounded →
+    // broadcast; oracle replays tokenizer, hash, counts and the weight.
+    "q_text_tfidf" -> { (s, dir) =>
+      TfIdf.sparse(t(s, dir, "documents"), "doc_id", "text", 64)
+        .withColumn("weight", round(col("weight"), 6))
+        .orderBy("doc_id", "bucket")
     },
 
     // multimodal plumbing: text bytes as a stand-in blob → mapPartitions
@@ -968,6 +977,26 @@ object QPipe {
     "q_sim_ann_topk" -> annOracle,
 
     "q_sim_ivf_topk" -> ivfOracle,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 64
+        |      AS bucket
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(text), '[\s[:punct:]]+'))
+        |            AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0),
+        |tf AS (SELECT doc_id, bucket, count(*) AS tf
+        |       FROM toks GROUP BY doc_id, bucket),
+        |dfq AS (SELECT bucket, count(*) AS dfreq FROM tf GROUP BY bucket),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, bucket,
+        |  CAST(tf AS BIGINT) AS tf, CAST(dfreq AS BIGINT) AS dfreq,
+        |  round(tf * (ln((n + 1.0) / (dfreq + 1.0)) + 1.0), 6) AS weight
+        |FROM tf JOIN dfq USING (bucket) CROSS JOIN n
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     "q_text_langid" -> langidOracle)
 

@@ -382,6 +382,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"gate-exact IVF recall $recall < 0.5")
   }
 
+  test("tf-idf: hand-computed weights, dense/sparse consistency, zero doc") {
+    import graft.ops.TfIdf
+    val docs = spark.createDataFrame(Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, ""))) // token-less doc: counts toward N, gets the zero vector
+      .toDF("doc_id", "text")
+    val n = 8
+    val sp = TfIdf.sparse(docs, "doc_id", "text", n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // hand-check: apple appears 2x in doc 1, in 1 of 3 docs
+    val appleB = {
+      val row = TfIdf.sparse(docs.filter(col("doc_id") === 1), "doc_id",
+        "text", n).filter(col("tf") === 2).head()
+      row.getLong(1)
+    }
+    val (tfA, dfA, wA) = sp((1L, appleB))
+    assert(tfA == 2 && dfA == 1)
+    assert(math.abs(wA - 2 * (math.log(4.0 / 2.0) + 1)) < 1e-9)
+    // banana: df = 2 (docs 1 and 2)
+    val bananaEntries = sp.filter { case (_, (_, dfq, _)) => dfq == 2 }
+    assert(bananaEntries.nonEmpty)
+    // dense agrees with sparse everywhere, zero elsewhere
+    val dense = TfIdf.vectors(docs, "doc_id", "text", n).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(dense.keySet == Set(1L, 2L, 3L))
+    for ((id, vec) <- dense; b <- 0 until n) {
+      val expect = sp.get((id, b.toLong)).map(_._3).getOrElse(0.0)
+      assert(math.abs(vec(b) - expect) < 1e-5, s"doc $id bucket $b")
+    }
+    assert(dense(3L).forall(_ == 0.0f))
+    // the df table is bucket-bounded -> broadcast back (no dfreq shuffle
+    // of the corpus-sized tf relation)
+    val plan = TfIdf.sparse(docs, "doc_id", "text", n)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("near-pair embedding dedup via bucket join") {
     val e = Tables.load(spark, sf, "embeddings").limit(200)
     // plant exact duplicates

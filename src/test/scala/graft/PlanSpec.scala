@@ -292,6 +292,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_sim_ivf_topk: centroids are plan literals — one scan, no join") {
+    val p = plan("q_sim_ivf_topk")
+    // the corpus pass computes cell + qdot + norm scan-side; probing is a
+    // filter, ranking a TakeOrdered — any Join/CartesianProduct here
+    // would mean the centroid set shuffles with the corpus
+    assert(nodeCount(p, "Scan parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_delta_scan: partition-pruned single parquet scan") {
     val p = plan("q_delta_scan")
     // one scan of the delta file set; never a union of per-partition reads
