@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication: coarse-cluster the embedding
+  * space, then call two documents duplicates only when they are
+  * cosine-similar AND land in the same cluster (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication"). The cluster scoping is the scale lever — candidate
+  * pairs are Σ n_c² over cells instead of N², and with k ≈ √N cells the
+  * work is ~N^1.5 spread across the fleet instead of N² anywhere.
+  *
+  * Differential-testing design (same approach as
+  * [[Similarity.ivfTopKExact]]): no trained k-means — the coarse
+  * quantizer is the `nLists` lowest-id corpus vectors, and every
+  * geometric decision is integer arithmetic over ×1024-quantized
+  * vectors, so an independent engine replays cells and pairs
+  * bit-identically. A production run would swap the seed centroids for
+  * [[Similarity.ivfIndex]]'s k-means model; everything downstream is
+  * unchanged.
+  *
+  * 100 TB posture: centroids ship as plan literals (no join, no
+  * broadcast); the corpus takes one scan pass computing (cell, vq, ‖v‖²);
+  * the pair join shuffles on `sem_cell` only — each cell's rows co-locate
+  * in one task, and `maxCellFrac` fails loudly if the seed centroids
+  * collapse the space into a hot cell (the signal to re-seed or raise
+  * `nLists`, not to silently run a quadratic task). No stage is ever
+  * all-pairs across cells.
+  *
+  * Reference has no semantic-dedup analogue (north-star extension next
+  * to `pg_lake`'s file-level dedup-free ingest).
+  */
+object SemDedup {
+
+  /** Assign every row its nearest-seed-centroid cell: adds `sem_cell`
+    * plus the quantized vector `_vq` and its exact squared norm `_n2`.
+    * cell(v) = argmin_c ‖v−c‖² computed as ‖c‖² − 2·v·c (the ‖v‖² term
+    * is row-constant), ties to the lowest centroid id. */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int): DataFrame = {
+    val cents: Array[(Long, Array[Long])] =
+      df.orderBy(col(idCol)).limit(nLists)
+        .select(col(idCol).cast("long"), Similarity.quantizeCol(col(vecCol)))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cents.nonEmpty, "semdedup: empty corpus has no centroids")
+    def centDist(vq: Column, cv: Array[Long]): Column = {
+      val c2 = cv.map(x => x * x).sum
+      lit(c2) - lit(2L) * Similarity.intDotK(vq, array(cv.map(lit): _*))
+    }
+    // least() over (dist, cid) structs = argmin with ties to lowest id
+    val cellOf = least(cents.map { case (cid, cv) =>
+      struct(centDist(col("_vq"), cv).as("d"), lit(cid).as("c"))
+    }: _*).getField("c")
+    df.withColumn("_vq", Similarity.quantizeCol(col(vecCol)))
+      .withColumn("_n2", Similarity.intDotK(col("_vq"), col("_vq")))
+      .withColumn("sem_cell", cellOf)
+  }
+
+  /** Within-cell duplicate pairs at cosine ≥ thrNum/thrDen, exact:
+    * `qdot > 0 ∧ qdot²·thrDen² ≥ thrNum²·‖a‖²·‖b‖²`, every quantity a
+    * 64-bit integer (the [[Similarity.intNearPairsExact]] verify test,
+    * with the same loud overflow guard). Output carries `sem_cell` so a
+    * verifier checks the partitioning itself, not just the pair list. */
+  def semPairs(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, thrNum: Int, thrDen: Int,
+      maxCellFrac: Double = 0.5): DataFrame = {
+    val n2Cap = (math.sqrt(Long.MaxValue.toDouble).toLong - 1) /
+      math.max(thrNum, thrDen)
+    val assigned = assignCells(df, idCol, vecCol, nLists)
+      .select(col(idCol).as("id"), col("sem_cell"),
+        col("_vq").as("vq"),
+        when(col("_n2") > n2Cap, raise_error(concat(
+          lit(s"semdedup: quantized |v|^2 exceeds exact-arithmetic bound " +
+            s"$n2Cap (normalize the embeddings): "), col("_n2").cast("string"))))
+          .otherwise(col("_n2")).as("n2"))
+    // hot-cell guard: a degenerate seeding that funnels > maxCellFrac of
+    // the corpus into one cell would quietly re-create the quadratic
+    // all-pairs this operator exists to avoid — fail with the evidence.
+    // One nLists-row aggregate (not a separate count() scan).
+    val cells = assigned.groupBy("sem_cell").count().collect()
+    val total = cells.map(_.getLong(1)).sum
+    val cap = math.max(1L, (total * maxCellFrac).toLong)
+    val hot = cells.filter(_.getLong(1) > cap).sortBy(-_.getLong(1))
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"semdedup: cell ${r.get(0)} holds ${r.getLong(1)}/$total rows " +
+        s"(> maxCellFrac=$maxCellFrac); re-seed or raise nLists"
+    })
+    val a = assigned.select(col("sem_cell"), col("id").as("id_a"),
+      col("vq").as("vq_a"), col("n2").as("na2"))
+    val b = assigned.select(col("sem_cell"), col("id").as("id_b"),
+      col("vq").as("vq_b"), col("n2").as("nb2"))
+    a.join(b, Seq("sem_cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("qdot", Similarity.intDotK(col("vq_a"), col("vq_b")))
+      .filter(col("qdot") > 0 &&
+        col("qdot") * col("qdot") * (thrDen.toLong * thrDen) >=
+          col("na2") * col("nb2") * (thrNum.toLong * thrNum))
+      .select("sem_cell", "id_a", "id_b", "qdot", "na2", "nb2")
+  }
+
+  /** Keep one representative per semantic-duplicate group: connected
+    * components over the within-cell pairs (a chain a–b–c is one group),
+    * canonical = lowest id — deterministic across engines, runs,
+    * partitionings. */
+  def dedup(df: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, thrNum: Int, thrDen: Int): DataFrame =
+    Dedup.dropNearDuplicates(df, idCol,
+      semPairs(df, idCol, vecCol, nLists, thrNum, thrDen))
+}

@@ -286,7 +286,7 @@ object Similarity {
     * deduplicated candidate pairs. */
   /** Codegen-friendly kernels for the hot integer ops (one array pass,
     * no per-element lambda dispatch; bit-identical — integer math). */
-  private def intDotK(a: Column, b: Column): Column =
+  private[ops] def intDotK(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftBridge.column(graft.ops.IntDotLong(
       org.apache.spark.sql.GraftBridge.eagerExpression(a),
       org.apache.spark.sql.GraftBridge.eagerExpression(b)))

@@ -190,6 +190,16 @@ object QPipe {
         .orderBy("id_a", "id_b")
     },
 
+    // SemDeDup (cluster-scoped semantic dedup): deterministic seed
+    // centroids partition the embedding space; duplicate pairs are
+    // within-cell only (cos ≥ 2/5, integer-exact) — the oracle replays
+    // cells AND pairs, verifying the cluster scoping itself.
+    "q_semdedup" -> { (s, dir) =>
+      graft.ops.SemDedup.semPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nLists = 8, thrNum = 2, thrDen = 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // brute-force cosine against one query vector — oracle recomputes via
     // a positional unnest join (embeddings are row-wise comparable).
     "q_sim_cosine" -> { (s, dir) =>
@@ -970,6 +980,40 @@ object QPipe {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, qdot, na2, nb2 FROM p
         |WHERE qdot > 0 AND qdot * qdot * 25 >= na2 * nb2 * 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup replay: same quantization, same 8 lowest-id seed
+    // centroids, same argmin-(dist, cid) cell assignment, same
+    // integer-exact within-cell cosine test. All list_dot_product values
+    // are integer-valued doubles < 2^53, so the arithmetic is exact.
+    "q_semdedup" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v, CAST(list_dot_product(v, v) AS BIGINT) AS n2
+        |  FROM q),
+        |c AS (
+        |  SELECT vec_id AS cid, v AS cv,
+        |    CAST(list_dot_product(v, v) AS BIGINT) AS c2
+        |  FROM q ORDER BY vec_id LIMIT 8),
+        |a AS (
+        |  SELECT vec_id, v, n2, cid AS sem_cell
+        |  FROM (SELECT n.vec_id, n.v, n.n2, c.cid,
+        |          c.c2 - 2 * CAST(list_dot_product(n.v, c.cv) AS BIGINT)
+        |            AS dist
+        |        FROM n CROSS JOIN c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |                             ORDER BY dist, cid) = 1)
+        |SELECT x.sem_cell, x.vec_id AS id_a, y.vec_id AS id_b,
+        |  CAST(list_dot_product(x.v, y.v) AS BIGINT) AS qdot,
+        |  x.n2 AS na2, y.n2 AS nb2
+        |FROM a x JOIN a y ON x.sem_cell = y.sem_cell AND x.vec_id < y.vec_id
+        |WHERE CAST(list_dot_product(x.v, y.v) AS BIGINT) > 0
+        |  AND CAST(list_dot_product(x.v, y.v) AS BIGINT)
+        |    * CAST(list_dot_product(x.v, y.v) AS BIGINT) * 25
+        |      >= x.n2 * y.n2 * 4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_simhash" -> simhashOracle,

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Chase the AggProbe anomaly: string-key grouped aggregate WITHOUT the
+  * shipdate filter measured ~23× slower than the full q1 WITH it.
+  * Times the two variants and dumps their formatted plans.
+  *
+  * Usage: AggExplain <sfDir>
+  */
+object AggExplain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def li: DataFrame = graft.Tables.load(spark, sfDir, "lineitem")
+
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), sum("l_extendedprice"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))),
+        avg("l_quantity"), avg("l_extendedprice"), avg("l_discount"),
+        count(lit(1)))
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val xs = Seq.fill(3)(once())
+      println(f"[explain] $name%-24s best=${xs.min}%.3f all=" +
+        xs.map(x => f"$x%.2f").mkString(","))
+    }
+
+    val filtered = agg(li.filter(
+      col("l_shipdate") <= lit("2001-09-02").cast("timestamp")))
+    val unfiltered = agg(li)
+
+    time("with_filter")(filtered)
+    time("no_filter")(unfiltered)
+    time("no_filter_again")(agg(li))
+    time("with_filter_again")(agg(li.filter(
+      col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))))
+
+    println("=== with_filter plan ===")
+    println(filtered.queryExecution.executedPlan.toString.take(4000))
+    println("=== no_filter plan ===")
+    println(unfiltered.queryExecution.executedPlan.toString.take(4000))
+    spark.stop()
+  }
+}

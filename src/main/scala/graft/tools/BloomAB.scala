@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Interleaved A/B of the runtime bloom-filter join rewrite on the sf10
+  * join family — one JVM, alternating confs per rep, medians, so box
+  * drift lands on both arms. Also reports whether the rewrite actually
+  * injected (plan contains bloom_filter_agg / might_contain).
+  *
+  * Usage: BloomAB <sfDir> [reps=3]
+  */
+object BloomAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    println(s"[bloomab] default $key = " +
+      spark.sessionState.conf.getConfString(key))
+
+    val qs = Seq("q3_shipping", "q5_local_supplier", "q10_returned_items",
+      "qds_channel_rollup")
+
+    def once(q: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // does the rewrite inject at all on this query?
+    def injected(q: String): Boolean = {
+      val p = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString
+      p.contains("bloom_filter") || p.contains("might_contain")
+    }
+
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+
+    val acc = scala.collection.mutable.Map
+      .empty[(String, Boolean), List[Double]].withDefaultValue(Nil)
+    Seq(true, false).foreach { on =>
+      spark.conf.set(key, on)
+      qs.foreach(once) // warm both plan variants
+    }
+    (1 to reps).foreach { _ =>
+      Seq(true, false).foreach { on =>
+        spark.conf.set(key, on)
+        qs.foreach { q =>
+          spark.catalog.clearCache()
+          acc((q, on)) = once(q) :: acc((q, on))
+        }
+      }
+      System.gc()
+    }
+    spark.conf.set(key, true)
+    val inj = qs.map(q => q -> injected(q)).toMap
+    qs.foreach { q =>
+      println(f"[bloomab] $q%-22s on=${med(acc((q, true)))}%.2f " +
+        f"off=${med(acc((q, false)))}%.2f injected=${inj(q)}")
+    }
+    spark.stop()
+  }
+}

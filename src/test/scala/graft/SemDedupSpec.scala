@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.{SemDedup, Similarity}
+
+class SemDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Driver-side replay of the whole operator on a collected corpus:
+    * same quantization, same lowest-id seed centroids, same
+    * argmin-(dist, cid) cells, same integer cosine test. */
+  private def bruteForce(vecs: Seq[(Long, Array[Float])], nLists: Int,
+      thrNum: Int, thrDen: Int): (Map[Long, Long], Set[(Long, Long)]) = {
+    val q = vecs.map { case (id, v) => id -> Similarity.quantize(v) }.toMap
+    val cents = vecs.map(_._1).sorted.take(nLists).map(id => (id, q(id)))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cellOf = q.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) =>
+        (dot(cv, cv) - 2 * dot(v, cv), cid)
+      }.min._2
+    }
+    val ids = vecs.map(_._1).sorted
+    val pairs = (for {
+      a <- ids; b <- ids if a < b && cellOf(a) == cellOf(b)
+      d = dot(q(a), q(b))
+      if d > 0 &&
+        d * d * (thrDen.toLong * thrDen) >=
+          dot(q(a), q(a)) * dot(q(b), q(b)) * (thrNum.toLong * thrNum)
+    } yield (a, b)).toSet
+    (cellOf, pairs)
+  }
+
+  lazy val corpus = Tables.load(spark, sf, "embeddings")
+    .select("vec_id", "embedding").limit(200).cache()
+
+  test("semPairs equals the driver-side brute-force replay (cells and pairs)") {
+    val vecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val (cells, want) = bruteForce(vecs, nLists = 8, thrNum = 2, thrDen = 5)
+    val got = SemDedup.semPairs(corpus, "vec_id", "embedding",
+      nLists = 8, thrNum = 2, thrDen = 5).collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSet == want)
+    // the emitted sem_cell matches the replayed assignment for both ends
+    got.foreach { r =>
+      assert(r.getLong(0) == cells(r.getLong(1)) &&
+        r.getLong(0) == cells(r.getLong(2)))
+    }
+  }
+
+  test("exact copies are always found and dedup keeps the original") {
+    val copies = corpus.filter(col("vec_id") < 50)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val both = corpus.unionAll(copies)
+    val pairs = SemDedup.semPairs(both, "vec_id", "embedding",
+      nLists = 8, thrNum = 99, thrDen = 100).cache()
+    // an identical vector has identical cell (deterministic tie-break)
+    // and cosine exactly 1 — all 50 planted pairs must surface
+    val found = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 50L).foreach { id =>
+      assert(found.contains((id, id + 100000)), s"missing planted pair $id")
+    }
+    val kept = SemDedup.dedup(both, "vec_id", "embedding",
+      nLists = 8, thrNum = 99, thrDen = 100)
+    // canonical = lowest id: every planted copy drops, every original stays
+    assert(kept.filter(col("vec_id") >= 100000).count() == 0)
+    assert(kept.count() >= corpus.count() - 50) // non-copied rows survive
+    pairs.unpersist()
+  }
+
+  test("hot-cell guard fails loudly on a collapsed embedding space") {
+    val one = corpus.limit(1).select("embedding").head.getSeq[Float](0)
+    val degenerate = spark.range(0, 100).toDF("vec_id")
+      .withColumn("embedding", typedLit(one))
+    val e = intercept[Exception] {
+      SemDedup.semPairs(degenerate, "vec_id", "embedding",
+        nLists = 4, thrNum = 2, thrDen = 5).count()
+    }
+    assert(e.getMessage.contains("maxCellFrac"))
+  }
+}
