@@ -413,4 +413,118 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  // ------------------------------------------------ incremental dedup
+
+  /** Exact incremental dedup: the rows of `batch` whose content (md5 of
+    * `textCol`) is NEW — absent from `corpus` AND not already claimed by
+    * an earlier (smaller-`idCol`) row of the batch itself. This is the
+    * nightly-crawl shape: the corpus is deduped once, and each new batch
+    * is checked against it without ever recomputing corpus×corpus.
+    *
+    * Scale shape: the corpus side of the anti-join carries ONLY 16-byte
+    * content hashes (the 100 TB corpus text never moves); the
+    * within-batch keep-one is a window over the batch alone, which is
+    * orders of magnitude smaller than the corpus by construction. */
+  def dropAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val ch = md5(col(textCol).cast("binary"))
+    val corpusHashes = corpus.select(ch.as("_h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_h")).orderBy(col(idCol))
+    batch.withColumn("_h", ch)
+      .join(corpusHashes, Seq("_h"), "left_anti")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(batch.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Near-duplicate pairs of `batch` rows against `corpus` rows — the
+    * incremental companion of [[minhashPairs]] (same shingle→MinHash→
+    * band kernel, same exact-Jaccard verify), generating ONLY
+    * batch×corpus candidates: the corpus bands never self-join, so the
+    * cost is proportional to the new data, not the corpus.
+    * Returns (batch_id, corpus_id, n_common, n_union, jaccard) with
+    * jaccard ≥ threshold. Call [[releaseCaches]] after consuming.
+    *
+    * Scale shape: band rows carry (band, bhash, id) only; both sides'
+    * shingle payloads join in solely for the surviving candidates. The
+    * corpus signature/banding pass is corpus-sized — at warehouse scale
+    * persist the corpus's signature table once (it is the cacheable
+    * artifact here) and feed it back as `corpus` in later batches. */
+  def pairsAgainstCorpus(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 64,
+      bands: Int = 16, shingleK: Int = 5,
+      threshold: Double = 0.6): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def sigOf(df: DataFrame): DataFrame =
+      trackedCache(Par.fanOut(df).select(col(idCol).as("id"),
+          shingleSig(col(textCol), shingleK, numHashes).as("ss"))
+        .select(col("id"), col("ss.sh").as("sh"), col("ss.sig").as("sig")))
+    def bandsOf(sig: DataFrame): DataFrame = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
+        .as(Seq("band", "bhash")))
+    val cSig = sigOf(corpus)
+    val bSig = sigOf(batch)
+    val cand = bandsOf(bSig)
+      .select(col("band"), col("bhash"), col("id").as("batch_id"))
+      .join(bandsOf(cSig)
+        .select(col("band"), col("bhash"), col("id").as("corpus_id")),
+        Seq("band", "bhash"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+    cand
+      .join(bSig.select(col("id").as("batch_id"), col("sh").as("sh_a")),
+        Seq("batch_id"))
+      .join(cSig.select(col("id").as("corpus_id"), col("sh").as("sh_b")),
+        Seq("corpus_id"))
+      .withColumn("n_common", sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / col("n_union"), 6))
+      .filter(col("n_common").cast("double") >= col("n_union") * threshold)
+      .select("batch_id", "corpus_id", "n_common", "n_union", "jaccard")
+  }
+
+  // ------------------------------------- substring duplication score
+
+  /** Per-document substring-duplication score: the fraction of a doc's
+    * distinct word `n`-grams that also occur in at least `minDf - 1`
+    * OTHER documents (the doc-level signal behind corpus-level exact
+    * substring dedup — a doc scoring near 1.0 is assembled from text
+    * the corpus already contains). Adds `n_grams`, `dup_grams`,
+    * `dup_score` (0.0 for docs with fewer than `n` words).
+    *
+    * Scale shape: one explode to distinct `(id, gram)` pairs, one gram
+    * groupBy for document frequency, and a semi-join of the pairs
+    * against ONLY the duplicated grams (df >= minDf) — the join's build
+    * side is the duplicated subset, not the full gram vocabulary, and
+    * the pairs relation carries `(id, gram)` only. Never all-pairs; the
+    * corpus text shuffles nowhere.
+    */
+  def substringDupScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 10, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val pairs = df.select(col(idCol),
+        explode(graft.ops.TextPrep.wordGrams(col(textCol), n)).as("gram"))
+    // wordGrams is distinct within a doc, so count(*) = document freq
+    val dupGrams = pairs.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("gram")
+    val dupCounts = pairs.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dup_grams"))
+    df.withColumn("n_grams",
+        size(graft.ops.TextPrep.wordGrams(col(textCol), n)).cast("long"))
+      .join(dupCounts, Seq(idCol), "left")
+      .withColumn("dup_grams", coalesce(col("dup_grams"), lit(0L)))
+      .withColumn("dup_score",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("dup_grams").cast("double") /
+            col("n_grams"), 6)))
+  }
 }

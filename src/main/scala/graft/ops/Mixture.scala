@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixture control: per-source caps and target-proportion
+  * rebalancing — the "domain mixing" stage of a training-data pipeline
+  * (cap any one domain's share, then hit a declared source mixture).
+  * The reference has no analogue (its surface stops at SQL); these are
+  * the operations a 100 TB corpus build runs right before tokenization.
+  *
+  * Determinism contract: selection order within a key is ascending
+  * `(md5(cast(id as string)), id)` — engine-portable (the same rows are
+  * picked by any engine that can compute md5, which is how the DuckDB
+  * oracle replays it) and independent of partitioning, unlike any
+  * "first N seen" scheme.
+  */
+object Mixture {
+
+  /** The portable selection-order hash (same construction as
+    * TextPrep.keyBucket: md5 of the decimal string form of the id). */
+  def orderHash(id: Column): Column = md5(id.cast("string").cast("binary"))
+
+  private def rankWithin(keyCol: String, idCol: String): Column =
+    row_number().over(
+      Window.partitionBy(col(keyCol)).orderBy(orderHash(col(idCol)),
+        col(idCol)))
+
+  /** Keep at most `maxRows` rows per key, the ones with the smallest
+    * selection hashes. Adds nothing; output columns = input columns.
+    *
+    * Scale shape: the naive plan is one `row_number` window partitioned
+    * by key — correct, but a single giant key (one domain holding 1e9
+    * of the corpus's docs) serializes into one task's sort. With
+    * `prune = true` (default) rows are pre-filtered by a per-key hash
+    * threshold before the window: keys with `cnt` rows keep only hashes
+    * below ~`slack * maxRows / cnt` of the hash space, so the window
+    * sorts O(slack·maxRows) rows per key no matter how large the key
+    * is. The result is still EXACTLY the `maxRows` smallest hashes:
+    * if at least `maxRows` rows survive the threshold, the smallest
+    * `maxRows` are certainly among them; the rare under-filled key
+    * (detected by re-counting survivors) falls back to its full row
+    * set. Keys with `cnt <= slack*maxRows` skip pruning entirely.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+      maxRows: Int, prune: Boolean = true, slack: Int = 4): DataFrame = {
+    require(maxRows > 0, s"maxRows must be > 0, got $maxRows")
+    val base =
+      if (!prune) df
+      else {
+        // md5 is uniform on [0, 16^32); compare on the first 15 hex
+        // digits (60 bits, exact in Long) like Dedup.md5Hash60
+        val h60 = conv(substring(orderHash(col(idCol)), 1, 15), 16, 10)
+          .cast("long")
+        val space = math.pow(2, 60)
+        val counts = df.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("_cnt"))
+        val withCnt = df.join(broadcastIfSmall(counts), Seq(keyCol))
+        val thresh = least(
+          lit(space),
+          lit(space) * lit(slack.toLong * maxRows) / col("_cnt"))
+        val pruned = withCnt.filter(col("_cnt") <= slack.toLong * maxRows ||
+          h60 < thresh)
+        // under-filled keys (possible only when the hash threshold cut
+        // below maxRows survivors) fall back to their full row set
+        val short = pruned.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("_kept"))
+          .filter(col("_kept") < maxRows)
+          .select(col(keyCol))
+        val rescue = df.join(broadcastIfSmall(short), Seq(keyCol),
+          "left_semi")
+        val prunedIds = pruned.drop("_cnt")
+        prunedIds.join(short, Seq(keyCol), "left_anti")
+          .unionByName(rescue)
+      }
+    base.withColumn("_rn", rankWithin(keyCol, idCol))
+      .filter(col("_rn") <= maxRows)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Broadcast a per-key aggregate when the key space is plausibly
+    * small; with a huge key space the planner's size estimate decides. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** Largest exact subsample hitting the target key proportions without
+    * upsampling: per key k, `target_k = floor(weight_k * T)` where
+    * `T = min_k(count_k / weight_k)` — the binding source is kept whole
+    * (up to flooring) and every other source is downsampled to match.
+    * Keys absent from `weights` are dropped. Selection within a key is
+    * the [[capPerKey]] hash order, so the subsample is deterministic
+    * and engine-replayable.
+    *
+    * Scale shape: one count aggregate over the corpus (partial-agg,
+    * key-space-sized result), a broadcast join of the per-key targets,
+    * and one per-key ranking window. The ranking inherits the giant-key
+    * caveat of [[capPerKey]]; targets here are data-dependent so the
+    * hash-threshold prune is not applied — for a corpus with a
+    * dominating single key, cap it first, then rebalance.
+    */
+  def rebalance(df: DataFrame, keyCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), "weights must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(keyCol, "_w")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+    val joined = counts.join(w, Seq(keyCol))
+    // T = min over keys of n/w; a one-row aggregate, broadcast back
+    val t = joined.agg(min(col("_n") / col("_w")).as("_t"))
+    val targets = joined.crossJoin(broadcast(t))
+      .select(col(keyCol),
+        least(col("_n"), floor(col("_w") * col("_t")).cast("long"))
+          .as("_target"))
+    df.join(broadcastIfSmall(targets), Seq(keyCol))
+      .withColumn("_rn", rankWithin(keyCol, idCol))
+      .filter(col("_rn") <= col("_target"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+}

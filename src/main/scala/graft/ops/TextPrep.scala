@@ -314,6 +314,48 @@ object TextPrep {
         coalesce(col("_ct"), lit("")).as("clean_text"))
   }
 
+  // ------------------------------------------------- C4 line rules ----
+
+  /** C4-style line-rule cleaning (Raffel et al. 2020 §2.2, public
+    * recipe): a line survives iff it has at least `minWords` whitespace
+    * words, does not mention "javascript" (case-insensitive), and —
+    * when `requireTerminalPunct` — ends in terminal punctuation
+    * (`. ! ? "`). Doc-level flags mark documents the recipe drops
+    * whole: a `{` anywhere (code), or "lorem ipsum" (boilerplate
+    * filler).
+    *
+    * Output: idCol, n_lines, n_kept, clean_text (surviving lines joined
+    * by newline), doc_flagged.
+    *
+    * Scale shape: pure per-row expressions — a filter over the split
+    * line array and one array_join, no explode, no shuffle, fully
+    * inside whole-stage codegen. This is the 100 TB-friendly shape for
+    * per-document rules (boilerplate removal, which needs corpus-wide
+    * line frequencies, is the one that shuffles — see
+    * [[removeBoilerplate]]). */
+  def c4CleanLines(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, requireTerminalPunct: Boolean = true): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val lines = filter(split(col(textCol), "\n"),
+      l => length(trim(l)) > 0)
+    def keep(l: Column): Column = {
+      val t = trim(l)
+      val wordsOk = size(split(regexp_replace(t, "\\s+", " "), " "))
+        .geq(minWords)
+      val jsOk = !lower(t).contains("javascript")
+      val punctOk =
+        if (requireTerminalPunct) t.rlike("[.!?\"]$") else lit(true)
+      wordsOk && jsOk && punctOk
+    }
+    val keptArr = filter(lines, keep _)
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(keptArr).cast("long").as("n_kept"),
+      array_join(keptArr, "\n").as("clean_text"),
+      (col(textCol).contains("{") ||
+        lower(col(textCol)).contains("lorem ipsum")).as("doc_flagged"))
+  }
+
   // -------------------------------------------------------- chunking ----
 
   /** Split documents into overlapping windows of `chunkTokens`

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsofJoin, Dedup, Funnel, Multimodal, RangeJoin, Similarity, TextAnalysis, TextPrep, TfIdf}
+import graft.ops.{AsofJoin, Dedup, Funnel, Mixture, Multimodal, RangeJoin, Similarity, TextAnalysis, TextPrep, TfIdf}
 import Q._
 
 /** Training-data-pipeline operators through the gate: exact/near dedup,
@@ -390,6 +390,74 @@ object QPipe {
     // deterministic 80/10/10 train/val/test split by engine-portable key
     // hash — stable across runs/engines/partitionings; the oracle
     // replays the identical md5-prefix bucketing in SQL.
+    // incremental exact dedup (the nightly-crawl shape): corpus = docs
+    // with id % 3 != 0; the batch re-crawls every id % 5 == 0 doc under
+    // a shifted id, plus the genuinely-new id % 3 == 0 docs. Re-crawled
+    // corpus content drops via the hash anti-join; content appearing
+    // twice within the batch (id % 15 == 0: once at its own id, once
+    // shifted) keeps the smaller id.
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.dropAgainstCorpus(corpus, batch, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // per-source cap (domain mixing stage 1): keep the 7 smallest-
+    // selection-hash docs of each source. The hash-threshold prune keeps
+    // the per-key window bounded however large a key is; the gate runs
+    // the pruned path and the oracle replays plain rank — equal output
+    // is the prune's exactness proof at gate scale (spec proves it
+    // again on a skewed fixture).
+    "q_cap_per_source" -> { (s, dir) =>
+      Mixture.capPerKey(t(s, dir, "documents"), "source", "doc_id",
+          maxRows = 7)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // mixture rebalance (domain mixing stage 2): largest exact subsample
+    // hitting declared source weights; unlisted sources drop. Summary
+    // per source: the selected counts are the floor(w_k * T) targets.
+    "q_mix_rebalance" -> { (s, dir) =>
+      Mixture.rebalance(t(s, dir, "documents"), "source", "doc_id",
+          Map("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2,
+            "src7" -> 0.07, "src9" -> 0.03))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .orderBy("source")
+    },
+
+    // substring-duplication score: fraction of each doc's distinct word
+    // 3-grams shared with another doc. Gram df -> semi-join against the
+    // duplicated subset only; text never shuffles.
+    "q_substring_dup" -> { (s, dir) =>
+      Dedup.substringDupScore(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minDf = 2)
+        .select("doc_id", "n_grams", "dup_grams", "dup_score")
+        .orderBy("doc_id")
+    },
+
+    // C4 line-rule cleaning: line structure synthesized by breaking on
+    // stop-words (the fixture text is one line); terminal-punctuation
+    // rule off because the word-salad fixture has no punctuation — the
+    // spec exercises it on punctuated synthetic text.
+    "q_c4_clean" -> { (s, dir) =>
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " (the|a) ", "\n").as("text"))
+      TextPrep.c4CleanLines(lined, "doc_id", "text", minWords = 5,
+          requireTerminalPunct = false)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"),
+          col("doc_flagged"))
+        .orderBy("doc_id")
+    },
+
     "q_dataset_split" -> { (s, dir) =>
       TextPrep.withSplit(t(s, dir, "documents"), "doc_id")
         .groupBy("split")
@@ -612,6 +680,106 @@ object QPipe {
         |               / sum(k * len), 6) END AS dup_line_char_frac
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |nw AS (
+        |  SELECT b.doc_id, b.text FROM b
+        |  WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)),
+        |r AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn
+        |  FROM nw)
+        |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_cap_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) r
+        |WHERE rn <= 7 ORDER BY doc_id""".stripMargin,
+
+    "q_mix_rebalance" ->
+      """WITH wts(source, w) AS (VALUES
+        |    ('src1', CAST(0.4 AS DOUBLE)), ('src3', CAST(0.3 AS DOUBLE)),
+        |    ('src5', CAST(0.2 AS DOUBLE)), ('src7', CAST(0.07 AS DOUBLE)),
+        |    ('src9', CAST(0.03 AS DOUBLE))),
+        |c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT min(n / w) AS cap FROM c JOIN wts USING (source)),
+        |tgt AS (
+        |  SELECT source,
+        |    least(n, CAST(floor(w * (SELECT cap FROM t)) AS BIGINT)) AS k
+        |  FROM wts JOIN c USING (source)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.source, count(*) AS n,
+        |  CAST(sum(r.doc_id) AS BIGINT) AS id_sum,
+        |  min(r.doc_id) AS id_min, max(r.doc_id) AS id_max
+        |FROM r JOIN tgt USING (source) WHERE rn <= k
+        |GROUP BY 1 ORDER BY r.source""".stripMargin,
+
+    "q_substring_dup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(ws[CAST(u.s AS INT) + 1 : CAST(u.s AS INT) + 3],
+        |      ' ') AS gram
+        |  FROM w, unnest(generate_series(0, len(ws) - 3)) AS u(s)),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM g GROUP BY 1),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |h AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+        |  FROM g JOIN dup USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(tot.n_grams, 0) AS n_grams,
+        |  coalesce(h.dup_grams, 0) AS dup_grams,
+        |  CASE WHEN coalesce(tot.n_grams, 0) = 0 THEN 0.0
+        |       ELSE round(coalesce(h.dup_grams, 0) / tot.n_grams, 6)
+        |  END AS dup_score
+        |FROM documents d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_c4_clean" ->
+      """WITH lined AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, ' (the|a) ', chr(10), 'g') AS t
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(t, chr(10)),
+        |      x -> length(trim(x)) > 0) AS l
+        |  FROM lined),
+        |k AS (
+        |  SELECT doc_id, text, l,
+        |    list_filter(l, x ->
+        |      len(string_split(regexp_replace(trim(x), '\s+', ' ', 'g'),
+        |        ' ')) >= 5
+        |      AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+        |  FROM ls)
+        |SELECT doc_id,
+        |  CAST(len(l) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, chr(10))) AS clean_md5,
+        |  (contains(text, '{') OR contains(lower(text), 'lorem ipsum'))
+        |    AS doc_flagged
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_dataset_split" ->
       """WITH h AS (

@@ -72,6 +72,23 @@ object AggProbe {
           * (lit(1) + col("l_tax"))),
         avg("l_quantity"), avg("l_extendedprice"), avg("l_discount"),
         count(lit(1))))
+    time("q1_full_pre")(graft.SparkEntry.queries("q1_agg")(spark, sfDir))
+    // A/B: avg() declared alongside sum() (11 buffer slots) vs the gate's
+    // derived-avg shape (6 slots) — same values, fewer per-row updates.
+    time("q1_avg_declared")(li
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")))
     time("q1_full")(graft.SparkEntry.queries("q1_agg")(spark, sfDir))
     spark.stop()
   }

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Mixture, TextPrep}
+
+/** Scale probe for the mixture/incremental-dedup/C4/substring-dup
+  * operators over the scaled documents fixture — the numbers behind
+  * their BASELINE.md scale notes.
+  *
+  * Usage: PrepOpsProbe <sfDir>
+  */
+object PrepOpsProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs: DataFrame = graft.Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    println(s"[probe] documents rows=$n")
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val best = Seq.fill(3)(once()).min
+      println(f"[probe] $name%-28s best=$best%.3f")
+    }
+
+    time("cap_per_source_pruned")(
+      Mixture.capPerKey(docs, "source", "doc_id", maxRows = 1000))
+    time("cap_per_source_plain")(
+      Mixture.capPerKey(docs, "source", "doc_id", maxRows = 1000,
+        prune = false))
+    time("rebalance_5src")(
+      Mixture.rebalance(docs, "source", "doc_id",
+        Map("src1" -> 0.4, "src3" -> 0.3, "src5" -> 0.2,
+          "src7" -> 0.07, "src9" -> 0.03)))
+    time("c4_clean")(
+      TextPrep.c4CleanLines(
+        docs.select(col("doc_id"),
+          regexp_replace(col("text"), " (the|a) ", "\n").as("text")),
+        "doc_id", "text", minWords = 5, requireTerminalPunct = false))
+    time("substring_dup_n5")(
+      Dedup.substringDupScore(docs, "doc_id", "text", n = 5))
+    // incremental exact: 10% of the corpus re-crawled + 10% fresh
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+      .unionAll(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    time("incremental_exact")(
+      Dedup.dropAgainstCorpus(corpus, batch, "doc_id", "text"))
+    spark.stop()
+  }
+}

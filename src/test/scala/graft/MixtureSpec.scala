@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.{Dedup, Mixture, TextPrep}
+
+/** Mixture control (per-key caps, target-proportion rebalance),
+  * substring-duplication scoring, and C4 line-rule cleaning. */
+class MixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Skewed corpus: key "big" holds 2000 rows, "mid" 40, "tiny" 3. */
+  lazy val skewed = {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => (i.toLong, "big")) ++
+      (3001 to 3040).map(i => (i.toLong, "mid")) ++
+      (4001 to 4003).map(i => (i.toLong, "tiny"))
+    rows.toDF("id", "key")
+  }
+
+  test("capPerKey: pruned path equals plain rank path exactly") {
+    val plain = Mixture.capPerKey(skewed, "key", "id", maxRows = 10,
+      prune = false)
+    val pruned = Mixture.capPerKey(skewed, "key", "id", maxRows = 10,
+      prune = true)
+    assert(plain.exceptAll(pruned).count() == 0)
+    assert(pruned.exceptAll(plain).count() == 0)
+    // per-key counts: min(count, maxRows)
+    val counts = pruned.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 10L, "mid" -> 10L, "tiny" -> 3L))
+  }
+
+  test("capPerKey: selection is hash-determined, partitioning-independent") {
+    val a = Mixture.capPerKey(skewed, "key", "id", 5)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val b = Mixture.capPerKey(skewed.repartition(13), "key", "id", 5)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // and it is the md5-smallest ids, not the numerically smallest
+    val bigIds = skewed.filter(col("key") === "big")
+      .select(col("id"), Mixture.orderHash(col("id")).as("h"))
+      .orderBy("h", "id").limit(5).collect().map(_.getLong(0)).toSet
+    assert(a.filter(_ <= 2000).toSet == bigIds)
+  }
+
+  test("rebalance: floor(w*T) targets, binding key kept whole") {
+    // counts: big 2000, mid 40, tiny 3; weights 0.5/0.4/0.1
+    // T = min(2000/0.5, 40/0.4, 3/0.1) = min(4000, 100, 30) = 30
+    // targets: floor(15)=15, floor(12)=12, floor(3)=3
+    val out = Mixture.rebalance(skewed, "key", "id",
+      Map("big" -> 0.5, "mid" -> 0.4, "tiny" -> 0.1))
+    val counts = out.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 15L, "mid" -> 12L, "tiny" -> 3L))
+    // unlisted keys are dropped
+    val out2 = Mixture.rebalance(skewed, "key", "id", Map("mid" -> 1.0))
+    assert(out2.select("key").distinct().collect().map(_.getString(0))
+      .toSeq == Seq("mid"))
+    assert(out2.count() == 40)
+  }
+
+  test("substringDupScore: shared phrases score, unique text scores 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // shares 2 of its 3 3-grams
+      (3L, "one two three four five six"),   // unique
+      (4L, "tiny doc")                       // < n words -> 0 grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupScore(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // doc1: grams {a b g, b g d, g d e}; doc2: {a b g, b g d, g d z}
+    assert(out(0).getAs[Long]("n_grams") == 3)
+    assert(out(0).getAs[Long]("dup_grams") == 2)
+    assert(out(0).getAs[Double]("dup_score") == 0.666667)
+    assert(out(1).getAs[Long]("dup_grams") == 2)
+    assert(out(2).getAs[Long]("dup_grams") == 0)
+    assert(out(2).getAs[Double]("dup_score") == 0.0)
+    assert(out(3).getAs[Long]("n_grams") == 0)
+    assert(out(3).getAs[Double]("dup_score") == 0.0)
+  }
+
+  test("substringDupScore: within-doc repetition is not corpus duplication") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z x y z x y z"),  // repeats internally, shared with no one
+      (2L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupScore(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("dup_grams") == 0)
+  }
+
+  test("c4CleanLines: word-count, punctuation, javascript, doc flags") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "This line is long enough to survive.\nshort one\n" +
+        "Enable javascript to view this page properly please.\n" +
+        "No terminal punctuation on this long line here"),
+      (2L, "function f() { return 1; } this doc gets flagged."),
+      (3L, "Lorem ipsum dolor sit amet consectetur.")
+    ).toDF("doc_id", "text")
+    val strictOut = TextPrep.c4CleanLines(docs, "doc_id", "text",
+      minWords = 3, requireTerminalPunct = true).orderBy("doc_id").collect()
+    // doc1: 4 lines; only the first passes all three rules
+    assert(strictOut(0).getAs[Long]("n_lines") == 4)
+    assert(strictOut(0).getAs[Long]("n_kept") == 1)
+    assert(strictOut(0).getAs[String]("clean_text") ==
+      "This line is long enough to survive.")
+    assert(!strictOut(0).getAs[Boolean]("doc_flagged"))
+    assert(strictOut(1).getAs[Boolean]("doc_flagged"))   // brace
+    assert(strictOut(2).getAs[Boolean]("doc_flagged"))   // lorem ipsum
+    // punctuation rule off: the last long line survives too
+    val lax = TextPrep.c4CleanLines(docs, "doc_id", "text",
+      minWords = 3, requireTerminalPunct = false).orderBy("doc_id").collect()
+    assert(lax(0).getAs[Long]("n_kept") == 2)
+  }
+}

@@ -46,6 +46,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.filter(col("doc_id") >= 5000).count() == 0)
   }
 
+  test("incremental dedup: batch vs corpus, exact and near paths") {
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 40)
+    // batch: 10 re-crawls of corpus content (shifted ids), 10 genuinely
+    // new docs, plus an in-batch duplicate of one new doc
+    val recrawl = corpus.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000)
+    val fresh = docs.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+    val inBatchDup = fresh.filter(col("doc_id") === 45)
+      .withColumn("doc_id", col("doc_id") + 2000)
+    val batch = recrawl.unionAll(fresh).unionAll(inBatchDup)
+    val kept = Dedup.dropAgainstCorpus(corpus, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (40L until 50L).toSet,
+      s"expected the 10 fresh ids, got $kept")
+    // near path: a mutated copy of a corpus doc is caught, fresh is not
+    val mutated = corpus.filter(col("doc_id") === 5)
+      .select((col("doc_id") + 3000).as("doc_id"),
+        concat(regexp_replace(col("text"), "data", "info"), lit(" extra"))
+          .as("text"))
+    val nearBatch = mutated.unionAll(fresh.limit(3))
+    val near = Dedup.pairsAgainstCorpus(corpus, nearBatch,
+        "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("corpus_id")))
+    Dedup.releaseCaches()
+    assert(near.contains((3005L, 5L)),
+      s"mutated copy not caught: ${near.toSeq}")
+    assert(near.forall(_._1 == 3005L),
+      s"fresh docs falsely matched: ${near.toSeq}")
+  }
+
   test("minhash-LSH finds planted near-dups with high recall vs exact jaccard") {
     val truth = Dedup.jaccardPairs(planted, "doc_id", "text")
       .filter(col("jaccard") >= 0.6)
