@@ -20,14 +20,14 @@ object SparkEntry {
   private def batches = Seq(
     qb.QTpch.queries, qb.QTpch2.queries, qb.QTpch3.queries, qb.QTpch4.queries, qb.QTpcds.queries, qb.QTpcds2.queries, qb.QTpcds3.queries, qb.QTpcds4.queries, qb.QTpcds5.queries, qb.QTpcds6.queries, qb.QTpcds7.queries, qb.QTypes.queries, qb.QRel.queries, qb.QAgg.queries, qb.QWin.queries,
     qb.QSub.queries, qb.QFunc.queries, qb.QLake.queries, qb.QPipe.queries, qb.QPgShim.queries,
-    qb.QMisc.queries, qb.QClick.queries, qb.QClick2.queries, qb.QClick3.queries, qb.QClick4.queries, qb.QClick5.queries, qb.QClick6.queries, qb.QGeo.queries)
+    qb.QMisc.queries, qb.QClick.queries, qb.QClick2.queries, qb.QClick3.queries, qb.QClick4.queries, qb.QClick5.queries, qb.QClick6.queries, qb.QGeo.queries, qb.QSearch.queries)
 
   private def oracleBatches = Seq(
     qb.QTpch.oracleSql, qb.QTpch2.oracleSql, qb.QTpch3.oracleSql, qb.QTpch4.oracleSql, qb.QTpcds.oracleSql, qb.QTpcds2.oracleSql, qb.QTpcds3.oracleSql, qb.QTpcds4.oracleSql, qb.QTpcds5.oracleSql, qb.QTpcds6.oracleSql, qb.QTpcds7.oracleSql, qb.QTypes.oracleSql,
     qb.QRel.oracleSql, qb.QAgg.oracleSql,
     qb.QWin.oracleSql, qb.QSub.oracleSql, qb.QFunc.oracleSql,
     qb.QLake.oracleSql, qb.QPipe.oracleSql, qb.QPgShim.oracleSql,
-    qb.QMisc.oracleSql, qb.QClick.oracleSql, qb.QClick2.oracleSql, qb.QClick3.oracleSql, qb.QClick4.oracleSql, qb.QClick5.oracleSql, qb.QClick6.oracleSql, qb.QGeo.oracleSql)
+    qb.QMisc.oracleSql, qb.QClick.oracleSql, qb.QClick2.oracleSql, qb.QClick3.oracleSql, qb.QClick4.oracleSql, qb.QClick5.oracleSql, qb.QClick6.oracleSql, qb.QGeo.oracleSql, qb.QSearch.oracleSql)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     batches.reduce(_ ++ _)

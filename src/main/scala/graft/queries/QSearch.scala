@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q._
+import graft.ops.Bm25
+
+/** Text-retrieval gates: BM25 ranking over the `documents` corpus —
+  * batch (query-relation join path) and interactive (single literal
+  * query, shuffle-free scan path) — both replayed term-for-term by the
+  * DuckDB oracle so scores AND ranking order verify differentially.
+  */
+object QSearch {
+
+  /** Fixed query relation for the gates: tokens drawn from the fixture
+    * vocabulary so matches are dense enough to exercise tf/dl
+    * discrimination (every common term has high df → low idf). */
+  private val gateQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark hash join",
+    2 -> "customer query filter",
+    3 -> "window agg stream vector")
+
+  private val oneQuery = "merge sort batch"
+
+  val queries: Map[String, QueryFn] = Map(
+    // batch BM25: broadcast query terms prune the exploded corpus tokens
+    // map-side; only matched postings shuffle. Top-10 per query, rank on
+    // the rounded score so the order is engine-reproducible.
+    "q_text_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val q = gateQueries.toDF("qid", "qtext")
+      Bm25.search(t(s, dir, "documents"), "doc_id", "text",
+          q, "qid", "qtext", k = 10)
+        .orderBy("qid", "rank")
+    },
+
+    // interactive BM25: zero-shuffle corpus pass (per-term tf as column
+    // expressions, df/N/avgdl as one broadcast scalar row), TakeOrdered
+    // top-10.
+    "q_text_bm25_one" -> { (s, dir) =>
+      Bm25.searchOne(t(s, dir, "documents"), "doc_id", "text",
+        oneQuery, k = 10)
+    })
+
+  private def bm25Sql(queryValues: String, whereRank: String): String =
+    s"""WITH q(qid, qtext) AS (VALUES $queryValues),
+       |qterms AS (
+       |  SELECT DISTINCT qid, tok AS term
+       |  FROM (SELECT qid,
+       |          unnest(string_split_regex(lower(qtext), '[\\s[:punct:]]+'))
+       |            AS tok
+       |        FROM q)
+       |  WHERE length(tok) > 0),
+       |toks AS (
+       |  SELECT doc_id, tok AS term
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(text), '[\\s[:punct:]]+'))
+       |            AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0),
+       |dls AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+       |  FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(coalesce(dl, 0)) AS avgdl
+       |  FROM documents LEFT JOIN dls USING (doc_id)),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM toks
+       |  WHERE term IN (SELECT term FROM qterms)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+       |  FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT qterms.qid, tf.doc_id,
+       |    round(sum(
+       |      ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |      tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+       |    ), 6) AS score
+       |  FROM tf
+       |  JOIN qterms USING (term)
+       |  JOIN dfreq USING (term)
+       |  JOIN dls USING (doc_id)
+       |  CROSS JOIN stats
+       |  GROUP BY qterms.qid, tf.doc_id),
+       |ranked AS (
+       |  SELECT qid,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |    doc_id, score
+       |  FROM scored)
+       |$whereRank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_bm25" -> bm25Sql(
+      "(1, 'spark hash join'), (2, 'customer query filter'), " +
+        "(3, 'window agg stream vector')",
+      "SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= 10 " +
+        "ORDER BY qid, rank"),
+    "q_text_bm25_one" -> bm25Sql(
+      s"(1, '$oneQuery')",
+      "SELECT doc_id, score FROM ranked WHERE rank <= 10 AND score > 0 " +
+        "ORDER BY score DESC, doc_id"))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.Bm25
+
+class Bm25Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("search and searchOne agree on the same query") {
+    import spark.implicits._
+    val q = Seq((1, "merge sort batch")).toDF("qid", "qtext")
+    val batch = Bm25.search(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 25)
+      .select("doc_id", "score", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._3)
+    val one = Bm25.searchOne(docs, "doc_id", "text", "merge sort batch",
+        k = 25)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(batch.map(t => (t._1, t._2)).toSeq === one.toSeq)
+  }
+
+  test("scores are positive, ranked desc, ties broken by doc_id") {
+    import spark.implicits._
+    val q = Seq((7, "customer query filter")).toDF("qid", "qtext")
+    val rows = Bm25.search(docs, "doc_id", "text", q, "qid", "qtext",
+        k = 50)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    val triples = rows.map(r =>
+      (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    triples.foreach { case (_, _, s) => assert(s > 0) }
+    triples.sliding(2).foreach {
+      case Array((r1, id1, s1), (r2, id2, s2)) =>
+        assert(r2 == r1 + 1)
+        assert(s2 < s1 || (s2 == s1 && id2 > id1))
+      case _ =>
+    }
+  }
+
+  test("query term multiplicity does not change scores") {
+    import spark.implicits._
+    val q = Seq((1, "spark join"), (2, "spark spark join join"))
+      .toDF("qid", "qtext")
+    val out = Bm25.search(docs, "doc_id", "text", q, "qid", "qtext", k = 10)
+    val byQ = out.collect()
+      .groupBy(_.getInt(0))
+      .view.mapValues(_.map(r =>
+        (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq)
+      .toMap
+    assert(byQ(1) === byQ(2))
+  }
+
+  test("a doc repeating the term beats a longer doc mentioning it once") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "zebra zebra zebra"),
+      (2L, "zebra " + Seq.fill(50)("filler").mkString(" ")),
+      (3L, "nothing relevant here")).toDF("id", "body")
+    val top = Bm25.searchOne(tiny, "id", "body", "zebra", k = 3)
+      .collect().map(_.getLong(0))
+    assert(top.head === 1L)
+    assert(top.toSet === Set(1L, 2L))
+  }
+
+  test("no corpus-sized broadcast: query side is the broadcast build") {
+    import spark.implicits._
+    val q = Seq((1, "spark hash join")).toDF("qid", "qtext")
+    val plan = Bm25.search(docs, "doc_id", "text", q, "qid", "qtext")
+      .queryExecution.executedPlan.toString
+    // the semi-join against query terms must be a broadcast, and the
+    // corpus explode must sit on the streamed side
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
