@@ -30,10 +30,37 @@ object Tables {
 
   def clearOverlays(): Unit = overlay.clear()
 
+  /** (session identity, path) → loaded DataFrame. `spark.read.parquet`
+    * is NOT lazy about metadata: it lists the directory and reads
+    * footers for schema inference at DataFrame-creation time, so a
+    * query that re-loads its tables pays that IO on every execution —
+    * and registerAll pays it ×10. Plans are immutable, so re-using the
+    * DataFrame per session is sound; entries from stopped sessions are
+    * evicted on sight. Fixture dirs are write-once (driver-provided or
+    * GenScale output), so a pinned file listing cannot go stale; tables
+    * that DO change between queries go through the overlay, which is
+    * never cached. */
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  private def cachedRead(spark: SparkSession, path: String): DataFrame = {
+    val key = (System.identityHashCode(spark), path)
+    val hit = loadCache.get(key)
+    if (hit != null && (hit.sparkSession eq spark) &&
+        !spark.sparkContext.isStopped) hit
+    else {
+      loadCache.entrySet().removeIf(e =>
+        e.getValue.sparkSession.sparkContext.isStopped)
+      val df = spark.read.parquet(path)
+      loadCache.put(key, df)
+      df
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = Option(overlay.get(s"$sfDir/$name"))
       .map(t => spark.table(s"`$t`"))
-      .getOrElse(spark.read.parquet(s"$sfDir/$name.parquet"))
+      .getOrElse(cachedRead(spark, s"$sfDir/$name.parquet"))
     // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
     // timestamp type; with spark.sql.legacy.parquet.nanosAsLong=true it
     // arrives as Long nanos, which we floor to microseconds (integer DIV —

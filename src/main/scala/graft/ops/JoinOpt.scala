@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.broadcast
+
+/** Build-side selection the static planner cannot make on its own.
+  *
+  * The motivating shape (q_cte): `dim JOIN (filtered aggregate)` where
+  * the dim's pruned scan sits under the broadcast threshold. Spark's
+  * static planner broadcasts the DIM (its scan has a size estimate; the
+  * aggregate does not), which leaves the aggregate as the streamed side
+  * of the join — and when a global ORDER BY sits on top, the
+  * range-exchange sample pass re-executes that whole streamed stage
+  * (final agg + probe) a second time. Building on the aggregate instead
+  * streams the cheap dim scan, so the re-sampled stage is a scan+probe
+  * and the expensive aggregate runs exactly once. Measured at sf10:
+  * q_cte 2.5 → 1.7 s, identical output.
+  *
+  * Scale guard: the hint fires ONLY when Spark's own stats say the dim
+  * side would broadcast. A one-row-per-key filtered aggregate over the
+  * dim's key space is no larger than the dim itself (subset of keys,
+  * comparable width), so "dim would broadcast" ⇒ "aggregate fits" — the
+  * forced build is dominated by the plan Spark was about to pick. Where
+  * the dim estimate exceeds the threshold (the 100 TB regime) nothing
+  * is forced and AQE picks from runtime sizes.
+  */
+object JoinOpt {
+
+  private def broadcastThreshold(df: DataFrame): Long = {
+    val s = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // the conf accepts both bare byte counts (possibly -1 = disabled)
+    // and size-suffixed strings ("10MB")
+    scala.util.Try(s.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s))
+  }
+
+  /** `dim ⋈ agg` with the aggregate as broadcast build iff Spark's
+    * stats would have broadcast `dim`. `agg` must be key-bounded
+    * relative to `dim` (at most one row per dim key — e.g. a grouped
+    * aggregate on the join key), which is what makes the size argument
+    * sound. */
+  def aggBuildJoin(dim: DataFrame, agg: DataFrame, cond: Column)
+      : DataFrame = {
+    val thr = broadcastThreshold(dim)
+    val dimBytes = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thr > 0 && dimBytes <= BigInt(thr)) dim.join(broadcast(agg), cond)
+    else dim.join(agg, cond)
+  }
+}

@@ -67,8 +67,31 @@ object QSub {
       |ON n_nationkey = c_nationkey
       |ORDER BY n_name""".stripMargin
 
+  /** q_cte runs as a DataFrame declaration (same semantics as the `cte`
+    * SQL the oracle replays) so the build side can come from
+    * [[graft.ops.JoinOpt.aggBuildJoin]]: broadcasting the filtered
+    * per-customer aggregate instead of the customer dim keeps the
+    * expensive aggregate out of the stage the ORDER BY's range-exchange
+    * sampling re-executes (sf10: 2.5 → 1.7 s). The other five gates
+    * keep the identical-SQL-to-both-engines form — that surface parity
+    * is itself under test there. */
+  private val cteDf: QueryFn = { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val c = graft.Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_name")
+    val aggF = graft.Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("spend"))
+      .filter(col("n_orders") >= 14)
+    graft.ops.JoinOpt.aggBuildJoin(c, aggF,
+        col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "n_orders", "spend")
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
-    "q_cte" -> sql(cte),
+    "q_cte" -> cteDf,
     "q_subq_scalar" -> sql(scalarSub),
     "q_subq_in" -> sql(inSub),
     "q_subq_corr_scalar" -> sql(corrScalar),

@@ -1,0 +1,130 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decompose q_cte's sf10 cost: the 15M-row / 1.5M-key orders aggregate
+  * is the suspected constant (partial agg with no reduction ratio).
+  *
+  * Usage: CteProbe <sfDir> [rounds=5]
+  */
+object CteProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def o: DataFrame = graft.Tables.load(spark, sfDir, "orders")
+    def c: DataFrame = graft.Tables.load(spark, sfDir, "customer")
+
+    def aggD: DataFrame = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("spend"))
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "orders_count" -> (() => o.groupBy().count()),
+      "agg_custkey" -> (() => aggD),
+      "agg_repart_first" -> (() =>
+        o.select("o_custkey", "o_totalprice")
+          .repartition(32, col("o_custkey"))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("spend"))),
+      "agg_join" -> (() => c.join(aggD,
+          col("c_custkey") === col("o_custkey"))
+        .filter(col("n_orders") >= 14)
+        .select("c_custkey", "c_name", "n_orders", "spend")),
+      "q_cte_full" -> (() =>
+        graft.SparkEntry.queries("q_cte")(spark, sfDir)),
+      // sort the small aggregated side BEFORE the broadcast join: BHJ
+      // preserves streamed-side order/partitioning, so the output is
+      // globally sorted; the defensive sortWithinPartitions is free
+      // (already sorted) and guards the intra-partition order if the
+      // join is ever re-planned
+      "sort_before_join" -> (() => {
+        val aggF = aggD.filter(col("n_orders") >= 14)
+          .orderBy("o_custkey")
+        aggF.join(broadcast(c.select("c_custkey", "c_name")),
+            col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_orders"),
+            col("spend"))
+          .sortWithinPartitions("c_custkey")
+      }),
+      // build on the FILTERED agg (~15% of customers) instead of all of
+      // customer; stream the customer scan; global sort of the small
+      // output on top
+      "small_build" -> (() => {
+        val aggF = aggD.filter(col("n_orders") >= 14)
+        c.select("c_custkey", "c_name")
+          .join(broadcast(aggF), col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name", "n_orders", "spend")
+          .orderBy("c_custkey")
+      }),
+      // small_build without the hint: does AQE pick the 7 MB filtered
+      // agg as the build side on runtime sizes alone?
+      "small_build_aqe" -> (() => {
+        val aggF = aggD.filter(col("n_orders") >= 14)
+        c.select("c_custkey", "c_name")
+          .join(aggF, col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name", "n_orders", "spend")
+          .orderBy("c_custkey")
+      }),
+      // generic fix candidate: an explicit shuffle below the sort makes
+      // the join land in a materialized AQE stage, so the range-exchange
+      // sample job re-reads shuffle output instead of re-running the
+      // join; extra cost = one shuffle of the (small) output
+      "repart_sort" -> (() => {
+        val joined = c.select("c_custkey", "c_name")
+          .join(aggD.filter(col("n_orders") >= 14),
+            col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name", "n_orders", "spend")
+        joined.repartition(32).orderBy("c_custkey")
+      }),
+      // stage-materialize the join output before the range exchange so
+      // the sampling pass reads cached partitions instead of re-running
+      // the join
+      "checkpoint_sort" -> (() => {
+        val joined = c.select("c_custkey", "c_name")
+          .join(aggD.filter(col("n_orders") >= 14),
+            col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name", "n_orders", "spend")
+          .localCheckpoint(false)
+        joined.orderBy("c_custkey")
+      }))
+
+    def withConf(k: String, v: String)(f: () => DataFrame)
+        : () => DataFrame = () => {
+      spark.conf.set(k, v); f()
+    }
+    val extra: Seq[(String, () => DataFrame)] = Seq(
+      "agg_final_fastmap" -> withConf(
+        "spark.sql.codegen.aggregate.map.twolevel.partialOnly", "false")(
+        () => aggD),
+      "agg_reset" -> withConf(
+        "spark.sql.codegen.aggregate.map.twolevel.partialOnly", "true")(
+        () => aggD))
+
+    def once(f: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val all = variants ++ extra
+    (1 to 2).foreach(_ => all.foreach(v => once(v._2)))
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { _ =>
+      all.foreach { case (n, f) => times(n) :+= once(f) }
+    }
+    all.foreach { case (n, _) =>
+      val xs = times(n).sorted
+      println(f"[cte] $n%-18s median=${xs(xs.size / 2)}%.3f min=${xs.head}%.3f max=${xs.last}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Interleaved conf A/B for the grouped-aggregate constant (q1's
+  * partial hash agg): runs each variant once per round, many rounds,
+  * reports medians — the only honest estimator on a box whose
+  * single-shot numbers swing ±20%.
+  *
+  * Usage: GroupAB <sfDir> [rounds=7]
+  */
+object GroupAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val rounds = if (args.length > 1) args(1).toInt else 7
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def q1: DataFrame = graft.SparkEntry.queries("q1_agg")(spark, sfDir)
+
+    val variants: Seq[(String, Map[String, String])] = Seq(
+      "base" -> Map.empty,
+      "vec_map" -> Map(
+        "spark.sql.codegen.aggregate.map.vectorized.enable" -> "true"),
+      "twolevel_off" -> Map(
+        "spark.sql.codegen.aggregate.map.twolevel.enabled" -> "false"),
+      "aqe_off" -> Map("spark.sql.adaptive.enabled" -> "false"),
+      "batch16k" -> Map(
+        "spark.sql.parquet.columnarReaderBatchSize" -> "16384"),
+      "part64m" -> Map(
+        "spark.sql.files.maxPartitionBytes" -> "64m"))
+
+    def once(confs: Map[String, String]): Double = {
+      val saved = confs.keys.map(k =>
+        k -> util.Try(spark.conf.get(k)).toOption).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val t0 = System.nanoTime()
+        q1.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    // warmup: two full passes of every variant
+    (1 to 2).foreach(_ => variants.foreach(v => once(v._2)))
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { _ =>
+      variants.foreach { case (n, c) => times(n) :+= once(c) }
+    }
+    variants.foreach { case (n, _) =>
+      val xs = times(n).sorted
+      val med = xs(xs.size / 2)
+      println(f"[ab] $n%-14s median=$med%.3f min=${xs.head}%.3f max=${xs.last}%.3f")
+    }
+    spark.stop()
+  }
+
+  private object util { def Try[A](a: => A) = scala.util.Try(a) }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.JoinOpt
+
+class JoinOptSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def dim = Tables.load(spark, sf, "customer")
+    .select("c_custkey", "c_name")
+  private def aggF = Tables.load(spark, sf, "orders")
+    .groupBy("o_custkey")
+    .agg(count(lit(1)).as("n_orders"))
+    .filter(col("n_orders") >= 14)
+
+  private def hasBroadcastHint(
+      df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      .exists(_.hints.strategy.isDefined)
+
+  test("hints the aggregate build when the dim would broadcast") {
+    val joined = JoinOpt.aggBuildJoin(dim, aggF,
+      col("c_custkey") === col("o_custkey"))
+    assert(hasBroadcastHint(joined))
+  }
+
+  test("declines the hint when broadcasts are disabled") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = JoinOpt.aggBuildJoin(dim, aggF,
+        col("c_custkey") === col("o_custkey"))
+      assert(!hasBroadcastHint(joined))
+    } finally spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("declines the hint when the dim estimate exceeds the threshold") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      val joined = JoinOpt.aggBuildJoin(dim, aggF,
+        col("c_custkey") === col("o_custkey"))
+      assert(!hasBroadcastHint(joined))
+    } finally spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("hinted and plain paths return identical rows") {
+    val cond = col("c_custkey") === col("o_custkey")
+    val hinted = JoinOpt.aggBuildJoin(dim, aggF, cond)
+      .select("c_custkey", "n_orders").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val plain = dim.join(aggF, cond)
+      .select("c_custkey", "n_orders").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(hinted.nonEmpty)
+    assert(hinted.toSeq === plain.toSeq)
+  }
+}
