@@ -60,6 +60,54 @@ object Rollup {
     fromFinest(df, dims, aggs,
       (0 to dims.length).reverse.map(i => dims.indices.map(_ < i)))
 
+  /** Size-adaptive ROLLUP: the RollupAB sweep measured the crossover in
+    * both directions — native Expand wins at toy scale (sf0.1: the
+    * per-level re-agg JOBS cost more than Expand saves on 600k rows,
+    * +0.07 s) and loses once the fact dwarfs the job cost (sf10:
+    * rollup 2.0 → 0.7 s, cube −57%). This dispatch reads the input's
+    * optimizer size estimate and picks the regime, so ONE declaration
+    * is right at every scale — the decision a cost-based planner would
+    * make, made at the operator layer because Catalyst keeps Expand
+    * unconditionally. Both paths emit identical columns
+    * (dims, agg names, grouping_<dim> flags); both are oracle-gated.
+    * Threshold override: spark.graft.rollup.autoThreshold (bytes). */
+  def rollupAuto(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec])
+      : DataFrame =
+    if (decompose(df)) rollup(df, dims, aggs)
+    else native(df, dims, aggs, cube = false)
+
+  /** Size-adaptive CUBE (see [[rollupAuto]]). */
+  def cubeAuto(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec])
+      : DataFrame =
+    if (decompose(df)) cube(df, dims, aggs)
+    else native(df, dims, aggs, cube = true)
+
+  /** Measured between the sf0.1 (native wins) and sf10 (finest-first
+    * wins) fixtures; the scan estimate for the 45 MB sf0.1 parquet is
+    * ~75 MB, for the 1.1 GB sf10 parquet ~1.9 GB. */
+  private val defaultThreshold = 512L << 20
+
+  private def decompose(df: DataFrame): Boolean = {
+    val thr = df.sparkSession.conf
+      .get("spark.graft.rollup.autoThreshold", defaultThreshold.toString)
+      .toLong
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(thr)
+  }
+
+  /** Native Expand-based plan with the same output contract as
+    * [[fromFinest]]. */
+  private def native(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec],
+      cube: Boolean): DataFrame = {
+    val aggCols = aggs.map(a => aggExpr(a, first = true)) ++
+      dims.map(d => F.grouping(col(d)).cast("int").as(s"grouping_$d"))
+    val grouped =
+      if (cube) df.cube(dims.map(col): _*)
+      else df.rollup(dims.map(col): _*)
+    grouped.agg(aggCols.head, aggCols.tail: _*)
+      .select(dims.map(col) ++ aggs.map(a => col(a.name)) ++
+        dims.map(d => col(s"grouping_$d")): _*)
+  }
+
   /** CUBE(dims): levels keep every subset. */
   def cube(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec]): DataFrame =
     fromFinest(df, dims, aggs,

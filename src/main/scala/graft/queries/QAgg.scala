@@ -176,24 +176,32 @@ object QAgg {
         .orderBy("l_returnflag")
     },
 
+    // rollup/cube through the size-adaptive dispatch: native Expand at
+    // fixture scale, finest-first decomposition once the fact's size
+    // estimate crosses the measured crossover (ops/Rollup.rollupAuto) —
+    // one declaration, right plan at both sf0.1 and sf10. Rounding is
+    // applied AFTER the dispatch (rounding inside the aggregate would
+    // break the upper levels of the decomposed path).
     "q_rollup" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus").agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping(col("l_returnflag")).cast("int").as("g_rf"),
-          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      graft.ops.Rollup.rollupAuto(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(graft.ops.Rollup.sum(col("l_quantity"), "sum_qty"),
+            graft.ops.Rollup.count(lit(1), "n")))
+        .withColumn("sum_qty", round(col("sum_qty"), 2))
+        .withColumnRenamed("grouping_l_returnflag", "g_rf")
+        .withColumnRenamed("grouping_l_linestatus", "g_ls")
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
           col("l_linestatus"))
     },
 
     "q_cube" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus").agg(
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
-          count(lit(1)).as("n"),
-          grouping(col("l_returnflag")).cast("int").as("g_rf"),
-          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+      graft.ops.Rollup.cubeAuto(t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(graft.ops.Rollup.sum(col("l_extendedprice"), "sum_price"),
+            graft.ops.Rollup.count(lit(1), "n")))
+        .withColumn("sum_price", round(col("sum_price"), 2))
+        .withColumnRenamed("grouping_l_returnflag", "g_rf")
+        .withColumnRenamed("grouping_l_linestatus", "g_ls")
         .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"),
           col("l_linestatus"))
     },

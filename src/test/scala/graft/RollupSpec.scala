@@ -99,6 +99,31 @@ class RollupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(finest) == sortedRows(native))
   }
 
+  test("auto dispatch picks by input size estimate, same rows either way") {
+    val df = Tables.load(spark, sf, "lineitem")
+    val dims = Seq("l_returnflag", "l_linestatus")
+    val aggs = Seq(Rollup.sum(col("l_quantity"), "sum_qty"),
+      Rollup.count(lit(1), "n"))
+    def runWith(thr: String) = {
+      spark.conf.set("spark.graft.rollup.autoThreshold", thr)
+      try Rollup.rollupAuto(df, dims, aggs)
+      finally spark.conf.unset("spark.graft.rollup.autoThreshold")
+    }
+    // tiny threshold → decomposed (union of levels); huge → native Expand
+    val forced = runWith("1")
+    val native = runWith(Long.MaxValue.toString)
+    assert(forced.queryExecution.executedPlan.toString.contains("Union"))
+    assert(native.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(sortedRows(forced) == sortedRows(native))
+    val cubeF = {
+      spark.conf.set("spark.graft.rollup.autoThreshold", "1")
+      try Rollup.cubeAuto(df, dims, aggs)
+      finally spark.conf.unset("spark.graft.rollup.autoThreshold")
+    }
+    val cubeN = Rollup.cube(df, dims, aggs)
+    assert(sortedRows(cubeF) == sortedRows(cubeN))
+  }
+
   test("the fact aggregates once: upper levels reuse the finest exchange") {
     val finest = Rollup.rollup(Tables.load(spark, sf, "lineitem"),
       Seq("l_returnflag", "l_linestatus"),
