@@ -1,0 +1,142 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries heavy-hitter summary as a native Catalyst aggregate:
+  * at most `capacity` counters per buffer, O(1) amortized update,
+  * mergeable (Agarwal et al., "Mergeable Summaries", PODS'12: combine
+  * counters, then subtract the (capacity+1)-largest count and drop
+  * non-positive — the error bound stays additive). The buffer never
+  * grows with the key cardinality: THE property that lets a frequency
+  * sweep over a 100 TB corpus run as a map-side-combined aggregate
+  * whose partials are kilobytes, instead of a full-vocabulary shuffle.
+  *
+  * Guarantee: every item with true frequency > n/(capacity+1) survives
+  * in the final summary, and each surviving counter is a lower bound
+  * within n/(capacity+1) of the true count. The summary CONTENT below
+  * that threshold depends on encounter order, so this expression is for
+  * candidate generation — [[graft.ops.HeavyHitters.exactTopK]] recounts
+  * candidates exactly and checks the guarantee before trusting them.
+  *
+  * Returns array<struct<item string, lb bigint>> sorted by (lb desc,
+  * item) for a deterministic rendering of a given summary state.
+  */
+case class MisraGries(child: Expression, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("lb", LongType))),
+    containsNull = false)
+  override def prettyName: String = "misra_gries"
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String]
+      buf.get(key) match {
+        case Some(c) => buf.update(key, c + 1L)
+        case None if buf.size < capacity =>
+          // clone: the UTF8String may point into a reused row buffer
+          buf.update(key.clone(), 1L)
+        case None =>
+          // full and new key: decrement every counter (the arriving key
+          // is absorbed by the same -1); each such event burns
+          // capacity+1 total count, so there are at most n/(capacity+1)
+          // of them — O(1) amortized
+          val dead = mutable.ArrayBuffer.empty[UTF8String]
+          buf.foreach { case (k, c) =>
+            if (c == 1L) dead += k else buf.update(k, c - 1L)
+          }
+          dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.HashMap[UTF8String, Long],
+      b2: mutable.HashMap[UTF8String, Long])
+      : mutable.HashMap[UTF8String, Long] = {
+    b2.foreach { case (k, c) =>
+      b1.update(k, b1.getOrElse(k, 0L) + c)
+    }
+    if (b1.size > capacity) {
+      // subtract the (capacity+1)-th largest count from everything
+      val counts = b1.values.toArray
+      java.util.Arrays.sort(counts)
+      val sub = counts(counts.length - capacity - 1)
+      val dead = mutable.ArrayBuffer.empty[UTF8String]
+      b1.foreach { case (k, c) =>
+        if (c - sub <= 0L) dead += k else b1.update(k, c - sub)
+      }
+      dead.foreach(b1.remove)
+    }
+    b1
+  }
+
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
+    val sorted = buf.toArray.sortWith { case ((k1, c1), (k2, c2)) =>
+      if (c1 != c2) c1 > c2 else k1.compareTo(k2) < 0
+    }
+    new GenericArrayData(sorted.map { case (k, c) =>
+      InternalRow(k, c)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: mutable.HashMap[UTF8String, Long])
+      : Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) =>
+      val bytes = k.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : mutable.HashMap[UTF8String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

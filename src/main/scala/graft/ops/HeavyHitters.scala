@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.MisraGries
+
+/** Two-pass exact top-k over an unbounded key space: Misra–Gries
+  * candidates (pass 1: map-side-combined sketch, partials bounded by
+  * `capacity` counters — kilobytes at any corpus size), exact recount
+  * of ONLY the candidate keys (pass 2: a scan with a literal IN filter;
+  * the groupBy shuffles at most `capacity` distinct keys), then a
+  * provability check: if the k-th exact count exceeds n/(capacity+1),
+  * the MG guarantee says every true top-k key was a candidate and the
+  * result is EXACT — not approximate. When the data is too flat to
+  * prove (no real heavy hitters), it falls back to the plain
+  * full-shuffle groupBy, so the answer is exact either way and only the
+  * plan shape degrades.
+  *
+  * This is the frequency-sweep pattern a 100 TB pipeline needs where
+  * `groupBy(term).count.orderBy.limit(k)` would shuffle the whole
+  * vocabulary: hot-URL/hot-token discovery, skew-key detection ahead of
+  * a salted join, vocabulary heads. Complements TextAnalysis.vocab
+  * (exact counts over everything) at the scale where "everything" is
+  * the problem.
+  */
+object HeavyHitters {
+
+  /** MG candidate summary of `colName` (string): one row per surviving
+    * counter, (item, lb) with lb a within-n/(capacity+1) lower bound. */
+  def candidates(df: DataFrame, colName: String, capacity: Int)
+      : DataFrame = {
+    require(df.schema(colName).dataType == StringType,
+      s"$colName must be string (cast first)")
+    val mg = GraftBridge.column(
+      MisraGries(GraftBridge.eagerExpression(col(colName)), capacity)
+        .toAggregateExpression())
+    df.agg(mg.as("_mg"))
+      .select(explode(col("_mg")).as("_c"))
+      .select(col("_c.item").as("item"), col("_c.lb").as("lb"))
+  }
+
+  /** Exact top-`k` (count desc, item asc) of `colName`. `capacity`
+    * controls the provability threshold n/(capacity+1); raise it for
+    * flatter distributions. Returns (item named as the input column,
+    * cnt), exactly k rows unless fewer distinct keys exist. */
+  def exactTopK(df: DataFrame, colName: String, k: Int,
+      capacity: Int = 256): DataFrame = {
+    require(k >= 1 && capacity > k,
+      s"need capacity > k >= 1, got k=$k capacity=$capacity")
+    require(df.schema(colName).dataType == StringType,
+      s"$colName must be string (cast first)")
+    val mg = GraftBridge.column(
+      MisraGries(GraftBridge.eagerExpression(col(colName)), capacity)
+        .toAggregateExpression())
+    val head = df.agg(mg.as("_mg"), count(col(colName)).as("_n")).head()
+    val n = head.getLong(1)
+    val candRows = head.getSeq[Row](0)
+    val cand = candRows.map(_.getString(0))
+    // Σ lb == n ⟺ no count was ever burned by a decrement/merge
+    // subtraction ⟺ the sketch holds EVERY key with its exact count
+    val lossless = candRows.map(_.getLong(1)).sum == n
+    val exact = df
+      .filter(col(colName).isin(cand: _*))
+      .groupBy(colName).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(colName).asc)
+      .limit(k)
+    val kth = exact.collect().lastOption.map(_.getLong(1)).getOrElse(0L)
+    val provable = lossless || kth > n / (capacity + 1L)
+    if (provable) exact
+    else df.groupBy(colName).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(colName).asc)
+      .limit(k)
+  }
+}

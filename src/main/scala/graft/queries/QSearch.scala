@@ -40,6 +40,20 @@ object QSearch {
     "q_text_bm25_one" -> { (s, dir) =>
       Bm25.searchOne(t(s, dir, "documents"), "doc_id", "text",
         oneQuery, k = 10)
+    },
+
+    // sketch-first exact top-k terms: Misra–Gries candidates + exact
+    // recount (ops/HeavyHitters). The fixture vocabulary (31 terms)
+    // fits the 64-counter sketch, so this runs the lossless branch;
+    // HeavyHittersSpec drives the overflow→recount→provability branch
+    // on a skewed fixture. Output is exact in every branch — that is
+    // the operator's contract — so the oracle is the plain GROUP BY.
+    "q_top_terms" -> { (s, dir) =>
+      val terms = t(s, dir, "documents")
+        .select(explode(Bm25.tokens(col("text"))).as("term"))
+      graft.ops.HeavyHitters.exactTopK(terms, "term", k = 10,
+          capacity = 64)
+        .orderBy(col("cnt").desc, col("term"))
     })
 
   private def bm25Sql(queryValues: String, whereRank: String): String =
@@ -101,5 +115,15 @@ object QSearch {
     "q_text_bm25_one" -> bm25Sql(
       s"(1, '$oneQuery')",
       "SELECT doc_id, score FROM ranked WHERE rank <= 10 AND score > 0 " +
-        "ORDER BY score DESC, doc_id"))
+        "ORDER BY score DESC, doc_id"),
+
+    "q_top_terms" ->
+      """SELECT tok AS term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text),
+        |        '[\s[:punct:]]+')) AS tok
+        |      FROM documents)
+        |WHERE length(tok) > 0
+        |GROUP BY tok
+        |ORDER BY cnt DESC, term
+        |LIMIT 10""".stripMargin)
 }

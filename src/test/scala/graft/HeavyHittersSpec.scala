@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.ops.HeavyHitters
+
+class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Skewed fixture: key "hot_i" appears (1000 / 2^i) times for the 8
+    * hot keys, plus 5000 distinct singleton keys — far more distinct
+    * keys than any test capacity, so the sketch must overflow. */
+  lazy val skewed: DataFrame = {
+    import spark.implicits._
+    val hot = (0 until 8).flatMap(i =>
+      Seq.fill(1000 >> i)(s"hot_$i"))
+    val cold = (0 until 5000).map(i => s"cold_$i")
+    spark.sparkContext.parallelize(hot ++ cold, 4).toDF("k")
+  }
+
+  private def exactCounts(df: DataFrame, k: Int): Seq[(String, Long)] =
+    df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k"))
+      .limit(k).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("sketch path: exact top-k on skewed data with bounded capacity") {
+    val got = HeavyHitters.exactTopK(skewed, "k", k = 6, capacity = 48)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exactCounts(skewed, 6))
+  }
+
+  test("result is partitioning-invariant even though MG state is not") {
+    val one = HeavyHitters.exactTopK(skewed.repartition(1), "k", 5, 48)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val many = HeavyHitters.exactTopK(skewed.repartition(13), "k", 5, 48)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(one === many)
+  }
+
+  test("flat data falls back to the full groupBy and stays exact") {
+    import spark.implicits._
+    // 200 uniform keys, capacity 16: nothing is provable heavy
+    val flat = (0 until 2000).map(i => s"u_${i % 200}").toDF("k")
+    val got = HeavyHitters.exactTopK(flat, "k", k = 10, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exactCounts(flat, 10))
+  }
+
+  test("lossless branch: vocabulary under capacity needs no recount") {
+    import spark.implicits._
+    val tiny = (0 until 300).map(i => s"v_${i % 7}").toDF("k")
+    val got = HeavyHitters.exactTopK(tiny, "k", k = 3, capacity = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exactCounts(tiny, 3))
+  }
+
+  test("candidates carry the MG guarantee: heavy keys always survive") {
+    val cand = HeavyHitters.candidates(skewed, "k", capacity = 48)
+      .collect().map(_.getString(0)).toSet
+    val n = skewed.count()
+    val heavy = exactCounts(skewed, 20).filter(_._2 > n / 49).map(_._1)
+    heavy.foreach(h => assert(cand.contains(h),
+      s"$h above n/(cap+1) but missing from candidates"))
+  }
+
+  test("partial buffers stay capacity-bounded (serialize size)") {
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(1)
+    val bound = graft.functions.MisraGries(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.StringType, nullable = true), 10)
+    var b = bound.createAggregationBuffer()
+    // 100k distinct keys through one buffer: size must never exceed cap
+    (0 until 100000).foreach { i =>
+      row.update(0,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"x$i"))
+      b = bound.update(b, row)
+    }
+    assert(b.size <= 10)
+    assert(bound.serialize(b).length < 4096)
+    val b2 = bound.deserialize(bound.serialize(b))
+    assert(b2 === b)
+  }
+}
