@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """DuckDB baseline timings for the headline oracle queries.
 
-Usage: python3 scripts/duckdb_bench.py <sfDir> [reps]
-Runs each headline query's oracle SQL in DuckDB (threads=32) and prints
-a JSON line of per-query best-of-N seconds.
+Usage: python3 scripts/duckdb_bench.py <sfDir> [reps] [oracle_sql.json]
+
+Protocol-symmetric with graft.Bench: one warm-up pass, then `reps`
+INTERLEAVED rounds over the whole query set (so box drift lands on every
+query equally), reporting the per-query MEDIAN and max-min spread.
+A best-of-N tight loop would flatter DuckDB relative to the engine's
+interleaved medians; comparisons are only meaningful when both sides use
+the same estimator.
 """
-import os, sys, json, time
+import os, sys, json, time, statistics
 import duckdb
 
 HEADLINE = ["q1_agg", "q3_shipping", "q5_local_supplier",
@@ -30,19 +35,20 @@ def main():
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-    out = {}
-    for q in HEADLINE:
-        if q not in oracle:
-            continue
-        best = None
-        for _ in range(reps):
+    qs = [q for q in HEADLINE if q in oracle]
+    for q in qs:                          # warm-up pass
+        con.sql(oracle[q]).fetchall()
+    times = {q: [] for q in qs}
+    for _ in range(reps):                 # interleaved rounds
+        for q in qs:
             t0 = time.time()
             con.sql(oracle[q]).fetchall()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[q] = round(best, 3)
-    print(json.dumps({"engine": "duckdb", "sf": sfdir,
-                      "total": round(sum(out.values()), 3), "queries": out}))
+            times[q].append(time.time() - t0)
+    med = {q: round(statistics.median(ts), 3) for q, ts in times.items()}
+    spread = {q: round(max(ts) - min(ts), 3) for q, ts in times.items()}
+    print(json.dumps({"engine": "duckdb", "sf": sfdir, "reps": reps,
+                      "total": round(sum(med.values()), 3),
+                      "queries": med, "spread": spread}))
 
 if __name__ == "__main__":
     main()

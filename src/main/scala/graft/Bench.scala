@@ -91,10 +91,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up pass: the first execution of each plan pays 1-6s of
+    // warm-up passes: the first execution of each plan pays 1-6s of
     // analysis/codegen/JIT that has nothing to do with data volume;
-    // steady-state is what scales, so that is what we report.
-    headline.foreach(run(_, sfDir))
+    // steady-state is what scales, so that is what we report. TWO
+    // passes, because a measured A/B at sf10 showed the first
+    // post-warmup rep still runs ~40% above steady state (C2
+    // compilation of the generated code finishes during rep 2): with
+    // one pass the "median of 3" straddles the warming tail.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "2").toInt
+    (1 to warmups).foreach(_ => headline.foreach(run(_, sfDir)))
 
     // regression-grade protocol: N interleaved rounds over the whole query
     // set (round 1: q1..qN, round 2: q1..qN, ...) so slow box drift —

@@ -23,6 +23,52 @@ object Skew {
       .agg(sum("_partial").as("n"))
   }
 
+  /** Hot-key-only salted join: sketch the fact's key frequencies
+    * (Misra–Gries, capacity-bounded partials — the detection pass costs
+    * one map-side-combined aggregate however large the fact), then salt
+    * ONLY keys whose lower bound clears `hotFraction` of the fact. Cold
+    * keys join plain — no dim explosion for the long tail, so the dim
+    * side grows by |hot| × numSalts rows instead of |dim| × numSalts
+    * (the blanket [[saltedJoin]] cost). The result is EXACT for any
+    * detected set — salting is output-invariant — so the sketch's
+    * order-dependence only moves work, never rows; the union's two
+    * branches are disjoint by construction (key ∈ hot vs not).
+    *
+    * This is the manual analogue of AQE's skew-join split for the
+    * shapes AQE won't rewrite (e.g. the join feeding an aggregation
+    * that must stay co-partitioned), and the detection threshold is the
+    * same quantity MG proves: freq > n·hotFraction ⟹ the key IS in the
+    * candidate set whenever capacity ≥ 1/hotFraction. */
+  def autoSaltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, numSalts: Int = 16, hotFraction: Double = 0.01,
+      capacity: Int = 256): DataFrame = {
+    require(capacity >= math.ceil(1.0 / hotFraction).toInt,
+      s"capacity $capacity cannot prove hotFraction $hotFraction " +
+        "(need capacity >= 1/hotFraction)")
+    val keyed = fact.select(col(factKey).cast("string").as("item"))
+    val head = keyed.agg(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MisraGries(
+          org.apache.spark.sql.GraftBridge.eagerExpression(col("item")),
+          capacity).toAggregateExpression()).as("_mg"),
+      count(lit(1)).as("_n")).head()
+    val n = head.getLong(1)
+    val hot = head.getSeq[org.apache.spark.sql.Row](0)
+      .filter(_.getLong(1) > (n * hotFraction).toLong)
+      .map(_.getString(0))
+    if (hot.isEmpty)
+      fact.join(dim, fact(factKey) === dim(dimKey))
+    else {
+      val isHotF = fact(factKey).cast("string").isin(hot: _*)
+      val isHotD = dim(dimKey).cast("string").isin(hot: _*)
+      val hotJoin = saltedJoin(fact.filter(isHotF), dim.filter(isHotD),
+        factKey, dimKey, numSalts)
+      val coldJoin = fact.filter(!isHotF)
+        .join(dim, fact(factKey) === dim(dimKey))
+      hotJoin.unionByName(coldJoin)
+    }
+  }
+
   /** Salted join of a skewed fact against a dimension: the fact side gets
     * a derived salt in [0, numSalts); the dim side is exploded numSalts
     * ways so every (key, salt) bucket finds its dim row. Correct for any

@@ -374,6 +374,21 @@ object QPipe {
         .orderBy("c_mktsegment")
     },
 
+    // sketch-detected hot-key salting: Misra–Gries finds the suppliers
+    // above 1% of the fact, ONLY those salt (dim rows for cold keys are
+    // never exploded); output is invariant to the detected set, so the
+    // gate is exact whichever keys the sketch surfaces
+    "q_skew_autojoin" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem").select("l_suppkey", "l_quantity")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      graft.ops.Skew.autoSaltedJoin(l, sup, "l_suppkey", "s_suppkey",
+          numSalts = 8, hotFraction = 0.01, capacity = 128)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("s_nationkey")
+    },
+
     // subword/BPE tokenization: the fixed trained-merges tokenizer
     // applied as one interpreted kernel pass per doc; the gate pins both
     // the token COUNT and the full token STREAM (md5 of the joined
@@ -1006,6 +1021,12 @@ object QPipe {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_skew_autojoin" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_text_bpe" -> {
       s"""WITH toks AS (

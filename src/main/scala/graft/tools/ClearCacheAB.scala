@@ -1,0 +1,27 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ClearCacheAB {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def once(q: String): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, "benchdata/sf10")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("q_cte","q1_agg").foreach { q =>
+      once(q)
+      val noClear = (1 to 4).map(_ => once(q))
+      val withClear = (1 to 4).map { _ =>
+        spark.catalog.clearCache(); once(q) }
+      println(f"[cc] $q noclear=${noClear.map(x => f"$x%.2f").mkString(",")} withclear=${withClear.map(x => f"$x%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,21 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object StatProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1", "benchdata/sf1", "benchdata/sf10")) {
+      val c = graft.Tables.load(spark, dir, "customer").select("c_custkey", "c_name")
+      println(s"$dir  stats=${c.queryExecution.optimizedPlan.stats.sizeInBytes}")
+      val df = graft.SparkEntry.queries("q_cte")(spark, dir)
+      val hinted = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h }.nonEmpty
+      println(s"$dir  q_cte hinted=$hinted")
+    }
+    spark.stop()
+  }
+}

@@ -74,6 +74,34 @@ class HeavyHittersSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$h above n/(cap+1) but missing from candidates"))
   }
 
+  test("autoSaltedJoin ≡ plain join when hot keys are detected") {
+    import spark.implicits._
+    val dim = (0 until 8).map(i => (s"hot_$i", i)) ++
+      (0 until 5000).map(i => (s"cold_$i", -i))
+    val dimDf = dim.toDF("dk", "v")
+    val plain = skewed.join(dimDf, col("k") === col("dk"))
+      .groupBy("v").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val salted = graft.ops.Skew.autoSaltedJoin(skewed, dimDf, "k", "dk",
+        numSalts = 4, hotFraction = 0.05, capacity = 48)
+      .groupBy("v").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(salted === plain)
+    // the fixture's top key holds >5% of the fact, so the hot branch ran
+    val n = skewed.count()
+    assert(exactCounts(skewed, 1).head._2 > n / 20)
+  }
+
+  test("autoSaltedJoin falls through to the plain join on uniform keys") {
+    import spark.implicits._
+    val fact = (0 until 4000).map(i => s"u_${i % 400}").toDF("k")
+    val dimDf = (0 until 400).map(i => (s"u_$i", i)).toDF("dk", "v")
+    val plain = fact.join(dimDf, col("k") === col("dk")).count()
+    val auto = graft.ops.Skew.autoSaltedJoin(fact, dimDf, "k", "dk",
+      numSalts = 4, hotFraction = 0.05, capacity = 64).count()
+    assert(auto === plain)
+  }
+
   test("partial buffers stay capacity-bounded (serialize size)") {
     val row = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(1)
