@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // whole-stage codegen emits hundreds of janino classes across a full
+  // gate/bench run; the JVM's 240 MB default code cache overflows and
+  // C2 stops compiling — queries then run partly interpreted and the
+  // artifact measures the flush, not the plan
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -13,4 +13,5 @@ exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.legacy.parquet.nanosAsLong=true \
+  -XX:ReservedCodeCacheSize=1g \
   -Xmx${GRAFT_MEM:-8g} -cp "$CP" "$@"
