@@ -663,6 +663,38 @@ object Engine {
     rounds
   }
 
+  /** OPTIMIZE … ZORDER BY analogue (Delta's maintenance op; Iceberg's
+    * rewrite-with-sort-order): rewrite every live data file of each
+    * partition with rows clustered along the Morton curve of `cols`
+    * ([[ZOrder.cluster]]), so the per-file min/max stats the insert
+    * sink records tighten on ALL the z-dimensions and
+    * [[graft.core.LakeTable.scan]]'s pruner skips files for range
+    * predicates on any of them — where a plain sorted rewrite only
+    * prunes its leading column. Content is untouched (layout-only
+    * rewrite, committed as one snapshot); `numFiles` &gt; 0 fixes the
+    * output fan-out per partition, else ~`targetBytes` files. */
+  def optimizeZOrder(tbl: LakeTable, cols: Seq[String], bits: Int = 15,
+      numFiles: Int = 0, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    flushDeletes(tbl)
+    val files = tbl.liveFiles.filterNot(_.isDelete)
+    val added = scala.collection.mutable.ListBuffer[DataFile]()
+    val removedPaths = scala.collection.mutable.Set[String]()
+    for ((partition, group) <- files.groupBy(_.partition).toList) {
+      val df = tbl.spark.read.schema(tbl.schema)
+        .parquet(group.map(_.path): _*)
+      val nOut =
+        if (numFiles > 0) numFiles
+        else math.max(1, math.ceil(
+          group.map(_.sizeBytes).sum.toDouble / targetBytes).toInt)
+      added ++= writeRaw(tbl, ZOrder.cluster(df, cols, bits, nOut),
+        partition)
+      removedPaths ++= group.map(_.path)
+    }
+    if (removedPaths.nonEmpty)
+      commitSnapshot(tbl, "zorder", removedPaths.toSet, added.toList)
+    added.size
+  }
+
   /** Snapshot expiry + orphan-file GC (api/table_metadata.c:270-275;
     * cleanup/deletion_queue.c). */
   /** Partition spec evolution (ALTER TABLE … SET partition_by, the

@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering: the multi-dimensional layout for
+  * file-level stat pruning. A single-column sort tightens min/max
+  * stats on its leading column only; interleaving the bits of several
+  * rank-normalized columns gives every z-dimension locality, so range
+  * predicates on ANY of them skip files (the Delta OPTIMIZE ZORDER BY
+  * / Iceberg rewrite-with-sort-order maintenance op — the reference
+  * relies on hidden partitioning only, `docs/iceberg-tables.md:243`).
+  *
+  * Normalization is min/max-linear per column, computed in ONE
+  * aggregate pass and inlined as plan literals — deterministic, no
+  * sampling (Delta's range_partition_id samples; a deterministic
+  * layout keeps rewrites reproducible and the content gate exact).
+  * The interleave itself is a pure column expression (shift/mask OR
+  * chain) — whole-stage codegen, no kernel.
+  *
+  * 100 TB posture: the rewrite is repartitionByRange on the z-code —
+  * one shuffle of the rewritten partition — and every downstream scan
+  * wins file skipping on d dimensions; with `bits` per dimension the
+  * code fits a long for d·bits ≤ 63 (4 dims × 15 bits default-safe).
+  */
+object ZOrder {
+
+  /** Morton interleave of `cols` normalized to `bits` each, using the
+    * provided (min, max) per column. NULL ranks lowest (code bits 0). */
+  def codeColumn(cols: Seq[Column], ranges: Seq[(Double, Double)],
+      bits: Int): Column = {
+    require(cols.nonEmpty && cols.size == ranges.size)
+    require(bits >= 1 && cols.size * bits <= 63,
+      s"${cols.size} dims x $bits bits exceeds a long")
+    val maxQ = (1L << bits) - 1
+    val quantized = cols.zip(ranges).map { case (c, (mn, mx)) =>
+      val span = mx - mn
+      val q =
+        if (span <= 0) lit(0L)
+        else least(lit(maxQ), greatest(lit(0L),
+          floor((c.cast("double") - lit(mn)) / lit(span) * lit(maxQ.toDouble))
+            .cast("long")))
+      coalesce(q, lit(0L))
+    }
+    val n = quantized.size
+    val terms = for {
+      b <- 0 until bits
+      (q, i) <- quantized.zipWithIndex
+    } yield shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce((a, x) => a.bitwiseOR(x))
+  }
+
+  /** Min/max per column (one aggregate pass, driver-side scalars). */
+  def ranges(df: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"_mn_$c"),
+      max(col(c).cast("double")).as(s"_mx_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.map { i =>
+      val mn = if (r.isNullAt(2 * i)) 0.0 else r.getDouble(2 * i)
+      val mx = if (r.isNullAt(2 * i + 1)) 0.0 else r.getDouble(2 * i + 1)
+      (mn, mx)
+    }
+  }
+
+  /** Rows of `df` re-laid-out along the z-curve of `cols`:
+    * range-partitioned into `numFiles` output slices (0 = planner
+    * default) and sorted by z-code within each, so every output file
+    * covers a tight hyper-rectangle and its min/max stats prune on all
+    * dimensions. Content is unchanged — layout only. */
+  def cluster(df: DataFrame, cols: Seq[String], bits: Int = 15,
+      numFiles: Int = 0): DataFrame = {
+    val z = codeColumn(cols.map(col), ranges(df, cols), bits)
+    val withZ = df.withColumn("_zorder", z)
+    val parted =
+      if (numFiles > 0) withZ.repartitionByRange(numFiles, col("_zorder"))
+      else withZ.repartitionByRange(col("_zorder"))
+    parted.sortWithinPartitions("_zorder").drop("_zorder")
+  }
+}

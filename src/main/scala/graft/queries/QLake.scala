@@ -231,6 +231,28 @@ object QLake {
       df.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    // OPTIMIZE ... ZORDER BY: rewrite the table along the Morton curve
+    // of (o_custkey, o_totalprice), then prove BOTH dimensions prune at
+    // file level — a leading-column sort would only skip on one. The
+    // requires make the skipping itself part of the gate; the oracle
+    // checks the layout-only rewrite preserved exactly the right rows.
+    "q_lake_zorder" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val tbl = Engine.ctas(s, tmp("zo"), o)
+      Engine.optimizeZOrder(tbl, Seq("o_custkey", "o_totalprice"),
+        numFiles = 8)
+      val (_, byKey) = tbl.scan(col("o_custkey") < 100)
+      require(byKey.skipped > 0,
+        s"expected custkey-range file skipping, got $byKey")
+      val (df, byPrice) = tbl.scan(col("o_totalprice") > 450000.0)
+      require(byPrice.skipped > 0,
+        s"expected totalprice-range file skipping, got $byPrice")
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
     })
 
   val oracleSql: Map[String, String] = Map(
@@ -326,6 +348,13 @@ object QLake {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_lake_zorder" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_totalprice > 450000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_lake_bucketed_join" ->

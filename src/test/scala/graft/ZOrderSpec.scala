@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{Engine, ZOrder}
+
+class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(n: String): String =
+    java.nio.file.Files.createTempDirectory(s"zo_$n").toString + "/t"
+
+  test("morton interleave matches the textbook 2-bit curve") {
+    import spark.implicits._
+    // ranges [0,3] with bits=2 quantize v to itself; expected z-codes
+    // for (x,y): interleave x bit i at 2i, y bit i at 2i+1
+    val pts = for { x <- 0 to 3; y <- 0 to 3 } yield (x, y)
+    val df = pts.toDF("x", "y")
+    val z = ZOrder.codeColumn(Seq(col("x"), col("y")),
+      Seq((0.0, 3.0), (0.0, 3.0)), bits = 2)
+    val got = df.select(col("x"), col("y"), z.as("z")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    def expected(x: Int, y: Int): Long =
+      (0 until 2).map(i =>
+        (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1)))
+        .sum.toLong
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === expected(x, y), s"($x,$y)")
+    }
+  }
+
+  test("nulls quantize to zero instead of failing") {
+    import spark.implicits._
+    val df = Seq((Some(1), 2), (None, 3)).toDF("a", "b")
+    val z = ZOrder.codeColumn(Seq(col("a"), col("b")),
+      Seq((0.0, 3.0), (0.0, 3.0)), bits = 2)
+    val rows = df.select(z).collect()
+    assert(rows.forall(!_.isNullAt(0)))
+    // the null-a row contributes only b's bits
+    assert(rows.map(_.getLong(0)).toSet.size === 2)
+  }
+
+  test("cluster is layout-only: content unchanged") {
+    val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val before = o.orderBy("o_orderkey").collect()
+    val after = ZOrder
+      .cluster(o, Seq("o_custkey", "o_totalprice"), numFiles = 4)
+      .orderBy("o_orderkey").collect()
+    assert(after.toSeq === before.toSeq)
+  }
+
+  test("z-order prunes on BOTH dims where a leading sort prunes one") {
+    val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+
+    val zTbl = Engine.ctas(spark, tmp("z"), o)
+    Engine.optimizeZOrder(zTbl, Seq("o_custkey", "o_totalprice"),
+      numFiles = 8)
+    val (_, zKey) = zTbl.scan(col("o_custkey") < 100)
+    val (_, zPrice) = zTbl.scan(col("o_totalprice") > 450000.0)
+    assert(zKey.skipped > 0, s"z-layout custkey pruning: $zKey")
+    assert(zPrice.skipped > 0, s"z-layout totalprice pruning: $zPrice")
+
+    // comparison layout: single-column sort on custkey only
+    val sTbl = Engine.ctas(spark, tmp("s"),
+      o.repartitionByRange(8, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+    val (_, sKey) = sTbl.scan(col("o_custkey") < 100)
+    val (_, sPrice) = sTbl.scan(col("o_totalprice") > 450000.0)
+    assert(sKey.skipped > 0, s"sorted-layout custkey pruning: $sKey")
+    assert(sPrice.skipped === 0,
+      s"leading-column sort should NOT prune totalprice: $sPrice")
+  }
+
+  test("optimizeZOrder preserves table content across the rewrite") {
+    val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .limit(5000)
+    val tbl = Engine.ctas(spark, tmp("c"), o)
+    val before = tbl.toDF.orderBy("o_orderkey").collect()
+    Engine.optimizeZOrder(tbl, Seq("o_custkey", "o_totalprice"),
+      numFiles = 4)
+    val after = tbl.toDF.orderBy("o_orderkey").collect()
+    assert(after.toSeq === before.toSeq)
+    assert(tbl.liveFiles.count(!_.isDelete) === 4)
+  }
+}
