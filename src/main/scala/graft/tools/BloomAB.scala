@@ -25,6 +25,19 @@ object BloomAB {
     val key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
     println(s"[bloomab] default $key = " +
       spark.sessionState.conf.getConfString(key))
+    // Spark only injects when the application side scans > 10 GB — the
+    // cluster regime. The sf10 fixture is 1.1 GB, so to measure what a
+    // 100 TB deployment gets, scale the gate down proportionally (and
+    // let the creation side be any aggregate under 32 MB).
+    if (sys.env.getOrElse("BLOOM_THRESH", "1") == "1") {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "100MB")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "32MB")
+      println("[bloomab] thresholds scaled: applicationSide=100MB " +
+        "creationSide=32MB")
+    }
 
     val qs = Seq("q3_shipping", "q5_local_supplier", "q10_returned_items",
       "qds_channel_rollup")

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.LowCardAgg
+import graft.plans.LowCardAgg.{ColFilter, ProductSum, Term}
+
+/** Correctness + interleaved A/B of the columnar low-card aggregate
+  * kernel against Spark's native partial HashAggregate on q1's shape.
+  *
+  * Usage: ColAggAB <sfDir> [rounds=5]
+  */
+object ColAggAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def li = graft.Tables.load(spark, sfDir, "lineitem")
+
+    val cutoffMicros = java.time.Instant.parse("2001-09-02T00:00:00Z")
+      .getEpochSecond * 1000000L
+
+    def q1Kernel: DataFrame =
+      LowCardAgg.sumsByKey(li,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq(ProductSum("_sq", Seq(Term("l_quantity"))),
+          ProductSum("_se", Seq(Term("l_extendedprice"))),
+          ProductSum("_sdp", Seq(Term("l_extendedprice"),
+            Term("l_discount", mul = -1.0, add = 1.0))),
+          ProductSum("_sc", Seq(Term("l_extendedprice"),
+            Term("l_discount", mul = -1.0, add = 1.0),
+            Term("l_tax", add = 1.0))),
+          ProductSum("_sd", Seq(Term("l_discount")))),
+        Seq(ColFilter("l_shipdate", "le", cutoffMicros.toDouble)))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("_sq"), 2).as("sum_qty"),
+          round(col("_se"), 2).as("sum_base_price"),
+          round(col("_sdp"), 2).as("sum_disc_price"),
+          round(col("_sc"), 2).as("sum_charge"),
+          round(col("_sq") / col("cnt"), 6).as("avg_qty"),
+          round(col("_se") / col("cnt"), 4).as("avg_price"),
+          round(col("_sd") / col("cnt"), 6).as("avg_disc"),
+          col("cnt").as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+
+    def q1Native: DataFrame =
+      graft.SparkEntry.queries("q1_agg")(spark, sfDir)
+
+    // correctness first: identical rounded rows
+    val a = q1Kernel.collect().map(_.toString).sorted.toSeq
+    val b = q1Native.collect().map(_.toString).sorted.toSeq
+    println(s"[colagg] rows_equal=${a == b} (${a.size} rows)")
+    if (a != b) {
+      a.zip(b).filter(p => p._1 != p._2).take(3)
+        .foreach(p => println(s"[colagg] DIFF\n  k=${p._1}\n  n=${p._2}"))
+    }
+
+    def minKernel: DataFrame = LowCardAgg.sumsByKey(li,
+      Seq("l_returnflag"), Seq(ProductSum("_sq", Seq(Term("l_quantity")))))
+    def minNative: DataFrame = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("_sq"), count(lit(1)).as("cnt"))
+    val variants: Seq[(String, () => DataFrame)] =
+      Seq("native" -> (() => q1Native), "kernel" -> (() => q1Kernel),
+        "min_native" -> (() => minNative),
+        "min_kernel" -> (() => minKernel))
+    def once(f: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 2).foreach(_ => variants.foreach(v => once(v._2)))
+    val acc = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach(_ => variants.foreach { case (n, f) =>
+      acc(n) :+= once(f) })
+    variants.foreach { case (n, _) =>
+      val xs = acc(n).sorted
+      println(f"[colagg] $n%-8s median=${xs(xs.size / 2)}%.3f min=${xs.head}%.3f max=${xs.last}%.3f")
+    }
+    spark.stop()
+  }
+}

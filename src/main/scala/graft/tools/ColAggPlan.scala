@@ -1,0 +1,21 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import graft.plans.LowCardAgg
+import graft.plans.LowCardAgg.{ProductSum, Term}
+object ColAggPlan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val df = LowCardAgg.sumsByKey(li, Seq("l_returnflag"),
+      Seq(ProductSum("_sq", Seq(Term("l_quantity")))))
+    println("=== analyzed ===");  println(df.queryExecution.analyzed)
+    println("=== optimized ==="); println(df.queryExecution.optimizedPlan)
+    println("=== physical ==="); println(df.queryExecution.executedPlan)
+    df.show(5)
+    spark.stop()
+  }
+}

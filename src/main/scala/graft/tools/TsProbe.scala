@@ -1,0 +1,24 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object TsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val lim = java.time.Instant.parse("2001-09-02T00:00:00Z")
+      .getEpochSecond * 1000000L
+    println("native  " + li.filter(col("l_shipdate") <=
+      lit("2001-09-02").cast("timestamp")).count())
+    println("micros  " + li.filter(unix_micros(col("l_shipdate")) <= lim)
+      .count())
+    println("total   " + li.count())
+    println("minmax  " + li.agg(min(unix_micros(col("l_shipdate"))),
+      max(unix_micros(col("l_shipdate")))).head())
+    println("lim     " + lim)
+    spark.stop()
+  }
+}

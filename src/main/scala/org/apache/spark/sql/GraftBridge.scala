@@ -39,4 +39,11 @@ object GraftBridge {
       case f: logical.Filter => f.condition
     }.getOrElse(expression(pred))
   }
+
+  /** Wrap a hand-built logical plan as a DataFrame (classic
+    * Dataset.ofRows is private[sql]); the seam custom operators use to
+    * re-enter the public DataFrame algebra above their plan node. */
+  def ofRows(spark: SparkSession, plan: logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.plans.LowCardAgg
+import graft.plans.LowCardAgg.{ColFilter, ProductSum, Term}
+
+class LowCardAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def li = Tables.load(spark, sf, "lineitem")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("columnar path ≡ native groupBy on the q1 shape (with filter)") {
+    val cutoff = java.time.Instant.parse("2001-09-02T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val kernel = LowCardAgg.sumsByKey(li,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(ProductSum("_sq", Seq(Term("l_quantity"))),
+        ProductSum("_sdp", Seq(Term("l_extendedprice"),
+          Term("l_discount", mul = -1.0, add = 1.0))),
+        ProductSum("_sc", Seq(Term("l_extendedprice"),
+          Term("l_discount", mul = -1.0, add = 1.0),
+          Term("l_tax", add = 1.0)))),
+      Seq(ColFilter("l_shipdate", "le", cutoff.toDouble)))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("_sq"), 2).as("a"), round(col("_sdp"), 2).as("b"),
+        round(col("_sc"), 2).as("c"), col("cnt"))
+    val native = li
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("a"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("b"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("c"),
+        count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel) === sortedRows(native))
+  }
+
+  test("row fallback ≡ columnar: a non-columnar child works") {
+    import spark.implicits._
+    // a local relation never exposes ColumnarBatches
+    val local = li.select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .toDF("l_returnflag", "l_quantity")
+    val kernel = LowCardAgg.sumsByKey(local, Seq("l_returnflag"),
+      Seq(ProductSum("_sq", Seq(Term("l_quantity")))))
+      .select(col("l_returnflag"), round(col("_sq"), 2).as("a"),
+        col("cnt"))
+    val native = local.groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("a"), count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel) === sortedRows(native))
+  }
+
+  test("null inputs are skipped per sum, counted in cnt (SQL semantics)") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", None), ("b", Some(2.0)))
+      .toDF("k", "v")
+    val kernel = LowCardAgg.sumsByKey(df, Seq("k"),
+      Seq(ProductSum("s", Seq(Term("v")))))
+      .select(col("k"), col("s"), col("cnt"))
+    val got = kernel.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted
+    assert(got.toSeq === Seq(("a", 1.0, 2L), ("b", 2.0, 1L)))
+  }
+
+  test("group overflow fails loudly instead of degrading") {
+    import spark.implicits._
+    val wide = (0 until 200).map(i => (s"k$i", 1.0)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      LowCardAgg.sumsByKey(wide, Seq("k"),
+        Seq(ProductSum("s", Seq(Term("v")))), maxGroups = 8).collect()
+    }
+    assert(ex.getMessage.contains("overflow") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("overflow"))
+  }
+
+  test("filters compose as a conjunction over mixed column kinds") {
+    val cutoff = java.time.Instant.parse("2001-06-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val kernel = LowCardAgg.sumsByKey(li, Seq("l_returnflag"),
+      Seq(ProductSum("s", Seq(Term("l_quantity")))),
+      Seq(ColFilter("l_shipdate", "lt", cutoff.toDouble),
+        ColFilter("l_discount", "ge", 0.05)))
+      .select(col("l_returnflag"), round(col("s"), 2).as("s"), col("cnt"))
+    val native = li
+      .filter(col("l_shipdate") < lit("2001-06-01").cast("timestamp") &&
+        col("l_discount") >= 0.05)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("s"), count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel) === sortedRows(native))
+  }
+}
