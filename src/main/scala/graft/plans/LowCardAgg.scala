@@ -63,7 +63,7 @@ object LowCardAgg {
     * `cnt` row count (of filter-passing rows). */
   def sumsByKey(df: DataFrame, keys: Seq[String], sums: Seq[ProductSum],
       filters: Seq[ColFilter] = Nil, maxGroups: Int = 64): DataFrame = {
-    require(keys.nonEmpty && sums.nonEmpty)
+    require(sums.nonEmpty)
     val spark = df.sparkSession
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(LowCardAggStrategy))
@@ -79,6 +79,12 @@ object LowCardAgg {
         (sums.tail.map(s => sum(s.name).as(s.name)) :+
           sum("_cnt").as("cnt")): _*)
   }
+
+  /** Keyless variant: one global row of totals (+ `cnt`), e.g. q6's
+    * filtered revenue sum. Same kernel, single group. */
+  def globalSums(df: DataFrame, sums: Seq[ProductSum],
+      filters: Seq[ColFilter] = Nil): DataFrame =
+    sumsByKey(df, Nil, sums, filters, maxGroups = 1)
 }
 
 /** Logical marker node: output = keys (string) ++ sums (double) ++
@@ -356,7 +362,11 @@ final case class LowCardPreAggExec(keys: Seq[String],
           j += 1
         }
         var i = 0
-        if (allDict && nKeys <= 2) {
+        if (nKeys == 0) {
+          val g0 = groups.idOf(keyBuf) // empty tuple = the one group
+          i = 0
+          while (i < n) { kidx(i) = g0; i += 1 }
+        } else if (allDict && nKeys <= 2) {
           // the ids live in the companion dictionaryIds vector; the
           // parent vector only carries the Dictionary itself
           val ids0 = kvs(0).asInstanceOf[

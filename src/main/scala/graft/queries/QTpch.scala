@@ -107,14 +107,22 @@ object QTpch {
     },
 
     // Q6: pure scan-filter-aggregate; predicate fully pushed to parquet.
+    // q6 through the keyless columnar kernel: four range filters and
+    // one product sum, all evaluated on the scan's column vectors.
     "q6_forecast_revenue" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
-                col("l_discount").between(0.03, 0.07) &&
-                col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-          .as("revenue"))
+      import graft.plans.LowCardAgg
+      import graft.plans.LowCardAgg.{ColFilter, ProductSum, Term}
+      def micros(d: String) = java.time.Instant.parse(d + "T00:00:00Z")
+        .getEpochSecond * 1000000.0
+      LowCardAgg.globalSums(t(s, dir, "lineitem"),
+          Seq(ProductSum("_rev",
+            Seq(Term("l_extendedprice"), Term("l_discount")))),
+          Seq(ColFilter("l_shipdate", "ge", micros("1996-01-01")),
+            ColFilter("l_shipdate", "lt", micros("1997-01-01")),
+            ColFilter("l_discount", "ge", 0.03),
+            ColFilter("l_discount", "le", 0.07),
+            ColFilter("l_quantity", "lt", 24.0)))
+        .select(round(col("_rev"), 2).as("revenue"))
     },
 
     // Q10: returned-item reporting, join + group + top-k.

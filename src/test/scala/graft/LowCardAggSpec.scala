@@ -92,6 +92,22 @@ class LowCardAggSpec extends AnyFunSuite with BeforeAndAfterAll {
         ex.getCause.getMessage.contains("overflow"))
   }
 
+  test("keyless globalSums matches the native global aggregate (q6)") {
+    val kernel = LowCardAgg.globalSums(li,
+      Seq(ProductSum("_rev",
+        Seq(Term("l_extendedprice"), Term("l_discount")))),
+      Seq(ColFilter("l_discount", "ge", 0.03),
+        ColFilter("l_discount", "le", 0.07),
+        ColFilter("l_quantity", "lt", 24.0)))
+      .select(round(col("_rev"), 2).as("revenue"), col("cnt"))
+    val native = li
+      .filter(col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"), count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel) === sortedRows(native))
+  }
+
   test("filters compose as a conjunction over mixed column kinds") {
     val cutoff = java.time.Instant.parse("2001-06-01T00:00:00Z")
       .getEpochSecond * 1000000L
