@@ -70,7 +70,23 @@ object LowCardAgg {
       exp.extraStrategies = exp.extraStrategies :+ LowCardAggStrategy
     val needed = (keys ++ sums.flatMap(_.terms.map(_.column)) ++
       filters.map(_.column)).distinct
-    val pruned = df.select(needed.map(col): _*)
+    // ALSO apply the filters as ordinary Catalyst predicates: they
+    // reach the parquet scan as PushedFilters (row-group stat pruning —
+    // on time-ordered 100 TB data most of the win). The exec skips the
+    // FilterExec at runtime and re-evaluates the same conjunction on
+    // the vectors; the two are identical by construction because this
+    // method is the only way to build the plan node.
+    val sel = df.select(needed.map(col): _*)
+    val pruned = filters.map { f =>
+      val lhs = col(f.column)
+      val rhs = litFor(df.schema(f.column).dataType, f.value)
+      f.op match {
+        case "le" => lhs <= rhs
+        case "lt" => lhs < rhs
+        case "ge" => lhs >= rhs
+        case "gt" => lhs > rhs
+      }
+    }.reduceOption(_ && _).map(sel.filter).getOrElse(sel)
     val pre = GraftBridge.ofRows(spark,
       LowCardPreAgg.build(keys, sums, filters, maxGroups,
         pruned.queryExecution.analyzed))
@@ -78,6 +94,29 @@ object LowCardAgg {
       .agg(sum(sums.head.name).as(sums.head.name),
         (sums.tail.map(s => sum(s.name).as(s.name)) :+
           sum("_cnt").as("cnt")): _*)
+  }
+
+  /** Typed literal for a filter bound, so the predicate stays a bare
+    * attribute-vs-literal comparison the parquet source can push. */
+  private def litFor(dt: org.apache.spark.sql.types.DataType, v: Double)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.lit
+    dt match {
+      case TimestampType =>
+        lit(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v.toLong, 1000000L),
+          Math.floorMod(v.toLong, 1000000L) * 1000L))
+      case TimestampNTZType =>
+        lit(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.toLong, 1000000L),
+          (Math.floorMod(v.toLong, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case LongType => lit(v.toLong)
+      case IntegerType => lit(v.toInt)
+      case DateType => lit(java.time.LocalDate.ofEpochDay(v.toLong))
+      case _ => lit(v)
+    }
   }
 
   /** Keyless variant: one global row of totals (+ `cnt`), e.g. q6's
@@ -143,6 +182,12 @@ final case class LowCardPreAggExec(keys: Seq[String],
     // would lose — ordinals are re-resolved against the scan's schema
     case c: org.apache.spark.sql.execution.ProjectExec
         if c.projectList.forall(_.isInstanceOf[Attribute]) =>
+      columnarChild(c.child)
+    // the FilterExec below us is the one sumsByKey itself constructed
+    // from the ColFilter conjunction (the node is not constructible any
+    // other way), and the kernel re-evaluates exactly that conjunction
+    // on the vectors — skipping it loses no predicate
+    case c: org.apache.spark.sql.execution.FilterExec =>
       columnarChild(c.child)
     case _ => None
   }
