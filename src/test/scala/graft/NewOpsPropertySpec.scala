@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.ZOrder
+import graft.ops.{Bm25, HeavyHitters}
+
+/** Property-style invariants for the round's new kernels over seeded
+  * random inputs (deterministic reruns): things that must hold for
+  * EVERY input, not just the fixture. */
+class NewOpsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ----------------------------------------------------------- Morton
+
+  test("morton code is a bijection on the quantized grid") {
+    import spark.implicits._
+    val bits = 4
+    val side = 1 << bits
+    val pts = for { x <- 0 until side; y <- 0 until side } yield (x, y)
+    val z = ZOrder.codeColumn(Seq(col("x"), col("y")),
+      Seq((0.0, (side - 1).toDouble), (0.0, (side - 1).toDouble)), bits)
+    val codes = pts.toDF("x", "y").select(z).collect().map(_.getLong(0))
+    assert(codes.toSet.size === side * side)
+    assert(codes.min === 0L)
+    assert(codes.max === (side * side - 1).toLong)
+  }
+
+  test("morton locality: quadrants occupy contiguous code ranges") {
+    import spark.implicits._
+    val bits = 4
+    val side = 1 << bits
+    val pts = for { x <- 0 until side; y <- 0 until side } yield (x, y)
+    val z = ZOrder.codeColumn(Seq(col("x"), col("y")),
+      Seq((0.0, (side - 1).toDouble), (0.0, (side - 1).toDouble)), bits)
+    val rows = pts.toDF("x", "y").select(col("x"), col("y"), z.as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // each of the four top-level quadrants covers one quarter of the
+    // code space with no interleaving across quadrants
+    def quad(x: Int, y: Int) =
+      (if (x >= side / 2) 1 else 0) | (if (y >= side / 2) 2 else 0)
+    val byQuad = rows.groupBy { case (x, y, _) => quad(x, y) }
+      .view.mapValues(_.map(_._3)).toMap
+    val ranges = byQuad.values.map(zs => (zs.min, zs.max)).toSeq.sorted
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2)
+      case _ =>
+    }
+  }
+
+  // ------------------------------------------------------ Misra–Gries
+
+  test("MG guarantee holds on random streams: heavy items always survive") {
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      locally {
+        val xs0 = Seq.fill(400)(
+          if (rnd.nextInt(2) == 0) "hot" else s"c${rnd.nextInt(5000)}")
+        val xs = rnd.shuffle(
+          xs0 ++ Seq.fill(xs0.size / 3)("hot")) // force a heavy item
+        val cap = 16
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        val mg = graft.functions.MisraGries(
+          org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+            org.apache.spark.sql.types.StringType, nullable = true), cap)
+        var buf = mg.createAggregationBuffer()
+        xs.foreach { s =>
+          row.update(0,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          buf = mg.update(buf, row)
+        }
+        val n = xs.size
+        val exact = xs.groupBy(identity).view.mapValues(_.size).toMap
+        val surviving = buf.keys.map(_.toString).toSet
+        exact.foreach { case (k, c) =>
+          if (c > n / (cap + 1)) assert(surviving.contains(k),
+            s"$k has $c > ${n / (cap + 1)} but was evicted")
+        }
+        // lower bounds never exceed true counts
+        buf.foreach { case (k, lb) =>
+          assert(lb <= exact(k.toString))
+        }
+      }
+    }
+  }
+
+  test("MG merge preserves the guarantee across arbitrary splits") {
+    (1 to 30).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val xs = Seq.fill(300)(s"k${rnd.nextInt(31)}")
+      val cut = rnd.nextInt(xs.size + 1)
+      val cap = 12
+      def sketch(part: Seq[String]) = {
+        val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        val mg = graft.functions.MisraGries(
+          org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+            org.apache.spark.sql.types.StringType, nullable = true), cap)
+        var buf = mg.createAggregationBuffer()
+        part.foreach { s =>
+          row.update(0,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          buf = mg.update(buf, row)
+        }
+        (mg, buf)
+      }
+      val (mg, b1) = sketch(xs.take(cut))
+      val (_, b2) = sketch(xs.drop(cut))
+      val merged = mg.merge(b1, b2)
+      assert(merged.size <= cap)
+      val n = xs.size
+      val exact = xs.groupBy(identity).view.mapValues(_.size).toMap
+      exact.foreach { case (k, c) =>
+        if (c > n / (cap + 1))
+          assert(merged.keys.exists(_.toString == k))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ BM25
+
+  test("BM25 scores are invariant to corpus row order") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .limit(120).select("doc_id", "text")
+    val shuffled = docs.orderBy(rand(7))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Bm25.searchOne(df, "doc_id", "text", "spark hash join", k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(docs) === run(shuffled))
+  }
+
+  test("adding an irrelevant document never changes relative ranking " +
+      "order of existing matches' scores except via corpus stats") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta beta"), (2L, "alpha alpha gamma"),
+      (3L, "beta gamma delta")).toDF("id", "body")
+    val before = Bm25.searchOne(base, "id", "body", "alpha", k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    // the added doc shares no query terms: df(alpha) unchanged, N and
+    // avgdl shift every score but not the matched docs' ORDER
+    val more = base.unionByName(
+      Seq((9L, "zeta eta theta")).toDF("id", "body"))
+    val after = Bm25.searchOne(more, "id", "body", "alpha", k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(before === after)
+  }
+
+  // ----------------------------------------------------- HeavyHitters
+
+  test("exactTopK equals the plain groupBy top-k on random data") {
+    import spark.implicits._
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(200 + seed)
+      locally {
+        val xs = Seq.fill(500)(rnd.nextInt(10) match {
+          case x if x < 5 => "hh"
+          case x if x < 8 => "mid"
+          case _ => s"t${rnd.nextInt(201)}"
+        })
+        val df = xs.toDF("k")
+        val got = HeavyHitters.exactTopK(df, "k", k = 5, capacity = 32)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val want = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("k"))
+          .limit(5).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(got === want)
+      }
+    }
+  }
+}
