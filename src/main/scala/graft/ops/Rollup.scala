@@ -60,6 +60,51 @@ object Rollup {
     fromFinest(df, dims, aggs,
       (0 to dims.length).reverse.map(i => dims.indices.map(_ < i)))
 
+  /** Try to run the finest (fact-sized) pass through the columnar
+    * low-cardinality kernel: possible when every dim is a string
+    * column and every aggregate is sum(<double attribute>) or
+    * count(<literal>). Opt-in via kernelMaxGroups (the kernel fails
+    * loudly past its group bound, so the caller must know the finest
+    * cardinality is small — true for every rollup report worth
+    * printing). */
+  private def kernelFinest(df: DataFrame, dims: Seq[String],
+      aggs: Seq[AggSpec], maxGroups: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    def attrName(c: Column): Option[String] =
+      GraftBridge.eagerExpression(c) match {
+        case u: UnresolvedAttribute => Some(u.name)
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (!dims.forall(d => fields.get(d).contains(StringType))) return None
+    val mapped = aggs.map { a =>
+      a.kind match {
+        case "sum" => attrName(a.input)
+          .filter(n => fields.get(n).contains(DoubleType))
+          .map(n => Left(graft.plans.LowCardAgg.ProductSum(a.name,
+            Seq(graft.plans.LowCardAgg.Term(n)))))
+        case "count" => GraftBridge.eagerExpression(a.input) match {
+          case l: Literal if l.value != null => Some(Right(a.name))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    if (mapped.exists(_.isEmpty)) return None
+    val sums = mapped.flatten.collect { case Left(s) => s }
+    val counts = mapped.flatten.collect { case Right(n) => n }
+    if (sums.isEmpty) return None // kernel needs >= 1 sum
+    val out = graft.plans.LowCardAgg.sumsByKey(df, dims, sums,
+      maxGroups = maxGroups)
+    Some(counts.foldLeft(out)((d, n) => d.withColumn(n, col("cnt")))
+      .select((dims.map(col) ++ aggs.map(a => col(a.name))): _*))
+  }
+
   /** Size-adaptive ROLLUP: the RollupAB sweep measured the crossover in
     * both directions — native Expand wins at toy scale (sf0.1: the
     * per-level re-agg JOBS cost more than Expand saves on 600k rows,
@@ -71,15 +116,22 @@ object Rollup {
     * unconditionally. Both paths emit identical columns
     * (dims, agg names, grouping_<dim> flags); both are oracle-gated.
     * Threshold override: spark.graft.rollup.autoThreshold (bytes). */
-  def rollupAuto(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec])
-      : DataFrame =
-    if (decompose(df)) rollup(df, dims, aggs)
+  def rollupAuto(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec],
+      kernelMaxGroups: Int = 0): DataFrame =
+    if (decompose(df))
+      fromFinest(df, dims, aggs,
+        (0 to dims.length).reverse.map(i => dims.indices.map(_ < i)),
+        kernelMaxGroups)
     else native(df, dims, aggs, cube = false)
 
   /** Size-adaptive CUBE (see [[rollupAuto]]). */
-  def cubeAuto(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec])
-      : DataFrame =
-    if (decompose(df)) cube(df, dims, aggs)
+  def cubeAuto(df: DataFrame, dims: Seq[String], aggs: Seq[AggSpec],
+      kernelMaxGroups: Int = 0): DataFrame =
+    if (decompose(df))
+      fromFinest(df, dims, aggs,
+        (0 until (1 << dims.length)).reverse
+          .map(mask => dims.indices.map(i => (mask & (1 << i)) != 0)),
+        kernelMaxGroups)
     else native(df, dims, aggs, cube = true)
 
   /** Measured between the sf0.1 (native wins) and sf10 (finest-first
@@ -123,13 +175,18 @@ object Rollup {
   }
 
   private def fromFinest(df: DataFrame, dims: Seq[String],
-      aggs: Seq[AggSpec], keeps: Seq[Seq[Boolean]]): DataFrame = {
+      aggs: Seq[AggSpec], keeps: Seq[Seq[Boolean]],
+      kernelMaxGroups: Int = 0): DataFrame = {
     require(dims.nonEmpty && aggs.nonEmpty)
     val dimTypes = dims.map(d => d -> df.schema(d).dataType).toMap
-    // the single fact-sized pass
-    val finest = df.groupBy(dims.map(col): _*)
-      .agg(aggExpr(aggs.head, first = true),
-        aggs.tail.map(a => aggExpr(a, first = true)): _*)
+    // the single fact-sized pass — through the columnar kernel when
+    // the caller vouches for the finest cardinality and the aggregate
+    // shapes map
+    val finest = (if (kernelMaxGroups > 0)
+        kernelFinest(df, dims, aggs, kernelMaxGroups) else None)
+      .getOrElse(df.groupBy(dims.map(col): _*)
+        .agg(aggExpr(aggs.head, first = true),
+          aggs.tail.map(a => aggExpr(a, first = true)): _*))
     val levels = keeps.map { keep =>
       val kept = dims.zip(keep).collect { case (d, true) => d }
       val re =

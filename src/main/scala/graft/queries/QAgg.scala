@@ -186,7 +186,8 @@ object QAgg {
       graft.ops.Rollup.rollupAuto(t(s, dir, "lineitem"),
           Seq("l_returnflag", "l_linestatus"),
           Seq(graft.ops.Rollup.sum(col("l_quantity"), "sum_qty"),
-            graft.ops.Rollup.count(lit(1), "n")))
+            graft.ops.Rollup.count(lit(1), "n")),
+          kernelMaxGroups = 64)
         .withColumn("sum_qty", round(col("sum_qty"), 2))
         .withColumnRenamed("grouping_l_returnflag", "g_rf")
         .withColumnRenamed("grouping_l_linestatus", "g_ls")
@@ -198,7 +199,8 @@ object QAgg {
       graft.ops.Rollup.cubeAuto(t(s, dir, "lineitem"),
           Seq("l_returnflag", "l_linestatus"),
           Seq(graft.ops.Rollup.sum(col("l_extendedprice"), "sum_price"),
-            graft.ops.Rollup.count(lit(1), "n")))
+            graft.ops.Rollup.count(lit(1), "n")),
+          kernelMaxGroups = 64)
         .withColumn("sum_price", round(col("sum_price"), 2))
         .withColumnRenamed("grouping_l_returnflag", "g_rf")
         .withColumnRenamed("grouping_l_linestatus", "g_ls")

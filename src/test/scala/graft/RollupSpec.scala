@@ -124,6 +124,22 @@ class RollupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(cubeF) == sortedRows(cubeN))
   }
 
+  test("kernel-backed finest pass returns the same rows as native") {
+    val df = Tables.load(spark, sf, "lineitem")
+    val dims = Seq("l_returnflag", "l_linestatus")
+    val aggs = Seq(Rollup.sum(col("l_quantity"), "sum_qty"),
+      Rollup.count(lit(1), "n"))
+    spark.conf.set("spark.graft.rollup.autoThreshold", "1")
+    try {
+      val viaKernel = Rollup.rollupAuto(df, dims, aggs,
+        kernelMaxGroups = 64)
+      val native = Rollup.rollupAuto(df, dims, aggs) // plain finest path
+      assert(sortedRows(viaKernel) == sortedRows(native))
+      val cubeK = Rollup.cubeAuto(df, dims, aggs, kernelMaxGroups = 64)
+      assert(sortedRows(cubeK) == sortedRows(Rollup.cube(df, dims, aggs)))
+    } finally spark.conf.unset("spark.graft.rollup.autoThreshold")
+  }
+
   test("the fact aggregates once: upper levels reuse the finest exchange") {
     val finest = Rollup.rollup(Tables.load(spark, sf, "lineitem"),
       Seq("l_returnflag", "l_linestatus"),
