@@ -18,18 +18,34 @@ import Q._
 object QAgg {
 
   val queries: Map[String, QueryFn] = Map(
+    // stats aggregates derived from kernel power sums (n, Σx, Σx², Σy,
+    // Σy², Σxy): one columnar pass replaces seven Welford-style
+    // aggregate buffers. The naive formulas differ from Welford in the
+    // last ulps; the declared rounding absorbs it (gate stays EXACT vs
+    // the DuckDB oracle — verified, not assumed).
     "q_agg_stats" -> { (s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
-        round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
-        round(var_samp(col("l_quantity")), 6).as("v_samp"),
-        round(var_pop(col("l_quantity")), 6).as("v_pop"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cor"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
-          .as("cov_samp"),
-        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2)
-          .as("cov_pop"),
-        count(lit(1)).as("n"))
+      import graft.plans.LowCardAgg
+      import graft.plans.LowCardAgg.{ProductSum, Term}
+      val x = "l_quantity"; val y = "l_extendedprice"
+      def m2x = col("_sxx") - col("_sx") * col("_sx") / col("n")
+      def m2y = col("_syy") - col("_sy") * col("_sy") / col("n")
+      def mxy = col("_sxy") - col("_sx") * col("_sy") / col("n")
+      LowCardAgg.sumsByKey(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          Seq(ProductSum("_sx", Seq(Term(x))),
+            ProductSum("_sxx", Seq(Term(x), Term(x))),
+            ProductSum("_sy", Seq(Term(y))),
+            ProductSum("_syy", Seq(Term(y), Term(y))),
+            ProductSum("_sxy", Seq(Term(x), Term(y)))))
+        .withColumnRenamed("cnt", "n")
+        .select(col("l_returnflag"),
+          round(sqrt(m2x / (col("n") - 1)), 6).as("sd_samp"),
+          round(sqrt(m2x / col("n")), 6).as("sd_pop"),
+          round(m2x / (col("n") - 1), 6).as("v_samp"),
+          round(m2x / col("n"), 6).as("v_pop"),
+          round(mxy / sqrt(m2x * m2y), 6).as("cor"),
+          round(mxy / (col("n") - 1), 2).as("cov_samp"),
+          round(mxy / col("n"), 2).as("cov_pop"),
+          col("n"))
         .orderBy("l_returnflag")
     },
 

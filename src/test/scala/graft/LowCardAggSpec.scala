@@ -108,6 +108,21 @@ class LowCardAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(kernel) === sortedRows(native))
   }
 
+  test("power-sum-derived stats match Welford aggregates at gate rounding") {
+    val kernel = LowCardAgg.sumsByKey(li, Seq("l_returnflag"),
+      Seq(ProductSum("_sx", Seq(Term("l_quantity"))),
+        ProductSum("_sxx", Seq(Term("l_quantity"), Term("l_quantity")))))
+      .select(col("l_returnflag"),
+        round(sqrt((col("_sxx") - col("_sx") * col("_sx") / col("cnt"))
+          / (col("cnt") - 1)), 6).as("sd"),
+        round((col("_sxx") - col("_sx") * col("_sx") / col("cnt"))
+          / col("cnt"), 6).as("vp"))
+    val native = li.groupBy("l_returnflag")
+      .agg(round(stddev_samp(col("l_quantity")), 6).as("sd"),
+        round(var_pop(col("l_quantity")), 6).as("vp"))
+    assert(sortedRows(kernel) === sortedRows(native))
+  }
+
   test("filters compose as a conjunction over mixed column kinds") {
     val cutoff = java.time.Instant.parse("2001-06-01T00:00:00Z")
       .getEpochSecond * 1000000L
