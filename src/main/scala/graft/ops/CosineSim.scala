@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * same element order keeps results bit-identical to the HOF form.
   */
 case class CosineSim(child: Expression, query: Array[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -46,6 +46,44 @@ case class CosineSim(child: Expression, query: Array[Double])
     val den = math.sqrt(norm) * qNorm
     if (den == 0.0) null else dot / den
   }
+
+  /** Same loop, same accumulation order, emitted into whole-stage codegen
+    * so the similarity scan never drops out of the generated pipeline (a
+    * CodegenFallback here forces every surrounding expression through the
+    * interpreted path). qNorm is embedded via its exact bit pattern so the
+    * generated result is bit-identical to [[nullSafeEval]]. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val q = ctx.addReferenceObj("cosQuery", query, "double[]")
+      val qNormJava =
+        s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(qNorm)}L)"
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
+      val dot = ctx.freshName("dot")
+      val nrm = ctx.freshName("nrm")
+      val den = ctx.freshName("den")
+      val getter =
+        if (elemIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($arr.numElements(), $q.length);
+         |double $dot = 0.0;
+         |double $nrm = 0.0;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($arr.isNullAt($i)) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $v = $getter;
+         |    $dot += $v * $q[$i];
+         |    $nrm += $v * $v;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  double $den = java.lang.Math.sqrt($nrm) * $qNormJava;
+         |  if ($den == 0.0) ${ev.isNull} = true; else ${ev.value} = $dot / $den;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): CosineSim =
     copy(c)
