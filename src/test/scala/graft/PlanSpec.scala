@@ -390,6 +390,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qds_top_per_group: part dim broadcast — the fact is never " +
+      "shuffled for the join") {
+    val p = plan("qds_top_per_group")
+    assert(nodeCount(p, "BroadcastHashJoin") >= 1, p)
+    assert(nodeCount(p, "SortMergeJoin") == 0, p)
+    // partial agg on (brand,type) runs map-side before the only
+    // data-bearing exchange; the window then sees tiny grouped input
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_sim_cosine: the cosine kernel stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_sim_cosine")(spark, sf)
+    df.collect() // finalize the AQE plan; codegen ids exist only then
+    val exec = df.queryExecution.executedPlan.toString
+    // a CodegenFallback expression would leave the Project outside any
+    // codegen span (no "*(n)" stage marker); the kernel's doGenCode
+    // keeps the scan → project pipeline fused
+    assert(exec.linesIterator.exists(l =>
+      l.contains("cosinesim") && l.trim.matches(""".*\*\(\d+\) Project.*""")),
+      exec)
+  }
+
   test("lake scan: pruned file list feeds a plain parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("plan").toString + "/t"
     val li = Tables.load(spark, sf, "lineitem")
