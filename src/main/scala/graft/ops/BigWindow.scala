@@ -172,6 +172,122 @@ object BigWindow {
     }
   }
 
+  /** All three frame families of the classic running-stats shape —
+    * trailing sum (ROWS `trail`−1 PRECEDING..CURRENT), running sum
+    * (UNBOUNDED PRECEDING..CURRENT) and forward sum+count (CURRENT..
+    * `fwd` FOLLOWING) — over ONE shared range-blocked layout, instead of
+    * three separate distributed passes (or one classic window that sorts
+    * an entire low-cardinality partition in a single task).
+    *
+    * Layout: range-shuffle by (partCol, orderCols); forward carries =
+    * each (key, block) group's last `trail`−1 rows re-sent to the key's
+    * next occupied block (they fill the trailing frames of the next
+    * block's first rows); backward carries = each group's first `fwd`
+    * rows re-sent to the previous occupied block (they fill the forward
+    * frames of that block's last rows). Range partitioning on the full
+    * (partCol, orderCols) tuple guarantees forward carries sort before
+    * all real rows of the target block and backward carries after them,
+    * so carries occupy exactly the frame positions the true neighboring
+    * rows would. One window pass over the augmented frame computes all
+    * locals (the running prefix simply skips carries via a conditional
+    * sum); block-start offsets (a metadata-sized per-(key, block)
+    * relation) then lift the local prefix to the global running sum.
+    *
+    * Falls back to the classic serial window when a middle slice is
+    * shorter than max(`trail`−1, `fwd`) rows of its key (its neighbor
+    * would need carries from two blocks away). Exact for sums whose
+    * addition is associative in practice (integers, integer-valued
+    * doubles, decimals); arbitrary float sums reassociate like any
+    * parallel aggregate.
+    *
+    * Output: `df` + columns `_trail`, `_run`, `_fsum`, `_fcnt`. */
+  def frameStats(df: DataFrame, partCol: String, orderCols: Seq[String],
+      valueCol: String, trail: Int, fwd: Int,
+      numRanges: Int = 0): DataFrame = {
+    require(trail >= 1 && fwd >= 0, s"bad frames trail=$trail fwd=$fwd")
+    val spark = df.sparkSession
+    val n = if (numRanges > 0) numRanges
+      else spark.sessionState.conf.numShufflePartitions
+    val rangeCols = (partCol +: orderCols).map(col)
+    val blocked = trackedCache(df
+      .repartitionByRange(n, rangeCols: _*)
+      .withColumn("_blk", spark_partition_id()))
+    val wChain = Window.partitionBy(col(partCol)).orderBy(col("_blk"))
+    val chain = blocked.groupBy(col(partCol), col("_blk"))
+      .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_bt"))
+      .withColumn("_next", lead(col("_blk"), 1).over(wChain))
+      .withColumn("_prev", lag(col("_blk"), 1).over(wChain))
+      .withColumn("_boff", sum(col("_bt")).over(
+        wChain.rowsBetween(Window.unboundedPreceding, -1)))
+    val need = math.max(trail - 1, fwd)
+    val shortMiddles = chain
+      .filter(col("_prev").isNotNull && col("_next").isNotNull &&
+        col("_c") < need)
+      .count()
+    if (shortMiddles > 0) {
+      // classic fallback: tiny inputs or extreme skew — correctness
+      // never depends on the layout coming up sufficient
+      val w = Window.partitionBy(col(partCol))
+        .orderBy(orderCols.map(col): _*)
+      return df
+        .withColumn("_trail",
+          sum(col(valueCol)).over(w.rowsBetween(-(trail - 1), 0)))
+        .withColumn("_run", sum(col(valueCol))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_fsum",
+          sum(col(valueCol)).over(w.rowsBetween(0, fwd)))
+        .withColumn("_fcnt",
+          count(lit(1)).over(w.rowsBetween(0, fwd)))
+    }
+    // ONE ascending row_number pass extracts both carry sets: a row is
+    // in the group's head (first `fwd` rows → backward carry) by _rn,
+    // and in its tail (last `trail`−1 rows → forward carry) by
+    // _rn > _c − (trail−1) with the group size _c broadcast from the
+    // metadata-sized chain — a second descending window sort over the
+    // full relation just to number from the end would double the
+    // heaviest pass.
+    val wFromStart = Window.partitionBy(col(partCol), col("_blk"))
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    val numbered = blocked
+      .withColumn("_rn", row_number().over(wFromStart))
+      .join(broadcast(chain.select(col(partCol), col("_blk"), col("_c"),
+        col("_next"), col("_prev"))), Seq(partCol, "_blk"))
+    // a row can be head carry, tail carry, both, or neither — explode a
+    // per-row target-block array so the numbering pass feeds ONE union
+    // branch (two filter branches would execute the window sort twice)
+    val targets = filter(array(
+      when(col("_rn") <= fwd, col("_prev")),
+      when(col("_rn") > col("_c") - (trail - 1), col("_next"))),
+      t => t.isNotNull)
+    val carriesDf = numbered
+      .withColumn("_tgt", explode(targets))
+      .withColumn("_blk", col("_tgt"))
+      .drop("_rn", "_c", "_next", "_prev", "_tgt")
+      .withColumn("_carry", lit(true))
+    val aug = blocked.withColumn("_carry", lit(false))
+      .unionByName(carriesDf)
+    val wOrdered = Window.partitionBy(col(partCol), col("_blk"))
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    val local = aug
+      .withColumn("_trail",
+        sum(col(valueCol)).over(wOrdered.rowsBetween(-(trail - 1), 0)))
+      .withColumn("_runl",
+        sum(when(!col("_carry"), col(valueCol)))
+          .over(wOrdered.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_fsum",
+        sum(col(valueCol)).over(wOrdered.rowsBetween(0, fwd)))
+      .withColumn("_fcnt",
+        count(lit(1)).over(wOrdered.rowsBetween(0, fwd)))
+      .filter(!col("_carry"))
+    local
+      .join(chain.select(col(partCol), col("_blk"), col("_boff")),
+        Seq(partCol, "_blk"))
+      .withColumn("_run",
+        when(col("_boff").isNull, col("_runl"))
+          .otherwise(col("_boff") + coalesce(col("_runl"), lit(0))))
+      .drop("_blk", "_carry", "_runl", "_boff")
+  }
+
   /** Shared carry-rows layout for bounded-lookback window shapes: range-
     * block the rows, re-send each (key, block) group's last `frame`−1
     * rows to the key's NEXT OCCUPIED block (a range boundary can leave

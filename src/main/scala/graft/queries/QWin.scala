@@ -72,18 +72,26 @@ object QWin {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // ROWS frames: trailing window + running total
+    // ROWS frames: trailing window + running total. PARTITION BY a
+    // 3-value key funnels the whole table into 3 window tasks (60M rows
+    // sort on 3 cores at sf10, any scale on 3 executors) — routed
+    // through BigWindow.frameStats: one shared range-blocked layout
+    // computes all three frames cluster-wide; carries fill the
+    // cross-block frame positions and a metadata-sized offsets relation
+    // lifts the local prefix to the global running sum. Exact here
+    // because l_quantity is integer-valued (sums associate exactly);
+    // the oracle replays the classic serial window.
     "q_win_frame_rows" -> { (s, dir) =>
-      val wb = Window.partitionBy("l_returnflag").orderBy(uniq: _*)
-      li(s, dir).select(
-        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        round(sum(col("l_quantity")).over(wb.rowsBetween(-2, 0)), 2)
-          .as("trail3"),
-        round(sum(col("l_quantity"))
-          .over(wb.rowsBetween(Window.unboundedPreceding, 0)), 2)
-          .as("running"),
-        round(avg(col("l_quantity")).over(wb.rowsBetween(0, 3)), 6)
-          .as("fwd_avg"))
+      val base = li(s, dir).select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_returnflag", "l_quantity")
+      graft.ops.BigWindow.frameStats(base, "l_returnflag",
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          "l_quantity", trail = 3, fwd = 3)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("_trail"), 2).as("trail3"),
+          round(col("_run"), 2).as("running"),
+          round(col("_fsum") / col("_fcnt"), 6).as("fwd_avg"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 

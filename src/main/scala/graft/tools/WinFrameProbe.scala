@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Decompose q_win_frame_rows' sf10 cost: 60M rows, PARTITION BY
+  * l_returnflag (3 values) — the classic window sorts in 3 tasks while
+  * 29 cores idle; the final ORDER BY is a separate 60M global sort.
+  * Which piece dominates decides whether the BigWindow distributed
+  * layout is worth routing the gate through.
+  *
+  * Usage: WinFrameProbe <sfDir> [rounds=3]
+  */
+object WinFrameProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val rounds = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def li: DataFrame = graft.Tables.load(spark, sfDir, "lineitem")
+    val uniq = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_partkey"), col("l_suppkey"))
+
+    def windowed: DataFrame = {
+      val wb = Window.partitionBy("l_returnflag").orderBy(uniq: _*)
+      li.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(sum(col("l_quantity")).over(wb.rowsBetween(-2, 0)), 2)
+          .as("trail3"),
+        round(sum(col("l_quantity"))
+          .over(wb.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running"),
+        round(avg(col("l_quantity")).over(wb.rowsBetween(0, 3)), 6)
+          .as("fwd_avg"))
+    }
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "scan_only" -> (() => li.select("l_orderkey", "l_linenumber",
+        "l_returnflag", "l_quantity", "l_partkey", "l_suppkey")),
+      "window_only" -> (() => windowed),
+      "sort_only" -> (() => li.select("l_orderkey", "l_linenumber",
+        "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+      "full" -> (() => windowed.orderBy("l_orderkey", "l_linenumber")))
+
+    def once(f: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 1).foreach(_ => variants.foreach(v => once(v._2)))
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { _ =>
+      variants.foreach { case (n, f) => times(n) :+= once(f) }
+    }
+    variants.foreach { case (n, _) =>
+      val xs = times(n).sorted
+      println(f"[winframe] $n%-12s median=${xs(xs.size / 2)}%.3f min=${xs.head}%.3f max=${xs.last}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -169,6 +169,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     BigWindow.releaseCaches()
   }
 
+  test("BigWindow.frameStats: all three frames equal the classic window, " +
+      "both distributed and fallback") {
+    import graft.ops.BigWindow
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 30000).select(
+      col("id"),
+      (col("id") % 3).cast("string").as("p"),
+      when(col("id") % 97 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 1000).cast("double")).as("v"))
+    def classic(d: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("p").orderBy("id")
+      d.withColumn("t_c", sum(col("v")).over(w.rowsBetween(-2, 0)))
+        .withColumn("r_c", sum(col("v"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("fs_c", sum(col("v")).over(w.rowsBetween(0, 3)))
+        .withColumn("fc_c", count(lit(1)).over(w.rowsBetween(0, 3)))
+    }
+    val dist = BigWindow.frameStats(df, "p", Seq("id"), "v",
+      trail = 3, fwd = 3, numRanges = 8)
+    val bad = dist.join(classic(df), Seq("id", "p"))
+      .filter(not(col("_trail") <=> col("t_c")) ||
+        not(col("_run") <=> col("r_c")) ||
+        not(col("_fsum") <=> col("fs_c")) ||
+        col("_fcnt") =!= col("fc_c"))
+    assert(bad.count() == 0, s"divergence: ${bad.take(3).toSeq}")
+    // frames wider than the tiny block slices → classic fallback, exact
+    val tiny = spark.range(0, 40).select(col("id"),
+      lit("k").as("p"), col("id").cast("double").as("v"))
+    val fb = BigWindow.frameStats(tiny, "p", Seq("id"), "v",
+      trail = 3, fwd = 25, numRanges = 8)
+    val wbf = Window.partitionBy("p").orderBy("id")
+    val fbC = tiny
+      .withColumn("fs_c", sum(col("v")).over(wbf.rowsBetween(0, 25)))
+      .withColumn("fc_c", count(lit(1)).over(wbf.rowsBetween(0, 25)))
+    assert(fb.join(fbC, Seq("id", "p"))
+      .filter(not(col("_fsum") <=> col("fs_c")) ||
+        col("_fcnt") =!= col("fc_c")).count() == 0)
+    BigWindow.releaseCaches()
+  }
+
   test("saltedCount really spreads a hot key and still counts exactly") {
     import graft.ops.Skew
     val hot = spark.range(0, 1000)
