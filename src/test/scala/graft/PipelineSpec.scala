@@ -186,6 +186,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .withColumn("fs_c", sum(col("v")).over(w.rowsBetween(0, 3)))
         .withColumn("fc_c", count(lit(1)).over(w.rowsBetween(0, 3)))
     }
+    // force the distributed layout regardless of the tiny input's size
+    // estimate — this test exists to exercise the carry machinery
+    spark.conf.set("spark.graft.bigwindow.autoThreshold", "1")
     val dist = BigWindow.frameStats(df, "p", Seq("id"), "v",
       trail = 3, fwd = 3, numRanges = 8)
     val bad = dist.join(classic(df), Seq("id", "p"))
@@ -206,6 +209,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fb.join(fbC, Seq("id", "p"))
       .filter(not(col("_fsum") <=> col("fs_c")) ||
         col("_fcnt") =!= col("fc_c")).count() == 0)
+    spark.conf.unset("spark.graft.bigwindow.autoThreshold")
     BigWindow.releaseCaches()
   }
 
