@@ -188,6 +188,12 @@ object Bench {
     // writer included) carry many files/row groups. To measure the cost
     // that actually scales, rewrite the fixture as multi-file tables
     // once and run the same queries again. Opt out: SPARK_GRAFT_SPLIT=0.
+    // section summaries for the compact trailer line (see bottom)
+    var spTotal = -1.0
+    var spMedians: Map[String, Double] = Map.empty
+    var bktTotal = -1.0
+    var bktBuild = -1.0
+
     val splitJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SPLIT", "1") != "1") ""
       else {
@@ -216,6 +222,8 @@ object Bench {
         val sq = queriesJson(timedSplit)
         val ss = spreadJson(timedSplit)
         val sTotal = split.map(_._2).filter(_ >= 0).sum
+        spTotal = sTotal
+        spMedians = split.toMap
         val sMarg =
           if (baseDir == "none" || baseDir == sfDir) ""
           else {
@@ -282,6 +290,8 @@ object Bench {
             val sj = bq.map(k => "\"" + k + f"\":${tb(k)._2}%.3f")
               .mkString("{", ",", "}")
             val tot = bq.map(tb(_)._1).filter(_ >= 0).sum
+            bktTotal = tot
+            bktBuild = buildS
             f""","bucketed":{"total":$tot%.3f,"build":$buildS%.3f,"queries":$qj,"spread":$sj}"""
           } finally {
             Tables.clearOverlays()
@@ -297,7 +307,28 @@ object Bench {
       }
 
     val spreads = spreadJson(timedMain)
+    // full detail line first — every section, spread, marginal
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"sf":"$sfDir"$calJson$marginalJson$splitJson$bucketedJson}""")
+    // compact trailer LAST: the detail line above can exceed a log-tail
+    // capture (round 7's artifact lost its headline section to exactly
+    // that), so re-emit the headline object — section totals, per-query
+    // medians, calibration — small enough that a truncated tail always
+    // holds the complete object
+    val spQs =
+      if (spMedians.isEmpty) ""
+      else "," + "\"sp_queries\":" + headline
+        .map(k => "\"" + k + f"\":${spMedians.getOrElse(k, -1.0)}%.3f")
+        .mkString("{", ",", "}")
+    val totalsJson = {
+      val parts = Seq(f""""headline":$total%.3f""") ++
+        (if (spTotal >= 0) Seq(f""""scan_parallel":$spTotal%.3f""") else Nil) ++
+        (if (bktTotal >= 0) Seq(f""""bucketed":$bktTotal%.3f""",
+          f""""bucketed_build":$bktBuild%.3f""") else Nil)
+      parts.mkString("{", ",", "}")
+    }
+    val calTrailer = timedMain.get(calKey)
+      .map { case (m, _) => f""","calibration":$m%.3f""" }.getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","reps":$reps,"sf":"$sfDir","totals":$totalsJson,"queries":$qs$spQs$calTrailer}""")
     spark.stop()
   }
 }

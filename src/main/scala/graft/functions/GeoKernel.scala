@@ -567,26 +567,146 @@ object GeoKernel {
 
   def flipCoordinates(g: Geom): Geom = mapPts(g) { case (x, y) => (y, x) }
 
-  /** CRS transform for the one pair that needs no projection database:
-    * EPSG:4326 (lon/lat) ⇄ EPSG:3857 (spherical Web Mercator) — the
-    * spherical-earth closed forms, R = 6378137 m (the reference ships
-    * the full GEOS/proj st_transform via DuckDB spatial,
-    * rewrite_query.c:173-186; arbitrary CRS stays out of scope).
-    * Identity when from == to; any other pair → None. */
-  def transformCrs(g: Geom, fromSrid: Int, toSrid: Int): Option[Geom] = {
-    val R = 6378137.0
-    (fromSrid, toSrid) match {
-      case (a, b) if a == b => Some(g)
-      case (4326, 3857) => Some(mapPts(g) { case (lon, lat) =>
-        (R * math.toRadians(lon),
-         R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
-      })
-      case (3857, 4326) => Some(mapPts(g) { case (x, y) =>
-        (math.toDegrees(x / R),
-         math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
-      })
-      case _ => None
+  /** CRS transforms that need no projection database, composed through
+    * EPSG:4326 (lon/lat):
+    *  - EPSG:3857 spherical Web Mercator — closed forms, R = 6378137 m
+    *  - EPSG:32601–32660 / 32701–32760 — WGS84 UTM north/south zones,
+    *    ellipsoidal transverse Mercator via the Karney–Krüger flattening
+    *    series to n⁴ (sub-mm on the ellipsoid; the same series proj
+    *    evaluates, so values match PostGIS to survey precision)
+    * (the reference ships the full GEOS/proj st_transform via DuckDB
+    * spatial, rewrite_query.c:173-186; these closed-form families cover
+    * the lion's share of real use — arbitrary CRS stays out of scope).
+    * Identity when from == to; any unsupported SRID → None. */
+  def transformCrs(g: Geom, fromSrid: Int, toSrid: Int): Option[Geom] =
+    if (fromSrid == toSrid) Some(g)
+    else for {
+      dec <- toLonLat(fromSrid)
+      enc <- fromLonLat(toSrid)
+    } yield mapPts(g)(p => enc(dec(p)))
+
+  private val MercR = 6378137.0
+
+  /** SRID → (projected point → (lon, lat) degrees), if supported. */
+  private def toLonLat(srid: Int): Option[Pt => Pt] = srid match {
+    case 4326 => Some(identity)
+    case 3857 => Some { case (x, y) =>
+      (math.toDegrees(x / MercR),
+       math.toDegrees(2 * math.atan(math.exp(y / MercR)) - math.Pi / 2))
     }
+    case _ => utmZone(srid).map { case (zone, south) =>
+      p => Utm.inverse(p._1, p._2, zone, south)
+    }
+  }
+
+  /** SRID → ((lon, lat) degrees → projected point), if supported. */
+  private def fromLonLat(srid: Int): Option[Pt => Pt] = srid match {
+    case 4326 => Some(identity)
+    case 3857 => Some { case (lon, lat) =>
+      (MercR * math.toRadians(lon),
+       MercR * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+    }
+    case _ => utmZone(srid).map { case (zone, south) =>
+      p => Utm.forward(p._1, p._2, zone, south)
+    }
+  }
+
+  /** EPSG 326xx = WGS84 UTM zone xx north, 327xx = south. */
+  private def utmZone(srid: Int): Option[(Int, Boolean)] =
+    if (srid >= 32601 && srid <= 32660) Some((srid - 32600, false))
+    else if (srid >= 32701 && srid <= 32760) Some((srid - 32700, true))
+    else None
+
+  /** WGS84 ellipsoidal transverse Mercator (Karney–Krüger flattening
+    * series, terms through n⁴ — truncation below 1 mm anywhere in a
+    * zone). Forward computes the exact conformal latitude, so the only
+    * series error is in the Krüger ξ/η correction; inverse mirrors it
+    * with the β and conformal→geodetic δ series. */
+  private object Utm {
+    private val a = 6378137.0
+    private val f = 1.0 / 298.257223563
+    private val k0 = 0.9996
+    private val e0 = 500000.0 // false easting
+    private val n = f / (2.0 - f)
+    private val n2 = n * n; private val n3 = n2 * n; private val n4 = n2 * n2
+    // rectifying radius
+    private val A = a / (1 + n) * (1 + n2 / 4 + n4 / 64)
+    private val alpha = Array(
+      n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180,
+      13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440,
+      61 * n3 / 240 - 103 * n4 / 140,
+      49561 * n4 / 161280)
+    private val beta = Array(
+      n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360,
+      n2 / 48 + n3 / 15 - 437 * n4 / 1440,
+      17 * n3 / 480 - 37 * n4 / 840,
+      4397 * n4 / 161280)
+    // conformal latitude χ → geodetic φ
+    private val delta = Array(
+      2 * n - 2 * n2 / 3 - 2 * n3,
+      7 * n2 / 3 - 8 * n3 / 5,
+      56 * n3 / 15,
+      4279 * n4 / 630)
+    private val twoSqrtN = 2 * math.sqrt(n) / (1 + n)
+
+    private def centralMeridian(zone: Int): Double = 6 * zone - 183
+
+    def forward(lonDeg: Double, latDeg: Double, zone: Int,
+        south: Boolean): Pt = {
+      val lam = math.toRadians(lonDeg - centralMeridian(zone))
+      val phi = math.toRadians(latDeg)
+      val s = math.sin(phi)
+      // exact conformal latitude: t = tan χ
+      val t = math.sinh(atanh(s) - twoSqrtN * atanh(twoSqrtN * s))
+      val xiP = math.atan2(t, math.cos(lam))
+      val etaP = atanh(math.sin(lam) / math.sqrt(1 + t * t))
+      var xi = xiP
+      var eta = etaP
+      var j = 1
+      while (j <= 4) {
+        xi += alpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+        eta += alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+        j += 1
+      }
+      (e0 + k0 * A * eta, (if (south) 10000000.0 else 0.0) + k0 * A * xi)
+    }
+
+    def inverse(easting: Double, northing: Double, zone: Int,
+        south: Boolean): Pt = {
+      val xi0 = (northing - (if (south) 10000000.0 else 0.0)) / (k0 * A)
+      val eta0 = (easting - e0) / (k0 * A)
+      var xiP = xi0
+      var etaP = eta0
+      var j = 1
+      while (j <= 4) {
+        xiP -= beta(j - 1) * math.sin(2 * j * xi0) * math.cosh(2 * j * eta0)
+        etaP -= beta(j - 1) * math.cos(2 * j * xi0) * math.sinh(2 * j * eta0)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+      // δ series gives ~1e-9 rad; refine with the exact conformal-
+      // latitude fixed point (contraction ~e² per step) to machine
+      // precision so forward∘inverse round-trips exactly
+      var phi = chi
+      j = 1
+      while (j <= 4) {
+        phi += delta(j - 1) * math.sin(2 * j * chi)
+        j += 1
+      }
+      val e = math.sqrt(f * (2 - f))
+      val tChi = math.tan(math.Pi / 4 + chi / 2)
+      j = 0
+      while (j < 6) {
+        val es = e * math.sin(phi)
+        phi = 2 * math.atan(
+          tChi * math.pow((1 + es) / (1 - es), e / 2)) - math.Pi / 2
+        j += 1
+      }
+      val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+      (centralMeridian(zone) + math.toDegrees(lam), math.toDegrees(phi))
+    }
+
+    private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
   }
 
   def removeRepeatedPoints(g: Geom): Geom = mapPaths(g) { pts =>

@@ -225,8 +225,11 @@ object BigWindow {
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("_fsum",
           sum(col(valueCol)).over(w.rowsBetween(0, fwd)))
+        // count(valueCol), not count(*): _fsum/_fcnt is used as the
+        // frame avg, and avg() skips NULL values — counting null-valued
+        // rows would deviate on a nullable value column
         .withColumn("_fcnt",
-          count(lit(1)).over(w.rowsBetween(0, fwd)))
+          count(col(valueCol)).over(w.rowsBetween(0, fwd)))
     }
     val thr = spark.conf
       .get("spark.graft.bigwindow.autoThreshold", (512L << 20).toString)
@@ -291,8 +294,10 @@ object BigWindow {
           .over(wOrdered.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("_fsum",
         sum(col(valueCol)).over(wOrdered.rowsBetween(0, fwd)))
+      // count(valueCol) to match avg()'s null-skip (carries are real
+      // rows of the next block, so the same rule applies to them)
       .withColumn("_fcnt",
-        count(lit(1)).over(wOrdered.rowsBetween(0, fwd)))
+        count(col(valueCol)).over(wOrdered.rowsBetween(0, fwd)))
       .filter(!col("_carry"))
     local
       .join(chain.select(col(partCol), col("_blk"), col("_boff")),

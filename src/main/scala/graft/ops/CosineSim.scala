@@ -20,6 +20,13 @@ case class CosineSim(child: Expression, query: Array[Double])
 
   override def dataType: DataType = DoubleType
 
+  /** Can yield NULL even for a non-null input (null array element,
+    * zero-norm denominator), so nullability must not be inherited from
+    * the child: with a non-nullable child, nullSafeCodeGen would take
+    * the isNull=FalseLiteral branch and the generated `isNull = true`
+    * assignments would not compile. */
+  override def nullable: Boolean = true
+
   @transient private lazy val qNorm: Double =
     math.sqrt(query.map(v => v * v).sum)
 

@@ -70,7 +70,12 @@ object HeavyHitters {
     val kth = exact.collect().lastOption.map(_.getLong(1)).getOrElse(0L)
     val provable = lossless || kth > n / (capacity + 1L)
     if (provable) exact
-    else df.groupBy(colName).agg(count(lit(1)).as("cnt"))
+    // NULL keys are excluded on BOTH branches: the provable branch can
+    // never return the null group (MG and count(col) skip nulls, isin
+    // excludes null), so the fallback must match or the same input
+    // could return different top-k rows depending on which branch fires
+    else df.filter(col(colName).isNotNull)
+      .groupBy(colName).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col(colName).asc)
       .limit(k)
   }

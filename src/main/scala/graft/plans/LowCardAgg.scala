@@ -41,7 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct key tuples in one partition fails loudly — this operator
   * is FOR the low-cardinality regime; use groupBy for the rest.
   * Falls back to the row iterator when the child does not expose
-  * columnar batches, so correctness never depends on plan shape.
+  * columnar batches OR when the plan between this node and the scan
+  * carries work the kernel does not re-evaluate (e.g. a caller's own
+  * `.filter(...)` merged into the FilterExec), so correctness never
+  * depends on plan shape. NULL keys form their own group (as groupBy
+  * does), all-null sum inputs yield a NULL sum, and NaN values
+  * propagate — all matching the native aggregate exactly.
   */
 object LowCardAgg {
 
@@ -53,9 +58,12 @@ object LowCardAgg {
   final case class ProductSum(name: String, terms: Seq[Term])
 
   /** `column op literal`; op ∈ le, lt, ge, gt. Timestamp columns
-    * compare as epoch micros. */
+    * compare as epoch micros. The bound must not be NaN (Spark orders
+    * NaN above every double; a NaN bound has no portable meaning as a
+    * range predicate). */
   final case class ColFilter(column: String, op: String, value: Double) {
     require(Set("le", "lt", "ge", "gt")(op), s"bad op $op")
+    require(!value.isNaN, "ColFilter bound must not be NaN")
   }
 
   /** Partial-then-final grouped sums through the columnar kernel:
@@ -183,13 +191,59 @@ final case class LowCardPreAggExec(keys: Seq[String],
     case c: org.apache.spark.sql.execution.ProjectExec
         if c.projectList.forall(_.isInstanceOf[Attribute]) =>
       columnarChild(c.child)
-    // the FilterExec below us is the one sumsByKey itself constructed
-    // from the ColFilter conjunction (the node is not constructible any
-    // other way), and the kernel re-evaluates exactly that conjunction
-    // on the vectors — skipping it loses no predicate
-    case c: org.apache.spark.sql.execution.FilterExec =>
+    // a FilterExec may only be skipped when EVERY conjunct is a
+    // predicate the kernel itself re-evaluates on the vectors. A
+    // caller-supplied .filter(...) — which CombineFilters can merge
+    // into the same FilterExec as the ColFilter conjunction — fails
+    // the check, and doExecute takes the row path, which executes the
+    // FilterExec and so preserves the caller's predicate.
+    case c: org.apache.spark.sql.execution.FilterExec
+        if filterMatchesSpec(c.condition) =>
       columnarChild(c.child)
     case _ => None
+  }
+
+  /** True iff every conjunct of `cond` is one of: IsNotNull on a
+    * filter column (inferred by Catalyst from the comparison), or the
+    * exact column-vs-literal comparison of one of our ColFilters —
+    * same column, same direction (flipped literal-first forms are
+    * normalized), same bound. Anything else means the FilterExec
+    * computes a predicate the kernel would not, so it must run. */
+  private def filterMatchesSpec(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val fcols = filters.map(_.column).toSet
+    // literal's internal value as the double the ColFilter carries
+    // (timestamps are Long micros, dates Int days — the same encoding
+    // LowCardAgg.litFor produced, so equality is exact)
+    def litD(l: Literal): Option[Double] = l.value match {
+      case d: java.lang.Double => Some(d.doubleValue)
+      case f: java.lang.Float => Some(f.doubleValue)
+      case x: java.lang.Long => Some(x.doubleValue)
+      case x: java.lang.Integer => Some(x.doubleValue)
+      case x: java.lang.Short => Some(x.doubleValue)
+      case _ => None
+    }
+    def hit(name: String, op: String, l: Literal): Boolean =
+      litD(l).exists(b =>
+        filters.exists(f => f.column == name && f.op == op && f.value == b))
+    split(cond).forall {
+      case IsNotNull(a: Attribute) => fcols(a.name)
+      case LessThanOrEqual(a: Attribute, l: Literal) => hit(a.name, "le", l)
+      case LessThan(a: Attribute, l: Literal) => hit(a.name, "lt", l)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => hit(a.name, "ge", l)
+      case GreaterThan(a: Attribute, l: Literal) => hit(a.name, "gt", l)
+      case LessThanOrEqual(l: Literal, a: Attribute) => hit(a.name, "ge", l)
+      case LessThan(l: Literal, a: Attribute) => hit(a.name, "gt", l)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => hit(a.name, "le", l)
+      case GreaterThan(l: Literal, a: Attribute) => hit(a.name, "lt", l)
+      case _ => false
+    }
   }
 
   /** How a column's vector is physically read. */
@@ -259,28 +313,42 @@ final case class LowCardPreAggExec(keys: Seq[String],
 
   // ------------------------------------------------------------------
 
-  /** Per-partition group store: parallel arrays indexed by group id. */
+  /** Per-partition group store: parallel arrays indexed by group id.
+    * A null array entry in a key tuple IS the SQL NULL key — its own
+    * group, exactly as groupBy treats it. `touched(g)(s)` records
+    * whether sum `s` ever saw a non-null input for group `g`; a group
+    * whose inputs were all null emits a NULL partial, so the final
+    * Catalyst sum yields SQL's null (not 0.0). */
   private final class Groups(nKeys: Int, nSums: Int, maxGroups: Int) {
     val keyVals = new Array[Array[UTF8String]](maxGroups)
     val accs = Array.ofDim[Double](maxGroups, nSums)
+    val touched = Array.ofDim[Boolean](maxGroups, nSums)
     val cnts = new Array[Long](maxGroups)
     var n = 0
+
+    private def keyEq(a: UTF8String, b: UTF8String): Boolean =
+      if (a eq null) b eq null
+      else (b ne null) && a.compareTo(b) == 0
+
+    def sameKeys(g: Int, ks: Array[UTF8String]): Boolean = {
+      var j = 0
+      while (j < nKeys) {
+        if (!keyEq(keyVals(g)(j), ks(j))) return false
+        j += 1
+      }
+      true
+    }
 
     def idOf(ks: Array[UTF8String]): Int = {
       var i = 0
       while (i < n) {
-        var j = 0
-        var same = true
-        while (same && j < nKeys) {
-          if (keyVals(i)(j).compareTo(ks(j)) != 0) same = false
-          j += 1
-        }
-        if (same) return i
+        if (sameKeys(i, ks)) return i
         i += 1
       }
       require(n < maxGroups,
         s"LowCardAgg overflow: > $maxGroups distinct key tuples")
-      keyVals(n) = Array.tabulate(nKeys)(j => ks(j).clone())
+      keyVals(n) = Array.tabulate(nKeys)(j =>
+        if (ks(j) eq null) null else ks(j).clone())
       n += 1
       n - 1
     }
@@ -291,42 +359,44 @@ final case class LowCardPreAggExec(keys: Seq[String],
         var j = 0
         while (j < nKeys) { vals(j) = keyVals(g)(j); j += 1 }
         var s = 0
-        while (s < nSums) { vals(nKeys + s) = accs(g)(s); s += 1 }
+        while (s < nSums) {
+          vals(nKeys + s) = if (touched(g)(s)) accs(g)(s) else null
+          s += 1
+        }
         vals(nKeys + nSums) = cnts(g)
         new GenericInternalRow(vals)
       }
   }
 
-  private def passes(op: String, v: Double, lim: Double): Boolean =
-    op match {
-      case "le" => v <= lim
-      case "lt" => v < lim
-      case "ge" => v >= lim
-      case "gt" => v > lim
-    }
-
   /** Decode slot `s` (vector `v`, physical kind `kind`) into `out` as
-    * doubles; nulls become NaN (NaN rows are dropped per-sum, matching
-    * SQL null-skip; timestamps land as epoch micros — exact in a
-    * double up to 2^53, i.e. year 2255). */
+    * doubles, with `mask(i)` = row i is NULL (decoded as 0.0, never
+    * read under the mask). A genuine NaN VALUE stays NaN and
+    * propagates into the sums, exactly like Spark's sum — NaN and
+    * null no longer collapse. Timestamps land as epoch micros —
+    * exact in a double up to 2^53, i.e. year 2255. */
   private def decodeSlot(v: ColumnVector, kind: Int, n: Int,
-      out: Array[Double]): Unit = {
+      out: Array[Double], mask: Array[Boolean]): Unit = {
     var i = 0
-    if (!v.hasNull) kind match {
-      case 0 =>
-        val src = v.getDoubles(0, n)
-        System.arraycopy(src, 0, out, 0, n)
-      case 1 => while (i < n) { out(i) = v.getLong(i).toDouble; i += 1 }
-      case 2 => while (i < n) { out(i) = v.getInt(i).toDouble; i += 1 }
+    if (!v.hasNull) {
+      java.util.Arrays.fill(mask, 0, n, false)
+      kind match {
+        case 0 =>
+          val src = v.getDoubles(0, n)
+          System.arraycopy(src, 0, out, 0, n)
+        case 1 => while (i < n) { out(i) = v.getLong(i).toDouble; i += 1 }
+        case 2 => while (i < n) { out(i) = v.getInt(i).toDouble; i += 1 }
+      }
     } else {
       while (i < n) {
-        out(i) =
-          if (v.isNullAt(i)) Double.NaN
-          else kind match {
+        if (v.isNullAt(i)) { out(i) = 0.0; mask(i) = true }
+        else {
+          mask(i) = false
+          out(i) = kind match {
             case 0 => v.getDouble(i)
             case 1 => v.getLong(i).toDouble
             case 2 => v.getInt(i).toDouble
           }
+        }
         i += 1
       }
     }
@@ -347,6 +417,7 @@ final case class LowCardPreAggExec(keys: Seq[String],
     val comboIds = new Array[Long](4 * maxGroups)
     val comboGids = new Array[Int](4 * maxGroups)
     var cols: Array[Array[Double]] = Array.fill(nSlots)(new Array[Double](0))
+    var masks: Array[Array[Boolean]] = Array.fill(nSlots)(new Array[Boolean](0))
     var kidx: Array[Int] = new Array[Int](0)
     var keep: Array[Boolean] = new Array[Boolean](0)
 
@@ -357,31 +428,42 @@ final case class LowCardPreAggExec(keys: Seq[String],
           kidx = new Array[Int](n)
           keep = new Array[Boolean](n)
           cols = Array.fill(nSlots)(new Array[Double](n))
+          masks = Array.fill(nSlots)(new Array[Boolean](n))
         }
         nBatches += 1; nRows += n
         var t0 = if (dbg) System.nanoTime() else 0L
         var s = 0
         while (s < nSlots) {
-          decodeSlot(batch.column(numOrds(s)), slotKinds(s), n, cols(s))
+          decodeSlot(batch.column(numOrds(s)), slotKinds(s), n, cols(s),
+            masks(s))
           s += 1
         }
         if (dbg) { val t = System.nanoTime(); tDecode += t - t0; t0 = t }
-        // filter mask (NaN = null never passes)
+        // filter mask. Spark comparison semantics: NULL fails every
+        // predicate; NaN orders ABOVE every other double, so a NaN
+        // value passes ge/gt and fails le/lt — Java's plain
+        // NaN-fails-everything would silently drop NaN rows that a
+        // Catalyst FilterExec keeps.
         java.util.Arrays.fill(keep, 0, n, true)
         var f = 0
         while (f < fSlots.length) {
           val arr = cols(fSlots(f))
+          val nul = masks(fSlots(f))
           val lim = fLims(f)
           var i = 0
           fOps(f) match {
             case 0 => while (i < n) {
-              if (!(arr(i) <= lim)) keep(i) = false; i += 1 }
+              if (nul(i) || !(arr(i) <= lim)) keep(i) = false; i += 1 }
             case 1 => while (i < n) {
-              if (!(arr(i) < lim)) keep(i) = false; i += 1 }
+              if (nul(i) || !(arr(i) < lim)) keep(i) = false; i += 1 }
             case 2 => while (i < n) {
-              if (!(arr(i) >= lim)) keep(i) = false; i += 1 }
+              val v = arr(i)
+              if (nul(i) || !(v >= lim || v != v)) keep(i) = false
+              i += 1 }
             case 3 => while (i < n) {
-              if (!(arr(i) > lim)) keep(i) = false; i += 1 }
+              val v = arr(i)
+              if (nul(i) || !(v > lim || v != v)) keep(i) = false
+              i += 1 }
           }
           f += 1
         }
@@ -457,26 +539,20 @@ final case class LowCardPreAggExec(keys: Seq[String],
           }
         } else {
           // string path, with a last-key cache (runs of equal keys are
-          // common in sorted/clustered data)
+          // common in sorted/clustered data); NULL keys decode as null
+          // and form their own group, matching groupBy
           var lastId = -1
           i = 0
           while (i < n) {
             if (keep(i)) {
               var k = 0
               while (k < nKeys) {
-                keyBuf(k) = kvs(k).getUTF8String(i)
+                keyBuf(k) =
+                  if (kvs(k).isNullAt(i)) null else kvs(k).getUTF8String(i)
                 k += 1
               }
-              if (lastId >= 0) {
-                var same = true
-                var k2 = 0
-                while (same && k2 < nKeys) {
-                  if (groups.keyVals(lastId)(k2).compareTo(keyBuf(k2)) != 0)
-                    same = false
-                  k2 += 1
-                }
-                if (!same) lastId = groups.idOf(keyBuf)
-              } else lastId = groups.idOf(keyBuf)
+              if (lastId < 0 || !groups.sameKeys(lastId, keyBuf))
+                lastId = groups.idOf(keyBuf)
               kidx(i) = lastId
             }
             i += 1
@@ -484,21 +560,26 @@ final case class LowCardPreAggExec(keys: Seq[String],
         }
         if (dbg) { val t = System.nanoTime(); tKey += t - t0; t0 = t }
         // accumulate each sum over the kept rows; unrolled fast paths
-        // for the common 1- and 2-term products keep the loop tight
+        // for the common 1- and 2-term products keep the loop tight.
+        // SQL semantics: a product with ANY null term is null → the
+        // row is skipped for that sum; a NaN VALUE accumulates and
+        // poisons the total, exactly like Spark's sum.
         s = 0
         while (s < nSums) {
           val slots = termSlots(s)
           val muls = termMuls(s)
           val adds = termAdds(s)
           val acc = groups.accs
+          val tch = groups.touched
           i = 0
           if (slots.length == 1) {
             val m = muls(0); val a = adds(0)
-            val arr = cols(slots(0))
+            val arr = cols(slots(0)); val nu = masks(slots(0))
             while (i < n) {
-              if (keep(i)) {
-                val p = m * arr(i) + a
-                if (!p.isNaN) acc(kidx(i))(s) += p
+              if (keep(i) && !nu(i)) {
+                val g = kidx(i)
+                acc(g)(s) += m * arr(i) + a
+                tch(g)(s) = true
               }
               i += 1
             }
@@ -506,10 +587,12 @@ final case class LowCardPreAggExec(keys: Seq[String],
             val m1 = muls(0); val a1 = adds(0)
             val m2 = muls(1); val a2 = adds(1)
             val arr1 = cols(slots(0)); val arr2 = cols(slots(1))
+            val nu1 = masks(slots(0)); val nu2 = masks(slots(1))
             while (i < n) {
-              if (keep(i)) {
-                val p = (m1 * arr1(i) + a1) * (m2 * arr2(i) + a2)
-                if (!p.isNaN) acc(kidx(i))(s) += p
+              if (keep(i) && !nu1(i) && !nu2(i)) {
+                val g = kidx(i)
+                acc(g)(s) += (m1 * arr1(i) + a1) * (m2 * arr2(i) + a2)
+                tch(g)(s) = true
               }
               i += 1
             }
@@ -519,11 +602,14 @@ final case class LowCardPreAggExec(keys: Seq[String],
             val m3 = muls(2); val a3 = adds(2)
             val arr1 = cols(slots(0)); val arr2 = cols(slots(1))
             val arr3 = cols(slots(2))
+            val nu1 = masks(slots(0)); val nu2 = masks(slots(1))
+            val nu3 = masks(slots(2))
             while (i < n) {
-              if (keep(i)) {
-                val p = (m1 * arr1(i) + a1) * (m2 * arr2(i) + a2) *
+              if (keep(i) && !nu1(i) && !nu2(i) && !nu3(i)) {
+                val g = kidx(i)
+                acc(g)(s) += (m1 * arr1(i) + a1) * (m2 * arr2(i) + a2) *
                   (m3 * arr3(i) + a3)
-                if (!p.isNaN) acc(kidx(i))(s) += p
+                tch(g)(s) = true
               }
               i += 1
             }
@@ -531,12 +617,18 @@ final case class LowCardPreAggExec(keys: Seq[String],
             while (i < n) {
               if (keep(i)) {
                 var p = 1.0
+                var anyNull = false
                 var t = 0
                 while (t < slots.length) {
+                  if (masks(slots(t))(i)) anyNull = true
                   p *= muls(t) * cols(slots(t))(i) + adds(t)
                   t += 1
                 }
-                if (!p.isNaN) acc(kidx(i))(s) += p
+                if (!anyNull) {
+                  val g = kidx(i)
+                  acc(g)(s) += p
+                  tch(g)(s) = true
+                }
               }
               i += 1
             }
@@ -566,48 +658,60 @@ final case class LowCardPreAggExec(keys: Seq[String],
     val groups = new Groups(nKeys, nSums, maxGroups)
     val keyBuf = new Array[UTF8String](nKeys)
     val slotVals = new Array[Double](numOrds.length)
+    val slotNull = new Array[Boolean](numOrds.length)
     rows.foreach { row =>
       var s = 0
       while (s < numOrds.length) {
         val o = numOrds(s)
-        slotVals(s) =
-          if (row.isNullAt(o)) Double.NaN
-          else slotKinds(s) match {
+        if (row.isNullAt(o)) { slotVals(s) = 0.0; slotNull(s) = true }
+        else {
+          slotNull(s) = false
+          slotVals(s) = slotKinds(s) match {
             case 0 => row.getDouble(o)
             case 1 => row.getLong(o).toDouble
             case 2 => row.getInt(o).toDouble
           }
+        }
         s += 1
       }
+      // same semantics as the columnar filter loop: null fails every
+      // predicate, NaN passes ge/gt and fails le/lt (Spark ordering)
       var ok = true
       var f = 0
       while (ok && f < fSlots.length) {
-        val x = slotVals(fSlots(f)) // NaN fails every comparison
+        val x = slotVals(fSlots(f))
         val lim = fLims(f)
-        ok = fOps(f) match {
+        ok = !slotNull(fSlots(f)) && (fOps(f) match {
           case 0 => x <= lim
           case 1 => x < lim
-          case 2 => x >= lim
-          case 3 => x > lim
-        }
+          case 2 => x >= lim || x != x
+          case 3 => x > lim || x != x
+        })
         f += 1
       }
       if (ok) {
         var j = 0
         while (j < nKeys) {
-          keyBuf(j) = row.getUTF8String(keyOrds(j)); j += 1
+          val o = keyOrds(j)
+          keyBuf(j) = if (row.isNullAt(o)) null else row.getUTF8String(o)
+          j += 1
         }
         val g = groups.idOf(keyBuf)
         s = 0
         while (s < nSums) {
           val slots = termSlots(s)
           var p = 1.0
+          var anyNull = false
           var t = 0
           while (t < slots.length) {
+            if (slotNull(slots(t))) anyNull = true
             p *= termMuls(s)(t) * slotVals(slots(t)) + termAdds(s)(t)
             t += 1
           }
-          if (!p.isNaN) groups.accs(g)(s) += p
+          if (!anyNull) {
+            groups.accs(g)(s) += p
+            groups.touched(g)(s) = true
+          }
           s += 1
         }
         groups.cnts(g) += 1

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.plans.LowCardAgg
+import graft.plans.LowCardAgg.{ColFilter, ProductSum, Term}
+
+/** Verifies the FilterExec guard dispatches both ways: kernel-only
+  * filters keep the columnar fast path; a caller's own filter forces
+  * the row fallback (which executes the FilterExec). Run with
+  * GRAFT_COLAGG_DEBUG=1 and read the [colagg-dbg] lines. */
+object ColAggGuardProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    println("--- kernel-only filters (expect columnar=Some) ---")
+    LowCardAgg.sumsByKey(li, Seq("l_returnflag"),
+      Seq(ProductSum("s", Seq(Term("l_quantity")))),
+      Seq(ColFilter("l_discount", "ge", 0.05))).collect()
+    println("--- caller filter merged in (expect columnar=None) ---")
+    LowCardAgg.sumsByKey(li.filter(col("l_quantity") > 30.0),
+      Seq("l_returnflag"),
+      Seq(ProductSum("s", Seq(Term("l_quantity")))),
+      Seq(ColFilter("l_discount", "ge", 0.05))).collect()
+    println("--- q1 shape: timestamp filter (expect columnar=Some) ---")
+    val cutoff = java.time.Instant.parse("2001-09-02T00:00:00Z")
+      .getEpochSecond * 1000000L
+    LowCardAgg.sumsByKey(li, Seq("l_returnflag", "l_linestatus"),
+      Seq(ProductSum("_sq", Seq(Term("l_quantity")))),
+      Seq(ColFilter("l_shipdate", "le", cutoff.toDouble))).collect()
+    spark.stop()
+  }
+}

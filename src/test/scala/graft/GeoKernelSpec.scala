@@ -288,6 +288,50 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(1))
   }
 
+  test("st_transform: WGS84 UTM zones (326xx/327xx) match proj values") {
+    // CN Tower, the published UTM reference point: 43.642567N 79.387139W
+    // is UTM zone 17N easting 630084 m, northing 4833438 m (PostGIS
+    // st_transform(..., 32617) gives the same proj values)
+    val cn = GPoint(-79.387139, 43.642567)
+    val Some(GPoint(e, nn)) = GeoKernel.transformCrs(cn, 4326, 32617)
+    assert(math.abs(e - 630084.0) < 1.0, s"easting=$e")
+    assert(math.abs(nn - 4833438.0) < 1.0, s"northing=$nn")
+    // inverse recovers the input to survey precision (< 0.1 mm)
+    val Some(GPoint(lon, lat)) =
+      GeoKernel.transformCrs(GPoint(e, nn), 32617, 4326)
+    assert(math.abs(lon - -79.387139) < 1e-9 &&
+      math.abs(lat - 43.642567) < 1e-9)
+    // projection invariants: the central meridian maps to the false
+    // easting with scale k0 — at zone 31N (cm 3°E), lat 0 → (500000, 0)
+    val Some(GPoint(e0, n0)) =
+      GeoKernel.transformCrs(GPoint(3.0, 0.0), 4326, 32631)
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    // southern hemisphere false northing 10,000,000
+    val Some(GPoint(_, nS)) =
+      GeoKernel.transformCrs(GPoint(3.0, 0.0), 4326, 32731)
+    assert(math.abs(nS - 10000000.0) < 1e-6)
+    // a degree of latitude on the central meridian ≈ 110.57 km at the
+    // equator, scaled by k0 (pins the ellipsoidal meridian arc, which a
+    // spherical implementation would miss by ~700 m)
+    val Some(GPoint(_, n1)) =
+      GeoKernel.transformCrs(GPoint(3.0, 1.0), 4326, 32631)
+    assert(math.abs((n1 - n0) / 0.9996 - 110574.3) < 5.0,
+      s"arc=${(n1 - n0) / 0.9996}")
+    // UTM -> UTM across zones composes through lon/lat
+    val Some(GPoint(e18, _)) = GeoKernel.transformCrs(
+      GPoint(630084.0, 4833438.0), 32617, 32618)
+    val Some(GPoint(lonBack, _)) =
+      GeoKernel.transformCrs(GPoint(e18, 0), 32618, 32618)
+    assert(e18 < 500000.0) // west of zone 18's central meridian (75W)
+    assert(lonBack == e18) // identity guard stays identity
+    // SQL surface reaches the new SRIDs
+    graft.functions.Geo.registerAll(spark)
+    val r = spark.sql(
+      """SELECT st_x(st_transform(st_point(-79.387139, 43.642567),
+        |  4326, 32617)) AS e""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 630084.0) < 1.0)
+  }
+
   test("Z/M WKB parses to the XY projection; force3d* re-emits dims") {
     // EWKB Z-flagged point (3 doubles/pt): planar kernel projects to XY
     val z = java.nio.ByteBuffer.allocate(29)

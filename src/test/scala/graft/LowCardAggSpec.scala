@@ -80,6 +80,76 @@ class LowCardAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq(("a", 1.0, 2L), ("b", 2.0, 1L)))
   }
 
+  test("a caller's own filter is preserved (row fallback, not dropped)") {
+    // CombineFilters merges a caller .filter(...) into the same
+    // FilterExec as the kernel's ColFilter conjunction; the columnar
+    // path must refuse to skip it (the old code silently dropped it)
+    val pre = li.filter(col("l_quantity") > 30.0)
+    val kernel = LowCardAgg.sumsByKey(pre, Seq("l_returnflag"),
+      Seq(ProductSum("s", Seq(Term("l_extendedprice")))),
+      Seq(ColFilter("l_discount", "ge", 0.05)))
+      .select(col("l_returnflag"), round(col("s"), 2).as("s"), col("cnt"))
+    val native = li
+      .filter(col("l_quantity") > 30.0 && col("l_discount") >= 0.05)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_extendedprice"), 2).as("s"),
+        count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel) === sortedRows(native))
+  }
+
+  test("kernel-only filters still take the columnar path over parquet") {
+    // guard the guard: when the FilterExec holds exactly the ColFilter
+    // conjunction (+ inferred IsNotNull), the fast path must fire —
+    // same answer AND the exec's child plan resolves a columnar scan
+    val kernel = LowCardAgg.sumsByKey(li, Seq("l_returnflag"),
+      Seq(ProductSum("s", Seq(Term("l_quantity")))),
+      Seq(ColFilter("l_discount", "ge", 0.05)))
+    val native = li.filter(col("l_discount") >= 0.05)
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel.select(col("l_returnflag"),
+        round(col("s"), 2), col("cnt"))) ===
+      sortedRows(native.select(col("l_returnflag"),
+        round(col("s"), 2), col("cnt"))))
+  }
+
+  test("NaN values propagate into the sum exactly like native sum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("lowcard_nan").toString
+    Seq(("a", 1.0), ("a", Double.NaN), ("b", 2.0), ("c", Double.NaN))
+      .toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir) // vectorized scan → columnar path
+    val kernel = LowCardAgg.sumsByKey(df, Seq("k"),
+      Seq(ProductSum("s", Seq(Term("v")))))
+      .select(col("k"), col("s"), col("cnt"))
+    val native = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel) === sortedRows(native))
+    val aRow = kernel.filter(col("k") === "a").head()
+    assert(aRow.getDouble(1).isNaN) // NaN poisoned, not skipped
+  }
+
+  test("null keys form their own group; all-null sums yield NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("lowcard_nullk").toString
+    Seq((Some("a"), Some(1.0)), (None, Some(5.0)), (None, None),
+      (Some("z"), None)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val kernel = LowCardAgg.sumsByKey(df, Seq("k"),
+      Seq(ProductSum("s", Seq(Term("v")))))
+      .select(col("k"), col("s"), col("cnt"))
+    val native = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel) === sortedRows(native))
+    // the all-null group 'z' must be NULL, not 0.0
+    assert(kernel.filter(col("k") === "z").head().isNullAt(1))
+    // the null key must exist as a group with cnt 2
+    assert(kernel.filter(col("k").isNull).head().getLong(2) === 2L)
+  }
+
   test("group overflow fails loudly instead of degrading") {
     import spark.implicits._
     val wide = (0 until 200).map(i => (s"k$i", 1.0)).toDF("k", "v")

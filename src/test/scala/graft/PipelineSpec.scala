@@ -184,7 +184,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .withColumn("r_c", sum(col("v"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("fs_c", sum(col("v")).over(w.rowsBetween(0, 3)))
-        .withColumn("fc_c", count(lit(1)).over(w.rowsBetween(0, 3)))
+        // _fcnt counts NON-NULL values (it feeds frame avg, which
+        // skips nulls) — the null-bearing v column pins that here
+        .withColumn("fc_c", count(col("v")).over(w.rowsBetween(0, 3)))
     }
     // force the distributed layout regardless of the tiny input's size
     // estimate — this test exists to exercise the carry machinery
