@@ -47,4 +47,25 @@ object JoinOpt {
     if (thr > 0 && dimBytes <= BigInt(thr)) dim.join(broadcast(agg), cond)
     else dim.join(agg, cond)
   }
+
+  /** Broadcast `side` iff `bound`'s optimized-plan size estimate stays
+    * under `spark.graft.reduceBroadcastThreshold` (default 256m — the
+    * routine torrent-broadcast range on a cluster, far under executor
+    * memory). `bound` must be a plan whose ROW COUNT provably bounds
+    * `side`'s and whose width is comparable — in practice the narrow
+    * projection of the scan `side` was derived from by filters and
+    * key-unique joins. The bound plan is what makes the guard usable:
+    * without CBO, Catalyst's size estimate for a JOIN output is the
+    * product of its inputs (measured: 2.2e19 "bytes" for a 901K-row
+    * join at sf10), so guarding on `side` itself would never fire; a
+    * scan estimate is file-stats-derived and tracks data scale
+    * linearly, so the same declaration broadcasts at warehouse scale
+    * and degrades to the keyed shuffle join at the 100 TB regime. */
+  def broadcastIfBounded(side: DataFrame, bound: DataFrame): DataFrame = {
+    val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      side.sparkSession.conf
+        .get("spark.graft.reduceBroadcastThreshold", "256m"))
+    val est = bound.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thr > 0 && est <= BigInt(thr)) broadcast(side) else side
+  }
 }

@@ -278,9 +278,54 @@ object QTpcds {
     "qds_cumulative" -> qCumulative,
     "qds_am_pm_ratio" -> qAmPmRatio)
 
+  // Spark-side channel rollup, reduction-first + finest-first:
+  // customer⋈nation(3 nations) resolves to a (custkey, nation) map that
+  // broadcasts into orders (scale-guarded — at sf10 that is 12% of
+  // customers), the (orderkey, channel, nation) result broadcasts into
+  // lineitem (guarded on the orders projection bound), so the fact
+  // never shuffles; then ops/Rollup aggregates ONCE at the finest
+  // (channel, nation) level — 6 groups, map-side — and derives the
+  // super-aggregate levels from that 6-row result instead of running
+  // Expand over the 9M joined rows. Output matches the SQL ROLLUP
+  // oracle exactly (channel/nation are never genuinely NULL here, so
+  // dropping the grouping flags reproduces the NULL super-rows).
+  private val qChannelRollupSpark: QueryFn = { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    import graft.ops.JoinOpt.broadcastIfBounded
+    def t(n: String) = graft.Tables.load(s, dir, n)
+    val n3 = t("nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+      .select("n_nationkey", "n_name")
+    val c = t("customer")
+    val cN = c.join(broadcast(n3), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"))
+    val o = t("orders")
+    val oc = o
+      .join(broadcastIfBounded(cN, c.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express")
+          .otherwise("standard").as("channel"),
+        col("nation"))
+    val joined = t("lineitem")
+      .join(broadcastIfBounded(oc,
+        o.select("o_orderkey", "o_orderpriority", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("channel"), col("nation"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+    graft.ops.Rollup.rollup(joined, Seq("channel", "nation"),
+        Seq(graft.ops.Rollup.sum(col("revenue"), "revenue"),
+          graft.ops.Rollup.count(lit(1), "n_sales")))
+      .withColumn("revenue", round(col("revenue"), 2))
+      .select("channel", "nation", "revenue", "n_sales")
+      .orderBy(col("channel").asc_nulls_first, col("nation").asc_nulls_first)
+  }
+
   val queries: Map[String, QueryFn] =
     all.map { case (n, q) => n -> sql(q) } +
       ("qds_yoy" -> qYoySpark) +
-      ("qds_top_per_group" -> qTopPerGroupSpark)
+      ("qds_top_per_group" -> qTopPerGroupSpark) +
+      ("qds_channel_rollup" -> qChannelRollupSpark)
   val oracleSql: Map[String, String] = all
 }

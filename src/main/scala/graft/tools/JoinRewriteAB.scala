@@ -1,0 +1,169 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Same-session interleaved A/B of the round-8 join-core rewrites
+  * (q5 reduction-first, q10 agg-before-customer, channel_rollup
+  * reduction+finest) against the round-7 declarations. Old and new run
+  * alternately inside one JVM so box weather lands on both arms;
+  * answers are asserted identical before timing.
+  *
+  * Usage: JoinRewriteAB <sfDir> [reps=3]
+  */
+object JoinRewriteAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+
+    // ---- round-7 declarations, frozen ------------------------------
+    def q5Old: DataFrame = {
+      val r = t("region").filter(col("r_name") === "ASIA")
+      val o = t("orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      t("lineitem").join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .join(t("supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }
+    def q10Old: DataFrame = {
+      val o = t("orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      t("lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }
+    def chOld: DataFrame = {
+      graft.Tables.registerAll(spark, sfDir)
+      spark.sql(
+        """SELECT channel, nation, round(sum(revenue), 2) AS revenue,
+          |  count(*) AS n_sales
+          |FROM (
+          |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+          |           THEN 'express' ELSE 'standard' END AS channel,
+          |    n_name AS nation,
+          |    l_extendedprice * (1 - l_discount) AS revenue
+          |  FROM lineitem
+          |  JOIN orders ON l_orderkey = o_orderkey
+          |  JOIN customer ON o_custkey = c_custkey
+          |  JOIN nation ON c_nationkey = n_nationkey
+          |  WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
+          |GROUP BY ROLLUP(channel, nation)
+          |ORDER BY channel NULLS FIRST, nation NULLS FIRST""".stripMargin)
+    }
+
+    // channel variant: dictionary-encode (channel, nation) into one
+    // small int on the broadcast side (6 combos), decode after the
+    // 6-group finest agg — the broadcast relation carries (long, int)
+    // instead of (long, string, string)
+    def chCombo: DataFrame = {
+      import graft.ops.JoinOpt.broadcastIfBounded
+      val nats = Seq("NATION_1", "NATION_2", "NATION_3")
+      val n3 = t("nation").filter(col("n_name").isin(nats: _*))
+        .select("n_nationkey", "n_name")
+      val c = t("customer")
+      val cN = c.join(broadcast(n3),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"))
+      val o = t("orders")
+      val natIdx = nats.zipWithIndex
+        .map { case (nm, i) => (col("nation") === nm, i) }
+        .foldLeft(lit(-1)) { case (acc, (cond, i)) => when(cond, i).otherwise(acc) }
+      val oc = o
+        .join(broadcastIfBounded(cN, c.select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          (when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1) * 3 + natIdx).as("combo"))
+      val finest = t("lineitem")
+        .join(broadcastIfBounded(oc,
+          o.select("o_orderkey", "o_orderpriority", "o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("combo")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_sales"))
+      val decode = spark.createDataFrame(
+        (for (ch <- 0 to 1; ni <- nats.indices) yield
+          (ch * 3 + ni, if (ch == 0) "express" else "standard", nats(ni)))
+          .toList).toDF("combo", "channel", "nation")
+      val decoded = finest.join(broadcast(decode), Seq("combo"))
+        .select("channel", "nation", "revenue", "n_sales")
+      graft.ops.Rollup.rollup(decoded, Seq("channel", "nation"),
+          Seq(graft.ops.Rollup.sum(col("revenue"), "revenue"),
+            graft.ops.Rollup.sum(col("n_sales"), "n_sales")))
+        .withColumn("revenue", round(col("revenue"), 2))
+        .select("channel", "nation", "revenue", "n_sales")
+        .orderBy(col("channel").asc_nulls_first,
+          col("nation").asc_nulls_first)
+    }
+
+    val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q5", () => q5Old,
+        () => graft.SparkEntry.queries("q5_local_supplier")(spark, sfDir)),
+      ("q10", () => q10Old,
+        () => graft.SparkEntry.queries("q10_returned_items")(spark, sfDir)),
+      ("channel", () => chOld,
+        () => graft.SparkEntry.queries("qds_channel_rollup")(spark, sfDir)),
+      // measured sf10 medians 2.69 (declared) vs 3.25 (combo): the
+      // dictionary-encoded broadcast did NOT pay — the build is not
+      // the bottleneck; kept here as the negative control
+      ("ch-combo", () => graft.SparkEntry.queries("qds_channel_rollup")(spark, sfDir),
+        () => chCombo))
+
+    pairs.foreach { case (nm, o, n) =>
+      val a = o().collect().map(_.toString).sorted.mkString("|")
+      val b = n().collect().map(_.toString).sorted.mkString("|")
+      require(a == b, s"$nm: old and new answers differ!")
+      println(s"[joinab] $nm answers agree")
+    }
+    def once(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pairs.foreach { case (_, o, n) => once(o()); once(n()) } // warm 1
+    pairs.foreach { case (_, o, n) => once(o()); once(n()) } // warm 2
+    val acc = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      pairs.foreach { case (nm, o, n) =>
+        spark.catalog.clearCache()
+        acc(nm + ".old") = once(o()) :: acc(nm + ".old")
+        spark.catalog.clearCache()
+        acc(nm + ".new") = once(n()) :: acc(nm + ".new")
+      }
+      System.gc()
+    }
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    pairs.foreach { case (nm, _, _) =>
+      println(f"[joinab] $nm%-8s old=${med(acc(nm + ".old"))}%.2f " +
+        f"new=${med(acc(nm + ".new"))}%.2f  " +
+        f"(old ${acc(nm + ".old").map(x => f"$x%.2f").mkString(",")} | " +
+        f"new ${acc(nm + ".new").map(x => f"$x%.2f").mkString(",")})")
+    }
+    spark.stop()
+  }
+}

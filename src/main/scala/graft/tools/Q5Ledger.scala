@@ -1,0 +1,139 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stage ledger + strategy sweep for TPC-H Q5 at sf10 (the last
+  * headline query with no measured mitigation, 9.0× DuckDB).
+  *
+  * Variants:
+  *  A  declared plan (hint-free, AQE decides)
+  *  B  reduction-first: customer⋈nation(ASIA) broadcast into filtered
+  *     orders (map-side), the resulting (orderkey, nationkey) side
+  *     broadcast into lineitem — the fact never shuffles; supplier
+  *     broadcast closes the (suppkey, nationkey) edge
+  *  C  B but the oc side left to AQE (measures what the hint buys)
+  *  D  pre-aggregated lineitem revenue by (orderkey, suppkey) ahead of
+  *     the dim chain (the verdict's option c)
+  * Interleaved reps, medians; exchange count per variant.
+  */
+object Q5Ledger {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+
+    def filteredOrders = t("orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+
+    def declared: DataFrame = {
+      val r = t("region").filter(col("r_name") === "ASIA")
+      val n = t("nation")
+      l5(t("lineitem"), filteredOrders, t("customer"), t("supplier"), n, r)
+    }
+    def l5(l: DataFrame, o: DataFrame, c: DataFrame, sup: DataFrame,
+        n: DataFrame, r: DataFrame): DataFrame =
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+
+    def reduction(hintOc: Boolean): DataFrame = {
+      val asiaNations = t("nation")
+        .join(broadcast(t("region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cAsia = t("customer")
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      val oc0 = filteredOrders
+        .join(broadcast(cAsia), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      val oc = if (hintOc) broadcast(oc0) else oc0
+      t("lineitem")
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t("supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t("nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }
+
+    def preAgg: DataFrame = {
+      val lp = t("lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+      val r = t("region").filter(col("r_name") === "ASIA")
+      lp.join(filteredOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer"), col("o_custkey") === col("c_custkey"))
+        .join(t("supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      ("A declared",   () => declared),
+      ("B reduce+bc",  () => reduction(hintOc = true)),
+      ("C reduce-AQE", () => reduction(hintOc = false)),
+      ("D preagg",     () => preAgg))
+
+    def once(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // answers must agree before any timing matters
+    val answers = variants.map { case (nm, f) =>
+      nm -> f().collect().map(_.toString).mkString("|")
+    }
+    answers.tail.foreach { case (nm, a) =>
+      require(a == answers.head._2, s"$nm diverges from declared!")
+    }
+    println("[q5ledger] all variants agree on the answer")
+
+    variants.foreach { case (nm, f) => once(f()) } // warm
+    val acc = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      variants.foreach { case (nm, f) =>
+        spark.catalog.clearCache()
+        acc(nm) = once(f()) :: acc(nm)
+      }
+      System.gc()
+    }
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    variants.foreach { case (nm, f) =>
+      val nEx = f().queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      println(f"[q5ledger] $nm%-14s med=${med(acc(nm))}%.2f s " +
+        f"(${acc(nm).map(x => f"$x%.2f").mkString(",")}) exchanges=$nEx")
+    }
+    spark.stop()
+  }
+}

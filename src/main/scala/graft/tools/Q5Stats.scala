@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints the optimizer size estimates for q5's reduction-chain
+  * intermediates at a given sf — the numbers the scale guard reads. */
+object Q5Stats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+    def stat(nm: String, df: org.apache.spark.sql.DataFrame): Unit =
+      println(f"[q5stats] $nm%-18s ${df.queryExecution.optimizedPlan.stats.sizeInBytes} bytes, rows=${df.count()}")
+    val asiaN = t("nation")
+      .join(broadcast(t("region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cAsia = t("customer")
+      .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val o = t("orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val oc = o.join(broadcast(cAsia), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+    stat("customer", t("customer"))
+    stat("cAsia", cAsia)
+    stat("orders_filtered", o)
+    stat("oc", oc)
+    println("=== declared q5 plan (join/exchange lines) ===")
+    val df = graft.SparkEntry.queries("q5_local_supplier")(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save() // let AQE settle
+    println(df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange"))
+      .map(_.take(160)).mkString("\n"))
+    spark.stop()
+  }
+}

@@ -73,11 +73,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodeCount(p, "Exchange") <= 2, p)
   }
 
-  test("qds_channel_rollup: all dims broadcast, expand feeds one agg shuffle") {
+  test("qds_channel_rollup: reduction-first, fact never shuffles, no Expand") {
     val p = plan("qds_channel_rollup")
-    assert(nodeCount(p, "BroadcastHashJoin") >= 3, p) // orders/customer/nation
+    // customer⋈nation broadcast into orders, (orderkey,channel,nation)
+    // broadcast into lineitem, decode/rollup tiny
+    assert(nodeCount(p, "BroadcastHashJoin") >= 3, p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(p.contains("Expand"), p) // rollup = Expand, not a union of scans
+    // finest-first rollup: the 9M joined rows are aggregated ONCE at
+    // (channel, nation); Expand (3× row multiplication) must be gone
+    assert(!p.contains("Expand"), p)
     // nation IN-list pushed down to the nation scan
     assert(p.contains("In(n_name"), p)
   }
