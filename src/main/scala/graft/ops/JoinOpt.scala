@@ -62,10 +62,17 @@ object JoinOpt {
     * linearly, so the same declaration broadcasts at warehouse scale
     * and degrades to the keyed shuffle join at the 100 TB regime. */
   def broadcastIfBounded(side: DataFrame, bound: DataFrame): DataFrame = {
+    if (withinReduceBound(bound)) broadcast(side) else side
+  }
+
+  /** The broadcastIfBounded guard by itself, for callers that switch
+    * whole plan shapes (e.g. the ProbeAgg kernel vs the BHJ chain)
+    * rather than a single hint. */
+  def withinReduceBound(bound: DataFrame): Boolean = {
     val thr = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      side.sparkSession.conf
+      bound.sparkSession.conf
         .get("spark.graft.reduceBroadcastThreshold", "256m"))
-    val est = bound.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (thr > 0 && est <= BigInt(thr)) broadcast(side) else side
+    thr > 0 &&
+      bound.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
   }
 }

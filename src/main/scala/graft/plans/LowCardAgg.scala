@@ -105,8 +105,9 @@ object LowCardAgg {
   }
 
   /** Typed literal for a filter bound, so the predicate stays a bare
-    * attribute-vs-literal comparison the parquet source can push. */
-  private def litFor(dt: org.apache.spark.sql.types.DataType, v: Double)
+    * attribute-vs-literal comparison the parquet source can push.
+    * Shared with [[ProbeAgg]], which pushes the same filter shapes. */
+  private[plans] def litFor(dt: org.apache.spark.sql.types.DataType, v: Double)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.lit

@@ -1,0 +1,773 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, AttributeSet, GenericInternalRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter,
+  SparkPlan, UnaryExecNode, WholeStageCodegenExec}
+import org.apache.spark.sql.functions.{col, lit, sum}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.plans.LowCardAgg.{ColFilter, ProductSum}
+
+/** Columnar probe-side join+aggregate fusion: the reduction-first join
+  * family (q5, channel rollup) ends as `fact scan → N broadcast hash
+  * probes → tiny grouped sums`. Spark executes that as BroadcastHashJoin
+  * chains in the row pipeline — correct, no shuffle, but each 60M-row
+  * batch is converted row-by-row and every row walks the codegen'd
+  * probe/project chain (~2.5 s at sf10 where DuckDB's vectorized
+  * pipeline runs 0.5 s). This operator runs the same pipeline over the
+  * scan's ColumnarBatches: bulk-decode the probe-key columns, probe
+  * primitive open-addressing long→long maps (built once driver-side
+  * from the reduced dim sides, torrent-broadcast), drop misses
+  * (inner-join semantics), optionally require two probe results equal
+  * (q5's customer-nation = supplier-nation edge), and accumulate
+  * product sums into a group table keyed by a probed value — no row
+  * objects, no per-row join node dispatch.
+  *
+  * Same architecture as [[LowCardAgg]] (logical marker → Strategy →
+  * columnar exec with row fallback → normal Catalyst final aggregate,
+  * so the distributed shape — map-side partials, one tiny shuffle —
+  * is unchanged), and the same plan-shape safety: a FilterExec between
+  * the node and the scan is only skipped when its every conjunct is
+  * one the kernel re-evaluates on the vectors.
+  *
+  * Contract:
+  *  - probe tables are KEY-UNIQUE (at most one row per key — the
+  *    reduced sides are keyed by orderkey/suppkey); build fails loudly
+  *    on a duplicate key with a different value.
+  *  - a NULL probe key drops the row (SQL inner-join semantics).
+  *  - the caller guards SCALE: maps are driver-collected, so route
+  *    through this only when the reduced side passes the same bound
+  *    check as a broadcast (JoinOpt.withinReduceBound); else keep the
+  *    BroadcastHashJoin/shuffle declaration.
+  *
+  * Reference analogue: the single-process hash pipeline the reference
+  * gets from DuckDB for exactly these plans
+  * (pg_lake_engine/src/pgduck/ — the engine the FDW ships joins to).
+  */
+object ProbeAgg {
+
+  /** Open-addressing long→long map, linear probing, power-of-2
+    * capacity. Keys must be ≥ 0 (ids); EMPTY slot = -1. */
+  final class LongLongMap(initialCapacity: Int) extends Serializable {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(16, initialCapacity * 2) - 1) << 1
+    private var mask = cap - 1
+    private var keys = Array.fill[Long](cap)(-1L)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+
+    def size: Int = n
+
+    def put(k: Long, v: Long): Unit = {
+      require(k >= 0, s"ProbeAgg map keys must be non-negative ids, got $k")
+      if (n * 4 >= cap * 3) grow()
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (true) {
+        val kk = keys(i)
+        if (kk == -1L) { keys(i) = k; vals(i) = v; n += 1; return }
+        if (kk == k) {
+          require(vals(i) == v,
+            s"ProbeAgg probe table is not key-unique: key $k maps to " +
+              s"both ${vals(i)} and $v")
+          return
+        }
+        i = (i + 1) & mask
+      }
+    }
+
+    /** Value for key, or -1 (MISS). Values must therefore be ≥ 0. */
+    def get(k: Long): Long = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (true) {
+        val kk = keys(i)
+        if (kk == k) return vals(i)
+        if (kk == -1L) return -1L
+        i = (i + 1) & mask
+      }
+      -1L
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1; mask = cap - 1
+      keys = Array.fill[Long](cap)(-1L)
+      vals = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != -1L) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+  }
+
+  /** One probe: fact long/int column `factCol` against the key-unique
+    * (key, value) relation `table` — both sides non-negative ids. */
+  final case class Probe(factCol: String, table: DataFrame,
+      tableKey: String, tableValue: String)
+
+  /** String-equality pre-filter on the fact (e.g. l_returnflag = 'R'),
+    * evaluated on the vectors with a per-batch dictionary-id cache. */
+  final case class StrEqFilter(column: String, value: String)
+
+  /** Build the probe map driver-side. The collect is the caller-guarded
+    * scale decision (see scaladoc). */
+  private def buildMap(p: Probe): LongLongMap = {
+    val rows = p.table
+      .select(col(p.tableKey).cast("long"), col(p.tableValue).cast("long"))
+      .collect()
+    val m = new LongLongMap(rows.length)
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "ProbeAgg probe table must have non-null keys and values")
+      val v = r.getLong(1)
+      require(v >= 0, s"ProbeAgg probe values must be non-negative, got $v")
+      m.put(r.getLong(0), v)
+    }
+    m
+  }
+
+  /** Probe-fused grouped product sums. `groupByProbe` = index into
+    * `probes` whose VALUE keys the aggregation (None → one global
+    * group). `constraintEq` = (i, j) requiring probe i's and probe j's
+    * values equal (rows failing it drop). Returns one row per group:
+    * `_gkey` (long) ++ each ProductSum ++ `cnt`. */
+  def probeSums(fact: DataFrame, probes: Seq[Probe],
+      sums: Seq[ProductSum], groupByProbe: Option[Int],
+      numFilters: Seq[ColFilter] = Nil, strFilters: Seq[StrEqFilter] = Nil,
+      constraintEq: Option[(Int, Int)] = None,
+      maxGroups: Int = 1 << 21): DataFrame = {
+    require(sums.nonEmpty && probes.nonEmpty)
+    groupByProbe.foreach(i => require(probes.indices.contains(i)))
+    constraintEq.foreach { case (i, j) =>
+      require(probes.indices.contains(i) && probes.indices.contains(j)) }
+    val spark = fact.sparkSession
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(ProbeAggStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ ProbeAggStrategy
+    val maps = probes.map(p =>
+      spark.sparkContext.broadcast(buildMap(p)))
+    val needed = (probes.map(_.factCol) ++
+      sums.flatMap(_.terms.map(_.column)) ++ numFilters.map(_.column) ++
+      strFilters.map(_.column)).distinct
+    // push the pre-filters as ordinary Catalyst predicates too (parquet
+    // row-group pruning); the exec re-evaluates the same conjunction
+    val sel = fact.select(needed.map(col): _*)
+    val numPred = numFilters.map { f =>
+      val rhs = LowCardAgg.litFor(fact.schema(f.column).dataType, f.value)
+      f.op match {
+        case "le" => col(f.column) <= rhs
+        case "lt" => col(f.column) < rhs
+        case "ge" => col(f.column) >= rhs
+        case "gt" => col(f.column) > rhs
+      }
+    }
+    val strPred = strFilters.map(f => col(f.column) === lit(f.value))
+    val pruned = (numPred ++ strPred).reduceOption(_ && _)
+      .map(sel.filter).getOrElse(sel)
+    val pre = GraftBridge.ofRows(spark,
+      ProbePreAgg.build(probes.map(_.factCol), maps, sums, numFilters,
+        strFilters, groupByProbe, constraintEq, maxGroups,
+        pruned.queryExecution.analyzed))
+    val grouped = pre.groupBy(col("_gkey"))
+      .agg(sum(sums.head.name).as(sums.head.name),
+        (sums.tail.map(s => sum(s.name).as(s.name)) :+
+          sum("_cnt").as("cnt")): _*)
+    grouped
+  }
+}
+
+/** Logical marker node; output = `_gkey` long ++ sums ++ `_cnt`.
+  * Output attrs are constructor parameters for the same expr-id
+  * stability reason as [[LowCardPreAgg]]. */
+final case class ProbePreAgg(factCols: Seq[String],
+    maps: Seq[Broadcast[ProbeAgg.LongLongMap]],
+    sums: Seq[ProductSum], numFilters: Seq[ColFilter],
+    strFilters: Seq[ProbeAgg.StrEqFilter], groupByProbe: Option[Int],
+    constraintEq: Option[(Int, Int)], maxGroups: Int,
+    child: LogicalPlan, outputAttrs: Seq[Attribute]) extends UnaryNode {
+  override def output: Seq[Attribute] = outputAttrs
+  override def references: AttributeSet = child.outputSet
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : ProbePreAgg = copy(child = newChild)
+}
+
+object ProbePreAgg {
+  def build(factCols: Seq[String],
+      maps: Seq[Broadcast[ProbeAgg.LongLongMap]],
+      sums: Seq[ProductSum], numFilters: Seq[ColFilter],
+      strFilters: Seq[ProbeAgg.StrEqFilter], groupByProbe: Option[Int],
+      constraintEq: Option[(Int, Int)], maxGroups: Int,
+      child: LogicalPlan): ProbePreAgg =
+    ProbePreAgg(factCols, maps, sums, numFilters, strFilters,
+      groupByProbe, constraintEq, maxGroups, child,
+      (AttributeReference("_gkey", LongType)() +:
+        sums.map(s => AttributeReference(s.name, DoubleType)())) :+
+        AttributeReference("_cnt", LongType)())
+}
+
+object ProbeAggStrategy
+    extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: ProbePreAgg =>
+      // decomposed fields, NOT the logical node: the node's child plan
+      // holds a FileIndex, which must never ride into task closures
+      ProbePreAggExec(p.factCols, p.maps, p.sums, p.numFilters,
+        p.strFilters, p.groupByProbe, p.constraintEq, p.maxGroups,
+        p.output, planLater(p.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class ProbePreAggExec(factCols: Seq[String],
+    maps: Seq[Broadcast[ProbeAgg.LongLongMap]], sums: Seq[ProductSum],
+    numFilters: Seq[ColFilter], strFilters: Seq[ProbeAgg.StrEqFilter],
+    groupByProbe: Option[Int], constraintEq: Option[(Int, Int)],
+    maxGroups: Int, output: Seq[Attribute], child: SparkPlan)
+    extends UnaryExecNode {
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : ProbePreAggExec = copy(child = newChild)
+
+  private def columnarChild(p: SparkPlan): Option[SparkPlan] = p match {
+    case c if c.supportsColumnar => Some(c)
+    case c: ColumnarToRowExec => columnarChild(c.child)
+    case c: InputAdapter => columnarChild(c.child)
+    case c: WholeStageCodegenExec => columnarChild(c.child)
+    case c: org.apache.spark.sql.execution.ProjectExec
+        if c.projectList.forall(_.isInstanceOf[Attribute]) =>
+      columnarChild(c.child)
+    case c: org.apache.spark.sql.execution.FilterExec
+        if filterMatchesSpec(c.condition) =>
+      columnarChild(c.child)
+    case _ => None
+  }
+
+  /** Same discipline as LowCardAgg: skip a FilterExec only when every
+    * conjunct is re-evaluated by the kernel (our numeric comparisons,
+    * our string equalities, inferred IsNotNull on their columns). */
+  private def filterMatchesSpec(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    val fcols = (numFilters.map(_.column) ++
+      strFilters.map(_.column)).toSet
+    def litD(l: Literal): Option[Double] = l.value match {
+      case d: java.lang.Double => Some(d.doubleValue)
+      case f: java.lang.Float => Some(f.doubleValue)
+      case x: java.lang.Long => Some(x.doubleValue)
+      case x: java.lang.Integer => Some(x.doubleValue)
+      case x: java.lang.Short => Some(x.doubleValue)
+      case _ => None
+    }
+    def hitNum(name: String, op: String, l: Literal): Boolean =
+      litD(l).exists(b => numFilters.exists(f =>
+        f.column == name && f.op == op && f.value == b))
+    def hitStr(name: String, l: Literal): Boolean = l.value match {
+      case u: UTF8String => strFilters.exists(f =>
+        f.column == name && f.value == u.toString)
+      case _ => false
+    }
+    split(cond).forall {
+      case IsNotNull(a: Attribute) => fcols(a.name)
+      case EqualTo(a: Attribute, l: Literal) => hitStr(a.name, l)
+      case EqualTo(l: Literal, a: Attribute) => hitStr(a.name, l)
+      case LessThanOrEqual(a: Attribute, l: Literal) => hitNum(a.name, "le", l)
+      case LessThan(a: Attribute, l: Literal) => hitNum(a.name, "lt", l)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => hitNum(a.name, "ge", l)
+      case GreaterThan(a: Attribute, l: Literal) => hitNum(a.name, "gt", l)
+      case LessThanOrEqual(l: Literal, a: Attribute) => hitNum(a.name, "ge", l)
+      case LessThan(l: Literal, a: Attribute) => hitNum(a.name, "gt", l)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => hitNum(a.name, "le", l)
+      case GreaterThan(l: Literal, a: Attribute) => hitNum(a.name, "lt", l)
+      case _ => false
+    }
+  }
+
+  /** Per-partition group table: gkey → dense slot (open addressing),
+    * parallel accumulator arrays, growable to maxGroups then loud. */
+  private final class Groups(nSums: Int, maxGroups: Int) {
+    private var cap = 1 << 10
+    private var mask = cap - 1
+    private var slotKeys = Array.fill[Long](cap)(-1L)
+    private var slotIds = new Array[Int](cap)
+    var gkeys = new Array[Long](cap)
+    var accs = Array.ofDim[Double](cap, nSums)
+    var touched = Array.ofDim[Boolean](cap, nSums)
+    var cnts = new Array[Long](cap)
+    var n = 0
+
+    def idOf(k: Long): Int = {
+      var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (true) {
+        val kk = slotKeys(i)
+        if (kk == k) return slotIds(i)
+        if (kk == -1L) {
+          require(n < maxGroups,
+            s"ProbeAgg overflow: > $maxGroups distinct group keys")
+          if (n == gkeys.length) growDense()
+          if (n * 4 >= cap * 3) { growTable(); return idOf(k) }
+          slotKeys(i) = k; slotIds(i) = n
+          gkeys(n) = k
+          n += 1
+          return n - 1
+        }
+        i = (i + 1) & mask
+      }
+      -1
+    }
+
+    private def growDense(): Unit = {
+      val c = gkeys.length << 1
+      gkeys = java.util.Arrays.copyOf(gkeys, c)
+      accs = accs ++ Array.ofDim[Double](c - accs.length, accs(0).length)
+      touched = touched ++
+        Array.ofDim[Boolean](c - touched.length, touched(0).length)
+      cnts = java.util.Arrays.copyOf(cnts, c)
+    }
+
+    private def growTable(): Unit = {
+      cap <<= 1; mask = cap - 1
+      slotKeys = Array.fill[Long](cap)(-1L)
+      slotIds = new Array[Int](cap)
+      var g = 0
+      while (g < n) {
+        var i = (scala.util.hashing.byteswap64(gkeys(g)) & mask).toInt
+        while (slotKeys(i) != -1L) i = (i + 1) & mask
+        slotKeys(i) = gkeys(g); slotIds(i) = g
+        g += 1
+      }
+    }
+
+    def rows(nSums: Int): Iterator[InternalRow] =
+      (0 until n).iterator.map { g =>
+        val vals = new Array[Any](1 + nSums + 1)
+        vals(0) = gkeys(g)
+        var s = 0
+        while (s < nSums) {
+          vals(1 + s) = if (touched(g)(s)) accs(g)(s) else null
+          s += 1
+        }
+        vals(1 + nSums) = cnts(g)
+        new GenericInternalRow(vals)
+      }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val colPlan = columnarChild(child)
+    val out = colPlan.map(_.output).getOrElse(child.output)
+    def ord(name: String): Int = {
+      val i = out.indexWhere(_.name == name)
+      require(i >= 0, s"unresolved column $name in $out")
+      i
+    }
+    val probeOrds = factCols.map(ord).toArray
+    val probeLong = probeOrds.map(o => out(o).dataType == LongType)
+    val mapsArr = maps.toArray
+    val sumSpecs = sums.map(_.terms.map(t =>
+      (ord(t.column), t.mul, t.add)).toArray).toArray
+    val numFs = numFilters.map(f =>
+      (ord(f.column), f.op match {
+        case "le" => 0; case "lt" => 1; case "ge" => 2; case "gt" => 3 },
+        f.value,
+        out(ord(f.column)).dataType)).toArray
+    val strFs = strFilters.map(f => (ord(f.column), f.value)).toArray
+    val numOrds = (sumSpecs.flatMap(_.map(_._1)) ++
+      numFs.map(_._1)).distinct
+    val slotOf = numOrds.zipWithIndex.toMap
+    val slotKinds = numOrds.map { o =>
+      out(o).dataType match {
+        case DoubleType => 0
+        case LongType | org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => 1
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => 2
+        case dt => throw new IllegalArgumentException(
+          s"ProbeAgg numeric input must be double/long/timestamp/int: $dt")
+      }
+    }
+    val termSlots = sumSpecs.map(_.map(t => slotOf(t._1)))
+    val termMuls = sumSpecs.map(_.map(_._2))
+    val termAdds = sumSpecs.map(_.map(_._3))
+    val fSlots = numFs.map(f => slotOf(f._1))
+    val fOps = numFs.map(_._2)
+    val fLims = numFs.map(_._3)
+    val groupIdx = groupByProbe.getOrElse(-1)
+    val constraint = constraintEq
+    val nSums = sums.length
+    val mg = maxGroups
+
+    colPlan match {
+      case Some(scan) =>
+        scan.executeColumnar().mapPartitions { batches =>
+          partialsColumnar(batches, probeOrds, probeLong, mapsArr, numOrds,
+            slotKinds, termSlots, termMuls, termAdds, fSlots, fOps, fLims,
+            strFs, groupIdx, constraint, nSums, mg)
+        }
+      case None =>
+        child.execute().mapPartitions { rows =>
+          partialsRows(rows, probeOrds, probeLong, mapsArr, numOrds,
+            slotKinds, termSlots, termMuls, termAdds, fSlots, fOps, fLims,
+            strFs, groupIdx, constraint, nSums, mg)
+        }
+    }
+  }
+
+  // reuse LowCardAgg's numeric decode semantics (mask = NULL, NaN flows)
+  private def decodeNum(v: ColumnVector, kind: Int, n: Int,
+      out: Array[Double], mask: Array[Boolean]): Unit = {
+    var i = 0
+    if (!v.hasNull) {
+      java.util.Arrays.fill(mask, 0, n, false)
+      kind match {
+        case 0 =>
+          System.arraycopy(v.getDoubles(0, n), 0, out, 0, n)
+        case 1 => while (i < n) { out(i) = v.getLong(i).toDouble; i += 1 }
+        case 2 => while (i < n) { out(i) = v.getInt(i).toDouble; i += 1 }
+      }
+    } else {
+      while (i < n) {
+        if (v.isNullAt(i)) { out(i) = 0.0; mask(i) = true }
+        else {
+          mask(i) = false
+          out(i) = kind match {
+            case 0 => v.getDouble(i)
+            case 1 => v.getLong(i).toDouble
+            case 2 => v.getInt(i).toDouble
+          }
+        }
+        i += 1
+      }
+    }
+  }
+
+  private def decodeKey(v: ColumnVector, isLong: Boolean, n: Int,
+      out: Array[Long]): Unit = {
+    var i = 0
+    if (!v.hasNull) {
+      if (isLong) System.arraycopy(v.getLongs(0, n), 0, out, 0, n)
+      else while (i < n) { out(i) = v.getInt(i).toLong; i += 1 }
+    } else {
+      while (i < n) {
+        // null key → sentinel -1 → guaranteed probe miss → row drops,
+        // which IS inner-join null semantics
+        out(i) =
+          if (v.isNullAt(i)) -1L
+          else if (isLong) v.getLong(i) else v.getInt(i).toLong
+        i += 1
+      }
+    }
+  }
+
+  private def partialsColumnar(batches: Iterator[ColumnarBatch],
+      probeOrds: Array[Int], probeLong: Array[Boolean],
+      maps: Array[Broadcast[ProbeAgg.LongLongMap]], numOrds: Array[Int],
+      slotKinds: Array[Int], termSlots: Array[Array[Int]],
+      termMuls: Array[Array[Double]], termAdds: Array[Array[Double]],
+      fSlots: Array[Int], fOps: Array[Int], fLims: Array[Double],
+      strFs: Array[(Int, String)], groupIdx: Int,
+      constraint: Option[(Int, Int)], nSums: Int, maxGroups: Int)
+      : Iterator[InternalRow] = {
+    val groups = new Groups(nSums, maxGroups)
+    val nSlots = numOrds.length
+    val nProbes = probeOrds.length
+    val localMaps = maps.map(_.value)
+    val strTargets = strFs.map(f => UTF8String.fromString(f._2))
+    val dbg = System.getenv("GRAFT_PROBEAGG_DEBUG") == "1"
+    var tDecode = 0L; var tFilter = 0L; var tProbe = 0L; var tAcc = 0L
+    var nRows = 0L
+    var cols: Array[Array[Double]] = Array.fill(nSlots)(new Array[Double](0))
+    var masks: Array[Array[Boolean]] = Array.fill(nSlots)(new Array[Boolean](0))
+    var keyBufs: Array[Array[Long]] = Array.fill(nProbes)(new Array[Long](0))
+    var vals: Array[Array[Long]] = Array.fill(nProbes)(new Array[Long](0))
+    var keep: Array[Boolean] = new Array[Boolean](0)
+    var dictCache = new Array[Byte](0)
+
+    batches.foreach { batch =>
+      val n = batch.numRows()
+      if (n > 0) {
+        if (keep.length < n) {
+          keep = new Array[Boolean](n)
+          cols = Array.fill(nSlots)(new Array[Double](n))
+          masks = Array.fill(nSlots)(new Array[Boolean](n))
+          keyBufs = Array.fill(nProbes)(new Array[Long](n))
+          vals = Array.fill(nProbes)(new Array[Long](n))
+        }
+        nRows += n
+        var t0 = if (dbg) System.nanoTime() else 0L
+        var s = 0
+        while (s < nSlots) {
+          decodeNum(batch.column(numOrds(s)), slotKinds(s), n, cols(s),
+            masks(s))
+          s += 1
+        }
+        var p = 0
+        while (p < nProbes) {
+          decodeKey(batch.column(probeOrds(p)), probeLong(p), n, keyBufs(p))
+          p += 1
+        }
+        if (dbg) { val t = System.nanoTime(); tDecode += t - t0; t0 = t }
+        java.util.Arrays.fill(keep, 0, n, true)
+        // numeric filters — same NULL/NaN semantics as LowCardAgg
+        var f = 0
+        while (f < fSlots.length) {
+          val arr = cols(fSlots(f)); val nul = masks(fSlots(f))
+          val lim = fLims(f)
+          var i = 0
+          fOps(f) match {
+            case 0 => while (i < n) {
+              if (nul(i) || !(arr(i) <= lim)) keep(i) = false; i += 1 }
+            case 1 => while (i < n) {
+              if (nul(i) || !(arr(i) < lim)) keep(i) = false; i += 1 }
+            case 2 => while (i < n) {
+              val v = arr(i)
+              if (nul(i) || !(v >= lim || v != v)) keep(i) = false
+              i += 1 }
+            case 3 => while (i < n) {
+              val v = arr(i)
+              if (nul(i) || !(v > lim || v != v)) keep(i) = false
+              i += 1 }
+          }
+          f += 1
+        }
+        // string equality filters; dictionary-id memo when available
+        f = 0
+        while (f < strFs.length) {
+          val v = batch.column(strFs(f)._1)
+          val target = strTargets(f)
+          val dictIds = v match {
+            case w: org.apache.spark.sql.execution.vectorized
+              .WritableColumnVector if w.hasDictionary && !w.hasNull =>
+              w.getDictionaryIds
+            case _ => null
+          }
+          var i = 0
+          if (dictIds != null) {
+            java.util.Arrays.fill(dictCache, 0.toByte)
+            while (i < n) {
+              if (keep(i)) {
+                val id = dictIds.getDictId(i)
+                if (id >= dictCache.length) {
+                  val old = dictCache
+                  dictCache = new Array[Byte](
+                    math.max(id + 1, old.length * 2 + 16))
+                  System.arraycopy(old, 0, dictCache, 0, old.length)
+                }
+                var c = dictCache(id)
+                if (c == 0) {
+                  c = if (v.getUTF8String(i).equals(target)) 1 else 2
+                  dictCache(id) = c
+                }
+                if (c != 1) keep(i) = false
+              }
+              i += 1
+            }
+          } else {
+            while (i < n) {
+              if (keep(i)) {
+                if (v.isNullAt(i) || !v.getUTF8String(i).equals(target))
+                  keep(i) = false
+              }
+              i += 1
+            }
+          }
+          f += 1
+        }
+        if (dbg) { val t = System.nanoTime(); tFilter += t - t0; t0 = t }
+        // probes: miss (or null key) drops the row
+        p = 0
+        while (p < nProbes) {
+          val m = localMaps(p)
+          val ks = keyBufs(p)
+          val vs = vals(p)
+          var i = 0
+          while (i < n) {
+            if (keep(i)) {
+              val k = ks(i)
+              val v = if (k < 0) -1L else m.get(k)
+              if (v < 0) keep(i) = false else vs(i) = v
+            }
+            i += 1
+          }
+          p += 1
+        }
+        constraint.foreach { case (a, b) =>
+          val va = vals(a); val vb = vals(b)
+          var i = 0
+          while (i < n) {
+            if (keep(i) && va(i) != vb(i)) keep(i) = false
+            i += 1
+          }
+        }
+        if (dbg) { val t = System.nanoTime(); tProbe += t - t0; t0 = t }
+        val gvals = if (groupIdx >= 0) vals(groupIdx) else null
+        s = 0
+        while (s < nSums) {
+          val slots = termSlots(s)
+          val muls = termMuls(s)
+          val adds = termAdds(s)
+          var i = 0
+          if (slots.length == 1) {
+            val m1 = muls(0); val a1 = adds(0)
+            val arr = cols(slots(0)); val nu = masks(slots(0))
+            while (i < n) {
+              if (keep(i) && !nu(i)) {
+                val g = groups.idOf(if (gvals == null) 0L else gvals(i))
+                groups.accs(g)(s) += m1 * arr(i) + a1
+                groups.touched(g)(s) = true
+              }
+              i += 1
+            }
+          } else if (slots.length == 2) {
+            val m1 = muls(0); val a1 = adds(0)
+            val m2 = muls(1); val a2 = adds(1)
+            val arr1 = cols(slots(0)); val arr2 = cols(slots(1))
+            val nu1 = masks(slots(0)); val nu2 = masks(slots(1))
+            while (i < n) {
+              if (keep(i) && !nu1(i) && !nu2(i)) {
+                val g = groups.idOf(if (gvals == null) 0L else gvals(i))
+                groups.accs(g)(s) +=
+                  (m1 * arr1(i) + a1) * (m2 * arr2(i) + a2)
+                groups.touched(g)(s) = true
+              }
+              i += 1
+            }
+          } else {
+            while (i < n) {
+              if (keep(i)) {
+                var prod = 1.0
+                var anyNull = false
+                var t = 0
+                while (t < slots.length) {
+                  if (masks(slots(t))(i)) anyNull = true
+                  prod *= muls(t) * cols(slots(t))(i) + adds(t)
+                  t += 1
+                }
+                if (!anyNull) {
+                  val g = groups.idOf(if (gvals == null) 0L else gvals(i))
+                  groups.accs(g)(s) += prod
+                  groups.touched(g)(s) = true
+                }
+              }
+              i += 1
+            }
+          }
+          s += 1
+        }
+        var i = 0
+        while (i < n) {
+          if (keep(i))
+            groups.cnts(groups.idOf(if (gvals == null) 0L else gvals(i))) += 1
+          i += 1
+        }
+        if (dbg) { val t = System.nanoTime(); tAcc += t - t0 }
+      }
+    }
+    if (dbg) println(f"[probeagg-dbg] rows=$nRows groups=${groups.n} " +
+      f"decode=${tDecode / 1e6}%.0fms filter=${tFilter / 1e6}%.0fms " +
+      f"probe=${tProbe / 1e6}%.0fms acc=${tAcc / 1e6}%.0fms")
+    groups.rows(nSums)
+  }
+
+  private def partialsRows(rows: Iterator[InternalRow],
+      probeOrds: Array[Int], probeLong: Array[Boolean],
+      maps: Array[Broadcast[ProbeAgg.LongLongMap]], numOrds: Array[Int],
+      slotKinds: Array[Int], termSlots: Array[Array[Int]],
+      termMuls: Array[Array[Double]], termAdds: Array[Array[Double]],
+      fSlots: Array[Int], fOps: Array[Int], fLims: Array[Double],
+      strFs: Array[(Int, String)], groupIdx: Int,
+      constraint: Option[(Int, Int)], nSums: Int, maxGroups: Int)
+      : Iterator[InternalRow] = {
+    val groups = new Groups(nSums, maxGroups)
+    val localMaps = maps.map(_.value)
+    val strTargets = strFs.map(f => UTF8String.fromString(f._2))
+    val slotVals = new Array[Double](numOrds.length)
+    val slotNull = new Array[Boolean](numOrds.length)
+    val probeVals = new Array[Long](probeOrds.length)
+    rows.foreach { row =>
+      var ok = true
+      var s = 0
+      while (s < numOrds.length) {
+        val o = numOrds(s)
+        if (row.isNullAt(o)) { slotVals(s) = 0.0; slotNull(s) = true }
+        else {
+          slotNull(s) = false
+          slotVals(s) = slotKinds(s) match {
+            case 0 => row.getDouble(o)
+            case 1 => row.getLong(o).toDouble
+            case 2 => row.getInt(o).toDouble
+          }
+        }
+        s += 1
+      }
+      var f = 0
+      while (ok && f < fSlots.length) {
+        val x = slotVals(fSlots(f))
+        val lim = fLims(f)
+        ok = !slotNull(fSlots(f)) && (fOps(f) match {
+          case 0 => x <= lim
+          case 1 => x < lim
+          case 2 => x >= lim || x != x
+          case 3 => x > lim || x != x
+        })
+        f += 1
+      }
+      f = 0
+      while (ok && f < strFs.length) {
+        val o = strFs(f)._1
+        ok = !row.isNullAt(o) && row.getUTF8String(o).equals(strTargets(f))
+        f += 1
+      }
+      var p = 0
+      while (ok && p < probeOrds.length) {
+        val o = probeOrds(p)
+        if (row.isNullAt(o)) ok = false
+        else {
+          val k = if (probeLong(p)) row.getLong(o) else row.getInt(o).toLong
+          val v = if (k < 0) -1L else localMaps(p).get(k)
+          if (v < 0) ok = false else probeVals(p) = v
+        }
+        p += 1
+      }
+      constraint.foreach { case (a, b) =>
+        if (ok && probeVals(a) != probeVals(b)) ok = false
+      }
+      if (ok) {
+        val g = groups.idOf(if (groupIdx >= 0) probeVals(groupIdx) else 0L)
+        s = 0
+        while (s < nSums) {
+          val slots = termSlots(s)
+          var prod = 1.0
+          var anyNull = false
+          var t = 0
+          while (t < slots.length) {
+            if (slotNull(slots(t))) anyNull = true
+            prod *= termMuls(s)(t) * slotVals(slots(t)) + termAdds(s)(t)
+            t += 1
+          }
+          if (!anyNull) {
+            groups.accs(g)(s) += prod
+            groups.touched(g)(s) = true
+          }
+          s += 1
+        }
+        groups.cnts(g) += 1
+        ()
+      }
+    }
+    groups.rows(nSums)
+  }
+}

@@ -24,33 +24,85 @@ object QTpcds {
   // must be guarded to consecutive years exactly like the yr = yr+1 join
   // — and halves the heavy subtree (measured 1.76 s → ~1.0 s at sf0.1).
   private val qYoySpark: QueryFn = { (s, dir) =>
-    graft.Tables.registerAll(s, dir)
-    s.sql(
-      """SELECT nation, yr, round(rev, 2) AS cur_rev,
-        |  round(prev_raw, 2) AS prev_rev,
-        |  round(rev / prev_raw, 4) AS ratio
-        |FROM (
-        |  SELECT nation, yr, rev,
-        |    lag(rev) OVER (PARTITION BY nation ORDER BY yr) AS prev_raw,
-        |    lag(yr) OVER (PARTITION BY nation ORDER BY yr) AS prev_yr
-        |  FROM (
-        |    SELECT n_name AS nation,
-        |      CAST(extract(year FROM o_orderdate) AS INT) AS yr,
-        |      sum(l_extendedprice * (1 - l_discount)) AS rev
-        |    FROM lineitem
-        |    JOIN orders ON o_orderkey = l_orderkey
-        |    JOIN customer ON c_custkey = o_custkey
-        |    JOIN nation ON c_nationkey = n_nationkey
-        |    -- derived from the outer guard: only yr 1996..1999 and its
-        |    -- lag partner yr-1 can reach the output, so years outside
-        |    -- [1995, 1999] cannot affect any surviving group — and as a
-        |    -- date range (unlike extract()) it prunes the orders scan
-        |    -- and shrinks the fact join ~60% before the shuffle
-        |    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-        |      AND o_orderdate < TIMESTAMP '2000-01-01'
-        |    GROUP BY n_name, CAST(extract(year FROM o_orderdate) AS INT)))
-        |WHERE prev_yr = yr - 1 AND yr BETWEEN 1996 AND 1999
-        |ORDER BY nation, yr""".stripMargin)
+    import org.apache.spark.sql.functions._
+    import graft.ops.JoinOpt.withinReduceBound
+    import graft.plans.ProbeAgg
+    import graft.plans.ProbeAgg.Probe
+    import graft.plans.LowCardAgg.{ProductSum, Term}
+    def t(n: String) = graft.Tables.load(s, dir, n)
+    val o = t("orders")
+    val c = t("customer")
+    // years pruned as a date range exactly like the SQL fallback below:
+    // only 1996..1999 and the lag partner 1995 can reach the output
+    val oPruned = o
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+    if (withinReduceBound(o.select("o_orderkey", "o_custkey")) &&
+        withinReduceBound(c.select("c_custkey", "c_nationkey"))) {
+      // ProbeAgg kernel: probe VALUE = nationkey·10⁴ + order year, so
+      // the (nation, year) revenue matrix (175 groups) accumulates in
+      // the fact's scan pass — sf10: 4.92 → 0.96 s (tools/ProbeAggAB);
+      // the lag window then runs on 175 rows
+      val cN = c.join(broadcast(t("nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_nationkey")
+      val oc = oPruned.join(broadcast(cN),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          (col("n_nationkey").cast("long") * 10000L +
+            year(col("o_orderdate"))).as("combo"))
+      val finest = ProbeAgg.probeSums(t("lineitem"),
+          Seq(Probe("l_orderkey", oc, "o_orderkey", "combo")),
+          Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+            Term("l_discount", mul = -1.0, add = 1.0)))),
+          groupByProbe = Some(0))
+      val yearly = finest
+        .join(broadcast(t("nation").select("n_nationkey", "n_name")),
+          (col("_gkey") / 10000L).cast("int") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          (col("_gkey") % 10000L).cast("int").as("yr"), col("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nation").orderBy("yr")
+      yearly
+        .withColumn("prev_raw", lag(col("rev"), 1).over(w))
+        .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+        .filter(col("prev_yr") === col("yr") - 1 &&
+          col("yr").between(1996, 1999))
+        .select(col("nation"), col("yr"),
+          round(col("rev"), 2).as("cur_rev"),
+          round(col("prev_raw"), 2).as("prev_rev"),
+          round(col("rev") / col("prev_raw"), 4).as("ratio"))
+        .orderBy("nation", "yr")
+    } else {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT nation, yr, round(rev, 2) AS cur_rev,
+          |  round(prev_raw, 2) AS prev_rev,
+          |  round(rev / prev_raw, 4) AS ratio
+          |FROM (
+          |  SELECT nation, yr, rev,
+          |    lag(rev) OVER (PARTITION BY nation ORDER BY yr) AS prev_raw,
+          |    lag(yr) OVER (PARTITION BY nation ORDER BY yr) AS prev_yr
+          |  FROM (
+          |    SELECT n_name AS nation,
+          |      CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+          |      sum(l_extendedprice * (1 - l_discount)) AS rev
+          |    FROM lineitem
+          |    JOIN orders ON o_orderkey = l_orderkey
+          |    JOIN customer ON c_custkey = o_custkey
+          |    JOIN nation ON c_nationkey = n_nationkey
+          |    -- derived from the outer guard: only yr 1996..1999 and its
+          |    -- lag partner yr-1 can reach the output, so years outside
+          |    -- [1995, 1999] cannot affect any surviving group — and as a
+          |    -- date range (unlike extract()) it prunes the orders scan
+          |    -- and shrinks the fact join ~60% before the shuffle
+          |    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          |      AND o_orderdate < TIMESTAMP '2000-01-01'
+          |    GROUP BY n_name, CAST(extract(year FROM o_orderdate) AS INT)))
+          |WHERE prev_yr = yr - 1 AND yr BETWEEN 1996 AND 1999
+          |ORDER BY nation, yr""".stripMargin)
+    }
   }
 
   // Q5/Q77 shape: per-channel revenue union → rollup with grand total.
@@ -291,32 +343,72 @@ object QTpcds {
   // dropping the grouping flags reproduces the NULL super-rows).
   private val qChannelRollupSpark: QueryFn = { (s, dir) =>
     import org.apache.spark.sql.functions._
-    import graft.ops.JoinOpt.broadcastIfBounded
+    import graft.ops.JoinOpt.{broadcastIfBounded, withinReduceBound}
+    import graft.plans.ProbeAgg
+    import graft.plans.ProbeAgg.Probe
+    import graft.plans.LowCardAgg.{ProductSum, Term}
     def t(n: String) = graft.Tables.load(s, dir, n)
-    val n3 = t("nation")
-      .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    val nats = Seq("NATION_1", "NATION_2", "NATION_3")
+    val n3 = t("nation").filter(col("n_name").isin(nats: _*))
       .select("n_nationkey", "n_name")
     val c = t("customer")
-    val cN = c.join(broadcast(n3), col("c_nationkey") === col("n_nationkey"))
-      .select(col("c_custkey"), col("n_name").as("nation"))
     val o = t("orders")
-    val oc = o
-      .join(broadcastIfBounded(cN, c.select("c_custkey", "c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("o_orderkey"),
-        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express")
-          .otherwise("standard").as("channel"),
-        col("nation"))
-    val joined = t("lineitem")
-      .join(broadcastIfBounded(oc,
-        o.select("o_orderkey", "o_orderpriority", "o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("channel"), col("nation"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"))
-    graft.ops.Rollup.rollup(joined, Seq("channel", "nation"),
+    val ocBound = o.select("o_orderkey", "o_orderpriority", "o_custkey")
+    val cBound = c.select("c_custkey", "c_nationkey")
+    val decoded =
+      if (withinReduceBound(ocBound) && withinReduceBound(cBound)) {
+        // ProbeAgg kernel: (channel, nation) dictionary-coded into the
+        // probe VALUE (6 combos), the fact's batches probe once and
+        // accumulate the 6-group sums — sf10: 3.10 → 0.90 s
+        // (tools/ProbeAggAB); decode is a 6-row broadcast join
+        val cN = c.join(broadcast(n3),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("nation"))
+        val natIdx = nats.zipWithIndex
+          .map { case (nm, i) => (col("nation") === nm, i) }
+          .foldLeft(lit(-1)) { case (acc, (cond, i)) =>
+            when(cond, i).otherwise(acc) }
+        val oc = o.join(broadcast(cN),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"),
+            (when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+              .otherwise(1) * 3 + natIdx).as("combo"))
+        val finest = ProbeAgg.probeSums(t("lineitem"),
+            Seq(Probe("l_orderkey", oc, "o_orderkey", "combo")),
+            Seq(ProductSum("revenue", Seq(Term("l_extendedprice"),
+              Term("l_discount", mul = -1.0, add = 1.0)))),
+            groupByProbe = Some(0))
+        val decode = s.createDataFrame(
+          (for (ch <- 0 to 1; ni <- nats.indices) yield
+            ((ch * 3 + ni).toLong, if (ch == 0) "express" else "standard",
+              nats(ni))).toList).toDF("_gkey", "channel", "nation")
+        finest.join(broadcast(decode), Seq("_gkey"))
+          .select(col("channel"), col("nation"), col("revenue"),
+            col("cnt").as("n_sales"))
+      } else {
+        // 100 TB regime: same reduction order on broadcast/shuffle
+        // joins, finest (channel, nation) aggregated the normal way
+        val cN = c.join(broadcast(n3),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name").as("nation"))
+        val oc = o.join(broadcastIfBounded(cN, cBound),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"),
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              "express").otherwise("standard").as("channel"),
+            col("nation"))
+        t("lineitem")
+          .join(broadcastIfBounded(oc, ocBound),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("channel", "nation")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"), count(lit(1)).as("n_sales"))
+      }
+    // finest-first ROLLUP: upper levels derive from the 6-row finest
+    // result (sum of sums / sum of counts); Expand never runs
+    graft.ops.Rollup.rollup(decoded, Seq("channel", "nation"),
         Seq(graft.ops.Rollup.sum(col("revenue"), "revenue"),
-          graft.ops.Rollup.count(lit(1), "n_sales")))
+          graft.ops.Rollup.sum(col("n_sales"), "n_sales")))
       .withColumn("revenue", round(col("revenue"), 2))
       .select("channel", "nation", "revenue", "n_sales")
       .orderBy(col("channel").asc_nulls_first, col("nation").asc_nulls_first)

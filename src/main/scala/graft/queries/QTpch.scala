@@ -97,7 +97,10 @@ object QTpch {
     // co-locates. Reference analogue: the FDW tier's join pushdown
     // (pg_lake_table/src/fdw/pg_lake_table.c:3846-4170).
     "q5_local_supplier" -> { (s, dir) =>
-      import graft.ops.JoinOpt.broadcastIfBounded
+      import graft.ops.JoinOpt.{broadcastIfBounded, withinReduceBound}
+      import graft.plans.ProbeAgg
+      import graft.plans.ProbeAgg.Probe
+      import graft.plans.LowCardAgg.{ProductSum, Term}
       val n = t(s, dir, "nation")
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -116,20 +119,40 @@ object QTpch {
           c.select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
-      t(s, dir, "lineitem")
-        .join(broadcastIfBounded(oc, o.select("o_orderkey", "o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join({ // a scan projection is its own sound bound
-          val sp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-          broadcastIfBounded(sp, sp)
-        }, col("l_suppkey") === col("s_suppkey") &&
-            col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n.select("n_nationkey", "n_name")),
-          col("s_nationkey") === col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-        .orderBy(desc("revenue"), col("n_name"))
+      val supProj = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ocBound = o.select("o_orderkey", "o_custkey")
+      if (withinReduceBound(ocBound) && withinReduceBound(supProj) &&
+          withinReduceBound(c.select("c_custkey", "c_nationkey"))) {
+        // columnar probe+aggregate fusion (plans/ProbeAgg): the fact's
+        // batches probe the two reduced maps and accumulate the 5-group
+        // sums directly — sf10: 2.96 s (BHJ chain) → 0.56 s, 0.9× the
+        // oracle engine (tools/ProbeAggAB, answers asserted identical)
+        ProbeAgg.probeSums(t(s, dir, "lineitem"),
+            Seq(Probe("l_orderkey", oc, "o_orderkey", "c_nationkey"),
+              Probe("l_suppkey", supProj, "s_suppkey", "s_nationkey")),
+            Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+              Term("l_discount", mul = -1.0, add = 1.0)))),
+            groupByProbe = Some(0), constraintEq = Some((0, 1)))
+          .join(broadcast(n.select("n_nationkey", "n_name")),
+            col("_gkey") === col("n_nationkey"))
+          .select(col("n_name"), round(col("rev"), 2).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      } else {
+        // past the reduce bound (100 TB regime): same reduction order,
+        // broadcast/shuffle joins as the per-side guards decide
+        t(s, dir, "lineitem")
+          .join(broadcastIfBounded(oc, ocBound),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcastIfBounded(supProj, supProj),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n.select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      }
     },
 
     // Q6: pure scan-filter-aggregate; predicate fully pushed to parquet.
@@ -162,21 +185,39 @@ object QTpch {
     // result against customer for the display attributes. The wide
     // customer table is never part of the fact pipeline.
     "q10_returned_items" -> { (s, dir) =>
-      import graft.ops.JoinOpt.broadcastIfBounded
+      import graft.ops.JoinOpt.{broadcastIfBounded, withinReduceBound}
+      import graft.plans.ProbeAgg
+      import graft.plans.ProbeAgg.{Probe, StrEqFilter}
+      import graft.plans.LowCardAgg.{ProductSum, Term}
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
                 col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
-      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val top = l
-        .join(broadcastIfBounded(o.select("o_orderkey", "o_custkey"),
-          t(s, dir, "orders").select("o_orderkey", "o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_custkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-        .orderBy(desc("revenue"), col("o_custkey"))
-        .limit(20)
+      val bound = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val top =
+        if (withinReduceBound(bound))
+          // ProbeAgg kernel: the R-filter and the quarter-orders probe
+          // run on the scan's vectors, custkey-grouped sums accumulate
+          // in the same pass — sf10: 3.22 → 1.09 s (tools/ProbeAggAB)
+          ProbeAgg.probeSums(t(s, dir, "lineitem"),
+              Seq(Probe("l_orderkey", o.select("o_orderkey", "o_custkey"),
+                "o_orderkey", "o_custkey")),
+              Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+                Term("l_discount", mul = -1.0, add = 1.0)))),
+              groupByProbe = Some(0),
+              strFilters = Seq(StrEqFilter("l_returnflag", "R")))
+            .select(col("_gkey").as("o_custkey"),
+              round(col("rev"), 2).as("revenue"))
+            .orderBy(desc("revenue"), col("o_custkey"))
+            .limit(20)
+        else t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .join(o.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(desc("revenue"), col("o_custkey"))
+          .limit(20)
       c.join(broadcast(top), col("c_custkey") === col("o_custkey"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("revenue"))

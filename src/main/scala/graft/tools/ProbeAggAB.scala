@@ -1,0 +1,193 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.ProbeAgg
+import graft.plans.ProbeAgg.{Probe, StrEqFilter}
+import graft.plans.LowCardAgg.{ProductSum, Term}
+
+/** Interleaved A/B: reduction-first BroadcastHashJoin declarations
+  * (current SparkEntry) vs the ProbeAgg columnar kernel, for the q5 /
+  * q10 / channel / yoy shapes. Same JVM, answers asserted identical.
+  *
+  * Usage: ProbeAggAB <sfDir> [reps=3]
+  */
+object ProbeAggAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+
+    def q5Kernel: DataFrame = {
+      val o = t("orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+      val asiaN = t("nation")
+        .join(broadcast(t("region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cAsia = t("customer")
+        .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      val oc = o.join(broadcast(cAsia), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      ProbeAgg.probeSums(t("lineitem"),
+          Seq(Probe("l_orderkey", oc, "o_orderkey", "c_nationkey"),
+            Probe("l_suppkey",
+              t("supplier").select("s_suppkey", "s_nationkey"),
+              "s_suppkey", "s_nationkey")),
+          Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+            Term("l_discount", mul = -1.0, add = 1.0)))),
+          groupByProbe = Some(0), constraintEq = Some((0, 1)))
+        .join(broadcast(t("nation").select("n_nationkey", "n_name")),
+          col("_gkey") === col("n_nationkey"))
+        .select(col("n_name"), round(col("rev"), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }
+
+    def q10Kernel: DataFrame = {
+      val o = t("orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      val top = ProbeAgg.probeSums(t("lineitem"),
+          Seq(Probe("l_orderkey", o.select("o_orderkey", "o_custkey"),
+            "o_orderkey", "o_custkey")),
+          Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+            Term("l_discount", mul = -1.0, add = 1.0)))),
+          groupByProbe = Some(0),
+          strFilters = Seq(StrEqFilter("l_returnflag", "R")))
+        .select(col("_gkey"), round(col("rev"), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("_gkey"))
+        .limit(20)
+      t("customer").join(broadcast(top),
+          col("c_custkey") === col("_gkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+    }
+
+    def chKernel: DataFrame = {
+      val nats = Seq("NATION_1", "NATION_2", "NATION_3")
+      val n3 = t("nation").filter(col("n_name").isin(nats: _*))
+        .select("n_nationkey", "n_name")
+      val cN = t("customer")
+        .join(broadcast(n3), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"))
+      val natIdx = nats.zipWithIndex
+        .map { case (nm, i) => (col("nation") === nm, i) }
+        .foldLeft(lit(-1)) { case (acc, (cond, i)) =>
+          when(cond, i).otherwise(acc) }
+      val oc = t("orders")
+        .join(broadcast(cN), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          (when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1) * 3 + natIdx).as("combo"))
+      val finest = ProbeAgg.probeSums(t("lineitem"),
+          Seq(Probe("l_orderkey", oc, "o_orderkey", "combo")),
+          Seq(ProductSum("revenue", Seq(Term("l_extendedprice"),
+            Term("l_discount", mul = -1.0, add = 1.0)))),
+          groupByProbe = Some(0))
+      val decode = spark.createDataFrame(
+        (for (ch <- 0 to 1; ni <- nats.indices) yield
+          ((ch * 3 + ni).toLong, if (ch == 0) "express" else "standard",
+            nats(ni))).toList).toDF("_gkey", "channel", "nation")
+      val decoded = finest.join(broadcast(decode), Seq("_gkey"))
+        .select(col("channel"), col("nation"), col("revenue"),
+          col("cnt").as("n_sales"))
+      graft.ops.Rollup.rollup(decoded, Seq("channel", "nation"),
+          Seq(graft.ops.Rollup.sum(col("revenue"), "revenue"),
+            graft.ops.Rollup.sum(col("n_sales"), "n_sales")))
+        .withColumn("revenue", round(col("revenue"), 2))
+        .select("channel", "nation", "revenue", "n_sales")
+        .orderBy(col("channel").asc_nulls_first,
+          col("nation").asc_nulls_first)
+    }
+
+    def yoyKernel: DataFrame = {
+      val cN = t("customer")
+        .join(broadcast(t("nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "n_nationkey")
+      val oc = t("orders")
+        .join(broadcast(cN), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          (col("n_nationkey").cast("long") * 10000L +
+            year(col("o_orderdate"))).as("combo"))
+      val finest = ProbeAgg.probeSums(t("lineitem"),
+          Seq(Probe("l_orderkey", oc, "o_orderkey", "combo")),
+          Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+            Term("l_discount", mul = -1.0, add = 1.0)))),
+          groupByProbe = Some(0))
+      val yearly = finest
+        .join(broadcast(t("nation").select("n_nationkey", "n_name")),
+          (col("_gkey") / 10000L).cast("int") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          (col("_gkey") % 10000L).cast("int").as("yr"), col("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nation").orderBy("yr")
+      yearly
+        .withColumn("prev_rev_raw", lag(col("rev"), 1).over(w))
+        .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+        .filter(col("prev_yr") === col("yr") - 1 &&
+          col("yr").between(1996, 1999))
+        .select(col("nation"), col("yr"),
+          round(col("rev"), 2).as("cur_rev"),
+          round(col("prev_rev_raw"), 2).as("prev_rev"),
+          round(col("rev") / col("prev_rev_raw"), 4).as("ratio"))
+        .orderBy("nation", "yr")
+    }
+
+    val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q5", () => graft.SparkEntry.queries("q5_local_supplier")(spark, sfDir),
+        () => q5Kernel),
+      ("q10", () => graft.SparkEntry.queries("q10_returned_items")(spark, sfDir),
+        () => q10Kernel),
+      ("channel", () => graft.SparkEntry.queries("qds_channel_rollup")(spark, sfDir),
+        () => chKernel),
+      ("yoy", () => graft.SparkEntry.queries("qds_yoy")(spark, sfDir),
+        () => yoyKernel))
+
+    pairs.foreach { case (nm, o, n) =>
+      val a = o().collect().map(_.toString).sorted.mkString("|")
+      val b = n().collect().map(_.toString).sorted.mkString("|")
+      require(a == b, s"$nm: BHJ and kernel answers differ!\n$a\nvs\n$b")
+      println(s"[probeab] $nm answers agree")
+    }
+    def once(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pairs.foreach { case (_, o, n) => once(o()); once(n()) }
+    pairs.foreach { case (_, o, n) => once(o()); once(n()) }
+    val acc = scala.collection.mutable.Map
+      .empty[String, List[Double]].withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      pairs.foreach { case (nm, o, n) =>
+        spark.catalog.clearCache()
+        acc(nm + ".bhj") = once(o()) :: acc(nm + ".bhj")
+        spark.catalog.clearCache()
+        acc(nm + ".krn") = once(n()) :: acc(nm + ".krn")
+      }
+      System.gc()
+    }
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    pairs.foreach { case (nm, _, _) =>
+      println(f"[probeab] $nm%-8s bhj=${med(acc(nm + ".bhj"))}%.2f " +
+        f"kernel=${med(acc(nm + ".krn"))}%.2f  " +
+        f"(bhj ${acc(nm + ".bhj").map(x => f"$x%.2f").mkString(",")} | " +
+        f"krn ${acc(nm + ".krn").map(x => f"$x%.2f").mkString(",")})")
+    }
+    spark.stop()
+  }
+}

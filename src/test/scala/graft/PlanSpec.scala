@@ -73,17 +73,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodeCount(p, "Exchange") <= 2, p)
   }
 
-  test("qds_channel_rollup: reduction-first, fact never shuffles, no Expand") {
+  test("qds_channel_rollup: ProbeAgg kernel over the fact, no Expand") {
     val p = plan("qds_channel_rollup")
-    // customer⋈nation broadcast into orders, (orderkey,channel,nation)
-    // broadcast into lineitem, decode/rollup tiny
-    assert(nodeCount(p, "BroadcastHashJoin") >= 3, p)
+    // the fact pipeline is the columnar probe+aggregate kernel (the
+    // dim-chain joins were reduced into its probe map at build time)
+    assert(p.contains("ProbePreAgg"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    // finest-first rollup: the 9M joined rows are aggregated ONCE at
+    // finest-first rollup: the joined rows aggregate ONCE at
     // (channel, nation); Expand (3× row multiplication) must be gone
     assert(!p.contains("Expand"), p)
-    // nation IN-list pushed down to the nation scan
-    assert(p.contains("In(n_name"), p)
+  }
+
+  test("qds_channel_rollup fallback arm: dims broadcast, no Expand") {
+    // past the reduce bound the same declaration must keep the
+    // reduction order on broadcast joins with the IN-list pushed down
+    spark.conf.set("spark.graft.reduceBroadcastThreshold", "0")
+    try {
+      val p = plan("qds_channel_rollup")
+      assert(nodeCount(p, "BroadcastHashJoin") >= 2, p)
+      assert(!p.contains("Expand"), p)
+      assert(p.contains("In(n_name"), p)
+    } finally spark.conf.unset("spark.graft.reduceBroadcastThreshold")
   }
 
   test("qds_yoy: single pass — the join+agg subtree appears once") {
@@ -338,11 +348,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("qds_yoy: derived year-range predicate reaches the orders scan") {
+    // kernel arm: the orders scan lives in the probe-map BUILD plan
+    // (collected before the fact pass), so assert the pushed range
+    // there and the kernel node in the fact plan
     val p = plan("qds_yoy")
-    // the outer yr guard admits only 1995-1999; the derived o_orderdate
-    // range must appear as a pushed scan filter, not a post-join one
-    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
-    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("ProbePreAgg"), p)
+    // fallback arm carries the scan in the query plan itself — the
+    // derived 1995-1999 range must be a pushed filter, not post-join
+    spark.conf.set("spark.graft.reduceBroadcastThreshold", "0")
+    try {
+      val pf = plan("qds_yoy")
+      assert(pf.contains("GreaterThanOrEqual(o_orderdate"), pf)
+      assert(pf.contains("LessThan(o_orderdate"), pf)
+    } finally spark.conf.unset("spark.graft.reduceBroadcastThreshold")
   }
 
   test("whole-stage codegen covers the hot path") {

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.plans.ProbeAgg
+import graft.plans.ProbeAgg.{Probe, StrEqFilter}
+import graft.plans.LowCardAgg.{ColFilter, ProductSum, Term}
+
+class ProbeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def t(n: String) = Tables.load(spark, sf, n)
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("q5 shape: two probes + equality constraint ≡ the BHJ chain") {
+    val o = t("orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val asiaN = t("nation")
+      .join(broadcast(t("region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cAsia = t("customer")
+      .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val oc = o.join(broadcast(cAsia), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey")
+    val kernel = ProbeAgg.probeSums(t("lineitem"),
+        Seq(Probe("l_orderkey", oc, "o_orderkey", "c_nationkey"),
+          Probe("l_suppkey",
+            t("supplier").select("s_suppkey", "s_nationkey"),
+            "s_suppkey", "s_nationkey")),
+        Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+          Term("l_discount", mul = -1.0, add = 1.0)))),
+        groupByProbe = Some(0), constraintEq = Some((0, 1)))
+      .join(broadcast(t("nation").select("n_nationkey", "n_name")),
+        col("_gkey") === col("n_nationkey"))
+      .select(col("n_name"), round(col("rev"), 2).as("revenue"),
+        col("cnt"))
+    val native = t("lineitem")
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .join(t("supplier"), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(t("nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"), count(lit(1)).as("cnt"))
+    assert(sorted(kernel) === sorted(native))
+  }
+
+  test("string filter + single probe grouped by probed value (q10 shape)") {
+    val o = t("orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    val kernel = ProbeAgg.probeSums(t("lineitem"),
+        Seq(Probe("l_orderkey", o.select("o_orderkey", "o_custkey"),
+          "o_orderkey", "o_custkey")),
+        Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+          Term("l_discount", mul = -1.0, add = 1.0)))),
+        groupByProbe = Some(0),
+        strFilters = Seq(StrEqFilter("l_returnflag", "R")))
+      .select(col("_gkey").as("custkey"), round(col("rev"), 2).as("rev"),
+        col("cnt"))
+    val native = t("lineitem").filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("rev"), count(lit(1)).as("cnt"))
+    assert(sorted(kernel) === sorted(native))
+  }
+
+  test("numeric filter composes; global group; misses drop rows") {
+    // only a third of orders in the probe table → inner-join drops
+    val o3 = t("orders").filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_custkey")
+    val kernel = ProbeAgg.probeSums(t("lineitem"),
+        Seq(Probe("l_orderkey", o3, "o_orderkey", "o_custkey")),
+        Seq(ProductSum("q", Seq(Term("l_quantity")))),
+        groupByProbe = None,
+        numFilters = Seq(ColFilter("l_discount", "ge", 0.05)))
+      .select(round(col("q"), 2).as("q"), col("cnt"))
+    val native = t("lineitem").filter(col("l_discount") >= 0.05)
+      .join(o3, col("l_orderkey") === col("o_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("q"),
+        count(lit(1)).as("cnt"))
+    assert(sorted(kernel) === sorted(native))
+  }
+
+  test("caller's own filter is NOT skipped (row fallback preserves it)") {
+    val o = t("orders").select("o_orderkey", "o_custkey")
+    val pre = t("lineitem").filter(col("l_quantity") > 30.0)
+    val kernel = ProbeAgg.probeSums(pre,
+        Seq(Probe("l_orderkey", o, "o_orderkey", "o_custkey")),
+        Seq(ProductSum("q", Seq(Term("l_quantity")))),
+        groupByProbe = None)
+      .select(round(col("q"), 2).as("q"), col("cnt"))
+    val native = t("lineitem").filter(col("l_quantity") > 30.0)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("q"), count(lit(1)).as("cnt"))
+    assert(sorted(kernel) === sorted(native))
+  }
+
+  test("row fallback (non-columnar child) ≡ columnar") {
+    import spark.implicits._
+    val fact = Seq((1L, 2.0), (2L, 3.0), (3L, 5.0), (1L, 7.0))
+      .toDF("k", "v")
+    val dim = Seq((1L, 10L), (2L, 20L)).toDF("dk", "dv")
+    val r = ProbeAgg.probeSums(fact, Seq(Probe("k", dim, "dk", "dv")),
+        Seq(ProductSum("s", Seq(Term("v")))), groupByProbe = Some(0))
+      .select(col("_gkey"), col("s"), col("cnt"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+      .sortBy(_._1)
+    assert(r.toSeq === Seq((10L, 9.0, 2L), (20L, 3.0, 1L)))
+  }
+
+  test("declared queries: kernel arm ≡ fallback arm across the guard") {
+    // both sides of the withinReduceBound dispatch must answer
+    // identically — the fallback is what a 100 TB deployment runs
+    for (q <- Seq("q5_local_supplier", "q10_returned_items",
+        "qds_channel_rollup", "qds_yoy")) {
+      val kernel = SparkEntry.queries(q)(spark, sf).collect()
+        .map(_.toString).toSeq
+      spark.conf.set("spark.graft.reduceBroadcastThreshold", "0")
+      try {
+        val fallback = SparkEntry.queries(q)(spark, sf).collect()
+          .map(_.toString).toSeq
+        assert(kernel === fallback, q)
+      } finally spark.conf
+        .unset("spark.graft.reduceBroadcastThreshold")
+    }
+  }
+
+  test("duplicate probe keys with conflicting values fail loudly") {
+    import spark.implicits._
+    val dim = Seq((1L, 10L), (1L, 11L)).toDF("dk", "dv")
+    val fact = Seq((1L, 2.0)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      ProbeAgg.probeSums(fact, Seq(Probe("k", dim, "dk", "dv")),
+        Seq(ProductSum("s", Seq(Term("v")))), groupByProbe = Some(0))
+        .collect()
+    }
+    assert(ex.getMessage.contains("key-unique") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("key-unique")))
+  }
+
+  test("null fact keys and null sum inputs follow SQL semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("probeagg").toString
+    Seq((Some(1L), Some(2.0)), (None, Some(9.0)), (Some(1L), None),
+      (Some(2L), Some(4.0))).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = Seq((1L, 10L), (2L, 20L)).toDF("dk", "dv")
+    val kernel = ProbeAgg.probeSums(fact, Seq(Probe("k", dim, "dk", "dv")),
+        Seq(ProductSum("s", Seq(Term("v")))), groupByProbe = Some(0))
+      .select(col("_gkey"), col("s"), col("cnt"))
+    val native = fact.join(dim, col("k") === col("dk"))
+      .groupBy(col("dv").as("_gkey"))
+      .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+    assert(sorted(kernel) === sorted(native))
+  }
+}
