@@ -18,7 +18,8 @@ HEADLINE = ["q1_agg", "q3_shipping", "q5_local_supplier",
             "q_agg_stats", "q_rollup", "q_win_rank", "q_win_frame_rows",
             "q_cte", "qds_channel_rollup", "qds_yoy", "qds_top_per_group",
             "q_sessionize", "q_geo_zones",
-            "q_dedup_exact", "q_sim_cosine", "q_text_stats"]
+            "q_dedup_exact", "q_dedup_exact_fast",
+            "q_sim_cosine", "q_text_stats"]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

@@ -17,7 +17,8 @@ object Bench {
     "q_win_rank", "q_win_frame_rows", "q_cte",
     "qds_channel_rollup", "qds_yoy", "qds_top_per_group",
     "q_sessionize", "q_geo_zones",
-    "q_dedup_exact", "q_dedup_minhash", "q_sim_cosine", "q_text_stats")
+    "q_dedup_exact", "q_dedup_exact_fast", "q_dedup_minhash",
+    "q_sim_cosine", "q_text_stats")
 
   /** Protocol knobs for ad-hoc scale sweeps: SPARK_GRAFT_SKIP drops
     * comma-separated queries (e.g. the 5-min/rep sf10 minhash when

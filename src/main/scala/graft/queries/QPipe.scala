@@ -63,6 +63,15 @@ object QPipe {
         .orderBy("content_hash")
     },
 
+    // the xxhash64 fast path: the gate compares the CLUSTERS (canonical
+    // id + copy count), which are hash-algorithm-agnostic — the oracle
+    // derives the same clusters from md5
+    "q_dedup_exact_fast" -> { (s, dir) =>
+      Dedup.exactClustersFast(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy("canonical_id")
+    },
+
     "q_text_stats" -> { (s, dir) =>
       // one-pass TextMetrics kernel (same values as the regex stack,
       // computed in a single codepoint loop, fanned out across cores)
@@ -625,6 +634,11 @@ object QPipe {
       """SELECT md5(text) AS content_hash,
         |  min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_exact_fast" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)
+        |ORDER BY canonical_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

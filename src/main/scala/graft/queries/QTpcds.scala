@@ -190,17 +190,54 @@ object QTpcds {
   // fact never moves. Oracle text (DuckDB cost-reorders regardless) stays
   // hint-free below.
   private val qTopPerGroupSpark: QueryFn = { (s, dir) =>
-    graft.Tables.registerAll(s, dir)
-    s.sql(
-      """SELECT p_brand, p_type, rev_rank, revenue FROM (
-        |  SELECT /*+ BROADCAST(part) */ p_brand, p_type,
-        |    rank() OVER (PARTITION BY p_brand
-        |      ORDER BY sum(l_extendedprice) DESC, p_type) AS rev_rank,
-        |    round(sum(l_extendedprice), 2) AS revenue
-        |  FROM lineitem JOIN part ON p_partkey = l_partkey
-        |  GROUP BY p_brand, p_type)
-        |WHERE rev_rank <= 3
-        |ORDER BY p_brand, rev_rank""".stripMargin)
+    import org.apache.spark.sql.functions._
+    import graft.ops.JoinOpt.withinReduceBound
+    import graft.plans.ProbeAgg
+    import graft.plans.ProbeAgg.Probe
+    import graft.plans.LowCardAgg.{ProductSum, Term}
+    def t(n: String) = graft.Tables.load(s, dir, n)
+    val partProj = t("part").select("p_partkey", "p_brand", "p_type")
+    if (withinReduceBound(partProj)) {
+      // ProbeAgg kernel: the (brand, type) pairs dictionary-encode into
+      // the probe VALUE (a few thousand combos), so the fact probes
+      // partkey→combo once and accumulates per-combo sums in the scan
+      // pass; the rank window then runs on the tiny decoded result
+      import org.apache.spark.sql.expressions.Window
+      val pairs = t("part").select("p_brand", "p_type").distinct()
+        .orderBy("p_brand", "p_type").collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getString(0), r.getString(1)) }
+      val decode = s.createDataFrame(pairs.toList)
+        .toDF("_gkey", "p_brand", "p_type")
+      val pk = partProj
+        .join(broadcast(decode.withColumnRenamed("_gkey", "combo")),
+          Seq("p_brand", "p_type"))
+        .select("p_partkey", "combo")
+      val finest = ProbeAgg.probeSums(t("lineitem"),
+          Seq(Probe("l_partkey", pk, "p_partkey", "combo")),
+          Seq(ProductSum("rev", Seq(Term("l_extendedprice")))),
+          groupByProbe = Some(0))
+      val w = Window.partitionBy("p_brand")
+        .orderBy(desc("rev"), col("p_type"))
+      finest.join(broadcast(decode), Seq("_gkey"))
+        .withColumn("rev_rank", rank().over(w))
+        .filter(col("rev_rank") <= 3)
+        .select(col("p_brand"), col("p_type"), col("rev_rank"),
+          round(col("rev"), 2).as("revenue"))
+        .orderBy("p_brand", "rev_rank")
+    } else {
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT p_brand, p_type, rev_rank, revenue FROM (
+          |  SELECT /*+ BROADCAST(part) */ p_brand, p_type,
+          |    rank() OVER (PARTITION BY p_brand
+          |      ORDER BY sum(l_extendedprice) DESC, p_type) AS rev_rank,
+          |    round(sum(l_extendedprice), 2) AS revenue
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  GROUP BY p_brand, p_type)
+          |WHERE rev_rank <= 3
+          |ORDER BY p_brand, rev_rank""".stripMargin)
+    }
   }
 
   private val qTopPerGroup =

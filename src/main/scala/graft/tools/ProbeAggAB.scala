@@ -147,7 +147,41 @@ object ProbeAggAB {
         .orderBy("nation", "yr")
     }
 
+    // round-7 declarations for the two queries added to the kernel
+    // after the first AB run (SparkEntry is the kernel arm for them now)
+    def q3Old: DataFrame = {
+      val c = t("customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t("orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = t("lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }
+    def tpgOld: DataFrame = {
+      graft.Tables.registerAll(spark, sfDir)
+      spark.sql(
+        """SELECT p_brand, p_type, rev_rank, revenue FROM (
+          |  SELECT /*+ BROADCAST(part) */ p_brand, p_type,
+          |    rank() OVER (PARTITION BY p_brand
+          |      ORDER BY sum(l_extendedprice) DESC, p_type) AS rev_rank,
+          |    round(sum(l_extendedprice), 2) AS revenue
+          |  FROM lineitem JOIN part ON p_partkey = l_partkey
+          |  GROUP BY p_brand, p_type)
+          |WHERE rev_rank <= 3
+          |ORDER BY p_brand, rev_rank""".stripMargin)
+    }
+
     val pairs: Seq[(String, () => DataFrame, () => DataFrame)] = Seq(
+      ("q3", () => q3Old,
+        () => graft.SparkEntry.queries("q3_shipping")(spark, sfDir)),
+      ("tpg", () => tpgOld,
+        () => graft.SparkEntry.queries("qds_top_per_group")(spark, sfDir)),
       ("q5", () => graft.SparkEntry.queries("q5_local_supplier")(spark, sfDir),
         () => q5Kernel),
       ("q10", () => graft.SparkEntry.queries("q10_returned_items")(spark, sfDir),

@@ -133,7 +133,8 @@ class ProbeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both sides of the withinReduceBound dispatch must answer
     // identically — the fallback is what a 100 TB deployment runs
     for (q <- Seq("q5_local_supplier", "q10_returned_items",
-        "qds_channel_rollup", "qds_yoy")) {
+        "qds_channel_rollup", "qds_yoy", "q3_shipping",
+        "qds_top_per_group")) {
       val kernel = SparkEntry.queries(q)(spark, sf).collect()
         .map(_.toString).toSeq
       spark.conf.set("spark.graft.reduceBroadcastThreshold", "0")
