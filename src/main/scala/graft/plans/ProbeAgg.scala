@@ -137,16 +137,28 @@ object ProbeAgg {
   }
 
   /** Probe-fused grouped product sums. `groupByProbe` = index into
-    * `probes` whose VALUE keys the aggregation (None → one global
-    * group). `constraintEq` = (i, j) requiring probe i's and probe j's
-    * values equal (rows failing it drop). Returns one row per group:
-    * `_gkey` (long) ++ each ProductSum ++ `cnt`. */
+    * `probes` whose VALUE keys the aggregation; `groupByCol` instead
+    * keys it directly by a fact column (a non-null, non-negative id —
+    * the kernel fails loudly on violations, because silently dropping
+    * a group key is not inner-join semantics the way a probe miss is).
+    * Neither → one global group. With `groupByCol` the probe list may
+    * be EMPTY: the kernel degenerates to a columnar high-cardinality
+    * partial aggregate (scan → open-addressing long-keyed partials →
+    * ordinary Catalyst final aggregate), the shape q_cte's 1.5M-group
+    * orders rollup needs. `constraintEq` = (i, j) requiring probe i's
+    * and probe j's values equal (rows failing it drop). Returns one
+    * row per group: `_gkey` (long) ++ each ProductSum ++ `cnt`. */
   def probeSums(fact: DataFrame, probes: Seq[Probe],
       sums: Seq[ProductSum], groupByProbe: Option[Int],
       numFilters: Seq[ColFilter] = Nil, strFilters: Seq[StrEqFilter] = Nil,
       constraintEq: Option[(Int, Int)] = None,
-      maxGroups: Int = 1 << 21): DataFrame = {
-    require(sums.nonEmpty && probes.nonEmpty)
+      maxGroups: Int = 1 << 21,
+      groupByCol: Option[String] = None): DataFrame = {
+    require(sums.nonEmpty)
+    require(probes.nonEmpty || groupByCol.nonEmpty,
+      "ProbeAgg needs at least one probe or a groupByCol")
+    require(groupByProbe.isEmpty || groupByCol.isEmpty,
+      "groupByProbe and groupByCol are mutually exclusive")
     groupByProbe.foreach(i => require(probes.indices.contains(i)))
     constraintEq.foreach { case (i, j) =>
       require(probes.indices.contains(i) && probes.indices.contains(j)) }
@@ -156,7 +168,7 @@ object ProbeAgg {
       exp.extraStrategies = exp.extraStrategies :+ ProbeAggStrategy
     val maps = probes.map(p =>
       spark.sparkContext.broadcast(buildMap(p)))
-    val needed = (probes.map(_.factCol) ++
+    val needed = (probes.map(_.factCol) ++ groupByCol.toSeq ++
       sums.flatMap(_.terms.map(_.column)) ++ numFilters.map(_.column) ++
       strFilters.map(_.column)).distinct
     // push the pre-filters as ordinary Catalyst predicates too (parquet
@@ -177,7 +189,7 @@ object ProbeAgg {
     val pre = GraftBridge.ofRows(spark,
       ProbePreAgg.build(probes.map(_.factCol), maps, sums, numFilters,
         strFilters, groupByProbe, constraintEq, maxGroups,
-        pruned.queryExecution.analyzed))
+        pruned.queryExecution.analyzed, groupByCol))
     val grouped = pre.groupBy(col("_gkey"))
       .agg(sum(sums.head.name).as(sums.head.name),
         (sums.tail.map(s => sum(s.name).as(s.name)) :+
@@ -194,7 +206,8 @@ final case class ProbePreAgg(factCols: Seq[String],
     sums: Seq[ProductSum], numFilters: Seq[ColFilter],
     strFilters: Seq[ProbeAgg.StrEqFilter], groupByProbe: Option[Int],
     constraintEq: Option[(Int, Int)], maxGroups: Int,
-    child: LogicalPlan, outputAttrs: Seq[Attribute]) extends UnaryNode {
+    child: LogicalPlan, outputAttrs: Seq[Attribute],
+    groupByCol: Option[String]) extends UnaryNode {
   override def output: Seq[Attribute] = outputAttrs
   override def references: AttributeSet = child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan)
@@ -207,12 +220,12 @@ object ProbePreAgg {
       sums: Seq[ProductSum], numFilters: Seq[ColFilter],
       strFilters: Seq[ProbeAgg.StrEqFilter], groupByProbe: Option[Int],
       constraintEq: Option[(Int, Int)], maxGroups: Int,
-      child: LogicalPlan): ProbePreAgg =
+      child: LogicalPlan, groupByCol: Option[String] = None): ProbePreAgg =
     ProbePreAgg(factCols, maps, sums, numFilters, strFilters,
       groupByProbe, constraintEq, maxGroups, child,
       (AttributeReference("_gkey", LongType)() +:
         sums.map(s => AttributeReference(s.name, DoubleType)())) :+
-        AttributeReference("_cnt", LongType)())
+        AttributeReference("_cnt", LongType)(), groupByCol)
 }
 
 object ProbeAggStrategy
@@ -223,7 +236,7 @@ object ProbeAggStrategy
       // holds a FileIndex, which must never ride into task closures
       ProbePreAggExec(p.factCols, p.maps, p.sums, p.numFilters,
         p.strFilters, p.groupByProbe, p.constraintEq, p.maxGroups,
-        p.output, planLater(p.child)) :: Nil
+        p.output, planLater(p.child), p.groupByCol) :: Nil
     case _ => Nil
   }
 }
@@ -232,8 +245,8 @@ final case class ProbePreAggExec(factCols: Seq[String],
     maps: Seq[Broadcast[ProbeAgg.LongLongMap]], sums: Seq[ProductSum],
     numFilters: Seq[ColFilter], strFilters: Seq[ProbeAgg.StrEqFilter],
     groupByProbe: Option[Int], constraintEq: Option[(Int, Int)],
-    maxGroups: Int, output: Seq[Attribute], child: SparkPlan)
-    extends UnaryExecNode {
+    maxGroups: Int, output: Seq[Attribute], child: SparkPlan,
+    groupByCol: Option[String]) extends UnaryExecNode {
 
   override protected def withNewChildInternal(newChild: SparkPlan)
       : ProbePreAggExec = copy(child = newChild)
@@ -298,19 +311,30 @@ final case class ProbePreAggExec(factCols: Seq[String],
   }
 
   /** Per-partition group table: gkey → dense slot (open addressing),
-    * parallel accumulator arrays, growable to maxGroups then loud. */
+    * FLAT accumulator arrays (`accs(g * nSums + s)`), growable to
+    * maxGroups then loud. Flat layout matters: the q_cte shape
+    * registers ~400K groups per task, where per-group inner arrays
+    * (the first cut) cost ~800 ns/row in allocation + pointer chasing;
+    * flat arrays grow with one arraycopy and accumulate at array
+    * speed. */
   private final class Groups(nSums: Int, maxGroups: Int) {
     private var cap = 1 << 10
     private var mask = cap - 1
     private var slotKeys = Array.fill[Long](cap)(-1L)
     private var slotIds = new Array[Int](cap)
     var gkeys = new Array[Long](cap)
-    var accs = Array.ofDim[Double](cap, nSums)
-    var touched = Array.ofDim[Boolean](cap, nSums)
+    var accs = new Array[Double](cap * nSums)
+    var touched = new Array[Boolean](cap * nSums)
     var cnts = new Array[Long](cap)
     var n = 0
 
     def idOf(k: Long): Int = {
+      // probe-derived keys are ≥ 0 by the build contract; a fact-column
+      // group key can violate it (null decodes to the -1 sentinel,
+      // negative ids break the open-addressing EMPTY marker) and MUST
+      // fail loudly — silently dropping a group is wrong aggregates
+      require(k >= 0,
+        s"ProbeAgg group key must be a non-null, non-negative id (got $k)")
       var i = (scala.util.hashing.byteswap64(k) & mask).toInt
       while (true) {
         val kk = slotKeys(i)
@@ -333,9 +357,8 @@ final case class ProbePreAggExec(factCols: Seq[String],
     private def growDense(): Unit = {
       val c = gkeys.length << 1
       gkeys = java.util.Arrays.copyOf(gkeys, c)
-      accs = accs ++ Array.ofDim[Double](c - accs.length, accs(0).length)
-      touched = touched ++
-        Array.ofDim[Boolean](c - touched.length, touched(0).length)
+      accs = java.util.Arrays.copyOf(accs, c * nSums)
+      touched = java.util.Arrays.copyOf(touched, c * nSums)
       cnts = java.util.Arrays.copyOf(cnts, c)
     }
 
@@ -358,7 +381,8 @@ final case class ProbePreAggExec(factCols: Seq[String],
         vals(0) = gkeys(g)
         var s = 0
         while (s < nSums) {
-          vals(1 + s) = if (touched(g)(s)) accs(g)(s) else null
+          vals(1 + s) =
+            if (touched(g * nSums + s)) accs(g * nSums + s) else null
           s += 1
         }
         vals(1 + nSums) = cnts(g)
@@ -406,6 +430,8 @@ final case class ProbePreAggExec(factCols: Seq[String],
     val fOps = numFs.map(_._2)
     val fLims = numFs.map(_._3)
     val groupIdx = groupByProbe.getOrElse(-1)
+    val gColOrd = groupByCol.map(ord).getOrElse(-1)
+    val gColLong = gColOrd >= 0 && out(gColOrd).dataType == LongType
     val constraint = constraintEq
     val nSums = sums.length
     val mg = maxGroups
@@ -415,13 +441,13 @@ final case class ProbePreAggExec(factCols: Seq[String],
         scan.executeColumnar().mapPartitions { batches =>
           partialsColumnar(batches, probeOrds, probeLong, mapsArr, numOrds,
             slotKinds, termSlots, termMuls, termAdds, fSlots, fOps, fLims,
-            strFs, groupIdx, constraint, nSums, mg)
+            strFs, groupIdx, gColOrd, gColLong, constraint, nSums, mg)
         }
       case None =>
         child.execute().mapPartitions { rows =>
           partialsRows(rows, probeOrds, probeLong, mapsArr, numOrds,
             slotKinds, termSlots, termMuls, termAdds, fSlots, fOps, fLims,
-            strFs, groupIdx, constraint, nSums, mg)
+            strFs, groupIdx, gColOrd, gColLong, constraint, nSums, mg)
         }
     }
   }
@@ -478,12 +504,14 @@ final case class ProbePreAggExec(factCols: Seq[String],
       slotKinds: Array[Int], termSlots: Array[Array[Int]],
       termMuls: Array[Array[Double]], termAdds: Array[Array[Double]],
       fSlots: Array[Int], fOps: Array[Int], fLims: Array[Double],
-      strFs: Array[(Int, String)], groupIdx: Int,
+      strFs: Array[(Int, String)], groupIdx: Int, gColOrd: Int,
+      gColLong: Boolean,
       constraint: Option[(Int, Int)], nSums: Int, maxGroups: Int)
       : Iterator[InternalRow] = {
     val groups = new Groups(nSums, maxGroups)
     val nSlots = numOrds.length
     val nProbes = probeOrds.length
+    var gColBuf: Array[Long] = new Array[Long](0)
     val localMaps = maps.map(_.value)
     val strTargets = strFs.map(f => UTF8String.fromString(f._2))
     val dbg = System.getenv("GRAFT_PROBEAGG_DEBUG") == "1"
@@ -494,6 +522,7 @@ final case class ProbePreAggExec(factCols: Seq[String],
     var keyBufs: Array[Array[Long]] = Array.fill(nProbes)(new Array[Long](0))
     var vals: Array[Array[Long]] = Array.fill(nProbes)(new Array[Long](0))
     var keep: Array[Boolean] = new Array[Boolean](0)
+    var gids: Array[Int] = new Array[Int](0)
     var dictCache = new Array[Byte](0)
 
     batches.foreach { batch =>
@@ -501,10 +530,12 @@ final case class ProbePreAggExec(factCols: Seq[String],
       if (n > 0) {
         if (keep.length < n) {
           keep = new Array[Boolean](n)
+          gids = new Array[Int](n)
           cols = Array.fill(nSlots)(new Array[Double](n))
           masks = Array.fill(nSlots)(new Array[Boolean](n))
           keyBufs = Array.fill(nProbes)(new Array[Long](n))
           vals = Array.fill(nProbes)(new Array[Long](n))
+          if (gColOrd >= 0) gColBuf = new Array[Long](n)
         }
         nRows += n
         var t0 = if (dbg) System.nanoTime() else 0L
@@ -519,6 +550,10 @@ final case class ProbePreAggExec(factCols: Seq[String],
           decodeKey(batch.column(probeOrds(p)), probeLong(p), n, keyBufs(p))
           p += 1
         }
+        // group-by column: decodeKey's null sentinel (-1) is caught in
+        // Groups.idOf — a null GROUP key must fail loudly, not drop
+        if (gColOrd >= 0)
+          decodeKey(batch.column(gColOrd), gColLong, n, gColBuf)
         if (dbg) { val t = System.nanoTime(); tDecode += t - t0; t0 = t }
         java.util.Arrays.fill(keep, 0, n, true)
         // numeric filters — same NULL/NaN semantics as LowCardAgg
@@ -613,21 +648,44 @@ final case class ProbePreAggExec(factCols: Seq[String],
           }
         }
         if (dbg) { val t = System.nanoTime(); tProbe += t - t0; t0 = t }
-        val gvals = if (groupIdx >= 0) vals(groupIdx) else null
+        val gvals =
+          if (groupIdx >= 0) vals(groupIdx)
+          else if (gColOrd >= 0) gColBuf
+          else null
+        // resolve each kept row's dense group id ONCE (the hash probe
+        // is the dominant per-row cost at high group cardinality —
+        // doing it in the sum loops repeated it nSums+1 times)
+        var i = 0
+        if (gvals == null) {
+          val g0 = groups.idOf(0L)
+          while (i < n) {
+            if (keep(i)) { gids(i) = g0; groups.cnts(g0) += 1 }
+            i += 1
+          }
+        } else {
+          while (i < n) {
+            if (keep(i)) {
+              val g = groups.idOf(gvals(i))
+              gids(i) = g
+              groups.cnts(g) += 1
+            }
+            i += 1
+          }
+        }
         s = 0
         while (s < nSums) {
           val slots = termSlots(s)
           val muls = termMuls(s)
           val adds = termAdds(s)
-          var i = 0
+          i = 0
           if (slots.length == 1) {
             val m1 = muls(0); val a1 = adds(0)
             val arr = cols(slots(0)); val nu = masks(slots(0))
             while (i < n) {
               if (keep(i) && !nu(i)) {
-                val g = groups.idOf(if (gvals == null) 0L else gvals(i))
-                groups.accs(g)(s) += m1 * arr(i) + a1
-                groups.touched(g)(s) = true
+                val x = gids(i) * nSums + s
+                groups.accs(x) += m1 * arr(i) + a1
+                groups.touched(x) = true
               }
               i += 1
             }
@@ -638,10 +696,10 @@ final case class ProbePreAggExec(factCols: Seq[String],
             val nu1 = masks(slots(0)); val nu2 = masks(slots(1))
             while (i < n) {
               if (keep(i) && !nu1(i) && !nu2(i)) {
-                val g = groups.idOf(if (gvals == null) 0L else gvals(i))
-                groups.accs(g)(s) +=
+                val x = gids(i) * nSums + s
+                groups.accs(x) +=
                   (m1 * arr1(i) + a1) * (m2 * arr2(i) + a2)
-                groups.touched(g)(s) = true
+                groups.touched(x) = true
               }
               i += 1
             }
@@ -657,21 +715,15 @@ final case class ProbePreAggExec(factCols: Seq[String],
                   t += 1
                 }
                 if (!anyNull) {
-                  val g = groups.idOf(if (gvals == null) 0L else gvals(i))
-                  groups.accs(g)(s) += prod
-                  groups.touched(g)(s) = true
+                  val x = gids(i) * nSums + s
+                  groups.accs(x) += prod
+                  groups.touched(x) = true
                 }
               }
               i += 1
             }
           }
           s += 1
-        }
-        var i = 0
-        while (i < n) {
-          if (keep(i))
-            groups.cnts(groups.idOf(if (gvals == null) 0L else gvals(i))) += 1
-          i += 1
         }
         if (dbg) { val t = System.nanoTime(); tAcc += t - t0 }
       }
@@ -688,7 +740,8 @@ final case class ProbePreAggExec(factCols: Seq[String],
       slotKinds: Array[Int], termSlots: Array[Array[Int]],
       termMuls: Array[Array[Double]], termAdds: Array[Array[Double]],
       fSlots: Array[Int], fOps: Array[Int], fLims: Array[Double],
-      strFs: Array[(Int, String)], groupIdx: Int,
+      strFs: Array[(Int, String)], groupIdx: Int, gColOrd: Int,
+      gColLong: Boolean,
       constraint: Option[(Int, Int)], nSums: Int, maxGroups: Int)
       : Iterator[InternalRow] = {
     val groups = new Groups(nSums, maxGroups)
@@ -746,7 +799,15 @@ final case class ProbePreAggExec(factCols: Seq[String],
         if (ok && probeVals(a) != probeVals(b)) ok = false
       }
       if (ok) {
-        val g = groups.idOf(if (groupIdx >= 0) probeVals(groupIdx) else 0L)
+        val gkey =
+          if (groupIdx >= 0) probeVals(groupIdx)
+          else if (gColOrd >= 0) {
+            // idOf turns the null sentinel into a loud failure
+            if (row.isNullAt(gColOrd)) -1L
+            else if (gColLong) row.getLong(gColOrd)
+            else row.getInt(gColOrd).toLong
+          } else 0L
+        val g = groups.idOf(gkey)
         s = 0
         while (s < nSums) {
           val slots = termSlots(s)
@@ -759,8 +820,8 @@ final case class ProbePreAggExec(factCols: Seq[String],
             t += 1
           }
           if (!anyNull) {
-            groups.accs(g)(s) += prod
-            groups.touched(g)(s) = true
+            groups.accs(g * nSums + s) += prod
+            groups.touched(g * nSums + s) = true
           }
           s += 1
         }

@@ -79,6 +79,15 @@ object QSub {
     import org.apache.spark.sql.functions._
     val c = graft.Tables.load(s, dir, "customer")
       .select("c_custkey", "c_name")
+    // Deliberately the native partial HashAggregate: the ProbeAgg
+    // groupByCol kernel was built and MEASURED for this 1.5M-group
+    // shape (CteProbe at sf10: kernel agg 1.07 s ≡ native 1.07 s; full
+    // query kernel 2.09–2.38 vs native 1.99 in-protocol) — at ~400K
+    // groups/task the hash probe, not the row pipeline, dominates both
+    // paths, and the query's floor is the exchange + final aggregate of
+    // ~13M low-reduction partials (ledger in BASELINE.md). SHUFFLE_HASH
+    // and MERGE variants of the join also measured WORSE than building
+    // on the filtered aggregate (2.02 / 2.12 vs 1.62).
     val aggF = graft.Tables.load(s, dir, "orders")
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"),

@@ -26,6 +26,16 @@ object CteProbe {
       .agg(count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 2).as("spend"))
 
+    def kernelAgg: DataFrame = {
+      import graft.plans.ProbeAgg
+      import graft.plans.LowCardAgg.{ProductSum, Term}
+      ProbeAgg.probeSums(o, probes = Nil,
+          sums = Seq(ProductSum("spend_raw", Seq(Term("o_totalprice")))),
+          groupByProbe = None, groupByCol = Some("o_custkey"))
+        .select(col("_gkey").as("o_custkey"), col("cnt").as("n_orders"),
+          round(col("spend_raw"), 2).as("spend"))
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "orders_count" -> (() => o.groupBy().count()),
       "agg_custkey" -> (() => aggD),
@@ -95,6 +105,37 @@ object CteProbe {
           .select("c_custkey", "c_name", "n_orders", "spend")
           .localCheckpoint(false)
         joined.orderBy("c_custkey")
+      }),
+      // ProbeAgg groupByCol kernel, agg stage only — vs agg_custkey
+      "kernel_agg" -> (() => kernelAgg),
+      // kernel agg + the current BHJ-on-agg declaration (= q_cte_full's
+      // join) — isolates the broadcast-build cost of the 225K-row agg
+      "kernel_bhj" -> (() => {
+        c.select("c_custkey", "c_name")
+          .join(org.apache.spark.sql.functions.broadcast(
+              kernelAgg.filter(col("n_orders") >= 14)),
+            col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name", "n_orders", "spend")
+          .orderBy("c_custkey")
+      }),
+      // shuffled-hash join instead: the final agg's output is ALREADY
+      // hash-partitioned on the join key, so only customer shuffles
+      // (1.5M narrow rows) and there is no driver-side broadcast build
+      "kernel_shj" -> (() => {
+        c.select("c_custkey", "c_name")
+          .join(kernelAgg.filter(col("n_orders") >= 14)
+              .hint("SHUFFLE_HASH"),
+            col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name", "n_orders", "spend")
+          .orderBy("c_custkey")
+      }),
+      "kernel_smj" -> (() => {
+        c.select("c_custkey", "c_name")
+          .join(kernelAgg.filter(col("n_orders") >= 14)
+              .hint("MERGE"),
+            col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name", "n_orders", "spend")
+          .orderBy("c_custkey")
       }))
 
     def withConf(k: String, v: String)(f: () => DataFrame)

@@ -147,6 +147,62 @@ class ProbeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("groupByCol with no probes ≡ native groupBy (q_cte agg shape)") {
+    val kernel = ProbeAgg.probeSums(t("orders"), probes = Nil,
+        sums = Seq(ProductSum("spend", Seq(Term("o_totalprice")))),
+        groupByProbe = None, groupByCol = Some("o_custkey"))
+      .select(col("_gkey").as("o_custkey"), col("cnt").as("n"),
+        round(col("spend"), 2).as("spend"))
+    val native = t("orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("spend"))
+      .select(col("o_custkey"), col("n"), col("spend"))
+    assert(sorted(kernel) === sorted(native))
+  }
+
+  test("groupByCol composes with probes and filters") {
+    // group by the fact's own suppkey while probing orders for an
+    // inner-join restriction — both reductions in one pass
+    val o3 = t("orders").filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_custkey")
+    val kernel = ProbeAgg.probeSums(t("lineitem"),
+        Seq(Probe("l_orderkey", o3, "o_orderkey", "o_custkey")),
+        Seq(ProductSum("q", Seq(Term("l_quantity")))),
+        groupByProbe = None, groupByCol = Some("l_suppkey"),
+        numFilters = Seq(ColFilter("l_discount", "ge", 0.05)))
+      .select(col("_gkey").as("l_suppkey"), round(col("q"), 2).as("q"),
+        col("cnt"))
+    val native = t("lineitem").filter(col("l_discount") >= 0.05)
+      .join(o3, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_quantity")), 2).as("q"), count(lit(1)).as("cnt"))
+    assert(sorted(kernel) === sorted(native))
+  }
+
+  test("null or negative group-by column fails loudly, both paths") {
+    import spark.implicits._
+    // columnar path: parquet scan with a null key
+    val dir = java.nio.file.Files.createTempDirectory("probeaggG").toString
+    Seq((Some(1L), Some(2.0)), (None, Some(9.0)))
+      .toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val exCol = intercept[Exception] {
+      ProbeAgg.probeSums(spark.read.parquet(dir), probes = Nil,
+        sums = Seq(ProductSum("s", Seq(Term("v")))),
+        groupByProbe = None, groupByCol = Some("k")).collect()
+    }
+    assert(exCol.getMessage.contains("non-negative") ||
+      (exCol.getCause != null &&
+        exCol.getCause.getMessage.contains("non-negative")))
+    // row path: in-memory relation with a negative key
+    val exNeg = intercept[Exception] {
+      ProbeAgg.probeSums(Seq((-5L, 1.0)).toDF("k", "v"), probes = Nil,
+        sums = Seq(ProductSum("s", Seq(Term("v")))),
+        groupByProbe = None, groupByCol = Some("k")).collect()
+    }
+    assert(exNeg.getMessage.contains("non-negative") ||
+      (exNeg.getCause != null &&
+        exNeg.getCause.getMessage.contains("non-negative")))
+  }
+
   test("duplicate probe keys with conflicting values fail loudly") {
     import spark.implicits._
     val dim = Seq((1L, 10L), (1L, 11L)).toDF("dk", "dv")
