@@ -238,7 +238,18 @@ object BigWindow {
       return classic
     val n = if (numRanges > 0) numRanges
       else spark.sessionState.conf.numShufflePartitions
-    val rangeCols = (partCol +: orderCols).map(col)
+    // range-block by the ORDER columns alone (not partCol-first): the
+    // tuple is a total order, so each key's rows still land in global
+    // order across ascending blocks (a block holds an orderCols
+    // interval; within it each key's subsequence is contiguous in the
+    // key's own order) and the chain/carry algebra is unchanged. With
+    // partCol leading, each key's rows concentrate in a few blocks and
+    // the per-(key, block) window sort degrades toward the serial skew
+    // this layout exists to avoid; orderCols-only ranging spreads every
+    // key across all blocks (interleaved A/B at sf10: 6.27 vs 6.95 and
+    // 9.57 vs 13.12 s best-of — consistently faster, FrameStatsDiff
+    // 600K-row real-data diff exact)
+    val rangeCols = orderCols.map(col)
     val blocked = trackedCache(df
       .repartitionByRange(n, rangeCols: _*)
       .withColumn("_blk", spark_partition_id()))

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Full-output diff of the distributed frameStats layout vs the classic
+  * serial window on REAL data (the PipelineSpec pin runs on a synthetic
+  * frame; this is the belt-and-braces check behind layout changes like
+  * the orderCols-only range blocking).
+  *
+  * Usage: FrameStatsDiff <sfDir>
+  */
+object FrameStatsDiff {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = graft.Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_quantity")
+    val ord = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    def stats(forceDist: Boolean) = {
+      spark.conf.set("spark.graft.bigwindow.autoThreshold",
+        if (forceDist) "1" else Long.MaxValue.toString)
+      graft.ops.BigWindow.frameStats(base, "l_returnflag", ord,
+          "l_quantity", trail = 3, fwd = 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          round(col("_trail"), 2).as("t"),
+          round(col("_run"), 2).as("r"),
+          round(col("_fsum") / col("_fcnt"), 6).as("f"))
+    }
+    val dist = stats(forceDist = true)
+    val classic = stats(forceDist = false)
+    val joined = dist.as("d").join(classic.as("c"),
+      ord, "full_outer")
+    val bad = joined.filter(
+      col("d.t") =!= col("c.t") || col("d.r") =!= col("c.r") ||
+      col("d.f") =!= col("c.f") ||
+      col("d.t").isNull =!= col("c.t").isNull)
+    println("[diff] total=" + joined.count() + " mismatched=" + bad.count())
+    bad.show(10, truncate = false)
+    graft.ops.BigWindow.releaseCaches()
+    spark.stop()
+  }
+}
