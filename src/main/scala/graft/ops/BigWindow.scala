@@ -44,12 +44,26 @@ object BigWindow {
     c
   }
 
+  private val liveRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
+
+  /** Register an RDD persisted by a layout operator (the FrameStats
+    * exec's sorted child) for release with [[releaseCaches]]. */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    liveRdds.add(rdd)
+
   /** Unpersist every layout relation pinned by [[runningSum]]. */
   def releaseCaches(): Unit = {
     var df = liveCaches.poll()
     while (df != null) {
       df.unpersist(blocking = false)
       df = liveCaches.poll()
+    }
+    var r = liveRdds.poll()
+    while (r != null) {
+      r.unpersist(blocking = false)
+      r = liveRdds.poll()
     }
   }
 
@@ -236,6 +250,16 @@ object BigWindow {
       .toLong
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(thr))
       return classic
+    // single-exchange custom operator where the types allow it (double
+    // value, string/integral key): one range shuffle + one in-partition
+    // sort vs this layout's four exchanges / three sorts — and its
+    // declared output partitioning lets a downstream ORDER BY on an
+    // orderCols prefix skip the final exchange too. Opt out (or A/B)
+    // with spark.graft.bigwindow.zeroX=false.
+    if (spark.conf.get("spark.graft.bigwindow.zeroX", "true").toBoolean &&
+        graft.plans.FrameStats.supports(df, partCol, valueCol))
+      return graft.plans.FrameStats.frameStats(df, partCol, orderCols,
+        valueCol, trail, fwd)
     val n = if (numRanges > 0) numRanges
       else spark.sessionState.conf.numShufflePartitions
     // range-block by the ORDER columns alone (not partCol-first): the

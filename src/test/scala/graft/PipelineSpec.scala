@@ -189,16 +189,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .withColumn("fc_c", count(col("v")).over(w.rowsBetween(0, 3)))
     }
     // force the distributed layout regardless of the tiny input's size
-    // estimate — this test exists to exercise the carry machinery
+    // estimate — this test exercises BOTH distributed implementations
+    // (the single-exchange FrameStatsExec and the union-carry layout)
+    // against the serial window
     spark.conf.set("spark.graft.bigwindow.autoThreshold", "1")
-    val dist = BigWindow.frameStats(df, "p", Seq("id"), "v",
-      trail = 3, fwd = 3, numRanges = 8)
-    val bad = dist.join(classic(df), Seq("id", "p"))
-      .filter(not(col("_trail") <=> col("t_c")) ||
-        not(col("_run") <=> col("r_c")) ||
-        not(col("_fsum") <=> col("fs_c")) ||
-        col("_fcnt") =!= col("fc_c"))
-    assert(bad.count() == 0, s"divergence: ${bad.take(3).toSeq}")
+    for (zeroX <- Seq("true", "false")) {
+      spark.conf.set("spark.graft.bigwindow.zeroX", zeroX)
+      val dist = BigWindow.frameStats(df, "p", Seq("id"), "v",
+        trail = 3, fwd = 3, numRanges = 8)
+      val bad = dist.join(classic(df), Seq("id", "p"))
+        .filter(not(col("_trail") <=> col("t_c")) ||
+          not(col("_run") <=> col("r_c")) ||
+          not(col("_fsum") <=> col("fs_c")) ||
+          col("_fcnt") =!= col("fc_c"))
+      assert(bad.count() == 0,
+        s"zeroX=$zeroX divergence: ${bad.take(3).toSeq}")
+    }
+    spark.conf.unset("spark.graft.bigwindow.zeroX")
     // frames wider than the tiny block slices → classic fallback, exact
     val tiny = spark.range(0, 40).select(col("id"),
       lit("k").as("p"), col("id").cast("double").as("v"))
