@@ -28,15 +28,22 @@ object QWin {
 
   val queries: Map[String, QueryFn] = Map(
     // tie-stable ranking over a non-unique order
+    // value-determined ranking over a ~50-distinct order key: computed
+    // from the (flag, quantity) frequency table and broadcast-joined
+    // back (ops/RankStats) — the fact is scanned once and never
+    // shuffled into the 3-task window sort; self-guards back to the
+    // classic window above 100K distinct tuples
     "q_win_rank" -> { (s, dir) =>
-      val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-      li(s, dir).select(
-        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("l_quantity"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        round(percent_rank().over(w), 8).as("prnk"),
-        round(cume_dist().over(w), 8).as("cdist"))
+      graft.ops.RankStats.lowCardRanks(
+          li(s, dir).select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity"),
+          "l_returnflag", Seq("l_quantity"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          col("rnk"), col("drnk"),
+          round(col("prnk"), 8).as("prnk"),
+          round(col("cdist"), 8).as("cdist"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
