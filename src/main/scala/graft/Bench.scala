@@ -88,6 +88,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
+      } finally {
+        // layout operators pin relations for the duration of their
+        // query (FrameStats' sorted-child RDD is ~6 GB of row objects
+        // at sf10); catalog.clearCache() between reps only covers
+        // DataFrame caches, so raw RDD pins MUST release here or they
+        // accumulate across reps and GC-thrash the whole suite
+        graft.ops.BigWindow.releaseCaches()
+        graft.ops.Dedup.releaseCaches()
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -33,6 +33,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // release layout-operator pins per gate (same reason as Bench)
+        graft.ops.BigWindow.releaseCaches()
+        graft.ops.Dedup.releaseCaches()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

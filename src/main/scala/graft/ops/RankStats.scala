@@ -46,9 +46,12 @@ object RankStats {
 
   /** `df` + `rnk` (int), `drnk` (int), `prnk` (double), `cdist`
     * (double) for `rank/dense_rank/percent_rank/cume_dist OVER
-    * (PARTITION BY partCol ORDER BY orderCols ASC)`. */
+    * (PARTITION BY partCol ORDER BY orderCols ASC)`. `auto = false`
+    * skips the size dispatch (the cardinality guards still apply) —
+    * the forced-rewrite oracle gate uses it at fixture scale. */
   def lowCardRanks(df: DataFrame, partCol: String,
-      orderCols: Seq[String], cap: Int = 100000): DataFrame = {
+      orderCols: Seq[String], cap: Int = 100000,
+      auto: Boolean = true): DataFrame = {
     require(orderCols.nonEmpty)
     val spark = df.sparkSession
     val keys = (partCol +: orderCols).map(col)
@@ -69,7 +72,8 @@ object RankStats {
     val thr = spark.conf
       .get("spark.graft.rankstats.autoThreshold", (256L << 20).toString)
       .toLong
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(thr))
+    if (auto &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes < BigInt(thr))
       return classic
     // stage-1 probe: a few row groups, not a full scan
     val probed = df.select(keys: _*).limit(500000)

@@ -47,6 +47,24 @@ object QWin {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // forced-rewrite twin of q_win_rank: the frequency-table path under
+    // the DuckDB oracle at fixture scale (the size dispatch would run
+    // the classic window here; RankStatsSpec pins equivalence, this
+    // puts the rewrite itself under the oracle)
+    "q_win_rank_freq" -> { (s, dir) =>
+      graft.ops.RankStats.lowCardRanks(
+          li(s, dir).select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity"),
+          "l_returnflag", Seq("l_quantity"), auto = false)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          col("rnk"), col("drnk"),
+          round(col("prnk"), 8).as("prnk"),
+          round(col("cdist"), 8).as("cdist"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // order-sensitive ranking over a unique order
     "q_win_rownum" -> { (s, dir) =>
       val w = Window.partitionBy("l_returnflag").orderBy(uniq: _*)
@@ -102,6 +120,30 @@ object QWin {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // forced-distributed twin of q_win_frame_rows: the single-exchange
+    // FrameStats operator under the DuckDB oracle at fixture scale
+    "q_win_frame_dist" -> { (s, dir) =>
+      val base = li(s, dir).select("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_returnflag", "l_quantity")
+      val key = "spark.graft.bigwindow.autoThreshold"
+      val old = s.conf.getOption(key)
+      s.conf.set(key, "1")
+      try {
+        graft.ops.BigWindow.frameStats(base, "l_returnflag",
+            Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+            "l_quantity", trail = 3, fwd = 3)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            round(col("_trail"), 2).as("trail3"),
+            round(col("_run"), 2).as("running"),
+            round(col("_fsum") / col("_fcnt"), 6).as("fwd_avg"))
+          .orderBy("l_orderkey", "l_linenumber")
+      } finally old match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    },
+
     // RANGE frame with a numeric offset over the ordering key
     "q_win_frame_range" -> { (s, dir) =>
       val w = Window.partitionBy("l_linenumber").orderBy(col("l_orderkey"))
@@ -151,6 +193,16 @@ object QWin {
          |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    "q_win_rank_freq" ->
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         |  rank() OVER w AS rnk,
+         |  dense_rank() OVER w AS drnk,
+         |  round(percent_rank() OVER w, 8) AS prnk,
+         |  round(cume_dist() OVER w, 8) AS cdist
+         |FROM lineitem $where
+         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_win_rownum" ->
       s"""SELECT l_orderkey, l_linenumber, l_returnflag,
          |  row_number() OVER w AS rn,
@@ -180,6 +232,20 @@ object QWin {
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_win_frame_rows" ->
+      s"""SELECT l_orderkey, l_linenumber, l_returnflag,
+         |  round(sum(l_quantity) OVER (PARTITION BY l_returnflag
+         |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS trail3,
+         |  round(sum(l_quantity) OVER (PARTITION BY l_returnflag
+         |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+         |  round(avg(l_quantity) OVER (PARTITION BY l_returnflag
+         |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING), 6) AS fwd_avg
+         |FROM lineitem $where
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_win_frame_dist" ->
       s"""SELECT l_orderkey, l_linenumber, l_returnflag,
          |  round(sum(l_quantity) OVER (PARTITION BY l_returnflag
          |    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
