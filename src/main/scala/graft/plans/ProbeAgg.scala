@@ -120,18 +120,45 @@ object ProbeAgg {
   final case class StrEqFilter(column: String, value: String)
 
   /** Build the probe map driver-side. The collect is the caller-guarded
-    * scale decision (see scaladoc). */
+    * scale decision (see scaladoc). Rows land as per-partition PRIMITIVE
+    * long arrays, not boxed Row objects — at the multi-million-entry
+    * maps the guard admits (q3's ~3M qualifying orders), Row boxing was
+    * the dominant build cost (~1 GB of transient garbage at 12M
+    * entries) and showed up as a per-query driver stall the warm A/B
+    * loops had hidden. */
   private def buildMap(p: Probe): LongLongMap = {
-    val rows = p.table
+    val parts = p.table
       .select(col(p.tableKey).cast("long"), col(p.tableValue).cast("long"))
-      .collect()
-    val m = new LongLongMap(rows.length)
-    rows.foreach { r =>
-      require(!r.isNullAt(0) && !r.isNullAt(1),
-        "ProbeAgg probe table must have non-null keys and values")
-      val v = r.getLong(1)
-      require(v >= 0, s"ProbeAgg probe values must be non-negative, got $v")
-      m.put(r.getLong(0), v)
+      .queryExecution.toRdd.mapPartitions { it =>
+        var ks = new Array[Long](1 << 10)
+        var vs = new Array[Long](1 << 10)
+        var n = 0
+        it.foreach { row =>
+          if (row.isNullAt(0) || row.isNullAt(1))
+            throw new IllegalArgumentException(
+              "ProbeAgg probe table must have non-null keys and values")
+          if (n == ks.length) {
+            ks = java.util.Arrays.copyOf(ks, n << 1)
+            vs = java.util.Arrays.copyOf(vs, n << 1)
+          }
+          ks(n) = row.getLong(0)
+          vs(n) = row.getLong(1)
+          n += 1
+        }
+        Iterator.single((java.util.Arrays.copyOf(ks, n),
+          java.util.Arrays.copyOf(vs, n)))
+      }.collect()
+    val total = parts.map(_._1.length).sum
+    val m = new LongLongMap(total)
+    parts.foreach { case (ks, vs) =>
+      var i = 0
+      while (i < ks.length) {
+        val v = vs(i)
+        require(v >= 0,
+          s"ProbeAgg probe values must be non-negative, got $v")
+        m.put(ks(i), v)
+        i += 1
+      }
     }
     m
   }

@@ -37,7 +37,15 @@ object QTpcds {
     val oPruned = o
       .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
-    if (withinReduceBound(o.select("o_orderkey", "o_custkey")) &&
+    // under the bucketed layout the co-located lineitem⋈orders join
+    // (the SQL branch below) is strictly better than the kernel: yoy's
+    // probe map is ~80% of orders (12M entries at sf10 — the largest
+    // map any declaration builds), and the zero-exchange join never
+    // materializes it (r7: bucketed 2.40 s)
+    val bucketed = graft.Tables.isOverlaid(dir, "lineitem") &&
+      graft.Tables.isOverlaid(dir, "orders")
+    if (!bucketed &&
+        withinReduceBound(o.select("o_orderkey", "o_custkey")) &&
         withinReduceBound(c.select("c_custkey", "c_nationkey"))) {
       // ProbeAgg kernel: probe VALUE = nationkey·10⁴ + order year, so
       // the (nation, year) revenue matrix (175 groups) accumulates in
