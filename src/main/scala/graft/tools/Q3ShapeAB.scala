@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q3 declaration shapes, protocol-style (cache cleared per rep,
+  * interleaved): the ProbeAgg kernel builds a ~3M-entry driver map
+  * (qualifying BUILDING×date orders) while q3's FACT side is tiny
+  * after the shipdate pushdown (~1.3% of lineitem) — so a
+  * reduction-shuffle join that never materializes the map may win.
+  *
+  * Usage: Q3ShapeAB <sfDir> [reps=3]
+  */
+object Q3ShapeAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = graft.Tables.load(spark, sfDir, n)
+
+    // current declaration (ProbeAgg kernel at this scale)
+    def kernel: DataFrame =
+      graft.SparkEntry.queries("q3_shipping")(spark, sfDir)
+
+    // reduction-shuffle: broadcast the BUILDING custkeys into the orders
+    // scan (3M survivors), keyed-shuffle join against the shipdate-
+    // filtered fact (~800K rows) — no driver map, both sides parallel
+    def shuffleRed: DataFrame = {
+      val cKeys = t("customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val oRed = t("orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .join(broadcast(cKeys), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = t("lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(oRed, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }
+
+    // same reduction but the REDUCED orders side broadcast into the
+    // fact (3M×3-col ≈ broadcast-range at sf10; declines past bound)
+    def bhjRed: DataFrame = {
+      val cKeys = t("customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val oRed = t("orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .join(broadcast(cKeys), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = t("lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(broadcast(oRed), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    }
+
+    val variants = Seq("kernel" -> (() => kernel),
+      "shuffleRed" -> (() => shuffleRed), "bhjRed" -> (() => bhjRed))
+    // answers must agree
+    val ref = variants.head._2().collect().map(_.toString).toSeq
+    variants.tail.foreach { case (n, f) =>
+      val got = f().collect().map(_.toString).toSeq
+      require(got == ref, s"$n answers diverge")
+      println(s"[q3ab] $n answers agree")
+    }
+    def once(f: () => DataFrame): Double = {
+      spark.catalog.clearCache()
+      graft.ops.BigWindow.releaseCaches()
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    variants.foreach { case (_, f) => once(f) } // warm
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { _ =>
+      variants.foreach { case (n, f) => times(n) :+= once(f) }
+    }
+    variants.foreach { case (n, _) =>
+      val xs = times(n).sorted
+      println(f"[q3ab] $n%-10s median=${xs(xs.size / 2)}%.2f " +
+        s"(${times(n).map(x => f"$x%.2f").mkString(",")})")
+    }
+    spark.stop()
+  }
+}
