@@ -96,6 +96,7 @@ object Bench {
         // accumulate across reps and GC-thrash the whole suite
         graft.ops.BigWindow.releaseCaches()
         graft.ops.Dedup.releaseCaches()
+        graft.plans.ProbeAgg.releaseBroadcasts()
       }
       (System.nanoTime() - t0) / 1e9
     }

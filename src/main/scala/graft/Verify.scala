@@ -37,6 +37,7 @@ object Verify {
         // release layout-operator pins per gate (same reason as Bench)
         graft.ops.BigWindow.releaseCaches()
         graft.ops.Dedup.releaseCaches()
+        graft.plans.ProbeAgg.releaseBroadcasts()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -67,6 +67,23 @@ object BigWindow {
     }
   }
 
+  /** Inner join on (partCol, _blk) with NULL-SAFE key equality: a NULL
+    * partition key is its own window group (the windows and groupBys in
+    * these layouts all keep it), and the plain USING join the first cut
+    * used silently dropped those rows — a divergence from both the
+    * classic window and the FrameStats operator. The right side's keys
+    * are renamed first, which also sidesteps derived-self-join column
+    * ambiguity (every metadata side here derives from `blocked`). */
+  private def joinKeyBlk(left: DataFrame, right: DataFrame,
+      partCol: String, bcast: Boolean): DataFrame = {
+    val r0 = right.withColumnRenamed(partCol, "_jp")
+      .withColumnRenamed("_blk", "_jb")
+    val r = if (bcast) org.apache.spark.sql.functions.broadcast(r0) else r0
+    left.join(r, col("_blk") === col("_jb") &&
+        col(partCol) <=> col("_jp"))
+      .drop("_jp", "_jb")
+  }
+
   /** `df` + column `out` = running sum of `valueCol` over
     * (PARTITION BY partCol ORDER BY orderCols ROWS UNBOUNDED
     * PRECEDING), computed `numRanges` wide. */
@@ -110,7 +127,7 @@ object BigWindow {
     // (possibly null, matching the classic window's all-null prefix);
     // a non-null offset with a null local prefix means this row's
     // block hasn't seen a non-null yet → the offset alone.
-    local.join(offsets, Seq(partCol, "_blk"))
+    joinKeyBlk(local, offsets, partCol, bcast = false)
       .withColumn(out,
         when(col("_boff").isNull, col("_run_local"))
           .otherwise(col("_boff") + coalesce(col("_run_local"), lit(0))))
@@ -255,11 +272,22 @@ object BigWindow {
     // sort vs this layout's four exchanges / three sorts — and its
     // declared output partitioning lets a downstream ORDER BY on an
     // orderCols prefix skip the final exchange too. Opt out (or A/B)
-    // with spark.graft.bigwindow.zeroX=false.
+    // with spark.graft.bigwindow.zeroX=false. Key-cardinality guard:
+    // its seed metadata is O(partitions × keys) ON THE DRIVER, so a
+    // limited probe routes high-cardinality keys away — which is also
+    // the regime where the classic window has NO skew problem (many
+    // keys parallelize on their own) and is the right plan anyway.
     if (spark.conf.get("spark.graft.bigwindow.zeroX", "true").toBoolean &&
-        graft.plans.FrameStats.supports(df, partCol, valueCol))
-      return graft.plans.FrameStats.frameStats(df, partCol, orderCols,
-        valueCol, trail, fwd)
+        graft.plans.FrameStats.supports(df, partCol, valueCol)) {
+      val maxKeys = spark.conf
+        .get("spark.graft.bigwindow.maxKeys", "10000").toLong
+      val probed = df.select(col(partCol)).limit(500000)
+        .agg(approx_count_distinct(col(partCol))).head().getLong(0)
+      if (probed <= maxKeys)
+        return graft.plans.FrameStats.frameStats(df, partCol, orderCols,
+          valueCol, trail, fwd)
+      return classic
+    }
     val n = if (numRanges > 0) numRanges
       else spark.sessionState.conf.numShufflePartitions
     // range-block by the ORDER columns alone (not partCol-first): the
@@ -301,10 +329,10 @@ object BigWindow {
     // heaviest pass.
     val wFromStart = Window.partitionBy(col(partCol), col("_blk"))
       .orderBy(orderCols.map(c => col(c).asc): _*)
-    val numbered = blocked
-      .withColumn("_rn", row_number().over(wFromStart))
-      .join(broadcast(chain.select(col(partCol), col("_blk"), col("_c"),
-        col("_next"), col("_prev"))), Seq(partCol, "_blk"))
+    val numbered = joinKeyBlk(
+      blocked.withColumn("_rn", row_number().over(wFromStart)),
+      chain.select(col(partCol), col("_blk"), col("_c"),
+        col("_next"), col("_prev")), partCol, bcast = true)
     // a row can be head carry, tail carry, both, or neither — explode a
     // per-row target-block array so the numbering pass feeds ONE union
     // branch (two filter branches would execute the window sort twice)
@@ -334,9 +362,9 @@ object BigWindow {
       .withColumn("_fcnt",
         count(col(valueCol)).over(wOrdered.rowsBetween(0, fwd)))
       .filter(!col("_carry"))
-    local
-      .join(chain.select(col(partCol), col("_blk"), col("_boff")),
-        Seq(partCol, "_blk"))
+    joinKeyBlk(local,
+        chain.select(col(partCol), col("_blk"), col("_boff")),
+        partCol, bcast = false)
       .withColumn("_run",
         when(col("_boff").isNull, col("_runl"))
           .otherwise(col("_boff") + coalesce(col("_runl"), lit(0))))
@@ -387,13 +415,14 @@ object BigWindow {
       .orderBy(orderCols.map(c =>
         if (reverse) col(c).asc else col(c).desc): _*)
     val target = if (reverse) "_prev" else "_next"
-    val carry = blocked
-      .withColumn("_rne", row_number().over(wFromEnd))
-      .filter(col("_rne") <= frame - 1)
-      .drop("_rne")
-      .join(chain.filter(col(target).isNotNull)
-        .select(col(partCol), col("_blk"), col(target)),
-        Seq(partCol, "_blk"))
+    val carry = joinKeyBlk(
+        blocked
+          .withColumn("_rne", row_number().over(wFromEnd))
+          .filter(col("_rne") <= frame - 1)
+          .drop("_rne"),
+        chain.filter(col(target).isNotNull)
+          .select(col(partCol), col("_blk"), col(target)),
+        partCol, bcast = false)
       .withColumn("_blk", col(target)).drop(target)
       .withColumn("_carry", lit(true))
     val aug = blocked.withColumn("_carry", lit(false))

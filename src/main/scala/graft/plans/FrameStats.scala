@@ -259,6 +259,14 @@ final case class FrameStatsExec(partCol: String, orderCols: Seq[String],
 
     // ---- driver: chain segments per key into seeds ----
     // (strings were copied to JVM Strings in pass A for hashability)
+    // Loud backstop behind BigWindow's limited cardinality probe (the
+    // probe is biased on key-sorted data): the seeds broadcast is
+    // O(partitions × keys) and must never silently OOM the driver.
+    require(metas.length <= (4 << 20),
+      s"FrameStats: ${metas.length} (partition, key) segments — the " +
+        "partition key is too high-cardinality for the seed broadcast; " +
+        "set spark.graft.bigwindow.zeroX=false (the classic window " +
+        "parallelizes fine over many keys)")
     val byKey = metas.groupBy(_.key).map { case (k, segs) =>
       (k, segs.sortBy(_.pid))
     }

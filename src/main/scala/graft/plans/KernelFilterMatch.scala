@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+
+/** The FilterExec-skip safety matcher shared by the columnar kernels
+  * ([[LowCardAgg]], [[ProbeAgg]]).
+  *
+  * A kernel may only bypass a FilterExec sitting between its node and
+  * the scan when EVERY conjunct is a predicate the kernel itself
+  * re-evaluates on the vectors: an inferred IsNotNull on one of its
+  * filter columns, the exact column-vs-literal numeric comparison of
+  * one of its ColFilters (flipped literal-first forms normalized), or a
+  * conjunct the caller's `extra` matcher claims (ProbeAgg's string
+  * equalities). Anything else means the FilterExec computes a predicate
+  * the kernel would not, so it must run — the row fallback preserves
+  * it. One shared implementation so the two kernels can never drift on
+  * which predicates they silently skip (the round-7 ADVICE high was
+  * exactly such a skip).
+  *
+  * Literal encoding: timestamps compare as epoch-micros longs and dates
+  * as epoch-day ints — the same encoding [[LowCardAgg.litFor]] produced
+  * for the pushed-down twin predicate, so double equality is exact.
+  */
+private[plans] object KernelFilterMatch {
+
+  def litD(l: Literal): Option[Double] = l.value match {
+    case d: java.lang.Double => Some(d.doubleValue)
+    case f: java.lang.Float => Some(f.doubleValue)
+    case x: java.lang.Long => Some(x.doubleValue)
+    case x: java.lang.Integer => Some(x.doubleValue)
+    case x: java.lang.Short => Some(x.doubleValue)
+    case _ => None
+  }
+
+  def matches(cond: Expression, numFilters: Seq[LowCardAgg.ColFilter],
+      notNullCols: Set[String],
+      extra: Expression => Boolean = _ => false): Boolean = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case x => Seq(x)
+    }
+    def hit(name: String, op: String, l: Literal): Boolean =
+      litD(l).exists(b => numFilters.exists(f =>
+        f.column == name && f.op == op && f.value == b))
+    split(cond).forall {
+      case IsNotNull(a: Attribute) => notNullCols(a.name)
+      case LessThanOrEqual(a: Attribute, l: Literal) => hit(a.name, "le", l)
+      case LessThan(a: Attribute, l: Literal) => hit(a.name, "lt", l)
+      case GreaterThanOrEqual(a: Attribute, l: Literal) => hit(a.name, "ge", l)
+      case GreaterThan(a: Attribute, l: Literal) => hit(a.name, "gt", l)
+      case LessThanOrEqual(l: Literal, a: Attribute) => hit(a.name, "ge", l)
+      case LessThan(l: Literal, a: Attribute) => hit(a.name, "gt", l)
+      case GreaterThanOrEqual(l: Literal, a: Attribute) => hit(a.name, "le", l)
+      case GreaterThan(l: Literal, a: Attribute) => hit(a.name, "lt", l)
+      case other => extra(other)
+    }
+  }
+}

@@ -212,40 +212,8 @@ final case class LowCardPreAggExec(keys: Seq[String],
     * computes a predicate the kernel would not, so it must run. */
   private def filterMatchesSpec(
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Boolean = {
-    import org.apache.spark.sql.catalyst.expressions._
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => split(l) ++ split(r)
-      case x => Seq(x)
-    }
-    val fcols = filters.map(_.column).toSet
-    // literal's internal value as the double the ColFilter carries
-    // (timestamps are Long micros, dates Int days — the same encoding
-    // LowCardAgg.litFor produced, so equality is exact)
-    def litD(l: Literal): Option[Double] = l.value match {
-      case d: java.lang.Double => Some(d.doubleValue)
-      case f: java.lang.Float => Some(f.doubleValue)
-      case x: java.lang.Long => Some(x.doubleValue)
-      case x: java.lang.Integer => Some(x.doubleValue)
-      case x: java.lang.Short => Some(x.doubleValue)
-      case _ => None
-    }
-    def hit(name: String, op: String, l: Literal): Boolean =
-      litD(l).exists(b =>
-        filters.exists(f => f.column == name && f.op == op && f.value == b))
-    split(cond).forall {
-      case IsNotNull(a: Attribute) => fcols(a.name)
-      case LessThanOrEqual(a: Attribute, l: Literal) => hit(a.name, "le", l)
-      case LessThan(a: Attribute, l: Literal) => hit(a.name, "lt", l)
-      case GreaterThanOrEqual(a: Attribute, l: Literal) => hit(a.name, "ge", l)
-      case GreaterThan(a: Attribute, l: Literal) => hit(a.name, "gt", l)
-      case LessThanOrEqual(l: Literal, a: Attribute) => hit(a.name, "ge", l)
-      case LessThan(l: Literal, a: Attribute) => hit(a.name, "gt", l)
-      case GreaterThanOrEqual(l: Literal, a: Attribute) => hit(a.name, "le", l)
-      case GreaterThan(l: Literal, a: Attribute) => hit(a.name, "lt", l)
-      case _ => false
-    }
-  }
+      : Boolean =
+    KernelFilterMatch.matches(cond, filters, filters.map(_.column).toSet)
 
   /** How a column's vector is physically read. */
   private def kindOf(out: Seq[Attribute], ord: Int): Int =

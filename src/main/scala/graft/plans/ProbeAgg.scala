@@ -55,6 +55,25 @@ import graft.plans.LowCardAgg.{ColFilter, ProductSum}
   */
 object ProbeAgg {
 
+  private val liveBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]()
+
+  /** Destroy every probe-map broadcast built by [[probeSums]] since the
+    * last release. The maps are the largest broadcasts in the engine
+    * (qds_yoy's ~12M entries ≈ 0.2 GB of long arrays) and a torrent
+    * broadcast outlives its query until a full GC otherwise — the same
+    * accumulate-across-reps leak class as the BigWindow pins. Contract:
+    * call AFTER the query's result is materialized; DataFrames built
+    * from earlier probeSums calls must not be re-executed afterwards
+    * (re-construct them instead — every harness already does). */
+  def releaseBroadcasts(): Unit = {
+    var b = liveBroadcasts.poll()
+    while (b != null) {
+      b.destroy()
+      b = liveBroadcasts.poll()
+    }
+  }
+
   /** Open-addressing long→long map, linear probing, power-of-2
     * capacity. Keys must be ≥ 0 (ids); EMPTY slot = -1. */
   final class LongLongMap(initialCapacity: Int) extends Serializable {
@@ -193,8 +212,11 @@ object ProbeAgg {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(ProbeAggStrategy))
       exp.extraStrategies = exp.extraStrategies :+ ProbeAggStrategy
-    val maps = probes.map(p =>
-      spark.sparkContext.broadcast(buildMap(p)))
+    val maps = probes.map { p =>
+      val b = spark.sparkContext.broadcast(buildMap(p))
+      liveBroadcasts.add(b)
+      b
+    }
     val needed = (probes.map(_.factCol) ++ groupByCol.toSeq ++
       sums.flatMap(_.terms.map(_.column)) ++ numFilters.map(_.column) ++
       strFilters.map(_.column)).distinct
@@ -217,11 +239,24 @@ object ProbeAgg {
       ProbePreAgg.build(probes.map(_.factCol), maps, sums, numFilters,
         strFilters, groupByProbe, constraintEq, maxGroups,
         pruned.queryExecution.analyzed, groupByCol))
-    val grouped = pre.groupBy(col("_gkey"))
-      .agg(sum(sums.head.name).as(sums.head.name),
-        (sums.tail.map(s => sum(s.name).as(s.name)) :+
-          sum("_cnt").as("cnt")): _*)
-    grouped
+    if (groupByProbe.isEmpty && groupByCol.isEmpty) {
+      // GLOBAL mode must aggregate globally, not group by the constant
+      // _gkey: SQL global aggregation over empty input is ONE row
+      // (null sums, count 0), and an empty input can reach here with
+      // ZERO partitions (Catalyst folds a statically-empty child to an
+      // empty relation), so no per-partition partial may exist at all
+      import org.apache.spark.sql.functions.{coalesce, lit}
+      pre.agg(sum(sums.head.name).as(sums.head.name),
+          (sums.tail.map(s => sum(s.name).as(s.name)) :+
+            sum("_cnt").as("_cnt_raw")): _*)
+        .select(lit(0L).as("_gkey") +:
+          sums.map(s => col(s.name)) :+
+          coalesce(col("_cnt_raw"), lit(0L)).as("cnt"): _*)
+    } else
+      pre.groupBy(col("_gkey"))
+        .agg(sum(sums.head.name).as(sums.head.name),
+          (sums.tail.map(s => sum(s.name).as(s.name)) :+
+            sum("_cnt").as("cnt")): _*)
   }
 }
 
@@ -292,49 +327,26 @@ final case class ProbePreAggExec(factCols: Seq[String],
     case _ => None
   }
 
-  /** Same discipline as LowCardAgg: skip a FilterExec only when every
-    * conjunct is re-evaluated by the kernel (our numeric comparisons,
-    * our string equalities, inferred IsNotNull on their columns). */
+  /** Same discipline as LowCardAgg, via the shared
+    * [[KernelFilterMatch]]: skip a FilterExec only when every conjunct
+    * is re-evaluated by the kernel (our numeric comparisons, our string
+    * equalities, inferred IsNotNull on their columns). */
   private def filterMatchesSpec(
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
       : Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
-    def split(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => split(l) ++ split(r)
-      case x => Seq(x)
-    }
-    val fcols = (numFilters.map(_.column) ++
-      strFilters.map(_.column)).toSet
-    def litD(l: Literal): Option[Double] = l.value match {
-      case d: java.lang.Double => Some(d.doubleValue)
-      case f: java.lang.Float => Some(f.doubleValue)
-      case x: java.lang.Long => Some(x.doubleValue)
-      case x: java.lang.Integer => Some(x.doubleValue)
-      case x: java.lang.Short => Some(x.doubleValue)
-      case _ => None
-    }
-    def hitNum(name: String, op: String, l: Literal): Boolean =
-      litD(l).exists(b => numFilters.exists(f =>
-        f.column == name && f.op == op && f.value == b))
     def hitStr(name: String, l: Literal): Boolean = l.value match {
       case u: UTF8String => strFilters.exists(f =>
         f.column == name && f.value == u.toString)
       case _ => false
     }
-    split(cond).forall {
-      case IsNotNull(a: Attribute) => fcols(a.name)
-      case EqualTo(a: Attribute, l: Literal) => hitStr(a.name, l)
-      case EqualTo(l: Literal, a: Attribute) => hitStr(a.name, l)
-      case LessThanOrEqual(a: Attribute, l: Literal) => hitNum(a.name, "le", l)
-      case LessThan(a: Attribute, l: Literal) => hitNum(a.name, "lt", l)
-      case GreaterThanOrEqual(a: Attribute, l: Literal) => hitNum(a.name, "ge", l)
-      case GreaterThan(a: Attribute, l: Literal) => hitNum(a.name, "gt", l)
-      case LessThanOrEqual(l: Literal, a: Attribute) => hitNum(a.name, "ge", l)
-      case LessThan(l: Literal, a: Attribute) => hitNum(a.name, "gt", l)
-      case GreaterThanOrEqual(l: Literal, a: Attribute) => hitNum(a.name, "le", l)
-      case GreaterThan(l: Literal, a: Attribute) => hitNum(a.name, "lt", l)
-      case _ => false
-    }
+    KernelFilterMatch.matches(cond, numFilters,
+      (numFilters.map(_.column) ++ strFilters.map(_.column)).toSet,
+      extra = {
+        case EqualTo(a: Attribute, l: Literal) => hitStr(a.name, l)
+        case EqualTo(l: Literal, a: Attribute) => hitStr(a.name, l)
+        case _ => false
+      })
   }
 
   /** Per-partition group table: gkey → dense slot (open addressing),
@@ -536,6 +548,10 @@ final case class ProbePreAggExec(factCols: Seq[String],
       constraint: Option[(Int, Int)], nSums: Int, maxGroups: Int)
       : Iterator[InternalRow] = {
     val groups = new Groups(nSums, maxGroups)
+    // GLOBAL-aggregate mode must register its one group even when every
+    // row filters out: SQL global aggregation over empty input is ONE
+    // row (null sums, count 0), and both physical paths must agree
+    if (groupIdx < 0 && gColOrd < 0) groups.idOf(0L)
     val nSlots = numOrds.length
     val nProbes = probeOrds.length
     var gColBuf: Array[Long] = new Array[Long](0)
@@ -772,6 +788,8 @@ final case class ProbePreAggExec(factCols: Seq[String],
       constraint: Option[(Int, Int)], nSums: Int, maxGroups: Int)
       : Iterator[InternalRow] = {
     val groups = new Groups(nSums, maxGroups)
+    // same empty-input contract as the columnar path (see there)
+    if (groupIdx < 0 && gColOrd < 0) groups.idOf(0L)
     val localMaps = maps.map(_.value)
     val strTargets = strFs.map(f => UTF8String.fromString(f._2))
     val slotVals = new Array[Double](numOrds.length)

@@ -88,8 +88,14 @@ object QTpch {
         // qualifying orders): revenue accumulates by orderkey in the
         // scan pass, top-10 on the aggregate, orders re-joined for the
         // two display attributes
-        val shipCut = java.time.Instant.parse("1998-03-15T00:00:00Z")
-          .getEpochSecond * 1000000.0
+        // epoch micros of the cutoff AS THE SESSION TIMEZONE PARSES IT
+        // — the fallback arm's lit("1998-03-15").cast("timestamp") uses
+        // the session zone, and the two guard arms must agree in any
+        // session, not just the UTC ones every in-repo entry point pins
+        val shipCut = java.time.LocalDate.parse("1998-03-15")
+          .atStartOfDay(java.time.ZoneId.of(
+            s.sessionState.conf.sessionLocalTimeZone))
+          .toInstant.getEpochSecond * 1000000.0
         val qualifying = o
           .join(broadcast(c.select("c_custkey")),
             col("o_custkey") === col("c_custkey"))

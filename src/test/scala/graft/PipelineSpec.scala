@@ -115,47 +115,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("BigWindow.runningSum equals the classic window on a unique order") {
     import graft.ops.BigWindow
     import org.apache.spark.sql.expressions.Window
-    // 3 partition keys × 10k rows with nulls sprinkled in — a unique
-    // ordering key so the comparison is tie-free
+    // 3 partition keys (plus a NULL key group — its rows must survive
+    // the layout's metadata joins) × ~10k rows with null values
+    // sprinkled in — a unique ordering key so the comparison is
+    // tie-free. Comparison joins use id alone (null p never
+    // equality-joins).
     val df = spark.range(0, 30000).select(
       col("id"),
-      (col("id") % 3).cast("string").as("p"),
+      when(col("id") % 53 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 3).cast("string")).as("p"),
       when(col("id") % 97 === 0, lit(null).cast("decimal(10,2)"))
         .otherwise((col("id") % 1000).cast("decimal(10,2)")).as("v"))
+    // full_outer on id + a count assert: a layout that DROPS null-key
+    // rows must fail both ways, not fall out of an inner comparison
+    def cmp(d: org.apache.spark.sql.DataFrame, dc: String,
+        c: org.apache.spark.sql.DataFrame, cc: String): Unit = {
+      assert(d.count() == 30000, s"$dc lost rows")
+      val bad = d.select(col("id"), col(dc))
+        .join(c.select(col("id"), col(cc)), Seq("id"), "full_outer")
+        .filter(not(col(dc) <=> col(cc)))
+      assert(bad.count() == 0, s"$dc divergence: ${bad.take(3).toSeq}")
+    }
     val dist = BigWindow.runningSum(df, "p", Seq("id"), "v", "run",
       numRanges = 8)
     val w = Window.partitionBy("p").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val classic = df.withColumn("run_c", sum(col("v")).over(w))
-    val bad = dist.join(classic, Seq("id", "p"))
-      .filter(not(col("run") <=> col("run_c")))
-    assert(bad.count() == 0, s"divergence: ${bad.take(3).toSeq}")
+    cmp(dist, "run", df.withColumn("run_c", sum(col("v")).over(w)), "run_c")
     // runningCount = row_number over the same distributed shape
     val rc = BigWindow.runningCount(df, "p", Seq("id"), "rn", numRanges = 8)
-    val rn = df.withColumn("rn_c",
-      row_number().over(Window.partitionBy("p").orderBy("id")))
-    assert(rc.join(rn, Seq("id", "p"))
-      .filter(col("rn") =!= col("rn_c")).count() == 0)
+    cmp(rc, "rn", df.withColumn("rn_c",
+      row_number().over(Window.partitionBy("p").orderBy("id"))), "rn_c")
     // bounded trailing frame via carry rows
     val trail = BigWindow.trailingSum(df, "p", Seq("id"), "v", "t",
       frame = 7, numRanges = 8)
     val wt = Window.partitionBy("p").orderBy("id").rowsBetween(-6, 0)
-    val trailC = df.withColumn("t_c", sum(col("v")).over(wt))
-    assert(trail.join(trailC, Seq("id", "p"))
-      .filter(not(col("t") <=> col("t_c"))).count() == 0)
+    cmp(trail, "t", df.withColumn("t_c", sum(col("v")).over(wt)), "t_c")
     // lag across block boundaries via the same carry layout
     val lg = BigWindow.lagValue(df, "p", Seq("id"), "v", "l",
       offset = 3, numRanges = 8)
     val wl = Window.partitionBy("p").orderBy("id")
-    val lgC = df.withColumn("l_c", lag(col("v"), 3).over(wl))
-    assert(lg.join(lgC, Seq("id", "p"))
-      .filter(not(col("l") <=> col("l_c"))).count() == 0)
+    cmp(lg, "l", df.withColumn("l_c", lag(col("v"), 3).over(wl)), "l_c")
     // lead = lag over the reversed order; carries flow backwards
     val ld = BigWindow.leadValue(df, "p", Seq("id"), "v", "nx",
       offset = 2, numRanges = 8)
-    val ldC = df.withColumn("nx_c", lead(col("v"), 2).over(wl))
-    assert(ld.join(ldC, Seq("id", "p"))
-      .filter(not(col("nx") <=> col("nx_c"))).count() == 0)
+    cmp(ld, "nx", df.withColumn("nx_c", lead(col("v"), 2).over(wl)), "nx_c")
     // a frame larger than the block slices triggers the classic
     // fallback — still exact
     val tiny = spark.range(0, 40).select(col("id"),
@@ -173,9 +176,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "both distributed and fallback") {
     import graft.ops.BigWindow
     import org.apache.spark.sql.expressions.Window
+    // NULL partition keys form their own window group — both
+    // distributed layouts must keep them (the union-carry layout's
+    // first cut dropped them in its inner metadata joins)
     val df = spark.range(0, 30000).select(
       col("id"),
-      (col("id") % 3).cast("string").as("p"),
+      when(col("id") % 53 === 0, lit(null).cast("string"))
+        .otherwise((col("id") % 3).cast("string")).as("p"),
       when(col("id") % 97 === 0, lit(null).cast("double"))
         .otherwise((col("id") % 1000).cast("double")).as("v"))
     def classic(d: org.apache.spark.sql.DataFrame) = {
@@ -197,11 +204,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.set("spark.graft.bigwindow.zeroX", zeroX)
       val dist = BigWindow.frameStats(df, "p", Seq("id"), "v",
         trail = 3, fwd = 3, numRanges = 8)
-      val bad = dist.join(classic(df), Seq("id", "p"))
+        .select("id", "_trail", "_run", "_fsum", "_fcnt")
+      // join on id alone: a null p would drop its own comparison row
+      val bad = dist.join(classic(df).select("id", "t_c", "r_c",
+          "fs_c", "fc_c"), Seq("id"), "full_outer")
         .filter(not(col("_trail") <=> col("t_c")) ||
           not(col("_run") <=> col("r_c")) ||
           not(col("_fsum") <=> col("fs_c")) ||
-          col("_fcnt") =!= col("fc_c"))
+          not(col("_fcnt") <=> col("fc_c")))
       assert(bad.count() == 0,
         s"zeroX=$zeroX divergence: ${bad.take(3).toSeq}")
     }

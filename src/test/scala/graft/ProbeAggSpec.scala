@@ -203,6 +203,25 @@ class ProbeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
         exNeg.getCause.getMessage.contains("non-negative")))
   }
 
+  test("global aggregate over fully-filtered input yields SQL's one row " +
+      "(null sum, zero count) on BOTH physical paths") {
+    import spark.implicits._
+    val dim = Seq((1L, 10L)).toDF("dk", "dv")
+    // columnar path: parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("probeaggE").toString
+    Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    for (fact <- Seq(spark.read.parquet(dir),          // columnar
+        Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v"))) {  // row fallback
+      val r = ProbeAgg.probeSums(fact, Seq(Probe("k", dim, "dk", "dv")),
+          Seq(ProductSum("s", Seq(Term("v")))), groupByProbe = None,
+          numFilters = Seq(ColFilter("v", "gt", 99.0)))
+        .select(col("s"), col("cnt")).collect()
+      assert(r.length === 1)
+      assert(r(0).isNullAt(0) && r(0).getLong(1) === 0L)
+    }
+  }
+
   test("duplicate probe keys with conflicting values fail loudly") {
     import spark.implicits._
     val dim = Seq((1L, 10L), (1L, 11L)).toDF("dk", "dv")
