@@ -53,7 +53,15 @@ object BigWindow {
   def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
     liveRdds.add(rdd)
 
-  /** Unpersist every layout relation pinned by [[runningSum]]. */
+  /** Unpersist every layout relation pinned by [[runningSum]] and
+    * friends. CONTRACT: call only after the consuming query's result is
+    * MATERIALIZED, and never re-execute a DataFrame built before the
+    * release — for the union-carry layouts that is not merely slow but
+    * silently WRONG: the cache pins one physical `_blk` assignment
+    * across the layout's several consumers, and a re-execution after
+    * release re-derives block ids per consumer (measured row drift).
+    * Every harness (Bench, Verify, the diff tools) re-constructs
+    * queries after releasing. */
   def releaseCaches(): Unit = {
     var df = liveCaches.poll()
     while (df != null) {

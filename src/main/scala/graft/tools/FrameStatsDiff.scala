@@ -23,9 +23,10 @@ object FrameStatsDiff {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
         "l_returnflag", "l_quantity")
     val ord = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-    def stats(forceDist: Boolean) = {
+    def stats(forceDist: Boolean, zeroX: Boolean = true) = {
       spark.conf.set("spark.graft.bigwindow.autoThreshold",
         if (forceDist) "1" else Long.MaxValue.toString)
+      spark.conf.set("spark.graft.bigwindow.zeroX", zeroX.toString)
       graft.ops.BigWindow.frameStats(base, "l_returnflag", ord,
           "l_quantity", trail = 3, fwd = 3)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -34,17 +35,25 @@ object FrameStatsDiff {
           round(col("_run"), 2).as("r"),
           round(col("_fsum") / col("_fcnt"), 6).as("f"))
     }
-    val dist = stats(forceDist = true)
     val classic = stats(forceDist = false)
-    val joined = dist.as("d").join(classic.as("c"),
-      ord, "full_outer")
-    val bad = joined.filter(
-      col("d.t") =!= col("c.t") || col("d.r") =!= col("c.r") ||
-      col("d.f") =!= col("c.f") ||
-      col("d.t").isNull =!= col("c.t").isNull)
-    println("[diff] total=" + joined.count() + " mismatched=" + bad.count())
-    bad.show(10, truncate = false)
-    graft.ops.BigWindow.releaseCaches()
+    // each arm is CONSTRUCTED inside the loop: releaseCaches() between
+    // arms unpersists the union layout's block-id cache, and a union
+    // arm built before the release would re-derive _blk per consumer —
+    // the exact drift the cache pins (this tool reproduced it)
+    for ((label, mk) <- Seq(
+        "zeroX" -> (() => stats(forceDist = true)),
+        "union" -> (() => stats(forceDist = true, zeroX = false)))) {
+      val arm = mk()
+      val joined = arm.as("d").join(classic.as("c"), ord, "full_outer")
+      val bad = joined.filter(
+        col("d.t") =!= col("c.t") || col("d.r") =!= col("c.r") ||
+        col("d.f") =!= col("c.f") ||
+        col("d.t").isNull =!= col("c.t").isNull)
+      println(s"[diff] $label total=" + joined.count() +
+        " mismatched=" + bad.count())
+      bad.show(5, truncate = false)
+      graft.ops.BigWindow.releaseCaches()
+    }
     spark.stop()
   }
 }
