@@ -55,23 +55,113 @@ import graft.plans.LowCardAgg.{ColFilter, ProductSum}
   */
 object ProbeAgg {
 
-  private val liveBroadcasts =
-    new java.util.concurrent.ConcurrentLinkedQueue[Broadcast[_]]()
+  private val liveHandles =
+    new java.util.concurrent.ConcurrentLinkedQueue[MapHandle]()
 
-  /** Destroy every probe-map broadcast built by [[probeSums]] since the
-    * last release. The maps are the largest broadcasts in the engine
+  private[plans] def registerHandle(h: MapHandle): Unit =
+    liveHandles.add(h)
+
+  /** Destroy every live probe-map broadcast built by [[probeSums]] since
+    * the last release. The maps are the largest broadcasts in the engine
     * (qds_yoy's ~12M entries ≈ 0.2 GB of long arrays) and a torrent
     * broadcast outlives its query until a full GC otherwise — the same
-    * accumulate-across-reps leak class as the BigWindow pins. Contract:
-    * call AFTER the query's result is materialized; DataFrames built
-    * from earlier probeSums calls must not be re-executed afterwards
-    * (re-construct them instead — every harness already does). */
+    * accumulate-across-reps leak class as the BigWindow pins. Call AFTER
+    * the query's result is materialized. A DataFrame built from an
+    * earlier probeSums call stays VALID after a release: each execution
+    * resolves its maps through a [[MapHandle]], which re-broadcasts from
+    * the retained packed arrays when its previous broadcast was
+    * destroyed — a held result re-executed after release recomputes
+    * correctly instead of failing on a destroyed broadcast. */
   def releaseBroadcasts(): Unit = {
-    var b = liveBroadcasts.poll()
-    while (b != null) {
-      b.destroy()
-      b = liveBroadcasts.poll()
+    var h = liveHandles.poll()
+    while (h != null) {
+      h.release()
+      h = liveHandles.poll()
     }
+  }
+
+  /** Packed probe relation: per-partition (key, value) long arrays
+    * collected driver-side; the open-addressing [[LongLongMap]] is built
+    * LAZILY, once per JVM, on first task access. Two scale effects vs
+    * broadcasting a built map: (1) the broadcast ships n packed entries
+    * instead of the map's sparse slot arrays (capacity 1.3–2.7× n of
+    * mostly-empty slots), and (2) the single-threaded map construction
+    * happens inside the scan job's first task wave — in parallel across
+    * executors, and overlapped with task scheduling and the OTHER probe
+    * maps' builds (tasks force maps in partition-rotated order) —
+    * instead of serially on the driver before the job can launch. The
+    * key-uniqueness and non-negative-value contract checks run at build
+    * time and fail the task loudly, same contract as before. */
+  final class PackedMap(ks: Array[Array[Long]], vs: Array[Array[Long]])
+      extends Serializable {
+    def entries: Int = {
+      var t = 0; var i = 0
+      while (i < ks.length) { t += ks(i).length; i += 1 }
+      t
+    }
+    @transient lazy val map: LongLongMap = {
+      val m = new LongLongMap(entries)
+      var p = 0
+      while (p < ks.length) {
+        val kk = ks(p); val vv = vs(p)
+        var i = 0
+        while (i < kk.length) {
+          val v = vv(i)
+          require(v >= 0,
+            s"ProbeAgg probe values must be non-negative, got $v")
+          m.put(kk(i), v)
+          i += 1
+        }
+        p += 1
+      }
+      m
+    }
+  }
+
+  /** Driver-side broadcast lifecycle handle. `get()` (re)creates the
+    * broadcast on demand: [[releaseBroadcasts]] destroys the current
+    * one, and the next execution of any DataFrame holding this handle
+    * re-broadcasts from the retained packed arrays — release is a
+    * memory hint, never a correctness trap. Never serialized into task
+    * closures (doExecute extracts the Broadcast first). */
+  final class MapHandle(
+      @transient private val sc: org.apache.spark.SparkContext,
+      @transient private[plans] val packed: PackedMap)
+      extends Serializable {
+    @transient @volatile private var bc: Broadcast[PackedMap] = _
+    def get(): Broadcast[PackedMap] = synchronized {
+      if (bc == null) {
+        bc = sc.broadcast(packed)
+        registerHandle(this)
+      }
+      bc
+    }
+    def release(): Unit = synchronized {
+      if (bc != null) {
+        bc.destroy()
+        bc = null
+      }
+    }
+  }
+
+  /** Task-side: force each broadcast's lazily-built map, starting at a
+    * partition-rotated offset so the first wave of concurrent tasks
+    * builds DIFFERENT maps in parallel instead of all serializing on
+    * map 0's lazy-val lock. */
+  private[plans] def forceMaps(maps: Array[Broadcast[PackedMap]])
+      : Array[LongLongMap] = {
+    val k = maps.length
+    val out = new Array[LongLongMap](k)
+    if (k == 0) return out
+    val pid = org.apache.spark.TaskContext.getPartitionId()
+    val start = (math.max(pid, 0)) % k
+    var j = 0
+    while (j < k) {
+      val idx = (start + j) % k
+      out(idx) = maps(idx).value.map
+      j += 1
+    }
+    out
   }
 
   /** Open-addressing long→long map, linear probing, power-of-2
@@ -138,14 +228,13 @@ object ProbeAgg {
     * evaluated on the vectors with a per-batch dictionary-id cache. */
   final case class StrEqFilter(column: String, value: String)
 
-  /** Build the probe map driver-side. The collect is the caller-guarded
-    * scale decision (see scaladoc). Rows land as per-partition PRIMITIVE
-    * long arrays, not boxed Row objects — at the multi-million-entry
-    * maps the guard admits (q3's ~3M qualifying orders), Row boxing was
-    * the dominant build cost (~1 GB of transient garbage at 12M
-    * entries) and showed up as a per-query driver stall the warm A/B
-    * loops had hidden. */
-  private def buildMap(p: Probe): LongLongMap = {
+  /** Collect the probe relation as packed per-partition PRIMITIVE long
+    * arrays (not boxed Row objects — at the multi-million-entry maps the
+    * guard admits, Row boxing was the dominant build cost, ~1 GB of
+    * transient garbage at 12M entries). The collect is the
+    * caller-guarded scale decision (see scaladoc); the map itself is
+    * built lazily executor-side ([[PackedMap]]). */
+  private def buildPacked(p: Probe): PackedMap = {
     val parts = p.table
       .select(col(p.tableKey).cast("long"), col(p.tableValue).cast("long"))
       .queryExecution.toRdd.mapPartitions { it =>
@@ -167,19 +256,7 @@ object ProbeAgg {
         Iterator.single((java.util.Arrays.copyOf(ks, n),
           java.util.Arrays.copyOf(vs, n)))
       }.collect()
-    val total = parts.map(_._1.length).sum
-    val m = new LongLongMap(total)
-    parts.foreach { case (ks, vs) =>
-      var i = 0
-      while (i < ks.length) {
-        val v = vs(i)
-        require(v >= 0,
-          s"ProbeAgg probe values must be non-negative, got $v")
-        m.put(ks(i), v)
-        i += 1
-      }
-    }
-    m
+    new PackedMap(parts.map(_._1), parts.map(_._2))
   }
 
   /** Probe-fused grouped product sums. `groupByProbe` = index into
@@ -212,11 +289,19 @@ object ProbeAgg {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(ProbeAggStrategy))
       exp.extraStrategies = exp.extraStrategies :+ ProbeAggStrategy
-    val maps = probes.map { p =>
-      val b = spark.sparkContext.broadcast(buildMap(p))
-      liveBroadcasts.add(b)
-      b
-    }
+    // the N probe-relation collect jobs run CONCURRENTLY (they are
+    // independent Spark jobs — q5's dim-chain + supplier builds were a
+    // serial driver-side phase before the fact scan could launch)
+    val packs: Seq[PackedMap] =
+      if (probes.length > 1) {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.sequence(probes.map(p => Future(buildPacked(p)))),
+          Duration.Inf)
+      } else probes.map(buildPacked)
+    val maps = packs.map(new MapHandle(spark.sparkContext, _))
     val needed = (probes.map(_.factCol) ++ groupByCol.toSeq ++
       sums.flatMap(_.terms.map(_.column)) ++ numFilters.map(_.column) ++
       strFilters.map(_.column)).distinct
@@ -264,7 +349,7 @@ object ProbeAgg {
   * Output attrs are constructor parameters for the same expr-id
   * stability reason as [[LowCardPreAgg]]. */
 final case class ProbePreAgg(factCols: Seq[String],
-    maps: Seq[Broadcast[ProbeAgg.LongLongMap]],
+    maps: Seq[ProbeAgg.MapHandle],
     sums: Seq[ProductSum], numFilters: Seq[ColFilter],
     strFilters: Seq[ProbeAgg.StrEqFilter], groupByProbe: Option[Int],
     constraintEq: Option[(Int, Int)], maxGroups: Int,
@@ -278,7 +363,7 @@ final case class ProbePreAgg(factCols: Seq[String],
 
 object ProbePreAgg {
   def build(factCols: Seq[String],
-      maps: Seq[Broadcast[ProbeAgg.LongLongMap]],
+      maps: Seq[ProbeAgg.MapHandle],
       sums: Seq[ProductSum], numFilters: Seq[ColFilter],
       strFilters: Seq[ProbeAgg.StrEqFilter], groupByProbe: Option[Int],
       constraintEq: Option[(Int, Int)], maxGroups: Int,
@@ -304,7 +389,7 @@ object ProbeAggStrategy
 }
 
 final case class ProbePreAggExec(factCols: Seq[String],
-    maps: Seq[Broadcast[ProbeAgg.LongLongMap]], sums: Seq[ProductSum],
+    maps: Seq[ProbeAgg.MapHandle], sums: Seq[ProductSum],
     numFilters: Seq[ColFilter], strFilters: Seq[ProbeAgg.StrEqFilter],
     groupByProbe: Option[Int], constraintEq: Option[(Int, Int)],
     maxGroups: Int, output: Seq[Attribute], child: SparkPlan,
@@ -439,7 +524,10 @@ final case class ProbePreAggExec(factCols: Seq[String],
     }
     val probeOrds = factCols.map(ord).toArray
     val probeLong = probeOrds.map(o => out(o).dataType == LongType)
-    val mapsArr = maps.toArray
+    // resolve broadcasts driver-side, HERE: re-execution after a
+    // releaseBroadcasts() passes through MapHandle.get(), which
+    // re-broadcasts from the retained packed arrays
+    val mapsArr = maps.map(_.get()).toArray
     val sumSpecs = sums.map(_.terms.map(t =>
       (ord(t.column), t.mul, t.add)).toArray).toArray
     val numFs = numFilters.map(f =>
@@ -539,7 +627,7 @@ final case class ProbePreAggExec(factCols: Seq[String],
 
   private def partialsColumnar(batches: Iterator[ColumnarBatch],
       probeOrds: Array[Int], probeLong: Array[Boolean],
-      maps: Array[Broadcast[ProbeAgg.LongLongMap]], numOrds: Array[Int],
+      maps: Array[Broadcast[ProbeAgg.PackedMap]], numOrds: Array[Int],
       slotKinds: Array[Int], termSlots: Array[Array[Int]],
       termMuls: Array[Array[Double]], termAdds: Array[Array[Double]],
       fSlots: Array[Int], fOps: Array[Int], fLims: Array[Double],
@@ -555,7 +643,7 @@ final case class ProbePreAggExec(factCols: Seq[String],
     val nSlots = numOrds.length
     val nProbes = probeOrds.length
     var gColBuf: Array[Long] = new Array[Long](0)
-    val localMaps = maps.map(_.value)
+    val localMaps = ProbeAgg.forceMaps(maps)
     val strTargets = strFs.map(f => UTF8String.fromString(f._2))
     val dbg = System.getenv("GRAFT_PROBEAGG_DEBUG") == "1"
     var tDecode = 0L; var tFilter = 0L; var tProbe = 0L; var tAcc = 0L
@@ -779,7 +867,7 @@ final case class ProbePreAggExec(factCols: Seq[String],
 
   private def partialsRows(rows: Iterator[InternalRow],
       probeOrds: Array[Int], probeLong: Array[Boolean],
-      maps: Array[Broadcast[ProbeAgg.LongLongMap]], numOrds: Array[Int],
+      maps: Array[Broadcast[ProbeAgg.PackedMap]], numOrds: Array[Int],
       slotKinds: Array[Int], termSlots: Array[Array[Int]],
       termMuls: Array[Array[Double]], termAdds: Array[Array[Double]],
       fSlots: Array[Int], fOps: Array[Int], fLims: Array[Double],
@@ -790,7 +878,7 @@ final case class ProbePreAggExec(factCols: Seq[String],
     val groups = new Groups(nSums, maxGroups)
     // same empty-input contract as the columnar path (see there)
     if (groupIdx < 0 && gColOrd < 0) groups.idOf(0L)
-    val localMaps = maps.map(_.value)
+    val localMaps = ProbeAgg.forceMaps(maps)
     val strTargets = strFs.map(f => UTF8String.fromString(f._2))
     val slotVals = new Array[Double](numOrds.length)
     val slotNull = new Array[Boolean](numOrds.length)

@@ -235,6 +235,26 @@ class ProbeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ex.getCause != null && ex.getCause.getMessage.contains("key-unique")))
   }
 
+  test("releaseBroadcasts then re-execute: held DataFrame re-broadcasts " +
+      "and answers identically (no destroyed-broadcast trap)") {
+    import spark.implicits._
+    val dim = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("dk", "dv")
+    val fact = Seq((1L, 2.0), (2L, 4.0), (3L, 8.0), (4L, 99.0))
+      .toDF("k", "v")
+    val df = ProbeAgg.probeSums(fact, Seq(Probe("k", dim, "dk", "dv")),
+        Seq(ProductSum("s", Seq(Term("v")))), groupByProbe = Some(0))
+      .select(col("_gkey"), col("s"), col("cnt"))
+    val first = sorted(df)
+    ProbeAgg.releaseBroadcasts()
+    // the library-user mistake the old destroy() contract punished:
+    // re-executing a result DataFrame built before the release
+    val again = sorted(df)
+    assert(again === first)
+    // and a release after the re-execution releases the re-broadcast too
+    ProbeAgg.releaseBroadcasts()
+    assert(sorted(df) === first)
+  }
+
   test("null fact keys and null sum inputs follow SQL semantics") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("probeagg").toString
