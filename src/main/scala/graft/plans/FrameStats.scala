@@ -70,6 +70,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object FrameStats {
 
+  /** Loud upper bound on total (partition, key) segments: the pass-A
+    * metadata and the seeds broadcast are O(segments) on the DRIVER, so
+    * the operator refuses — loudly, and BEFORE any unbounded collect
+    * (each pass-A task enforces its share of the bound in-task) —
+    * rather than silently OOM. [[graft.ops.BigWindow.frameStats]]'s
+    * dispatch clamps its key-cardinality guard to this bound divided by
+    * the partition count, so routed queries can never hit it; direct
+    * callers with a too-high-cardinality key get the abort message
+    * (the classic window parallelizes fine over many keys). */
+  val segmentBackstop: Long = 4L << 20
+
   /** Per-(partition, key) segment metadata from pass A. `tailVals` =
     * last min(trail−1, len) values in order; `headVals` = first
     * min(fwd, len) values in order; parallel null flags; `total` =
@@ -202,6 +213,14 @@ final case class FrameStatsExec(partCol: String, orderCols: Seq[String],
       if (a == null) b == null else b != null && a.equals(b)
 
     // ---- pass A: per-segment metadata ----
+    // the segment backstop is enforced IN-TASK, distributively, before
+    // the driver collect: each partition may hold at most its share of
+    // the global bound (+ slack for uneven key spread), so the collect
+    // below is size-bounded by construction and can never OOM the
+    // driver on a high-cardinality key — it aborts loudly instead
+    val nParts = math.max(sorted.getNumPartitions, 1)
+    val perPartCap = math.max(
+      FrameStats.segmentBackstop / nParts, 1L << 16)
     val metas: Array[FrameStats.SegMeta] = sorted
       .mapPartitionsWithIndex { (pid, it) =>
         val out = ArrayBuffer.empty[FrameStats.SegMeta]
@@ -218,6 +237,13 @@ final case class FrameStatsExec(partCol: String, orderCols: Seq[String],
         var hasVal = false
         var seen = 0L
         def close(): Unit = if (open) {
+          if (out.length >= perPartCap)
+            throw new IllegalStateException(
+              s"FrameStats: partition $pid exceeds $perPartCap " +
+                "(partition, key) segments — the partition key is too " +
+                "high-cardinality for the seed broadcast; set " +
+                "spark.graft.bigwindow.zeroX=false (the classic window " +
+                "parallelizes fine over many keys)")
           // unroll the ring into order
           val tv = new Array[Double](tailLen)
           val tn = new Array[Boolean](tailLen)
@@ -259,10 +285,11 @@ final case class FrameStatsExec(partCol: String, orderCols: Seq[String],
 
     // ---- driver: chain segments per key into seeds ----
     // (strings were copied to JVM Strings in pass A for hashability)
-    // Loud backstop behind BigWindow's limited cardinality probe (the
-    // probe is biased on key-sorted data): the seeds broadcast is
-    // O(partitions × keys) and must never silently OOM the driver.
-    require(metas.length <= (4 << 20),
+    // Global backstop: the per-partition in-task caps above bound the
+    // collect, but their summed slack can still exceed the global
+    // budget; the seeds broadcast is O(partitions × keys) and must
+    // never grow past it silently.
+    require(metas.length <= FrameStats.segmentBackstop,
       s"FrameStats: ${metas.length} (partition, key) segments — the " +
         "partition key is too high-cardinality for the seed broadcast; " +
         "set spark.graft.bigwindow.zeroX=false (the classic window " +
@@ -308,7 +335,13 @@ final case class FrameStatsExec(partCol: String, orderCols: Seq[String],
           FrameStats.SegSeed(pv, pn, nv, nn, off, offHas)
       }
     }
+    // per-execution broadcast (re-created by every doExecute, so
+    // destroying it after the result is materialized is always safe);
+    // registered for release with the other layout pins — unreleased it
+    // is the same accumulate-across-reps torrent-broadcast leak class
+    // as the ProbeAgg maps
     val bc = sparkContext.broadcast(seeds.toMap)
+    graft.ops.BigWindow.trackBroadcast(bc)
 
     // ---- pass B: one linear walk, emit rows in input order ----
     sorted.mapPartitionsWithIndex { (pid, it) =>

@@ -6,20 +6,26 @@ import org.apache.spark.sql.catalyst.expressions._
   * ([[LowCardAgg]], [[ProbeAgg]]).
   *
   * A kernel may only bypass a FilterExec sitting between its node and
-  * the scan when EVERY conjunct is a predicate the kernel itself
-  * re-evaluates on the vectors: an inferred IsNotNull on one of its
-  * filter columns, the exact column-vs-literal numeric comparison of
-  * one of its ColFilters (flipped literal-first forms normalized), or a
-  * conjunct the caller's `extra` matcher claims (ProbeAgg's string
-  * equalities). Anything else means the FilterExec computes a predicate
-  * the kernel would not, so it must run — the row fallback preserves
-  * it. One shared implementation so the two kernels can never drift on
-  * which predicates they silently skip (the round-7 ADVICE high was
-  * exactly such a skip).
+  * the scan when EVERY conjunct is IMPLIED by a predicate the kernel
+  * itself re-evaluates on the vectors: an inferred IsNotNull on one of
+  * its filter columns, a column-vs-literal numeric comparison that one
+  * of its ColFilters is at-least-as-strict as (flipped literal-first
+  * forms normalized), or a conjunct the caller's `extra` matcher claims
+  * (ProbeAgg's string equalities). Implication — not literal equality —
+  * is the correct rule: the pushed twin predicate of a fractional bound
+  * on an integral column is deliberately WEAKENED
+  * ([[LowCardAgg.litFor]] rounds le/lt up and ge/gt down), so skipping
+  * it is safe exactly because every row it would drop, the kernel's
+  * stricter exact comparison also drops. Anything not implied means the
+  * FilterExec computes a predicate the kernel would not, so it must
+  * run — the row fallback preserves it. One shared implementation so
+  * the two kernels can never drift on which predicates they silently
+  * skip (the round-7 ADVICE high was exactly such a skip).
   *
   * Literal encoding: timestamps compare as epoch-micros longs and dates
-  * as epoch-day ints — the same encoding [[LowCardAgg.litFor]] produced
-  * for the pushed-down twin predicate, so double equality is exact.
+  * as epoch-day ints — the same encoding [[LowCardAgg.litFor]] produces
+  * for the pushed-down twin predicate, so the bound comparisons below
+  * are exact doubles.
   */
 private[plans] object KernelFilterMatch {
 
@@ -39,9 +45,23 @@ private[plans] object KernelFilterMatch {
       case And(l, r) => split(l) ++ split(r)
       case x => Seq(x)
     }
-    def hit(name: String, op: String, l: Literal): Boolean =
-      litD(l).exists(b => numFilters.exists(f =>
-        f.column == name && f.op == op && f.value == b))
+    // does some kernel ColFilter on this column IMPLY the FilterExec's
+    // `col pushedOp b`? (kernel-pass ⊆ conjunct-pass ⇒ skip is safe)
+    def hit(name: String, pushedOp: String, l: Literal): Boolean =
+      litD(l).exists { b =>
+        numFilters.exists { f =>
+          f.column == name && (pushedOp match {
+            case "le" => (f.op == "le" && f.value <= b) ||
+                         (f.op == "lt" && f.value <= b)
+            case "lt" => (f.op == "lt" && f.value <= b) ||
+                         (f.op == "le" && f.value < b)
+            case "ge" => (f.op == "ge" && f.value >= b) ||
+                         (f.op == "gt" && f.value >= b)
+            case "gt" => (f.op == "gt" && f.value >= b) ||
+                         (f.op == "ge" && f.value > b)
+          })
+        }
+      }
     split(cond).forall {
       case IsNotNull(a: Attribute) => notNullCols(a.name)
       case LessThanOrEqual(a: Attribute, l: Literal) => hit(a.name, "le", l)

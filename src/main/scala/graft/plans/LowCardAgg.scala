@@ -87,7 +87,7 @@ object LowCardAgg {
     val sel = df.select(needed.map(col): _*)
     val pruned = filters.map { f =>
       val lhs = col(f.column)
-      val rhs = litFor(df.schema(f.column).dataType, f.value)
+      val rhs = litFor(df.schema(f.column).dataType, f.value, f.op)
       f.op match {
         case "le" => lhs <= rhs
         case "lt" => lhs < rhs
@@ -106,24 +106,37 @@ object LowCardAgg {
 
   /** Typed literal for a filter bound, so the predicate stays a bare
     * attribute-vs-literal comparison the parquet source can push.
-    * Shared with [[ProbeAgg]], which pushes the same filter shapes. */
-  private[plans] def litFor(dt: org.apache.spark.sql.types.DataType, v: Double)
-      : org.apache.spark.sql.Column = {
+    * Shared with [[ProbeAgg]], which pushes the same filter shapes.
+    *
+    * A fractional bound on an integral/date/timestamp column is rounded
+    * in the WEAKENING direction per op (le/lt → ceil, ge/gt → floor):
+    * the pushed twin predicate may keep extra rows — the kernel
+    * re-evaluates the exact double comparison and drops them — but must
+    * never be stricter than the kernel's own evaluation (truncation
+    * toward zero pushed `x < 10` for `lt 10.5`, silently losing x=10
+    * through parquet row-group pruning or the row-fallback FilterExec). */
+  private[plans] def litFor(dt: org.apache.spark.sql.types.DataType,
+      v: Double, op: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.lit
+    // weaker-or-equal integral bound: ceiling for upper bounds, floor
+    // for lower bounds (exact when v is already integral)
+    def weak: Long =
+      if (op == "le" || op == "lt") math.ceil(v).toLong
+      else math.floor(v).toLong
     dt match {
       case TimestampType =>
         lit(java.time.Instant.ofEpochSecond(
-          Math.floorDiv(v.toLong, 1000000L),
-          Math.floorMod(v.toLong, 1000000L) * 1000L))
+          Math.floorDiv(weak, 1000000L),
+          Math.floorMod(weak, 1000000L) * 1000L))
       case TimestampNTZType =>
         lit(java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(v.toLong, 1000000L),
-          (Math.floorMod(v.toLong, 1000000L) * 1000L).toInt,
+          Math.floorDiv(weak, 1000000L),
+          (Math.floorMod(weak, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC))
-      case LongType => lit(v.toLong)
-      case IntegerType => lit(v.toInt)
-      case DateType => lit(java.time.LocalDate.ofEpochDay(v.toLong))
+      case LongType => lit(weak)
+      case IntegerType => lit(weak.toInt)
+      case DateType => lit(java.time.LocalDate.ofEpochDay(weak))
       case _ => lit(v)
     }
   }

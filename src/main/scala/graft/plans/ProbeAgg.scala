@@ -309,7 +309,7 @@ object ProbeAgg {
     // row-group pruning); the exec re-evaluates the same conjunction
     val sel = fact.select(needed.map(col): _*)
     val numPred = numFilters.map { f =>
-      val rhs = LowCardAgg.litFor(fact.schema(f.column).dataType, f.value)
+      val rhs = LowCardAgg.litFor(fact.schema(f.column).dataType, f.value, f.op)
       f.op match {
         case "le" => col(f.column) <= rhs
         case "lt" => col(f.column) < rhs

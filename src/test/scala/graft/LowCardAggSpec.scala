@@ -193,6 +193,37 @@ class LowCardAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(kernel) === sortedRows(native))
   }
 
+  test("fractional bounds on integral columns push a WEAKENED twin " +
+      "predicate (no silent row loss at the boundary)") {
+    // lt 4.5 on an INTEGER column: the boundary row l_linenumber=4 is
+    // kept by the kernel's exact double comparison; a truncated pushed
+    // twin (x < 4) would silently drop it via the pushed predicate.
+    // ge -0.5 exercises the floor direction on the lower bound.
+    val kernel = LowCardAgg.sumsByKey(li, Seq("l_returnflag"),
+      Seq(ProductSum("s", Seq(Term("l_quantity")))),
+      Seq(ColFilter("l_linenumber", "lt", 4.5),
+        ColFilter("l_linenumber", "ge", -0.5)))
+      .select(col("l_returnflag"), round(col("s"), 2).as("s"), col("cnt"))
+    val native = li
+      .filter(col("l_linenumber") <= 4 && col("l_linenumber") >= 0)
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("s"), count(lit(1)).as("cnt"))
+    assert(sortedRows(kernel) === sortedRows(native))
+    // and a fractional TIMESTAMP bound (sub-microsecond) rounds the
+    // same way instead of truncating toward zero
+    val cutoff = java.time.Instant.parse("2001-06-01T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val k2 = LowCardAgg.sumsByKey(li, Seq("l_returnflag"),
+      Seq(ProductSum("s", Seq(Term("l_quantity")))),
+      Seq(ColFilter("l_shipdate", "lt", cutoff.toDouble + 0.5)))
+      .select(col("l_returnflag"), round(col("s"), 2).as("s"), col("cnt"))
+    val n2 = li
+      .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(round(sum("l_quantity"), 2).as("s"), count(lit(1)).as("cnt"))
+    assert(sortedRows(k2) === sortedRows(n2))
+  }
+
   test("filters compose as a conjunction over mixed column kinds") {
     val cutoff = java.time.Instant.parse("2001-06-01T00:00:00Z")
       .getEpochSecond * 1000000L

@@ -232,6 +232,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     BigWindow.releaseCaches()
   }
 
+  test("frameStats cardinality guard is unbiased on key-sorted input") {
+    import graft.ops.BigWindow
+    spark.conf.set("spark.graft.bigwindow.autoThreshold", "1")
+    // 600K rows SORTED by key: the first 500K rows hold only ~500 of
+    // the ~600 distinct keys, so a limit-based probe reads below the
+    // guard while the true cardinality is above it — the bias that
+    // previously let a high-cardinality key sail into the seed-broadcast
+    // operator. The two-stage probe must confirm unbiased and route to
+    // the classic window.
+    val df = spark.range(0, 600000).select(col("id"),
+      (col("id") / 1000).cast("long").as("p"),
+      (col("id") % 7).cast("double").as("v"))
+    spark.conf.set("spark.graft.bigwindow.maxKeys", "540")
+    val routed = BigWindow.frameStats(df, "p", Seq("id"), "v",
+      trail = 2, fwd = 1)
+    assert(routed.queryExecution.analyzed.collect {
+        case p: graft.plans.FrameStatsPlan => p }.isEmpty,
+      "high-cardinality sorted key must route to the classic window")
+    // below the (true) cardinality guard the zero-exchange operator
+    // engages as before
+    spark.conf.set("spark.graft.bigwindow.maxKeys", "10000")
+    val engaged = BigWindow.frameStats(df, "p", Seq("id"), "v",
+      trail = 2, fwd = 1)
+    assert(engaged.queryExecution.analyzed.collect {
+        case p: graft.plans.FrameStatsPlan => p }.nonEmpty)
+    spark.conf.unset("spark.graft.bigwindow.maxKeys")
+    spark.conf.unset("spark.graft.bigwindow.autoThreshold")
+    BigWindow.releaseCaches()
+  }
+
   test("saltedCount really spreads a hot key and still counts exactly") {
     import graft.ops.Skew
     val hot = spark.range(0, 1000)
