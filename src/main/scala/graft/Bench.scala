@@ -129,6 +129,16 @@ object Bench {
     // every round; its median is a pure box-state figure that normalizes
     // cross-round comparisons.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // sub-second stabilization: at the 0.3-1.5 s scale, 3 reps put the
+    // box jitter (page cache, thermal, background load) at the same
+    // magnitude as the signal — the same unchanged code read 2.9x and
+    // 5.8x vs the oracle in consecutive sessions. Queries whose
+    // provisional median lands under the threshold get extra interleaved
+    // rounds (cheap by definition) up to this total, and their spread is
+    // outlier-trimmed (see medSpread).
+    val shortReps = sys.env.getOrElse("SPARK_GRAFT_SHORT_REPS", "7").toInt
+    val shortThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_SHORT_THRESHOLD", "1.5").toDouble
 
     def medSpread(xs0: Seq[Double]): (Double, Double) = {
       val xs = xs0.filter(_ >= 0).sorted
@@ -137,7 +147,13 @@ object Bench {
         val m =
           if (xs.size % 2 == 1) xs(xs.size / 2)
           else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
-        (m, xs.last - xs.head)
+        // with >= 5 reps the min-max range grows with every added rep
+        // (one cold outlier would mask the stabilization the extra reps
+        // exist to provide): drop exactly one rep per side first
+        val sp =
+          if (xs.size >= 5) xs(xs.size - 2) - xs(1)
+          else xs.last - xs.head
+        (m, sp)
       }
     }
 
@@ -150,13 +166,21 @@ object Bench {
         : Map[String, (Double, Double)] = {
       val acc = scala.collection.mutable.Map
         .empty[String, List[Double]].withDefaultValue(Nil)
-      (1 to reps).foreach { _ =>
-        items.foreach { case (key, q, dir) =>
+      def round(is: Seq[(String, String, String)]): Unit = {
+        is.foreach { case (key, q, dir) =>
           spark.catalog.clearCache()
           acc(key) = run(q, dir) :: acc(key)
         }
         System.gc() // settle the heap between rounds, not inside one
       }
+      (1 to reps).foreach(_ => round(items))
+      // adaptive extension for sub-threshold queries (see shortReps)
+      val short = items.filter { case (key, _, _) =>
+        val m = medSpread(acc(key))._1
+        m >= 0 && m < shortThreshold
+      }
+      if (short.nonEmpty)
+        (reps until shortReps).foreach(_ => round(short))
       items.map { case (key, _, _) => key -> medSpread(acc(key)) }.toMap
     }
 
