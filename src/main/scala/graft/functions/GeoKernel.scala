@@ -574,6 +574,13 @@ object GeoKernel {
     *    ellipsoidal transverse Mercator via the Karney–Krüger flattening
     *    series to n⁴ (sub-mm on the ellipsoid; the same series proj
     *    evaluates, so values match PostGIS to survey precision)
+    *  - Lambert conformal conic 2SP national grids (EPSG method 9802
+    *    closed forms, [[Lcc]]): 2154 (RGF93 / Lambert-93, France),
+    *    32118 (NAD83 / New York Long Island), 3347 (NAD83 / Statistics
+    *    Canada Lambert). GRS80-based datums (NAD83, RGF93) compose with
+    *    WGS84 lon/lat through the standard null datum shift — the same
+    *    default proj applies without datum grids, sub-meter everywhere
+    *    these grids are used.
     * (the reference ships the full GEOS/proj st_transform via DuckDB
     * spatial, rewrite_query.c:173-186; these closed-form families cover
     * the lion's share of real use — arbitrary CRS stays out of scope).
@@ -595,8 +602,9 @@ object GeoKernel {
        math.toDegrees(2 * math.atan(math.exp(y / MercR)) - math.Pi / 2))
     }
     case _ => utmZone(srid).map { case (zone, south) =>
-      p => Utm.inverse(p._1, p._2, zone, south)
-    }
+      (p: Pt) => Utm.inverse(p._1, p._2, zone, south)
+    }.orElse(lccRegistry.get(srid).map(l =>
+      (p: Pt) => l.inverse(p._1, p._2)))
   }
 
   /** SRID → ((lon, lat) degrees → projected point), if supported. */
@@ -607,9 +615,95 @@ object GeoKernel {
        MercR * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
     }
     case _ => utmZone(srid).map { case (zone, south) =>
-      p => Utm.forward(p._1, p._2, zone, south)
+      (p: Pt) => Utm.forward(p._1, p._2, zone, south)
+    }.orElse(lccRegistry.get(srid).map(l =>
+      (p: Pt) => l.forward(p._1, p._2)))
+  }
+
+  /** Lambert conformal conic, 2 standard parallels (EPSG method 9802,
+    * the closed forms of IOGP Guidance Note 7-2 / Snyder PP 1395
+    * §15). Angles in the constructor are DEGREES; `a` sets the output
+    * unit (meters for every registry entry; the spec's EPSG worked
+    * example feeds it in US survey feet to match the published vector).
+    * Forward is exact closed-form; inverse iterates the conformal
+    * latitude fixed point to machine precision, so round-trips are
+    * exact. Both standard parallels must be distinct and the cone
+    * constant n must not vanish (an equatorial LCC degenerates to
+    * Mercator — out of scope). */
+  private[graft] final case class Lcc(a: Double, invFlat: Double,
+      phi1Deg: Double, phi2Deg: Double, phi0Deg: Double, lam0Deg: Double,
+      falseE: Double, falseN: Double) {
+    private val f = 1.0 / invFlat
+    private val e = math.sqrt(f * (2 - f))
+    private val phi1 = math.toRadians(phi1Deg)
+    private val phi2 = math.toRadians(phi2Deg)
+    private val phi0 = math.toRadians(phi0Deg)
+    private val lam0 = math.toRadians(lam0Deg)
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e * e * s * s)
+    }
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    private val n =
+      (math.log(m(phi1)) - math.log(m(phi2))) /
+        (math.log(tOf(phi1)) - math.log(tOf(phi2)))
+    private val bigF = m(phi1) / (n * math.pow(tOf(phi1), n))
+    private val r0 = a * bigF * math.pow(tOf(phi0), n)
+
+    def forward(lonDeg: Double, latDeg: Double): Pt = {
+      val r = a * bigF * math.pow(tOf(math.toRadians(latDeg)), n)
+      val th = n * (math.toRadians(lonDeg) - lam0)
+      (falseE + r * math.sin(th), falseN + r0 - r * math.cos(th))
+    }
+
+    def inverse(easting: Double, northing: Double): Pt = {
+      val dx = easting - falseE
+      val dy = r0 - (northing - falseN)
+      // sign of n flips the ray the angle is measured on (EPSG 9802)
+      val (sx, sy) = if (n >= 0) (dx, dy) else (-dx, -dy)
+      val rP = math.signum(n) * math.hypot(dx, dy)
+      val tP = math.pow(rP / (a * bigF), 1.0 / n)
+      val thP = math.atan2(sx, sy)
+      // conformal → geodetic latitude, exact fixed point (contraction
+      // ~e² per step; 8 steps reach machine precision from the
+      // spherical start)
+      var phi = math.Pi / 2 - 2 * math.atan(tP)
+      var i = 0
+      while (i < 8) {
+        val es = e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          tP * math.pow((1 - es) / (1 + es), e / 2))
+        i += 1
+      }
+      (math.toDegrees(thP / n + lam0), math.toDegrees(phi))
     }
   }
+
+  /** GRS80 inverse flattening (NAD83 and RGF93 both use GRS80; their
+    * lon/lat composes with WGS84 through the standard null shift). */
+  private val Grs80InvF = 298.257222101
+
+  /** Supported LCC 2SP national grids — parameters are the published
+    * EPSG registry values for each code. */
+  private[graft] val lccRegistry: Map[Int, Lcc] = Map(
+    // RGF93 / Lambert-93 (France)
+    2154 -> Lcc(6378137.0, Grs80InvF,
+      phi1Deg = 49.0, phi2Deg = 44.0, phi0Deg = 46.5, lam0Deg = 3.0,
+      falseE = 700000.0, falseN = 6600000.0),
+    // NAD83 / New York Long Island (meters)
+    32118 -> Lcc(6378137.0, Grs80InvF,
+      phi1Deg = 41.0 + 2.0 / 60, phi2Deg = 40.0 + 40.0 / 60,
+      phi0Deg = 40.0 + 10.0 / 60, lam0Deg = -74.0,
+      falseE = 300000.0, falseN = 0.0),
+    // NAD83 / Statistics Canada Lambert
+    3347 -> Lcc(6378137.0, Grs80InvF,
+      phi1Deg = 49.0, phi2Deg = 77.0, phi0Deg = 63.390675,
+      lam0Deg = -(91.0 + 52.0 / 60),
+      falseE = 6200000.0, falseN = 3000000.0))
 
   /** EPSG 326xx = WGS84 UTM zone xx north, 327xx = south. */
   private def utmZone(srid: Int): Option[(Int, Boolean)] =

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test q_cte's declared floor against the layout the engine already
+  * owns: a custkey-clustered (bucketed) overlay of `orders`.
+  *
+  * The declared floor is the exchange + final aggregate of ~13M
+  * reduction-ratio-1.1 partials (BASELINE.md ledger). With `orders`
+  * hash-clustered by o_custkey, the scan reports
+  * HashPartitioning(o_custkey) and the 1.5M-group aggregate plans as a
+  * SINGLE full aggregate with NO exchange and no partial/final split —
+  * the clustered analogue of what the orderkey overlay does for the
+  * join family. Reference analogue: hash-clustered layouts are exactly
+  * what docs/iceberg-tables.md:243-263 sells bucket partitioning for.
+  *
+  * Protocol: same as the closing bench — cache cleared before every
+  * rep, interleaved arms, median of N. The one-time layout build is
+  * reported separately (it amortizes across every query on the table).
+  *
+  * Usage: CteClustered <sfDir> [rounds=5]
+  */
+object CteClustered {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val hex = java.lang.Integer.toHexString(sfDir.hashCode)
+    val to = s"${System.getProperty("java.io.tmpdir")}/graft-ctebkt-$hex"
+    val bname = s"graft_ctebkt_${hex}_orders"
+    val t0 = System.nanoTime()
+    graft.engine.Bucketed.write(graft.Tables.load(spark, sfDir, "orders"),
+      bname, to, Seq("o_custkey"), 32)
+    val buildS = (System.nanoTime() - t0) / 1e9
+    println(f"[ctebkt] build=$buildS%.2f s (one-time, amortizes)")
+    spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
+    def aggOf(o: DataFrame): DataFrame = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("spend"))
+
+    def fullOf(o: DataFrame): DataFrame = {
+      val c = graft.Tables.load(spark, sfDir, "customer")
+        .select("c_custkey", "c_name")
+      val aggF = aggOf(o).filter(col("n_orders") >= 14)
+      graft.ops.JoinOpt.aggBuildJoin(c, aggF,
+          col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name", "n_orders", "spend")
+        .orderBy("c_custkey")
+    }
+
+    def plainOrders: DataFrame = graft.Tables.load(spark, sfDir, "orders")
+    def bktOrders: DataFrame = graft.engine.Bucketed.table(spark, bname)
+
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      "plain_agg" -> (() => aggOf(plainOrders)),
+      "clustered_agg" -> (() => aggOf(bktOrders)),
+      "plain_full" -> (() => fullOf(plainOrders)),
+      "clustered_full" -> (() => fullOf(bktOrders)))
+
+    // pin the plan claim: the clustered aggregate must have ZERO
+    // exchanges below the (small) post-aggregate stages
+    val aggPlan = aggOf(bktOrders).queryExecution.executedPlan.toString
+    val nEx = "Exchange".r.findAllIn(aggPlan).length
+    println(s"[ctebkt] clustered_agg plan exchanges=$nEx")
+
+    def once(f: () => DataFrame): Double = {
+      spark.catalog.clearCache()
+      val t = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t) / 1e9
+      graft.plans.ProbeAgg.releaseBroadcasts()
+      s
+    }
+    (1 to 2).foreach(_ => arms.foreach(a => once(a._2)))
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { _ =>
+      arms.foreach { case (n, f) => times(n) :+= once(f) }
+      System.gc()
+    }
+    arms.foreach { case (n, _) =>
+      val xs = times(n).sorted
+      println(f"[ctebkt] $n%-15s median=${xs(xs.size / 2)}%.3f " +
+        f"min=${xs.head}%.3f max=${xs.last}%.3f")
+    }
+    // answers identical across layouts
+    val a = fullOf(plainOrders).collect().map(_.toString).sorted.toSeq
+    val b = fullOf(bktOrders).collect().map(_.toString).sorted.toSeq
+    println(s"[ctebkt] diff=${if (a == b) "IDENTICAL" else "MISMATCH"} " +
+      s"rows=${a.length}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decompose q_dedup_exact_fast's sf10 cost: where do the seconds go —
+  * parquet text decode, the hash itself, the grouped shuffle, or the
+  * final ORDER BY? The round-8 xxhash-vs-md5 A/B measured a CPU wash
+  * (0.98 vs 1.00 s) with the constant attributed to text decode; this
+  * ledger pins each phase under the closing protocol (cache cleared per
+  * rep) so the floor claim is a measurement, not an attribution.
+  *
+  * Usage: DedupFastLedger <sfDir> [rounds=5]
+  */
+object DedupFastLedger {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def d: DataFrame = graft.Tables.load(spark, sfDir, "documents")
+
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      // decode floor: force every text byte off parquet, no hash
+      "decode_only" -> (() => d.agg(sum(length(col("text"))))),
+      // decode + hash, no shuffle: the two seeded xxhash64 runs (max,
+      // not sum — summing 64-bit hashes overflows under ANSI)
+      "xxhash_only" -> (() =>
+        d.agg(max(xxhash64(col("text"))),
+          max(xxhash64(lit(0x9E3779B97F4A7C15L), col("text"))))),
+      // decode + md5, no shuffle
+      "md5_only" -> (() =>
+        d.agg(max(md5(col("text").cast("binary"))))),
+      // the grouped forms without the final sort
+      "group_fast" -> (() =>
+        graft.ops.Dedup.exactClustersFast(d, "doc_id", "text")
+          .select("canonical_id", "n_copies")),
+      "group_md5" -> (() =>
+        graft.ops.Dedup.exactClusters(d, "doc_id", "text")),
+      // the full gated declarations (with ORDER BY)
+      "full_fast" -> (() =>
+        graft.SparkEntry.queries("q_dedup_exact_fast")(spark, sfDir)),
+      "full_md5" -> (() =>
+        graft.SparkEntry.queries("q_dedup_exact")(spark, sfDir)))
+
+    def once(f: () => DataFrame): Double = {
+      spark.catalog.clearCache()
+      val t = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    (1 to 2).foreach(_ => arms.foreach(a => once(a._2)))
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { _ =>
+      arms.foreach { case (n, f) => times(n) :+= once(f) }
+      System.gc()
+    }
+    arms.foreach { case (n, _) =>
+      val xs = times(n).sorted
+      println(f"[dedupfast] $n%-12s median=${xs(xs.size / 2)}%.3f " +
+        f"min=${xs.head}%.3f max=${xs.last}%.3f")
+    }
+    spark.stop()
+  }
+}

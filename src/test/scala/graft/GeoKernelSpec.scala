@@ -277,12 +277,12 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(lon - 2.3522) < 1e-9 && math.abs(lat - 48.8566) < 1e-9)
     // identity + unsupported pair
     assert(GeoKernel.transformCrs(paris, 4326, 4326).contains(paris))
-    assert(GeoKernel.transformCrs(paris, 4326, 2154).isEmpty)
+    assert(GeoKernel.transformCrs(paris, 4326, 27700).isEmpty)
     // SQL surface
     graft.functions.Geo.registerAll(spark)
     val r = spark.sql(
       """SELECT st_y(st_transform(st_point(2.3522, 48.8566), 4326, 3857))
-        |  AS y, st_transform(st_point(0, 0), 4326, 2154) AS off""".stripMargin)
+        |  AS y, st_transform(st_point(0, 0), 4326, 27700) AS off""".stripMargin)
       .head()
     assert(math.abs(r.getDouble(0) - 6250564.35) < 0.1)
     assert(r.isNullAt(1))
@@ -330,6 +330,67 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT st_x(st_transform(st_point(-79.387139, 43.642567),
         |  4326, 32617)) AS e""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 630084.0) < 1.0)
+  }
+
+  test("st_transform: Lambert conformal conic 2SP national grids " +
+      "match published vectors") {
+    // 1) the published IOGP/EPSG Guidance Note 7-2 worked example for
+    // method 9802 (Lambert Conic Conformal 2SP): NAD27 / Texas South
+    // Central, Clarke 1866, US survey feet. φ=28°30'00"N λ=96°00'00"W
+    // → E=2,963,503.91 ftUS, N=254,759.80 ftUS.
+    val gn72 = GeoKernel.Lcc(20925832.16, 294.978698214,
+      phi1Deg = 28 + 23.0 / 60, phi2Deg = 30 + 17.0 / 60,
+      phi0Deg = 27 + 50.0 / 60, lam0Deg = -99.0,
+      falseE = 2000000.0, falseN = 0.0)
+    val (te, tn) = gn72.forward(-96.0, 28.5)
+    assert(math.abs(te - 2963503.91) < 0.02, s"E=$te")
+    assert(math.abs(tn - 254759.80) < 0.02, s"N=$tn")
+    val (tlon, tlat) = gn72.inverse(te, tn)
+    assert(math.abs(tlon - -96.0) < 1e-9 && math.abs(tlat - 28.5) < 1e-9)
+    // 2) the published Snyder USGS PP 1395 §15 ellipsoidal example:
+    // Clarke 1866, φ1=33° φ2=45° φ0=23° λ0=96°W, point (35°N, 75°W)
+    // → x=1,894,410.9 m, y=1,564,649.5 m.
+    val snyder = GeoKernel.Lcc(6378206.4, 294.978698214,
+      phi1Deg = 33, phi2Deg = 45, phi0Deg = 23, lam0Deg = -96,
+      falseE = 0, falseN = 0)
+    val (sx, sy) = snyder.forward(-75.0, 35.0)
+    assert(math.abs(sx - 1894410.9) < 0.1, s"x=$sx")
+    assert(math.abs(sy - 1564649.5) < 0.1, s"y=$sy")
+    // 3) the registered EPSG grids: the false origin maps to the false
+    // easting/northing, city regression pins (computed with the
+    // GN7-2/Snyder-validated closed forms), machine-precision round
+    // trips through transformCrs
+    val Some(GPoint(fe, fn)) =
+      GeoKernel.transformCrs(GPoint(3.0, 46.5), 4326, 2154)
+    assert(math.abs(fe - 700000.0) < 1e-6 &&
+      math.abs(fn - 6600000.0) < 1e-6)
+    for ((srid, lon, lat, pe, pn) <- Seq(
+        (2154, 2.3522, 48.8566, 652469.02, 6862035.26), // Paris
+        (32118, -73.9857, 40.7484, 301207.69, 64599.22), // Empire State
+        (3347, -75.6972, 45.4215, 7471241.79, 1190644.01))) { // Ottawa
+      val Some(GPoint(e, n)) =
+        GeoKernel.transformCrs(GPoint(lon, lat), 4326, srid)
+      assert(math.abs(e - pe) < 0.05 && math.abs(n - pn) < 0.05,
+        s"srid=$srid e=$e n=$n")
+      val Some(GPoint(lonB, latB)) =
+        GeoKernel.transformCrs(GPoint(e, n), srid, 4326)
+      assert(math.abs(lonB - lon) < 1e-9 && math.abs(latB - lat) < 1e-9,
+        s"srid=$srid roundtrip ($lonB, $latB)")
+    }
+    // LCC composes with the other families through lon/lat:
+    // Lambert-93 → UTM 31N and back
+    val Some(GPoint(ue, un)) = GeoKernel.transformCrs(
+      GPoint(652469.02, 6862035.26), 2154, 32631)
+    val Some(GPoint(lonU, latU)) =
+      GeoKernel.transformCrs(GPoint(ue, un), 32631, 4326)
+    assert(math.abs(lonU - 2.3522) < 1e-7 &&
+      math.abs(latU - 48.8566) < 1e-7) // two chained projections ≈ cm
+    // 4) SQL surface
+    graft.functions.Geo.registerAll(spark)
+    val r = spark.sql(
+      """SELECT st_x(st_transform(st_point(2.3522, 48.8566),
+        |  4326, 2154)) AS e""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 652469.02) < 0.05)
   }
 
   test("Z/M WKB parses to the XY projection; force3d* re-emits dims") {
