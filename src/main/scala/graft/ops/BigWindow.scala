@@ -314,15 +314,17 @@ object BigWindow {
       // two-stage probe. Stage 1 (nearly free): a limited scan's
       // distinct count is a LOWER bound on the true count, so exceeding
       // maxKeys here is a sound rejection. Stage 2 (one full scan of
-      // the key column): the limited probe is BIASED LOW on key-sorted
+      // the key column, memoized as a statistic per analyzed plan —
+      // CardStats): the limited probe is BIASED LOW on key-sorted
       // data — a pass must be confirmed unbiased, else a
       // high-cardinality sorted input would sail past the guard and hit
       // the exec's loud backstop (or worse, a giant driver collect).
+      // A stale memo entry can only mis-route, never mis-answer (the
+      // exec's in-task backstop stays loud).
       val cheap = df.select(col(partCol)).limit(500000)
         .agg(approx_count_distinct(col(partCol))).head().getLong(0)
       if (cheap > maxKeys) return classic
-      val probed = df
-        .agg(approx_count_distinct(col(partCol))).head().getLong(0)
+      val probed = CardStats.approxDistinct(df, partCol)
       if (probed <= maxKeys)
         return graft.plans.FrameStats.frameStats(df, partCol, orderCols,
           valueCol, trail, fwd)

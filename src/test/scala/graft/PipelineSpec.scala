@@ -257,6 +257,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       trail = 2, fwd = 1)
     assert(engaged.queryExecution.analyzed.collect {
         case p: graft.plans.FrameStatsPlan => p }.nonEmpty)
+    // the statistic itself: unbiased (above the sorted-biased cheap
+    // probe's ~500), stable across calls (memoized per analyzed plan)
+    val c1 = graft.ops.CardStats.approxDistinct(df, "p")
+    val c2 = graft.ops.CardStats.approxDistinct(df, "p")
+    assert(c1 == c2 && c1 > 540, s"distinct stat $c1")
     spark.conf.unset("spark.graft.bigwindow.maxKeys")
     spark.conf.unset("spark.graft.bigwindow.autoThreshold")
     BigWindow.releaseCaches()
