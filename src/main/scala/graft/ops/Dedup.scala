@@ -31,11 +31,20 @@ object Dedup {
     * session. Call after the returned pairs DataFrame has been consumed
     * (written, collected, or counted); plans derived from it recompute
     * from source afterwards instead of reading the cache. */
+  private val liveRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
+
   def releaseCaches(): Unit = {
     var df = liveCaches.poll()
     while (df != null) {
       df.unpersist(blocking = false)
       df = liveCaches.poll()
+    }
+    var r = liveRdds.poll()
+    while (r != null) {
+      r.unpersist(blocking = false)
+      r = liveRdds.poll()
     }
   }
 
@@ -543,4 +552,95 @@ object Dedup {
           .otherwise(round(col("dup_grams").cast("double") /
             col("n_grams"), 6)))
   }
+
+  // ------------------------------------------------- duplicate clusters
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-duplicate PAIRS (minhash/jaccard/simhash output) into
+    * duplicate CLUSTERS a pipeline can act on (keep the canonical
+    * member, drop the rest). Returns one row per node in `nodes`:
+    * (idCol, `out` = the smallest node id reachable from it; a
+    * singleton's component is itself).
+    *
+    * Distributed min-label propagation: every round joins the current
+    * labels across the edge list and takes the neighborhood minimum —
+    * one keyed shuffle of O(E) per round, no driver-side graph, no
+    * per-node state beyond the labels relation. Rounds needed = graph
+    * diameter; duplicate clusters are near-cliques (a pair generator
+    * emits most intra-cluster edges), so 2–4 rounds close real corpora.
+    * The loud `maxIters` guard rejects pathological long-chain graphs
+    * rather than looping; for those regimes the large-star/small-star
+    * O(log n)-round variant is the known remedy (Kiveris et al.,
+    * MapReduce connected components) — out of scope until a workload
+    * needs it. 100 TB posture: labels and edges shuffle on node id;
+    * every round is map-side-combinable (min is associative); the
+    * convergence check is a metadata-sized aggregate.
+    *
+    * Reference analogue: none (the reference has no graph step) — this
+    * is part of the beyond-reference dedup pipeline surface. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      nodes: DataFrame, idCol: String, out: String = "component_id",
+      maxIters: Int = 25): DataFrame = {
+    val edges = trackedCache(
+      pairs.select(col(aCol).cast("long").as("src"),
+          col(bCol).cast("long").as("dst"))
+        .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+          col(aCol).cast("long").as("dst")))
+        .distinct())
+    // every round MUST truncate lineage (eager localCheckpoint): a
+    // plain persist keeps the logical plan, which doubles per round —
+    // after a dozen rounds the plan tree alone OOMs the driver. Each
+    // round's checkpointed RDD is dropped as soon as the convergence
+    // check against the next one completes, so live storage is bounded
+    // at two label sets; the final one is registered for release with
+    // the other dedup pins.
+    var labels = truncated(
+      nodes.select(col(idCol).cast("long").as("id"))
+        .distinct()
+        .withColumn("lbl", col("id")))
+    var converged = false
+    var it = 0
+    while (!converged) {
+      require(it < maxIters,
+        s"Dedup.components: no convergence after $maxIters rounds — " +
+          "the pair graph has a longer diameter than a duplicate " +
+          "cluster should; inspect the pair generator's threshold")
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = truncated(
+        labels.unionByName(prop)
+          .groupBy("id").agg(min("lbl").as("lbl")))
+      // monotone convergence: labels only decrease, so "no row
+      // changed" is one metadata-sized join-count
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.lbl") < col("o.lbl"))
+        .limit(1).count()
+      releaseRddOf(labels)
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as(out))
+  }
+
+  /** Eagerly checkpoint `df` locally (truncating its logical plan) and
+    * register the backing RDD for [[releaseCaches]]. */
+  private def truncated(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(eager = true)
+    ck.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(liveRdds.add)
+    ck
+  }
+
+  /** Unpersist the checkpointed RDD backing a [[truncated]] DataFrame
+    * (and forget it in the release queue). */
+  private def releaseRddOf(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach { r =>
+      liveRdds.remove(r)
+      r.unpersist(blocking = false)
+    }
 }

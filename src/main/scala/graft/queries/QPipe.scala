@@ -189,6 +189,21 @@ object QPipe {
         .orderBy("id_a", "id_b")
     },
 
+    // duplicate CLUSTERS from the exact word-3-gram jaccard pair graph:
+    // distributed min-label propagation to the component's smallest
+    // doc_id (singletons map to themselves). The oracle replays the
+    // identical pair SQL and closes it with a recursive CTE, so both
+    // engines compute the same integer-exact graph and the same
+    // min-reachable-id fixpoint.
+    "q_dedup_components" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, thrNum = 2, thrDen = 5)
+      Dedup.components(pairs.select("id_a", "id_b"), "id_a", "id_b",
+          d.select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    },
+
     // embedding-cosine near-dup: sign-LSH candidates over integer-
     // quantized vectors, exact integer cosine filter (cos ≥ 2/5) — the
     // oracle is BRUTE FORCE all-pairs, so this gate also pins the LSH
@@ -1161,6 +1176,39 @@ object QPipe {
         |JOIN s sb ON sb.doc_id = i.id_b
         |WHERE i.n_common * 5 >= (sa.sz + sb.sz - i.n_common) * 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_components" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |      AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram
+        |  FROM w, unnest(list_transform(range(1, len(words) - 1),
+        |       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |       AS t(gram)
+        |  WHERE len(words) >= 3),
+        |s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT i.id_a, i.id_b FROM i
+        |  JOIN s sa ON sa.doc_id = i.id_a
+        |  JOIN s sb ON sb.doc_id = i.id_b
+        |  WHERE i.n_common * 5 >= (sa.sz + sb.sz - i.n_common) * 2),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(r) AS component_id
+        |FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
 
     // brute-force all-pairs integer cosine (quantize ×1024 → exact
     // integer dot products; cos ≥ 2/5 as the integer cross-multiply) —

@@ -22,6 +22,54 @@ class NewOpsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  // ----------------------------------------- connected components
+
+  test("Dedup.components equals union-find on random graphs, " +
+      "singletons map to themselves") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nNodes = 120 + trial * 40
+      val nEdges = 60 + trial * 50
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: driver-side union-find
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until nNodes)
+        .map(i => (i.toLong, (0 until nNodes).filter(j =>
+          find(j) == find(i)).min.toLong)).toMap
+      val pairs = edges.toDF("id_a", "id_b")
+      val nodes = (0L until nNodes.toLong).toDF("doc_id")
+      val got = graft.ops.Dedup.components(pairs, "id_a", "id_b",
+          nodes, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == nNodes)
+      assert(got == expect, s"trial $trial")
+      graft.ops.Dedup.releaseCaches()
+    }
+    // a long chain still converges (diameter-bound rounds, under cap)
+    val chain = (0L until 15L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val nodes = (0L until 15L).toDF("doc_id")
+    val got = graft.ops.Dedup.components(chain, "id_a", "id_b",
+        nodes, "doc_id")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(0L))
+    graft.ops.Dedup.releaseCaches()
+  }
+
   // ----------------------------------------------------------- Morton
 
   test("morton code is a bijection on the quantized grid") {
