@@ -624,6 +624,30 @@ object Dedup {
     labels.select(col("id").as(idCol), col("lbl").as(out))
   }
 
+  /** One row per duplicate cluster: the canonical member — the longest
+    * text, ties broken by smallest id (the standard "keep the fullest
+    * version" dedup policy) — plus the cluster size. Composes
+    * [[components]] with a per-cluster window; clusters are small by
+    * construction, so the window's partition-by-component shuffle
+    * carries no skew a duplicate cluster wouldn't already imply. */
+  def canonicalDocs(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = components(pairs, aCol, bCol, df.select(idCol), idCol)
+    val joined = df.select(col(idCol), length(col(textCol)).as("_len"))
+      .join(comp, idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component_id")
+      .orderBy(col("_len").desc, col(idCol).asc)
+    joined
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("component_id")))
+      .filter(col("_rn") === 1)
+      .select(col("component_id"), col(idCol).as("canonical_id"),
+        col("n_members"))
+  }
+
   /** Eagerly checkpoint `df` locally (truncating its logical plan) and
     * register the backing RDD for [[releaseCaches]]. */
   private def truncated(df: DataFrame): DataFrame = {

@@ -118,4 +118,19 @@ object Mixture {
       .filter(col("_rn") <= col("_target"))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** Reproducible global shuffle for training-data ordering: sort by a
+    * seeded cryptographic hash of the row id (plus the id as the tie
+    * break, so the order is total even under hash collisions). Same
+    * seed → byte-identical order at any cluster size; different seed →
+    * an independent permutation. Scale shape: ONE range exchange (the
+    * sort), no global row-number window, no single-task stage — the
+    * standard way a 100 TB corpus is shuffled before epoch sharding.
+    * The `_shuffle_key` column is kept so downstream sharding can
+    * re-sort or range-split without recomputing the hash. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: String): DataFrame =
+    df.withColumn("_shuffle_key",
+        md5(concat_ws("-", lit(seed), col(idCol).cast("string"))))
+      .orderBy(col("_shuffle_key"), col(idCol))
 }

@@ -204,6 +204,26 @@ object QPipe {
         .orderBy("doc_id")
     },
 
+    // canonical member per duplicate cluster (longest text, ties →
+    // smallest id) + cluster size — the keep-one policy a dedup
+    // pipeline actually executes on the component output
+    "q_dedup_canonical" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, thrNum = 2, thrDen = 5)
+      Dedup.canonicalDocs(d, "doc_id", "text",
+          pairs.select("id_a", "id_b"), "id_a", "id_b")
+        .orderBy("component_id")
+    },
+
+    // reproducible global shuffle: seeded md5 order, identical bytes in
+    // both engines
+    "q_shuffle_det" -> { (s, dir) =>
+      Mixture.deterministicShuffle(
+          t(s, dir, "documents").select("doc_id"), "doc_id", "epoch0")
+        .select("doc_id", "_shuffle_key")
+    },
+
     // embedding-cosine near-dup: sign-LSH candidates over integer-
     // quantized vectors, exact integer cosine filter (cos ≥ 2/5) — the
     // oracle is BRUTE FORCE all-pairs, so this gate also pins the LSH
@@ -1209,6 +1229,57 @@ object QPipe {
         |SELECT id AS doc_id, min(r) AS component_id
         |FROM reach GROUP BY id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+        |      AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, gram
+        |  FROM w, unnest(list_transform(range(1, len(words) - 1),
+        |       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+        |       AS t(gram)
+        |  WHERE len(words) >= 3),
+        |s AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT i.id_a, i.id_b FROM i
+        |  JOIN s sa ON sa.doc_id = i.id_a
+        |  JOIN s sb ON sb.doc_id = i.id_b
+        |  WHERE i.n_common * 5 >= (sa.sz + sb.sz - i.n_common) * 2),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id),
+        |comp AS (
+        |  SELECT id AS doc_id, min(r) AS component_id
+        |  FROM reach GROUP BY id),
+        |j AS (
+        |  SELECT d.doc_id, c.component_id, length(d.text) AS len
+        |  FROM documents d JOIN comp c USING (doc_id))
+        |SELECT component_id, doc_id AS canonical_id, n_members
+        |FROM (
+        |  SELECT component_id, doc_id,
+        |    row_number() OVER (PARTITION BY component_id
+        |      ORDER BY len DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY component_id) AS n_members
+        |  FROM j)
+        |WHERE rn = 1
+        |ORDER BY component_id""".stripMargin,
+
+    "q_shuffle_det" ->
+      """SELECT doc_id,
+        |  md5('epoch0-' || CAST(doc_id AS VARCHAR)) AS _shuffle_key
+        |FROM documents
+        |ORDER BY _shuffle_key, doc_id""".stripMargin,
 
     // brute-force all-pairs integer cosine (quantize ×1024 → exact
     // integer dot products; cos ≥ 2/5 as the integer cross-multiply) —
