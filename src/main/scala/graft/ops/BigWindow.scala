@@ -75,19 +75,24 @@ object BigWindow {
     * Every harness (Bench, Verify, the diff tools) re-constructs
     * queries after releasing. */
   def releaseCaches(): Unit = {
+    // best-effort: a queued pin whose SparkContext has since stopped
+    // (suite teardown) has nothing left to free — skip it instead of
+    // failing the release of the live ones
     var df = liveCaches.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.unpersist(blocking = false)
       df = liveCaches.poll()
     }
     var r = liveRdds.poll()
     while (r != null) {
-      r.unpersist(blocking = false)
+      if (!r.sparkContext.isStopped) r.unpersist(blocking = false)
       r = liveRdds.poll()
     }
     var b = liveBroadcasts.poll()
     while (b != null) {
-      b.destroy()
+      try b.destroy()
+      catch { case _: org.apache.spark.SparkException => () }
       b = liveBroadcasts.poll()
     }
   }

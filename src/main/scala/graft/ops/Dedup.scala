@@ -36,14 +36,18 @@ object Dedup {
       org.apache.spark.rdd.RDD[_]]()
 
   def releaseCaches(): Unit = {
+    // best-effort: a queued pin whose SparkContext has since stopped
+    // (suite teardown) has nothing left to free — skip it instead of
+    // failing the release of the live ones
     var df = liveCaches.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      if (!df.sparkSession.sparkContext.isStopped)
+        df.unpersist(blocking = false)
       df = liveCaches.poll()
     }
     var r = liveRdds.poll()
     while (r != null) {
-      r.unpersist(blocking = false)
+      if (!r.sparkContext.isStopped) r.unpersist(blocking = false)
       r = liveRdds.poll()
     }
   }
@@ -375,36 +379,17 @@ object Dedup {
     * every id that appears in some pair; absent ids are their own
     * canonical. */
   def clusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val sym = e.union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
-    labels.count()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
-          Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(org.apache.spark.sql.functions.min(col("nlabel")).as("nmin"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
-        .cache()
-      val changed = updated
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
-      iter += 1
-    }
-    sym.unpersist()
-    labels.select(col("id"), col("label").as("canonical_id"))
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // delegates to [[components]] — one implementation of the label
+    // propagation (loud non-convergence, per-round lineage truncation;
+    // the first cut here exited SILENTLY at maxIter with possibly
+    // unconverged labels, and its un-truncated iterative plan doubled
+    // per round)
+    val nodes = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id")))
+      .distinct()
+    components(pairs, idA, idB, nodes, "id", out = "canonical_id",
+      maxIters = maxIter)
   }
 
   /** Keep one representative per near-duplicate cluster: the canonical
@@ -582,10 +567,9 @@ object Dedup {
       nodes: DataFrame, idCol: String, out: String = "component_id",
       maxIters: Int = 25): DataFrame = {
     val edges = trackedCache(
-      pairs.select(col(aCol).cast("long").as("src"),
-          col(bCol).cast("long").as("dst"))
-        .unionByName(pairs.select(col(bCol).cast("long").as("src"),
-          col(aCol).cast("long").as("dst")))
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"),
+          col(aCol).as("dst")))
         .distinct())
     // every round MUST truncate lineage (eager localCheckpoint): a
     // plain persist keeps the logical plan, which doubles per round —
@@ -595,7 +579,7 @@ object Dedup {
     // at two label sets; the final one is registered for release with
     // the other dedup pins.
     var labels = truncated(
-      nodes.select(col(idCol).cast("long").as("id"))
+      nodes.select(col(idCol).as("id"))
         .distinct()
         .withColumn("lbl", col("id")))
     var converged = false
