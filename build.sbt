@@ -33,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // artifact measures the flush, not the plan
   "-XX:ReservedCodeCacheSize=1g",
 )
+
+// The bench/verify mains print ONE machine-readable JSON line; sbt's
+// default logger prefixes forked-process stdout with "[info] ", which
+// breaks the driver's tail parser. Pass the forked output through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
