@@ -605,6 +605,8 @@ object GeoKernel {
       (p: Pt) => Utm.inverse(p._1, p._2, zone, south)
     }.orElse(lccRegistry.get(srid).map(l =>
       (p: Pt) => l.inverse(p._1, p._2)))
+      .orElse(aeaRegistry.get(srid).map(a =>
+        (p: Pt) => a.inverse(p._1, p._2)))
   }
 
   /** SRID → ((lon, lat) degrees → projected point), if supported. */
@@ -618,6 +620,8 @@ object GeoKernel {
       (p: Pt) => Utm.forward(p._1, p._2, zone, south)
     }.orElse(lccRegistry.get(srid).map(l =>
       (p: Pt) => l.forward(p._1, p._2)))
+      .orElse(aeaRegistry.get(srid).map(a =>
+        (p: Pt) => a.forward(p._1, p._2)))
   }
 
   /** Lambert conformal conic, 2 standard parallels (EPSG method 9802,
@@ -683,9 +687,86 @@ object GeoKernel {
     }
   }
 
+  /** Albers equal-area conic, 2 standard parallels (EPSG method 9822,
+    * closed forms of Snyder PP 1395 §14). Same conventions as [[Lcc]]:
+    * constructor angles in DEGREES, `a` sets the unit. Forward is
+    * closed-form on the authalic latitude q-function; inverse iterates
+    * Snyder's (3-16) latitude recurrence to machine precision. The
+    * projection is exactly equal-area — the spec checks the Jacobian
+    * numerically against the ellipsoidal area element, an invariant
+    * independent of any published vector. */
+  private[graft] final case class Aea(a: Double, invFlat: Double,
+      phi1Deg: Double, phi2Deg: Double, phi0Deg: Double, lam0Deg: Double,
+      falseE: Double, falseN: Double) {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+    private val phi1 = math.toRadians(phi1Deg)
+    private val phi2 = math.toRadians(phi2Deg)
+    private val phi0 = math.toRadians(phi0Deg)
+    private val lam0 = math.toRadians(lam0Deg)
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private def m(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    private val n =
+      (m(phi1) * m(phi1) - m(phi2) * m(phi2)) / (qOf(phi2) - qOf(phi1))
+    private val c = m(phi1) * m(phi1) + n * qOf(phi1)
+    private val rho0 = a * math.sqrt(c - n * qOf(phi0)) / n
+
+    def forward(lonDeg: Double, latDeg: Double): Pt = {
+      val rho = a * math.sqrt(c - n * qOf(math.toRadians(latDeg))) / n
+      val th = n * (math.toRadians(lonDeg) - lam0)
+      (falseE + rho * math.sin(th), falseN + rho0 - rho * math.cos(th))
+    }
+
+    def inverse(easting: Double, northing: Double): Pt = {
+      val dx = easting - falseE
+      val dy = rho0 - (northing - falseN)
+      val sgn = math.signum(n)
+      val rho = sgn * math.hypot(dx, dy)
+      val th = math.atan2(sgn * dx, sgn * dy)
+      val qP = (c - (rho * n / a) * (rho * n / a)) / n
+      // Snyder (3-16): phi += (1-e²sin²phi)²/(2cos phi) ·
+      //   [ q/(1-e²) − sin phi/(1−e²sin²phi) + ln((1−e sinφ)/(1+e sinφ))/(2e) ]
+      var phi = math.asin(math.max(-1.0, math.min(1.0, qP / 2)))
+      var i = 0
+      while (i < 10) {
+        val s = math.sin(phi)
+        val d = 1 - e2 * s * s
+        phi += (d * d / (2 * math.cos(phi))) *
+          (qP / (1 - e2) - s / d +
+            math.log((1 - e * s) / (1 + e * s)) / (2 * e))
+        i += 1
+      }
+      (math.toDegrees(th / n + lam0), math.toDegrees(phi))
+    }
+  }
+
   /** GRS80 inverse flattening (NAD83 and RGF93 both use GRS80; their
     * lon/lat composes with WGS84 through the standard null shift). */
   private val Grs80InvF = 298.257222101
+
+  /** Supported Albers equal-area national grids (published EPSG
+    * registry parameters; GDA94 is GRS80-based like NAD83). */
+  private[graft] val aeaRegistry: Map[Int, Aea] = Map(
+    // NAD83 / Conus Albers
+    5070 -> Aea(6378137.0, Grs80InvF,
+      phi1Deg = 29.5, phi2Deg = 45.5, phi0Deg = 23.0, lam0Deg = -96.0,
+      falseE = 0.0, falseN = 0.0),
+    // NAD83 / California Albers
+    3310 -> Aea(6378137.0, Grs80InvF,
+      phi1Deg = 34.0, phi2Deg = 40.5, phi0Deg = 0.0, lam0Deg = -120.0,
+      falseE = 0.0, falseN = -4000000.0),
+    // GDA94 / Australian Albers (southern hemisphere: n < 0)
+    3577 -> Aea(6378137.0, Grs80InvF,
+      phi1Deg = -18.0, phi2Deg = -36.0, phi0Deg = 0.0, lam0Deg = 132.0,
+      falseE = 0.0, falseN = 0.0))
 
   /** Supported LCC 2SP national grids — parameters are the published
     * EPSG registry values for each code. */

@@ -393,6 +393,71 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(0) - 652469.02) < 0.05)
   }
 
+  test("st_transform: Albers equal-area conic grids match the published " +
+      "Snyder vector and preserve area exactly") {
+    // the published Snyder USGS PP 1395 §14 ellipsoidal example:
+    // Clarke 1866, φ1=29.5° φ2=45.5° φ0=23° λ0=96°W, point (35°N, 75°W)
+    // → x=1,885,472.7 m, y=1,535,925.0 m
+    val snyder = GeoKernel.Aea(6378206.4, 294.978698214,
+      phi1Deg = 29.5, phi2Deg = 45.5, phi0Deg = 23, lam0Deg = -96,
+      falseE = 0, falseN = 0)
+    val (sx, sy) = snyder.forward(-75.0, 35.0)
+    assert(math.abs(sx - 1885472.7) < 0.1, s"x=$sx")
+    assert(math.abs(sy - 1535925.0) < 0.1, s"y=$sy")
+    val (slon, slat) = snyder.inverse(sx, sy)
+    assert(math.abs(slon - -75.0) < 1e-9 && math.abs(slat - 35.0) < 1e-9)
+    // registry grids: false origin, round trips (incl. the southern-
+    // hemisphere negative-cone Australian grid)
+    val Some(GPoint(fe, fn)) =
+      GeoKernel.transformCrs(GPoint(-96.0, 23.0), 4326, 5070)
+    assert(math.abs(fe) < 1e-6 && math.abs(fn) < 1e-6)
+    for ((srid, lon, lat) <- Seq(
+        (5070, -87.65, 41.85), // Chicago
+        (3310, -118.24, 34.05), // Los Angeles
+        (3577, 151.21, -33.87))) { // Sydney
+      val Some(GPoint(x, y)) =
+        GeoKernel.transformCrs(GPoint(lon, lat), 4326, srid)
+      val Some(GPoint(lonB, latB)) =
+        GeoKernel.transformCrs(GPoint(x, y), srid, 4326)
+      assert(math.abs(lonB - lon) < 1e-9 && math.abs(latB - lat) < 1e-9,
+        s"srid=$srid roundtrip ($lonB, $latB)")
+    }
+    // the equal-area INVARIANT, independent of any published vector:
+    // the numeric Jacobian |∂(x,y)/∂(λ,φ)| must equal the ellipsoidal
+    // area element a²(1−e²)cosφ/(1−e²sin²φ)² at every point
+    val aG = 6378137.0
+    val e2 = { val f = 1.0 / 298.257222101; f * (2 - f) }
+    for ((srid, lon, lat) <- Seq(
+        (5070, -96.0, 23.0), (5070, -75.0, 45.0),
+        (3310, -120.0, 37.0), (3577, 132.0, -25.0))) {
+      val h = 1e-6 // degrees
+      def fwd(lo: Double, la: Double): (Double, Double) = {
+        val Some(GPoint(x, y)) =
+          GeoKernel.transformCrs(GPoint(lo, la), 4326, srid)
+        (x, y)
+      }
+      val (x0, y0) = fwd(lon, lat)
+      val (xl, yl) = fwd(lon + h, lat)
+      val (xp, yp) = fwd(lon, lat + h)
+      val dRad = math.toRadians(h)
+      val jac = math.abs(
+        ((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0)) / (dRad * dRad))
+      val s = math.sin(math.toRadians(lat))
+      val element = aG * aG * (1 - e2) * math.cos(math.toRadians(lat)) /
+        math.pow(1 - e2 * s * s, 2)
+      assert(math.abs(jac / element - 1.0) < 1e-4,
+        s"srid=$srid area distortion ${jac / element}")
+    }
+    // SQL surface
+    graft.functions.Geo.registerAll(spark)
+    val r = spark.sql(
+      """SELECT st_x(st_transform(st_point(-75, 35), 4326, 5070))
+        |  AS x""".stripMargin).head()
+    // GRS80 vs the Snyder example's Clarke 1866 differ slightly; just
+    // pin the ballpark and the engine-side determinism
+    assert(math.abs(r.getDouble(0) - 1885000.0) < 5000.0)
+  }
+
   test("Z/M WKB parses to the XY projection; force3d* re-emits dims") {
     // EWKB Z-flagged point (3 doubles/pt): planar kernel projects to XY
     val z = java.nio.ByteBuffer.allocate(29)
