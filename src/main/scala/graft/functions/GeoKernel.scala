@@ -607,6 +607,8 @@ object GeoKernel {
       (p: Pt) => l.inverse(p._1, p._2)))
       .orElse(aeaRegistry.get(srid).map(a =>
         (p: Pt) => a.inverse(p._1, p._2)))
+      .orElse(polarRegistry.get(srid).map(ps =>
+        (p: Pt) => ps.inverse(p._1, p._2)))
   }
 
   /** SRID → ((lon, lat) degrees → projected point), if supported. */
@@ -622,6 +624,8 @@ object GeoKernel {
       (p: Pt) => l.forward(p._1, p._2)))
       .orElse(aeaRegistry.get(srid).map(a =>
         (p: Pt) => a.forward(p._1, p._2)))
+      .orElse(polarRegistry.get(srid).map(ps =>
+        (p: Pt) => ps.forward(p._1, p._2)))
   }
 
   /** Lambert conformal conic, 2 standard parallels (EPSG method 9802,
@@ -748,9 +752,81 @@ object GeoKernel {
     }
   }
 
+  /** Polar stereographic, variant B (EPSG method 9829: standard
+    * parallel, no explicit k0; Snyder PP 1395 §21 ellipsoidal forms).
+    * North aspect when `phi1Deg > 0`, south otherwise (the south forms
+    * are the north ones on the mirrored latitude with the northing sign
+    * flipped, per the EPSG formulas). Conformal by construction — the
+    * spec checks isotropy of the numeric Jacobian and unit scale along
+    * the standard parallel, invariants that determine the projection
+    * uniquely among pole-centered conformal maps. */
+  private[graft] final case class PolarStereo(a: Double, invFlat: Double,
+      phi1Deg: Double, lam0Deg: Double, falseE: Double, falseN: Double) {
+    private val f = 1.0 / invFlat
+    private val e2 = f * (2 - f)
+    private val e = math.sqrt(e2)
+    private val south = phi1Deg < 0
+    private val lam0 = math.toRadians(lam0Deg)
+    private def tOf(phiDeg: Double): Double = {
+      // north-aspect t on the effective (mirrored-when-south) latitude
+      val phi = math.toRadians(if (south) -phiDeg else phiDeg)
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * s) / (1 + e * s), e / 2)
+    }
+    private val mF = {
+      val phi = math.toRadians(math.abs(phi1Deg))
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1 - e2 * s * s)
+    }
+    private val tF = tOf(phi1Deg)
+
+    def forward(lonDeg: Double, latDeg: Double): Pt = {
+      val rho = a * mF * tOf(latDeg) / tF
+      val th = math.toRadians(lonDeg) - lam0
+      val n = if (south) rho * math.cos(th) else -rho * math.cos(th)
+      (falseE + rho * math.sin(th), falseN + n)
+    }
+
+    def inverse(easting: Double, northing: Double): Pt = {
+      val dx = easting - falseE
+      val dyRaw = northing - falseN
+      val dy = if (south) dyRaw else -dyRaw
+      val rho = math.hypot(dx, dy)
+      val th = math.atan2(dx, dy)
+      val tP = rho * tF / (a * mF)
+      // conformal → geodetic fixed point (same contraction as Lcc)
+      var phi = math.Pi / 2 - 2 * math.atan(tP)
+      var i = 0
+      while (i < 8) {
+        val es = e * math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          tP * math.pow((1 - es) / (1 + es), e / 2))
+        i += 1
+      }
+      val latDeg = math.toDegrees(phi)
+      (math.toDegrees(th + lam0), if (south) -latDeg else latDeg)
+    }
+  }
+
   /** GRS80 inverse flattening (NAD83 and RGF93 both use GRS80; their
     * lon/lat composes with WGS84 through the standard null shift). */
   private val Grs80InvF = 298.257222101
+
+  /** WGS84 inverse flattening. */
+  private val Wgs84InvF = 298.257223563
+
+  /** Supported polar stereographic grids (published EPSG parameters). */
+  private[graft] val polarRegistry: Map[Int, PolarStereo] = Map(
+    // WGS84 / NSIDC Sea Ice Polar Stereographic North
+    3413 -> PolarStereo(6378137.0, Wgs84InvF,
+      phi1Deg = 70.0, lam0Deg = -45.0, falseE = 0.0, falseN = 0.0),
+    // WGS84 / Arctic Polar Stereographic
+    3995 -> PolarStereo(6378137.0, Wgs84InvF,
+      phi1Deg = 71.0, lam0Deg = 0.0, falseE = 0.0, falseN = 0.0),
+    // WGS84 / Antarctic Polar Stereographic
+    3031 -> PolarStereo(6378137.0, Wgs84InvF,
+      phi1Deg = -71.0, lam0Deg = 0.0, falseE = 0.0, falseN = 0.0))
 
   /** Supported Albers equal-area national grids (published EPSG
     * registry parameters; GDA94 is GRS80-based like NAD83). */

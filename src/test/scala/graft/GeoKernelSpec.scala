@@ -458,6 +458,67 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r.getDouble(0) - 1885000.0) < 5000.0)
   }
 
+  test("st_transform: polar stereographic grids are conformal with unit " +
+      "scale on the standard parallel (both aspects)") {
+    // the invariants below determine the projection uniquely among
+    // pole-centered conformal maps, independent of any published vector
+    for (srid <- Seq(3413, 3995, 3031)) {
+      val south = srid == 3031
+      val lat0 = if (south) -80.0 else 80.0
+      // round trips to machine precision
+      for ((lon, lat) <- Seq((0.0, lat0), (123.4, lat0),
+          (-45.0, if (south) -71.0 else 71.0))) {
+        val Some(GPoint(x, y)) =
+          GeoKernel.transformCrs(GPoint(lon, lat), 4326, srid)
+        val Some(GPoint(lonB, latB)) =
+          GeoKernel.transformCrs(GPoint(x, y), srid, 4326)
+        assert(math.abs(latB - lat) < 1e-9, s"srid=$srid lat $latB")
+        assert(math.abs((lonB - lon + 540) % 360 - 180) < 1e-9,
+          s"srid=$srid lon $lonB")
+      }
+      // conformality: the numeric Jacobian in local ground coordinates
+      // is isotropic (equal scales east/north, perpendicular images)
+      def fwd(lo: Double, la: Double): (Double, Double) = {
+        val Some(GPoint(x, y)) =
+          GeoKernel.transformCrs(GPoint(lo, la), 4326, srid)
+        (x, y)
+      }
+      val (lon, lat) = (30.0, if (south) -75.0 else 75.0)
+      val h = 1e-6
+      val a = 6378137.0
+      val e2 = { val f = 1.0 / 298.257223563; f * (2 - f) }
+      val s = math.sin(math.toRadians(lat))
+      val nu = a / math.sqrt(1 - e2 * s * s) // prime vertical radius
+      val rho = a * (1 - e2) / math.pow(1 - e2 * s * s, 1.5) // meridian
+      val (x0, y0) = fwd(lon, lat)
+      val (xl, yl) = fwd(lon + h, lat)
+      val (xp, yp) = fwd(lon, lat + h)
+      val dE = nu * math.cos(math.toRadians(lat)) * math.toRadians(h)
+      val dN = rho * math.toRadians(h)
+      val kEast = math.hypot(xl - x0, yl - y0) / dE
+      val kNorth = math.hypot(xp - x0, yp - y0) / dN
+      assert(math.abs(kEast / kNorth - 1.0) < 1e-4,
+        s"srid=$srid anisotropy $kEast vs $kNorth")
+      val dot = (xl - x0) * (xp - x0) + (yl - y0) * (yp - y0)
+      assert(math.abs(dot) / (math.hypot(xl - x0, yl - y0) *
+        math.hypot(xp - x0, yp - y0)) < 1e-4, s"srid=$srid shear")
+      // unit scale ON the standard parallel (variant B definition)
+      val phi1 = if (south) -71.0 else 70.0
+      val phi1Eff = if (srid == 3995) 71.0 else phi1
+      val (a0x, a0y) = fwd(10.0, phi1Eff)
+      val (a1x, a1y) = fwd(10.0 + h, phi1Eff)
+      val s1 = math.sin(math.toRadians(phi1Eff))
+      val nu1 = a / math.sqrt(1 - e2 * s1 * s1)
+      val k1 = math.hypot(a1x - a0x, a1y - a0y) /
+        (nu1 * math.cos(math.toRadians(phi1Eff)) * math.toRadians(h))
+      assert(math.abs(k1 - 1.0) < 1e-6, s"srid=$srid k(phi1)=$k1")
+      // axis convention: λ0 meridian lands on x=0 with the EPSG sign
+      val (cx, cy) = fwd(if (srid == 3413) -45.0 else 0.0, lat0)
+      assert(math.abs(cx) < 1e-6, s"srid=$srid cm x=$cx")
+      assert(if (south) cy > 0 else cy < 0, s"srid=$srid cm sign $cy")
+    }
+  }
+
   test("Z/M WKB parses to the XY projection; force3d* re-emits dims") {
     // EWKB Z-flagged point (3 doubles/pt): planar kernel projects to XY
     val z = java.nio.ByteBuffer.allocate(29)
