@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership test of a string column against a broadcast
+  * [[BloomFilter]] sketch, codegen'd — the engine-side analogue of
+  * Spark's internal runtime row-level filtering expression
+  * (`BloomFilterMightContain`), here over an explicitly built sketch.
+  * Only FALSE POSITIVES are possible; a false claim of absence never
+  * is (the Bloom guarantee). The broadcast rides the generated code's
+  * reference array, so tasks read the executor-local sketch copy —
+  * nothing re-ships per batch.
+  */
+case class BloomContains(child: Expression,
+    bloom: Broadcast[BloomFilter]) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloom.value.mightContainString(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[Broadcast[BloomFilter]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
+         |  $bloomRef.value()).mightContainString($c.toString());
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BloomContains = copy(child = newChild)
+}

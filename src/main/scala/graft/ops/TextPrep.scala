@@ -217,6 +217,54 @@ object TextPrep {
       .filter(!col("contaminated"))
       .drop("eval_gram_hits", "contaminated")
 
+  /** Bloom-sketch variant of [[contamination]] for the regime where the
+    * eval suite's distinct gram set itself is too large to broadcast
+    * exactly (multi-benchmark suites at billions of grams): build a
+    * [[org.apache.spark.util.sketch.BloomFilter]] over the eval grams
+    * (distributed mergeable partials via `df.stat.bloomFilter`),
+    * broadcast the fixed-size sketch, and count a corpus gram as a hit
+    * when the sketch claims membership — through the codegen'd
+    * [[graft.functions.BloomContains]] expression, so the corpus-side
+    * test stays inside whole-stage codegen against the executor-local
+    * sketch copy.
+    *
+    * Direction of error is the SAFE one for decontamination: a Bloom
+    * sketch has no false negatives, so every truly contaminated row is
+    * flagged — at fpp, a small excess of clean rows is also dropped
+    * (spec pins the no-false-negative containment against the exact
+    * op, and equality at tight fpp on the fixture). 100 TB posture:
+    * the corpus never shuffles text — explode → codegen'd sketch test
+    * → per-id partial-aggregated hit count; the sketch is the only
+    * broadcast (MBs at 10⁹ grams, vs the exact set's unbroadcastable
+    * hundreds of GB). */
+  def contaminationBloom(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 8, minHits: Int = 1,
+      evalTextCol: String = "text", fpp: Double = 1e-4,
+      expectedGrams: Long = 0L): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = corpus.sparkSession
+    val evalGrams = evalSet
+      .select(explode(wordGrams(col(evalTextCol), n)).as("gram"))
+      .distinct()
+    val expect =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(evalGrams.count(), 1L)
+    val sketch = evalGrams.stat.bloomFilter("gram", expect, fpp)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val hit = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BloomContains(
+        org.apache.spark.sql.GraftBridge.eagerExpression(col("gram")), bc))
+    val hits = corpus
+      .select(col(idCol), explode(wordGrams(col(textCol), n)).as("gram"))
+      .filter(hit)
+      .groupBy(idCol).agg(count(lit(1)).as("eval_gram_hits"))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("eval_gram_hits",
+        coalesce(col("eval_gram_hits"), lit(0L)))
+      .withColumn("contaminated", col("eval_gram_hits") >= minHits)
+  }
+
   // ------------------------------------------------ sequence packing ----
 
   /** Pack rows into fixed token-budget training sequences

