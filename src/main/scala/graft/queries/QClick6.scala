@@ -122,8 +122,18 @@ object QClick6 {
     "q_click_url_counts" -> qUrlCounts,
     "q_click_link_views_paged" -> qLinkViewsPaged)
 
+  // Q18 — GROUP BY UserID, SearchPhrase LIMIT 10 with NO ORDER BY
+  // (pg_lake_benchmark--3.0.sql:35): the row SET is engine-arbitrary,
+  // so no exact oracle can exist; gated as the driver's weaker
+  // rows-only check (10 rows out, plan exercised) by declaring the
+  // query WITHOUT an oracle entry. Completes 43/43 per-id coverage.
+  private val qGroupLimit =
+    """SELECT user_id, props, count(*) AS c
+      |FROM events GROUP BY user_id, props LIMIT 10""".stripMargin
+
   val queries: Map[String, QueryFn] =
-    shared.map { case (n, q) => n -> sql(q) }
+    shared.map { case (n, q) => n -> sql(q) } +
+      ("q_click_group_limit" -> sql(qGroupLimit))
 
   val oracleSql: Map[String, String] = shared
 }
