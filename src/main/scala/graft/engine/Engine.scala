@@ -972,6 +972,10 @@ object Engine {
       // parse here, one row per Placemark
       case "kml" | "kmz" =>
         graft.sources.Kml.read(spark, path)
+      // AutoCAD DXF (ASCII group-code pairs) — GDAL in the reference
+      // (gdal.c ".dxf | DXF"); direct spec parse here
+      case "dxf" =>
+        graft.sources.Dxf.read(spark, path)
       case "geojson" =>
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(

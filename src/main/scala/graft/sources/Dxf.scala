@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.functions.GeoKernel
+import graft.functions.GeoKernel.{GLine, GPoint, GPolygon, Geom}
+
+/** AutoCAD DXF (ASCII) reader from the public format specification —
+  * the remaining named entry of the reference's GDAL format tail
+  * (pg_lake_engine/src/pgduck/gdal.c, docs/file-formats-reference.md:
+  * 100-135: ".dxf | DXF"). A DXF file is a sequence of (group code,
+  * value) line pairs organized into sections; only the ENTITIES
+  * section carries geometry. Supported entities (the ones GDAL's DXF
+  * driver maps to simple features):
+  *
+  *  - POINT        → POINT           (codes 10/20)
+  *  - LINE         → LINESTRING      (10/20 → 11/21)
+  *  - LWPOLYLINE   → LINESTRING, or POLYGON when the closed flag
+  *                   (70 & 1) is set (repeated 10/20 vertex pairs)
+  *  - POLYLINE …   → same, from the following VERTEX entities up to
+  *    VERTEX/SEQEND  SEQEND (the R12 heavy-polyline form)
+  *  - CIRCLE       → POLYGON (exact 32-gon around 10/20 radius 40 —
+  *                   the same polygonization policy as st_buffer on
+  *                   points)
+  *
+  * Other entity types (TEXT, ARC, INSERT, DIMENSION…) are skipped, as
+  * GDAL does for non-geometry layers. Z coordinates (codes 30/31) are
+  * projected away — the planar-kernel policy shared with the WKB and
+  * Shapefile readers.
+  *
+  * Scale posture: one task per `.dxf` file, geometry lands as WKB
+  * `BinaryType`. Output columns: `layer` (group code 8), `entity`,
+  * `geometry`.
+  */
+object Dxf {
+
+  private val schema = StructType(Seq(
+    StructField("layer", StringType),
+    StructField("entity", StringType),
+    StructField("geometry", BinaryType)))
+
+  /** Read `path` (a `.dxf` file or a directory of them). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = resolve(path)
+    require(files.nonEmpty, s"no .dxf files at $path")
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
+      parse(new String(Files.readAllBytes(Paths.get(f)),
+        StandardCharsets.UTF_8)).map { case (layer, entity, g) =>
+        Row(layer, entity, GeoKernel.toWkb(g))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def resolve(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .map(_.toString).filter(_.toLowerCase.endsWith(".dxf"))
+        .toSeq.sorted
+      finally s.close()
+    } else Seq(path)
+  }
+  private implicit class IterScala[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+
+  /** Parse the ENTITIES section of one DXF document. */
+  private[sources] def parse(text: String)
+      : Seq[(String, String, Geom)] = {
+    val raw = text.split("\r?\n", -1)
+    // (code, value) pairs; codes are fixed-width right-justified in old
+    // writers — trim before parsing
+    val pairs = raw.grouped(2).collect {
+      case Array(c, v) if c.trim.nonEmpty &&
+          c.trim.forall(ch => ch.isDigit || ch == '-') =>
+        (c.trim.toInt, v)
+    }.toVector
+
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Geom)]
+    var section = ""
+    var etype = ""
+    var layer = "0"
+    var attrs = Map.empty[Int, String]
+    var xs = Vector.empty[Double]
+    var ys = Vector.empty[Double]
+    // POLYLINE (heavy) accumulation across VERTEX entities
+    var polyOpen = false
+    var polyLayer = "0"
+    var polyFlags = 0
+    var polyXs = Vector.empty[Double]
+    var polyYs = Vector.empty[Double]
+
+    def closeRing(pts: IndexedSeq[(Double, Double)])
+        : IndexedSeq[(Double, Double)] =
+      if (pts.nonEmpty && pts.head != pts.last) pts :+ pts.head else pts
+
+    def emitPolyline(lay: String, name: String, flags: Int,
+        vx: Vector[Double], vy: Vector[Double]): Unit = {
+      val pts = vx.zip(vy)
+      if (pts.size >= 2) {
+        if ((flags & 1) != 0 && pts.size >= 3)
+          out += ((lay, name, GPolygon(Vector(closeRing(pts)))))
+        else out += ((lay, name, GLine(pts)))
+      }
+    }
+
+    def finish(): Unit = {
+      if (section == "ENTITIES" && etype.nonEmpty) {
+        def d(c: Int): Option[Double] =
+          attrs.get(c).flatMap(v => v.trim.toDoubleOption)
+        etype match {
+          case "POINT" =>
+            for (x <- d(10); y <- d(20))
+              out += ((layer, "POINT", GPoint(x, y)))
+          case "LINE" =>
+            for (x0 <- d(10); y0 <- d(20); x1 <- d(11); y1 <- d(21))
+              out += ((layer, "LINE",
+                GLine(Vector((x0, y0), (x1, y1)))))
+          case "LWPOLYLINE" =>
+            emitPolyline(layer, "LWPOLYLINE",
+              attrs.get(70).flatMap(_.trim.toIntOption).getOrElse(0),
+              xs, ys)
+          case "CIRCLE" =>
+            for (cx <- d(10); cy <- d(20); r <- d(40)) {
+              val ring = (0 until 32).map { i =>
+                val a = 2 * math.Pi * i / 32
+                (cx + r * math.cos(a), cy + r * math.sin(a))
+              }
+              out += ((layer, "CIRCLE",
+                GPolygon(Vector(closeRing(ring)))))
+            }
+          case "VERTEX" if polyOpen =>
+            for (x <- d(10); y <- d(20)) {
+              polyXs :+= x; polyYs :+= y
+            }
+          case "SEQEND" if polyOpen =>
+            emitPolyline(polyLayer, "POLYLINE", polyFlags, polyXs, polyYs)
+            polyOpen = false
+          case "POLYLINE" =>
+            polyOpen = true
+            polyLayer = layer
+            polyFlags =
+              attrs.get(70).flatMap(_.trim.toIntOption).getOrElse(0)
+            polyXs = Vector.empty; polyYs = Vector.empty
+          case _ => () // non-geometry entity — skipped, as GDAL does
+        }
+      }
+      etype = ""; layer = "0"; attrs = Map.empty
+      xs = Vector.empty; ys = Vector.empty
+    }
+
+    pairs.foreach { case (code, value) =>
+      val v = value.trim
+      if (code == 0) {
+        finish()
+        v match {
+          case "SECTION" => section = "" // named by the following (2, x)
+          case "ENDSEC" => section = "DONE"
+          case "EOF" => ()
+          case name => etype = name
+        }
+      } else if (code == 2 && etype.isEmpty && section == "") {
+        section = v // the SECTION's name
+      } else if (etype.nonEmpty) {
+        code match {
+          case 8 => layer = v
+          case 10 => xs :+= v.toDoubleOption.getOrElse(Double.NaN)
+            attrs += (10 -> v)
+          case 20 => ys :+= v.toDoubleOption.getOrElse(Double.NaN)
+            attrs += (20 -> v)
+          case c => attrs += (c -> v)
+        }
+      }
+    }
+    finish()
+    out.toSeq
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.GeoKernel
+
+/** DXF reader vs a spec-authored R12 ASCII fixture (the classic
+  * minimal DXF form — HEADER/TABLES optional, ENTITIES + EOF — that
+  * every CAD tool and GDAL accept; no CAD tool exists in this
+  * container to emit one, so the fixture is hand-written against the
+  * published group-code tables and exercises fixed-width group codes,
+  * CRLF, both polyline forms, the closed flag, layers, and skipped
+  * non-geometry entities). */
+class DxfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // group codes right-justified in 3 columns, CRLF line ends — the
+  // fixed-width style of old writers, which the parser must trim
+  private val fixture = Seq(
+    "  0", "SECTION", "  2", "HEADER",
+    "  9", "$ACADVER", "  1", "AC1009",
+    "  0", "ENDSEC",
+    "  0", "SECTION", "  2", "ENTITIES",
+    // a point on layer "sites"
+    "  0", "POINT", "  8", "sites", " 10", "3.5", " 20", "-1.25",
+    // a line on the default layer
+    "  0", "LINE", " 10", "0.0", " 20", "0.0", " 11", "3.0", " 21", "4.0",
+    // an OPEN lightweight polyline
+    "  0", "LWPOLYLINE", "  8", "roads", " 90", "3", " 70", "0",
+    " 10", "0", " 20", "0", " 10", "1", " 20", "0", " 10", "1", " 20", "1",
+    // a CLOSED lightweight polyline → polygon (unit square)
+    "  0", "LWPOLYLINE", "  8", "parcels", " 90", "4", " 70", "1",
+    " 10", "0", " 20", "0", " 10", "10", " 20", "0",
+    " 10", "10", " 20", "10", " 10", "0", " 20", "10",
+    // heavy POLYLINE + VERTEX + SEQEND (R12), closed triangle
+    "  0", "POLYLINE", "  8", "parcels", " 70", "1",
+    "  0", "VERTEX", " 10", "0", " 20", "0",
+    "  0", "VERTEX", " 10", "4", " 20", "0",
+    "  0", "VERTEX", " 10", "0", " 20", "3",
+    "  0", "SEQEND",
+    // a circle, and a TEXT entity the reader must skip
+    "  0", "CIRCLE", "  8", "sites", " 10", "5", " 20", "5", " 40", "2",
+    "  0", "TEXT", "  1", "not geometry", " 10", "9", " 20", "9",
+    "  0", "ENDSEC",
+    "  0", "EOF").mkString("\r\n")
+
+  test("entities parse to the documented geometries; layers carried; " +
+      "non-geometry entities skipped") {
+    val dir = Files.createTempDirectory("dxf")
+    Files.write(Paths.get(dir.toString, "plan.dxf"),
+      fixture.getBytes(StandardCharsets.UTF_8))
+    val df = graft.sources.Dxf.read(spark, dir.toString)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1),
+      GeoKernel.fromWkb(r.getAs[Array[Byte]](2)).get))
+    assert(rows.length == 6) // TEXT skipped
+    val byEnt = rows.groupBy(_._2)
+    assert(GeoKernel.toWkt(byEnt("POINT").head._3) == "POINT(3.5 -1.25)")
+    assert(byEnt("POINT").head._1 == "sites")
+    assert(GeoKernel.toWkt(byEnt("LINE").head._3)
+      == "LINESTRING(0 0,3 4)")
+    assert(byEnt("LINE").head._1 == "0") // default layer
+    // open LWPOLYLINE stays a line
+    assert(GeoKernel.toWkt(byEnt("LWPOLYLINE")
+      .find(_._1 == "roads").get._3) == "LINESTRING(0 0,1 0,1 1)")
+    // closed LWPOLYLINE → polygon, ring closed, area = 100
+    val sq = byEnt("LWPOLYLINE").find(_._1 == "parcels").get._3
+    assert(GeoKernel.area(sq) == 100.0)
+    // heavy POLYLINE → closed triangle, area 6
+    val tri = byEnt("POLYLINE").head._3
+    assert(GeoKernel.area(tri) == 6.0)
+    // circle → inscribed 32-gon of radius 2:
+    // area = ½·n·r²·sin(2π/n) = 64·sin(π/16) ≈ 12.487
+    val circ = byEnt("CIRCLE").head._3
+    assert(math.abs(GeoKernel.area(circ) - 64 * math.sin(math.Pi / 16))
+      < 1e-9)
+    // Engine surface
+    val viaEngine = graft.engine.Engine.copyFrom(spark,
+      dir.toString, "dxf")
+    assert(viaEngine.count() == 6)
+  }
+}
