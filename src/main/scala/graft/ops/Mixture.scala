@@ -119,6 +119,32 @@ object Mixture {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Temperature-smoothed mixture (the multilingual α-sampling recipe):
+    * source k's retained share is proportional to n_k^alpha. alpha=1
+    * keeps natural proportions (nothing drops), alpha=0 equalizes every
+    * source to the smallest, 0<alpha<1 flattens the head relative to
+    * the tail — implemented as [[rebalance]] with data-derived weights
+    * w_k = n_k^alpha, so head sources are SUBSAMPLED until the corpus
+    * matches the temperature distribution and no source is ever
+    * oversampled (no row duplication). The per-source counts collect
+    * driver-side — mixture keys are sources/domains, bounded small by
+    * construction; a loud guard enforces it. */
+  def temperatureRebalance(df: DataFrame, keyCol: String, idCol: String,
+      alpha: Double, maxKeys: Int = 100000): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"))
+      .limit(maxKeys + 1)
+      .collect()
+    require(counts.length <= maxKeys,
+      s"temperatureRebalance: > $maxKeys distinct mixture keys — this " +
+        "operator is for source/domain granularity; bucket the key first")
+    val weights = counts.map { r =>
+      r.get(0).toString -> math.pow(r.getLong(1).toDouble, alpha)
+    }.toMap
+    rebalance(df, keyCol, idCol, weights)
+  }
+
   /** Reproducible global shuffle for training-data ordering: sort by a
     * seeded cryptographic hash of the row id (plus the id as the tie
     * break, so the order is total even under hash collisions). Same

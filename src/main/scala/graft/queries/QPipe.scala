@@ -492,6 +492,18 @@ object QPipe {
         .orderBy("source")
     },
 
+    // temperature-smoothed mixture (alpha=0.5): per-source targets
+    // derive from the data (w_k = n_k^alpha) instead of a hand-written
+    // weight table; same hash-rank selection as q_mix_rebalance
+    "q_mix_temperature" -> { (s, dir) =>
+      Mixture.temperatureRebalance(t(s, dir, "documents"),
+          "source", "doc_id", alpha = 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"),
+          min("doc_id").as("id_min"), max("doc_id").as("id_max"))
+        .orderBy("source")
+    },
+
     // substring-duplication score: fraction of each doc's distinct word
     // 3-grams shared with another doc. Gram df -> semi-join against the
     // duplicated subset only; text never shuffles.
@@ -776,6 +788,25 @@ object QPipe {
         |    ('src5', CAST(0.2 AS DOUBLE)), ('src7', CAST(0.07 AS DOUBLE)),
         |    ('src9', CAST(0.03 AS DOUBLE))),
         |c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT min(n / w) AS cap FROM c JOIN wts USING (source)),
+        |tgt AS (
+        |  SELECT source,
+        |    least(n, CAST(floor(w * (SELECT cap FROM t)) AS BIGINT)) AS k
+        |  FROM wts JOIN c USING (source)),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.source, count(*) AS n,
+        |  CAST(sum(r.doc_id) AS BIGINT) AS id_sum,
+        |  min(r.doc_id) AS id_min, max(r.doc_id) AS id_max
+        |FROM r JOIN tgt USING (source) WHERE rn <= k
+        |GROUP BY 1 ORDER BY r.source""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |wts AS (SELECT source, POWER(n, 0.5) AS w FROM c),
         |t AS (SELECT min(n / w) AS cap FROM c JOIN wts USING (source)),
         |tgt AS (
         |  SELECT source,

@@ -71,6 +71,27 @@ class MixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.count() == 40)
   }
 
+  test("temperatureRebalance: alpha=1 keeps all, alpha=0 equalizes, " +
+      "alpha=0.5 flattens head toward tail") {
+    import spark.implicits._
+    // three sources with 80 / 20 / 5 rows
+    val df = ((0 until 80).map(i => (i.toLong, "big")) ++
+      (100 until 120).map(i => (i.toLong, "mid")) ++
+      (200 until 205).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    def counts(a: Double): Map[String, Long] =
+      Mixture.temperatureRebalance(df, "source", "doc_id", a)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: natural proportions are already feasible — nothing drops
+    assert(counts(1.0) == Map("big" -> 80L, "mid" -> 20L, "small" -> 5L))
+    // alpha=0: every source equalizes to the smallest
+    assert(counts(0.0) == Map("big" -> 5L, "mid" -> 5L, "small" -> 5L))
+    // alpha=0.5: w ∝ sqrt(n) → targets floor(sqrt(n_k)·min sqrt(n_j))
+    // = floor(sqrt(n_k·5)): big 20, mid 10, small 5
+    assert(counts(0.5) == Map("big" -> 20L, "mid" -> 10L, "small" -> 5L))
+  }
+
   test("substringDupScore: shared phrases score, unique text scores 0") {
     import spark.implicits._
     val docs = Seq(
