@@ -37,6 +37,50 @@ object TextAnalysis {
       .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") /
         tokenCount(text))
 
+  /** The Gopher quality-filter rules (Rae et al. 2021, appendix A —
+    * the standard pre-training heuristic battery the reference-free
+    * pipelines apply before model-based filters), as one projection:
+    * per-document metrics plus the pass flag. Thresholds are the
+    * published defaults, parameterized. Components:
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *  - symbol-to-word ratio (# and "..." per word) ≤ maxSymbolRatio
+    *  - fraction of words containing an alphabetic character
+    *    ≥ minAlphaWordRatio
+    * (the line-based rules — bullets/ellipsis starts, duplicate lines —
+    * live in [[TextPrep.c4CleanLines]] and the repetition scorer, which
+    * operate on the line structure.) No shuffle: a fused per-row
+    * projection, same scale shape as the other quality metrics. */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordRatio: Double = 0.8): DataFrame = {
+    val text = col(textCol)
+    val words = tokenCount(text)
+    val mwl = meanWordLen(text)
+    val symbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("double")
+    val alphaWords =
+      when(length(trim(text)) === 0, lit(0L))
+        .otherwise(size(filter(split(trim(text), "\\s+"),
+          w => w.rlike("[a-zA-Z]"))).cast("long"))
+    df.withColumn("gopher_words", words)
+      .withColumn("gopher_mean_word_len", round(mwl, 6))
+      .withColumn("gopher_symbol_ratio",
+        round(when(words === 0, 0.0).otherwise(symbols / words), 6))
+      .withColumn("gopher_alpha_ratio",
+        round(when(words === 0, 0.0)
+          .otherwise(alphaWords.cast("double") / words), 6))
+      .withColumn("gopher_pass",
+        words >= minWords && words <= maxWords &&
+        mwl >= minMeanWordLen && mwl <= maxMeanWordLen &&
+        when(words === 0, 0.0).otherwise(symbols / words)
+          <= maxSymbolRatio &&
+        when(words === 0, 0.0).otherwise(alphaWords.cast("double") / words)
+          >= minAlphaWordRatio)
+  }
+
   /** All quality metrics in ONE pass ([[TextMetrics]] kernel) with the
     * per-row stage fanned out across cores — the regex-stack form walks
     * every document four times. Adds a `metrics` struct column

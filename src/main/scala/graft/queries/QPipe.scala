@@ -492,6 +492,15 @@ object QPipe {
         .orderBy("source")
     },
 
+    // Gopher quality rules (published default thresholds): per-doc
+    // metric battery + pass flag, replayed metric-for-metric in SQL
+    "q_gopher_rules" -> { (s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text")
+        .select("doc_id", "gopher_words", "gopher_mean_word_len",
+          "gopher_symbol_ratio", "gopher_alpha_ratio", "gopher_pass")
+        .orderBy("doc_id")
+    },
+
     // temperature-smoothed mixture (alpha=0.5): per-source targets
     // derive from the data (w_k = n_k^alpha) instead of a hand-written
     // weight table; same hash-rank selection as q_mix_rebalance
@@ -803,6 +812,37 @@ object QPipe {
         |  min(r.doc_id) AS id_min, max(r.doc_id) AS id_max
         |FROM r JOIN tgt USING (source) WHERE rn <= k
         |GROUP BY 1 ORDER BY r.source""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS words,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+        |    len(regexp_extract_all(text, '#')) +
+        |      len(regexp_extract_all(text, '\.\.\.')) AS symbols,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(list_filter(
+        |           string_split_regex(trim(text), '\s+'),
+        |           w -> regexp_matches(w, '[a-zA-Z]'))) END AS alpha_words
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, words,
+        |    CASE WHEN words = 0 THEN 0.0
+        |         ELSE chars * 1.0 / words END AS mwl,
+        |    CASE WHEN words = 0 THEN 0.0
+        |         ELSE symbols * 1.0 / words END AS sym,
+        |    CASE WHEN words = 0 THEN 0.0
+        |         ELSE alpha_words * 1.0 / words END AS alpha
+        |  FROM m)
+        |SELECT doc_id, words AS gopher_words,
+        |  round(mwl, 6) AS gopher_mean_word_len,
+        |  round(sym, 6) AS gopher_symbol_ratio,
+        |  round(alpha, 6) AS gopher_alpha_ratio,
+        |  (words >= 50 AND words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND sym <= 0.1 AND alpha >= 0.8) AS gopher_pass
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
