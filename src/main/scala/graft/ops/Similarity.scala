@@ -270,6 +270,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization ANN, gate-exact — the memory-bounded scale
+    * path next to [[ivfTopKExact]] (at 10⁹+ vectors the float vectors
+    * do not fit executor memory; m one-byte codes per vector do). Same
+    * no-training determinism policy as the IVF quantizer, so every
+    * stage is integer-exact and SQL-replayable:
+    *
+    *  - the quantized space splits into `m` equal subspaces;
+    *  - subspace j's codebook = the j-th subvectors of the `ksub`
+    *    smallest-id corpus vectors;
+    *  - encode: code_j(v) = argmin over codewords of ‖v_j − c‖²
+    *    (integer, ties to the lowest codeword index) — in storage this
+    *    is the m-byte PQ code;
+    *  - ADC: the query precomputes ‖q_j − c‖² per (subspace, codeword)
+    *    — an m×ksub integer table shipped as plan literals — and each
+    *    row's approximate distance is the sum of m table lookups;
+    *  - the `candidates` smallest ADC distances (ties by id) are
+    *    re-ranked EXACTLY by integer cosine, like [[annTopKExact]].
+    *
+    * Output: (id, pq_adc, qdot, nrm2) — pq_adc rides along so the gate
+    * verifies the encoding itself, not just the final ranking.
+    * 100 TB posture: one scan pass computes codes + adc; nothing joins
+    * (codebooks and the ADC table are literals); the rerank touches
+    * only `candidates` rows. */
+  def pqTopKExact(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, m: Int = 4, ksub: Int = 8,
+      candidates: Int = 64): DataFrame = {
+    require(m >= 1 && ksub >= 1 && candidates >= k)
+    val qq = quantize(query)
+    val dim = qq.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    // codebooks from the ksub smallest-id vectors (deterministic)
+    val seeds: Array[Array[Long]] = df.orderBy(col(idCol)).limit(ksub)
+      .select(quantizeCol(col(vecCol)))
+      .collect().map(_.getSeq[Long](0).toArray)
+    require(seeds.length == ksub,
+      s"corpus has fewer than ksub=$ksub vectors")
+    def subOf(v: Array[Long], j: Int): Array[Long] =
+      java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)
+    // ADC table: ‖q_j − c‖² per (subspace, codeword) — integers
+    val adcTab: Array[Array[Long]] = Array.tabulate(m, ksub) { (j, c) =>
+      subOf(seeds(c), j).zip(subOf(qq, j))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val vq = quantizeCol(col(vecCol))
+    // per-subspace argmin over codewords: ‖v_j−c‖² = c·c − 2 v_j·c + v_j·v_j;
+    // the v_j² term is constant per (row, subspace), so least() over
+    // (c·c − 2 v_j·c, codeword) structs IS the argmin with lowest-id ties
+    def codeOf(j: Int): Column = {
+      val vj = slice(col("_vq"), j * sub + 1, sub)
+      least((0 until ksub).map { c =>
+        val cv = subOf(seeds(c), j)
+        val c2 = cv.map(x => x * x).sum
+        struct((lit(c2) - lit(2L) * intDotK(vj, array(cv.map(lit): _*)))
+          .as("d"), lit(c).as("c"))
+      }: _*).getField("c")
+    }
+    // ADC lookup = literal-array indexing by the (0-based) code
+    def adcOf(j: Int): Column =
+      element_at(array(adcTab(j).map(lit).toIndexedSeq: _*),
+        col(s"_code$j") + 1)
+    val qLit = array(qq.map(lit): _*)
+    val coded = (0 until m).foldLeft(
+        df.select(col(idCol), vq.as("_vq"))) { (d, j) =>
+      d.withColumn(s"_code$j", codeOf(j))
+    }
+    coded
+      .withColumn("pq_adc", (0 until m).map(adcOf).reduce(_ + _))
+      .withColumn("qdot", intDotK(col("_vq"), qLit))
+      .withColumn("nrm2", intDotK(col("_vq"), col("_vq")))
+      .orderBy(col("pq_adc"), col(idCol))
+      .limit(candidates)
+      .orderBy((col("qdot").cast("double") / sqrt(col("nrm2").cast("double")))
+        .desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("pq_adc"), col("qdot"), col("nrm2"))
+  }
+
   /** Embedding-cosine near-dup pairs, gate-exact: multi-table sign-LSH
     * over integer-quantized vectors generates candidates; survivors pass
     * the EXACT integer cosine test

@@ -276,6 +276,18 @@ object QPipe {
         k = 20, nLists = 16, nProbe = 4)
     },
 
+    // product-quantization ANN (the memory-bounded scale path next to
+    // IVF): deterministic per-subspace codebooks, integer-exact codes,
+    // ADC candidate cut, exact cosine rerank — the oracle replays the
+    // whole encoding (codes, ADC sums) in SQL.
+    "q_sim_pq_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val query = e.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Similarity.pqTopKExact(e, "vec_id", "embedding", query,
+        k = 20, m = 4, ksub = 8, candidates = 64)
+    },
+
     // hashed TF-IDF featurization (documents → embedding space): md5-
     // prefix token buckets, smooth idf; df table is nBuckets-bounded →
     // broadcast; oracle replays tokenizer, hash, counts and the weight.
@@ -1414,6 +1426,7 @@ object QPipe {
     "q_sim_ann_topk" -> annOracle,
 
     "q_sim_ivf_topk" -> ivfOracle,
+    "q_sim_pq_topk" -> pqOracle,
 
     "q_text_tfidf" ->
       """WITH toks AS (
@@ -1533,6 +1546,51 @@ object QPipe {
       |  CAST(list_dot_product(e.v, e.v) AS BIGINT) AS nrm2
       |FROM e JOIN cell USING (vec_id), q
       |WHERE cell.cid IN (SELECT cid FROM qp)
+      |ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(nrm2 AS DOUBLE)) DESC,
+      |  e.vec_id
+      |LIMIT 20""".stripMargin
+
+  /** DuckDB replay of Similarity.pqTopKExact: quantization, the
+    * smallest-id-seed per-subspace codebooks, argmin codes, ADC sums,
+    * candidate cut and exact-cosine rerank — integer-identical. */
+  private lazy val pqOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+      |sub(j) AS (VALUES (0), (1), (2), (3)),
+      |d AS (
+      |  SELECT e.vec_id, s.j, sd.c,
+      |    list_sum(list_transform(range(1, 17), i ->
+      |      (e.v[s.j*16+i] - sd.cv[s.j*16+i])
+      |        * (e.v[s.j*16+i] - sd.cv[s.j*16+i]))) AS dist
+      |  FROM e CROSS JOIN sub s CROSS JOIN seeds sd),
+      |codes AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c)
+      |        AS rn
+      |    FROM d)
+      |  WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+      |adc AS (
+      |  SELECT codes.vec_id, CAST(SUM(
+      |    list_sum(list_transform(range(1, 17), i ->
+      |      (q.qv[codes.j*16+i] - sd.cv[codes.j*16+i])
+      |        * (q.qv[codes.j*16+i] - sd.cv[codes.j*16+i]))))
+      |      AS BIGINT) AS pq_adc
+      |  FROM codes JOIN seeds sd ON sd.c = codes.c, q
+      |  GROUP BY codes.vec_id),
+      |cand AS (
+      |  SELECT vec_id, pq_adc FROM adc ORDER BY pq_adc, vec_id LIMIT 64)
+      |SELECT e.vec_id, cand.pq_adc,
+      |  CAST(list_dot_product(e.v, q.qv) AS BIGINT) AS qdot,
+      |  CAST(list_dot_product(e.v, e.v) AS BIGINT) AS nrm2
+      |FROM e JOIN cand USING (vec_id), q
       |ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(nrm2 AS DOUBLE)) DESC,
       |  e.vec_id
       |LIMIT 20""".stripMargin

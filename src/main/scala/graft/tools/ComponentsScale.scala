@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: connected components over the sf10 jaccard pair graph
+  * (how many propagation rounds, what wall time, cluster stats).
+  * Usage: ComponentsScale <sfDir>
+  */
+object ComponentsScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    println(s"[comp] docs=${d.count()}")
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      n = 3, thrNum = 2, thrDen = 5)
+    val comp = graft.ops.Dedup.components(pairs.select("id_a", "id_b"),
+      "id_a", "id_b", d.select("doc_id"), "doc_id")
+    val stats = comp.groupBy("component_id").count()
+      .agg(count(lit(1)).as("n_components"), max("count").as("largest"),
+        sum(when(col("count") > 1, 1).otherwise(0)).as("non_singleton"))
+      .head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[comp] total=${secs}%.1f s components=${stats.getLong(0)} " +
+      s"largest=${stats.getLong(1)} non_singleton=${stats.getLong(2)}")
+    graft.ops.Dedup.releaseCaches()
+    spark.stop()
+  }
+}
