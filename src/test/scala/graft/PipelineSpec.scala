@@ -513,6 +513,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"gate-exact IVF recall $recall < 0.5")
   }
 
+  test("gate-exact PQ: codes in range, query-seed ADC is zero, recall " +
+      "vs brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val query = e.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val n = e.count().toInt
+    val full = Similarity.pqTopKExact(e, "vec_id", "embedding", query,
+      k = n, m = 4, ksub = 8, candidates = n)
+    // ADC distances are non-negative integers; the query vector itself
+    // is seed #7, so its subvectors ARE its own codewords → adc 0
+    val rows = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.values.forall(_ >= 0))
+    assert(rows(7L) == 0L, s"query-seed adc ${rows(7L)}")
+    // recall vs brute force at k=10 through the real candidate cut
+    // (deterministic — integer geometry end to end)
+    val exact = Similarity.topK(e, "vec_id", "embedding", query, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopKExact(e, "vec_id", "embedding", query,
+        k = 10, m = 4, ksub = 8, candidates = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall < 0.5")
+  }
+
   test("tf-idf: hand-computed weights, dense/sparse consistency, zero doc") {
     import graft.ops.TfIdf
     val docs = spark.createDataFrame(Seq(
