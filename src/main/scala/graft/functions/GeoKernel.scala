@@ -609,6 +609,11 @@ object GeoKernel {
         (p: Pt) => a.inverse(p._1, p._2)))
       .orElse(polarRegistry.get(srid).map(ps =>
         (p: Pt) => ps.inverse(p._1, p._2)))
+      .orElse(tmercRegistry.get(srid).map(tm =>
+        (p: Pt) => tm.inverse(p._1, p._2)))
+      .orElse(if (srid == 27700)
+        Some((p: Pt) => Osgb.toWgs84(Osgb.tm.inverse(p._1, p._2)))
+      else None)
   }
 
   /** SRID → ((lon, lat) degrees → projected point), if supported. */
@@ -626,6 +631,14 @@ object GeoKernel {
         (p: Pt) => a.forward(p._1, p._2)))
       .orElse(polarRegistry.get(srid).map(ps =>
         (p: Pt) => ps.forward(p._1, p._2)))
+      .orElse(tmercRegistry.get(srid).map(tm =>
+        (p: Pt) => tm.forward(p._1, p._2)))
+      .orElse(if (srid == 27700)
+        Some { (p: Pt) =>
+          val d = Osgb.fromWgs84(p)
+          Osgb.tm.forward(d._1, d._2)
+        }
+      else None)
   }
 
   /** Lambert conformal conic, 2 standard parallels (EPSG method 9802,
@@ -815,6 +828,164 @@ object GeoKernel {
 
   /** WGS84 inverse flattening. */
   private val Wgs84InvF = 298.257223563
+
+  /** Generalized ellipsoidal transverse Mercator (any ellipsoid, scale,
+    * origin) — the same Karney–Krüger n⁴ flattening series as the UTM
+    * kernel, with the origin-latitude meridian arc subtracted from the
+    * northing. Pinned by the published OSGB36 worked examples (the OS
+    * coordinate-systems guide vector to 1 mm and the IOGP GN7-2 TM
+    * example to 0.01 m). */
+  private[graft] final case class Tmerc(a: Double, invFlat: Double,
+      k0: Double, lat0Deg: Double, lon0Deg: Double,
+      falseE: Double, falseN: Double) {
+    private val f = 1.0 / invFlat
+    private val n = f / (2.0 - f)
+    private val n2 = n * n; private val n3 = n2 * n; private val n4 = n2 * n2
+    private val bigA = a / (1 + n) * (1 + n2 / 4 + n4 / 64)
+    private val alpha = Array(
+      n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180,
+      13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440,
+      61 * n3 / 240 - 103 * n4 / 140,
+      49561 * n4 / 161280)
+    private val beta = Array(
+      n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360,
+      n2 / 48 + n3 / 15 - 437 * n4 / 1440,
+      17 * n3 / 480 - 37 * n4 / 840,
+      4397 * n4 / 161280)
+    private val twoSqrtN = 2 * math.sqrt(n) / (1 + n)
+    private val e = math.sqrt(f * (2 - f))
+    private def atanh(x: Double): Double =
+      0.5 * math.log((1 + x) / (1 - x))
+    private def xiEta(latDeg: Double, dlonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(dlonDeg)
+      val s = math.sin(phi)
+      val t = math.sinh(atanh(s) - twoSqrtN * atanh(twoSqrtN * s))
+      val xiP = math.atan2(t, math.cos(lam))
+      val etaP = atanh(math.sin(lam) / math.sqrt(1 + t * t))
+      var xi = xiP; var eta = etaP
+      var j = 1
+      while (j <= 4) {
+        xi += alpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+        eta += alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+        j += 1
+      }
+      (xi, eta)
+    }
+    private val xi0 = xiEta(lat0Deg, 0.0)._1
+
+    def forward(lonDeg: Double, latDeg: Double): Pt = {
+      val (xi, eta) = xiEta(latDeg, lonDeg - lon0Deg)
+      (falseE + k0 * bigA * eta, falseN + k0 * bigA * (xi - xi0))
+    }
+
+    def inverse(easting: Double, northing: Double): Pt = {
+      val xiIn = (northing - falseN) / (k0 * bigA) + xi0
+      val etaIn = (easting - falseE) / (k0 * bigA)
+      var xiP = xiIn; var etaP = etaIn
+      var j = 1
+      while (j <= 4) {
+        xiP -= beta(j - 1) * math.sin(2 * j * xiIn) * math.cosh(2 * j * etaIn)
+        etaP -= beta(j - 1) * math.cos(2 * j * xiIn) * math.sinh(2 * j * etaIn)
+        j += 1
+      }
+      val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+      val tChi = math.tan(math.Pi / 4 + chi / 2)
+      var phi = chi
+      j = 0
+      while (j < 8) {
+        val es = e * math.sin(phi)
+        phi = 2 * math.atan(
+          tChi * math.pow((1 + es) / (1 - es), e / 2)) - math.Pi / 2
+        j += 1
+      }
+      val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+      (lon0Deg + math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** 7-parameter Helmert datum shift (position-vector convention) via
+    * geocentric coordinates — the standard grid-free datum transform
+    * (what proj applies without datum grids; for OSGB36 the published
+    * single-Helmert accuracy class is ~2 m across Great Britain vs the
+    * OSTN grid truth, documented in DEVIATIONS). Heights are taken as
+    * zero on the source ellipsoid and dropped after the shift — the
+    * standard 2D convention, sub-1e-8-degree effect on lat/lon. */
+  private[graft] final case class Helmert(txM: Double, tyM: Double,
+      tzM: Double, sPpm: Double, rxSec: Double, rySec: Double,
+      rzSec: Double) {
+    private val s = 1.0 + sPpm * 1e-6
+    private def rad(sec: Double) = math.toRadians(sec / 3600.0)
+    private val rx = rad(rxSec); private val ry = rad(rySec)
+    private val rz = rad(rzSec)
+    def apply(x: Double, y: Double, z: Double): (Double, Double, Double) =
+      (txM + s * (x - rz * y + ry * z),
+       tyM + s * (rz * x + y - rx * z),
+       tzM + s * (-ry * x + rx * y + z))
+    /** Approximate inverse (negated parameters — sub-mm at these
+      * magnitudes, far inside the grid-free accuracy class). */
+    def inverse: Helmert =
+      Helmert(-txM, -tyM, -tzM, -sPpm, -rxSec, -rySec, -rzSec)
+  }
+
+  /** Geodetic (lon, lat on the ellipsoid surface) → geocentric ECEF. */
+  private def toEcef(lonDeg: Double, latDeg: Double, a: Double,
+      invFlat: Double): (Double, Double, Double) = {
+    val f = 1.0 / invFlat; val e2 = f * (2 - f)
+    val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+    val s = math.sin(phi)
+    val nu = a / math.sqrt(1 - e2 * s * s)
+    (nu * math.cos(phi) * math.cos(lam),
+     nu * math.cos(phi) * math.sin(lam),
+     nu * (1 - e2) * s)
+  }
+
+  /** ECEF → geodetic (lon, lat), height dropped. */
+  private def fromEcef(x: Double, y: Double, z: Double, a: Double,
+      invFlat: Double): Pt = {
+    val f = 1.0 / invFlat; val e2 = f * (2 - f)
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1 - e2))
+    var i = 0
+    while (i < 8) {
+      val s = math.sin(phi)
+      val nu = a / math.sqrt(1 - e2 * s * s)
+      phi = math.atan2(z + e2 * nu * s, p)
+      i += 1
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+  }
+
+  /** EPSG:27700 British National Grid: OSGB36 datum (Airy 1830) via the
+    * OS-published WGS84→OSGB36 single Helmert, then transverse Mercator.
+    * Null-datum TM grids (NZTM2000 on GRS80) need only [[Tmerc]]. */
+  private[graft] object Osgb {
+    private val AiryA = 6377563.396
+    private val AiryInvF = 299.3249646
+    val tm = Tmerc(AiryA, AiryInvF, k0 = 0.9996012717,
+      lat0Deg = 49.0, lon0Deg = -2.0,
+      falseE = 400000.0, falseN = -100000.0)
+    // OS-published WGS84 → OSGB36 parameters (position vector)
+    private val wgsToOsgb = Helmert(-446.448, 125.157, -542.060,
+      20.4894, -0.1502, -0.2470, -0.8421)
+    def fromWgs84(p: Pt): Pt = {
+      val (x, y, z) = toEcef(p._1, p._2, 6378137.0, Wgs84InvF)
+      val (x2, y2, z2) = wgsToOsgb(x, y, z)
+      fromEcef(x2, y2, z2, AiryA, AiryInvF)
+    }
+    def toWgs84(p: Pt): Pt = {
+      val (x, y, z) = toEcef(p._1, p._2, AiryA, AiryInvF)
+      val (x2, y2, z2) = wgsToOsgb.inverse(x, y, z)
+      fromEcef(x2, y2, z2, 6378137.0, Wgs84InvF)
+    }
+  }
+
+  /** Null-datum transverse Mercator national grids. */
+  private[graft] val tmercRegistry: Map[Int, Tmerc] = Map(
+    // NZGD2000 / New Zealand Transverse Mercator 2000 (GRS80)
+    2193 -> Tmerc(6378137.0, Grs80InvF, k0 = 0.9996,
+      lat0Deg = 0.0, lon0Deg = 173.0,
+      falseE = 1600000.0, falseN = 10000000.0))
 
   /** Supported polar stereographic grids (published EPSG parameters). */
   private[graft] val polarRegistry: Map[Int, PolarStereo] = Map(

@@ -277,12 +277,12 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(lon - 2.3522) < 1e-9 && math.abs(lat - 48.8566) < 1e-9)
     // identity + unsupported pair
     assert(GeoKernel.transformCrs(paris, 4326, 4326).contains(paris))
-    assert(GeoKernel.transformCrs(paris, 4326, 27700).isEmpty)
+    assert(GeoKernel.transformCrs(paris, 4326, 2056).isEmpty)
     // SQL surface
     graft.functions.Geo.registerAll(spark)
     val r = spark.sql(
       """SELECT st_y(st_transform(st_point(2.3522, 48.8566), 4326, 3857))
-        |  AS y, st_transform(st_point(0, 0), 4326, 27700) AS off""".stripMargin)
+        |  AS y, st_transform(st_point(0, 0), 4326, 2056) AS off""".stripMargin)
       .head()
     assert(math.abs(r.getDouble(0) - 6250564.35) < 0.1)
     assert(r.isNullAt(1))
@@ -517,6 +517,50 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(cx) < 1e-6, s"srid=$srid cm x=$cx")
       assert(if (south) cy > 0 else cy < 0, s"srid=$srid cm sign $cy")
     }
+  }
+
+  test("st_transform: British National Grid (27700) matches the " +
+      "published OSGB vectors; NZTM null-datum grid; Helmert round trips") {
+    // projection-only published vectors (OSGB36 lat/lon in, no datum
+    // shift): the OS coordinate-systems guide worked example to 1 mm,
+    // and the IOGP GN7-2 TM example to 0.01 m
+    val osLat = 52 + 39.0 / 60 + 27.2531 / 3600
+    val osLon = 1 + 43.0 / 60 + 4.5177 / 3600
+    val (oe, on) = GeoKernel.Osgb.tm.forward(osLon, osLat)
+    assert(math.abs(oe - 651409.903) < 0.002, s"E=$oe")
+    assert(math.abs(on - 313177.270) < 0.002, s"N=$on")
+    val (ge, gn) = GeoKernel.Osgb.tm.forward(0.5, 50.5)
+    assert(math.abs(ge - 577274.99) < 0.02, s"E=$ge")
+    assert(math.abs(gn - 69740.50) < 0.02, s"N=$gn")
+    val (blon, blat) = GeoKernel.Osgb.tm.inverse(oe, on)
+    assert(math.abs(blon - osLon) < 1e-9 && math.abs(blat - osLat) < 1e-9)
+    // full 27700 pipeline (WGS84 → Helmert → Airy TM): grid-free
+    // single-Helmert class is ~2 m vs the OSTN grid truth — pin a
+    // London landmark inside a conservative box and the WGS84 round
+    // trip to ~cm (the negated-parameter Helmert inverse is exact to
+    // second order: s·t ≈ 1 cm at these magnitudes, far inside the
+    // grid-free class)
+    val Some(GPoint(te, tn)) =
+      GeoKernel.transformCrs(GPoint(-0.1281, 51.5080), 4326, 27700)
+    assert(math.abs(te - 530047) < 100 && math.abs(tn - 180461) < 100,
+      s"Trafalgar Square BNG ($te, $tn)")
+    val Some(GPoint(tlon, tlat)) =
+      GeoKernel.transformCrs(GPoint(te, tn), 27700, 4326)
+    assert(math.abs(tlon - -0.1281) < 2e-7 &&
+      math.abs(tlat - 51.5080) < 2e-7)
+    // NZTM2000 (null datum, GRS80): central-meridian/false-origin
+    // conventions and machine-precision round trips
+    val Some(GPoint(ze, zn)) =
+      GeoKernel.transformCrs(GPoint(173.0, 0.0), 4326, 2193)
+    assert(math.abs(ze - 1600000.0) < 1e-6 &&
+      math.abs(zn - 10000000.0) < 1e-6)
+    val Some(GPoint(we, wn)) =
+      GeoKernel.transformCrs(GPoint(174.7633, -36.8485), 4326, 2193)
+    val Some(GPoint(wlon, wlat)) =
+      GeoKernel.transformCrs(GPoint(we, wn), 2193, 4326)
+    assert(math.abs(wlon - 174.7633) < 1e-9 &&
+      math.abs(wlat - -36.8485) < 1e-9)
+    assert(we > 1600000 && wn < 10000000) // east of cm, south of equator
   }
 
   test("Z/M WKB parses to the XY projection; force3d* re-emits dims") {
