@@ -611,9 +611,8 @@ object GeoKernel {
         (p: Pt) => ps.inverse(p._1, p._2)))
       .orElse(tmercRegistry.get(srid).map(tm =>
         (p: Pt) => tm.inverse(p._1, p._2)))
-      .orElse(if (srid == 27700)
-        Some((p: Pt) => Osgb.toWgs84(Osgb.tm.inverse(p._1, p._2)))
-      else None)
+      .orElse(datumTmRegistry.get(srid).map(dt =>
+        (p: Pt) => dt.inverse(p)))
   }
 
   /** SRID → ((lon, lat) degrees → projected point), if supported. */
@@ -633,12 +632,8 @@ object GeoKernel {
         (p: Pt) => ps.forward(p._1, p._2)))
       .orElse(tmercRegistry.get(srid).map(tm =>
         (p: Pt) => tm.forward(p._1, p._2)))
-      .orElse(if (srid == 27700)
-        Some { (p: Pt) =>
-          val d = Osgb.fromWgs84(p)
-          Osgb.tm.forward(d._1, d._2)
-        }
-      else None)
+      .orElse(datumTmRegistry.get(srid).map(dt =>
+        (p: Pt) => dt.forward(p)))
   }
 
   /** Lambert conformal conic, 2 standard parallels (EPSG method 9802,
@@ -956,28 +951,57 @@ object GeoKernel {
     (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
   }
 
-  /** EPSG:27700 British National Grid: OSGB36 datum (Airy 1830) via the
-    * OS-published WGS84→OSGB36 single Helmert, then transverse Mercator.
-    * Null-datum TM grids (NZTM2000 on GRS80) need only [[Tmerc]]. */
+  /** A transverse-Mercator grid on a NON-WGS84 datum: the Helmert
+    * (WGS84 → datum direction, through geocentric coordinates) runs
+    * before the projection on the way in and after its inverse on the
+    * way out. The grid-free accuracy class is the Helmert's own —
+    * documented per datum in DEVIATIONS — exactly what proj applies
+    * without datum grids. */
+  private[graft] final case class DatumTm(a: Double, invF: Double,
+      wgsToDatum: Helmert, tm: Tmerc) {
+    def forward(p: Pt): Pt = {
+      val (x, y, z) = toEcef(p._1, p._2, 6378137.0, Wgs84InvF)
+      val (x2, y2, z2) = wgsToDatum(x, y, z)
+      val d = fromEcef(x2, y2, z2, a, invF)
+      tm.forward(d._1, d._2)
+    }
+    def inverse(p: Pt): Pt = {
+      val d = tm.inverse(p._1, p._2)
+      val (x, y, z) = toEcef(d._1, d._2, a, invF)
+      val (x2, y2, z2) = wgsToDatum.inverse(x, y, z)
+      fromEcef(x2, y2, z2, 6378137.0, Wgs84InvF)
+    }
+  }
+
+  /** OSGB36 / Airy 1830 pieces, exposed for the spec's published
+    * projection-only vectors. */
   private[graft] object Osgb {
-    private val AiryA = 6377563.396
-    private val AiryInvF = 299.3249646
+    val AiryA = 6377563.396
+    val AiryInvF = 299.3249646
     val tm = Tmerc(AiryA, AiryInvF, k0 = 0.9996012717,
       lat0Deg = 49.0, lon0Deg = -2.0,
       falseE = 400000.0, falseN = -100000.0)
     // OS-published WGS84 → OSGB36 parameters (position vector)
-    private val wgsToOsgb = Helmert(-446.448, 125.157, -542.060,
-      20.4894, -0.1502, -0.2470, -0.8421)
-    def fromWgs84(p: Pt): Pt = {
-      val (x, y, z) = toEcef(p._1, p._2, 6378137.0, Wgs84InvF)
-      val (x2, y2, z2) = wgsToOsgb(x, y, z)
-      fromEcef(x2, y2, z2, AiryA, AiryInvF)
-    }
-    def toWgs84(p: Pt): Pt = {
-      val (x, y, z) = toEcef(p._1, p._2, AiryA, AiryInvF)
-      val (x2, y2, z2) = wgsToOsgb.inverse(x, y, z)
-      fromEcef(x2, y2, z2, 6378137.0, Wgs84InvF)
-    }
+    val datum = DatumTm(AiryA, AiryInvF,
+      Helmert(-446.448, 125.157, -542.060,
+        20.4894, -0.1502, -0.2470, -0.8421), tm)
+  }
+
+  /** Datum-shifted TM grids: 27700 British National Grid (OSGB36 single
+    * Helmert, ~2 m class) and the legacy European ED50 / UTM zones
+    * 23028–23038 (International 1924 ellipsoid; the standard mean
+    * 3-parameter shift ED50→WGS84 ≈ (−87, −98, −121) m applied in
+    * reverse — the ~5–10 m continental class of every grid-free ED50
+    * pipeline, documented). */
+  private[graft] val datumTmRegistry: Map[Int, DatumTm] = {
+    val intl = (6378388.0, 297.0) // International 1924
+    val wgsToEd50 = Helmert(87.0, 98.0, 121.0, 0, 0, 0, 0)
+    val ed50 = (28 to 38).map { z =>
+      (23000 + z) -> DatumTm(intl._1, intl._2, wgsToEd50,
+        Tmerc(intl._1, intl._2, k0 = 0.9996, lat0Deg = 0.0,
+          lon0Deg = 6.0 * z - 183.0, falseE = 500000.0, falseN = 0.0))
+    }.toMap
+    ed50 + (27700 -> Osgb.datum)
   }
 
   /** Null-datum transverse Mercator national grids. */

@@ -561,6 +561,21 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(wlon - 174.7633) < 1e-9 &&
       math.abs(wlat - -36.8485) < 1e-9)
     assert(we > 1600000 && wn < 10000000) // east of cm, south of equator
+    // ED50 / UTM zone 31N (23031): the ED50 graticule sits NE of the
+    // WGS84 one in Europe (~100 m at these latitudes), so a WGS84 point
+    // projects to ~100-200 m away from where the same numbers on a
+    // WGS84 UTM grid would land — pin the magnitude and direction of
+    // the datum shift plus the round trip
+    val Some(GPoint(ee, en)) =
+      GeoKernel.transformCrs(GPoint(2.3522, 48.8566), 4326, 23031)
+    val Some(GPoint(ue31, un31)) =
+      GeoKernel.transformCrs(GPoint(2.3522, 48.8566), 4326, 32631)
+    val shift = math.hypot(ee - ue31, en - un31)
+    assert(shift > 80 && shift < 300, s"ED50 datum offset $shift m")
+    val Some(GPoint(elon, elat)) =
+      GeoKernel.transformCrs(GPoint(ee, en), 23031, 4326)
+    assert(math.abs(elon - 2.3522) < 2e-7 &&
+      math.abs(elat - 48.8566) < 2e-7)
   }
 
   test("Z/M WKB parses to the XY projection; force3d* re-emits dims") {
