@@ -58,4 +58,31 @@ object StreamIngest {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), round(col("total"), 2).as("total"))
+
+  /** Watermarked stream–stream interval join — the streaming analogue
+    * of the as-of/range join family: each left event pairs with the
+    * right events sharing its key whose timestamps fall in
+    * [leftTs − lookback, leftTs]. BOTH sides carry watermarks and the
+    * join condition bounds the event-time difference, so Spark evicts
+    * join state older than watermark + lookback — the requirement that
+    * makes a stream–stream inner join runnable forever instead of
+    * accreting both streams (the documented Structured Streaming state
+    * contract). Column names are prefixed l_/r_ to keep the output
+    * schema collision-free.
+    *
+    * Batch-equivalent semantics: the same inner join condition on two
+    * static frames. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, lookback: String,
+      watermark: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"l_$c")).withWatermark(s"l_$leftTs", watermark)
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"r_$c")).withWatermark(s"r_$rightTs", watermark)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$rightTs") <= col(s"l_$leftTs") &&
+        col(s"r_$rightTs") >= col(s"l_$leftTs") -
+          expr(s"INTERVAL $lookback"))
+  }
 }

@@ -149,6 +149,47 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the lookback, " +
+      "matches batch semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val views = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val joined = StreamIngest.intervalJoin(
+      clicks.toDF.toDF("ts", "user_id", "cid"),
+      views.toDF.toDF("ts", "user_id", "vid"),
+      "user_id", "ts", "ts", lookback = "10 minutes",
+      watermark = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      views.addData((ts(0), 1L, "v1"), (ts(5), 1L, "v2"),
+        (ts(0), 2L, "v3"), (ts(30), 1L, "v4"))
+      clicks.addData((ts(8), 1L, "c1"), // pairs v1 (8m back) and v2 (3m)
+        (ts(12), 1L, "c2"), // pairs v2 only (v1 is 12m back, outside)
+        (ts(9), 3L, "c3")) // keyless: no view for user 3
+      q.processAllAvailable()
+      val got = spark.table("ij_out")
+        .select("l_cid", "r_vid").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("c1", "v1"), ("c1", "v2"), ("c2", "v2")), got)
+      // batch-equivalent semantics on the same data
+      val bc = Seq((ts(8), 1L, "c1"), (ts(12), 1L, "c2"), (ts(9), 3L, "c3"))
+        .toDF("ts", "user_id", "cid")
+      val bv = Seq((ts(0), 1L, "v1"), (ts(5), 1L, "v2"), (ts(0), 2L, "v3"),
+        (ts(30), 1L, "v4")).toDF("ts", "user_id", "vid")
+      val batch = bc.as("c").join(bv.as("v"),
+          col("c.user_id") === col("v.user_id") &&
+            col("v.ts") <= col("c.ts") &&
+            col("v.ts") >= col("c.ts") - expr("INTERVAL 10 minutes"))
+        .select("cid", "vid").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("lake-cdc stream: tails commits, skips compaction rewrites, exactly-once") {
     val dir = tmp()
     val li = Tables.load(spark, sf, "lineitem")
