@@ -976,6 +976,9 @@ object Engine {
       // (gdal.c ".dxf | DXF"); direct spec parse here
       case "dxf" =>
         graft.sources.Dxf.read(spark, path)
+      // OGC GML — GDAL in the reference (".gml | Yes"); JDK StAX parse
+      case "gml" =>
+        graft.sources.Gml.read(spark, path)
       case "geojson" =>
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(

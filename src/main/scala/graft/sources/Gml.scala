@@ -1,0 +1,295 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.nio.file.{Files, Paths}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.functions.GeoKernel
+import graft.functions.GeoKernel.{GLine, GMulti, GPoint, GPolygon, Geom, Pt}
+
+/** GML (Geography Markup Language) reader from the OGC specification —
+  * another GDAL format on the reference's list
+  * (docs/file-formats-reference.md:109: ".gml | Yes"); parsed with the
+  * JDK streaming XML reader (external entities and DTDs disabled),
+  * the same harness as the KML reader.
+  *
+  * One row per feature (an element under `featureMember`,
+  * `featureMembers` or `member`): the feature element's local name,
+  * its `gml:id`/`fid` attribute, a string map of its simple-text
+  * properties, and the geometry as WKB. Both encodings of each
+  * geometry are handled:
+  *
+  *  - GML2 `coordinates` ("x,y x,y …") and GML3 `pos`/`posList`
+  *    ("x y x y …", honoring `srsDimension` strides);
+  *  - Polygon rings as `outerBoundaryIs`/`innerBoundaryIs` (GML2) or
+  *    `exterior`/`interior` (GML3);
+  *  - Multi* members (`pointMember`, `lineStringMember`,
+  *    `polygonMember`, `geometryMember` and their plural forms).
+  *
+  * Coordinates are taken in STORED order (no axis swapping): GML3
+  * documents referencing urn-form EPSG:4326 conventionally store
+  * lat/lon — exactly the ambiguity GDAL's axis-order settings exist
+  * for; the as-stored policy is its `GML_INVERT_AXIS_ORDER_IF_LAT_LONG
+  * =NO` behavior, documented rather than guessed. Z values are
+  * projected away (planar-kernel policy). Scale posture: one task per
+  * file, fixed schema.
+  */
+object Gml {
+
+  private val schema = StructType(Seq(
+    StructField("feature", StringType),
+    StructField("fid", StringType),
+    StructField("properties", MapType(StringType, StringType)),
+    StructField("geometry", BinaryType)))
+
+  private val GeomKinds = Set("Point", "LineString", "Polygon",
+    "MultiPoint", "MultiLineString", "MultiPolygon", "MultiGeometry",
+    "MultiSurface", "MultiCurve")
+
+  /** Read `path` (a .gml file or a directory of them). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = SourceFiles.resolve(path, ".gml")
+    require(files.nonEmpty, s"no .gml files at $path")
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
+      features(Files.readAllBytes(Paths.get(f))).map { ft =>
+        Row(ft.name, ft.fid.orNull, ft.properties,
+          ft.geom.map(GeoKernel.toWkb).orNull)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private[sources] case class Feature(name: String, fid: Option[String],
+      properties: Map[String, String], geom: Option[Geom])
+
+  private[sources] def features(bytes: Array[Byte]): Seq[Feature] = {
+    val fac = XMLInputFactory.newInstance()
+    fac.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    fac.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = fac.createXMLStreamReader(
+      new ByteArrayInputStream(bytes): InputStream)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Feature]
+
+    def local: String = r.getLocalName
+
+    def attr(name: String): Option[String] =
+      (0 until r.getAttributeCount)
+        .find(i => r.getAttributeLocalName(i) == name)
+        .map(r.getAttributeValue)
+
+    /** GML2 coordinates: whitespace-separated "x,y[,z]" tuples. */
+    def tuples(s: String): IndexedSeq[Pt] =
+      s.split("\\s+").iterator.filter(_.nonEmpty).flatMap { tup =>
+        val parts = tup.split(",")
+        if (parts.length < 2) None
+        else try Some((parts(0).toDouble, parts(1).toDouble))
+        catch { case _: NumberFormatException => None }
+      }.toIndexedSeq
+
+    /** GML3 posList: a flat number stream grouped by `dim`. */
+    def posGrouped(s: String, dim: Int): IndexedSeq[Pt] = {
+      val nums = s.split("\\s+").iterator.filter(_.nonEmpty).flatMap { t =>
+        try Some(t.toDouble) catch {
+          case _: NumberFormatException => None }
+      }.toIndexedSeq
+      nums.grouped(math.max(dim, 2)).collect {
+        case g if g.length >= 2 => (g(0), g(1))
+      }.toIndexedSeq
+    }
+
+    /** Consume the current element, returning the points of the first
+      * coordinates/pos/posList child found anywhere inside it. */
+    def ringPoints(): IndexedSeq[Pt] = {
+      var pts = IndexedSeq.empty[Pt]
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            local match {
+              case "coordinates" =>
+                if (pts.isEmpty) pts = tuples(text()) else skip()
+              case "pos" | "posList" =>
+                val dim = attr("srsDimension")
+                  .flatMap(_.toIntOption).getOrElse(2)
+                if (pts.isEmpty) pts = posGrouped(text(), dim) else skip()
+              case _ => depth += 1
+            }
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+      }
+      pts
+    }
+
+    /** Text of the current element (consumes through its end tag). */
+    def text(): String = {
+      val sb = new StringBuilder
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case XMLStreamConstants.CHARACTERS |
+               XMLStreamConstants.CDATA => sb.append(r.getText)
+          case _ =>
+        }
+      }
+      sb.result().trim
+    }
+
+    /** Skip the current element entirely. */
+    def skip(): Unit = {
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => depth += 1
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+      }
+    }
+
+    /** Parse the geometry element currently open (named `kind`). */
+    def geometry(kind: String): Option[Geom] = kind match {
+      case "Point" =>
+        ringPoints().headOption.map { case (x, y) => GPoint(x, y) }
+      case "LineString" =>
+        val pts = ringPoints()
+        if (pts.isEmpty) None else Some(GLine(pts))
+      case "Polygon" =>
+        val rings = scala.collection.mutable.ArrayBuffer
+          .empty[(Boolean, IndexedSeq[Pt])]
+        var depth = 1
+        while (depth > 0 && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              local match {
+                case b @ ("outerBoundaryIs" | "exterior" |
+                    "innerBoundaryIs" | "interior") =>
+                  val outer = b == "outerBoundaryIs" || b == "exterior"
+                  val ring = ringPoints()
+                  if (ring.nonEmpty) rings += ((outer, ring))
+                case _ => depth += 1
+              }
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ =>
+          }
+        }
+        val (outers, holes) = rings.partition(_._1)
+        if (outers.isEmpty) None
+        else Some(GPolygon(
+          (outers.map(_._2) ++ holes.map(_._2)).toIndexedSeq))
+      case "MultiPoint" | "MultiLineString" | "MultiPolygon" |
+          "MultiGeometry" | "MultiSurface" | "MultiCurve" =>
+        val parts = scala.collection.mutable.ArrayBuffer.empty[Geom]
+        var depth = 1
+        while (depth > 0 && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              local match {
+                case k if GeomKinds(k) => geometry(k).foreach(parts += _)
+                case _ => depth += 1 // *Member wrappers pass through
+              }
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ =>
+          }
+        }
+        if (parts.isEmpty) None
+        else {
+          val tn = parts.map(_.typeName).distinct.toList match {
+            case "POINT" :: Nil => "MULTIPOINT"
+            case "LINESTRING" :: Nil => "MULTILINESTRING"
+            case "POLYGON" :: Nil => "MULTIPOLYGON"
+            case _ => "GEOMETRYCOLLECTION"
+          }
+          Some(GMulti(tn, parts.toIndexedSeq))
+        }
+      case _ => None
+    }
+
+    /** Parse one FEATURE element (currently open): simple-text children
+      * become properties; a child wrapping a geometry element sets the
+      * geometry. */
+    def feature(): Feature = {
+      val name = local
+      val fid = attr("id").orElse(attr("fid"))
+      val props = scala.collection.mutable.LinkedHashMap
+        .empty[String, String]
+      var geom: Option[Geom] = None
+      var depth = 1
+      while (depth > 0 && r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            local match {
+              case k if GeomKinds(k) =>
+                if (geom.isEmpty) geom = geometry(k) else skip()
+              case p =>
+                // property wrapper: if its content is pure text, it's
+                // an attribute; if it wraps a geometry, recurse via the
+                // main loop (depth tracking keeps us inside)
+                depth += 1
+                props.getOrElseUpdate(p, "") // placeholder, set below
+                // read-ahead: collect text until this element closes or
+                // a nested element appears
+                var buf = new StringBuilder
+                var done = false
+                while (!done && r.hasNext) {
+                  r.next() match {
+                    case XMLStreamConstants.CHARACTERS |
+                         XMLStreamConstants.CDATA => buf.append(r.getText)
+                    case XMLStreamConstants.END_ELEMENT =>
+                      props(p) = buf.result().trim
+                      depth -= 1
+                      done = true
+                    case XMLStreamConstants.START_ELEMENT =>
+                      // nested element: not a simple property
+                      props.remove(p)
+                      local match {
+                        case k if GeomKinds(k) =>
+                          if (geom.isEmpty) geom = geometry(k) else skip()
+                        case _ => depth += 1
+                      }
+                      done = true
+                    case _ =>
+                  }
+                }
+            }
+          case XMLStreamConstants.END_ELEMENT => depth -= 1
+          case _ =>
+        }
+      }
+      Feature(name, fid, props.toMap, geom)
+    }
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT
+            if local == "featureMember" || local == "featureMembers" ||
+              local == "member" =>
+          // the next start element is the feature itself
+          var found = false
+          var depth = 1
+          while (!found && depth > 0 && r.hasNext) {
+            r.next() match {
+              case XMLStreamConstants.START_ELEMENT =>
+                out += feature()
+                // feature() consumed through the feature's end tag;
+                // featureMembers may hold several features — keep going
+              case XMLStreamConstants.END_ELEMENT =>
+                depth -= 1
+                if (depth == 0) found = true
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.toSeq
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.GeoKernel
+
+/** GML reader vs spec-authored fixtures exercising BOTH encodings of
+  * every geometry (GML2 coordinates / GML3 pos+posList incl.
+  * srsDimension=3 strides), both polygon boundary vocabularies, Multi*
+  * member wrappers, feature ids and simple-text properties. */
+class GmlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val gml2 =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<wfs:FeatureCollection xmlns:wfs="http://www.opengis.net/wfs"
+      |  xmlns:gml="http://www.opengis.net/gml" xmlns:app="http://x/app">
+      |  <gml:featureMember>
+      |    <app:city fid="c1">
+      |      <app:name>Alpha</app:name>
+      |      <app:pop>1200</app:pop>
+      |      <app:geom>
+      |        <gml:Point><gml:coordinates>3.5,-1.25</gml:coordinates></gml:Point>
+      |      </app:geom>
+      |    </app:city>
+      |  </gml:featureMember>
+      |  <gml:featureMember>
+      |    <app:road fid="r1">
+      |      <app:name>Beta Way</app:name>
+      |      <app:geom>
+      |        <gml:LineString>
+      |          <gml:coordinates>0,0 3,4</gml:coordinates>
+      |        </gml:LineString>
+      |      </app:geom>
+      |    </app:road>
+      |  </gml:featureMember>
+      |  <gml:featureMember>
+      |    <app:parcel fid="p1">
+      |      <app:geom>
+      |        <gml:Polygon>
+      |          <gml:outerBoundaryIs><gml:LinearRing>
+      |            <gml:coordinates>0,0 10,0 10,10 0,10 0,0</gml:coordinates>
+      |          </gml:LinearRing></gml:outerBoundaryIs>
+      |          <gml:innerBoundaryIs><gml:LinearRing>
+      |            <gml:coordinates>2,2 4,2 4,4 2,4 2,2</gml:coordinates>
+      |          </gml:LinearRing></gml:innerBoundaryIs>
+      |        </gml:Polygon>
+      |      </app:geom>
+      |    </app:parcel>
+      |  </gml:featureMember>
+      |</wfs:FeatureCollection>""".stripMargin
+
+  private val gml3 =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2"
+      |  xmlns:app="http://x/app">
+      |  <gml:featureMembers>
+      |    <app:site gml:id="s1">
+      |      <app:kind>mast</app:kind>
+      |      <app:geom>
+      |        <gml:Point><gml:pos>7.0 8.5</gml:pos></gml:Point>
+      |      </app:geom>
+      |    </app:site>
+      |    <app:route gml:id="s2">
+      |      <app:geom>
+      |        <gml:LineString>
+      |          <gml:posList srsDimension="3">0 0 99 3 4 99 3 8 99</gml:posList>
+      |        </gml:LineString>
+      |      </app:geom>
+      |    </app:route>
+      |    <app:zone gml:id="s3">
+      |      <app:geom>
+      |        <gml:Polygon>
+      |          <gml:exterior><gml:LinearRing>
+      |            <gml:posList>0 0 4 0 4 3 0 0</gml:posList>
+      |          </gml:LinearRing></gml:exterior>
+      |        </gml:Polygon>
+      |      </app:geom>
+      |    </app:zone>
+      |    <app:cluster gml:id="s4">
+      |      <app:geom>
+      |        <gml:MultiPoint>
+      |          <gml:pointMember>
+      |            <gml:Point><gml:pos>0 0</gml:pos></gml:Point>
+      |          </gml:pointMember>
+      |          <gml:pointMember>
+      |            <gml:Point><gml:pos>1 1</gml:pos></gml:Point>
+      |          </gml:pointMember>
+      |        </gml:MultiPoint>
+      |      </app:geom>
+      |    </app:cluster>
+      |  </gml:featureMembers>
+      |</gml:FeatureCollection>""".stripMargin
+
+  test("GML2 and GML3 encodings parse to the documented geometries, " +
+      "properties and ids carried") {
+    val dir = Files.createTempDirectory("gml")
+    Files.write(Paths.get(dir.toString, "a.gml"),
+      gml2.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir.toString, "b.gml"),
+      gml3.getBytes(StandardCharsets.UTF_8))
+    val df = graft.sources.Gml.read(spark, dir.toString)
+    val rows = df.collect().map { r =>
+      r.getString(1) -> (r.getString(0),
+        Option(r.getAs[scala.collection.Map[String, String]](2))
+          .map(_.toMap).getOrElse(Map.empty[String, String]),
+        Option(r.getAs[Array[Byte]](3)).flatMap(GeoKernel.fromWkb))
+    }.toMap
+    assert(rows.size == 7)
+    // GML2
+    val (cityN, cityP, cityG) = rows("c1")
+    assert(cityN == "city" && cityP("name") == "Alpha" &&
+      cityP("pop") == "1200")
+    assert(GeoKernel.toWkt(cityG.get) == "POINT(3.5 -1.25)")
+    assert(GeoKernel.toWkt(rows("r1")._3.get) == "LINESTRING(0 0,3 4)")
+    val parcel = rows("p1")._3.get
+    assert(GeoKernel.area(parcel) == 96.0) // 100 − 4 hole
+    // GML3
+    assert(GeoKernel.toWkt(rows("s1")._3.get) == "POINT(7 8.5)")
+    assert(rows("s1")._2("kind") == "mast")
+    // srsDimension=3: Z stride honored, planar projection
+    assert(GeoKernel.toWkt(rows("s2")._3.get) == "LINESTRING(0 0,3 4,3 8)")
+    assert(GeoKernel.area(rows("s3")._3.get) == 6.0)
+    assert(GeoKernel.toWkt(rows("s4")._3.get)
+      == "MULTIPOINT((0 0),(1 1))")
+    // Engine surface
+    assert(graft.engine.Engine.copyFrom(spark, dir.toString, "gml")
+      .count() == 7)
+  }
+}
