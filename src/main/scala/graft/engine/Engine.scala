@@ -979,6 +979,10 @@ object Engine {
       // OGC GML — GDAL in the reference (".gml | Yes"); JDK StAX parse
       case "gml" =>
         graft.sources.Gml.read(spark, path)
+      // MapInfo Interchange (.mif/.mid pair) — GDAL in the reference
+      // (".mif | MapInfo"); direct ASCII spec parse here
+      case "mif" | "mapinfo" =>
+        graft.sources.Mif.read(spark, path)
       case "geojson" =>
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(

@@ -1,0 +1,227 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.functions.GeoKernel
+import graft.functions.GeoKernel.{GLine, GMulti, GPoint, GPolygon, Geom, Pt}
+
+/** MapInfo Interchange Format (.mif/.mid pair) reader from the
+  * published MIF specification — another entry of the reference's GDAL
+  * format list (docs/file-formats-reference.md:114: ".mif | MapInfo").
+  * The .mif carries a header (COLUMNS schema, DELIMITER) and the
+  * geometry stream; the .mid carries one delimited attribute row per
+  * geometry, in order.
+  *
+  * Objects: POINT, LINE, PLINE [MULTIPLE n], REGION (first ring is the
+  * outer boundary; subsequent rings inside it become holes, rings
+  * outside it further outers — the containment rule MapInfo applies,
+  * the same regrouping policy as the Shapefile reader), MULTIPOINT,
+  * NONE (row with NULL geometry). Styling clauses (PEN, BRUSH, SYMBOL,
+  * SMOOTH, CENTER) are skipped. Column types map Char/Integer/Smallint/
+  * Float/Decimal → string/long/long/double/double; everything else
+  * reads as string.
+  *
+  * Scale posture: one task per .mif file, geometry lands as WKB.
+  */
+object Mif {
+
+  /** Read `path` (a `.mif` file or a directory of them). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = SourceFiles.resolve(path, ".mif")
+    require(files.nonEmpty, s"no .mif files at $path")
+    // schema from the first file's header (same policy as Shapefile)
+    val head = parseHeader(lines(files.head))
+    val fields = head.columns.map { case (n, t) =>
+      StructField(n, sparkType(t))
+    }
+    val schema = StructType(fields :+ StructField("geometry", BinaryType))
+    val colTypes = head.columns.map(_._2)
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
+      val ls = lines(f)
+      val h = parseHeader(ls)
+      val geoms = parseGeoms(ls.drop(h.dataAt))
+      val attrs = midRows(f, h.delimiter, h.columns.map(_._2))
+      geoms.zipAll(attrs,
+        None: Option[Geom], Seq.fill[Any](colTypes.size)(null)).map {
+        case (g, a) =>
+          Row.fromSeq(a :+ g.map(GeoKernel.toWkb).orNull)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def lines(path: String): Vector[String] =
+    new String(Files.readAllBytes(Paths.get(path)),
+      StandardCharsets.UTF_8).split("\r?\n", -1).toVector
+
+  private def sparkType(t: String): DataType =
+    t.toLowerCase.takeWhile(_ != '(') match {
+      case "integer" | "smallint" => LongType
+      case "float" | "decimal" => DoubleType
+      case _ => StringType
+    }
+
+  private[sources] case class Header(delimiter: Char,
+      columns: Seq[(String, String)], dataAt: Int)
+
+  private[sources] def parseHeader(ls: Vector[String]): Header = {
+    var delim = '\t'
+    val cols = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var dataAt = ls.length
+    while (i < ls.length && dataAt == ls.length) {
+      val t = ls(i).trim
+      val up = t.toUpperCase
+      if (up.startsWith("DELIMITER")) {
+        val q = t.indexOf('"')
+        if (q >= 0 && q + 1 < t.length) delim = t.charAt(q + 1)
+      } else if (up.startsWith("COLUMNS")) {
+        val n = t.split("\\s+").last.toIntOption.getOrElse(0)
+        (1 to n).foreach { k =>
+          val parts = ls(i + k).trim.split("\\s+", 2)
+          cols += ((parts(0), if (parts.length > 1) parts(1) else "char"))
+        }
+        i += n
+      } else if (up == "DATA") dataAt = i + 1
+      i += 1
+    }
+    Header(delim, cols.toSeq, dataAt)
+  }
+
+  /** Attribute rows from the sibling .mid (absent file → all-null
+    * attributes, as MapInfo allows for pure-geometry sets). */
+  private def midRows(mifPath: String, delim: Char,
+      types: Seq[String]): Seq[Seq[Any]] = {
+    val base = mifPath.substring(0, mifPath.length - 4)
+    val cand = Seq(base + ".mid", base + ".MID")
+      .find(p => Files.exists(Paths.get(p)))
+    cand.map { p =>
+      lines(p).filter(_.nonEmpty).map { ln =>
+        val raw = splitDelimited(ln, delim)
+        types.zipWithIndex.map { case (t, i) =>
+          val v = if (i < raw.length) raw(i) else ""
+          sparkType(t) match {
+            case LongType =>
+              v.trim.toLongOption.map(Long.box).orNull
+            case DoubleType =>
+              v.trim.toDoubleOption.map(Double.box).orNull
+            case _ => v
+          }
+        }
+      }
+    }.getOrElse(Seq.empty)
+  }
+
+  /** Split one .mid line on the delimiter, honoring double quotes. */
+  private[sources] def splitDelimited(ln: String, delim: Char)
+      : Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    ln.foreach {
+      case '"' => inQ = !inQ
+      case c if c == delim && !inQ => out += sb.result(); sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.result()
+    out.toSeq
+  }
+
+  /** Parse the geometry stream (lines after DATA). */
+  private[sources] def parseGeoms(ls: Vector[String])
+      : Seq[Option[Geom]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Option[Geom]]
+    var i = 0
+    def num(s: String): Double = s.toDouble
+    def readPts(n: Int): IndexedSeq[Pt] = {
+      val pts = (0 until n).map { k =>
+        val p = ls(i + k).trim.split("\\s+")
+        (num(p(0)), num(p(1)))
+      }
+      i += n
+      pts
+    }
+    while (i < ls.length) {
+      val t = ls(i).trim
+      val up = t.toUpperCase
+      val tok = up.split("\\s+")
+      i += 1
+      tok(0) match {
+        case "POINT" =>
+          out += Some(GPoint(num(tok(1)), num(tok(2))))
+        case "LINE" =>
+          out += Some(GLine(Vector(
+            (num(tok(1)), num(tok(2))), (num(tok(3)), num(tok(4))))))
+        case "PLINE" =>
+          if (tok.length >= 3 && tok(1) == "MULTIPLE") {
+            val sections = tok(2).toInt
+            val parts = (0 until sections).map { _ =>
+              val n = ls(i).trim.toInt; i += 1
+              GLine(readPts(n))
+            }
+            out += Some(
+              if (parts.size == 1) parts.head
+              else GMulti("MULTILINESTRING", parts.toIndexedSeq))
+          } else {
+            val n =
+              if (tok.length >= 2) tok(1).toInt
+              else { val n0 = ls(i).trim.toInt; i += 1; n0 }
+            out += Some(GLine(readPts(n)))
+          }
+        case "REGION" =>
+          val nRings = tok(1).toInt
+          val rings = (0 until nRings).map { _ =>
+            val n = ls(i).trim.toInt; i += 1
+            readPts(n)
+          }
+          out += regroupRings(rings)
+        case "MULTIPOINT" =>
+          val n =
+            if (tok.length >= 2) tok(1).toInt
+            else { val n0 = ls(i).trim.toInt; i += 1; n0 }
+          val pts = readPts(n)
+          out += Some(GMulti("MULTIPOINT",
+            pts.map { case (x, y) => GPoint(x, y) }))
+        case "NONE" => out += None
+        case "PEN" | "BRUSH" | "SYMBOL" | "SMOOTH" | "CENTER" => ()
+        case _ => () // blank/unknown clause lines
+      }
+    }
+    out.toSeq
+  }
+
+  /** MapInfo REGION ring semantics: containment decides holes. A ring
+    * inside an earlier outer ring is its hole; otherwise it is a new
+    * outer. Output POLYGON or MULTIPOLYGON. */
+  private def regroupRings(rings: Seq[IndexedSeq[Pt]]): Option[Geom] = {
+    if (rings.isEmpty) return None
+    def closed(r: IndexedSeq[Pt]): IndexedSeq[Pt] =
+      if (r.nonEmpty && r.head != r.last) r :+ r.head else r
+    val polys = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[IndexedSeq[Pt]]]
+    rings.map(closed).foreach { ring =>
+      val host = polys.find { p =>
+        val outer = GPolygon(Vector(p.head))
+        ring.headOption.exists { pt =>
+          GeoKernel.contains(outer, GPoint(pt._1, pt._2)) ||
+            // vertex on the outer's boundary still belongs inside
+            ring.exists(q =>
+              GeoKernel.contains(outer, GPoint(q._1, q._2)))
+        }
+      }
+      host match {
+        case Some(p) => p += ring
+        case None =>
+          polys += scala.collection.mutable.ArrayBuffer(ring)
+      }
+    }
+    if (polys.size == 1) Some(GPolygon(polys.head.toIndexedSeq))
+    else Some(GMulti("MULTIPOLYGON",
+      polys.map(p => GPolygon(p.toIndexedSeq)).toIndexedSeq))
+  }
+}

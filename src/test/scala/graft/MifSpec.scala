@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.GeoKernel
+
+/** MapInfo MIF/MID reader vs a spec-authored fixture: every object
+  * kind, the REGION hole-by-containment rule, MULTIPLE plines,
+  * styling-clause skipping, delimiter + quoted .mid fields, typed
+  * columns, and the NONE geometry row. */
+class MifSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val mif = Seq(
+    "VERSION 300",
+    "CHARSET \"WindowsLatin1\"",
+    "DELIMITER \",\"",
+    "COLUMNS 3",
+    "  name Char(20)",
+    "  pop Integer",
+    "  score Float",
+    "DATA",
+    "POINT 3.5 -1.25",
+    "  SYMBOL (34,0,12)",
+    "LINE 0 0 3 4",
+    "  PEN (1,2,0)",
+    "PLINE 3",
+    "0 0",
+    "1 0",
+    "1 1",
+    "PLINE MULTIPLE 2",
+    "2",
+    "0 0",
+    "1 0",
+    "2",
+    "5 5",
+    "6 5",
+    "REGION 2",
+    "5",
+    "0 0",
+    "10 0",
+    "10 10",
+    "0 10",
+    "0 0",
+    "5",
+    "2 2",
+    "4 2",
+    "4 4",
+    "2 4",
+    "2 2",
+    "  BRUSH (2,16776960)",
+    "  CENTER 5 5",
+    "NONE").mkString("\n")
+
+  private val mid = Seq(
+    "\"Alpha, Inc\",1200,0.5",
+    "Beta,20,1.5",
+    "Gamma,30,2.5",
+    "Delta,40,3.5",
+    "Epsilon,50,4.5",
+    "Zeta,,").mkString("\n")
+
+  test("objects, region holes, MULTIPLE plines, typed mid columns") {
+    val dir = Files.createTempDirectory("mif")
+    Files.write(Paths.get(dir.toString, "t.mif"),
+      mif.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir.toString, "t.mid"),
+      mid.getBytes(StandardCharsets.UTF_8))
+    val df = graft.sources.Mif.read(spark, dir.toString)
+    assert(df.columns.toSeq ==
+      Seq("name", "pop", "score", "geometry"))
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    // quoted delimiter inside a field survives
+    assert(byName.contains("Alpha, Inc"))
+    assert(byName("Alpha, Inc").getLong(1) == 1200L)
+    assert(byName("Beta").getDouble(2) == 1.5)
+    def geomOf(n: String) =
+      GeoKernel.fromWkb(byName(n).getAs[Array[Byte]](3)).get
+    assert(GeoKernel.toWkt(geomOf("Alpha, Inc")) == "POINT(3.5 -1.25)")
+    assert(GeoKernel.toWkt(geomOf("Beta")) == "LINESTRING(0 0,3 4)")
+    assert(GeoKernel.toWkt(geomOf("Gamma")) == "LINESTRING(0 0,1 0,1 1)")
+    assert(GeoKernel.toWkt(geomOf("Delta"))
+      == "MULTILINESTRING((0 0,1 0),(5 5,6 5))")
+    // REGION: second ring is inside the first → hole; area 100 − 4
+    assert(GeoKernel.area(geomOf("Epsilon")) == 96.0)
+    // NONE row: null geometry, attributes carried (empty numerics null)
+    assert(byName("Zeta").isNullAt(3) && byName("Zeta").isNullAt(1))
+    // Engine surface
+    assert(graft.engine.Engine.copyFrom(spark, dir.toString, "mif")
+      .count() == 6)
+  }
+}
