@@ -37,6 +37,13 @@ object CardStats {
         size() > MaxEntries
     })
 
+  /** Memoized statistic if one exists — no scan either way. Lets a
+    * router skip even its cheap lower-bound probe on a repeated plan. */
+  def peek(df: DataFrame, column: String): Option[Long] = {
+    val hit = memo.get((df.queryExecution.analyzed.semanticHash(), column))
+    if (hit != null) Some(hit.longValue()) else None
+  }
+
   /** Approximate distinct count of `column` in `df`, memoized per
     * (analyzed-plan semantic hash, column). */
   def approxDistinct(df: DataFrame, column: String): Long = {

@@ -132,13 +132,20 @@ object Mixture {
   def temperatureRebalance(df: DataFrame, keyCol: String, idCol: String,
       alpha: Double, maxKeys: Int = 100000): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
-    val counts = df.groupBy(col(keyCol))
+    // NULL-source policy: rows with a null mixture key are dropped, the
+    // same fate rebalance gives any key absent from the weight map (a
+    // null key cannot equi-join a weight row anyway). Filtered here so
+    // the weight build never NPEs on a null key.
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).as("_n"))
       .limit(maxKeys + 1)
       .collect()
     require(counts.length <= maxKeys,
       s"temperatureRebalance: > $maxKeys distinct mixture keys — this " +
         "operator is for source/domain granularity; bucket the key first")
+    require(counts.nonEmpty,
+      s"temperatureRebalance: no non-null $keyCol values")
     val weights = counts.map { r =>
       r.get(0).toString -> math.pow(r.getLong(1).toDouble, alpha)
     }.toMap

@@ -219,8 +219,13 @@ final case class FrameStatsExec(partCol: String, orderCols: Seq[String],
     // below is size-bounded by construction and can never OOM the
     // driver on a high-cardinality key — it aborts loudly instead
     val nParts = math.max(sorted.getNumPartitions, 1)
+    // 2× the even share: covers moderate key skew while keeping the
+    // SUMMED caps within 2× of the global backstop at any partition
+    // count (a flat 65536 floor would let 2000 partitions collect ~131M
+    // SegMetas before the driver-side require fired). Heavier skew
+    // aborts loudly below with the classic-window remedy.
     val perPartCap = math.max(
-      FrameStats.segmentBackstop / nParts, 1L << 16)
+      2L * FrameStats.segmentBackstop / nParts, 1L)
     val metas: Array[FrameStats.SegMeta] = sorted
       .mapPartitionsWithIndex { (pid, it) =>
         val out = ArrayBuffer.empty[FrameStats.SegMeta]

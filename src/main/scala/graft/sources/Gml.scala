@@ -113,7 +113,13 @@ object Gml {
             local match {
               case "coordinates" =>
                 if (pts.isEmpty) pts = tuples(text()) else skip()
-              case "pos" | "posList" =>
+              case "pos" =>
+                // GML 3.x allows a ring/curve encoded as one <gml:pos>
+                // per point — accumulate across repeats (GDAL does)
+                val dim = attr("srsDimension")
+                  .flatMap(_.toIntOption).getOrElse(2)
+                pts = pts ++ posGrouped(text(), dim)
+              case "posList" =>
                 val dim = attr("srsDimension")
                   .flatMap(_.toIntOption).getOrElse(2)
                 if (pts.isEmpty) pts = posGrouped(text(), dim) else skip()

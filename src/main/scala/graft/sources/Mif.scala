@@ -44,6 +44,12 @@ object Mif {
     val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
       val ls = lines(f)
       val h = parseHeader(ls)
+      // loud error instead of a Row-encoding crash later: every file in
+      // a directory read must carry the first file's column layout
+      require(h.columns.map(t => (t._1, sparkType(t._2))) ==
+          head.columns.map(t => (t._1, sparkType(t._2))),
+        s"$f: COLUMNS ${h.columns} differ from ${files.head}'s " +
+          s"${head.columns}; directory reads need one schema")
       val geoms = parseGeoms(ls.drop(h.dataAt))
       val attrs = midRows(f, h.delimiter, h.columns.map(_._2))
       geoms.zipAll(attrs,
@@ -101,7 +107,12 @@ object Mif {
     val cand = Seq(base + ".mid", base + ".MID")
       .find(p => Files.exists(Paths.get(p)))
     cand.map { p =>
-      lines(p).filter(_.nonEmpty).map { ln =>
+      // keep interior empty lines — a blank line is a legitimate record
+      // whose single Char field is empty; dropping it would shift every
+      // later attribute row against the geometry stream. Only the
+      // trailing newline-artifact empties go.
+      val raw0 = lines(p)
+      raw0.take(raw0.lastIndexWhere(_.nonEmpty) + 1).map { ln =>
         val raw = splitDelimited(ln, delim)
         types.zipWithIndex.map { case (t, i) =>
           val v = if (i < raw.length) raw(i) else ""
