@@ -288,26 +288,7 @@ object IcebergImport {
       // task per DV'd file — the same MOR shape as the Delta DV path
       val delDv =
         if (dvFiles.isEmpty) None
-        else {
-          import spark.implicits._
-          // content_size_in_bytes is required for DV entries (Iceberg v3
-          // spec, "Deletion vectors"); surface a malformed manifest as an
-          // actionable error, not a bare NoSuchElementException.
-          dvFiles.find(_.contentSize.isEmpty).foreach { f =>
-            throw new IllegalStateException(
-              s"Iceberg DV manifest entry for ${f.path} is missing " +
-                "content_size_in_bytes (required by the v3 spec); the " +
-                "manifest is malformed or written by a broken writer")
-          }
-          Some(spark.createDataset(dvFiles.map(f => (
-              relocate(f.referencedDataFile.get, table.location, tableDir),
-              f.path, f.contentOffset.get, f.contentSize.get)))
-            .repartition(math.min(dvFiles.size,
-              spark.sparkContext.defaultParallelism))
-            .flatMap { case (dataPath, puffin, off, size) =>
-              dvPositions(puffin, off, size).map((dataPath, _)) }
-            .toDF("file_path", "pos"))
-        }
+        else Some(dvPositionsDF(spark, tableDir, table, dvFiles))
       val del = (delParquet.toSeq ++ delDv).reduce(_ unionByName _)
       val tagged = out
         .withColumn("_file", regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
@@ -320,6 +301,72 @@ object IcebergImport {
     if (eqDeletes.nonEmpty)
       out = applyEqualityDeletes(spark, out, table, data, eqDeletes)
     out
+  }
+
+  /** (file_path, pos) rows decoded from v3 deletion-vector entries:
+    * Puffin blobs decode EXECUTOR-side, one task per DV'd file — the
+    * same MOR shape as the Delta DV path. Shared by the scan and by
+    * adoption (which rewrites DVs into position-delete files). */
+  private[graft] def dvPositionsDF(spark: SparkSession, tableDir: String,
+      table: ExtTable, dvFiles: List[ExtFile]): DataFrame = {
+    import spark.implicits._
+    // content_size_in_bytes is required for DV entries (Iceberg v3
+    // spec, "Deletion vectors"); surface a malformed manifest as an
+    // actionable error, not a bare NoSuchElementException.
+    dvFiles.find(_.contentSize.isEmpty).foreach { f =>
+      throw new IllegalStateException(
+        s"Iceberg DV manifest entry for ${f.path} is missing " +
+          "content_size_in_bytes (required by the v3 spec); the " +
+          "manifest is malformed or written by a broken writer")
+    }
+    spark.createDataset(dvFiles.map(f => (
+        relocate(f.referencedDataFile.get, table.location, tableDir),
+        f.path, f.contentOffset.get, f.contentSize.get)))
+      .repartition(math.min(dvFiles.size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap { case (dataPath, puffin, off, size) =>
+        dvPositions(puffin, off, size).map((dataPath, _)) }
+      .toDF("file_path", "pos")
+  }
+
+  /** (file_path, pos) rows matched by equality-delete files under the v2
+    * sequence rule (strictly-smaller data sequence numbers) — the scan
+    * applies the rule as an anti-join ([[scanFiles]]); adoption uses this
+    * SEMI-join form to rewrite the same deletes as position-delete rows,
+    * matching the reference's uniform delete handling
+    * (pg_lake_iceberg/src/iceberg/read_manifest.c:84-130). Paths come out
+    * relocated to `tableDir`, the form the MOR read matches on. */
+  private[graft] def equalityDeletePositions(spark: SparkSession,
+      tableDir: String, table: ExtTable, data: List[ExtFile],
+      eqDeletes: List[ExtFile]): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val idToName = table.schema.fields.map(f =>
+      f.metadata.getLong("parquet.field.id").toInt -> f.name).toMap
+    val fileSeq = data.map(f => (f.path, f.seq)).toDF("_fs_file", "_fs_seq")
+    eqDeletes.groupBy(_.equalityIds).map { case (ids, group) =>
+      val cols = ids.map(id => idToName.getOrElse(id,
+        throw new IllegalArgumentException(s"unknown equality field id $id")))
+      val delSchema = StructType(cols.map(c => table.schema(c)
+        .copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      val del = group.map { f =>
+          spark.read.schema(delSchema).parquet(f.path)
+            .withColumn("_del_seq", lit(f.seq))
+        }.reduce(_ unionByName _)
+        .select(cols.map(c => col(c).as(s"_del_$c")) :+ col("_del_seq"): _*)
+      // read ONLY the equality columns of the data files (field-id
+      // resolved), plus file identity and row position from _metadata
+      val base = spark.read
+        .schema(StructType(cols.map(table.schema(_)).toArray))
+        .parquet(data.map(_.path): _*)
+        .withColumn("file_path",
+          regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(fileSeq), col("file_path") === col("_fs_file"), "left")
+      val cond = cols.map(c => col(c) <=> col(s"_del_$c"))
+        .reduce(_ && _) && col("_fs_seq") < col("_del_seq")
+      base.join(del, cond, "left_semi").select("file_path", "pos")
+    }.reduce(_ unionByName _).dropDuplicates("file_path", "pos")
   }
 
   /** Deleted positions from one Iceberg v3 deletion-vector blob

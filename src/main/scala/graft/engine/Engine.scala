@@ -25,8 +25,6 @@ import graft.core._
   */
 object Engine {
 
-  private val commitLock = new Object
-
   // ---------------------------------------------------------------- DDL
 
   def create(spark: SparkSession, dir: String, schemaDdl: String,
@@ -60,9 +58,11 @@ object Engine {
   /** Adopt an external Apache Iceberg table as a lake table WITHOUT
     * copying data: resolve its current snapshot through
     * [[graft.core.IcebergImport]] (metadata.json → Avro manifests), keep
-    * the data + position-delete files in place, collect parquet footer
-    * stats for the data files (enabling this engine's pruning), and
-    * commit one "adopt" snapshot. The migration path for a reference
+    * the data files in place, rewrite every delete flavor (position
+    * deletes, v3 deletion vectors, v2 equality deletes) into one local
+    * position-delete file, collect parquet footer stats for the data
+    * files (enabling this engine's pruning), and commit one "adopt"
+    * snapshot. The migration path for a reference
     * user's existing Iceberg tables — afterwards the full DML surface
     * (COW update/delete, compaction, time travel forward) applies.
     * Metadata file names do not collide: Iceberg uses
@@ -76,32 +76,49 @@ object Engine {
     val snap = ext.currentSnapshot.getOrElse(
       throw new IllegalArgumentException("iceberg table has no snapshot"))
     val extAll = IcebergImport.liveFiles(ext, snap, icebergDir)
-    require(!extAll.exists(_.isEqualityDelete),
-      "adopt: table has equality-delete files; scan it via " +
-        "IcebergImport.scan (which applies them) and CTAS instead")
-    val (extDeletes, extData) = extAll.partition(_.isDelete)
+    val extEq = extAll.filter(_.isEqualityDelete)
+    val extDv = extAll.filter(_.isDv)
+    val extDeletes = extAll.filter(_.isDelete)
+    val extData = extAll.filterNot(f =>
+      f.isDelete || f.isDv || f.isEqualityDelete)
     val importFooters = ParquetStats.readMany(spark, extData.map(_.path))
     val dataFiles = extData.map { f =>
       val footer = importFooters(f.path)
       DataFile(f.path, footer.rowCount, f.sizeBytes, Map.empty, footer.stats)
     }
-    // position-delete files record the WRITER's absolute data-file paths
-    // (e.g. the original s3 location) — rewrite them once into the new
-    // table with relocated paths so the MOR anti-join matches the local
-    // files. Delete files are small (ids, not rows), so this is cheap.
+    // Every delete flavor lands as ONE position-delete file, the uniform
+    // treatment of read_manifest.c:84-130 re-expressed for adoption:
+    //  - position-delete parquet files record the WRITER's absolute
+    //    data-file paths (e.g. the original s3 location) — relocated so
+    //    the MOR anti-join matches the local files;
+    //  - v3 deletion vectors decode to their referenced files' positions;
+    //  - v2 equality deletes resolve (sequence-rule-aware semi-join over
+    //    only the equality columns) to the positions they delete — a
+    //    one-time scan of the equality columns, after which the adopted
+    //    table needs no equality machinery at read time.
+    // Delete rows are ids, not data rows, so the file is small.
+    val delSources: List[DataFrame] =
+      (if (extDeletes.isEmpty) Nil
+       else List(spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "file_path STRING, pos BIGINT"))
+        .parquet(extDeletes.map(_.path): _*)
+        .withColumn("file_path", regexp_replace(col("file_path"),
+          "^" + java.util.regex.Pattern.quote(ext.location),
+          java.util.regex.Matcher.quoteReplacement(icebergDir))))) ++
+      (if (extDv.isEmpty) Nil
+       else List(IcebergImport.dvPositionsDF(spark, icebergDir, ext, extDv))) ++
+      (if (extEq.isEmpty) Nil
+       else List(IcebergImport.equalityDeletePositions(
+         spark, icebergDir, ext, extData, extEq)))
     val deleteFiles =
-      if (extDeletes.isEmpty) Nil
+      if (delSources.isEmpty) Nil
       else {
         val dataDir = MetadataIO.dataDir(destDir)
         java.nio.file.Files.createDirectories(dataDir)
         val staging = java.nio.file.Files.createTempDirectory("adoptdel")
-        spark.read
-          .schema(org.apache.spark.sql.types.StructType.fromDDL(
-            "file_path STRING, pos BIGINT"))
-          .parquet(extDeletes.map(_.path): _*)
-          .withColumn("file_path", regexp_replace(col("file_path"),
-            "^" + java.util.regex.Pattern.quote(ext.location),
-            java.util.regex.Matcher.quoteReplacement(icebergDir)))
+        delSources.reduce(_ unionByName _)
+          .dropDuplicates("file_path", "pos")
           .coalesce(1)
           .write.mode("overwrite").parquet(staging.toString)
         val part = java.nio.file.Files.list(staging).iterator().asScala
@@ -226,20 +243,59 @@ object Engine {
     }
   }
 
+  /** A commit found its removed-file set no longer fully live: another
+    * writer rewrote or dropped one of the files this operation was based
+    * on. The operation's effect cannot be rebased at the metadata level
+    * (the replacement files were derived from the stale originals) — the
+    * caller must recompute against the current snapshot and try again,
+    * which [[withCommitRetry]] does for the built-in COW operations. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Bounded optimistic-retry loop for snapshot-conflicting operations:
+    * `op` MUST re-derive its candidate file set from the table's current
+    * snapshot on every attempt (all Engine DML does — `tbl.meta` is a
+    * fresh read). Files written by a conflicted attempt become orphans,
+    * which `gcOrphans` reclaims. */
+  def withCommitRetry[T](attempts: Int = 4)(op: => T): T = {
+    var left = attempts
+    while (true) {
+      try return op
+      catch { case e: CommitConflictException =>
+        left -= 1
+        if (left <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Snapshot commit expressed as (removed paths, added files) and
     * resolved against the CURRENT live set under the commit lock — so a
     * concurrent append between an operation's read snapshot and its
     * commit is retained, not silently dropped (the reference gets the
     * same property from PG row locks + PRE_COMMIT apply,
-    * transaction_hooks.c:27-70). */
+    * transaction_hooks.c:27-70). The lock is the cross-process
+    * [[MetadataIO.withTableLock]]; inside it, every removed path is
+    * validated still-live, so two writers whose COW file sets overlap
+    * cannot both land — the loser gets [[CommitConflictException]] and
+    * its `withCommitRetry` recomputes from the winner's snapshot. */
   private def commitSnapshot(tbl: LakeTable, operation: String,
       removedPaths: Set[String], add: List[DataFile],
       removeAll: Boolean = false): Unit =
-    commitLock.synchronized {
+    MetadataIO.withTableLock(tbl.dir) {
       val meta = tbl.meta
       val prior = meta.currentSnapshot.map(_.manifests).getOrElse(Nil)
       val priorFiles = meta.currentSnapshot
         .map(MetadataIO.liveFiles(tbl.dir, _)).getOrElse(Nil)
+      if (!removeAll) {
+        val live = priorFiles.map(_.path).toSet
+        val gone = removedPaths.filterNot(live)
+        if (gone.nonEmpty)
+          throw new CommitConflictException(
+            s"$operation: ${gone.size} of ${removedPaths.size} files to " +
+              s"replace are no longer live (e.g. ${gone.head}) — a " +
+              "concurrent writer committed an overlapping file set")
+      }
       val keep =
         if (removeAll) Nil
         else priorFiles.filterNot(f => removedPaths.contains(f.path))
@@ -331,7 +387,7 @@ object Engine {
   def merge(tbl: LakeTable, source: DataFrame, keys: Seq[String],
       whenMatchedUpdate: Option[Seq[String]] = None,
       whenMatchedDelete: Boolean = false,
-      whenNotMatchedInsert: Boolean = true): DmlResult = {
+      whenNotMatchedInsert: Boolean = true): DmlResult = withCommitRetry() {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(!(whenMatchedDelete && whenMatchedUpdate.isDefined),
       "whenMatchedDelete and whenMatchedUpdate are mutually exclusive")
@@ -428,7 +484,7 @@ object Engine {
 
   /** COW DELETE: metadata-only drop for provably-full-match files, file
     * rewrite (anti-filter) for partially matching ones. */
-  def delete(tbl: LakeTable, pred: Column): DmlResult = {
+  def delete(tbl: LakeTable, pred: Column): DmlResult = withCommitRetry() {
     flushDeletes(tbl) // COW rewrites read raw files; clear pending MOR deletes
     val files = tbl.liveFiles
     val (mustRead, _, fullMatch) = Pruning.partitionFiles(
@@ -457,7 +513,7 @@ object Engine {
     * writable_table.c:648). Full-match files still drop metadata-only.
     * Reads anti-join the delete files until `flushDeletes` compacts them
     * away. */
-  def deleteMor(tbl: LakeTable, pred: Column): DmlResult = {
+  def deleteMor(tbl: LakeTable, pred: Column): DmlResult = withCommitRetry() {
     val (dels, data) = tbl.liveFiles.partition(_.isDelete)
     val (mustRead, _, fullMatch) = Pruning.partitionFiles(
       Some(GraftBridge.resolvePredicate(tbl.spark, tbl.schema, pred)),
@@ -539,7 +595,7 @@ object Engine {
   /** Flush pending position deletes: rewrite only the data files they
     * touch, then drop the delete files (the VACUUM "flush deletion
     * queue" step, ddl/vacuum.c). Returns rewritten file count. */
-  def flushDeletes(tbl: LakeTable): Int = {
+  def flushDeletes(tbl: LakeTable): Int = withCommitRetry() {
     val (dels, data) = tbl.liveFiles.partition(_.isDelete)
     if (dels.isEmpty) return 0
     val affected = tbl.spark.read.schema(tbl.deleteSchema)
@@ -562,7 +618,7 @@ object Engine {
     * with assignments applied) — writes.md:15-37 without the reinsert
     * round-trip. */
   def update(tbl: LakeTable, pred: Column,
-      assignments: Map[String, Column]): DmlResult = {
+      assignments: Map[String, Column]): DmlResult = withCommitRetry() {
     flushDeletes(tbl) // COW rewrites read raw files; clear pending MOR deletes
     val files = tbl.liveFiles
     val (mustRead, _, _) = Pruning.partitionFiles(
@@ -637,7 +693,7 @@ object Engine {
   /** Small-file compaction per partition, bounded rounds per call like the
     * reference's MaxCompactionsPerVacuum (ddl/vacuum.c:70-71). */
   def compact(tbl: LakeTable, targetBytes: Long = 128L * 1024 * 1024,
-      maxRounds: Int = 100): Int = {
+      maxRounds: Int = 100): Int = withCommitRetry() {
     flushDeletes(tbl) // compaction rewrites raw files
     var rounds = 0
     val files = tbl.liveFiles.filterNot(_.isDelete)
@@ -674,7 +730,8 @@ object Engine {
     * rewrite, committed as one snapshot); `numFiles` &gt; 0 fixes the
     * output fan-out per partition, else ~`targetBytes` files. */
   def optimizeZOrder(tbl: LakeTable, cols: Seq[String], bits: Int = 15,
-      numFiles: Int = 0, targetBytes: Long = 128L * 1024 * 1024): Int = {
+      numFiles: Int = 0, targetBytes: Long = 128L * 1024 * 1024): Int =
+    withCommitRetry() {
     flushDeletes(tbl)
     val files = tbl.liveFiles.filterNot(_.isDelete)
     val added = scala.collection.mutable.ListBuffer[DataFile]()
@@ -705,7 +762,8 @@ object Engine {
     * spec field yields Maybe (must-read) and footer min/max stats apply
     * regardless of layout. */
   def setPartitionSpec(tbl: LakeTable,
-      spec: List[PartitionField]): LakeTable = {
+      spec: List[PartitionField]): LakeTable =
+    MetadataIO.withTableLock(tbl.dir) {
     val meta = tbl.meta
     val cols = StructType.fromDDL(meta.schemaDdl).fieldNames.toSet
     spec.foreach(pf => require(cols.contains(pf.column),
@@ -738,9 +796,11 @@ object Engine {
       Map("stats.row_count" -> rowCount.toString,
         "stats.total_bytes" -> bytes.toString,
         "stats.analyzed_at" -> System.currentTimeMillis().toString)
-    val meta = tbl.meta
-    MetadataIO.commitMetadata(tbl.dir,
-      meta.copy(properties = meta.properties ++ props))
+    MetadataIO.withTableLock(tbl.dir) {
+      val meta = tbl.meta
+      MetadataIO.commitMetadata(tbl.dir,
+        meta.copy(properties = meta.properties ++ props))
+    }
     statsDF(tbl)
   }
 
@@ -757,7 +817,8 @@ object Engine {
         lit(props.get("stats.row_count").map(_.toLong).orNull))
   }
 
-  def expireSnapshots(tbl: LakeTable, keepLast: Int = 1): Int = {
+  def expireSnapshots(tbl: LakeTable, keepLast: Int = 1): Int =
+    MetadataIO.withTableLock(tbl.dir) {
     val meta = tbl.meta
     val keep = meta.snapshots.sortBy(_.id).takeRight(math.max(1, keepLast))
     val dropped = meta.snapshots.size - keep.size
@@ -833,7 +894,7 @@ object Engine {
     * field-ids track identity across renames —
     * pg_lake_table/src/ddl/alter_table.c, register_field_ids.c:389). */
   def addColumn(tbl: LakeTable, name: String, sparkType: String): Unit =
-    commitLock.synchronized {
+    MetadataIO.withTableLock(tbl.dir) {
       val meta = tbl.meta
       require(!tbl.schema.fieldNames.contains(name), s"column $name exists")
       val nextId = (meta.fieldIds.map(_.id) :+ 0).max + 1
@@ -845,7 +906,7 @@ object Engine {
   /** ALTER TABLE RENAME COLUMN: metadata-only; the field id keeps linking
     * the new name to existing file data, so old files keep reading. */
   def renameColumn(tbl: LakeTable, from: String, to: String): Unit =
-    commitLock.synchronized {
+    MetadataIO.withTableLock(tbl.dir) {
       val meta = tbl.meta
       val schema = tbl.schema
       require(schema.fieldNames.contains(from), s"no column $from")
@@ -859,7 +920,7 @@ object Engine {
 
   /** ALTER TABLE DROP COLUMN: metadata-only. */
   def dropColumn(tbl: LakeTable, name: String): Unit =
-    commitLock.synchronized {
+    MetadataIO.withTableLock(tbl.dir) {
       val meta = tbl.meta
       val schema = tbl.schema
       require(schema.fieldNames.contains(name), s"no column $name")
@@ -881,7 +942,7 @@ object Engine {
     * min/max stats are stored as strings and re-parsed under the current
     * schema, so pruning keeps working across the change. */
   def alterColumnType(tbl: LakeTable, name: String, newType: String): Unit =
-    commitLock.synchronized {
+    MetadataIO.withTableLock(tbl.dir) {
       val meta = tbl.meta
       val schema = tbl.schema
       val field = schema.fields.find(_.name == name)
@@ -983,6 +1044,10 @@ object Engine {
       // (".mif | MapInfo"); direct ASCII spec parse here
       case "mif" | "mapinfo" =>
         graft.sources.Mif.read(spark, path)
+      // FlatGeoBuf — GDAL in the reference (".fgb | FlatGeobuf");
+      // direct flatbuffer-layout parse here
+      case "fgb" | "flatgeobuf" =>
+        graft.sources.Fgb.read(spark, path)
       case "geojson" =>
         import org.apache.spark.sql.types._
         val schema = StructType(Seq(

@@ -161,12 +161,18 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ids = IcebergImport.scan(spark, dir)
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)) // only 2 gone
-    // adoption refuses equality-delete tables with a clear error
-    val err = intercept[IllegalArgumentException] {
-      Engine.importIceberg(spark, dir,
-        Files.createTempDirectory("eqadopt").toString + "/t")
-    }
-    assert(err.getMessage.contains("equality-delete"))
+    // adoption rewrites the equality deletes into position deletes and
+    // matches the scan exactly — the sequence rule included (id=7 lives)
+    val adopted = Engine.importIceberg(spark, dir,
+      Files.createTempDirectory("eqadopt").toString + "/t")
+    val adoptedIds = adopted.toDF
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(adoptedIds == ids)
+    // the engine's own DML applies on top of the converted deletes
+    val res = Engine.delete(adopted, col("id") === 6)
+    assert(res.matchedRows == 1)
+    assert(adopted.toDF.select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L, 4L, 5L, 7L, 8L, 9L, 10L))
   }
 
   test("v3 deletion vectors: Puffin blob applies as position deletes") {
