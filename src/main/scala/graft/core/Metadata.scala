@@ -90,17 +90,65 @@ object MetadataIO {
       Files.readAllBytes(metaDir(tableDir).resolve(s"v$v.json")),
       StandardCharsets.UTF_8))
 
+  // per-table JVM monitors: java.nio file locks are per-JVM (a second
+  // lock attempt from the same JVM throws OverlappingFileLockException,
+  // it does not block), so in-process writers serialize on a monitor
+  // FIRST and only the monitor holder touches the OS lock
+  private val tableMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Cross-process critical section for a table's commit protocol: an OS
+    * advisory lock on `metadata/COMMIT.lock` (what the reference gets
+    * from PG row locks, transaction_hooks.c:27-70), nested inside a
+    * per-table JVM monitor. On an object store this seam would be a
+    * catalog CAS instead; on the local/NFS filesystems this engine
+    * writes to, the file lock is the correct primitive. */
+  def withTableLock[T](tableDir: String)(f: => T): T = {
+    val key = Paths.get(tableDir).toAbsolutePath.normalize.toString
+    val monitor = tableMonitors.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      val dir = metaDir(tableDir)
+      Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(dir.resolve("COMMIT.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other PROCESS releases
+        try f finally lock.release()
+      } finally ch.close()
+    }
+  }
+
   /** Write v<N+1>.json then atomically swap the VERSION pointer — the
-    * single-writer commit protocol (the reference's PRE_COMMIT metadata
-    * apply + catalog pointer update, transaction_hooks.c:27-70, collapses
-    * to this in a driver-coordinated world). */
+    * commit protocol's final step (the reference's PRE_COMMIT metadata
+    * apply + catalog pointer update, transaction_hooks.c:27-70). Callers
+    * that can race MUST hold [[withTableLock]]; the CREATE_NEW version
+    * write makes an unlocked race fail loudly instead of silently
+    * overwriting another writer's committed version file. */
   def commitMetadata(tableDir: String, md: TableMetadata): Int = {
     val dir = metaDir(tableDir)
     Files.createDirectories(dir)
-    val next = currentVersion(tableDir).getOrElse(0) + 1
+    // next = 1 + max(pointer, versions on disk): a crash between the
+    // version write and the pointer move leaves an orphan v<N>.json,
+    // which must be skipped over, not collided with, by the next commit
+    val onDisk = {
+      val re = "^v(\\d+)\\.json$".r
+      val st = Files.list(dir)
+      try {
+        val it = st.iterator()
+        var mx = 0
+        while (it.hasNext) it.next().getFileName.toString match {
+          case re(n) => mx = math.max(mx, n.toInt)
+          case _ =>
+        }
+        mx
+      } finally st.close()
+    }
+    val next = math.max(currentVersion(tableDir).getOrElse(0), onDisk) + 1
     val body = Serialization.writePretty(md)
     Files.write(dir.resolve(s"v$next.json"),
-      body.getBytes(StandardCharsets.UTF_8))
+      body.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     val tmp = dir.resolve(s"VERSION.tmp$next")
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve("VERSION"),

@@ -64,6 +64,36 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.toDF.count() == r.count() + 2)
   }
 
+  test("two writers with overlapping COW file sets: conflict detected, " +
+      "retried, no lost update") {
+    val dir = Files.createTempDirectory("optim").toString + "/t"
+    val c = Tables.load(spark, sf, "customer").coalesce(1)
+    val tbl = Engine.ctas(spark, dir, c) // ONE file → every COW overlaps
+    val nTotal = c.count()
+    val nA = c.filter(col("c_custkey") % 10 === 0).count()
+    val nB = c.filter(col("c_custkey") % 10 === 1).count()
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // both deletes rewrite the same single data file; without the
+    // validate-against-current-snapshot check the loser's rewrite
+    // resurrects the winner's deleted rows (lost update)
+    val fa = Future { Engine.delete(tbl, col("c_custkey") % 10 === 0) }
+    val fb = Future { Engine.delete(tbl, col("c_custkey") % 10 === 1) }
+    val Seq(ra, rb) =
+      Await.result(Future.sequence(Seq(fa, fb)), 180.seconds)
+    pool.shutdown()
+    assert(ra.matchedRows == nA && rb.matchedRows == nB)
+    assert(tbl.toDF.count() == nTotal - nA - nB)
+    assert(tbl.toDF.filter(col("c_custkey") % 10 <= 1).count() == 0)
+    // an UNRESOLVABLE conflict (file set vanished for good) surfaces
+    // loudly once retries exhaust, instead of committing on stale state
+    intercept[Engine.CommitConflictException] {
+      Engine.withCommitRetry(2) {
+        throw new Engine.CommitConflictException("synthetic")
+      }
+    }
+  }
+
   test("concurrent update and insert keep row accounting consistent") {
     val dir = Files.createTempDirectory("updins").toString + "/t"
     val c = Tables.load(spark, sf, "customer")
