@@ -1,0 +1,297 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.functions.GeoKernel
+import graft.functions.GeoKernel.{GLine, GMulti, GPoint, GPolygon, Geom, Pt}
+
+/** FlatGeoBuf (.fgb) reader — the last named entry of the reference's
+  * GDAL format matrix (docs/file-formats-reference.md:100-135,
+  * ".fgb | FlatGeobuf"), parsed directly from the published format
+  * (flatgeobuf.org: header.fbs / feature.fbs, the packed Hilbert
+  * R-tree layout) with a minimal hand-rolled FlatBuffers table reader
+  * (vtable-indirected field access per the public FlatBuffers internals
+  * doc) — no codegen, no extra dependency.
+  *
+  * Layout: 8 magic bytes (fgb, version 3), a size-prefixed Header
+  * flatbuffer (geometry type, columns, feature count, index node size),
+  * an optional packed R-tree index (skipped — Spark's planner prunes at
+  * file granularity; the in-file spatial index serves random access,
+  * not a full scan), then size-prefixed Feature flatbuffers to EOF.
+  *
+  * Geometry decodes to the planar WKB kernel: xy is a flat coordinate
+  * array, `ends` holds exclusive END indices in coordinate-pair units
+  * per ring/part, Multi and GeometryCollection nest through `parts`. Z/M
+  * are projected away (same planar-kernel policy as every reader here).
+  * Property values sit in a packed byte buffer as (uint16 column index,
+  * value) pairs, little-endian, strings length-prefixed.
+  *
+  * Scale posture: one task per .fgb file, geometry lands as WKB.
+  * ULong columns read as signed long (documented narrowing; values
+  * ≥ 2^63 wrap — the same posture as parquet's uint64 handling).
+  */
+object Fgb {
+
+  /** Read `path` (a `.fgb` file or a directory of them). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = SourceFiles.resolve(path, ".fgb")
+    require(files.nonEmpty, s"no .fgb files at $path")
+    val head = readHeader(files.head)
+    val fields = head.columns.map { case (n, t) =>
+      StructField(n, sparkType(t))
+    }
+    val schema = StructType(fields :+ StructField("geometry", BinaryType))
+    val colTypes = head.columns.map(_._2)
+    val sc = spark.sparkContext
+    val rows = sc.parallelize(files, math.min(files.size, 32)).flatMap { f =>
+      val h = readHeader(f)
+      require(h.columns == head.columns,
+        s"$f: columns ${h.columns} differ from ${files.head}'s " +
+          s"${head.columns}; directory reads need one schema")
+      readFeatures(f).map { case (geom, props) =>
+        Row.fromSeq(colTypes.indices.map(i => props.getOrElse(i, null)) :+
+          geom.map(GeoKernel.toWkb).orNull)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  // ---- flatbuffer primitives (public FlatBuffers binary format) --------
+
+  /** A FlatBuffers table: `pos` holds an int32 back-offset to its
+    * vtable; vtable = [u16 vtable bytes][u16 table bytes][u16 field
+    * offset per field id, 0 = absent], field offsets relative to pos. */
+  private final class FTable(val buf: ByteBuffer, val pos: Int) {
+    private val vt = pos - buf.getInt(pos)
+    private val vtSize = buf.getShort(vt) & 0xffff
+    /** byte offset of field `id` within the table, 0 if absent */
+    def off(id: Int): Int = {
+      val o = 4 + 2 * id
+      if (o >= vtSize) 0 else buf.getShort(vt + o) & 0xffff
+    }
+    def u8(id: Int, dflt: Int = 0): Int = {
+      val o = off(id); if (o == 0) dflt else buf.get(pos + o) & 0xff
+    }
+    def bool(id: Int, dflt: Boolean = false): Boolean = {
+      val o = off(id); if (o == 0) dflt else buf.get(pos + o) != 0
+    }
+    def u16(id: Int, dflt: Int): Int = {
+      val o = off(id); if (o == 0) dflt else buf.getShort(pos + o) & 0xffff
+    }
+    def i64(id: Int, dflt: Long = 0L): Long = {
+      val o = off(id); if (o == 0) dflt else buf.getLong(pos + o)
+    }
+    /** position a uoffset field points at (vector/string/table start) */
+    private def indirect(id: Int): Int = {
+      val o = off(id); if (o == 0) -1
+      else { val p = pos + o; p + buf.getInt(p) }
+    }
+    def table(id: Int): Option[FTable] = {
+      val p = indirect(id); if (p < 0) None else Some(new FTable(buf, p))
+    }
+    def string(id: Int): Option[String] = {
+      val p = indirect(id)
+      if (p < 0) None
+      else {
+        val len = buf.getInt(p)
+        val b = new Array[Byte](len)
+        val dup = buf.duplicate(); dup.position(p + 4); dup.get(b)
+        Some(new String(b, StandardCharsets.UTF_8))
+      }
+    }
+    /** (element start, element count) of a vector field */
+    def vector(id: Int): Option[(Int, Int)] = {
+      val p = indirect(id)
+      if (p < 0) None else Some((p + 4, buf.getInt(p)))
+    }
+    def doubles(id: Int): IndexedSeq[Double] = vector(id) match {
+      case None => IndexedSeq.empty
+      case Some((s, n)) => (0 until n).map(i => buf.getDouble(s + 8 * i))
+    }
+    def uints(id: Int): IndexedSeq[Long] = vector(id) match {
+      case None => IndexedSeq.empty
+      case Some((s, n)) =>
+        (0 until n).map(i => buf.getInt(s + 4 * i).toLong & 0xffffffffL)
+    }
+    def tables(id: Int): IndexedSeq[FTable] = vector(id) match {
+      case None => IndexedSeq.empty
+      case Some((s, n)) => (0 until n).map { i =>
+        val p = s + 4 * i; new FTable(buf, p + buf.getInt(p))
+      }
+    }
+    def bytes(id: Int): Option[Array[Byte]] = vector(id) match {
+      case None => None
+      case Some((s, n)) =>
+        val b = new Array[Byte](n)
+        val dup = buf.duplicate(); dup.position(s); dup.get(b)
+        Some(b)
+    }
+  }
+
+  /** Root table of a size-prefixed flatbuffer at `pos`; returns
+    * (table, position after the buffer). */
+  private def sizePrefixedRoot(buf: ByteBuffer, pos: Int): (FTable, Int) = {
+    val size = buf.getInt(pos)
+    require(size > 0 && pos + 4 + size <= buf.limit(),
+      s"bad flatbuffer size $size at offset $pos")
+    val start = pos + 4
+    (new FTable(buf, start + buf.getInt(start)), start + size)
+  }
+
+  // ---- header -----------------------------------------------------------
+
+  private[graft] final case class Header(geomType: Int,
+      columns: Seq[(String, Int)], featuresCount: Long, indexNodeSize: Int,
+      featuresAt: Int)
+
+  private def buffer(path: String): ByteBuffer =
+    ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
+      .order(ByteOrder.LITTLE_ENDIAN)
+
+  private[graft] def readHeader(path: String): Header =
+    readHeader(buffer(path), path)
+
+  private def readHeader(buf: ByteBuffer, path: String): Header = {
+    require(buf.limit() > 12 &&
+      buf.get(0) == 0x66 && buf.get(1) == 0x67 && buf.get(2) == 0x62 &&
+      buf.get(4) == 0x66 && buf.get(5) == 0x67 && buf.get(6) == 0x62,
+      s"$path: not a FlatGeoBuf file (magic mismatch)")
+    require(buf.get(3) == 3,
+      s"$path: unsupported FlatGeoBuf major version ${buf.get(3)}")
+    val (h, afterHeader) = sizePrefixedRoot(buf, 8)
+    // header.fbs field ids: 2 geometry_type, 7 columns, 8 features_count,
+    // 9 index_node_size (default 16)
+    val cols = h.tables(7).map { c =>
+      (c.string(0).getOrElse(""), c.u8(1))
+    }
+    val count = h.i64(8)
+    val nodeSize = h.u16(9, 16)
+    val indexBytes =
+      if (nodeSize > 0 && count > 0) packedRTreeSize(count, nodeSize) else 0L
+    Header(h.u8(2), cols, count, nodeSize, (afterHeader + indexBytes).toInt)
+  }
+
+  /** Byte size of the packed Hilbert R-tree (packed_r_tree.h): 40-byte
+    * nodes (4 doubles + uint64 feature offset), level sizes rolled up
+    * until a single root. */
+  private[graft] def packedRTreeSize(numItems: Long, nodeSize0: Int): Long = {
+    val nodeSize = math.min(math.max(nodeSize0, 2), 65535)
+    var n = numItems
+    var numNodes = n
+    while (n != 1) { n = (n + nodeSize - 1) / nodeSize; numNodes += n }
+    numNodes * 40L
+  }
+
+  // ---- features ---------------------------------------------------------
+
+  private def readFeatures(path: String)
+      : Seq[(Option[Geom], Map[Int, Any])] = {
+    val buf = buffer(path)
+    val h = readHeader(buf, path)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[Geom], Map[Int, Any])]
+    var pos = h.featuresAt
+    while (pos + 4 <= buf.limit()) {
+      val (f, next) = sizePrefixedRoot(buf, pos)
+      // feature.fbs: 0 geometry, 1 properties:[ubyte]
+      val geom = f.table(0).flatMap(g => geometry(g, h.geomType))
+      val props = f.bytes(1) match {
+        case None => Map.empty[Int, Any]
+        case Some(b) => decodeProps(b, h.columns)
+      }
+      out += ((geom, props))
+      pos = next
+    }
+    out.toSeq
+  }
+
+  /** geometry.fbs: 0 ends:[uint], 1 xy:[double], 6 type, 7 parts. A part
+    * with type 0 (Unknown) inherits the container-implied type. */
+  private def geometry(g: FTable, outerType: Int): Option[Geom] = {
+    val t = { val own = g.u8(6); if (own != 0) own else outerType }
+    val xy = g.doubles(1)
+    def pts(from: Int, until: Int): IndexedSeq[Pt] =
+      (from until until).map(i => (xy(2 * i), xy(2 * i + 1)))
+    val nPts = xy.length / 2
+    def ringed: IndexedSeq[IndexedSeq[Pt]] = {
+      val ends = g.uints(0).map(_.toInt)
+      if (ends.isEmpty) IndexedSeq(pts(0, nPts))
+      else {
+        var s = 0
+        ends.map { e => val r = pts(s, e); s = e; r }
+      }
+    }
+    t match {
+      case 1 => // Point
+        if (nPts < 1) None else Some(GPoint(xy(0), xy(1)))
+      case 2 => // LineString
+        if (nPts < 2) None else Some(GLine(pts(0, nPts)))
+      case 3 => // Polygon
+        val rings = ringed.filter(_.length >= 3)
+        if (rings.isEmpty) None else Some(GPolygon(rings))
+      case 4 => // MultiPoint
+        if (nPts == 0) None
+        else Some(GMulti("MULTIPOINT",
+          (0 until nPts).map(i => GPoint(xy(2 * i), xy(2 * i + 1)))))
+      case 5 => // MultiLineString
+        val lines = ringed.filter(_.length >= 2).map(GLine)
+        if (lines.isEmpty) None else Some(GMulti("MULTILINESTRING", lines))
+      case 6 => // MultiPolygon: parts are Polygon geometries
+        val polys = g.tables(7).flatMap(geometry(_, 3))
+        if (polys.isEmpty) None else Some(GMulti("MULTIPOLYGON", polys))
+      case 7 => // GeometryCollection
+        val parts = g.tables(7).flatMap(geometry(_, 0))
+        if (parts.isEmpty) None
+        else Some(GMulti("GEOMETRYCOLLECTION", parts))
+      case _ => None
+    }
+  }
+
+  // ---- properties -------------------------------------------------------
+
+  /** ColumnType (header.fbs): 0 Byte, 1 UByte, 2 Bool, 3 Short,
+    * 4 UShort, 5 Int, 6 UInt, 7 Long, 8 ULong, 9 Float, 10 Double,
+    * 11 String, 12 Json, 13 DateTime, 14 Binary. */
+  private def sparkType(t: Int): DataType = t match {
+    case 2 => BooleanType
+    case 0 | 1 | 3 | 4 | 5 | 6 | 7 | 8 => LongType
+    case 9 | 10 => DoubleType
+    case 14 => BinaryType
+    case _ => StringType // String/Json/DateTime + anything unexpected
+  }
+
+  private def decodeProps(b: Array[Byte],
+      columns: Seq[(String, Int)]): Map[Int, Any] = {
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.Map.empty[Int, Any]
+    while (buf.remaining() >= 2) {
+      val idx = buf.getShort() & 0xffff
+      require(idx < columns.length,
+        s"property column index $idx out of range (${columns.length})")
+      val v: Any = columns(idx)._2 match {
+        case 0 => buf.get().toLong
+        case 1 => (buf.get() & 0xff).toLong
+        case 2 => buf.get() != 0
+        case 3 => buf.getShort().toLong
+        case 4 => (buf.getShort() & 0xffff).toLong
+        case 5 => buf.getInt().toLong
+        case 6 => buf.getInt().toLong & 0xffffffffL
+        case 7 | 8 => buf.getLong()
+        case 9 => buf.getFloat().toDouble
+        case 10 => buf.getDouble()
+        case 14 =>
+          val n = buf.getInt(); val a = new Array[Byte](n); buf.get(a); a
+        case _ => // String / Json / DateTime: u32 length + utf8
+          val n = buf.getInt(); val a = new Array[Byte](n); buf.get(a)
+          new String(a, StandardCharsets.UTF_8)
+      }
+      out(idx) = v
+    }
+    out.toMap
+  }
+}

@@ -1,0 +1,279 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.functions.GeoKernel
+
+/** FlatGeoBuf reader vs spec-authored fixtures: the fixture bytes are
+  * emitted by an independent minimal FlatBuffers assembler below
+  * (vtable/table/vector layout per the public FlatBuffers internals
+  * doc), covering every geometry kind, the packed-R-tree skip, typed
+  * property decoding with absent (null) values, and directory reads. */
+class FgbSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- minimal forward-layout flatbuffer assembler (test-only) ---------
+
+  private class Buf {
+    private val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def size: Int = bytes.size
+    def pad(n: Int): Unit = while (bytes.size % n != 0) bytes += 0
+    /** pad so the NEXT i32 (vector count) leaves elements n-aligned */
+    def padVec(elemAlign: Int): Unit =
+      while ((bytes.size + 4) % elemAlign != 0) bytes += 0
+    def u8(v: Int): Unit = bytes += v.toByte
+    def u16(v: Int): Unit = { u8(v & 0xff); u8((v >> 8) & 0xff) }
+    def i32(v: Int): Unit = (0 until 4).foreach(i => u8((v >> (8 * i)) & 0xff))
+    def i64(v: Long): Unit =
+      (0 until 8).foreach(i => u8(((v >> (8 * i)) & 0xff).toInt))
+    def f64(v: Double): Unit = i64(java.lang.Double.doubleToLongBits(v))
+    def raw(a: Array[Byte]): Unit = bytes ++= a
+    def patch32(pos: Int, v: Int): Unit =
+      (0 until 4).foreach(i => bytes(pos + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def result: Array[Byte] = bytes.toArray
+  }
+
+  private sealed trait F { def id: Int; def width: Int; def align: Int }
+  private case class FU8(id: Int, v: Int) extends F {
+    val width = 1; val align = 1
+  }
+  private case class FU16(id: Int, v: Int) extends F {
+    val width = 2; val align = 2
+  }
+  private case class FI64(id: Int, v: Long) extends F {
+    val width = 8; val align = 8
+  }
+  private case class FOff(id: Int) extends F { val width = 4; val align = 4 }
+
+  /** Emit a table (vtable immediately before it); returns (table pos,
+    * field id → uoffset patch position). */
+  private def table(b: Buf, fields: Seq[F]): (Int, Map[Int, Int]) = {
+    val slots = fields.map(_.id).max + 1
+    var off = 4 // after the soffset
+    val offs = scala.collection.mutable.Map.empty[Int, Int]
+    for (f <- fields.sortBy(x => (-x.align, x.id))) {
+      off = ((off + f.align - 1) / f.align) * f.align
+      offs(f.id) = off
+      off += f.width
+    }
+    val tSize = ((off + 3) / 4) * 4
+    b.pad(2)
+    val vt = b.size
+    b.u16(4 + 2 * slots); b.u16(tSize)
+    (0 until slots).foreach(i => b.u16(offs.getOrElse(i, 0)))
+    b.pad(4)
+    val t = b.size
+    b.i32(t - vt)
+    val patches = scala.collection.mutable.Map.empty[Int, Int]
+    var cur = 4
+    for (f <- fields.sortBy(x => offs(x.id))) {
+      while (cur < offs(f.id)) { b.u8(0); cur += 1 }
+      f match {
+        case FU8(_, v) => b.u8(v)
+        case FU16(_, v) => b.u16(v)
+        case FI64(_, v) => b.i64(v)
+        case FOff(id) => patches(id) = b.size; b.i32(0)
+      }
+      cur += f.width
+    }
+    while (cur < tSize) { b.u8(0); cur += 1 }
+    (t, patches.toMap)
+  }
+
+  private def link(b: Buf, patchPos: Int, target: Int): Unit =
+    b.patch32(patchPos, target - patchPos)
+
+  private def str(b: Buf, s: String): Int = {
+    b.pad(4); val p = b.size
+    val a = s.getBytes(StandardCharsets.UTF_8)
+    b.i32(a.length); b.raw(a); b.u8(0)
+    p
+  }
+  private def vecF64(b: Buf, xs: Seq[Double]): Int = {
+    b.padVec(8); val p = b.size; b.i32(xs.length); xs.foreach(b.f64); p
+  }
+  private def vecU32(b: Buf, xs: Seq[Int]): Int = {
+    b.pad(4); val p = b.size; b.i32(xs.length); xs.foreach(b.i32); p
+  }
+  private def vecBytes(b: Buf, a: Array[Byte]): Int = {
+    b.pad(4); val p = b.size; b.i32(a.length); b.raw(a); p
+  }
+  /** vector of table uoffsets; returns (vector pos, slot patch poss) */
+  private def vecOffs(b: Buf, n: Int): (Int, Seq[Int]) = {
+    b.pad(4); val p = b.size; b.i32(n)
+    val slots = (0 until n).map { _ => val s = b.size; b.i32(0); s }
+    (p, slots)
+  }
+
+  // ---- fgb-level assembly ----------------------------------------------
+
+  /** geometry table: ends/xy/type/parts (field ids 0/1/6/7) */
+  private def geom(b: Buf, tpe: Int, xy: Seq[Double] = Nil,
+      ends: Seq[Int] = Nil, nParts: Int = 0): (Int, Seq[Int]) = {
+    val fields = Seq(FU8(6, tpe)) ++
+      (if (xy.nonEmpty) Seq(FOff(1)) else Nil) ++
+      (if (ends.nonEmpty) Seq(FOff(0)) else Nil) ++
+      (if (nParts > 0) Seq(FOff(7)) else Nil)
+    val (t, patches) = table(b, fields)
+    if (xy.nonEmpty) link(b, patches(1), vecF64(b, xy))
+    if (ends.nonEmpty) link(b, patches(0), vecU32(b, ends))
+    val partSlots =
+      if (nParts == 0) Nil
+      else {
+        val (vp, slots) = vecOffs(b, nParts)
+        link(b, patches(7), vp)
+        slots
+      }
+    (t, partSlots)
+  }
+
+  /** Property buffer: (u16 column index, typed value) pairs, LE. */
+  private def props(vals: (Int, Any)*): Array[Byte] = {
+    val bb = ByteBuffer.allocate(1024).order(ByteOrder.LITTLE_ENDIAN)
+    vals.foreach { case (i, v) =>
+      bb.putShort(i.toShort)
+      v match {
+        case s: String =>
+          val a = s.getBytes(StandardCharsets.UTF_8)
+          bb.putInt(a.length); bb.put(a)
+        case l: Long => bb.putLong(l)
+        case d: Double => bb.putDouble(d)
+        case bo: Boolean => bb.put(if (bo) 1.toByte else 0.toByte)
+      }
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** One size-prefixed flatbuffer from `build` (root table emitted by
+    * the callback into a fresh content buffer). */
+  private def sizePrefixed(out: Buf)(build: Buf => Unit): Unit = {
+    val c = new Buf
+    c.i32(0) // root uoffset, patched by convention: root is next
+    build(c)
+    val content = c.result
+    out.i32(content.length)
+    out.raw(content)
+  }
+
+  /** columns: (name, ColumnType). Feature geometry+props emitted by
+    * `features`. indexNodeSize 0 = no index; >0 emits a zero-filled
+    * index region of the spec-computed size (the reader must skip it). */
+  private def writeFgb(path: String, geomType: Int,
+      columns: Seq[(String, Int)], indexNodeSize: Int,
+      features: Seq[(Buf => Int, Array[Byte])]): Unit = {
+    val b = new Buf
+    Seq(0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x00).foreach(b.u8)
+    sizePrefixed(b) { c =>
+      val (t, patches) = table(c, Seq(FU8(2, geomType), FOff(7),
+        FI64(8, features.length.toLong), FU16(9, indexNodeSize)))
+      c.patch32(0, t)
+      val (vp, slots) = vecOffs(c, columns.length)
+      link(c, patches(7), vp)
+      columns.zip(slots).foreach { case ((n, tpe), slot) =>
+        val (ct, cp) = table(c, Seq(FOff(0), FU8(1, tpe)))
+        link(c, slot, ct)
+        link(c, cp(0), str(c, n))
+      }
+    }
+    if (indexNodeSize > 0 && features.nonEmpty)
+      (0L until graft.sources.Fgb.packedRTreeSize(
+        features.length.toLong, indexNodeSize)).foreach(_ => b.u8(0))
+    features.foreach { case (g, p) =>
+      sizePrefixed(b) { c =>
+        val fields = Seq(FOff(0)) ++
+          (if (p.nonEmpty) Seq(FOff(1)) else Nil)
+        val (t, patches) = table(c, fields)
+        c.patch32(0, t)
+        link(c, patches(0), g(c))
+        if (p.nonEmpty) link(c, patches(1), vecBytes(c, p))
+      }
+    }
+    Files.write(Paths.get(path), b.result)
+  }
+
+  // ---- tests ------------------------------------------------------------
+
+  test("every geometry kind, typed properties with nulls, index skip, " +
+      "directory read") {
+    val dir = Files.createTempDirectory("fgb").toString
+    // ColumnTypes: 11 String, 7 Long, 10 Double, 2 Bool
+    val cols = Seq(("name", 11), ("pop", 7), ("score", 10), ("ok", 2))
+    writeFgb(s"$dir/a.fgb", 0, cols, 0, Seq(
+      (c => geom(c, 1, Seq(3.5, -1.25))._1,
+        props((0, "Alpha"), (1, 1200L), (2, 0.5), (3, true))),
+      (c => geom(c, 2, Seq(0, 0, 3, 4))._1,
+        props((0, "Beta"))),
+      (c => geom(c, 3,
+        Seq(0, 0, 10, 0, 10, 10, 0, 10, 0, 0, 2, 2, 4, 2, 4, 4, 2, 4, 2, 2),
+        ends = Seq(5, 10))._1,
+        Array.empty[Byte]),
+      (c => geom(c, 4, Seq(0, 0, 1, 1))._1,
+        props((1, 7L))),
+      (c => geom(c, 5, Seq(0, 0, 1, 0, 5, 5, 6, 5), ends = Seq(2, 4))._1,
+        Array.empty[Byte]),
+      (c => {
+        val (t, slots) = geom(c, 6, nParts = 2)
+        link(c, slots(0),
+          geom(c, 3, Seq(0, 0, 1, 0, 1, 1, 0, 1, 0, 0))._1)
+        link(c, slots(1),
+          geom(c, 3, Seq(5, 5, 6, 5, 6, 6, 5, 6, 5, 5))._1)
+        t
+      }, Array.empty[Byte])))
+    val df = graft.sources.Fgb.read(spark, s"$dir/a.fgb")
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) == Seq(
+      ("name", "string"), ("pop", "long"), ("score", "double"),
+      ("ok", "boolean"), ("geometry", "binary")))
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val byWkt = rows.map(r => GeoKernel.toWkt(
+      GeoKernel.fromWkb(r.getAs[Array[Byte]](4)).get) -> r).toMap
+    val pt = byWkt("POINT(3.5 -1.25)")
+    assert(pt.getString(0) == "Alpha" && pt.getLong(1) == 1200L &&
+      pt.getDouble(2) == 0.5 && pt.getBoolean(3))
+    val ln = byWkt("LINESTRING(0 0,3 4)")
+    assert(ln.getString(0) == "Beta" && ln.isNullAt(1) && ln.isNullAt(3))
+    val poly = byWkt.keys.find(_.startsWith("POLYGON")).get
+    assert(GeoKernel.area(GeoKernel.fromWkb(
+      byWkt(poly).getAs[Array[Byte]](4)).get) == 96.0) // 100 − 4 hole
+    assert(byWkt("MULTIPOINT((0 0),(1 1))").getLong(1) == 7L)
+    assert(byWkt.contains("MULTILINESTRING((0 0,1 0),(5 5,6 5))"))
+    val mp = byWkt.keys.find(_.startsWith("MULTIPOLYGON")).get
+    assert(GeoKernel.area(GeoKernel.fromWkb(
+      byWkt(mp).getAs[Array[Byte]](4)).get) == 2.0)
+
+    // second file WITH a packed R-tree region: reader must skip exactly
+    // the spec-computed size to land on the feature stream
+    writeFgb(s"$dir/b.fgb", 1, cols, 16, Seq(
+      (c => geom(c, 1, Seq(7.0, 8.5))._1, props((0, "mast"))),
+      (c => geom(c, 1, Seq(9.0, 9.0))._1, Array.empty[Byte])))
+    val db = graft.sources.Fgb.read(spark, s"$dir/b.fgb")
+    assert(db.count() == 2)
+    assert(db.collect().exists(r => r.getString(0) == "mast"))
+    // directory read unions both files
+    assert(graft.sources.Fgb.read(spark, dir).count() == 8)
+    // engine surface
+    assert(graft.engine.Engine.copyFrom(spark, dir, "fgb").count() == 8)
+  }
+
+  test("packed R-tree size matches the published level roll-up") {
+    import graft.sources.Fgb.packedRTreeSize
+    assert(packedRTreeSize(2, 16) == 3 * 40L)
+    assert(packedRTreeSize(16, 16) == 17 * 40L)
+    assert(packedRTreeSize(17, 16) == (17 + 2 + 1) * 40L)
+    // 100k items, node size 16: 100000+6250+391+25+2+1 nodes
+    assert(packedRTreeSize(100000, 16) == 106669L * 40L)
+  }
+}

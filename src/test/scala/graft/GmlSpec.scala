@@ -139,4 +139,45 @@ class GmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.engine.Engine.copyFrom(spark, dir.toString, "gml")
       .count() == 7)
   }
+
+  test("GML3 repeated <gml:pos> elements accumulate into one curve/ring") {
+    // valid GML 3.x (and GDAL-accepted): one pos per point instead of a
+    // posList — must NOT truncate to the first point
+    val doc =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2"
+        |  xmlns:app="http://x/app">
+        |  <gml:featureMembers>
+        |    <app:path gml:id="m1">
+        |      <app:geom>
+        |        <gml:LineString>
+        |          <gml:pos>0 0</gml:pos>
+        |          <gml:pos>3 4</gml:pos>
+        |          <gml:pos>3 8</gml:pos>
+        |        </gml:LineString>
+        |      </app:geom>
+        |    </app:path>
+        |    <app:cell gml:id="m2">
+        |      <app:geom>
+        |        <gml:Polygon>
+        |          <gml:exterior><gml:LinearRing>
+        |            <gml:pos>0 0</gml:pos>
+        |            <gml:pos>4 0</gml:pos>
+        |            <gml:pos>4 3</gml:pos>
+        |            <gml:pos>0 0</gml:pos>
+        |          </gml:LinearRing></gml:exterior>
+        |        </gml:Polygon>
+        |      </app:geom>
+        |    </app:cell>
+        |  </gml:featureMembers>
+        |</gml:FeatureCollection>""".stripMargin
+    val dir = Files.createTempDirectory("gmlpos")
+    Files.write(Paths.get(dir.toString, "p.gml"),
+      doc.getBytes(StandardCharsets.UTF_8))
+    val rows = graft.sources.Gml.read(spark, dir.toString).collect()
+      .map(r => r.getString(1) ->
+        Option(r.getAs[Array[Byte]](3)).flatMap(GeoKernel.fromWkb)).toMap
+    assert(GeoKernel.toWkt(rows("m1").get) == "LINESTRING(0 0,3 4,3 8)")
+    assert(GeoKernel.area(rows("m2").get) == 6.0)
+  }
 }

@@ -103,4 +103,42 @@ class MifSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.engine.Engine.copyFrom(spark, dir.toString, "mif")
       .count() == 6)
   }
+
+  test("blank interior .mid line is an empty record, not a row shift; " +
+      "heterogeneous directory schemas fail loudly") {
+    val dir = Files.createTempDirectory("mifblank")
+    val m = Seq(
+      "VERSION 300", "DELIMITER \",\"", "COLUMNS 1", "  tag Char(10)",
+      "DATA",
+      "POINT 1 1",
+      "POINT 2 2",
+      "POINT 3 3").mkString("\n")
+    Files.write(Paths.get(dir.toString, "b.mif"),
+      m.getBytes(StandardCharsets.UTF_8))
+    // row 2's single Char field is legitimately empty (a blank line);
+    // row 3 must still pair with POINT 3 3 (trailing newline ignored)
+    Files.write(Paths.get(dir.toString, "b.mid"),
+      "one\n\nthree\n".getBytes(StandardCharsets.UTF_8))
+    val rows = graft.sources.Mif.read(spark, dir.toString).collect()
+      .map(r => (r.getString(0),
+        GeoKernel.toWkt(GeoKernel.fromWkb(r.getAs[Array[Byte]](1)).get)))
+    assert(rows.toSet == Set(("one", "POINT(1 1)"), ("", "POINT(2 2)"),
+      ("three", "POINT(3 3)")))
+    // a second file with a different COLUMNS layout → loud error
+    val m2 = Seq(
+      "VERSION 300", "DELIMITER \",\"", "COLUMNS 2",
+      "  tag Char(10)", "  n Integer",
+      "DATA", "POINT 9 9").mkString("\n")
+    Files.write(Paths.get(dir.toString, "c.mif"),
+      m2.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir.toString, "c.mid"),
+      "x,1\n".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[Throwable] {
+      graft.sources.Mif.read(spark, dir.toString).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("COLUMNS")))
+  }
 }
