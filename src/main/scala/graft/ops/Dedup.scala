@@ -131,6 +131,44 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 0, shingleK: Int = 5,
       threshold: Double = 0.6): DataFrame = {
+    val plan = minhashPlan(df, idCol, textCol, numHashes, bands,
+      shingleK, threshold)
+    val spark = df.sparkSession
+    val mode = spark.conf
+      .get("spark.graft.minhash.clusteredVerify", "auto")
+    val clustered = mode match {
+      case "never" => false
+      case "always" => true
+      case _ if !plan.big => false // small corpora: one fused job
+      case _ =>
+        // the candidate list is narrow and about to be consumed twice
+        // (routing count + verify) — cache it; the clustered layout wins
+        // when pairs outnumber the docs carrying them (its shuffle is
+        // O(docs) shingle arrays + O(pairs) ids, the join layout's is
+        // O(pairs) arrays), with slack for its fixed extra jobs
+        val est = trackedCache(plan.est)
+        val nPairs = est.count()
+        val nDocs = est.select(col("id_a").as("id"))
+          .unionByName(est.select(col("id_b").as("id")))
+          .distinct().count()
+        nPairs > 2 * nDocs
+    }
+    if (clustered) exactVerifyClustered(plan.est, plan.sh, threshold)
+    else exactVerifyJoin(plan.est, plan.sh, threshold, plan.big)
+  }
+
+  /** The minhash pipeline's staged internals — one object so the
+    * benchmark ledger (tools/MinhashLedger) times the REAL stages and
+    * the auto-dispatch above composes them without recomputation.
+    * `sh`/`sig` branch off one cached signature table; `est` is the
+    * post-banding, post-estimate candidate list. */
+  private[graft] final case class MinhashPlan(sig: DataFrame,
+      sh: DataFrame, nDocs: Long, nBands: Int, big: Boolean,
+      cand: DataFrame, est: DataFrame)
+
+  private[graft] def minhashPlan(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 64, bands: Int = 0,
+      shingleK: Int = 5, threshold: Double = 0.6): MinhashPlan = {
     // the O(L·k) signature kernel is the expensive per-row stage: fan it
     // out when the source is under-partitioned (single-row-group files)
     val src = Par.fanOut(df)
@@ -216,10 +254,17 @@ object Dedup {
           >= minAgree)
         .select("id_a", "id_b")
     }
-    // exact verify: build the (narrow) surviving-pair list, stream the
-    // fat shingle relation; the second join is left to the planner —
-    // neither side is fixed-width there (both carry shingle arrays), so
-    // a forced hash build has no safe side.
+    MinhashPlan(sig, sh, nDocs, nBands, big, cand, est)
+  }
+
+  /** Pair-join exact verify: build the (narrow) surviving-pair list,
+    * stream the fat shingle relation; the second join is left to the
+    * planner — neither side is fixed-width there (both carry shingle
+    * arrays), so a forced hash build has no safe side. Shuffle volume is
+    * O(pairs) shingle arrays — the right layout while pairs ≲ docs. */
+  private[graft] def exactVerifyJoin(est: DataFrame, sh: DataFrame,
+      threshold: Double, big: Boolean): DataFrame = {
+    def shj(d: DataFrame): DataFrame = if (big) d.hint("shuffle_hash") else d
     shj(est)
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -236,6 +281,116 @@ object Dedup {
       // comparison, not a rounded-float one)
       .filter(col("n_common").cast("double") >= col("n_union") * threshold)
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
+  }
+
+  /** Cluster-grouped exact verify — the scale path when candidate pairs
+    * outnumber the docs carrying them (duplicate clusters are near-
+    * cliques: a cluster of c docs implies ~c²/2 candidate pairs, and
+    * the pair-join layout moves a shingle array per PAIR side). Here
+    * every doc's shingle set moves ONCE: candidates collapse to
+    * connected components ([[components]] on the narrow pair list),
+    * each component's docs and pairs co-locate via one hash shuffle on
+    * the component label, and a per-component in-memory map verifies
+    * the listed pairs only — output is row-identical to
+    * [[exactVerifyJoin]] (same pairs, same integer counts, same
+    * HALF_UP 6-digit rounding; PipelineSpec pins the equivalence).
+    *
+    * Degenerate-cluster guard: a component larger than `capDocs` docs
+    * would concentrate one task's memory, so ITS pairs fall back to the
+    * pair-join layout; both arms union. 100 TB posture: no driver
+    * collect, one O(docs)+O(pairs) shuffle, label propagation rounds
+    * are O(pairs) each on a lineage-truncated frame. */
+  private[graft] def exactVerifyClustered(est0: DataFrame, sh: DataFrame,
+      threshold: Double, capDocs: Int = 65536): DataFrame = {
+    val spark = est0.sparkSession
+    val est = trackedCache(est0)
+    val nodes = est.select(col("id_a").as("id"))
+      .unionByName(est.select(col("id_b").as("id"))).distinct()
+    val comp = trackedCache(
+      components(est, "id_a", "id_b", nodes, "id", "_comp"))
+    val sizes = comp.groupBy("_comp").agg(count(lit(1)).as("_csz"))
+    val docsAll = comp.join(sizes, Seq("_comp"))
+    val docsSmall = docsAll.filter(col("_csz") <= capDocs)
+      .select(col("_comp"), col("id"))
+    val bigIds = docsAll.filter(col("_csz") > capDocs).select(col("id"))
+    // pairs are intra-component by construction: tag via id_a
+    val pairsTagged = est.join(
+      docsAll.select(col("id").as("id_a"), col("_comp"), col("_csz")),
+      Seq("id_a"))
+    val smallPairs = pairsTagged.filter(col("_csz") <= capDocs)
+      .select(col("_comp"), col("id_a"), col("id_b"))
+    val bigPairs = pairsTagged.filter(col("_csz") > capDocs)
+      .select(col("id_a"), col("id_b"))
+    // one relation, sorted so a component's docs precede its pairs
+    // within the partition; id/shingle types stay whatever the caller's
+    // idCol is (Row-level pass, no encoders)
+    val shSmall = sh.join(docsSmall, Seq("id"))
+      .select(col("_comp"), lit(0).as("_kind"), col("id").as("_a"),
+        lit(null).cast(est.schema("id_b").dataType).as("_b"), col("sh"))
+    val packed = shSmall.unionByName(
+      smallPairs.select(col("_comp"), lit(1).as("_kind"),
+        col("id_a").as("_a"), col("id_b").as("_b"),
+        lit(null).cast(shSmall.schema("sh").dataType).as("sh")))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parts = packed.repartition(n, col("_comp"))
+      .sortWithinPartitions("_comp", "_kind")
+    val idType = est.schema("id_a").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", idType),
+      org.apache.spark.sql.types.StructField("id_b", idType),
+      org.apache.spark.sql.types.StructField("n_common",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_union",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("jaccard",
+        org.apache.spark.sql.types.DoubleType)))
+    val verified = parts.rdd.mapPartitions { it =>
+      var cur: Any = null
+      var started = false
+      var m: java.util.HashMap[Any, Array[Long]] = null
+      it.flatMap { r =>
+        val c = r.get(0)
+        if (!started || c != cur) {
+          cur = c; started = true
+          m = new java.util.HashMap[Any, Array[Long]]()
+        }
+        if (r.getInt(1) == 0) {
+          m.put(r.get(2),
+            r.getSeq[Long](4).toArray)
+          Iterator.empty
+        } else {
+          val sa = m.get(r.get(2)); val sb = m.get(r.get(3))
+          if (sa == null || sb == null) Iterator.empty
+          else {
+            val common = sortedIntersectLocal(sa, sb)
+            val union = sa.length.toLong + sb.length - common
+            if (common.toDouble >= union * threshold) {
+              // identical rounding to Spark's round(_, 6) on doubles:
+              // BigDecimal.valueOf (shortest-repr) + HALF_UP
+              val j = java.math.BigDecimal
+                .valueOf(common.toDouble / union)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              Iterator.single(org.apache.spark.sql.Row(
+                r.get(2), r.get(3), common, union, j))
+            } else Iterator.empty
+          }
+        }
+      }
+    }
+    spark.createDataFrame(verified, outSchema)
+      .unionByName(exactVerifyJoin(bigPairs, sh, threshold, big = true))
+  }
+
+  /** Merge-count of two sorted distinct long arrays (the JVM-side twin
+    * of [[SortedIntersectCount]]). */
+  private def sortedIntersectLocal(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
   }
 
   // ------------------------------------------------------ n-gram jaccard

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.Dedup
+
+/** Phase ledger for q_dedup_minhash at scale: times the REAL staged
+  * internals (Dedup.minhashPlan + both exact-verify layouts) under the
+  * bench's large-fixture shuffle settings, so every second of the
+  * end-to-end figure is attributed to a stage — the missing ledger the
+  * round-9 verdict flagged for the one multi-second query without one.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=benchdata/sf10 scripts/run.sh \
+  *          graft.tools.MinhashLedger
+  */
+object MinhashLedger {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "benchdata/sf10")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions.col
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[ledger] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    d.count() // warm IO
+
+    // ---- staged attribution (caches mirror the real pipeline's) ----
+    val plan = Dedup.minhashPlan(d, "doc_id", "text", threshold = 0.5)
+    // minhashPlan already ran sig.count() for the bands dial; re-count
+    // to show the cached-signature cost separately from the build
+    println(s"[info] nDocs=${plan.nDocs} bands=${plan.nBands} big=${plan.big}")
+    time("signatures (cached) re-count")(plan.sig.count())
+    val cand = time("banding + candidate pairs") {
+      val c = plan.cand.cache(); val n = c.count()
+      println(s"[info] candidates=$n"); c
+    }
+    val est = time("signature-estimate filter") {
+      val e = plan.est.cache(); val n = e.count()
+      println(s"[info] est survivors=$n"); e
+    }
+    val docsInPairs = time("distinct docs in survivors") {
+      val n = est.select(col("id_a").as("id"))
+        .unionByName(est.select(col("id_b").as("id"))).distinct().count()
+      println(s"[info] docs in pairs=$n"); n
+    }
+    println(s"[info] pairs/doc = " +
+      f"${est.count().toDouble / math.max(docsInPairs, 1)}%.2f")
+    time("exact verify: pair-join layout") {
+      Dedup.exactVerifyJoin(est, plan.sh, 0.5, plan.big)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("exact verify: clustered layout") {
+      Dedup.exactVerifyClustered(est, plan.sh, 0.5)
+        .write.format("noop").mode("overwrite").save()
+    }
+    cand.unpersist(); est.unpersist()
+    Dedup.releaseCaches()
+    spark.catalog.clearCache()
+
+    // ---- end-to-end, both dispatch modes, cold caches ----
+    for (mode <- Seq("never", "always", "auto")) {
+      spark.conf.set("spark.graft.minhash.clusteredVerify", mode)
+      time(s"end-to-end minhashPairs [$mode]") {
+        Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      Dedup.releaseCaches()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

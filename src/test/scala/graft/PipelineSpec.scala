@@ -98,6 +98,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("clustered exact verify is row-identical to the pair-join verify") {
+    // the sf-scale verify layout (components + per-cluster in-memory
+    // maps) must reproduce the join layout's output EXACTLY — pairs,
+    // integer counts, and the HALF_UP 6-digit jaccard rounding
+    def run(mode: String): Set[(Long, Long, Long, Long, Double)] = {
+      spark.conf.set("spark.graft.minhash.clusteredVerify", mode)
+      try Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      finally {
+        spark.conf.set("spark.graft.minhash.clusteredVerify", "auto")
+        Dedup.releaseCaches()
+        spark.catalog.clearCache()
+      }
+    }
+    val joined = run("never")
+    val clustered = run("always")
+    assert(clustered == joined,
+      s"clustered verify diverged: only-join=${(joined -- clustered).take(3)}" +
+        s" only-clustered=${(clustered -- joined).take(3)}")
+    assert(joined.nonEmpty)
+  }
+
+  test("clustered verify giant-component fallback keeps output exact") {
+    // capDocs=2 forces every real cluster through the join fallback arm
+    // (planted clusters are larger) — the union of arms must still be
+    // byte-identical
+    spark.conf.set("spark.graft.minhash.clusteredVerify", "never")
+    val plan = Dedup.minhashPlan(planted, "doc_id", "text", threshold = 0.6)
+    val joined = Dedup.exactVerifyJoin(plan.est, plan.sh, 0.6, plan.big)
+      .collect().map(_.toSeq).toSet
+    val hybrid = Dedup.exactVerifyClustered(plan.est, plan.sh, 0.6,
+        capDocs = 2)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("spark.graft.minhash.clusteredVerify", "auto")
+    Dedup.releaseCaches()
+    spark.catalog.clearCache()
+    assert(hybrid == joined)
+    assert(joined.nonEmpty)
+  }
+
   test("minhashPairs caches are tracked and released by releaseCaches") {
     // start from a clean slate: earlier tests' identical minhash plans
     // would otherwise be deduped onto their still-cached relations
