@@ -253,6 +253,23 @@ object IcebergImport {
     scanFiles(spark, tableDir, table, files)
   }
 
+  /** Scan from an explicit metadata.json path — the REST-catalog entry
+    * point, where the catalog hands back a `metadata-location` rather
+    * than a table directory (rest_catalog.c resolves tables the same
+    * way). The table directory for path relocation is the metadata
+    * file's grandparent (`<table>/metadata/<v>.metadata.json`). */
+  def scanMetadataPath(spark: SparkSession, metadataPath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val table = readMetadata(metadataPath)
+    val tableDir = Paths.get(metadataPath).toAbsolutePath
+      .getParent.getParent.toString
+    val snap = snapshotId.map(id => table.snapshot(id).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot $id")))
+      .orElse(table.currentSnapshot)
+    val files = snap.map(liveFiles(table, _, tableDir)).getOrElse(Nil)
+    scanFiles(spark, tableDir, table, files)
+  }
+
   /** Scan a specific file-entry subset (data files plus whatever delete
     * entries should apply to them) under `table`'s schema — the shared
     * tail of [[scan]] and the iceberg-cdc micro-batch path. */

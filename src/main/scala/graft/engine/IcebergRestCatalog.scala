@@ -1,0 +1,136 @@
+package graft.engine
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+import graft.core.{IcebergImport, LakeTable}
+
+/** A LIVE Iceberg REST catalog client — the reference's rest_catalog.c
+  * (62-828) surface rebuilt on the PUBLIC Iceberg REST Catalog OpenAPI:
+  * real HTTP (JDK HttpClient), real JSON wire payloads, bearer-token
+  * auth, the `/v1/config` prefix handshake, 0x1F-separated multi-level
+  * namespaces in URLs — everything short of a remote endpoint, which
+  * this environment cannot reach; RestCatalogSpec drives the client
+  * against an in-process loopback server speaking the same API.
+  *
+  * Endpoints used (spec operation names in parentheses):
+  *   GET    /v1/config                          (getConfig)
+  *   GET    /v1/{p}/namespaces                  (listNamespaces)
+  *   POST   /v1/{p}/namespaces                  (createNamespace)
+  *   GET    /v1/{p}/namespaces/{ns}/tables      (listTables)
+  *   POST   /v1/{p}/namespaces/{ns}/register    (registerTable)
+  *   GET    /v1/{p}/namespaces/{ns}/tables/{t}  (loadTable)
+  *   DELETE /v1/{p}/namespaces/{ns}/tables/{t}  (dropTable)
+  *
+  * Reads resolve the returned `metadata-location` through
+  * [[IcebergImport.scanMetadataPath]]; publishing a lake table is
+  * export-then-register ([[publish]]), the migration direction the
+  * reference documents for its REST-catalog users.
+  */
+final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
+    token: Option[String] = None, warehouse: Option[String] = None) {
+
+  private implicit val formats: Formats = DefaultFormats
+  private val http = HttpClient.newHttpClient()
+  private val base = baseUri.stripSuffix("/")
+
+  private def request(method: String, path: String,
+      body: Option[String] = None): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/json")
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val req = (body match {
+      case Some(j) => b.method(method,
+        HttpRequest.BodyPublishers.ofString(j, StandardCharsets.UTF_8))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def expect(method: String, path: String,
+      body: Option[String] = None): JValue = {
+    val (code, resp) = request(method, path, body)
+    if (code < 200 || code >= 300)
+      throw new IllegalStateException(
+        s"$method $path -> HTTP $code: ${resp.take(500)}")
+    if (resp == null || resp.isEmpty) JNothing else JsonMethods.parse(resp)
+  }
+
+  /** `/v1/config` handshake: server defaults < client < server
+    * overrides, exactly the spec's merge order; a `prefix` property
+    * routes every later call through `/v1/{prefix}/...`. */
+  private val config: Map[String, String] = {
+    val q = warehouse.map(w => "?warehouse=" +
+      java.net.URLEncoder.encode(w, "UTF-8")).getOrElse("")
+    val j = expect("GET", s"/v1/config$q")
+    val defaults = (j \ "defaults").extractOpt[Map[String, String]]
+      .getOrElse(Map.empty)
+    val overrides = (j \ "overrides").extractOpt[Map[String, String]]
+      .getOrElse(Map.empty)
+    defaults ++ overrides
+  }
+  private val prefix: String =
+    config.get("prefix").map(p => s"/$p").getOrElse("")
+
+  /** Multi-level namespaces join with the 0x1F unit separator in URLs
+    * (spec: "Namespaces may be nested... using the 0x1F byte"). */
+  private def nsPath(ns: Seq[String]): String =
+    java.net.URLEncoder.encode(ns.mkString("\u001f"), "UTF-8")
+
+  def listNamespaces(): Seq[Seq[String]] =
+    (expect("GET", s"/v1$prefix/namespaces") \ "namespaces")
+      .extract[Seq[Seq[String]]]
+
+  def createNamespace(ns: Seq[String],
+      properties: Map[String, String] = Map.empty): Unit =
+    expect("POST", s"/v1$prefix/namespaces", Some(Serialization.write(
+      Map("namespace" -> ns, "properties" -> properties))))
+
+  def listTables(ns: Seq[String]): Seq[String] =
+    (expect("GET", s"/v1$prefix/namespaces/${nsPath(ns)}/tables")
+      \ "identifiers").extract[Seq[JValue]]
+      .map(j => (j \ "name").extract[String])
+
+  def tableExists(ns: Seq[String], name: String): Boolean =
+    request("GET",
+      s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name")._1 == 200
+
+  /** The table's current `metadata-location` per the catalog. */
+  def metadataLocation(ns: Seq[String], name: String): String = {
+    val j = expect("GET",
+      s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name")
+    (j \ "metadata-location").extract[String]
+  }
+
+  /** Scan the table the catalog points at (current snapshot). */
+  def scan(ns: Seq[String], name: String): DataFrame =
+    IcebergImport.scanMetadataPath(spark, metadataLocation(ns, name))
+
+  /** Register an existing Iceberg table by metadata location
+    * (registerTable — the spec's migration endpoint). */
+  def registerTable(ns: Seq[String], name: String,
+      metadataLocation: String): Unit =
+    expect("POST", s"/v1$prefix/namespaces/${nsPath(ns)}/register",
+      Some(Serialization.write(Map(
+        "name" -> name, "metadata-location" -> metadataLocation))))
+
+  def dropTable(ns: Seq[String], name: String): Unit =
+    expect("DELETE",
+      s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name?purgeRequested=false")
+
+  /** Publish a lake table: export an Iceberg-readable snapshot beside
+    * its data ([[graft.core.IcebergExport]]) and register the resulting
+    * metadata.json — after which ANY Iceberg REST client sees it. */
+  def publish(tbl: LakeTable, ns: Seq[String], name: String): Unit = {
+    graft.core.IcebergExport.export(tbl, tbl.dir)
+    val meta = IcebergImport.latestMetadataPath(tbl.dir).getOrElse(
+      throw new IllegalStateException(s"export produced no metadata under ${tbl.dir}"))
+    registerTable(ns, name, meta)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B for the q10/q3 fact-decode floor (round-9 verdict task 8): can
+  * parquet page-index (ColumnIndex) filtering or a page-skippable
+  * layout move the ledgered ~0.4 s lineitem scan constant?
+  *
+  * Arms, each timed on (1) the stock fixture layout and (2) a
+  * returnflag-clustered rewrite (sortWithinPartitions(l_returnflag) —
+  * pages become flag-homogeneous, so the pushed `l_returnflag = 'R'`
+  * predicate can skip ~2/3 of the data pages via the column index;
+  * the stock layout interleaves flags randomly, so page stats are
+  * useless there BY CONSTRUCTION — that asymmetry is the experiment):
+  *   scan_all       4-column decode, no filter (the pure floor)
+  *   scan_filtered  same + pushed returnflag filter, ColumnIndex ON
+  *   scan_noindex   same, parquet.filter.columnindex.enabled=false
+  *   full_q10       the gated query
+  * A third layout variant re-writes the clustered table with 128 KiB
+  * pages (finer skip resolution than the 1 MiB default).
+  *
+  * Usage: Q10PageAB <sfDir> [rounds=5]
+  */
+object Q10PageAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tmp = System.getProperty("java.io.tmpdir")
+    val hex = java.lang.Integer.toHexString(sfDir.hashCode)
+    val rfDir = s"$tmp/graft-rf-$hex"
+    val rfSmallDir = s"$tmp/graft-rfsp-$hex"
+    def rewrite(to: String, opts: Map[String, String]): Unit = {
+      val done = java.nio.file.Paths.get(to, "_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartition(32)
+          .sortWithinPartitions("l_returnflag", "l_orderkey")
+          .write.mode("overwrite").options(opts)
+          .parquet(s"$to/lineitem.parquet")
+        java.nio.file.Files.createFile(done)
+      }
+    }
+    rewrite(rfDir, Map.empty)
+    rewrite(rfSmallDir, Map("parquet.page.size" -> "131072"))
+
+    def li(dir: String): DataFrame =
+      if (dir == sfDir) graft.Tables.load(spark, dir, "lineitem")
+      else spark.read.parquet(s"$dir/lineitem.parquet")
+
+    def scanAll(dir: String): DataFrame = li(dir)
+      .agg(max("l_orderkey"), max(length(col("l_returnflag"))),
+        max("l_extendedprice"), max("l_discount"))
+    def scanFiltered(dir: String): DataFrame = li(dir)
+      .filter(col("l_returnflag") === "R")
+      .agg(max("l_orderkey"), max("l_extendedprice"), max("l_discount"))
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def once(f: () => DataFrame, columnIndex: Boolean): Double = {
+      spark.catalog.clearCache()
+      hconf.set("parquet.filter.columnindex.enabled", columnIndex.toString)
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      hconf.set("parquet.filter.columnindex.enabled", "true")
+      graft.plans.ProbeAgg.releaseBroadcasts()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val layouts = Seq("stock" -> sfDir, "rf_sorted" -> rfDir,
+      "rf_sorted_128k" -> rfSmallDir)
+    val arms: Seq[(String, () => Double)] = layouts.flatMap {
+      case (lname, dir) => Seq(
+        (s"$lname/scan_all", () => once(() => scanAll(dir), true)),
+        (s"$lname/scan_filtered", () => once(() => scanFiltered(dir), true)),
+        (s"$lname/scan_noindex", () => once(() => scanFiltered(dir), false)))
+    } ++ Seq(
+      ("stock/full_q10", () => once(() =>
+        graft.SparkEntry.queries("q10_returned_items")(spark, sfDir), true)))
+
+    (1 to 2).foreach(_ => arms.foreach(_._2())) // warm
+    val times = collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to rounds).foreach { _ =>
+      arms.foreach { case (n, f) => times(n) :+= f() }
+      System.gc()
+    }
+    arms.foreach { case (n, _) =>
+      val xs = times(n).sorted
+      println(f"[pageab] $n%-28s median=${xs(xs.size / 2)}%.3f " +
+        f"min=${xs.head}%.3f max=${xs.last}%.3f")
+    }
+    spark.stop()
+  }
+}

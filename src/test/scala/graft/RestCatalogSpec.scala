@@ -1,0 +1,147 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{Engine, IcebergRestCatalog}
+
+/** Drives [[IcebergRestCatalog]] over REAL loopback HTTP against an
+  * in-process server speaking the public Iceberg REST Catalog API
+  * (config handshake with a prefix, bearer-token auth, namespace CRUD,
+  * register/load/drop, 0x1F namespace separators) — the live-wire
+  * exercise of the reference's rest_catalog.c surface that a no-egress
+  * environment permits. */
+class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Token = "s3cr3t-token"
+  private var server: HttpServer = _
+  private var port: Int = 0
+
+  // catalog state: namespaces + (nsKey, table) -> metadata-location
+  private val namespaces = mutable.LinkedHashSet[Seq[String]]()
+  private val tables = mutable.LinkedHashMap[(String, String), String]()
+
+  private def json(ex: HttpExchange, code: Int, body: String): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+    if (b.nonEmpty) ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      try handle(ex)
+      catch { case e: Throwable =>
+        json(ex, 500, s"""{"error":"${e.getMessage}"}""")
+      }
+    })
+    server.start()
+    port = server.getAddress.getPort
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    val auth = ex.getRequestHeaders.getFirst("Authorization")
+    if (auth != s"Bearer $Token") { json(ex, 401, """{"error":"no"}"""); return }
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath // URI decodes %-escapes
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    import org.json4s.jackson.JsonMethods.parse
+    import org.json4s.jackson.Serialization.write
+
+    (method, path.stripPrefix("/").split("/").toList) match {
+      case ("GET", List("v1", "config")) =>
+        // a prefix forces the client through /v1/demo/... — the spec's
+        // multi-tenant routing property
+        json(ex, 200, """{"defaults":{"prefix":"demo"},"overrides":{}}""")
+      case ("GET", List("v1", "demo", "namespaces")) =>
+        json(ex, 200, write(Map("namespaces" -> namespaces.toSeq)))
+      case ("POST", List("v1", "demo", "namespaces")) =>
+        val ns = (parse(body) \ "namespace").extract[Seq[String]]
+        namespaces += ns
+        json(ex, 200, write(Map("namespace" -> ns,
+          "properties" -> Map.empty[String, String])))
+      case ("GET", List("v1", "demo", "namespaces", ns, "tables")) =>
+        val ids = tables.keys.filter(_._1 == ns).map { case (_, t) =>
+          Map("namespace" -> ns.split('\u001f').toSeq, "name" -> t)
+        }.toSeq
+        json(ex, 200, write(Map("identifiers" -> ids)))
+      case ("POST", List("v1", "demo", "namespaces", ns, "register")) =>
+        val j = parse(body)
+        val name = (j \ "name").extract[String]
+        val loc = (j \ "metadata-location").extract[String]
+        tables((ns, name)) = loc
+        json(ex, 200, write(Map("metadata-location" -> loc,
+          "metadata" -> Map.empty[String, String])))
+      case ("GET", List("v1", "demo", "namespaces", ns, "tables", t)) =>
+        tables.get((ns, t)) match {
+          case Some(loc) => json(ex, 200,
+            write(Map("metadata-location" -> loc,
+              "metadata" -> Map.empty[String, String])))
+          case None => json(ex, 404, """{"error":"NoSuchTableException"}""")
+        }
+      case ("DELETE", List("v1", "demo", "namespaces", ns, "tables", t)) =>
+        if (tables.remove((ns, t)).isDefined) json(ex, 204, "")
+        else json(ex, 404, """{"error":"NoSuchTableException"}""")
+      case _ => json(ex, 404, s"""{"error":"no route $method $path"}""")
+    }
+  }
+
+  override def afterAll(): Unit = {
+    server.stop(0)
+    spark.stop()
+  }
+
+  test("config handshake, namespace CRUD, publish/scan/drop over live " +
+      "loopback HTTP") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val ns = Seq("lake", "prod") // multi-level → 0x1F-joined in URLs
+    cat.createNamespace(ns)
+    assert(cat.listNamespaces().contains(ns))
+    assert(cat.listTables(ns).isEmpty)
+
+    // publish a real lake table (export + register), read it back
+    // through the catalog's metadata-location
+    val r = Tables.load(spark, "/root/testdata/sf0.001", "region")
+    val dir = Files.createTempDirectory("restcat").toString + "/t"
+    val tbl = Engine.ctas(spark, dir, r)
+    cat.publish(tbl, ns, "region")
+    assert(cat.listTables(ns) == Seq("region"))
+    assert(cat.tableExists(ns, "region"))
+    assert(!cat.tableExists(ns, "nope"))
+    val got = cat.scan(ns, "region")
+    assert(got.count() == r.count())
+    assert(got.select("r_name").collect().map(_.getString(0)).sorted.toSeq ==
+      r.select("r_name").collect().map(_.getString(0)).sorted.toSeq)
+
+    cat.dropTable(ns, "region")
+    assert(!cat.tableExists(ns, "region"))
+    assert(cat.listTables(ns).isEmpty)
+  }
+
+  test("requests without the bearer token are rejected by the service") {
+    val e = intercept[IllegalStateException] {
+      new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+        token = Some("wrong"))
+    }
+    assert(e.getMessage.contains("401"))
+  }
+}
