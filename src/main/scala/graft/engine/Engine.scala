@@ -997,8 +997,12 @@ object Engine {
   }
 
   /** COPY FROM with schema inference (read_data.c:222-453). */
-  def copyFrom(spark: SparkSession, path: String, format: String,
-      options: Map[String, String] = Map.empty): DataFrame =
+  def copyFrom(spark: SparkSession, path0: String, format: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    // http(s):// sources localize through the content-addressed cache
+    // first (the reference's cache-worker shape, sources/RemoteFetch) —
+    // every format below then reads a local file exactly as before
+    val path = graft.sources.RemoteFetch.localize(path0)
     format.toLowerCase match {
       case "parquet" => spark.read.options(options).parquet(path)
       case "csv" =>
@@ -1079,6 +1083,7 @@ object Engine {
             col("properties").as("properties"))
       case other => throw new IllegalArgumentException(s"format $other")
     }
+  }
 
   /** Log-format scan: regex-template projection over raw text — the
     * reference's S3-access-log reader (GetLogFormatRegex,

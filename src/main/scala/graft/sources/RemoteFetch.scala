@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+/** Remote-object localization — the Spark-native analogue of the
+  * reference's cache worker (pg_lake_engine/src/pgduck/cache_worker.c:
+  * 75-188), which materializes remote objects into a local cache before
+  * the engine reads them. `http(s)://` paths download ONCE into a
+  * content-addressed cache directory (atomic rename, so concurrent
+  * readers never see a partial file) and re-reads hit the cache;
+  * non-URL paths pass through untouched.
+  *
+  * Every `Engine.copyFrom` format accepts a URL through this shim —
+  * closing the "URL schemes" row of the format matrix for the schemes a
+  * no-egress environment can actually exercise (loopback HTTP, pinned
+  * live in UrlReadSpec). s3/gs/az object stores are the same
+  * localize-then-read shape behind signed HTTP and stay out only for
+  * lack of an endpoint to sign against.
+  *
+  * Scale posture: one driver-side fetch per distinct URL, amortized by
+  * the cache — the reference's worker makes exactly this trade (whole-
+  * object materialization, cleanup by LRU); a cluster deployment would
+  * point `graft.url.cache.dir` at fast local disk per node.
+  */
+object RemoteFetch {
+
+  def isUrl(path: String): Boolean =
+    path.startsWith("http://") || path.startsWith("https://")
+
+  private def cacheDir: Path = {
+    val d = Paths.get(sys.props.getOrElse("graft.url.cache.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-url-cache"))
+    Files.createDirectories(d)
+    d
+  }
+
+  /** Localize `path`: URLs download into the cache (keyed by URL hash,
+    * extension preserved so format sniffers keep working); anything
+    * else passes through. */
+  def localize(path: String): String = {
+    if (!isUrl(path)) return path
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(32)
+    val ext = {
+      val name = URI.create(path).getPath
+      val dot = name.lastIndexOf('.')
+      if (dot >= 0 && dot > name.lastIndexOf('/')) name.substring(dot) else ""
+    }
+    val dest = cacheDir.resolve(s"$digest$ext")
+    if (Files.exists(dest)) return dest.toString
+    val tmp = cacheDir.resolve(s".$digest.tmp-${System.nanoTime()}")
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(path)).GET().build(),
+      HttpResponse.BodyHandlers.ofFile(tmp))
+    if (resp.statusCode() != 200) {
+      Files.deleteIfExists(tmp)
+      throw new IllegalStateException(
+        s"GET $path -> HTTP ${resp.statusCode()}")
+    }
+    // atomic publish: a concurrent fetch of the same URL either wins the
+    // rename or loses to an identical file — readers never see partials
+    try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+    }
+    dest.toString
+  }
+
+  /** Drop every cached object (tests; or to force re-fetch). */
+  def clearCache(): Unit = {
+    val d = cacheDir
+    val s = Files.list(d)
+    try s.forEach(p => Files.deleteIfExists(p))
+    finally s.close()
+  }
+}
