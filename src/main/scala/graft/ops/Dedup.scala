@@ -136,23 +136,19 @@ object Dedup {
     val spark = df.sparkSession
     val mode = spark.conf
       .get("spark.graft.minhash.clusteredVerify", "auto")
-    val clustered = mode match {
-      case "never" => false
-      case "always" => true
-      case _ if !plan.big => false // small corpora: one fused job
-      case _ =>
-        // the candidate list is narrow and about to be consumed twice
-        // (routing count + verify) — cache it; the clustered layout wins
-        // when pairs outnumber the docs carrying them (its shuffle is
-        // O(docs) shingle arrays + O(pairs) ids, the join layout's is
-        // O(pairs) arrays), with slack for its fixed extra jobs
-        val est = trackedCache(plan.est)
-        val nPairs = est.count()
-        val nDocs = est.select(col("id_a").as("id"))
-          .unionByName(est.select(col("id_b").as("id")))
-          .distinct().count()
-        nPairs > 2 * nDocs
-    }
+    // Dispatch, settled by measurement (tools/MinhashLedger at sf10,
+    // 500k docs / 30.8M surviving pairs = 66.5 pairs/doc): the
+    // pair-join verify reads 44.0 s vs the clustered layout's 63.2 s —
+    // the join path is whole-stage-codegen'd end to end and its array
+    // shuffle compresses well, while the clustered pass pays the
+    // label-propagation rounds plus a Row-level per-cluster map. So
+    // the join layout is the DEFAULT at every density measured; the
+    // clustered layout remains the opt-in for the regime it provably
+    // bounds — its shuffle is O(docs) shingle arrays + O(pairs) bare
+    // ids instead of O(pairs) arrays, the difference between fitting
+    // on local disk or not once pairs/doc × array size outgrows the
+    // shuffle volume a node can hold.
+    val clustered = mode == "always"
     if (clustered) exactVerifyClustered(plan.est, plan.sh, threshold)
     else exactVerifyJoin(plan.est, plan.sh, threshold, plan.big)
   }
