@@ -82,6 +82,28 @@ object QTpcds {
           round(col("prev_raw"), 2).as("prev_rev"),
           round(col("rev") / col("prev_raw"), 4).as("ratio"))
         .orderBy("nation", "yr")
+    } else if (!bucketed &&
+        t("lineitem").queryExecution.optimizedPlan.stats.sizeInBytes >
+          BigInt(s.conf.get("spark.graft.yoy.aggBelowJoinBytes",
+            (4L << 30).toString).toLong)) {
+      // beyond the probe-map bound, no co-located layout, and a fact
+      // too big for the shuffle to stay in memory (the sf100 headline
+      // regime — the threshold is the scan-stats size, default 4 GiB):
+      // aggregate BELOW the join. Summing revenue per orderkey first
+      // rides the map-side partial aggregation (lineitem rows for an
+      // order co-locate in files, so ~4 items collapse to 1 before the
+      // exchange) — the big shuffle carries ~N_orders narrow (key, rev)
+      // rows instead of ~4N wide fact rows. Measured sf100 solo:
+      // 106.5 → 45.6 s (tools/QueryOne). The size dial keeps smaller
+      // fixtures on the join form the oracle gate exercises; in
+      // practice the kernel arm owns everything within the probe-map
+      // bound anyway (sf10 included — tools/YoyProbe). Sum-of-sums
+      // re-associates float addition, so a rounded cent can move where
+      // a .xx5 boundary flips (one group at sf0.01; PlanSpec pins
+      // cent-exactness — the finest-first-rollup deviation class); the
+      // oracle gate always runs the kernel arm, which the driver
+      // hash-matches.
+      yoyAggBelowJoin(s, dir)
     } else {
       graft.Tables.registerAll(s, dir)
       s.sql(
@@ -111,6 +133,45 @@ object QTpcds {
           |WHERE prev_yr = yr - 1 AND yr BETWEEN 1996 AND 1999
           |ORDER BY nation, yr""".stripMargin)
     }
+  }
+
+  /** The agg-below-join yoy arm (see dispatch above): per-orderkey
+    * revenue partials → join the date-pruned orders→customer→nation
+    * mapping → re-aggregate to (nation, yr) → lag window on ~175 rows.
+    * Exposed for the PlanSpec equivalence pin. */
+  private[graft] def yoyAggBelowJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def t(n: String) = graft.Tables.load(s, dir, n)
+    val oPruned = t("orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+    val liRev = t("lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("x"))
+      .groupBy("l_orderkey").agg(sum("x").as("rev0"))
+    val oc = oPruned
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("yr"))
+      .join(t("customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t("nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("yr"), col("n_name").as("nation"))
+    val yearly = liRev.join(oc, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "yr").agg(sum("rev0").as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nation").orderBy("yr")
+    yearly
+      .withColumn("prev_raw", lag(col("rev"), 1).over(w))
+      .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+      .filter(col("prev_yr") === col("yr") - 1 &&
+        col("yr").between(1996, 1999))
+      .select(col("nation"), col("yr"),
+        round(col("rev"), 2).as("cur_rev"),
+        round(col("prev_raw"), 2).as("prev_rev"),
+        round(col("rev") / col("prev_raw"), 4).as("ratio"))
+      .orderBy("nation", "yr")
   }
 
   // Q5/Q77 shape: per-channel revenue union → rollup with grand total.

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints which qds_yoy arm dispatches per fixture and the stats the
+  * dials read (debug aid for the size-dialed dispatch). */
+object YoyProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (dir <- args.toSeq) {
+      val li = graft.Tables.load(spark, dir, "lineitem")
+      val o = graft.Tables.load(spark, dir, "orders")
+      val c = graft.Tables.load(spark, dir, "customer")
+      println(s"[yoy] $dir lineitem.stats=" +
+        li.queryExecution.optimizedPlan.stats.sizeInBytes)
+      println(s"[yoy] $dir withinReduceBound(orders)=" +
+        graft.ops.JoinOpt.withinReduceBound(o.select("o_orderkey", "o_custkey")) +
+        " withinReduceBound(customer)=" +
+        graft.ops.JoinOpt.withinReduceBound(c.select("c_custkey", "c_nationkey")))
+    }
+    spark.stop()
+  }
+}

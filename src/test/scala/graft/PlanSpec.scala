@@ -34,6 +34,58 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def nodeCount(p: String, name: String): Int =
     ("""\(\d+\) """ + name).r.findAllIn(p).size
 
+  test("qds_yoy agg-below-join arm matches the SQL form (cent-exact)") {
+    // the arm dispatches only beyond the probe-map bound (sf100-class
+    // inputs), so the oracle gate never executes it — pin its output
+    // against the SQL form here on the sf0.01 fixture
+    val sf01 = "/root/testdata/sf0.01"
+    val fromArm = graft.queries.QTpcds.yoyAggBelowJoin(spark, sf01)
+      .collect().map(_.toSeq).toSeq
+    graft.Tables.registerAll(spark, sf01)
+    val fromSql = spark.sql(
+      """SELECT nation, yr, round(rev, 2) AS cur_rev,
+        |  round(prev_raw, 2) AS prev_rev,
+        |  round(rev / prev_raw, 4) AS ratio
+        |FROM (
+        |  SELECT nation, yr, rev,
+        |    lag(rev) OVER (PARTITION BY nation ORDER BY yr) AS prev_raw,
+        |    lag(yr) OVER (PARTITION BY nation ORDER BY yr) AS prev_yr
+        |  FROM (
+        |    SELECT n_name AS nation,
+        |      CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        |      sum(l_extendedprice * (1 - l_discount)) AS rev
+        |    FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |      AND o_orderdate < TIMESTAMP '2000-01-01'
+        |    GROUP BY n_name, CAST(extract(year FROM o_orderdate) AS INT)))
+        |WHERE prev_yr = yr - 1 AND yr BETWEEN 1996 AND 1999
+        |ORDER BY nation, yr""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    // keys and row set must match exactly; the money sums may move by
+    // ONE CENT where the per-orderkey pre-aggregation's float
+    // re-association lands a .xx5 boundary on the other side (measured:
+    // exactly one group at sf0.01) — the same deviation class as the
+    // finest-first rollup decomposition recorded in DEVIATIONS.md
+    assert(fromArm.map(r => (r(0), r(1))) == fromSql.map(r => (r(0), r(1))))
+    fromArm.zip(fromSql).foreach { case (x, y) =>
+      assert(math.abs(x(2).asInstanceOf[Double] - y(2).asInstanceOf[Double])
+        <= 0.011, s"cur_rev: $x vs $y")
+      assert(math.abs(x(3).asInstanceOf[Double] - y(3).asInstanceOf[Double])
+        <= 0.011, s"prev_rev: $x vs $y")
+      assert(math.abs(x(4).asInstanceOf[Double] - y(4).asInstanceOf[Double])
+        <= 0.00011, s"ratio: $x vs $y")
+    }
+    assert(fromArm.nonEmpty)
+    // plan shape: the pre-join aggregate must carry a partial (map-side)
+    // phase so the big exchange moves per-orderkey partials, not rows
+    val p = graft.queries.QTpcds.yoyAggBelowJoin(spark, sf01)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(nodeCount(p, "HashAggregate") >= 4, p) // partial+final x 2 levels
+  }
+
   test("q6: filters pushed into the parquet scan, no join/extra shuffle") {
     val p = plan("q6_forecast_revenue")
     assert(p.contains("PushedFilters: ["), p)
