@@ -352,12 +352,15 @@ object IcebergImport {
     * SEMI-join form to rewrite the same deletes as position-delete rows,
     * matching the reference's uniform delete handling
     * (pg_lake_iceberg/src/iceberg/read_manifest.c:84-130). Paths come out
-    * relocated to `tableDir`, the form the MOR read matches on. */
+    * relocated to `tableDir`, the form the MOR read matches on.
+    *
+    * Requires `spark.sql.parquet.fieldId.read.enabled=true` at ACTION
+    * time (the reads are field-id resolved and lazy) — the adoption
+    * caller scopes the conf around its materializing write. */
   private[graft] def equalityDeletePositions(spark: SparkSession,
       tableDir: String, table: ExtTable, data: List[ExtFile],
       eqDeletes: List[ExtFile]): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val idToName = table.schema.fields.map(f =>
       f.metadata.getLong("parquet.field.id").toInt -> f.name).toMap
     val fileSeq = data.map(f => (f.path, f.seq)).toDF("_fs_file", "_fs_seq")
@@ -380,6 +383,15 @@ object IcebergImport {
           regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
         .withColumn("pos", col("_metadata.row_index"))
         .join(broadcast(fileSeq), col("file_path") === col("_fs_file"), "left")
+        // a normalization mismatch between _metadata.file_path and the
+        // manifest path would leave _fs_seq null, the sequence predicate
+        // would evaluate to null, and that file's equality deletes would
+        // be SILENTLY skipped (rows resurrected) — fail loudly instead
+        .withColumn("_fs_seq", when(col("_fs_seq").isNull, raise_error(
+          concat(lit("iceberg adoption: data file "), col("file_path"),
+            lit(" matched no manifest path (normalization mismatch); " +
+              "refusing to silently skip its equality deletes"))))
+          .otherwise(col("_fs_seq")))
       val cond = cols.map(c => col(c) <=> col(s"_del_$c"))
         .reduce(_ && _) && col("_fs_seq") < col("_del_seq")
       base.join(del, cond, "left_semi").select("file_path", "pos")

@@ -97,14 +97,25 @@ object MetadataIO {
   private val tableMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // tables this thread already holds the OS lock for — the JVM monitor
+  // is reentrant but FileChannel.lock() on a file this JVM holds throws
+  // OverlappingFileLockException, so a nested withTableLock on the same
+  // table must skip the OS re-acquire instead of self-deadlocking
+  private val heldTables = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+
   /** Cross-process critical section for a table's commit protocol: an OS
     * advisory lock on `metadata/COMMIT.lock` (what the reference gets
     * from PG row locks, transaction_hooks.c:27-70), nested inside a
-    * per-table JVM monitor. On an object store this seam would be a
+    * per-table JVM monitor. Reentrant: a nested call on the same table
+    * from the holding thread runs the body directly under the
+    * already-held locks. On an object store this seam would be a
     * catalog CAS instead; on the local/NFS filesystems this engine
     * writes to, the file lock is the correct primitive. */
   def withTableLock[T](tableDir: String)(f: => T): T = {
     val key = Paths.get(tableDir).toAbsolutePath.normalize.toString
+    if (heldTables.get.contains(key)) return f // reentrant fast path
     val monitor = tableMonitors.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
       val dir = metaDir(tableDir)
@@ -114,7 +125,11 @@ object MetadataIO {
         java.nio.file.StandardOpenOption.WRITE)
       try {
         val lock = ch.lock() // blocks until any other PROCESS releases
-        try f finally lock.release()
+        heldTables.get.add(key)
+        try f finally {
+          heldTables.get.remove(key)
+          lock.release()
+        }
       } finally ch.close()
     }
   }

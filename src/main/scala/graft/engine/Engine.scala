@@ -117,10 +117,20 @@ object Engine {
         val dataDir = MetadataIO.dataDir(destDir)
         java.nio.file.Files.createDirectories(dataDir)
         val staging = java.nio.file.Files.createTempDirectory("adoptdel")
-        delSources.reduce(_ unionByName _)
+        // the equality-delete source reads data files field-id-resolved;
+        // scope the conf to THIS action so adoption doesn't leak parquet
+        // schema-resolution behavior into unrelated scans
+        val fieldIdKey = "spark.sql.parquet.fieldId.read.enabled"
+        val prior = spark.conf.getOption(fieldIdKey)
+        spark.conf.set(fieldIdKey, "true")
+        try delSources.reduce(_ unionByName _)
           .dropDuplicates("file_path", "pos")
           .coalesce(1)
           .write.mode("overwrite").parquet(staging.toString)
+        finally prior match {
+          case Some(v) => spark.conf.set(fieldIdKey, v)
+          case None => spark.conf.unset(fieldIdKey)
+        }
         val part = java.nio.file.Files.list(staging).iterator().asScala
           .map(_.toString).filter(_.endsWith(".parquet")).toList.head
         val dest = dataDir.resolve(

@@ -308,7 +308,8 @@ object Dedup {
     val docsAll = comp.join(sizes, Seq("_comp"))
     val docsSmall = docsAll.filter(col("_csz") <= capDocs)
       .select(col("_comp"), col("id"))
-    val bigIds = docsAll.filter(col("_csz") > capDocs).select(col("id"))
+    // big-component docs need no doc-side relation: their pairs are
+    // routed to the pair-join arm by _csz below
     // pairs are intra-component by construction: tag via id_a
     val pairsTagged = est.join(
       docsAll.select(col("id").as("id_a"), col("_comp"), col("_csz")),

@@ -37,10 +37,23 @@ object RemoteFetch {
     d
   }
 
+  // 3xx responses are routine for object-store/CDN URLs — follow them
+  // (NORMAL never downgrades https→http)
+  private lazy val client: HttpClient =
+    HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+
   /** Localize `path`: URLs download into the cache (keyed by URL hash,
     * extension preserved so format sniffers keep working); anything
-    * else passes through. */
-  def localize(path: String): String = {
+    * else passes through.
+    *
+    * The cache assumes IMMUTABLE remote objects (the reference's cache
+    * worker makes the same assumption): entries are keyed by URL with no
+    * expiry or validation, so a changed remote object is served stale
+    * until refreshed. Pass `forceRefresh=true` (or call [[clearCache]])
+    * to re-fetch. */
+  def localize(path: String, forceRefresh: Boolean = false): String = {
     if (!isUrl(path)) return path
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(path.getBytes("UTF-8"))
@@ -51,9 +64,10 @@ object RemoteFetch {
       if (dot >= 0 && dot > name.lastIndexOf('/')) name.substring(dot) else ""
     }
     val dest = cacheDir.resolve(s"$digest$ext")
+    if (forceRefresh) Files.deleteIfExists(dest)
     if (Files.exists(dest)) return dest.toString
     val tmp = cacheDir.resolve(s".$digest.tmp-${System.nanoTime()}")
-    val resp = HttpClient.newHttpClient().send(
+    val resp = client.send(
       HttpRequest.newBuilder(URI.create(path)).GET().build(),
       HttpResponse.BodyHandlers.ofFile(tmp))
     if (resp.statusCode() != 200) {

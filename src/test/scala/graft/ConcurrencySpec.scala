@@ -110,4 +110,17 @@ class ConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.toDF.filter(col("c_mktsegment") === "UPDATED").count() ==
       c.filter(col("c_custkey") <= 50).count())
   }
+
+  test("withTableLock is reentrant on the same table from the same thread") {
+    // a nested acquisition used to hit FileChannel.lock() on a file this
+    // JVM already holds and throw OverlappingFileLockException
+    val dir = Files.createTempDirectory("reent").toString + "/t"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val out = graft.core.MetadataIO.withTableLock(dir) {
+      graft.core.MetadataIO.withTableLock(dir) { 42 }
+    }
+    assert(out == 42)
+    // and the locks were actually released: an independent acquire works
+    assert(graft.core.MetadataIO.withTableLock(dir) { 7 } == 7)
+  }
 }

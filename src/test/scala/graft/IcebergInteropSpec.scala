@@ -175,6 +175,56 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSeq == Seq(1L, 3L, 4L, 5L, 7L, 8L, 9L, 10L))
   }
 
+  test("equality-delete adoption fails loudly on a path-form mismatch") {
+    import spark.implicits._
+    // If a data file's manifest path form differs from what
+    // _metadata.file_path normalizes to (scheme variants, double
+    // slashes), the sequence join must raise — NOT silently skip that
+    // file's equality deletes and resurrect deleted rows.
+    val dir = Files.createTempDirectory("eqmismatch")
+    val fid = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 1L).build()
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    def withId(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(df.rdd, StructType(df.schema.fields.map(
+        _.copy(metadata = fid))))
+    def writeOne(df0: org.apache.spark.sql.DataFrame, name: String): String = {
+      val df = withId(df0)
+      val tmp = Files.createTempDirectory("eqmtmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val it = Files.list(tmp).iterator()
+      var found: String = null
+      while (it.hasNext) {
+        val p = it.next().toString
+        if (p.endsWith(".parquet")) found = p
+      }
+      val dest = dir.resolve(name)
+      Files.move(Paths.get(found), dest)
+      dest.toString
+    }
+    val dataPath = writeOne((1L to 5L).toDF("id"), "d.parquet")
+    val delPath = writeOne(Seq(2L).toDF("id"), "e.parquet")
+    val table = IcebergImport.ExtTable(dir.toString,
+      StructType(Seq(StructField("id", org.apache.spark.sql.types.LongType,
+        nullable = true, metadata = fid))),
+      None, Nil, "unused")
+    // doubled slash: a legal path to the OS, but not the normalized form
+    // _metadata.file_path produces — the join must not match silently
+    val crooked = dataPath.replaceFirst("/([^/]+)$", "//$1")
+    val data = List(IcebergImport.ExtFile(crooked, 0, 5L,
+      Files.size(Paths.get(dataPath)), seq = 1L))
+    val dels = List(IcebergImport.ExtFile(delPath, 2, 1L,
+      Files.size(Paths.get(delPath)), seq = 2L, equalityIds = List(1)))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val ex = intercept[Exception] {
+      IcebergImport.equalityDeletePositions(spark, dir.toString, table,
+        data, dels).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("matched no manifest path")))
+  }
+
   test("v3 deletion vectors: Puffin blob applies as position deletes") {
     val dir = Files.createTempDirectory("icebergdv").toString + "/t"
     val df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
