@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — reciprocal-rank fusion (RRF) of independently
+  * produced rankings, the standard way to combine lexical (BM25) and
+  * semantic (embedding-cosine) retrieval without score calibration
+  * (Cormack/Clarke/Buettcher, SIGIR 2009):
+  *
+  *   rrf(d) = Σ_lists 1 / (kRrf + rank_list(d))
+  *
+  * Documents missing from a list contribute nothing for it (the
+  * standard convention). Rankings are top-N by contract, so fusion
+  * inputs are k-bounded relations — the stage is metadata-sized no
+  * matter the corpus; the scale posture lives in the LEGS (BM25's
+  * zero-corpus-shuffle scan path, ANN/IVF for the embedding side),
+  * which this operator composes rather than re-implements.
+  *
+  * Determinism: 1/(kRrf+rank) is an exact double for every rank, the
+  * per-document sum adds one term per list (two lists → one
+  * commutative addition — bit-identical in any IEEE engine), and ties
+  * break on the document id, so the fused ranking replays exactly in
+  * the DuckDB oracle.
+  */
+object Hybrid {
+
+  /** Attach a dense ranking column to a scored relation:
+    * row_number over (score desc, id asc) — the rounded-score-first
+    * convention every retrieval gate here uses, so ranks are
+    * engine-reproducible. */
+  def ranked(df: DataFrame, idCol: String, scoreCol: String,
+      rankName: String = "rank"): DataFrame =
+    df.withColumn(rankName, row_number().over(
+      Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+
+  /** Fuse rankings by RRF. Each input must carry `idCol` and `rankCol`
+    * (1-based). Returns (rank, idCol, rrf_score, n_lists) — top `k` by
+    * fused score desc, id asc; `n_lists` = how many input lists carried
+    * the document (a useful agreement diagnostic). `roundTo` rounds the
+    * fused score BEFORE ranking so the output order is reproducible
+    * across engines. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String = "rank", kRrf: Int = 60, k: Int = 10,
+      roundTo: Int = 9): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val contrib = rankings.map(_.select(col(idCol),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
+          .as("_c")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(idCol)
+      .agg(round(sum("_c"), roundTo).as("rrf_score"),
+        count(lit(1)).cast("int").as("n_lists"))
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col(idCol).asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col(idCol), col("rrf_score"), col("n_lists"))
+  }
+
+  /** One-call hybrid search over a corpus with both a text and an
+    * embedding column: BM25 (interactive zero-shuffle leg) + brute
+    * cosine top-N (swap in [[Similarity.ivfTopKExact]] at index scale),
+    * fused by RRF. `legK` bounds each leg's list; `k` the fused output. */
+  def hybridSearch(corpus: DataFrame, idCol: String, textCol: String,
+      vecCol: String, queryText: String, queryVec: Array[Float],
+      k: Int = 10, legK: Int = 20, kRrf: Int = 60): DataFrame = {
+    val lexical = ranked(
+      Bm25.searchOne(corpus, idCol, textCol, queryText, k = legK),
+      "doc_id", "score")
+    val semantic = ranked(
+      Similarity.topK(corpus, idCol, vecCol, queryVec, legK)
+        .withColumnRenamed(idCol, "doc_id"),
+      "doc_id", "cosine")
+    rrfFuse(Seq(lexical.select("doc_id", "rank"),
+      semantic.select("doc_id", "rank")), "doc_id", kRrf = kRrf, k = k)
+  }
+}

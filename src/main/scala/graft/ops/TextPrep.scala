@@ -362,6 +362,50 @@ object TextPrep {
         coalesce(col("_ct"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-wide exact line deduplication, keep-FIRST-occurrence (the
+    * RefinedWeb/MassiveText recipe for repeated headers, nav bars and
+    * license blocks that [[removeBoilerplate]]'s frequency threshold
+    * keeps when they appear in fewer than `minDocs` documents): every
+    * non-blank line appears exactly once in the output corpus — at its
+    * first occurrence, first = smallest (document id, line index) — and
+    * every later occurrence is removed. Unlike removeBoilerplate
+    * (which drops frequent lines EVERYWHERE), the first copy survives.
+    *
+    * Scale shape: the line TEXT never shuffles. The occurrence pass
+    * ships (16-byte md5, id, pos); keepers are one groupBy-min over
+    * those; the loser relation is O(duplicate occurrences) of bare
+    * (id, pos) pairs, grouped per document and joined back to the
+    * INTACT document row (broadcast under AQE when duplication is
+    * sparse); reassembly filters the split array by index in a codegen
+    * expression — no explode-and-regroup of text.
+    *
+    * Output: idCol, n_lines (non-blank input lines), n_kept,
+    * clean_text — the same contract as [[removeBoilerplate]]. */
+  def dedupLinesGlobal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val nonBlank = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val occ = df.select(col(idCol),
+        posexplode(nonBlank).as(Seq("_pos", "_line")))
+      .select(md5(col("_line").cast("binary")).as("_lh"),
+        col(idCol), col("_pos"))
+    val keepers = occ.groupBy("_lh")
+      .agg(min(struct(col(idCol), col("_pos"))).as("_keep"))
+    val losers = occ.join(keepers, Seq("_lh"))
+      .filter(struct(col(idCol), col("_pos")) =!= col("_keep"))
+      .select(col(idCol), col("_pos"))
+    val losersPerDoc = losers.groupBy(idCol)
+      .agg(collect_list("_pos").as("_drop"))
+    df.join(losersPerDoc, Seq(idCol), "left")
+      .withColumn("_drop",
+        coalesce(col("_drop"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(nonBlank).cast("long").as("n_lines"),
+        (size(nonBlank) - size(col("_drop"))).cast("long").as("n_kept"),
+        array_join(filter(nonBlank,
+          (_, i) => !array_contains(col("_drop"), i)), "\n")
+          .as("clean_text"))
+  }
+
   // ------------------------------------------------- C4 line rules ----
 
   /** C4-style line-rule cleaning (Raffel et al. 2020 §2.2, public

@@ -596,6 +596,18 @@ object QPipe {
         .orderBy("doc_id")
     },
 
+    // corpus-wide keep-FIRST line dedup (the RefinedWeb recipe next to
+    // boilerplate's drop-everywhere): first occurrence = smallest
+    // (doc_id, pos), every later copy removed, text never shuffles.
+    "q_dedup_lines_global" -> { (s, dir) =>
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), " (the|a) ", "\n").as("text"))
+      TextPrep.dedupLinesGlobal(lined, "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
+    },
+
     // per-document keyword extraction: top-3 terms by (tf DESC, corpus
     // df ASC, term ASC) — integer-only ranking key, so the oracle
     // replays the identical window (no libm ln in the comparator).
@@ -983,6 +995,42 @@ object QPipe {
         |kept AS (
         |  SELECT doc_id, pos, line FROM lines
         |  WHERE md5(line) NOT IN (SELECT lh FROM freq)),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lines GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(tot.n_lines, 0) AS n_lines,
+        |  coalesce(ka.n_kept, 0) AS n_kept,
+        |  coalesce(ka.clean_md5, md5('')) AS clean_md5
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN ka ON d.doc_id = ka.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_lines_global" ->
+      """WITH lined AS (
+        |  SELECT doc_id, regexp_replace(text, ' (the|a) ', chr(10), 'g')
+        |    AS t
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(t, chr(10)), x -> length(x) > 0) AS l
+        |  FROM lined),
+        |lines AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS pos,
+        |    unnest(l) AS line
+        |  FROM ls),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line,
+        |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+        |        AS occ
+        |    FROM lines)
+        |  WHERE occ = 1),
         |ka AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |    md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5

@@ -42,6 +42,30 @@ object QSearch {
         oneQuery, k = 10)
     },
 
+    // hybrid retrieval: BM25 (zero-shuffle interactive leg) and brute
+    // cosine top-20 (the ANN legs swap in at index scale) fused by
+    // reciprocal rank — both leg rankings and the fused order replay
+    // exactly in the oracle (scores rounded before ranking; 1/(60+r)
+    // sums are single commutative additions).
+    "q_hybrid_rrf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val lexical = graft.ops.Hybrid.ranked(
+        Bm25.searchOne(docs, "doc_id", "text", oneQuery, k = 20),
+        "doc_id", "score")
+      val semantic = graft.ops.Hybrid.ranked(
+        graft.ops.Similarity.topK(emb, "vec_id", "embedding", qvec, 20)
+          .withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "cosine")
+      graft.ops.Hybrid.rrfFuse(
+          Seq(lexical.select("doc_id", "rank"),
+            semantic.select("doc_id", "rank")),
+          "doc_id", kRrf = 60, k = 10)
+        .orderBy("rank")
+    },
+
     // sketch-first exact top-k terms: Misra–Gries candidates + exact
     // recount (ops/HeavyHitters). The fixture vocabulary (31 terms)
     // fits the 64-counter sketch, so this runs the lossless branch;
@@ -116,6 +140,42 @@ object QSearch {
       s"(1, '$oneQuery')",
       "SELECT doc_id, score FROM ranked WHERE rank <= 10 AND score > 0 " +
         "ORDER BY score DESC, doc_id"),
+
+    // hybrid RRF: the bm25 skeleton's `ranked` CTE is the lexical leg;
+    // the cosine leg and the fusion continue the same WITH list.
+    // CAST(1.0 AS DOUBLE): a bare 1.0 is DECIMAL in DuckDB and the
+    // division would round differently than Spark's double.
+    "q_hybrid_rrf" -> bm25Sql(
+      s"(1, '$oneQuery')",
+      """, lex AS (
+        |  SELECT doc_id, rank FROM ranked WHERE rank <= 20 AND score > 0),
+        |v AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |qv AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+        |        generate_subscripts(embedding, 1) AS pos
+        |       FROM embeddings WHERE vec_id = 7),
+        |cos AS (SELECT v.vec_id AS doc_id,
+        |    round(sum(v.x * qv.x) /
+        |      (sqrt(sum(v.x * v.x)) * sqrt(sum(qv.x * qv.x))), 6) AS cosine
+        |  FROM v JOIN qv USING (pos) GROUP BY v.vec_id),
+        |sem AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+        |      AS rank
+        |  FROM cos QUALIFY rank <= 20),
+        |contrib AS (
+        |  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM sem),
+        |fused AS (
+        |  SELECT doc_id, round(sum(c), 9) AS rrf_score,
+        |    CAST(count(*) AS INT) AS n_lists
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+        |    AS INT) AS rank,
+        |  doc_id, rrf_score, n_lists
+        |FROM fused
+        |QUALIFY rank <= 10
+        |ORDER BY rank""".stripMargin),
 
     "q_top_terms" ->
       """SELECT tok AS term, CAST(count(*) AS BIGINT) AS cnt

@@ -1209,4 +1209,65 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val emb = Multimodal.fakeEmbed(d, "blob")
     assert(emb.select(size(col("embedding"))).head().getInt(0) == 8)
   }
+
+  test("global line dedup keeps the FIRST occurrence only") {
+    import spark.implicits._
+    import graft.ops.TextPrep
+    val docs = Seq(
+      (1L, "shared header\nbody a\nrepeat me\nrepeat me"),
+      (2L, "shared header\nbody b"),
+      (3L, "body c\n\nshared header\nbody c"),
+      (4L, "")).toDF("id", "text")
+    val out = TextPrep.dedupLinesGlobal(docs, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "shared header" survives ONLY in doc 1 (smallest (id, pos));
+    // within-doc repeats keep the first copy too
+    assert(out(1L) == ((4L, 3L, "shared header\nbody a\nrepeat me")))
+    assert(out(2L) == ((2L, 1L, "body b")))
+    // blank line dropped; "body c" first at pos 0 survives, pos 2 copy
+    // removed; doc-3's "shared header" copy removed
+    assert(out(3L) == ((3L, 1L, "body c")))
+    assert(out(4L) == ((0L, 0L, "")))
+  }
+
+  test("rrf fusion: hand-computed scores, n_lists, missing-doc convention") {
+    import spark.implicits._
+    import graft.ops.Hybrid
+    // list A ranks docs 10,20,30; list B ranks 20,10,40
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("doc_id", "rank")
+    val out = Hybrid.rrfFuse(Seq(a, b), "doc_id", kRrf = 60, k = 10,
+        roundTo = 9).collect()
+      .map(r => r.getLong(1) ->
+        ((r.getInt(0), r.getDouble(2), r.getInt(3)))).toMap
+    def rrf(ranks: Seq[Int]): Double = // Spark round() = HALF_UP on the
+      BigDecimal(ranks.map(r => 1.0 / (60 + r)).sum) // shortest decimal
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(20L)._2 == rrf(Seq(2, 1)) && out(10L)._2 == rrf(Seq(1, 2)))
+    assert(out(20L)._3 == 2 && out(30L)._3 == 1)
+    // 10 and 20 tie on {1,2} — the id breaks it; one-list docs trail
+    assert(out(10L)._1 == 1 && out(20L)._1 == 2)
+    assert(out(30L)._1 == 3 && out(40L)._1 == 4) // 1/63 ties, id order
+  }
+
+  test("hybridSearch equals rrfFuse of its two legs") {
+    import graft.ops.{Bm25, Hybrid}
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select("doc_id", "text", "embedding")
+    val qvec = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val fused = Hybrid.hybridSearch(corpus, "doc_id", "text", "embedding",
+      "merge sort batch", qvec, k = 10, legK = 20)
+    val lex = Hybrid.ranked(Bm25.searchOne(corpus, "doc_id", "text",
+      "merge sort batch", k = 20), "doc_id", "score")
+    val sem = Hybrid.ranked(Similarity.topK(corpus, "doc_id", "embedding",
+      qvec, 20), "doc_id", "cosine")
+    val manual = Hybrid.rrfFuse(Seq(lex.select("doc_id", "rank"),
+      sem.select("doc_id", "rank")), "doc_id", k = 10)
+    assert(fused.collect().toSeq == manual.collect().toSeq)
+    assert(fused.count() == 10)
+  }
 }
