@@ -150,15 +150,22 @@ object QTpcds {
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("x"))
       .groupBy("l_orderkey").agg(sum("x").as("rev0"))
+    // both big joins are HINTED sort-merge: this arm only dispatches in
+    // the disk-bound regime, where an AQE shuffled-hash conversion can
+    // fail FATALLY under concurrent-task memory pressure ("can't acquire
+    // N bytes to build hash relation" — observed in-suite at sf100);
+    // SMJ sorts spill and never abort. Solo cost re-measured after the
+    // hint (BASELINE round-11 note).
     val oc = oPruned
       .select(col("o_orderkey"), col("o_custkey"),
         year(col("o_orderdate")).as("yr"))
-      .join(t("customer").select("c_custkey", "c_nationkey"),
+      .join(t("customer").select("c_custkey", "c_nationkey").hint("merge"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t("nation").select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("o_orderkey"), col("yr"), col("n_name").as("nation"))
-    val yearly = liRev.join(oc, col("l_orderkey") === col("o_orderkey"))
+    val yearly = liRev.join(oc.hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy("nation", "yr").agg(sum("rev0").as("rev"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("nation").orderBy("yr")

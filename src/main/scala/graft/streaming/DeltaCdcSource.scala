@@ -24,21 +24,40 @@ import graft.core.DeltaImport
   * The lake-table twin is [[LakeCdcSource]]; together they let a
   * pipeline tail either table format with the same code. */
 class DeltaCdcSource(sqlContext: SQLContext, dir: String,
-    startVersion: Long, strict: Boolean = false)
+    startVersion: Long, strict: Boolean = false,
+    maxVersionsPerBatch: Option[Int] = None)
     extends Source with org.apache.spark.internal.Logging {
+
+  maxVersionsPerBatch.foreach(m => require(m >= 1,
+    s"maxVersionsPerBatch must be >= 1, got $m"))
 
   override val schema: StructType =
     DeltaImport.readLog(sqlContext.sparkSession, dir).schema
 
+  // backlog admission control, same contract as LakeCdcSource's
+  // maxSnapshotsPerBatch (Delta versions are dense integers, so a plain
+  // arithmetic cap suffices); replayed getBatch advances the base
+  // before the first post-recovery getOffset poll
+  @volatile private var lastReturned: Option[Long] = None
+
   override def getOffset: Option[V1Offset] = {
     val cur = DeltaImport.latestVersion(dir)
-    if (cur > startVersion) Some(LongOffset(cur)) else None
+    val base = lastReturned.getOrElse(startVersion)
+    val capped = maxVersionsPerBatch match {
+      case Some(m) => math.min(cur, base + m)
+      case None => cur
+    }
+    if (capped > startVersion) {
+      lastReturned = Some(math.max(base, capped))
+      Some(LongOffset(math.max(base, capped)))
+    } else None
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(o => LongOffset(o.json().toLong).offset)
       .getOrElse(startVersion)
     val to = LongOffset(end.json().toLong).offset
+    lastReturned = Some(math.max(lastReturned.getOrElse(to), to))
     val spark = sqlContext.sparkSession
     val (at, fresh) = freshFiles(from, to)
     val batch =
@@ -159,5 +178,6 @@ class DeltaCdcSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new DeltaCdcSource(sqlContext, path(parameters),
       parameters.get("startVersion").map(_.toLong).getOrElse(-1L),
-      parameters.get("strict").exists(_.toBoolean))
+      parameters.get("strict").exists(_.toBoolean),
+      parameters.get("maxVersionsPerBatch").map(_.toInt))
 }

@@ -37,7 +37,11 @@ import graft.core.IcebergImport.{ExtFile, ExtSnapshot, ExtTable}
   * own manifests) — no O(V²) replays, no state beyond the checkpoint
   * offset. */
 class IcebergCdcSource(sqlContext: SQLContext, dir: String,
-    startAfter: Long) extends Source {
+    startAfter: Long, maxSnapshotsPerBatch: Option[Int] = None)
+    extends Source {
+
+  maxSnapshotsPerBatch.foreach(m => require(m >= 1,
+    s"maxSnapshotsPerBatch must be >= 1, got $m"))
 
   private def load(): ExtTable =
     IcebergImport.readMetadata(IcebergImport.latestMetadataPath(dir)
@@ -46,10 +50,34 @@ class IcebergCdcSource(sqlContext: SQLContext, dir: String,
 
   override val schema: StructType = load().schema
 
+  // backlog admission control (LakeCdcSource contract): Iceberg snapshot
+  // ids are random longs, so the cap advances m POSITIONS along the
+  // commit-ordered snapshot list (the same positional walk freshFiles
+  // diffs by); replayed getBatch advances the base before the first
+  // post-recovery getOffset poll
+  @volatile private var lastReturned: Option[Long] = None
+
   override def getOffset: Option[V1Offset] = {
     val t = load()
     t.currentSnapshotId match {
-      case Some(id) if id != startAfter => Some(LongOffset(id))
+      case Some(cur) =>
+        val base = lastReturned.getOrElse(startAfter)
+        val capped = maxSnapshotsPerBatch match {
+          case Some(m) =>
+            val ids = t.snapshots.map(_.id)
+            val idx = ids.indexOf(base)
+            if (idx < 0 && base != startAfter) throw new IllegalStateException(
+              s"iceberg-cdc: snapshot $base is not in the log at $dir " +
+                "(expired past the stream's position — increase snapshot " +
+                "retention)")
+            val ahead = ids.drop(idx + 1).take(m)
+            if (ahead.isEmpty) base else ahead.last
+          case None => cur
+        }
+        if (capped != startAfter) {
+          lastReturned = Some(capped)
+          Some(LongOffset(capped))
+        } else None
       case _ => None
     }
   }
@@ -58,6 +86,7 @@ class IcebergCdcSource(sqlContext: SQLContext, dir: String,
     val fromId = start.map(o => LongOffset(o.json().toLong).offset)
       .getOrElse(startAfter)
     val toId = LongOffset(end.json().toLong).offset
+    lastReturned = Some(toId)
     val spark = sqlContext.sparkSession
     val (table, freshFiles) = this.freshFiles(fromId, toId)
     val batch =
@@ -149,5 +178,6 @@ class IcebergCdcSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new IcebergCdcSource(sqlContext, path(parameters),
-      parameters.get("startAfter").map(_.toLong).getOrElse(-1L))
+      parameters.get("startAfter").map(_.toLong).getOrElse(-1L),
+      parameters.get("maxSnapshotsPerBatch").map(_.toInt))
 }

@@ -26,25 +26,53 @@ import graft.core.LakeTable
   *
   * Scale posture: getOffset reads one metadata file; getBatch plans a
   * pruned parquet scan over only the files the range added. No state
-  * beyond the checkpoint's last offset.
+  * beyond the checkpoint's last offset. Backlog admission control:
+  * `maxSnapshotsPerBatch` caps how many snapshots one micro-batch may
+  * cover — a consumer starting against a long-lived table (or resuming
+  * after downtime) drains the backlog in bounded batches instead of
+  * planning one scan over months of appends. The cap lands on an
+  * EXISTING snapshot id (the log can skip ids), so every offset the
+  * engine checkpoints is a real snapshot.
   */
 class LakeCdcSource(sqlContext: SQLContext, dir: String,
-    startSnapshot: Long) extends Source {
+    startSnapshot: Long, maxSnapshotsPerBatch: Option[Int] = None) extends Source {
+
+  maxSnapshotsPerBatch.foreach(m => require(m >= 1,
+    s"maxSnapshotsPerBatch must be >= 1, got $m"))
 
   private def table: LakeTable =
     LakeTable.load(sqlContext.sparkSession, dir)
 
   override val schema: StructType = table.schema
 
+  // highest offset already handed to the engine (getOffset result or a
+  // replayed getBatch end) — the base the next capped batch extends from.
+  // Recovery order is safe: the engine replays the checkpointed batch
+  // via getBatch BEFORE polling getOffset, so the base never regresses
+  // below the committed offset.
+  @volatile private var lastReturned: Option[Long] = None
+
   override def getOffset: Option[V1Offset] = {
-    val cur = table.meta.currentSnapshotId
-    if (cur > startSnapshot) Some(LongOffset(cur)) else None
+    val meta = table.meta
+    val cur = meta.currentSnapshotId
+    val base = lastReturned.getOrElse(startSnapshot)
+    val capped = maxSnapshotsPerBatch match {
+      case Some(m) =>
+        val ahead = meta.snapshots.map(_.id).filter(_ > base).sorted.take(m)
+        if (ahead.isEmpty) base else ahead.last
+      case None => cur
+    }
+    if (capped > startSnapshot) {
+      lastReturned = Some(math.max(base, capped))
+      Some(LongOffset(math.max(base, capped)))
+    } else None
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(o => LongOffset(o.json().toLong).offset)
       .getOrElse(startSnapshot)
     val to = LongOffset(end.json().toLong).offset
+    lastReturned = Some(math.max(lastReturned.getOrElse(to), to))
     val batch = table.appendsBetween(from, to)
     // the engine requires isStreaming=true on getBatch results; reuse the
     // batch plan's rows under a streaming-tagged logical relation
@@ -78,5 +106,6 @@ class LakeCdcSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new LakeCdcSource(sqlContext, path(parameters),
-      parameters.get("startSnapshot").map(_.toLong).getOrElse(0L))
+      parameters.get("startSnapshot").map(_.toLong).getOrElse(0L),
+      parameters.get("maxSnapshotsPerBatch").map(_.toInt))
 }

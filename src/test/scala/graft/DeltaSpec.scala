@@ -286,6 +286,36 @@ class DeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("delta-cdc maxVersionsPerBatch drains a version backlog stepwise") {
+    val dir = Files.createTempDirectory("delta_cdc_cap").toString + "/t"
+    val df = spark.range(0, 10).selectExpr("id", "id % 3 AS k")
+    DeltaExport.create(df.toDF(), dir)
+    // backlog: three more versions before the stream starts
+    (1 to 3).foreach(i => DeltaExport.append(spark,
+      spark.range(100 * i, 100 * i + 5).selectExpr("id", "id % 3 AS k"), dir))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("delta-cdc")
+      .option("path", dir)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("delta_cdc_cap_ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.add(batch.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val counts = {
+        val it = seen.iterator()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten.toSeq
+      }
+      // four versions (create + 3 appends) -> four one-version batches
+      assert(counts == Seq(10L, 5L, 5L, 5L), s"batches: $counts")
+    } finally q.stop()
+  }
+
   test("delta-cdc: fresh stream over a compacted table emits full snapshot") {
     // every live file of a compacted table carries dataChange:false;
     // the INITIAL snapshot batch must still emit all of them (only

@@ -239,6 +239,78 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("lake-cdc maxSnapshotsPerBatch drains a backlog in bounded batches") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val a = li.filter(col("l_returnflag") === "A")
+    val tbl = Engine.ctas(spark, dir, a.limit(5))
+    // backlog: three more commits BEFORE the stream starts
+    (1 to 3).foreach(i => Engine.insert(tbl, a.limit(5 + i)))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream.format("lake-cdc")
+      .option("path", dir)
+      .option("maxSnapshotsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdcb").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.add((id, batch.count())); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val batches = {
+        val it = seen.iterator()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten.toSeq
+      }
+      // five snapshots (ctas = create + insert, then 3 inserts) -> five
+      // one-snapshot batches (the create commit is an empty batch), not
+      // one backlog-sized batch; nothing lost, nothing duplicated
+      assert(batches.size == 5, s"batches: $batches")
+      assert(batches.map(_._2) == Seq(0L, 5L, 6L, 7L, 8L),
+        s"batches: $batches")
+    } finally q.stop()
+  }
+
+  test("lake-cdc cap survives a checkpoint restart without re-emitting") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val a = li.filter(col("l_returnflag") === "A")
+    val tbl = Engine.ctas(spark, dir, a.limit(3))
+    Engine.insert(tbl, a.limit(4))
+    val ckpt = Files.createTempDirectory("cdc_restart").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def startQ() = spark.readStream.format("lake-cdc")
+      .option("path", dir)
+      .option("maxSnapshotsPerBatch", "1")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.add(batch.count()); ()
+      }
+      .start()
+    val q1 = startQ()
+    try { q1.processAllAvailable() } finally q1.stop()
+    // two more commits while the stream is DOWN, then restart from the
+    // checkpoint: a capped source that regressed its base here would
+    // re-emit the pre-restart snapshots
+    Engine.insert(tbl, a.limit(5))
+    Engine.insert(tbl, a.limit(6))
+    val q2 = startQ()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val counts = {
+      val it = seen.iterator()
+      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+        .takeWhile(_.isDefined).flatten.toSeq
+    }
+    // ctas = create(empty) + insert(3); the capped restart continues
+    // from the checkpoint instead of replaying
+    assert(counts == Seq(0L, 3L, 4L, 5L, 6L), s"batches: $counts")
+  }
+
   test("windowed aggregation with watermark over the events fixture") {
     val ev = Tables.load(spark, sf, "events")
     val agg = StreamIngest.windowedCounts(ev, "ts", "value", "1 hour",

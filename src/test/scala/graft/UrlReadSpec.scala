@@ -95,4 +95,27 @@ class UrlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("404"))
     RemoteFetch.clearCache()
   }
+
+  test("redirects are followed; forceRefresh re-fetches a changed object") {
+    RemoteFetch.clearCache()
+    objects("/v2/moved.csv") = "a\n42\n".getBytes(StandardCharsets.UTF_8)
+    // a 302 hop — object-store/CDN URLs routinely redirect
+    server.createContext("/redir/moved.csv", (ex: HttpExchange) => {
+      ex.getResponseHeaders.set("Location",
+        s"http://127.0.0.1:$port/v2/moved.csv")
+      ex.sendResponseHeaders(302, -1)
+      ex.close()
+    })
+    val url = s"http://127.0.0.1:$port/redir/moved.csv"
+    assert(Files.readAllLines(java.nio.file.Paths.get(
+      RemoteFetch.localize(url))).get(1) == "42")
+    // the cache serves stale by design (immutable-object assumption)...
+    objects("/v2/moved.csv") = "a\n43\n".getBytes(StandardCharsets.UTF_8)
+    assert(Files.readAllLines(java.nio.file.Paths.get(
+      RemoteFetch.localize(url))).get(1) == "42")
+    // ...until a forced refresh re-fetches
+    assert(Files.readAllLines(java.nio.file.Paths.get(
+      RemoteFetch.localize(url, forceRefresh = true))).get(1) == "43")
+    RemoteFetch.clearCache()
+  }
 }
