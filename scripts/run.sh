@@ -9,9 +9,11 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_JVM_EXTRA: ad-hoc flags (e.g. -XX:+ExitOnOutOfMemoryError so a
+# heap OOM kills the run instead of wedging the DAGScheduler event loop)
 exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.legacy.parquet.nanosAsLong=true \
   -XX:ReservedCodeCacheSize=1g \
-  -Xmx${GRAFT_MEM:-8g} -cp "$CP" "$@"
+  -Xmx${GRAFT_MEM:-8g} ${GRAFT_JVM_EXTRA:-} -cp "$CP" "$@"

@@ -105,15 +105,19 @@ object Bench {
       * the previous query are off the SSD before the next one is timed. */
     def drainShuffles(): Unit = shuffleDir.foreach { dir =>
       System.gc()
+      // the cleaner deletes files CONCURRENTLY with this walk — every
+      // step can race a vanishing entry, and Files.walk surfaces that
+      // as UncheckedIOException (a RuntimeException) mid-iteration, so
+      // the whole measurement is best-effort under one broad catch
       def du: Long =
         try {
           val s = java.nio.file.Files.walk(dir)
           try s.filter(java.nio.file.Files.isRegularFile(_))
             .mapToLong(p => try java.nio.file.Files.size(p)
-              catch { case _: java.io.IOException => 0L })
+              catch { case _: Exception => 0L })
             .sum()
           finally s.close()
-        } catch { case _: java.io.IOException => 0L }
+        } catch { case _: Exception => 0L }
       var prev = du
       var stable = 0
       var polls = 0
