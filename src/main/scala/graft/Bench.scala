@@ -336,6 +336,22 @@ object Bench {
             }.mkString("{", ",", "}")
             f""","marginal":$m"""
           }
+        // big fixtures: the split copy is fixture-sized (18 GB at sf100)
+        // and holding it for a cross-session cache starves the bucketed
+        // build's sort spills of disk ("No space left on device" took out
+        // the round-11 session-4 bucketed section); rebuilding it costs
+        // ~2 min, the disk is worth more
+        if (!small) {
+          def rmTree(p: java.nio.file.Path): Unit =
+            try {
+              val s = java.nio.file.Files.walk(p)
+              try s.sorted(java.util.Comparator.reverseOrder())
+                .forEach(q => { try java.nio.file.Files.deleteIfExists(q)
+                  catch { case _: Exception => } })
+              finally s.close()
+            } catch { case _: Exception => }
+          rmTree(java.nio.file.Paths.get(sfSplit))
+        }
         f""","scan_parallel":{"total":$sTotal%.3f,"queries":$sq,"spread":$ss$sMarg}"""
       }
 
