@@ -80,12 +80,26 @@ object Bench {
     // and drain the cleaner OUTSIDE the timed window; a real cluster
     // spreads this term across per-node disks, so removing it here makes
     // the single-box number MORE representative, not less.
-    val shuffleDir =
-      if (small) None
+    // shuffle-file hygiene engages only at sf100-class fixtures: the
+    // blocking cleaner + per-query GC/drain exist for the multi-GB dead-
+    // shuffle pile-up that contended the one SSD at sf100 (r10 artifact);
+    // sf10's 1.7 GB fixture never showed it, and the r10 sf10 numbers —
+    // the round-10 closing band — were measured WITHOUT hygiene. Keeping
+    // the r11 hygiene on at sf10 is the round-12 A/B's prime suspect for
+    // the 25-40% uniform sf10 inflation r11 attributed to box state.
+    // Override: SPARK_GRAFT_HYGIENE_MIN_MB.
+    val hygieneMinBytes = sys.env.getOrElse("SPARK_GRAFT_HYGIENE_MIN_MB",
+      "4096").toLong << 20
+    val hygiene = sfBytes >= hygieneMinBytes
+    val shuffleDirRequested =
+      if (small || !hygiene) None
       else {
         builder.config("spark.cleaner.referenceTracking.blocking.shuffle",
           "true")
-        val d = s"${System.getProperty("java.io.tmpdir")}/graft-bench-shuffle"
+        // PID-suffixed: two concurrent bench processes must not share a
+        // spark.local.dir (each would drain the other's measurements)
+        val d = s"${System.getProperty("java.io.tmpdir")}/graft-bench-" +
+          s"shuffle-${ProcessHandle.current().pid()}"
         builder.config("spark.local.dir", d)
         Some(java.nio.file.Paths.get(d))
       }
@@ -98,6 +112,12 @@ object Bench {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // getOrCreate silently ignores builder configs when a session already
+    // exists in this JVM — in that case the dir we'd poll is NOT the dir
+    // Spark shuffles into, so drop the drain rather than measure noise
+    val shuffleDir = shuffleDirRequested.filter(d =>
+      spark.sparkContext.getConf.getOption("spark.local.dir")
+        .contains(d.toString))
 
     /** Big fixtures only: GC (enqueues dead shuffles to the cleaner,
       * whose shuffle removes are blocking per the conf above) and poll

@@ -97,9 +97,17 @@ object Engine {
     //    one-time scan of the equality columns, after which the adopted
     //    table needs no equality machinery at read time.
     // Delete rows are ids, not data rows, so the file is small.
+    //
+    // The whole delete-resolution plan runs on a CLONED session (own
+    // SessionState/conf, shared SparkContext): the equality-delete source
+    // needs field-id parquet resolution, and setting that on the shared
+    // session would let concurrent queries transiently see field-id
+    // schema resolution during the adoption write.
+    val adoptSpark = spark.newSession()
+    adoptSpark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val delSources: List[DataFrame] =
       (if (extDeletes.isEmpty) Nil
-       else List(spark.read
+       else List(adoptSpark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "file_path STRING, pos BIGINT"))
         .parquet(extDeletes.map(_.path): _*)
@@ -107,30 +115,20 @@ object Engine {
           "^" + java.util.regex.Pattern.quote(ext.location),
           java.util.regex.Matcher.quoteReplacement(icebergDir))))) ++
       (if (extDv.isEmpty) Nil
-       else List(IcebergImport.dvPositionsDF(spark, icebergDir, ext, extDv))) ++
+       else List(IcebergImport.dvPositionsDF(adoptSpark, icebergDir, ext, extDv))) ++
       (if (extEq.isEmpty) Nil
        else List(IcebergImport.equalityDeletePositions(
-         spark, icebergDir, ext, extData, extEq)))
+         adoptSpark, icebergDir, ext, extData, extEq)))
     val deleteFiles =
       if (delSources.isEmpty) Nil
       else {
         val dataDir = MetadataIO.dataDir(destDir)
         java.nio.file.Files.createDirectories(dataDir)
         val staging = java.nio.file.Files.createTempDirectory("adoptdel")
-        // the equality-delete source reads data files field-id-resolved;
-        // scope the conf to THIS action so adoption doesn't leak parquet
-        // schema-resolution behavior into unrelated scans
-        val fieldIdKey = "spark.sql.parquet.fieldId.read.enabled"
-        val prior = spark.conf.getOption(fieldIdKey)
-        spark.conf.set(fieldIdKey, "true")
-        try delSources.reduce(_ unionByName _)
+        delSources.reduce(_ unionByName _)
           .dropDuplicates("file_path", "pos")
           .coalesce(1)
           .write.mode("overwrite").parquet(staging.toString)
-        finally prior match {
-          case Some(v) => spark.conf.set(fieldIdKey, v)
-          case None => spark.conf.unset(fieldIdKey)
-        }
         val part = java.nio.file.Files.list(staging).iterator().asScala
           .map(_.toString).filter(_.endsWith(".parquet")).toList.head
         val dest = dataDir.resolve(

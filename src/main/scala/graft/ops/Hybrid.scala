@@ -26,14 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object Hybrid {
 
+  /** Rows above which [[ranked]]/[[rrfFuse]] refuse to run: both use a
+    * partitionless window (total order), which single-partitions their
+    * input — correct and metadata-sized for the k-bounded top-N lists
+    * the RRF contract feeds them, a silent scale-killer on an unbounded
+    * corpus. Retrieval lists in the thousands are generous; a caller
+    * with more rows should top-k-bound the legs first
+    * ([[Bm25.searchOne]], [[Similarity.topK]]/[[Similarity.ivfTopKExact]]
+    * all take k). */
+  val fuseMaxRows = 100000L
+
+  // limit-probe, not count(): the guard must not itself materialize an
+  // unbounded upstream plan just to reject it (same discipline as
+  // Dedup.jaccardPairs)
+  private def requireBounded(df: DataFrame, what: String): Unit = {
+    val n = df.limit((fuseMaxRows + 1).toInt).count()
+    require(n <= fuseMaxRows,
+      s"$what uses a partitionless total-order window, which " +
+        s"single-partitions its input; got >$fuseMaxRows rows (cap " +
+        s"$fuseMaxRows). Bound the input to a top-k list first (the " +
+        "retrieval legs all take k).")
+  }
+
   /** Attach a dense ranking column to a scored relation:
     * row_number over (score desc, id asc) — the rounded-score-first
     * convention every retrieval gate here uses, so ranks are
-    * engine-reproducible. */
+    * engine-reproducible. Input must be a bounded (top-N) list; see
+    * [[fuseMaxRows]]. */
   def ranked(df: DataFrame, idCol: String, scoreCol: String,
-      rankName: String = "rank"): DataFrame =
+      rankName: String = "rank"): DataFrame = {
+    requireBounded(df, "Hybrid.ranked")
     df.withColumn(rankName, row_number().over(
       Window.orderBy(col(scoreCol).desc, col(idCol).asc)))
+  }
 
   /** Fuse rankings by RRF. Each input must carry `idCol` and `rankCol`
     * (1-based). Returns (rank, idCol, rrf_score, n_lists) — top `k` by
@@ -46,6 +71,7 @@ object Hybrid {
       roundTo: Int = 9): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    rankings.foreach(requireBounded(_, "Hybrid.rrfFuse"))
     val contrib = rankings.map(_.select(col(idCol),
         (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
           .as("_c")))
@@ -62,7 +88,9 @@ object Hybrid {
   /** One-call hybrid search over a corpus with both a text and an
     * embedding column: BM25 (interactive zero-shuffle leg) + brute
     * cosine top-N (swap in [[Similarity.ivfTopKExact]] at index scale),
-    * fused by RRF. `legK` bounds each leg's list; `k` the fused output. */
+    * fused by RRF. `legK` bounds each leg's list; `k` the fused output,
+    * whose id column is `idCol` (the legs' internal 'doc_id' naming is
+    * renamed back before returning). */
   def hybridSearch(corpus: DataFrame, idCol: String, textCol: String,
       vecCol: String, queryText: String, queryVec: Array[Float],
       k: Int = 10, legK: Int = 20, kRrf: Int = 60): DataFrame = {
@@ -75,5 +103,6 @@ object Hybrid {
       "doc_id", "cosine")
     rrfFuse(Seq(lexical.select("doc_id", "rank"),
       semantic.select("doc_id", "rank")), "doc_id", kRrf = kRrf, k = k)
+      .withColumnRenamed("doc_id", idCol)
   }
 }

@@ -383,7 +383,10 @@ object TextPrep {
     * clean_text — the same contract as [[removeBoilerplate]]. */
   def dedupLinesGlobal(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val nonBlank = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    // null text → zero lines (same contract as removeBoilerplate, whose
+    // left-join coalesces a null doc to n_lines=0/clean_text="")
+    val nonBlank = filter(
+      split(coalesce(col(textCol), lit("")), "\n"), l => length(l) > 0)
     val occ = df.select(col(idCol),
         posexplode(nonBlank).as(Seq("_pos", "_line")))
       .select(md5(col("_line").cast("binary")).as("_lh"),
@@ -395,15 +398,24 @@ object TextPrep {
       .select(col(idCol), col("_pos"))
     val losersPerDoc = losers.groupBy(idCol)
       .agg(collect_list("_pos").as("_drop"))
+    // reassembly: one two-pointer merge of the line array against the
+    // SORTED drop list (JoinExceptSortedIndices, O(n_lines + n_drops)).
+    // The obvious per-line array_contains(_drop, i) filter is
+    // O(n_lines × n_drops) — quadratic in a document's own length
+    // exactly when the document is mostly duplicate lines, the case
+    // this operator exists to clean.
+    val joined = org.apache.spark.sql.GraftBridge.column(
+      JoinExceptSortedIndices(
+        org.apache.spark.sql.GraftBridge.eagerExpression(nonBlank),
+        org.apache.spark.sql.GraftBridge.eagerExpression(
+          array_sort(col("_drop")))))
     df.join(losersPerDoc, Seq(idCol), "left")
       .withColumn("_drop",
         coalesce(col("_drop"), array().cast("array<int>")))
       .select(col(idCol),
         size(nonBlank).cast("long").as("n_lines"),
         (size(nonBlank) - size(col("_drop"))).cast("long").as("n_kept"),
-        array_join(filter(nonBlank,
-          (_, i) => !array_contains(col("_drop"), i)), "\n")
-          .as("clean_text"))
+        joined.as("clean_text"))
   }
 
   // ------------------------------------------------- C4 line rules ----
@@ -483,4 +495,50 @@ object TextPrep {
         least(size(col("_w")) - col("_start"), lit(chunkTokens))
           .cast("long").as("n_tokens"))
   }
+}
+
+/** newline-join of `lines` excluding the 0-based positions in `drop`
+  * (which MUST be sorted ascending) — a single two-pointer merge,
+  * O(n_lines + n_drops) per row. Exists for
+  * [[TextPrep.dedupLinesGlobal]]'s reassembly, whose worst case (a
+  * document that is mostly duplicate lines) degrades quadratically
+  * under a per-line array_contains lookup. Interpreted eval
+  * (CodegenFallback) is fine here: the per-row work is O(document),
+  * so per-row dispatch overhead is noise — same reasoning as
+  * [[ShingleMinhash]]. */
+case class JoinExceptSortedIndices(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val lines = a.asInstanceOf[ArrayData]
+    val drop = b.asInstanceOf[ArrayData]
+    val n = lines.numElements(); val nd = drop.numElements()
+    val kept = new java.util.ArrayList[UTF8String](math.max(n - nd, 0))
+    var i = 0; var j = 0
+    while (i < n) {
+      // advance past stale drop entries (defensive; positions are
+      // distinct by construction so each matches at most once)
+      while (j < nd && drop.getInt(j) < i) j += 1
+      if (j < nd && drop.getInt(j) == i) j += 1
+      else kept.add(lines.getUTF8String(i))
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString("\n"),
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+  }
+
+  override def prettyName: String = "join_except_sorted_indices"
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : JoinExceptSortedIndices = copy(left = newLeft, right = newRight)
 }

@@ -34,6 +34,37 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // CDC incremental-append read (appendsBetween): snapshot window
+    // covering two appends, a compaction (whose rewrite outputs must NOT
+    // re-emit), a MOR delete of in-window rows (which must not surface),
+    // and a final append — the exact replay contract a streaming
+    // backfill consumer depends on (LakeCdcSource reads this API)
+    "q_lake_cdc" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("cdc"),
+        li.filter(col("l_returnflag") === "A"))
+      val from = tbl.meta.currentSnapshotId
+      Engine.compact(tbl) // rewrite: pre-existing rows, not CDC appends
+      Engine.insert(tbl, li.filter(col("l_returnflag") === "N"))
+      Engine.insert(tbl, li.filter(col("l_returnflag") === "R"))
+      // MOR delete of rows appended inside the window (the delete's
+      // position files target the still-live append files — a delete
+      // AFTER a compaction of those rows would target the rewritten
+      // paths instead, which incremental-append replay by design does
+      // not chase; Iceberg's incremental append scan shares this
+      // contract)
+      Engine.deleteMor(tbl,
+        col("l_returnflag") === "N" && col("l_quantity") > 40)
+      Engine.insert(tbl, li.filter(
+        col("l_returnflag") === "A" && col("l_quantity") <= 5))
+      val to = tbl.meta.currentSnapshotId
+      tbl.appendsBetween(from, to)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // COW DELETE over a month-partitioned table (metadata-only drops for
     // whole partitions + rewrite for the boundary files)
     "q_lake_delete" -> { (s, dir) =>
@@ -261,6 +292,18 @@ object QLake {
         |  count(*) AS n
         |FROM (SELECT * FROM lineitem
         |      UNION ALL SELECT * FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the CDC window's appends: the N rows that survive the in-window
+    // MOR delete, every R row, and the final low-quantity A append —
+    // and NOTHING from the pre-window ctas or the compaction rewrite
+    "q_lake_cdc" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE (l_returnflag = 'N' AND NOT (l_quantity > 40))
+        |   OR l_returnflag = 'R'
+        |   OR (l_returnflag = 'A' AND l_quantity <= 5)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lake_delete" ->

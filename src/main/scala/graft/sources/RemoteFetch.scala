@@ -54,6 +54,7 @@ object RemoteFetch {
     * until refreshed. Pass `forceRefresh=true` (or call [[clearCache]])
     * to re-fetch. */
   def localize(path: String, forceRefresh: Boolean = false): String = {
+    if (S3Fetch.isS3(path)) return S3Fetch.localize(path)
     if (!isUrl(path)) return path
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(path.getBytes("UTF-8"))
@@ -64,8 +65,11 @@ object RemoteFetch {
       if (dot >= 0 && dot > name.lastIndexOf('/')) name.substring(dot) else ""
     }
     val dest = cacheDir.resolve(s"$digest$ext")
-    if (forceRefresh) Files.deleteIfExists(dest)
-    if (Files.exists(dest)) return dest.toString
+    // forceRefresh keeps the existing entry in place until the re-fetch
+    // SUCCEEDS: the download lands in the tmp file and only then
+    // replaces dest, so a network error or non-200 leaves the previous
+    // valid cache entry intact instead of destroying it
+    if (!forceRefresh && Files.exists(dest)) return dest.toString
     val tmp = cacheDir.resolve(s".$digest.tmp-${System.nanoTime()}")
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(path)).GET().build(),
@@ -76,7 +80,10 @@ object RemoteFetch {
         s"GET $path -> HTTP ${resp.statusCode()}")
     }
     // atomic publish: a concurrent fetch of the same URL either wins the
-    // rename or loses to an identical file — readers never see partials
+    // rename or loses to an identical file — readers never see partials.
+    // POSIX rename(2) replaces an existing dest atomically, which on
+    // refresh IS the refresh; the catch covers providers that surface
+    // the existing file as an exception instead.
     try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
@@ -84,11 +91,14 @@ object RemoteFetch {
     dest.toString
   }
 
-  /** Drop every cached object (tests; or to force re-fetch). */
+  /** Drop every cached object (tests; or to force re-fetch). Recursive:
+    * S3 glob listings localize as directories of links ([[S3Fetch]]). */
   def clearCache(): Unit = {
     val d = cacheDir
-    val s = Files.list(d)
-    try s.forEach(p => Files.deleteIfExists(p))
+    val s = Files.walk(d)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .filter(p => p != d)
+      .forEach(p => Files.deleteIfExists(p))
     finally s.close()
   }
 }
