@@ -48,12 +48,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // size-guarded AQE SMJ→SHJ conversion: skips sorting both sides
-      // of large-large joins (q5's lineitem⋈orders sorts 60M rows
-      // otherwise — measured ~10% off the sf10 join queries); the
-      // per-partition build-size guard keeps it safe at any scale
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "256m")
       .config("spark.ui.enabled", "false")
     // single-JVM local mode: shuffle bytes never cross a network, so lz4
     // on the shuffle path is pure CPU overhead and a tmpfs shuffle dir
@@ -91,6 +85,21 @@ object Bench {
     val hygieneMinBytes = sys.env.getOrElse("SPARK_GRAFT_HYGIENE_MIN_MB",
       "4096").toLong << 20
     val hygiene = sfBytes >= hygieneMinBytes
+    // Disk-regime join policy (the generalization of the round-11 yoy
+    // fix): in the sf100-class regime, AQE's SMJ→SHJ conversion is a
+    // fatal-abort class — a converted build that cannot acquire memory
+    // under concurrent pressure THROWS ("can't acquire N bytes to build
+    // hash relation") where the sort-merge it replaced would have
+    // spilled. This exposure is data-dependent and shared by every join
+    // that can dispatch past the reduce bound (ProbeAgg fallback arms,
+    // Dedup.components edge joins, the bucketed build), so the policy is
+    // central, not per-query hints: big fixtures disable the conversion
+    // (threshold 0) and pay sort CPU for abort-freedom — the same trade
+    // the reference's engine makes by always owning a spill path. Below
+    // the cutoff, the conversion's measured ~10% win on sf10 join
+    // queries stands (q5's lineitem⋈orders skips sorting 60M rows).
+    builder.config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      if (hygiene) "0" else "256m")
     val shuffleDirRequested =
       if (small || !hygiene) None
       else {

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{Bucketed, Engine}
+
+/** Round-bounded incremental clustering (Bucketed.fromLakeIncremental):
+  * a lake table converges to the bucketed co-located layout across
+  * invocations that each touch at most `maxFilesPerRound` source files
+  * and `maxBucketMergesPerRound` bucket merges — the layout analogue of
+  * the reference's MaxCompactionsPerVacuum bound (vacuum.c:70-71). The
+  * converged table must be row-identical to the source, behave as a
+  * genuine bucketed table (exchange-free join), and pick up lake inserts
+  * committed after convergence on subsequent rounds. */
+class IncrementalBucketizeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    Bucketed.drop(spark, "inc_bkt_li")
+    Bucketed.drop(spark, "inc_bkt_ord")
+    spark.stop()
+  }
+
+  private def nodeCount(p: String, name: String): Int =
+    ("""\(\d+\) """ + name + """(?![A-Za-z])""").r.findAllIn(p).size
+
+  test("bounded rounds converge to a row-identical, genuinely bucketed " +
+      "layout, and later lake inserts surface on the next rounds") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val dir = Files.createTempDirectory("incbkt").toString
+    // a multi-file lake table: 4 append commits of disjoint quarters
+    val tbl = Engine.create(spark, s"$dir/t", li.schema.toDDL)
+    for (i <- 0 until 4)
+      Engine.insert(tbl, li.filter(col("l_orderkey") % 4 === i))
+    val nFiles = tbl.liveFiles.size
+    assert(nFiles >= 4, s"fixture should be multi-file, got $nFiles")
+
+    val out = s"$dir/bkt"
+    var rounds = 0
+    var p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_li", out,
+      Seq("l_orderkey"), 4, maxFilesPerRound = 2,
+      maxBucketMergesPerRound = 2)
+    var lastProcessed = 0
+    while (!p.done && rounds < 20) {
+      // the bound: no round processes more than 2 new source files
+      assert(p.processedFiles - lastProcessed <= 2,
+        s"round touched ${p.processedFiles - lastProcessed} files")
+      lastProcessed = p.processedFiles
+      rounds += 1
+      p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_li", out,
+        Seq("l_orderkey"), 4, maxFilesPerRound = 2,
+        maxBucketMergesPerRound = 2)
+    }
+    assert(p.done, s"did not converge in $rounds rounds: $p")
+    assert(rounds >= 2, "convergence should take multiple bounded rounds")
+    assert(p.processedFiles == p.totalFiles && p.totalFiles == nFiles)
+
+    // row-identical to the source table
+    val bkt = Bucketed.table(spark, "inc_bkt_li")
+    val aggOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)), sum("l_orderkey"),
+        round(sum("l_extendedprice"), 2)).collect().toSeq
+    assert(aggOf(bkt) == aggOf(tbl.toDF))
+
+    // converged = one file per non-empty bucket (the sort-elision shape)
+    val filesPerBucket = Files.list(java.nio.file.Paths.get(out)).iterator()
+    var parquet = 0
+    while (filesPerBucket.hasNext) {
+      if (filesPerBucket.next().toString.endsWith(".parquet")) parquet += 1
+    }
+    assert(parquet <= 4, s"expected <=4 bucket files after merge, $parquet")
+
+    // genuinely bucketed: join with a bucketed orders side is
+    // exchange-free on both sides
+    val bord = Bucketed.write(Tables.load(spark, sf, "orders"),
+      "inc_bkt_ord", s"$dir/ord", Seq("o_orderkey"), 4)
+    val j = bkt.join(bord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum("l_extendedprice"), 2).as("rev"),
+        count(lit(1)).as("n"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(nodeCount(plan, "Exchange") <= 1, // only the tiny groupBy
+      s"bucketed join should not co-shuffle:\n$plan")
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum("l_extendedprice"), 2).as("rev"),
+        count(lit(1)).as("n"))
+    assert(j.orderBy("o_orderpriority").collect().toSeq ==
+      plain.orderBy("o_orderpriority").collect().toSeq)
+
+    // post-convergence lake insert → new unprocessed file → next rounds
+    // fold it in and re-converge
+    Engine.insert(tbl, li.filter(col("l_returnflag") === "R").limit(100))
+    var p2 = Bucketed.fromLakeIncremental(tbl, "inc_bkt_li", out,
+      Seq("l_orderkey"), 4, maxFilesPerRound = 2,
+      maxBucketMergesPerRound = 2)
+    var r2 = 0
+    while (!p2.done && r2 < 10) {
+      r2 += 1
+      p2 = Bucketed.fromLakeIncremental(tbl, "inc_bkt_li", out,
+        Seq("l_orderkey"), 4, maxFilesPerRound = 2,
+        maxBucketMergesPerRound = 2)
+    }
+    assert(p2.done, s"post-insert reconvergence failed: $p2")
+    spark.sql("REFRESH TABLE `inc_bkt_li`")
+    assert(aggOf(Bucketed.table(spark, "inc_bkt_li")) == aggOf(tbl.toDF))
+  }
+
+  test("a table with MOR deletes is refused loudly") {
+    val li = Tables.load(spark, sf, "lineitem").limit(500)
+    val dir = Files.createTempDirectory("incbkt_mor").toString
+    val tbl = Engine.ctas(spark, s"$dir/t", li)
+    Engine.deleteMor(tbl, col("l_quantity") > 30)
+    val e = intercept[IllegalArgumentException](
+      Bucketed.fromLakeIncremental(tbl, "inc_bkt_refuse", s"$dir/b",
+        Seq("l_orderkey"), 4))
+    assert(e.getMessage.contains("flush"))
+  }
+}
