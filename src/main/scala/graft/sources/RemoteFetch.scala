@@ -5,6 +5,8 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
 
+import scala.jdk.CollectionConverters._
+
 /** Remote-object localization — the Spark-native analogue of the
   * reference's cache worker (pg_lake_engine/src/pgduck/cache_worker.c:
   * 75-188), which materializes remote objects into a local cache before
@@ -89,6 +91,47 @@ object RemoteFetch {
       Files.deleteIfExists(tmp)
     }
     dest.toString
+  }
+
+  /** One cached object (the reference's `lake_file_cache.list` row:
+    * cache_worker.c:75-188 materializes, a catalog function lists). */
+  case class CacheEntry(file: String, sizeBytes: Long, modifiedMs: Long)
+
+  /** List every cached object file (glob-listing link dirs excluded —
+    * their links share the per-object entries' storage). */
+  def listCache(): Seq[CacheEntry] = {
+    val s = Files.list(cacheDir)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .map(p => CacheEntry(p.toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis)).toList
+    finally s.close()
+  }
+
+  /** Remove one URL's cache entry (`lake_file_cache.remove`). Returns
+    * whether an entry existed. */
+  def removeCached(url: String): Boolean = {
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(url.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(32)
+    val s = Files.list(cacheDir)
+    val victims =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(digest)).toList
+      finally s.close()
+    victims.foreach(Files.deleteIfExists(_))
+    victims.nonEmpty
+  }
+
+  /** Drop entries not touched in `maxAgeMs` (the cache worker's age-based
+    * cleanup; mtime refreshes on re-download, not on read — entries are
+    * immutable, so age-since-fetch is the eviction clock). Returns the
+    * number of files removed. */
+  def expireCache(maxAgeMs: Long): Int = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val stale = listCache().filter(_.modifiedMs < cutoff)
+    stale.foreach(e => Files.deleteIfExists(Paths.get(e.file)))
+    stale.size
   }
 
   /** Drop every cached object (tests; or to force re-fetch). Recursive:

@@ -1217,7 +1217,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "shared header\nbody a\nrepeat me\nrepeat me"),
       (2L, "shared header\nbody b"),
       (3L, "body c\n\nshared header\nbody c"),
-      (4L, "")).toDF("id", "text")
+      (4L, ""),
+      (5L, null)).toDF("id", "text") // null = zero lines, not -1/null
     val out = TextPrep.dedupLinesGlobal(docs, "id", "text").collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
@@ -1229,6 +1230,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // removed; doc-3's "shared header" copy removed
     assert(out(3L) == ((3L, 1L, "body c")))
     assert(out(4L) == ((0L, 0L, "")))
+    assert(out(5L) == ((0L, 0L, ""))) // removeBoilerplate's null contract
   }
 
   test("rrf fusion: hand-computed scores, n_lists, missing-doc convention") {
@@ -1249,6 +1251,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 10 and 20 tie on {1,2} — the id breaks it; one-list docs trail
     assert(out(10L)._1 == 1 && out(20L)._1 == 2)
     assert(out(30L)._1 == 3 && out(40L)._1 == 4) // 1/63 ties, id order
+  }
+
+  test("ranked/rrfFuse refuse an unbounded input loudly (the " +
+      "partitionless-window scale guard); hybridSearch returns idCol") {
+    import spark.implicits._
+    import graft.ops.Hybrid
+    val big = spark.range(0, Hybrid.fuseMaxRows + 1)
+      .select(col("id").as("doc_id"), (col("id") % 97).as("score"))
+    val e1 = intercept[IllegalArgumentException](
+      Hybrid.ranked(big, "doc_id", "score"))
+    assert(e1.getMessage.contains("top-k"))
+    val bigRanks = spark.range(0, Hybrid.fuseMaxRows + 1)
+      .select(col("id").as("doc_id"), lit(1).as("rank"))
+    val e2 = intercept[IllegalArgumentException](
+      Hybrid.rrfFuse(Seq(bigRanks), "doc_id"))
+    assert(e2.getMessage.contains("top-k"))
+    // custom id column name round-trips through hybridSearch
+    val docs = Tables.load(spark, sf, "documents")
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("item_id"), col("text"), col("embedding"))
+    val qvec = emb.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val out = Hybrid.hybridSearch(corpus, "item_id", "text", "embedding",
+      "merge sort", qvec, k = 5, legK = 10)
+    assert(out.columns.contains("item_id"), out.columns.toSeq)
   }
 
   test("hybridSearch equals rrfFuse of its two legs") {

@@ -118,4 +118,44 @@ class UrlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       RemoteFetch.localize(url, forceRefresh = true))).get(1) == "43")
     RemoteFetch.clearCache()
   }
+
+  test("cache management: list / remove-by-url / age expiry " +
+      "(lake_file_cache.list/remove, cache_worker cleanup)") {
+    RemoteFetch.clearCache()
+    objects("/m/a.csv") = "a\n1\n".getBytes(StandardCharsets.UTF_8)
+    objects("/m/b.csv") = "b\n22\n".getBytes(StandardCharsets.UTF_8)
+    val urlA = s"http://127.0.0.1:$port/m/a.csv"
+    val urlB = s"http://127.0.0.1:$port/m/b.csv"
+    RemoteFetch.localize(urlA)
+    RemoteFetch.localize(urlB)
+    val listed = RemoteFetch.listCache()
+    assert(listed.size == 2 && listed.forall(_.sizeBytes > 0))
+    assert(RemoteFetch.removeCached(urlA))
+    assert(!RemoteFetch.removeCached(urlA)) // already gone
+    assert(RemoteFetch.listCache().size == 1)
+    // b is fresh → a 1-hour expiry removes nothing; 0 ms removes it
+    assert(RemoteFetch.expireCache(3600L * 1000) == 0)
+    assert(RemoteFetch.expireCache(-1L) == 1)
+    assert(RemoteFetch.listCache().isEmpty)
+    RemoteFetch.clearCache()
+  }
+
+  test("a FAILED forceRefresh keeps the previously valid cache entry") {
+    RemoteFetch.clearCache()
+    objects("/v3/keep.csv") = "a\n7\n".getBytes(StandardCharsets.UTF_8)
+    val url = s"http://127.0.0.1:$port/v3/keep.csv"
+    val cached = RemoteFetch.localize(url)
+    assert(Files.readAllLines(java.nio.file.Paths.get(cached)).get(1) == "7")
+    // the remote object vanishes; a forced refresh now fails...
+    objects.remove("/v3/keep.csv")
+    val e = intercept[IllegalStateException](
+      RemoteFetch.localize(url, forceRefresh = true))
+    assert(e.getMessage.contains("404"))
+    // ...but the old entry is still there and still served
+    assert(Files.exists(java.nio.file.Paths.get(cached)),
+      "failed refresh destroyed the valid cache entry")
+    assert(Files.readAllLines(java.nio.file.Paths.get(
+      RemoteFetch.localize(url))).get(1) == "7")
+    RemoteFetch.clearCache()
+  }
 }
