@@ -195,19 +195,28 @@ object Dedup {
           slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")))))
         .as(Seq("band", "bhash")))
     // Join-strategy dial, sized from the one count we already ran:
-    // small relations broadcast (the planner's choice, keep it); past
-    // the broadcast threshold prefer SHUFFLE_HASH over the default
-    // sort-merge for the joins whose BUILD side is provably narrow —
-    // band keys + ids (24 B/row), bare pair lists (16 B/row), bare
-    // signatures (8 + 8·numHashes B/row) — while sort-merge would sort
-    // nDocs·bands rows on both sides (measured 41% of end-to-end at
-    // 500k docs). An explicit hint bypasses Spark's own build-side size
-    // guard, so it is applied ONLY to those fixed-width relations and
-    // never to a join output carrying signature/shingle payloads
-    // (hinting one of those OOM'd the 500k-doc run: the first verify
-    // join's output is pairs × a 0.5 KB array, and a hash build of that
-    // is GBs). Small corpora keep their automatic broadcast plans.
-    val big = nDocs > 20000
+    // small relations broadcast (the planner's choice, keep it); in the
+    // MID regime prefer SHUFFLE_HASH over the default sort-merge for
+    // the joins whose BUILD side is narrow — band keys + ids (24 B/row),
+    // bare pair lists (16 B/row), bare signatures (8 + 8·numHashes
+    // B/row) — while sort-merge would sort nDocs·bands rows on both
+    // sides (measured 41% of end-to-end at 500k docs). An explicit hint
+    // bypasses Spark's own build-side size guard, so it is applied ONLY
+    // to those fixed-width relations, never to a join output carrying
+    // signature/shingle payloads (hinting one of those OOM'd the
+    // 500k-doc run), AND only below a corpus-size bound: per-row width
+    // is not per-build size — at 5M docs the candidate list is 600M+
+    // pairs, whose per-partition hash build is ~1 GB and ABORTED a
+    // 64 GiB session ("can't acquire 536870912 bytes to build hash
+    // relation", the same fatal class the disk-regime bench policy
+    // guards against for AQE conversions). Past the bound every join
+    // reverts to the planner's spillable sort-merge — robust over peak,
+    // the engine's standing disk-regime declaration.
+    // Dial: spark.graft.minhash.shjDocsBound (docs; 500k measured good
+    // at 8 GiB, 5M measured fatal at 64 GiB — default splits the decade).
+    val shjDocsBound = df.sparkSession.conf
+      .get("spark.graft.minhash.shjDocsBound", "1000000").toLong
+    val big = nDocs > 20000 && nDocs <= shjDocsBound
     def shj(d: DataFrame): DataFrame = if (big) d.hint("shuffle_hash") else d
     val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))

@@ -65,6 +65,34 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // delta-cdc streaming source replayed to a memory sink: the window
+    // after the create must emit the two appends and SKIP the
+    // dataChange:false compaction rewrite — the oracle reconstructs
+    // exactly the appended rows from the fixture
+    "q_delta_cdc" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val loc = tmp("dcdc")
+      graft.core.DeltaExport.create(
+        li.filter(col("l_returnflag") === "A"), loc) // v0 (excluded)
+      graft.core.DeltaExport.append(s,
+        li.filter(col("l_returnflag") === "N"), loc) // v1
+      graft.core.DeltaExport.compact(s, loc) // v2: rewrite, must not emit
+      graft.core.DeltaExport.append(s,
+        li.filter(col("l_returnflag") === "R"), loc) // v3
+      val qn = s"q_delta_cdc_mem_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("dcdc_ckpt").toString
+      val q = s.readStream.format("delta-cdc")
+        .option("path", loc).option("startVersion", "0").load()
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // COW DELETE over a month-partitioned table (metadata-only drops for
     // whole partitions + rewrite for the boundary files)
     "q_lake_delete" -> { (s, dir) =>
@@ -304,6 +332,15 @@ object QLake {
         |WHERE (l_returnflag = 'N' AND NOT (l_quantity > 40))
         |   OR l_returnflag = 'R'
         |   OR (l_returnflag = 'A' AND l_quantity <= 5)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the delta CDC window's appends: N and R, nothing from the
+    // pre-window create (A) or the compaction rewrite
+    "q_delta_cdc" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('N', 'R')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lake_delete" ->

@@ -16,11 +16,19 @@ import graft.ops.Dedup
 object MinhashLedger {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "benchdata/sf10")
+    // disk-regime policy as in Bench: sf100-class fixtures never let AQE
+    // convert a spillable SMJ into an abort-prone hash build
+    val sfBytes = {
+      def du(p: java.io.File): Long =
+        if (p.isFile) p.length
+        else Option(p.listFiles).map(_.map(du).sum).getOrElse(0L)
+      du(new java.io.File(sfDir))
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "256m")
+        if (sfBytes >= (4096L << 20)) "0" else "256m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,12 +64,23 @@ object MinhashLedger {
     }
     println(s"[info] pairs/doc = " +
       f"${est.count().toDouble / math.max(docsInPairs, 1)}%.2f")
-    time("exact verify: pair-join layout") {
-      Dedup.exactVerifyJoin(est, plan.sh, 0.5, plan.big)
+    // each arm failure-isolated: at pair-dense scales one layout DYING
+    // (disk-full on the O(pairs)-array shuffle) while the other
+    // completes is itself the measurement — the ledger must survive to
+    // report it. Clustered runs first: its shuffle bound is O(docs)
+    // arrays + O(pairs) bare ids, the arm predicted to survive density.
+    def attempt(name: String)(f: => Unit): Unit =
+      try time(name)(f)
+      catch { case e: Throwable =>
+        println(s"[ledger] $name FAILED: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    attempt("exact verify: clustered layout") {
+      Dedup.exactVerifyClustered(est, plan.sh, 0.5)
         .write.format("noop").mode("overwrite").save()
     }
-    time("exact verify: clustered layout") {
-      Dedup.exactVerifyClustered(est, plan.sh, 0.5)
+    attempt("exact verify: pair-join layout") {
+      Dedup.exactVerifyJoin(est, plan.sh, 0.5, plan.big)
         .write.format("noop").mode("overwrite").save()
     }
     cand.unpersist(); est.unpersist()
@@ -69,9 +88,9 @@ object MinhashLedger {
     spark.catalog.clearCache()
 
     // ---- end-to-end, both dispatch modes, cold caches ----
-    for (mode <- Seq("never", "always", "auto")) {
+    for (mode <- Seq("always", "never", "auto")) {
       spark.conf.set("spark.graft.minhash.clusteredVerify", mode)
-      time(s"end-to-end minhashPairs [$mode]") {
+      attempt(s"end-to-end minhashPairs [$mode]") {
         Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
           .write.format("noop").mode("overwrite").save()
       }
