@@ -136,19 +136,23 @@ object Dedup {
     val spark = df.sparkSession
     val mode = spark.conf
       .get("spark.graft.minhash.clusteredVerify", "auto")
-    // Dispatch, settled by measurement (tools/MinhashLedger at sf10,
-    // 500k docs / 30.8M surviving pairs = 66.5 pairs/doc): the
-    // pair-join verify reads 44.0 s vs the clustered layout's 63.2 s —
-    // the join path is whole-stage-codegen'd end to end and its array
-    // shuffle compresses well, while the clustered pass pays the
-    // label-propagation rounds plus a Row-level per-cluster map. So
-    // the join layout is the DEFAULT at every density measured; the
-    // clustered layout remains the opt-in for the regime it provably
-    // bounds — its shuffle is O(docs) shingle arrays + O(pairs) bare
-    // ids instead of O(pairs) arrays, the difference between fitting
-    // on local disk or not once pairs/doc × array size outgrows the
-    // shuffle volume a node can hold.
-    val clustered = mode == "always"
+    // Dispatch, settled by measurement across two decades
+    // (tools/MinhashLedger):
+    //  - sf10 (500k docs / 30.8M surviving pairs): pair-join 44.0 s vs
+    //    clustered 63.2 s — the join path is whole-stage-codegen'd end
+    //    to end and its array shuffle compresses well, so it wins while
+    //    the O(pairs)-array shuffle fits a node;
+    //  - sf100 (5M docs / 612M candidates): the O(pairs × payload)
+    //    shuffle is a measured ~150-300 GB and DIED on disk ("No space
+    //    left on device"), while the clustered layout's bound — O(docs)
+    //    shingle arrays + O(pairs) bare ids — completes (BASELINE
+    //    round-12 minhash section).
+    // So "auto" switches to the clustered layout past the same
+    // corpus-size dial that retires the SHJ hints
+    // (spark.graft.minhash.shjDocsBound, default 1M docs).
+    val clustered = mode == "always" ||
+      (mode == "auto" && plan.nDocs > spark.conf
+        .get("spark.graft.minhash.shjDocsBound", "1000000").toLong)
     if (clustered) exactVerifyClustered(plan.est, plan.sh, threshold)
     else exactVerifyJoin(plan.est, plan.sh, threshold, plan.big)
   }
@@ -244,20 +248,45 @@ object Dedup {
       // joins become broadcast-hash (no shuffle); at warehouse scale
       // the stats exceed it and the same plan degrades gracefully to
       // shuffle joins.
-      val sigOnly = trackedCache(sig.select(col("id"), col("sig")))
       // positional-agreement kernel (one primitive pass per pair) and an
       // integer cut: agree/numHashes ≥ thr−0.2 ⟺ agree ≥ ⌈(thr−0.2)·n⌉
       val minAgree = math.ceil((threshold - 0.2) * numHashes).toLong
-      shj(cand)
-        .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")),
-          Seq("id_a"))
-        .join(shj(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b"))),
-          Seq("id_b"))
-        .filter(org.apache.spark.sql.GraftBridge.column(ArrayAgreeCount(
-          org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_a")),
-          org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_b"))))
-          >= minAgree)
-        .select("id_a", "id_b")
+      if (nDocs <= shjDocsBound) {
+        val sigOnly = trackedCache(sig.select(col("id"), col("sig")))
+        shj(cand)
+          .join(sigOnly.select(col("id").as("id_a"), col("sig").as("sig_a")),
+            Seq("id_a"))
+          .join(shj(sigOnly.select(col("id").as("id_b"), col("sig").as("sig_b"))),
+            Seq("id_b"))
+          .filter(org.apache.spark.sql.GraftBridge.column(ArrayAgreeCount(
+            org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_a")),
+            org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_b"))))
+            >= minAgree)
+          .select("id_a", "id_b")
+      } else {
+        // Pair-dense regime: the estimate join's shuffled intermediate
+        // is O(pairs × signature payload) — measured ~300 GB (disk
+        // wall) at sf100's 612M candidates with the full 512 B
+        // signature. Quantize-and-pack each slot to its low byte
+        // (PackSigBytes, 64 B payload, 8× less shuffle). Recall-safe:
+        // packed agreement ≥ true agreement, so the cut can only ADMIT
+        // extra pairs, and the exact-jaccard verify downstream is the
+        // final word — the operator's output is bit-identical.
+        val sigP = trackedCache(sig.select(col("id"),
+          org.apache.spark.sql.GraftBridge.column(PackSigBytes(
+            org.apache.spark.sql.GraftBridge.eagerExpression(col("sig"))))
+            .as("sigp")))
+        cand
+          .join(sigP.select(col("id").as("id_a"), col("sigp").as("sp_a")),
+            Seq("id_a"))
+          .join(sigP.select(col("id").as("id_b"), col("sigp").as("sp_b")),
+            Seq("id_b"))
+          .filter(org.apache.spark.sql.GraftBridge.column(PackedByteAgreeCount(
+            org.apache.spark.sql.GraftBridge.eagerExpression(col("sp_a")),
+            org.apache.spark.sql.GraftBridge.eagerExpression(col("sp_b"))))
+            >= minAgree)
+          .select("id_a", "id_b")
+      }
     }
     MinhashPlan(sig, sh, nDocs, nBands, big, cand, est)
   }

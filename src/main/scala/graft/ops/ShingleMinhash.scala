@@ -136,6 +136,72 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Quantize-and-pack a MinHash signature for the large-corpus estimate
+  * join: each 64-bit slot keeps its LOW BYTE, 8 bytes per output long —
+  * an 8× narrower payload (64 B for the standard 64-hash signature vs
+  * 512). Quantization is RECALL-SAFE for the estimate's ≥-threshold
+  * use: equal slots stay equal after truncation, so packed agreement ≥
+  * true agreement and no true candidate pair is ever filtered out; the
+  * ~1/256-per-slot collision inflation only admits extra candidates,
+  * which the exact-jaccard verify (the final word either way) then
+  * rejects. Exists because the estimate join's shuffled intermediate is
+  * O(pairs × payload): at 600M+ candidates the full 512 B signature is
+  * a ~300 GB shuffle — the measured single-box disk wall at sf100 —
+  * while the packed form is ~8× less. */
+case class PackSigBytes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      out(i >> 3) |= (a.getLong(i) & 0xFFL) << ((i & 7) << 3)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def prettyName: String = "pack_sig_bytes"
+  override protected def withNewChildInternal(newChild: Expression): PackSigBytes =
+    copy(child = newChild)
+}
+
+/** Byte-lane agreement count of two [[PackSigBytes]]-packed signatures:
+  * the number of 8-bit lanes that compare equal — the packed twin of
+  * [[ArrayAgreeCount]]. */
+case class PackedByteAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0; var c = 0L
+    while (i < n) {
+      val xv = x.getLong(i); val yv = y.getLong(i)
+      var lane = 0
+      while (lane < 8) {
+        val sh = lane << 3
+        if (((xv >>> sh) & 0xFFL) == ((yv >>> sh) & 0xFFL)) c += 1
+        lane += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  override def prettyName: String = "packed_byte_agree_count"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackedByteAgreeCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Positional agreement count of two equal-length long arrays — the
   * MinHash signature-similarity estimator (est_j = agree / numHashes).
   * The HOF form (`aggregate(zip_with(...))`) dispatches two interpreted

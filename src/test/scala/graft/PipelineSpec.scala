@@ -121,6 +121,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.nonEmpty)
   }
 
+  test("packed-byte estimate (pair-dense regime) is output-identical " +
+      "to the full-signature estimate") {
+    // past shjDocsBound the estimate joins 64 B packed signatures
+    // instead of 512 B full ones (PackSigBytes — recall-safe: packed
+    // agreement >= true agreement, exact verify is the final word);
+    // forcing the bound low must not change a single output row
+    def run(): Set[(Long, Long, Long, Long, Double)] =
+      try Dedup.minhashPairs(planted, "doc_id", "text", threshold = 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      finally { Dedup.releaseCaches(); spark.catalog.clearCache() }
+    val full = run()
+    spark.conf.set("spark.graft.minhash.shjDocsBound", "100")
+    spark.conf.set("spark.graft.minhash.clusteredVerify", "never")
+    val packed = try run() finally {
+      spark.conf.unset("spark.graft.minhash.shjDocsBound")
+      spark.conf.set("spark.graft.minhash.clusteredVerify", "auto")
+    }
+    assert(packed == full,
+      s"packed estimate diverged: only-full=${(full -- packed).take(3)} " +
+        s"only-packed=${(packed -- full).take(3)}")
+    assert(full.nonEmpty)
+  }
+
   test("clustered verify giant-component fallback keeps output exact") {
     // capDocs=2 forces every real cluster through the join fallback arm
     // (planted clusters are larger) — the union of arms must still be
