@@ -93,6 +93,44 @@ object QLake {
         .orderBy("l_returnflag")
     },
 
+    // iceberg-cdc streaming source replayed to a memory sink: initial
+    // snapshot + two appends stream exactly once, the compaction
+    // rewrite between them is silent — if the rewrite leaked, every
+    // pre-compaction row would double and the oracle hash would diverge
+    "q_iceberg_cdc" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val loc = tmp("icdc")
+      val tbl = Engine.ctas(s, loc, li.filter(col("l_returnflag") === "A"))
+      graft.core.IcebergExport.export(tbl, loc, avroManifests = false)
+      val qn = s"q_iceberg_cdc_mem_${System.nanoTime()}"
+      val ckpt = Files.createTempDirectory("icdc_ckpt").toString
+      val q = s.readStream.format("iceberg-cdc")
+        .option("path", loc).load()
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        def advance(): Unit = {
+          graft.core.IcebergExport.export(
+            graft.core.LakeTable.load(s, loc), loc, avroManifests = false)
+          q.processAllAvailable()
+        }
+        Engine.insert(graft.core.LakeTable.load(s, loc),
+          li.filter(col("l_returnflag") === "N"))
+        advance()
+        Engine.compact(graft.core.LakeTable.load(s, loc))
+        advance() // rewrite: must stream NOTHING
+        Engine.insert(graft.core.LakeTable.load(s, loc),
+          li.filter(col("l_returnflag") === "R"))
+        advance()
+      } finally q.stop()
+      s.table(qn).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // COW DELETE over a month-partitioned table (metadata-only drops for
     // whole partitions + rewrite for the boundary files)
     "q_lake_delete" -> { (s, dir) =>
@@ -341,6 +379,15 @@ object QLake {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
         |WHERE l_returnflag IN ('N', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the iceberg CDC replay: initial A snapshot + N and R appends,
+    // each exactly once; the compaction rewrite contributes nothing
+    "q_iceberg_cdc" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N', 'R')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lake_delete" ->
