@@ -276,10 +276,23 @@ object Dedup {
           org.apache.spark.sql.GraftBridge.column(PackSigBytes(
             org.apache.spark.sql.GraftBridge.eagerExpression(col("sig"))))
             .as("sigp")))
+        // Even packed, shuffling pairs × payload is O(pairs) bytes —
+        // measured ~44 GB of shuffle+spill at 612M candidates, still a
+        // single-box disk wall. But the PACKED side is only
+        // ~72 B × nDocs (360 MB at 5M docs): within the heap guard,
+        // broadcast it and the estimate probes the candidate list with
+        // ZERO additional shuffle (the repo's guarded-broadcast
+        // discipline). Past the guard — true warehouse corpora — the
+        // shuffle join is the right plan anyway: a cluster spreads its
+        // O(pairs) bytes across per-node disks that a one-box ledger
+        // does not have.
+        val bcast = nDocs * 72L < Runtime.getRuntime.maxMemory / 12
+        def side(rel: DataFrame): DataFrame =
+          if (bcast) org.apache.spark.sql.functions.broadcast(rel) else rel
         cand
-          .join(sigP.select(col("id").as("id_a"), col("sigp").as("sp_a")),
+          .join(side(sigP.select(col("id").as("id_a"), col("sigp").as("sp_a"))),
             Seq("id_a"))
-          .join(sigP.select(col("id").as("id_b"), col("sigp").as("sp_b")),
+          .join(side(sigP.select(col("id").as("id_b"), col("sigp").as("sp_b"))),
             Seq("id_b"))
           .filter(org.apache.spark.sql.GraftBridge.column(PackedByteAgreeCount(
             org.apache.spark.sql.GraftBridge.eagerExpression(col("sp_a")),
