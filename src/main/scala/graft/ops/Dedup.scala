@@ -356,14 +356,23 @@ object Dedup {
     val comp = trackedCache(
       components(est, "id_a", "id_b", nodes, "id", "_comp"))
     val sizes = comp.groupBy("_comp").agg(count(lit(1)).as("_csz"))
-    val docsAll = comp.join(sizes, Seq("_comp"))
+    // comp/sizes/docsAll are node-sized (bare ids + labels) while est
+    // and sh are O(pairs)/O(docs·arrays): broadcast the node-sized side
+    // of every tagging join below (guarded), so neither fat relation
+    // shuffles for the pack — the same disk term the label rounds shed
+    val nNodes = comp.count() // comp is cached; cheap
+    val bcastNodes = nNodes * 56L < Runtime.getRuntime.maxMemory / 24
+    def nodeSide(d: DataFrame): DataFrame =
+      if (bcastNodes) org.apache.spark.sql.functions.broadcast(d) else d
+    val docsAll = comp.join(nodeSide(sizes), Seq("_comp"))
     val docsSmall = docsAll.filter(col("_csz") <= capDocs)
       .select(col("_comp"), col("id"))
     // big-component docs need no doc-side relation: their pairs are
     // routed to the pair-join arm by _csz below
     // pairs are intra-component by construction: tag via id_a
     val pairsTagged = est.join(
-      docsAll.select(col("id").as("id_a"), col("_comp"), col("_csz")),
+      nodeSide(docsAll.select(col("id").as("id_a"), col("_comp"),
+        col("_csz"))),
       Seq("id_a"))
     val smallPairs = pairsTagged.filter(col("_csz") <= capDocs)
       .select(col("_comp"), col("id_a"), col("id_b"))
@@ -372,7 +381,7 @@ object Dedup {
     // one relation, sorted so a component's docs precede its pairs
     // within the partition; id/shingle types stay whatever the caller's
     // idCol is (Row-level pass, no encoders)
-    val shSmall = sh.join(docsSmall, Seq("id"))
+    val shSmall = sh.join(nodeSide(docsSmall), Seq("id"))
       .select(col("_comp"), lit(0).as("_kind"), col("id").as("_a"),
         lit(null).cast(est.schema("id_b").dataType).as("_b"), col("sh"))
     val packed = shSmall.unionByName(
@@ -785,6 +794,18 @@ object Dedup {
       nodes.select(col(idCol).as("id"))
         .distinct()
         .withColumn("lbl", col("id")))
+    // Per-round join strategy: the label set is O(nodes) bare (id, lbl)
+    // pairs — 75 MB at the sf100 density (4.7M nodes) — while the edge
+    // relation is O(2·pairs) (632M rows there). A sort-merge join
+    // re-shuffles and re-sorts the EDGES every round, and those rounds'
+    // dead shuffle files stack up on the one local disk faster than the
+    // cleaner drains them (measured: the sf100 clustered verify died on
+    // disk with 54 GB free). Broadcasting the labels makes each round a
+    // map-side probe of the cached edges — zero edge movement, and the
+    // min-label groupBy's map-side partial keeps its shuffle at
+    // O(distinct ids per partition). Guarded like every broadcast here.
+    val nNodes = labels.count() // labels are checkpointed; count is cheap
+    val bcastLabels = nNodes * 48L < Runtime.getRuntime.maxMemory / 24
     var converged = false
     var it = 0
     while (!converged) {
@@ -792,7 +813,9 @@ object Dedup {
         s"Dedup.components: no convergence after $maxIters rounds — " +
           "the pair graph has a longer diameter than a duplicate " +
           "cluster should; inspect the pair generator's threshold")
-      val prop = edges.join(labels, col("src") === col("id"))
+      val lbls = if (bcastLabels)
+        org.apache.spark.sql.functions.broadcast(labels) else labels
+      val prop = edges.join(lbls, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = truncated(
         labels.unionByName(prop)

@@ -43,6 +43,33 @@ object MinhashLedger {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     d.count() // warm IO
 
+    // GRAFT_LEDGER_E2E_ONLY=1: skip the staged-attribution section —
+    // its cand/est caches are O(pairs) of DISK at sf100 (612M/316M
+    // rows) and starve the end-to-end runs of spill space on one box
+    val e2eOnly = sys.env.get("GRAFT_LEDGER_E2E_ONLY").contains("1")
+    val e2eModes = sys.env.get("GRAFT_LEDGER_MODES")
+      .map(_.split(",").toSeq).getOrElse(Seq("always", "never", "auto"))
+    if (e2eOnly) {
+      for (mode <- e2eModes) {
+        spark.conf.set("spark.graft.minhash.clusteredVerify", mode)
+        val t0 = System.nanoTime()
+        try {
+          Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[ledger] end-to-end minhashPairs [${mode}%-6s] " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        } catch { case e: Throwable =>
+          println(s"[ledger] end-to-end [$mode] FAILED: " +
+            s"${e.getClass.getSimpleName}: " +
+            s"${String.valueOf(e.getMessage).take(200)}")
+        }
+        Dedup.releaseCaches()
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
+
     // ---- staged attribution (caches mirror the real pipeline's) ----
     val plan = Dedup.minhashPlan(d, "doc_id", "text", threshold = 0.5)
     // minhashPlan already ran sig.count() for the bands dial; re-count
