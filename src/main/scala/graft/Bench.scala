@@ -99,7 +99,8 @@ object Bench {
     // the cutoff, the conversion's measured ~10% win on sf10 join
     // queries stands (q5's lineitem⋈orders skips sorting 60M rows).
     builder.config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-      if (hygiene) "0" else "256m")
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD",
+        if (hygiene) "64m" else "256m"))
     val shuffleDirRequested =
       if (small || !hygiene) None
       else {

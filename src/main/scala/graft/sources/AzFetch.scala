@@ -1,0 +1,269 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpRequest, HttpResponse, HttpClient}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.security.MessageDigest
+import java.time.format.DateTimeFormatter
+import java.time.{ZoneOffset, ZonedDateTime}
+import java.util.Base64
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** `az://` Azure Blob Storage access — the third object-store dialect of
+  * the reference's remote-source seam (pg_lake_engine/src/pgduck/
+  * configure_s3_compat.c handles the S3 family; Azure is its own wire
+  * protocol): Shared Key authorization implemented from the published
+  * algorithm (learn.microsoft.com "Authorize with Shared Key" — the
+  * 2015-02-21+ string-to-sign layout), blob GET (whole and ranged), and
+  * container List Blobs with NextMarker paging. Objects localize through
+  * the same content-addressed cache as http(s)/s3/gs.
+  *
+  * URL form: `az://container/path/to/blob`. Account/key/endpoint come
+  * from `graft.az.account` / `graft.az.key` (base64, the portal format) /
+  * `graft.az.endpoint` (defaults to the public
+  * `https://<account>.blob.core.windows.net`; an Azurite-style loopback
+  * endpoint carries the account in its path, which the canonicalized
+  * resource reflects). AZURE_STORAGE_ACCOUNT / AZURE_STORAGE_KEY /
+  * AZURE_STORAGE_ENDPOINT env fallbacks.
+  */
+object AzFetch {
+
+  def isAz(path: String): Boolean = path.startsWith("az://")
+
+  private def prop(key: String, env: String): Option[String] =
+    sys.props.get(key).orElse(sys.env.get(env)).filter(_.nonEmpty)
+
+  def account: Option[String] =
+    prop("graft.az.account", "AZURE_STORAGE_ACCOUNT")
+  def accountKey: Option[String] =
+    prop("graft.az.key", "AZURE_STORAGE_KEY")
+  def endpoint: Option[String] =
+    prop("graft.az.endpoint", "AZURE_STORAGE_ENDPOINT")
+
+  private val apiVersion = "2021-08-06"
+
+  private lazy val client: HttpClient = HttpClient.newBuilder().build()
+
+  /** Shared Key signature for a blob-service request (published
+    * algorithm). Returns the Authorization header value. Exposed for the
+    * spec's server-side wire verification. */
+  def sharedKeyAuthorization(method: String, acct: String,
+      keyB64: String, canonicalizedResource: String,
+      xmsHeaders: Seq[(String, String)], // x-ms-* incl. x-ms-date/version
+      range: String = "",
+      queryParams: Seq[(String, String)] = Nil): String = {
+    val canonicalizedHeaders = xmsHeaders
+      .map { case (k, v) => (k.toLowerCase, v.trim) }
+      .sortBy(_._1)
+      .map { case (k, v) => s"$k:$v\n" }.mkString
+    val canonicalizedQuery = queryParams
+      .map { case (k, v) => (k.toLowerCase, v) }.sorted
+      .map { case (k, v) => s"\n$k:$v" }.mkString
+    // 2015-02-21+ layout: Content-Length is the EMPTY string when zero
+    val stringToSign = Seq(
+      method, // VERB
+      "", // Content-Encoding
+      "", // Content-Language
+      "", // Content-Length (empty when 0)
+      "", // Content-MD5
+      "", // Content-Type
+      "", // Date (empty; x-ms-date is used instead)
+      "", // If-Modified-Since
+      "", // If-Match
+      "", // If-None-Match
+      "", // If-Unmodified-Since
+      range // Range
+    ).mkString("\n") + "\n" +
+      canonicalizedHeaders +
+      s"/$acct$canonicalizedResource" + canonicalizedQuery
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(Base64.getDecoder.decode(keyB64),
+      "HmacSHA256"))
+    val sig = Base64.getEncoder.encodeToString(
+      mac.doFinal(stringToSign.getBytes(StandardCharsets.UTF_8)))
+    s"SharedKey $acct:$sig"
+  }
+
+  private case class AzLoc(container: String, blob: String)
+
+  private def parse(path: String): AzLoc = {
+    require(isAz(path), s"not an az url: $path")
+    val rest = path.stripPrefix("az://")
+    val slash = rest.indexOf('/')
+    require(slash > 0, s"az url needs container and blob: $path")
+    AzLoc(rest.take(slash), rest.drop(slash + 1))
+  }
+
+  /** (request URL sans query, canonicalized resource path). A custom
+    * endpoint whose path carries the account (Azurite layout
+    * `http://host:port/account`) keeps that segment in both. */
+  private def target(container: String, blobPath: String)
+      : (String, String) = {
+    val acct = account.getOrElse(throw new IllegalStateException(
+      "az:// needs graft.az.account / AZURE_STORAGE_ACCOUNT"))
+    val suffix = s"/$container" +
+      (if (blobPath.isEmpty) "" else s"/$blobPath")
+    endpoint match {
+      case Some(ep) =>
+        val u = URI.create(ep)
+        val basePath = Option(u.getPath).getOrElse("").stripSuffix("/")
+        (s"$ep$suffix", s"$basePath$suffix")
+      case None =>
+        (s"https://$acct.blob.core.windows.net$suffix", suffix)
+    }
+  }
+
+  private def send(method: String, container: String, blobPath: String,
+      queryParams: Seq[(String, String)] = Nil,
+      range: String = ""): HttpResponse[Array[Byte]] = {
+    val acct = account.getOrElse(throw new IllegalStateException(
+      "az:// needs graft.az.account / AZURE_STORAGE_ACCOUNT"))
+    val key = accountKey.getOrElse(throw new IllegalStateException(
+      "az:// needs graft.az.key / AZURE_STORAGE_KEY"))
+    val (base, canonicalRes) = target(container, blobPath)
+    val xmsDate = ZonedDateTime.now(ZoneOffset.UTC)
+      .format(DateTimeFormatter.RFC_1123_DATE_TIME)
+    val xms = Seq("x-ms-date" -> xmsDate, "x-ms-version" -> apiVersion)
+    val auth = sharedKeyAuthorization(method, acct, key, canonicalRes,
+      xms, range, queryParams)
+    val query = queryParams
+      .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
+      .mkString("&")
+    val url = if (query.isEmpty) base else s"$base?$query"
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .method(method, HttpRequest.BodyPublishers.noBody())
+      .header("x-ms-date", xmsDate)
+      .header("x-ms-version", apiVersion)
+      .header("Authorization", auth)
+    if (range.nonEmpty) b.header("Range", range)
+    client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  def getBlob(path: String): Array[Byte] = {
+    val loc = parse(path)
+    val resp = send("GET", loc.container, loc.blob)
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(
+        s"GET $path -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  def getBlobRange(path: String, first: Long, last: Long): Array[Byte] = {
+    val loc = parse(path)
+    val resp = send("GET", loc.container, loc.blob,
+      range = s"bytes=$first-$last")
+    if (resp.statusCode() != 200 && resp.statusCode() != 206)
+      throw new IllegalStateException(
+        s"GET $path range $first-$last -> HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  /** List Blobs under a prefix, following NextMarker pages. Returns
+    * (name, size) pairs. */
+  def listBlobs(container: String, prefix: String): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var marker: Option[String] = None
+    var more = true
+    while (more) {
+      val params = Seq("restype" -> "container", "comp" -> "list",
+        "prefix" -> prefix) ++ marker.map("marker" -> _)
+      val resp = send("GET", container, "", params)
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(
+          s"List az://$container/$prefix -> HTTP ${resp.statusCode()}")
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(resp.body()))
+      val root = doc.getDocumentElement
+      val blobs = root.getElementsByTagName("Blob")
+      (0 until blobs.getLength).foreach { i =>
+        val el = blobs.item(i).asInstanceOf[org.w3c.dom.Element]
+        val name = el.getElementsByTagName("Name")
+        val size = el.getElementsByTagName("Content-Length")
+        if (name.getLength > 0)
+          out += ((name.item(0).getTextContent,
+            if (size.getLength > 0) size.item(0).getTextContent.trim.toLong
+            else 0L))
+      }
+      val nm = root.getElementsByTagName("NextMarker")
+      marker =
+        if (nm.getLength == 0) None
+        else Option(nm.item(0).getTextContent).map(_.trim).filter(_.nonEmpty)
+      more = marker.isDefined
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------- cache layer
+
+  private def cacheDir = {
+    val d = Paths.get(sys.props.getOrElse("graft.url.cache.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-url-cache"))
+    Files.createDirectories(d)
+    d
+  }
+
+  private def digestOf(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(32)
+
+  private def extOf(key: String): String = {
+    val dot = key.lastIndexOf('.')
+    if (dot >= 0 && dot > key.lastIndexOf('/')) key.substring(dot) else ""
+  }
+
+  private def localizeBlob(path: String): String = {
+    val dest = cacheDir.resolve(digestOf(path) + extOf(path))
+    if (Files.exists(dest)) return dest.toString
+    val bytes = getBlob(path)
+    val tmp = cacheDir.resolve(s".${digestOf(path)}.tmp-${System.nanoTime()}")
+    Files.write(tmp, bytes)
+    try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+    }
+    dest.toString
+  }
+
+  private def globToRegex(glob: String): String =
+    glob.flatMap {
+      case '*' => "[^/]*"
+      case '?' => "[^/]"
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }
+
+  /** Localize an `az://` path: plain blob → one cached file; glob → list
+    * the literal prefix, localize matches into a per-listing dir of hard
+    * links (same shape as [[S3Fetch.localize]]). */
+  def localize(path: String): String = {
+    val loc = parse(path)
+    if (!loc.blob.exists(c => c == '*' || c == '?')) localizeBlob(path)
+    else {
+      val litPrefix = loc.blob.takeWhile(c => c != '*' && c != '?')
+      val re = globToRegex(loc.blob).r
+      val names = listBlobs(loc.container, litPrefix)
+        .map(_._1).filter(n => re.matches(n))
+      if (names.isEmpty)
+        throw new IllegalArgumentException(s"no blobs match $path")
+      val dir = cacheDir.resolve("glob-" + digestOf(path))
+      Files.createDirectories(dir)
+      names.foreach { n =>
+        val local = Paths.get(localizeBlob(s"az://${loc.container}/$n"))
+        val link = dir.resolve(digestOf(n) + extOf(n))
+        if (!Files.exists(link))
+          try Files.createLink(link, local)
+          catch {
+            case _: UnsupportedOperationException =>
+              Files.copy(local, link, StandardCopyOption.REPLACE_EXISTING)
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
+      }
+      dir.toString
+    }
+  }
+}

@@ -56,7 +56,8 @@ object RemoteFetch {
     * until refreshed. Pass `forceRefresh=true` (or call [[clearCache]])
     * to re-fetch. */
   def localize(path: String, forceRefresh: Boolean = false): String = {
-    if (S3Fetch.isS3(path)) return S3Fetch.localize(path)
+    if (S3Fetch.isS3(path)) return S3Fetch.localize(path) // s3:// and gs://
+    if (AzFetch.isAz(path)) return AzFetch.localize(path)
     if (!isUrl(path)) return path
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(path.getBytes("UTF-8"))

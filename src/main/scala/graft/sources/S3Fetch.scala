@@ -36,20 +36,41 @@ import javax.crypto.spec.SecretKeySpec
   */
 object S3Fetch {
 
-  def isS3(path: String): Boolean = path.startsWith("s3://")
+  def isS3(path: String): Boolean =
+    path.startsWith("s3://") || path.startsWith("gs://")
 
   // ------------------------------------------------------------ config
+  //
+  // gs:// rides the same dialect: Google Cloud Storage's XML API
+  // accepts AWS Signature V4 with HMAC interoperability keys (public
+  // GCS "interoperability" documentation), so the scheme differs only
+  // in its endpoint/credential seam (graft.gs.* / GS_*, defaulting to
+  // https://storage.googleapis.com path-style).
 
   private def prop(key: String, env: String): Option[String] =
     sys.props.get(key).orElse(sys.env.get(env)).filter(_.nonEmpty)
 
-  def endpoint: Option[String] = prop("graft.s3.endpoint", "AWS_ENDPOINT_URL")
-  def region: String =
-    prop("graft.s3.region", "AWS_REGION").getOrElse("us-east-1")
-  def accessKey: Option[String] =
-    prop("graft.s3.access.key", "AWS_ACCESS_KEY_ID")
-  def secretKey: Option[String] =
-    prop("graft.s3.secret.key", "AWS_SECRET_ACCESS_KEY")
+  private def isGs(path: String): Boolean = path.startsWith("gs://")
+
+  private def endpointFor(gs: Boolean): Option[String] =
+    if (gs) prop("graft.gs.endpoint", "GS_ENDPOINT_URL")
+      .orElse(Some("https://storage.googleapis.com"))
+    else prop("graft.s3.endpoint", "AWS_ENDPOINT_URL")
+  private def regionFor(gs: Boolean): String =
+    if (gs) prop("graft.gs.region", "GS_REGION").getOrElse("auto")
+    else prop("graft.s3.region", "AWS_REGION").getOrElse("us-east-1")
+  private def accessKeyFor(gs: Boolean): Option[String] =
+    if (gs) prop("graft.gs.access.key", "GS_ACCESS_KEY_ID")
+    else prop("graft.s3.access.key", "AWS_ACCESS_KEY_ID")
+  private def secretKeyFor(gs: Boolean): Option[String] =
+    if (gs) prop("graft.gs.secret.key", "GS_SECRET_ACCESS_KEY")
+    else prop("graft.s3.secret.key", "AWS_SECRET_ACCESS_KEY")
+
+  // s3-scheme views kept for existing callers/specs
+  def endpoint: Option[String] = endpointFor(false)
+  def region: String = regionFor(false)
+  def accessKey: Option[String] = accessKeyFor(false)
+  def secretKey: Option[String] = secretKeyFor(false)
 
   private lazy val client: HttpClient =
     HttpClient.newBuilder()
@@ -122,20 +143,22 @@ object S3Fetch {
 
   // ------------------------------------------------------ request core
 
-  private case class S3Loc(bucket: String, key: String)
+  private case class S3Loc(bucket: String, key: String, gs: Boolean)
 
   private def parse(path: String): S3Loc = {
-    require(isS3(path), s"not an s3 url: $path")
-    val rest = path.stripPrefix("s3://")
+    require(isS3(path), s"not an s3/gs url: $path")
+    val gs = isGs(path)
+    val rest = path.stripPrefix(if (gs) "gs://" else "s3://")
     val slash = rest.indexOf('/')
-    require(slash > 0, s"s3 url needs bucket and key: $path")
-    S3Loc(rest.take(slash), rest.drop(slash + 1))
+    require(slash > 0, s"object-store url needs bucket and key: $path")
+    S3Loc(rest.take(slash), rest.drop(slash + 1), gs)
   }
 
   /** (base URL without query, canonical URI path, Host header value) for
     * a bucket+key under the configured addressing mode. */
-  private def target(bucket: String, keyPath: String): (String, String, String) =
-    endpoint match {
+  private def target(bucket: String, keyPath: String,
+      gs: Boolean): (String, String, String) =
+    endpointFor(gs) match {
       case Some(ep) => // path-style against a custom endpoint
         val u = URI.create(ep)
         val host = u.getHost +
@@ -144,7 +167,7 @@ object S3Fetch {
           (if (keyPath.isEmpty) "" else s"/${awsUriEncode(keyPath, true)}")
         (s"$ep$uri", if (uri.isEmpty) "/" else uri, host)
       case None => // AWS virtual-host style
-        val host = s"$bucket.s3.$region.amazonaws.com"
+        val host = s"$bucket.s3.${regionFor(gs)}.amazonaws.com"
         val uri =
           if (keyPath.isEmpty) "/" else s"/${awsUriEncode(keyPath, true)}"
         (s"https://$host$uri", uri, host)
@@ -152,9 +175,10 @@ object S3Fetch {
 
   private def send(method: String, bucket: String, keyPath: String,
       queryParams: Seq[(String, String)],
-      extraHeaders: Seq[(String, String)] = Nil)
+      extraHeaders: Seq[(String, String)] = Nil,
+      gs: Boolean = false)
       : HttpResponse[Array[Byte]] = {
-    val (base, canonicalUri, host) = target(bucket, keyPath)
+    val (base, canonicalUri, host) = target(bucket, keyPath, gs)
     val amzDate = ZonedDateTime.now(ZoneOffset.UTC)
       .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
     val query = queryParams
@@ -163,7 +187,7 @@ object S3Fetch {
     val url = if (query.isEmpty) base else s"$base?$query"
     val b = HttpRequest.newBuilder(URI.create(url))
       .method(method, HttpRequest.BodyPublishers.noBody())
-    val signed = (accessKey, secretKey) match {
+    val signed = (accessKeyFor(gs), secretKeyFor(gs)) match {
       case (Some(ak), Some(sk)) =>
         // Host is set by the HTTP client from the URL; it participates in
         // signing but must not be set manually on the request
@@ -173,7 +197,8 @@ object S3Fetch {
         b.header("x-amz-content-sha256", emptyPayloadHash)
         b.header("x-amz-date", amzDate)
         b.header("Authorization", sigV4Authorization(method, canonicalUri,
-          queryParams, sigHeaders, emptyPayloadHash, ak, sk, region, amzDate))
+          queryParams, sigHeaders, emptyPayloadHash, ak, sk,
+          regionFor(gs), amzDate))
         true
       case _ => false
     }
@@ -188,7 +213,7 @@ object S3Fetch {
     * go through [[localize]]'s cache instead). */
   def getObject(path: String): Array[Byte] = {
     val loc = parse(path)
-    val resp = send("GET", loc.bucket, loc.key, Nil)
+    val resp = send("GET", loc.bucket, loc.key, Nil, gs = loc.gs)
     if (resp.statusCode() != 200)
       throw new IllegalStateException(
         s"GET $path -> HTTP ${resp.statusCode()}")
@@ -200,7 +225,7 @@ object S3Fetch {
   def getObjectRange(path: String, first: Long, last: Long): Array[Byte] = {
     val loc = parse(path)
     val resp = send("GET", loc.bucket, loc.key, Nil,
-      Seq("range" -> s"bytes=$first-$last"))
+      Seq("range" -> s"bytes=$first-$last"), gs = loc.gs)
     if (resp.statusCode() != 200 && resp.statusCode() != 206)
       throw new IllegalStateException(
         s"GET $path range $first-$last -> HTTP ${resp.statusCode()}")
@@ -209,14 +234,15 @@ object S3Fetch {
 
   /** ListObjectsV2 under `s3://bucket/prefix`, following continuation
     * tokens. Returns (key, size) pairs. */
-  def listObjects(bucket: String, prefix: String): Seq[(String, Long)] = {
+  def listObjects(bucket: String, prefix: String,
+      gs: Boolean = false): Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     var token: Option[String] = None
     var more = true
     while (more) {
       val params = Seq("list-type" -> "2", "prefix" -> prefix) ++
         token.map("continuation-token" -> _)
-      val resp = send("GET", bucket, "", params)
+      val resp = send("GET", bucket, "", params, gs = gs)
       if (resp.statusCode() != 200)
         throw new IllegalStateException(
           s"ListObjectsV2 s3://$bucket/$prefix -> HTTP ${resp.statusCode()}")
@@ -303,14 +329,15 @@ object S3Fetch {
     else {
       val litPrefix = loc.key.takeWhile(c => c != '*' && c != '?')
       val re = globToRegex(loc.key).r
-      val keys = listObjects(loc.bucket, litPrefix)
+      val keys = listObjects(loc.bucket, litPrefix, loc.gs)
         .map(_._1).filter(k => re.matches(k))
       if (keys.isEmpty)
         throw new IllegalArgumentException(s"no objects match $path")
       val dir = cacheDir.resolve("glob-" + digestOf(path))
       Files.createDirectories(dir)
+      val scheme = if (loc.gs) "gs" else "s3"
       keys.foreach { k =>
-        val local = Paths.get(localizeObject(s"s3://${loc.bucket}/$k"))
+        val local = Paths.get(localizeObject(s"$scheme://${loc.bucket}/$k"))
         val link = dir.resolve(digestOf(k) + extOf(k))
         if (!Files.exists(link))
           try Files.createLink(link, local)

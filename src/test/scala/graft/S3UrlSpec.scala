@@ -245,6 +245,25 @@ class S3UrlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(badSig.get() == 0)
   }
 
+  test("gs:// rides the same SigV4 dialect via its own endpoint seam " +
+      "(GCS XML-API interoperability mode)") {
+    RemoteFetch.clearCache()
+    badSig.set(0)
+    sys.props("graft.gs.endpoint") = s"http://127.0.0.1:$port"
+    sys.props("graft.gs.access.key") = AK
+    sys.props("graft.gs.secret.key") = SK
+    sys.props("graft.gs.region") = REGION
+    try {
+      objects("gsdata/g.csv") =
+        "a,b\n5,q\n6,r\n".getBytes(StandardCharsets.UTF_8)
+      val csv = Engine.copyFrom(spark, s"gs://$BUCKET/gsdata/g.csv", "csv")
+      assert(csv.count() == 2 &&
+        csv.select("a").collect().map(_.getInt(0)).sorted.toSeq == Seq(5, 6))
+      assert(badSig.get() == 0, "server rejected a gs:// signature")
+    } finally Seq("graft.gs.endpoint", "graft.gs.access.key",
+      "graft.gs.secret.key", "graft.gs.region").foreach(sys.props.remove)
+  }
+
   test("bad credentials are rejected by the endpoint (403 surfaces)") {
     val prior = sys.props("graft.s3.secret.key")
     sys.props("graft.s3.secret.key") = "wrong-secret"
