@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.engine.{Bucketed, Engine}
+
+/** Amortized-cost ledger for the round-bounded bucketize
+  * (Bucketed.fromLakeIncremental vs the all-at-once Bucketed.write):
+  * ctas the fixture lineitem into a lake table, then converge to the
+  * bucketed layout under per-round caps, printing per-round seconds —
+  * the maintenance-window cost a deployment actually pays, vs the
+  * stop-the-world figure the Bench bucketed section reports.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=benchdata/sf10 scripts/run.sh \
+  *          graft.tools.IncBucketizeLedger [maxFiles] [maxMerges]
+  */
+object IncBucketizeLedger {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "benchdata/sf10")
+    val maxFiles = if (args.length > 0) args(0).toInt else 4
+    val maxMerges = if (args.length > 1) args(1).toInt else 8
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("incbkt_ledger")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[ledger] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val tbl = time("ctas lake table")(
+      Engine.ctas(spark, s"$work/t", li))
+    println(s"[info] source files: ${tbl.liveFiles.size}")
+
+    // reference point: the stop-the-world build of the same layout
+    time("all-at-once Bucketed.write") {
+      Bucketed.write(tbl.toDF, "incled_ref", s"$work/ref",
+        Seq("l_orderkey"), 32)
+    }
+    Bucketed.drop(spark, "incled_ref")
+
+    var round = 0
+    var done = false
+    val t0 = System.nanoTime()
+    while (!done && round < 200) {
+      round += 1
+      val p = time(f"round $round%3d (files<=$maxFiles merges<=$maxMerges)") {
+        Bucketed.fromLakeIncremental(tbl, "incled_bkt", s"$work/bkt",
+          Seq("l_orderkey"), 32, maxFilesPerRound = maxFiles,
+          maxBucketMergesPerRound = maxMerges)
+      }
+      println(s"[info]   $p")
+      done = p.done
+    }
+    println(f"[ledger] converged in $round rounds, total " +
+      f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    // sanity: converged layout row-identical
+    val a = tbl.toDF.count()
+    val b = Bucketed.table(spark, "incled_bkt").count()
+    require(a == b, s"row mismatch: lake $a vs bucketed $b")
+    println(s"[info] row parity OK: $a")
+    Bucketed.drop(spark, "incled_bkt")
+    spark.stop()
+  }
+}
