@@ -39,11 +39,15 @@ object IncBucketizeLedger {
     println(s"[info] source files: ${tbl.liveFiles.size}")
 
     // reference point: the stop-the-world build of the same layout
-    time("all-at-once Bucketed.write") {
-      Bucketed.write(tbl.toDF, "incled_ref", s"$work/ref",
-        Seq("l_orderkey"), 32)
+    // (skippable when it is already ledgered — at sf100 it is 355 s and
+    // a second 15 GB layout copy the disk budget can't spare)
+    if (!sys.env.get("GRAFT_SKIP_REF").contains("1")) {
+      time("all-at-once Bucketed.write") {
+        Bucketed.write(tbl.toDF, "incled_ref", s"$work/ref",
+          Seq("l_orderkey"), 32)
+      }
+      Bucketed.drop(spark, "incled_ref")
     }
-    Bucketed.drop(spark, "incled_ref")
 
     var round = 0
     var done = false
