@@ -161,8 +161,14 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
     if (freshFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      val base = spark.read.schema(schema).parquet(freshFiles.map(_.path): _*)
+      // field-id parquet resolution is needed for this read only — run it
+      // on a CLONED session (own SessionState/conf, shared SparkContext;
+      // the Engine.adoptIceberg discipline) so the caller's session never
+      // transiently sees field-id schema resolution
+      val cdcSpark = spark.newSession()
+      cdcSpark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val base = cdcSpark.read.schema(schema)
+        .parquet(freshFiles.map(_.path): _*)
       if (dels.isEmpty) base else applyPositionDeletes(base, dels)
     }
   }

@@ -99,6 +99,121 @@ object Bucketed {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  // ------------------------------------------- crash-safe write-ahead
+
+  /** Write-ahead records making both incremental phases crash-safe:
+    *
+    *  - `_cluster_pending_append.txt` brackets an append: `SNAP:<file>`
+    *    lines snapshot the table dir's parquet file names BEFORE the
+    *    insert, `BATCH:<source>` lines name the round's source files. A
+    *    crash anywhere in the append window is rolled back on the next
+    *    round (delete files not in SNAP, strip BATCH from the processed
+    *    state) and the batch is simply redone — no duplicate rows, no
+    *    lost rows, because the lake table stays the source of truth.
+    *  - `_cluster_pending_merges.txt` is the merge redo log: one
+    *    tab-separated `dest \t src...` line per in-flight merge, written
+    *    durably BEFORE the merged file is published. Recovery completes a
+    *    published merge (delete the now-duplicate sources) and discards an
+    *    unpublished one (sources intact; only an invisible dot-temp file
+    *    is lost).
+    */
+  private def pendingAppendFile(path: String) =
+    java.nio.file.Paths.get(path, "_cluster_pending_append.txt")
+
+  private def pendingMergesFile(path: String) =
+    java.nio.file.Paths.get(path, "_cluster_pending_merges.txt")
+
+  private val pendingLock = new Object
+
+  private def atomicWrite(f: java.nio.file.Path, content: String): Unit = {
+    val tmp = f.resolveSibling(s".${f.getFileName}.tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readPendingMerges(path: String): Seq[(String, Seq[String])] = {
+    val f = pendingMergesFile(path)
+    if (!java.nio.file.Files.exists(f)) Nil
+    else java.nio.file.Files.readAllLines(f).iterator().asScala
+      .map(_.split('\t').toSeq).collect {
+        case dest +: srcs if dest.nonEmpty => (dest, srcs)
+      }.toSeq
+  }
+
+  private def addPendingMerge(path: String, dest: String,
+      srcs: Seq[String]): Unit = pendingLock.synchronized {
+    val cur = readPendingMerges(path)
+    atomicWrite(pendingMergesFile(path),
+      (cur :+ (dest -> srcs)).map { case (d, s) =>
+        (d +: s).mkString("\t") }.mkString("\n"))
+  }
+
+  private def removePendingMerge(path: String, dest: String): Unit =
+    pendingLock.synchronized {
+      val rest = readPendingMerges(path).filterNot(_._1 == dest)
+      if (rest.isEmpty)
+        java.nio.file.Files.deleteIfExists(pendingMergesFile(path))
+      else atomicWrite(pendingMergesFile(path),
+        rest.map { case (d, s) => (d +: s).mkString("\t") }.mkString("\n"))
+    }
+
+  private def listParquet(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!java.nio.file.Files.isDirectory(dir)) return Nil
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .toList
+    finally s.close()
+  }
+
+  /** Complete or roll back whatever a crashed previous round left behind.
+    * Idempotent; runs at the top of every [[fromLakeIncremental]]. */
+  private def recover(spark: SparkSession, name: String,
+      path: String): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    var changed = false
+    // 1. crashed merges: published dest ⇒ finish (drop duplicate
+    //    sources); unpublished ⇒ sources are still the truth, drop record
+    val pend = readPendingMerges(path)
+    if (pend.nonEmpty) {
+      pend.foreach { case (dest, srcs) =>
+        if (java.nio.file.Files.exists(dir.resolve(dest)))
+          srcs.foreach(s =>
+            java.nio.file.Files.deleteIfExists(dir.resolve(s)))
+      }
+      java.nio.file.Files.deleteIfExists(pendingMergesFile(path))
+      changed = true
+    }
+    // 2. crashed append: roll the whole batch back and let it rerun
+    val pa = pendingAppendFile(path)
+    if (java.nio.file.Files.exists(pa)) {
+      val lines = java.nio.file.Files.readAllLines(pa).iterator().asScala
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val snap = lines.collect { case l if l.startsWith("SNAP:") =>
+        l.stripPrefix("SNAP:") }.toSet
+      val batch = lines.collect { case l if l.startsWith("BATCH:") =>
+        l.stripPrefix("BATCH:") }.toSet
+      listParquet(dir).filterNot(p => snap(p.getFileName.toString))
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      if (batch.nonEmpty) writeState(path, readState(path) -- batch)
+      java.nio.file.Files.deleteIfExists(pa)
+      changed = true
+    }
+    // 3. stray invisible merge temps (crash before publish)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".merge-"))
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+    if (changed && spark.catalog.tableExists(name))
+      spark.sql(s"REFRESH TABLE `$name`")
+  }
+
   /** Spark derives a bucketed file's bucket id from the `_NNNNN` suffix
     * in its name (BucketingUtils); the merge pass below must both parse
     * and reproduce it. */
@@ -130,7 +245,11 @@ object Bucketed {
     * Single-layout-writer assumption (as the reference's vacuum): no
     * concurrent invocations; a reader concurrent with a merge swap can
     * transiently see a bucket's rows twice (the lake table itself — the
-    * transactional source of truth — is never touched).
+    * transactional source of truth — is never touched). CRASHES are
+    * recovered on the next round from the write-ahead records above: a
+    * merged file publishes via same-directory ATOMIC_MOVE from an
+    * invisible dot-temp (readers never see a truncated .parquet), and an
+    * interrupted append rolls back wholesale and reruns.
     *
     * The source table must carry no MOR deletes (flush first): rounds
     * read raw data files by path, which cannot see position deletes. */
@@ -139,9 +258,11 @@ object Bucketed {
       sortCols: Seq[String] = Nil, maxFilesPerRound: Int = 8,
       maxBucketMergesPerRound: Int = 8): ClusterProgress = {
     require(bucketCols.nonEmpty, "bucketCols must be non-empty")
-    require(maxFilesPerRound >= 1 && maxBucketMergesPerRound >= 0,
-      "round caps must be positive")
+    require(maxFilesPerRound >= 1, "maxFilesPerRound must be >= 1")
+    require(maxBucketMergesPerRound >= 0,
+      "maxBucketMergesPerRound must be >= 0 (0 = skip merges this round)")
     val spark = table.spark
+    recover(spark, name, path)
     val live = table.liveFiles
     require(!live.exists(_.isDelete),
       s"fromLakeIncremental reads data files by path and cannot apply " +
@@ -150,6 +271,8 @@ object Bucketed {
     val processed = readState(path)
     val todo = live.map(_.path).filterNot(processed)
     val batch = todo.take(maxFilesPerRound)
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
 
     if (!spark.catalog.tableExists(name)) {
       // empty shell with the bucket spec; every round then appends
@@ -163,27 +286,27 @@ object Bucketed {
            |LOCATION '$path'""".stripMargin)
     }
     if (batch.nonEmpty) {
+      // write-ahead bracket: snapshot + batch BEFORE the insert, marker
+      // dropped only after the state write — every crash point inside
+      // rolls back to "batch unprocessed" (see recover)
+      atomicWrite(pendingAppendFile(path),
+        (listParquet(dir).map(p => s"SNAP:${p.getFileName}") ++
+          batch.map(b => s"BATCH:$b")).mkString("\n"))
       spark.read.schema(table.schema).parquet(batch: _*)
         .repartition(nBuckets, bucketCols.map(col): _*)
         .write.mode("append").insertInto(s"`$name`")
       writeState(path, processed ++ batch)
+      java.nio.file.Files.deleteIfExists(pendingAppendFile(path))
     }
 
     // merge phase only once the append phase has drained: merging while
     // unprocessed files remain would re-merge the same buckets each round
     val remaining = todo.size - batch.size
     var multi = 0
-    if (remaining == 0 && maxBucketMergesPerRound > 0) {
-      val dir = java.nio.file.Paths.get(path)
-      def bucketFiles: Map[Int, Seq[java.nio.file.Path]] = {
-        val s = java.nio.file.Files.list(dir)
-        try s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .flatMap(p => bucketIdOf(p.getFileName.toString).map(_ -> p))
-          .toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-        finally s.close()
-      }
-      val byBucket = bucketFiles
+    if (remaining == 0) {
+      val byBucket = listParquet(dir)
+        .flatMap(p => bucketIdOf(p.getFileName.toString).map(_ -> p))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val toMerge = byBucket.filter(_._2.size > 1).toSeq.sortBy(_._1)
       // the catalog-table files carry no parquet field ids — strip the
       // lake schema's field-id metadata for the merge read
@@ -214,15 +337,27 @@ object Bucketed {
             finally s.close()
           }
           // the _NNNNN suffix IS the bucket assignment on read
-          val dest = dir.resolve(
-            f"part-merged-${java.util.UUID.randomUUID()}_$b%05d.c000.parquet")
-          java.nio.file.Files.move(part, dest)
+          val id = java.util.UUID.randomUUID()
+          val destName = f"part-merged-${id}_$b%05d.c000.parquet"
+          // stage INSIDE the table dir under an invisible dot name (the
+          // tmp dir is usually a different filesystem, where a direct
+          // move degrades to a non-atomic copy readers could see
+          // truncated), then log the intent, then publish atomically
+          val staged = dir.resolve(s".merge-$id")
+          java.nio.file.Files.move(part, staged)
+          addPendingMerge(path, destName,
+            files.map(_.getFileName.toString))
+          java.nio.file.Files.move(staged, dir.resolve(destName),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           files.foreach(java.nio.file.Files.deleteIfExists(_))
+          removePendingMerge(path, destName)
         }
       }, Duration.Inf)
       if (batchMerges.nonEmpty) spark.sql(s"REFRESH TABLE `$name`")
-      multi = math.max(0, toMerge.size - maxBucketMergesPerRound)
-    } else if (remaining > 0) {
+      // even with a zero merge cap, report the true multi-file-bucket
+      // count — done must not claim the sort-elision contract early
+      multi = toMerge.size - batchMerges.size
+    } else {
       multi = -1 // unknown until appends drain
     }
     ClusterProgress(

@@ -158,7 +158,10 @@ object AzFetch {
     if (resp.statusCode() != 200 && resp.statusCode() != 206)
       throw new IllegalStateException(
         s"GET $path range $first-$last -> HTTP ${resp.statusCode()}")
-    resp.body()
+    // a 200 means the Range header was ignored — slice the full body to
+    // the requested window (same contract as S3Fetch.getObjectRange)
+    if (resp.statusCode() == 200) S3Fetch.sliceFullBody(resp.body(), first, last)
+    else resp.body()
   }
 
   /** List Blobs under a prefix, following NextMarker pages. Returns
@@ -216,15 +219,18 @@ object AzFetch {
     if (dot >= 0 && dot > key.lastIndexOf('/')) key.substring(dot) else ""
   }
 
-  private def localizeBlob(path: String): String = {
+  private def localizeBlob(path: String,
+      forceRefresh: Boolean = false): String = {
     val dest = cacheDir.resolve(digestOf(path) + extOf(path))
-    if (Files.exists(dest)) return dest.toString
+    if (!forceRefresh && Files.exists(dest)) return dest.toString
     val bytes = getBlob(path)
     val tmp = cacheDir.resolve(s".${digestOf(path)}.tmp-${System.nanoTime()}")
     Files.write(tmp, bytes)
     try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
+      if (forceRefresh)
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+      else Files.deleteIfExists(tmp)
     }
     dest.toString
   }
@@ -240,9 +246,10 @@ object AzFetch {
   /** Localize an `az://` path: plain blob → one cached file; glob → list
     * the literal prefix, localize matches into a per-listing dir of hard
     * links (same shape as [[S3Fetch.localize]]). */
-  def localize(path: String): String = {
+  def localize(path: String, forceRefresh: Boolean = false): String = {
     val loc = parse(path)
-    if (!loc.blob.exists(c => c == '*' || c == '?')) localizeBlob(path)
+    if (!loc.blob.exists(c => c == '*' || c == '?'))
+      localizeBlob(path, forceRefresh)
     else {
       val litPrefix = loc.blob.takeWhile(c => c != '*' && c != '?')
       val re = globToRegex(loc.blob).r
@@ -253,8 +260,10 @@ object AzFetch {
       val dir = cacheDir.resolve("glob-" + digestOf(path))
       Files.createDirectories(dir)
       names.foreach { n =>
-        val local = Paths.get(localizeBlob(s"az://${loc.container}/$n"))
+        val local = Paths.get(
+          localizeBlob(s"az://${loc.container}/$n", forceRefresh))
         val link = dir.resolve(digestOf(n) + extOf(n))
+        if (forceRefresh) Files.deleteIfExists(link)
         if (!Files.exists(link))
           try Files.createLink(link, local)
           catch {

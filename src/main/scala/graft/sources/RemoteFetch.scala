@@ -56,8 +56,9 @@ object RemoteFetch {
     * until refreshed. Pass `forceRefresh=true` (or call [[clearCache]])
     * to re-fetch. */
   def localize(path: String, forceRefresh: Boolean = false): String = {
-    if (S3Fetch.isS3(path)) return S3Fetch.localize(path) // s3:// and gs://
-    if (AzFetch.isAz(path)) return AzFetch.localize(path)
+    if (S3Fetch.isS3(path)) // s3:// and gs://
+      return S3Fetch.localize(path, forceRefresh)
+    if (AzFetch.isAz(path)) return AzFetch.localize(path, forceRefresh)
     if (!isUrl(path)) return path
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(path.getBytes("UTF-8"))
@@ -121,7 +122,17 @@ object RemoteFetch {
         .filter(_.getFileName.toString.startsWith(digest)).toList
       finally s.close()
     victims.foreach(Files.deleteIfExists(_))
-    victims.nonEmpty
+    // glob URLs localize as a link DIRECTORY named glob-<digest> — remove
+    // it too, or a "removed" glob URL keeps serving its cached links
+    val globDir = cacheDir.resolve(s"glob-$digest")
+    val hadGlob = Files.isDirectory(globDir)
+    if (hadGlob) {
+      val w = Files.walk(globDir)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally w.close()
+    }
+    victims.nonEmpty || hadGlob
   }
 
   /** Drop entries not touched in `maxAgeMs` (the cache worker's age-based

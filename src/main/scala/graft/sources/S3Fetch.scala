@@ -229,7 +229,20 @@ object S3Fetch {
     if (resp.statusCode() != 200 && resp.statusCode() != 206)
       throw new IllegalStateException(
         s"GET $path range $first-$last -> HTTP ${resp.statusCode()}")
-    resp.body()
+    // 200 = the server ignored the Range header and sent the whole
+    // object; slice to the requested window so footer-probe arithmetic
+    // never operates on full-object bytes
+    if (resp.statusCode() == 200) sliceFullBody(resp.body(), first, last)
+    else resp.body()
+  }
+
+  /** Clamp a full-object 200 response body to the requested inclusive
+    * byte range (what a 206 would have carried). */
+  private[graft] def sliceFullBody(body: Array[Byte], first: Long,
+      last: Long): Array[Byte] = {
+    val from = math.min(first, body.length.toLong).toInt
+    val until = math.min(last + 1, body.length.toLong).toInt
+    java.util.Arrays.copyOfRange(body, from, math.max(from, until))
   }
 
   /** ListObjectsV2 under `s3://bucket/prefix`, following continuation
@@ -294,17 +307,24 @@ object S3Fetch {
 
   /** Localize one object into the content-addressed cache (same
     * immutable-object assumption and atomic-publish discipline as
-    * [[RemoteFetch.localize]]). */
-  private def localizeObject(path: String): String = {
+    * [[RemoteFetch.localize]]). `forceRefresh` re-fetches but keeps the
+    * existing entry serving until the new bytes are ready to publish. */
+  private def localizeObject(path: String,
+      forceRefresh: Boolean = false): String = {
     val dest = cacheDir.resolve(digestOf(path) + extOf(path))
-    if (Files.exists(dest)) return dest.toString
+    if (!forceRefresh && Files.exists(dest)) return dest.toString
     val bytes = getObject(path)
     val tmp = cacheDir.resolve(
       s".${digestOf(path)}.tmp-${System.nanoTime()}")
     Files.write(tmp, bytes)
+    // POSIX ATOMIC_MOVE replaces dest (which on refresh IS the refresh);
+    // providers that surface the existing file as an exception fall back
+    // to an explicit replace when refreshing, else keep the old entry
     try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
+      if (forceRefresh)
+        Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+      else Files.deleteIfExists(tmp)
     }
     dest.toString
   }
@@ -323,9 +343,10 @@ object S3Fetch {
     * directory (hard links into the shared per-object cache, so repeated
     * globs re-download nothing) and returns the directory — Spark's
     * readers take a directory anywhere they take a file. */
-  def localize(path: String): String = {
+  def localize(path: String, forceRefresh: Boolean = false): String = {
     val loc = parse(path)
-    if (!loc.key.exists(c => c == '*' || c == '?')) localizeObject(path)
+    if (!loc.key.exists(c => c == '*' || c == '?'))
+      localizeObject(path, forceRefresh)
     else {
       val litPrefix = loc.key.takeWhile(c => c != '*' && c != '?')
       val re = globToRegex(loc.key).r
@@ -337,8 +358,12 @@ object S3Fetch {
       Files.createDirectories(dir)
       val scheme = if (loc.gs) "gs" else "s3"
       keys.foreach { k =>
-        val local = Paths.get(localizeObject(s"$scheme://${loc.bucket}/$k"))
+        val local = Paths.get(
+          localizeObject(s"$scheme://${loc.bucket}/$k", forceRefresh))
         val link = dir.resolve(digestOf(k) + extOf(k))
+        // a refreshed object is a NEW inode — relink so the listing dir
+        // serves the refreshed bytes, not the stale hard-link target
+        if (forceRefresh) Files.deleteIfExists(link)
         if (!Files.exists(link))
           try Files.createLink(link, local)
           catch { // filesystems without hard links: copy

@@ -122,6 +122,120 @@ class IncrementalBucketizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(aggOf(Bucketed.table(spark, "inc_bkt_li")) == aggOf(tbl.toDF))
   }
 
+  test("maxBucketMergesPerRound=0 still reports multi-file buckets — " +
+      "done never claims the sort-elision contract early") {
+    val li = Tables.load(spark, sf, "lineitem").limit(2000)
+    val dir = Files.createTempDirectory("incbkt_cap0").toString
+    val tbl = Engine.create(spark, s"$dir/t", li.schema.toDDL)
+    for (i <- 0 until 3)
+      Engine.insert(tbl, li.filter(col("l_orderkey") % 3 === i))
+    // drain appends one source file per round (each round lands its own
+    // bucket files, so buckets go multi-file) but allow NO merges
+    var p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_cap0", s"$dir/b",
+      Seq("l_orderkey"), 2, maxFilesPerRound = 1,
+      maxBucketMergesPerRound = 0)
+    while (p.processedFiles < p.totalFiles)
+      p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_cap0", s"$dir/b",
+        Seq("l_orderkey"), 2, maxFilesPerRound = 1,
+        maxBucketMergesPerRound = 0)
+    assert(!p.done && p.multiFileBuckets > 0,
+      s"cap=0 must surface the remaining multi-file buckets: $p")
+    // and a later round WITH merge budget actually converges
+    var r = 0
+    while (!p.done && r < 10) {
+      r += 1
+      p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_cap0", s"$dir/b",
+        Seq("l_orderkey"), 2, maxFilesPerRound = 100,
+        maxBucketMergesPerRound = 8)
+    }
+    assert(p.done, s"did not converge once merges were allowed: $p")
+    Bucketed.drop(spark, "inc_bkt_cap0")
+  }
+
+  test("crash recovery: an interrupted append rolls back and reruns; a " +
+      "published-but-unfinished merge completes without duplicate rows") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    val li = Tables.load(spark, sf, "lineitem").limit(3000)
+    val dir = Files.createTempDirectory("incbkt_crash").toString
+    val tbl = Engine.create(spark, s"$dir/t", li.schema.toDDL)
+    for (i <- 0 until 3)
+      Engine.insert(tbl, li.filter(col("l_orderkey") % 3 === i))
+    val out = s"$dir/b"
+    var p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_crash", out,
+      Seq("l_orderkey"), 2, maxFilesPerRound = 1,
+      maxBucketMergesPerRound = 0)
+
+    def parquetFiles() = {
+      val s = Files.list(Paths.get(out))
+      try {
+        val it = s.iterator(); var acc = List.empty[java.nio.file.Path]
+        while (it.hasNext) { val q = it.next()
+          if (q.toString.endsWith(".parquet") &&
+            !q.getFileName.toString.startsWith(".")) acc ::= q }
+        acc.reverse
+      } finally s.close()
+    }
+
+    // --- simulate a crash AFTER insertInto + writeState but BEFORE the
+    // append marker was dropped: a real marker snapshots the file list
+    // BEFORE the batch — round 1 was the first append, so the snapshot
+    // is empty and every current file belongs to the in-flight batch
+    val phantoms = parquetFiles().map(_.getFileName.toString)
+    assert(phantoms.nonEmpty)
+    val stateF = Paths.get(out, "_cluster_state.txt")
+    val recordedSrc = new String(Files.readAllBytes(stateF), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq.head
+    Files.write(Paths.get(out, "_cluster_pending_append.txt"),
+      s"BATCH:$recordedSrc".getBytes("UTF-8"))
+    // next round must roll the whole batch back (delete its files, strip
+    // the source from state) and then redo it — ending row-identical
+    var r = 0
+    p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_crash", out,
+      Seq("l_orderkey"), 2, maxFilesPerRound = 2,
+      maxBucketMergesPerRound = 8)
+    val nowFiles = parquetFiles().map(_.getFileName.toString)
+    assert(phantoms.forall(f => !nowFiles.contains(f)),
+      s"rolled-back batch files must be deleted: $phantoms vs $nowFiles")
+    while (!p.done && r < 15) {
+      r += 1
+      p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_crash", out,
+        Seq("l_orderkey"), 2, maxFilesPerRound = 2,
+        maxBucketMergesPerRound = 8)
+    }
+    assert(p.done, s"did not reconverge after append rollback: $p")
+    spark.sql("REFRESH TABLE `inc_bkt_crash`")
+    val aggOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)), sum("l_orderkey")).collect().toSeq
+    assert(aggOf(Bucketed.table(spark, "inc_bkt_crash")) == aggOf(tbl.toDF))
+
+    // --- simulate a crash AFTER a merge published its file but BEFORE
+    // the duplicate sources were deleted: dest and src both live, the
+    // redo log still holds the record
+    val src = parquetFiles().head
+    val bId = "_(\\d{5})".r.findFirstMatchIn(src.getFileName.toString)
+      .get.group(1)
+    val dest = s"part-merged-${java.util.UUID.randomUUID()}_$bId.c000.parquet"
+    Files.copy(src, Paths.get(out, dest), StandardCopyOption.COPY_ATTRIBUTES)
+    Files.write(Paths.get(out, "_cluster_pending_merges.txt"),
+      s"$dest\t${src.getFileName}".getBytes("UTF-8"))
+    // rows are duplicated on disk right now; the next round's recovery
+    // must finish the merge (drop src) and restore exact parity
+    p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_crash", out,
+      Seq("l_orderkey"), 2, maxFilesPerRound = 2,
+      maxBucketMergesPerRound = 8)
+    assert(!Files.exists(src), "recovery must delete the merged-away source")
+    r = 0
+    while (!p.done && r < 10) {
+      r += 1
+      p = Bucketed.fromLakeIncremental(tbl, "inc_bkt_crash", out,
+        Seq("l_orderkey"), 2, maxFilesPerRound = 2,
+        maxBucketMergesPerRound = 8)
+    }
+    spark.sql("REFRESH TABLE `inc_bkt_crash`")
+    assert(aggOf(Bucketed.table(spark, "inc_bkt_crash")) == aggOf(tbl.toDF))
+    Bucketed.drop(spark, "inc_bkt_crash")
+  }
+
   test("a table with MOR deletes is refused loudly") {
     val li = Tables.load(spark, sf, "lineitem").limit(500)
     val dir = Files.createTempDirectory("incbkt_mor").toString
