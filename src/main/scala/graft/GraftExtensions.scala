@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), b))
     PgFunctions.registerInto(inject)
     Geo.registerInto(inject)
+    // layout-aware dispatch: scans of tables with a registered clustered
+    // rewrite substitute it when the plan's join/group/window keys cover
+    // the clustering key (plans/LayoutDispatch.scala)
+    ext.injectOptimizerRule(_ => graft.plans.LayoutDispatch)
   }
 }

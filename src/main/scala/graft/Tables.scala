@@ -31,11 +31,13 @@ object Tables {
   def clearOverlays(): Unit = overlay.clear()
 
   /** Whether `name` currently resolves to a clustered (bucketed)
-    * rewrite. Queries whose best plan under that layout is the
-    * zero-exchange co-located join (group key = bucket key) consult
-    * this to prefer it over the probe kernel. */
+    * rewrite — through the explicit overlay OR the automatic layout
+    * registry (plans/LayoutDispatch.scala). Queries whose best plan
+    * under that layout is the zero-exchange co-located join (group key =
+    * bucket key) consult this to prefer it over the probe kernel. */
   def isOverlaid(sfDir: String, name: String): Boolean =
-    overlay.containsKey(s"$sfDir/$name")
+    overlay.containsKey(s"$sfDir/$name") ||
+      graft.plans.LayoutDispatch.hasLayout(s"$sfDir/$name.parquet")
 
   /** (session identity, path) → loaded DataFrame. `spark.read.parquet`
     * is NOT lazy about metadata: it lists the directory and reads

@@ -67,6 +67,63 @@ object Bucketed {
       bucketCols: Seq[String], nBuckets: Int): DataFrame =
     write(table.toDF, name, path, bucketCols, nBuckets)
 
+  /** Register the catalog shell for an ALREADY-MATERIALIZED bucketed
+    * layout at `path` (the session catalog is in-memory: files survive a
+    * JVM restart, the table entry does not). Idempotent. */
+  def ensureCatalogTable(spark: SparkSession,
+      name: String, schema: org.apache.spark.sql.types.StructType,
+      bucketCols: Seq[String], sortCols: Seq[String], nBuckets: Int,
+      path: String): Unit = {
+    if (!spark.catalog.tableExists(name)) {
+      val cols = schema.fields
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      val sorted = if (sortCols.isEmpty) bucketCols else sortCols
+      spark.sql(
+        s"""CREATE TABLE `$name` ($cols) USING parquet
+           |CLUSTERED BY (${bucketCols.mkString(", ")})
+           |SORTED BY (${sorted.mkString(", ")})
+           |INTO $nBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+  }
+
+  /** [[write]] once, reuse across sessions: a completed build leaves a
+    * `_LAYOUT_DONE` marker beside the data; later sessions (the catalog
+    * is in-memory and empty at JVM start) just re-register the shell.
+    * Returns true when the on-disk layout was reused. `df` is only
+    * evaluated on a cold build. */
+  def writeOrReuse(df: => DataFrame, spark: SparkSession, name: String,
+      path: String, bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): Boolean = {
+    val marker = java.nio.file.Paths.get(path, "_LAYOUT_DONE")
+    // the marker pins the bucket SPEC, not just completion: files are
+    // placed by murmur3 pmod nBuckets at write time, so reusing a
+    // 16-bucket build under a 32-bucket declaration would silently
+    // mis-assign every row's bucket — spec mismatch rebuilds instead
+    val specLine =
+      s"$nBuckets|${bucketCols.mkString(",")}|${sortCols.mkString(",")}"
+    val reusable =
+      java.nio.file.Files.exists(marker) && {
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(marker), "UTF-8").split("\n", 2)
+        lines.length == 2 && lines(0) == specLine
+      }
+    if (reusable) {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+          .split("\n", 2)(1))
+      ensureCatalogTable(spark, name, schema, bucketCols, sortCols,
+        nBuckets, path)
+      true
+    } else {
+      val d = df
+      write(d, name, path, bucketCols, nBuckets, sortCols)
+      java.nio.file.Files.write(marker,
+        s"$specLine\n${d.schema.toDDL}".getBytes("UTF-8"))
+      false
+    }
+  }
+
   /** The bucketed table as a DataFrame (scan reports its bucket
     * partitioning to the planner). */
   def table(spark: SparkSession, name: String): DataFrame =
@@ -274,17 +331,9 @@ object Bucketed {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
 
-    if (!spark.catalog.tableExists(name)) {
-      // empty shell with the bucket spec; every round then appends
-      val cols = table.schema.fields
-        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(
-        s"""CREATE TABLE `$name` ($cols) USING parquet
-           |CLUSTERED BY (${bucketCols.mkString(", ")})
-           |SORTED BY (${sorted.mkString(", ")})
-           |INTO $nBuckets BUCKETS
-           |LOCATION '$path'""".stripMargin)
-    }
+    // empty shell with the bucket spec; every round then appends
+    ensureCatalogTable(spark, name, table.schema, bucketCols, sorted,
+      nBuckets, path)
     if (batch.nonEmpty) {
       // write-ahead bracket: snapshot + batch BEFORE the insert, marker
       // dropped only after the state write — every crash point inside
@@ -365,6 +414,41 @@ object Bucketed {
       totalFiles = processed.size + todo.size,
       multiFileBuckets = multi,
       done = remaining == 0 && multi == 0)
+  }
+
+  /** Whether the incremental layout at `path` is CONVERGED for exactly
+    * `livePaths`: every live source processed and nothing extra (a
+    * source file dropped from the lake since processing means the layout
+    * carries stale rows), no in-flight write-ahead markers, one file per
+    * bucket. Driver-side metadata checks only. */
+  private[engine] def layoutConverged(path: String,
+      livePaths: Set[String]): Boolean = {
+    val dir = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(dir)) return false
+    if (java.nio.file.Files.exists(pendingAppendFile(path)) ||
+        java.nio.file.Files.exists(pendingMergesFile(path))) return false
+    if (readState(path) != livePaths) return false
+    listParquet(dir)
+      .flatMap(p => bucketIdOf(p.getFileName.toString))
+      .groupBy(identity).forall(_._2.size == 1)
+  }
+
+  private[engine] def processedState(path: String): Set[String] =
+    readState(path)
+
+  /** Wipe an incremental layout (files, state, markers, catalog entry)
+    * so the next round rebuilds from scratch. */
+  private[engine] def resetLayout(spark: SparkSession, name: String,
+      path: String): Unit = {
+    drop(spark, name)
+    val dir = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val s = java.nio.file.Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .filter(_ != dir)
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
   }
 
   /** Drop the catalog entry (files at `path` are left in place — the

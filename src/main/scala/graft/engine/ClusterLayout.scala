@@ -1,0 +1,168 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.LakeTable
+
+/** Table-level clustering as the engine's PRODUCTION posture: a lake
+  * table DECLARES its clustering once (`declare`), maintenance windows
+  * converge it with bounded incremental rounds (`tick`, riding
+  * [[Bucketed.fromLakeIncremental]] — the reference's vacuum-bounded
+  * maintenance, pg_lake_table/src/vacuum.c:70-71), inserts land
+  * key-sorted so fresh data joins the layout cheaply (`insert`), and the
+  * READ PATH dispatches automatically (`read`): a converged layout
+  * serves the bucketed catalog table (scans report HashPartitioning —
+  * co-located joins run exchange-free), anything else falls back to the
+  * transactional snapshot scan. The lake table stays the source of
+  * truth; the layout is a disposable, row-identical acceleration.
+  *
+  * Reference analogue: hidden partitioning + maintenance
+  * (docs/iceberg-tables.md:243-263) — the table keeps its own layout
+  * promise instead of every query re-shuffling to recreate it.
+  *
+  * Staleness contract (checked on EVERY read, driver-side metadata
+  * only): the layout is served only when its processed-source set
+  * equals the table's live file set exactly. New appends merely flip
+  * reads back to the base scan until the next tick; a REWRITE
+  * (COW update/delete, compaction, MOR flush) drops source files whose
+  * rows the layout still carries, so the next tick RESETS the layout
+  * and reconverges from scratch — correct first, incremental where
+  * possible. MOR deletes at read time likewise force the base scan.
+  *
+  * 100 TB posture: ticks are bounded (files × merges per window),
+  * convergence state persists beside the data, and the converged scan
+  * is Spark's native bucketed relation — one task per bucket on a
+  * 1000-executor cluster, zero rows moved for bucket-key joins.
+  */
+object ClusterLayout {
+
+  final case class Spec(keys: Seq[String], nBuckets: Int,
+      sortCols: Seq[String])
+
+  private def specFile(tbl: LakeTable) = Paths.get(tbl.dir, "_clustering.json")
+
+  private def layoutDir(tbl: LakeTable): String =
+    Paths.get(tbl.dir, "_clustered").toString
+
+  /** Catalog name derived from the table location (stable across
+    * sessions; the in-memory catalog re-registers on first use). */
+  def layoutName(tbl: LakeTable): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(tbl.dir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"graft_cl_$digest"
+  }
+
+  /** Declare (or replace) the table's clustering. Idempotent; a changed
+    * declaration resets the layout so reconvergence starts clean. */
+  def declare(tbl: LakeTable, keys: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "clustering keys must be non-empty")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val prior = spec(tbl)
+    val s = Spec(keys, nBuckets, if (sortCols.isEmpty) keys else sortCols)
+    if (!prior.contains(s)) {
+      if (prior.isDefined)
+        Bucketed.resetLayout(tbl.spark, layoutName(tbl), layoutDir(tbl))
+      val json =
+        s"""{"keys":[${s.keys.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""nBuckets":${s.nBuckets},""" +
+          s""""sortCols":[${s.sortCols.map("\"" + _ + "\"").mkString(",")}]}"""
+      val tmp = specFile(tbl).resolveSibling(".clustering.tmp")
+      Files.write(tmp, json.getBytes("UTF-8"))
+      Files.move(tmp, specFile(tbl),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The declared clustering, if any. */
+  def spec(tbl: LakeTable): Option[Spec] = {
+    val f = specFile(tbl)
+    if (!Files.exists(f)) None
+    else {
+      val json = new String(Files.readAllBytes(f), "UTF-8")
+      def arr(name: String): Seq[String] = {
+        val m = (s""""$name":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json)
+        m.map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      }
+      val n = """"nBuckets":(\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(0)
+      if (arr("keys").isEmpty || n < 1) None
+      else Some(Spec(arr("keys"), n, arr("sortCols")))
+    }
+  }
+
+  def undeclare(tbl: LakeTable): Unit = {
+    Files.deleteIfExists(specFile(tbl))
+    Bucketed.resetLayout(tbl.spark, layoutName(tbl), layoutDir(tbl))
+  }
+
+  /** One bounded maintenance round toward convergence. Detects rewrites
+    * (processed sources no longer live) and resets first — the layout
+    * must never serve rows the table dropped. Returns None when no
+    * clustering is declared. The table must carry no MOR deletes when a
+    * tick runs (flush first — [[Engine.flushDeletes]], the same
+    * maintenance window); [[read]] on a MOR table just serves the base
+    * scan. */
+  def tick(tbl: LakeTable, maxFilesPerRound: Int = 8,
+      maxBucketMergesPerRound: Int = 8): Option[Bucketed.ClusterProgress] =
+    spec(tbl).map { s =>
+      val live = tbl.liveFiles.filterNot(_.isDelete).map(_.path).toSet
+      val processed = Bucketed.processedState(layoutDir(tbl))
+      if ((processed -- live).nonEmpty)
+        Bucketed.resetLayout(tbl.spark, layoutName(tbl), layoutDir(tbl))
+      Bucketed.fromLakeIncremental(tbl, layoutName(tbl), layoutDir(tbl),
+        s.keys, s.nBuckets, s.sortCols, maxFilesPerRound,
+        maxBucketMergesPerRound)
+    }
+
+  /** Run ticks until converged (stop-the-world convenience; deployments
+    * call [[tick]] from their maintenance windows instead). */
+  def converge(tbl: LakeTable, maxRounds: Int = 10000,
+      maxFilesPerRound: Int = 8, maxBucketMergesPerRound: Int = 8): Boolean = {
+    var i = 0
+    while (i < maxRounds) {
+      tick(tbl, maxFilesPerRound, maxBucketMergesPerRound) match {
+        case None => return false
+        case Some(p) if p.done => return true
+        case _ => ()
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Whether the layout is converged for the CURRENT snapshot (cheap
+    * driver-side metadata check; safe to call per query). */
+  def isConverged(tbl: LakeTable): Boolean =
+    spec(tbl).isDefined && {
+      val live = tbl.liveFiles
+      !live.exists(_.isDelete) &&
+        Bucketed.layoutConverged(layoutDir(tbl), live.map(_.path).toSet)
+    }
+
+  /** THE read path: the converged clustered layout when it exactly
+    * matches the live snapshot, the transactional scan otherwise. */
+  def read(tbl: LakeTable): DataFrame =
+    spec(tbl) match {
+      case Some(s) if isConverged(tbl) =>
+        Bucketed.ensureCatalogTable(tbl.spark, layoutName(tbl), tbl.schema,
+          s.keys, s.sortCols, s.nBuckets, layoutDir(tbl))
+        tbl.spark.table(s"`${layoutName(tbl)}`")
+      case _ => tbl.toDF
+    }
+
+  /** Insert honoring the declared clustering: the batch lands key-sorted
+    * (tight min/max per file — [[Engine.insertSorted]]), so the next
+    * tick folds it into buckets with a single bounded append. Falls back
+    * to a plain insert when no clustering is declared. */
+  def insert(tbl: LakeTable, df: DataFrame): Unit =
+    spec(tbl) match {
+      case Some(s) => Engine.insertSorted(tbl, df, s.sortCols)
+      case None => Engine.insert(tbl, df)
+    }
+}

@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Automatic layout-aware dispatch: an optimizer rule that substitutes a
+  * scan of a base table with its hash-clustered (bucketed) rewrite when
+  * the query actually exploits that clustering — the engine-level
+  * generalization of what round 12's bench did by hand with per-query
+  * table overlays.
+  *
+  * A warehouse deployment maintains clustered layouts per fact table
+  * (the reference's hidden-partitioning posture,
+  * docs/iceberg-tables.md:243-263: the table keeps its own layout
+  * promise); which QUERIES benefit is a per-plan decision: a join or
+  * aggregation whose keys cover the clustering key runs exchange-free
+  * off the bucketed scan, while a full-scan aggregate (TPC-H q1) gains
+  * nothing and should keep the stock single-dir scan. This rule makes
+  * that call from the plan itself:
+  *
+  *  1. collect every registered base-table scan in the plan;
+  *  2. collect the "co-location demand" per scan — the attribute names
+  *     it is equi-joined on, grouped by, or window-partitioned by
+  *     (attributes keep their ids through projections/filters, so
+  *     provenance is exprId membership in the scan's output);
+  *  3. substitute the scan with the first registered layout whose
+  *     clustering keys are covered by the demand, aliasing the new
+  *     relation's attributes back to the original exprIds so the
+  *     surrounding plan is untouched.
+  *
+  * Multiple layouts per table are supported (orders clustered by
+  * o_orderkey for the join family AND by o_custkey for per-customer
+  * rollups — the projection/sort-order pattern of production
+  * warehouses); registration order is preference order. Substitution is
+  * always semantically sound — the layouts are row-identical rewrites —
+  * so selection only affects performance, never results. Filters above
+  * the substituted scan still push down: PhysicalOperation collapses
+  * the alias projection during physical planning.
+  *
+  * 100 TB posture: this is pure plan surgery on the driver; the scan it
+  * installs reports its HashPartitioning to the planner, which drops
+  * the fact-side exchanges — the entire point of maintaining the
+  * layout. The registry holds table names, not data.
+  *
+  * Soundness guards: only single-root, non-bucketed parquet scans are
+  * candidates; the substitute must match the scan's columns in name and
+  * type exactly (the events fixture's raw nano-Long `ts` vs a
+  * timestamp-typed rewrite would be refused); a missing or dropped
+  * catalog table falls back to the stock scan. Registered base paths
+  * must be WRITE-ONCE (fixture dirs are): a mutating table must go
+  * through engine/ClusterLayout, whose read path re-checks convergence
+  * against the live snapshot on every call instead.
+  */
+object LayoutDispatch extends Rule[LogicalPlan] {
+
+  /** One clustered rewrite of a base table. */
+  final case class Layout(keys: Seq[String], table: String)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Layout]]()
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file://").stripPrefix("file:").stripSuffix("/")
+
+  /** Register `table` (a session-catalog bucketed table) as a clustered
+    * rewrite of the base data at `basePath`. Registration order is
+    * preference order when several layouts' keys are covered. */
+  def register(basePath: String, keys: Seq[String], table: String): Unit =
+    registry.compute(normalize(basePath), (_, v) => {
+      val cur = Option(v).getOrElse(Vector.empty).filterNot(_.table == table)
+      cur :+ Layout(keys, table)
+    })
+
+  def clear(): Unit = registry.clear()
+
+  def hasLayout(basePath: String): Boolean =
+    registry.containsKey(normalize(basePath))
+
+  /** Install into a session's optimizer (idempotent). The rule runs in
+    * the user-provided batch at the end of optimization — late enough
+    * that the demand sets are stable, early enough that physical
+    * planning sees the bucketed relation. */
+  def install(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraOptimizations.contains(this))
+      exp.extraOptimizations = exp.extraOptimizations :+ this
+  }
+
+  private def fsOf(lr: LogicalRelation): Option[HadoopFsRelation] =
+    lr.relation match {
+      case fs: HadoopFsRelation if fs.bucketSpec.isEmpty => Some(fs)
+      case _ => None
+    }
+
+  private def baseOf(lr: LogicalRelation): Option[String] =
+    fsOf(lr).flatMap { fs =>
+      val roots = fs.location.rootPaths
+      if (roots.size != 1) None
+      else Some(normalize(roots.head.toString)).filter(registry.containsKey)
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    val scans = plan.collect {
+      case lr: LogicalRelation if baseOf(lr).isDefined => lr
+    }
+    if (scans.isEmpty) return plan
+
+    // exprId → owning candidate scan
+    val owner = scans.flatMap(lr => lr.output.map(a => a.exprId -> lr)).toMap
+    // co-location demand per scan
+    val wanted = scala.collection.mutable.HashMap
+      .empty[LogicalRelation, Set[String]].withDefaultValue(Set.empty)
+    def note(e: Expression): Unit = e match {
+      case a: AttributeReference =>
+        owner.get(a.exprId).foreach(lr => wanted(lr) += a.name)
+      case _ => ()
+    }
+    def noteJoinCond(c: Expression): Unit = c match {
+      case And(l, r) => noteJoinCond(l); noteJoinCond(r)
+      case EqualTo(l, r) => note(l); note(r)
+      case _ => ()
+    }
+    plan.foreach {
+      case j: Join => j.condition.foreach(noteJoinCond)
+      case a: Aggregate => a.groupingExpressions.foreach(note)
+      case w: Window => w.partitionSpec.foreach(note)
+      case _ => ()
+    }
+
+    val spark = SparkSession.active
+    plan.transform {
+      case lr: LogicalRelation if baseOf(lr).isDefined =>
+        val demand = wanted(lr)
+        baseOf(lr).flatMap { base =>
+          registry.get(base)
+            .find(l => l.keys.nonEmpty && l.keys.forall(demand.contains))
+            .flatMap(substitute(spark, lr, _))
+        }.getOrElse(lr)
+    }
+  }
+
+  /** Swap `lr` for `layout.table`'s relation, aliasing its output back
+    * to lr's exprIds. None (no substitution) on any mismatch. */
+  private def substitute(spark: SparkSession, lr: LogicalRelation,
+      layout: Layout): Option[LogicalPlan] = {
+    val analyzed =
+      try spark.table(s"`${layout.table}`").queryExecution.analyzed
+      catch { case _: Exception => return None }
+    analyzed.collectFirst { case r: LogicalRelation => r }.flatMap { rel0 =>
+      // fresh exprIds per substitution site (self-joins substitute the
+      // same catalog relation twice; duplicate ids would corrupt the plan)
+      val rel = rel0.newInstance()
+      val byName = rel.output.map(a => a.name -> a).toMap
+      val compatible = lr.output.forall(o =>
+        byName.get(o.name).exists(_.dataType == o.dataType))
+      if (!compatible) None
+      else {
+        val projList: Seq[NamedExpression] = lr.output.map { o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId,
+            qualifier = o.qualifier)
+        }
+        Some(Project(projList, rel))
+      }
+    }
+  }
+}

@@ -315,6 +315,37 @@ object QLake {
         .orderBy("o_orderpriority")
     },
 
+    // clustering as PRODUCTION posture (engine/ClusterLayout.scala):
+    // declare once, converge with bounded incremental ticks, insert
+    // clustering-aware, COW-delete (which must reset+rebuild the layout
+    // — the layout may never serve dropped rows), reconverge, and read
+    // through the AUTOMATIC dispatch path. The requires make the
+    // dispatch itself part of the gate; the oracle proves the layout
+    // lifecycle preserved exactly the right rows.
+    "q_lake_clustered_read" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val tbl = Engine.ctas(s, tmp("clus"),
+        li.filter(col("l_orderkey") % 2 === 0))
+      graft.engine.ClusterLayout.declare(tbl, Seq("l_orderkey"), 8)
+      require(graft.engine.ClusterLayout.converge(tbl,
+        maxFilesPerRound = 4, maxBucketMergesPerRound = 8))
+      graft.engine.ClusterLayout.insert(tbl,
+        li.filter(col("l_orderkey") % 2 === 1))
+      require(!graft.engine.ClusterLayout.isConverged(tbl),
+        "append must stale the layout")
+      require(graft.engine.ClusterLayout.converge(tbl))
+      Engine.delete(tbl, col("l_quantity") > 45) // COW rewrite → reset
+      require(graft.engine.ClusterLayout.converge(tbl))
+      val df = graft.engine.ClusterLayout.read(tbl)
+      require(df.queryExecution.executedPlan.toString.contains("_clustered"),
+        "converged read must dispatch to the clustered layout")
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("rev"))
+        .orderBy("l_returnflag")
+    },
+
     // pruned scan: result must equal a plain filtered aggregate even
     // though most files were never opened
     "q_lake_prune_scan" -> { (s, dir) =>
@@ -388,6 +419,15 @@ object QLake {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
         |WHERE l_returnflag IN ('A', 'N', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // full clustering lifecycle: ctas(even) + insert(odd) = all rows,
+    // then the COW delete drops l_quantity > 45
+    "q_lake_clustered_read" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        |FROM lineitem
+        |WHERE NOT (l_quantity > 45)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_lake_delete" ->

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.{ClusterLayout, Engine}
+
+/** Table-level clustering as production posture
+  * (engine/ClusterLayout.scala): declare once, converge via bounded
+  * ticks, reads dispatch to the layout only while it exactly matches
+  * the live snapshot, inserts land key-sorted, rewrites reset. */
+class ClusterLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.agg(count(lit(1)), sum("l_orderkey"),
+      round(sum("l_extendedprice"), 2)).collect().toSeq
+
+  test("declare → bounded ticks → converged reads serve the bucketed " +
+      "layout; appends flip back to base until the next ticks") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val dir = Files.createTempDirectory("cluster_layout").toString
+    val tbl = Engine.create(spark, s"$dir/t", li.schema.toDDL)
+    for (i <- 0 until 3)
+      Engine.insert(tbl, li.filter(col("l_orderkey") % 3 === i))
+
+    // no declaration: read is the plain snapshot scan (not a bucketed
+    // catalog scan; exprIds differ per read, so compare shape not text)
+    assert(!ClusterLayout.read(tbl).queryExecution.executedPlan
+      .toString.contains("Bucketed: true"))
+
+    ClusterLayout.declare(tbl, Seq("l_orderkey"), 4)
+    assert(!ClusterLayout.isConverged(tbl))
+    assert(aggOf(ClusterLayout.read(tbl)) == aggOf(tbl.toDF),
+      "unconverged read must serve the base scan")
+
+    assert(ClusterLayout.converge(tbl, maxFilesPerRound = 2,
+      maxBucketMergesPerRound = 4))
+    assert(ClusterLayout.isConverged(tbl))
+    val clustered = ClusterLayout.read(tbl)
+    assert(aggOf(clustered) == aggOf(tbl.toDF))
+    // the converged read scans the layout, and a bucket-key aggregation
+    // exploits it exchange-free (a bare scan reports "Bucketed: false
+    // (disabled by query planner)" by design — nothing to exploit)
+    assert(clustered.queryExecution.executedPlan.toString
+      .contains("_clustered"), "converged read should scan the layout")
+    val keyAgg = ClusterLayout.read(tbl).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"))
+    val plan = keyAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must be exchange-free:\n$plan")
+
+    // clustering-aware insert: lands key-sorted, layout goes stale
+    ClusterLayout.insert(tbl, li.filter(col("l_returnflag") === "R").limit(50))
+    assert(!ClusterLayout.isConverged(tbl),
+      "new append must flip reads back to base")
+    assert(aggOf(ClusterLayout.read(tbl)) == aggOf(tbl.toDF),
+      "stale layout must NOT be served")
+    assert(ClusterLayout.converge(tbl))
+    assert(aggOf(ClusterLayout.read(tbl)) == aggOf(tbl.toDF))
+
+    // a COW rewrite drops source files the layout carries → reset + rebuild
+    Engine.delete(tbl, col("l_quantity") > 45)
+    assert(!ClusterLayout.isConverged(tbl))
+    assert(aggOf(ClusterLayout.read(tbl)) == aggOf(tbl.toDF))
+    assert(ClusterLayout.converge(tbl))
+    assert(ClusterLayout.isConverged(tbl))
+    assert(aggOf(ClusterLayout.read(tbl)) == aggOf(tbl.toDF))
+
+    // MOR deletes: read serves the base MOR scan (deletes applied)
+    Engine.deleteMor(tbl, col("l_quantity") < 3)
+    assert(!ClusterLayout.isConverged(tbl))
+    assert(aggOf(ClusterLayout.read(tbl)) == aggOf(tbl.toDF))
+
+    ClusterLayout.undeclare(tbl)
+    assert(ClusterLayout.spec(tbl).isEmpty)
+  }
+
+  test("a changed declaration resets the layout and reconverges under " +
+      "the new keys") {
+    val li = Tables.load(spark, sf, "lineitem").limit(1000)
+    val dir = Files.createTempDirectory("cluster_redecl").toString
+    val tbl = Engine.ctas(spark, s"$dir/t", li)
+    ClusterLayout.declare(tbl, Seq("l_orderkey"), 4)
+    assert(ClusterLayout.converge(tbl))
+    // same declaration: no reset (still converged)
+    ClusterLayout.declare(tbl, Seq("l_orderkey"), 4)
+    assert(ClusterLayout.isConverged(tbl))
+    // new keys: reset, must reconverge
+    ClusterLayout.declare(tbl, Seq("l_suppkey"), 4)
+    assert(!ClusterLayout.isConverged(tbl))
+    assert(ClusterLayout.converge(tbl))
+    assert(aggOf(ClusterLayout.read(tbl)) == aggOf(tbl.toDF))
+    ClusterLayout.undeclare(tbl)
+  }
+}

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.Bucketed
+import graft.plans.LayoutDispatch
+
+/** Automatic layout-aware dispatch (plans/LayoutDispatch.scala): a scan
+  * of a registered base table substitutes its hash-clustered rewrite
+  * exactly when the plan's join/group/window keys cover the clustering
+  * key — results identical, exchanges gone on the clustered side, stock
+  * scans untouched when the layout buys nothing. */
+class LayoutDispatchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    LayoutDispatch.install(s)
+    s
+  }
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    val dir = Files.createTempDirectory("layoutdisp").toString
+    Bucketed.write(spark.read.parquet(s"$sf/lineitem.parquet"),
+      "ld_li_ok", s"$dir/li", Seq("l_orderkey"), 4)
+    Bucketed.write(spark.read.parquet(s"$sf/orders.parquet"),
+      "ld_ord_ok", s"$dir/ord", Seq("o_orderkey"), 4)
+    Bucketed.write(spark.read.parquet(s"$sf/orders.parquet"),
+      "ld_ord_ck", s"$dir/ord_ck", Seq("o_custkey"), 4)
+    LayoutDispatch.register(s"$sf/lineitem.parquet",
+      Seq("l_orderkey"), "ld_li_ok")
+    // registration order = preference: orderkey (join family) first
+    LayoutDispatch.register(s"$sf/orders.parquet",
+      Seq("o_orderkey"), "ld_ord_ok")
+    LayoutDispatch.register(s"$sf/orders.parquet",
+      Seq("o_custkey"), "ld_ord_ck")
+  }
+
+  override def afterAll(): Unit = {
+    LayoutDispatch.clear()
+    Seq("ld_li_ok", "ld_ord_ok", "ld_ord_ck", "ld_li_badtype")
+      .foreach(Bucketed.drop(spark, _))
+    spark.stop()
+  }
+
+  /** Root paths of every parquet scan in the optimized plan. */
+  private def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    """\(\d+\) Exchange""".r
+      .findAllIn(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      .size
+
+  test("an equi-join on the clustering key dispatches BOTH sides to the " +
+      "clustered layout: identical results, no fact-side exchanges") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(round(sum("l_extendedprice"), 2).as("rev"), count(lit(1)).as("n"))
+    val roots = scanRoots(j)
+    assert(roots.exists(_.contains("/li")) && roots.exists(_.contains("/ord")),
+      s"both scans should dispatch to the layout: $roots")
+    // only the tiny post-join groupBy may exchange
+    assert(exchanges(j) <= 1, s"co-located join must not co-shuffle")
+    val stock = {
+      LayoutDispatch.clear()
+      try li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum("l_extendedprice"), 2).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority").collect().toSeq
+      finally {
+        LayoutDispatch.register(s"$sf/lineitem.parquet",
+          Seq("l_orderkey"), "ld_li_ok")
+        LayoutDispatch.register(s"$sf/orders.parquet",
+          Seq("o_orderkey"), "ld_ord_ok")
+        LayoutDispatch.register(s"$sf/orders.parquet",
+          Seq("o_custkey"), "ld_ord_ck")
+      }
+    }
+    assert(j.orderBy("o_orderpriority").collect().toSeq == stock)
+  }
+
+  test("a scan whose plan never demands the clustering key keeps the " +
+      "stock layout (TPC-H q1 shape)") {
+    val q1 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+    val roots = scanRoots(q1)
+    assert(roots.exists(_.contains("lineitem.parquet")),
+      s"q1 gains nothing from orderkey clustering; keep stock: $roots")
+  }
+
+  test("grouping-key demand picks the matching layout among several " +
+      "(orders by o_custkey for a per-customer rollup)") {
+    val agg = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"), count(lit(1)).as("n"))
+    val roots = scanRoots(agg)
+    assert(roots.exists(_.contains("/ord_ck")),
+      s"per-customer rollup should pick the custkey layout: $roots")
+    assert(exchanges(agg) == 0, "group key = bucket key: exchange-free")
+    // and a join on o_orderkey still prefers the first-registered layout
+    val j = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(scanRoots(j).exists(_.contains("/ord")) &&
+      !scanRoots(j).exists(_.contains("/ord_ck")),
+      s"join demand prefers first-registered orderkey layout: ${scanRoots(j)}")
+  }
+
+  test("a self-join substitutes both sites without attribute clashes") {
+    val o1 = spark.read.parquet(s"$sf/orders.parquet")
+    val o2 = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("p2"))
+    val j = o1.join(o2, col("o_orderkey") === col("k2"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice") - col("p2")), 2).as("z"))
+    val row = j.collect().head
+    assert(row.getLong(0) == spark.read.parquet(s"$sf/orders.parquet").count())
+    assert(row.getDouble(1) == 0.0)
+  }
+
+  test("a column-type mismatch refuses substitution (soundness guard)") {
+    val dir = Files.createTempDirectory("layoutbad").toString
+    // same column names, l_quantity cast to a different type
+    Bucketed.write(spark.read.parquet(s"$sf/lineitem.parquet")
+        .withColumn("l_quantity", col("l_quantity").cast("string")),
+      "ld_li_badtype", s"$dir/li", Seq("l_orderkey"), 4)
+    LayoutDispatch.register(s"$sf/lineitem.parquet",
+      Seq("l_orderkey"), "ld_li_badtype")
+    try {
+      // make the bad layout the only candidate
+      LayoutDispatch.clear()
+      LayoutDispatch.register(s"$sf/lineitem.parquet",
+        Seq("l_orderkey"), "ld_li_badtype")
+      val j = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(round(sum("l_quantity"), 2).as("q"))
+      assert(scanRoots(j).exists(_.contains("lineitem.parquet")),
+        "type-mismatched layout must be refused")
+      j.collect() // and the plan still runs
+    } finally {
+      LayoutDispatch.clear()
+      LayoutDispatch.register(s"$sf/lineitem.parquet",
+        Seq("l_orderkey"), "ld_li_ok")
+      LayoutDispatch.register(s"$sf/orders.parquet",
+        Seq("o_orderkey"), "ld_ord_ok")
+      LayoutDispatch.register(s"$sf/orders.parquet",
+        Seq("o_custkey"), "ld_ord_ck")
+    }
+  }
+
+  test("window partitionBy demand dispatches (sessionize shape)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate")
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .agg(count(lit(1)).as("n"))
+    assert(scanRoots(df).exists(_.contains("/ord_ck")),
+      s"window partition key should dispatch to custkey layout")
+  }
+}

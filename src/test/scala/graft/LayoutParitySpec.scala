@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.engine.Bucketed
+import graft.plans.LayoutDispatch
+
+/** End-to-end parity net for layout-aware dispatch: every headline
+  * declaration that can dispatch to the clustered layout (directly via
+  * the optimizer rule, or by switching arms through Tables.isOverlaid)
+  * must return EXACTLY its stock-layout rows. This is what lets the
+  * bench's big-fixture headline run layout-aware without a separate
+  * correctness protocol. */
+class LayoutParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    LayoutDispatch.install(s)
+    s
+  }
+
+  val sf = "/root/testdata/sf0.001"
+
+  // the bench's layout-aware families: joins/rollups/windows that can
+  // dispatch, plus q1 (must NOT dispatch) as the control
+  val qs = Seq("q1_agg", "q3_shipping", "q5_local_supplier",
+    "q10_returned_items", "q_join_inner", "q_cte", "qds_channel_rollup",
+    "qds_yoy", "qds_top_per_group", "q_sessionize", "q_win_rank")
+
+  private def rowsOf(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // canonical form: sorted column names, then sorted row renderings —
+    // the driver-gate comparison shape
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"`$c`"): _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  test("headline declarations return identical rows with and without " +
+      "the clustered layout registered") {
+    val stock = qs.map(q => q -> rowsOf(q)).toMap
+
+    val dir = Files.createTempDirectory("layout_parity").toString
+    Bucketed.writeOrReuse(Tables.load(spark, sf, "lineitem"), spark,
+      "lp_li", s"$dir/li", Seq("l_orderkey"), 4)
+    Bucketed.writeOrReuse(Tables.load(spark, sf, "orders"), spark,
+      "lp_ord", s"$dir/ord", Seq("o_orderkey"), 4)
+    Bucketed.writeOrReuse(Tables.load(spark, sf, "orders"), spark,
+      "lp_ord_ck", s"$dir/ord_ck", Seq("o_custkey"), 4)
+    Bucketed.writeOrReuse(spark.read.parquet(s"$sf/events.parquet"), spark,
+      "lp_ev", s"$dir/ev", Seq("user_id"), 4, Seq("user_id", "ts"))
+    LayoutDispatch.register(s"$sf/lineitem.parquet",
+      Seq("l_orderkey"), "lp_li")
+    LayoutDispatch.register(s"$sf/orders.parquet",
+      Seq("o_orderkey"), "lp_ord")
+    LayoutDispatch.register(s"$sf/orders.parquet",
+      Seq("o_custkey"), "lp_ord_ck")
+    LayoutDispatch.register(s"$sf/events.parquet",
+      Seq("user_id"), "lp_ev")
+    spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      qs.foreach { q =>
+        assert(rowsOf(q) == stock(q), s"$q diverged under layout-aware " +
+          "dispatch")
+      }
+    } finally {
+      LayoutDispatch.clear()
+      spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+      Seq("lp_li", "lp_ord", "lp_ord_ck", "lp_ev")
+        .foreach(Bucketed.drop(spark, _))
+    }
+  }
+}
