@@ -344,6 +344,32 @@ object Bench {
       else Nil
     calItem.foreach { case (_, q, d) => run(q, d) } // warm the probe plan
 
+    // quiet-box gate (opt in: SPARK_GRAFT_QUIET_MAX=<seconds>): two
+    // rounds of sf10-band comparisons have stood on a three-round-old
+    // quiet run because scheduling could never force a quiet box. So
+    // automate the capture instead: measure the fixed-work calibration
+    // probe FIRST and only proceed to the full protocol when its median
+    // is at or below the gate (r10's quiet band ran at probe 0.147; the
+    // inflated sessions at >=0.17). Above the gate, emit a one-line
+    // refusal artifact and exit 3 — the caller loops/retries later.
+    sys.env.get("SPARK_GRAFT_QUIET_MAX").map(_.toDouble).foreach { gate =>
+      if (calItem.isEmpty) {
+        println(s"""{"metric":"quiet_gate","error":"no calibration fixture"}""")
+        spark.stop(); sys.exit(3)
+      }
+      // the in-protocol calibration runs after two full warmup passes;
+      // the gate must compare like with like, so warm the probe plan to
+      // steady state (C2 finishes during the early reps) before judging
+      (1 to 6).foreach(_ => run("q_geo_zones", calDir))
+      val probes = (1 to 5).map(_ => run("q_geo_zones", calDir)).sorted
+      val med = probes(probes.size / 2)
+      if (med > gate) {
+        println(f"""{"metric":"quiet_gate","probe":$med%.3f,"gate":$gate%.3f,"proceed":false}""")
+        spark.stop(); sys.exit(3)
+      }
+      System.err.println(f"[bench] quiet gate passed: probe $med%.3f <= $gate%.3f")
+    }
+
     System.gc() // settle the heap before the timed section
     val timedMain = timed(headline.map(n => (n, n, sfDir)) ++ calItem)
     val results = headline.map(n => n -> timedMain(n)._1)

@@ -33,24 +33,81 @@ import graft.core.{IcebergImport, LakeTable}
   * reference documents for its REST-catalog users.
   */
 final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
-    token: Option[String] = None, warehouse: Option[String] = None) {
+    token: Option[String] = None, warehouse: Option[String] = None,
+    oauth: Option[IcebergRestCatalog.OAuth] = None) {
 
   private implicit val formats: Formats = DefaultFormats
   private val http = HttpClient.newHttpClient()
   private val base = baseUri.stripSuffix("/")
 
+  // ---- OAuth2 client-credentials (rest_catalog.c:62-828's auth flow,
+  // re-expressed on the spec's /v1/oauth/tokens endpoint): fetch a
+  // short-lived access token with the client id/secret, cache it until
+  // shortly before expiry, refresh proactively on the clock and
+  // reactively on a 401 (a server-side revocation the clock can't see).
+  private var oauthToken: Option[String] = None
+  private var oauthExpiresAtMs: Long = 0L
+
+  private def fetchOAuthToken(): String = synchronized {
+    val o = oauth.get
+    val endpoint = o.tokenEndpoint.getOrElse(s"$base/v1/oauth/tokens")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val form = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> o.clientId,
+      "client_secret" -> o.clientSecret,
+      "scope" -> o.scope).map { case (k, v) => s"$k=${enc(v)}" }
+      .mkString("&")
+    val req = HttpRequest.newBuilder(URI.create(endpoint))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form, StandardCharsets.UTF_8))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new IllegalStateException(
+        s"POST $endpoint -> HTTP ${resp.statusCode()}: " +
+          resp.body().take(300))
+    val j = JsonMethods.parse(resp.body())
+    val tok = (j \ "access_token").extract[String]
+    // refresh `skewMs` early so a token never expires mid-request;
+    // tokens without expires_in live until a 401 forces a refresh
+    val ttlS = (j \ "expires_in").extractOpt[Long]
+    oauthToken = Some(tok)
+    oauthExpiresAtMs = ttlS
+      .map(t => System.currentTimeMillis() + t * 1000 - o.skewMs)
+      .getOrElse(Long.MaxValue)
+    tok
+  }
+
+  private def currentAuth(): Option[String] =
+    if (oauth.isDefined) {
+      val valid = oauthToken.filter(_ =>
+        System.currentTimeMillis() < oauthExpiresAtMs)
+      Some(valid.getOrElse(fetchOAuthToken()))
+    } else token
+
   private def request(method: String, path: String,
       body: Option[String] = None): (Int, String) = {
-    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
-      .header("Content-Type", "application/json")
-    token.foreach(t => b.header("Authorization", s"Bearer $t"))
-    val req = (body match {
-      case Some(j) => b.method(method,
-        HttpRequest.BodyPublishers.ofString(j, StandardCharsets.UTF_8))
-      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
-    }).build()
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
+    def once(tok: Option[String]): (Int, String) = {
+      val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+        .header("Content-Type", "application/json")
+      tok.foreach(t => b.header("Authorization", s"Bearer $t"))
+      val req = (body match {
+        case Some(j) => b.method(method,
+          HttpRequest.BodyPublishers.ofString(j, StandardCharsets.UTF_8))
+        case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+      }).build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val first = once(currentAuth())
+    // 401 under OAuth = the cached token was revoked/expired server-side:
+    // force one refresh and retry exactly once (idempotent even for the
+    // POSTs here — the request never reached its handler)
+    if (first._1 == 401 && oauth.isDefined) {
+      fetchOAuthToken()
+      once(currentAuth())
+    } else first
   }
 
   private def expect(method: String, path: String,
@@ -133,4 +190,13 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       throw new IllegalStateException(s"export produced no metadata under ${tbl.dir}"))
     registerTable(ns, name, meta)
   }
+}
+
+object IcebergRestCatalog {
+  /** OAuth2 client-credentials config (the spec's catalog-scoped token
+    * exchange; `tokenEndpoint` defaults to `{base}/v1/oauth/tokens`).
+    * `skewMs` refreshes that long before nominal expiry. */
+  final case class OAuth(clientId: String, clientSecret: String,
+      scope: String = "catalog", tokenEndpoint: Option[String] = None,
+      skewMs: Long = 30000)
 }

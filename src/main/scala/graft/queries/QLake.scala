@@ -315,6 +315,35 @@ object QLake {
         .orderBy("o_orderpriority")
     },
 
+    // CDC SWITCHOVER (streaming/Cdc.scala — the reference's logical-
+    // replication shape, pg_lake_replication.c: bootstrap then stream):
+    // a full-snapshot backfill pinned to its commit id, then incremental
+    // windows continuing from EXACTLY that id across appends, a
+    // compaction (must not re-emit) and an in-window MOR delete (must
+    // not surface). The replica = backfill ∪ windows; the oracle is the
+    // full reconstruction of what the table should contain.
+    "q_cdc_switchover" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val path = tmp("sw")
+      Engine.ctas(s, path, li.filter(col("l_returnflag") === "A"))
+      val boot = graft.streaming.Cdc.snapshot(s, path)
+      def tb = graft.core.LakeTable.load(s, path)
+      Engine.insert(tb, li.filter(col("l_returnflag") === "N"))
+      Engine.compact(tb)
+      val w1 = graft.streaming.Cdc.changesSince(s, path, boot.offset)
+      Engine.insert(tb, li.filter(col("l_returnflag") === "R"))
+      Engine.deleteMor(tb,
+        col("l_returnflag") === "R" && col("l_quantity") > 40)
+      val w2 = graft.streaming.Cdc.changesSince(s, path, w1.offset)
+      val idle = graft.streaming.Cdc.changesSince(s, path, w2.offset)
+      require(idle.offset == w2.offset, "idle window must not advance")
+      boot.df.unionByName(w1.df).unionByName(w2.df)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // clustering as PRODUCTION posture (engine/ClusterLayout.scala):
     // declare once, converge with bounded incremental ticks, insert
     // clustering-aware, COW-delete (which must reset+rebuild the layout
@@ -419,6 +448,16 @@ object QLake {
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem
         |WHERE l_returnflag IN ('A', 'N', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // replica reconstruction: A backfill + N window + (R minus the
+    // in-window MOR delete) window
+    "q_cdc_switchover" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_returnflag IN ('A', 'N')
+        |   OR (l_returnflag = 'R' AND NOT (l_quantity > 40))
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // full clustering lifecycle: ctas(even) + insert(odd) = all rows,

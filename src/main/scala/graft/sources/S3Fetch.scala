@@ -56,9 +56,54 @@ object S3Fetch {
     if (gs) prop("graft.gs.endpoint", "GS_ENDPOINT_URL")
       .orElse(Some("https://storage.googleapis.com"))
     else prop("graft.s3.endpoint", "AWS_ENDPOINT_URL")
+  private def regionConf(gs: Boolean): Option[String] =
+    if (gs) prop("graft.gs.region", "GS_REGION").orElse(Some("auto"))
+    else prop("graft.s3.region", "AWS_REGION")
   private def regionFor(gs: Boolean): String =
-    if (gs) prop("graft.gs.region", "GS_REGION").getOrElse("auto")
-    else prop("graft.s3.region", "AWS_REGION").getOrElse("us-east-1")
+    regionConf(gs).getOrElse("us-east-1")
+
+  /** Path-style vs virtual-host addressing (configure_s3_compat.c's
+    * url_style seam): explicit `graft.s3.path.style` / `graft.gs.path
+    * .style` wins; otherwise a custom endpoint (MinIO-class) defaults to
+    * path-style and bare AWS to virtual-host — each service's own
+    * default. */
+  private def pathStyle(gs: Boolean): Boolean = {
+    val conf =
+      if (gs) prop("graft.gs.path.style", "GS_PATH_STYLE")
+      else prop("graft.s3.path.style", "AWS_S3_PATH_STYLE")
+    conf match {
+      case Some(v) => v == "true" || v == "1"
+      case None => endpointFor(gs).isDefined
+    }
+  }
+
+  // ---- region resolution (region.c re-expressed): requests sign with
+  // the bucket's ACTUAL region — configured, cached from a server hint,
+  // or autodetected by probing the bucket (AWS returns the
+  // x-amz-bucket-region header even on 301/403 error responses, which is
+  // exactly what makes HeadBucket the canonical region probe).
+  // Server hints are authoritative over configuration: a wrong-region
+  // conf would otherwise pay a sign-fail-retry on every request.
+  private val regionCache =
+    new java.util.concurrent.ConcurrentHashMap[(Option[String], String), String]()
+
+  private[graft] def clearRegionCache(): Unit = regionCache.clear()
+
+  private def resolveRegion(bucket: String, gs: Boolean): String = {
+    if (gs) return regionFor(gs)
+    val key = (endpointFor(gs), bucket)
+    Option(regionCache.get(key))
+      .orElse(regionConf(gs))
+      .getOrElse {
+        // HeadBucket probe, signed with the SigV4 fallback region
+        val resp = sendOnce("HEAD", bucket, "", Nil, Nil, gs, "us-east-1")
+        val hinted = resp.headers()
+          .firstValue("x-amz-bucket-region").orElse("")
+        val r = if (hinted.nonEmpty) hinted else "us-east-1"
+        regionCache.put(key, r)
+        r
+      }
+  }
   private def accessKeyFor(gs: Boolean): Option[String] =
     if (gs) prop("graft.gs.access.key", "GS_ACCESS_KEY_ID")
     else prop("graft.s3.access.key", "AWS_ACCESS_KEY_ID")
@@ -155,30 +200,65 @@ object S3Fetch {
   }
 
   /** (base URL without query, canonical URI path, Host header value) for
-    * a bucket+key under the configured addressing mode. */
-  private def target(bucket: String, keyPath: String,
-      gs: Boolean): (String, String, String) =
-    endpointFor(gs) match {
-      case Some(ep) => // path-style against a custom endpoint
+    * a bucket+key under the configured addressing mode and region.
+    * Exposed (read-only) so the addressing seam is spec-pinned without
+    * needing resolvable virtual-host DNS. */
+  private[graft] def target(bucket: String, keyPath: String,
+      gs: Boolean, region: String): (String, String, String) = {
+    val keyUri =
+      if (keyPath.isEmpty) "" else s"/${awsUriEncode(keyPath, true)}"
+    (endpointFor(gs), pathStyle(gs)) match {
+      case (Some(ep), true) => // path-style against a custom endpoint
         val u = URI.create(ep)
         val host = u.getHost +
           (if (u.getPort > 0) s":${u.getPort}" else "")
-        val uri = s"/$bucket" +
-          (if (keyPath.isEmpty) "" else s"/${awsUriEncode(keyPath, true)}")
-        (s"$ep$uri", if (uri.isEmpty) "/" else uri, host)
-      case None => // AWS virtual-host style
-        val host = s"$bucket.s3.${regionFor(gs)}.amazonaws.com"
-        val uri =
-          if (keyPath.isEmpty) "/" else s"/${awsUriEncode(keyPath, true)}"
+        val uri = s"/$bucket$keyUri"
+        (s"$ep$uri", uri, host)
+      case (Some(ep), false) => // virtual-host against a custom endpoint
+        val u = URI.create(ep)
+        val host = s"$bucket.${u.getHost}" +
+          (if (u.getPort > 0) s":${u.getPort}" else "")
+        val uri = if (keyUri.isEmpty) "/" else keyUri
+        (s"${u.getScheme}://$host$uri", uri, host)
+      case (None, false) => // AWS virtual-host style (AWS default)
+        val host = s"$bucket.s3.$region.amazonaws.com"
+        val uri = if (keyUri.isEmpty) "/" else keyUri
+        (s"https://$host$uri", uri, host)
+      case (None, true) => // AWS path-style (legacy/global-endpoint form)
+        val host = s"s3.$region.amazonaws.com"
+        val uri = s"/$bucket$keyUri"
         (s"https://$host$uri", uri, host)
     }
+  }
 
   private def send(method: String, bucket: String, keyPath: String,
       queryParams: Seq[(String, String)],
       extraHeaders: Seq[(String, String)] = Nil,
       gs: Boolean = false)
       : HttpResponse[Array[Byte]] = {
-    val (base, canonicalUri, host) = target(bucket, keyPath, gs)
+    val r0 = resolveRegion(bucket, gs)
+    val resp = sendOnce(method, bucket, keyPath, queryParams,
+      extraHeaders, gs, r0)
+    // wrong-region dialect: AWS answers 301 PermanentRedirect / 400
+    // AuthorizationHeaderMalformed / 403 and names the right region in
+    // x-amz-bucket-region — re-pin the bucket and retry once (region.c's
+    // redirect-following behavior)
+    val hinted = resp.headers().firstValue("x-amz-bucket-region").orElse("")
+    if (!gs && hinted.nonEmpty && hinted != r0 &&
+        (resp.statusCode() == 301 || resp.statusCode() == 400 ||
+          resp.statusCode() == 403)) {
+      regionCache.put((endpointFor(gs), bucket), hinted)
+      sendOnce(method, bucket, keyPath, queryParams, extraHeaders, gs,
+        hinted)
+    } else resp
+  }
+
+  private def sendOnce(method: String, bucket: String, keyPath: String,
+      queryParams: Seq[(String, String)],
+      extraHeaders: Seq[(String, String)],
+      gs: Boolean, region: String)
+      : HttpResponse[Array[Byte]] = {
+    val (base, canonicalUri, host) = target(bucket, keyPath, gs, region)
     val amzDate = ZonedDateTime.now(ZoneOffset.UTC)
       .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
     val query = queryParams
@@ -198,7 +278,7 @@ object S3Fetch {
         b.header("x-amz-date", amzDate)
         b.header("Authorization", sigV4Authorization(method, canonicalUri,
           queryParams, sigHeaders, emptyPayloadHash, ak, sk,
-          regionFor(gs), amzDate))
+          region, amzDate))
         true
       case _ => false
     }

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{DeltaImport, IcebergImport, LakeTable}
+
+/** ONE switchover API over the CDC triad — the consumer shape of the
+  * reference's logical replication (pg_lake_replication.c): BOOTSTRAP
+  * with a full snapshot of the table, then STREAM incremental windows
+  * from exactly the snapshot the bootstrap read — no gap, no overlap.
+  * The dialect (graft lake table, external Delta log, external Iceberg
+  * metadata) is detected from the path; offsets are the format's own
+  * commit ids (snapshot id / version), so exactly-once replay falls out
+  * of the table format, not consumer state.
+  *
+  * Batch consumers call [[snapshot]] once and [[changesSince]] per
+  * window, checkpointing the returned offset. Streaming consumers call
+  * [[stream]], which wires the matching `*-cdc` source with the
+  * bootstrap offset as its exclusive lower bound.
+  *
+  * Scale posture: snapshot() is one table scan (the backfill a replica
+  * pays once); each changesSince window plans a scan over only the
+  * files its commit range appended — both inherit the pruned paths of
+  * the underlying readers. Detection reads directory metadata only.
+  */
+object Cdc {
+
+  /** A table read paired with the offset incremental reads continue
+    * from: `df` holds the rows, `offset` the commit id they are
+    * consistent with. */
+  final case class Read(df: DataFrame, offset: Long)
+
+  /** Which CDC dialect `dir` speaks: "lake", "delta" or "iceberg". */
+  def detect(dir: String): String =
+    if (LakeTable.exists(dir)) "lake"
+    else if (Files.isDirectory(Paths.get(dir, "_delta_log"))) "delta"
+    else if (IcebergImport.latestMetadataPath(dir).isDefined) "iceberg"
+    else throw new IllegalArgumentException(
+      s"$dir is not a lake, Delta or Iceberg table")
+
+  /** Bootstrap: the full current table plus the offset at which
+    * incremental consumption takes over. The offset is resolved FIRST
+    * and the scan pinned to it, so a commit racing the bootstrap lands
+    * in the first incremental window instead of being half-read. */
+  def snapshot(spark: SparkSession, dir: String): Read = detect(dir) match {
+    case "lake" =>
+      val tbl = LakeTable.load(spark, dir)
+      val at = tbl.meta.currentSnapshotId
+      Read(tbl.asOf(at), at)
+    case "delta" =>
+      val v = DeltaImport.latestVersion(dir)
+      Read(DeltaImport.scan(spark, dir, Some(v)), v)
+    case "iceberg" =>
+      val table = IcebergImport.readMetadata(
+        IcebergImport.latestMetadataPath(dir).get)
+      val at = table.currentSnapshotId.getOrElse(-1L)
+      val snapOpt = table.snapshots.find(_.id == at)
+      val df = snapOpt match {
+        case Some(snap) =>
+          val files = IcebergImport.liveFiles(table, snap, dir)
+          IcebergImport.scanFiles(spark, dir, table, files)
+        case None => // empty table: no snapshot yet
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            table.schema)
+      }
+      Read(df, at)
+  }
+
+  /** One incremental window: the rows APPENDED in `(from, current]`
+    * (rewrite/compaction outputs excluded, in-window MOR deletes
+    * applied — each dialect's documented CDC contract). The returned
+    * offset is the new checkpoint; equal to `from` means an idle window
+    * with an empty frame. */
+  def changesSince(spark: SparkSession, dir: String, from: Long): Read =
+    detect(dir) match {
+      case "lake" =>
+        val tbl = LakeTable.load(spark, dir)
+        val to = tbl.meta.currentSnapshotId
+        if (to <= from) Read(emptyLike(spark, tbl.schema), from)
+        else Read(tbl.appendsBetween(from, to), to)
+      case "delta" =>
+        val to = DeltaImport.latestVersion(dir)
+        if (to <= from)
+          Read(emptyLike(spark, DeltaImport.readLog(spark, dir).schema), from)
+        else Read(DeltaCdcSource.changesBetween(spark, dir, from, to), to)
+      case "iceberg" =>
+        val table = IcebergImport.readMetadata(
+          IcebergImport.latestMetadataPath(dir).get)
+        val to = table.currentSnapshotId.getOrElse(-1L)
+        if (to == from || table.snapshots.isEmpty)
+          Read(emptyLike(spark, table.schema), from)
+        else Read(IcebergCdcSource.changesBetween(spark, dir, from, to), to)
+    }
+
+  /** The streaming half of the switchover: a `readStream` on the
+    * matching `*-cdc` source starting EXACTLY after `from` (pass
+    * [[snapshot]]'s offset; default -1/0 = from the beginning). */
+  def stream(spark: SparkSession, dir: String,
+      from: Option[Long] = None): DataFrame = detect(dir) match {
+    case "lake" =>
+      spark.readStream.format("lake-cdc").option("path", dir)
+        .option("startSnapshot", from.getOrElse(0L).toString).load()
+    case "delta" =>
+      spark.readStream.format("delta-cdc").option("path", dir)
+        .option("startVersion", from.getOrElse(-1L).toString).load()
+    case "iceberg" =>
+      spark.readStream.format("iceberg-cdc").option("path", dir)
+        .option("startAfter", from.getOrElse(-1L).toString).load()
+  }
+
+  private def emptyLike(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+}

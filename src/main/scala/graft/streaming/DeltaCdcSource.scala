@@ -158,6 +158,23 @@ class DeltaCdcSource(sqlContext: SQLContext, dir: String,
   * `startVersion` (exclusive; default -1 = from the beginning),
   * `strict` (default false: fail instead of WARN-and-degrade when
   * expired commits force a lossy endpoint diff). */
+object DeltaCdcSource {
+  /** Batch view of the stream's per-window diff — the rows appended in
+    * `(from, to]` with the same exactly-once semantics as the source
+    * (shared by [[Cdc.changesSince]]'s switchover windows). */
+  def changesBetween(spark: org.apache.spark.sql.SparkSession, dir: String,
+      from: Long, to: Long, strict: Boolean = false): DataFrame = {
+    val src = new DeltaCdcSource(
+      org.apache.spark.sql.GraftBridge.sqlContext(spark), dir, from, strict)
+    val (at, fresh) = src.freshFiles(from, to)
+    if (fresh.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        at.schema)
+    else DeltaImport.scanState(spark, dir, at.copy(files = fresh))
+  }
+}
+
 class DeltaCdcSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
 

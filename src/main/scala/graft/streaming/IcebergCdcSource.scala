@@ -157,6 +157,28 @@ class IcebergCdcSource(sqlContext: SQLContext, dir: String,
 /** `format("iceberg-cdc")` registration. Options: `path` (required),
   * `startAfter` (snapshot id already consumed; default -1 = stream the
   * table from the beginning). */
+object IcebergCdcSource {
+  /** Batch view of the stream's per-window diff — the rows appended in
+    * the snapshot range `(from, to]`, range-end deletes applied (shared
+    * by [[Cdc.changesSince]]'s switchover windows). */
+  def changesBetween(spark: org.apache.spark.sql.SparkSession, dir: String,
+      from: Long, to: Long): DataFrame = {
+    val src = new IcebergCdcSource(
+      org.apache.spark.sql.GraftBridge.sqlContext(spark), dir, from)
+    val (table, fresh) = src.freshFiles(from, to)
+    if (fresh.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        table.schema)
+    else {
+      val toSnap = table.snapshots.find(_.id == to).get
+      val deletes = IcebergImport.liveFiles(table, toSnap, dir)
+        .filter(f => f.isDelete || f.isEqualityDelete || f.isDv)
+      IcebergImport.scanFiles(spark, dir, table, fresh ++ deletes)
+    }
+  }
+}
+
 class IcebergCdcSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
 

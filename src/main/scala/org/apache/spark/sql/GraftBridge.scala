@@ -40,6 +40,11 @@ object GraftBridge {
     }.getOrElse(expression(pred))
   }
 
+  /** The classic SQLContext behind a session (DSv1 Source constructors
+    * take it; the accessor is classic-only in Spark 4). */
+  def sqlContext(spark: SparkSession): SQLContext =
+    spark.asInstanceOf[classic.SparkSession].sqlContext
+
   /** Wrap a hand-built logical plan as a DataFrame (classic
     * Dataset.ofRows is private[sql]); the seam custom operators use to
     * re-enter the public DataFrame algebra above their plan node. */

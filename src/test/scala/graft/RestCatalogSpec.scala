@@ -28,8 +28,16 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   private val Token = "s3cr3t-token"
+  private val ClientId = "graft-client"
+  private val ClientSecret = "graft-secret/with+specials"
   private var server: HttpServer = _
   private var port: Int = 0
+
+  // OAuth2 server state: issued tokens still valid, issue counter, and
+  // the expires_in the next token will advertise
+  private val oauthValid = mutable.LinkedHashSet[String]()
+  private val oauthIssued = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var oauthTtlS = 3600L
 
   // catalog state: namespaces + (nsKey, table) -> metadata-location
   private val namespaces = mutable.LinkedHashSet[Seq[String]]()
@@ -56,12 +64,34 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def handle(ex: HttpExchange): Unit = {
-    val auth = ex.getRequestHeaders.getFirst("Authorization")
-    if (auth != s"Bearer $Token") { json(ex, 401, """{"error":"no"}"""); return }
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath // URI decodes %-escapes
     val body = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8)
+    // token endpoint: client-credentials exchange, NO bearer required
+    if (method == "POST" && path == "/v1/oauth/tokens") {
+      val form = body.split("&").map { kv =>
+        val i = kv.indexOf('=')
+        val dec = (s: String) =>
+          java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+        if (i < 0) (dec(kv), "") else (dec(kv.take(i)), dec(kv.drop(i + 1)))
+      }.toMap
+      if (form.get("grant_type") != Some("client_credentials") ||
+          form.get("client_id") != Some(ClientId) ||
+          form.get("client_secret") != Some(ClientSecret)) {
+        json(ex, 401, """{"error":"invalid_client"}"""); return
+      }
+      val tok = s"oauth-tok-${oauthIssued.incrementAndGet()}"
+      oauthValid += tok
+      json(ex, 200, s"""{"access_token":"$tok","token_type":"bearer",""" +
+        s""""expires_in":$oauthTtlS}""")
+      return
+    }
+    val auth = ex.getRequestHeaders.getFirst("Authorization")
+    val ok = auth == s"Bearer $Token" ||
+      Option(auth).exists(a => a.startsWith("Bearer ") &&
+        oauthValid.contains(a.stripPrefix("Bearer ")))
+    if (!ok) { json(ex, 401, """{"error":"no"}"""); return }
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     import org.json4s.jackson.JsonMethods.parse
     import org.json4s.jackson.Serialization.write
@@ -135,6 +165,49 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable(ns, "region")
     assert(!cat.tableExists(ns, "region"))
     assert(cat.listTables(ns).isEmpty)
+  }
+
+  test("OAuth2 client-credentials: token fetched once, cached across " +
+      "calls, and refreshed transparently on a server-side 401") {
+    oauthValid.clear(); oauthIssued.set(0); oauthTtlS = 3600
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      oauth = Some(IcebergRestCatalog.OAuth(ClientId, ClientSecret)))
+    val ns = Seq("oauth", "ns")
+    cat.createNamespace(ns)
+    assert(cat.listNamespaces().contains(ns))
+    assert(cat.listTables(ns).isEmpty)
+    assert(oauthIssued.get() == 1,
+      s"token must be fetched once and cached, got ${oauthIssued.get()}")
+
+    // server-side revocation: the clock says the token is fine, the
+    // service disagrees — the client must refresh and retry ONCE,
+    // invisibly to the caller
+    oauthValid.clear()
+    assert(cat.listNamespaces().contains(ns))
+    assert(oauthIssued.get() == 2,
+      "401 must trigger exactly one refresh + retry")
+  }
+
+  test("OAuth2 proactive expiry refresh: a token expiring inside the " +
+      "skew window is not reused") {
+    oauthValid.clear(); oauthIssued.set(0); oauthTtlS = 1 // 1s tokens
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      oauth = Some(IcebergRestCatalog.OAuth(ClientId, ClientSecret,
+        skewMs = 5000))) // every token is already inside the skew
+    cat.listNamespaces()
+    cat.listNamespaces()
+    assert(oauthIssued.get() >= 2,
+      s"1s tokens under a 5s skew must refresh per call, got " +
+        s"${oauthIssued.get()}")
+  }
+
+  test("OAuth2 with a wrong client secret is rejected at the token " +
+      "endpoint") {
+    val e = intercept[IllegalStateException] {
+      new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+        oauth = Some(IcebergRestCatalog.OAuth(ClientId, "wrong")))
+    }
+    assert(e.getMessage.contains("401"))
   }
 
   test("requests without the bearer token are rejected by the service") {

@@ -81,6 +81,9 @@ class S3UrlSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def handle(ex: HttpExchange): Unit = {
     hits.incrementAndGet()
+    // AWS includes the bucket's region on EVERY response — including
+    // 301/403 errors — which is what makes region autodetection work
+    ex.getResponseHeaders.set("x-amz-bucket-region", REGION)
     if (!verifySig(ex)) {
       ex.sendResponseHeaders(403, -1); ex.close(); return
     }
@@ -318,6 +321,82 @@ class S3UrlSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(badSig.get() == 0, "server rejected a gs:// signature")
     } finally Seq("graft.gs.endpoint", "graft.gs.access.key",
       "graft.gs.secret.key", "graft.gs.region").foreach(sys.props.remove)
+  }
+
+  test("region autodetect: with NO region configured, the bucket is " +
+      "probed and requests sign with the hinted region") {
+    S3Fetch.clearRegionCache()
+    val prior = sys.props.remove("graft.s3.region")
+    try {
+      objects("region/auto.csv") = "a\n7\n".getBytes(StandardCharsets.UTF_8)
+      // probe HEAD signs with the fallback region -> 403 + hint; the
+      // actual GET must then sign with the hinted region and succeed
+      val got = S3Fetch.getObject(s"s3://$BUCKET/region/auto.csv")
+      assert(new String(got, "UTF-8") == "a\n7\n")
+    } finally {
+      prior.foreach(p => sys.props("graft.s3.region") = p.toString)
+      S3Fetch.clearRegionCache()
+    }
+  }
+
+  test("wrong-region configuration follows the x-amz-bucket-region " +
+      "hint: one re-signed retry, then cached") {
+    S3Fetch.clearRegionCache()
+    val prior = sys.props("graft.s3.region")
+    sys.props("graft.s3.region") = "us-west-1" // wrong on purpose
+    try {
+      objects("region/redir.csv") = "b\n9\n".getBytes(StandardCharsets.UTF_8)
+      badSig.set(0)
+      val got = S3Fetch.getObject(s"s3://$BUCKET/region/redir.csv")
+      assert(new String(got, "UTF-8") == "b\n9\n")
+      assert(badSig.get() == 1, "exactly one wrong-region attempt")
+      // the hint is cached: the next request signs right the first time
+      badSig.set(0)
+      S3Fetch.getObject(s"s3://$BUCKET/region/redir.csv")
+      assert(badSig.get() == 0, "cached region must skip the retry")
+    } finally {
+      sys.props("graft.s3.region") = prior
+      S3Fetch.clearRegionCache()
+    }
+  }
+
+  test("addressing seam: path-style and virtual-host forms for custom " +
+      "endpoints and bare AWS (configure_s3_compat.c's url_style)") {
+    def withProps(set: Map[String, String])(f: => Unit): Unit = {
+      val saved = set.keys.map(k => k -> sys.props.get(k)).toMap
+      set.foreach { case (k, v) => sys.props(k) = v }
+      val removed = saved.filter(_._2.isEmpty).keys
+        .filterNot(set.contains).toSeq
+      try f
+      finally saved.foreach { case (k, old) =>
+        old match {
+          case Some(v) => sys.props(k) = v
+          case None => sys.props.remove(k)
+        }
+      }
+    }
+    // custom endpoint defaults to path-style
+    assert(S3Fetch.target("b", "k/x.csv", gs = false, "r1") ==
+      ((s"http://127.0.0.1:$port/b/k/x.csv", "/b/k/x.csv",
+        s"127.0.0.1:$port")))
+    // custom endpoint, explicit virtual-host
+    withProps(Map("graft.s3.path.style" -> "false")) {
+      assert(S3Fetch.target("b", "k.csv", gs = false, "r1") ==
+        ((s"http://b.127.0.0.1:$port/k.csv", "/k.csv",
+          s"b.127.0.0.1:$port")))
+    }
+    // bare AWS defaults to virtual-host; path-style is the legacy form
+    val savedEp = sys.props.remove("graft.s3.endpoint")
+    try {
+      assert(S3Fetch.target("b", "k.csv", gs = false, "eu-x-1") ==
+        (("https://b.s3.eu-x-1.amazonaws.com/k.csv", "/k.csv",
+          "b.s3.eu-x-1.amazonaws.com")))
+      withProps(Map("graft.s3.path.style" -> "true")) {
+        assert(S3Fetch.target("b", "k.csv", gs = false, "eu-x-1") ==
+          (("https://s3.eu-x-1.amazonaws.com/b/k.csv", "/b/k.csv",
+            "s3.eu-x-1.amazonaws.com")))
+      }
+    } finally savedEp.foreach(p => sys.props("graft.s3.endpoint") = p.toString)
   }
 
   test("bad credentials are rejected by the endpoint (403 surfaces)") {
