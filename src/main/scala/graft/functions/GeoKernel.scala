@@ -1439,11 +1439,18 @@ object GeoKernel {
   // Polygon ∩/∪/− via boundary-arc classification and stitching (the
   // clipping family PostGIS gets from GEOS; reference ships it through
   // DuckDB spatial, shippable_spatial_functions.c). Supported inputs:
-  // simple single-ring polygons whose boundaries meet only in PROPER
-  // edge crossings (no vertex-on-edge contact, no collinear overlap) —
-  // degenerate contact returns None → SQL NULL (documented in
-  // DEVIATIONS.md). Containment/disjoint cases need no crossings and
-  // are handled exactly.
+  // simple single-ring polygons. Boundaries may meet in proper edge
+  // crossings AND in the degenerate contacts real data is full of —
+  // vertex-on-edge (T-contact), shared vertices, collinear edge
+  // overlaps: all contact points become NODES on both rings, arcs are
+  // node-to-node boundary pieces, boundary-riding arcs classify by
+  // which side each interior lies on, and rings re-stitch by
+  // leftmost-turn tracing (interior-left faces). Remaining NULLs:
+  // ambiguous spike configurations the tracer cannot close.
+  // Dimension-collapsing results (polygons meeting ONLY in a point or
+  // edge have a lower-dimensional intersection) return POLYGON EMPTY
+  // rather than GEOS's POINT/LINESTRING — documented in DEVIATIONS.md.
+  // Containment/disjoint cases need no nodes and are handled exactly.
 
   private def properCross(a: Pt, b: Pt, c: Pt, d: Pt): Boolean = {
     val o1 = orient(a, b, c); val o2 = orient(a, b, d)
@@ -1468,62 +1475,115 @@ object GeoKernel {
     if (signedArea(closed) < 0) closed.reverse else closed
   }
 
-  /** Split a ring at the given per-edge crossing points into arcs whose
-    * endpoints are crossing points (ring vertices ride along inside). */
+  /** Split a ring at the given per-edge split points AND at ring
+    * vertices flagged as nodes, into arcs whose endpoints are nodes
+    * (non-node ring vertices ride along inside). */
   private def ringArcs(ring: IndexedSeq[Pt],
-      splits: Map[Int, Seq[(Double, Pt)]]): IndexedSeq[IndexedSeq[Pt]] = {
-    // flatten to node list: vertex, crossings (by t), vertex, ...
+      splits: Map[Int, Seq[(Double, Pt)]],
+      isNodeVertex: Pt => Boolean): IndexedSeq[IndexedSeq[Pt]] = {
+    // flatten to node list: vertex, splits (by t), vertex, ...
     val nodes = collection.mutable.ArrayBuffer.empty[(Pt, Boolean)]
     for (i <- 0 until ring.size - 1) {
-      nodes += ((ring(i), false))
-      for ((_, p) <- splits.getOrElse(i, Nil).sortBy(_._1))
-        nodes += ((p, true))
+      nodes += ((ring(i), isNodeVertex(ring(i))))
+      // split points equal to an edge endpoint are vertex nodes, not
+      // splits — dropping them here avoids zero-length arcs; identical
+      // split points reported by several opposite edges dedup too
+      for ((_, p) <- splits.getOrElse(i, Nil).sortBy(_._1).distinct
+           if p != ring(i) && p != ring(i + 1))
+        if (nodes.isEmpty || nodes.last._1 != p) nodes += ((p, true))
     }
     val firstX = nodes.indexWhere(_._2)
-    if (firstX < 0) return IndexedSeq(ring) // no crossings: one closed arc
+    if (firstX < 0) return IndexedSeq(ring) // no nodes: one closed arc
     val rotated = (nodes.drop(firstX) ++ nodes.take(firstX)).toIndexedSeq
     val arcs = collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
     var cur = collection.mutable.ArrayBuffer[Pt](rotated.head._1)
     for ((p, isX) <- rotated.tail) {
-      cur += p
-      if (isX) { arcs += cur.toIndexedSeq; cur = collection.mutable.ArrayBuffer(p) }
+      if (cur.last != p) cur += p
+      if (isX) {
+        if (cur.size >= 2) arcs += cur.toIndexedSeq
+        cur = collection.mutable.ArrayBuffer(p)
+      }
     }
-    cur += rotated.head._1 // close back to the first crossing
-    arcs += cur.toIndexedSeq
+    if (cur.last != rotated.head._1) cur += rotated.head._1
+    if (cur.size >= 2) arcs += cur.toIndexedSeq // close back to first node
     arcs.toIndexedSeq.filter(_.size >= 2)
   }
 
+  private def distToSeg(p: Pt, a: Pt, b: Pt): Double = {
+    val (vx, vy) = (b._1 - a._1, b._2 - a._2)
+    val len2 = vx * vx + vy * vy
+    if (len2 == 0) return math.hypot(p._1 - a._1, p._2 - a._2)
+    val t = math.max(0.0, math.min(1.0,
+      ((p._1 - a._1) * vx + (p._2 - a._2) * vy) / len2))
+    math.hypot(p._1 - (a._1 + t * vx), p._2 - (a._2 + t * vy))
+  }
+
+  private def distToRing(p: Pt, ring: Seq[Pt]): Double = {
+    var d = Double.MaxValue
+    var i = 0
+    while (i < ring.size - 1) {
+      d = math.min(d, distToSeg(p, ring(i), ring(i + 1)))
+      i += 1
+    }
+    d
+  }
+
   /** 0/1/2 midpoint classification of an arc against a polygon; picks
-    * the midpoint of the arc's longest segment (never an endpoint). */
+    * the midpoint of the arc's longest segment (never an endpoint).
+    * Boundary-riding arcs (collinear-overlap pieces) classify 1 with a
+    * relative tolerance — their midpoints are derived points whose
+    * orient() against the host edge may be an ulp off exact zero. */
   private def arcSide(arc: IndexedSeq[Pt], poly: GPolygon): Int = {
     val (s, e) = arc.sliding(2).collect { case IndexedSeq(p, q) => (p, q) }
       .maxBy { case (p, q) => math.hypot(q._1 - p._1, q._2 - p._2) }
-    locateInPolygon(((s._1 + e._1) / 2, (s._2 + e._2) / 2), poly)
+    val mid = ((s._1 + e._1) / 2, (s._2 + e._2) / 2)
+    val eps = 1e-9 * math.max(1.0,
+      math.max(math.abs(mid._1), math.abs(mid._2)))
+    if (poly.rings.exists(r => distToRing(mid, r) <= eps)) 1
+    else locateInPolygon(mid, poly)
   }
 
-  /** Stitch arcs (endpoints are shared crossing points) into closed
-    * rings. None when stitching is ambiguous (degenerate tangency). */
+  /** Stitch arcs (endpoints are shared nodes) into closed rings by
+    * leftmost-turn tracing: arcs carry the result's interior on their
+    * LEFT, so taking the maximal counter-clockwise turn at every node
+    * traces minimal simple faces — which resolves nodes where several
+    * selected arcs meet (vertex touches, pinch points) that a
+    * unique-successor walk cannot. None when a chain cannot close. */
   private def stitch(arcs: Seq[IndexedSeq[Pt]])
       : Option[IndexedSeq[IndexedSeq[Pt]]] = {
-    val byStart = arcs.groupBy(_.head)
-    if (byStart.values.exists(_.size > 1)) return None
-    val used = collection.mutable.Set.empty[Pt]
+    if (arcs.isEmpty) return Some(IndexedSeq.empty)
+    val idx = arcs.toIndexedSeq
+    val byStart = idx.indices.groupBy(i => idx(i).head)
+    val used = collection.mutable.Set.empty[Int]
     val rings = collection.mutable.ArrayBuffer.empty[IndexedSeq[Pt]]
-    for (arc <- arcs if !used(arc.head)) {
+    def turn(u: Pt, v: Pt): Double = // CCW angle from u to v in (-π, π]
+      math.atan2(u._1 * v._2 - u._2 * v._1, u._1 * v._1 + u._2 * v._2)
+    for (s <- idx.indices if !used(s)) {
       val ring = collection.mutable.ArrayBuffer.empty[Pt]
-      var cur = arc
+      var cur = s
       var guard = 0
-      while (!used(cur.head) && guard <= arcs.size) {
-        used += cur.head
-        ring ++= cur.init
-        byStart.get(cur.last) match {
-          case Some(Seq(next)) => cur = next
-          case _ => return None
+      var open = false
+      var closed = false
+      while (!closed && !open && guard <= idx.size) {
+        used += cur
+        ring ++= idx(cur).init
+        val arc = idx(cur)
+        val endPt = arc.last
+        if (endPt == idx(s).head) closed = true
+        else {
+          val inDir = (endPt._1 - arc(arc.size - 2)._1,
+            endPt._2 - arc(arc.size - 2)._2)
+          val cands = byStart.getOrElse(endPt, Nil).filterNot(used)
+          if (cands.isEmpty) open = true
+          else cur = cands.maxBy { c =>
+            val nxt = idx(c)(1)
+            turn(inDir, (nxt._1 - endPt._1, nxt._2 - endPt._2))
+          }
         }
         guard += 1
       }
-      if (cur.head != arc.head) return None // open chain
-      ring += arc.head
+      if (!closed) return None // open chain or runaway
+      ring += idx(s).head
       if (ring.size >= 4) rings += ring.toIndexedSeq
     }
     Some(rings.toIndexedSeq)
@@ -1553,68 +1613,123 @@ object GeoKernel {
     if (gs.size == 1) gs.head else GMulti("MULTIPOLYGON", gs.toIndexedSeq)
   }
 
-  /** Polygon boolean core. op: 0 = intersection, 1 = union, 2 = a−b. */
+  /** Parameter of a point known to lie on segment (a,b), by the
+    * dominant axis (the denominator is then the larger delta). */
+  private def paramOn(a: Pt, b: Pt, p: Pt): Double =
+    if (math.abs(b._1 - a._1) >= math.abs(b._2 - a._2))
+      (p._1 - a._1) / (b._1 - a._1)
+    else (p._2 - a._2) / (b._2 - a._2)
+
+  private def pointAt(a: Pt, b: Pt, t: Double): Pt =
+    if (t <= 0) a else if (t >= 1) b
+    else (a._1 + t * (b._1 - a._1), a._2 + t * (b._2 - a._2))
+
+  /** Polygon boolean core. op: 0 = intersection, 1 = union, 2 = a−b.
+    * Handles proper crossings and degenerate contact (vertex-on-edge,
+    * shared vertices, collinear overlap) by full noding — every contact
+    * point between the two boundaries becomes a node on BOTH rings. */
   private def polyClip(a: Geom, b: Geom, op: Int): Option[Geom] = for {
     ringA <- singleRing(a)
     ringB <- singleRing(b)
     res <- {
       val pa = GPolygon(IndexedSeq(ringA)); val pb = GPolygon(IndexedSeq(ringB))
-      // degenerate contact: any vertex of one on the other's boundary
-      def vertexOnBoundary(r: IndexedSeq[Pt], other: IndexedSeq[Pt]) =
-        r.init.exists(p => locateInRing(p, other) == 1)
-      if (vertexOnBoundary(ringA, ringB) || vertexOnBoundary(ringB, ringA))
-        None
-      else {
-        val splitA = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
-        val splitB = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
-        var improper = false
-        for (i <- 0 until ringA.size - 1; j <- 0 until ringB.size - 1) {
-          val (a1, a2) = (ringA(i), ringA(i + 1))
-          val (b1, b2) = (ringB(j), ringB(j + 1))
-          if (properCross(a1, a2, b1, b2)) {
-            val (t, p) = crossPoint(a1, a2, b1, b2)
-            val u = if (math.abs(b2._1 - b1._1) >= math.abs(b2._2 - b1._2))
-              (p._1 - b1._1) / (b2._1 - b1._1)
-            else (p._2 - b1._2) / (b2._2 - b1._2)
-            splitA(i) = (t, p) :: splitA.getOrElse(i, Nil)
-            splitB(j) = (u, p) :: splitB.getOrElse(j, Nil)
-          } else if (segmentsIntersect(a1, a2, b1, b2)) improper = true
-        }
-        if (improper) None
-        else if (splitA.isEmpty) {
-          // no boundary crossings: containment or disjoint, decided by
-          // one strictly-located vertex
-          val aLoc = locateInPolygon(ringA.head, pb)
-          val bLoc = locateInPolygon(ringB.head, pa)
-          (op, aLoc == 2, bLoc == 2) match {
-            case (0, true, _) => Some(pa)
-            case (0, _, true) => Some(pb)
-            case (0, _, _)    => Some(GMulti("POLYGON", Vector()))
-            case (1, true, _) => Some(pb)
-            case (1, _, true) => Some(pa)
-            case (1, _, _)    => Some(GMulti("MULTIPOLYGON", IndexedSeq(pa, pb)))
-            case (2, true, _) => Some(GMulti("POLYGON", Vector()))
-            case (2, _, true) => Some(GPolygon(IndexedSeq(ringA, ringB.reverse)))
-            case _            => Some(pa)
-          }
-        } else {
-          val arcsA = ringArcs(ringA, splitA.toMap.view.mapValues(_.toSeq).toMap)
-          val arcsB = ringArcs(ringB, splitB.toMap.view.mapValues(_.toSeq).toMap)
-          val sidesA = arcsA.map(arcSide(_, pb))
-          val sidesB = arcsB.map(arcSide(_, pa))
-          if (sidesA.contains(1) || sidesB.contains(1)) None
-          else {
-            val picked = op match {
-              case 0 => arcsA.zip(sidesA).collect { case (x, 2) => x } ++
-                arcsB.zip(sidesB).collect { case (x, 2) => x }
-              case 1 => arcsA.zip(sidesA).collect { case (x, 0) => x } ++
-                arcsB.zip(sidesB).collect { case (x, 0) => x }
-              case _ => arcsA.zip(sidesA).collect { case (x, 0) => x } ++
-                arcsB.zip(sidesB).collect { case (x, 2) => x.reverse }
+      val splitA = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
+      val splitB = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
+      val nodePts = collection.mutable.Set.empty[Pt]
+      def addA(i: Int, t: Double, p: Pt): Unit =
+        if (t > 0 && t < 1) splitA(i) = (t, p) :: splitA.getOrElse(i, Nil)
+      def addB(j: Int, u: Double, p: Pt): Unit =
+        if (u > 0 && u < 1) splitB(j) = (u, p) :: splitB.getOrElse(j, Nil)
+      for (i <- 0 until ringA.size - 1; j <- 0 until ringB.size - 1) {
+        val (a1, a2) = (ringA(i), ringA(i + 1))
+        val (b1, b2) = (ringB(j), ringB(j + 1))
+        if (properCross(a1, a2, b1, b2)) {
+          val (t, p) = crossPoint(a1, a2, b1, b2)
+          nodePts += p
+          addA(i, t, p); addB(j, paramOn(b1, b2, p), p)
+        } else if (segmentsIntersect(a1, a2, b1, b2)) {
+          val collinear =
+            orient(a1, a2, b1) == 0 && orient(a1, a2, b2) == 0
+          if (collinear) {
+            // overlap (or single-point touch) interval on A's parameter
+            val (tb1, tb2) = (paramOn(a1, a2, b1), paramOn(a1, a2, b2))
+            val lo = math.max(0.0, math.min(tb1, tb2))
+            val hi = math.min(1.0, math.max(tb1, tb2))
+            for (t <- Seq(lo, hi)) {
+              val p = pointAt(a1, a2, t)
+              nodePts += p
+              addA(i, t, p); addB(j, paramOn(b1, b2, p), p)
             }
-            stitch(picked).map(assemble)
+          } else {
+            // endpoint contact: a vertex of one on the other's segment
+            // (T-contact when interior, shared vertex when equal)
+            for (v <- Seq(b1, b2) if onSegment(v, a1, a2)) {
+              nodePts += v; addA(i, paramOn(a1, a2, v), v)
+            }
+            for (v <- Seq(a1, a2) if onSegment(v, b1, b2)) {
+              nodePts += v; addB(j, paramOn(b1, b2, v), v)
+            }
           }
         }
+      }
+      if (nodePts.isEmpty) {
+        // no boundary contact at all: containment or disjoint, decided
+        // by one strictly-located vertex
+        val aLoc = locateInPolygon(ringA.head, pb)
+        val bLoc = locateInPolygon(ringB.head, pa)
+        (op, aLoc == 2, bLoc == 2) match {
+          case (0, true, _) => Some(pa)
+          case (0, _, true) => Some(pb)
+          case (0, _, _)    => Some(GMulti("POLYGON", Vector()))
+          case (1, true, _) => Some(pb)
+          case (1, _, true) => Some(pa)
+          case (1, _, _)    => Some(GMulti("MULTIPOLYGON", IndexedSeq(pa, pb)))
+          case (2, true, _) => Some(GMulti("POLYGON", Vector()))
+          case (2, _, true) => Some(GPolygon(IndexedSeq(ringA, ringB.reverse)))
+          case _            => Some(pa)
+        }
+      } else {
+        val arcsA = ringArcs(ringA,
+          splitA.toMap.view.mapValues(_.toSeq).toMap, nodePts.contains)
+        val arcsB = ringArcs(ringB,
+          splitB.toMap.view.mapValues(_.toSeq).toMap, nodePts.contains)
+        val sidesA = arcsA.map(arcSide(_, pb))
+        val sidesB = arcsB.map(arcSide(_, pa))
+        // Boundary-riding arcs (side 1) are selected from A ONLY (the
+        // same geometric piece exists in B's arcs — one copy). Both
+        // rings are CCW, so an arc's own interior is locally on its
+        // LEFT; whether B's interior is also on the left decides each
+        // op (same-side edges bound ∩ and ∪; opposite-side edges bound
+        // the difference and are interior to the union):
+        def keepBoundary(arc: IndexedSeq[Pt]): Boolean = {
+          val (s, e) = arc.sliding(2)
+            .collect { case IndexedSeq(p, q) => (p, q) }
+            .maxBy { case (p, q) => math.hypot(q._1 - p._1, q._2 - p._2) }
+          val len = math.hypot(e._1 - s._1, e._2 - s._2)
+          val mid = ((s._1 + e._1) / 2, (s._2 + e._2) / 2)
+          val eps = 1e-7 * math.max(1.0, math.max(math.abs(mid._1),
+            math.abs(mid._2)))
+          val (nx, ny) = (-(e._2 - s._2) / len, (e._1 - s._1) / len)
+          val bL = locateInPolygon(
+            (mid._1 + eps * nx, mid._2 + eps * ny), pb) == 2
+          val bR = locateInPolygon(
+            (mid._1 - eps * nx, mid._2 - eps * ny), pb) == 2
+          op match {
+            case 0 | 1 => bL   // B's interior on the same side as A's
+            case _     => !bL && bR
+          }
+        }
+        val bndA = arcsA.zip(sidesA)
+          .collect { case (x, 1) if keepBoundary(x) => x }
+        val picked = (op match {
+          case 0 => arcsA.zip(sidesA).collect { case (x, 2) => x } ++
+            arcsB.zip(sidesB).collect { case (x, 2) => x }
+          case 1 => arcsA.zip(sidesA).collect { case (x, 0) => x } ++
+            arcsB.zip(sidesB).collect { case (x, 0) => x }
+          case _ => arcsA.zip(sidesA).collect { case (x, 0) => x } ++
+            arcsB.zip(sidesB).collect { case (x, 2) => x.reverse }
+        }) ++ bndA
+        stitch(picked).map(assemble)
       }
     }
   } yield res

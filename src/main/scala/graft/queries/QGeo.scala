@@ -47,9 +47,10 @@ object QGeo {
   /** Wave-3 set-op gate: per-row rectangle pairs run through the real
     * clipping kernel (st_intersection/st_union/st_difference areas +
     * st_overlaps/st_touches), while the oracle reproduces the same
-    * values with interval arithmetic. The second rectangle sits on a
-    * +0.25 sub-grid so boundaries never meet degenerately (the clipping
-    * kernel's documented proper-crossings-only domain). */
+    * values with interval arithmetic. The first variant keeps the
+    * second rectangle on a +0.25 sub-grid (proper crossings only); the
+    * _degen variant puts both on the SAME integer grid so every
+    * degenerate contact the clipper now handles actually occurs. */
   lazy val setopQueries: Map[String, QueryFn] = Map(
     "q_geo_setops" -> { (s, dir) =>
       import s.implicits._
@@ -59,6 +60,31 @@ object QGeo {
           ($"s_suppkey" * 13 % 50).cast("double").as("y1"),
           (($"s_suppkey" * 11 % 50).cast("double") + 0.25).as("x2"),
           (($"s_suppkey" * 17 % 50).cast("double") + 0.25).as("y2"))
+      val e1 = Geo.st_makeenvelope($"x1", $"y1", $"x1" + 10, $"y1" + 8)
+      val e2 = Geo.st_makeenvelope($"x2", $"y2", $"x2" + 12, $"y2" + 6)
+      base.select($"s_suppkey",
+        round(Geo.st_area(Geo.st_intersection(e1, e2)), 6).as("inter_area"),
+        round(Geo.st_area(Geo.st_union(e1, e2)), 6).as("union_area"),
+        round(Geo.st_area(Geo.st_difference(e1, e2)), 6).as("diff_area"),
+        Geo.st_overlaps(e1, e2).as("ov"),
+        Geo.st_touches(e1, e2).as("tc"))
+        .orderBy("s_suppkey")
+    },
+
+    // DEGENERATE-contact set ops (round 13): both rectangles on the
+    // SAME integer grid, so boundaries collide constantly — shared
+    // edges, corner kisses, partial collinear overlaps, vertex-on-edge
+    // T-contacts. The clipping kernel must answer every row (its old
+    // domain returned NULL here); the oracle is the same interval
+    // arithmetic, which is exact for rectangles whatever the contact.
+    "q_geo_setops_degen" -> { (s, dir) =>
+      import s.implicits._
+      val base = t(s, dir, "supplier").filter($"s_suppkey" < 150)
+        .select($"s_suppkey",
+          ($"s_suppkey" * 7 % 20).cast("double").as("x1"),
+          ($"s_suppkey" * 13 % 20).cast("double").as("y1"),
+          ($"s_suppkey" * 11 % 20).cast("double").as("x2"),
+          ($"s_suppkey" * 17 % 20).cast("double").as("y2"))
       val e1 = Geo.st_makeenvelope($"x1", $"y1", $"x1" + 10, $"y1" + 8)
       val e2 = Geo.st_makeenvelope($"x2", $"y2", $"x2" + 12, $"y2" + 6)
       base.select($"s_suppkey",
@@ -89,6 +115,31 @@ object QGeo {
         |      CAST(s_suppkey * 11 % 50 AS DOUBLE) + 0.25 AS x2,
         |      CAST(s_suppkey * 17 % 50 AS DOUBLE) + 0.25 AS y2
         |    FROM supplier WHERE s_suppkey < 150) a) b
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // degenerate grid: raw (unclamped) interval gaps decide touches
+    // (boundary contact with empty interior intersection) exactly
+    "q_geo_setops_degen" ->
+      """SELECT s_suppkey,
+        |  round(iw * ih, 6) AS inter_area,
+        |  round(80 + 72 - iw * ih, 6) AS union_area,
+        |  round(80 - iw * ih, 6) AS diff_area,
+        |  iw > 0 AND ih > 0 AS ov,
+        |  iwr >= 0 AND ihr >= 0 AND (iwr = 0 OR ihr = 0) AS tc
+        |FROM (
+        |  SELECT s_suppkey,
+        |    greatest(0, iwr) AS iw, greatest(0, ihr) AS ih, iwr, ihr
+        |  FROM (
+        |    SELECT s_suppkey,
+        |      least(x1 + 10, x2 + 12) - greatest(x1, x2) AS iwr,
+        |      least(y1 + 8, y2 + 6) - greatest(y1, y2) AS ihr
+        |    FROM (
+        |      SELECT s_suppkey,
+        |        CAST(s_suppkey * 7 % 20 AS DOUBLE) AS x1,
+        |        CAST(s_suppkey * 13 % 20 AS DOUBLE) AS y1,
+        |        CAST(s_suppkey * 11 % 20 AS DOUBLE) AS x2,
+        |        CAST(s_suppkey * 17 % 20 AS DOUBLE) AS y2
+        |      FROM supplier WHERE s_suppkey < 150) a) b) c
         |ORDER BY s_suppkey""".stripMargin)
 
   val oracleSql: Map[String, String] = setopOracle ++ Map(

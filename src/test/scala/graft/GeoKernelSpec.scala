@@ -700,9 +700,68 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(isEmpty(intersection(a, far).get))
     assert(math.abs(area(union(a, far).get) - 5.0) < 1e-9)
     assert(toWkt(intersection(a, far).get) == "POLYGON EMPTY")
-    // degenerate contact (shared edge) is documented None
+    // degenerate contact (shared edge): handled since round 13 — the
+    // union merges across the shared edge into one rectangle (GEOS
+    // answer), the shared edge itself interior to the result
     val adj = poly("POLYGON((2 0,4 0,4 2,2 2,2 0))")
-    assert(union(a, adj).isEmpty)
+    assert(math.abs(area(union(a, adj).get) - 8.0) < 1e-9)
+    assert(toWkt(union(a, adj).get).startsWith("POLYGON(("),
+      "shared-edge union must be ONE polygon, not a multipolygon")
+  }
+
+  test("wave-3 kernel: DEGENERATE set-op contact — shared edges, " +
+      "T-contacts, corner kisses, collinear overlaps (hand-computed)") {
+    def poly(wkt: String) = fromWkt(wkt).get
+    def a2(g: Option[Geom]) = area(g.get)
+    val sq = poly("POLYGON((0 0,4 0,4 4,0 4,0 0))") // 4×4, area 16
+
+    // full shared edge: ∩ collapses (POLYGON EMPTY here; GEOS says
+    // LINESTRING — documented), ∪ merges, − is identity
+    val east = poly("POLYGON((4 0,8 0,8 4,4 4,4 0))")
+    assert(a2(intersection(sq, east)) == 0.0)
+    assert(math.abs(a2(union(sq, east)) - 32.0) < 1e-9)
+    assert(toWkt(union(sq, east).get).startsWith("POLYGON(("))
+    assert(math.abs(a2(difference(sq, east)) - 16.0) < 1e-9)
+
+    // PARTIAL collinear overlap on the bottom edge, B outside below
+    val below = poly("POLYGON((1 -2,3 -2,3 0,1 0,1 -2))") // area 4
+    assert(a2(intersection(sq, below)) == 0.0)
+    assert(math.abs(a2(union(sq, below)) - 20.0) < 1e-9)
+    assert(toWkt(union(sq, below).get).startsWith("POLYGON(("))
+    assert(math.abs(a2(difference(sq, below)) - 16.0) < 1e-9)
+
+    // triangle INSIDE sharing its base with the square's bottom edge:
+    // ∩ = triangle, ∪ = square, − = square with a boundary bite
+    val tri = poly("POLYGON((1 0,3 0,2 2,1 0))") // area 2
+    assert(math.abs(a2(intersection(sq, tri)) - 2.0) < 1e-9)
+    assert(math.abs(a2(union(sq, tri)) - 16.0) < 1e-9)
+    assert(math.abs(a2(difference(sq, tri)) - 14.0) < 1e-9)
+
+    // corner kiss: boundaries meet in exactly one point
+    val kiss = poly("POLYGON((4 4,6 4,6 6,4 6,4 4))")
+    assert(a2(intersection(sq, kiss)) == 0.0)
+    assert(math.abs(a2(union(sq, kiss)) - 20.0) < 1e-9)
+    assert(math.abs(a2(difference(sq, kiss)) - 16.0) < 1e-9)
+
+    // T-contact from outside: triangle apex on the square's right edge
+    val poke = poly("POLYGON((5 1,5 3,4 2,5 1))") // area 1, apex (4,2)
+    assert(a2(intersection(sq, poke)) == 0.0)
+    assert(math.abs(a2(union(sq, poke)) - 17.0) < 1e-9)
+    assert(math.abs(a2(difference(sq, poke)) - 16.0) < 1e-9)
+
+    // combo: proper crossing + collinear overlap + T-contacts at once —
+    // B shares part of sq's bottom edge and sticks out to the right
+    val combo = poly("POLYGON((2 0,6 0,6 2,2 2,2 0))") // 4×2, area 8
+    assert(math.abs(a2(intersection(sq, combo)) - 4.0) < 1e-9)
+    assert(math.abs(a2(union(sq, combo)) - 20.0) < 1e-9)
+    assert(math.abs(a2(difference(sq, combo)) - 12.0) < 1e-9)
+    assert(math.abs(a2(difference(combo, sq)) - 4.0) < 1e-9)
+
+    // inner bite: B inside sq, hugging a stretch of the left edge
+    val hug = poly("POLYGON((0 1,2 1,2 3,0 3,0 1))") // area 4
+    assert(math.abs(a2(intersection(sq, hug)) - 4.0) < 1e-9)
+    assert(math.abs(a2(union(sq, hug)) - 16.0) < 1e-9)
+    assert(math.abs(a2(difference(sq, hug)) - 12.0) < 1e-9)
   }
 
   test("wave-3 kernel: line/polygon and line/line intersection") {
