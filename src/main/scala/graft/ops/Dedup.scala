@@ -778,11 +778,16 @@ object Dedup {
   def components(pairs: DataFrame, aCol: String, bCol: String,
       nodes: DataFrame, idCol: String, out: String = "component_id",
       maxIters: Int = 25): DataFrame = {
+    // no distinct() on the cached edges: min-label propagation is
+    // duplicate-TOLERANT (duplicate prop rows fold in the min agg), the
+    // two directions of an (a<b) pair can never collide, and callers'
+    // pair lists are deduped upstream — the distinct was a pure extra
+    // O(edges) shuffle+sort in the cache fill (the sf100 ledger's ~70 s
+    // round-1 term; BASELINE round-13 minhash section has the A/B)
     val edges = trackedCache(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"),
-          col(aCol).as("dst")))
-        .distinct())
+          col(aCol).as("dst"))))
     // every round MUST truncate lineage (eager localCheckpoint): a
     // plain persist keeps the logical plan, which doubles per round —
     // after a dozen rounds the plan tree alone OOMs the driver. Each
@@ -806,6 +811,11 @@ object Dedup {
     // O(distinct ids per partition). Guarded like every broadcast here.
     val nNodes = labels.count() // labels are checkpointed; count is cheap
     val bcastLabels = nNodes * 48L < Runtime.getRuntime.maxMemory / 24
+    // operational round timing (spark.graft.components.verbose=true):
+    // the scale ledger attributes the label-prop share of the clustered
+    // verify to ROUNDS × per-round edge scans — this prints both terms
+    val verbose = pairs.sparkSession.conf
+      .get("spark.graft.components.verbose", "false") == "true"
     var converged = false
     var it = 0
     while (!converged) {
@@ -813,6 +823,14 @@ object Dedup {
         s"Dedup.components: no convergence after $maxIters rounds — " +
           "the pair graph has a longer diameter than a duplicate " +
           "cluster should; inspect the pair generator's threshold")
+      val t0 = System.nanoTime()
+      // NOTE pointer jumping (lbl := lbl(lbl) per round) was measured
+      // at sf100 and NETS ZERO here: it cut rounds 10 → 8 but each
+      // round pays an extra node-sized checkpoint+join (169.6 s vs
+      // 168.8 s total) — duplicate-cluster graphs are shallow by
+      // construction, and the rounds are EDGE-PROBE-bound, not
+      // chain-depth-bound. The simple loop stays (BASELINE round-13
+      // minhash ledger).
       val lbls = if (bcastLabels)
         org.apache.spark.sql.functions.broadcast(labels) else labels
       val prop = edges.join(lbls, col("src") === col("id"))
@@ -830,6 +848,9 @@ object Dedup {
       labels = next
       converged = changed == 0L
       it += 1
+      if (verbose)
+        println(f"[components] round $it%2d  ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+          (if (converged) "  (converged)" else ""))
     }
     labels.select(col("id").as(idCol), col("lbl").as(out))
   }

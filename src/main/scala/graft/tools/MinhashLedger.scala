@@ -70,6 +70,44 @@ object MinhashLedger {
       return
     }
 
+    // ---- verify-tail attribution (GRAFT_LEDGER_TAIL=1): the sf100
+    // question — where do the ~590 s between the 187 s estimate probe
+    // and the 779 s end-to-end go? Stages: est materialization,
+    // label-prop rounds (per-round times via components.verbose),
+    // pack+verify (the clustered arm re-runs components internally, so
+    // its time MINUS the components stage is the pack+verify share).
+    // Skips the O(pairs)-cache cand stage and the pair-join arm — both
+    // proven disk-infeasible at sf100 (round-12 ledger).
+    if (sys.env.get("GRAFT_LEDGER_TAIL").contains("1")) {
+      val plan = Dedup.minhashPlan(d, "doc_id", "text", threshold = 0.5)
+      println(s"[info] nDocs=${plan.nDocs} bands=${plan.nBands}")
+      val est = time("banding + estimate probe (est cached+count)") {
+        val e = plan.est.cache(); val n = e.count()
+        println(s"[info] est survivors=$n"); e
+      }
+      val nodes = est.select(col("id_a").as("id"))
+        .unionByName(est.select(col("id_b").as("id"))).distinct()
+      spark.conf.set("spark.graft.components.verbose", "true")
+      time("connected components (label-prop)") {
+        Dedup.components(est, "id_a", "id_b", nodes, "id", "_c").count()
+      }
+      // pack+verify share = e2e − est − components (arithmetic): a
+      // standalone verify stage here would hold est TWICE (this cache +
+      // exactVerifyClustered's own) plus the components caches — that
+      // exact combination hit the one-box disk wall when tried
+      est.unpersist()
+      Dedup.releaseCaches()
+      spark.catalog.clearCache()
+      spark.conf.set("spark.graft.minhash.clusteredVerify", "always")
+      time("end-to-end minhashPairs [always]") {
+        Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      Dedup.releaseCaches()
+      spark.stop()
+      return
+    }
+
     // ---- staged attribution (caches mirror the real pipeline's) ----
     val plan = Dedup.minhashPlan(d, "doc_id", "text", threshold = 0.5)
     // minhashPlan already ran sig.count() for the bands dial; re-count
