@@ -2051,6 +2051,39 @@ object GeoKernel {
         }
         Some(GPolygon(IndexedSeq((out :+ out.head).toIndexedSeq)))
       }
+    // LINESTRING buffer (round caps/joins, quad_segs=8): each segment
+    // buffers to a CCW capsule (rectangle + semicircular caps), folded
+    // with the degeneracy-capable polygon union — consecutive capsules
+    // overlap in the joint disc, so the running union of a SIMPLE line
+    // stays a single ring. Composable since round 13 (the fold's
+    // unions meet in vertex/collinear contact constantly). None when a
+    // self-intersecting line's union goes multi-ring mid-fold.
+    case GLine(pts) if pts.size >= 2 =>
+      def capsule(a: Pt, b: Pt): Option[Geom] =
+        if (a == b) buffer(GPoint(a._1, a._2), r)
+        else {
+          val len = math.hypot(b._1 - a._1, b._2 - a._2)
+          val base = math.atan2((b._2 - a._2) / len, (b._1 - a._1) / len)
+          val out = collection.mutable.ArrayBuffer.empty[Pt]
+          for (k <- 0 to 16) { // semicircle at b: right normal -> left
+            val t = base - math.Pi / 2 + math.Pi * k / 16
+            out += ((b._1 + r * math.cos(t), b._2 + r * math.sin(t)))
+          }
+          for (k <- 0 to 16) { // semicircle at a: left normal -> right
+            val t = base + math.Pi / 2 + math.Pi * k / 16
+            out += ((a._1 + r * math.cos(t), a._2 + r * math.sin(t)))
+          }
+          Some(GPolygon(IndexedSeq((out :+ out.head).toIndexedSeq)))
+        }
+      pts.sliding(2).collect { case Seq(a, b) => (a, b) }
+        .foldLeft(Option.empty[Geom]) {
+          case (None, (a, b)) => capsule(a, b)
+          case (Some(acc), (a, b)) =>
+            capsule(a, b).flatMap(c => union(acc, c))
+        }
+    case GMulti("MULTILINESTRING", gs) if gs.nonEmpty =>
+      gs.map(buffer(_, r)).reduce((x, y) =>
+        for { gx <- x; gy <- y; u <- union(gx, gy) } yield u)
     case _ => None
   }
 

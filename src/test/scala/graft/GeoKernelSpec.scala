@@ -833,6 +833,29 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${area(buffered)} vs $target")
     // concave input is documented None
     assert(buffer(g("POLYGON((0 0,4 0,4 4,2 1,0 4,0 0))"), 1).isEmpty)
+    // LINESTRING buffer (round 13, composed from the degeneracy-capable
+    // union): straight segment length L, radius r -> area 2rL + the
+    // 32-gon disc (16·sin(π/16)·r²)
+    val seg = buffer(g("LINESTRING(0 0,5 0)"), 0.5).get
+    val discArea = 16 * math.sin(math.Pi / 16) * 0.25
+    val segTarget = 2 * 0.5 * 5 + discArea
+    assert(math.abs(area(seg) - segTarget) / segTarget < 0.005,
+      s"${area(seg)} vs $segTarget")
+    // L-shaped polyline: union across the right-angle joint — bounded
+    // by the two-capsule sum above and a single capsule below, and the
+    // bend eats exactly one quarter-disc-ish overlap
+    val ell = buffer(g("LINESTRING(0 0,4 0,4 3)"), 0.5).get
+    val aEll = area(ell)
+    val capSum = (2 * 0.5 * 4 + discArea) + (2 * 0.5 * 3 + discArea)
+    assert(aEll < capSum && aEll > 2 * 0.5 * 7, s"L-buffer area $aEll")
+    // the buffered region strictly contains the line's vertices
+    for (p <- Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (2.0, 0.0)))
+      assert(GeoKernel.contains(ell, GPoint(p._1, p._2)), s"missing $p")
+    // MULTILINESTRING buffers as the union of member buffers
+    val multi = buffer(
+      g("MULTILINESTRING((0 0,2 0),(10 10,12 10))"), 0.5).get
+    assert(math.abs(area(multi) - 2 * (2 * 0.5 * 2 + discArea)) /
+      (2 * (2 * 0.5 * 2 + discArea)) < 0.005)
     // linemerge stitches shared endpoints (PostGIS example)
     val merged = lineMerge(
       g("MULTILINESTRING((0 0,1 1),(1 1,2 2),(5 5,6 6))"))
