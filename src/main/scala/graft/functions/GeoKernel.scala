@@ -1628,10 +1628,55 @@ object GeoKernel {
     * Handles proper crossings and degenerate contact (vertex-on-edge,
     * shared vertices, collinear overlap) by full noding — every contact
     * point between the two boundaries becomes a node on BOTH rings. */
+  /** Snap-rounding pre-pass: pull `src` vertices that sit within `eps`
+    * of a `ref` vertex (or, failing that, a `ref` segment interior)
+    * exactly onto it. Trig-built arcs that are mathematically
+    * coincident drift by ~1 ulp (cos/sin of angle arguments differing
+    * by 2π); without snapping those contacts read as 1e-16-scale
+    * proper crossings and the clipper sees unresolvable micro-spikes.
+    * After snapping they are exact shared vertices / collinear
+    * overlaps — the degenerate-contact classes the clipper handles. */
+  private def snapRing(src: IndexedSeq[Pt], ref: IndexedSeq[Pt],
+      eps: Double): IndexedSeq[Pt] = {
+    val refVerts = ref.dropRight(1)
+    def snap1(p: Pt): Pt = {
+      var best: Pt = null; var bd = eps
+      for (v <- refVerts) {
+        val d = math.hypot(v._1 - p._1, v._2 - p._2)
+        if (d < bd) { bd = d; best = v }
+      }
+      if (best != null) best
+      else {
+        var bp: Pt = null; var bpd = eps
+        for (k <- 0 until ref.size - 1) {
+          val (s, e) = (ref(k), ref(k + 1))
+          val dx = e._1 - s._1; val dy = e._2 - s._2
+          val len2 = dx * dx + dy * dy
+          if (len2 > 0) {
+            val t = ((p._1 - s._1) * dx + (p._2 - s._2) * dy) / len2
+            if (t > 0 && t < 1) {
+              val q = (s._1 + t * dx, s._2 + t * dy)
+              val d = math.hypot(q._1 - p._1, q._2 - p._2)
+              if (d < bpd) { bpd = d; bp = q }
+            }
+          }
+        }
+        if (bp != null) bp else p
+      }
+    }
+    val out = collection.mutable.ArrayBuffer.empty[Pt]
+    for (p <- src.map(snap1)) if (out.isEmpty || out.last != p) out += p
+    if (out.size > 1 && out.head != out.last) out += out.head
+    if (out.size >= 4) out.toIndexedSeq else src
+  }
+
   private def polyClip(a: Geom, b: Geom, op: Int): Option[Geom] = for {
     ringA <- singleRing(a)
-    ringB <- singleRing(b)
+    ringB0 <- singleRing(b)
     res <- {
+      val scale = (ringA ++ ringB0).iterator
+        .map(p => math.max(math.abs(p._1), math.abs(p._2))).max
+      val ringB = snapRing(ringB0, ringA, 1e-9 * math.max(1.0, scale))
       val pa = GPolygon(IndexedSeq(ringA)); val pb = GPolygon(IndexedSeq(ringB))
       val splitA = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
       val splitB = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
@@ -2009,9 +2054,33 @@ object GeoKernel {
 
   // ------------------------------------------------- buffer & misc
 
+  /** One segment's round-capped buffer capsule (CCW rectangle + two
+    * 16-step semicircular caps); degenerate zero-length segments
+    * buffer as the point disc. */
+  private def segCapsule(a: Pt, b: Pt, r: Double): Option[Geom] =
+    if (a == b) buffer(GPoint(a._1, a._2), r)
+    else {
+      val len = math.hypot(b._1 - a._1, b._2 - a._2)
+      val base = math.atan2((b._2 - a._2) / len, (b._1 - a._1) / len)
+      val out = collection.mutable.ArrayBuffer.empty[Pt]
+      for (k <- 0 to 16) { // semicircle at b: right normal -> left
+        val t = base - math.Pi / 2 + math.Pi * k / 16
+        out += ((b._1 + r * math.cos(t), b._2 + r * math.sin(t)))
+      }
+      for (k <- 0 to 16) { // semicircle at a: left normal -> right
+        val t = base + math.Pi / 2 + math.Pi * k / 16
+        out += ((a._1 + r * math.cos(t), a._2 + r * math.sin(t)))
+      }
+      Some(GPolygon(IndexedSeq((out :+ out.head).toIndexedSeq)))
+    }
+
   /** PostGIS st_buffer with the default quad_segs=8 (32 segments per
-    * full circle). Supported: points (exact n-gon circle) and CONVEX
-    * polygons (edge offset + arc joins); other inputs → None
+    * full circle). Supported: points (exact n-gon circle), CONVEX
+    * polygons (edge offset + arc joins), CONCAVE single-ring polygons
+    * (dilation = polygon ∪ boundary-ring capsule fold — same
+    * composition as the line buffer), LINESTRING/MULTILINESTRING and
+    * MULTIPOLYGON; None when a fold union leaves the clipper domain,
+    * e.g. a C-shape whose dilation closes into a ring with a hole
     * (DEVIATIONS.md). */
   def buffer(g: Geom, r: Double): Option[Geom] = g match {
     case _ if r <= 0 => None
@@ -2027,8 +2096,24 @@ object GeoKernel {
       val convex = (0 until n).forall { i =>
         orient(ring((i + n - 1) % n), ring(i), ring((i + 1) % n)) >= 0
       }
-      if (!convex) None
-      else {
+      if (!convex) {
+        // Minkowski dilation of a simple concave ring: fold the
+        // round-capped boundary capsules INTO the polygon one edge at
+        // a time. Seeding with the polygon keeps the accumulator
+        // simply connected (a capsule rim built first would be an
+        // annulus — a hole the single-ring clipper cannot carry);
+        // reflex corners are covered by the two adjacent capsules
+        // overlapping across the notch.
+        ring.sliding(2).collect { case Seq(a, b) if a != b => (a, b) }
+          .foldLeft(Option[Geom](GPolygon(IndexedSeq(ring)))) {
+            case (accOpt, (a, b)) =>
+              for {
+                acc <- accOpt
+                cap <- segCapsule(a, b, r)
+                u <- union(acc, cap)
+              } yield u
+          }
+      } else {
         val out = collection.mutable.ArrayBuffer.empty[Pt]
         for (i <- 0 until n) {
           val prev = ring((i + n - 1) % n); val v = ring(i)
@@ -2059,31 +2144,21 @@ object GeoKernel {
     // unions meet in vertex/collinear contact constantly). None when a
     // self-intersecting line's union goes multi-ring mid-fold.
     case GLine(pts) if pts.size >= 2 =>
-      def capsule(a: Pt, b: Pt): Option[Geom] =
-        if (a == b) buffer(GPoint(a._1, a._2), r)
-        else {
-          val len = math.hypot(b._1 - a._1, b._2 - a._2)
-          val base = math.atan2((b._2 - a._2) / len, (b._1 - a._1) / len)
-          val out = collection.mutable.ArrayBuffer.empty[Pt]
-          for (k <- 0 to 16) { // semicircle at b: right normal -> left
-            val t = base - math.Pi / 2 + math.Pi * k / 16
-            out += ((b._1 + r * math.cos(t), b._2 + r * math.sin(t)))
-          }
-          for (k <- 0 to 16) { // semicircle at a: left normal -> right
-            val t = base + math.Pi / 2 + math.Pi * k / 16
-            out += ((a._1 + r * math.cos(t), a._2 + r * math.sin(t)))
-          }
-          Some(GPolygon(IndexedSeq((out :+ out.head).toIndexedSeq)))
-        }
       pts.sliding(2).collect { case Seq(a, b) => (a, b) }
         .foldLeft(Option.empty[Geom]) {
-          case (None, (a, b)) => capsule(a, b)
+          case (None, (a, b)) => segCapsule(a, b, r)
           case (Some(acc), (a, b)) =>
-            capsule(a, b).flatMap(c => union(acc, c))
+            segCapsule(a, b, r).flatMap(c => union(acc, c))
         }
     case GMulti("MULTILINESTRING", gs) if gs.nonEmpty =>
       gs.map(buffer(_, r)).reduce((x, y) =>
         for { gx <- x; gy <- y; u <- union(gx, gy) } yield u)
+    case GMulti("MULTIPOLYGON", gs) if gs.nonEmpty =>
+      // unionAll keeps disjoint component buffers as separate members
+      // (pairwise union() needs single rings on both sides)
+      gs.foldLeft(Option(Vector.empty[Geom])) { (acc, m) =>
+        for { v <- acc; b <- buffer(m, r) } yield v :+ b
+      }.flatMap(unionAll)
     case _ => None
   }
 

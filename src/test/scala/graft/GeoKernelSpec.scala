@@ -831,8 +831,38 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     val target = 4 + 8 * 1 + math.Pi * 1
     assert(math.abs(area(buffered) - target) / target < 0.01,
       s"${area(buffered)} vs $target")
-    // concave input is documented None
-    assert(buffer(g("POLYGON((0 0,4 0,4 4,2 1,0 4,0 0))"), 1).isEmpty)
+    // concave single-ring polygon (round 13): dilation = polygon ∪
+    // boundary capsule fold. L-shape A=3 P=8, five convex right
+    // corners add quarter 32-gon discs, the reflex corner's two edge
+    // strips double-cover an r×r square: A + P·r + (5/4)·disc − r²
+    val lshape = g("POLYGON((0 0,2 0,2 1,1 1,1 2,0 2,0 0))")
+    val lbuf = buffer(lshape, 0.5).get
+    val lDisc = 16 * math.sin(math.Pi / 16) * 0.25
+    val lTarget = 3 + 8 * 0.5 + 1.25 * lDisc - 0.25
+    assert(math.abs(area(lbuf) - lTarget) / lTarget < 0.01,
+      s"${area(lbuf)} vs $lTarget")
+    // reflex-quadrant coverage: within r of an edge strip is in,
+    // beyond r of both strips (x>1.5 AND y>1.5) is out
+    assert(GeoKernel.contains(lbuf, GPoint(1.2, 1.2)))
+    assert(GeoKernel.contains(lbuf, GPoint(1.45, 1.45))) // 0.45 off y=1
+    assert(!GeoKernel.contains(lbuf, GPoint(1.6, 1.6)))
+    assert(GeoKernel.contains(lbuf, lshape))
+    // notch polygon (sharp V cut): bounded by the convex formula above
+    // and the raw area below; notch midline clears at distance 4/√13
+    val notch = g("POLYGON((0 0,4 0,4 4,2 1,0 4,0 0))")
+    val nbuf = buffer(notch, 1).get
+    val nArea = area(notch)
+    val nPerim = GeoKernel.perimeter(notch)
+    assert(area(nbuf) > nArea + 1e-6)
+    assert(area(nbuf) < nArea + nPerim * 1 + math.Pi + 1e-6)
+    assert(GeoKernel.contains(nbuf, GPoint(2, 2)))   // 0.55 from notch edge
+    assert(!GeoKernel.contains(nbuf, GPoint(2, 3)))  // 1.11 from notch edge
+    // MULTIPOLYGON: disjoint components stay disjoint members
+    val mpoly = buffer(
+      g("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((10 10,11 10,11 11,10 11,10 10)))"),
+      0.25).get
+    val oneSq = 1 + 4 * 0.25 + 16 * math.sin(math.Pi / 16) * 0.0625
+    assert(math.abs(area(mpoly) - 2 * oneSq) / (2 * oneSq) < 0.01)
     // LINESTRING buffer (round 13, composed from the degeneracy-capable
     // union): straight segment length L, radius r -> area 2rL + the
     // 32-gon disc (16·sin(π/16)·r²)
