@@ -1681,6 +1681,10 @@ object GeoKernel {
       val splitA = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
       val splitB = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
       val nodePts = collection.mutable.Set.empty[Pt]
+      // boundary segments the two rings share (collinear overlap
+      // intervals) — the dimension-collapsed intersection when the
+      // interiors do not meet
+      val overlapSegs = collection.mutable.ArrayBuffer.empty[(Pt, Pt)]
       def addA(i: Int, t: Double, p: Pt): Unit =
         if (t > 0 && t < 1) splitA(i) = (t, p) :: splitA.getOrElse(i, Nil)
       def addB(j: Int, u: Double, p: Pt): Unit =
@@ -1705,6 +1709,8 @@ object GeoKernel {
               nodePts += p
               addA(i, t, p); addB(j, paramOn(b1, b2, p), p)
             }
+            if (hi > lo)
+              overlapSegs += ((pointAt(a1, a2, lo), pointAt(a1, a2, hi)))
           } else {
             // endpoint contact: a vertex of one on the other's segment
             // (T-contact when interior, shared vertex when equal)
@@ -1774,7 +1780,24 @@ object GeoKernel {
           case _ => arcsA.zip(sidesA).collect { case (x, 0) => x } ++
             arcsB.zip(sidesB).collect { case (x, 2) => x.reverse }
         }) ++ bndA
-        stitch(picked).map(assemble)
+        if (op == 0 && picked.isEmpty) {
+          // interiors never meet: the intersection collapses to the
+          // boundary contact itself (GEOS semantics) — the shared
+          // collinear segments when there are any, else the touch
+          // point(s)
+          if (overlapSegs.nonEmpty) {
+            val merged = lineMerge(GMulti("MULTILINESTRING",
+              overlapSegs.toIndexedSeq.map { case (p, q) =>
+                GLine(IndexedSeq(p, q)) }))
+            Some(merged)
+          } else {
+            val pts = nodePts.toIndexedSeq.sorted
+            Some(
+              if (pts.size == 1) GPoint(pts.head._1, pts.head._2)
+              else GMulti("MULTIPOINT",
+                pts.map(p => GPoint(p._1, p._2))))
+          }
+        } else stitch(picked).map(assemble)
       }
     }
   } yield res

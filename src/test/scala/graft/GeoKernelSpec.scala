@@ -715,10 +715,12 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     def a2(g: Option[Geom]) = area(g.get)
     val sq = poly("POLYGON((0 0,4 0,4 4,0 4,0 0))") // 4×4, area 16
 
-    // full shared edge: ∩ collapses (POLYGON EMPTY here; GEOS says
-    // LINESTRING — documented), ∪ merges, − is identity
+    // full shared edge: ∩ collapses to the shared LINESTRING (GEOS
+    // semantics since round 13), ∪ merges, − is identity
     val east = poly("POLYGON((4 0,8 0,8 4,4 4,4 0))")
     assert(a2(intersection(sq, east)) == 0.0)
+    assert(toWkt(intersection(sq, east).get) == "LINESTRING(4 0,4 4)",
+      toWkt(intersection(sq, east).get))
     assert(math.abs(a2(union(sq, east)) - 32.0) < 1e-9)
     assert(toWkt(union(sq, east).get).startsWith("POLYGON(("))
     assert(math.abs(a2(difference(sq, east)) - 16.0) < 1e-9)
@@ -726,6 +728,8 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // PARTIAL collinear overlap on the bottom edge, B outside below
     val below = poly("POLYGON((1 -2,3 -2,3 0,1 0,1 -2))") // area 4
     assert(a2(intersection(sq, below)) == 0.0)
+    assert(toWkt(intersection(sq, below).get) == "LINESTRING(1 0,3 0)",
+      toWkt(intersection(sq, below).get))
     assert(math.abs(a2(union(sq, below)) - 20.0) < 1e-9)
     assert(toWkt(union(sq, below).get).startsWith("POLYGON(("))
     assert(math.abs(a2(difference(sq, below)) - 16.0) < 1e-9)
@@ -740,12 +744,16 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // corner kiss: boundaries meet in exactly one point
     val kiss = poly("POLYGON((4 4,6 4,6 6,4 6,4 4))")
     assert(a2(intersection(sq, kiss)) == 0.0)
+    assert(toWkt(intersection(sq, kiss).get) == "POINT(4 4)",
+      toWkt(intersection(sq, kiss).get))
     assert(math.abs(a2(union(sq, kiss)) - 20.0) < 1e-9)
     assert(math.abs(a2(difference(sq, kiss)) - 16.0) < 1e-9)
 
     // T-contact from outside: triangle apex on the square's right edge
     val poke = poly("POLYGON((5 1,5 3,4 2,5 1))") // area 1, apex (4,2)
     assert(a2(intersection(sq, poke)) == 0.0)
+    assert(toWkt(intersection(sq, poke).get) == "POINT(4 2)",
+      toWkt(intersection(sq, poke).get))
     assert(math.abs(a2(union(sq, poke)) - 17.0) < 1e-9)
     assert(math.abs(a2(difference(sq, poke)) - 16.0) < 1e-9)
 

@@ -51,6 +51,43 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snap pre-pass: ulp-drifted coincident boundaries behave like exact ones " +
+      "on 300 shared-edge rectangle pairs") {
+    val rnd = new scala.util.Random(7)
+    // rebuild a rectangle's vertices through a full-turn rotation —
+    // cos/sin of angle+2π drift each coordinate by ~1 ulp, exactly the
+    // drift trig-built buffer arcs carry; without polyClip's snap
+    // pre-pass these contacts read as 1e-16-scale crossings
+    def wobble(p: Pt, cx: Double, cy: Double): Pt = {
+      val (dx, dy) = (p._1 - cx, p._2 - cy)
+      val r = math.hypot(dx, dy)
+      if (r == 0) p
+      else {
+        val t = math.atan2(dy, dx) + 2 * math.Pi
+        (cx + r * math.cos(t), cy + r * math.sin(t))
+      }
+    }
+    for (_ <- 0 until 300) {
+      val (ax, ay) = (rnd.nextInt(30).toDouble, rnd.nextInt(30).toDouble)
+      val (aw, ah) = (2.0 + rnd.nextInt(10), 2.0 + rnd.nextInt(10))
+      // B shares A's right edge exactly, then gets the trig wobble
+      val (bw, bh) = (2.0 + rnd.nextInt(10), ah)
+      val bRing = IndexedSeq(
+        (ax + aw, ay), (ax + aw + bw, ay),
+        (ax + aw + bw, ay + bh), (ax + aw, ay + bh), (ax + aw, ay))
+      val (cx, cy) = (ax + aw + bw / 2, ay + bh / 2)
+      val b = GPolygon(IndexedSeq(bRing.map(wobble(_, cx, cy))))
+      val a = makeEnvelope(ax, ay, ax + aw, ay + ah)
+      val ctx = s"A=($ax,$ay,$aw,$ah) B=+($bw,$bh)"
+      val ua = area(union(a, b).get)
+      assert(math.abs(ua - (aw * ah + bw * bh)) < 1e-6, s"union $ua $ctx")
+      val ia = area(intersection(a, b).get)
+      assert(math.abs(ia) < 1e-6, s"inter $ia $ctx")
+      val da = area(difference(a, b).get)
+      assert(math.abs(da - aw * ah) < 1e-6, s"diff $da $ctx")
+    }
+  }
+
   test("Z/M-forced WKB round-trips the XY projection on random geometries") {
     val rnd = new scala.util.Random(11)
     def rndPts(n: Int) = IndexedSeq.fill(n)(
