@@ -1862,13 +1862,20 @@ object GeoKernel {
         if (uniq.isEmpty) GMulti("POINT", Vector())
         else if (uniq.size == 1) GPoint(uniq.head._1, uniq.head._2)
         else GMulti("MULTIPOINT", uniq.toIndexedSeq.map(p => GPoint(p._1, p._2))))
-    case _ => polyClip(a, b, 0)
+    case _ =>
+      if (singleRing(a).isDefined && singleRing(b).isDefined)
+        polyClip(a, b, 0)
+      else if (polygons(a).nonEmpty && polygons(b).nonEmpty)
+        holedClip(a, b, 0)
+      else polyClip(a, b, 0)
   }
 
   /** PostGIS st_union (two-argument form). Non-areal mixes collect. */
   def union(a: Geom, b: Geom): Option[Geom] = (a, b) match {
     case _ if polygons(a).nonEmpty && polygons(b).nonEmpty =>
-      polyClip(a, b, 1)
+      if (singleRing(a).isDefined && singleRing(b).isDefined)
+        polyClip(a, b, 1)
+      else holedClip(a, b, 1)
     case _ => Some(collect(a, b))
   }
 
@@ -1903,6 +1910,168 @@ object GeoKernel {
     }
   }
 
+  // ---------------------------------------------- holed-part algebra
+  //
+  // The single-ring clipper is the primitive; polygons with holes and
+  // multi-part inputs decompose over it (round 13):
+  //   A = ⋃ᵢ (sᵢ − Hᵢ)           parts: shell minus its holes
+  //   A∩B = ⋃ⱼ (A ∩ tⱼ) − Gⱼ     B's parts are disjoint
+  //   x − (t − G) = (x − t) ∪ ⋃g (x ∩ g)   applied per part of B
+  //   A∪B = R − ((R−A) ∩ (R−B))  R = expanded common bounding box
+  // Results are exact as REGIONS; parts may split along former hole
+  // boundaries where GEOS would merge them (DEVIATIONS.md).
+
+  private final case class APart(shell: IndexedSeq[Pt],
+      holes: Seq[IndexedSeq[Pt]])
+
+  private def apartsOf(g: Geom): Seq[APart] =
+    polygons(g).filterNot(isEmpty).map(p =>
+      APart(p.rings.head, p.rings.tail))
+
+  private def ringPoly(r: IndexedSeq[Pt]) = GPolygon(IndexedSeq(r))
+
+  private def sequenceOpt[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  private def clipToParts(a: IndexedSeq[Pt], b: IndexedSeq[Pt],
+      op: Int): Option[Seq[APart]] =
+    polyClip(ringPoly(a), ringPoly(b), op).map(apartsOf)
+
+  /** Shell minus a list of PAIRWISE-DISJOINT subtrahend rings.
+    * Terminates by structural descent on the list: each step clips one
+    * ring off, recurses on the REST, then re-attaches that ring's
+    * interior pieces as holes of whichever final part contains them
+    * (legal because the pieces are disjoint from every remaining
+    * subtrahend — a piece can neither be split by nor contain one). */
+  private def shellMinusDisjoint(s: IndexedSeq[Pt],
+      subs: List[IndexedSeq[Pt]]): Option[Seq[APart]] = subs match {
+    case Nil => Some(Seq(APart(s, Nil)))
+    case h :: rest =>
+      clipToParts(s, h, 2).flatMap { parts =>
+        sequenceOpt(parts.map { case APart(s2, qs) =>
+          shellMinusDisjoint(s2, rest).flatMap { finals =>
+            qs.foldLeft(Option(finals)) { (fsOpt, q) =>
+              fsOpt.flatMap { fs =>
+                val idx = fs.indexWhere(f =>
+                  q.exists(locateInRing(_, f.shell) == 2))
+                if (idx < 0) None // piece lost its owner: refuse
+                else Some(fs.updated(idx,
+                  APart(fs(idx).shell, fs(idx).holes :+ q)))
+              }
+            }
+          }
+        }).map(_.flatten)
+      }
+  }
+
+  /** Merge rings into pairwise-disjoint ones by unioning every
+    * intersecting pair; None when a union leaves the single-ring
+    * domain (a pocket — the rare refused configuration). */
+  private def mergeRings(
+      rings: Seq[IndexedSeq[Pt]]): Option[List[IndexedSeq[Pt]]] = {
+    var comps = List.empty[IndexedSeq[Pt]]
+    for (r0 <- rings) {
+      var cur = r0
+      var rest = List.empty[IndexedSeq[Pt]]
+      var pending = comps
+      while (pending.nonEmpty) {
+        val c = pending.head; pending = pending.tail
+        if (intersects(ringPoly(cur), ringPoly(c))) {
+          polyClip(ringPoly(cur), ringPoly(c), 1) match {
+            case Some(GPolygon(IndexedSeq(one))) => cur = one
+            case _ => return None
+          }
+        } else rest ::= c
+      }
+      comps = cur :: rest
+    }
+    Some(comps)
+  }
+
+  /** xs ∩ (single ring t). */
+  private def interPartsRing(xs: Seq[APart],
+      t: IndexedSeq[Pt]): Option[Seq[APart]] =
+    sequenceOpt(xs.map { case APart(s, hs) =>
+      clipToParts(s, t, 0).flatMap { base =>
+        sequenceOpt(base.map(b =>
+          shellMinusDisjoint(b.shell, hs.toList))).map(_.flatten)
+      }
+    }).map(_.flatten)
+
+  /** xs minus a region given as valid holed parts (disjoint shells,
+    * holes inside their shells). A part's pockets shelter islands:
+    * x ∩ pocket survives, minus whatever other components sit inside
+    * the pocket (component count strictly decreases → terminates). */
+  private def subtractRegion(xs: Seq[APart],
+      cs: Seq[APart]): Option[Seq[APart]] = {
+    if (cs.isEmpty) return Some(xs)
+    val main = sequenceOpt(xs.map { case APart(s, hs) =>
+      mergeRings(hs ++ cs.map(_.shell))
+        .flatMap(shellMinusDisjoint(s, _))
+    }).map(_.flatten)
+    val islands = sequenceOpt(cs.zipWithIndex.flatMap { case (c, i) =>
+      c.holes.map { p =>
+        interPartsRing(xs, p).flatMap(inner =>
+          subtractRegion(inner, cs.patch(i, Nil, 1)))
+      }
+    }).map(_.flatten)
+    for { m <- main; is <- islands } yield m ++ is
+  }
+
+  private def interParts(as: Seq[APart],
+      bs: Seq[APart]): Option[Seq[APart]] =
+    sequenceOpt(bs.map { case APart(t, gs) =>
+      interPartsRing(as, t).flatMap(x =>
+        subtractRegion(x, gs.map(g => APart(g, Nil))))
+    }).map(_.flatten)
+
+  private def diffParts(as: Seq[APart],
+      bs: Seq[APart]): Option[Seq[APart]] =
+    subtractRegion(as, bs)
+
+  private def unionParts(as: Seq[APart],
+      bs: Seq[APart]): Option[Seq[APart]] = {
+    val pts = (as ++ bs).flatMap(p => p.shell)
+    if (pts.isEmpty) return Some(as ++ bs)
+    val (xs, ys) = (pts.map(_._1), pts.map(_._2))
+    val pad = 1.0 + 0.01 * math.max(xs.max - xs.min, ys.max - ys.min)
+    val (x0, y0, x1, y1) =
+      (xs.min - pad, ys.min - pad, xs.max + pad, ys.max + pad)
+    val r = Seq(APart(IndexedSeq(
+      (x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)), Nil))
+    for {
+      ca <- diffParts(r, as)
+      cb <- diffParts(r, bs)
+      both <- interParts(ca, cb)
+      u <- diffParts(r, both)
+    } yield u
+  }
+
+  private def partsGeom(ps: Seq[APart]): Geom = {
+    val polys = ps.filter(p => math.abs(signedArea(p.shell)) > 1e-12)
+      .map(p => GPolygon(p.shell +: p.holes.toIndexedSeq))
+    if (polys.isEmpty) GMulti("POLYGON", Vector())
+    else if (polys.size == 1) polys.head
+    else GMulti("MULTIPOLYGON", polys.toIndexedSeq.sortBy(envelope))
+  }
+
+  /** Areal inputs the single-ring clipper cannot take directly (holes
+    * or multiple parts) routed through the part algebra. */
+  private def holedClip(a: Geom, b: Geom, op: Int): Option[Geom] = {
+    val (as, bs) = (apartsOf(a), apartsOf(b))
+    if (as.isEmpty || bs.isEmpty)
+      return op match {
+        case 0 => Some(GMulti("POLYGON", Vector()))
+        case 1 => Some(partsGeom(as ++ bs))
+        case _ => Some(partsGeom(as))
+      }
+    (op match {
+      case 0 => interParts(as, bs)
+      case 1 => unionParts(as, bs)
+      case _ => diffParts(as, bs)
+    }).map(partsGeom)
+  }
+
   /** PostGIS st_difference a − b. */
   def difference(a: Geom, b: Geom): Option[Geom] = (a, b) match {
     case (p: GPoint, g) =>
@@ -1911,7 +2080,12 @@ object GeoKernel {
       Some(clipLine(l, firstPolygon(g).get, keepInside = false))
     case (g, _) if polygons(g).nonEmpty && polygons(b).isEmpty =>
       Some(g) // subtracting lower-dimensional geometry leaves a unchanged
-    case _ => polyClip(a, b, 2)
+    case _ =>
+      if (singleRing(a).isDefined && singleRing(b).isDefined)
+        polyClip(a, b, 2)
+      else if (polygons(a).nonEmpty && polygons(b).nonEmpty)
+        holedClip(a, b, 2)
+      else polyClip(a, b, 2)
   }
 
   // ------------------------------------------------- DE-9IM predicates
@@ -2158,6 +2332,30 @@ object GeoKernel {
           }
         }
         Some(GPolygon(IndexedSeq((out :+ out.head).toIndexedSeq)))
+      }
+    case GPolygon(rs) if rs.size > 1 =>
+      // dilation of (shell − holes) = dilate(shell) − erode(hole) per
+      // hole — exact morphology: a point is outside the dilation iff
+      // it sits in a hole farther than r from the hole's boundary, and
+      // the boundary band subtracted below IS that boundary's dilation
+      def erode(ring: IndexedSeq[Pt]): Option[Geom] =
+        ring.sliding(2).collect { case Seq(p, q) if p != q => (p, q) }
+          .foldLeft(Option[Geom](GPolygon(IndexedSeq(ring)))) {
+            case (accOpt, (p, q)) =>
+              for {
+                acc <- accOpt
+                cap <- segCapsule(p, q, r)
+                d <- difference(acc, cap)
+              } yield d
+          }
+      rs.tail.foldLeft(buffer(GPolygon(IndexedSeq(rs.head)), r)) {
+        (accOpt, h) =>
+          for {
+            acc <- accOpt
+            er <- erode(h)
+            d <- if (polygons(er).forall(isEmpty)) Some(acc)
+                 else difference(acc, er)
+          } yield d
       }
     // LINESTRING buffer (round caps/joins, quad_segs=8): each segment
     // buffers to a CCW capsule (rectangle + semicircular caps), folded

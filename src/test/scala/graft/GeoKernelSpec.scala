@@ -772,6 +772,55 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(a2(difference(sq, hug)) - 12.0) < 1e-9)
   }
 
+  test("round-13 kernel: set ops on polygons with holes and multipolygons " +
+      "(hand-computed)") {
+    def g(wkt: String) = fromWkt(wkt).get
+    def a2(x: Option[Geom]) = area(x.get)
+    // annulus: 10×10 shell, 4×4 hole → area 84
+    val ann = g("POLYGON((0 0,10 0,10 10,0 10,0 0)," +
+      "(3 3,7 3,7 7,3 7,3 3))")
+    assert(math.abs(area(ann) - 84.0) < 1e-9)
+    // vertical strip through the hole: ∩ = two 2×3 strips
+    val strip = g("POLYGON((4 -1,6 -1,6 11,4 11,4 -1))")
+    assert(math.abs(a2(intersection(ann, strip)) - 12.0) < 1e-9)
+    assert(math.abs(a2(intersection(strip, ann)) - 12.0) < 1e-9)
+    // box fully inside the hole: ∩ empty
+    val inHole = g("POLYGON((4 4,6 4,6 6,4 6,4 4))")
+    assert(a2(intersection(ann, inHole)) == 0.0)
+    // difference: left half removed → 50 − (5..7)×(3..7) = 42
+    val leftHalf = g("POLYGON((0 0,5 0,5 10,0 10,0 0))")
+    assert(math.abs(a2(difference(ann, leftHalf)) - 42.0) < 1e-9)
+    // union with the exact hole square fills it: area 100
+    val plug = g("POLYGON((3 3,7 3,7 7,3 7,3 3))")
+    assert(math.abs(a2(union(ann, plug)) - 100.0) < 1e-9)
+    assert(math.abs(a2(union(plug, ann)) - 100.0) < 1e-9)
+    // union with a bar crossing the hole: covers 4×2 of the hole → 92
+    val bar = g("POLYGON((2 4,8 4,8 6,2 6,2 4))")
+    assert(math.abs(a2(union(ann, bar)) - 92.0) < 1e-9)
+    // the bar splits the hole into two: subtracting the result from
+    // the full square leaves the two 4×1.. pieces → 100 − 92 = 8
+    val full = g("POLYGON((0 0,10 0,10 10,0 10,0 0))")
+    assert(math.abs(a2(difference(full, union(ann, bar).get)) - 8.0)
+      < 1e-9)
+    // pairwise MULTIPOLYGON ops
+    val mp = g("MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0))," +
+      "((4 0,6 0,6 2,4 2,4 0)))")
+    val box = g("POLYGON((1 0,5 0,5 2,1 2,1 0))")
+    assert(math.abs(a2(intersection(mp, box)) - 4.0) < 1e-9)
+    assert(math.abs(a2(union(mp, box)) - 12.0) < 1e-9)
+    assert(math.abs(a2(difference(mp, box)) - 4.0) < 1e-9)
+    assert(math.abs(a2(difference(box, mp)) - 4.0) < 1e-9)
+    // buffer of the annulus: dilated shell minus eroded hole
+    val buf = buffer(ann, 0.5).get
+    val disc32 = 16 * math.sin(math.Pi / 16) * 0.25
+    val expect = (100 + 4 * 10 * 0.5 + disc32) - 9.0
+    assert(math.abs(area(buf) - expect) < 1e-6, s"${area(buf)} vs $expect")
+    assert(GeoKernel.contains(buf, GPoint(3.2, 5.0)))  // hole band
+    assert(!GeoKernel.contains(buf, GPoint(5.0, 5.0))) // eroded core
+    assert(GeoKernel.contains(buf, GPoint(10.4, 5.0)))
+    assert(!GeoKernel.contains(buf, GPoint(10.6, 5.0)))
+  }
+
   test("wave-3 kernel: line/polygon and line/line intersection") {
     def g(wkt: String) = fromWkt(wkt).get
     val sq = g("POLYGON((0 0,4 0,4 4,0 4,0 0))")
