@@ -22,7 +22,7 @@ object QGeo {
     ("sw", 0, 0, 50, 50), ("se", 50, 0, 100, 50),
     ("nw", 0, 50, 50, 100), ("ne", 50, 50, 100, 100))
 
-  val queries: Map[String, QueryFn] = setopQueries ++ Map(
+  val queries: Map[String, QueryFn] = setopQueries ++ holesQueries ++ Map(
     "q_geo_zones" -> { (s, dir) =>
       import s.implicits._
       val zones = zoneDefs
@@ -43,6 +43,72 @@ object QGeo {
             Geo.st_centroid($"gz"))), 4).as("avg_dist"))
         .orderBy($"zone")
     })
+
+  /** Holed-polygon set-op gate (round 13): each row is an annulus
+    * (rectangle shell with a rectangular hole) clipped against an
+    * integer-grid box, plus its r=0.5 buffer. The kernel runs the
+    * part algebra + hole erosion; the oracle reproduces every area in
+    * closed form (rect-intersection arithmetic; dilation = shell
+    * growth + full 32-gon corner fan − eroded hole). */
+  lazy val holesQueries: Map[String, QueryFn] = Map(
+    "q_geo_holes" -> { (s, dir) =>
+      import s.implicits._
+      val base = t(s, dir, "supplier").filter($"s_suppkey" < 150)
+        .select($"s_suppkey",
+          ($"s_suppkey" * 7 % 20).cast("int").as("ax"),
+          ($"s_suppkey" * 13 % 20).cast("int").as("ay"),
+          ($"s_suppkey" % 3).cast("int").as("hs"),
+          ($"s_suppkey" * 11 % 20).cast("int").as("bx"),
+          ($"s_suppkey" * 17 % 20).cast("int").as("by"))
+      val annWkt = format_string(
+        "POLYGON((%d %d,%d %d,%d %d,%d %d,%d %d)," +
+          "(%d %d,%d %d,%d %d,%d %d,%d %d))",
+        $"ax", $"ay", $"ax" + 12, $"ay", $"ax" + 12, $"ay" + 10,
+        $"ax", $"ay" + 10, $"ax", $"ay",
+        $"ax" + 2 + $"hs", $"ay" + 3, $"ax" + 6 + $"hs", $"ay" + 3,
+        $"ax" + 6 + $"hs", $"ay" + 7, $"ax" + 2 + $"hs", $"ay" + 7,
+        $"ax" + 2 + $"hs", $"ay" + 3)
+      val ann = Geo.st_geomfromtext(annWkt)
+      val box = Geo.st_makeenvelope($"bx".cast("double"),
+        $"by".cast("double"), $"bx" + 9.0, $"by" + 7.0)
+      base.select($"s_suppkey",
+        round(Geo.st_area(ann), 6).as("a_area"),
+        round(Geo.st_area(Geo.st_intersection(ann, box)), 6)
+          .as("inter_area"),
+        round(Geo.st_area(Geo.st_union(ann, box)), 6).as("union_area"),
+        round(Geo.st_area(Geo.st_difference(ann, box)), 6)
+          .as("diff_area"),
+        round(Geo.st_area(Geo.st_buffer(ann, lit(0.5))), 6)
+          .as("buf_area"))
+        .orderBy("s_suppkey")
+    })
+
+  lazy val holesOracle: Map[String, String] = Map(
+    "q_geo_holes" ->
+      """SELECT s_suppkey,
+        |  round(CAST(104 AS DOUBLE), 6) AS a_area,
+        |  round(CAST(si - hi AS DOUBLE), 6) AS inter_area,
+        |  round(CAST(104 + 63 - (si - hi) AS DOUBLE), 6) AS union_area,
+        |  round(CAST(104 - (si - hi) AS DOUBLE), 6) AS diff_area,
+        |  -- dilate(12×10 shell) − erode(4×4 hole):
+        |  -- 120 + 2·22·0.5 + 32-gon(0.5) − 3·3
+        |  round(CAST(133 AS DOUBLE) + 16 * sin(pi() / 16) * 0.25, 6)
+        |    AS buf_area
+        |FROM (
+        |  SELECT s_suppkey,
+        |    greatest(0, least(ax + 12, bx + 9) - greatest(ax, bx)) *
+        |      greatest(0, least(ay + 10, by + 7) - greatest(ay, by)) AS si,
+        |    greatest(0, least(ax + 6 + hs, bx + 9) - greatest(ax + 2 + hs, bx)) *
+        |      greatest(0, least(ay + 7, by + 7) - greatest(ay + 3, by)) AS hi
+        |  FROM (
+        |    SELECT s_suppkey,
+        |      CAST(s_suppkey * 7 % 20 AS INT) AS ax,
+        |      CAST(s_suppkey * 13 % 20 AS INT) AS ay,
+        |      CAST(s_suppkey % 3 AS INT) AS hs,
+        |      CAST(s_suppkey * 11 % 20 AS INT) AS bx,
+        |      CAST(s_suppkey * 17 % 20 AS INT) AS by
+        |    FROM supplier WHERE s_suppkey < 150) a) b
+        |ORDER BY s_suppkey""".stripMargin)
 
   /** Wave-3 set-op gate: per-row rectangle pairs run through the real
     * clipping kernel (st_intersection/st_union/st_difference areas +
@@ -142,7 +208,7 @@ object QGeo {
         |      FROM supplier WHERE s_suppkey < 150) a) b) c
         |ORDER BY s_suppkey""".stripMargin)
 
-  val oracleSql: Map[String, String] = setopOracle ++ Map(
+  val oracleSql: Map[String, String] = setopOracle ++ holesOracle ++ Map(
     "q_geo_zones" -> {
       val zoneCase = zoneDefs.map { case (z, x1, y1, x2, y2) =>
         s"WHEN x > $x1 AND x < $x2 AND y > $y1 AND y < $y2 THEN '$z'"
