@@ -197,7 +197,12 @@ object Bench {
     // aggregate, the text/dedup/sim operators) keeps the stock scan.
     // `layout_build` reports the amortized one-time cost (0.000 when
     // reused). Opt out: SPARK_GRAFT_LAYOUT=0.
-    val layoutHex = java.lang.Integer.toHexString(sfDir.hashCode)
+    // canonical path: "benchdata/sf100" and "/root/repo/benchdata/sf100"
+    // must reuse ONE on-disk layout (a raw-string hash double-built 15 GB
+    // at sf100 and filled the disk)
+    val layoutHex = java.lang.Integer.toHexString(
+      (try new java.io.File(sfDir).getCanonicalPath
+       catch { case _: Exception => sfDir }).hashCode)
     val layoutTo =
       s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$layoutHex"
     def bname(t: String) = s"graft_bkt_${layoutHex}_$t"

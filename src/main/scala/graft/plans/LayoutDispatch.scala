@@ -62,8 +62,16 @@ object LayoutDispatch extends Rule[LogicalPlan] {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[Layout]]()
 
-  private def normalize(p: String): String =
-    p.stripPrefix("file://").stripPrefix("file:").stripSuffix("/")
+  /** Canonical absolute path: a registration spelled relative
+    * ("benchdata/sf100/…") must match the scan's absolute rootPath —
+    * before round 13's fix the mismatch made the rule silently
+    * dispatch NOTHING for relative fixture dirs. */
+  private def normalize(p: String): String = {
+    val raw = p.stripPrefix("file://").stripPrefix("file:")
+      .stripSuffix("/")
+    try new java.io.File(raw).getCanonicalPath
+    catch { case _: Exception => raw }
+  }
 
   /** Register `table` (a session-catalog bucketed table) as a clustered
     * rewrite of the base data at `basePath`. Registration order is
@@ -133,13 +141,19 @@ object LayoutDispatch extends Rule[LogicalPlan] {
     }
 
     val spark = SparkSession.active
+    val verbose =
+      spark.conf.getOption("spark.graft.layout.verbose").contains("true")
     plan.transform {
       case lr: LogicalRelation if baseOf(lr).isDefined =>
         val demand = wanted(lr)
         baseOf(lr).flatMap { base =>
-          registry.get(base)
+          val pick = registry.get(base)
             .find(l => l.keys.nonEmpty && l.keys.forall(demand.contains))
-            .flatMap(substitute(spark, lr, _))
+          val sub = pick.flatMap(substitute(spark, lr, _))
+          if (verbose) System.err.println(
+            s"[layout] base=$base demand=${demand.mkString(",")} " +
+              s"pick=${pick.map(_.table)} substituted=${sub.isDefined}")
+          sub
         }.getOrElse(lr)
     }
   }

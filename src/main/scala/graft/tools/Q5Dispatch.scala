@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Probe: does LayoutDispatch fire for q5/q3 at a big fixture, and
+  * what does the physical plan look like (exchanges, sorts, scans)?
+  * Mirrors the Bench registration exactly (reuses its on-disk layout).
+  */
+object Q5Dispatch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf100"
+    val q = if (args.length > 1) args(1) else "q5_local_supplier"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val layoutHex = java.lang.Integer.toHexString(sfDir.hashCode)
+    val layoutTo = s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$layoutHex"
+    def bname(t: String) = s"graft_bkt_${layoutHex}_$t"
+    import graft.engine.Bucketed
+    import graft.Tables
+    val nBk = 32
+    Bucketed.writeOrReuse(Tables.load(spark, sfDir, "lineitem"), spark,
+      bname("lineitem"), s"$layoutTo/lineitem", Seq("l_orderkey"), nBk)
+    Bucketed.writeOrReuse(Tables.load(spark, sfDir, "orders"), spark,
+      bname("orders"), s"$layoutTo/orders", Seq("o_orderkey"), nBk)
+    Bucketed.writeOrReuse(Tables.load(spark, sfDir, "orders"), spark,
+      bname("orders_ck"), s"$layoutTo/orders_ck", Seq("o_custkey"), nBk)
+    graft.plans.LayoutDispatch.install(spark)
+    graft.plans.LayoutDispatch.register(s"$sfDir/lineitem.parquet",
+      Seq("l_orderkey"), bname("lineitem"))
+    graft.plans.LayoutDispatch.register(s"$sfDir/orders.parquet",
+      Seq("o_orderkey"), bname("orders"))
+    graft.plans.LayoutDispatch.register(s"$sfDir/orders.parquet",
+      Seq("o_custkey"), bname("orders_ck"))
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    spark.conf.set("spark.graft.layout.verbose", "true")
+    val df = graft.SparkEntry.queries(q)(spark, sfDir)
+    val phys = df.queryExecution.executedPlan.toString
+    println("--- dispatched scans: " +
+      "bucket-table=" + "graft_bkt".r.findAllIn(phys).size +
+      " raw-parquet=" + s"$sfDir".r.findAllIn(phys).size)
+    println("--- exchanges=" + "Exchange".r.findAllIn(phys).size +
+      " sorts=" + "(?m)^\\s*[+:]?-? *Sort ".r.findAllIn(phys).size +
+      " bhj=" + "BroadcastHashJoin".r.findAllIn(phys).size +
+      " smj=" + "SortMergeJoin".r.findAllIn(phys).size +
+      " shj=" + "ShuffledHashJoin".r.findAllIn(phys).size)
+    println(phys.linesIterator.filter(l =>
+      l.contains("Exchange") || l.contains("Join") || l.contains("Scan") ||
+        l.trim.startsWith("Sort ") || l.contains("Sort [")).map(_.take(160)).mkString("\n"))
+    spark.stop()
+  }
+}
