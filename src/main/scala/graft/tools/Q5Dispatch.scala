@@ -17,7 +17,8 @@ object Q5Dispatch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val layoutHex = java.lang.Integer.toHexString(sfDir.hashCode)
+    val layoutHex = java.lang.Integer.toHexString(
+      new java.io.File(sfDir).getCanonicalPath.hashCode)
     val layoutTo = s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$layoutHex"
     def bname(t: String) = s"graft_bkt_${layoutHex}_$t"
     import graft.engine.Bucketed
