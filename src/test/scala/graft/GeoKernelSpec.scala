@@ -914,6 +914,33 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(area(nbuf) < nArea + nPerim * 1 + math.Pi + 1e-6)
     assert(GeoKernel.contains(nbuf, GPoint(2, 2)))   // 0.55 from notch edge
     assert(!GeoKernel.contains(nbuf, GPoint(2, 3)))  // 1.11 from notch edge
+    // hole-forming buffers (work since the holed part algebra):
+    // a CLOSED square ring as a LINESTRING buffers to an annulus —
+    // band area = P·2r + outer corner fans (one full 32-gon) − the
+    // four inner-corner r² double-counts
+    val closedRing = buffer(g("LINESTRING(0 0,10 0,10 10,0 10,0 0)"), 1).get
+    val ringTarget = 40 * 2 * 1 + 16 * math.sin(math.Pi / 16) * 1 - 4 * 1
+    assert(math.abs(area(closedRing) - ringTarget) < 1e-6,
+      s"${area(closedRing)} vs $ringTarget")
+    closedRing match {
+      case GPolygon(rs) => assert(rs.size == 2, s"annulus rings ${rs.size}")
+      case other => fail(s"expected holed polygon, got $other")
+    }
+    assert(!GeoKernel.contains(closedRing, GPoint(5, 5))) // hole core
+    assert(GeoKernel.contains(closedRing, GPoint(0.5, 0.5)))
+    // self-crossing figure-eight line buffers (fold survives the
+    // crossing's degenerate contacts)
+    val fig = buffer(g("LINESTRING(0 0,4 4,4 0,0 4)"), 0.5).get
+    assert(area(fig) > 10 && area(fig) < 16, s"fig ${area(fig)}")
+    // U-shape whose mouth is NARROWER than 2r: every mouth point sits
+    // within r of a wall, so the dilation fills the mouth but clips the
+    // lens above the opening that the convex 7×6 dilation would cover
+    val u = g("POLYGON((0 0,7 0,7 6,5 6,5 2,2 2,2 6,0 6,0 0))")
+    val ubuf = buffer(u, 2).get
+    val convexRect = 42 + 26 * 2 + 16 * math.sin(math.Pi / 16) * 4
+    assert(area(ubuf) < convexRect && area(ubuf) > convexRect - 2,
+      s"${area(ubuf)} vs < $convexRect")
+    assert(GeoKernel.contains(ubuf, GPoint(3.5, 4))) // filled mouth
     // MULTIPOLYGON: disjoint components stay disjoint members
     val mpoly = buffer(
       g("MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((10 10,11 10,11 11,10 11,10 10)))"),
