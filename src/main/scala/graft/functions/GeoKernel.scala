@@ -1976,7 +1976,12 @@ object GeoKernel {
       var pending = comps
       while (pending.nonEmpty) {
         val c = pending.head; pending = pending.tail
-        if (intersects(ringPoly(cur), ringPoly(c))) {
+        // merge only when INTERIORS overlap: rings that merely touch
+        // (corner kiss, shared edge) have disjoint interiors and are
+        // already valid disjoint subtrahends — and their union may not
+        // even be a single ring (a corner kiss is a point-joined pair)
+        if (intersects(ringPoly(cur), ringPoly(c)) &&
+            !touches(ringPoly(cur), ringPoly(c))) {
           polyClip(ringPoly(cur), ringPoly(c), 1) match {
             case Some(GPolygon(IndexedSeq(one))) => cur = one
             case _ => return None
@@ -2144,7 +2149,14 @@ object GeoKernel {
           polysA.exists(p => polysB.exists(q =>
             locateInPolygon(pointOnSurface(p), q) == 2)) ||
           polysB.exists(p => polysA.exists(q =>
-            locateInPolygon(pointOnSurface(p), q) == 2))
+            locateInPolygon(pointOnSurface(p), q) == 2)) || {
+            // every sample test can miss at once (e.g. a 1-unit-wide
+            // overlap whose surface points land exactly ON the other
+            // boundary — found by the holed-algebra property sweep):
+            // when boundaries meet, decide by the clipped intersection
+            polysA.exists(p => polysB.exists(q =>
+              polyClip(p, q, 0).exists(area(_) > 0)))
+          }
     }
   }
 

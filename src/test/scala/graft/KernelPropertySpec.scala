@@ -88,6 +88,47 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("holed part algebra matches closed-form rect arithmetic on 300 " +
+      "random annulus/box configurations") {
+    val rnd = new scala.util.Random(19)
+    for (_ <- 0 until 300) {
+      // integer-grid annulus: shell W×H at (ax,ay), hole strictly inside
+      val (ax, ay) = (rnd.nextInt(20).toDouble, rnd.nextInt(20).toDouble)
+      val (w, h) = (6.0 + rnd.nextInt(8), 6.0 + rnd.nextInt(8))
+      val hx1 = ax + 1 + rnd.nextInt((w - 3).toInt)
+      val hy1 = ay + 1 + rnd.nextInt((h - 3).toInt)
+      val hx2 = math.min(ax + w - 1, hx1 + 1 + rnd.nextInt(4))
+      val hy2 = math.min(ay + h - 1, hy1 + 1 + rnd.nextInt(4))
+      // integer-grid clip box (degenerate contacts welcome)
+      val (bx, by) = (rnd.nextInt(30).toDouble, rnd.nextInt(30).toDouble)
+      val (bw, bh) = (2.0 + rnd.nextInt(10), 2.0 + rnd.nextInt(10))
+      val ann = GPolygon(IndexedSeq(
+        IndexedSeq((ax, ay), (ax + w, ay), (ax + w, ay + h),
+          (ax, ay + h), (ax, ay)),
+        IndexedSeq((hx1, hy1), (hx2, hy1), (hx2, hy2), (hx1, hy2),
+          (hx1, hy1))))
+      val box = makeEnvelope(bx, by, bx + bw, by + bh)
+      def rectI(x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+        val iw = math.max(0, math.min(x2, bx + bw) - math.max(x1, bx))
+        val ih = math.max(0, math.min(y2, by + bh) - math.max(y1, by))
+        iw * ih
+      }
+      val aArea = w * h - (hx2 - hx1) * (hy2 - hy1)
+      val inter = rectI(ax, ay, ax + w, ay + h) - rectI(hx1, hy1, hx2, hy2)
+      val ctx = s"A=($ax,$ay,$w,$h) hole=($hx1,$hy1,$hx2,$hy2) " +
+        s"B=($bx,$by,$bw,$bh)"
+      assert(math.abs(area(ann) - aArea) < 1e-9, ctx)
+      assert(math.abs(area(intersection(ann, box).get) - inter) < 1e-9,
+        s"inter $ctx")
+      assert(math.abs(area(union(ann, box).get) -
+        (aArea + bw * bh - inter)) < 1e-9, s"union $ctx")
+      assert(math.abs(area(difference(ann, box).get) - (aArea - inter))
+        < 1e-9, s"diff $ctx")
+      assert(math.abs(area(difference(box, ann).get) - (bw * bh - inter))
+        < 1e-9, s"rdiff $ctx")
+    }
+  }
+
   test("Z/M-forced WKB round-trips the XY projection on random geometries") {
     val rnd = new scala.util.Random(11)
     def rndPts(n: Int) = IndexedSeq.fill(n)(
