@@ -1010,8 +1010,17 @@ object Engine {
     // http(s):// sources localize through the content-addressed cache
     // first (the reference's cache-worker shape, sources/RemoteFetch) —
     // every format below then reads a local file exactly as before
-    val path = graft.sources.RemoteFetch.localize(path0)
-    format.toLowerCase match {
+    val pathL = graft.sources.RemoteFetch.localize(path0)
+    // .zip containers extract once and re-dispatch on the selected entry
+    // (zip_path option / extension inference — the reference's ".zip |
+    // Auto-detected or derived from zip_path extension" row); a zipped
+    // shapefile's .dbf/.shx extract beside its .shp so the pair resolves
+    val (path, fmt) =
+      if (graft.sources.ZipContainer.isZip(pathL))
+        graft.sources.ZipContainer.resolve(pathL, format,
+          options.get("zip_path"))
+      else (pathL, format)
+    fmt.toLowerCase match {
       case "parquet" => spark.read.options(options).parquet(path)
       case "csv" =>
         // sniffed dialect fills the gaps; explicit user options always win

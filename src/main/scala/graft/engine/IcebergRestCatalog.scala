@@ -169,6 +169,124 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
   def scan(ns: Seq[String], name: String): DataFrame =
     IcebergImport.scanMetadataPath(spark, metadataLocation(ns, name))
 
+  /** The optimistic-concurrency table commit — the spec's commitTable
+    * operation and the reference's `UpdateTableViaRestCatalog` wire shape
+    * (rest_catalog.c:123-232, track_iceberg_metadata_changes.c:371-416):
+    * POST `{requirements:[...], updates:[...]}` to the table URL. The
+    * server validates every requirement against ITS view of the table and
+    * answers 409 (CommitFailedException) when a concurrent writer moved
+    * the ref first — surfaced here as [[IcebergRestCatalog.CommitConflict]]
+    * so callers can re-read and retry; any 2xx returns the new
+    * `metadata-location` the catalog now points at. */
+  def commitTable(ns: Seq[String], name: String,
+      requirements: Seq[JValue], updates: Seq[JValue]): String = {
+    val body = JsonMethods.compact(JsonMethods.render(JObject(
+      "identifier" -> JObject(
+        "namespace" -> JArray(ns.map(JString(_)).toList),
+        "name" -> JString(name)),
+      "requirements" -> JArray(requirements.toList),
+      "updates" -> JArray(updates.toList))))
+    val (code, resp) = request("POST",
+      s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name", Some(body))
+    if (code == 409)
+      throw new IcebergRestCatalog.CommitConflict(
+        s"commit of $name rejected by catalog (concurrent update): " +
+          resp.take(500))
+    if (code < 200 || code >= 300)
+      throw new IllegalStateException(
+        s"POST tables/$name commit -> HTTP $code: ${resp.take(500)}")
+    (JsonMethods.parse(resp) \ "metadata-location").extract[String]
+  }
+
+  /** Append the lake table's CURRENT snapshot to a catalog-owned table
+    * through the commit protocol: exports fresh Iceberg metadata beside
+    * the data (so the manifest list exists for the catalog to serve),
+    * asserts the catalog's `main` ref still points at the snapshot this
+    * writer based its work on (`assert-ref-snapshot-id` — the optimistic
+    * lock), then sends `add-snapshot` + `set-snapshot-ref`, exactly the
+    * reference's GetAddSnapshotCatalogRequest pair
+    * (rest_catalog.c:891-921). Throws [[IcebergRestCatalog.CommitConflict]]
+    * when another writer committed since `baseSnapshotId` was read. */
+  def commitAppend(tbl: LakeTable, ns: Seq[String], name: String,
+      baseSnapshotId: Long): String = {
+    val metaPath = graft.core.IcebergExport.export(tbl, tbl.dir)
+    val doc = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(metaPath)),
+      StandardCharsets.UTF_8))
+    val newId = tbl.meta.currentSnapshotId
+    val snapJson = (doc \ "snapshots") match {
+      case JArray(ss) => ss.find(s =>
+          (s \ "snapshot-id").extractOpt[Long].contains(newId))
+        .getOrElse(throw new IllegalStateException(
+          s"export has no snapshot $newId"))
+      case _ => throw new IllegalStateException("export has no snapshots")
+    }
+    val seq = (doc \ "last-sequence-number").extractOpt[Long].getOrElse(1L)
+    val parentField =
+      if (baseSnapshotId > 0)
+        List(JField("parent-snapshot-id", JLong(baseSnapshotId)))
+      else Nil
+    val snapshot = JObject(snapJson.asInstanceOf[JObject].obj ++
+      List(JField("sequence-number", JLong(seq))) ++ parentField)
+    val requirements = Seq[JValue](JObject(
+      "type" -> JString("assert-ref-snapshot-id"),
+      "ref" -> JString("main"),
+      "snapshot-id" ->
+        (if (baseSnapshotId > 0) JLong(baseSnapshotId) else JNull)))
+    val updates = Seq[JValue](
+      JObject("action" -> JString("add-snapshot"), "snapshot" -> snapshot),
+      JObject("action" -> JString("set-snapshot-ref"),
+        "ref-name" -> JString("main"), "type" -> JString("branch"),
+        "snapshot-id" -> JLong(newId)))
+    commitTable(ns, name, requirements, updates)
+  }
+
+  /** The catalog's current `main` snapshot id for a table (the base a
+    * writer must re-assert at commit time), read from the inline
+    * metadata the spec's loadTable returns, falling back to the
+    * metadata file itself for servers that omit it. */
+  def currentSnapshotId(ns: Seq[String], name: String): Long = {
+    val j = expect("GET",
+      s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name")
+    (j \ "metadata" \ "current-snapshot-id").extractOpt[Long]
+      .orElse {
+        val loc = (j \ "metadata-location").extract[String]
+        val doc = JsonMethods.parse(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(loc)),
+          StandardCharsets.UTF_8))
+        (doc \ "current-snapshot-id").extractOpt[Long]
+      }.getOrElse(-1L)
+  }
+
+  /** Catalog-owned INSERT: append `df` to the table the catalog points
+    * at, publishing the new snapshot THROUGH the commit protocol (not
+    * export+re-register) with bounded optimistic retries — the write
+    * path a Polaris/Lakekeeper user exercises on their second write.
+    * Conflicting writers serialize: on 409 the local engine state is
+    * already durable (append-only snapshots), so we re-read the
+    * catalog's ref and re-assert; `maxRetries` bounds the loop. */
+  def insert(ns: Seq[String], name: String,
+      df: DataFrame, maxRetries: Int = 3): String = {
+    val j = expect("GET",
+      s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name")
+    val loc = (j \ "metadata-location").extract[String]
+    // resolve the lake-table root: .../<dir>/metadata/vN.metadata.json
+    val dir = java.nio.file.Paths.get(loc).getParent.getParent.toString
+    val tbl = LakeTable.load(spark, dir)
+    graft.engine.Engine.insert(tbl, df)
+    var base = currentSnapshotId(ns, name)
+    var attempt = 0
+    while (true) {
+      try return commitAppend(LakeTable.load(spark, dir), ns, name, base)
+      catch { case e: IcebergRestCatalog.CommitConflict =>
+        attempt += 1
+        if (attempt > maxRetries) throw e
+        base = currentSnapshotId(ns, name)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Register an existing Iceberg table by metadata location
     * (registerTable — the spec's migration endpoint). */
   def registerTable(ns: Seq[String], name: String,
@@ -199,4 +317,10 @@ object IcebergRestCatalog {
   final case class OAuth(clientId: String, clientSecret: String,
       scope: String = "catalog", tokenEndpoint: Option[String] = None,
       skewMs: Long = 30000)
+
+  /** A 409 from commitTable — the spec's CommitFailedException: some
+    * requirement (the optimistic lock) no longer holds because a
+    * concurrent writer committed first. Re-read the table and retry. */
+  final class CommitConflict(message: String)
+    extends RuntimeException(message)
 }

@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+/** `hf://` URL scheme — the reference's Hugging Face path support
+  * (docs/file-formats-reference.md:158-190): `hf://datasets/user/repo/
+  * path/file.parquet` resolves to the hub's `resolve/{revision}` HTTPS
+  * form, an optional `@revision` selects a branch/tag, and the special
+  * `@~parquet` revision is the hub's auto-converted-parquet ref
+  * (`refs/convert/parquet`) so an `@~parquet` glob over `**` reads a
+  * whole dataset's parquet conversion.
+  *
+  * Single files feed [[RemoteFetch.localize]]'s content-addressed cache
+  * (a deliberate upgrade over the reference, which documents hf:// as
+  * uncached); glob paths list the repo tree through the hub's public
+  * `/api/{type}/{id}/tree/{rev}?recursive=true` endpoint and localize
+  * every match into a per-listing link directory, the same shape as
+  * [[S3Fetch.localize]] globs — Spark readers take the directory
+  * anywhere they take a file.
+  *
+  * The hub endpoint is `https://huggingface.co` unless the
+  * `graft.hf.endpoint` system property points elsewhere (loopback in
+  * UrlReadSpec — a no-egress environment can still drive the full
+  * resolve + tree-listing wire protocol).
+  */
+object HfFetch {
+
+  def isHf(path: String): Boolean = path.startsWith("hf://")
+
+  private def endpoint: String =
+    sys.props.getOrElse("graft.hf.endpoint", "https://huggingface.co")
+      .stripSuffix("/")
+
+  /** Parsed `hf://{type}/{user}/{repo}[@{revision}]/{path}`; repoType is
+    * `datasets`/`spaces`/`models` (the hub's tree/resolve URL families). */
+  final case class HfLoc(repoType: String, repoId: String,
+      revision: String, path: String)
+
+  def parse(url: String): HfLoc = {
+    val rest = url.stripPrefix("hf://")
+    val segs = rest.split("/", 4)
+    if (segs.length < 4)
+      throw new IllegalArgumentException(
+        s"hf:// path must be hf://{type}/{user}/{repo}/{path}: $url")
+    val repoType = segs(0) match {
+      case t @ ("datasets" | "spaces" | "models") => t
+      case other => throw new IllegalArgumentException(
+        s"unsupported hf repo type '$other' in $url")
+    }
+    // the @revision marker rides on the repo segment:
+    //   hf://datasets/user/repo@~parquet/**/*.parquet
+    val (repoSeg, revision) = {
+      val at = segs(2).indexOf('@')
+      if (at < 0) (segs(2), "main")
+      else {
+        val r = segs(2).substring(at + 1)
+        (segs(2).take(at),
+          if (r == "~parquet") "refs%2Fconvert%2Fparquet"
+          else java.net.URLEncoder.encode(r, "UTF-8"))
+      }
+    }
+    HfLoc(repoType, s"${segs(1)}/$repoSeg", revision, segs(3))
+  }
+
+  /** The https form the hub serves file bytes from (the docs' "remove
+    * the extra /blob/main/" rewrite, generalized to any revision). */
+  def resolveUrl(loc: HfLoc, path: String): String =
+    s"$endpoint/${loc.repoType}/${loc.repoId}/resolve/${loc.revision}/" +
+      path.split("/").map(java.net.URLEncoder.encode(_, "UTF-8")
+        .replace("+", "%20")).mkString("/")
+
+  // unlike S3 keys, hf globs follow the hub convention where `**`
+  // crosses directory levels and a single `*` does not
+  private def globToRegex(glob: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
+          sb.append(".*"); i += 1
+        case '*' => sb.append("[^/]*")
+        case '?' => sb.append("[^/]")
+        case c if "\\.[]{}()+-^$|".contains(c) => sb.append("\\").append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private lazy val http: HttpClient =
+    HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL).build()
+
+  /** List file paths under the repo tree at the glob's literal prefix
+    * (`/api/{type}/{id}/tree/{rev}/{prefix}?recursive=true`, paginated
+    * by the hub's `link: ...rel="next"` header). */
+  private def listTree(loc: HfLoc, prefix: String): Seq[String] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val dir = prefix.stripSuffix("/")
+    val base = s"$endpoint/api/${loc.repoType}/${loc.repoId}/tree/" +
+      s"${loc.revision}" + (if (dir.isEmpty) "" else s"/$dir") +
+      "?recursive=true"
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var next: Option[String] = Some(base)
+    while (next.isDefined) {
+      val resp = http.send(
+        HttpRequest.newBuilder(URI.create(next.get)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new IllegalStateException(
+          s"GET ${next.get} -> HTTP ${resp.statusCode()}: " +
+            resp.body().take(300))
+      val arr = org.json4s.jackson.JsonMethods.parse(resp.body())
+      arr match {
+        case org.json4s.JArray(items) => items.foreach { it =>
+          if ((it \ "type").extractOpt[String].contains("file"))
+            (it \ "path").extractOpt[String].foreach(out += _)
+        }
+        case _ => ()
+      }
+      // RFC 5988 pagination: <url>; rel="next"
+      next = Option(resp.headers().firstValue("link").orElse(null))
+        .flatMap { l =>
+          val m = """<([^>]+)>;\s*rel="next"""".r.findFirstMatchIn(l)
+          m.map(_.group(1))
+        }
+    }
+    out.toList
+  }
+
+  private def digestOf(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(32)
+
+  private def extOf(key: String): String = {
+    val dot = key.lastIndexOf('.')
+    if (dot >= 0 && dot > key.lastIndexOf('/')) key.substring(dot) else ""
+  }
+
+  /** Localize an `hf://` path: plain files resolve + download through
+    * the shared content-addressed cache; globs list the tree, filter,
+    * and hard-link matches into a per-listing directory. */
+  def localize(path: String, forceRefresh: Boolean = false): String = {
+    val loc = parse(path)
+    if (!loc.path.exists(c => c == '*' || c == '?'))
+      RemoteFetch.localize(resolveUrl(loc, loc.path), forceRefresh)
+    else {
+      val litPrefix = {
+        val p = loc.path.takeWhile(c => c != '*' && c != '?')
+        p.take(p.lastIndexOf('/') + 1) // cut back to a whole directory
+      }
+      val re = globToRegex(loc.path).r
+      val files = listTree(loc, litPrefix).filter(f => re.matches(f))
+      if (files.isEmpty)
+        throw new IllegalArgumentException(s"no files match $path")
+      val cacheDir = Paths.get(sys.props.getOrElse("graft.url.cache.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-url-cache"))
+      Files.createDirectories(cacheDir)
+      val dir = cacheDir.resolve("glob-" + digestOf(path))
+      Files.createDirectories(dir)
+      files.foreach { f =>
+        val local = Paths.get(
+          RemoteFetch.localize(resolveUrl(loc, f), forceRefresh))
+        val link = dir.resolve(digestOf(f) + extOf(f))
+        if (forceRefresh) Files.deleteIfExists(link)
+        if (!Files.exists(link))
+          try Files.createLink(link, local)
+          catch {
+            case _: UnsupportedOperationException =>
+              Files.copy(local, link, StandardCopyOption.REPLACE_EXISTING)
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
+      }
+      dir.toString
+    }
+  }
+}

@@ -59,6 +59,7 @@ object RemoteFetch {
     if (S3Fetch.isS3(path)) // s3:// and gs://
       return S3Fetch.localize(path, forceRefresh)
     if (AzFetch.isAz(path)) return AzFetch.localize(path, forceRefresh)
+    if (HfFetch.isHf(path)) return HfFetch.localize(path, forceRefresh)
     if (!isUrl(path)) return path
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(path.getBytes("UTF-8"))

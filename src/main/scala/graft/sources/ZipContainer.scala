@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import java.util.zip.ZipFile
+
+import scala.jdk.CollectionConverters._
+
+/** Zip-container reads — the reference's `.zip` format row
+  * (docs/file-formats-reference.md:100-135): a `.zip` source extracts
+  * once into a content-addressed cache directory, an optional
+  * `zip_path` option selects an entry ("Relative path within a .zip
+  * file (e.g. 'S_USA.OtherSubSurfaceRight.shp')"), and when the caller
+  * asked for `zip`/`auto` the format is "Auto-detected or derived from
+  * zip_path extension" — the classic zipped-government-shapefile path
+  * (`load_from = '...zip'`).
+  *
+  * Sibling files extract alongside the selected entry, which is what
+  * makes multi-file formats work: a zipped shapefile's `.dbf`/`.shx`
+  * land next to its `.shp`, exactly where [[Shapefile.read]] looks.
+  */
+object ZipContainer {
+
+  def isZip(path: String): Boolean = path.toLowerCase.endsWith(".zip")
+
+  /** extension (lowercase, no dot) → copyFrom format name */
+  private val extFormat: Map[String, String] = Map(
+    "shp" -> "shapefile", "gpkg" -> "gpkg", "kml" -> "kml",
+    "kmz" -> "kmz", "dxf" -> "dxf", "gml" -> "gml", "mif" -> "mif",
+    "fgb" -> "fgb", "geojson" -> "geojson", "geojsonl" -> "geojsonl",
+    "geojsons" -> "geojsonl", "xlsx" -> "xlsx", "csv" -> "csv",
+    "json" -> "json", "parquet" -> "parquet", "orc" -> "orc",
+    "txt" -> "text")
+
+  /** format name → the entry extensions that carry it (inverse of the
+    * map above, plus aliases the dispatcher accepts) */
+  private def extsFor(format: String): Seq[String] = format match {
+    case "shp" | "shapefile" => Seq("shp")
+    case "geopackage" => Seq("gpkg")
+    case "mapinfo" => Seq("mif")
+    case "flatgeobuf" => Seq("fgb")
+    case "geojsonseq" => Seq("geojsonl", "geojsons")
+    case "text" => Seq("txt")
+    case f => Seq(f)
+  }
+
+  private def extOf(name: String): String = {
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot < 0) "" else base.substring(dot + 1).toLowerCase
+  }
+
+  private def cacheRoot: Path = {
+    val d = Paths.get(sys.props.getOrElse("graft.url.cache.dir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-url-cache"))
+    Files.createDirectories(d)
+    d
+  }
+
+  /** Extract the whole archive once into `zip-<digest>` (keyed by path +
+    * size + mtime so a changed archive re-extracts); concurrent callers
+    * race benignly — extraction goes to a temp dir that publishes by
+    * atomic rename. Zip-slip entries (`../`) are rejected. */
+  def extract(zipPath: String): Path = {
+    val f = Paths.get(zipPath)
+    val key = s"$zipPath|${Files.size(f)}|" +
+      s"${Files.getLastModifiedTime(f).toMillis}"
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(32)
+    val dest = cacheRoot.resolve(s"zip-$digest")
+    if (Files.isDirectory(dest)) return dest
+    val tmp = Files.createTempDirectory(cacheRoot, s".zip-$digest-")
+    val zf = new ZipFile(zipPath)
+    try zf.entries().asScala.filterNot(_.isDirectory).foreach { e =>
+      val out = tmp.resolve(e.getName).normalize()
+      if (!out.startsWith(tmp))
+        throw new IllegalArgumentException(
+          s"zip entry escapes archive root: ${e.getName}")
+      Files.createDirectories(out.getParent)
+      val in = zf.getInputStream(e)
+      try Files.copy(in, out) finally in.close()
+    } finally zf.close()
+    try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Exception => // lost the publish race: use the winner
+      val s = Files.walk(tmp)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+    dest
+  }
+
+  /** Resolve a `.zip` source to `(dataPath, format)`: `zipPath` names
+    * the entry when given (format inferred from ITS extension when the
+    * caller passed `zip`/`auto`); otherwise the first entry whose
+    * extension matches the requested format — or, under `zip`/`auto`,
+    * the first entry with ANY known data extension (zip entry order,
+    * deterministic). */
+  def resolve(zip: String, format: String,
+      zipInner: Option[String]): (String, String) = {
+    val dir = extract(zip)
+    val auto = format.toLowerCase == "zip" || format.toLowerCase == "auto"
+    zipInner match {
+      case Some(inner) =>
+        val p = dir.resolve(inner).normalize()
+        if (!p.startsWith(dir) || !Files.exists(p))
+          throw new IllegalArgumentException(
+            s"zip_path '$inner' not found in $zip")
+        val fmt = if (auto) extFormat.getOrElse(extOf(inner),
+          throw new IllegalArgumentException(
+            s"cannot infer format from zip_path '$inner'"))
+        else format
+        (p.toString, fmt)
+      case None =>
+        // entries in archive order (walk sorts lexicographically per
+        // dir — stable across runs either way)
+        val entries = {
+          val s = Files.walk(dir)
+          try s.iterator().asScala.filter(Files.isRegularFile(_))
+            .toList.sortBy(_.toString)
+          finally s.close()
+        }
+        val pick =
+          if (auto) entries.find(p => extFormat.contains(extOf(p.toString)))
+          else {
+            val want = extsFor(format.toLowerCase).toSet
+            entries.find(p => want.contains(extOf(p.toString)))
+          }
+        val p = pick.getOrElse(throw new IllegalArgumentException(
+          s"no entry in $zip matches format '$format' " +
+            "(pass zip_path to select one)"))
+        val fmt = if (auto) extFormat(extOf(p.toString)) else format
+        (p.toString, fmt)
+    }
+  }
+}

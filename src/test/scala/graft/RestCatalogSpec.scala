@@ -42,6 +42,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   // catalog state: namespaces + (nsKey, table) -> metadata-location
   private val namespaces = mutable.LinkedHashSet[Seq[String]]()
   private val tables = mutable.LinkedHashMap[(String, String), String]()
+  private val commitSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def json(ex: HttpExchange, code: Int, body: String): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)
@@ -127,6 +128,70 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
               "metadata" -> Map.empty[String, String])))
           case None => json(ex, 404, """{"error":"NoSuchTableException"}""")
         }
+      // commitTable: validate requirements against THIS catalog's view,
+      // apply updates to the metadata the catalog owns, persist a new
+      // metadata file, move the pointer — the genuine server half of the
+      // optimistic-concurrency protocol (409 = CommitFailedException)
+      case ("POST", List("v1", "demo", "namespaces", ns, "tables", t)) =>
+        tables.get((ns, t)) match {
+          case None => json(ex, 404, """{"error":"NoSuchTableException"}""")
+          case Some(loc) =>
+            val doc = parse(java.nio.file.Files.readString(
+              java.nio.file.Paths.get(loc)))
+            val cur = (doc \ "current-snapshot-id").extractOpt[Long]
+              .getOrElse(-1L)
+            val req = parse(body)
+            import org.json4s._
+            val failed = (req \ "requirements") match {
+              case JArray(rs) => rs.exists { r =>
+                (r \ "type").extractOpt[String].contains(
+                  "assert-ref-snapshot-id") && {
+                  val want = (r \ "snapshot-id").extractOpt[Long]
+                    .getOrElse(-1L)
+                  want != cur
+                }
+              }
+              case _ => false
+            }
+            if (failed) {
+              json(ex, 409, """{"error":{"message":"Requirement failed: """ +
+                """branch main has changed","type":"CommitFailedException"}}""")
+              return
+            }
+            var snaps = (doc \ "snapshots") match {
+              case JArray(ss) => ss; case _ => Nil
+            }
+            var newCur = cur
+            (req \ "updates") match {
+              case JArray(us) => us.foreach { u =>
+                (u \ "action").extractOpt[String] match {
+                  case Some("add-snapshot") => snaps = snaps :+ (u \ "snapshot")
+                  case Some("set-snapshot-ref") =>
+                    newCur = (u \ "snapshot-id").extract[Long]
+                  case _ => ()
+                }
+              }
+              case _ => ()
+            }
+            val newDoc = JObject(doc.asInstanceOf[JObject].obj.map {
+              case JField("snapshots", _) => JField("snapshots", JArray(snaps))
+              case JField("current-snapshot-id", _) =>
+                JField("current-snapshot-id", JLong(newCur))
+              case f => f
+            })
+            // persist beside the old file so relative manifest paths keep
+            // resolving; move the catalog pointer atomically
+            val dir = java.nio.file.Paths.get(loc).getParent
+            val newLoc = dir.resolve(
+              s"commit-${commitSeq.incrementAndGet()}.metadata.json").toString
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(newLoc),
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(newDoc)))
+            tables((ns, t)) = newLoc
+            json(ex, 200, write(Map("metadata-location" -> newLoc,
+              "metadata" -> Map("current-snapshot-id" -> newCur))))
+        }
       case ("DELETE", List("v1", "demo", "namespaces", ns, "tables", t)) =>
         if (tables.remove((ns, t)).isDefined) json(ex, 204, "")
         else json(ex, 404, """{"error":"NoSuchTableException"}""")
@@ -165,6 +230,66 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable(ns, "region")
     assert(!cat.tableExists(ns, "region"))
     assert(cat.listTables(ns).isEmpty)
+  }
+
+  test("commit protocol: snapshot append via requirements/updates, " +
+      "visible through the catalog; stale base surfaces a 409 conflict; " +
+      "re-read + retry succeeds") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val ns = Seq("commitns")
+    cat.createNamespace(ns)
+    val r = Tables.load(spark, "/root/testdata/sf0.001", "region")
+    val dir = Files.createTempDirectory("restcommit").toString + "/t"
+    val tbl = Engine.ctas(spark, dir, r)
+    cat.publish(tbl, ns, "region")
+    val n0 = cat.scan(ns, "region").count()
+    val base0 = cat.currentSnapshotId(ns, "region")
+    assert(base0 > 0, "registered table must expose a current snapshot")
+
+    // writer A: append locally, commit THROUGH the catalog protocol
+    Engine.insert(tbl, r.limit(2))
+    val tblA = graft.core.LakeTable.load(spark, dir)
+    val newLoc = cat.commitAppend(tblA, ns, "region", base0)
+    assert(newLoc != null && newLoc.nonEmpty)
+    assert(cat.scan(ns, "region").count() == n0 + 2,
+      "committed snapshot must be visible through the catalog pointer")
+    val base1 = cat.currentSnapshotId(ns, "region")
+    assert(base1 != base0, "main ref must have moved")
+
+    // writer B based its work on base0 — the catalog must refuse
+    Engine.insert(tblA, r.limit(1))
+    val tblB = graft.core.LakeTable.load(spark, dir)
+    val conflict = intercept[IcebergRestCatalog.CommitConflict] {
+      cat.commitAppend(tblB, ns, "region", base0)
+    }
+    assert(conflict.getMessage.contains("CommitFailedException"))
+    // catalog view unchanged by the refused commit
+    assert(cat.scan(ns, "region").count() == n0 + 2)
+
+    // re-read the ref, retry — the optimistic protocol's happy loop
+    cat.commitAppend(tblB, ns, "region", base1)
+    assert(cat.scan(ns, "region").count() == n0 + 3)
+    cat.dropTable(ns, "region")
+  }
+
+  test("catalog-owned INSERT: Engine write + commit through the " +
+      "protocol in one call, with automatic conflict retry") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val ns = Seq("ownedns")
+    cat.createNamespace(ns)
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val dir = Files.createTempDirectory("restowned").toString + "/t"
+    val tbl = Engine.ctas(spark, dir, nation)
+    cat.publish(tbl, ns, "nation")
+    val n0 = cat.scan(ns, "nation").count()
+    cat.insert(ns, "nation", nation.limit(3))
+    assert(cat.scan(ns, "nation").count() == n0 + 3)
+    // a second insert exercises the moved ref (base re-read each call)
+    cat.insert(ns, "nation", nation.limit(1))
+    assert(cat.scan(ns, "nation").count() == n0 + 4)
+    cat.dropTable(ns, "nation")
   }
 
   test("OAuth2 client-credentials: token fetched once, cached across " +

@@ -132,6 +132,64 @@ class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(g.isNullAt(g.fieldIndex("POP")) && g.isNullAt(g.fieldIndex("DAY")))
   }
 
+  // ---- zip-container reads (file-formats-reference.md:100-135: ".zip |
+  // Auto-detected or derived from zip_path extension"; zip_path option) —
+  // the reference's `load_from = '...zip'` zipped-shapefile path
+
+  private def buildZip(entries: (String, Array[Byte])*): String = {
+    val z = Files.createTempFile("shpzip", ".zip")
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(z))
+    entries.foreach { case (name, bytes) =>
+      out.putNextEntry(new java.util.zip.ZipEntry(name))
+      out.write(bytes)
+      out.closeEntry()
+    }
+    out.close()
+    z.toString
+  }
+
+  test("reads a zipped .shp/.dbf pair straight from the .zip (format " +
+      "given); the sibling .dbf resolves inside the archive") {
+    val zip = buildZip(
+      "zones.shp" -> Files.readAllBytes(Paths.get(dir, "zones.shp")),
+      "zones.dbf" -> Files.readAllBytes(Paths.get(dir, "zones.dbf")),
+      "README.txt" -> "not data".getBytes(StandardCharsets.US_ASCII))
+    val df = Engine.copyFrom(spark, zip, "shapefile")
+    assert(df.count() == 3)
+    assert(df.filter(col("NAME") === "alpha").head()
+      .getAs[Long]("POP") == 1200L)
+  }
+
+  test("zip_path selects an entry in a nested directory; format " +
+      "auto-detects from its extension") {
+    val zip = buildZip(
+      "data/a/zones.shp" -> Files.readAllBytes(Paths.get(dir, "zones.shp")),
+      "data/a/zones.dbf" -> Files.readAllBytes(Paths.get(dir, "zones.dbf")),
+      "notes.csv" -> "x\n1\n".getBytes(StandardCharsets.US_ASCII))
+    // explicit zip_path + auto format: ".shp" infers shapefile
+    val df = Engine.copyFrom(spark, zip, "zip",
+      Map("zip_path" -> "data/a/zones.shp"))
+    assert(df.count() == 3)
+    // zip_path to the OTHER entry flips the inferred format
+    val csv = Engine.copyFrom(spark, zip, "auto",
+      Map("zip_path" -> "notes.csv"))
+    assert(csv.columns.toSeq == Seq("x") && csv.count() == 1)
+    // a bogus zip_path fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Engine.copyFrom(spark, zip, "zip", Map("zip_path" -> "absent.shp"))
+    }
+    assert(e.getMessage.contains("absent.shp"))
+  }
+
+  test("format 'zip' with no zip_path auto-detects the first data entry") {
+    val zip = buildZip(
+      "zones.shp" -> Files.readAllBytes(Paths.get(dir, "zones.shp")),
+      "zones.dbf" -> Files.readAllBytes(Paths.get(dir, "zones.dbf")))
+    // .dbf is not a known data extension; .shp is → shapefile
+    val df = Engine.copyFrom(spark, zip, "zip")
+    assert(df.count() == 3)
+  }
+
   test("flows through Engine.copyFrom and the ST_ SQL surface") {
     val df = Engine.copyFrom(spark, dir + "/zones.shp", "shp")
     graft.functions.Geo.registerAll(spark)

@@ -140,6 +140,81 @@ class UrlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     RemoteFetch.clearCache()
   }
 
+  test("hf:// single file resolves to the hub's resolve/{rev} form, " +
+      "reads through copyFrom, and caches (file-formats-reference.md:" +
+      "158-190)") {
+    RemoteFetch.clearCache()
+    sys.props("graft.hf.endpoint") = s"http://127.0.0.1:$port"
+    try {
+      hits.set(0)
+      objects("/datasets/acme/corpus/resolve/main/data/train.csv") =
+        "a,b\n1,hello\n2,world\n".getBytes(StandardCharsets.UTF_8)
+      val df = Engine.copyFrom(spark,
+        "hf://datasets/acme/corpus/data/train.csv", "csv")
+      assert(df.columns.toSeq == Seq("a", "b") && df.count() == 2)
+      val after = hits.get()
+      assert(after == 1, s"expected one resolve fetch, saw $after")
+      // cache hit on re-read
+      assert(Engine.copyFrom(spark,
+        "hf://datasets/acme/corpus/data/train.csv", "csv").count() == 2)
+      assert(hits.get() == after, "hf re-read hit the network")
+      // @revision rides the repo segment into the resolve URL
+      objects("/datasets/acme/corpus/resolve/v2/data/train.csv") =
+        "a,b\n9,rev2\n".getBytes(StandardCharsets.UTF_8)
+      val rev = Engine.copyFrom(spark,
+        "hf://datasets/acme/corpus@v2/data/train.csv", "csv")
+      assert(rev.count() == 1 &&
+        rev.select("b").head().getString(0) == "rev2")
+    } finally sys.props.remove("graft.hf.endpoint")
+    RemoteFetch.clearCache()
+  }
+
+  test("hf:// @~parquet wildcard lists the auto-converted-parquet ref " +
+      "via the tree API and reads every match as one table") {
+    RemoteFetch.clearCache()
+    sys.props("graft.hf.endpoint") = s"http://127.0.0.1:$port"
+    try {
+      // two genuine parquet shards in nested directories
+      def pqBytes(from: Int, to: Int): Array[Byte] = {
+        val tmp = Files.createTempDirectory("hfpq")
+        spark.range(from, to).toDF("id").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val f = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.readAllBytes(f)
+      }
+      // HttpServer hands us the DECODED path: refs%2Fconvert%2Fparquet
+      // in the URL arrives as refs/convert/parquet here
+      val rev = "refs/convert/parquet"
+      objects(s"/datasets/acme/corpus/resolve/$rev/default/train/0000.parquet") =
+        pqBytes(0, 5)
+      objects(s"/datasets/acme/corpus/resolve/$rev/default/train/part-x/0001.parquet") =
+        pqBytes(5, 12)
+      objects(s"/api/datasets/acme/corpus/tree/$rev") =
+        ("""[{"type":"file","path":"default/train/0000.parquet"},""" +
+          """{"type":"file","path":"default/train/part-x/0001.parquet"},""" +
+          """{"type":"file","path":"README.md"},""" +
+          """{"type":"directory","path":"default"}]""")
+          .getBytes(StandardCharsets.UTF_8)
+      // the prefix-scoped listing a non-crossing glob asks for (the hub
+      // returns repo-root-relative paths regardless of the tree root)
+      objects(s"/api/datasets/acme/corpus/tree/$rev/default/train") =
+        ("""[{"type":"file","path":"default/train/0000.parquet"},""" +
+          """{"type":"file","path":"default/train/part-x/0001.parquet"}]""")
+          .getBytes(StandardCharsets.UTF_8)
+      val df = Engine.copyFrom(spark,
+        "hf://datasets/acme/corpus@~parquet/**/*.parquet", "parquet")
+      assert(df.count() == 12,
+        "** glob must cross directory levels and union both shards")
+      // a non-crossing glob misses the nested shard
+      val flat = Engine.copyFrom(spark,
+        "hf://datasets/acme/corpus@~parquet/default/train/*.parquet",
+        "parquet")
+      assert(flat.count() == 5)
+    } finally sys.props.remove("graft.hf.endpoint")
+    RemoteFetch.clearCache()
+  }
+
   test("a FAILED forceRefresh keeps the previously valid cache entry") {
     RemoteFetch.clearCache()
     objects("/v3/keep.csv") = "a\n7\n".getBytes(StandardCharsets.UTF_8)
