@@ -205,6 +205,25 @@ object Bench {
        catch { case _: Exception => sfDir }).hashCode)
     val layoutTo =
       s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$layoutHex"
+    // the r13 key change (raw string → canonical path) orphaned layouts
+    // built under THIS fixture's old raw-string key (up to ~15 GB at
+    // sf100): reclaim exactly that alias — never other fixtures' dirs,
+    // whose keys legitimately differ
+    locally {
+      val oldHex = java.lang.Integer.toHexString(sfDir.hashCode)
+      if (oldHex != layoutHex) {
+        val orphan = java.nio.file.Paths.get(
+          s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$oldHex")
+        if (java.nio.file.Files.isDirectory(orphan))
+          try {
+            val s = java.nio.file.Files.walk(orphan)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { try java.nio.file.Files.deleteIfExists(p)
+                catch { case _: Exception => } })
+            finally s.close()
+          } catch { case _: Exception => }
+      }
+    }
     def bname(t: String) = s"graft_bkt_${layoutHex}_$t"
     val nBk = cpus.toInt
     /** Build-or-reuse every clustered rewrite; returns seconds spent
@@ -227,7 +246,16 @@ object Bench {
         Seq("user_id", "ts"))
       (System.nanoTime() - t0) / 1e9
     }
-    val layoutAware = hygiene &&
+    // layout-aware dispatch is the production posture for any fixture
+    // big enough that a deployment would cluster its facts — its own
+    // cutoff, decoupled from shuffle hygiene (r13 tied it to the 4 GB
+    // hygiene gate, which kept sf10 stock while the sf10 bucketed
+    // SECTION was already running the >2x holdout shapes at 0.6-2.5 s;
+    // r13 verdict task 1b). sf10's 1.7 GB fixture now dispatches; the
+    // driver's sf0.1 fixture (17 MB) stays stock.
+    val layoutMinBytes = sys.env.getOrElse("SPARK_GRAFT_LAYOUT_MIN_MB",
+      "1024").toLong << 20
+    val layoutAware = sfBytes >= layoutMinBytes &&
       sys.env.getOrElse("SPARK_GRAFT_LAYOUT", "1") == "1"
     var layoutBuild = -1.0
     if (layoutAware) {
@@ -308,7 +336,20 @@ object Bench {
         : Map[String, (Double, Double)] = {
       val acc = scala.collection.mutable.Map
         .empty[String, List[Double]].withDefaultValue(Nil)
-      def round(is: Seq[(String, String, String)]): Unit = {
+      // protocol-order A/B (SPARK_GRAFT_ORDER=shuffle): permute the
+      // in-round query order differently every round, seeded by the
+      // round index so runs are reproducible. Comparing fixed-order vs
+      // shuffled medians ledgers the neighborhood term (page-cache churn
+      // from whichever scan ran just before) that r13 could only
+      // attribute "in passing" — if a query's median is order-invariant,
+      // its in-protocol elevation is real work, not interleaving.
+      val shuffleOrder =
+        sys.env.get("SPARK_GRAFT_ORDER").contains("shuffle")
+      var roundNo = 0
+      def round(is0: Seq[(String, String, String)]): Unit = {
+        roundNo += 1
+        val is = if (!shuffleOrder) is0
+          else new scala.util.Random(roundNo).shuffle(is0)
         is.foreach { case (key, q, dir) =>
           spark.catalog.clearCache()
           acc(key) = run(q, dir) :: acc(key)

@@ -357,7 +357,9 @@ object GeoKernel {
   /** Length of linear components (PostGIS st_length: 0 for polygons). */
   def length(g: Geom): Double = g match {
     case GLine(pts) => pathLength(pts)
-    case GMulti("MULTILINESTRING", gs) => gs.map(length).sum
+    // PostGIS ST_Length sums the linear components of collections too
+    case GMulti("MULTILINESTRING" | "GEOMETRYCOLLECTION", gs) =>
+      gs.map(length).sum
     case _ => 0.0
   }
 
@@ -1671,12 +1673,20 @@ object GeoKernel {
   }
 
   private def polyClip(a: Geom, b: Geom, op: Int): Option[Geom] = for {
-    ringA <- singleRing(a)
+    ringA0 <- singleRing(a)
     ringB0 <- singleRing(b)
     res <- {
-      val scale = (ringA ++ ringB0).iterator
+      val scale = (ringA0 ++ ringB0).iterator
         .map(p => math.max(math.abs(p._1), math.abs(p._2))).max
-      val ringB = snapRing(ringB0, ringA, 1e-9 * math.max(1.0, scale))
+      // SYMMETRIC snap (B toward A, then A toward snapped B) so the clip
+      // commutes at the eps scale: with one-sided snapping,
+      // intersection/union/difference of boundaries within eps could
+      // differ under argument swap. An A vertex that lands on a snapped-B
+      // segment interior becomes a vertex-on-edge contact, which the full
+      // noding pass below resolves on both rings.
+      val snapEps = 1e-9 * math.max(1.0, scale)
+      val ringB = snapRing(ringB0, ringA0, snapEps)
+      val ringA = snapRing(ringA0, ringB, snapEps)
       val pa = GPolygon(IndexedSeq(ringA)); val pb = GPolygon(IndexedSeq(ringB))
       val splitA = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
       val splitB = collection.mutable.Map.empty[Int, List[(Double, Pt)]]
@@ -1789,7 +1799,32 @@ object GeoKernel {
             val merged = lineMerge(GMulti("MULTILINESTRING",
               overlapSegs.toIndexedSeq.map { case (p, q) =>
                 GLine(IndexedSeq(p, q)) }))
-            Some(merged)
+            // mixed contact: isolated touch points NOT covered by the
+            // collinear overlap segments survive alongside the lines —
+            // GEOS returns GEOMETRYCOLLECTION(POINT..., LINESTRING...)
+            val segEps = 1e-9 * math.max(1.0, scale)
+            def onSeg(p: Pt, s: Pt, e: Pt): Boolean = {
+              val dx = e._1 - s._1; val dy = e._2 - s._2
+              val len2 = dx * dx + dy * dy
+              if (len2 == 0) math.hypot(p._1 - s._1, p._2 - s._2) <= segEps
+              else {
+                val t = ((p._1 - s._1) * dx + (p._2 - s._2) * dy) / len2
+                val tc = math.max(0.0, math.min(1.0, t))
+                val q = (s._1 + tc * dx, s._2 + tc * dy)
+                math.hypot(q._1 - p._1, q._2 - p._2) <= segEps
+              }
+            }
+            val isolated = nodePts.toIndexedSeq.sorted.filterNot(p =>
+              overlapSegs.exists { case (s, e) => onSeg(p, s, e) })
+            if (isolated.isEmpty) Some(merged)
+            else {
+              val lineParts = merged match {
+                case GMulti(_, gs) => gs
+                case g => IndexedSeq(g)
+              }
+              Some(GMulti("GEOMETRYCOLLECTION",
+                isolated.map(p => GPoint(p._1, p._2)) ++ lineParts))
+            }
           } else {
             val pts = nodePts.toIndexedSeq.sorted
             Some(
@@ -2053,7 +2088,16 @@ object GeoKernel {
   }
 
   private def partsGeom(ps: Seq[APart]): Geom = {
-    val polys = ps.filter(p => math.abs(signedArea(p.shell)) > 1e-12)
+    // sliver threshold RELATIVE to coordinate scale (matching snapRing's
+    // relative-eps style): an absolute 1e-12 both erased legitimately
+    // tiny parts of small-scale geometries and kept large-coordinate
+    // slivers whose double noise exceeds it. Area noise grows ~extent²,
+    // so the cut is 1e-12 · max(1, extent²).
+    val extent = ps.iterator.flatMap(_.shell)
+      .map(p => math.max(math.abs(p._1), math.abs(p._2)))
+      .foldLeft(0.0)(math.max)
+    val sliver = 1e-12 * math.max(1.0, extent * extent)
+    val polys = ps.filter(p => math.abs(signedArea(p.shell)) > sliver)
       .map(p => GPolygon(p.shell +: p.holes.toIndexedSeq))
     if (polys.isEmpty) GMulti("POLYGON", Vector())
     else if (polys.size == 1) polys.head
@@ -2074,7 +2118,82 @@ object GeoKernel {
       case 0 => interParts(as, bs)
       case 1 => unionParts(as, bs)
       case _ => diffParts(as, bs)
-    }).map(partsGeom)
+    }).map(partsGeom).map { g =>
+      // dimension-collapsed contact (GEOS semantics), propagated out of
+      // the part algebra: when the areal intersection is empty but the
+      // boundaries touch — e.g. an annulus ∩ a square exactly filling
+      // its hole — the result is the shared boundary linework/points,
+      // not POLYGON EMPTY (mirrors the single-ring clipper's
+      // picked.isEmpty branch)
+      if (op == 0 && isEmptyGeom(g)) boundaryContact(a, b).getOrElse(g)
+      else g
+    }
+  }
+
+  private def isEmptyGeom(g: Geom): Boolean = g match {
+    case GMulti(_, gs) => gs.isEmpty
+    case _ => false
+  }
+
+  /** Boundary∩boundary contact between two areal geometries over ALL
+    * their rings (shells and holes): collinear overlap intervals merge
+    * into lines; isolated touch points not covered by those lines ride
+    * alongside (GEOMETRYCOLLECTION when mixed — GEOS shape). None when
+    * the boundaries never meet. */
+  private def boundaryContact(a: Geom, b: Geom): Option[Geom] = {
+    val overlaps = collection.mutable.ArrayBuffer.empty[(Pt, Pt)]
+    val touchPts = collection.mutable.Set.empty[Pt]
+    val scale = (segments(a) ++ segments(b)).iterator
+      .flatMap { case (p, q) => Iterator(p, q) }
+      .map(p => math.max(math.abs(p._1), math.abs(p._2)))
+      .foldLeft(1.0)(math.max)
+    val eps = 1e-9 * scale
+    def onSeg(e: Pt, p: Pt, q: Pt): Boolean =
+      orient(p, q, e) == 0 &&
+        e._1 >= math.min(p._1, q._1) - eps &&
+        e._1 <= math.max(p._1, q._1) + eps &&
+        e._2 >= math.min(p._2, q._2) - eps &&
+        e._2 <= math.max(p._2, q._2) + eps
+    for ((p, q) <- segments(a); (c, d) <- segments(b)) {
+      if (orient(p, q, c) == 0 && orient(p, q, d) == 0) {
+        // collinear pair: the shared interval (a point when degenerate)
+        val horiz = math.abs(q._1 - p._1) >= math.abs(q._2 - p._2)
+        def key(x: Pt) = if (horiz) x._1 else x._2
+        val abLo = if (key(p) <= key(q)) (p, q) else (q, p)
+        val cdLo = if (key(c) <= key(d)) (c, d) else (d, c)
+        val lo = if (key(abLo._1) >= key(cdLo._1)) abLo._1 else cdLo._1
+        val hi = if (key(abLo._2) <= key(cdLo._2)) abLo._2 else cdLo._2
+        if (key(hi) - key(lo) > eps) overlaps += ((lo, hi))
+        else if (key(hi) - key(lo) >= -eps && onSeg(lo, c, d)) touchPts += lo
+      } else if (segmentsIntersect(p, q, c, d)) {
+        if (properCross(p, q, c, d)) touchPts += crossPoint(p, q, c, d)._2
+        else { // endpoint contact / vertex-on-edge
+          for (e <- Seq(c, d) if onSeg(e, p, q)) touchPts += e
+          for (e <- Seq(p, q) if onSeg(e, c, d)) touchPts += e
+        }
+      }
+    }
+    if (overlaps.isEmpty && touchPts.isEmpty) None
+    else if (overlaps.isEmpty) {
+      val pts = touchPts.toIndexedSeq.sorted
+      Some(if (pts.size == 1) GPoint(pts.head._1, pts.head._2)
+        else GMulti("MULTIPOINT", pts.map(p => GPoint(p._1, p._2))))
+    } else {
+      val merged = lineMerge(GMulti("MULTILINESTRING",
+        overlaps.toIndexedSeq.map { case (p, q) =>
+          GLine(IndexedSeq(p, q)) }))
+      val isolated = touchPts.toIndexedSeq.sorted.filterNot(pt =>
+        overlaps.exists { case (s, e) => onSeg(pt, s, e) })
+      if (isolated.isEmpty) Some(merged)
+      else {
+        val lineParts = merged match {
+          case GMulti(_, gs) => gs
+          case g => IndexedSeq(g)
+        }
+        Some(GMulti("GEOMETRYCOLLECTION",
+          isolated.map(p => GPoint(p._1, p._2)) ++ lineParts))
+      }
+    }
   }
 
   /** PostGIS st_difference a − b. */

@@ -821,6 +821,50 @@ class GeoKernelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!GeoKernel.contains(buf, GPoint(10.6, 5.0)))
   }
 
+  test("round-14 kernel: dimension-collapsed contact through the part " +
+      "algebra; mixed point+line contact collections (GEOS shapes)") {
+    def g(wkt: String) = fromWkt(wkt).get
+    // annulus ∩ the square exactly filling its hole: interiors never
+    // meet, the contact is the shared hole ring — NOT POLYGON EMPTY
+    val ann = g("POLYGON((0 0,10 0,10 10,0 10,0 0)," +
+      "(3 3,7 3,7 7,3 7,3 3))")
+    val plug = g("POLYGON((3 3,7 3,7 7,3 7,3 3))")
+    val ring = intersection(ann, plug).get
+    assert(area(ring) == 0.0, toWkt(ring))
+    assert(math.abs(GeoKernel.length(ring) - 16.0) < 1e-9, toWkt(ring))
+    assert(toWkt(ring).startsWith("LINESTRING"), toWkt(ring))
+    // commutes under argument swap
+    val swapped = intersection(plug, ann).get
+    assert(math.abs(GeoKernel.length(swapped) - 16.0) < 1e-9,
+      toWkt(swapped))
+
+    // mixed contact, single-ring path: B shares a bottom-edge run AND
+    // its vertex kisses the square's corner → GEOMETRYCOLLECTION(POINT,
+    // LINESTRING), the isolated point not swallowed by the lines
+    val sq = g("POLYGON((0 0,4 0,4 4,0 4,0 0))")
+    val mixed = g("POLYGON((1 0,3 0,3.5 -1,4 0,5 -2,1 -2,1 0))")
+    val mc = intersection(sq, mixed).get
+    assert(toWkt(mc).startsWith("GEOMETRYCOLLECTION"), toWkt(mc))
+    assert(toWkt(mc).contains("POINT(4 0)"), toWkt(mc))
+    assert(math.abs(GeoKernel.length(mc) - 2.0) < 1e-9, toWkt(mc))
+
+    // mixed contact through the part algebra: a two-part B — one part
+    // shares the run, the other kisses the far corner
+    val mp = g("MULTIPOLYGON(((1 -2,3 -2,3 0,1 0,1 -2))," +
+      "((4 4,6 4,6 6,4 6,4 4)))")
+    val mpc = intersection(sq, mp).get
+    assert(toWkt(mpc).startsWith("GEOMETRYCOLLECTION"), toWkt(mpc))
+    assert(toWkt(mpc).contains("POINT(4 4)"), toWkt(mpc))
+    assert(math.abs(GeoKernel.length(mpc) - 2.0) < 1e-9, toWkt(mpc))
+
+    // pure point contact through the part algebra (no shared run)
+    val kissOnly = g("MULTIPOLYGON(((4 4,6 4,6 6,4 6,4 4))," +
+      "((-2 -2,0 -2,0 0,-2 0,-2 -2)))")
+    val pc = intersection(sq, kissOnly).get
+    assert(toWkt(pc) == "MULTIPOINT(0 0,4 4)" ||
+      toWkt(pc) == "MULTIPOINT((0 0),(4 4))", toWkt(pc))
+  }
+
   test("wave-3 kernel: line/polygon and line/line intersection") {
     def g(wkt: String) = fromWkt(wkt).get
     val sq = g("POLYGON((0 0,4 0,4 4,0 4,0 0))")

@@ -85,6 +85,14 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(math.abs(ia) < 1e-6, s"inter $ia $ctx")
       val da = area(difference(a, b).get)
       assert(math.abs(da - aw * ah) < 1e-6, s"diff $da $ctx")
+      // SWAPPED arguments: the symmetric snap makes the clip commute at
+      // the eps scale — the wobbled side may be first or second
+      val us = area(union(b, a).get)
+      assert(math.abs(us - ua) < 1e-6, s"union swap $us vs $ua $ctx")
+      val is2 = area(intersection(b, a).get)
+      assert(math.abs(is2) < 1e-6, s"inter swap $is2 $ctx")
+      val ds = area(difference(b, a).get)
+      assert(math.abs(ds - bw * bh) < 1e-6, s"diff swap $ds $ctx")
     }
   }
 
