@@ -1,0 +1,467 @@
+package graft.queries
+
+import Q._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OFFICIAL TPC-DS query texts run verbatim over a retail-shaped
+  * fixture — the round-14 answer to "the data-model deltas mean the
+  * official queries never run literally". The per-id *shape* coverage
+  * (QTpcds..QTpcds13, 99/99) runs on the driver's TPC-H-ish tables;
+  * THIS batch generates the genuine retail schema (store_sales +
+  * date_dim/item/store/customer/… per the public TPC-DS spec) and runs
+  * ten official queries (Q3, Q7, Q19, Q43, Q52, Q55, Q65, Q73, Q88,
+  * Q96 — the published TPC query set, the same public texts the
+  * reference's pg_lake_benchmark/src/tpcds.c:30-139 runner loads)
+  * unmodified: the Spark side registers the tables as views and
+  * executes the official SQL; the DuckDB oracle wraps the SAME text in
+  * CTEs binding each table name to the generated parquet.
+  *
+  * Determinism across engines (the driver hashes value reprs):
+  * - every money column is a DOUBLE holding an INTEGER value, so sums
+  *   are exact in any association order (< 2^53) — no float drift, no
+  *   DECIMAL physical-type mismatch between the two parquet readers;
+  * - every ORDER BY ... LIMIT either orders by a unique key or the
+  *   group space is smaller than the limit, so the selected SET is
+  *   well-defined regardless of engine sort stability.
+  *
+  * Fixture: ~200k store_sales rows (sf0.01-class), written once to a
+  * versioned tmp dir and reused; all columns derive from row ids via
+  * integer mixing, so regeneration is bit-identical.
+  */
+object QTpcdsOfficial {
+
+  // bump when the generator changes — the dir is content-versioned
+  private val Version = "v2"
+  def fixtureDir: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
+
+  /** Deterministic per-column pseudo-random draw: `xxhash64(salt, id)
+    * mod k` — codegen'd, overflow-free under ANSI mode, reproduces
+    * bit-identically everywhere. */
+  private def pick(c: org.apache.spark.sql.Column, salt: Long, k: Int) =
+    pmod(xxhash64(lit(salt), c), lit(k.toLong))
+
+  val tableNames = Seq("date_dim", "item", "store", "customer",
+    "customer_address", "customer_demographics",
+    "household_demographics", "promotion", "time_dim", "store_sales")
+
+  /** Build-or-reuse the retail fixture; returns the dir. Thread-safe
+    * via marker file + atomic rename publish. */
+  def ensure(spark: SparkSession): String = synchronized {
+    val dir = java.nio.file.Paths.get(fixtureDir)
+    val done = dir.resolve("_DONE")
+    if (java.nio.file.Files.exists(done)) return fixtureDir
+    val tmp = java.nio.file.Files.createTempDirectory(
+      dir.getParent, ".graft-retail-build-")
+
+    def write(name: String, df: DataFrame, files: Int = 1): Unit =
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$tmp/$name.parquet")
+
+    // ---- date_dim: 1998-01-01 .. 2002-12-31 (covers every query's
+    // d_year/d_moy/d_month_seq parameter; month_seq 1176 = 1998-01)
+    val dd = spark.range(0, 1827).select(
+      (col("id") + 2450815L).as("d_date_sk"), // Julian-style offset, spec flavor
+      date_add(lit(java.sql.Date.valueOf("1998-01-01")),
+        col("id").cast("int")).as("d_date"))
+      .withColumn("d_year", year(col("d_date")))
+      .withColumn("d_moy", month(col("d_date")))
+      .withColumn("d_dom", dayofmonth(col("d_date")))
+      .withColumn("d_qoy", quarter(col("d_date")))
+      .withColumn("d_month_seq",
+        (col("d_year") - 1900) * 12 + col("d_moy") - 1)
+      .withColumn("d_week_seq",
+        ((col("d_date_sk") - 2450815L) / 7).cast("int") + 5112)
+      .withColumn("d_day_name", date_format(col("d_date"), "EEEE"))
+    write("date_dim", dd)
+
+    // ---- item: 200 items; manufact ids 101-150 (Q3's 128 ∈ range),
+    // manager ids 1-30 (Q52's 1, Q19's 8, Q55's 28), brands 1-50,
+    // categories 1-10, unique descs
+    val catNames = array(Seq("Home", "Books", "Electronics", "Jewelry",
+      "Men", "Music", "Shoes", "Sports", "Children", "Women").map(lit): _*)
+    val item = spark.range(1, 201).select(
+      col("id").as("i_item_sk"),
+      format_string("AAAAAAAA%08dCA", col("id")).as("i_item_id"),
+      format_string("item description %d unique text", col("id"))
+        .as("i_item_desc"),
+      (pick(col("id"), 11, 50) + 1).as("i_brand_id"),
+      format_string("brand#%d", pick(col("id"), 11, 50) + 1).as("i_brand"),
+      (pick(col("id"), 13, 50) + 101).as("i_manufact_id"),
+      format_string("manufact#%d", pick(col("id"), 13, 50) + 101)
+        .as("i_manufact"),
+      (pick(col("id"), 17, 30) + 1).as("i_manager_id"),
+      (pick(col("id"), 19, 10) + 1).as("i_category_id"),
+      element_at(catNames, (pick(col("id"), 19, 10) + 1).cast("int"))
+        .as("i_category"),
+      format_string("class%02d", pick(col("id"), 23, 16)).as("i_class"),
+      (pick(col("id"), 29, 99) + 1).cast("double").as("i_current_price"),
+      (pick(col("id"), 31, 60) + 1).cast("double").as("i_wholesale_cost"))
+    write("item", item)
+
+    // ---- store: 10 stores; names from the spec's syllable list so
+    // Q88/Q96's s_store_name = 'ese' literal hits; half at gmt -5
+    val storeNames = array(Seq("ought", "able", "pri", "ese", "anti",
+      "cally", "ation", "eing", "n st", "bar").map(lit): _*)
+    val counties = array(Seq("Williamson County", "Franklin Parish",
+      "Bronx County", "Orange County", "Ziebach County", "Walker County",
+      "Daviess County", "Barrow County").map(lit): _*)
+    val store = spark.range(1, 11).select(
+      col("id").as("s_store_sk"),
+      format_string("AAAAAAAA%08dCA", col("id")).as("s_store_id"),
+      element_at(storeNames, col("id").cast("int")).as("s_store_name"),
+      element_at(counties, (pick(col("id"), 37, 8) + 1).cast("int"))
+        .as("s_county"),
+      format_string("%05d", pick(col("id"), 41, 89999) + 10000)
+        .as("s_zip"),
+      when(pick(col("id"), 43, 2) === 0, -5.0).otherwise(-6.0)
+        .as("s_gmt_offset"),
+      (pick(col("id"), 47, 250) + 50).as("s_number_employees"))
+    write("store", store)
+
+    // ---- customer + customer_address (1000 each)
+    val lastNames = array(Seq("Smith", "Johnson", "Williams", "Jones",
+      "Brown", "Davis", "Miller", "Wilson", "Moore", "Taylor", "Anderson",
+      "Thomas", "Jackson", "White", "Harris", "Martin").map(lit): _*)
+    val firstNames = array(Seq("James", "Mary", "John", "Patricia",
+      "Robert", "Jennifer", "Michael", "Linda", "William", "Elizabeth",
+      "David", "Barbara", "Richard", "Susan", "Joseph", "Jessica")
+      .map(lit): _*)
+    val customer = spark.range(1, 1001).select(
+      col("id").as("c_customer_sk"),
+      element_at(firstNames, (pick(col("id"), 53, 16) + 1).cast("int"))
+        .as("c_first_name"),
+      element_at(lastNames, (pick(col("id"), 59, 16) + 1).cast("int"))
+        .as("c_last_name"),
+      when(pick(col("id"), 61, 4) === 0, "Dr.")
+        .when(pick(col("id"), 61, 4) === 1, "Mr.")
+        .when(pick(col("id"), 61, 4) === 2, "Ms.")
+        .otherwise("Mrs.").as("c_salutation"),
+      when(pick(col("id"), 67, 2) === 0, "Y").otherwise("N")
+        .as("c_preferred_cust_flag"),
+      (pick(col("id"), 71, 1000) + 1).as("c_current_addr_sk"))
+    write("customer", customer)
+
+    val cities = array(Seq("Midway", "Fairview", "Oak Grove", "Five Points",
+      "Pleasant Hill", "Centerville", "Riverside", "Salem").map(lit): _*)
+    val address = spark.range(1, 1001).select(
+      col("id").as("ca_address_sk"),
+      element_at(cities, (pick(col("id"), 73, 8) + 1).cast("int"))
+        .as("ca_city"),
+      format_string("%05d-%04d", pick(col("id"), 79, 89999) + 10000,
+        pick(col("id"), 83, 9999)).as("ca_zip"))
+    write("customer_address", address)
+
+    // ---- customer_demographics: the spec's full cross grid
+    val genders = Seq("M", "F")
+    val maritals = Seq("S", "M", "D", "W", "U")
+    val educations = Seq("Primary", "Secondary", "College",
+      "2 yr Degree", "4 yr Degree", "Advanced Degree", "Unknown")
+    val cdRows = for {
+      (g, gi) <- genders.zipWithIndex
+      (m, mi) <- maritals.zipWithIndex
+      (e, ei) <- educations.zipWithIndex
+    } yield (gi * 35 + mi * 7 + ei + 1L, g, m, e)
+    import spark.implicits._
+    write("customer_demographics", cdRows
+      .toDF("cd_demo_sk", "cd_gender", "cd_marital_status",
+        "cd_education_status"))
+
+    // ---- household_demographics: buy-potential × deps × vehicles grid
+    val buyPots = Seq(">10000", "unknown", "1001-5000", "5001-10000",
+      "501-1000", "0-500")
+    val hdRows = for {
+      (b, bi) <- buyPots.zipWithIndex
+      dep <- 0 to 9
+      veh <- 0 to 4
+    } yield (bi * 50 + dep * 5 + veh + 1L, b, dep.toLong, veh.toLong)
+    write("household_demographics", hdRows
+      .toDF("hd_demo_sk", "hd_buy_potential", "hd_dep_count",
+        "hd_vehicle_count"))
+
+    // ---- promotion: 20; channel flags mostly N (spec skew)
+    val promotion = spark.range(1, 21).select(
+      col("id").as("p_promo_sk"),
+      when(pick(col("id"), 89, 4) === 0, "Y").otherwise("N")
+        .as("p_channel_email"),
+      when(pick(col("id"), 97, 4) === 0, "Y").otherwise("N")
+        .as("p_channel_event"))
+    write("promotion", promotion)
+
+    // ---- time_dim: per-minute
+    val timeDim = spark.range(0, 1440).select(
+      col("id").as("t_time_sk"),
+      (col("id") * 60).as("t_time"),
+      (col("id") / 60).cast("bigint").as("t_hour"),
+      pmod(col("id"), lit(60L)).as("t_minute"))
+    write("time_dim", timeDim)
+
+    // ---- store_sales: 200k rows, ~2.4 rows per ticket; every money
+    // column an integer-valued double (exact sums in any order)
+    val n = 200000L
+    val ss0 = spark.range(0, n)
+      .withColumn("ss_ticket_number", (col("id") / lit(2.4)).cast("bigint"))
+    val ss = ss0.select(
+      (pick(col("ss_ticket_number"), 101, 1827) + 2450815L)
+        .as("ss_sold_date_sk"), // ticket-mates share one date, spec-like
+      pick(col("ss_ticket_number"), 103, 1440).as("ss_sold_time_sk"),
+      // skewed item popularity (min of two uniforms → density 2(1-x)):
+      // tail items sell rarely, so Q65's below-10%-of-store-average
+      // filter selects a real set instead of the empty one a uniform
+      // draw produces
+      (least(pick(col("id"), 107, 200), pick(col("id"), 211, 200)) + 1)
+        .as("ss_item_sk"),
+      (pick(col("ss_ticket_number"), 109, 1000) + 1).as("ss_customer_sk"),
+      (pick(col("id"), 113, 70) + 1).as("ss_cdemo_sk"),
+      (pick(col("ss_ticket_number"), 127, 300) + 1).as("ss_hdemo_sk"),
+      (pick(col("ss_ticket_number"), 131, 1000) + 1).as("ss_addr_sk"),
+      (pick(col("ss_ticket_number"), 137, 10) + 1).as("ss_store_sk"),
+      (pick(col("id"), 139, 20) + 1).as("ss_promo_sk"),
+      col("ss_ticket_number"),
+      (pick(col("id"), 149, 100) + 1).as("ss_quantity"),
+      (pick(col("id"), 151, 200) + 1).cast("double").as("ss_list_price"),
+      (pick(col("id"), 157, 190) + 1).cast("double").as("ss_sales_price"),
+      (pick(col("id"), 163, 20000) + 1).cast("double")
+        .as("ss_ext_sales_price"),
+      when(pick(col("id"), 167, 5) === 0,
+        (pick(col("id"), 173, 50) + 1).cast("double"))
+        .otherwise(0.0).as("ss_coupon_amt"))
+    write("store_sales", ss, files = 8)
+
+    java.nio.file.Files.createFile(tmp.resolve("_DONE"))
+    try java.nio.file.Files.move(tmp, dir,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Exception => // lost the race — winner's build serves
+      val s = java.nio.file.Files.walk(tmp)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+    }
+    fixtureDir
+  }
+
+  // ------------------------------------------------ official texts
+  // The published TPC-DS benchmark queries (TPC specification, public),
+  // qualification-parameter substitutions per the spec's defaults.
+
+  private val q3 = """
+select dt.d_year, item.i_brand_id brand_id, item.i_brand brand,
+       sum(ss_ext_sales_price) sum_agg
+from date_dim dt, store_sales, item
+where dt.d_date_sk = store_sales.ss_sold_date_sk
+  and store_sales.ss_item_sk = item.i_item_sk
+  and item.i_manufact_id = 128
+  and dt.d_moy = 11
+group by dt.d_year, item.i_brand_id, item.i_brand
+order by dt.d_year, sum_agg desc, brand_id
+limit 100"""
+
+  private val q7 = """
+select i_item_id,
+       avg(ss_quantity) agg1,
+       avg(ss_list_price) agg2,
+       avg(ss_coupon_amt) agg3,
+       avg(ss_sales_price) agg4
+from store_sales, customer_demographics, date_dim, item, promotion
+where ss_sold_date_sk = d_date_sk and
+      ss_item_sk = i_item_sk and
+      ss_cdemo_sk = cd_demo_sk and
+      ss_promo_sk = p_promo_sk and
+      cd_gender = 'M' and
+      cd_marital_status = 'S' and
+      cd_education_status = 'College' and
+      (p_channel_email = 'N' or p_channel_event = 'N') and
+      d_year = 2000
+group by i_item_id
+order by i_item_id
+limit 100"""
+
+  private val q19 = """
+select i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,
+       sum(ss_ext_sales_price) ext_price
+from date_dim, store_sales, item, customer, customer_address, store
+where d_date_sk = ss_sold_date_sk
+  and ss_item_sk = i_item_sk
+  and i_manager_id = 8
+  and d_moy = 11
+  and d_year = 1998
+  and ss_customer_sk = c_customer_sk
+  and c_current_addr_sk = ca_address_sk
+  and substr(ca_zip,1,5) <> substr(s_zip,1,5)
+  and ss_store_sk = s_store_sk
+group by i_brand, i_brand_id, i_manufact_id, i_manufact
+order by ext_price desc, i_brand, i_brand_id, i_manufact_id, i_manufact
+limit 100"""
+
+  private val q43 = """
+select s_store_name, s_store_id,
+       sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+       sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+       sum(case when (d_day_name='Tuesday') then ss_sales_price else null end) tue_sales,
+       sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+       sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+       sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+       sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+from date_dim, store_sales, store
+where d_date_sk = ss_sold_date_sk and
+      s_store_sk = ss_store_sk and
+      s_gmt_offset = -5 and
+      d_year = 2000
+group by s_store_name, s_store_id
+order by s_store_name, s_store_id, sun_sales, mon_sales, tue_sales,
+         wed_sales, thu_sales, fri_sales, sat_sales
+limit 100"""
+
+  private val q52 = """
+select dt.d_year, item.i_brand_id brand_id, item.i_brand brand,
+       sum(ss_ext_sales_price) ext_price
+from date_dim dt, store_sales, item
+where dt.d_date_sk = store_sales.ss_sold_date_sk
+  and store_sales.ss_item_sk = item.i_item_sk
+  and item.i_manager_id = 1
+  and dt.d_moy = 11
+  and dt.d_year = 2000
+group by dt.d_year, item.i_brand, item.i_brand_id
+order by dt.d_year, ext_price desc, brand_id
+limit 100"""
+
+  private val q55 = """
+select i_brand_id brand_id, i_brand brand, sum(ss_ext_sales_price) ext_price
+from date_dim, store_sales, item
+where d_date_sk = ss_sold_date_sk
+  and ss_item_sk = i_item_sk
+  and i_manager_id = 28
+  and d_moy = 11
+  and d_year = 1999
+group by i_brand, i_brand_id
+order by ext_price desc, i_brand_id
+limit 100"""
+
+  private val q65 = """
+select s_store_name, i_item_desc, sc.revenue, i_current_price,
+       i_wholesale_cost, i_brand
+from store, item,
+     (select ss_store_sk, avg(revenue) as ave
+      from
+          (select ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+           from store_sales, date_dim
+           where ss_sold_date_sk = d_date_sk
+             and d_month_seq between 1176 and 1176+11
+           group by ss_store_sk, ss_item_sk) sa
+      group by ss_store_sk) sb,
+     (select ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+      from store_sales, date_dim
+      where ss_sold_date_sk = d_date_sk
+        and d_month_seq between 1176 and 1176+11
+      group by ss_store_sk, ss_item_sk) sc
+where sb.ss_store_sk = sc.ss_store_sk and
+      sc.revenue <= 0.1 * sb.ave and
+      s_store_sk = sc.ss_store_sk and
+      i_item_sk = sc.ss_item_sk
+order by s_store_name, i_item_desc
+limit 100"""
+
+  private val q73 = """
+select c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+from
+  (select ss_ticket_number, ss_customer_sk, count(*) cnt
+   from store_sales, date_dim, store, household_demographics
+   where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     and store_sales.ss_store_sk = store.s_store_sk
+     and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     and date_dim.d_dom between 1 and 2
+     and (household_demographics.hd_buy_potential = '>10000' or
+          household_demographics.hd_buy_potential = 'unknown')
+     and household_demographics.hd_vehicle_count > 0
+     and case when household_demographics.hd_vehicle_count > 0 then
+              household_demographics.hd_dep_count /
+              household_demographics.hd_vehicle_count
+         else null end > 1
+     and date_dim.d_year in (1999, 1999+1, 1999+2)
+     and store.s_county in ('Williamson County', 'Franklin Parish',
+                            'Bronx County', 'Orange County')
+   group by ss_ticket_number, ss_customer_sk) dj, customer
+where ss_customer_sk = c_customer_sk
+  and cnt between 1 and 5
+order by cnt desc, c_last_name asc"""
+
+  private def q88Slot(alias: String, hour: Int, minCmp: String,
+      dep1: Int, dep2: Int, dep3: Int) = s"""
+ (select count(*) $alias
+  from store_sales, household_demographics, time_dim, store
+  where ss_sold_time_sk = time_dim.t_time_sk
+    and ss_hdemo_sk = household_demographics.hd_demo_sk
+    and ss_store_sk = s_store_sk
+    and time_dim.t_hour = $hour
+    and time_dim.t_minute $minCmp 30
+    and ((household_demographics.hd_dep_count = $dep1 and household_demographics.hd_vehicle_count<=$dep1+2) or
+         (household_demographics.hd_dep_count = $dep2 and household_demographics.hd_vehicle_count<=$dep2+2) or
+         (household_demographics.hd_dep_count = $dep3 and household_demographics.hd_vehicle_count<=$dep3+2))
+    and store.s_store_name = 'ese')"""
+
+  private val q88 = "select *\nfrom" +
+    Seq(
+      q88Slot("h8_30_to_9", 8, ">=", 4, 2, 0) + " s1",
+      q88Slot("h9_to_9_30", 9, "<", 4, 2, 0) + " s2",
+      q88Slot("h9_30_to_10", 9, ">=", 4, 2, 0) + " s3",
+      q88Slot("h10_to_10_30", 10, "<", 4, 2, 0) + " s4",
+      q88Slot("h10_30_to_11", 10, ">=", 4, 2, 0) + " s5",
+      q88Slot("h11_to_11_30", 11, "<", 4, 2, 0) + " s6",
+      q88Slot("h11_30_to_12", 11, ">=", 4, 2, 0) + " s7",
+      q88Slot("h12_to_12_30", 12, "<", 4, 2, 0) + " s8").mkString(",")
+
+  private val q96 = """
+select count(*)
+from store_sales, household_demographics, time_dim, store
+where ss_sold_time_sk = time_dim.t_time_sk
+  and ss_hdemo_sk = household_demographics.hd_demo_sk
+  and ss_store_sk = s_store_sk
+  and time_dim.t_hour = 20
+  and time_dim.t_minute >= 30
+  and household_demographics.hd_dep_count = 7
+  and store.s_store_name = 'ese'
+order by count(*)
+limit 100"""
+
+  private val texts: Map[String, String] = Map(
+    "qds_official_q3" -> q3, "qds_official_q7" -> q7,
+    "qds_official_q19" -> q19, "qds_official_q43" -> q43,
+    "qds_official_q52" -> q52, "qds_official_q55" -> q55,
+    "qds_official_q65" -> q65, "qds_official_q73" -> q73,
+    "qds_official_q88" -> q88, "qds_official_q96" -> q96)
+
+  /** Output-column renames for texts whose SELECT list carries a bare
+    * aggregate (parquet cannot store `count(*)` as a column name);
+    * applied identically on both engines AFTER the official text runs. */
+  private val renames: Map[String, Seq[String]] = Map(
+    "qds_official_q96" -> Seq("cnt_all"))
+
+  private def run(spark: SparkSession, name: String): DataFrame = {
+    val dir = ensure(spark)
+    tableNames.foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val df = spark.sql(texts(name))
+    renames.get(name).map(cols => df.toDF(cols: _*)).getOrElse(df)
+  }
+
+  val queries: Map[String, QueryFn] =
+    texts.keys.map(n => n ->
+      ((s: SparkSession, _: String) => run(s, n)): (String, QueryFn)).toMap
+
+  /** DuckDB oracle: CTEs bind each official table name to the generated
+    * parquet, then the SAME official text follows unmodified. */
+  val oracleSql: Map[String, String] = texts.map { case (name, text) =>
+    val ctes = tableNames.map(t =>
+      s"$t AS (SELECT * FROM '$fixtureDir/$t.parquet/*.parquet')")
+      .mkString("WITH ", ",\n", "\n")
+    val wrapped = renames.get(name) match {
+      case Some(cols) =>
+        s"$ctes SELECT * FROM (\n$text\n) AS _r(${cols.mkString(",")})"
+      case None => s"$ctes$text"
+    }
+    name -> wrapped
+  }
+}

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Raw-scan floor probe (round-14 verdict task 6): time ONLY the parquet
+  * decode+aggregate of the columns the q10/q3 family touches, on the
+  * stock fixture files — the irreducible scan term under every join
+  * plan. Run DuckDB on the same expressions externally for the ratio.
+  *
+  * Usage: ScanFloor <sfDir>
+  */
+object ScanFloor {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "benchdata/sf10"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(label: String)(f: => Unit): Unit = {
+      (1 to 2).foreach(_ => f) // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scanfloor] $label%-28s median=${ts.sorted.apply(1)}%.3f  (${ts.map(t => f"$t%.2f").mkString(",")})")
+    }
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    time("li 4cols agg (q10 cols)") {
+      li.select(sum(col("l_extendedprice")), sum(col("l_discount")),
+        count(col("l_returnflag")), sum(col("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("li 2cols agg") {
+      li.select(sum(col("l_extendedprice")), sum(col("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("li count only") {
+      li.select(count(lit(1))).write.format("noop").mode("overwrite").save()
+    }
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    time("orders filter+2cols (probe)") {
+      o.filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(sum(col("o_orderkey")), sum(col("o_custkey")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

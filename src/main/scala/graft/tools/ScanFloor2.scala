@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decode-floor levers A/B (round-14): the same 4-column lineitem scan
+  * under (a) bigger vectorized reader batches, (b) re-encoded files
+  * (uncompressed / zstd / no-dictionary), on top of the stock baseline
+  * ScanFloor measured. Usage: ScanFloor2 <sfDir>
+  */
+object ScanFloor2 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "benchdata/sf10"
+    val batch = sys.env.getOrElse("SF2_BATCH", "4096")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", batch)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(label: String)(f: => Unit): Unit = {
+      (1 to 2).foreach(_ => f)
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[scanfloor2] batch=$batch $label%-24s median=${ts.sorted.apply(1)}%.3f")
+    }
+    def scan4(path: String): Unit =
+      spark.read.parquet(path)
+        .select(sum(col("l_extendedprice")), sum(col("l_discount")),
+          count(col("l_returnflag")), sum(col("l_orderkey")))
+        .write.format("noop").mode("overwrite").save()
+    time("stock (snappy)") { scan4(s"$dir/lineitem.parquet") }
+    // re-encoded variants (write once, reuse)
+    val base = System.getProperty("java.io.tmpdir") + "/graft-sf2"
+    def ensure(name: String, codec: String, dict: Boolean): String = {
+      val out = s"$base/$name"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS"))) {
+        spark.read.parquet(s"$dir/lineitem.parquet").repartition(32)
+          .write.mode("overwrite")
+          .option("compression", codec)
+          .option("parquet.enable.dictionary", dict.toString)
+          .parquet(out)
+      }
+      out
+    }
+    time("uncompressed") { scan4(ensure("unc", "none", dict = true)) }
+    time("uncompressed nodict") { scan4(ensure("uncnd", "none", dict = false)) }
+    time("zstd") { scan4(ensure("zstd", "zstd", dict = true)) }
+    time("lz4") { scan4(ensure("lz4", "lz4", dict = true)) }
+    spark.stop()
+  }
+}
