@@ -106,14 +106,20 @@ object Bucketed {
     // placed by murmur3 pmod nBuckets at write time, so reusing a
     // 16-bucket build under a 32-bucket declaration would silently
     // mis-assign every row's bucket — spec mismatch rebuilds instead
-    val specLine = s"$nBuckets|${bucketCols.mkString(",")}|" +
-      s"${sortCols.mkString(",")}|" +
-      sys.props.getOrElse("graft.layout.compression", "snappy")
+    val codec = sys.props.getOrElse("graft.layout.compression", "snappy")
+    val legacyLine =
+      s"$nBuckets|${bucketCols.mkString(",")}|${sortCols.mkString(",")}"
+    val specLine = s"$legacyLine|$codec"
     val reusable =
       java.nio.file.Files.exists(marker) && {
         val lines = new String(
           java.nio.file.Files.readAllBytes(marker), "UTF-8").split("\n", 2)
-        lines.length == 2 && lines(0) == specLine
+        // markers written before the codec field was added (round <14)
+        // are snappy builds — reusable when snappy is what we want (a
+        // blanket mismatch would silently rebuild a 15 GB sf100 layout
+        // and flirt with the disk, which is exactly what it did once)
+        lines.length == 2 && (lines(0) == specLine ||
+          (lines(0) == legacyLine && codec == "snappy"))
       }
     if (reusable) {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(

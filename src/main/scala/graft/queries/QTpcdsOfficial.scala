@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * (QTpcds..QTpcds13, 99/99) runs on the driver's TPC-H-ish tables;
   * THIS batch generates the genuine retail schema (store_sales +
   * date_dim/item/store/customer/… per the public TPC-DS spec) and runs
-  * ten official queries (Q3, Q7, Q19, Q43, Q52, Q55, Q65, Q73, Q88,
-  * Q96 — the published TPC query set, the same public texts the
+  * twenty-one official queries (Q3, Q7, Q13, Q19, Q21, Q34, Q42,
+  * Q43, Q46, Q48, Q52, Q55, Q59, Q65, Q68, Q73, Q79, Q82, Q88, Q96,
+  * Q98 — the
+  * published TPC query set, the same public texts the
   * reference's pg_lake_benchmark/src/tpcds.c:30-139 runner loads)
   * unmodified: the Spark side registers the tables as views and
   * executes the official SQL; the DuckDB oracle wraps the SAME text in
@@ -32,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v2"
+  private val Version = "v4"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -44,7 +46,8 @@ object QTpcdsOfficial {
 
   val tableNames = Seq("date_dim", "item", "store", "customer",
     "customer_address", "customer_demographics",
-    "household_demographics", "promotion", "time_dim", "store_sales")
+    "household_demographics", "promotion", "time_dim", "warehouse",
+    "inventory", "store_sales")
 
   /** Build-or-reuse the retail fixture; returns the dir. Thread-safe
     * via marker file + atomic rename publish. */
@@ -74,6 +77,7 @@ object QTpcdsOfficial {
       .withColumn("d_week_seq",
         ((col("d_date_sk") - 2450815L) / 7).cast("int") + 5112)
       .withColumn("d_day_name", date_format(col("d_date"), "EEEE"))
+      .withColumn("d_dow", dayofweek(col("d_date")) - 1) // 0 = Sunday
     write("date_dim", dd)
 
     // ---- item: 200 items; manufact ids 101-150 (Q3's 128 ∈ range),
@@ -96,7 +100,10 @@ object QTpcdsOfficial {
       element_at(catNames, (pick(col("id"), 19, 10) + 1).cast("int"))
         .as("i_category"),
       format_string("class%02d", pick(col("id"), 23, 16)).as("i_class"),
-      (pick(col("id"), 29, 99) + 1).cast("double").as("i_current_price"),
+      // round-robin over 1..99: Q21's (0.99, 1.49) band requires an
+      // item priced exactly 1, which a hash draw missed entirely
+      (pmod(col("id") - 1, lit(99L)) + 1).cast("double")
+        .as("i_current_price"),
       (pick(col("id"), 31, 60) + 1).cast("double").as("i_wholesale_cost"))
     write("item", item)
 
@@ -111,13 +118,19 @@ object QTpcdsOfficial {
       col("id").as("s_store_sk"),
       format_string("AAAAAAAA%08dCA", col("id")).as("s_store_id"),
       element_at(storeNames, col("id").cast("int")).as("s_store_name"),
-      element_at(counties, (pick(col("id"), 37, 8) + 1).cast("int"))
+      // round-robin, not hashed: 10 stores over 8 counties must COVER
+      // the list (a hash draw left Q34's 'Williamson County' with zero
+      // stores and an empty, if oracle-agreeing, gate)
+      element_at(counties, (pmod(col("id") - 1, lit(8L)) + 1).cast("int"))
         .as("s_county"),
       format_string("%05d", pick(col("id"), 41, 89999) + 10000)
         .as("s_zip"),
       when(pick(col("id"), 43, 2) === 0, -5.0).otherwise(-6.0)
         .as("s_gmt_offset"),
-      (pick(col("id"), 47, 250) + 50).as("s_number_employees"))
+      (pick(col("id"), 47, 250) + 50).as("s_number_employees"),
+      element_at(array(Seq("Midway", "Fairview", "Oak Grove",
+        "Pleasant Hill", "Centerville").map(lit): _*),
+        (pick(col("id"), 49, 5) + 1).cast("int")).as("s_city"))
     write("store", store)
 
     // ---- customer + customer_address (1000 each)
@@ -150,7 +163,11 @@ object QTpcdsOfficial {
       element_at(cities, (pick(col("id"), 73, 8) + 1).cast("int"))
         .as("ca_city"),
       format_string("%05d-%04d", pick(col("id"), 79, 89999) + 10000,
-        pick(col("id"), 83, 9999)).as("ca_zip"))
+        pick(col("id"), 83, 9999)).as("ca_zip"),
+      element_at(array(Seq("TX", "OH", "OR", "NM", "KY", "VA", "MS",
+        "CO", "MN", "CA", "IL", "GA").map(lit): _*),
+        (pick(col("id"), 87, 12) + 1).cast("int")).as("ca_state"),
+      lit("United States").as("ca_country"))
     write("customer_address", address)
 
     // ---- customer_demographics: the spec's full cross grid
@@ -197,11 +214,38 @@ object QTpcdsOfficial {
       pmod(col("id"), lit(60L)).as("t_minute"))
     write("time_dim", timeDim)
 
+    // ---- warehouse + inventory: weekly per-item per-warehouse
+    // quantity snapshots (the spec's weekly inventory cadence);
+    // quantity as integer-valued double (HUGEINT-free sums)
+    val warehouse = spark.range(1, 6).select(
+      col("id").as("w_warehouse_sk"),
+      format_string("Warehouse %d", col("id")).as("w_warehouse_name"),
+      (pick(col("id"), 301, 900000) + 100000).as("w_warehouse_sq_ft"))
+    write("warehouse", warehouse)
+    val inventory = spark.range(0, 261L * 200 * 5).select(
+      ((col("id") / (200 * 5)).cast("bigint") * 7 + 2450815L)
+        .as("inv_date_sk"), // weekly: every 7th date_sk
+      (pmod(col("id"), lit(200L)) + 1).as("inv_item_sk"),
+      (pmod((col("id") / 200).cast("bigint"), lit(5L)) + 1)
+        .as("inv_warehouse_sk"),
+      pick(col("id"), 307, 1000).cast("double")
+        .as("inv_quantity_on_hand"))
+    write("inventory", inventory, files = 4)
+
     // ---- store_sales: 200k rows, ~2.4 rows per ticket; every money
     // column an integer-valued double (exact sums in any order)
     val n = 200000L
+    // bimodal ticket sizes per 60-id block: twenty 2-row tickets + one
+    // 20-row ticket — Q73's cnt BETWEEN 1 AND 5 selects the small ones,
+    // Q34's cnt BETWEEN 15 AND 20 the big ones (every non-item filter is
+    // ticket-level — date/store/hdemo ride the ticket — so tickets pass
+    // or drop whole and the counts stay exactly 2 / 20)
     val ss0 = spark.range(0, n)
-      .withColumn("ss_ticket_number", (col("id") / lit(2.4)).cast("bigint"))
+      .withColumn("_blk", (col("id") / 60).cast("bigint"))
+      .withColumn("_pos", pmod(col("id"), lit(60L)))
+      .withColumn("ss_ticket_number",
+        col("_blk") * 21 + when(col("_pos") < 40,
+          (col("_pos") / 2).cast("bigint")).otherwise(lit(20L)))
     val ss = ss0.select(
       (pick(col("ss_ticket_number"), 101, 1827) + 2450815L)
         .as("ss_sold_date_sk"), // ticket-mates share one date, spec-like
@@ -219,14 +263,23 @@ object QTpcdsOfficial {
       (pick(col("ss_ticket_number"), 137, 10) + 1).as("ss_store_sk"),
       (pick(col("id"), 139, 20) + 1).as("ss_promo_sk"),
       col("ss_ticket_number"),
-      (pick(col("id"), 149, 100) + 1).as("ss_quantity"),
+      // quantity as an integer-valued DOUBLE like the money columns:
+      // DuckDB widens sum(BIGINT) to HUGEINT (a strict-gate physical
+      // mismatch); sum(double) agrees bit-exactly on both engines
+      (pick(col("id"), 149, 100) + 1).cast("double").as("ss_quantity"),
       (pick(col("id"), 151, 200) + 1).cast("double").as("ss_list_price"),
       (pick(col("id"), 157, 190) + 1).cast("double").as("ss_sales_price"),
       (pick(col("id"), 163, 20000) + 1).cast("double")
         .as("ss_ext_sales_price"),
       when(pick(col("id"), 167, 5) === 0,
         (pick(col("id"), 173, 50) + 1).cast("double"))
-        .otherwise(0.0).as("ss_coupon_amt"))
+        .otherwise(0.0).as("ss_coupon_amt"),
+      (pick(col("id"), 179, 40000) + 1).cast("double")
+        .as("ss_ext_list_price"),
+      pick(col("id"), 181, 2000).cast("double").as("ss_ext_tax"),
+      (pick(col("id"), 191, 30000) + 1).cast("double").as("ss_net_profit"),
+      (pick(col("id"), 193, 20000) + 1).cast("double")
+        .as("ss_ext_wholesale_cost"))
     write("store_sales", ss, files = 8)
 
     java.nio.file.Files.createFile(tmp.resolve("_DONE"))
@@ -425,18 +478,330 @@ where ss_sold_time_sk = time_dim.t_time_sk
 order by count(*)
 limit 100"""
 
+  private val q13 = """
+select avg(ss_quantity), avg(ss_ext_sales_price),
+       avg(ss_ext_wholesale_cost), sum(ss_ext_wholesale_cost)
+from store_sales, store, customer_demographics,
+     household_demographics, customer_address, date_dim
+where s_store_sk = ss_store_sk
+and ss_sold_date_sk = d_date_sk and d_year = 2001
+and((ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'M'
+  and cd_education_status = 'Advanced Degree'
+  and ss_sales_price between 100.00 and 150.00
+  and hd_dep_count = 3
+     )or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and ss_sales_price between 50.00 and 100.00
+  and hd_dep_count = 1
+     ) or
+     (ss_hdemo_sk=hd_demo_sk
+  and cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'W'
+  and cd_education_status = '2 yr Degree'
+  and ss_sales_price between 150.00 and 200.00
+  and hd_dep_count = 1
+     ))
+and((ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('TX', 'OH', 'TX')
+  and ss_net_profit between 100 and 200
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('OR', 'NM', 'KY')
+  and ss_net_profit between 150 and 300
+     ) or
+     (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('VA', 'TX', 'MS')
+  and ss_net_profit between 50 and 250
+     ))"""
+
+  private val q34 = """
+select c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+from
+  (select ss_ticket_number, ss_customer_sk, count(*) cnt
+   from store_sales, date_dim, store, household_demographics
+   where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     and store_sales.ss_store_sk = store.s_store_sk
+     and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     and (date_dim.d_dom between 1 and 3 or date_dim.d_dom between 25 and 28)
+     and (household_demographics.hd_buy_potential = '>10000' or
+          household_demographics.hd_buy_potential = 'unknown')
+     and household_demographics.hd_vehicle_count > 0
+     and (case when household_demographics.hd_vehicle_count > 0
+          then household_demographics.hd_dep_count /
+               household_demographics.hd_vehicle_count
+          else null end) > 1.2
+     and date_dim.d_year in (1999, 1999+1, 1999+2)
+     and store.s_county in ('Williamson County','Williamson County',
+                            'Williamson County','Williamson County',
+                            'Williamson County','Williamson County',
+                            'Williamson County','Williamson County')
+   group by ss_ticket_number, ss_customer_sk) dn, customer
+where ss_customer_sk = c_customer_sk
+  and cnt between 15 and 20
+order by c_last_name, c_first_name, c_salutation,
+         c_preferred_cust_flag desc, ss_ticket_number"""
+
+  private val q42 = """
+select dt.d_year, item.i_category_id, item.i_category,
+       sum(ss_ext_sales_price)
+from date_dim dt, store_sales, item
+where dt.d_date_sk = store_sales.ss_sold_date_sk
+  and store_sales.ss_item_sk = item.i_item_sk
+  and item.i_manager_id = 1
+  and dt.d_moy = 11
+  and dt.d_year = 2000
+group by dt.d_year, item.i_category_id, item.i_category
+order by sum(ss_ext_sales_price) desc, dt.d_year,
+         item.i_category_id, item.i_category
+limit 100"""
+
+  private val q46 = """
+select c_last_name, c_first_name, ca_city, bought_city,
+       ss_ticket_number, amt, profit
+from
+  (select ss_ticket_number, ss_customer_sk, ca_city bought_city,
+          sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+   from store_sales, date_dim, store, household_demographics,
+        customer_address
+   where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     and store_sales.ss_store_sk = store.s_store_sk
+     and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     and store_sales.ss_addr_sk = customer_address.ca_address_sk
+     and (household_demographics.hd_dep_count = 4 or
+          household_demographics.hd_vehicle_count = 3)
+     and date_dim.d_dow in (6, 0)
+     and date_dim.d_year in (1999, 1999+1, 1999+2)
+     and store.s_city in ('Fairview','Midway','Fairview','Fairview',
+                          'Fairview')
+   group by ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+  customer, customer_address current_addr
+where ss_customer_sk = c_customer_sk
+  and customer.c_current_addr_sk = current_addr.ca_address_sk
+  and current_addr.ca_city <> bought_city
+order by c_last_name, c_first_name, ca_city, bought_city,
+         ss_ticket_number
+limit 100"""
+
+  private val q48 = """
+select sum (ss_quantity)
+from store_sales, store, customer_demographics, customer_address,
+     date_dim
+where s_store_sk = ss_store_sk
+and ss_sold_date_sk = d_date_sk and d_year = 2000
+and
+(
+ (cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'M'
+  and cd_education_status = '4 yr Degree'
+  and ss_sales_price between 100.00 and 150.00)
+ or
+ (cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'D'
+  and cd_education_status = '2 yr Degree'
+  and ss_sales_price between 50.00 and 100.00)
+ or
+ (cd_demo_sk = ss_cdemo_sk
+  and cd_marital_status = 'S'
+  and cd_education_status = 'College'
+  and ss_sales_price between 150.00 and 200.00)
+)
+and
+(
+ (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('CO', 'OH', 'TX')
+  and ss_net_profit between 0 and 2000)
+ or
+ (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('OR', 'MN', 'KY')
+  and ss_net_profit between 150 and 3000)
+ or
+ (ss_addr_sk = ca_address_sk
+  and ca_country = 'United States'
+  and ca_state in ('VA', 'CA', 'MS')
+  and ss_net_profit between 50 and 25000)
+)"""
+
+  private val q59 = """
+with wss as
+ (select d_week_seq, ss_store_sk,
+        sum(case when (d_day_name='Sunday') then ss_sales_price else null end) sun_sales,
+        sum(case when (d_day_name='Monday') then ss_sales_price else null end) mon_sales,
+        sum(case when (d_day_name='Tuesday') then ss_sales_price else null end) tue_sales,
+        sum(case when (d_day_name='Wednesday') then ss_sales_price else null end) wed_sales,
+        sum(case when (d_day_name='Thursday') then ss_sales_price else null end) thu_sales,
+        sum(case when (d_day_name='Friday') then ss_sales_price else null end) fri_sales,
+        sum(case when (d_day_name='Saturday') then ss_sales_price else null end) sat_sales
+ from store_sales, date_dim
+ where d_date_sk = ss_sold_date_sk
+ group by d_week_seq, ss_store_sk
+ )
+select s_store_name1, s_store_id1, d_week_seq1,
+       sun_sales1/sun_sales2, mon_sales1/mon_sales2,
+       tue_sales1/tue_sales2, wed_sales1/wed_sales2,
+       thu_sales1/thu_sales2, fri_sales1/fri_sales2,
+       sat_sales1/sat_sales2
+from
+ (select s_store_name s_store_name1, wss.d_week_seq d_week_seq1,
+         s_store_id s_store_id1, sun_sales sun_sales1,
+         mon_sales mon_sales1, tue_sales tue_sales1,
+         wed_sales wed_sales1, thu_sales thu_sales1,
+         fri_sales fri_sales1, sat_sales sat_sales1
+  from wss, store, date_dim d
+  where d.d_week_seq = wss.d_week_seq and
+        ss_store_sk = s_store_sk and
+        d_month_seq between 1212 and 1212 + 11
+ ) y,
+ (select s_store_name s_store_name2, wss.d_week_seq d_week_seq2,
+         s_store_id s_store_id2, sun_sales sun_sales2,
+         mon_sales mon_sales2, tue_sales tue_sales2,
+         wed_sales wed_sales2, thu_sales thu_sales2,
+         fri_sales fri_sales2, sat_sales sat_sales2
+  from wss, store, date_dim d
+  where d.d_week_seq = wss.d_week_seq and
+        ss_store_sk = s_store_sk and
+        d_month_seq between 1212 + 12 and 1212 + 23
+ ) x
+where s_store_id1 = s_store_id2
+  and d_week_seq1 = d_week_seq2 - 52
+order by s_store_name1, s_store_id1, d_week_seq1
+limit 100"""
+
+  private val q68 = """
+select c_last_name, c_first_name, ca_city, bought_city,
+       ss_ticket_number, extended_price, extended_tax, list_price
+from (select ss_ticket_number, ss_customer_sk, ca_city bought_city,
+        sum(ss_ext_sales_price) extended_price,
+        sum(ss_ext_list_price) list_price,
+        sum(ss_ext_tax) extended_tax
+      from store_sales, date_dim, store, household_demographics,
+           customer_address
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_store_sk = store.s_store_sk
+        and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        and store_sales.ss_addr_sk = customer_address.ca_address_sk
+        and date_dim.d_dom between 1 and 2
+        and (household_demographics.hd_dep_count = 4 or
+             household_demographics.hd_vehicle_count = 3)
+        and date_dim.d_year in (1999, 1999+1, 1999+2)
+        and store.s_city in ('Midway','Fairview')
+      group by ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+where ss_customer_sk = c_customer_sk
+  and customer.c_current_addr_sk = current_addr.ca_address_sk
+  and current_addr.ca_city <> bought_city
+order by c_last_name, ss_ticket_number
+limit 100"""
+
+  private val q79 = """
+select c_last_name, c_first_name, substr(s_city,1,30),
+       ss_ticket_number, amt, profit
+from
+  (select ss_ticket_number, ss_customer_sk, store.s_city,
+          sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+   from store_sales, date_dim, store, household_demographics
+   where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     and store_sales.ss_store_sk = store.s_store_sk
+     and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     and (household_demographics.hd_dep_count = 6 or
+          household_demographics.hd_vehicle_count > 2)
+     and date_dim.d_dow = 1
+     and date_dim.d_year in (1998, 1998+1, 1998+2)
+     and store.s_number_employees between 200 and 295
+   group by ss_ticket_number, ss_customer_sk, ss_addr_sk,
+            store.s_city) ms, customer
+where ss_customer_sk = c_customer_sk
+order by c_last_name, c_first_name, substr(s_city,1,30), profit
+limit 100"""
+
+  private val q98 = """
+select i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       sum(ss_ext_sales_price) as itemrevenue,
+       sum(ss_ext_sales_price)*100/sum(sum(ss_ext_sales_price)) over
+         (partition by i_class) as revenueratio
+from store_sales, item, date_dim
+where ss_item_sk = i_item_sk
+  and i_category in ('Sports', 'Books', 'Home')
+  and ss_sold_date_sk = d_date_sk
+  and d_date between cast('1999-02-22' as date)
+                 and (cast('1999-02-22' as date) + interval 30 day)
+group by i_item_id, i_item_desc, i_category, i_class, i_current_price
+order by i_category, i_class, i_item_id, i_item_desc, revenueratio"""
+
+  private val q21 = """
+select w_warehouse_name, i_item_id,
+       sum(case when (cast(d_date as date) < cast('2000-03-11' as date))
+                then inv_quantity_on_hand else 0 end) as inv_before,
+       sum(case when (cast(d_date as date) >= cast('2000-03-11' as date))
+                then inv_quantity_on_hand else 0 end) as inv_after
+from inventory, warehouse, item, date_dim
+where i_current_price between 0.99 and 1.49
+  and i_item_sk = inv_item_sk
+  and inv_warehouse_sk = w_warehouse_sk
+  and inv_date_sk = d_date_sk
+  and d_date between (cast('2000-03-11' as date) - interval 30 day)
+                 and (cast('2000-03-11' as date) + interval 30 day)
+group by w_warehouse_name, i_item_id
+having (case when inv_before > 0
+        then inv_after / inv_before
+        else null end) between 2.0/3.0 and 3.0/2.0
+order by w_warehouse_name, i_item_id
+limit 100"""
+
+  private val q82 = """
+select i_item_id, i_item_desc, i_current_price
+from item, inventory, date_dim, store_sales
+where i_current_price between 62 and 62+30
+  and inv_item_sk = i_item_sk
+  and d_date_sk = inv_date_sk
+  and d_date between cast('2000-05-25' as date)
+                 and (cast('2000-05-25' as date) + interval 60 day)
+  and i_manufact_id in (129, 270, 821, 423)
+  and inv_quantity_on_hand between 100 and 500
+  and ss_item_sk = i_item_sk
+group by i_item_id, i_item_desc, i_current_price
+order by i_item_id
+limit 100"""
+
   private val texts: Map[String, String] = Map(
     "qds_official_q3" -> q3, "qds_official_q7" -> q7,
-    "qds_official_q19" -> q19, "qds_official_q43" -> q43,
-    "qds_official_q52" -> q52, "qds_official_q55" -> q55,
-    "qds_official_q65" -> q65, "qds_official_q73" -> q73,
-    "qds_official_q88" -> q88, "qds_official_q96" -> q96)
+    "qds_official_q13" -> q13, "qds_official_q19" -> q19,
+    "qds_official_q21" -> q21,
+    "qds_official_q34" -> q34, "qds_official_q42" -> q42,
+    "qds_official_q43" -> q43, "qds_official_q46" -> q46,
+    "qds_official_q48" -> q48, "qds_official_q52" -> q52,
+    "qds_official_q55" -> q55, "qds_official_q59" -> q59,
+    "qds_official_q65" -> q65, "qds_official_q68" -> q68,
+    "qds_official_q73" -> q73, "qds_official_q79" -> q79,
+    "qds_official_q82" -> q82,
+    "qds_official_q88" -> q88, "qds_official_q96" -> q96,
+    "qds_official_q98" -> q98)
 
   /** Output-column renames for texts whose SELECT list carries a bare
     * aggregate (parquet cannot store `count(*)` as a column name);
     * applied identically on both engines AFTER the official text runs. */
   private val renames: Map[String, Seq[String]] = Map(
-    "qds_official_q96" -> Seq("cnt_all"))
+    "qds_official_q96" -> Seq("cnt_all"),
+    "qds_official_q13" -> Seq("avg_qty", "avg_ext_sales",
+      "avg_ext_wholesale", "sum_ext_wholesale"),
+    "qds_official_q42" -> Seq("d_year", "i_category_id", "i_category",
+      "sum_sales"),
+    "qds_official_q48" -> Seq("sum_qty"),
+    "qds_official_q59" -> Seq("s_store_name1", "s_store_id1",
+      "d_week_seq1", "sun_r", "mon_r", "tue_r", "wed_r", "thu_r",
+      "fri_r", "sat_r"),
+    "qds_official_q79" -> Seq("c_last_name", "c_first_name", "city",
+      "ss_ticket_number", "amt", "profit"))
 
   private def run(spark: SparkSession, name: String): DataFrame = {
     val dir = ensure(spark)
