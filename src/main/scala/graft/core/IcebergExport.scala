@@ -48,7 +48,7 @@ object IcebergExport {
       |{"name":"existing_rows_count","type":"long"},
       |{"name":"deleted_rows_count","type":"long"}]}""".stripMargin
 
-  private def icebergType(dt: DataType): Any = dt match {
+  private[graft] def icebergType(dt: DataType): Any = dt match {
     case BooleanType => "boolean"
     case IntegerType | ShortType | ByteType => "int"
     case LongType => "long"

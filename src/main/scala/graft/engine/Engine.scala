@@ -1015,11 +1015,22 @@ object Engine {
     // (zip_path option / extension inference — the reference's ".zip |
     // Auto-detected or derived from zip_path extension" row); a zipped
     // shapefile's .dbf/.shx extract beside its .shp so the pair resolves
-    val (path, fmt) =
+    val (path1, fmt) =
       if (graft.sources.ZipContainer.isZip(pathL))
         graft.sources.ZipContainer.resolve(pathL, format,
           options.get("zip_path"))
       else (pathL, format)
+    // .gz for the byte-level parsers (.gpkg.gz / zipped shapefile's
+    // cousin row in the reference's format table): Spark-native readers
+    // below decompress .gz themselves, the direct binary parsers cannot
+    val byteParsed = Set("shp", "shapefile", "xlsx", "gpkg",
+      "geopackage", "kml", "kmz", "dxf", "gml", "mif", "mapinfo",
+      "fgb", "flatgeobuf")
+    val path =
+      if (graft.sources.ZipContainer.isGz(path1) &&
+          byteParsed(fmt.toLowerCase))
+        graft.sources.ZipContainer.gunzip(path1)
+      else path1
     fmt.toLowerCase match {
       case "parquet" => spark.read.options(options).parquet(path)
       case "csv" =>

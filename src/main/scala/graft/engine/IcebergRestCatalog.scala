@@ -34,7 +34,12 @@ import graft.core.{IcebergImport, LakeTable}
   */
 final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
     token: Option[String] = None, warehouse: Option[String] = None,
-    oauth: Option[IcebergRestCatalog.OAuth] = None) {
+    oauth: Option[IcebergRestCatalog.OAuth] = None,
+    /** ask the catalog for storage-scoped credentials on table access
+      * (the reference's RestCatalogEnableVendedCredentials header,
+      * rest_catalog.c:115-121: `X-Iceberg-Access-Delegation:
+      * vended-credentials`) */
+    vendedCredentials: Boolean = false) {
 
   private implicit val formats: Formats = DefaultFormats
   private val http = HttpClient.newHttpClient()
@@ -91,6 +96,10 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
     def once(tok: Option[String]): (Int, String) = {
       val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
         .header("Content-Type", "application/json")
+      // table-level routes carry the delegation ask; the server answers
+      // with storage credentials in the load-table config when it can
+      if (vendedCredentials && path.contains("/tables"))
+        b.header("X-Iceberg-Access-Delegation", "vended-credentials")
       tok.foreach(t => b.header("Authorization", s"Bearer $t"))
       val req = (body match {
         case Some(j) => b.method(method,
@@ -285,6 +294,52 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Catalog-owned CREATE TABLE, the reference's TWO-PHASE stage-create
+    * flow (rest_catalog.c: StageRestCatalogIcebergTableCreateRestRequest
+    * posts `stage-create: true` with the schema to the tables endpoint;
+    * FinishStageRestCatalogIcebergTableCreateRestRequest then commits
+    * with an `assert-create` requirement + add-schema /
+    * set-current-schema(-1) / add-sort-order / set-default-sort-order /
+    * set-location updates, rest_catalog.c:123-232). A concurrent
+    * creation of the same name surfaces as
+    * [[IcebergRestCatalog.CommitConflict]] from the finishing commit.
+    * Returns the metadata-location the catalog now serves. */
+  def createTable(ns: Seq[String], name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      location: String): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      org.json4s.Extraction.decompose(Map(
+        "id" -> (i + 1), "name" -> f.name, "required" -> !f.nullable,
+        "type" -> graft.core.IcebergExport.icebergType(f.dataType)))
+    }.toList
+    val schemaJson = JObject(
+      "type" -> JString("struct"),
+      "schema-id" -> JInt(0),
+      "fields" -> JArray(fields))
+    // phase 1: stage the creation — the catalog reserves the name but
+    // serves no metadata until the finishing commit
+    expect("POST", s"/v1$prefix/namespaces/${nsPath(ns)}/tables",
+      Some(JsonMethods.compact(JsonMethods.render(JObject(
+        "name" -> JString(name),
+        "schema" -> schemaJson,
+        "stage-create" -> JBool(true))))))
+    // phase 2: finish via the commit protocol under assert-create
+    val requirements = Seq[JValue](
+      JObject("type" -> JString("assert-create")))
+    val updates = Seq[JValue](
+      JObject("action" -> JString("add-schema"), "schema" -> schemaJson),
+      JObject("action" -> JString("set-current-schema"),
+        "schema-id" -> JInt(-1)),
+      JObject("action" -> JString("add-sort-order"),
+        "sort-order" -> JObject("order-id" -> JInt(0),
+          "fields" -> JArray(Nil))),
+      JObject("action" -> JString("set-default-sort-order"),
+        "sort-order-id" -> JInt(0)),
+      JObject("action" -> JString("set-location"),
+        "location" -> JString(location)))
+    commitTable(ns, name, requirements, updates)
   }
 
   /** Register an existing Iceberg table by metadata location

@@ -24,6 +24,40 @@ object ZipContainer {
 
   def isZip(path: String): Boolean = path.toLowerCase.endsWith(".zip")
 
+  def isGz(path: String): Boolean = path.toLowerCase.endsWith(".gz")
+
+  /** Decompress a `.gz` source once into the content-addressed cache,
+    * preserving the inner extension — the reference's `.geojson.gz` /
+    * `.gpkg.gz` rows (file-formats-reference.md:100-135). Spark-native
+    * formats (csv/json/text) decompress in the reader and never come
+    * here; this serves the byte-level parsers (gpkg/shp/fgb/xlsx/...)
+    * that mmap or random-access the file. */
+  def gunzip(gzPath: String): String = {
+    val f = Paths.get(gzPath)
+    val key = s"$gzPath|${Files.size(f)}|" +
+      s"${Files.getLastModifiedTime(f).toMillis}"
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(32)
+    val base = f.getFileName.toString.dropRight(3) // strip .gz
+    val innerExt = {
+      val dot = base.lastIndexOf('.')
+      if (dot >= 0) base.substring(dot) else ""
+    }
+    val dest = cacheRoot.resolve(s"gz-$digest$innerExt")
+    if (Files.exists(dest)) return dest.toString
+    val tmp = cacheRoot.resolve(s".gz-$digest.tmp-${System.nanoTime()}")
+    val in = new java.util.zip.GZIPInputStream(Files.newInputStream(f))
+    try Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+    }
+    dest.toString
+  }
+
   /** extension (lowercase, no dot) → copyFrom format name */
   private val extFormat: Map[String, String] = Map(
     "shp" -> "shapefile", "gpkg" -> "gpkg", "kml" -> "kml",

@@ -87,6 +87,24 @@ class GpkgSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains(GeoKernel.GPoint(9, 9)))
   }
 
+  test(".gpkg.gz reads through copyFrom (reference's gzip format row); " +
+      "decompression is cached") {
+    val gz = Files.createTempFile("sample", ".gpkg.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(gz))
+    out.write(Files.readAllBytes(java.nio.file.Paths.get(gpkgPath)))
+    out.close()
+    val df = graft.engine.Engine.copyFrom(spark, gz.toString, "gpkg",
+      Map("layer" -> "zones"))
+    val plain = Gpkg.read(spark, gpkgPath, Some("zones"))
+    assert(df.count() == plain.count() && df.count() > 0)
+    assert(df.columns.toSeq == plain.columns.toSeq)
+    // second read hits the gunzip cache (same content key) — just
+    // correctness here; the cache path is shared with RemoteFetch's dir
+    assert(graft.engine.Engine.copyFrom(spark, gz.toString, "gpkg",
+      Map("layer" -> "zones")).count() == plain.count())
+  }
+
   test("multi-file directory: rows union across files") {
     val dir = Files.createTempDirectory("gpkg_multi")
     Files.copy(Paths.get(gpkgPath), dir.resolve("a.gpkg"))

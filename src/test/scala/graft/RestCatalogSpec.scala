@@ -43,6 +43,10 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val namespaces = mutable.LinkedHashSet[Seq[String]]()
   private val tables = mutable.LinkedHashMap[(String, String), String]()
   private val commitSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  // staged creations: (nsKey, name) -> schema JSON (the stage-create
+  // half of the two-phase create; served only after the finish commit)
+  private val staged = mutable.LinkedHashMap[(String, String), String]()
+  @volatile private var sawVendedHeader = false
 
   private def json(ex: HttpExchange, code: Int, body: String): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)
@@ -88,6 +92,9 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         s""""expires_in":$oauthTtlS}""")
       return
     }
+    if (path.contains("/tables") && "vended-credentials" ==
+        ex.getRequestHeaders.getFirst("X-Iceberg-Access-Delegation"))
+      sawVendedHeader = true
     val auth = ex.getRequestHeaders.getFirst("Authorization")
     val ok = auth == s"Bearer $Token" ||
       Option(auth).exists(a => a.startsWith("Bearer ") &&
@@ -128,11 +135,90 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
               "metadata" -> Map.empty[String, String])))
           case None => json(ex, 404, """{"error":"NoSuchTableException"}""")
         }
+      // createTable (stage-create): reserve the name, serve nothing
+      // until the finishing commit; duplicate names are conflicts
+      case ("POST", List("v1", "demo", "namespaces", ns, "tables")) =>
+        val j = parse(body)
+        val name = (j \ "name").extract[String]
+        if (tables.contains((ns, name)) || staged.contains((ns, name))) {
+          json(ex, 409, """{"error":{"message":"table exists",""" +
+            """"type":"AlreadyExistsException"}}""")
+        } else {
+          val isStage = (j \ "stage-create").extractOpt[Boolean]
+            .getOrElse(false)
+          if (!isStage) {
+            json(ex, 400, """{"error":"only stage-create supported"}""")
+          } else {
+            staged((ns, name)) =
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(j \ "schema"))
+            json(ex, 200, write(Map(
+              "metadata" -> Map("staged" -> "true"))))
+          }
+        }
       // commitTable: validate requirements against THIS catalog's view,
       // apply updates to the metadata the catalog owns, persist a new
       // metadata file, move the pointer — the genuine server half of the
       // optimistic-concurrency protocol (409 = CommitFailedException)
       case ("POST", List("v1", "demo", "namespaces", ns, "tables", t)) =>
+        import org.json4s._
+        val req0 = parse(body)
+        val isCreateFinish = (req0 \ "requirements") match {
+          case JArray(rs) => rs.exists(r =>
+            (r \ "type").extractOpt[String].contains("assert-create"))
+          case _ => false
+        }
+        if (isCreateFinish) {
+          // finishing a staged creation: assert-create means the table
+          // must NOT already exist as a live table
+          if (tables.contains((ns, t))) {
+            json(ex, 409, """{"error":{"message":"Requirement failed: """ +
+              """table already created","type":"CommitFailedException"}}""")
+            return
+          }
+          if (!staged.contains((ns, t))) {
+            json(ex, 404, """{"error":"NoSuchTableException (not staged)"}""")
+            return
+          }
+          var loc: Option[String] = None
+          var schemaJson: Option[JValue] = None
+          (req0 \ "updates") match {
+            case JArray(us) => us.foreach { u =>
+              (u \ "action").extractOpt[String] match {
+                case Some("set-location") =>
+                  loc = (u \ "location").extractOpt[String]
+                case Some("add-schema") =>
+                  schemaJson = Some(u \ "schema")
+                case _ => ()
+              }
+            }
+            case _ => ()
+          }
+          val location = loc.getOrElse {
+            json(ex, 400, """{"error":"no set-location"}"""); return
+          }
+          val metaDir = java.nio.file.Paths.get(location, "metadata")
+          java.nio.file.Files.createDirectories(metaDir)
+          val doc = JObject(
+            "format-version" -> JInt(2),
+            "table-uuid" -> JString(java.util.UUID.nameUUIDFromBytes(
+              s"$ns.$t".getBytes("UTF-8")).toString),
+            "location" -> JString(location),
+            "current-schema-id" -> JInt(0),
+            "schemas" -> JArray(schemaJson.toList),
+            "current-snapshot-id" -> JInt(-1),
+            "snapshots" -> JArray(Nil))
+          val newLoc = metaDir.resolve("v1.metadata.json").toString
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(newLoc),
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(doc)))
+          staged.remove((ns, t))
+          tables((ns, t)) = newLoc
+          json(ex, 200, write(Map("metadata-location" -> newLoc,
+            "metadata" -> Map("current-snapshot-id" -> -1))))
+          return
+        }
         tables.get((ns, t)) match {
           case None => json(ex, 404, """{"error":"NoSuchTableException"}""")
           case Some(loc) =>
@@ -290,6 +376,61 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.insert(ns, "nation", nation.limit(1))
     assert(cat.scan(ns, "nation").count() == n0 + 4)
     cat.dropTable(ns, "nation")
+  }
+
+  test("two-phase stage-create: POST stage-create=true, finish via " +
+      "assert-create commit; duplicate create conflicts; schema served " +
+      "through the catalog metadata") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val ns = Seq("createns")
+    cat.createNamespace(ns)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT NOT NULL, name STRING, price DOUBLE")
+    val loc = Files.createTempDirectory("restcreate").toString + "/t1"
+    val metaLoc = cat.createTable(ns, "t1", schema, loc)
+    assert(metaLoc.nonEmpty && cat.tableExists(ns, "t1"))
+    assert(cat.currentSnapshotId(ns, "t1") == -1,
+      "freshly created table must have no snapshot")
+    // the catalog-owned metadata file exists at the set-location and
+    // carries the staged schema
+    val doc = org.json4s.jackson.JsonMethods.parse(
+      Files.readString(java.nio.file.Paths.get(metaLoc)))
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val names = (doc \ "schemas")(0) \ "fields" match {
+      case org.json4s.JArray(fs) =>
+        fs.map(f => (f \ "name").extract[String])
+      case _ => Nil
+    }
+    assert(names == Seq("id", "name", "price"), names)
+    // creating the same name again conflicts (either phase may refuse;
+    // this server rejects the re-stage)
+    val e = intercept[Exception] {
+      cat.createTable(ns, "t1", schema, loc + "b")
+    }
+    assert(e.getMessage.contains("409") ||
+      e.isInstanceOf[IcebergRestCatalog.CommitConflict], e.getMessage)
+    cat.dropTable(ns, "t1")
+  }
+
+  test("vended-credentials delegation header rides table-level routes " +
+      "when enabled (rest_catalog.c:115-121)") {
+    sawVendedHeader = false
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token), vendedCredentials = true)
+    val ns = Seq("vendedns")
+    cat.createNamespace(ns)
+    assert(!sawVendedHeader,
+      "namespace routes must NOT carry the delegation header")
+    cat.tableExists(ns, "nope") // a tables route
+    assert(sawVendedHeader,
+      "table routes must carry X-Iceberg-Access-Delegation")
+    // and the default client never sends it
+    sawVendedHeader = false
+    val plain = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    plain.tableExists(ns, "nope")
+    assert(!sawVendedHeader)
   }
 
   test("OAuth2 client-credentials: token fetched once, cached across " +
