@@ -181,6 +181,16 @@ class ShapefileSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("absent.shp"))
   }
 
+  test("zip-slip entries (../) are rejected, not extracted") {
+    val zip = buildZip(
+      "../evil.csv" -> "x\n666\n".getBytes(StandardCharsets.US_ASCII),
+      "ok.csv" -> "x\n1\n".getBytes(StandardCharsets.US_ASCII))
+    val e = intercept[IllegalArgumentException] {
+      Engine.copyFrom(spark, zip, "csv")
+    }
+    assert(e.getMessage.contains("escapes archive root"), e.getMessage)
+  }
+
   test("format 'zip' with no zip_path auto-detects the first data entry") {
     val zip = buildZip(
       "zones.shp" -> Files.readAllBytes(Paths.get(dir, "zones.shp")),

@@ -215,6 +215,45 @@ class UrlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     RemoteFetch.clearCache()
   }
 
+  test("hf:// tree listing follows RFC-5988 link-header pagination") {
+    RemoteFetch.clearCache()
+    sys.props("graft.hf.endpoint") = s"http://127.0.0.1:$port"
+    try {
+      def pq(from: Int, to: Int): Array[Byte] = {
+        val tmp = Files.createTempDirectory("hfpg")
+        spark.range(from, to).toDF("id").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        Files.readAllBytes(Files.list(tmp)
+          .filter(_.toString.endsWith(".parquet")).findFirst().get())
+      }
+      objects("/datasets/acme/paged/resolve/main/a.parquet") = pq(0, 3)
+      objects("/datasets/acme/paged/resolve/main/b.parquet") = pq(3, 7)
+      // page 1 answers with a rel="next" link to page 2
+      server.createContext("/api/datasets/acme/paged/tree/main",
+        (ex: HttpExchange) => {
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val (body, next) =
+            if (q.contains("page=2"))
+              ("""[{"type":"file","path":"b.parquet"}]""", None)
+            else ("""[{"type":"file","path":"a.parquet"}]""",
+              Some(s"http://127.0.0.1:$port/api/datasets/acme/paged/" +
+                "tree/main?recursive=true&page=2"))
+          next.foreach(n => ex.getResponseHeaders.set("link",
+            s"""<$n>; rel="next""""))
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        })
+      val df = Engine.copyFrom(spark,
+        "hf://datasets/acme/paged/*.parquet", "parquet")
+      assert(df.count() == 7,
+        "glob must union files from BOTH listing pages")
+    } finally sys.props.remove("graft.hf.endpoint")
+    RemoteFetch.clearCache()
+  }
+
   test("a FAILED forceRefresh keeps the previously valid cache entry") {
     RemoteFetch.clearCache()
     objects("/v3/keep.csv") = "a\n7\n".getBytes(StandardCharsets.UTF_8)
