@@ -1042,6 +1042,15 @@ object Engine {
       case "json" => spark.read.options(options).json(path)
       case "orc" => spark.read.options(options).orc(path)
       case "text" => spark.read.options(options).text(path)
+      // log-format scan through the format dispatcher (the reference's
+      // `format 'log', log_format 's3'` — docs/file-formats-reference
+      // .md:137-156); gzip arrives free via spark.read.text
+      case "log" =>
+        val lf = options.getOrElse("log_format",
+          throw new IllegalArgumentException(
+            "format 'log' requires the log_format option"))
+        require(lf == "s3", s"unsupported log_format '$lf' (only 's3')")
+        readLogFormat(spark, path)
       // GeoJSON FeatureCollection → one row per feature with the geometry
       // as a WKB column (the reference reads these via DuckDB spatial's
       // st_read/GDAL, gdal.c; docs/file-formats-reference.md:100-135).

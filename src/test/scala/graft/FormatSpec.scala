@@ -85,6 +85,15 @@ class FormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getAs[String]("http_status") == "403")
     assert(r(1).getAs[String]("request_uri") == "GET /key1 HTTP/1.1")
     assert(r(1).getAs[String]("bytes_sent") == "1024")
+    // same through the format dispatcher (format 'log' + log_format,
+    // file-formats-reference.md:137-156); the option is mandatory
+    val viaFmt = Engine.copyFrom(spark, d.toString, "log",
+      Map("log_format" -> "s3"))
+    assert(viaFmt.count() == 2 &&
+      viaFmt.columns.toSeq == Engine.s3AccessLogColumns)
+    intercept[IllegalArgumentException] {
+      Engine.copyFrom(spark, d.toString, "log")
+    }
   }
 
   test("nested JSON schema inference: structs, arrays, mixed nulls") {
