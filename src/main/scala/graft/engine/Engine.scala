@@ -1026,11 +1026,27 @@ object Engine {
     val byteParsed = Set("shp", "shapefile", "xlsx", "gpkg",
       "geopackage", "kml", "kmz", "dxf", "gml", "mif", "mapinfo",
       "fgb", "flatgeobuf")
-    val path =
-      if (graft.sources.ZipContainer.isGz(path1) &&
-          byteParsed(fmt.toLowerCase))
-        graft.sources.ZipContainer.gunzip(path1)
+    val path = {
+      import graft.sources.ZipContainer
+      val fl = fmt.toLowerCase
+      val declared = options.get("compression").map(_.toLowerCase)
+        .filterNot(_ == "none")
+      if (ZipContainer.isGz(path1) && byteParsed(fl))
+        ZipContainer.gunzip(path1)
+      // .zst/.zstd: Spark's readers need the Hadoop native zstd codec
+      // (absent here) — decode through zstd-jni for every format
+      else if (ZipContainer.isZstd(path1))
+        ZipContainer.decompress(path1, "zstd")
+      // extension-less compressed csv/json (the reference's explicit
+      // `compression` option row): Spark keys codecs off the extension,
+      // so a declared codec on a bare path decompresses here
+      else if (declared.isDefined && !ZipContainer.isGz(path1) &&
+          Set("csv", "json", "text", "log", "geojsonl",
+            "geojsonseq")(fl) &&
+          new java.io.File(path1).isFile)
+        ZipContainer.decompress(path1, declared.get)
       else path1
+    }
     fmt.toLowerCase match {
       case "parquet" => spark.read.options(options).parquet(path)
       case "csv" =>

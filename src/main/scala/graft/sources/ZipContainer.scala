@@ -32,22 +32,50 @@ object ZipContainer {
     * formats (csv/json/text) decompress in the reader and never come
     * here; this serves the byte-level parsers (gpkg/shp/fgb/xlsx/...)
     * that mmap or random-access the file. */
-  def gunzip(gzPath: String): String = {
-    val f = Paths.get(gzPath)
-    val key = s"$gzPath|${Files.size(f)}|" +
+  def gunzip(gzPath: String): String = decompress(gzPath, "gzip")
+
+  def isZstd(path: String): Boolean = {
+    val l = path.toLowerCase
+    l.endsWith(".zst") || l.endsWith(".zstd")
+  }
+
+  /** Decompress a `gzip`/`zstd` source once into the content-addressed
+    * cache, preserving the inner extension. Serves (a) the byte-level
+    * parsers for any codec, and (b) csv/json/text for codecs Spark's
+    * readers don't key off the extension — zstd always (the Hadoop
+    * ZStandardCodec needs a native lib this env lacks; zstd-jni from
+    * the Spark jars decodes here instead), and gzip when the file has
+    * no `.gz` suffix but the caller passed `compression 'gzip'` (the
+    * reference's extension-less option row,
+    * file-formats-reference.md:49-88). */
+  def decompress(srcPath: String, codec: String): String = {
+    val f = Paths.get(srcPath)
+    val key = s"$srcPath|$codec|${Files.size(f)}|" +
       s"${Files.getLastModifiedTime(f).toMillis}"
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(key.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(32)
-    val base = f.getFileName.toString.dropRight(3) // strip .gz
+    val name = f.getFileName.toString
+    val base = // strip the codec suffix when present
+      if (name.toLowerCase.endsWith(".gz")) name.dropRight(3)
+      else if (name.toLowerCase.endsWith(".zstd")) name.dropRight(5)
+      else if (name.toLowerCase.endsWith(".zst")) name.dropRight(4)
+      else name
     val innerExt = {
       val dot = base.lastIndexOf('.')
       if (dot >= 0) base.substring(dot) else ""
     }
-    val dest = cacheRoot.resolve(s"gz-$digest$innerExt")
+    val dest = cacheRoot.resolve(s"dc-$digest$innerExt")
     if (Files.exists(dest)) return dest.toString
-    val tmp = cacheRoot.resolve(s".gz-$digest.tmp-${System.nanoTime()}")
-    val in = new java.util.zip.GZIPInputStream(Files.newInputStream(f))
+    val tmp = cacheRoot.resolve(s".dc-$digest.tmp-${System.nanoTime()}")
+    val raw = Files.newInputStream(f)
+    val in = codec match {
+      case "gzip" => new java.util.zip.GZIPInputStream(raw)
+      case "zstd" => new com.github.luben.zstd.ZstdInputStream(raw)
+      case other =>
+        raw.close()
+        throw new IllegalArgumentException(s"unsupported compression $other")
+    }
     try Files.copy(in, tmp,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     finally in.close()

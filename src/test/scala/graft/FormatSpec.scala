@@ -96,6 +96,38 @@ class FormatSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("zstd csv/json (.zst) and extension-less gzip with an explicit " +
+      "compression option (file-formats-reference.md:49-88)") {
+    val d = Files.createTempDirectory("comp")
+    // .csv.zst via zstd-jni
+    val zst = d.resolve("t.csv.zst")
+    val zo = new com.github.luben.zstd.ZstdOutputStream(
+      Files.newOutputStream(zst))
+    zo.write("a,b\n1,x\n2,y\n3,z\n".getBytes("UTF-8"))
+    zo.close()
+    val csv = Engine.copyFrom(spark, zst.toString, "csv")
+    assert(csv.columns.toSeq == Seq("a", "b") && csv.count() == 3)
+    // .json.zst
+    val jzst = d.resolve("t.json.zst")
+    val jo = new com.github.luben.zstd.ZstdOutputStream(
+      Files.newOutputStream(jzst))
+    jo.write("""{"a":1}
+{"a":2}
+""".getBytes("UTF-8"))
+    jo.close()
+    assert(Engine.copyFrom(spark, jzst.toString, "json").count() == 2)
+    // extension-less gzip + compression 'gzip': Spark keys codecs off
+    // the extension, the dispatcher must decompress explicitly
+    val bare = d.resolve("noext")
+    val go = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(bare))
+    go.write("a,b\n7,q\n".getBytes("UTF-8"))
+    go.close()
+    val viaOpt = Engine.copyFrom(spark, bare.toString, "csv",
+      Map("compression" -> "gzip"))
+    assert(viaOpt.count() == 1 && viaOpt.head().get(0) == 7)
+  }
+
   test("nested JSON schema inference: structs, arrays, mixed nulls") {
     val d = Files.createTempDirectory("json")
     Files.write(d.resolve("x.json"),
