@@ -164,7 +164,7 @@ object HfFetch {
       Files.createDirectories(cacheDir)
       val dir = cacheDir.resolve("glob-" + digestOf(path))
       Files.createDirectories(dir)
-      files.foreach { f =>
+      RemoteFetch.parEach(files) { f =>
         val local = Paths.get(
           RemoteFetch.localize(resolveUrl(loc, f), forceRefresh))
         val link = dir.resolve(digestOf(f) + extOf(f))

@@ -147,6 +147,30 @@ object RemoteFetch {
     stale.size
   }
 
+  /** Bounded-parallel foreach for glob localization: a multi-GB
+    * dataset's files download concurrently (8 wide — polite to the
+    * remote, enough to hide per-object latency) instead of one at a
+    * time. First failure propagates after the in-flight batch drains. */
+  private[sources] def parEach[A](items: Seq[A], width: Int = 8)(
+      f: A => Unit): Unit = {
+    if (items.size <= 1) { items.foreach(f); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(width, items.size))
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    try {
+      items.foreach { it =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try f(it)
+            catch { case t: Throwable => failure.compareAndSet(null, t) }
+        })
+      }
+      pool.shutdown()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+    } finally pool.shutdownNow()
+    if (failure.get() != null) throw failure.get()
+  }
+
   /** Drop every cached object (tests; or to force re-fetch). Recursive:
     * S3 glob listings localize as directories of links ([[S3Fetch]]). */
   def clearCache(): Unit = {

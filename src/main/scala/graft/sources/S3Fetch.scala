@@ -437,7 +437,7 @@ object S3Fetch {
       val dir = cacheDir.resolve("glob-" + digestOf(path))
       Files.createDirectories(dir)
       val scheme = if (loc.gs) "gs" else "s3"
-      keys.foreach { k =>
+      RemoteFetch.parEach(keys) { k =>
         val local = Paths.get(
           localizeObject(s"$scheme://${loc.bucket}/$k", forceRefresh))
         val link = dir.resolve(digestOf(k) + extOf(k))
