@@ -208,8 +208,12 @@ object Bench {
     // the r13 key change (raw string → canonical path) orphaned layouts
     // built under THIS fixture's old raw-string key (up to ~15 GB at
     // sf100): reclaim exactly that alias — never other fixtures' dirs,
-    // whose keys legitimately differ
-    locally {
+    // whose keys legitimately differ. Opt-in (SPARK_GRAFT_RECLAIM=1):
+    // an unconditional delete races a paired A/B arm running an older
+    // binary that still keys layouts by the raw path — deleting its
+    // live layout mid-run forces a rebuild that corrupts the comparison
+    // (and risks the disk-exhaustion hazard the rebuild itself carries).
+    if (sys.env.getOrElse("SPARK_GRAFT_RECLAIM", "0") == "1") {
       val oldHex = java.lang.Integer.toHexString(sfDir.hashCode)
       if (oldHex != layoutHex) {
         val orphan = java.nio.file.Paths.get(

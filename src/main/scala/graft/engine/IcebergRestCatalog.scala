@@ -149,9 +149,30 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
   private def nsPath(ns: Seq[String]): String =
     java.net.URLEncoder.encode(ns.mkString("\u001f"), "UTF-8")
 
+  /** Follow the spec's `pageToken`/`next-page-token` loop for a list
+    * endpoint: issue the bare GET first, then keep appending
+    * `pageToken=<opaque>` until the server stops returning one — the
+    * same pagination discipline HfFetch applies to the hf:// tree API.
+    * Servers that ignore pagination return everything with no token and
+    * the loop runs once. */
+  private def paged[A](path: String)(parse: JValue => Seq[A]): Seq[A] = {
+    val out = Seq.newBuilder[A]
+    var tok: Option[String] = None
+    var first = true
+    while (first || tok.isDefined) {
+      first = false
+      val q = tok.map(t => "?pageToken=" +
+        java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
+      val j = expect("GET", s"$path$q")
+      out ++= parse(j)
+      tok = (j \ "next-page-token").extractOpt[String].filter(_.nonEmpty)
+    }
+    out.result()
+  }
+
   def listNamespaces(): Seq[Seq[String]] =
-    (expect("GET", s"/v1$prefix/namespaces") \ "namespaces")
-      .extract[Seq[Seq[String]]]
+    paged(s"/v1$prefix/namespaces")(j =>
+      (j \ "namespaces").extract[Seq[Seq[String]]])
 
   def createNamespace(ns: Seq[String],
       properties: Map[String, String] = Map.empty): Unit =
@@ -159,20 +180,64 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       Map("namespace" -> ns, "properties" -> properties))))
 
   def listTables(ns: Seq[String]): Seq[String] =
-    (expect("GET", s"/v1$prefix/namespaces/${nsPath(ns)}/tables")
-      \ "identifiers").extract[Seq[JValue]]
-      .map(j => (j \ "name").extract[String])
+    paged(s"/v1$prefix/namespaces/${nsPath(ns)}/tables")(j =>
+      (j \ "identifiers").extract[Seq[JValue]]
+        .map(j2 => (j2 \ "name").extract[String]))
 
   def tableExists(ns: Seq[String], name: String): Boolean =
     request("GET",
       s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name")._1 == 200
 
-  /** The table's current `metadata-location` per the catalog. */
-  def metadataLocation(ns: Seq[String], name: String): String = {
+  /** loadTable: the single GET every table access funnels through. When
+    * delegation is on, the response's storage credentials are absorbed
+    * into the object-store fetch seam BEFORE any data-file read — the
+    * half the reference performs in its HTTP client (the
+    * `s3.access-key-id`/`s3.secret-access-key` keys it parses and
+    * redacts, http_client.c:663-666) so that on a real Polaris the
+    * catalog handshake AND the delegated data read both succeed. */
+  private def loadTable(ns: Seq[String], name: String): JValue = {
     val j = expect("GET",
       s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name")
-    (j \ "metadata-location").extract[String]
+    if (vendedCredentials) absorbStorageCredentials(j)
+    j
   }
+
+  /** Parse vended storage credentials from a LoadTableResult into
+    * [[graft.sources.S3Fetch]]'s prefix-keyed credential registry.
+    * Two wire shapes per the REST spec: the flat `config` map (scoped
+    * to the table's location) and the newer `storage-credentials`
+    * array of `{prefix, config}` entries. Only object-store locations
+    * register; local/file tables have nothing to delegate. */
+  private def absorbStorageCredentials(j: JValue): Unit = {
+    import graft.sources.S3Fetch
+    def reg(prefix: String, cfg: Map[String, String]): Unit =
+      if (prefix.startsWith("s3://") || prefix.startsWith("gs://"))
+        for (ak <- cfg.get("s3.access-key-id");
+             sk <- cfg.get("s3.secret-access-key"))
+          S3Fetch.registerVendedCredentials(prefix, S3Fetch.VendedCreds(
+            ak, sk, cfg.get("s3.session-token"),
+            cfg.get("s3.session-token-expires-at-ms")
+              .flatMap(s => scala.util.Try(s.toLong).toOption)))
+    val tableLoc = (j \ "metadata" \ "location").extractOpt[String]
+      .orElse((j \ "metadata-location").extractOpt[String].map { l =>
+        val i = l.lastIndexOf("/metadata/")
+        if (i > 0) l.substring(0, i) else l
+      })
+    (j \ "config").extractOpt[Map[String, String]].foreach(cfg =>
+      tableLoc.foreach(loc => reg(loc, cfg)))
+    (j \ "storage-credentials") match {
+      case JArray(cs) => cs.foreach { c =>
+        for (p <- (c \ "prefix").extractOpt[String])
+          reg(p, (c \ "config").extractOpt[Map[String, String]]
+            .getOrElse(Map.empty))
+      }
+      case _ =>
+    }
+  }
+
+  /** The table's current `metadata-location` per the catalog. */
+  def metadataLocation(ns: Seq[String], name: String): String =
+    (loadTable(ns, name) \ "metadata-location").extract[String]
 
   /** Scan the table the catalog points at (current snapshot). */
   def scan(ns: Seq[String], name: String): DataFrame =
@@ -255,8 +320,7 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
     * metadata the spec's loadTable returns, falling back to the
     * metadata file itself for servers that omit it. */
   def currentSnapshotId(ns: Seq[String], name: String): Long = {
-    val j = expect("GET",
-      s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name")
+    val j = loadTable(ns, name)
     (j \ "metadata" \ "current-snapshot-id").extractOpt[Long]
       .orElse {
         val loc = (j \ "metadata-location").extract[String]
@@ -276,8 +340,7 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
     * catalog's ref and re-assert; `maxRetries` bounds the loop. */
   def insert(ns: Seq[String], name: String,
       df: DataFrame, maxRetries: Int = 3): String = {
-    val j = expect("GET",
-      s"/v1$prefix/namespaces/${nsPath(ns)}/tables/$name")
+    val j = loadTable(ns, name)
     val loc = (j \ "metadata-location").extract[String]
     // resolve the lake-table root: .../<dir>/metadata/vN.metadata.json
     val dir = java.nio.file.Paths.get(loc).getParent.getParent.toString

@@ -2088,17 +2088,24 @@ object GeoKernel {
   }
 
   private def partsGeom(ps: Seq[APart]): Geom = {
-    // sliver threshold RELATIVE to coordinate scale (matching snapRing's
-    // relative-eps style): an absolute 1e-12 both erased legitimately
-    // tiny parts of small-scale geometries and kept large-coordinate
-    // slivers whose double noise exceeds it. Area noise grows ~extent²,
-    // so the cut is 1e-12 · max(1, extent²).
+    // sliver threshold derived from the snap epsilon the part algebra
+    // actually applies (snapRing's 1e-9·scale): a snap-induced sliver is
+    // a ribbon of width ≤ snapEps, so its area is ≤ snapEps·perimeter by
+    // construction — cut exactly those, per part. A legitimate part of
+    // any rounded shape has area ≫ snapEps·perimeter (its inradius far
+    // exceeds the snap width), so at projected-CRS coordinates
+    // (extent ~4e6) a genuine few-m² parcel survives where the previous
+    // extent²-relative cut (1e-12·extent² ≈ 16 units²) dropped it.
     val extent = ps.iterator.flatMap(_.shell)
       .map(p => math.max(math.abs(p._1), math.abs(p._2)))
       .foldLeft(0.0)(math.max)
-    val sliver = 1e-12 * math.max(1.0, extent * extent)
-    val polys = ps.filter(p => math.abs(signedArea(p.shell)) > sliver)
-      .map(p => GPolygon(p.shell +: p.holes.toIndexedSeq))
+    val snapEps = 1e-9 * math.max(1.0, extent)
+    def ringPerim(r: Seq[Pt]): Double =
+      r.iterator.sliding(2).withPartial(false)
+        .map(s => math.hypot(s(1)._1 - s(0)._1, s(1)._2 - s(0)._2)).sum
+    val polys = ps.filter { p =>
+      math.abs(signedArea(p.shell)) > snapEps * math.max(ringPerim(p.shell), 4 * snapEps)
+    }.map(p => GPolygon(p.shell +: p.holes.toIndexedSeq))
     if (polys.isEmpty) GMulti("POLYGON", Vector())
     else if (polys.size == 1) polys.head
     else GMulti("MULTIPOLYGON", polys.toIndexedSeq.sortBy(envelope))

@@ -166,7 +166,13 @@ object RemoteFetch {
         })
       }
       pool.shutdown()
-      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      // a false return means downloads were still in flight at the
+      // deadline — without recording it the caller would publish a
+      // partially localized glob as a successful read
+      if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
+        failure.compareAndSet(null, new java.io.IOException(
+          s"glob localization timed out after 1h with downloads in flight " +
+            s"(${items.size} files requested)"))
     } finally pool.shutdownNow()
     if (failure.get() != null) throw failure.get()
   }

@@ -111,6 +111,50 @@ object S3Fetch {
     if (gs) prop("graft.gs.secret.key", "GS_SECRET_ACCESS_KEY")
     else prop("graft.s3.secret.key", "AWS_SECRET_ACCESS_KEY")
 
+  // ---- vended (delegated) credentials: an Iceberg REST catalog that
+  // honors `X-Iceberg-Access-Delegation: vended-credentials` returns
+  // storage-scoped keys in its load-table response (the
+  // `s3.access-key-id` / `s3.secret-access-key` / `s3.session-token`
+  // config the reference consumes and redacts, http_client.c:663-666).
+  // They are scoped to a location PREFIX (the table's data location), so
+  // the registry is prefix-keyed and requests resolve by longest match —
+  // the table the catalog delegated reads with its vended key while
+  // everything else keeps the statically configured identity.
+
+  /** Storage credentials vended for one location prefix. A session
+    * token signs as the `x-amz-security-token` header (AWS temporary-
+    * credential dialect); `expiresAtMs` drops the entry when stale so a
+    * lapsed delegation falls back to configured keys loudly (403)
+    * rather than silently signing with dead credentials. */
+  final case class VendedCreds(accessKey: String, secretKey: String,
+      sessionToken: Option[String] = None,
+      expiresAtMs: Option[Long] = None)
+
+  private val vendedByPrefix =
+    new java.util.concurrent.ConcurrentHashMap[String, VendedCreds]()
+
+  /** Register credentials for every object under `pathPrefix`
+    * (an `s3://bucket/...` or `gs://bucket/...` location). */
+  def registerVendedCredentials(pathPrefix: String, c: VendedCreds): Unit =
+    vendedByPrefix.put(pathPrefix.stripSuffix("/"), c)
+
+  private[graft] def clearVendedCredentials(): Unit = vendedByPrefix.clear()
+
+  private def vendedFor(bucket: String, key: String,
+      gs: Boolean): Option[VendedCreds] = {
+    if (vendedByPrefix.isEmpty) return None
+    val path = s"${if (gs) "gs" else "s3"}://$bucket/$key"
+    val now = System.currentTimeMillis()
+    var best: Option[(String, VendedCreds)] = None
+    vendedByPrefix.forEach { (p, c) =>
+      val live = c.expiresAtMs.forall(_ > now)
+      if (live && (path == p || path.startsWith(p + "/")) &&
+          best.forall(_._1.length < p.length))
+        best = Some((p, c))
+    }
+    best.map(_._2)
+  }
+
   // s3-scheme views kept for existing callers/specs
   def endpoint: Option[String] = endpointFor(false)
   def region: String = regionFor(false)
@@ -267,15 +311,28 @@ object S3Fetch {
     val url = if (query.isEmpty) base else s"$base?$query"
     val b = HttpRequest.newBuilder(URI.create(url))
       .method(method, HttpRequest.BodyPublishers.noBody())
-    val signed = (accessKeyFor(gs), secretKeyFor(gs)) match {
-      case (Some(ak), Some(sk)) =>
+    // vended (catalog-delegated) credentials for this object's location
+    // win over the static configuration; a session token rides — and is
+    // signed — as x-amz-security-token (AWS temporary-credential rule)
+    val vend = vendedFor(bucket, keyPath, gs)
+    val creds: Option[(String, String, Option[String])] = vend match {
+      case Some(v) => Some((v.accessKey, v.secretKey, v.sessionToken))
+      case None => (accessKeyFor(gs), secretKeyFor(gs)) match {
+        case (Some(ak), Some(sk)) => Some((ak, sk, None))
+        case _ => None
+      }
+    }
+    val signed = creds match {
+      case Some((ak, sk, tok)) =>
         // Host is set by the HTTP client from the URL; it participates in
         // signing but must not be set manually on the request
+        val tokenHeader = tok.map("x-amz-security-token" -> _).toSeq
         val sigHeaders = Seq("host" -> host,
           "x-amz-content-sha256" -> emptyPayloadHash,
-          "x-amz-date" -> amzDate) ++ extraHeaders
+          "x-amz-date" -> amzDate) ++ tokenHeader ++ extraHeaders
         b.header("x-amz-content-sha256", emptyPayloadHash)
         b.header("x-amz-date", amzDate)
+        tokenHeader.foreach { case (k, v) => b.header(k, v) }
         b.header("Authorization", sigV4Authorization(method, canonicalUri,
           queryParams, sigHeaders, emptyPayloadHash, ak, sk,
           region, amzDate))

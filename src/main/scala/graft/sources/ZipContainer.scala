@@ -145,12 +145,28 @@ object ZipContainer {
       try Files.copy(in, out) finally in.close()
     } finally zf.close()
     try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: Exception => // lost the publish race: use the winner
-      val s = Files.walk(tmp)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally s.close()
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // lost the publish race: use the winner
+        val s = Files.walk(tmp)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // unusual filesystem: fall back to a non-atomic move; a
+        // concurrent extractor may interleave, but entries are
+        // immutable so REPLACE_EXISTING converges on identical bytes
+        if (Files.isDirectory(dest)) {
+          val s = Files.walk(tmp)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally s.close()
+        } else Files.move(tmp, dest)
     }
+    // any OTHER move failure propagates: returning a dest that does not
+    // exist would surface later as a confusing missing-path read error
+    if (!Files.isDirectory(dest))
+      throw new java.io.IOException(s"zip extraction publish failed: $dest")
     dest
   }
 

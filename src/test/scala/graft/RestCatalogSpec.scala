@@ -47,6 +47,24 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   // half of the two-phase create; served only after the finish commit)
   private val staged = mutable.LinkedHashMap[(String, String), String]()
   @volatile private var sawVendedHeader = false
+  private val listPageServes = new java.util.concurrent.atomic.AtomicInteger(0)
+  // when set, loadTable responses carry vended storage credentials for
+  // (prefix, config) -- both spec wire shapes (flat config + the
+  // storage-credentials array)
+  @volatile private var vendedGrant: Option[(String, Map[String, String])] =
+    None
+
+  // ---- list pagination (spec pageToken/next-page-token): serve one
+  // item per page so every client list call must follow the loop
+  private def pageFrom(ex: HttpExchange): Int =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+      .find(_.startsWith("pageToken="))
+      .map(t => java.net.URLDecoder.decode(
+        t.drop("pageToken=".length), StandardCharsets.UTF_8).toInt)
+      .getOrElse(0)
+  private def nextTok(from: Int, total: Int): Option[(String, String)] =
+    if (from + 1 < total) Some("next-page-token" -> (from + 1).toString)
+    else None
 
   private def json(ex: HttpExchange, code: Int, body: String): Unit = {
     val b = body.getBytes(StandardCharsets.UTF_8)
@@ -110,7 +128,13 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         // multi-tenant routing property
         json(ex, 200, """{"defaults":{"prefix":"demo"},"overrides":{}}""")
       case ("GET", List("v1", "demo", "namespaces")) =>
-        json(ex, 200, write(Map("namespaces" -> namespaces.toSeq)))
+        // one namespace per page (spec pageToken/next-page-token) --
+        // every listNamespaces call in the suite walks the paging loop
+        val all = namespaces.toSeq
+        val from = pageFrom(ex)
+        listPageServes.incrementAndGet()
+        json(ex, 200, write(Map("namespaces" -> all.slice(from, from + 1))
+          ++ nextTok(from, all.size)))
       case ("POST", List("v1", "demo", "namespaces")) =>
         val ns = (parse(body) \ "namespace").extract[Seq[String]]
         namespaces += ns
@@ -120,7 +144,10 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         val ids = tables.keys.filter(_._1 == ns).map { case (_, t) =>
           Map("namespace" -> ns.split('\u001f').toSeq, "name" -> t)
         }.toSeq
-        json(ex, 200, write(Map("identifiers" -> ids)))
+        val from = pageFrom(ex)
+        listPageServes.incrementAndGet()
+        json(ex, 200, write(Map("identifiers" -> ids.slice(from, from + 1))
+          ++ nextTok(from, ids.size)))
       case ("POST", List("v1", "demo", "namespaces", ns, "register")) =>
         val j = parse(body)
         val name = (j \ "name").extract[String]
@@ -130,9 +157,19 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
           "metadata" -> Map.empty[String, String])))
       case ("GET", List("v1", "demo", "namespaces", ns, "tables", t)) =>
         tables.get((ns, t)) match {
-          case Some(loc) => json(ex, 200,
-            write(Map("metadata-location" -> loc,
-              "metadata" -> Map.empty[String, String])))
+          case Some(loc) =>
+            val delegated = "vended-credentials" == ex.getRequestHeaders
+              .getFirst("X-Iceberg-Access-Delegation")
+            val extra: Map[String, Any] = vendedGrant match {
+              case Some((pfx, cfg)) if delegated => Map(
+                "config" -> cfg,
+                "storage-credentials" -> Seq(
+                  Map("prefix" -> pfx, "config" -> cfg)))
+              case _ => Map.empty
+            }
+            json(ex, 200, write(Map[String, Any](
+              "metadata-location" -> loc,
+              "metadata" -> Map.empty[String, String]) ++ extra))
           case None => json(ex, 404, """{"error":"NoSuchTableException"}""")
         }
       // createTable (stage-create): reserve the name, serve nothing
@@ -482,5 +519,120 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         token = Some("wrong"))
     }
     assert(e.getMessage.contains("401"))
+  }
+
+  test("list pagination: pageToken/next-page-token loops reassemble " +
+      "multi-page namespace and table listings (one item per page)") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val nss = Seq(Seq("pglist", "a"), Seq("pglist", "b"),
+      Seq("pglist", "c"))
+    nss.foreach(cat.createNamespace(_))
+    val before = listPageServes.get()
+    val listed = cat.listNamespaces()
+    assert(nss.forall(listed.contains), s"missing namespaces in $listed")
+    // the server pages at 1/item: a complete listing of n needs n serves
+    assert(listPageServes.get() - before >= listed.size,
+      "client did not walk the pageToken loop")
+    val ns = Seq("pglist", "a")
+    (1 to 3).foreach(i =>
+      cat.registerTable(ns, s"pt$i", s"/tmp/graft-pg-fake-$i.metadata.json"))
+    assert(cat.listTables(ns).toSet == Set("pt1", "pt2", "pt3"))
+  }
+
+  test("vended credentials are CONSUMED: loadTable's storage-credentials " +
+      "unlock a data-file read the static identity cannot perform") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.sources.{RemoteFetch, S3Fetch}
+    val VAK = "VENDEDACCESSKEY00000"
+    val VSK = "vendedSecret/Key+WithSpecials00"
+    val VTOK = "vended-session-token-xyz"
+    val VREGION = "eu-vend-1"
+    val okHits = new AtomicInteger(0)
+    val rejects = new AtomicInteger(0)
+    // a real parquet data file to serve (5 rows)
+    val tmp = Files.createTempDirectory("graft-vended-src")
+    spark.range(5).toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("t").toString)
+    val pf = Files.list(tmp.resolve("t")).iterator()
+    var dataBytes: Array[Byte] = null
+    while (pf.hasNext) {
+      val f = pf.next()
+      if (f.toString.endsWith(".parquet"))
+        dataBytes = Files.readAllBytes(f)
+    }
+    assert(dataBytes != null)
+    // vended-only S3 loopback: recomputes the SigV4 signature with the
+    // VENDED key over the wire bytes INCLUDING the signed session-token
+    // header; anything else (the static identity) is rejected
+    val s3 = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s3.createContext("/", (ex: HttpExchange) => {
+      val h = ex.getRequestHeaders
+      val auth = Option(h.getFirst("Authorization")).getOrElse("")
+      val amzDate = Option(h.getFirst("x-amz-date"))
+      val payload = Option(h.getFirst("x-amz-content-sha256"))
+      val tok = Option(h.getFirst("x-amz-security-token"))
+      val host = Option(h.getFirst("Host")).getOrElse("")
+      val range = Option(h.getFirst("Range"))
+      val ok = amzDate.nonEmpty && payload.nonEmpty &&
+        tok.contains(VTOK) && {
+          val headers = Seq("host" -> host,
+            "x-amz-content-sha256" -> payload.get,
+            "x-amz-date" -> amzDate.get,
+            "x-amz-security-token" -> tok.get) ++
+            range.map("range" -> _).toSeq
+          val expect = S3Fetch.sigV4Authorization("GET",
+            ex.getRequestURI.getRawPath, Nil, headers, payload.get,
+            VAK, VSK, VREGION, amzDate.get)
+          expect.split("Signature=").last == auth.split("Signature=").last
+        }
+      if (ok) {
+        okHits.incrementAndGet()
+        ex.sendResponseHeaders(200, dataBytes.length)
+        ex.getResponseBody.write(dataBytes)
+      } else {
+        rejects.incrementAndGet()
+        ex.sendResponseHeaders(403, -1)
+      }
+      ex.close()
+    })
+    s3.start()
+    val s3port = s3.getAddress.getPort
+    sys.props("graft.s3.endpoint") = s"http://127.0.0.1:$s3port"
+    sys.props("graft.s3.region") = VREGION
+    sys.props("graft.s3.access.key") = "STATICWRONGKEY000000"
+    sys.props("graft.s3.secret.key") = "staticWrongSecret"
+    val prefix = "s3://vended-bkt/warehouse/vtab"
+    val dataUrl = s"$prefix/data/part-00000.parquet"
+    try {
+      // 1. the static identity is refused by the store
+      intercept[Exception](S3Fetch.getObject(dataUrl))
+      assert(rejects.get() >= 1, "store must reject the static identity")
+      // 2. the catalog vends scoped credentials on loadTable
+      vendedGrant = Some((prefix, Map(
+        "s3.access-key-id" -> VAK,
+        "s3.secret-access-key" -> VSK,
+        "s3.session-token" -> VTOK)))
+      val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+        token = Some(Token), vendedCredentials = true)
+      cat.createNamespace(Seq("vend"))
+      cat.registerTable(Seq("vend"), "vtab",
+        s"$prefix/metadata/v1.metadata.json")
+      // loadTable absorbs the credentials into the fetch seam
+      assert(cat.metadataLocation(Seq("vend"), "vtab")
+        .endsWith("v1.metadata.json"))
+      // 3. the SAME data-file read now succeeds, signed with the vended
+      // key + session token (the server re-verified the signature)
+      val local = RemoteFetch.localize(dataUrl, forceRefresh = true)
+      assert(spark.read.parquet(local).count() == 5)
+      assert(okHits.get() >= 1, "read must have used the vended identity")
+    } finally {
+      Seq("graft.s3.endpoint", "graft.s3.region", "graft.s3.access.key",
+        "graft.s3.secret.key").foreach(sys.props.remove)
+      vendedGrant = None
+      S3Fetch.clearVendedCredentials()
+      S3Fetch.clearRegionCache()
+      s3.stop(0)
+    }
   }
 }
