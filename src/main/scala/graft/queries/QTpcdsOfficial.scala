@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v4"
+  private val Version = "v5"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -47,7 +47,16 @@ object QTpcdsOfficial {
   val tableNames = Seq("date_dim", "item", "store", "customer",
     "customer_address", "customer_demographics",
     "household_demographics", "promotion", "time_dim", "warehouse",
-    "inventory", "store_sales")
+    "inventory", "store_sales",
+    // tri-channel extension (v5): the catalog + web channels, their
+    // returns, and the channel dims the official tri-channel queries
+    // join — catalog_sales/web_sales rows derive from row ids exactly
+    // like store_sales; every *_returns table derives from a
+    // deterministic subset of its sales table so return keys always
+    // resolve (the FK discipline dsdgen guarantees)
+    "catalog_sales", "web_sales", "store_returns", "catalog_returns",
+    "web_returns", "call_center", "catalog_page", "web_site", "web_page",
+    "ship_mode", "reason")
 
   /** Build-or-reuse the retail fixture; returns the dir. Thread-safe
     * via marker file + atomic rename publish. */
@@ -104,7 +113,14 @@ object QTpcdsOfficial {
       // item priced exactly 1, which a hash draw missed entirely
       (pmod(col("id") - 1, lit(99L)) + 1).cast("double")
         .as("i_current_price"),
-      (pick(col("id"), 31, 60) + 1).cast("double").as("i_wholesale_cost"))
+      (pick(col("id"), 31, 60) + 1).cast("double").as("i_wholesale_cost"),
+      // colors round-robin (Q56/Q60's color triple must each be worn
+      // by a deterministic nonempty item set)
+      element_at(array(Seq("almond", "antique", "aquamarine", "azure",
+        "beige", "bisque", "black", "blanched", "blue", "blush",
+        "brown", "burlywood", "burnished", "chartreuse", "chiffon",
+        "chocolate", "coral", "cornflower", "cream", "cyan").map(lit): _*),
+        (pmod(col("id") - 1, lit(20L)) + 1).cast("int")).as("i_color"))
     write("item", item)
 
     // ---- store: 10 stores; names from the spec's syllable list so
@@ -114,6 +130,11 @@ object QTpcdsOfficial {
     val counties = array(Seq("Williamson County", "Franklin Parish",
       "Bronx County", "Orange County", "Ziebach County", "Walker County",
       "Daviess County", "Barrow County").map(lit): _*)
+    // each county pairs with ONE state, shared by store and
+    // customer_address, so Q54's ca_county = s_county AND ca_state =
+    // s_state join is satisfiable by construction
+    val countyStates = array(Seq("TN", "LA", "NY", "CA", "SD", "TX",
+      "KY", "GA").map(lit): _*)
     val store = spark.range(1, 11).select(
       col("id").as("s_store_sk"),
       format_string("AAAAAAAA%08dCA", col("id")).as("s_store_id"),
@@ -123,6 +144,8 @@ object QTpcdsOfficial {
       // stores and an empty, if oracle-agreeing, gate)
       element_at(counties, (pmod(col("id") - 1, lit(8L)) + 1).cast("int"))
         .as("s_county"),
+      element_at(countyStates, (pmod(col("id") - 1, lit(8L)) + 1)
+        .cast("int")).as("s_state"),
       format_string("%05d", pick(col("id"), 41, 89999) + 10000)
         .as("s_zip"),
       when(pick(col("id"), 43, 2) === 0, -5.0).otherwise(-6.0)
@@ -153,21 +176,51 @@ object QTpcdsOfficial {
         .otherwise("Mrs.").as("c_salutation"),
       when(pick(col("id"), 67, 2) === 0, "Y").otherwise("N")
         .as("c_preferred_cust_flag"),
-      (pick(col("id"), 71, 1000) + 1).as("c_current_addr_sk"))
+      (pick(col("id"), 71, 1000) + 1).as("c_current_addr_sk"),
+      // v5: the customer-identity columns the year-over-year queries
+      // (Q11/Q74) and the return-outlier queries (Q1/Q81) carry
+      format_string("AAAAAAAA%08dCA", col("id")).as("c_customer_id"),
+      element_at(array(Seq("UNITED STATES", "CANADA", "MEXICO",
+        "BRAZIL", "FRANCE", "GERMANY", "JAPAN", "CHILE").map(lit): _*),
+        (pick(col("id"), 227, 8) + 1).cast("int")).as("c_birth_country"),
+      format_string("login%d", col("id")).as("c_login"),
+      format_string("user%d@example.example.com", col("id"))
+        .as("c_email_address"))
     write("customer", customer)
 
     val cities = array(Seq("Midway", "Fairview", "Oak Grove", "Five Points",
       "Pleasant Hill", "Centerville", "Riverside", "Salem").map(lit): _*)
+    // county+state drawn as ONE pair index (same pairing as store) so
+    // county↔state joins across the two tables are consistent; the 8
+    // paired states keep every ca_state literal of the official texts
+    // run here satisfied (TX/KY/CA/GA... appear in the pair list)
     val address = spark.range(1, 1001).select(
       col("id").as("ca_address_sk"),
       element_at(cities, (pick(col("id"), 73, 8) + 1).cast("int"))
         .as("ca_city"),
       format_string("%05d-%04d", pick(col("id"), 79, 89999) + 10000,
         pick(col("id"), 83, 9999)).as("ca_zip"),
-      element_at(array(Seq("TX", "OH", "OR", "NM", "KY", "VA", "MS",
-        "CO", "MN", "CA", "IL", "GA").map(lit): _*),
-        (pick(col("id"), 87, 12) + 1).cast("int")).as("ca_state"),
-      lit("United States").as("ca_country"))
+      element_at(countyStates, (pick(col("id"), 87, 8) + 1).cast("int"))
+        .as("ca_state"),
+      element_at(counties, (pick(col("id"), 87, 8) + 1).cast("int"))
+        .as("ca_county"),
+      lit("United States").as("ca_country"),
+      // v5: the address-detail columns Q81's select list carries
+      format_string("%d", pick(col("id"), 231, 900) + 100)
+        .as("ca_street_number"),
+      element_at(array(Seq("Main", "Oak", "Park", "Elm", "Maple",
+        "Cedar", "Pine", "Lake").map(lit): _*),
+        (pick(col("id"), 233, 8) + 1).cast("int")).as("ca_street_name"),
+      element_at(array(Seq("Street", "Avenue", "Boulevard", "Court",
+        "Drive", "Lane", "Road", "Way").map(lit): _*),
+        (pick(col("id"), 237, 8) + 1).cast("int")).as("ca_street_type"),
+      format_string("Suite %d", pick(col("id"), 239, 400))
+        .as("ca_suite_number"),
+      when(pick(col("id"), 241, 2) === 0, -5.0).otherwise(-6.0)
+        .as("ca_gmt_offset"),
+      element_at(array(Seq("apartment", "condo", "single family")
+        .map(lit): _*), (pick(col("id"), 243, 3) + 1).cast("int"))
+        .as("ca_location_type"))
     write("customer_address", address)
 
     // ---- customer_demographics: the spec's full cross grid
@@ -203,15 +256,22 @@ object QTpcdsOfficial {
       when(pick(col("id"), 89, 4) === 0, "Y").otherwise("N")
         .as("p_channel_email"),
       when(pick(col("id"), 97, 4) === 0, "Y").otherwise("N")
-        .as("p_channel_event"))
+        .as("p_channel_event"),
+      when(pick(col("id"), 99, 4) === 0, "Y").otherwise("N")
+        .as("p_channel_tv"))
     write("promotion", promotion)
 
-    // ---- time_dim: per-minute
+    // ---- time_dim: per-minute; meal-time bands for Q71's
+    // breakfast/dinner split (spec: breakfast 6-9h, dinner 17-20h)
     val timeDim = spark.range(0, 1440).select(
       col("id").as("t_time_sk"),
       (col("id") * 60).as("t_time"),
       (col("id") / 60).cast("bigint").as("t_hour"),
       pmod(col("id"), lit(60L)).as("t_minute"))
+      .withColumn("t_meal_time",
+        when(col("t_hour").between(6, 8), "breakfast")
+          .when(col("t_hour").between(17, 19), "dinner")
+          .otherwise(null))
     write("time_dim", timeDim)
 
     // ---- warehouse + inventory: weekly per-item per-warehouse
@@ -220,7 +280,9 @@ object QTpcdsOfficial {
     val warehouse = spark.range(1, 6).select(
       col("id").as("w_warehouse_sk"),
       format_string("Warehouse %d", col("id")).as("w_warehouse_name"),
-      (pick(col("id"), 301, 900000) + 100000).as("w_warehouse_sq_ft"))
+      (pick(col("id"), 301, 900000) + 100000).as("w_warehouse_sq_ft"),
+      element_at(countyStates, (pmod(col("id") - 1, lit(8L)) + 1)
+        .cast("int")).as("w_state"))
     write("warehouse", warehouse)
     val inventory = spark.range(0, 261L * 200 * 5).select(
       ((col("id") / (200 * 5)).cast("bigint") * 7 + 2450815L)
@@ -247,6 +309,7 @@ object QTpcdsOfficial {
         col("_blk") * 21 + when(col("_pos") < 40,
           (col("_pos") / 2).cast("bigint")).otherwise(lit(20L)))
     val ss = ss0.select(
+      col("id").as("_id"), // derivation key for store_returns; dropped
       (pick(col("ss_ticket_number"), 101, 1827) + 2450815L)
         .as("ss_sold_date_sk"), // ticket-mates share one date, spec-like
       pick(col("ss_ticket_number"), 103, 1440).as("ss_sold_time_sk"),
@@ -260,7 +323,12 @@ object QTpcdsOfficial {
       (pick(col("id"), 113, 70) + 1).as("ss_cdemo_sk"),
       (pick(col("ss_ticket_number"), 127, 300) + 1).as("ss_hdemo_sk"),
       (pick(col("ss_ticket_number"), 131, 1000) + 1).as("ss_addr_sk"),
-      (pick(col("ss_ticket_number"), 137, 10) + 1).as("ss_store_sk"),
+      // ~2% of TICKETS have a null store fk (Q76's store channel);
+      // ticket-level so the 2-row/20-row count purity Q34/Q73 rely on
+      // survives — a null-store ticket drops WHOLE from store joins
+      when(pick(col("ss_ticket_number"), 401, 50) === 0, lit(null))
+        .otherwise(pick(col("ss_ticket_number"), 137, 10) + 1)
+        .as("ss_store_sk"),
       (pick(col("id"), 139, 20) + 1).as("ss_promo_sk"),
       col("ss_ticket_number"),
       // quantity as an integer-valued DOUBLE like the money columns:
@@ -269,7 +337,10 @@ object QTpcdsOfficial {
       (pick(col("id"), 149, 100) + 1).cast("double").as("ss_quantity"),
       (pick(col("id"), 151, 200) + 1).cast("double").as("ss_list_price"),
       (pick(col("id"), 157, 190) + 1).cast("double").as("ss_sales_price"),
-      (pick(col("id"), 163, 20000) + 1).cast("double")
+      // multiples of 50: Q54 computes cast(sum(ss_ext_sales_price)/50
+      // as int) — Spark truncates double→int, DuckDB rounds, so the
+      // cast must land on an exact integer for both engines to agree
+      ((pick(col("id"), 163, 20000) + 1) * 50).cast("double")
         .as("ss_ext_sales_price"),
       when(pick(col("id"), 167, 5) === 0,
         (pick(col("id"), 173, 50) + 1).cast("double"))
@@ -279,8 +350,228 @@ object QTpcdsOfficial {
       pick(col("id"), 181, 2000).cast("double").as("ss_ext_tax"),
       (pick(col("id"), 191, 30000) + 1).cast("double").as("ss_net_profit"),
       (pick(col("id"), 193, 20000) + 1).cast("double")
-        .as("ss_ext_wholesale_cost"))
-    write("store_sales", ss, files = 8)
+        .as("ss_ext_wholesale_cost"),
+      // v5 columns for Q11/Q74/Q78
+      (pick(col("id"), 197, 1000) + 1).cast("double")
+        .as("ss_ext_discount_amt"),
+      (pick(col("id"), 199, 18000) + 1).cast("double").as("ss_net_paid"),
+      (pick(col("id"), 251, 100) + 1).cast("double")
+        .as("ss_wholesale_cost"))
+    write("store_sales", ss.drop("_id"), files = 8)
+
+    // ---- store_returns: a deterministic ~1/7 of store_sales lines
+    // return 1..quantity units some 1-90 days later — keys copy from
+    // the originating line so ticket+item+customer joins always resolve
+    val maxDateSk = 2450815L + 1826
+    val sr = ss.filter(pick(col("_id"), 601, 7) === 0).select(
+      least(col("ss_sold_date_sk") + pick(col("_id"), 607, 90) + 1,
+        lit(maxDateSk)).as("sr_returned_date_sk"),
+      col("ss_item_sk").as("sr_item_sk"),
+      col("ss_customer_sk").as("sr_customer_sk"),
+      col("ss_cdemo_sk").as("sr_cdemo_sk"),
+      col("ss_hdemo_sk").as("sr_hdemo_sk"),
+      col("ss_addr_sk").as("sr_addr_sk"),
+      col("ss_store_sk").as("sr_store_sk"),
+      (pick(col("_id"), 613, 10) + 1).as("sr_reason_sk"),
+      col("ss_ticket_number").as("sr_ticket_number"),
+      (pmod(xxhash64(lit(617L), col("_id")),
+        col("ss_quantity").cast("long")) + 1).cast("double")
+        .as("sr_return_quantity"),
+      (pick(col("_id"), 619, 18000) + 1).cast("double")
+        .as("sr_return_amt"),
+      pick(col("_id"), 621, 900).cast("double").as("sr_return_tax"),
+      (pick(col("_id"), 623, 100) + 1).cast("double").as("sr_fee"),
+      (pick(col("_id"), 625, 17000) + 1).cast("double")
+        .as("sr_refunded_cash"),
+      (pick(col("_id"), 627, 8000) + 1).cast("double").as("sr_net_loss"))
+    write("store_returns", sr, files = 2)
+
+    // ---- catalog_sales: 120k lines, ~3 per order; order-level draws
+    // (date, customer, addr, call center) ride the order while
+    // line-level draws (item, warehouse, ship lag) vary within it —
+    // Q16's multi-warehouse EXISTS needs intra-order warehouse variety
+    val csN = 120000L
+    val cs = spark.range(0, csN)
+      .withColumn("_ord", (col("id") / 3).cast("bigint"))
+      .select(
+        col("id").as("_id"),
+        col("_ord").as("cs_order_number"),
+        (pick(col("_ord"), 501, 1827) + 2450815L).as("cs_sold_date_sk"),
+        pick(col("_ord"), 507, 1440).as("cs_sold_time_sk"),
+        (pick(col("_ord"), 501, 1827) + 2450815L +
+          pick(col("id"), 503, 120) + 1).as("cs_ship_date_sk"),
+        (pick(col("_ord"), 509, 1000) + 1).as("cs_bill_customer_sk"),
+        (pick(col("_ord"), 511, 70) + 1).as("cs_bill_cdemo_sk"),
+        (pick(col("_ord"), 513, 1000) + 1).as("cs_bill_addr_sk"),
+        (pick(col("_ord"), 517, 1000) + 1).as("cs_ship_customer_sk"),
+        // ~2.4% of orders ship to a null address (Q76 catalog channel)
+        when(pick(col("_ord"), 519, 41) === 0, lit(null))
+          .otherwise(pick(col("_ord"), 521, 1000) + 1)
+          .as("cs_ship_addr_sk"),
+        (pick(col("_ord"), 523, 5) + 1).as("cs_call_center_sk"),
+        (pick(col("id"), 527, 20) + 1).as("cs_catalog_page_sk"),
+        (pick(col("id"), 529, 10) + 1).as("cs_ship_mode_sk"),
+        (pick(col("id"), 531, 5) + 1).as("cs_warehouse_sk"),
+        (least(pick(col("id"), 537, 200), pick(col("id"), 541, 200)) + 1)
+          .as("cs_item_sk"),
+        (pick(col("id"), 543, 20) + 1).as("cs_promo_sk"),
+        (pick(col("id"), 547, 100) + 1).cast("double").as("cs_quantity"),
+        (pick(col("id"), 551, 100) + 1).cast("double")
+          .as("cs_wholesale_cost"),
+        (pick(col("id"), 553, 200) + 1).cast("double").as("cs_list_price"),
+        (pick(col("id"), 557, 190) + 1).cast("double").as("cs_sales_price"),
+        (pick(col("id"), 561, 1000) + 1).cast("double")
+          .as("cs_ext_discount_amt"),
+        (pick(col("id"), 563, 20000) + 1).cast("double")
+          .as("cs_ext_sales_price"),
+        (pick(col("id"), 567, 20000) + 1).cast("double")
+          .as("cs_ext_wholesale_cost"),
+        (pick(col("id"), 571, 40000) + 1).cast("double")
+          .as("cs_ext_list_price"),
+        pick(col("id"), 573, 2000).cast("double").as("cs_ext_tax"),
+        when(pick(col("id"), 577, 5) === 0,
+          (pick(col("id"), 579, 50) + 1).cast("double"))
+          .otherwise(0.0).as("cs_coupon_amt"),
+        (pick(col("id"), 581, 500) + 1).cast("double")
+          .as("cs_ext_ship_cost"),
+        (pick(col("id"), 583, 18000) + 1).cast("double").as("cs_net_paid"),
+        (pick(col("id"), 587, 30000) + 1).cast("double")
+          .as("cs_net_profit"))
+    write("catalog_sales", cs.drop("_id"), files = 6)
+
+    // ---- catalog_returns: ~1/8 of catalog lines; order+item keys copy
+    val cr = cs.filter(pick(col("_id"), 641, 8) === 0).select(
+      least(col("cs_sold_date_sk") + pick(col("_id"), 643, 90) + 1,
+        lit(maxDateSk)).as("cr_returned_date_sk"),
+      col("cs_item_sk").as("cr_item_sk"),
+      col("cs_order_number").as("cr_order_number"),
+      col("cs_bill_customer_sk").as("cr_returning_customer_sk"),
+      col("cs_bill_addr_sk").as("cr_returning_addr_sk"),
+      col("cs_call_center_sk").as("cr_call_center_sk"),
+      col("cs_catalog_page_sk").as("cr_catalog_page_sk"),
+      (pick(col("_id"), 647, 10) + 1).as("cr_reason_sk"),
+      (pmod(xxhash64(lit(653L), col("_id")),
+        col("cs_quantity").cast("long")) + 1).cast("double")
+        .as("cr_return_quantity"),
+      (pick(col("_id"), 657, 18000) + 1).cast("double")
+        .as("cr_return_amount"),
+      (pick(col("_id"), 659, 19000) + 1).cast("double")
+        .as("cr_return_amt_inc_tax"),
+      (pick(col("_id"), 661, 17000) + 1).cast("double")
+        .as("cr_refunded_cash"),
+      (pick(col("_id"), 663, 8000) + 1).cast("double").as("cr_net_loss"))
+    write("catalog_returns", cr, files = 2)
+
+    // ---- web_sales: 80k lines, ~3 per order
+    val wsN = 80000L
+    val ws = spark.range(0, wsN)
+      .withColumn("_ord", (col("id") / 3).cast("bigint"))
+      .select(
+        col("id").as("_id"),
+        col("_ord").as("ws_order_number"),
+        (pick(col("_ord"), 701, 1827) + 2450815L).as("ws_sold_date_sk"),
+        pick(col("_ord"), 707, 1440).as("ws_sold_time_sk"),
+        (pick(col("_ord"), 701, 1827) + 2450815L +
+          pick(col("id"), 703, 120) + 1).as("ws_ship_date_sk"),
+        (least(pick(col("id"), 711, 200), pick(col("id"), 713, 200)) + 1)
+          .as("ws_item_sk"),
+        (pick(col("_ord"), 717, 1000) + 1).as("ws_bill_customer_sk"),
+        (pick(col("_ord"), 719, 70) + 1).as("ws_bill_cdemo_sk"),
+        (pick(col("_ord"), 721, 1000) + 1).as("ws_bill_addr_sk"),
+        // ~2.7% of orders have a null ship-to customer (Q76 web channel)
+        when(pick(col("_ord"), 723, 37) === 0, lit(null))
+          .otherwise(pick(col("_ord"), 727, 1000) + 1)
+          .as("ws_ship_customer_sk"),
+        (pick(col("_ord"), 729, 1000) + 1).as("ws_ship_addr_sk"),
+        (pick(col("id"), 731, 10) + 1).as("ws_web_page_sk"),
+        (pick(col("_ord"), 733, 5) + 1).as("ws_web_site_sk"),
+        (pick(col("id"), 737, 10) + 1).as("ws_ship_mode_sk"),
+        (pick(col("id"), 739, 5) + 1).as("ws_warehouse_sk"),
+        (pick(col("id"), 741, 20) + 1).as("ws_promo_sk"),
+        (pick(col("id"), 743, 100) + 1).cast("double").as("ws_quantity"),
+        (pick(col("id"), 747, 100) + 1).cast("double")
+          .as("ws_wholesale_cost"),
+        (pick(col("id"), 751, 200) + 1).cast("double").as("ws_list_price"),
+        (pick(col("id"), 753, 190) + 1).cast("double").as("ws_sales_price"),
+        (pick(col("id"), 757, 1000) + 1).cast("double")
+          .as("ws_ext_discount_amt"),
+        (pick(col("id"), 759, 20000) + 1).cast("double")
+          .as("ws_ext_sales_price"),
+        (pick(col("id"), 761, 20000) + 1).cast("double")
+          .as("ws_ext_wholesale_cost"),
+        (pick(col("id"), 763, 40000) + 1).cast("double")
+          .as("ws_ext_list_price"),
+        (pick(col("id"), 767, 500) + 1).cast("double")
+          .as("ws_ext_ship_cost"),
+        (pick(col("id"), 769, 18000) + 1).cast("double").as("ws_net_paid"),
+        (pick(col("id"), 771, 30000) + 1).cast("double")
+          .as("ws_net_profit"))
+    write("web_sales", ws.drop("_id"), files = 4)
+
+    // ---- web_returns: ~1/9 of web lines; the refunded and returning
+    // cdemo are the SAME person (the realistic case and what makes
+    // Q85's cd1≡cd2 attribute-equality join satisfiable)
+    val wr = ws.filter(pick(col("_id"), 801, 9) === 0).select(
+      least(col("ws_sold_date_sk") + pick(col("_id"), 803, 90) + 1,
+        lit(maxDateSk)).as("wr_returned_date_sk"),
+      col("ws_item_sk").as("wr_item_sk"),
+      col("ws_order_number").as("wr_order_number"),
+      col("ws_bill_customer_sk").as("wr_returning_customer_sk"),
+      (pick(col("_id"), 807, 70) + 1).as("wr_refunded_cdemo_sk"),
+      (pick(col("_id"), 807, 70) + 1).as("wr_returning_cdemo_sk"),
+      (pick(col("_id"), 809, 1000) + 1).as("wr_refunded_addr_sk"),
+      col("ws_web_page_sk").as("wr_web_page_sk"),
+      (pick(col("_id"), 811, 10) + 1).as("wr_reason_sk"),
+      (pmod(xxhash64(lit(813L), col("_id")),
+        col("ws_quantity").cast("long")) + 1).cast("double")
+        .as("wr_return_quantity"),
+      (pick(col("_id"), 817, 18000) + 1).cast("double")
+        .as("wr_return_amt"),
+      (pick(col("_id"), 819, 100) + 1).cast("double").as("wr_fee"),
+      (pick(col("_id"), 821, 17000) + 1).cast("double")
+        .as("wr_refunded_cash"),
+      (pick(col("_id"), 823, 8000) + 1).cast("double").as("wr_net_loss"))
+    write("web_returns", wr, files = 2)
+
+    // ---- channel dims
+    val ccNames = array(Seq("NY Metro", "Mid Atlantic", "North Midwest",
+      "California", "Pacific Northwest").map(lit): _*)
+    write("call_center", spark.range(1, 6).select(
+      col("id").as("cc_call_center_sk"),
+      format_string("AAAAAAAA%08dCA", col("id")).as("cc_call_center_id"),
+      element_at(ccNames, col("id").cast("int")).as("cc_name"),
+      element_at(lastNames, (pick(col("id"), 831, 16) + 1).cast("int"))
+        .as("cc_manager"),
+      element_at(counties, (pmod(col("id") - 1, lit(8L)) + 1).cast("int"))
+        .as("cc_county")))
+    write("catalog_page", spark.range(1, 21).select(
+      col("id").as("cp_catalog_page_sk"),
+      format_string("AAAAAAAA%08dCA", col("id")).as("cp_catalog_page_id")))
+    // web_company_name round-robins the syllable list so Q94's
+    // literal 'pri' names a real site
+    write("web_site", spark.range(1, 6).select(
+      col("id").as("web_site_sk"),
+      format_string("AAAAAAAA%08dCA", col("id")).as("web_site_id"),
+      format_string("site_%d", col("id") - 1).as("web_name"),
+      element_at(storeNames, (pmod(col("id") - 1, lit(10L)) + 1)
+        .cast("int")).as("web_company_name")))
+    write("web_page", spark.range(1, 11).select(
+      col("id").as("wp_web_page_sk"),
+      format_string("AAAAAAAA%08dCA", col("id")).as("wp_web_page_id")))
+    val smTypes = array(Seq("EXPRESS", "NEXT DAY", "OVERNIGHT",
+      "REGULAR", "TWO DAY").map(lit): _*)
+    val smCarriers = array(Seq("UPS", "FEDEX", "AIRBORNE", "USPS",
+      "DHL").map(lit): _*)
+    write("ship_mode", spark.range(1, 11).select(
+      col("id").as("sm_ship_mode_sk"),
+      element_at(smTypes, (pmod(col("id") - 1, lit(5L)) + 1).cast("int"))
+        .as("sm_type"),
+      element_at(smCarriers, (pick(col("id"), 837, 5) + 1).cast("int"))
+        .as("sm_carrier"),
+      format_string("code%d", col("id")).as("sm_code")))
+    write("reason", spark.range(1, 11).select(
+      col("id").as("r_reason_sk"),
+      format_string("reason %d", col("id")).as("r_reason_desc")))
 
     java.nio.file.Files.createFile(tmp.resolve("_DONE"))
     try java.nio.file.Files.move(tmp, dir,
@@ -803,30 +1094,58 @@ limit 100"""
     "qds_official_q79" -> Seq("c_last_name", "c_first_name", "city",
       "ss_ticket_number", "amt", "profit"))
 
-  private def run(spark: SparkSession, name: String): DataFrame = {
+  /** Run one official text over the retail views. Double-quoted column
+    * aliases (Q16/Q32/Q92's `as "order count"`) are ANSI SQL that Spark
+    * parses only under `doubleQuotedIdentifiers`; the texts quote every
+    * string literal with single quotes, so enabling it is inert
+    * otherwise. Set per-run and restored. */
+  private[queries] def runOfficial(spark: SparkSession, text: String,
+      rename: Option[Seq[String]]): DataFrame = {
     val dir = ensure(spark)
     tableNames.foreach { t =>
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
-    val df = spark.sql(texts(name))
-    renames.get(name).map(cols => df.toDF(cols: _*)).getOrElse(df)
+    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = spark.sql(text)
+      rename.map(cols => df.toDF(cols: _*)).getOrElse(df)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
-  val queries: Map[String, QueryFn] =
-    texts.keys.map(n => n ->
-      ((s: SparkSession, _: String) => run(s, n)): (String, QueryFn)).toMap
-
   /** DuckDB oracle: CTEs bind each official table name to the generated
-    * parquet, then the SAME official text follows unmodified. */
-  val oracleSql: Map[String, String] = texts.map { case (name, text) =>
+    * parquet, then the SAME official text follows unmodified. `rename`
+    * relabels the output columns (both engines, identically — parquet
+    * cannot store `count(*)` as a column name); `bigint` casts those
+    * output columns to BIGINT in the ORACLE wrapper only: DuckDB widens
+    * sum(INTEGER) to HUGEINT where Spark (like the TPC-DS spec's
+    * int-typed sums) stays 64-bit — values identical, physical parquet
+    * type not, and the driver's gate compares physically. */
+  private[queries] def wrapOracle(text: String, rename: Option[Seq[String]],
+      bigint: Set[String] = Set.empty): String = {
     val ctes = tableNames.map(t =>
       s"$t AS (SELECT * FROM '$fixtureDir/$t.parquet/*.parquet')")
       .mkString("WITH ", ",\n", "\n")
-    val wrapped = renames.get(name) match {
+    rename match {
       case Some(cols) =>
-        s"$ctes SELECT * FROM (\n$text\n) AS _r(${cols.mkString(",")})"
-      case None => s"$ctes$text"
+        val proj = cols.map(c =>
+          if (bigint(c)) s"CAST($c AS BIGINT) AS $c" else c).mkString(", ")
+        s"$ctes SELECT $proj FROM (\n$text\n) AS _r(${cols.mkString(",")})"
+      case None =>
+        require(bigint.isEmpty, "bigint casts need the rename column list")
+        s"$ctes$text"
     }
-    name -> wrapped
+  }
+
+  val queries: Map[String, QueryFn] =
+    texts.keys.map(n => n -> ((s: SparkSession, _: String) =>
+      runOfficial(s, texts(n), renames.get(n))): (String, QueryFn)).toMap
+
+  val oracleSql: Map[String, String] = texts.map { case (name, text) =>
+    name -> wrapOracle(text, renames.get(name))
   }
 }
