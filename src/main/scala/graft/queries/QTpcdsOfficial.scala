@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v5"
+  private val Version = "v6"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -109,6 +109,7 @@ object QTpcdsOfficial {
       element_at(catNames, (pick(col("id"), 19, 10) + 1).cast("int"))
         .as("i_category"),
       format_string("class%02d", pick(col("id"), 23, 16)).as("i_class"),
+      (pick(col("id"), 23, 16) + 1).as("i_class_id"), // same draw as i_class
       // round-robin over 1..99: Q21's (0.99, 1.49) band requires an
       // item priced exactly 1, which a hash draw missed entirely
       (pmod(col("id") - 1, lit(99L)) + 1).cast("double")
@@ -1130,6 +1131,9 @@ limit 100"""
     val ctes = tableNames.map(t =>
       s"$t AS (SELECT * FROM '$fixtureDir/$t.parquet/*.parquet')")
       .mkString("WITH ", ",\n", "\n")
+    // the text always nests in a parenthesized subquery: official texts
+    // that open with their own WITH clause would otherwise collide with
+    // the binding CTE list (DuckDB accepts a WITH inside a derived table)
     rename match {
       case Some(cols) =>
         val proj = cols.map(c =>
@@ -1137,7 +1141,7 @@ limit 100"""
         s"$ctes SELECT $proj FROM (\n$text\n) AS _r(${cols.mkString(",")})"
       case None =>
         require(bigint.isEmpty, "bigint casts need the rename column list")
-        s"$ctes$text"
+        s"$ctes SELECT * FROM (\n$text\n) AS _q"
     }
   }
 
