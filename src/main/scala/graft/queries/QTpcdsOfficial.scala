@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v6"
+  private val Version = "v8"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -147,6 +147,18 @@ object QTpcdsOfficial {
         .as("s_county"),
       element_at(countyStates, (pmod(col("id") - 1, lit(8L)) + 1)
         .cast("int")).as("s_state"),
+      // v7: the store street-address block Q50's wide group-by carries
+      lit(1L).as("s_company_id"),
+      format_string("%d", pick(col("id"), 245, 900) + 100)
+        .as("s_street_number"),
+      element_at(array(Seq("Main", "Oak", "Park", "Elm", "Maple",
+        "Cedar", "Pine", "Lake").map(lit): _*),
+        (pick(col("id"), 247, 8) + 1).cast("int")).as("s_street_name"),
+      element_at(array(Seq("Street", "Avenue", "Boulevard", "Court",
+        "Drive", "Lane", "Road", "Way").map(lit): _*),
+        (pick(col("id"), 249, 8) + 1).cast("int")).as("s_street_type"),
+      format_string("Suite %d", pick(col("id"), 253, 400))
+        .as("s_suite_number"),
       format_string("%05d", pick(col("id"), 41, 89999) + 10000)
         .as("s_zip"),
       when(pick(col("id"), 43, 2) === 0, -5.0).otherwise(-6.0)
@@ -186,7 +198,10 @@ object QTpcdsOfficial {
         (pick(col("id"), 227, 8) + 1).cast("int")).as("c_birth_country"),
       format_string("login%d", col("id")).as("c_login"),
       format_string("user%d@example.example.com", col("id"))
-        .as("c_email_address"))
+        .as("c_email_address"),
+      // v7: current-demographics fks (Q69's cd join, Q91's cd+hd join)
+      (pick(col("id"), 255, 70) + 1).as("c_current_cdemo_sk"),
+      (pick(col("id"), 257, 300) + 1).as("c_current_hdemo_sk"))
     write("customer", customer)
 
     val cities = array(Seq("Midway", "Fairview", "Oak Grove", "Five Points",
@@ -229,15 +244,20 @@ object QTpcdsOfficial {
     val maritals = Seq("S", "M", "D", "W", "U")
     val educations = Seq("Primary", "Secondary", "College",
       "2 yr Degree", "4 yr Degree", "Advanced Degree", "Unknown")
+    val creditRatings = Seq("Low Risk", "High Risk", "Good", "Unknown")
     val cdRows = for {
       (g, gi) <- genders.zipWithIndex
       (m, mi) <- maritals.zipWithIndex
       (e, ei) <- educations.zipWithIndex
-    } yield (gi * 35 + mi * 7 + ei + 1L, g, m, e)
+      sk = gi * 35 + mi * 7 + ei + 1L
+    } yield (sk, g, m, e,
+      ((sk * 7) % 20 + 1) * 500L, // purchase estimate: 500..10000
+      creditRatings(((sk * 3) % 4).toInt))
     import spark.implicits._
     write("customer_demographics", cdRows
       .toDF("cd_demo_sk", "cd_gender", "cd_marital_status",
-        "cd_education_status"))
+        "cd_education_status", "cd_purchase_estimate",
+        "cd_credit_rating"))
 
     // ---- household_demographics: buy-potential × deps × vehicles grid
     val buyPots = Seq(">10000", "unknown", "1001-5000", "5001-10000",
@@ -349,7 +369,7 @@ object QTpcdsOfficial {
       (pick(col("id"), 179, 40000) + 1).cast("double")
         .as("ss_ext_list_price"),
       pick(col("id"), 181, 2000).cast("double").as("ss_ext_tax"),
-      (pick(col("id"), 191, 30000) + 1).cast("double").as("ss_net_profit"),
+      (pick(col("id"), 191, 330) + 1).cast("double").as("ss_net_profit"),
       (pick(col("id"), 193, 20000) + 1).cast("double")
         .as("ss_ext_wholesale_cost"),
       // v5 columns for Q11/Q74/Q78
@@ -436,7 +456,7 @@ object QTpcdsOfficial {
         (pick(col("id"), 581, 500) + 1).cast("double")
           .as("cs_ext_ship_cost"),
         (pick(col("id"), 583, 18000) + 1).cast("double").as("cs_net_paid"),
-        (pick(col("id"), 587, 30000) + 1).cast("double")
+        (pick(col("id"), 587, 330) + 1).cast("double")
           .as("cs_net_profit"))
     write("catalog_sales", cs.drop("_id"), files = 6)
 
@@ -505,7 +525,7 @@ object QTpcdsOfficial {
         (pick(col("id"), 767, 500) + 1).cast("double")
           .as("ws_ext_ship_cost"),
         (pick(col("id"), 769, 18000) + 1).cast("double").as("ws_net_paid"),
-        (pick(col("id"), 771, 30000) + 1).cast("double")
+        (pick(col("id"), 771, 330) + 1).cast("double")
           .as("ws_net_profit"))
     write("web_sales", ws.drop("_id"), files = 4)
 
