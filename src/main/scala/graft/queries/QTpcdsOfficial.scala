@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v8"
+  private val Version = "v9"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -159,6 +159,7 @@ object QTpcdsOfficial {
         (pick(col("id"), 249, 8) + 1).cast("int")).as("s_street_type"),
       format_string("Suite %d", pick(col("id"), 253, 400))
         .as("s_suite_number"),
+      lit("Unknown").as("s_company_name"),
       format_string("%05d", pick(col("id"), 41, 89999) + 10000)
         .as("s_zip"),
       when(pick(col("id"), 43, 2) === 0, -5.0).otherwise(-6.0)
@@ -252,12 +253,14 @@ object QTpcdsOfficial {
       sk = gi * 35 + mi * 7 + ei + 1L
     } yield (sk, g, m, e,
       ((sk * 7) % 20 + 1) * 500L, // purchase estimate: 500..10000
-      creditRatings(((sk * 3) % 4).toInt))
+      creditRatings(((sk * 3) % 4).toInt),
+      sk % 7, (sk * 3) % 7, (sk * 5) % 7) // dependent counts (Q35)
     import spark.implicits._
     write("customer_demographics", cdRows
       .toDF("cd_demo_sk", "cd_gender", "cd_marital_status",
         "cd_education_status", "cd_purchase_estimate",
-        "cd_credit_rating"))
+        "cd_credit_rating", "cd_dep_count", "cd_dep_employed_count",
+        "cd_dep_college_count"))
 
     // ---- household_demographics: buy-potential × deps × vehicles grid
     val buyPots = Seq(">10000", "unknown", "1001-5000", "5001-10000",
@@ -1147,7 +1150,7 @@ limit 100"""
     * int-typed sums) stays 64-bit — values identical, physical parquet
     * type not, and the driver's gate compares physically. */
   private[queries] def wrapOracle(text: String, rename: Option[Seq[String]],
-      bigint: Set[String] = Set.empty): String = {
+      casts: Map[String, String] = Map.empty): String = {
     val ctes = tableNames.map(t =>
       s"$t AS (SELECT * FROM '$fixtureDir/$t.parquet/*.parquet')")
       .mkString("WITH ", ",\n", "\n")
@@ -1156,11 +1159,11 @@ limit 100"""
     // the binding CTE list (DuckDB accepts a WITH inside a derived table)
     rename match {
       case Some(cols) =>
-        val proj = cols.map(c =>
-          if (bigint(c)) s"CAST($c AS BIGINT) AS $c" else c).mkString(", ")
+        val proj = cols.map(c => casts.get(c)
+          .map(t => s"CAST($c AS $t) AS $c").getOrElse(c)).mkString(", ")
         s"$ctes SELECT $proj FROM (\n$text\n) AS _r(${cols.mkString(",")})"
       case None =>
-        require(bigint.isEmpty, "bigint casts need the rename column list")
+        require(casts.isEmpty, "oracle casts need the rename column list")
         s"$ctes SELECT * FROM (\n$text\n) AS _q"
     }
   }

@@ -807,9 +807,9 @@ limit 100"""
 
   /** Columns DuckDB widens to HUGEINT (sums of INTEGER case-counts) —
     * cast back to BIGINT in the oracle wrapper; Spark is already 64-bit. */
-  private val bigints: Map[String, Set[String]] = Map(
-    "qds_official_q97" -> Set("store_only", "catalog_only",
-      "store_and_catalog"))
+  private val casts: Map[String, Map[String, String]] = Map(
+    "qds_official_q97" -> Map("store_only" -> "BIGINT", "catalog_only" -> "BIGINT",
+      "store_and_catalog" -> "BIGINT"))
 
   val queries: Map[String, QueryFn] =
     texts.keys.map(n => n -> ((s: SparkSession, _: String) =>
@@ -818,6 +818,6 @@ limit 100"""
 
   val oracleSql: Map[String, String] = texts.map { case (name, text) =>
     name -> QTpcdsOfficial.wrapOracle(text, renames.get(name),
-      bigints.getOrElse(name, Set.empty))
+      casts.getOrElse(name, Map.empty))
   }
 }

@@ -550,10 +550,10 @@ limit 100"""
       ++ dayBuckets))
 
   /** sum(INTEGER) day-bucket counters → HUGEINT in DuckDB; cast back. */
-  private val bigints: Map[String, Set[String]] = Map(
-    "qds_official_q50" -> dayBuckets.toSet,
-    "qds_official_q62" -> dayBuckets.toSet,
-    "qds_official_q99" -> dayBuckets.toSet)
+  private val casts: Map[String, Map[String, String]] = Map(
+    "qds_official_q50" -> dayBuckets.map(_ -> "BIGINT").toMap,
+    "qds_official_q62" -> dayBuckets.map(_ -> "BIGINT").toMap,
+    "qds_official_q99" -> dayBuckets.map(_ -> "BIGINT").toMap)
 
   val queries: Map[String, QueryFn] =
     texts.keys.map(n => n -> ((s: SparkSession, _: String) =>
@@ -562,6 +562,6 @@ limit 100"""
 
   val oracleSql: Map[String, String] = texts.map { case (name, text) =>
     name -> QTpcdsOfficial.wrapOracle(text, renames.get(name),
-      bigints.getOrElse(name, Set.empty))
+      casts.getOrElse(name, Map.empty))
   }
 }
