@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v9"
+  private val Version = "v11"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -56,7 +56,7 @@ object QTpcdsOfficial {
     // resolve (the FK discipline dsdgen guarantees)
     "catalog_sales", "web_sales", "store_returns", "catalog_returns",
     "web_returns", "call_center", "catalog_page", "web_site", "web_page",
-    "ship_mode", "reason")
+    "ship_mode", "reason", "income_band")
 
   /** Build-or-reuse the retail fixture; returns the dir. Thread-safe
     * via marker file + atomic rename publish. */
@@ -99,6 +99,7 @@ object QTpcdsOfficial {
       format_string("AAAAAAAA%08dCA", col("id")).as("i_item_id"),
       format_string("item description %d unique text", col("id"))
         .as("i_item_desc"),
+      format_string("product-%04d", col("id")).as("i_product_name"),
       (pick(col("id"), 11, 50) + 1).as("i_brand_id"),
       format_string("brand#%d", pick(col("id"), 11, 50) + 1).as("i_brand"),
       (pick(col("id"), 13, 50) + 101).as("i_manufact_id"),
@@ -136,6 +137,11 @@ object QTpcdsOfficial {
     // s_state join is satisfiable by construction
     val countyStates = array(Seq("TN", "LA", "NY", "CA", "SD", "TX",
       "KY", "GA").map(lit): _*)
+    // 50 fixed 5-digit zips shared by store + address so Q8's
+    // histogram has ~20 addresses per zip and store/address first-2
+    // digits overlap
+    val zipPrefixes = array((0 until 50)
+      .map(i => lit(f"${10007 + i * 1813}%05d")): _*)
     val store = spark.range(1, 11).select(
       col("id").as("s_store_sk"),
       format_string("AAAAAAAA%08dCA", col("id")).as("s_store_id"),
@@ -160,7 +166,7 @@ object QTpcdsOfficial {
       format_string("Suite %d", pick(col("id"), 253, 400))
         .as("s_suite_number"),
       lit("Unknown").as("s_company_name"),
-      format_string("%05d", pick(col("id"), 41, 89999) + 10000)
+      element_at(zipPrefixes, (pick(col("id"), 41, 50) + 1).cast("int"))
         .as("s_zip"),
       when(pick(col("id"), 43, 2) === 0, -5.0).otherwise(-6.0)
         .as("s_gmt_offset"),
@@ -202,7 +208,12 @@ object QTpcdsOfficial {
         .as("c_email_address"),
       // v7: current-demographics fks (Q69's cd join, Q91's cd+hd join)
       (pick(col("id"), 255, 70) + 1).as("c_current_cdemo_sk"),
-      (pick(col("id"), 257, 300) + 1).as("c_current_hdemo_sk"))
+      (pick(col("id"), 257, 300) + 1).as("c_current_hdemo_sk"),
+      (pick(col("id"), 259, 28) + 1).as("c_birth_day"),
+      (pick(col("id"), 261, 12) + 1).as("c_birth_month"),
+      (pick(col("id"), 263, 60) + 1924).as("c_birth_year"),
+      date_add(lit(java.sql.Date.valueOf("2002-01-01")),
+        pick(col("id"), 267, 300).cast("int")).as("c_last_review_date"))
     write("customer", customer)
 
     val cities = array(Seq("Midway", "Fairview", "Oak Grove", "Five Points",
@@ -215,8 +226,11 @@ object QTpcdsOfficial {
       col("id").as("ca_address_sk"),
       element_at(cities, (pick(col("id"), 73, 8) + 1).cast("int"))
         .as("ca_city"),
-      format_string("%05d-%04d", pick(col("id"), 79, 89999) + 10000,
-        pick(col("id"), 83, 9999)).as("ca_zip"),
+      // 5-digit zip exactly like dsdgen's (no +4 suffix): Q8 groups on
+      // the RAW ca_zip column and its having-count threshold needs the
+      // ~20-addresses-per-zip histogram this pool provides
+      element_at(zipPrefixes, (pick(col("id"), 79, 50) + 1).cast("int"))
+        .as("ca_zip"),
       element_at(countyStates, (pick(col("id"), 87, 8) + 1).cast("int"))
         .as("ca_state"),
       element_at(counties, (pick(col("id"), 87, 8) + 1).cast("int"))
@@ -270,9 +284,14 @@ object QTpcdsOfficial {
       dep <- 0 to 9
       veh <- 0 to 4
     } yield (bi * 50 + dep * 5 + veh + 1L, b, dep.toLong, veh.toLong)
-    write("household_demographics", hdRows
+    write("household_demographics", hdRows.map { case (sk, b, d, v) =>
+      (sk, b, d, v, (sk * 11) % 20 + 1) } // income band fk (Q84)
       .toDF("hd_demo_sk", "hd_buy_potential", "hd_dep_count",
-        "hd_vehicle_count"))
+        "hd_vehicle_count", "hd_income_band_sk"))
+    write("income_band", spark.range(1, 21).select(
+      col("id").as("ib_income_band_sk"),
+      ((col("id") - 1) * 10000).as("ib_lower_bound"),
+      (col("id") * 10000 - 1).as("ib_upper_bound")))
 
     // ---- promotion: 20; channel flags mostly N (spec skew)
     val promotion = spark.range(1, 21).select(
@@ -282,7 +301,9 @@ object QTpcdsOfficial {
       when(pick(col("id"), 97, 4) === 0, "Y").otherwise("N")
         .as("p_channel_event"),
       when(pick(col("id"), 99, 4) === 0, "Y").otherwise("N")
-        .as("p_channel_tv"))
+        .as("p_channel_tv"),
+      when(pick(col("id"), 103, 4) === 0, "Y").otherwise("N")
+        .as("p_channel_dmail"))
     write("promotion", promotion)
 
     // ---- time_dim: per-minute; meal-time bands for Q71's
@@ -426,6 +447,7 @@ object QTpcdsOfficial {
           pick(col("id"), 503, 120) + 1).as("cs_ship_date_sk"),
         (pick(col("_ord"), 509, 1000) + 1).as("cs_bill_customer_sk"),
         (pick(col("_ord"), 511, 70) + 1).as("cs_bill_cdemo_sk"),
+        (pick(col("_ord"), 515, 300) + 1).as("cs_bill_hdemo_sk"),
         (pick(col("_ord"), 513, 1000) + 1).as("cs_bill_addr_sk"),
         (pick(col("_ord"), 517, 1000) + 1).as("cs_ship_customer_sk"),
         // ~2.4% of orders ship to a null address (Q76 catalog channel)
@@ -438,7 +460,9 @@ object QTpcdsOfficial {
         (pick(col("id"), 531, 5) + 1).as("cs_warehouse_sk"),
         (least(pick(col("id"), 537, 200), pick(col("id"), 541, 200)) + 1)
           .as("cs_item_sk"),
-        (pick(col("id"), 543, 20) + 1).as("cs_promo_sk"),
+        // ~30% of lines carry no promotion (Q72's no_promo split)
+        when(pick(col("id"), 1543, 10) < 3, lit(null))
+          .otherwise(pick(col("id"), 543, 20) + 1).as("cs_promo_sk"),
         (pick(col("id"), 547, 100) + 1).cast("double").as("cs_quantity"),
         (pick(col("id"), 551, 100) + 1).cast("double")
           .as("cs_wholesale_cost"),
@@ -544,6 +568,7 @@ object QTpcdsOfficial {
       (pick(col("_id"), 807, 70) + 1).as("wr_refunded_cdemo_sk"),
       (pick(col("_id"), 807, 70) + 1).as("wr_returning_cdemo_sk"),
       (pick(col("_id"), 809, 1000) + 1).as("wr_refunded_addr_sk"),
+      (pick(col("_id"), 815, 1000) + 1).as("wr_returning_addr_sk"),
       col("ws_web_page_sk").as("wr_web_page_sk"),
       (pick(col("_id"), 811, 10) + 1).as("wr_reason_sk"),
       (pmod(xxhash64(lit(813L), col("_id")),
@@ -1159,8 +1184,11 @@ limit 100"""
     // the binding CTE list (DuckDB accepts a WITH inside a derived table)
     rename match {
       case Some(cols) =>
+        // a chained type "T1->T2" emits CAST(CAST(c AS T1) AS T2) —
+        // the grid-collapse-then-widen shape decimal ratio columns need
         val proj = cols.map(c => casts.get(c)
-          .map(t => s"CAST($c AS $t) AS $c").getOrElse(c)).mkString(", ")
+          .map(t => t.split("->").foldLeft(c)((e, ty) =>
+            s"CAST($e AS $ty)") + s" AS $c").getOrElse(c)).mkString(", ")
         s"$ctes SELECT $proj FROM (\n$text\n) AS _r(${cols.mkString(",")})"
       case None =>
         require(casts.isEmpty, "oracle casts need the rename column list")
