@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v11"
+  private val Version = "v13"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -100,6 +100,12 @@ object QTpcdsOfficial {
       format_string("item description %d unique text", col("id"))
         .as("i_item_desc"),
       format_string("product-%04d", col("id")).as("i_product_name"),
+      element_at(array(Seq("Unknown", "Oz", "Bunch", "Case", "Cup",
+        "Dram", "Each", "Gram", "Lb", "Ton").map(lit): _*),
+        (pick(col("id"), 271, 10) + 1).cast("int")).as("i_units"),
+      element_at(array(Seq("small", "medium", "large", "extra large",
+        "economy", "petite", "N/A").map(lit): _*),
+        (pick(col("id"), 273, 7) + 1).cast("int")).as("i_size"),
       (pick(col("id"), 11, 50) + 1).as("i_brand_id"),
       format_string("brand#%d", pick(col("id"), 11, 50) + 1).as("i_brand"),
       (pick(col("id"), 13, 50) + 101).as("i_manufact_id"),
@@ -166,6 +172,7 @@ object QTpcdsOfficial {
       format_string("Suite %d", pick(col("id"), 253, 400))
         .as("s_suite_number"),
       lit("Unknown").as("s_company_name"),
+      (pick(col("id"), 277, 10) + 1).as("s_market_id"),
       element_at(zipPrefixes, (pick(col("id"), 41, 50) + 1).cast("int"))
         .as("s_zip"),
       when(pick(col("id"), 43, 2) === 0, -5.0).otherwise(-6.0)
@@ -213,7 +220,10 @@ object QTpcdsOfficial {
       (pick(col("id"), 261, 12) + 1).as("c_birth_month"),
       (pick(col("id"), 263, 60) + 1924).as("c_birth_year"),
       date_add(lit(java.sql.Date.valueOf("2002-01-01")),
-        pick(col("id"), 267, 300).cast("int")).as("c_last_review_date"))
+        pick(col("id"), 267, 300).cast("int")).as("c_last_review_date"),
+      (pick(col("id"), 281, 730) + 2450815L).as("c_first_sales_date_sk"),
+      (pick(col("id"), 281, 730) + 2450845L)
+        .as("c_first_shipto_date_sk"))
     write("customer", customer)
 
     val cities = array(Seq("Midway", "Fairview", "Oak Grove", "Five Points",
@@ -327,7 +337,13 @@ object QTpcdsOfficial {
       format_string("Warehouse %d", col("id")).as("w_warehouse_name"),
       (pick(col("id"), 301, 900000) + 100000).as("w_warehouse_sq_ft"),
       element_at(countyStates, (pmod(col("id") - 1, lit(8L)) + 1)
-        .cast("int")).as("w_state"))
+        .cast("int")).as("w_state"),
+      element_at(array(Seq("Midway", "Fairview", "Oak Grove",
+        "Pleasant Hill", "Centerville").map(lit): _*),
+        (pmod(col("id") - 1, lit(5L)) + 1).cast("int")).as("w_city"),
+      element_at(counties, (pmod(col("id") - 1, lit(8L)) + 1).cast("int"))
+        .as("w_county"),
+      lit("United States").as("w_country"))
     write("warehouse", warehouse)
     val inventory = spark.range(0, 261L * 200 * 5).select(
       ((col("id") / (200 * 5)).cast("bigint") * 7 + 2450815L)
@@ -366,7 +382,9 @@ object QTpcdsOfficial {
         .as("ss_item_sk"),
       (pick(col("ss_ticket_number"), 109, 1000) + 1).as("ss_customer_sk"),
       (pick(col("id"), 113, 70) + 1).as("ss_cdemo_sk"),
-      (pick(col("ss_ticket_number"), 127, 300) + 1).as("ss_hdemo_sk"),
+      when(pick(col("ss_ticket_number"), 403, 30) === 0, lit(null))
+        .otherwise(pick(col("ss_ticket_number"), 127, 300) + 1)
+        .as("ss_hdemo_sk"),
       (pick(col("ss_ticket_number"), 131, 1000) + 1).as("ss_addr_sk"),
       // ~2% of TICKETS have a null store fk (Q76's store channel);
       // ticket-level so the 2-row/20-row count purity Q34/Q73 rely on
@@ -505,8 +523,15 @@ object QTpcdsOfficial {
         .as("cr_return_amount"),
       (pick(col("_id"), 659, 19000) + 1).cast("double")
         .as("cr_return_amt_inc_tax"),
-      (pick(col("_id"), 661, 17000) + 1).cast("double")
+      // refund split sized so sum(sale) > 2*sum(refund) holds for most
+      // items (Q64's cs_ui HAVING selects the typical case, not a
+      // 1.5%-tail): E[refund] ~= 5000 vs E[cs_ext_list_price] ~= 20000
+      (pick(col("_id"), 661, 8000) + 1).cast("double")
         .as("cr_refunded_cash"),
+      (pick(col("_id"), 665, 1000) + 1).cast("double")
+        .as("cr_reversed_charge"),
+      (pick(col("_id"), 667, 1000) + 1).cast("double")
+        .as("cr_store_credit"),
       (pick(col("_id"), 663, 8000) + 1).cast("double").as("cr_net_loss"))
     write("catalog_returns", cr, files = 2)
 
@@ -532,6 +557,7 @@ object QTpcdsOfficial {
           .as("ws_ship_customer_sk"),
         (pick(col("_ord"), 729, 1000) + 1).as("ws_ship_addr_sk"),
         (pick(col("id"), 731, 10) + 1).as("ws_web_page_sk"),
+        (pick(col("_ord"), 735, 300) + 1).as("ws_ship_hdemo_sk"),
         (pick(col("_ord"), 733, 5) + 1).as("ws_web_site_sk"),
         (pick(col("id"), 737, 10) + 1).as("ws_ship_mode_sk"),
         (pick(col("id"), 739, 5) + 1).as("ws_warehouse_sk"),
@@ -606,7 +632,8 @@ object QTpcdsOfficial {
         .cast("int")).as("web_company_name")))
     write("web_page", spark.range(1, 11).select(
       col("id").as("wp_web_page_sk"),
-      format_string("AAAAAAAA%08dCA", col("id")).as("wp_web_page_id")))
+      format_string("AAAAAAAA%08dCA", col("id")).as("wp_web_page_id"),
+      (pick(col("id"), 279, 60) * 100 + 100).as("wp_char_count")))
     val smTypes = array(Seq("EXPRESS", "NEXT DAY", "OVERNIGHT",
       "REGULAR", "TWO DAY").map(lit): _*)
     val smCarriers = array(Seq("UPS", "FEDEX", "AIRBORNE", "USPS",
