@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Phase ledger for qds_channel_rollup at the design decade (sf100) —
+  * the one >2× holdout without its own decomposition (round-14 verdict
+  * task 4). The verdict hypothesized "the 3-way union's repeated
+  * lineitem passes"; the shipped plan is in fact SINGLE-PASS (channel
+  * is a CASE over o_orderpriority riding the orders probe — no union,
+  * no second fact scan), so the ledger decomposes what actually runs:
+  *
+  *  full   the declared query (same arm selection as the bench)
+  *  scan   parquet decode floor of the fact columns the query touches
+  *         (l_orderkey, l_extendedprice, l_discount — forced via sums)
+  *  oc     the orders⋈customer⋈nation probe-side build alone
+  *  union3 the rewrite the verdict imagined (per-channel passes): a
+  *         2-way union re-scanning lineitem per channel — measured to
+  *         show the single-pass shape is the right one, not to ship
+  *
+  * full − scan − oc ≈ the join+aggregate work itself; anything beyond
+  * the DuckDB wall time recorded in BASELINE.md that is ≤ scan is the
+  * reader floor (ScanFloor's 2.9–9.7× per-scan ratios), not plan debt.
+  * Interleaved reps, medians, probe-cache disabled (honest rebuilds).
+  */
+object ChannelLedger {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf100"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t(n: String) = graft.Tables.load(spark, sfDir, n)
+
+    val nats = Seq("NATION_1", "NATION_2", "NATION_3")
+
+    def full(): Long = {
+      val df = graft.SparkEntry.queries("qds_channel_rollup")(spark, sfDir)
+      val n = df.collect().length.toLong
+      graft.plans.ProbeAgg.releaseBroadcasts()
+      n
+    }
+
+    def scanFloor(): Long =
+      t("lineitem")
+        .agg(sum(col("l_orderkey")),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .collect().length.toLong
+
+    def ocBuild(): Long = {
+      val n3 = t("nation").filter(col("n_name").isin(nats: _*))
+        .select("n_nationkey", "n_name")
+      val cN = t("customer").join(broadcast(n3),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"))
+      t("orders").join(broadcast(cN),
+          col("o_custkey") === col("c_custkey"))
+        .agg(sum(col("o_orderkey")), count(lit(1)))
+        .collect().length.toLong
+    }
+
+    def union3(): Long = {
+      val n3 = t("nation").filter(col("n_name").isin(nats: _*))
+        .select("n_nationkey", "n_name")
+      val cN = t("customer").join(broadcast(n3),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("nation"))
+      def chan(express: Boolean): DataFrame = {
+        val o = t("orders").filter(
+          if (express) col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          else !col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        val oc = o.join(broadcast(cN),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("nation"))
+        t("lineitem") // a FRESH scan per channel — the imagined shape
+          .join(oc, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("nation")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"), count(lit(1)).as("n_sales"))
+          .withColumn("channel", lit(if (express) "express" else "standard"))
+      }
+      chan(true).unionByName(chan(false)).collect().length.toLong
+    }
+
+    val arms: Seq[(String, () => Long)] = Seq(
+      "full" -> (() => full()),
+      "scan" -> (() => scanFloor()),
+      "oc" -> (() => ocBuild()),
+      "union3" -> (() => union3()))
+
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (r <- 1 to reps; (name, f) <- arms) {
+      val t0 = System.nanoTime()
+      val n = f()
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(name) = times(name) :+ dt
+      println(f"[ChannelLedger] rep=$r $name%-7s ${dt}%8.3f s rows=$n")
+    }
+    def med(xs: List[Double]) = xs.sorted.apply(xs.size / 2)
+    val j = arms.map { case (n, _) =>
+      f""""$n":${med(times(n))}%.3f""" }.mkString(",")
+    println(s"""{"metric":"channel_ledger","sf":"$sfDir","reps":$reps,$j}""")
+    spark.stop()
+  }
+}

@@ -28,6 +28,45 @@ class ProbeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sorted(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("snapshot-keyed probe cache: unchanged table reuses the packed " +
+      "probe, a table change misses (opt-in, identical results)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-probecache")
+    val tbl = s"$dir/probe_tbl"
+    spark.range(0, 1000).selectExpr("id as k", "id % 7 as v")
+      .write.mode("overwrite").parquet(tbl)
+    def run(): Seq[String] = {
+      val probe = spark.read.parquet(tbl)
+      val fact = t("lineitem").limit(5000)
+        .withColumn("fk", col("l_orderkey") % 1000)
+      sorted(ProbeAgg.probeSums(fact,
+        Seq(Probe("fk", probe, "k", "v")),
+        Seq(ProductSum("rev", Seq(Term("l_extendedprice")))),
+        groupByProbe = Some(0)))
+    }
+    ProbeAgg.clearProbeCache()
+    sys.props("spark.graft.probe.cache") = "1"
+    try {
+      val r1 = run()
+      assert(ProbeAgg.probeCacheMisses.get() == 1 &&
+        ProbeAgg.probeCacheHits.get() == 0)
+      ProbeAgg.releaseBroadcasts() // the bench protocol's per-rep release
+      val r2 = run()
+      assert(r2 == r1, "cached probe must reproduce the result")
+      assert(ProbeAgg.probeCacheHits.get() == 1,
+        "unchanged table must hit the cache")
+      // table CHANGES: new files -> new fingerprint -> miss, fresh data
+      spark.range(0, 1000).selectExpr("id as k", "id % 3 as v")
+        .write.mode("overwrite").parquet(tbl)
+      val r3 = run()
+      assert(ProbeAgg.probeCacheMisses.get() == 2,
+        "a changed table must not reuse the stale probe")
+      assert(r3 != r1, "results must reflect the new table state")
+    } finally {
+      sys.props.remove("spark.graft.probe.cache")
+      ProbeAgg.clearProbeCache()
+    }
+  }
+
   test("q5 shape: two probes + equality constraint ≡ the BHJ chain") {
     val o = t("orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
