@@ -38,7 +38,11 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
     /** ask the catalog for storage-scoped credentials on table access
       * (the reference's RestCatalogEnableVendedCredentials header,
       * rest_catalog.c:115-121: `X-Iceberg-Access-Delegation:
-      * vended-credentials`) */
+      * vended-credentials`) AND consume what it returns: loadTable
+      * responses' `config`/`storage-credentials` register into
+      * [[graft.sources.S3Fetch]]'s prefix-keyed credential seam, so the
+      * delegated data-file reads sign with the vended key — the half
+      * the reference performs in http_client.c:663-666 */
     vendedCredentials: Boolean = false) {
 
   private implicit val formats: Formats = DefaultFormats
