@@ -18,7 +18,7 @@ object SparkEntry {
   import _root_.graft.{queries => qb}
 
   private def batches = Seq(
-    qb.QTpch.queries, qb.QTpch2.queries, qb.QTpch3.queries, qb.QTpch4.queries, qb.QTpcds.queries, qb.QTpcds2.queries, qb.QTpcds3.queries, qb.QTpcds4.queries, qb.QTpcds5.queries, qb.QTpcds6.queries, qb.QTpcds7.queries, qb.QTpcds8.queries, qb.QTpcds9.queries, qb.QTpcds10.queries, qb.QTpcds11.queries, qb.QTpcds12.queries, qb.QTpcds13.queries, qb.QTpcdsOfficial.queries, qb.QTpcdsOfficial2.queries, qb.QTpcdsOfficial3.queries, qb.QTpcdsOfficial4.queries, qb.QTpcdsOfficial5.queries, qb.QTpcdsOfficial6.queries, qb.QTypes.queries, qb.QRel.queries, qb.QAgg.queries, qb.QWin.queries,
+    qb.QTpch.queries, qb.QTpch2.queries, qb.QTpch3.queries, qb.QTpch4.queries, qb.QTpcds.queries, qb.QTpcds2.queries, qb.QTpcds3.queries, qb.QTpcds4.queries, qb.QTpcds5.queries, qb.QTpcds6.queries, qb.QTpcds7.queries, qb.QTpcds8.queries, qb.QTpcds9.queries, qb.QTpcds10.queries, qb.QTpcds11.queries, qb.QTpcds12.queries, qb.QTpcds13.queries, qb.QTpcdsOfficial.queries, qb.QTpcdsOfficial2.queries, qb.QTpcdsOfficial3.queries, qb.QTpcdsOfficial4.queries, qb.QTpcdsOfficial5.queries, qb.QTpcdsOfficial6.queries, qb.QTpcdsOfficial7.queries, qb.QTypes.queries, qb.QRel.queries, qb.QAgg.queries, qb.QWin.queries,
     qb.QSub.queries, qb.QFunc.queries, qb.QLake.queries, qb.QPipe.queries, qb.QPgShim.queries,
     qb.QMisc.queries, qb.QClick.queries, qb.QClick2.queries, qb.QClick3.queries, qb.QClick4.queries, qb.QClick5.queries, qb.QClick6.queries, qb.QGeo.queries, qb.QSearch.queries)
 

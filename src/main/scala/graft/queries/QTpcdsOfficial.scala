@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v13"
+  private val Version = "v14"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -86,6 +86,9 @@ object QTpcdsOfficial {
       .withColumn("d_week_seq",
         ((col("d_date_sk") - 2450815L) / 7).cast("int") + 5112)
       .withColumn("d_day_name", date_format(col("d_date"), "EEEE"))
+      .withColumn("d_quarter_name",
+        concat(col("d_year").cast("string"), lit("Q"),
+          col("d_qoy").cast("string")))
       .withColumn("d_dow", dayofweek(col("d_date")) - 1) // 0 = Sunday
     write("date_dim", dd)
 
