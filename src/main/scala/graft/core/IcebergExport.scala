@@ -76,7 +76,7 @@ object IcebergExport {
     case other => other.simpleString
   }
 
-  private def transformName(t: String): String = t match {
+  private[graft] def transformName(t: String): String = t match {
     case "identity" => "identity"
     case "year" => "year"
     case "month" => "month"

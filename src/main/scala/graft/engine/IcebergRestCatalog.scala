@@ -163,13 +163,21 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
     val out = Seq.newBuilder[A]
     var tok: Option[String] = None
     var first = true
+    var pages = 0
     while (first || tok.isDefined) {
       first = false
+      pages += 1
+      // Defensive bounds against a buggy/malicious server: a token that
+      // repeats verbatim would loop (and duplicate items) forever, and
+      // an ever-fresh token stream is capped rather than trusted.
+      if (pages > 10000) throw new IllegalStateException(
+        s"REST list pagination exceeded 10000 pages for $path")
       val q = tok.map(t => "?pageToken=" +
         java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
       val j = expect("GET", s"$path$q")
       out ++= parse(j)
-      tok = (j \ "next-page-token").extractOpt[String].filter(_.nonEmpty)
+      val next = (j \ "next-page-token").extractOpt[String].filter(_.nonEmpty)
+      tok = if (next == tok) None else next
     }
     out.result()
   }
@@ -213,15 +221,59 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
     * array of `{prefix, config}` entries. Only object-store locations
     * register; local/file tables have nothing to delegate. */
   private def absorbStorageCredentials(j: JValue): Unit = {
-    import graft.sources.S3Fetch
-    def reg(prefix: String, cfg: Map[String, String]): Unit =
-      if (prefix.startsWith("s3://") || prefix.startsWith("gs://"))
+    import graft.sources.{AzFetch, S3Fetch}
+    def asLong(s: String): Option[Long] =
+      scala.util.Try(s.toLong).toOption
+    // Azure locations arrive in the Hadoop dialect
+    // (`abfs[s]://container@account.dfs.core.windows.net/path`); the
+    // engine's az:// seam keys on container/path, so normalize.
+    def normalize(prefix: String): String =
+      if (prefix.startsWith("abfs://") || prefix.startsWith("abfss://") ||
+          prefix.startsWith("wasb://") || prefix.startsWith("wasbs://")) {
+        val rest = prefix.substring(prefix.indexOf("://") + 3)
+        val at = rest.indexOf('@')
+        if (at < 0) prefix
+        else {
+          val container = rest.take(at)
+          val slash = rest.indexOf('/', at)
+          val path = if (slash < 0) "" else rest.substring(slash)
+          s"az://$container$path"
+        }
+      } else prefix
+    def reg(rawPrefix: String, cfg: Map[String, String]): Unit = {
+      val prefix = normalize(rawPrefix)
+      if (prefix.startsWith("s3://") || prefix.startsWith("gs://")) {
+        // s3 HMAC-key dialect (also GCS interoperability keys). The
+        // vended region/endpoint ride along so the SigV4 scope follows
+        // the catalog's bucket, not the static configuration.
         for (ak <- cfg.get("s3.access-key-id");
              sk <- cfg.get("s3.secret-access-key"))
           S3Fetch.registerVendedCredentials(prefix, S3Fetch.VendedCreds(
             ak, sk, cfg.get("s3.session-token"),
-            cfg.get("s3.session-token-expires-at-ms")
-              .flatMap(s => scala.util.Try(s.toLong).toOption)))
+            cfg.get("s3.session-token-expires-at-ms").flatMap(asLong),
+            region = cfg.get("s3.region").orElse(cfg.get("client.region")),
+            endpoint = cfg.get("s3.endpoint")))
+        // GCS OAuth2 dialect: a bearer token, no HMAC keys at all
+        if (prefix.startsWith("gs://"))
+          for (tok <- cfg.get("gcs.oauth2.token"))
+            S3Fetch.registerVendedCredentials(prefix, S3Fetch.VendedCreds(
+              "", "", None,
+              cfg.get("gcs.oauth2.token-expires-at").flatMap(asLong),
+              bearerToken = Some(tok)))
+      } else if (prefix.startsWith("az://")) {
+        // ADLS SAS dialect: `adls.sas-token` flat or suffixed with the
+        // storage-account host (`adls.sas-token.<acct>.dfs.core...`)
+        cfg.collectFirst {
+          case (k, v) if k == "adls.sas-token" ||
+            k.startsWith("adls.sas-token.") => v
+        }.foreach { tok =>
+          AzFetch.registerVendedSas(prefix, AzFetch.VendedSas(tok,
+            cfg.collectFirst {
+              case (k, v) if k.startsWith("adls.sas-token-expire") => v
+            }.flatMap(asLong)))
+        }
+      }
+    }
     val tableLoc = (j \ "metadata" \ "location").extractOpt[String]
       .orElse((j \ "metadata-location").extractOpt[String].map { l =>
         val i = l.lastIndexOf("/metadata/")
@@ -361,6 +413,196 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  // -------------------------------------------- evolution commits
+  //
+  // The reference's remaining commit update kinds beyond append/create
+  // (rest_catalog.c:926-1060): GetAddSchemaCatalogRequest (`add-schema`
+  // + `set-current-schema` with schema-id -1 = "the one just added"),
+  // GetAddPartitionCatalogRequest / GetSetPartitionDefaultIdCatalog-
+  // Request (`add-spec` + `set-default-spec`), and
+  // GetRemoveSnapshotCatalogRequest (`remove-snapshots` with the
+  // expired ids). Each rides [[commitTable]] under the same
+  // optimistic-requirement discipline as [[commitAppend]], so a
+  // concurrent evolver surfaces as [[IcebergRestCatalog.CommitConflict]].
+
+  /** The metadata document the catalog currently points at. */
+  private def catalogMetaDoc(ns: Seq[String], name: String): JValue =
+    JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(metadataLocation(ns, name))),
+      StandardCharsets.UTF_8))
+
+  def currentSchemaId(ns: Seq[String], name: String): Int =
+    (catalogMetaDoc(ns, name) \ "current-schema-id")
+      .extractOpt[Int].getOrElse(0)
+
+  def defaultSpecId(ns: Seq[String], name: String): Int =
+    (catalogMetaDoc(ns, name) \ "default-spec-id")
+      .extractOpt[Int].getOrElse(0)
+
+  /** The local lake-table directory behind the catalog's
+    * metadata-location (`.../<dir>/metadata/vN.metadata.json`). */
+  private def localDir(ns: Seq[String], name: String): String =
+    java.nio.file.Paths.get(metadataLocation(ns, name))
+      .getParent.getParent.toString
+
+  /** Iceberg schema JSON for the table's CURRENT engine schema, with
+    * the durable field ids (they track identity across renames). */
+  private def schemaJsonOf(tbl: LakeTable): JValue = {
+    val ids = tbl.meta.fieldIds.map(fi => fi.name -> fi.id).toMap
+    JObject(
+      "type" -> JString("struct"),
+      "fields" -> JArray(tbl.schema.fields.map { f =>
+        JObject(
+          "id" -> JInt(BigInt(ids.getOrElse(f.name, -1))),
+          "name" -> JString(f.name),
+          "required" -> JBool(!f.nullable),
+          "type" -> org.json4s.Extraction.decompose(
+            graft.core.IcebergExport.icebergType(f.dataType)))
+      }.toList))
+  }
+
+  /** Push the table's current engine schema to the catalog:
+    * `add-schema` + `set-current-schema(-1)` under
+    * `assert-current-schema-id` — the reference's
+    * GetAddSchemaCatalogRequest (rest_catalog.c:926-956). */
+  def commitSchemaUpdate(tbl: LakeTable, ns: Seq[String], name: String,
+      baseSchemaId: Int): String = {
+    val requirements = Seq[JValue](JObject(
+      "type" -> JString("assert-current-schema-id"),
+      "current-schema-id" -> JInt(baseSchemaId)))
+    val updates = Seq[JValue](
+      JObject("action" -> JString("add-schema"),
+        "schema" -> schemaJsonOf(tbl)),
+      JObject("action" -> JString("set-current-schema"),
+        "schema-id" -> JInt(-1)))
+    commitTable(ns, name, requirements, updates)
+  }
+
+  /** Push a partition-spec evolution: `add-spec` + `set-default-spec(-1)`
+    * under `assert-default-spec-id` — the reference's
+    * GetAddPartitionCatalogRequest + GetSetPartitionDefaultIdCatalog-
+    * Request pair (rest_catalog.c:981-1027). */
+  def commitSpecUpdate(tbl: LakeTable, ns: Seq[String], name: String,
+      baseSpecId: Int): String = {
+    val ids = tbl.meta.fieldIds.map(fi => fi.name -> fi.id).toMap
+    val fields = tbl.meta.partitionSpec.zipWithIndex.map { case (pf, i) =>
+      JObject(
+        "name" -> JString(pf.partName),
+        "transform" -> JString(
+          graft.core.IcebergExport.transformName(pf.transform)),
+        "source-id" -> JInt(BigInt(ids.getOrElse(pf.column, -1))),
+        "field-id" -> JInt(1000 + i))
+    }
+    val requirements = Seq[JValue](JObject(
+      "type" -> JString("assert-default-spec-id"),
+      "default-spec-id" -> JInt(baseSpecId)))
+    val updates = Seq[JValue](
+      JObject("action" -> JString("add-spec"),
+        "spec" -> JObject("fields" -> JArray(fields))),
+      JObject("action" -> JString("set-default-spec"),
+        "spec-id" -> JInt(-1)))
+    commitTable(ns, name, requirements, updates)
+  }
+
+  /** Tell the catalog which snapshots expired: `remove-snapshots` with
+    * the removed ids — the reference's GetRemoveSnapshotCatalogRequest
+    * (rest_catalog.c:1030-1060). Asserted against the `main` ref so an
+    * expiry racing an append conflicts rather than resurrecting. */
+  def commitRemoveSnapshots(ns: Seq[String], name: String,
+      removedIds: Seq[Long], baseSnapshotId: Long): String = {
+    val requirements = Seq[JValue](JObject(
+      "type" -> JString("assert-ref-snapshot-id"),
+      "ref" -> JString("main"),
+      "snapshot-id" ->
+        (if (baseSnapshotId > 0) JLong(baseSnapshotId) else JNull)))
+    val updates = Seq[JValue](JObject(
+      "action" -> JString("remove-snapshots"),
+      "snapshot-ids" -> JArray(removedIds.map(JLong(_)).toList)))
+    commitTable(ns, name, requirements, updates)
+  }
+
+  /** Shared retry loop for catalog-owned DDL: apply the engine-side
+    * change once, then push the catalog update with bounded optimistic
+    * retries (the engine change is already durable; only the catalog
+    * pointer is contended). */
+  private def withCommitRetry[A](maxRetries: Int)(
+      readBase: () => A)(commit: A => String): String = {
+    var base = readBase()
+    var attempt = 0
+    while (true) {
+      try return commit(base)
+      catch { case e: IcebergRestCatalog.CommitConflict =>
+        attempt += 1
+        if (attempt > maxRetries) throw e
+        base = readBase()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Catalog-owned ALTER TABLE ADD COLUMN: engine DDL + `add-schema`
+    * commit, so the catalog's served schema follows. */
+  def addColumn(ns: Seq[String], name: String, column: String,
+      sparkType: String, maxRetries: Int = 3): String = {
+    val dir = localDir(ns, name)
+    Engine.addColumn(LakeTable.load(spark, dir), column, sparkType)
+    withCommitRetry(maxRetries)(() => currentSchemaId(ns, name))(
+      commitSchemaUpdate(LakeTable.load(spark, dir), ns, name, _))
+  }
+
+  /** Catalog-owned ALTER TABLE RENAME COLUMN (field ids carry identity
+    * across the rename in both engine and catalog metadata). */
+  def renameColumn(ns: Seq[String], name: String, from: String,
+      to: String, maxRetries: Int = 3): String = {
+    val dir = localDir(ns, name)
+    Engine.renameColumn(LakeTable.load(spark, dir), from, to)
+    withCommitRetry(maxRetries)(() => currentSchemaId(ns, name))(
+      commitSchemaUpdate(LakeTable.load(spark, dir), ns, name, _))
+  }
+
+  /** Catalog-owned ALTER TABLE DROP COLUMN. */
+  def dropColumn(ns: Seq[String], name: String, column: String,
+      maxRetries: Int = 3): String = {
+    val dir = localDir(ns, name)
+    Engine.dropColumn(LakeTable.load(spark, dir), column)
+    withCommitRetry(maxRetries)(() => currentSchemaId(ns, name))(
+      commitSchemaUpdate(LakeTable.load(spark, dir), ns, name, _))
+  }
+
+  /** Catalog-owned partition-spec evolution (metadata-only in the
+    * engine; `add-spec`/`set-default-spec` in the catalog). */
+  def setPartitionSpec(ns: Seq[String], name: String,
+      spec: List[graft.core.PartitionField],
+      maxRetries: Int = 3): String = {
+    val dir = localDir(ns, name)
+    Engine.setPartitionSpec(LakeTable.load(spark, dir), spec)
+    withCommitRetry(maxRetries)(() => defaultSpecId(ns, name))(
+      commitSpecUpdate(LakeTable.load(spark, dir), ns, name, _))
+  }
+
+  /** Catalog-owned snapshot expiry: engine GC + `remove-snapshots`
+    * commit. Returns the expired snapshot ids (empty = no-op, no
+    * catalog round-trip). */
+  def expireSnapshots(ns: Seq[String], name: String, keepLast: Int = 1,
+      maxRetries: Int = 3): Seq[Long] = {
+    val dir = localDir(ns, name)
+    val tbl = LakeTable.load(spark, dir)
+    val before = tbl.meta.snapshots.map(_.id)
+    Engine.expireSnapshots(tbl, keepLast)
+    val kept = LakeTable.load(spark, dir)
+    val after = kept.meta.snapshots.map(_.id).toSet
+    val removed = before.filterNot(after)
+    if (removed.nonEmpty) {
+      // the engine GC also reclaimed the exported Iceberg manifests of
+      // expired snapshots; re-export so the KEPT snapshots' manifest
+      // lists (which the catalog's metadata references by name) exist
+      graft.core.IcebergExport.export(kept, kept.dir)
+      withCommitRetry(maxRetries)(() => currentSnapshotId(ns, name))(
+        commitRemoveSnapshots(ns, name, removed, _))
+    }
+    removed
   }
 
   /** Catalog-owned CREATE TABLE, the reference's TWO-PHASE stage-create

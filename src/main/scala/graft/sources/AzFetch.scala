@@ -47,6 +47,38 @@ object AzFetch {
 
   private lazy val client: HttpClient = HttpClient.newBuilder().build()
 
+  // ---- vended (delegated) SAS tokens: the `adls.sas-token` dialect of
+  // an Iceberg REST catalog's storage-credentials response. A SAS token
+  // is a pre-signed query string (`sv=...&sig=...`), so a delegated
+  // request appends it verbatim and sends NO Authorization header —
+  // the account key is not required for prefixes a catalog delegated.
+
+  /** A vended SAS token for one `az://container/...` location prefix. */
+  final case class VendedSas(token: String,
+      expiresAtMs: Option[Long] = None)
+
+  private val sasByPrefix =
+    new java.util.concurrent.ConcurrentHashMap[String, VendedSas]()
+
+  def registerVendedSas(pathPrefix: String, s: VendedSas): Unit =
+    sasByPrefix.put(pathPrefix.stripSuffix("/"), s)
+
+  private[graft] def clearVendedSas(): Unit = sasByPrefix.clear()
+
+  private def sasFor(container: String, blob: String): Option[String] = {
+    if (sasByPrefix.isEmpty) return None
+    val path = s"az://$container/$blob"
+    val now = System.currentTimeMillis()
+    var best: Option[(String, VendedSas)] = None
+    sasByPrefix.forEach { (p, s) =>
+      val live = s.expiresAtMs.forall(_ > now)
+      if (live && (path == p || path.startsWith(p + "/")) &&
+          best.forall(_._1.length < p.length))
+        best = Some((p, s))
+    }
+    best.map(_._2.token.stripPrefix("?"))
+  }
+
   /** Shared Key signature for a blob-service request (published
     * algorithm). Returns the Authorization header value. Exposed for the
     * spec's server-side wire verification. */
@@ -119,25 +151,36 @@ object AzFetch {
   private def send(method: String, container: String, blobPath: String,
       queryParams: Seq[(String, String)] = Nil,
       range: String = ""): HttpResponse[Array[Byte]] = {
-    val acct = account.getOrElse(throw new IllegalStateException(
-      "az:// needs graft.az.account / AZURE_STORAGE_ACCOUNT"))
-    val key = accountKey.getOrElse(throw new IllegalStateException(
-      "az:// needs graft.az.key / AZURE_STORAGE_KEY"))
     val (base, canonicalRes) = target(container, blobPath)
     val xmsDate = ZonedDateTime.now(ZoneOffset.UTC)
       .format(DateTimeFormatter.RFC_1123_DATE_TIME)
-    val xms = Seq("x-ms-date" -> xmsDate, "x-ms-version" -> apiVersion)
-    val auth = sharedKeyAuthorization(method, acct, key, canonicalRes,
-      xms, range, queryParams)
     val query = queryParams
       .map { case (k, v) => s"$k=${java.net.URLEncoder.encode(v, "UTF-8")}" }
       .mkString("&")
-    val url = if (query.isEmpty) base else s"$base?$query"
-    val b = HttpRequest.newBuilder(URI.create(url))
-      .method(method, HttpRequest.BodyPublishers.noBody())
-      .header("x-ms-date", xmsDate)
-      .header("x-ms-version", apiVersion)
-      .header("Authorization", auth)
+    val b = sasFor(container, blobPath) match {
+      case Some(sas) =>
+        // catalog-delegated SAS: the pre-signed query IS the auth; no
+        // Authorization header, no account key required
+        val q = Seq(query, sas).filter(_.nonEmpty).mkString("&")
+        HttpRequest.newBuilder(URI.create(s"$base?$q"))
+          .method(method, HttpRequest.BodyPublishers.noBody())
+          .header("x-ms-date", xmsDate)
+          .header("x-ms-version", apiVersion)
+      case None =>
+        val acct = account.getOrElse(throw new IllegalStateException(
+          "az:// needs graft.az.account / AZURE_STORAGE_ACCOUNT"))
+        val key = accountKey.getOrElse(throw new IllegalStateException(
+          "az:// needs graft.az.key / AZURE_STORAGE_KEY"))
+        val xms = Seq("x-ms-date" -> xmsDate, "x-ms-version" -> apiVersion)
+        val auth = sharedKeyAuthorization(method, acct, key, canonicalRes,
+          xms, range, queryParams)
+        val url = if (query.isEmpty) base else s"$base?$query"
+        HttpRequest.newBuilder(URI.create(url))
+          .method(method, HttpRequest.BodyPublishers.noBody())
+          .header("x-ms-date", xmsDate)
+          .header("x-ms-version", apiVersion)
+          .header("Authorization", auth)
+    }
     if (range.nonEmpty) b.header("Range", range)
     client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
   }

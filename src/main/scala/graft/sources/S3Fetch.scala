@@ -125,10 +125,21 @@ object S3Fetch {
     * token signs as the `x-amz-security-token` header (AWS temporary-
     * credential dialect); `expiresAtMs` drops the entry when stale so a
     * lapsed delegation falls back to configured keys loudly (403)
-    * rather than silently signing with dead credentials. */
+    * rather than silently signing with dead credentials.
+    *
+    * `region`/`endpoint` carry the vended config's `s3.region` /
+    * `s3.endpoint` when present: a catalog vending credentials for a
+    * bucket in a DIFFERENT region than the static configuration must
+    * also steer the SigV4 scope (a mismatched scope 403s despite valid
+    * keys) and, for non-AWS stores, the host. `bearerToken` is the GCS
+    * OAuth2 dialect (`gcs.oauth2.token`): gs:// requests for the prefix
+    * send `Authorization: Bearer` instead of SigV4-with-HMAC-keys. */
   final case class VendedCreds(accessKey: String, secretKey: String,
       sessionToken: Option[String] = None,
-      expiresAtMs: Option[Long] = None)
+      expiresAtMs: Option[Long] = None,
+      region: Option[String] = None,
+      endpoint: Option[String] = None,
+      bearerToken: Option[String] = None)
 
   private val vendedByPrefix =
     new java.util.concurrent.ConcurrentHashMap[String, VendedCreds]()
@@ -248,10 +259,20 @@ object S3Fetch {
     * Exposed (read-only) so the addressing seam is spec-pinned without
     * needing resolvable virtual-host DNS. */
   private[graft] def target(bucket: String, keyPath: String,
-      gs: Boolean, region: String): (String, String, String) = {
+      gs: Boolean, region: String,
+      epOverride: Option[String] = None): (String, String, String) = {
     val keyUri =
       if (keyPath.isEmpty) "" else s"/${awsUriEncode(keyPath, true)}"
-    (endpointFor(gs), pathStyle(gs)) match {
+    // a vended endpoint behaves like any custom endpoint: path-style
+    // unless explicitly configured otherwise
+    val ep = epOverride.orElse(endpointFor(gs))
+    val style = if (epOverride.isDefined) {
+      val conf =
+        if (gs) prop("graft.gs.path.style", "GS_PATH_STYLE")
+        else prop("graft.s3.path.style", "AWS_S3_PATH_STYLE")
+      conf.forall(v => v == "true" || v == "1")
+    } else pathStyle(gs)
+    (ep, style) match {
       case (Some(ep), true) => // path-style against a custom endpoint
         val u = URI.create(ep)
         val host = u.getHost +
@@ -302,7 +323,15 @@ object S3Fetch {
       extraHeaders: Seq[(String, String)],
       gs: Boolean, region: String)
       : HttpResponse[Array[Byte]] = {
-    val (base, canonicalUri, host) = target(bucket, keyPath, gs, region)
+    // vended (catalog-delegated) credentials for this object's location
+    // win over the static configuration — keys, AND signing scope: a
+    // vended s3.region/s3.endpoint steers this request even when the
+    // static conf points elsewhere (the catalog knows where its bucket
+    // lives; signing the vended key with the configured region 403s)
+    val vend = vendedFor(bucket, keyPath, gs)
+    val effRegion = vend.flatMap(_.region).getOrElse(region)
+    val (base, canonicalUri, host) =
+      target(bucket, keyPath, gs, effRegion, vend.flatMap(_.endpoint))
     val amzDate = ZonedDateTime.now(ZoneOffset.UTC)
       .format(DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'"))
     val query = queryParams
@@ -311,12 +340,12 @@ object S3Fetch {
     val url = if (query.isEmpty) base else s"$base?$query"
     val b = HttpRequest.newBuilder(URI.create(url))
       .method(method, HttpRequest.BodyPublishers.noBody())
-    // vended (catalog-delegated) credentials for this object's location
-    // win over the static configuration; a session token rides — and is
-    // signed — as x-amz-security-token (AWS temporary-credential rule)
-    val vend = vendedFor(bucket, keyPath, gs)
+    // a session token rides — and is signed — as x-amz-security-token
+    // (AWS temporary-credential rule)
     val creds: Option[(String, String, Option[String])] = vend match {
-      case Some(v) => Some((v.accessKey, v.secretKey, v.sessionToken))
+      case Some(v) if v.bearerToken.isEmpty =>
+        Some((v.accessKey, v.secretKey, v.sessionToken))
+      case Some(_) => None // bearer dialect: no SigV4
       case None => (accessKeyFor(gs), secretKeyFor(gs)) match {
         case (Some(ak), Some(sk)) => Some((ak, sk, None))
         case _ => None
@@ -335,9 +364,14 @@ object S3Fetch {
         tokenHeader.foreach { case (k, v) => b.header(k, v) }
         b.header("Authorization", sigV4Authorization(method, canonicalUri,
           queryParams, sigHeaders, emptyPayloadHash, ak, sk,
-          region, amzDate))
+          effRegion, amzDate))
         true
-      case _ => false
+      case _ =>
+        // GCS OAuth2 vended dialect: a bare bearer header, no SigV4
+        vend.flatMap(_.bearerToken) match {
+          case Some(tok) => b.header("Authorization", s"Bearer $tok"); true
+          case None => false
+        }
     }
     extraHeaders.foreach { case (k, v) => b.header(k, v) }
     if (!signed) () // anonymous: no auth headers at all

@@ -265,43 +265,110 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
               .getOrElse(-1L)
             val req = parse(body)
             import org.json4s._
+            val curSchemaId = (doc \ "current-schema-id")
+              .extractOpt[Int].getOrElse(0)
+            val curSpecId = (doc \ "default-spec-id")
+              .extractOpt[Int].getOrElse(0)
             val failed = (req \ "requirements") match {
               case JArray(rs) => rs.exists { r =>
-                (r \ "type").extractOpt[String].contains(
-                  "assert-ref-snapshot-id") && {
-                  val want = (r \ "snapshot-id").extractOpt[Long]
-                    .getOrElse(-1L)
-                  want != cur
+                (r \ "type").extractOpt[String] match {
+                  case Some("assert-ref-snapshot-id") =>
+                    (r \ "snapshot-id").extractOpt[Long]
+                      .getOrElse(-1L) != cur
+                  case Some("assert-current-schema-id") =>
+                    (r \ "current-schema-id").extractOpt[Int]
+                      .getOrElse(-1) != curSchemaId
+                  case Some("assert-default-spec-id") =>
+                    (r \ "default-spec-id").extractOpt[Int]
+                      .getOrElse(-1) != curSpecId
+                  case _ => false
                 }
               }
               case _ => false
             }
             if (failed) {
               json(ex, 409, """{"error":{"message":"Requirement failed: """ +
-                """branch main has changed","type":"CommitFailedException"}}""")
+                """table has changed","type":"CommitFailedException"}}""")
               return
             }
             var snaps = (doc \ "snapshots") match {
               case JArray(ss) => ss; case _ => Nil
             }
             var newCur = cur
+            var schemas = (doc \ "schemas") match {
+              case JArray(ss) => ss; case _ => Nil
+            }
+            var newSchemaId = curSchemaId
+            var lastAddedSchemaId = -1
+            var specs = (doc \ "partition-specs") match {
+              case JArray(ss) => ss; case _ => Nil
+            }
+            var newSpecId = curSpecId
+            var lastAddedSpecId = -1
             (req \ "updates") match {
               case JArray(us) => us.foreach { u =>
                 (u \ "action").extractOpt[String] match {
                   case Some("add-snapshot") => snaps = snaps :+ (u \ "snapshot")
                   case Some("set-snapshot-ref") =>
                     newCur = (u \ "snapshot-id").extract[Long]
+                  case Some("add-schema") =>
+                    // catalog assigns the id: max existing + 1
+                    val id = schemas.flatMap(s =>
+                      (s \ "schema-id").extractOpt[Int]).foldLeft(-1)(
+                      math.max) + 1
+                    val s0 = (u \ "schema").asInstanceOf[JObject]
+                    schemas = schemas :+ JObject(
+                      s0.obj.filterNot(_._1 == "schema-id") :+
+                        JField("schema-id", JInt(id)))
+                    lastAddedSchemaId = id
+                  case Some("set-current-schema") =>
+                    val want = (u \ "schema-id").extract[Int]
+                    newSchemaId =
+                      if (want == -1) lastAddedSchemaId else want
+                  case Some("add-spec") =>
+                    val id = specs.flatMap(s =>
+                      (s \ "spec-id").extractOpt[Int]).foldLeft(-1)(
+                      math.max) + 1
+                    val s0 = (u \ "spec").asInstanceOf[JObject]
+                    specs = specs :+ JObject(
+                      s0.obj.filterNot(_._1 == "spec-id") :+
+                        JField("spec-id", JInt(id)))
+                    lastAddedSpecId = id
+                  case Some("set-default-spec") =>
+                    val want = (u \ "spec-id").extract[Int]
+                    newSpecId = if (want == -1) lastAddedSpecId else want
+                  case Some("remove-snapshots") =>
+                    val ids = (u \ "snapshot-ids") match {
+                      case JArray(is) =>
+                        is.flatMap(_.extractOpt[Long]).toSet
+                      case _ => Set.empty[Long]
+                    }
+                    snaps = snaps.filterNot(s =>
+                      (s \ "snapshot-id").extractOpt[Long]
+                        .exists(ids.contains))
                   case _ => ()
                 }
               }
               case _ => ()
             }
-            val newDoc = JObject(doc.asInstanceOf[JObject].obj.map {
-              case JField("snapshots", _) => JField("snapshots", JArray(snaps))
-              case JField("current-snapshot-id", _) =>
-                JField("current-snapshot-id", JLong(newCur))
+            val replaced = Map[String, JValue](
+              "snapshots" -> JArray(snaps),
+              "current-snapshot-id" -> JLong(newCur),
+              "schemas" -> JArray(schemas),
+              "current-schema-id" -> JInt(newSchemaId),
+              "partition-specs" -> JArray(specs),
+              "default-spec-id" -> JInt(newSpecId))
+            // replace in place; append fields the base doc lacked (a
+            // stage-created doc has no partition-specs until the first
+            // add-spec arrives)
+            val baseFields = doc.asInstanceOf[JObject].obj
+            val present = baseFields.map(_._1).toSet
+            val newDoc = JObject(baseFields.map {
+              case JField(n, _) if replaced.contains(n) =>
+                JField(n, replaced(n))
               case f => f
-            })
+            } ++ replaced.filterNot(kv => present.contains(kv._1))
+              .map { case (n, v) => JField(n, v) }.toList)
             // persist beside the old file so relative manifest paths keep
             // resolving; move the catalog pointer atomically
             val dir = java.nio.file.Paths.get(loc).getParent
@@ -448,6 +515,134 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("409") ||
       e.isInstanceOf[IcebergRestCatalog.CommitConflict], e.getMessage)
     cat.dropTable(ns, "t1")
+  }
+
+  test("schema-evolution commits: add/rename/drop column ride " +
+      "add-schema + set-current-schema(-1) and the catalog serves the " +
+      "evolved schema; a stale schema base conflicts") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val ns = Seq("evons")
+    cat.createNamespace(ns)
+    val r = Tables.load(spark, "/root/testdata/sf0.001", "region")
+    val dir = Files.createTempDirectory("restevo").toString + "/t"
+    val tbl = Engine.ctas(spark, dir, r)
+    cat.publish(tbl, ns, "region")
+    val schemaId0 = cat.currentSchemaId(ns, "region")
+
+    // ADD COLUMN: the catalog must serve the widened schema
+    cat.addColumn(ns, "region", "r_tier", "INT")
+    assert(cat.currentSchemaId(ns, "region") > schemaId0,
+      "current-schema-id must move to the added schema")
+    val got = cat.scan(ns, "region")
+    assert(got.schema.fieldNames.contains("r_tier"),
+      s"catalog scan must see the new column, got ${got.schema.fieldNames.toSeq}")
+    assert(got.count() == r.count())
+    assert(got.where(org.apache.spark.sql.functions.col("r_tier").isNull)
+      .count() == r.count(), "old files read null for the added column")
+
+    // RENAME COLUMN: field ids carry identity
+    cat.renameColumn(ns, "region", "r_tier", "r_rank")
+    val got2 = cat.scan(ns, "region")
+    assert(got2.schema.fieldNames.contains("r_rank") &&
+      !got2.schema.fieldNames.contains("r_tier"))
+
+    // DROP COLUMN
+    cat.dropColumn(ns, "region", "r_rank")
+    assert(!cat.scan(ns, "region").schema.fieldNames.contains("r_rank"))
+
+    // a writer holding a STALE schema base must get the 409
+    val staleBase = -42
+    val conflict = intercept[IcebergRestCatalog.CommitConflict] {
+      cat.commitSchemaUpdate(graft.core.LakeTable.load(spark, dir),
+        ns, "region", staleBase)
+    }
+    assert(conflict.getMessage.contains("CommitFailedException"))
+    cat.dropTable(ns, "region")
+  }
+
+  test("partition-spec evolution commits: add-spec + set-default-spec " +
+      "move the catalog's default spec; stale spec base conflicts") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val ns = Seq("specns")
+    cat.createNamespace(ns)
+    val n = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val dir = Files.createTempDirectory("restspec").toString + "/t"
+    val tbl = Engine.ctas(spark, dir, n)
+    cat.publish(tbl, ns, "nation")
+    val spec0 = cat.defaultSpecId(ns, "nation")
+
+    cat.setPartitionSpec(ns, "nation",
+      List(graft.core.PartitionField("n_regionkey", "identity")))
+    assert(cat.defaultSpecId(ns, "nation") > spec0,
+      "default-spec-id must move to the added spec")
+    // the catalog's metadata document carries the evolved spec fields
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val doc = org.json4s.jackson.JsonMethods.parse(
+      Files.readString(java.nio.file.Paths.get(
+        cat.metadataLocation(ns, "nation"))))
+    val specId = (doc \ "default-spec-id").extract[Int]
+    val fields = (doc \ "partition-specs") match {
+      case org.json4s.JArray(ss) => ss.find(s =>
+          (s \ "spec-id").extractOpt[Int].contains(specId))
+        .map(s => (s \ "fields") match {
+          case org.json4s.JArray(fs) =>
+            fs.map(f => ((f \ "name").extract[String],
+              (f \ "transform").extract[String]))
+          case _ => Nil
+        }).getOrElse(Nil)
+      case _ => Nil
+    }
+    assert(fields == List(("n_regionkey", "identity")), fields)
+    // scans through the catalog still read (spec evolution is
+    // metadata-only; existing files keep their layout)
+    assert(cat.scan(ns, "nation").count() == n.count())
+
+    val conflict = intercept[IcebergRestCatalog.CommitConflict] {
+      cat.commitSpecUpdate(graft.core.LakeTable.load(spark, dir),
+        ns, "nation", -42)
+    }
+    assert(conflict.getMessage.contains("CommitFailedException"))
+    cat.dropTable(ns, "nation")
+  }
+
+  test("snapshot-expiry commits: remove-snapshots trims the catalog's " +
+      "snapshot list and the current snapshot keeps scanning") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val ns = Seq("expirens")
+    cat.createNamespace(ns)
+    val r = Tables.load(spark, "/root/testdata/sf0.001", "region")
+    val dir = Files.createTempDirectory("restexpire").toString + "/t"
+    val tbl = Engine.ctas(spark, dir, r)
+    cat.publish(tbl, ns, "region")
+    // two catalog-owned appends -> three snapshots in catalog metadata
+    cat.insert(ns, "region", r.limit(2))
+    cat.insert(ns, "region", r.limit(1))
+    val expected = r.count() + 3
+    assert(cat.scan(ns, "region").count() == expected)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    def snapCount(): Int = {
+      val doc = org.json4s.jackson.JsonMethods.parse(
+        Files.readString(java.nio.file.Paths.get(
+          cat.metadataLocation(ns, "region"))))
+      (doc \ "snapshots") match {
+        case org.json4s.JArray(ss) => ss.size; case _ => 0
+      }
+    }
+    val before = snapCount()
+    assert(before >= 3, s"expected >=3 catalog snapshots, got $before")
+
+    val removed = cat.expireSnapshots(ns, "region", keepLast = 1)
+    assert(removed.nonEmpty, "expiry must report the removed ids")
+    assert(snapCount() == before - removed.size,
+      "catalog metadata must drop exactly the removed snapshots")
+    // the surviving snapshot scans with all rows intact
+    assert(cat.scan(ns, "region").count() == expected)
+    // a second expiry is a no-op and sends no commit
+    assert(cat.expireSnapshots(ns, "region", keepLast = 1).isEmpty)
+    cat.dropTable(ns, "region")
   }
 
   test("vended-credentials delegation header rides table-level routes " +
@@ -599,7 +794,11 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     s3.start()
     val s3port = s3.getAddress.getPort
     sys.props("graft.s3.endpoint") = s"http://127.0.0.1:$s3port"
-    sys.props("graft.s3.region") = VREGION
+    // the STATIC region is wrong on purpose: the vended config's
+    // s3.region must steer the SigV4 scope (the server recomputes the
+    // signature with VREGION — a request signed in the static scope is
+    // rejected even with the right keys)
+    sys.props("graft.s3.region") = "wrong-static-1"
     sys.props("graft.s3.access.key") = "STATICWRONGKEY000000"
     sys.props("graft.s3.secret.key") = "staticWrongSecret"
     val prefix = "s3://vended-bkt/warehouse/vtab"
@@ -612,7 +811,8 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       vendedGrant = Some((prefix, Map(
         "s3.access-key-id" -> VAK,
         "s3.secret-access-key" -> VSK,
-        "s3.session-token" -> VTOK)))
+        "s3.session-token" -> VTOK,
+        "s3.region" -> VREGION)))
       val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
         token = Some(Token), vendedCredentials = true)
       cat.createNamespace(Seq("vend"))
@@ -633,6 +833,136 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       S3Fetch.clearVendedCredentials()
       S3Fetch.clearRegionCache()
       s3.stop(0)
+    }
+  }
+
+  test("vended GCS OAuth2 dialect: gcs.oauth2.token registers for a " +
+      "gs:// prefix with NO HMAC keys and reads send Bearer auth") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.sources.{RemoteFetch, S3Fetch}
+    val VTOK = "gcs-oauth2-bearer-token-123"
+    val okHits = new AtomicInteger(0)
+    val rejects = new AtomicInteger(0)
+    val tmp = Files.createTempDirectory("graft-vended-gs")
+    spark.range(7).toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("t").toString)
+    var dataBytes: Array[Byte] = null
+    val pf = Files.list(tmp.resolve("t")).iterator()
+    while (pf.hasNext) {
+      val f = pf.next()
+      if (f.toString.endsWith(".parquet"))
+        dataBytes = Files.readAllBytes(f)
+    }
+    // bearer-only "GCS" loopback: exactly `Authorization: Bearer <tok>`
+    // unlocks the object; SigV4 (or nothing) is rejected
+    val gcs = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    gcs.createContext("/", (ex: HttpExchange) => {
+      val auth = Option(
+        ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (auth == s"Bearer $VTOK") {
+        okHits.incrementAndGet()
+        ex.sendResponseHeaders(200, dataBytes.length)
+        ex.getResponseBody.write(dataBytes)
+      } else { rejects.incrementAndGet(); ex.sendResponseHeaders(403, -1) }
+      ex.close()
+    })
+    gcs.start()
+    sys.props("graft.gs.endpoint") =
+      s"http://127.0.0.1:${gcs.getAddress.getPort}"
+    val prefix = "gs://vended-gs-bkt/warehouse/gtab"
+    val dataUrl = s"$prefix/data/part-00000.parquet"
+    try {
+      // no gs HMAC keys configured anywhere: anonymous is refused
+      intercept[Exception](S3Fetch.getObject(dataUrl))
+      assert(rejects.get() >= 1)
+      // catalog vends ONLY the oauth token (no s3.* keys at all) —
+      // the dialect the round-15 absorb ignored
+      vendedGrant = Some((prefix, Map("gcs.oauth2.token" -> VTOK)))
+      val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+        token = Some(Token), vendedCredentials = true)
+      cat.createNamespace(Seq("vendgs"))
+      cat.registerTable(Seq("vendgs"), "gtab",
+        s"$prefix/metadata/v1.metadata.json")
+      assert(cat.metadataLocation(Seq("vendgs"), "gtab")
+        .endsWith("v1.metadata.json"))
+      val local = RemoteFetch.localize(dataUrl, forceRefresh = true)
+      assert(spark.read.parquet(local).count() == 7)
+      assert(okHits.get() >= 1, "read must have sent the vended bearer")
+    } finally {
+      sys.props.remove("graft.gs.endpoint")
+      vendedGrant = None
+      S3Fetch.clearVendedCredentials()
+      S3Fetch.clearRegionCache()
+      gcs.stop(0)
+    }
+  }
+
+  test("vended ADLS SAS dialect: adls.sas-token registers for the " +
+      "table's abfss:// prefix and az:// reads append the pre-signed " +
+      "query with NO account key configured") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.sources.AzFetch
+    val SAS = "sv=2021-08-06&spr=https&sig=VENDEDSIG%2Babc"
+    val okHits = new AtomicInteger(0)
+    val rejects = new AtomicInteger(0)
+    val tmp = Files.createTempDirectory("graft-vended-az")
+    spark.range(9).toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(tmp.resolve("t").toString)
+    var dataBytes: Array[Byte] = null
+    val pf = Files.list(tmp.resolve("t")).iterator()
+    while (pf.hasNext) {
+      val f = pf.next()
+      if (f.toString.endsWith(".parquet"))
+        dataBytes = Files.readAllBytes(f)
+    }
+    // SAS-only "blob service" loopback: the pre-signed query params ARE
+    // the auth — an Authorization header (Shared Key) or a bare request
+    // is rejected
+    val az = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    az.createContext("/", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val hasAuth =
+        ex.getRequestHeaders.getFirst("Authorization") != null
+      if (!hasAuth && q.contains("sig=VENDEDSIG%2Babc") &&
+          q.contains("sv=2021-08-06")) {
+        okHits.incrementAndGet()
+        ex.sendResponseHeaders(200, dataBytes.length)
+        ex.getResponseBody.write(dataBytes)
+      } else { rejects.incrementAndGet(); ex.sendResponseHeaders(403, -1) }
+      ex.close()
+    })
+    az.start()
+    sys.props("graft.az.account") = "testacct"
+    sys.props("graft.az.endpoint") =
+      s"http://127.0.0.1:${az.getAddress.getPort}/testacct"
+    // NO graft.az.key on purpose: SAS delegation must not need it
+    val dataUrl = "az://vended-ctr/warehouse/vt/data/part-00000.parquet"
+    try {
+      // without the SAS registered, az:// demands the account key
+      val e = intercept[IllegalStateException](AzFetch.getBlob(dataUrl))
+      assert(e.getMessage.contains("AZURE_STORAGE_KEY"))
+      // catalog vends the SAS under the Hadoop-dialect abfss:// prefix
+      // (host-suffixed key, the Iceberg ADLSFileIO property shape)
+      vendedGrant = Some((
+        "abfss://vended-ctr@testacct.dfs.core.windows.net/warehouse/vt",
+        Map("adls.sas-token.testacct.dfs.core.windows.net" -> SAS)))
+      val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+        token = Some(Token), vendedCredentials = true)
+      cat.createNamespace(Seq("vendaz"))
+      cat.registerTable(Seq("vendaz"), "vt",
+        "abfss://vended-ctr@testacct.dfs.core.windows.net/warehouse/vt" +
+          "/metadata/v1.metadata.json")
+      assert(cat.metadataLocation(Seq("vendaz"), "vt")
+        .endsWith("v1.metadata.json"))
+      val bytes = AzFetch.getBlob(dataUrl)
+      assert(bytes.length == dataBytes.length)
+      assert(okHits.get() >= 1, "read must have ridden the vended SAS")
+    } finally {
+      Seq("graft.az.account", "graft.az.endpoint")
+        .foreach(sys.props.remove)
+      vendedGrant = None
+      AzFetch.clearVendedSas()
+      az.stop(0)
     }
   }
 }
