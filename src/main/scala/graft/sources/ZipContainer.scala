@@ -161,7 +161,16 @@ object ZipContainer {
           try s.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
           finally s.close()
-        } else Files.move(tmp, dest)
+        } else try Files.move(tmp, dest) catch {
+          // same publish race as the atomic path: a concurrent
+          // extractor created dest between the check and the move —
+          // drop our tmp and converge on the winner (identical bytes)
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val s = Files.walk(tmp)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.deleteIfExists(p))
+            finally s.close()
+        }
     }
     // any OTHER move failure propagates: returning a dest that does not
     // exist would surface later as a confusing missing-path read error
