@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
 object QTpcdsOfficial {
 
   // bump when the generator changes — the dir is content-versioned
-  private val Version = "v14"
+  private val Version = "v15"
   def fixtureDir: String =
     s"${System.getProperty("java.io.tmpdir")}/graft-retail-$Version"
 
@@ -348,13 +348,24 @@ object QTpcdsOfficial {
         .as("w_county"),
       lit("United States").as("w_country"))
     write("warehouse", warehouse)
+    // items 11-18 are burst-stocked: zero most weeks, a 900-unit
+    // restock every 4th week (phase-staggered by item). Any month with
+    // >=4 weekly snapshots then holds items whose within-month sample
+    // cov lands ~2.0 — populating Q39's cov>1 cut AND Q39b's
+    // cov>1.5 cut (the official template's second statement), which a
+    // uniform quantity draw (cov ~0.58 expected) leaves near-empty.
+    val invWeek = (col("id") / (200 * 5)).cast("bigint")
+    val invItem = pmod(col("id"), lit(200L)) + 1
     val inventory = spark.range(0, 261L * 200 * 5).select(
-      ((col("id") / (200 * 5)).cast("bigint") * 7 + 2450815L)
+      (invWeek * 7 + 2450815L)
         .as("inv_date_sk"), // weekly: every 7th date_sk
-      (pmod(col("id"), lit(200L)) + 1).as("inv_item_sk"),
+      invItem.as("inv_item_sk"),
       (pmod((col("id") / 200).cast("bigint"), lit(5L)) + 1)
         .as("inv_warehouse_sk"),
-      pick(col("id"), 307, 1000).cast("double")
+      when(invItem.between(11, 18),
+        when(pmod(invWeek + invItem, lit(4L)) === 0, 900.0)
+          .otherwise(0.0))
+        .otherwise(pick(col("id"), 307, 1000).cast("double"))
         .as("inv_quantity_on_hand"))
     write("inventory", inventory, files = 4)
 

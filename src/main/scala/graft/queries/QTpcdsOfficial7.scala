@@ -176,6 +176,37 @@ where inv1.i_item_sk = inv2.i_item_sk
 order by inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
          inv1.cov, inv2.d_moy, inv2.mean, inv2.cov"""
 
+  /** Q39's SECOND statement (the official template ships two sharing
+    * the inv CTE): identical join, plus the `inv1.cov > 1.5` cut.
+    * Rows-only like q39 — the cov column is a double stddev ratio whose
+    * accumulation order drifts across engines (DEVIATIONS.md). */
+  private val q39b = """
+with inv as
+ (select w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+         stdev, mean,
+         case mean when 0 then null else stdev/mean end cov
+  from (select w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+               stddev_samp(inv_quantity_on_hand) stdev,
+               avg(inv_quantity_on_hand) mean
+        from inventory, item, warehouse, date_dim
+        where inv_item_sk = i_item_sk
+          and inv_warehouse_sk = w_warehouse_sk
+          and inv_date_sk = d_date_sk
+          and d_year = 2001
+        group by w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+  where case mean when 0 then 0 else stdev/mean end > 1)
+select inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
+       inv1.cov, inv2.w_warehouse_sk, inv2.i_item_sk, inv2.d_moy,
+       inv2.mean, inv2.cov
+from inv inv1, inv inv2
+where inv1.i_item_sk = inv2.i_item_sk
+  and inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  and inv1.d_moy = 1
+  and inv2.d_moy = 1+1
+  and inv1.cov > 1.5
+order by inv1.w_warehouse_sk, inv1.i_item_sk, inv1.d_moy, inv1.mean,
+         inv1.cov, inv2.d_moy, inv2.mean, inv2.cov"""
+
   private val q67 = """
 select *
 from (select i_category, i_class, i_brand, i_product_name, d_year,
@@ -204,6 +235,8 @@ limit 100"""
     "qds_official_q17" -> (q17, None),
     "qds_official_q22" -> (q22, None),
     "qds_official_q39" -> (q39, Some(Seq("w1", "i1", "moy1", "mean1",
+      "cov1", "w2", "i2", "moy2", "mean2", "cov2"))),
+    "qds_official_q39b" -> (q39b, Some(Seq("w1", "i1", "moy1", "mean1",
       "cov1", "w2", "i2", "moy2", "mean2", "cov2"))),
     "qds_official_q67" -> (q67, None))
 
