@@ -727,6 +727,26 @@ object Engine {
     rounds
   }
 
+  /** One autovacuum-style maintenance tick — the caller-driven analogue
+    * of the reference's `'iceberg vacuum worker'` background process
+    * (pg_lake_table--3.0.sql registers it; ddl/vacuum.c drives bounded
+    * compaction rounds per wakeup). Spark has no extension-owned
+    * background workers, so the tick rides whatever timer the host
+    * already has: a streaming query's micro-batch cycle
+    * ([[graft.streaming.StreamIngest.appendStream]]'s `maintainEvery`),
+    * a cluster scheduler, or an explicit call. The decision mirrors the
+    * worker's: act only when at least `minSmallFiles` live files sit
+    * under half the target size, else the tick is one metadata read and
+    * touches no data. Returns compaction rounds run (0 = no-op). */
+  def maintenanceTick(tbl: LakeTable,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minSmallFiles: Int = 8, maxRounds: Int = 100): Int = {
+    val small = tbl.liveFiles.filterNot(_.isDelete)
+      .count(_.sizeBytes < targetBytes / 2)
+    if (small >= minSmallFiles) compact(tbl, targetBytes, maxRounds)
+    else 0
+  }
+
   /** OPTIMIZE … ZORDER BY analogue (Delta's maintenance op; Iceberg's
     * rewrite-with-sort-order): rewrite every live data file of each
     * partition with rows clustered along the Morton curve of `cols`

@@ -21,14 +21,29 @@ object StreamIngest {
   /** Start appending a streaming DataFrame into a lake table. Exactly-once
     * at the file level comes from the checkpoint (batch replays rewrite
     * the same batch id; commits are idempotent per epoch because a replay
-    * re-runs foreachBatch before new data is read). */
+    * re-runs foreachBatch before new data is read).
+    *
+    * `maintainEvery` > 0 runs [[Engine.maintenanceTick]] after every Nth
+    * micro-batch — the autovacuum analogue: the reference's
+    * `'iceberg vacuum worker'` background process becomes a rider on the
+    * ingest trigger, the one timer a Spark deployment always has where
+    * small files accrete. Off by default (batch-table maintenance stays
+    * caller-owned, SURVEY §7.5). */
   def appendStream(tbl: LakeTable, source: DataFrame, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintainEvery: Int = 0,
+      maintainMinSmallFiles: Int = 8): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) Engine.insert(tbl, batch)
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+          Engine.maintenanceTick(
+            LakeTable.load(tbl.spark, tbl.dir),
+            minSmallFiles = maintainMinSmallFiles)
+          ()
+        }
       }
       .start()
 

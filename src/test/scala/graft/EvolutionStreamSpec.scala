@@ -120,6 +120,44 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.meta.snapshots.count(_.operation == "append") >= 2)
   }
 
+  test("maintenance tick (autovacuum analogue): no-op below the " +
+      "small-file threshold, compacts above it, and rides appendStream") {
+    val dir = tmp()
+    val n = Tables.load(spark, sf, "nation")
+    val tbl = Engine.create(spark, dir, n.schema.toDDL)
+    // accrete small files: 5 single-row inserts
+    (0 until 5).foreach(i =>
+      Engine.insert(LakeTable.load(spark, dir),
+        n.filter(col("n_nationkey") === i)))
+    val t5 = LakeTable.load(spark, dir)
+    val files5 = t5.liveFiles.filterNot(_.isDelete).size
+    assert(files5 >= 5)
+    // below threshold: the tick must not touch data
+    assert(Engine.maintenanceTick(t5, minSmallFiles = 100) == 0)
+    assert(LakeTable.load(spark, dir).liveFiles
+      .filterNot(_.isDelete).size == files5)
+    // above threshold: compaction rounds run and the file count drops
+    assert(Engine.maintenanceTick(t5, minSmallFiles = 3) > 0)
+    val after = LakeTable.load(spark, dir)
+    assert(after.liveFiles.filterNot(_.isDelete).size < files5)
+    assert(after.toDF.count() == 5)
+
+    // rider on the ingest trigger: appendStream with maintainEvery=1
+    // compacts the accreted small files as part of the batch cycle
+    val srcDir = Files.createTempDirectory("mt_src").toString
+    val ckpt = Files.createTempDirectory("mt_ckpt").toString
+    n.filter(col("n_nationkey") >= 5 && col("n_nationkey") < 10)
+      .repartition(5).write.parquet(s"$srcDir/b1")
+    val stream = spark.readStream.schema(n.schema).parquet(s"$srcDir/b1")
+    val q = StreamIngest.appendStream(after, stream, ckpt,
+      maintainEvery = 1, maintainMinSmallFiles = 2)
+    q.awaitTermination(60000)
+    val t2 = LakeTable.load(spark, dir)
+    assert(t2.toDF.count() == 10)
+    assert(t2.meta.snapshots.exists(_.operation == "compact"),
+      "the ingest-riding tick must have committed a compaction")
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.expr
