@@ -607,6 +607,43 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     cat.dropTable(ns, "nation")
   }
 
+  test("evolution interleaved with data: addColumn -> catalog-owned " +
+      "insert -> scan carries both; expiry after evolution keeps the " +
+      "evolved schema and the surviving rows") {
+    val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+      token = Some(Token))
+    val ns = Seq("seqns")
+    cat.createNamespace(ns)
+    val r = Tables.load(spark, "/root/testdata/sf0.001", "region")
+    val dir = Files.createTempDirectory("restseq").toString + "/t"
+    val tbl = Engine.ctas(spark, dir, r)
+    cat.publish(tbl, ns, "region")
+    val n0 = r.count()
+
+    // evolve, then write THROUGH the catalog protocol: the appended
+    // rows carry the new column, the old files read null for it
+    cat.addColumn(ns, "region", "r_score", "DOUBLE")
+    val withScore = cat.scan(ns, "region")
+      .limit(2).withColumn("r_score",
+        org.apache.spark.sql.functions.lit(7.5))
+    cat.insert(ns, "region", withScore)
+    val got = cat.scan(ns, "region")
+    assert(got.count() == n0 + 2)
+    assert(got.where("r_score = 7.5").count() == 2)
+    assert(got.where("r_score IS NULL").count() == n0)
+
+    // expiry after the evolution: snapshots trim, the evolved schema
+    // and the full row set survive
+    cat.insert(ns, "region", withScore.limit(1))
+    val removed = cat.expireSnapshots(ns, "region", keepLast = 1)
+    assert(removed.nonEmpty)
+    val after = cat.scan(ns, "region")
+    assert(after.schema.fieldNames.contains("r_score"))
+    assert(after.count() == n0 + 3)
+    assert(cat.currentSchemaId(ns, "region") > 0)
+    cat.dropTable(ns, "region")
+  }
+
   test("snapshot-expiry commits: remove-snapshots trims the catalog's " +
       "snapshot list and the current snapshot keeps scanning") {
     val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
