@@ -226,22 +226,29 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       scala.util.Try(s.toLong).toOption
     // Azure locations arrive in the Hadoop dialect
     // (`abfs[s]://container@account.dfs.core.windows.net/path`); the
-    // engine's az:// seam keys on container/path, so normalize.
-    def normalize(prefix: String): String =
+    // engine's az:// seam keys on container/path, so normalize — but
+    // KEEP the storage account the host names (a SAS is account-scoped;
+    // the delegated read must target that account's host, not the
+    // statically configured one).
+    def normalize(prefix: String): (String, Option[String]) =
       if (prefix.startsWith("abfs://") || prefix.startsWith("abfss://") ||
           prefix.startsWith("wasb://") || prefix.startsWith("wasbs://")) {
         val rest = prefix.substring(prefix.indexOf("://") + 3)
         val at = rest.indexOf('@')
-        if (at < 0) prefix
+        if (at < 0) (prefix, None)
         else {
           val container = rest.take(at)
           val slash = rest.indexOf('/', at)
+          val host = rest.substring(at + 1,
+            if (slash < 0) rest.length else slash)
+          val acct = host.takeWhile(_ != '.')
           val path = if (slash < 0) "" else rest.substring(slash)
-          s"az://$container$path"
+          (s"az://$container$path",
+            Some(acct).filter(_.nonEmpty))
         }
-      } else prefix
+      } else (prefix, None)
     def reg(rawPrefix: String, cfg: Map[String, String]): Unit = {
-      val prefix = normalize(rawPrefix)
+      val (prefix, azAccount) = normalize(rawPrefix)
       if (prefix.startsWith("s3://") || prefix.startsWith("gs://")) {
         // s3 HMAC-key dialect (also GCS interoperability keys). The
         // vended region/endpoint ride along so the SigV4 scope follows
@@ -270,7 +277,8 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
           AzFetch.registerVendedSas(prefix, AzFetch.VendedSas(tok,
             cfg.collectFirst {
               case (k, v) if k.startsWith("adls.sas-token-expire") => v
-            }.flatMap(asLong)))
+            }.flatMap(asLong),
+            account = azAccount))
         }
       }
     }
@@ -487,13 +495,27 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
   def commitSpecUpdate(tbl: LakeTable, ns: Seq[String], name: String,
       baseSpecId: Int): String = {
     val ids = tbl.meta.fieldIds.map(fi => fi.name -> fi.id).toMap
+    // Iceberg never reuses partition field ids across specs: continue
+    // from the table's last-partition-id AND the max id any existing
+    // spec carries (a validating catalog rejects a reused id; the
+    // spec's floor is 999 so the first evolved field lands at 1000+).
+    val doc = catalogMetaDoc(ns, name)
+    val lastFromSpecs = ((doc \ "partition-specs") match {
+      case JArray(ss) => ss.flatMap(s => (s \ "fields") match {
+        case JArray(fs) => fs.flatMap(f =>
+          (f \ "field-id").extractOpt[Int])
+        case _ => Nil
+      })
+      case _ => Nil
+    }) :+ (doc \ "last-partition-id").extractOpt[Int].getOrElse(999)
+    val nextFieldId = math.max(999, lastFromSpecs.max) + 1
     val fields = tbl.meta.partitionSpec.zipWithIndex.map { case (pf, i) =>
       JObject(
         "name" -> JString(pf.partName),
         "transform" -> JString(
           graft.core.IcebergExport.transformName(pf.transform)),
         "source-id" -> JInt(BigInt(ids.getOrElse(pf.column, -1))),
-        "field-id" -> JInt(1000 + i))
+        "field-id" -> JInt(nextFieldId + i))
     }
     val requirements = Seq[JValue](JObject(
       "type" -> JString("assert-default-spec-id"),

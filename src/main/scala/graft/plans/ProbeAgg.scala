@@ -103,11 +103,15 @@ object ProbeAgg {
           // Per-file (path,size,mtime) triples, not just paths + the
           // relation's total byte count: an in-place rewrite by an
           // external writer that keeps the name and the TOTAL size
-          // would otherwise collide. "\u001f" = printable-source unit
-          // separator (cannot appear in a path).
+          // would otherwise collide. The path is LENGTH-PREFIXED so no
+          // legal path content (any separator byte is a legal POSIX
+          // filename byte) can forge a record boundary.
           val files = h.location.listFiles(Nil, Nil)
             .flatMap(_.files)
-            .map(f => s"${f.getPath}#${f.getLen}#${f.getModificationTime}")
+            .map { f =>
+              val p = f.getPath.toString
+              s"${p.length}|$p|${f.getLen}|${f.getModificationTime}"
+            }
             .sorted.mkString("\u001f")
           Some(files)
         case _ => None

@@ -3,7 +3,7 @@ package graft.queries
 import Q._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** OFFICIAL TPC-DS texts, batch 7 — the four query ids whose EXACT
+/** OFFICIAL TPC-DS texts, batch 7 — the five query ids whose EXACT
   * cross-engine oracle cannot exist (DEVIATIONS.md), run as ROWS-ONLY
   * gates (a `queries` entry with no `oracleSql` entry → the driver
   * records row count + full plan execution, the same weaker check
@@ -13,12 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    LIMIT with a >limit result — subtotal rows carry NULL keys and
   *    the engines order nulls on opposite ends, so the LIMIT cut
   *    selects different (both spec-valid) row sets;
-  *  - Q17, Q39 (both statements, run as one text each would be — Q39's
-  *    two statements share the CTE; the first is gated here):
-  *    stddev of doubles, accumulation-order drift vs any exact gate.
+  *  - Q17, Q39 (BOTH template statements — they share the inv CTE;
+  *    the first runs as qds_official_q39, the cov>1.5 second as
+  *    qds_official_q39b): stddev of doubles, accumulation-order
+  *    drift vs any exact gate.
   *
   * With these, all 99 official query ids EXECUTE against the retail
-  * fixture: 96 oracle-exact gates (95 ids) + 4 rows-only ids here.
+  * fixture: 96 oracle-exact gates (95 ids) + 6 rows-only entries here
+  * (5 ids, Q39 contributing two statements).
   */
 object QTpcdsOfficial7 {
 

@@ -53,9 +53,14 @@ object AzFetch {
   // request appends it verbatim and sends NO Authorization header —
   // the account key is not required for prefixes a catalog delegated.
 
-  /** A vended SAS token for one `az://container/...` location prefix. */
+  /** A vended SAS token for one `az://container/...` location prefix.
+    * `account` carries the storage account the catalog's abfss://
+    * location named — requests for the prefix target THAT account's
+    * host, not the statically configured one (a SAS is account-scoped;
+    * sending acctB's token to acctA's host 403s). */
   final case class VendedSas(token: String,
-      expiresAtMs: Option[Long] = None)
+      expiresAtMs: Option[Long] = None,
+      account: Option[String] = None)
 
   private val sasByPrefix =
     new java.util.concurrent.ConcurrentHashMap[String, VendedSas]()
@@ -65,7 +70,7 @@ object AzFetch {
 
   private[graft] def clearVendedSas(): Unit = sasByPrefix.clear()
 
-  private def sasFor(container: String, blob: String): Option[String] = {
+  private def sasFor(container: String, blob: String): Option[VendedSas] = {
     if (sasByPrefix.isEmpty) return None
     val path = s"az://$container/$blob"
     val now = System.currentTimeMillis()
@@ -76,7 +81,7 @@ object AzFetch {
           best.forall(_._1.length < p.length))
         best = Some((p, s))
     }
-    best.map(_._2.token.stripPrefix("?"))
+    best.map(_._2)
   }
 
   /** Shared Key signature for a blob-service request (published
@@ -132,10 +137,12 @@ object AzFetch {
   /** (request URL sans query, canonicalized resource path). A custom
     * endpoint whose path carries the account (Azurite layout
     * `http://host:port/account`) keeps that segment in both. */
-  private def target(container: String, blobPath: String)
+  private def target(container: String, blobPath: String,
+      acctOverride: Option[String] = None)
       : (String, String) = {
-    val acct = account.getOrElse(throw new IllegalStateException(
-      "az:// needs graft.az.account / AZURE_STORAGE_ACCOUNT"))
+    val acct = acctOverride.orElse(account).getOrElse(
+      throw new IllegalStateException(
+        "az:// needs graft.az.account / AZURE_STORAGE_ACCOUNT"))
     val suffix = s"/$container" +
       (if (blobPath.isEmpty) "" else s"/$blobPath")
     endpoint match {
@@ -151,7 +158,6 @@ object AzFetch {
   private def send(method: String, container: String, blobPath: String,
       queryParams: Seq[(String, String)] = Nil,
       range: String = ""): HttpResponse[Array[Byte]] = {
-    val (base, canonicalRes) = target(container, blobPath)
     val xmsDate = ZonedDateTime.now(ZoneOffset.UTC)
       .format(DateTimeFormatter.RFC_1123_DATE_TIME)
     val query = queryParams
@@ -160,13 +166,18 @@ object AzFetch {
     val b = sasFor(container, blobPath) match {
       case Some(sas) =>
         // catalog-delegated SAS: the pre-signed query IS the auth; no
-        // Authorization header, no account key required
-        val q = Seq(query, sas).filter(_.nonEmpty).mkString("&")
+        // Authorization header, no account key required — and the
+        // VENDED account (when the abfss:// location named one) picks
+        // the host, not the static configuration
+        val (base, _) = target(container, blobPath, sas.account)
+        val q = Seq(query, sas.token.stripPrefix("?"))
+          .filter(_.nonEmpty).mkString("&")
         HttpRequest.newBuilder(URI.create(s"$base?$q"))
           .method(method, HttpRequest.BodyPublishers.noBody())
           .header("x-ms-date", xmsDate)
           .header("x-ms-version", apiVersion)
       case None =>
+        val (base, canonicalRes) = target(container, blobPath)
         val acct = account.getOrElse(throw new IllegalStateException(
           "az:// needs graft.az.account / AZURE_STORAGE_ACCOUNT"))
         val key = accountKey.getOrElse(throw new IllegalStateException(

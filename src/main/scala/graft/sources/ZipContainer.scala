@@ -144,33 +144,29 @@ object ZipContainer {
       val in = zf.getInputStream(e)
       try Files.copy(in, out) finally in.close()
     } finally zf.close()
+    def dropTmp(): Unit = {
+      val s = Files.walk(tmp)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally s.close()
+    }
+    // A lost publish race surfaces as FileAlreadyExistsException (EEXIST)
+    // OR DirectoryNotEmptyException (Linux rename(2) answers ENOTEMPTY
+    // when the target directory exists non-empty) — both are the same
+    // event: a concurrent extractor won; converge on its identical bytes.
+    // Any FileSystemException where dest does NOT exist is a real error
+    // and propagates.
     try Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // lost the publish race: use the winner
-        val s = Files.walk(tmp)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-        finally s.close()
       case _: java.nio.file.AtomicMoveNotSupportedException =>
-        // unusual filesystem: fall back to a non-atomic move; a
-        // concurrent extractor may interleave, but entries are
-        // immutable so REPLACE_EXISTING converges on identical bytes
-        if (Files.isDirectory(dest)) {
-          val s = Files.walk(tmp)
-          try s.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally s.close()
-        } else try Files.move(tmp, dest) catch {
-          // same publish race as the atomic path: a concurrent
-          // extractor created dest between the check and the move —
-          // drop our tmp and converge on the winner (identical bytes)
-          case _: java.nio.file.FileAlreadyExistsException =>
-            val s = Files.walk(tmp)
-            try s.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => Files.deleteIfExists(p))
-            finally s.close()
+        // unusual filesystem: fall back to a non-atomic move
+        if (Files.isDirectory(dest)) dropTmp()
+        else try Files.move(tmp, dest) catch {
+          case _: java.nio.file.FileSystemException
+              if Files.isDirectory(dest) => dropTmp()
         }
+      case _: java.nio.file.FileSystemException
+          if Files.isDirectory(dest) => dropTmp()
     }
     // any OTHER move failure propagates: returning a dest that does not
     // exist would surface later as a confusing missing-path read error

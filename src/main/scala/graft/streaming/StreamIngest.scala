@@ -39,9 +39,17 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) Engine.insert(tbl, batch)
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
-          Engine.maintenanceTick(
+          // best-effort, like the background worker it emulates: a
+          // maintenance failure (commit conflict with a concurrent
+          // writer, transient IO) must never take down the INGEST query
+          try Engine.maintenanceTick(
             LakeTable.load(tbl.spark, tbl.dir),
             minSmallFiles = maintainMinSmallFiles)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[appendStream] maintenance tick failed (ingest " +
+                s"continues): ${e.getMessage}")
+          }
           ()
         }
       }

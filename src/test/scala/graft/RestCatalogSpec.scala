@@ -351,13 +351,22 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
               }
               case _ => ()
             }
+            // a real catalog tracks the never-reused partition field-id
+            // high-water mark; mirror it so a second add-spec continues
+            val lastPartId = (specs.flatMap(s => (s \ "fields") match {
+              case JArray(fs) => fs.flatMap(f =>
+                (f \ "field-id").extractOpt[Int])
+              case _ => Nil
+            }) :+ (doc \ "last-partition-id").extractOpt[Int]
+              .getOrElse(999)).max
             val replaced = Map[String, JValue](
               "snapshots" -> JArray(snaps),
               "current-snapshot-id" -> JLong(newCur),
               "schemas" -> JArray(schemas),
               "current-schema-id" -> JInt(newSchemaId),
               "partition-specs" -> JArray(specs),
-              "default-spec-id" -> JInt(newSpecId))
+              "default-spec-id" -> JInt(newSpecId),
+              "last-partition-id" -> JInt(lastPartId))
             // replace in place; append fields the base doc lacked (a
             // stage-created doc has no partition-specs until the first
             // add-spec arrives)
@@ -598,6 +607,26 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scans through the catalog still read (spec evolution is
     // metadata-only; existing files keep their layout)
     assert(cat.scan(ns, "nation").count() == n.count())
+
+    // SECOND evolution: partition field ids must NEVER be reused
+    // across specs (Iceberg rule — a validating catalog rejects a
+    // repeat); the new spec's ids continue past the first's
+    cat.setPartitionSpec(ns, "nation",
+      List(graft.core.PartitionField("n_nationkey", "identity")))
+    val doc2 = org.json4s.jackson.JsonMethods.parse(
+      Files.readString(java.nio.file.Paths.get(
+        cat.metadataLocation(ns, "nation"))))
+    val idsBySpec = (doc2 \ "partition-specs") match {
+      case org.json4s.JArray(ss) => ss.map(s => (s \ "fields") match {
+        case org.json4s.JArray(fs) =>
+          fs.flatMap(f => (f \ "field-id").extractOpt[Int])
+        case _ => Nil
+      })
+      case _ => Nil
+    }
+    val allIds = idsBySpec.flatten
+    assert(allIds.distinct.size == allIds.size,
+      s"partition field ids reused across specs: $idsBySpec")
 
     val conflict = intercept[IcebergRestCatalog.CommitConflict] {
       cat.commitSpecUpdate(graft.core.LakeTable.load(spark, dir),
@@ -969,15 +998,16 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       ex.close()
     })
     az.start()
-    sys.props("graft.az.account") = "testacct"
+    // NO static account and NO key on purpose: the vended SAS carries
+    // the account from the abfss:// host, so delegation must work with
+    // ZERO static Azure identity configured
     sys.props("graft.az.endpoint") =
       s"http://127.0.0.1:${az.getAddress.getPort}/testacct"
-    // NO graft.az.key on purpose: SAS delegation must not need it
     val dataUrl = "az://vended-ctr/warehouse/vt/data/part-00000.parquet"
     try {
-      // without the SAS registered, az:// demands the account key
+      // without the SAS registered, az:// demands a static identity
       val e = intercept[IllegalStateException](AzFetch.getBlob(dataUrl))
-      assert(e.getMessage.contains("AZURE_STORAGE_KEY"))
+      assert(e.getMessage.contains("AZURE_STORAGE_ACCOUNT"))
       // catalog vends the SAS under the Hadoop-dialect abfss:// prefix
       // (host-suffixed key, the Iceberg ADLSFileIO property shape)
       vendedGrant = Some((
@@ -995,8 +1025,7 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bytes.length == dataBytes.length)
       assert(okHits.get() >= 1, "read must have ridden the vended SAS")
     } finally {
-      Seq("graft.az.account", "graft.az.endpoint")
-        .foreach(sys.props.remove)
+      sys.props.remove("graft.az.endpoint")
       vendedGrant = None
       AzFetch.clearVendedSas()
       az.stop(0)
