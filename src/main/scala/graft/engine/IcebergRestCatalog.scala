@@ -113,14 +113,33 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
       (resp.statusCode(), resp.body())
     }
-    val first = once(currentAuth())
+    // transient-retry discipline (the reference's
+    // ShouldRetryRequestToRestCatalog, rest_catalog.c:1082-1135, max 3):
+    // 429 -> linear backoff from 500 ms; 503 -> linear backoff from 5 s;
+    // 419 (token expired, the pre-RFC dialect some catalogs speak) ->
+    // force a token refresh and retry. Sleeps scale by
+    // graft.rest.retry.unit (1.0 default) so specs run fast.
+    val unit = sys.props.get("graft.rest.retry.unit")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.0)
+    var attempt = 0
+    var resp = once(currentAuth())
+    while (attempt < 3 &&
+        (resp._1 == 429 || resp._1 == 503 || resp._1 == 419)) {
+      attempt += 1
+      resp._1 match {
+        case 429 => Thread.sleep(math.max(1L, (500L * attempt * unit).toLong))
+        case 503 => Thread.sleep(math.max(1L, (5000L * attempt * unit).toLong))
+        case _ => if (oauth.isDefined) fetchOAuthToken()
+      }
+      resp = once(currentAuth())
+    }
     // 401 under OAuth = the cached token was revoked/expired server-side:
     // force one refresh and retry exactly once (idempotent even for the
     // POSTs here — the request never reached its handler)
-    if (first._1 == 401 && oauth.isDefined) {
+    if (resp._1 == 401 && oauth.isDefined) {
       fetchOAuthToken()
       once(currentAuth())
-    } else first
+    } else resp
   }
 
   private def expect(method: String, path: String,
@@ -190,6 +209,11 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       properties: Map[String, String] = Map.empty): Unit =
     expect("POST", s"/v1$prefix/namespaces", Some(Serialization.write(
       Map("namespace" -> ns, "properties" -> properties))))
+
+  /** GET /namespaces/{ns} — the existence probe the reference issues
+    * before its create-if-absent flow (rest_catalog.c:250-343). */
+  def namespaceExists(ns: Seq[String]): Boolean =
+    request("GET", s"/v1$prefix/namespaces/${nsPath(ns)}")._1 == 200
 
   def listTables(ns: Seq[String]): Seq[String] =
     paged(s"/v1$prefix/namespaces/${nsPath(ns)}/tables")(j =>

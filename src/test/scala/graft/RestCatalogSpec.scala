@@ -53,6 +53,8 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
   // storage-credentials array)
   @volatile private var vendedGrant: Option[(String, Map[String, String])] =
     None
+  // queued HTTP statuses served verbatim before real handling
+  @volatile private var flakyStatuses: List[Int] = Nil
 
   // ---- list pagination (spec pageToken/next-page-token): serve one
   // item per page so every client list call must follow the loop
@@ -110,6 +112,16 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         s""""expires_in":$oauthTtlS}""")
       return
     }
+    // transient-fault injection: serve the queued status codes (429
+    // throttle / 503 unavailable / 419 token-expired) before real
+    // handling, so the client's retry discipline is observable
+    if (flakyStatuses.nonEmpty && path.startsWith("/v1/demo")) {
+      val code = flakyStatuses.head
+      flakyStatuses = flakyStatuses.tail
+      if (code == 419) oauthValid.clear() // expired server-side
+      json(ex, code, s"""{"error":"injected $code"}""")
+      return
+    }
     if (path.contains("/tables") && "vended-credentials" ==
         ex.getRequestHeaders.getFirst("X-Iceberg-Access-Delegation"))
       sawVendedHeader = true
@@ -140,6 +152,12 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         namespaces += ns
         json(ex, 200, write(Map("namespace" -> ns,
           "properties" -> Map.empty[String, String])))
+      case ("GET", List("v1", "demo", "namespaces", ns)) =>
+        if (namespaces.exists(_.mkString("\u001f") == ns))
+          json(ex, 200, write(Map(
+            "namespace" -> ns.split('\u001f').toSeq,
+            "properties" -> Map.empty[String, String])))
+        else json(ex, 404, """{"error":"NoSuchNamespaceException"}""")
       case ("GET", List("v1", "demo", "namespaces", ns, "tables")) =>
         val ids = tables.keys.filter(_._1 == ns).map { case (_, t) =>
           Map("namespace" -> ns.split('\u001f').toSeq, "name" -> t)
@@ -763,6 +781,37 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oauthIssued.get() >= 2,
       s"1s tokens under a 5s skew must refresh per call, got " +
         s"${oauthIssued.get()}")
+  }
+
+  test("transient-retry discipline: 429 and 503 back off and retry to " +
+      "success, 419 forces one token refresh, and retries are bounded " +
+      "(rest_catalog.c:1082-1135)") {
+    sys.props("graft.rest.retry.unit") = "0.002" // millisecond sleeps
+    try {
+      oauthValid.clear(); oauthIssued.set(0); oauthTtlS = 3600
+      val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+        oauth = Some(IcebergRestCatalog.OAuth(ClientId, ClientSecret)))
+      val ns = Seq("flakyns")
+      cat.createNamespace(ns)
+      assert(cat.namespaceExists(ns))
+      assert(!cat.namespaceExists(Seq("no", "such")))
+      val issued0 = oauthIssued.get()
+      // a throttle then an outage: both retried through invisibly
+      flakyStatuses = List(429, 503)
+      assert(cat.namespaceExists(ns))
+      assert(flakyStatuses.isEmpty, "both injected faults must be consumed")
+      assert(oauthIssued.get() == issued0, "429/503 must not touch the token")
+      // token-expired dialect: exactly one forced refresh, then success
+      flakyStatuses = List(419)
+      assert(cat.namespaceExists(ns))
+      assert(oauthIssued.get() == issued0 + 1,
+        s"419 must force ONE refresh, got ${oauthIssued.get() - issued0}")
+      // bounded: a persistent outage surfaces after max 3 retries
+      flakyStatuses = List(503, 503, 503, 503, 503)
+      val e = intercept[IllegalStateException](cat.listTables(ns))
+      assert(e.getMessage.contains("503"))
+      flakyStatuses = Nil
+    } finally sys.props.remove("graft.rest.retry.unit")
   }
 
   test("OAuth2 with a wrong client secret is rejected at the token " +
