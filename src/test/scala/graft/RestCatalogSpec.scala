@@ -951,6 +951,61 @@ class RestCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vended s3.endpoint steers delegated reads to the catalog's " +
+      "store, not the statically configured endpoint") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.sources.S3Fetch
+    val VAK = "ENDPOINTVENDKEY00000"
+    val VSK = "endpointVendSecret00"
+    val hitsVended = new AtomicInteger(0)
+    val hitsStatic = new AtomicInteger(0)
+    val payload = "endpoint-override-proof".getBytes(StandardCharsets.UTF_8)
+    def server(counter: AtomicInteger, serve: Boolean): HttpServer = {
+      val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+      s.createContext("/", (ex: HttpExchange) => {
+        counter.incrementAndGet()
+        if (serve) {
+          ex.sendResponseHeaders(200, payload.length)
+          ex.getResponseBody.write(payload)
+        } else ex.sendResponseHeaders(403, -1)
+        ex.close()
+      })
+      s.start(); s
+    }
+    val staticStore = server(hitsStatic, serve = false)
+    val vendedStore = server(hitsVended, serve = true)
+    sys.props("graft.s3.endpoint") =
+      s"http://127.0.0.1:${staticStore.getAddress.getPort}"
+    sys.props("graft.s3.region") = "us-east-1"
+    val prefix = "s3://ep-bkt/warehouse/etab"
+    try {
+      vendedGrant = Some((prefix, Map(
+        "s3.access-key-id" -> VAK,
+        "s3.secret-access-key" -> VSK,
+        "s3.endpoint" ->
+          s"http://127.0.0.1:${vendedStore.getAddress.getPort}")))
+      val cat = new IcebergRestCatalog(spark, s"http://127.0.0.1:$port",
+        token = Some(Token), vendedCredentials = true)
+      cat.createNamespace(Seq("vendep"))
+      cat.registerTable(Seq("vendep"), "etab",
+        s"$prefix/metadata/v1.metadata.json")
+      cat.metadataLocation(Seq("vendep"), "etab") // absorbs the grant
+      val got = S3Fetch.getObject(s"$prefix/data/f.bin")
+      assert(new String(got, StandardCharsets.UTF_8) ==
+        "endpoint-override-proof")
+      assert(hitsVended.get() >= 1,
+        "the delegated read must hit the VENDED endpoint")
+      assert(hitsStatic.get() == 0,
+        "the delegated read must not touch the static endpoint")
+    } finally {
+      Seq("graft.s3.endpoint", "graft.s3.region").foreach(sys.props.remove)
+      vendedGrant = None
+      S3Fetch.clearVendedCredentials()
+      S3Fetch.clearRegionCache()
+      staticStore.stop(0); vendedStore.stop(0)
+    }
+  }
+
   test("vended GCS OAuth2 dialect: gcs.oauth2.token registers for a " +
       "gs:// prefix with NO HMAC keys and reads send Bearer auth") {
     import java.util.concurrent.atomic.AtomicInteger

@@ -272,4 +272,52 @@ class UrlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       RemoteFetch.localize(url))).get(1) == "7")
     RemoteFetch.clearCache()
   }
+
+  test("concurrent zip extraction: 8 racing extractors converge on ONE " +
+      "published directory with intact content (publish-race paths: " +
+      "EEXIST and Linux ENOTEMPTY both mean 'the winner already " +
+      "published')") {
+    import graft.sources.ZipContainer
+    val dir = Files.createTempDirectory("zipc")
+    val zip = dir.resolve("data.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zip))
+    zos.putNextEntry(new java.util.zip.ZipEntry("a/b.csv"))
+    zos.write("x,y\n1,2\n".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("c.txt"))
+    zos.write("payload".getBytes(StandardCharsets.UTF_8))
+    zos.closeEntry()
+    zos.close()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val tasks = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[java.nio.file.Path] {
+          def call(): java.nio.file.Path = {
+            barrier.await() // maximize the race window
+            ZipContainer.extract(zip.toString)
+          }
+        }))
+      val dests = tasks.map(_.get(60,
+        java.util.concurrent.TimeUnit.SECONDS))
+      assert(dests.toSet.size == 1,
+        s"extractors published ${dests.toSet.size} directories")
+      val d = dests.head
+      assert(new String(Files.readAllBytes(d.resolve("a/b.csv")),
+        StandardCharsets.UTF_8) == "x,y\n1,2\n")
+      assert(new String(Files.readAllBytes(d.resolve("c.txt")),
+        StandardCharsets.UTF_8) == "payload")
+      // no orphaned temp dirs left beside the published one
+      val leftovers = Files.list(d.getParent)
+      try {
+        val orphans = leftovers.iterator()
+        var bad = List.empty[String]
+        while (orphans.hasNext) {
+          val p = orphans.next().getFileName.toString
+          if (p.startsWith(".zip-")) bad ::= p
+        }
+        assert(bad.isEmpty, s"orphaned extraction temp dirs: $bad")
+      } finally leftovers.close()
+    } finally pool.shutdown()
+  }
 }
