@@ -34,6 +34,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // r17: the probe cache defaults ON for users; the bench stays the
+    // explicit COLD arm unless a session opts into warm (=1)
+    graft.plans.ProbeAgg.pinColdUnlessRequested()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // marginal-cost protocol: a sub-second local[32] run mostly measures
     // fixed job/stage overhead, which a cluster amortizes away. With a

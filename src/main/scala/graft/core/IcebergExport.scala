@@ -3,6 +3,8 @@ package graft.core
 import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.types._
 
 /** Export a lake table's metadata in Apache Iceberg v2 table-metadata
@@ -30,7 +32,9 @@ object IcebergExport {
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",
+      |    {"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin
 
   private val listSchemaJson =
     """{"type":"record","name":"manifest_file","fields":[
@@ -106,16 +110,25 @@ object IcebergExport {
     w1.create(entrySchema, manifestPath.toFile)
     for (f <- files) {
       val df = new GenericData.Record(dfSchema)
-      df.put("content", if (f.isDelete) 1 else 0)
+      df.put("content", f.content.getOrElse(0))
       df.put("file_path", f.path)
       df.put("file_format", "PARQUET")
       df.put("record_count", f.rowCount)
       df.put("file_size_in_bytes", f.sizeBytes)
+      // content=2 entries carry the equality field ids (v2 spec) so an
+      // external reader can apply the deletes by column
+      df.put("equality_ids", f.equalityIds
+        .map(ids => new java.util.ArrayList[Integer](
+          ids.map(Integer.valueOf).asJava)).orNull)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", s.id)
-      e.put("sequence_number", seq)
-      e.put("file_sequence_number", seq)
+      // per-FILE data sequence number (the commit-stamped snapshot id),
+      // not one number for the whole manifest: the v2 sequence rule
+      // (equality deletes hit strictly-older data files only) is
+      // meaningless if every live file exports at the same sequence
+      e.put("sequence_number", f.seq.getOrElse(seq))
+      e.put("file_sequence_number", f.seq.getOrElse(seq))
       e.put("data_file", df)
       w1.append(e)
     }
@@ -132,14 +145,15 @@ object IcebergExport {
     m.put("partition_spec_id", 0)
     m.put("content", 0)
     m.put("sequence_number", seq)
-    m.put("min_sequence_number", seq)
+    m.put("min_sequence_number",
+      (files.map(_.seq.getOrElse(seq)) :+ seq).min)
     m.put("added_snapshot_id", s.id)
-    m.put("added_files_count", files.count(!_.isDelete))
+    m.put("added_files_count", files.count(!_.isAnyDelete))
     m.put("existing_files_count", 0)
-    m.put("deleted_files_count", files.count(_.isDelete))
-    m.put("added_rows_count", files.filter(!_.isDelete).map(_.rowCount).sum)
+    m.put("deleted_files_count", files.count(_.isAnyDelete))
+    m.put("added_rows_count", files.filter(!_.isAnyDelete).map(_.rowCount).sum)
     m.put("existing_rows_count", 0L)
-    m.put("deleted_rows_count", files.filter(_.isDelete).map(_.rowCount).sum)
+    m.put("deleted_rows_count", files.filter(_.isAnyDelete).map(_.rowCount).sum)
     w2.append(m)
     w2.close()
     listName
@@ -167,14 +181,17 @@ object IcebergExport {
         if (avroManifests) writeAvroManifests(tbl, outDir, s, i + 1L)
         else {
           val name = s"manifest-list-${s.id}.json"
-          val entries = MetadataIO.liveFiles(tbl.dir, s).map { f =>
-            Map(
-              "status" -> 1, "content" -> (if (f.isDelete) 1 else 0),
-              "file_path" -> f.path, "file_format" -> "PARQUET",
-              "record_count" -> f.rowCount,
-              "file_size_in_bytes" -> f.sizeBytes,
-              "partition" -> f.partition)
-          }
+          val entries = MetadataIO.liveFiles(tbl.dir, s)
+            .map { f =>
+              Map(
+                "status" -> 1, "content" -> f.content.getOrElse(0),
+                "file_path" -> f.path, "file_format" -> "PARQUET",
+                "record_count" -> f.rowCount,
+                "file_size_in_bytes" -> f.sizeBytes,
+                "sequence_number" -> f.seq.getOrElse(i + 1L),
+                "partition" -> f.partition) ++
+                f.equalityIds.map("equality_ids" -> _)
+            }
           writeJson(Paths.get(outDir, "metadata", name).toString, entries)
           name
         }
@@ -190,7 +207,8 @@ object IcebergExport {
       "table-uuid" -> java.util.UUID.nameUUIDFromBytes(
         tbl.dir.getBytes(StandardCharsets.UTF_8)).toString,
       "location" -> tbl.dir,
-      "last-sequence-number" -> meta.snapshots.size,
+      "last-sequence-number" -> math.max(meta.snapshots.size.toLong,
+        meta.snapshots.map(_.id).max),
       "last-updated-ms" -> meta.snapshots.map(_.timestampMs).max,
       "last-column-id" -> (meta.fieldIds.map(_.id) :+ 0).max,
       "current-schema-id" -> 0,

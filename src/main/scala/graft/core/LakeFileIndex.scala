@@ -26,7 +26,7 @@ class LakeFileIndex(tbl: LakeTable) extends FileIndex {
 
   // delete files have their own schema and are applied as an anti-join
   // on top (LakeTable.applyPositionDeletes), never listed to the scan
-  private val files: List[DataFile] = tbl.liveFiles.filterNot(_.isDelete)
+  private val files: List[DataFile] = tbl.liveFiles.filterNot(_.isAnyDelete)
   private val schema: StructType = tbl.schema
   private val spec: List[PartitionField] = tbl.meta.partitionSpec
 

@@ -49,14 +49,18 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
   private def readFiles(files: List[DataFile]): DataFrame = {
     // match parquet columns by field id (rename-safe), not by name
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val (deletes, data) = files.partition(_.isDelete)
+    val (deletes, data) = files.partition(_.isAnyDelete)
+    val (eqDeletes, posDeletes) = deletes.partition(_.isEqDelete)
     val base =
       if (data.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema) // typed empty relation
       else spark.read.schema(schema).parquet(data.map(_.path): _*)
-    if (deletes.isEmpty || data.isEmpty) base
-    else applyPositionDeletes(base, deletes)
+    if (data.isEmpty) return base
+    val posApplied =
+      if (posDeletes.isEmpty) base else applyPositionDeletes(base, posDeletes)
+    if (eqDeletes.isEmpty) posApplied
+    else applyEqualityDeletes(posApplied, eqDeletes, data)
   }
 
   /** Merge-on-read: anti-join the data rows against the position-delete
@@ -77,6 +81,54 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
         tagged("_file") === del("file_path") && tagged("_pos") === del("pos"),
         "left_anti")
       .drop("_file", "_pos")
+  }
+
+  /** Merge-on-read equality deletes (Iceberg v2 content=2 semantics,
+    * the write-side twin of [[IcebergImport]]'s reader): a delete row
+    * removes every data row whose equality columns are null-safe-equal,
+    * but only from data files with a STRICTLY smaller data sequence
+    * number — rows appended after the delete survive it. Rows are
+    * tagged with their file's sequence number via a broadcast join on
+    * the (small, metadata-sized) file list; one anti-join per
+    * equality-column set applies the rule, and data-column filters
+    * still push through the anti-joins into the scan. */
+  private[graft] def applyEqualityDeletes(base: DataFrame,
+      eqDeletes: List[DataFile], dataFiles: List[DataFile]): DataFrame = {
+    val session = base.sparkSession
+    import session.implicits._
+    val idToName = meta.fieldIds.map(f => f.id -> f.name).toMap
+    val fileSeq = dataFiles
+      .map(f => (f.path.replaceAll("^file:/+", "/"), f.dataSeq))
+      .toDF("_fs_file", "_fs_seq")
+    var out = base
+      .withColumn("_eqf",
+        regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
+      .join(broadcast(fileSeq), col("_eqf") === col("_fs_file"), "left")
+      // an unmatched file would null the sequence predicate and
+      // SILENTLY resurrect its deleted rows — fail loudly instead
+      .withColumn("_fs_seq", when(col("_fs_seq").isNull, raise_error(
+        concat(lit("equality-delete read: data file "), col("_eqf"),
+          lit(" matched no manifest entry (path normalization " +
+            "mismatch); refusing to skip its equality deletes"))))
+        .otherwise(col("_fs_seq")))
+    for ((ids, group) <- eqDeletes.groupBy(_.equalityIds.getOrElse(Nil))) {
+      require(ids.nonEmpty, s"equality-delete file " +
+        s"${group.head.path} carries no equality field ids")
+      val cols = ids.map(id => idToName.getOrElse(id,
+        throw new IllegalArgumentException(s"unknown equality field id $id")))
+      // match delete-file columns by NAME (field-id metadata stripped)
+      val delSchema = StructType(cols.map(c => schema(c)
+        .copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+      val del = group.map { f =>
+          session.read.schema(delSchema).parquet(f.path)
+            .withColumn("_del_seq", lit(f.seq.getOrElse(Long.MaxValue)))
+        }.reduce(_ unionByName _)
+        .select(cols.map(c => col(c).as(s"_del_$c")) :+ col("_del_seq"): _*)
+      val cond = cols.map(c => col(c) <=> col(s"_del_$c"))
+        .reduce(_ && _) && col("_fs_seq") < col("_del_seq")
+      out = out.join(del, cond, "left_anti")
+    }
+    out.drop("_eqf", "_fs_file", "_fs_seq")
   }
 
   /** Full scan of the current snapshot. */
@@ -102,7 +154,7 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
     * predicate is additionally applied as a normal filter (so Catalyst
     * pushes it into the parquet row groups as well). */
   def scan(pred: Column): (DataFrame, Pruning.ScanStats) = {
-    val (deletes, data) = liveFiles.partition(_.isDelete)
+    val (deletes, data) = liveFiles.partition(_.isAnyDelete)
     val (mustRead, skipped, full) = Pruning.partitionFiles(
       Some(GraftBridge.resolvePredicate(spark, schema, pred)),
       schema, meta.partitionSpec, data)
@@ -125,9 +177,15 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       Map.empty)(classic)
     val base = classic.baseRelationToDataFrame(relation)
-    val deletes = liveFiles.filter(_.isDelete)
-    val df = if (deletes.isEmpty) base
-      else applyPositionDeletes(base, deletes)
+    val live = liveFiles
+    val posDeletes = live.filter(_.isDelete)
+    val eqDeletes = live.filter(_.isEqDelete)
+    var df = if (posDeletes.isEmpty) base
+      else applyPositionDeletes(base, posDeletes)
+    if (eqDeletes.nonEmpty)
+      // the seq map covers ALL live data files; whatever subset the
+      // index prunes at execution time is covered by construction
+      df = applyEqualityDeletes(df, eqDeletes, live.filterNot(_.isAnyDelete))
     (df, index)
   }
 
@@ -153,11 +211,13 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
     for (s <- lineage) {
       val live = MetadataIO.liveFiles(dir, s)
       if (s.operation == "append")
-        fresh ++= live.filter(f => !f.isDelete && !prevPaths.contains(f.path))
+        fresh ++= live.filter(f => !f.isAnyDelete && !prevPaths.contains(f.path))
       prevPaths = live.map(_.path).toSet
     }
     val freshFiles = fresh.result()
-    val dels = liveFilesAt(toSnapshot).filter(_.isDelete)
+    val allDels = liveFilesAt(toSnapshot).filter(_.isAnyDelete)
+    val dels = allDels.filter(_.isDelete)
+    val eqDels = allDels.filter(_.isEqDelete)
     if (freshFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else {
@@ -169,7 +229,12 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
       cdcSpark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       val base = cdcSpark.read.schema(schema)
         .parquet(freshFiles.map(_.path): _*)
-      if (dels.isEmpty) base else applyPositionDeletes(base, dels)
+      val posApplied =
+        if (dels.isEmpty) base else applyPositionDeletes(base, dels)
+      // a row appended and then equality-deleted inside the window must
+      // not surface either (same contract as the position-delete apply)
+      if (eqDels.isEmpty) posApplied
+      else applyEqualityDeletes(posApplied, eqDels, freshFiles)
     }
   }
 

@@ -37,9 +37,23 @@ final case class DataFile(
     stats: Map[String, ColStat],
     /** Iceberg-v2 content kind: None/Some(0)=data, Some(1)=position
       * deletes (lake_table.files content column,
-      * pg_lake_table--3.0.sql:92-128). */
-    content: Option[Int] = None) {
+      * pg_lake_table--3.0.sql:92-128), Some(2)=equality deletes. */
+    content: Option[Int] = None,
+    /** field ids of the equality columns (content=2 files only). */
+    equalityIds: Option[List[Int]] = None,
+    /** data sequence number (Iceberg v2): stamped at commit with the
+      * adding snapshot's id. Equality deletes apply only to data files
+      * whose sequence number is STRICTLY lower — rows appended after
+      * the delete survive it (the upsert contract). None (legacy
+      * manifests) reads as 0: every equality delete applies. */
+    seq: Option[Long] = None) {
   def isDelete: Boolean = content.contains(1)
+  def isEqDelete: Boolean = content.contains(2)
+  /** Any MOR delete flavor — the partition test every site that means
+    * "not a data file" must use (a content=2 file scanned as data
+    * would surface delete KEYS as rows). */
+  def isAnyDelete: Boolean = content.exists(_ >= 1)
+  def dataSeq: Long = seq.getOrElse(0L)
 }
 
 final case class Snapshot(

@@ -334,7 +334,7 @@ object Bucketed {
     val spark = table.spark
     recover(spark, name, path)
     val live = table.liveFiles
-    require(!live.exists(_.isDelete),
+    require(!live.exists(_.isAnyDelete),
       s"fromLakeIncremental reads data files by path and cannot apply " +
         s"MOR deletes; flush deletes first (Engine.flushDeletes)")
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols

@@ -111,7 +111,7 @@ object ClusterLayout {
   def tick(tbl: LakeTable, maxFilesPerRound: Int = 8,
       maxBucketMergesPerRound: Int = 8): Option[Bucketed.ClusterProgress] =
     spec(tbl).map { s =>
-      val live = tbl.liveFiles.filterNot(_.isDelete).map(_.path).toSet
+      val live = tbl.liveFiles.filterNot(_.isAnyDelete).map(_.path).toSet
       val processed = Bucketed.processedState(layoutDir(tbl))
       if ((processed -- live).nonEmpty)
         Bucketed.resetLayout(tbl.spark, layoutName(tbl), layoutDir(tbl))
@@ -141,7 +141,7 @@ object ClusterLayout {
   def isConverged(tbl: LakeTable): Boolean =
     spec(tbl).isDefined && {
       val live = tbl.liveFiles
-      !live.exists(_.isDelete) &&
+      !live.exists(_.isAnyDelete) &&
         Bucketed.layoutConverged(layoutDir(tbl), live.map(_.path).toSet)
     }
 

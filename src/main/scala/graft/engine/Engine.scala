@@ -312,9 +312,15 @@ object Engine {
         manifests ++= prior // append-only: manifest reuse, O(added) commit
       else if (keep.nonEmpty)
         manifests += MetadataIO.writeManifest(tbl.dir, keep)
-      if (add.nonEmpty)
-        manifests += MetadataIO.writeManifest(tbl.dir, add)
       val snapId = meta.snapshots.map(_.id).max + 1
+      // stamp each added file's data sequence number with the adding
+      // snapshot's id (Iceberg v2 sequence semantics: monotone per
+      // commit) — kept files keep theirs verbatim, so equality deletes
+      // keep applying to exactly the files that predate them
+      val stamped = add.map(f =>
+        if (f.seq.isEmpty) f.copy(seq = Some(snapId)) else f)
+      if (stamped.nonEmpty)
+        manifests += MetadataIO.writeManifest(tbl.dir, stamped)
       val snap = Snapshot(snapId, System.currentTimeMillis(), operation,
         manifests.toList, Map(
           "addedFiles" -> add.size.toString,
@@ -522,7 +528,11 @@ object Engine {
     * Reads anti-join the delete files until `flushDeletes` compacts them
     * away. */
   def deleteMor(tbl: LakeTable, pred: Column): DmlResult = withCommitRetry() {
-    val (dels, data) = tbl.liveFiles.partition(_.isDelete)
+    val (allDels, data) = tbl.liveFiles.partition(_.isAnyDelete)
+    // only position files join the already-covered anti-join below;
+    // pending equality deletes don't affect which positions to record
+    // (re-marking an eq-deleted row is read-harmless, both anti-join)
+    val dels = allDels.filter(_.isDelete)
     val (mustRead, _, fullMatch) = Pruning.partitionFiles(
       Some(GraftBridge.resolvePredicate(tbl.spark, tbl.schema, pred)),
       tbl.schema, tbl.meta.partitionSpec, data)
@@ -584,6 +594,92 @@ object Engine {
       fullMatch.map(_.rowCount).sum + posCount)
   }
 
+  /** Equality DELETE (Iceberg v2 content=2): write the delete KEYS, not
+    * positions — O(|keys|) work regardless of table size, no data scan
+    * at write time. A key row deletes every data row whose key columns
+    * are null-safe-equal, but only in data files with a STRICTLY lower
+    * data sequence number, so rows appended after this commit survive —
+    * the streaming-upsert primitive. Reads anti-join the key files
+    * until [[flushDeletes]] compacts them away. The write side goes
+    * beyond the reference (its own MOR writes emit position deletes
+    * only, position_delete_dest.c); the read side matches the external
+    * equality-delete support both engines already have
+    * (read_manifest.c:84-130 sequence rule).
+    *
+    * `matchedRows` in the result counts delete KEYS written, not data
+    * rows matched — matches are unknowable without the scan this path
+    * exists to avoid (Iceberg reports the same). */
+  def deleteByKey(tbl: LakeTable, keyCols: Seq[String],
+      keys: DataFrame): DmlResult = withCommitRetry() {
+    require(keyCols.nonEmpty, "deleteByKey: no key columns")
+    val schema = tbl.schema
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"deleteByKey: unknown key column $c"))
+    val ids = tbl.meta.fieldIds.map(f => f.name -> f.id).toMap
+    val eqIds = keyCols.map(c => ids.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"deleteByKey: column $c has no field id"))).toList
+    // dedupe + sort the keys: repeated upserts of the same key must not
+    // grow the delete file, and sorted keys give tight per-file stats.
+    // field-id metadata attached so external field-id readers resolve.
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(c => schema(c)).toArray)
+    val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
+    val nParts = math.max(1, math.min(
+      tbl.spark.sparkContext.defaultParallelism,
+      distinctKeys.rdd.getNumPartitions))
+    val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
+    // re-wrap with the table schema's fields so the parquet writer
+    // emits field ids (fieldId.write is on by default when present)
+    tbl.spark.createDataFrame(
+        distinctKeys.repartition(nParts, keyCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*).rdd, keySchema)
+      .write.parquet(staging.toString)
+    val dataDir = MetadataIO.dataDir(tbl.dir)
+    val moved = scala.collection.mutable.ListBuffer[String]()
+    val stream = Files.walk(staging)
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).foreach { p =>
+        val dest = dataDir.resolve(s"eqdelete-${UUID.randomUUID()}.parquet")
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        moved += dest.toString
+      }
+    finally stream.close()
+    deleteRecursively(staging)
+    var added: List[DataFile] = Nil
+    var keyCount = 0L
+    val footers = ParquetStats.readMany(tbl.spark, moved.toSeq)
+    for (path <- moved) {
+      val footer = footers(path)
+      if (footer.rowCount > 0) {
+        added = DataFile(path, footer.rowCount, footer.sizeBytes,
+          Map.empty, footer.stats, content = Some(2),
+          equalityIds = Some(eqIds)) :: added
+        keyCount += footer.rowCount
+      } else Files.delete(Paths.get(path))
+    }
+    val dataFiles = tbl.liveFiles.count(!_.isAnyDelete)
+    commitSnapshot(tbl, "delete-eq", Set.empty, added)
+    DmlResult(0, 0, dataFiles, keyCount)
+  }
+
+  /** Streaming upsert: equality-delete the incoming rows' keys, then
+    * append the rows — two commits, the delete's sequence number
+    * strictly below the append's, so the appended rows survive their
+    * own delete while every older row under the same key is removed.
+    * The MOR write shape a CDC-apply pipeline needs: O(batch) work per
+    * batch, deferred compaction via [[flushDeletes]] /
+    * [[maintenanceTick]]. */
+  def upsertByKey(tbl: LakeTable, keyCols: Seq[String],
+      rows: DataFrame): DmlResult = {
+    val cached = rows.cache() // read twice: keys, then the append
+    try {
+      val res = deleteByKey(tbl, keyCols, cached)
+      insert(tbl, cached)
+      res
+    } finally cached.unpersist()
+  }
+
   /** Merge-on-read UPDATE: position-delete the matched rows and append
     * the updated versions as new files — the reference's delete+reinsert
     * formulation (writes.md:15-37) without touching unmatched rows. */
@@ -604,21 +700,36 @@ object Engine {
     * touch, then drop the delete files (the VACUUM "flush deletion
     * queue" step, ddl/vacuum.c). Returns rewritten file count. */
   def flushDeletes(tbl: LakeTable): Int = withCommitRetry() {
-    val (dels, data) = tbl.liveFiles.partition(_.isDelete)
-    if (dels.isEmpty) return 0
-    val affected = tbl.spark.read.schema(tbl.deleteSchema)
-      .parquet(dels.map(_.path): _*)
-      .select("file_path").distinct().collect()
-      .map(r => normPath(r.getString(0))).toSet
-    val rewrite = data.filter(f => affected.contains(normPath(f.path)))
+    val (allDels, data) = tbl.liveFiles.partition(_.isAnyDelete)
+    val (eqDels, dels) = allDels.partition(_.isEqDelete)
+    if (allDels.isEmpty) return 0
+    val posAffected =
+      if (dels.isEmpty) Set.empty[String]
+      else tbl.spark.read.schema(tbl.deleteSchema)
+        .parquet(dels.map(_.path): _*)
+        .select("file_path").distinct().collect()
+        .map(r => normPath(r.getString(0))).toSet
+    // equality deletes apply to every data file with a strictly lower
+    // sequence number; which ROWS match is unknowable without the scan
+    // the flush is about to do anyway, so the candidate set is by seq
+    val maxEqSeq =
+      if (eqDels.isEmpty) Long.MinValue
+      else eqDels.map(_.seq.getOrElse(Long.MaxValue)).max
+    val rewrite = data.filter(f =>
+      posAffected.contains(normPath(f.path)) || f.dataSeq < maxEqSeq)
     val newFiles = rewrite.groupBy(_.partition).toList.flatMap {
       case (partition, group) =>
         val raw = tbl.spark.read.schema(tbl.schema)
           .parquet(group.map(_.path): _*)
-        writeRaw(tbl, tbl.applyPositionDeletes(raw, dels), partition)
+        val posApplied =
+          if (dels.isEmpty) raw else tbl.applyPositionDeletes(raw, dels)
+        val all =
+          if (eqDels.isEmpty) posApplied
+          else tbl.applyEqualityDeletes(posApplied, eqDels, group)
+        writeRaw(tbl, all, partition)
     }
     commitSnapshot(tbl, "flush-deletes",
-      rewrite.map(_.path).toSet ++ dels.map(_.path), newFiles)
+      rewrite.map(_.path).toSet ++ allDels.map(_.path), newFiles)
     rewrite.size
   }
 
@@ -704,7 +815,7 @@ object Engine {
       maxRounds: Int = 100): Int = withCommitRetry() {
     flushDeletes(tbl) // compaction rewrites raw files
     var rounds = 0
-    val files = tbl.liveFiles.filterNot(_.isDelete)
+    val files = tbl.liveFiles.filterNot(_.isAnyDelete)
     val groups = files.groupBy(_.partition).toList
     var keep = scala.collection.mutable.ListBuffer[DataFile]()
     var added = scala.collection.mutable.ListBuffer[DataFile]()
@@ -741,7 +852,7 @@ object Engine {
   def maintenanceTick(tbl: LakeTable,
       targetBytes: Long = 128L * 1024 * 1024,
       minSmallFiles: Int = 8, maxRounds: Int = 100): Int = {
-    val small = tbl.liveFiles.filterNot(_.isDelete)
+    val small = tbl.liveFiles.filterNot(_.isAnyDelete)
       .count(_.sizeBytes < targetBytes / 2)
     if (small >= minSmallFiles) compact(tbl, targetBytes, maxRounds)
     else 0
@@ -761,7 +872,7 @@ object Engine {
       numFiles: Int = 0, targetBytes: Long = 128L * 1024 * 1024): Int =
     withCommitRetry() {
     flushDeletes(tbl)
-    val files = tbl.liveFiles.filterNot(_.isDelete)
+    val files = tbl.liveFiles.filterNot(_.isAnyDelete)
     val added = scala.collection.mutable.ListBuffer[DataFile]()
     val removedPaths = scala.collection.mutable.Set[String]()
     for ((partition, group) <- files.groupBy(_.partition).toList) {
@@ -817,7 +928,7 @@ object Engine {
       count(lit(1)).as("row_count")
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val rowCount = r.getAs[Long]("row_count")
-    val bytes = tbl.liveFiles.filterNot(_.isDelete).map(_.sizeBytes).sum
+    val bytes = tbl.liveFiles.filterNot(_.isAnyDelete).map(_.sizeBytes).sum
     val props = cols.flatMap(c => Seq(
       s"stats.ndv.$c" -> r.getAs[Long](s"ndv_$c").toString,
       s"stats.nulls.$c" -> r.getAs[Long](s"nulls_$c").toString)).toMap ++
@@ -845,6 +956,16 @@ object Engine {
         lit(props.get("stats.row_count").map(_.toLong).orNull))
   }
 
+  /** The ids [[expireSnapshots]] would drop for `keepLast` — selection
+    * only, no mutation. Callers that must publish the removal to a
+    * catalog BEFORE local GC reclaims exported artifacts (the
+    * remove-snapshots-commit-first ordering in
+    * [[IcebergRestCatalog.expireSnapshots]]) read this, commit, then
+    * run the real expiry. */
+  def expireSelection(tbl: LakeTable, keepLast: Int = 1): Seq[Long] =
+    tbl.meta.snapshots.sortBy(_.id)
+      .dropRight(math.max(1, keepLast)).map(_.id)
+
   def expireSnapshots(tbl: LakeTable, keepLast: Int = 1): Int =
     MetadataIO.withTableLock(tbl.dir) {
     val meta = tbl.meta
@@ -863,11 +984,18 @@ object Engine {
         } finally stream.close()
       }
       val refManifests = keep.flatMap(_.manifests).toSet
+      // exported Iceberg avro manifests are named manifest-<snapId>.avro
+      // (IcebergExport.writeAvroManifests) — the same prefix as the
+      // engine's JSON manifests, so the sweep below would reclaim KEPT
+      // snapshots' exported chains too and leave a catalog reader
+      // chasing deleted files until the next re-export
+      val keptAvro = keep.map(s => s"manifest-${s.id}.avro").toSet
       val mdir = MetadataIO.metaDir(tbl.dir)
       val ms = Files.list(mdir)
       try ms.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("manifest-") && !refManifests.contains(n))
+        if (n.startsWith("manifest-") && !refManifests.contains(n) &&
+            !keptAvro.contains(n))
           Files.delete(p)
       } finally ms.close()
     }

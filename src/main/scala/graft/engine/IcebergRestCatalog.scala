@@ -181,6 +181,7 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
   private def paged[A](path: String)(parse: JValue => Seq[A]): Seq[A] = {
     val out = Seq.newBuilder[A]
     var tok: Option[String] = None
+    val seenTokens = scala.collection.mutable.Set[String]()
     var first = true
     var pages = 0
     while (first || tok.isDefined) {
@@ -196,7 +197,11 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       val j = expect("GET", s"$path$q")
       out ++= parse(j)
       val next = (j \ "next-page-token").extractOpt[String].filter(_.nonEmpty)
-      tok = if (next == tok) None else next
+      // stop on ANY previously-seen token, not just a verbatim
+      // consecutive repeat: a server cycling between two (or more)
+      // tokens would otherwise duplicate items until the page cap
+      tok = next.filterNot(seenTokens.contains)
+      tok.foreach(seenTokens += _)
     }
     out.result()
   }
@@ -434,6 +439,7 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
     val dir = java.nio.file.Paths.get(loc).getParent.getParent.toString
     val tbl = LakeTable.load(spark, dir)
     graft.engine.Engine.insert(tbl, df)
+    val committing = LakeTable.load(spark, dir).meta.currentSnapshotId
     var base = currentSnapshotId(ns, name)
     var attempt = 0
     while (true) {
@@ -442,6 +448,12 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
         attempt += 1
         if (attempt > maxRetries) throw e
         base = currentSnapshotId(ns, name)
+        // already-applied detection: a transient 429/503 can replay a
+        // POST the server in fact applied — the replay 409s, and a
+        // blind re-commit would add the SAME snapshot twice. When the
+        // catalog's main ref already points at the snapshot we are
+        // trying to commit, the commit landed: report success.
+        if (base == committing) return metadataLocation(ns, name)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -635,18 +647,21 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       maxRetries: Int = 3): Seq[Long] = {
     val dir = localDir(ns, name)
     val tbl = LakeTable.load(spark, dir)
-    val before = tbl.meta.snapshots.map(_.id)
-    Engine.expireSnapshots(tbl, keepLast)
-    val kept = LakeTable.load(spark, dir)
-    val after = kept.meta.snapshots.map(_.id).toSet
-    val removed = before.filterNot(after)
+    val removed = Engine.expireSelection(tbl, keepLast)
     if (removed.nonEmpty) {
-      // the engine GC also reclaimed the exported Iceberg manifests of
-      // expired snapshots; re-export so the KEPT snapshots' manifest
-      // lists (which the catalog's metadata references by name) exist
-      graft.core.IcebergExport.export(kept, kept.dir)
+      // COMMIT FIRST: once the catalog stops serving the expired
+      // snapshots, no reader can chase a manifest chain the local GC is
+      // about to reclaim — and if the commit never lands (conflict
+      // retries exhausted, crash), the GC below never ran and the
+      // catalog's view stays fully backed. The old GC→re-export→commit
+      // order left both failure windows dangling.
       withCommitRetry(maxRetries)(() => currentSnapshotId(ns, name))(
         commitRemoveSnapshots(ns, name, removed, _))
+      Engine.expireSnapshots(tbl, keepLast)
+      // refresh the exported chain for the kept snapshots (the engine
+      // GC preserves their manifest-<id>.avro files; this re-links the
+      // metadata.json + snap lists at the new version)
+      graft.core.IcebergExport.export(LakeTable.load(spark, dir), dir)
     }
     removed
   }

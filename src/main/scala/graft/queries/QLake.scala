@@ -186,6 +186,43 @@ object QLake {
       viaFlushed.orderBy("l_returnflag")
     },
 
+    // equality DELETE (content=2 key files, the streaming-upsert delete
+    // path): delete every order of customers holding an 'F' order by
+    // KEY (no data scan at write time), then APPEND rows that reuse
+    // deleted keys — the v2 sequence rule (strictly-older data files
+    // only) must keep them; MOR read ≡ flushed read asserted in-query
+    "q_lake_delete_eq" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val tbl = Engine.ctas(s, tmp("eqdel"), o)
+      Engine.deleteByKey(tbl, Seq("o_custkey"),
+        o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      Engine.insert(tbl, o.filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT"))
+      val viaMor = tbl.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+      Engine.flushDeletes(tbl)
+      val viaFlushed = tbl.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+      require(viaMor.orderBy("o_orderstatus").collect()
+        .sameElements(viaFlushed.orderBy("o_orderstatus").collect()),
+        "equality-delete MOR read and flushed read disagree")
+      viaFlushed.orderBy("o_orderstatus")
+    },
+
+    // streaming upsert (equality-delete + append in one call, the
+    // CDC-apply write shape): every 'F' order replaced by a
+    // doubled-price version under its unique o_orderkey
+    "q_lake_upsert" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val tbl = Engine.ctas(s, tmp("ups"), o)
+      Engine.upsertByKey(tbl, Seq("o_orderkey"),
+        o.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+      tbl.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+        .orderBy("o_orderstatus")
+    },
+
     // snapshot isolation: read the pre-delete snapshot after a delete
     "q_lake_timetravel" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -496,6 +533,29 @@ object QLake {
         |FROM lineitem
         |WHERE NOT (l_discount > 0.08)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // survived = rows whose customer never placed an 'F' order, plus
+    // the post-delete re-append (which the sequence rule preserves)
+    "q_lake_delete_eq" ->
+      """WITH delkeys AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |survived AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_custkey NOT IN (SELECT o_custkey FROM delkeys)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS tot
+        |FROM survived GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin,
+
+    "q_lake_upsert" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |                 ELSE o_totalprice END), 2) AS tot
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin,
 
     "q_lake_timetravel" ->
       """SELECT l_returnflag, count(*) AS n,

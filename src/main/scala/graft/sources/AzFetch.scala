@@ -75,11 +75,29 @@ object AzFetch {
     val path = s"az://$container/$blob"
     val now = System.currentTimeMillis()
     var best: Option[(String, VendedSas)] = None
+    val expired = List.newBuilder[String]
     sasByPrefix.forEach { (p, s) =>
-      val live = s.expiresAtMs.forall(_ > now)
-      if (live && (path == p || path.startsWith(p + "/")) &&
-          best.forall(_._1.length < p.length))
+      if (s.expiresAtMs.exists(_ <= now)) expired += p
+      // longest-prefix wins; equal lengths cannot both cover one path
+      // (two distinct same-length strings can't both prefix it), so a
+      // length tie is impossible and the pick is deterministic — the
+      // `<=` keeps that explicit rather than insertion-order-dependent
+      else if ((path == p || path.startsWith(p + "/")) &&
+          best.forall(_._1.length <= p.length))
         best = Some((p, s))
+    }
+    // evict lapsed delegations on lookup (they never match again) and
+    // make the fallback diagnosable: a request that used to ride a
+    // vended SAS silently switching to Shared Key (or failing on a
+    // missing account key) is otherwise indistinguishable from
+    // misconfiguration
+    val gone = expired.result()
+    if (gone.nonEmpty) {
+      gone.foreach(sasByPrefix.remove)
+      if (best.isEmpty && gone.exists(p => path == p ||
+          path.startsWith(p + "/")))
+        System.err.println(s"[AzFetch] vended SAS for $path expired " +
+          s"(prefix ${gone.mkString(", ")}); falling back to Shared Key")
     }
     best.map(_._2)
   }

@@ -28,11 +28,24 @@ object StreamIngest {
     * `'iceberg vacuum worker'` background process becomes a rider on the
     * ingest trigger, the one timer a Spark deployment always has where
     * small files accrete. Off by default (batch-table maintenance stays
-    * caller-owned, SURVEY §7.5). */
+    * caller-owned, SURVEY §7.5).
+    *
+    * `clusterEvery` > 0 additionally runs bounded
+    * [[graft.engine.ClusterLayout.tick]] rounds after every Nth batch,
+    * so a table with a DECLARED clustering stays converged under a
+    * steady append stream instead of drifting stale until someone runs
+    * a manual maintenance window — the production posture "declare →
+    * converge → stay converged". Skipped while MOR delete files are
+    * pending (the tick's documented precondition; flush first). Each
+    * rider caps work at `clusterMaxRoundsPerTick` incremental rounds,
+    * so a batch's maintenance cost stays bounded no matter how large
+    * the backlog. No-op when no clustering is declared. */
   def appendStream(tbl: LakeTable, source: DataFrame, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maintainEvery: Int = 0,
-      maintainMinSmallFiles: Int = 8): StreamingQuery =
+      maintainMinSmallFiles: Int = 8,
+      clusterEvery: Int = 0,
+      clusterMaxRoundsPerTick: Int = 4): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -48,6 +61,25 @@ object StreamIngest {
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(
               s"[appendStream] maintenance tick failed (ingest " +
+                s"continues): ${e.getMessage}")
+          }
+          ()
+        }
+        if (clusterEvery > 0 && (batchId + 1) % clusterEvery == 0) {
+          try {
+            val fresh = LakeTable.load(tbl.spark, tbl.dir)
+            if (!fresh.liveFiles.exists(_.isAnyDelete)) {
+              var i = 0
+              var done = false
+              while (i < clusterMaxRoundsPerTick && !done) {
+                done = graft.engine.ClusterLayout.tick(fresh)
+                  .forall(_.done) // None = nothing declared: stop
+                i += 1
+              }
+            }
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[appendStream] cluster tick failed (ingest " +
                 s"continues): ${e.getMessage}")
           }
           ()

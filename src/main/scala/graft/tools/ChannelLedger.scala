@@ -25,6 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object ChannelLedger {
   def main(args: Array[String]): Unit = {
+    graft.plans.ProbeAgg.pinColdUnlessRequested()
     val sfDir = if (args.length > 0) args(0) else "benchdata/sf100"
     val reps = if (args.length > 1) args(1).toInt else 3
     val spark = SparkSession.builder().master("local[32]")

@@ -23,6 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object CteClustered {
   def main(args: Array[String]): Unit = {
+    graft.plans.ProbeAgg.pinColdUnlessRequested()
     val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
     val rounds = if (args.length > 1) args(1).toInt else 5
     val spark = SparkSession.builder().master("local[32]")

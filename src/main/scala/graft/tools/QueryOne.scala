@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   */
 object QueryOne {
   def main(args: Array[String]): Unit = {
+    graft.plans.ProbeAgg.pinColdUnlessRequested()
     val sfDir = args(0)
     val queries = args(1).split(",").toSeq
     val confs = args.drop(2).map { kv =>

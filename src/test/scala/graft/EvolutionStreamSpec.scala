@@ -158,6 +158,32 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the ingest-riding tick must have committed a compaction")
   }
 
+  test("cluster tick rides appendStream: appends stale the declared " +
+      "layout, the rider re-converges it within the batch cycle") {
+    import graft.engine.ClusterLayout
+    val dir = tmp()
+    val n = Tables.load(spark, sf, "nation")
+    val tbl = Engine.ctas(spark, dir, n.filter(col("n_nationkey") < 15))
+    ClusterLayout.declare(tbl, Seq("n_nationkey"), 2)
+    assert(ClusterLayout.converge(tbl), "initial convergence failed")
+    assert(ClusterLayout.isConverged(tbl))
+    // stream in the remaining rows: each micro-batch append STALES the
+    // layout; clusterEvery=1 must fold it back in as part of the cycle
+    val srcDir = Files.createTempDirectory("cl_src").toString
+    val ckpt = Files.createTempDirectory("cl_ckpt").toString
+    n.filter(col("n_nationkey") >= 15).write.parquet(s"$srcDir/b1")
+    val stream = spark.readStream.schema(n.schema).parquet(s"$srcDir/b1")
+    val q = StreamIngest.appendStream(tbl, stream, ckpt,
+      clusterEvery = 1, clusterMaxRoundsPerTick = 16)
+    q.awaitTermination(60000)
+    val after = LakeTable.load(spark, dir)
+    assert(after.toDF.count() == n.count())
+    assert(ClusterLayout.isConverged(after),
+      "the rider must have re-converged the layout")
+    // the converged read serves the full row set from the layout
+    assert(ClusterLayout.read(after).count() == n.count())
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.expr

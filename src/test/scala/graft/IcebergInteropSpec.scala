@@ -392,6 +392,39 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("expired"))
   }
 
+  test("equality-delete WRITER round-trip: deleteByKey + re-append " +
+      "export as content=2 manifests; the external-reader path applies " +
+      "the sequence rule") {
+    for (avro <- Seq(true, false)) {
+      val dir = Files.createTempDirectory("icebergeq").toString + "/t"
+      val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+      val tbl = Engine.ctas(spark, dir, nation)
+      // delete keys 3 and 7 by equality, then re-append key 7's row:
+      // the re-append postdates the delete, so the sequence rule
+      // (strictly-older data files only) must keep it
+      Engine.deleteByKey(tbl, Seq("n_nationkey"),
+        nation.filter(col("n_nationkey").isin(3, 7))
+          .select("n_nationkey"))
+      Engine.insert(tbl, nation.filter(col("n_nationkey") === 7))
+      assert(tbl.toDF.filter(col("n_nationkey") === 3).count() == 0L)
+      assert(tbl.toDF.filter(col("n_nationkey") === 7).count() == 1L)
+      val expect = tbl.toDF.orderBy("n_nationkey").collect().toSeq
+      // the manifest must record a content=2 file with equality ids
+      val eqFiles = tbl.liveFiles.filter(_.isEqDelete)
+      assert(eqFiles.nonEmpty && eqFiles.forall(f =>
+        f.equalityIds.exists(_.nonEmpty) && f.seq.isDefined))
+      IcebergExport.export(tbl, dir, avroManifests = avro)
+      val back = IcebergImport.scan(spark, dir)
+      assert(back.orderBy("n_nationkey").collect().toSeq == expect,
+        s"avro=$avro")
+      // flush compacts the deletes away; results must not change
+      Engine.flushDeletes(tbl)
+      assert(tbl.liveFiles.forall(!_.isAnyDelete))
+      assert(tbl.toDF.orderBy("n_nationkey").collect().toSeq == expect,
+        s"post-flush avro=$avro")
+    }
+  }
+
   test("export/import round-trip of a lake table (avro + json manifests)") {
     for (avro <- Seq(true, false)) {
       val dir = Files.createTempDirectory("icebergrt").toString + "/t"

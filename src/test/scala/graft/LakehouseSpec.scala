@@ -336,6 +336,41 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("upsertByKey: second upsert of the same key wins; time travel " +
+      "and incremental appends respect equality deletes") {
+    val dir = tmp()
+    val n = Tables.load(spark, sf, "nation")
+    val tbl = Engine.ctas(spark, dir, n)
+    val total = n.count()
+    val preUpsert = tbl.meta.currentSnapshotId
+    // upsert the same key twice: the LAST version must win, row count flat
+    val v1 = n.filter(col("n_nationkey") === 5)
+      .withColumn("n_name", lit("v1"))
+    val v2 = n.filter(col("n_nationkey") === 5)
+      .withColumn("n_name", lit("v2"))
+    Engine.upsertByKey(tbl, Seq("n_nationkey"), v1)
+    Engine.upsertByKey(tbl, Seq("n_nationkey"), v2)
+    val mid = tbl.meta.currentSnapshotId
+    assert(tbl.toDF.count() == total)
+    assert(tbl.toDF.filter(col("n_nationkey") === 5)
+      .select("n_name").collect().map(_.getString(0)).toSeq == Seq("v2"))
+    // snapshot isolation: the pre-upsert read sees the original name
+    assert(tbl.asOf(preUpsert).filter(col("n_nationkey") === 5)
+      .select("n_name").collect().head.getString(0) != "v2")
+    // a row upserted then eq-deleted INSIDE a CDC window must not
+    // surface from appendsBetween (same contract as position deletes)
+    Engine.deleteByKey(tbl, Seq("n_nationkey"),
+      n.filter(col("n_nationkey") === 5).select("n_nationkey"))
+    val cdc = tbl.appendsBetween(preUpsert, tbl.meta.currentSnapshotId)
+    assert(cdc.filter(col("n_nationkey") === 5).count() == 0L,
+      "eq-deleted upsert row leaked from the incremental read")
+    // window ending before the final delete: v1's row was eq-deleted
+    // INSIDE the window by v2's upsert, so only the v2 version replays
+    val cdcMid = tbl.appendsBetween(preUpsert, mid)
+    assert(cdcMid.filter(col("n_nationkey") === 5)
+      .select("n_name").collect().map(_.getString(0)).toSeq == Seq("v2"))
+  }
+
   test("lake_file utilities: list/size/exists/preview/delete") {
     import graft.engine.LakeFiles
     val d = Files.createTempDirectory("lakefile")

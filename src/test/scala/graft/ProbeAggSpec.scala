@@ -67,6 +67,50 @@ class ProbeAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("probe cache is ON by default (r17) and an EXTERNAL in-place " +
+      "rewrite that keeps name+size still invalidates via mtime") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-probecache2")
+    val tbl = s"$dir/probe_tbl"
+    spark.range(0, 500).repartition(1).selectExpr("id as k", "id % 5 as v")
+      .write.mode("overwrite").parquet(tbl)
+    def run(): Seq[String] = {
+      val probe = spark.read.parquet(tbl) // fresh file listing each call
+      val fact = t("lineitem").limit(3000)
+        .withColumn("fk", col("l_orderkey") % 500)
+      sorted(ProbeAgg.probeSums(fact,
+        Seq(Probe("fk", probe, "k", "v")),
+        Seq(ProductSum("rev", Seq(Term("l_extendedprice")))),
+        groupByProbe = Some(0)))
+    }
+    // no prop, no env: the default posture must be caching
+    val hadProp = sys.props.remove("spark.graft.probe.cache")
+    ProbeAgg.clearProbeCache()
+    try {
+      val r1 = run()
+      assert(ProbeAgg.probeCacheMisses.get() == 1 &&
+        ProbeAgg.probeCacheHits.get() == 0,
+        "default-on: first execution populates the cache")
+      ProbeAgg.releaseBroadcasts()
+      val r2 = run()
+      assert(r2 == r1 && ProbeAgg.probeCacheHits.get() == 1,
+        "default-on: unchanged table reuses the packed probe")
+      // external writer rewrites the data file IN PLACE: same path,
+      // same byte count, only the mtime moves — the per-file
+      // (path,size,mtime) fingerprint must miss, not serve stale state
+      val part = new java.io.File(tbl).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bumped = part.lastModified() + 5000
+      assert(part.setLastModified(bumped), "mtime bump must apply")
+      val r3 = run()
+      assert(ProbeAgg.probeCacheMisses.get() == 2,
+        "an in-place external rewrite (mtime moved) must miss")
+      assert(r3 == r1, "recomputed result matches (content unchanged)")
+    } finally {
+      hadProp.foreach(v => sys.props("spark.graft.probe.cache") = v)
+      ProbeAgg.clearProbeCache()
+    }
+  }
+
   test("q5 shape: two probes + equality constraint ≡ the BHJ chain") {
     val o = t("orders")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
