@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Diagnose the q3 headline-vs-bucketed-section gap (r16 verdict task 2):
+  * with the SAME layout registration the headline bench performs, does
+  * LayoutDispatch actually substitute q3's scans, and what does the
+  * dispatched plan cost vs the stock one and vs the explicit-overlay
+  * bucketed arm? Prints the formatted plan (grep for `graft_bkt_` to see
+  * whether the substitution fired) and interleaved cold timings.
+  *
+  * Usage: Q3Dispatch <sfDir> [reps=3] [query=q3_shipping]
+  */
+object Q3Dispatch {
+  def main(args: Array[String]): Unit = {
+    graft.plans.ProbeAgg.pinColdUnlessRequested()
+    val sfDir = if (args.length > 0) args(0) else "benchdata/sf10"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val query = if (args.length > 2) args(2) else "q3_shipping"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // sf10 bench regime (hygiene off): SHJ conversion enabled
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "256m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val layoutHex = java.lang.Integer.toHexString(
+      new java.io.File(sfDir).getCanonicalPath.hashCode)
+    val layoutTo =
+      s"${System.getProperty("java.io.tmpdir")}/graft-bkt-$layoutHex"
+    def bname(t: String) = s"graft_bkt_${layoutHex}_$t"
+    val nBk = 32
+    import graft.engine.Bucketed
+    Bucketed.writeOrReuse(graft.Tables.load(spark, sfDir, "lineitem"),
+      spark, bname("lineitem"), s"$layoutTo/lineitem", Seq("l_orderkey"), nBk)
+    Bucketed.writeOrReuse(graft.Tables.load(spark, sfDir, "orders"),
+      spark, bname("orders"), s"$layoutTo/orders", Seq("o_orderkey"), nBk)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "true")
+
+    def mk(): DataFrame = graft.SparkEntry.queries(query)(spark, sfDir)
+    def timed(): Double = {
+      spark.catalog.clearCache()
+      graft.plans.ProbeAgg.releaseBroadcasts()
+      graft.ops.BigWindow.releaseCaches()
+      val t0 = System.nanoTime()
+      mk().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def arm(tag: String): Seq[Double] = {
+      println(s"\n=== $tag: plan ===")
+      mk().explain("formatted")
+      val warm = timed(); val warm2 = timed()
+      val times = (1 to reps).map(_ => timed())
+      println(f"[q3dispatch] $tag warmups=$warm%.2f,$warm2%.2f " +
+        s"reps=${times.map(t => f"$t%.2f").mkString(",")}")
+      times
+    }
+
+    // arm 1: stock (no dispatch installed — the kernel/fallback arm
+    // q3 would take on an unregistered fixture)
+    graft.plans.LayoutDispatch.clear()
+    arm("stock")
+
+    // arm 2: headline posture — dispatch installed + registered exactly
+    // like Bench's layout-aware section
+    graft.plans.LayoutDispatch.install(spark)
+    graft.plans.LayoutDispatch.register(s"$sfDir/lineitem.parquet",
+      Seq("l_orderkey"), bname("lineitem"))
+    graft.plans.LayoutDispatch.register(s"$sfDir/orders.parquet",
+      Seq("o_orderkey"), bname("orders"))
+    arm("dispatch")
+
+    // arm 3: explicit overlay — the bucketed section's posture
+    graft.plans.LayoutDispatch.clear()
+    graft.Tables.setOverlay(sfDir, "lineitem", bname("lineitem"))
+    graft.Tables.setOverlay(sfDir, "orders", bname("orders"))
+    arm("overlay")
+    graft.Tables.clearOverlays()
+    spark.stop()
+  }
+}
