@@ -93,68 +93,96 @@ object IcebergExport {
     case other => other
   }
 
-  /** Write one spec-shaped Avro manifest + manifest list for a snapshot;
-    * returns the manifest-list file name. */
+  /** Per-file export sequence number. Data files: the commit-stamped
+    * snapshot id, falling back to 0 for legacy (pre-stamping) manifests
+    * — the SAME fallback the internal read uses (DataFile.dataSeq), so
+    * the exported and internal views apply the v2 equality-delete rule
+    * (strictly-older data files only) identically. Delete files:
+    * stamped id, falling back to the owning snapshot's id. One number
+    * for the whole manifest would make the rule vacuous. */
+  private def exportSeq(f: DataFile, s: Snapshot): Long =
+    f.seq.getOrElse(if (f.isAnyDelete) s.id else 0L)
+
+  /** Write spec-shaped Avro manifests + manifest list for a snapshot;
+    * returns the manifest-list file name. Data files and delete files
+    * go in SEPARATE manifests whose manifest-list entries carry
+    * content=0 / content=1 respectively — spec-conformant external
+    * readers discover delete files only through content=1 manifests,
+    * so mixing them into one data manifest would make every external
+    * reader silently resurrect the deleted rows. Manifest-level
+    * sequence numbers use the snapshot id (the same space the
+    * per-entry stamps live in), keeping the spec invariant that no
+    * entry's sequence number exceeds its manifest's. */
   private def writeAvroManifests(tbl: LakeTable, outDir: String,
-      s: Snapshot, seq: Long): String = {
+      s: Snapshot): String = {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val entrySchema = new Schema.Parser().parse(entrySchemaJson)
     val dfSchema = entrySchema.getField("data_file").schema()
     val files = MetadataIO.liveFiles(tbl.dir, s)
-    val manifestName = s"manifest-${s.id}.avro"
-    val manifestPath = Paths.get(outDir, "metadata", manifestName)
-    val w1 = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](entrySchema))
-    w1.create(entrySchema, manifestPath.toFile)
-    for (f <- files) {
-      val df = new GenericData.Record(dfSchema)
-      df.put("content", f.content.getOrElse(0))
-      df.put("file_path", f.path)
-      df.put("file_format", "PARQUET")
-      df.put("record_count", f.rowCount)
-      df.put("file_size_in_bytes", f.sizeBytes)
-      // content=2 entries carry the equality field ids (v2 spec) so an
-      // external reader can apply the deletes by column
-      df.put("equality_ids", f.equalityIds
-        .map(ids => new java.util.ArrayList[Integer](
-          ids.map(Integer.valueOf).asJava)).orNull)
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", s.id)
-      // per-FILE data sequence number (the commit-stamped snapshot id),
-      // not one number for the whole manifest: the v2 sequence rule
-      // (equality deletes hit strictly-older data files only) is
-      // meaningless if every live file exports at the same sequence
-      e.put("sequence_number", f.seq.getOrElse(seq))
-      e.put("file_sequence_number", f.seq.getOrElse(seq))
-      e.put("data_file", df)
-      w1.append(e)
+    val (delFiles, dataFiles) = files.partition(_.isAnyDelete)
+
+    def writeManifest(name: String, fs: List[DataFile]): Long = {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](entrySchema))
+      w.create(entrySchema, Paths.get(outDir, "metadata", name).toFile)
+      for (f <- fs) {
+        val df = new GenericData.Record(dfSchema)
+        df.put("content", f.content.getOrElse(0))
+        df.put("file_path", f.path)
+        df.put("file_format", "PARQUET")
+        df.put("record_count", f.rowCount)
+        df.put("file_size_in_bytes", f.sizeBytes)
+        // content=2 entries carry the equality field ids (v2 spec) so
+        // an external reader can apply the deletes by column
+        df.put("equality_ids", f.equalityIds
+          .map(ids => new java.util.ArrayList[Integer](
+            ids.map(Integer.valueOf).asJava)).orNull)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", s.id)
+        e.put("sequence_number", exportSeq(f, s))
+        e.put("file_sequence_number", exportSeq(f, s))
+        e.put("data_file", df)
+        w.append(e)
+      }
+      w.close()
+      Files.size(Paths.get(outDir, "metadata", name))
     }
-    w1.close()
 
     val listSchema = new Schema.Parser().parse(listSchemaJson)
     val listName = s"snap-${s.id}.avro"
     val w2 = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](listSchema))
     w2.create(listSchema, Paths.get(outDir, "metadata", listName).toFile)
-    val m = new GenericData.Record(listSchema)
-    m.put("manifest_path", s"metadata/$manifestName")
-    m.put("manifest_length", Files.size(manifestPath))
-    m.put("partition_spec_id", 0)
-    m.put("content", 0)
-    m.put("sequence_number", seq)
-    m.put("min_sequence_number",
-      (files.map(_.seq.getOrElse(seq)) :+ seq).min)
-    m.put("added_snapshot_id", s.id)
-    m.put("added_files_count", files.count(!_.isAnyDelete))
-    m.put("existing_files_count", 0)
-    m.put("deleted_files_count", files.count(_.isAnyDelete))
-    m.put("added_rows_count", files.filter(!_.isAnyDelete).map(_.rowCount).sum)
-    m.put("existing_rows_count", 0L)
-    m.put("deleted_rows_count", files.filter(_.isAnyDelete).map(_.rowCount).sum)
-    w2.append(m)
+    def listEntry(manifestName: String, length: Long, content: Int,
+        fs: List[DataFile]): GenericRecord = {
+      val m = new GenericData.Record(listSchema)
+      m.put("manifest_path", s"metadata/$manifestName")
+      m.put("manifest_length", length)
+      m.put("partition_spec_id", 0)
+      m.put("content", content)
+      m.put("sequence_number", s.id)
+      m.put("min_sequence_number",
+        (fs.map(exportSeq(_, s)) :+ s.id).min)
+      m.put("added_snapshot_id", s.id)
+      m.put("added_files_count", fs.size)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", fs.map(_.rowCount).sum)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      m
+    }
+    if (dataFiles.nonEmpty) {
+      val n = s"manifest-${s.id}.avro"
+      w2.append(listEntry(n, writeManifest(n, dataFiles), 0, dataFiles))
+    }
+    if (delFiles.nonEmpty) {
+      val n = s"manifest-${s.id}-deletes.avro"
+      w2.append(listEntry(n, writeManifest(n, delFiles), 1, delFiles))
+    }
     w2.close()
     listName
   }
@@ -176,9 +204,9 @@ object IcebergExport {
       Map("name" -> pf.partName, "transform" -> transformName(pf.transform),
         "source-id" -> ids.getOrElse(pf.column, -1), "field-id" -> (1000 + i))
     }
-    val snapshots = meta.snapshots.zipWithIndex.map { case (s, i) =>
+    val snapshots = meta.snapshots.map { s =>
       val manifestList =
-        if (avroManifests) writeAvroManifests(tbl, outDir, s, i + 1L)
+        if (avroManifests) writeAvroManifests(tbl, outDir, s)
         else {
           val name = s"manifest-list-${s.id}.json"
           val entries = MetadataIO.liveFiles(tbl.dir, s)
@@ -188,7 +216,7 @@ object IcebergExport {
                 "file_path" -> f.path, "file_format" -> "PARQUET",
                 "record_count" -> f.rowCount,
                 "file_size_in_bytes" -> f.sizeBytes,
-                "sequence_number" -> f.seq.getOrElse(i + 1L),
+                "sequence_number" -> exportSeq(f, s),
                 "partition" -> f.partition) ++
                 f.equalityIds.map("equality_ids" -> _)
             }

@@ -83,6 +83,24 @@ object Pruning {
     case _ => s
   }
 
+  /** Whether two files' [min,max] ranges on a column of type `dt` can
+    * intersect — unknown or unparsable stats are conservatively true.
+    * Used by the equality-delete flush to skip rewriting data files no
+    * delete key can touch (the delete files are key-sorted exactly so
+    * these bounds are tight). */
+  def rangesMayOverlap(dt: DataType, a: Option[ColStat],
+      b: Option[ColStat]): Boolean = (a, b) match {
+    case (Some(x), Some(y)) =>
+      def lt(hi: Option[String], lo: Option[String]): Boolean =
+        (for {
+          h <- hi; l <- lo
+          c <- try cmp(parseStat(dt, h), parseStat(dt, l))
+               catch { case _: Exception => None }
+        } yield c < 0).getOrElse(false)
+      !(lt(x.max, y.min) || lt(y.max, x.min))
+    case _ => true
+  }
+
   /** Evaluate `pred` (an unanalyzed Column expression) against one file. */
   def evalFile(pred: Expression, schema: StructType,
       spec: List[PartitionField], f: DataFile): Tri = {

@@ -529,10 +529,8 @@ object Engine {
     * away. */
   def deleteMor(tbl: LakeTable, pred: Column): DmlResult = withCommitRetry() {
     val (allDels, data) = tbl.liveFiles.partition(_.isAnyDelete)
-    // only position files join the already-covered anti-join below;
-    // pending equality deletes don't affect which positions to record
-    // (re-marking an eq-deleted row is read-harmless, both anti-join)
     val dels = allDels.filter(_.isDelete)
+    val eqDels = allDels.filter(_.isEqDelete)
     val (mustRead, _, fullMatch) = Pruning.partitionFiles(
       Some(GraftBridge.resolvePredicate(tbl.spark, tbl.schema, pred)),
       tbl.schema, tbl.meta.partitionSpec, data)
@@ -546,10 +544,14 @@ object Engine {
         .withColumn("_file",
           regexp_replace(col("_metadata.file_path"), "^file:/*", "/"))
         .withColumn("_pos", col("_metadata.row_index"))
-      // anti-join away positions already covered by earlier delete files:
-      // re-emitting them is read-harmless (reads dedupe by position) but
-      // would double-count deletedRows on overlapping MOR deletes
-      val matched = raw.filter(pred)
+      // exclude rows already equality-deleted (their positions would be
+      // read-harmless to re-mark, but deletedRows would overcount), then
+      // anti-join away positions already covered by earlier position-
+      // delete files — same double-count reason
+      val rawLive =
+        if (eqDels.isEmpty) raw
+        else tbl.applyEqualityDeletes(raw, eqDels, candidates)
+      val matched = rawLive.filter(pred)
         .select(col("_file").as("file_path"), col("_pos").as("pos"))
       val pos =
         if (dels.isEmpty) matched
@@ -620,21 +622,19 @@ object Engine {
       throw new IllegalArgumentException(
         s"deleteByKey: column $c has no field id"))).toList
     // dedupe + sort the keys: repeated upserts of the same key must not
-    // grow the delete file, and sorted keys give tight per-file stats.
-    // field-id metadata attached so external field-id readers resolve.
-    val keySchema = org.apache.spark.sql.types.StructType(
-      keyCols.map(c => schema(c)).toArray)
-    val distinctKeys = keys.select(keyCols.map(col): _*).distinct()
-    val nParts = math.max(1, math.min(
-      tbl.spark.sparkContext.defaultParallelism,
-      distinctKeys.rdd.getNumPartitions))
+    // grow the delete file, sorted keys give the tight per-file stats
+    // the flush pruner refutes with, and the distinct's own hash
+    // shuffle IS the key partitioning (no second exchange). Field-id
+    // metadata rides the select (the writeRaw pattern) so external
+    // field-id readers resolve the delete columns.
+    tbl.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val distinctKeys = keys
+      .select(keyCols.map(c =>
+        col(s"`$c`").cast(schema(c).dataType).as(c, schema(c).metadata)): _*)
+      .distinct()
+      .sortWithinPartitions(keyCols.map(col): _*)
     val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
-    // re-wrap with the table schema's fields so the parquet writer
-    // emits field ids (fieldId.write is on by default when present)
-    tbl.spark.createDataFrame(
-        distinctKeys.repartition(nParts, keyCols.map(col): _*)
-          .sortWithinPartitions(keyCols.map(col): _*).rdd, keySchema)
-      .write.parquet(staging.toString)
+    distinctKeys.write.parquet(staging.toString)
     val dataDir = MetadataIO.dataDir(tbl.dir)
     val moved = scala.collection.mutable.ListBuffer[String]()
     val stream = Files.walk(staging)
@@ -672,8 +672,16 @@ object Engine {
     * [[maintenanceTick]]. */
   def upsertByKey(tbl: LakeTable, keyCols: Seq[String],
       rows: DataFrame): DmlResult = {
-    val cached = rows.cache() // read twice: keys, then the append
+    val cached = rows.cache() // read thrice: guard, keys, the append
     try {
+      // the MERGE cardinality rule, same reason as Engine.merge: two
+      // batch rows under one key would BOTH survive the delete (both
+      // carry the same higher sequence number) and the table would
+      // silently hold duplicates — callers must last-wins-reduce their
+      // CDC batch before applying it
+      require(cached.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).isEmpty,
+        "upsertByKey batch has more than one row for some key")
       val res = deleteByKey(tbl, keyCols, cached)
       insert(tbl, cached)
       res
@@ -709,14 +717,31 @@ object Engine {
         .parquet(dels.map(_.path): _*)
         .select("file_path").distinct().collect()
         .map(r => normPath(r.getString(0))).toSet
-    // equality deletes apply to every data file with a strictly lower
-    // sequence number; which ROWS match is unknowable without the scan
-    // the flush is about to do anyway, so the candidate set is by seq
-    val maxEqSeq =
-      if (eqDels.isEmpty) Long.MinValue
-      else eqDels.map(_.seq.getOrElse(Long.MaxValue)).max
+    // equality deletes apply to data files with a strictly lower
+    // sequence number — but a file whose key-column [min,max] ranges
+    // are disjoint from a delete file's cannot contain any deleted row
+    // (the delete keys are written sorted exactly so these bounds are
+    // tight), so stats refute most of the table for a narrow delete
+    // instead of rewriting every older file. Both-sides-nullable keys
+    // defeat range refutation (NULL <=> NULL matches); missing stats
+    // are conservatively affected.
+    val schema = tbl.schema
+    val idToName = tbl.meta.fieldIds.map(f => f.id -> f.name).toMap
+    def eqAffects(f: DataFile): Boolean = eqDels.exists { d =>
+      f.dataSeq < d.seq.getOrElse(Long.MaxValue) &&
+        d.equalityIds.getOrElse(Nil).forall { id =>
+          val c = idToName.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"unknown equality field id $id in ${d.path}"))
+          val fs = f.stats.get(c)
+          val ds = d.stats.get(c)
+          Pruning.rangesMayOverlap(schema(c).dataType, fs, ds) ||
+            (fs.exists(_.nullCount > 0) && ds.exists(_.nullCount > 0))
+        }
+    }
     val rewrite = data.filter(f =>
-      posAffected.contains(normPath(f.path)) || f.dataSeq < maxEqSeq)
+      posAffected.contains(normPath(f.path)) ||
+        (eqDels.nonEmpty && eqAffects(f)))
     val newFiles = rewrite.groupBy(_.partition).toList.flatMap {
       case (partition, group) =>
         val raw = tbl.spark.read.schema(tbl.schema)
@@ -968,8 +993,23 @@ object Engine {
 
   def expireSnapshots(tbl: LakeTable, keepLast: Int = 1): Int =
     MetadataIO.withTableLock(tbl.dir) {
+      expireSnapshotIds(tbl, expireSelection(tbl, keepLast))
+    }
+
+  /** Drop exactly `removeIds` (+ GC). Callers that pre-published a
+    * removal set to an external catalog ([[IcebergRestCatalog
+    * .expireSnapshots]]'s commit-first ordering) pass that SAME set
+    * here, so a local snapshot committed between the catalog commit and
+    * this call can never be GC'd while the catalog still serves it —
+    * recomputing keep-last here would widen the drop set. */
+  def expireSnapshotIds(tbl: LakeTable, removeIds: Seq[Long]): Int =
+    MetadataIO.withTableLock(tbl.dir) {
     val meta = tbl.meta
-    val keep = meta.snapshots.sortBy(_.id).takeRight(math.max(1, keepLast))
+    val remove = removeIds.toSet
+    val keep = meta.snapshots.filterNot(s => remove.contains(s.id))
+    require(keep.nonEmpty, "refusing to expire every snapshot")
+    require(keep.exists(_.id == meta.currentSnapshotId),
+      "refusing to expire the current snapshot")
     val dropped = meta.snapshots.size - keep.size
     if (dropped > 0) {
       MetadataIO.commitMetadata(tbl.dir, meta.copy(snapshots = keep))
@@ -984,18 +1024,21 @@ object Engine {
         } finally stream.close()
       }
       val refManifests = keep.flatMap(_.manifests).toSet
-      // exported Iceberg avro manifests are named manifest-<snapId>.avro
-      // (IcebergExport.writeAvroManifests) — the same prefix as the
-      // engine's JSON manifests, so the sweep below would reclaim KEPT
+      // exported Iceberg artifacts share the manifest- prefix with the
+      // engine's JSON manifests (manifest-<snapId>.avro,
+      // manifest-<snapId>-deletes.avro, manifest-list-<snapId>.json —
+      // IcebergExport), so the sweep below would reclaim KEPT
       // snapshots' exported chains too and leave a catalog reader
       // chasing deleted files until the next re-export
-      val keptAvro = keep.map(s => s"manifest-${s.id}.avro").toSet
+      val keptExported = keep.flatMap(s => Seq(
+        s"manifest-${s.id}.avro", s"manifest-${s.id}-deletes.avro",
+        s"manifest-list-${s.id}.json")).toSet
       val mdir = MetadataIO.metaDir(tbl.dir)
       val ms = Files.list(mdir)
       try ms.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("manifest-") && !refManifests.contains(n) &&
-            !keptAvro.contains(n))
+            !keptExported.contains(n))
           Files.delete(p)
       } finally ms.close()
     }

@@ -657,7 +657,10 @@ final class IcebergRestCatalog(val spark: SparkSession, baseUri: String,
       // order left both failure windows dangling.
       withCommitRetry(maxRetries)(() => currentSnapshotId(ns, name))(
         commitRemoveSnapshots(ns, name, removed, _))
-      Engine.expireSnapshots(tbl, keepLast)
+      // drop exactly the set the catalog just removed — recomputing
+      // keep-last here could widen the set past a concurrent local
+      // commit and GC a snapshot the catalog still serves
+      Engine.expireSnapshotIds(tbl, removed)
       // refresh the exported chain for the kept snapshots (the engine
       // GC preserves their manifest-<id>.avro files; this re-links the
       // metadata.json + snap lists at the new version)

@@ -75,9 +75,9 @@ object AzFetch {
     val path = s"az://$container/$blob"
     val now = System.currentTimeMillis()
     var best: Option[(String, VendedSas)] = None
-    val expired = List.newBuilder[String]
+    val expired = List.newBuilder[(String, VendedSas)]
     sasByPrefix.forEach { (p, s) =>
-      if (s.expiresAtMs.exists(_ <= now)) expired += p
+      if (s.expiresAtMs.exists(_ <= now)) expired += ((p, s))
       // longest-prefix wins; equal lengths cannot both cover one path
       // (two distinct same-length strings can't both prefix it), so a
       // length tie is impossible and the pick is deterministic — the
@@ -90,14 +90,18 @@ object AzFetch {
     // make the fallback diagnosable: a request that used to ride a
     // vended SAS silently switching to Shared Key (or failing on a
     // missing account key) is otherwise indistinguishable from
-    // misconfiguration
+    // misconfiguration. Value-conditional remove: a concurrent
+    // registerVendedSas may have refreshed the prefix between the walk
+    // above and this eviction — an unconditional remove would delete
+    // the just-registered LIVE token.
     val gone = expired.result()
     if (gone.nonEmpty) {
-      gone.foreach(sasByPrefix.remove)
-      if (best.isEmpty && gone.exists(p => path == p ||
-          path.startsWith(p + "/")))
+      gone.foreach { case (p, s) => sasByPrefix.remove(p, s) }
+      if (best.isEmpty && gone.exists { case (p, _) =>
+          path == p || path.startsWith(p + "/") })
         System.err.println(s"[AzFetch] vended SAS for $path expired " +
-          s"(prefix ${gone.mkString(", ")}); falling back to Shared Key")
+          s"(prefix ${gone.map(_._1).mkString(", ")}); falling back " +
+          "to Shared Key")
     }
     best.map(_._2)
   }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -417,11 +419,66 @@ class IcebergInteropSpec extends AnyFunSuite with BeforeAndAfterAll {
       val back = IcebergImport.scan(spark, dir)
       assert(back.orderBy("n_nationkey").collect().toSeq == expect,
         s"avro=$avro")
+      if (avro) {
+        // spec conformance: external readers discover delete files ONLY
+        // through content=1 manifest-list entries — pin the split
+        val table = IcebergImport.readMetadata(
+          IcebergImport.latestMetadataPath(dir).get)
+        val reader = org.apache.avro.file.DataFileReader.openReader(
+          new java.io.File(s"$dir/${table.currentSnapshot.get.manifestList}"),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        val contents =
+          try {
+            val b = Seq.newBuilder[Int]
+            while (reader.hasNext)
+              b += reader.next().get("content").asInstanceOf[Number].intValue
+            b.result()
+          } finally reader.close()
+        assert(contents.contains(1),
+          "delete files must live in a content=1 manifest-list entry")
+        assert(contents.contains(0))
+      }
       // flush compacts the deletes away; results must not change
       Engine.flushDeletes(tbl)
       assert(tbl.liveFiles.forall(!_.isAnyDelete))
       assert(tbl.toDF.orderBy("n_nationkey").collect().toSeq == expect,
         s"post-flush avro=$avro")
+    }
+  }
+
+  test("legacy manifests (no seq stamps) read as sequence 0: an " +
+      "equality delete applies to them internally AND through export") {
+    import org.json4s.jackson.JsonMethods
+    val dir = Files.createTempDirectory("iceberglegacy").toString + "/t"
+    val nation = Tables.load(spark, "/root/testdata/sf0.001", "nation")
+    val tbl = Engine.ctas(spark, dir, nation)
+    // simulate a pre-stamping table: strip every seq field in place
+    val mdir = java.nio.file.Paths.get(dir, "metadata")
+    val ms = Files.list(mdir)
+    try ms.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("manifest-") &&
+        p.getFileName.toString.endsWith(".json"))
+      .foreach { p =>
+        val cleaned = JsonMethods.parse(
+          new String(Files.readAllBytes(p), "UTF-8"))
+          .removeField { case (n, _) => n == "seq" }
+        Files.write(p, JsonMethods.pretty(JsonMethods.render(cleaned))
+          .getBytes("UTF-8"))
+      }
+    finally ms.close()
+    assert(tbl.liveFiles.forall(_.seq.isEmpty), "seq strip failed")
+    Engine.deleteByKey(tbl, Seq("n_nationkey"),
+      nation.filter(col("n_nationkey") === 3).select("n_nationkey"))
+    // internal read: legacy files read as seq 0 < the delete's seq
+    assert(tbl.toDF.filter(col("n_nationkey") === 3).count() == 0L)
+    // exported read must agree — the export's data-file fallback is 0,
+    // NOT the owning snapshot's sequence (which would make the
+    // strictly-lower rule false and resurrect the row externally)
+    for (avro <- Seq(true, false)) {
+      IcebergExport.export(tbl, dir, avroManifests = avro)
+      assert(IcebergImport.scan(spark, dir)
+        .filter(col("n_nationkey") === 3).count() == 0L, s"avro=$avro")
     }
   }
 

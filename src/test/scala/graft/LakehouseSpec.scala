@@ -371,6 +371,37 @@ class LakehouseSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("n_name").collect().map(_.getString(0)).toSeq == Seq("v2"))
   }
 
+  test("equality-delete flush prunes by key stats; upsert batch " +
+      "cardinality is enforced") {
+    val dir = tmp()
+    val li = Tables.load(spark, sf, "lineitem")
+    val tbl = Engine.create(spark, dir, li.schema.toDDL)
+    // 4 files with disjoint l_orderkey ranges -> tight stats
+    val keys = li.select(max("l_orderkey")).head().getLong(0)
+    val q = keys / 4
+    for (i <- 0 until 4)
+      Engine.insert(tbl, li.filter(col("l_orderkey") >= i * q &&
+        (col("l_orderkey") < (i + 1) * q || lit(i == 3))))
+    val nFiles = tbl.liveFiles.count(!_.isAnyDelete)
+    assert(nFiles >= 4)
+    // delete keys confined to the FIRST quarter: stats must refute the
+    // other files, so the flush rewrites only the touched one(s)
+    val delKeys = li.filter(col("l_orderkey") < q / 8)
+      .select("l_orderkey").distinct()
+    val expectRemain = li.count() -
+      li.filter(col("l_orderkey") < q / 8).count()
+    Engine.deleteByKey(tbl, Seq("l_orderkey"), delKeys)
+    val rewritten = Engine.flushDeletes(tbl)
+    assert(rewritten < nFiles,
+      s"stats pruning failed: flush rewrote $rewritten of $nFiles files")
+    assert(tbl.toDF.count() == expectRemain)
+    // upsert batches must be key-unique (the MERGE cardinality rule)
+    val dup = li.limit(1).union(li.limit(1))
+    val e = intercept[IllegalArgumentException](
+      Engine.upsertByKey(tbl, Seq("l_orderkey"), dup))
+    assert(e.getMessage.contains("more than one row"))
+  }
+
   test("lake_file utilities: list/size/exists/preview/delete") {
     import graft.engine.LakeFiles
     val d = Files.createTempDirectory("lakefile")
