@@ -659,7 +659,9 @@ object Engine {
       } else Files.delete(Paths.get(path))
     }
     val dataFiles = tbl.liveFiles.count(!_.isAnyDelete)
-    commitSnapshot(tbl, "delete-eq", Set.empty, added)
+    // an empty key batch (routine in streaming upsert) commits nothing:
+    // snapshot-per-empty-batch would churn the log for no state change
+    if (added.nonEmpty) commitSnapshot(tbl, "delete-eq", Set.empty, added)
     DmlResult(0, 0, dataFiles, keyCount)
   }
 
@@ -872,15 +874,28 @@ object Engine {
     * ([[graft.streaming.StreamIngest.appendStream]]'s `maintainEvery`),
     * a cluster scheduler, or an explicit call. The decision mirrors the
     * worker's: act only when at least `minSmallFiles` live files sit
-    * under half the target size, else the tick is one metadata read and
-    * touches no data. Returns compaction rounds run (0 = no-op). */
+    * under half the target size (compaction) or at least
+    * `minDeleteFiles` MOR delete files pend (deletion-queue flush —
+    * the vacuum's other half), else the tick is one metadata read and
+    * touches no data. Returns work units run (0 = no-op). */
   def maintenanceTick(tbl: LakeTable,
       targetBytes: Long = 128L * 1024 * 1024,
-      minSmallFiles: Int = 8, maxRounds: Int = 100): Int = {
-    val small = tbl.liveFiles.filterNot(_.isAnyDelete)
+      minSmallFiles: Int = 8, maxRounds: Int = 100,
+      minDeleteFiles: Int = 32): Int = {
+    val live = tbl.liveFiles
+    // the reference's vacuum also drains the deletion queue
+    // (ddl/vacuum.c's flush step = flushDeletes here): a steady MOR
+    // delete/upsert stream otherwise accretes delete files every read
+    // must anti-join until someone flushes by hand. Threshold-gated so
+    // an occasional delete never triggers a rewrite storm; the flush's
+    // own stats pruner bounds the rewrite to the files actually touched.
+    var acted = 0
+    if (live.count(_.isAnyDelete) >= math.max(1, minDeleteFiles))
+      acted += flushDeletes(tbl)
+    val small = live.filterNot(_.isAnyDelete)
       .count(_.sizeBytes < targetBytes / 2)
-    if (small >= minSmallFiles) compact(tbl, targetBytes, maxRounds)
-    else 0
+    if (small >= minSmallFiles) acted += compact(tbl, targetBytes, maxRounds)
+    acted
   }
 
   /** OPTIMIZE … ZORDER BY analogue (Delta's maintenance op; Iceberg's

@@ -223,6 +223,31 @@ object QLake {
         .orderBy("o_orderstatus")
     },
 
+    // streaming CDC-apply (upsertStream): the 'O' orders arrive as one
+    // CDC batch with doubled prices AND a stale duplicate event per key
+    // — the last-wins reduction on the envelope's _lsn must collapse
+    // them before the equality-delete + append lands
+    "q_lake_upsert_stream" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val tbl = Engine.ctas(s, tmp("upstr"), o)
+      val src = Files.createTempDirectory("qlake_upstr_src").toString
+      val ckpt = Files.createTempDirectory("qlake_upstr_ckpt").toString
+      val stale = o.filter(col("o_orderstatus") === "O")
+        .withColumn("_lsn", lit(1L))
+      val fresh = o.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("_lsn", lit(2L))
+      stale.union(fresh).write.parquet(s"$src/b1")
+      val stream = s.readStream.schema(
+        stale.schema).parquet(s"$src/b1")
+      val q = graft.streaming.StreamIngest.upsertStream(tbl, stream,
+        Seq("o_orderkey"), ckpt, orderCol = Some("_lsn"))
+      q.awaitTermination(120000)
+      tbl.toDF.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+        .orderBy("o_orderstatus")
+    },
+
     // snapshot isolation: read the pre-delete snapshot after a delete
     "q_lake_timetravel" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -553,6 +578,13 @@ object QLake {
     "q_lake_upsert" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |                 ELSE o_totalprice END), 2) AS tot
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin,
+
+    "q_lake_upsert_stream" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
         |                 ELSE o_totalprice END), 2) AS tot
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin,

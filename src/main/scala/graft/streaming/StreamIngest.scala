@@ -87,6 +87,63 @@ object StreamIngest {
       }
       .start()
 
+  /** Streaming CDC-apply: each micro-batch UPSERTS into the lake table
+    * by key — [[Engine.upsertByKey]]'s equality-delete + append, so a
+    * batch is O(batch) work with no data scan, and compaction is
+    * deferred to the `maintainEvery` rider (whose tick also drains the
+    * deletion queue). This is the consumer half of the reference's
+    * logical-replication apply (pg_lake_replication.c) for UPDATE-heavy
+    * streams, where [[appendStream]] covers the insert-only case.
+    *
+    * CDC batches routinely carry several events per key; pass
+    * `orderCol` (an event-time / LSN column) to last-wins-reduce each
+    * batch before applying. Without it the batch must already be
+    * key-unique — [[Engine.upsertByKey]]'s cardinality rule fails
+    * loudly otherwise rather than silently duplicating rows. */
+  def upsertStream(tbl: LakeTable, source: DataFrame,
+      keyCols: Seq[String], checkpoint: String,
+      orderCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maintainEvery: Int = 0,
+      maintainMinSmallFiles: Int = 8,
+      maintainMinDeleteFiles: Int = 32): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val reduced = orderCol match {
+            case Some(oc) =>
+              // last-wins per key by the caller's ordering column; the
+              // row number tie-breaks arbitrarily on exact oc ties, so
+              // callers with replayed duplicates should make oc unique
+              import org.apache.spark.sql.expressions.Window
+              batch.withColumn("_rn", row_number().over(
+                  Window.partitionBy(keyCols.map(col): _*)
+                    .orderBy(col(oc).desc)))
+                .filter(col("_rn") === 1).drop("_rn")
+            case None => batch
+          }
+          // project to the table's columns: CDC envelopes carry
+          // metadata (the ordering column, op codes) the table doesn't
+          Engine.upsertByKey(tbl, keyCols,
+            reduced.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+        }
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+          try Engine.maintenanceTick(
+            LakeTable.load(tbl.spark, tbl.dir),
+            minSmallFiles = maintainMinSmallFiles,
+            minDeleteFiles = maintainMinDeleteFiles)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[upsertStream] maintenance tick failed (ingest " +
+                s"continues): ${e.getMessage}")
+          }
+          ()
+        }
+      }
+      .start()
+
   /** Streaming exact dedup for a training-data ingest pipeline: drop
     * records whose content hash was already seen, with state bounded by
     * the event-time watermark (`dropDuplicatesWithinWatermark` — a

@@ -184,6 +184,42 @@ class EvolutionStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ClusterLayout.read(after).count() == n.count())
   }
 
+  test("upsertStream applies CDC batches by key (last-wins on the " +
+      "ordering column) and the maintenance rider drains the deletion " +
+      "queue") {
+    val dir = tmp()
+    val n = Tables.load(spark, sf, "nation")
+    val tbl = Engine.ctas(spark, dir, n)
+    val total = n.count()
+    // CDC envelope: table columns + an event-ordering column; key 5
+    // carries TWO events in the batch — the later one must win
+    val srcDir = Files.createTempDirectory("ups_src").toString
+    val ckpt = Files.createTempDirectory("ups_ckpt").toString
+    val b1 = n.filter(col("n_nationkey") === 5)
+      .withColumn("n_name", lit("stale")).withColumn("_lsn", lit(1L))
+      .union(n.filter(col("n_nationkey") === 5)
+        .withColumn("n_name", lit("fresh")).withColumn("_lsn", lit(2L)))
+      .union(n.filter(col("n_nationkey") === 6)
+        .withColumn("n_name", lit("six-v2")).withColumn("_lsn", lit(1L)))
+    b1.write.parquet(s"$srcDir/b1")
+    val stream = spark.readStream.schema(b1.schema).parquet(s"$srcDir/b1")
+    val q = StreamIngest.upsertStream(tbl, stream, Seq("n_nationkey"),
+      ckpt, orderCol = Some("_lsn"),
+      maintainEvery = 1, maintainMinDeleteFiles = 1)
+    q.awaitTermination(60000)
+    val after = LakeTable.load(spark, dir)
+    assert(after.toDF.count() == total, "upsert must not change row count")
+    assert(after.toDF.filter(col("n_nationkey") === 5)
+      .select("n_name").collect().map(_.getString(0)).toSeq == Seq("fresh"),
+      "the higher-_lsn event must win within the batch")
+    assert(after.toDF.filter(col("n_nationkey") === 6)
+      .select("n_name").collect().map(_.getString(0)).toSeq == Seq("six-v2"))
+    // the rider's tick (minDeleteFiles=1) flushed the equality deletes
+    assert(after.liveFiles.forall(!_.isAnyDelete),
+      "maintenance rider should have drained the deletion queue")
+    assert(after.meta.snapshots.exists(_.operation == "flush-deletes"))
+  }
+
   test("streaming dedup drops watermark-window duplicates, keeps the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.expr
