@@ -22,6 +22,55 @@ class NewOpsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  // ----------------------------------------- equality-delete/upsert model
+
+  test("upsert/equality-delete sequences match a driver-side model " +
+      "under interleaved flush/compact (seeded random ops)") {
+    import spark.implicits._
+    import graft.engine.Engine
+    val rnd = new scala.util.Random(1234)
+    val dir = java.nio.file.Files
+      .createTempDirectory("eqprop").toString + "/t"
+    val keyDomain = 40L
+    var model: Map[Long, Long] =
+      (0L until 25L).map(k => k -> (rnd.nextInt(1000).toLong)).toMap
+    val tbl = Engine.ctas(spark, dir, model.toSeq.toDF("k", "v"))
+    for (step <- 1 to 14) {
+      rnd.nextInt(5) match {
+        case 0 | 1 => // upsert a key-unique batch (hits existing + new)
+          val ks = rnd.shuffle((0L until keyDomain).toList)
+            .take(1 + rnd.nextInt(8))
+          val rows = ks.map(k => (k, rnd.nextInt(1000).toLong))
+          Engine.upsertByKey(tbl, Seq("k"), rows.toDF("k", "v"))
+          model ++= rows.toMap
+        case 2 => // equality-delete a key set (some absent — no-ops)
+          val ks = rnd.shuffle((0L until keyDomain).toList)
+            .take(1 + rnd.nextInt(6))
+          Engine.deleteByKey(tbl, Seq("k"), ks.toDF("k"))
+          model --= ks
+        case 3 => Engine.flushDeletes(tbl)
+        case 4 => // fresh-key append: varies file sequence numbers
+          val fresh = Seq.fill(3)(keyDomain + rnd.nextInt(1000).toLong)
+            .distinct.filterNot(model.contains)
+          if (fresh.nonEmpty) {
+            val rows = fresh.map(k => (k, k * 2))
+            Engine.insert(tbl, rows.toDF("k", "v"))
+            model ++= rows.toMap
+          }
+      }
+      val got = tbl.toDF.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == model, s"state divergence at step $step")
+      assert(tbl.toDF.count() == model.size,
+        s"duplicate rows at step $step")
+    }
+    Engine.compact(tbl)
+    val finalGot = tbl.toDF.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(finalGot == model && tbl.toDF.count() == model.size,
+      "post-compact divergence")
+  }
+
   // ----------------------------------------- connected components
 
   test("Dedup.components equals union-find on random graphs, " +
