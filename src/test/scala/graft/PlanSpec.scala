@@ -86,6 +86,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nodeCount(p, "HashAggregate") >= 4, p) // partial+final x 2 levels
   }
 
+  test("equality-delete MOR read: data filters still push to the scan, " +
+      "delete sides broadcast (never shuffle the fact)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("eqplan").toString + "/t"
+    import spark.implicits._
+    val tbl = graft.engine.Engine.ctas(spark, dir,
+      (0L until 1000L).map(k => (k, k % 7)).toDF("k", "v"))
+    graft.engine.Engine.deleteByKey(tbl, Seq("k"), Seq(3L, 5L).toDF("k"))
+    val p = tbl.toDF.filter(col("v") === 2).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the user filter must reach the DATA scan through the anti-joins
+    // and the seq-tagging projection, or every query on a MOR table
+    // degrades to a full scan until the next flush
+    assert(p.contains("PushedFilters: [IsNotNull(v), EqualTo(v,2)]") ||
+      p.contains("PushedFilters: [EqualTo(v,2)"), p)
+    // both the file-seq map and the delete-key relations are
+    // broadcast: the fact side never shuffles for MOR bookkeeping
+    assert(nodeCount(p, "BroadcastHashJoin") >= 2, p)
+    assert(nodeCount(p, "Exchange hashpartitioning") == 0, p)
+  }
+
   test("q6: filters pushed into the parquet scan, no join/extra shuffle") {
     val p = plan("q6_forecast_revenue")
     assert(p.contains("PushedFilters: ["), p)
