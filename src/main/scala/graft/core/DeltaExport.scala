@@ -77,7 +77,10 @@ object DeltaExport {
           .flatMap(jval(f.dataType, _)).map(f.name -> _)
       })
     val nulls = JObject(schema.fields.toList.flatMap { f =>
-      footer.stats.get(f.name).map(st => f.name -> JInt(st.nullCount))
+      // -1 = unknown (footer omitted num_nulls): emit no nullCount
+      // rather than a negative the Delta protocol doesn't define
+      footer.stats.get(f.name).filter(_.nullCount >= 0)
+        .map(st => f.name -> JInt(st.nullCount))
     })
     JsonMethods.compact(JsonMethods.render(JObject(
       "numRecords" -> JInt(footer.rowCount),

@@ -78,8 +78,13 @@ object ParquetStats {
               (Some(mn.fold(cmn)(m => if (cmn.compareTo(m) < 0) cmn else m)),
                Some(mx.fold(cmx)(m => if (cmx.compareTo(m) > 0) cmx else m)))
             } else (mn, mx)
+          // a footer that omits num_nulls makes the file's null count
+          // UNKNOWN (-1), not zero: "0 nulls" is a proof consumers act
+          // on (IS NULL pruning, the eq-delete flush's NULL-match
+          // guard), and external writers legally omit the field
           acc(name) = (nmn, nmx,
-            nulls + (if (st.isNumNullsSet) st.getNumNulls else 0L),
+            if (nulls < 0 || !st.isNumNullsSet) -1L
+            else nulls + st.getNumNulls,
             tpe, logical)
         }
       }

@@ -61,6 +61,18 @@ object Pruning {
     case other => other
   }
 
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
     case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
@@ -68,7 +80,13 @@ object Pruning {
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
     case (x: BigDecimal, y) => cmp(x.toDouble, y)
     case (x, y: BigDecimal) => cmp(x, y.toDouble)
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // parquet string/binary min-max stats are extremes under UNSIGNED
+    // UTF-8 byte order; String.compareTo (UTF-16 code units) disagrees
+    // for supplementary characters (surrogates sort below U+E000 in
+    // UTF-16 but 4-byte sequences sort above all BMP in UTF-8), so
+    // comparisons against those stats must use the byte order the
+    // stats were computed under or refutation is unsound
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
   }

@@ -524,9 +524,14 @@ object Engine {
     * (file_path, pos) instead of rewriting data files — the reference's
     * alternative delete path (position_delete_dest.c:40-120;
     * ShouldRewriteAfterDeletions decides between the two,
-    * writable_table.c:648). Full-match files still drop metadata-only.
-    * Reads anti-join the delete files until `flushDeletes` compacts them
-    * away. */
+    * writable_table.c:648). Full-match files still drop metadata-only —
+    * deliberately WITHOUT consulting pending equality deletes, so their
+    * `deletedRows` contribution counts the file's full rowCount even
+    * when some rows were already eq-deleted (counting them exactly
+    * would need the scan the metadata-only path exists to avoid; the
+    * candidate path below does exclude eq-deleted rows, where the scan
+    * happens anyway). Reads anti-join the delete files until
+    * `flushDeletes` compacts them away. */
   def deleteMor(tbl: LakeTable, pred: Column): DmlResult = withCommitRetry() {
     val (allDels, data) = tbl.liveFiles.partition(_.isAnyDelete)
     val dels = allDels.filter(_.isDelete)
@@ -628,10 +633,16 @@ object Engine {
     // metadata rides the select (the writeRaw pattern) so external
     // field-id readers resolve the delete columns.
     tbl.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // coalesce bounds the delete-file fan-out when the session runs a
+    // high spark.sql.shuffle.partitions: a small key batch must not
+    // scatter into hundreds of tiny files every read then anti-joins
+    // (coalesce merges without a second shuffle; it never increases)
+    val nOut = math.max(1, tbl.spark.sparkContext.defaultParallelism)
     val distinctKeys = keys
       .select(keyCols.map(c =>
         col(s"`$c`").cast(schema(c).dataType).as(c, schema(c).metadata)): _*)
       .distinct()
+      .coalesce(nOut)
       .sortWithinPartitions(keyCols.map(col): _*)
     val staging = Paths.get(tbl.dir, s".staging-${UUID.randomUUID()}")
     distinctKeys.write.parquet(staging.toString)
@@ -673,16 +684,20 @@ object Engine {
     * batch, deferred compaction via [[flushDeletes]] /
     * [[maintenanceTick]]. */
   def upsertByKey(tbl: LakeTable, keyCols: Seq[String],
-      rows: DataFrame): DmlResult = {
+      rows: DataFrame,
+      assumeKeyUnique: Boolean = false): DmlResult = {
     val cached = rows.cache() // read thrice: guard, keys, the append
     try {
       // the MERGE cardinality rule, same reason as Engine.merge: two
       // batch rows under one key would BOTH survive the delete (both
       // carry the same higher sequence number) and the table would
       // silently hold duplicates — callers must last-wins-reduce their
-      // CDC batch before applying it
-      require(cached.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).isEmpty,
+      // CDC batch before applying it. `assumeKeyUnique` skips the
+      // guard's verification job for callers whose reduction already
+      // proves it (upsertStream's per-key row_number=1 cut).
+      require(assumeKeyUnique ||
+        cached.groupBy(keyCols.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).isEmpty,
         "upsertByKey batch has more than one row for some key")
       val res = deleteByKey(tbl, keyCols, cached)
       insert(tbl, cached)
@@ -737,8 +752,11 @@ object Engine {
               s"unknown equality field id $id in ${d.path}"))
           val fs = f.stats.get(c)
           val ds = d.stats.get(c)
+          // != 0 treats UNKNOWN null counts (-1, footer omitted
+          // num_nulls) as possibly-null: refuting on ranges alone
+          // would let a NULL-keyed delete silently miss NULL rows
           Pruning.rangesMayOverlap(schema(c).dataType, fs, ds) ||
-            (fs.exists(_.nullCount > 0) && ds.exists(_.nullCount > 0))
+            (fs.exists(_.nullCount != 0) && ds.exists(_.nullCount != 0))
         }
     }
     val rewrite = data.filter(f =>
@@ -892,7 +910,10 @@ object Engine {
     var acted = 0
     if (live.count(_.isAnyDelete) >= math.max(1, minDeleteFiles))
       acted += flushDeletes(tbl)
-    val small = live.filterNot(_.isAnyDelete)
+    // recount AFTER any flush: the flush's rewrites change the
+    // small-file picture this very tick should react to
+    val postFlush = if (acted > 0) tbl.liveFiles else live
+    val small = postFlush.filterNot(_.isAnyDelete)
       .count(_.sizeBytes < targetBytes / 2)
     if (small >= minSmallFiles) acted += compact(tbl, targetBytes, maxRounds)
     acted

@@ -125,9 +125,12 @@ object StreamIngest {
             case None => batch
           }
           // project to the table's columns: CDC envelopes carry
-          // metadata (the ordering column, op codes) the table doesn't
+          // metadata (the ordering column, op codes) the table doesn't.
+          // The row_number=1 cut proves key-uniqueness, so skip the
+          // guard's verification job on the hot ingest path.
           Engine.upsertByKey(tbl, keyCols,
-            reduced.select(tbl.schema.fieldNames.map(col).toSeq: _*))
+            reduced.select(tbl.schema.fieldNames.map(col).toSeq: _*),
+            assumeKeyUnique = orderCol.isDefined)
         }
         if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
           try Engine.maintenanceTick(
