@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Stage attribution + variant A/B for q_dedup_minhash under the BENCH
+  * protocol (caches cleared and released between reps — the bench's
+  * clearCache/releaseCaches hygiene means every rep recomputes the
+  * signature cache, so MinhashProfile's "warm" numbers understate what
+  * the bench actually pays). Arms are cumulative prefixes of the real
+  * pipeline: sig-only, +candidates, +estimate, full; consecutive
+  * differences attribute the per-rep seconds to each stage. Reps are
+  * interleaved across arms so box drift lands on every arm equally.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 scripts/run.sh \
+  *          graft.tools.MinhashVerifyAB [reps]
+  */
+object MinhashVerifyAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = if (args.nonEmpty) args(0).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs: DataFrame = graft.Tables.load(spark, sfDir, "documents")
+
+    def plan() = Dedup.minhashPlan(docs, "doc_id", "text", threshold = 0.5)
+
+    // candidate-stage VARIANTS: same (band, bhash) bucketing semantics —
+    // equal signature slices always hash equal under any deterministic
+    // hash, so the verified output is identical; only the false-candidate
+    // rate can differ, and the exact verify is the final word either way.
+    def candVariant(bandExpr: (org.apache.spark.sql.Column, Int, Int) =>
+        org.apache.spark.sql.Column): DataFrame = {
+      val p = plan()
+      val nBands = p.nBands; val r = 64 / nBands
+      val banded = p.sig.select(col("id"),
+        posexplode(bandExpr(col("sig"), nBands, r)).as(Seq("band", "bhash")))
+      val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"))
+      a.join(b, Seq("band", "bhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b")
+    }
+    val stringBands = (sig: org.apache.spark.sql.Column, nBands: Int, r: Int) =>
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => xxhash64(concat_ws("_",
+          slice(sig, b * r + 1, lit(r)).cast("array<string>"))))
+    val arrayHofBands = (sig: org.apache.spark.sql.Column, nBands: Int, r: Int) =>
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => xxhash64(slice(sig, b * r + 1, lit(r))))
+    val arrayStaticBands = (sig: org.apache.spark.sql.Column, nBands: Int, r: Int) =>
+      array((0 until nBands).map(b =>
+        xxhash64(slice(sig, b * r + 1, r))): _*)
+
+    // merged attach variant: estimate filter AND exact verify applied on
+    // ONE pair of attach joins (sig+sh ride together) — same filters,
+    // same output, two fewer joins / one fewer cache materialization
+    def fullMerged(): DataFrame = {
+      val p = plan()
+      val minAgree = math.ceil((0.5 - 0.2) * 64).toLong
+      val both = p.sig // (id, sh, sig) — the one tracked cache
+      val out = p.cand
+        .join(both.select(col("id").as("id_a"), col("sh").as("sh_a"),
+          col("sig").as("sig_a")), Seq("id_a"))
+        .join(both.select(col("id").as("id_b"), col("sh").as("sh_b"),
+          col("sig").as("sig_b")), Seq("id_b"))
+        .filter(org.apache.spark.sql.GraftBridge.column(
+          graft.ops.ArrayAgreeCount(
+            org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_a")),
+            org.apache.spark.sql.GraftBridge.eagerExpression(col("sig_b"))))
+          >= minAgree)
+        .withColumn("n_common",
+          Dedup.sortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("n_union",
+          (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("n_common"))
+        .filter(col("n_common").cast("double") >= col("n_union") * 0.5)
+        .select("id_a", "id_b", "n_common", "n_union")
+      out.orderBy("id_a", "id_b")
+    }
+
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      "1_sig_only" -> (() => plan().sig),
+      "2_plus_cand" -> (() => plan().cand),
+      "3_plus_est" -> (() => plan().est),
+      "4v_full_merged" -> (() => fullMerged()),
+      "4_full" -> (() => {
+        val d = docs
+        Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
+          .select("id_a", "id_b", "n_common", "n_union")
+          .orderBy("id_a", "id_b")
+      }))
+
+    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+    def run(name: String, mk: () => DataFrame, record: Boolean): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      mk().write.format("noop").mode("overwrite").save()
+      val el = (System.nanoTime() - t0) / 1e9
+      Dedup.releaseCaches()
+      if (record) acc(name) = el :: acc.getOrElse(name, Nil)
+    }
+
+    (1 to 2).foreach(_ => arms.foreach { case (n, mk) => run(n, mk, false) })
+    (1 to reps).foreach(_ => arms.foreach { case (n, mk) => run(n, mk, true) })
+
+    arms.foreach { case (n, _) =>
+      val xs = acc(n).sorted
+      println(f"[ab] $n%-28s med ${xs(xs.size / 2)}%6.3f  min ${xs.head}%6.3f  max ${xs.last}%6.3f  (${xs.size} reps)")
+    }
+    spark.stop()
+  }
+}
