@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Shared helpers for the driver-facing query inventory.
   *
@@ -18,4 +18,38 @@ object Q {
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
+
+  /** Deterministic global sort for gate outputs, size-dispatched like
+    * the engine's other auto-dispatches (Rollup.rollupAuto, minhash
+    * clusteredVerify): report-sized results shuffle to ONE partition
+    * and sort in-partition — skipping the RangePartitioner SAMPLING
+    * JOB, which re-executes every narrow operator above the last
+    * shuffle once more per query (the whole Window chain for the
+    * window gates; measured via tools/OrderByAB at sf0.1:
+    * sessionize 0.384→0.278 s, rank 0.410→0.313 s) — while results
+    * whose optimizer size estimate crosses the bound keep the
+    * scale-correct parallel range sort (measured at sf10: the
+    * single-task sort of the 5.4M-row rank output is 2.5× WORSE than
+    * paying the sampling pass — 8.29 vs 3.36 s). Rows are identical
+    * either way; only the physical sort layout dispatches.
+    * Override: spark.graft.sort.onePartitionMaxBytes (bytes, default
+    * 64 MB — sf0.1 window inputs estimate ~2-20 MB, sf10 ~0.2-1.9 GB,
+    * so both decades sit far from the cut). */
+  def ordered(df: DataFrame, cols: Column*): DataFrame = {
+    val thr = df.sparkSession.conf
+      .get("spark.graft.sort.onePartitionMaxBytes",
+        (64L << 20).toString).toLong
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr))
+      df.repartition(1).sortWithinPartitions(cols: _*)
+    else df.orderBy(cols: _*)
+  }
+
+  /** [[ordered]] for outputs with a PROVEN tiny row bound (a top-k
+    * joined back to a dimension for display attributes): unconditional
+    * single-task sort. The range-sort alternative would run its
+    * sampling pass over the child — a full dimension scan + join — to
+    * sort k rows; the plan-stats dispatch above cannot see the bound
+    * because join output estimates stay scan-sized. */
+  def orderedTiny(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 }

@@ -46,7 +46,7 @@ object QMisc {
     "q_sessionize" -> { (s, dir) =>
       graft.ops.Sessionize.sessions(
         t(s, dir, "events"), "user_id", "ts", "value")
-        .orderBy("user_id", "session_start")
+        .transform(Q.ordered(_, col("user_id"), col("session_start")))
     })
 
   val oracleSql: Map[String, String] = Map(

@@ -60,7 +60,7 @@ object QPipe {
   val queries: Map[String, QueryFn] = Map(
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactClusters(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("content_hash")
+        .transform(ordered(_, col("content_hash")))
     },
 
     // the xxhash64 fast path: the gate compares the CLUSTERS (canonical
@@ -69,7 +69,7 @@ object QPipe {
     "q_dedup_exact_fast" -> { (s, dir) =>
       Dedup.exactClustersFast(t(s, dir, "documents"), "doc_id", "text")
         .select(col("canonical_id"), col("n_copies"))
-        .orderBy("canonical_id")
+        .transform(ordered(_, col("canonical_id")))
     },
 
     "q_text_stats" -> { (s, dir) =>
@@ -89,7 +89,7 @@ object QPipe {
           round(when(toks === 0, 0.0).otherwise(
             col("metrics.n_nonspace").cast("double") / toks), 6)
             .as("mean_word_len"))
-        .orderBy("doc_id")
+        .transform(ordered(_, col("doc_id")))
     },
 
     // as-of join: every click aligned to the user's latest view at or
@@ -168,7 +168,7 @@ object QPipe {
       val d = t(s, dir, "documents")
       Dedup.minhashPairs(d, "doc_id", "text", threshold = 0.5)
         .select("id_a", "id_b", "n_common", "n_union")
-        .orderBy("id_a", "id_b")
+        .transform(ordered(_, col("id_a"), col("id_b")))
     },
 
     // simhash signatures, differentially verifiable: the token hash is an
@@ -251,7 +251,7 @@ object QPipe {
       val query = e.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       Similarity.cosineAll(e, "vec_id", "embedding", query)
-        .orderBy("vec_id")
+        .transform(ordered(_, col("vec_id")))
     },
 
     // ANN via multi-table sign-LSH over integer-quantized vectors: every

@@ -70,7 +70,7 @@ object QRel {
       t(s, dir, "orders").join(broadcast(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "c_name", "o_totalprice")
-        .orderBy("o_orderkey")
+        .transform(ordered(_, col("o_orderkey")))
     },
 
     // left join with genuinely unmatched rows (filtered right side)

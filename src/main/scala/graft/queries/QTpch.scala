@@ -282,10 +282,16 @@ object QTpch {
             .as("revenue"))
           .orderBy(desc("revenue"), col("o_custkey"))
           .limit(20)
+      // top is ≤20 rows by construction, so the display join's output
+      // is ≤20 rows at ANY scale — but its plan-stats estimate stays
+      // customer-scan-sized, so the generic dispatch can't see it: sort
+      // the k rows in one task unconditionally (the range sort's
+      // sampling pass would re-run the customer scan + join to bound 20
+      // rows)
       c.join(broadcast(top), col("c_custkey") === col("o_custkey"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("revenue"))
-        .orderBy(desc("revenue"), col("c_custkey"))
+        .transform(orderedTiny(_, desc("revenue"), col("c_custkey")))
     })
 
   val oracleSql: Map[String, String] = Map(

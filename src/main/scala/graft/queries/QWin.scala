@@ -44,7 +44,7 @@ object QWin {
           col("rnk"), col("drnk"),
           round(col("prnk"), 8).as("prnk"),
           round(col("cdist"), 8).as("cdist"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(ordered(_, col("l_orderkey"), col("l_linenumber")))
     },
 
     // forced-rewrite twin of q_win_rank: the frequency-table path under
@@ -117,7 +117,7 @@ object QWin {
           round(col("_trail"), 2).as("trail3"),
           round(col("_run"), 2).as("running"),
           round(col("_fsum") / col("_fcnt"), 6).as("fwd_avg"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .transform(ordered(_, col("l_orderkey"), col("l_linenumber")))
     },
 
     // forced-distributed twin of q_win_frame_rows: the single-exchange

@@ -15,7 +15,11 @@ object ExplainDump {
     graft.plans.ProbeAgg.pinColdUnlessRequested()
     val sfDir = args(0)
     val outDir = args(1)
-    val queries = args(2).split(",").toSeq
+    // "ALL" sweeps every declared gate — the optimization-round plan
+    // hygiene audit (grep the output for cartesians / missed pushdown)
+    val queries =
+      if (args(2) == "ALL") graft.SparkEntry.queries.keys.toSeq.sorted
+      else args(2).split(",").toSeq
     val suffix = if (args.length > 3) args(3) else "before"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")

@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B: the global-sort sampling tax on ORDER BY gate outputs.
+  *
+  * Spark's RangePartitioner runs a SAMPLING JOB over the sort's child
+  * RDD to compute range bounds, then the exchange computes the child
+  * AGAIN to write shuffle output — every narrow operator above the last
+  * shuffle (the whole Window chain for the window-family gates)
+  * executes twice per query. Arms measure: the shipped orderBy, the
+  * same query with no final sort (isolates the tax), and a
+  * single-partition sort (shuffle-to-1 + in-partition sort — no
+  * sampling pass, total order preserved).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> scripts/run.sh graft.tools.OrderByAB [reps]
+  */
+object OrderByAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = if (args.nonEmpty) args(0).toInt else 5
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def sess(): DataFrame = graft.ops.Sessionize.sessions(
+      graft.Tables.load(spark, sfDir, "events"), "user_id", "ts", "value")
+    def rank(): DataFrame = {
+      val li = graft.Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_orderkey") % 11 === 0)
+      graft.ops.RankStats.lowCardRanks(
+          li.select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity"),
+          "l_returnflag", Seq("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"),
+          round(col("prnk"), 8).as("prnk"),
+          round(col("cdist"), 8).as("cdist"))
+    }
+
+    val arms: Seq[(String, () => DataFrame)] = Seq(
+      "sess_orderby" -> (() => sess().orderBy("user_id", "session_start")),
+      "sess_noorder" -> (() => sess()),
+      "sess_rep1sort" -> (() => sess().repartition(1)
+        .sortWithinPartitions("user_id", "session_start")),
+      "rank_orderby" -> (() => rank().orderBy("l_orderkey", "l_linenumber")),
+      "rank_noorder" -> (() => rank()),
+      "rank_rep1sort" -> (() => rank().repartition(1)
+        .sortWithinPartitions("l_orderkey", "l_linenumber")))
+
+    val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+    def run(name: String, mk: () => DataFrame, record: Boolean): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      mk().write.format("noop").mode("overwrite").save()
+      val el = (System.nanoTime() - t0) / 1e9
+      graft.ops.BigWindow.releaseCaches()
+      if (record) acc(name) = el :: acc.getOrElse(name, Nil)
+    }
+    (1 to 2).foreach(_ => arms.foreach { case (n, mk) => run(n, mk, false) })
+    (1 to reps).foreach(_ => arms.foreach { case (n, mk) => run(n, mk, true) })
+    arms.foreach { case (n, _) =>
+      val xs = acc(n).sorted
+      println(f"[ab] $n%-18s med ${xs(xs.size / 2)}%7.3f  min ${xs.head}%7.3f  max ${xs.last}%7.3f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** queries.Q.ordered — the size-dispatched deterministic sort the gate
+  * queries end with (r17 optimization round). Pins:
+  *  - small regime: ONE single-partition shuffle, NO range partitioning
+  *    (a range sort runs a sampling job that re-executes the narrow
+  *    chain above the last shuffle once more per query);
+  *  - large regime (threshold forced to 1 byte): the scale-correct
+  *    parallel range sort;
+  *  - both regimes produce the same rows in the same key order.
+  */
+class OrderedDispatchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def base = Tables.load(spark, sf, "orders")
+    .select("o_orderkey", "o_totalprice")
+
+  test("small regime: single-partition sort, no range sampling pass") {
+    spark.conf.unset("spark.graft.sort.onePartitionMaxBytes")
+    val p = physical(queries.Q.ordered(base, col("o_orderkey")))
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("large regime (threshold 1): parallel range sort") {
+    spark.conf.set("spark.graft.sort.onePartitionMaxBytes", "1")
+    try {
+      val p = physical(queries.Q.ordered(base, col("o_orderkey")))
+      assert(p.contains("rangepartitioning"), p)
+      assert(!p.contains("SinglePartition"), p)
+    } finally spark.conf.unset("spark.graft.sort.onePartitionMaxBytes")
+  }
+
+  test("both regimes emit identical ordered rows") {
+    val small = queries.Q.ordered(base, col("o_orderkey")).collect()
+    spark.conf.set("spark.graft.sort.onePartitionMaxBytes", "1")
+    val large =
+      try queries.Q.ordered(base, col("o_orderkey")).collect()
+      finally spark.conf.unset("spark.graft.sort.onePartitionMaxBytes")
+    assert(small.toSeq == large.toSeq)
+  }
+
+  test("orderedTiny is always single-partition (proven-tiny outputs)") {
+    spark.conf.set("spark.graft.sort.onePartitionMaxBytes", "1")
+    try {
+      val p = physical(queries.Q.orderedTiny(base, col("o_orderkey")))
+      assert(p.contains("SinglePartition"), p)
+      assert(!p.contains("rangepartitioning"), p)
+    } finally spark.conf.unset("spark.graft.sort.onePartitionMaxBytes")
+  }
+}
