@@ -532,7 +532,7 @@ object QPipe {
       Dedup.substringDupScore(t(s, dir, "documents"), "doc_id", "text",
           n = 3, minDf = 2)
         .select("doc_id", "n_grams", "dup_grams", "dup_score")
-        .orderBy("doc_id")
+        .transform(ordered(_, col("doc_id")))
     },
 
     // C4 line-rule cleaning: line structure synthesized by breaking on
